@@ -1,0 +1,28 @@
+package graft.queries
+
+import graft.Tables
+
+/** DuckDB-oracle SQL helpers (SURVEY.md §5.3).
+  *
+  * The driver runs correctness at sf0.01 (TESTDATA.md). It may or may not
+  * register fixture tables as views, so oracle SQL is authored with bare
+  * table names for readability and then rewritten so every `FROM <table>` /
+  * `JOIN <table>` reads the parquet file directly via `read_parquet(...) AS
+  * <table>` — runnable either way.
+  *
+  * Authoring rule: never alias a fixture table inline (`FROM lineitem l`);
+  * for self-joins wrap in a subselect (`FROM (SELECT * FROM lineitem) a`).
+  */
+object Oracle {
+  val sfDir = "/root/testdata/sf0.01"
+
+  def rewrite(sql: String): String =
+    Tables.names.foldLeft(sql) { (acc, t) =>
+      acc.replaceAll(
+        s"(?i)\\b(FROM|JOIN)\\s+$t\\b",
+        s"$$1 read_parquet('$sfDir/$t.parquet') AS $t")
+    }
+
+  def apply(m: Map[String, String]): Map[String, String] =
+    m.map { case (k, v) => k -> rewrite(v) }
+}

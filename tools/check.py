@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle compare (dev tool only;
+the shipped library is pure Scala — this is not part of it).
+
+Usage: python3 tools/check.py <verify_out_dir>
+
+For each <name>/ parquet dir under verify_out_dir, runs the matching SQL
+from oracle_sql.json in DuckDB, then compares (columns sorted by name,
+values compared exactly; doubles to 1e-9 relative) and prints PASS/FAIL.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
+
+con = duckdb.connect()
+fails = []
+for name in sorted(oracle):
+    pdir = os.path.join(out, name)
+    files = glob.glob(os.path.join(pdir, "*.parquet"))
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fails.append(name)
+        continue
+    try:
+        spark_df = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: {e}")
+        fails.append(name)
+        continue
+    s = spark_df[sorted(spark_df.columns)]
+    d = duck_df[sorted(duck_df.columns)]
+    if list(s.columns) != list(d.columns):
+        print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+        fails.append(name)
+        continue
+    if len(s) != len(d):
+        print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+        fails.append(name)
+        continue
+    bad = None
+    for c in s.columns:
+        sv, dv = s[c].to_numpy(), d[c].to_numpy()
+        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+            sv = sv.astype(float); dv = dv.astype(float)
+            ok = np.isclose(sv, dv, rtol=1e-9, atol=1e-12, equal_nan=True)
+            exact = np.array_equal(sv, dv) or np.array_equal(
+                np.isnan(sv), np.isnan(dv)) and np.all(
+                (sv == dv) | (np.isnan(sv) & np.isnan(dv)))
+            if not ok.all():
+                bad = (c, int((~ok).sum()), "value")
+                break
+            if not exact:
+                # driver may hash exact bytes — warn loudly
+                print(f"WARN {name}.{c}: float equal to 1e-9 but not bitwise")
+        else:
+            sv2 = pd.Series(sv).astype(str).to_numpy()
+            dv2 = pd.Series(dv).astype(str).to_numpy()
+            if not np.array_equal(sv2, dv2):
+                n = int((sv2 != dv2).sum())
+                bad = (c, n, f"e.g. spark={sv2[sv2!=dv2][:3]} duck={dv2[sv2!=dv2][:3]}")
+                break
+    if bad:
+        print(f"FAIL {name}: col {bad[0]} mismatches={bad[1]} {bad[2]}")
+        fails.append(name)
+    else:
+        print(f"PASS {name} ({len(s)} rows)")
+
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} passed")
+sys.exit(1 if fails else 0)
