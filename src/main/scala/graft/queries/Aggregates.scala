@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Portable._
+
+/** Aggregation surface (SURVEY.md §2.B): multi-measure hash agg, exact and
+  * approximate distinct, rollup/cube, filtered agg, ordered string agg, and
+  * a typed UDAF.
+  *
+  * Scale stance: everything here is a single hash-aggregate shuffle with
+  * map-side partial aggregation (Catalyst plans partial+final automatically
+  * for all built-ins and for the UDAF's merge). Exact `count(DISTINCT x, y)`
+  * is the one expensive shape — Spark expands it to a double shuffle; the
+  * HLL variant (`approx_count_distinct`) is the 100 TB path and is declared
+  * alongside it.
+  */
+object Aggregates {
+
+  /** TPC-H Q1 shape adapted to fixture columns: multi-measure agg with
+    * exact-cents sums and ratio-from-exact-ints averages. */
+  def multiMeasure(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    li.filter($"l_shipdate" <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sumIntValued($"l_quantity").as("sum_qty"),
+        sum(cents($"l_extendedprice")).as("sum_base_cents"),
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_cents"),
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))).as("sum_charge_cents"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("avg_qty", ratio($"sum_qty", $"n_rows"))
+      .withColumn("avg_price_cents", ratio($"sum_base_cents", $"n_rows"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Exact multi-column count distinct (double-shuffle shape). */
+  def countDistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** ROLLUP over the region→nation hierarchy with explicit grouping flags
+    * (grouping-ID *numbering* differs across engines; the per-column
+    * `grouping()` flag is portable). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(cents($"c_acctbal")).as("acctbal_cents"),
+        grouping($"r_name").cast("int").as("g_region"),
+        grouping($"n_name").cast("int").as("g_nation"))
+      .orderBy($"g_region", $"g_nation",
+        $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** CUBE over two independent dimensions. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sumIntValued($"l_quantity").as("sum_qty"),
+        grouping($"l_returnflag").cast("int").as("g_rf"),
+        grouping($"l_linestatus").cast("int").as("g_ls"))
+      .orderBy($"g_rf", $"g_ls",
+        $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Filtered / conditional aggregation (CASE-based, portable to FILTER). */
+  def filteredAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(when($"o_orderstatus" === "F", lit(1))).as("n_finished"),
+        count(when($"o_orderstatus" =!= "F", lit(1))).as("n_other"),
+        sum(when($"o_orderstatus" === "F", cents($"o_totalprice")).otherwise(lit(0L))).as("finished_cents"),
+        count(lit(1)).as("n_total"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Deterministically ordered distinct string aggregation (collect_set →
+    * sort_array → join; DuckDB `string_agg(DISTINCT … ORDER BY …)`). */
+  def stringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy($"n_name")
+      .agg(
+        concat_ws(",", sort_array(collect_set($"c_mktsegment"))).as("segments"),
+        count(lit(1)).as("n_cust"))
+      .orderBy($"n_name")
+  }
+
+  /** Typed UDAF (Aggregator with exact integer buffer): weighted mean of
+    * part retail price (cents) weighted by p_size. The buffer is two longs,
+    * so partial-agg merge is exact and order-independent. */
+  object WeightedMeanCents extends Aggregator[(Long, Long), (Long, Long), Double] {
+    def zero: (Long, Long) = (0L, 0L)
+    def reduce(b: (Long, Long), in: (Long, Long)): (Long, Long) =
+      (b._1 + in._1 * in._2, b._2 + in._2)
+    def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Long, Long)): Double = b._1.toDouble / b._2.toDouble
+    def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def udafWeightedMean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wmean = udaf(WeightedMeanCents)
+    Tables.part(s, dir)
+      .groupBy($"p_brand")
+      .agg(
+        wmean(cents($"p_retailprice"), $"p_size".cast("long")).as("wmean_price_cents"),
+        sum(cents($"p_retailprice") * $"p_size").as("wsum_cents"),
+        sumIntValued($"p_size").as("wtot"))
+      .orderBy($"p_brand")
+  }
+
+  /** HLL approximate distinct — the 100 TB substitute for exact distinct.
+    * No DuckDB oracle (different sketch); driver records a rows-only check
+    * and the ScalaTest spec asserts the documented ≤5% relative error
+    * against the exact count. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_agg_multi_measure" -> multiMeasure,
+    "q12_agg_count_distinct" -> countDistinctAgg,
+    "q13_agg_rollup" -> rollupAgg,
+    "q14_agg_cube" -> cubeAgg,
+    "q15_agg_filtered" -> filteredAgg,
+    "q16_agg_string_agg" -> stringAgg,
+    "q17_agg_udaf_weighted_mean" -> udafWeightedMean,
+    "q18_agg_approx_distinct" -> approxDistinct
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q11_agg_multi_measure" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${sumIntValuedSql("l_quantity")} AS sum_qty,
+         |       ${sumLongSql(centsSql("l_extendedprice"))} AS sum_base_cents,
+         |       ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS sum_disc_cents,
+         |       ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)"))} AS sum_charge_cents,
+         |       count(*) AS n_rows,
+         |       ${ratioSql(sumIntValuedSql("l_quantity"), "count(*)")} AS avg_qty,
+         |       ${ratioSql(sumLongSql(centsSql("l_extendedprice")), "count(*)")} AS avg_price_cents
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q12_agg_count_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q13_agg_rollup" ->
+      s"""SELECT r_name, n_name, count(*) AS n_cust,
+         |       ${sumLongSql(centsSql("c_acctbal"))} AS acctbal_cents,
+         |       CAST(grouping(r_name) AS INT) AS g_region,
+         |       CAST(grouping(n_name) AS INT) AS g_nation
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY g_region, g_nation, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q14_agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         |       ${sumIntValuedSql("l_quantity")} AS sum_qty,
+         |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+         |       CAST(grouping(l_linestatus) AS INT) AS g_ls
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q15_agg_filtered" ->
+      s"""SELECT o_orderpriority,
+         |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+         |       count(*) FILTER (WHERE o_orderstatus <> 'F') AS n_other,
+         |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN ${centsSql("o_totalprice")} ELSE 0 END) AS BIGINT) AS finished_cents,
+         |       count(*) AS n_total
+         |FROM orders
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    "q16_agg_string_agg" ->
+      """SELECT n_name,
+        |       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |       count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q17_agg_udaf_weighted_mean" ->
+      s"""SELECT p_brand,
+         |       ${ratioSql(sumLongSql(centsSql("p_retailprice") + " * p_size"), sumIntValuedSql("p_size"))} AS wmean_price_cents,
+         |       ${sumLongSql(centsSql("p_retailprice") + " * p_size")} AS wsum_cents,
+         |       ${sumIntValuedSql("p_size")} AS wtot
+         |FROM part
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin
+  )
+}

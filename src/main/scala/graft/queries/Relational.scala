@@ -1,41 +1,30 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import Portable._
 
-/** Relational operator surface (SURVEY.md §2.B): joins, aggregations,
-  * windows, sorts/limits/set-ops — declared as named query builders with
-  * DuckDB oracle SQL.
+/** Join / sort / limit / set-operation surface (SURVEY.md §2.B).
   *
-  * Oracle-parity rules (SURVEY.md §5.3): every query ends in a total ORDER
-  * BY; double-typed measures are cast to DECIMAL per-row *before* SUM so the
-  * aggregate is exact and independent of accumulation order; result columns
-  * aliased identically in Spark and SQL.
+  * Scale stance (100 TB): fact⋈fact joins shuffle on their keys and rely on
+  * AQE for skew; every dim small enough to fit an executor is explicitly
+  * `broadcast(...)` so the fact side never shuffles for it; non-equi joins
+  * are either dim×dim (tiny BNLJ) or carry an equi prefix so Catalyst plans
+  * a hash join with the range as residual condition; as-of is the
+  * shuffle-once window-rank formulation rather than a per-row lookup.
   *
-  * The flagship generalizes the reference's analytical essence — "average
-  * price per neighborhood" (/root/reference/download_lambda.py:99-103 price +
-  * location extraction) — to "revenue per nation" over the TPC-H-ish
-  * fixtures.
+  * The flagship generalizes the reference's analytical essence — "price per
+  * neighborhood" (/root/reference/download_lambda.py:99-103) — to "revenue
+  * per nation".
   */
 object Relational {
 
-  /** Oracle-portable money arithmetic: Spark and DuckDB round double→decimal
-    * differently (shortest-string HALF_UP vs exact-binary), so any per-row
-    * decimal cast of a double diverges. Instead convert to exact integer
-    * cents with pure IEEE ops — `floor(x*100 + 0.5)` is bit-identical in
-    * both engines on identical input doubles — and SUM as BIGINT, which is
-    * exact and accumulation-order-independent (safe under any shuffle /
-    * partial-agg schedule at any scale).
-    */
-  def cents(c: Column): Column =
-    floor(c * lit(100.0) + lit(0.5)).cast(LongType)
-
-  /** SQL twin of [[cents]] for the DuckDB oracle. */
-  def centsSql(expr: String): String =
-    s"CAST(floor(($expr) * 100.0 + 0.5) AS BIGINT)"
+  // kept as aliases: referenced by round-1 docs/tests
+  def cents = Portable.cents _
+  def centsSql = Portable.centsSql _
 
   /** Flagship: revenue per nation (lineitem ⋈ orders ⋈ customer ⋈ nation).
     * Two shuffled fact joins + one broadcast dim join + hash agg + sort.
@@ -57,20 +46,316 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** Broadcast hash join: the part dim ships to every executor; the fact
+    * side stays put (zero shuffle for the join; one for the agg). */
+  def broadcastDimJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val p  = Tables.part(s, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy($"p_brand")
+      .agg(
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_cents"),
+        sumIntValued($"l_quantity").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"p_brand")
+  }
+
+  /** Left outer join keeping order-less customers (count(col) skips nulls;
+    * sum coalesced to 0). Shuffles both sides on the customer key. */
+  def leftOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        coalesce(sum(cents($"o_totalprice")), lit(0L)).as("total_cents"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Left semi: EXISTS without materializing the right side's columns. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.filter($"c_mktsegment" === "BUILDING")
+      .join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left anti: NOT EXISTS; null-safe by construction (no NOT IN trap).
+    * The right side is pre-filtered so the anti-join is selective. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Equi join with residual band predicate: planned as a hash join on
+    * l_partkey with the BETWEEN as a cheap post-join filter — never a
+    * cartesian, so it scales linearly with the fact table. */
+  def equiRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val p  = Tables.part(s, dir)
+    li.join(broadcast(p),
+        li("l_partkey") === p("p_partkey") &&
+        li("l_quantity") >= (p("p_size") - lit(5)) &&
+        li("l_quantity") <= (p("p_size") + lit(5)))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_in_band"), sumIntValued($"l_quantity").as("sum_qty"))
+      .orderBy($"p_brand")
+  }
+
+  /** As-of join: latest event at-or-before each order date for the order's
+    * customer. One shuffle to co-partition on the key, then a window rank —
+    * no per-row point lookups, no cartesian; survives 100× scale because
+    * candidates are bounded per (customer, order). */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val e = Tables.events(s, dir)
+    val joined = o.join(e, o("o_custkey") === e("user_id") && e("ts") <= o("o_orderdate"))
+    val w = Window.partitionBy($"o_orderkey")
+      .orderBy($"ts".desc, $"event_id".desc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_orderkey", $"event_id".as("asof_event"), $"ts".as("asof_ts"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Pure theta join (no equi prefix): dim×dim only — a broadcast
+    * nested-loop over 25×5 rows. Theta joins on fact tables are banned at
+    * scale; this documents the operator without the blowup. */
+  def thetaJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    n.join(broadcast(r), n("n_regionkey") < r("r_regionkey"))
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"r_name")
+  }
+
+  /** Full outer join of two pre-aggregated sides (aggregate-then-join: the
+    * join inputs are one row per key, so the outer join is tiny no matter
+    * how large the base tables are). */
+  def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val sp = Tables.supplier(s, dir)
+    val ca = c.groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val sa = sp.groupBy($"s_nationkey").agg(count(lit(1)).as("n_supp"))
+    ca.join(sa, ca("c_nationkey") === sa("s_nationkey"), "full")
+      .select(
+        coalesce(ca("c_nationkey"), sa("s_nationkey")).as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+      .orderBy($"nationkey")
+  }
+
+  /** Cross join, dim×dim only (25×5). */
+  def crossJoinDims(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    r.crossJoin(n).select($"r_name", $"n_name").orderBy($"r_name", $"n_name")
+  }
+
+  /** Multi-key sort with an explicitly null-ordered synthetic null column
+    * (Spark defaults NULLS FIRST on ASC, DuckDB NULLS LAST — always be
+    * explicit). Global sort = range-partitioned exchange; LIMIT k makes it
+    * a TakeOrdered at any scale. */
+  def sortMultiKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .withColumn("maybe_status", nullif($"o_orderstatus", lit("O")))
+      .select($"o_orderkey", $"maybe_status", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"maybe_status".asc_nulls_first, $"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+      .orderBy($"maybe_status".asc_nulls_first, $"o_totalprice".desc, $"o_orderkey".asc)
+  }
+
+  /** Top-k by measure: TakeOrderedAndProject, no full sort materialized. */
+  def topK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", cents($"o_totalprice").as("price_cents"))
+      .orderBy($"price_cents".desc, $"o_orderkey".asc)
+      .limit(10)
+      .orderBy($"price_cents".desc, $"o_orderkey".asc)
+  }
+
+  /** UNION ALL with provenance tag (no dedup ⇒ no shuffle beyond the sort). */
+  def unionAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+      .select($"c_custkey".as("id"), $"c_name".as("name"), lit("customer").as("src"))
+    val sp = Tables.supplier(s, dir)
+      .select($"s_suppkey".as("id"), $"s_name".as("name"), lit("supplier").as("src"))
+    c.unionByName(sp).orderBy($"src", $"id")
+  }
+
+  /** UNION DISTINCT: one hash-dedup shuffle on the output key. */
+  def unionDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).select($"c_nationkey".cast("int").as("nationkey"))
+    val sp = Tables.supplier(s, dir).select($"s_nationkey".cast("int").as("nationkey"))
+    c.union(sp).distinct().orderBy($"nationkey")
+  }
+
+  /** INTERSECT (distinct semantics on both engines). */
+  def intersectKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).select($"c_custkey")
+    val o = Tables.orders(s, dir).select($"o_custkey".as("c_custkey"))
+    c.intersect(o).orderBy($"c_custkey")
+  }
+
+  /** EXCEPT ALL (multiplicity-preserving anti difference). */
+  def exceptAllKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select($"o_custkey")
+    val c = Tables.customer(s, dir).select($"c_custkey".as("o_custkey"))
+    o.exceptAll(c).groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy($"o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_revenue_by_nation" -> revenueByNation
+    "q01_revenue_by_nation" -> revenueByNation,
+    "q02_join_broadcast_dim" -> broadcastDimJoin,
+    "q03_join_left_outer" -> leftOuterJoin,
+    "q04_join_semi" -> semiJoin,
+    "q05_join_anti" -> antiJoin,
+    "q06_join_equirange" -> equiRangeJoin,
+    "q07_join_asof" -> asofJoin,
+    "q08_join_theta" -> thetaJoin,
+    "q09_join_full_outer" -> fullOuterJoin,
+    "q10_join_cross" -> crossJoinDims,
+    "q23_sort_multikey_nulls" -> sortMultiKey,
+    "q24_topk_limit" -> topK,
+    "q25_union_all" -> unionAll,
+    "q26_union_distinct" -> unionDistinct,
+    "q27_intersect" -> intersectKeys,
+    "q28_except_all" -> exceptAllKeys
   )
 
   val oracles: Map[String, String] = Map(
     "q01_revenue_by_nation" ->
       s"""SELECT n_name,
-        |       CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_cents,
-        |       count(*) AS n_rows
-        |FROM lineitem
-        |JOIN orders   ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation   ON c_nationkey = n_nationkey
-        |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin
+         |       ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS revenue_cents,
+         |       count(*) AS n_rows
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin,
+    "q02_join_broadcast_dim" ->
+      s"""SELECT p_brand,
+         |       ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS revenue_cents,
+         |       ${sumIntValuedSql("l_quantity")} AS sum_qty,
+         |       count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin,
+    "q03_join_left_outer" ->
+      s"""SELECT c_custkey, c_name,
+         |       count(o_orderkey) AS n_orders,
+         |       coalesce(${sumLongSql(centsSql("o_totalprice"))}, 0) AS total_cents
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name
+         |ORDER BY c_custkey""".stripMargin,
+    "q04_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q05_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_join_equirange" ->
+      s"""SELECT p_brand, count(*) AS n_in_band, ${sumIntValuedSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN part
+         |  ON l_partkey = p_partkey
+         | AND l_quantity >= (p_size - 5) AND l_quantity <= (p_size + 5)
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin,
+    "q07_join_asof" ->
+      """SELECT o_orderkey, asof_event, asof_ts FROM (
+        |  SELECT o_orderkey, event_id AS asof_event, ts AS asof_ts,
+        |         row_number() OVER (PARTITION BY o_orderkey
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM orders JOIN events ON o_custkey = user_id AND ts <= o_orderdate
+        |) WHERE rn = 1
+        |ORDER BY o_orderkey""".stripMargin,
+    "q08_join_theta" ->
+      """SELECT r_name, count(*) AS n_pairs
+        |FROM nation JOIN region ON n_regionkey < r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+    "q09_join_full_outer" ->
+      """SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |       coalesce(n_cust, 0) AS n_cust,
+        |       coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) cagg
+        |FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) sagg
+        |  ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q10_join_cross" ->
+      """SELECT r_name, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q23_sort_multikey_nulls" ->
+      """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS maybe_status,
+        |       o_totalprice, o_orderpriority
+        |FROM orders
+        |ORDER BY maybe_status ASC NULLS FIRST, o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "q24_topk_limit" ->
+      s"""SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS price_cents
+         |FROM orders
+         |ORDER BY price_cents DESC, o_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "q25_union_all" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier
+        |)
+        |ORDER BY src, id""".stripMargin,
+    "q26_union_distinct" ->
+      """SELECT * FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |  UNION
+        |  SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+        |)
+        |ORDER BY nationkey""".stripMargin,
+    "q27_intersect" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey FROM customer
+        |  INTERSECT
+        |  SELECT o_custkey AS c_custkey FROM orders
+        |)
+        |ORDER BY c_custkey""".stripMargin,
+    "q28_except_all" ->
+      """SELECT o_custkey, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS o_custkey FROM customer
+        |)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin
   )
 }

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import Portable._
+
+/** Window-function surface (SURVEY.md §2.B): ranking, analytic (lag/lead/
+  * first_value), row/range frames, top-k per group.
+  *
+  * Scale stance: one shuffle per distinct `partitionBy` key set, then a
+  * per-partition sort — the partition key must have enough cardinality to
+  * spread (customer/nation keys here, never a constant). Every window's
+  * ORDER BY is a total order (unique key appended) so rank/ntile/frames are
+  * deterministic under any physical row order.
+  */
+object Windows {
+
+  /** Ranking family over suppliers within nation. */
+  def rankFamily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"s_nationkey")
+      .orderBy($"s_acctbal".desc, $"s_suppkey".asc)
+    Tables.supplier(s, dir)
+      .select($"s_nationkey", $"s_suppkey", $"s_name",
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy($"s_nationkey", $"s_suppkey")
+  }
+
+  /** Analytic family over each customer's order history. */
+  def lagLead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .withColumn("price_cents", cents($"o_totalprice"))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        lag($"price_cents", 1).over(w).as("prev_cents"),
+        lead($"price_cents", 1).over(w).as("next_cents"),
+        first_value($"price_cents").over(w).as("first_cents"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Frames: running total (rows unbounded→current) and a centered 7-row
+    * sliding mean derived from exact integer sums. */
+  def frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliding = w.rowsBetween(-3, 3)
+    Tables.orders(s, dir)
+      .withColumn("price_cents", cents($"o_totalprice"))
+      .select($"o_custkey", $"o_orderkey",
+        sum($"price_cents").over(running).as("running_cents"),
+        ratio(sum($"price_cents").over(sliding), count(lit(1)).over(sliding))
+          .as("sliding_avg_cents"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Top-k per group: row_number + filter — the scalable formulation (no
+    * global sort; per-group work bounded by k after the window). */
+  def topKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .withColumn("price_cents", cents($"o_totalprice"))
+    val w = Window.partitionBy($"n_name")
+      .orderBy($"price_cents".desc, $"o_orderkey".asc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"n_name", $"rn", $"o_orderkey", $"price_cents")
+      .orderBy($"n_name", $"rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_window_rank" -> rankFamily,
+    "q20_window_lag_lead" -> lagLead,
+    "q21_window_frames" -> frames,
+    "q22_window_topk_per_group" -> topKPerGroup
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q19_window_rank" ->
+      """SELECT s_nationkey, s_suppkey, s_name,
+        |       row_number() OVER w AS rn,
+        |       rank() OVER w AS rnk,
+        |       dense_rank() OVER w AS drnk,
+        |       ntile(4) OVER w AS quartile
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+    "q20_window_lag_lead" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+         |       lag(price_cents, 1) OVER w AS prev_cents,
+         |       lead(price_cents, 1) OVER w AS next_cents,
+         |       first_value(price_cents) OVER w AS first_cents
+         |FROM (SELECT *, ${centsSql("o_totalprice")} AS price_cents FROM orders)
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q21_window_frames" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |       CAST(sum(price_cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+         |       ${ratioSql(
+             "CAST(sum(price_cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)",
+             "count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)")} AS sliding_avg_cents
+         |FROM (SELECT *, ${centsSql("o_totalprice")} AS price_cents FROM orders)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q22_window_topk_per_group" ->
+      s"""SELECT n_name, rn, o_orderkey, price_cents FROM (
+         |  SELECT n_name, o_orderkey, price_cents,
+         |         row_number() OVER (PARTITION BY n_name
+         |                            ORDER BY price_cents DESC, o_orderkey ASC) AS rn
+         |  FROM (SELECT n_name, o_orderkey, ${centsSql("o_totalprice")} AS price_cents
+         |        FROM orders
+         |        JOIN customer ON o_custkey = c_custkey
+         |        JOIN nation   ON c_nationkey = n_nationkey)
+         |) WHERE rn <= 3
+         |ORDER BY n_name, rn""".stripMargin
+  )
+}
