@@ -8,9 +8,11 @@ object SparkEntry {
     Relational.revenueByNation(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Aggregates.queries ++ Windows.queries
+    Relational.queries ++ Aggregates.queries ++ Windows.queries ++
+      Scalars.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Oracle(Relational.oracles ++ Aggregates.oracles ++ Windows.oracles)
+    Oracle(Relational.oracles ++ Aggregates.oracles ++ Windows.oracles ++
+      Scalars.oracles)
 }

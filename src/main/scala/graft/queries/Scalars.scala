@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.Tables
+import Portable._
+
+/** Scalar function families (SURVEY.md §2.B): string / date / math / array /
+  * map / json, one declared query per family piped through fixture columns.
+  *
+  * All of these are built-in Catalyst expressions (whole-stage-codegen'd,
+  * no UDFs), so each query is a single scan→project→sort: nothing here
+  * shuffles except the final presentation ORDER BY.
+  *
+  * Cross-engine notes baked into the formulations:
+  *   - DuckDB `dayofweek` is 0=Sunday, Spark's is 1=Sunday → oracle adds 1.
+  *   - DuckDB `date_trunc('month', ts)` returns DATE → Spark side uses
+  *     `trunc(col, "mon")` (DateType), not `date_trunc` (TimestampType).
+  *   - DuckDB `epoch()` returns DOUBLE → CAST AS BIGINT (fixture timestamps
+  *     have no sub-second component).
+  *   - DuckDB list folds keep FLOAT accumulators unless the list is cast to
+  *     DOUBLE[] first; Spark `aggregate` promotes per-element — cast makes
+  *     both fold float→double exactly.
+  *   - `round`/`bround` on raw doubles are NOT declared: Spark rounds via
+  *     shortest-string BigDecimal, DuckDB via binary value (see Portable);
+  *     they're exercised in ScalaTest instead.
+  */
+object Scalars {
+
+  def stringFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select(
+        $"c_custkey",
+        upper($"c_mktsegment").as("seg_up"),
+        lower($"c_name").as("name_lo"),
+        substring($"c_name", 10, 9).as("name_num"),
+        regexp_extract($"c_name", "([0-9]+)", 1).as("digits"),
+        regexp_replace($"c_name", "[0-9]+", "X").as("masked"),
+        concat_ws("-", $"c_mktsegment", $"c_name").as("joined"),
+        lpad($"c_custkey".cast("string"), 10, "0").as("padded"),
+        levenshtein($"c_name", lit("Customer#000000000")).as("lev"),
+        size(split($"c_name", "#")).as("n_parts"),
+        length($"c_name").as("name_len"),
+        trim(lit("  x  ")).as("trimmed"))
+      .orderBy($"c_custkey")
+  }
+
+  def dateFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("yr"),
+        month($"o_orderdate").as("mo"),
+        dayofmonth($"o_orderdate").as("dom"),
+        dayofweek($"o_orderdate").as("dow"),
+        trunc($"o_orderdate", "mon").as("month_start"),
+        date_format($"o_orderdate", "yyyy-MM-dd").as("fmt"),
+        datediff(lit("1998-09-02").cast("date"), $"o_orderdate").as("days_to_ref"),
+        unix_timestamp($"o_orderdate").as("epoch_s"),
+        date_add($"o_orderdate", 30).as("plus30"),
+        last_day($"o_orderdate").as("eom"))
+      .orderBy($"o_orderkey")
+  }
+
+  def mathFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .withColumn("price_cents", cents($"p_retailprice"))
+      .select(
+        $"p_partkey",
+        abs($"price_cents" - lit(95000L)).as("abs_diff"),
+        pow($"p_size", lit(2.0)).as("size_sq"),
+        sqrt($"p_size").as("size_sqrt"),
+        floor($"p_retailprice").cast("long").as("price_floor"),
+        ceil($"p_retailprice").cast("long").as("price_ceil"),
+        greatest($"p_size", lit(25)).as("size_hi"),
+        least($"p_size", lit(25)).as("size_lo"),
+        pmod($"p_partkey", lit(7L)).as("key_mod"))
+      .orderBy($"p_partkey")
+  }
+
+  def arrayFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select(
+        $"vec_id",
+        size($"embedding").as("dim"),
+        element_at($"embedding", 1).as("first_coord"),
+        array_max($"embedding").as("max_coord"),
+        array_min($"embedding").as("min_coord"),
+        aggregate(slice($"embedding", 1, 8), lit(0.0),
+          (acc, x) => acc + x).as("sum_first8"),
+        aggregate(zip_with($"embedding", $"embedding", (x, y) => x * y),
+          lit(0.0), (acc, p) => acc + p).as("norm_sq"))
+      .orderBy($"vec_id")
+  }
+
+  def mapFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("m", map(
+        lit("et"), $"event_type",
+        lit("uid"), $"user_id".cast("string")))
+      .select(
+        $"event_id",
+        element_at($"m", "et").as("et"),
+        element_at($"m", "uid").as("uid"),
+        concat_ws(",", map_keys($"m")).as("ks"),
+        concat_ws(",", map_values($"m")).as("vs"))
+      .orderBy($"event_id")
+  }
+
+  def jsonFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(s, dir)
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").as("k_str"),
+        from_json($"props", schema).getField("k").as("k_int"))
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_fn_string" -> stringFns,
+    "q31_fn_date" -> dateFns,
+    "q32_fn_math" -> mathFns,
+    "q33_fn_array" -> arrayFns,
+    "q34_fn_map" -> mapFns,
+    "q35_fn_json" -> jsonFns
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_fn_string" ->
+      """SELECT c_custkey,
+        |       upper(c_mktsegment) AS seg_up,
+        |       lower(c_name) AS name_lo,
+        |       substring(c_name, 10, 9) AS name_num,
+        |       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |       regexp_replace(c_name, '[0-9]+', 'X', 'g') AS masked,
+        |       concat_ws('-', c_mktsegment, c_name) AS joined,
+        |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |       levenshtein(c_name, 'Customer#000000000') AS lev,
+        |       len(string_split(c_name, '#')) AS n_parts,
+        |       length(c_name) AS name_len,
+        |       trim('  x  ') AS trimmed
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q31_fn_date" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       CAST(day(o_orderdate) AS INT) AS dom,
+        |       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |       date_trunc('month', o_orderdate) AS month_start,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS fmt,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-09-02') AS INT) AS days_to_ref,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |       CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |       last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q32_fn_math" ->
+      s"""SELECT p_partkey,
+         |       abs(${centsSql("p_retailprice")} - 95000) AS abs_diff,
+         |       pow(p_size, 2.0) AS size_sq,
+         |       sqrt(p_size) AS size_sqrt,
+         |       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+         |       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+         |       greatest(p_size, 25) AS size_hi,
+         |       least(p_size, 25) AS size_lo,
+         |       p_partkey % 7 AS key_mod
+         |FROM part
+         |ORDER BY p_partkey""".stripMargin,
+    "q33_fn_array" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS INT) AS dim,
+        |       embedding[1] AS first_coord,
+        |       list_max(embedding) AS max_coord,
+        |       list_min(embedding) AS min_coord,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(embedding[1:8] AS DOUBLE[])), (acc, x) -> acc + x) AS sum_first8,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(embedding, x -> x * x) AS DOUBLE[])), (acc, p) -> acc + p) AS norm_sq
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+    "q34_fn_map" ->
+      """SELECT event_id,
+        |       (m['et'])[1] AS et,
+        |       (m['uid'])[1] AS uid,
+        |       array_to_string(map_keys(m), ',') AS ks,
+        |       array_to_string(map_values(m), ',') AS vs
+        |FROM (SELECT event_id,
+        |             MAP {'et': event_type, 'uid': CAST(user_id AS VARCHAR)} AS m
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q35_fn_json" ->
+      """SELECT event_id,
+        |       props->>'$.k' AS k_str,
+        |       CAST(props->>'$.k' AS INT) AS k_int
+        |FROM events
+        |ORDER BY event_id""".stripMargin
+  )
+}
