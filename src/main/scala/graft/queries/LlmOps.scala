@@ -1,0 +1,429 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.operators.{TextOps, VectorOps}
+import Portable._
+
+/** LLM-data-pipeline operators (north-star mandate): dedup (exact, MinHash-
+  * LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity search
+  * (brute-force + LSH-bucketed ANN), and text analysis (stats, language-ID,
+  * quality scoring, fingerprinting, token counting, tf-idf).
+  *
+  * Scale notes per operator live on the builders; the shared principle:
+  * per-document work is map-side projection of short digests, and only
+  * digests / candidate keys shuffle. Pairwise similarity is always gated by
+  * a blocking key (LSH band, sign bucket, metadata block) so candidate
+  * counts stay near-linear; the brute-force variants bound one side (a
+  * bounded query set), never all-pairs.
+  */
+object LlmOps {
+
+  import VectorOps.{cosine, signKey}
+
+  // ---- DuckDB SQL fragments (must mirror the Scala op trees exactly) ----
+
+  private val toksSql = "string_split(text, ' ')"
+
+  /** 3-word shingles over a `toks` column. */
+  private val shinglesSql =
+    "list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+
+  /** Fixture embeddings are fixed 64-dim; float products, double fold. */
+  private def dotSql(x: String, y: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(range(1, 65), i -> $x[i] * $y[i]) AS DOUBLE[])), (acc, p) -> acc + p)"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  // ---- queries ----
+
+  /** Exact dedup census: hash-groupBy on content digests. At scale this is
+    * one shuffle of 16-byte digests, never of documents. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(sha2($"text", 256)).as("n_uniq_text"),
+        countDistinct(TextOps.sortedTokenFingerprint($"toks")).as("n_uniq_tokenset"))
+  }
+
+  /** MinHash-LSH bucketing census: 12-hash signature, 4 bands × 3 rows.
+    * Output is the bucket-size histogram per band (deterministic whatever
+    * the dup structure); docs sharing a (band, bkey) are candidates. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("shingles", TextOps.wordShingles($"toks", 3))
+      .withColumn("sig", TextOps.minhashSignature($"shingles", 12))
+      .withColumn("bandkey", explode(TextOps.lshBands($"sig", 4, 3)))
+      .select($"doc_id", $"bandkey.band".as("band"), $"bandkey.bkey".as("bkey"))
+      .groupBy($"band", $"bkey").agg(count(lit(1)).as("bucket_size"))
+      .groupBy($"band", $"bucket_size").agg(count(lit(1)).as("n_buckets"))
+      .orderBy($"band", $"bucket_size")
+  }
+
+  /** SimHash bucketing: 16-bit signature per doc, grouped. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("simhash", TextOps.simhash16($"text"))
+      .groupBy($"simhash")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
+      .orderBy($"simhash")
+  }
+
+  /** n-gram Jaccard near-dup: metadata blocking (lang × length bucket)
+    * bounds the candidate pairs, then exact set Jaccard on distinct
+    * 3-shingles; top-20 pairs. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("dshin", array_distinct(TextOps.wordShingles($"toks", 3)))
+      .withColumn("block",
+        concat($"lang", lit("|"), floor($"n_chars" / lit(500)).cast("long").cast("string")))
+      .select($"doc_id", $"block", $"dshin")
+    val a = base.select($"doc_id".as("doc1"), $"block", $"dshin".as("sh1"))
+    val b = base.select($"doc_id".as("doc2"), $"block".as("block2"), $"dshin".as("sh2"))
+    val ord = Seq($"jac".desc, $"doc1".asc, $"doc2".asc)
+    a.join(b, $"block" === $"block2" && $"doc1" < $"doc2")
+      .withColumn("jac", ratio(
+        size(array_intersect($"sh1", $"sh2")).cast("long"),
+        size(array_union($"sh1", $"sh2")).cast("long")))
+      .select($"doc1", $"doc2", $"jac")
+      .orderBy(ord: _*).limit(20).orderBy(ord: _*)
+  }
+
+  /** Embedding near-dup candidates: 8-bit sign-LSH equi-join, cosine on
+    * in-bucket pairs only, top-20. */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).withColumn("key", signKey($"embedding", 8))
+    val a = e.select($"vec_id".as("vec1"), $"key", $"embedding".as("e1"))
+    val b = e.select($"vec_id".as("vec2"), $"key".as("key2"), $"embedding".as("e2"))
+    val ord = Seq($"cos".desc, $"vec1".asc, $"vec2".asc)
+    a.join(b, $"key" === $"key2" && $"vec1" < $"vec2")
+      .withColumn("cos", cosine($"e1", $"e2"))
+      .select($"vec1", $"vec2", $"cos")
+      .orderBy(ord: _*).limit(20).orderBy(ord: _*)
+  }
+
+  /** Brute-force cosine top-5 for a bounded query set (vec_id < 10): the
+    * exact baseline — O(|Q|·N·d), broadcast the small side. */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("vid"), $"embedding".as("ve"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
+    broadcast(q).join(c, $"qid" =!= $"vid")
+      .withColumn("cos", cosine($"qe", $"ve"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"qid", $"rn", $"vid", $"cos")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** LSH-bucketed ANN: same query set, but candidates restricted to the
+    * query's 8-bit sign bucket — the scale path (equi-join, no cross). */
+  def annLshBucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).withColumn("key", signKey($"embedding", 8))
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"key".as("qkey"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("vid"), $"key", $"embedding".as("ve"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
+    broadcast(q).join(c, $"qkey" === $"key" && $"qid" =!= $"vid")
+      .withColumn("cos", cosine($"qe", $"ve"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"qid", $"rn", $"vid", $"cos")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** Corpus text statistics per language. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("ntok", size($"toks").cast("long"))
+      .withColumn("ndist", size(array_distinct($"toks")).cast("long"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"ntok").as("sum_tokens"),
+        sum($"ndist").as("sum_distinct"),
+        ratio(sum($"ntok"), count(lit(1))).as("avg_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** Marker-token language-ID heuristic vs. the metadata label. (Fixture
+    * text is synthetic ASCII, so the interesting cases live in the unit
+    * tests; the declared query proves the operator end-to-end.) */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val es = Seq("el", "la", "de", "que", "los")
+    val de = Seq("der", "die", "und", "das", "ist")
+    val fr = Seq("le", "les", "des", "une", "est")
+    val en = Seq("the", "and", "of", "to", "is")
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("s_es", TextOps.markerHits($"toks", es))
+      .withColumn("s_de", TextOps.markerHits($"toks", de))
+      .withColumn("s_fr", TextOps.markerHits($"toks", fr))
+      .withColumn("s_en", TextOps.markerHits($"toks", en))
+      .withColumn("predicted",
+        when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" && $"s_en" >= $"s_fr" && $"s_en" > 0, "en")
+          .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr" && $"s_es" > 0, "es")
+          .when($"s_de" >= $"s_fr" && $"s_de" > 0, "de")
+          .when($"s_fr" > 0, "fr")
+          .otherwise("und"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  /** Per-document quality scoring: lengths, mean token length, stopword
+    * ratio, and a keep flag — all exact-integer-derived. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("table", "row", "value", "data", "key")
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("ntok", size($"toks").cast("long"))
+      .withColumn("nchar", length($"text").cast("long"))
+      .withColumn("nosp", length(regexp_replace($"text", " ", "")).cast("long"))
+      .withColumn("nstop", TextOps.markerHits($"toks", stop).cast("long"))
+      .select(
+        $"doc_id", $"ntok", $"nchar",
+        ratio($"nosp", $"ntok").as("mean_tok_len"),
+        ratio($"nstop", $"ntok").as("stop_ratio"),
+        ($"ntok" >= 20 && ratio($"nosp", $"ntok") < lit(6.0)).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprints: order-insensitive token-set md5 + prefix md5,
+    * with the token-set group size (window count). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"fp_tokenset")
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("fp_tokenset", TextOps.sortedTokenFingerprint($"toks"))
+      .withColumn("fp_prefix", md5(substring($"text", 1, 64)))
+      .withColumn("fp_group", count(lit(1)).over(w))
+      .select($"doc_id", $"fp_tokenset", $"fp_prefix", $"fp_group")
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex segmentation. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("ws_tokens"),
+        regexp_count($"text", lit(pat)).cast("long").as("bpe_tokens"),
+        length($"text").cast("long").as("chars"))
+      .orderBy($"doc_id")
+  }
+
+  /** tf-idf top-3 terms per doc (df over the whole corpus, output bounded
+    * to doc_id < 50). idf is the exact ratio N/df to stay libm-free. */
+  def tfidfTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val terms = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      .filter($"doc_id" < 50)
+      .withColumn("score",
+        $"tf".cast("double") * ($"n_docs".cast("double") / $"df".cast("double")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"rn", $"term", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_exact" -> dedupExact,
+    "q41_dedup_minhash_lsh" -> dedupMinhashLsh,
+    "q42_dedup_simhash" -> dedupSimhash,
+    "q43_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "q44_dedup_embedding" -> dedupEmbedding,
+    "q45_ann_brute_force" -> annBruteForce,
+    "q46_ann_lsh_bucketed" -> annLshBucketed,
+    "q47_text_stats" -> textStats,
+    "q48_lang_id" -> langId,
+    "q49_quality_score" -> qualityScore,
+    "q50_fingerprint" -> fingerprint,
+    "q51_token_count" -> tokenCount,
+    "q52_tfidf_top_terms" -> tfidfTop
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """SELECT count(*) AS n_docs,
+        |       count(DISTINCT sha256(text)) AS n_uniq_text,
+        |       count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS n_uniq_tokenset
+        |FROM documents""".stripMargin,
+    "q41_dedup_minhash_lsh" ->
+      s"""SELECT band, bucket_size, count(*) AS n_buckets FROM (
+         |  SELECT band, bkey, count(*) AS bucket_size FROM (
+         |    SELECT doc_id, j AS band,
+         |           md5(sig[3*j+1] || sig[3*j+2] || sig[3*j+3]) AS bkey
+         |    FROM (
+         |      SELECT doc_id,
+         |             list_transform(range(12), j2 -> list_min(list_transform(shingles, s2 -> md5(CAST(j2 AS VARCHAR) || ':' || s2)))) AS sig
+         |      FROM (
+         |        SELECT doc_id, $shinglesSql AS shingles
+         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |      )
+         |    ), (SELECT unnest([0,1,2,3]) AS j)
+         |  ) GROUP BY band, bkey
+         |) GROUP BY band, bucket_size
+         |ORDER BY band, bucket_size""".stripMargin,
+    "q42_dedup_simhash" ->
+      """SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc FROM (
+        |  SELECT doc_id,
+        |         array_to_string(list_transform(range(1, 17), i ->
+        |           CASE WHEN list_reduce(list_prepend(0, list_transform(string_split(text, ' '), t ->
+        |                  CASE WHEN substr(md5(t), CAST(i AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)),
+        |                (acc, x) -> acc + x) >= 0
+        |           THEN '1' ELSE '0' END), '') AS simhash
+        |  FROM documents
+        |) GROUP BY simhash
+        |ORDER BY simhash""".stripMargin,
+    "q43_dedup_ngram_jaccard" ->
+      s"""SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |       CAST(len(list_intersect(a.dshin, b.dshin)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.dshin, b.dshin))) AS DOUBLE) AS jac
+         |FROM (SELECT doc_id, lang || '|' || CAST(n_chars // 500 AS VARCHAR) AS block, list_distinct($shinglesSql) AS dshin
+         |      FROM (SELECT doc_id, lang, n_chars, $toksSql AS toks FROM documents)) a
+         |JOIN (SELECT doc_id, lang || '|' || CAST(n_chars // 500 AS VARCHAR) AS block, list_distinct($shinglesSql) AS dshin
+         |      FROM (SELECT doc_id, lang, n_chars, $toksSql AS toks FROM documents)) b
+         |  ON a.block = b.block AND a.doc_id < b.doc_id
+         |ORDER BY jac DESC, doc1 ASC, doc2 ASC
+         |LIMIT 20""".stripMargin,
+    "q44_dedup_embedding" ->
+      s"""SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+         |       ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM (SELECT vec_id, embedding,
+         |             array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS key
+         |      FROM embeddings) a
+         |JOIN (SELECT vec_id, embedding,
+         |             array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS key
+         |      FROM embeddings) b
+         |  ON a.key = b.key AND a.vec_id < b.vec_id
+         |ORDER BY cos DESC, vec1 ASC, vec2 ASC
+         |LIMIT 20""".stripMargin,
+    "q45_ann_brute_force" ->
+      s"""SELECT qid, CAST(rn AS INT) AS rn, vid, cos FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cos,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |  JOIN (SELECT * FROM embeddings) c ON q.vec_id <> c.vec_id
+         |) WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+    "q46_ann_lsh_bucketed" ->
+      s"""SELECT qid, CAST(rn AS INT) AS rn, vid, cos FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cos,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+         |  FROM (SELECT vec_id, embedding,
+         |               array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS key
+         |        FROM embeddings WHERE vec_id < 10) q
+         |  JOIN (SELECT vec_id, embedding,
+         |               array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS key
+         |        FROM embeddings) c ON q.key = c.key AND q.vec_id <> c.vec_id
+         |) WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
+    "q47_text_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+         |       CAST(sum(ndist) AS BIGINT) AS sum_distinct,
+         |       ${ratioSql("CAST(sum(ntok) AS BIGINT)", "count(*)")} AS avg_tokens
+         |FROM (SELECT lang, len($toksSql) AS ntok, len(list_distinct($toksSql)) AS ndist FROM documents)
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
+    "q48_lang_id" ->
+      """SELECT lang, predicted, count(*) AS n_docs FROM (
+        |  SELECT lang,
+        |         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+        |              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+        |              WHEN s_fr > 0 THEN 'fr'
+        |              ELSE 'und' END AS predicted
+        |  FROM (
+        |    SELECT lang,
+        |           len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS s_es,
+        |           len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+        |           len(list_filter(toks, t -> t IN ('le','les','des','une','est'))) AS s_fr,
+        |           len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS s_en
+        |    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+        |  )
+        |) GROUP BY lang, predicted
+        |ORDER BY lang, predicted""".stripMargin,
+    "q49_quality_score" ->
+      s"""SELECT doc_id, ntok, nchar,
+         |       ${ratioSql("nosp", "ntok")} AS mean_tok_len,
+         |       ${ratioSql("nstop", "ntok")} AS stop_ratio,
+         |       (ntok >= 20 AND ${ratioSql("nosp", "ntok")} < 6.0) AS keep
+         |FROM (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS ntok,
+         |         CAST(length(text) AS BIGINT) AS nchar,
+         |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS nosp,
+         |         CAST(len(list_filter(toks, t -> t IN ('table','row','value','data','key'))) AS BIGINT) AS nstop
+         |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |)
+         |ORDER BY doc_id""".stripMargin,
+    "q50_fingerprint" ->
+      s"""SELECT doc_id, fp_tokenset, fp_prefix,
+         |       count(*) OVER (PARTITION BY fp_tokenset) AS fp_group
+         |FROM (
+         |  SELECT doc_id,
+         |         md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp_tokenset,
+         |         md5(substr(text, 1, 64)) AS fp_prefix
+         |  FROM documents
+         |)
+         |ORDER BY doc_id""".stripMargin,
+    "q51_token_count" ->
+      s"""SELECT doc_id,
+         |       CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+         |       CAST(length(text) AS BIGINT) AS chars
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "q52_tfidf_top_terms" ->
+      """WITH tfx AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term
+        |), dfx AS (
+        |  SELECT term, count(*) AS df FROM tfx GROUP BY term
+        |), nx AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df, score FROM (
+        |  SELECT doc_id, term, tf, df,
+        |         CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) DESC, term ASC) AS rn
+        |  FROM tfx JOIN dfx USING (term), nx
+        |  WHERE doc_id < 50
+        |) WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin
+  )
+}

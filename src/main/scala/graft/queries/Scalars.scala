@@ -144,9 +144,9 @@ object Scalars {
         |       regexp_replace(c_name, '[0-9]+', 'X', 'g') AS masked,
         |       concat_ws('-', c_mktsegment, c_name) AS joined,
         |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
-        |       levenshtein(c_name, 'Customer#000000000') AS lev,
-        |       len(string_split(c_name, '#')) AS n_parts,
-        |       length(c_name) AS name_len,
+        |       CAST(levenshtein(c_name, 'Customer#000000000') AS INT) AS lev,
+        |       CAST(len(string_split(c_name, '#')) AS INT) AS n_parts,
+        |       CAST(length(c_name) AS INT) AS name_len,
         |       trim('  x  ') AS trimmed
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
@@ -171,8 +171,8 @@ object Scalars {
          |       sqrt(p_size) AS size_sqrt,
          |       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
          |       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
-         |       greatest(p_size, 25) AS size_hi,
-         |       least(p_size, 25) AS size_lo,
+         |       CAST(greatest(p_size, 25) AS INT) AS size_hi,
+         |       CAST(least(p_size, 25) AS INT) AS size_lo,
          |       p_partkey % 7 AS key_mod
          |FROM part
          |ORDER BY p_partkey""".stripMargin,

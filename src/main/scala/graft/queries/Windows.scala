@@ -92,10 +92,10 @@ object Windows {
   val oracles: Map[String, String] = Map(
     "q19_window_rank" ->
       """SELECT s_nationkey, s_suppkey, s_name,
-        |       row_number() OVER w AS rn,
-        |       rank() OVER w AS rnk,
-        |       dense_rank() OVER w AS drnk,
-        |       ntile(4) OVER w AS quartile
+        |       CAST(row_number() OVER w AS INT) AS rn,
+        |       CAST(rank() OVER w AS INT) AS rnk,
+        |       CAST(dense_rank() OVER w AS INT) AS drnk,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
         |ORDER BY s_nationkey, s_suppkey""".stripMargin,
@@ -117,7 +117,7 @@ object Windows {
          |FROM (SELECT *, ${centsSql("o_totalprice")} AS price_cents FROM orders)
          |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q22_window_topk_per_group" ->
-      s"""SELECT n_name, rn, o_orderkey, price_cents FROM (
+      s"""SELECT n_name, CAST(rn AS INT) AS rn, o_orderkey, price_cents FROM (
          |  SELECT n_name, o_orderkey, price_cents,
          |         row_number() OVER (PARTITION BY n_name
          |                            ORDER BY price_cents DESC, o_orderkey ASC) AS rn

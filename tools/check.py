@@ -43,6 +43,9 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
         fails.append(name)
         continue
+    for c in s.columns:
+        if str(s[c].dtype) != str(d[c].dtype):
+            print(f"WARN {name}.{c}: dtype spark={s[c].dtype} duck={d[c].dtype}")
     bad = None
     for c in s.columns:
         sv, dv = s[c].to_numpy(), d[c].to_numpy()
