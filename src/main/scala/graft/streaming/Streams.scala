@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §2.B streaming): the reference's
+  * event-driven micro-batch model (S3 `ObjectCreated` → Lambda,
+  * `zappa_settings.json:28-36`) re-expressed as checkpointed file streams —
+  * which upgrades the reference's at-least-once delivery to exactly-once
+  * per file.
+  *
+  * Every windowed transform is a plain `DataFrame => DataFrame`, applied
+  * identically to a batch frame or a stream: the batch run IS the oracle
+  * (streaming results are validated by batch equivalence in the test suite,
+  * not DuckDB — sketch in `.claude/skills/verify/SKILL.md`).
+  *
+  * Scale: streaming aggs shuffle by (window, key); watermarks bound state
+  * size — without them, 100 TB of history accumulates in the state store.
+  */
+object Streams {
+
+  case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Tumbling 1-hour counts per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Sliding 1-hour windows every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Session windows per user with a 30-minute gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"), col("user_id"), col("n"))
+
+  /** Watermarked stream variant of a windowed transform: watermark bounds
+    * state and drops events later than `delay` behind the max seen ts. */
+  def withWatermarked(events: DataFrame, delay: String)(f: DataFrame => DataFrame): DataFrame =
+    f(events.withWatermark("ts", delay))
+
+  /** Streaming dedup by event_id within the watermark horizon. */
+  def dedupEvents(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicates("event_id")
+
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary stateful processing: per-user running totals via
+    * flatMapGroupsWithState (update mode). State is one small record per
+    * user — bounded by key cardinality, not input size. */
+  def userTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          it.foreach { e => n += 1; tot += e.value }
+          val next = UserTotal(uid, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** File-stream ingest (reference R22): each file that lands in `inDir` is
+    * processed exactly once (checkpointed), result appended as parquet.
+    * `Trigger.AvailableNow` drains the backlog then stops — the batch
+    * catch-up mode; pass a processing-time trigger for a live stream. */
+  def fileStreamIngest(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      checkpointDir: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    val q = transform(spark.readStream.schema(schema).parquet(inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append)
+      .start()
+    q.awaitTermination()
+  }
+}

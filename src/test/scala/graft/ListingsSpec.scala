@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pipeline.Listings
+import graft.pipeline.Listings.Listing
+
+/** Golden tests for the reference-semantics extraction pipeline — covering
+  * exactly the stage the reference left untested (its only test file never
+  * imports process_handler; /root/reference/tests/test_download.py:13). HTML
+  * fixtures match the selectors at download_lambda.py:88,99,102,105,110,113.
+  */
+class ListingsSpec extends SparkSpec {
+
+  private def card(
+      price: Option[String] = Some("$ 185.000.000"),
+      geo: Option[String] = Some("Chapinero, Bogotá"),
+      bedrooms: Option[String] = Some("1"),
+      bathrooms: Option[String] = Some("1"),
+      area: Option[String] = Some("42")): String = {
+    val sb = new StringBuilder("""<div class="listing-card__content">""")
+    price.foreach(p => sb.append(s"""<span class="price__actual">$p</span>"""))
+    geo.foreach(g => sb.append(s"""<div class="listing-card__location__geo">$g</div>"""))
+    bedrooms.foreach(b => sb.append(s"""<p data-test="bedrooms" content="$b"></p>"""))
+    bathrooms.foreach(b => sb.append(s"""<p data-test="bathrooms" content="$b"></p>"""))
+    area.foreach(a => sb.append(s"""<p data-test="floor-area" content="$a"></p>"""))
+    sb.append("</div>").toString
+  }
+
+  test("full card extracts all six fields with filename date round-trip") {
+    val rows = Listings.extractListings("2024-03-14.html", card())
+    assert(rows === Seq(Listing(
+      java.sql.Date.valueOf("2024-03-14"),
+      Some("Chapinero, Bogotá"), Some("$ 185.000.000"), Some(1), Some(1), Some(42.0))))
+  }
+
+  test("each missing field independently becomes null (not a sentinel)") {
+    val r1 = Listings.extractListings("2024-01-01.html", card(price = None)).head
+    assert(r1.Valor.isEmpty && r1.Barrio.nonEmpty)
+    val r2 = Listings.extractListings("2024-01-01.html", card(geo = None)).head
+    assert(r2.Barrio.isEmpty && r2.Valor.nonEmpty)
+    val r3 = Listings.extractListings("2024-01-01.html", card(bedrooms = None)).head
+    assert(r3.NumHabitaciones.isEmpty && r3.NumBanos.contains(1))
+    val r4 = Listings.extractListings("2024-01-01.html", card(area = None)).head
+    assert(r4.mts2.isEmpty)
+  }
+
+  test("empty document yields no rows (empty-input guard semantics)") {
+    assert(Listings.extractListings("2024-01-01.html", "<html><body></body></html>").isEmpty)
+  }
+
+  test("multiple cards explode to multiple rows (UDTF semantics)") {
+    val html = s"<html>${card()}${card(bedrooms = Some("2"))}${card(area = Some("99"))}</html>"
+    val rows = Listings.extractListings("2024-01-01.html", html)
+    assert(rows.size === 3)
+    assert(rows(1).NumHabitaciones.contains(2))
+    assert(rows(2).mts2.contains(99.0))
+  }
+
+  test("distributed extract over a Dataset of pages") {
+    import spark.implicits._
+    val pages = spark.createDataset(Seq(
+      ("2024-01-01.html", card()),
+      ("2024-01-02.html", s"${card()}${card()}")))
+    val out = Listings.extract(pages)
+    assert(out.count() === 3)
+    assert(out.filter(_.FechaDescarga.toString == "2024-01-02").count() === 2)
+  }
+
+  test("CSV sink writes header and N/A sentinels at the boundary only") {
+    import spark.implicits._
+    val pages = spark.createDataset(Seq(("2024-01-01.html", card(price = None))))
+    val df = Listings.extract(pages).toDF()
+    assert(df.filter(df("Valor").isNull).count() === 1) // null internally
+    val dir = Files.createTempDirectory("csvout").toString
+    Listings.writeCsv(df, dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.columns.toSeq === Listings.csvHeader)
+    assert(back.select("Valor").head.getString(0) === "N/A")
+  }
+
+  test("partitioned parquet sink prunes by dt") {
+    import spark.implicits._
+    val pages = spark.createDataset(Seq(
+      ("2024-01-01.html", card()), ("2024-01-02.html", card())))
+    val dir = Files.createTempDirectory("pqout").toString
+    Listings.writePartitionedParquet(Listings.extract(pages).toDF(), dir)
+    assert(new java.io.File(dir).list().exists(_.startsWith("dt=")))
+    val pruned = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("dt") === "2024-01-01")
+    assert(pruned.count() === 1)
+  }
+
+  test("error-tolerant fetch keeps partial results (reference R2 contract)") {
+    val body = card() // materialize outside the closure (serializable capture)
+    val fetch: String => (Int, String) =
+      url => if (url.contains("page=5")) (404, "") else (200, body)
+    val urls = (1 to 10).map(i => s"http://example.test/list?page=$i")
+    val pages = Listings.fetchPages(spark, urls, fetch)
+    val good = Listings.goodPages(pages)
+    assert(pages.count() === 10)
+    assert(good.count() === 9) // page 5 skipped, run still succeeds
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{TextOps, VectorOps}
+
+/** Property-based tests (SURVEY.md §5.2): algebraic laws the operators must
+  * satisfy regardless of data. scalacheck `Gen` drives the cases with fixed
+  * seeds (no scalatestplus bridge on the offline classpath, so sampling is
+  * explicit and deterministic). */
+class OperatorPropertiesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic samples from a Gen. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    samples(Gen.listOfN(40, Gen.oneOf("a", "b", "c", "d", "e")), 5).foreach { xs =>
+      val df = xs.toDF("v")
+      val once = df.dropDuplicates("v")
+      val twice = once.dropDuplicates("v")
+      assert(once.collect().map(_.getString(0)).sorted.sameElements(
+        twice.collect().map(_.getString(0)).sorted))
+    }
+  }
+
+  test("union-all row count is additive; union-distinct bounded by sum") {
+    val gl = Gen.listOf(Gen.choose(0, 9))
+    samples(gl, 5).zip(samples(gl, 5).reverse).foreach { case (a, b) =>
+      val da = a.toDF("v"); val db = b.toDF("v")
+      assert(da.unionAll(db).count() === a.size + b.size)
+      val d = da.union(db).distinct().count()
+      assert(d <= (a.size + b.size) && d === (a ++ b).distinct.size)
+    }
+  }
+
+  test("cosine: self-similarity ~1, symmetry exact") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(-1.0f, 0.5f, 2.5f, -3.0f)),
+      (3L, Array(0.1f, 0.1f, 0.1f, 0.1f)))
+    val df = vecs.toDF("id", "v")
+    val selfCos = df.select(VectorOps.cosine($"v", $"v").as("c")).collect().map(_.getDouble(0))
+    assert(selfCos.forall(c => math.abs(c - 1.0) < 1e-6))
+    val a = df.as("a"); val b = df.as("b")
+    val pairs = a.crossJoin(b).select(
+      VectorOps.cosine($"a.v", $"b.v").as("ab"),
+      VectorOps.cosine($"b.v", $"a.v").as("ba")).collect()
+    assert(pairs.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("csv/parquet round-trip preserves the listing schema with nulls") {
+    import graft.pipeline.Listings
+    val rows = Seq(
+      Listings.Listing(java.sql.Date.valueOf("2024-01-01"), Some("X"), None, Some(2), None, Some(3.5)),
+      Listings.Listing(java.sql.Date.valueOf("2024-01-02"), None, Some("$1"), None, Some(1), None))
+    val df = rows.toDF()
+    val dir = java.nio.file.Files.createTempDirectory("rt").toString
+    df.write.mode("overwrite").parquet(dir + "/p")
+    val back = spark.read.parquet(dir + "/p")
+    assert(back.schema === df.schema)
+    assert(back.count() === 2)
+    assert(back.filter($"Valor".isNull).count() === 1)
+  }
+
+  test("approx_count_distinct within documented 5% of exact on fixtures") {
+    val li = Tables.lineitem(spark, sfDir)
+    val r = li.agg(
+      countDistinct($"l_partkey").as("exact"),
+      approx_count_distinct($"l_partkey").as("approx")).head
+    val exact = r.getLong(0).toDouble
+    assert(math.abs(r.getLong(1) - exact) / exact <= 0.05)
+  }
+
+  test("minhash signature is stable and length-correct; identical docs collide") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "x y z w v u t s")).toDF("doc_id", "text")
+    val sigs = docs
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("sig", TextOps.minhashSignature(TextOps.wordShingles($"toks", 3), 12))
+      .select($"doc_id", $"sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1L).size === 12)
+    assert(sigs(1L) === sigs(2L))   // identical text -> identical signature
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("simhash of near-identical docs differs in few bits; distant docs differ more") {
+    val docs = Seq(
+      (1L, "spark runs queries on large tables with hash joins"),
+      (2L, "spark runs queries on large tables with merge joins"),
+      (3L, "completely unrelated words about cooking pasta dinner")).toDF("doc_id", "text")
+    val hs = docs.withColumn("h", TextOps.simhash16($"text"))
+      .select($"doc_id", $"h").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(hs(1L), hs(2L)) <= hamming(hs(1L), hs(3L)))
+  }
+
+  test("round vs bround (declared-query exclusion documented): HALF_UP vs HALF_EVEN") {
+    val df = Seq(2.5, 3.5, -2.5).toDF("x")
+    val r = df.select(round($"x", 0).as("r"), bround($"x", 0).as("b")).collect()
+    assert(r.map(_.getDouble(0)).toSeq === Seq(3.0, 4.0, -3.0)) // HALF_UP away from zero
+    assert(r.map(_.getDouble(1)).toSeq === Seq(2.0, 4.0, -2.0)) // HALF_EVEN
+  }
+
+  test("ln/log functions exist and are consistent with math.log (oracle-excluded)") {
+    val r = Seq(10.0).toDF("x").select(log($"x")).head.getDouble(0)
+    assert(math.abs(r - math.log(10.0)) < 1e-12)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** Streaming validated by batch equivalence: the same transform applied to
+  * a MemoryStream must converge to its batch result (SURVEY.md §5.2).
+  */
+class StreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0, "{}"),
+    Event(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0, "{}"),
+    Event(3, ts("2024-01-01 11:05:00"), 2, "view", 3.0, "{}"),
+    Event(4, ts("2024-01-01 11:45:00"), 2, "view", 4.0, "{}"),
+    Event(5, ts("2024-01-01 13:00:00"), 1, "click", 5.0, "{}"),
+    Event(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0, "{}") // duplicate id
+  )
+
+  private def runStream(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        mode: OutputMode = OutputMode.Complete()): Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample.take(3))
+    mem.addData(sample.drop(3))
+    val q = transform(mem.toDF())
+      .writeStream.format("memory").queryName("t_out").outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("t_out").collect()
+  }
+
+  test("tumbling window counts: stream equals batch") {
+    import spark.implicits._
+    val batch = Streams.tumblingCounts(sample.toDF()).collect().toSet
+    val stream = runStream(Streams.tumblingCounts).toSet
+    assert(stream === batch)
+    assert(batch.exists(r => r.getString(1) == "click" && r.getLong(2) == 3)) // 10:00 window incl. dup
+  }
+
+  test("sliding window counts: stream equals batch") {
+    import spark.implicits._
+    val batch = Streams.slidingCounts(sample.toDF()).collect().toSet
+    val stream = runStream(Streams.slidingCounts).toSet
+    assert(stream === batch)
+    // a 10:05 event belongs to 4 sliding windows (09:15..10:00 starts)
+    assert(batch.count(r => r.getString(1) == "click") >= 4)
+  }
+
+  test("session windows per user: stream equals batch") {
+    import spark.implicits._
+    val batch = Streams.sessionCounts(sample.toDF()).collect().toSet
+    val stream = runStream(Streams.sessionCounts).toSet
+    assert(stream === batch)
+    // user 1: 10:05+10:20 in one session (gap<30m), 13:00 alone; user 2: 11:05 / 11:45 separate
+    assert(batch.size === 4)
+  }
+
+  test("streaming dedup drops the duplicate event_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample)
+    val q = Streams.dedupEvents(mem.toDF()).writeStream
+      .format("memory").queryName("t_dedup").outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("t_dedup").count() === 5)
+    assert(Streams.dedupEvents(sample.toDF()).count() === 5) // batch agrees
+  }
+
+  test("stateful user totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.userTotals(mem.toDS()).writeStream
+      .format("memory").queryName("t_tot").outputMode(OutputMode.Update).start()
+    mem.addData(sample.take(3)); q.processAllAvailable()
+    mem.addData(sample.drop(3)); q.processAllAvailable()
+    q.stop()
+    // last update per user reflects the full history
+    val last = spark.table("t_tot").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.map(r => (r.getLong(1), r.getDouble(2))).maxBy(_._1) }
+    assert(last(1L) === ((4L, 10.0))) // events 1,2,5 + dup id 2
+    assert(last(2L) === ((2L, 7.0)))
+  }
+
+  test("file-stream ingest processes each file exactly once") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("stream_in").toString
+    val out = java.nio.file.Files.createTempDirectory("stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    sample.take(3).toDF().write.mode("append").parquet(in)
+    Streams.fileStreamIngest(spark, in, out, ckpt)
+    assert(spark.read.parquet(out).count() === 3)
+    // second drain with no new files adds nothing (checkpoint = exactly once)
+    Streams.fileStreamIngest(spark, in, out, ckpt)
+    assert(spark.read.parquet(out).count() === 3)
+  }
+}
