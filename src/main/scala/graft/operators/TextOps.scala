@@ -27,34 +27,82 @@ object TextOps {
     transform(sequence(lit(1), size(toks) - (k - 1)), i =>
       concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*))
 
-  /** MinHash signature: numHashes seeded-md5 min-hex-strings over shingles.
-    * Min over lexicographic hex is as uniform as min over the number the
-    * hex encodes, and needs no 64-bit integer parsing. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), j =>
-      array_min(transform(shingles, sh =>
-        md5(concat(j.cast("string"), lit(":"), sh)))))
+  /** MinHash universal-hash family over 2^40-sized digests: one prime just
+    * above 2^40 and fixed (a, b) pairs, so a*h + b < 2^60 — exact BIGINT
+    * arithmetic in any engine, no overflow, no float. */
+  val MinhashPrime: Long = 1099511627791L
+  val MinhashA: Seq[Long] = Seq(
+    670489L, 116741L, 26227L, 777573L, 288391L, 256789L,
+    234055L, 146317L, 772247L, 107475L, 709571L, 776647L)
+  val MinhashB: Seq[Long] = Seq(
+    70531617177L, 201991441006L, 512040151179L, 921463507190L,
+    984494296032L, 612416232876L, 351353318333L, 930711421818L,
+    611346720886L, 473114181936L, 224783961977L, 833621995793L)
 
-  /** LSH band keys: md5 over each band of `rowsPerBand` signature entries.
-    * Returns array<struct<band:int, bkey:string>> ready to explode; docs
-    * sharing any (band, bkey) are near-dup candidates. */
+  /** One 40-bit integer digest per shingle: first 10 hex chars of md5.
+    * Computed ONCE per shingle (bind it with `withColumn` before fanning out
+    * to the hash family) — hashing is the per-row hot loop at corpus scale.
+    */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, sh =>
+      conv(substring(md5(sh), 1, 10), 16, 10).cast("long"))
+
+  /** Polynomial-combine constants for 3-token shingle digests; with 40-bit
+    * token digests, h1*C1 + h2*C2 + h3 < 2^61 — exact BIGINT everywhere. */
+  val ShingleC1: Long = 1000003L
+  val ShingleC2: Long = 10007L
+
+  /** 40-bit digest per token (first 10 md5 hex chars as an integer). */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => conv(substring(md5(t), 1, 10), 16, 10).cast("long"))
+
+  /** 3-token shingle digests straight from token digests — one md5 per
+    * TOKEN and three integer ops per shingle, instead of building the
+    * shingle string and hashing it. This is the hot loop of corpus dedup:
+    * at 100 TB the difference between string-assembly-then-md5 and integer
+    * polynomial rolling is the difference between CPU-bound and scan-bound.
+    */
+  def shingleHashes3(tokenDigests: Column): Column =
+    transform(sequence(lit(1), size(tokenDigests) - 2), i =>
+      (element_at(tokenDigests, i) * lit(ShingleC1)
+        + element_at(tokenDigests, i + 1) * lit(ShingleC2)
+        + element_at(tokenDigests, i + 2)) % lit(MinhashPrime))
+
+  /** MinHash signature from pre-computed shingle digests: element j is
+    * min((a_j * h + b_j) mod p) over the digests — 12 passes of cheap
+    * integer arithmetic instead of 12 md5 evaluations per shingle. */
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(j =>
+      array_min(transform(hashes, h =>
+        (lit(MinhashA(j)) * h + lit(MinhashB(j))) % lit(MinhashPrime)))): _*)
+
+  /** LSH band keys: md5 over each band of `rowsPerBand` signature entries
+    * (comma-joined — unambiguous for variable-width integers). Returns
+    * array<struct<band:int, bkey:string>> ready to explode; docs sharing
+    * any (band, bkey) are near-dup candidates. */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(
         b.as("band"),
-        md5(concat_ws("", transform(sequence(lit(1), lit(rowsPerBand)), r =>
-          element_at(sig, b * rowsPerBand + r)))).as("bkey")))
+        md5(concat_ws(",", transform(sequence(lit(1), lit(rowsPerBand)), r =>
+          element_at(sig, b * rowsPerBand + r).cast("string")))).as("bkey")))
 
   /** 16-bit SimHash over md5(token) nibbles, as a '0'/'1' string. Each bit
-    * is the sign of sum(+1/-1) over tokens — exact integer arithmetic. */
+    * is the sign of sum(+1/-1) over tokens — exact integer arithmetic.
+    * Single pass: md5 per token once, a 16-wide ±1 vector per token, one
+    * zip_with-sum fold — not 16 separate folds each re-hashing every token.
+    */
   def simhash16(text: Column): Column = {
-    val bit = expr(
-      """transform(sequence(1, 16), i ->
-        |  CASE WHEN aggregate(transform(split(text, ' '), t -> md5(t)), 0,
-        |    (acc, h) -> acc + (CASE WHEN substring(h, i, 1)
-        |       IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0
-        |  THEN '1' ELSE '0' END)""".stripMargin)
-    concat_ws("", bit)
+    val hexSet = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val signs = aggregate(
+      transform(split(text, " "), t => md5(t)),
+      array_repeat(lit(0), 16),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(1), lit(16)), i =>
+          when(h.substr(i, lit(1)).isInCollection(hexSet), 1).otherwise(-1)),
+        (a, s) => a + s))
+    concat_ws("", transform(signs, v => when(v >= 0, "1").otherwise("0")))
   }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct

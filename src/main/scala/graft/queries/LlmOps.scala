@@ -28,9 +28,16 @@ object LlmOps {
 
   private val toksSql = "string_split(text, ' ')"
 
-  /** 3-word shingles over a `toks` column. */
-  private val shinglesSql =
-    "list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+  /** 40-bit token digests over a `toks` column (TextOps.tokenHashes twin). */
+  private val tokenHashesSql =
+    "list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 10)) AS BIGINT))"
+
+  /** 3-token shingle digests over a `th` column (TextOps.shingleHashes3
+    * twin — identical integer op tree, exact in BIGINT on both engines). */
+  private val shingle3Sql = {
+    import graft.operators.TextOps.{ShingleC1, ShingleC2, MinhashPrime}
+    s"list_transform(range(1, len(th) - 1), i -> (th[i] * $ShingleC1 + th[i+1] * $ShingleC2 + th[i+2]) % $MinhashPrime)"
+  }
 
   /** Fixture embeddings are fixed 64-dim; float products, double fold. */
   private def dotSql(x: String, y: String): String =
@@ -60,8 +67,9 @@ object LlmOps {
     import s.implicits._
     Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens($"text"))
-      .withColumn("shingles", TextOps.wordShingles($"toks", 3))
-      .withColumn("sig", TextOps.minhashSignature($"shingles", 12))
+      .withColumn("th", TextOps.tokenHashes($"toks"))
+      .withColumn("hs", TextOps.shingleHashes3($"th"))
+      .withColumn("sig", TextOps.minhashSignature($"hs", 12))
       .withColumn("bandkey", explode(TextOps.lshBands($"sig", 4, 3)))
       .select($"doc_id", $"bandkey.band".as("band"), $"bandkey.bkey".as("bkey"))
       .groupBy($"band", $"bkey").agg(count(lit(1)).as("bucket_size"))
@@ -79,24 +87,42 @@ object LlmOps {
       .orderBy($"simhash")
   }
 
-  /** n-gram Jaccard near-dup: metadata blocking (lang × length bucket)
-    * bounds the candidate pairs, then exact set Jaccard on distinct
-    * 3-shingles; top-20 pairs. */
+  /** n-gram Jaccard near-dup, inverted-index formulation: explode distinct
+    * 3-shingles, equi-join on (shingle, block), count common shingles per
+    * pair, jac = common / (|A| + |B| - common); top-20 pairs.
+    *
+    * Only pairs that actually share a shingle are ever materialized —
+    * all-pairs-in-block with per-pair array intersection would be O(B²·|sh|)
+    * per block and is the thing that does NOT survive a 100× scale-up. At
+    * true corpus scale the remaining risk is shingle-frequency skew
+    * (boilerplate shingles shared by thousands of docs); the standard guard
+    * is a document-frequency cap on shingles before the self-join, which
+    * composes here as one extra groupBy/filter. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = Tables.documents(s, dir)
+    // explode_outer, not explode: a plain explode lets the optimizer infer
+    // `size(dshin) > 0` / `isnotnull(dshin)` and push them below the
+    // projection — inlining the whole shingle pipeline into a scan-side
+    // Filter where element_at(transform(...md5...), i) re-evaluates the
+    // token-digest array per element: O(tokens²) md5 per document. With the
+    // outer variant nothing pushes below the Generate; the join's
+    // isnotnull(sh) drops the (nonexistent) null rows afterwards.
+    val ex = Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens($"text"))
-      .withColumn("dshin", array_distinct(TextOps.wordShingles($"toks", 3)))
+      .withColumn("th", TextOps.tokenHashes($"toks"))
+      .withColumn("dshin", array_distinct(TextOps.shingleHashes3($"th")))
       .withColumn("block",
         concat($"lang", lit("|"), floor($"n_chars" / lit(500)).cast("long").cast("string")))
-      .select($"doc_id", $"block", $"dshin")
-    val a = base.select($"doc_id".as("doc1"), $"block", $"dshin".as("sh1"))
-    val b = base.select($"doc_id".as("doc2"), $"block".as("block2"), $"dshin".as("sh2"))
+      .select($"doc_id", $"block", size($"dshin").cast("long").as("nsh"),
+        explode_outer($"dshin").as("sh"))
+    val a = ex.select($"doc_id".as("doc1"), $"block", $"nsh".as("nsh1"), $"sh")
+    val b = ex.select($"doc_id".as("doc2"), $"block".as("block2"),
+      $"nsh".as("nsh2"), $"sh".as("sh2"))
     val ord = Seq($"jac".desc, $"doc1".asc, $"doc2".asc)
-    a.join(b, $"block" === $"block2" && $"doc1" < $"doc2")
-      .withColumn("jac", ratio(
-        size(array_intersect($"sh1", $"sh2")).cast("long"),
-        size(array_union($"sh1", $"sh2")).cast("long")))
+    a.join(b, $"sh" === $"sh2" && $"block" === $"block2" && $"doc1" < $"doc2")
+      .groupBy($"doc1", $"doc2", $"nsh1", $"nsh2")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac", ratio($"common", $"nsh1" + $"nsh2" - $"common"))
       .select($"doc1", $"doc2", $"jac")
       .orderBy(ord: _*).limit(20).orderBy(ord: _*)
   }
@@ -278,41 +304,53 @@ object LlmOps {
         |       count(DISTINCT sha256(text)) AS n_uniq_text,
         |       count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS n_uniq_tokenset
         |FROM documents""".stripMargin,
-    "q41_dedup_minhash_lsh" ->
+    "q41_dedup_minhash_lsh" -> {
+      import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
+      val aList = MinhashA.mkString("[", ", ", "]")
+      val bList = MinhashB.mkString("[", ", ", "]")
       s"""SELECT band, bucket_size, count(*) AS n_buckets FROM (
          |  SELECT band, bkey, count(*) AS bucket_size FROM (
          |    SELECT doc_id, j AS band,
-         |           md5(sig[3*j+1] || sig[3*j+2] || sig[3*j+3]) AS bkey
+         |           md5(CAST(sig[3*j+1] AS VARCHAR) || ',' || CAST(sig[3*j+2] AS VARCHAR) || ',' || CAST(sig[3*j+3] AS VARCHAR)) AS bkey
          |    FROM (
          |      SELECT doc_id,
-         |             list_transform(range(12), j2 -> list_min(list_transform(shingles, s2 -> md5(CAST(j2 AS VARCHAR) || ':' || s2)))) AS sig
+         |             list_transform(range(12), j2 -> list_min(list_transform(hs, h -> ($aList[CAST(j2 AS INT)+1] * h + $bList[CAST(j2 AS INT)+1]) % $MinhashPrime))) AS sig
          |      FROM (
-         |        SELECT doc_id, $shinglesSql AS shingles
-         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |        SELECT doc_id, $shingle3Sql AS hs
+         |        FROM (
+         |          SELECT doc_id, $tokenHashesSql AS th
+         |          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |        )
          |      )
          |    ), (SELECT unnest([0,1,2,3]) AS j)
          |  ) GROUP BY band, bkey
          |) GROUP BY band, bucket_size
-         |ORDER BY band, bucket_size""".stripMargin,
+         |ORDER BY band, bucket_size""".stripMargin
+    },
     "q42_dedup_simhash" ->
       """SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc FROM (
         |  SELECT doc_id,
         |         array_to_string(list_transform(range(1, 17), i ->
-        |           CASE WHEN list_reduce(list_prepend(0, list_transform(string_split(text, ' '), t ->
-        |                  CASE WHEN substr(md5(t), CAST(i AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)),
+        |           CASE WHEN list_reduce(list_prepend(0, list_transform(hs, h ->
+        |                  CASE WHEN substr(h, CAST(i AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)),
         |                (acc, x) -> acc + x) >= 0
         |           THEN '1' ELSE '0' END), '') AS simhash
-        |  FROM documents
+        |  FROM (SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs FROM documents)
         |) GROUP BY simhash
         |ORDER BY simhash""".stripMargin,
     "q43_dedup_ngram_jaccard" ->
-      s"""SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-         |       CAST(len(list_intersect(a.dshin, b.dshin)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.dshin, b.dshin))) AS DOUBLE) AS jac
-         |FROM (SELECT doc_id, lang || '|' || CAST(n_chars // 500 AS VARCHAR) AS block, list_distinct($shinglesSql) AS dshin
-         |      FROM (SELECT doc_id, lang, n_chars, $toksSql AS toks FROM documents)) a
-         |JOIN (SELECT doc_id, lang || '|' || CAST(n_chars // 500 AS VARCHAR) AS block, list_distinct($shinglesSql) AS dshin
-         |      FROM (SELECT doc_id, lang, n_chars, $toksSql AS toks FROM documents)) b
-         |  ON a.block = b.block AND a.doc_id < b.doc_id
+      s"""WITH ex AS (
+         |  SELECT doc_id, block, CAST(len(dshin) AS BIGINT) AS nsh, unnest(dshin) AS sh
+         |  FROM (SELECT doc_id, lang || '|' || CAST(n_chars // 500 AS VARCHAR) AS block, list_distinct($shingle3Sql) AS dshin
+         |        FROM (SELECT doc_id, lang, n_chars, $tokenHashesSql AS th
+         |              FROM (SELECT doc_id, lang, n_chars, $toksSql AS toks FROM documents)))
+         |)
+         |SELECT doc1, doc2, CAST(common AS DOUBLE) / CAST(nsh1 + nsh2 - common AS DOUBLE) AS jac
+         |FROM (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.nsh AS nsh1, b.nsh AS nsh2, count(*) AS common
+         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.block = b.block AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |)
          |ORDER BY jac DESC, doc1 ASC, doc2 ASC
          |LIMIT 20""".stripMargin,
     "q44_dedup_embedding" ->

@@ -119,8 +119,8 @@ object Relational {
     * candidates are bounded per (customer, order). */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val o = Tables.orders(s, dir)
-    val e = Tables.events(s, dir)
+    val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val e = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
     val joined = o.join(e, o("o_custkey") === e("user_id") && e("ts") <= o("o_orderdate"))
     val w = Window.partitionBy($"o_orderkey")
       .orderBy($"ts".desc, $"event_id".desc)

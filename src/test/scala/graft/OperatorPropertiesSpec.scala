@@ -80,9 +80,10 @@ class OperatorPropertiesSpec extends SparkSpec {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "x y z w v u t s")).toDF("doc_id", "text")
     val sigs = docs
       .withColumn("toks", TextOps.tokens($"text"))
-      .withColumn("sig", TextOps.minhashSignature(TextOps.wordShingles($"toks", 3), 12))
+      .withColumn("sig", TextOps.minhashSignature(
+        TextOps.shingleHashes(TextOps.wordShingles($"toks", 3)), 12))
       .select($"doc_id", $"sig").collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L).size === 12)
     assert(sigs(1L) === sigs(2L))   // identical text -> identical signature
     assert(sigs(1L) !== sigs(3L))
