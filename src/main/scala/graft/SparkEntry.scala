@@ -9,10 +9,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ Windows.queries ++
-      Scalars.queries ++ LlmOps.queries
+      Scalars.queries ++ Sources.queries ++ LlmOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Oracle(Relational.oracles ++ Aggregates.oracles ++ Windows.oracles ++
-      Scalars.oracles ++ LlmOps.oracles)
+      Scalars.oracles ++ Sources.oracles ++ LlmOps.oracles)
 }

@@ -84,6 +84,24 @@ object Aggregates {
         $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** Explicit GROUPING SETS (the general form behind rollup/cube): the
+    * (rf, ls) / (rf) / () sets, with portable per-column grouping() flags
+    * (grouping-ID *numbering* differs across engines). */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sumIntValued($"l_quantity").as("sum_qty"),
+        grouping($"l_returnflag").cast("int").as("g_rf"),
+        grouping($"l_linestatus").cast("int").as("g_ls"))
+      .orderBy($"g_rf", $"g_ls",
+        $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
   /** Filtered / conditional aggregation (CASE-based, portable to FILTER). */
   def filteredAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -156,6 +174,7 @@ object Aggregates {
     "q12_agg_count_distinct" -> countDistinctAgg,
     "q13_agg_rollup" -> rollupAgg,
     "q14_agg_cube" -> cubeAgg,
+    "q36_grouping_sets" -> groupingSetsAgg,
     "q15_agg_filtered" -> filteredAgg,
     "q16_agg_string_agg" -> stringAgg,
     "q17_agg_udaf_weighted_mean" -> udafWeightedMean,
@@ -201,6 +220,14 @@ object Aggregates {
          |       CAST(grouping(l_linestatus) AS INT) AS g_ls
          |FROM lineitem
          |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q36_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         |       ${sumIntValuedSql("l_quantity")} AS sum_qty,
+         |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+         |       CAST(grouping(l_linestatus) AS INT) AS g_ls
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q15_agg_filtered" ->
       s"""SELECT o_orderpriority,

@@ -46,6 +46,30 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** Projection + predicate family (SURVEY.md §2.B "Projection / filter /
+    * predicates"; reference R12–R18 semantics): AND/OR/NOT, IN, BETWEEN,
+    * LIKE, IS NOT NULL, casts, and the reference's "N/A" sentinel coalesce
+    * (/root/reference/download_lambda.py:100,103,107-114) — all one
+    * scan→filter→project, fully pushdown-friendly. */
+  def projectFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter(
+        $"o_orderstatus".isin("O", "F") &&
+        $"o_totalprice".between(lit(1000.0), lit(250000.0)) &&
+        ($"o_orderpriority".like("1-%") || $"o_orderpriority".like("2-%")) &&
+        !($"o_orderkey" % lit(97L) === lit(0L)) &&
+        nullif($"o_orderstatus", lit("ZZZ")).isNotNull)
+      .select(
+        $"o_orderkey",
+        $"o_custkey".cast("int").as("cust_int"),
+        cents($"o_totalprice").as("price_cents"),
+        $"o_orderdate".cast("date").as("odate"),
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("N/A")).as("status_or_na"),
+        when($"o_totalprice" > lit(150000.0), "big").otherwise("small").as("bucket"))
+      .orderBy($"o_orderkey")
+  }
+
   /** Broadcast hash join: the part dim ships to every executor; the fact
     * side stays put (zero shuffle for the join; one for the agg). */
   def broadcastDimJoin(s: SparkSession, dir: String): DataFrame = {
@@ -229,6 +253,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_project_filter" -> projectFilter,
     "q01_revenue_by_nation" -> revenueByNation,
     "q02_join_broadcast_dim" -> broadcastDimJoin,
     "q03_join_left_outer" -> leftOuterJoin,
@@ -248,6 +273,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q29_project_filter" ->
+      s"""SELECT o_orderkey,
+         |       CAST(o_custkey AS INT) AS cust_int,
+         |       ${centsSql("o_totalprice")} AS price_cents,
+         |       CAST(o_orderdate AS DATE) AS odate,
+         |       coalesce(nullif(o_orderstatus, 'O'), 'N/A') AS status_or_na,
+         |       CASE WHEN o_totalprice > 150000.0 THEN 'big' ELSE 'small' END AS bucket
+         |FROM orders
+         |WHERE o_orderstatus IN ('O', 'F')
+         |  AND o_totalprice BETWEEN 1000.0 AND 250000.0
+         |  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+         |  AND NOT (o_orderkey % 97 = 0)
+         |  AND nullif(o_orderstatus, 'ZZZ') IS NOT NULL
+         |ORDER BY o_orderkey""".stripMargin,
     "q01_revenue_by_nation" ->
       s"""SELECT n_name,
          |       ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS revenue_cents,

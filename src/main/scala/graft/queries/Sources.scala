@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import Portable._
+
+/** Source/sink surface (SURVEY.md §2.B "Scans / sources / sinks") plus the
+  * streaming batch-equivalence query.
+  *
+  * The CSV/JSON queries are declared *round-trips*: Spark writes the format
+  * (the reference's R19 CSV sink, generalized), then reads it back with an
+  * EXPLICIT schema — never `inferSchema`, which at 100 TB means a second
+  * full pass over the data before the first real one. The DuckDB oracle
+  * reads the original parquet, so parity proves the transport is lossless.
+  * Columns are keys/strings/exact integer cents only: raw doubles through a
+  * text format would re-open the float-formatting divergence Portable
+  * exists to close.
+  *
+  * Scale note: the staged copy is written per scale-factor dir under /tmp —
+  * a test-harness detail; the operators under test are `DataFrameWriter.csv/
+  * json` + `DataFrameReader.schema(...).csv/json`, which shard per-partition
+  * on any cluster.
+  */
+object Sources {
+
+  private def stage(dir: String, name: String): String =
+    s"/tmp/graft_stage/${new java.io.File(dir).getName}/$name"
+
+  /** CSV sink with header (reference R19) + CSV source with explicit
+    * schema: write → read-back → total order. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = stage(dir, "customer_csv")
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_mktsegment",
+        cents($"c_acctbal").as("acct_cents"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_mktsegment", StringType),
+      StructField("acct_cents", LongType)))
+    s.read.schema(schema).option("header", "true").csv(out)
+      .orderBy($"c_custkey")
+  }
+
+  /** JSON-lines sink + source with explicit schema (events.props payloads
+    * stay opaque JSON strings through the round-trip). */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = stage(dir, "events_json")
+    Tables.events(s, dir)
+      .select($"event_id", $"event_type", $"user_id", $"props",
+        cents($"value").as("value_cents"))
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("user_id", LongType),
+      StructField("props", StringType),
+      StructField("value_cents", LongType)))
+    s.read.schema(schema).json(out)
+      .orderBy($"event_id")
+  }
+
+  /** The streaming tumbling-window operator applied to the batch frame —
+    * the same `DataFrame => DataFrame` the stream runs (Streams
+    * .tumblingCounts), so DuckDB parity here plus the batch-equivalence
+    * specs in StreamsSpec cover the streaming path end-to-end. */
+  def streamTumblingBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.Streams.tumblingCounts(Tables.events(s, dir))
+      .orderBy($"ws", $"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_csv_roundtrip" -> csvRoundtrip,
+    "q38_json_roundtrip" -> jsonRoundtrip,
+    "q39_stream_tumbling_batch" -> streamTumblingBatch
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q37_csv_roundtrip" ->
+      s"""SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         |       ${centsSql("c_acctbal")} AS acct_cents
+         |FROM customer
+         |ORDER BY c_custkey""".stripMargin,
+    "q38_json_roundtrip" ->
+      s"""SELECT event_id, event_type, user_id, props,
+         |       ${centsSql("value")} AS value_cents
+         |FROM events
+         |ORDER BY event_id""".stripMargin,
+    "q39_stream_tumbling_batch" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY ws, event_type""".stripMargin
+  )
+}
