@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native dot product over two `array<float>` columns.
+  *
+  * The engine's similarity/dedup hot loop (SURVEY.md §2.B "similarity
+  * search"): evaluated once per candidate pair, so it must live inside
+  * whole-stage codegen. The higher-order-function formulation
+  * (`aggregate(zip_with(a, b, _*_), 0d, _+_)` in
+  * [[graft.operators.VectorOps.dotF]]) allocates a lambda frame per element;
+  * this expression compiles to a tight primitive loop over the two
+  * `ArrayData` buffers — no boxing, no allocation.
+  *
+  * Arithmetic contract (identical to the HOF form and the DuckDB oracle):
+  * each product is computed in FLOAT, then accumulated left-to-right into a
+  * DOUBLE — bit-deterministic on any engine and any partitioning. Trailing
+  * elements of the longer input are ignored (fixture embeddings are
+  * fixed-length; `zip_with` would null-poison instead, so don't feed
+  * ragged pairs to either form).
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // AbstractDataType is private[sql]; the inferred Seq[ArrayType] conforms.
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += (x.getFloat(i) * y.getFloat(i)).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) ($x.getFloat($i) * $y.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for graft's native expressions.
+  *
+  * Configure with `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`); callers that
+  * may run in a foreign session should dispatch through
+  * [[graft.operators.VectorOps.dot]], which falls back to the HOF
+  * formulation when the function isn't registered.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  val vecDotName = "graft_vec_dot"
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier(vecDotName),
+      new ExpressionInfo(classOf[FloatVecDot].getName, vecDotName),
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+}

@@ -1,15 +1,23 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
 
 /** Embedding-vector operators over `array<float>` columns.
   *
   * Arithmetic contract (oracle-portable and cluster-reproducible): products
   * are computed in FLOAT (same rounding both engines), then folded
   * left-to-right into a DOUBLE accumulator — a fixed sequential order, so
-  * results are bit-identical regardless of partitioning. All higher-order
-  * functions codegen; no UDFs.
+  * results are bit-identical regardless of partitioning.
+  *
+  * Two implementations with the identical contract: the native Catalyst
+  * expression [[graft.functions.FloatVecDot]] (whole-stage codegen, tight
+  * primitive loop — the default when [[graft.functions.GraftExtensions]] is
+  * installed) and a higher-order-function fallback that works in any
+  * session. [[dot]]/[[cosine]] dispatch on registration so results never
+  * depend on which path ran.
   *
   * Scale path: brute-force cosine is O(|Q|·N·d) — fine for a bounded query
   * set; the sign-LSH bucket key ([[signKey]]) turns all-pairs similarity
@@ -18,15 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Dot product: float multiplies, left-to-right double fold. */
+  /** Dot product, HOF fallback: float multiplies, left-to-right double fold. */
   def dotF(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
 
   def normSq(a: Column): Column = dotF(a, a)
 
+  /** Dot product: native codegen expression when registered, HOF otherwise. */
+  def dot(s: SparkSession)(a: Column, b: Column): Column =
+    if (s.catalog.functionExists(GraftFunctions.vecDotName))
+      call_function(GraftFunctions.vecDotName, a, b)
+    else dotF(a, b)
+
   /** Cosine similarity with a fixed op tree: dot / (sqrt(na) * sqrt(nb)). */
   def cosine(a: Column, b: Column): Column =
     dotF(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Cosine via the dispatched dot — same op tree, native when available. */
+  def cosine(s: SparkSession)(a: Column, b: Column): Column = {
+    def d(x: Column, y: Column) = dot(s)(x, y)
+    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+  }
 
   /** Sign-LSH bucket key from the first `bits` coordinates (axis-aligned
     * hyperplanes): '1'/'0' string, e.g. "10110010". */

@@ -136,7 +136,7 @@ object LlmOps {
     val b = e.select($"vec_id".as("vec2"), $"key".as("key2"), $"embedding".as("e2"))
     val ord = Seq($"cos".desc, $"vec1".asc, $"vec2".asc)
     a.join(b, $"key" === $"key2" && $"vec1" < $"vec2")
-      .withColumn("cos", cosine($"e1", $"e2"))
+      .withColumn("cos", cosine(s)($"e1", $"e2"))
       .select($"vec1", $"vec2", $"cos")
       .orderBy(ord: _*).limit(20).orderBy(ord: _*)
   }
@@ -150,7 +150,7 @@ object LlmOps {
     val c = e.select($"vec_id".as("vid"), $"embedding".as("ve"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
     broadcast(q).join(c, $"qid" =!= $"vid")
-      .withColumn("cos", cosine($"qe", $"ve"))
+      .withColumn("cos", cosine(s)($"qe", $"ve"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 5)
       .select($"qid", $"rn", $"vid", $"cos")
@@ -167,7 +167,7 @@ object LlmOps {
     val c = e.select($"vec_id".as("vid"), $"key", $"embedding".as("ve"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
     broadcast(q).join(c, $"qkey" === $"key" && $"qid" =!= $"vid")
-      .withColumn("cos", cosine($"qe", $"ve"))
+      .withColumn("cos", cosine(s)($"qe", $"ve"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
       .select($"qid", $"rn", $"vid", $"cos")

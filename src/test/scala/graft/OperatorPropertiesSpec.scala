@@ -76,6 +76,18 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(math.abs(r.getLong(1) - exact) / exact <= 0.05)
   }
 
+  test("native graft_vec_dot is bit-identical to the HOF dot and registered") {
+    assert(spark.catalog.functionExists(graft.functions.GraftFunctions.vecDotName))
+    val vecs = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val both = vecs.select(
+      VectorOps.dot(spark)($"embedding", $"embedding").as("native"),
+      VectorOps.dotF($"embedding", $"embedding").as("hof")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("minhash signature is stable and length-correct; identical docs collide") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "x y z w v u t s")).toDF("doc_id", "text")
     val sigs = docs
