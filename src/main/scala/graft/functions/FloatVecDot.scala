@@ -82,9 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
   val vecDotName = "graft_vec_dot"
+  val extractListingsName = "graft_extract_listings"
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier(vecDotName),
       new ExpressionInfo(classOf[FloatVecDot].getName, vecDotName),
-      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))),
+    (FunctionIdentifier(extractListingsName),
+      new ExpressionInfo(classOf[ExtractListingsExpr].getName, extractListingsName),
+      (children: Seq[Expression]) => ExtractListingsExpr(children(0), children(1))))
 }

@@ -90,6 +90,20 @@ class ListingsSpec extends SparkSpec {
     assert(pruned.count() === 1)
   }
 
+  test("Generator UDTF (graft_extract_listings) matches the flatMap extract") {
+    import spark.implicits._
+    val pages = Seq(
+      ("2024-01-01.html", s"${card()}${card(bedrooms = Some("2"))}"),
+      ("2024-01-02.html", card(price = None)),
+      ("2024-01-03.html", "<html>no cards</html>")).toDF("file", "value")
+    // A multi-column generator in a select list emits its element schema:
+    val viaGen = pages.selectExpr("graft_extract_listings(file, value)")
+    val viaFlatMap = Listings.extract(pages.as[(String, String)]).toDF()
+    assert(viaGen.columns.toSeq === viaFlatMap.columns.toSeq)
+    assert(viaGen.collect().toSet === viaFlatMap.collect().toSet)
+    assert(viaGen.count() === 3) // 2 + 1 + 0 rows
+  }
+
   test("error-tolerant fetch keeps partial results (reference R2 contract)") {
     val body = card() // materialize outside the closure (serializable capture)
     val fetch: String => (Int, String) =
