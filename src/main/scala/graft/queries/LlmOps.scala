@@ -174,6 +174,37 @@ object LlmOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** IVF-style ANN: a fixed coarse quantizer (the first 16 vectors as
+    * centroids — deterministic, no iterative k-means), every vector assigned
+    * to its nearest centroid cell map-side (broadcast centroids, O(N·16·d),
+    * zero shuffle), then search probes only the query's cell. The second
+    * scale path next to sign-LSH ([[annLshBucketed]]): cells replace the
+    * all-pairs cross join with an equi-join on cell id, exactly how a
+    * 100 TB index shards — centroid assignment at write time, per-cell
+    * partitions at read time. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val cents = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cid".asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine(s)($"embedding", $"ce"))
+      .withColumn("rnc", row_number().over(wAssign))
+      .filter($"rnc" === 1)
+      .select($"vec_id", $"cid", $"embedding")
+    val q = assigned.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"cid".as("qcell"), $"embedding".as("qe"))
+    val c = assigned.select($"vec_id".as("vid"), $"cid", $"embedding".as("ve"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
+    broadcast(q).join(c, $"qcell" === $"cid" && $"qid" =!= $"vid")
+      .withColumn("cos", cosine(s)($"qe", $"ve"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"qid", $"rn", $"vid", $"cos")
+      .orderBy($"qid", $"rn")
+  }
+
   /** Corpus text statistics per language. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -290,6 +321,7 @@ object LlmOps {
     "q44_dedup_embedding" -> dedupEmbedding,
     "q45_ann_brute_force" -> annBruteForce,
     "q46_ann_lsh_bucketed" -> annLshBucketed,
+    "q53_ann_ivf" -> annIvf,
     "q47_text_stats" -> textStats,
     "q48_lang_id" -> langId,
     "q49_quality_score" -> qualityScore,
@@ -387,6 +419,26 @@ object LlmOps {
          |  JOIN (SELECT vec_id, embedding,
          |               array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS key
          |        FROM embeddings) c ON q.key = c.key AND q.vec_id <> c.vec_id
+         |) WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
+    "q53_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+         |), assigned AS (
+         |  SELECT vec_id, cid, embedding FROM (
+         |    SELECT e.vec_id, cents.cid, e.embedding,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cents.ce")} DESC, cents.cid ASC) AS rnc
+         |    FROM (SELECT * FROM embeddings) e CROSS JOIN cents
+         |  ) WHERE rnc = 1
+         |)
+         |SELECT qid, CAST(rn AS INT) AS rn, vid, cos FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cos,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+         |  FROM (SELECT * FROM assigned WHERE vec_id < 10) q
+         |  JOIN assigned c ON q.cid = c.cid AND q.vec_id <> c.vec_id
          |) WHERE rn <= 3
          |ORDER BY qid, rn""".stripMargin,
     "q47_text_stats" ->
