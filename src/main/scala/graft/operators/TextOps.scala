@@ -87,20 +87,21 @@ object TextOps {
         md5(concat_ws(",", transform(sequence(lit(1), lit(rowsPerBand)), r =>
           element_at(sig, b * rowsPerBand + r).cast("string")))).as("bkey")))
 
-  /** 16-bit SimHash over md5(token) nibbles, as a '0'/'1' string. Each bit
-    * is the sign of sum(+1/-1) over tokens — exact integer arithmetic.
-    * Single pass: md5 per token once, a 16-wide ±1 vector per token, one
-    * zip_with-sum fold — not 16 separate folds each re-hashing every token.
-    */
+  /** 16-bit SimHash over the low bits of 40-bit token digests, as a
+    * '0'/'1' string. Bit j is the sign of sum over tokens of ±1 by digest
+    * bit j — exact integer shift/AND arithmetic, portable to any engine
+    * with BIGINT bit ops. Single pass: one md5 per token (via
+    * [[tokenHashes]]), a 16-wide ±1 vector per token, one zip_with-sum
+    * fold — no per-bit string work in the hot loop. */
   def simhash16(text: Column): Column = {
-    val hexSet = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val signs = aggregate(
-      transform(split(text, " "), t => md5(t)),
+      tokenHashes(split(text, " ")),
       array_repeat(lit(0), 16),
       (acc, h) => zip_with(
         acc,
-        transform(sequence(lit(1), lit(16)), i =>
-          when(h.substr(i, lit(1)).isInCollection(hexSet), 1).otherwise(-1)),
+        array((0 until 16).map(i =>
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1))
+            .otherwise(lit(-1))): _*),
         (a, s) => a + s))
     concat_ws("", transform(signs, v => when(v >= 0, "1").otherwise("0")))
   }

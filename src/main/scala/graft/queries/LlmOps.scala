@@ -360,16 +360,17 @@ object LlmOps {
          |ORDER BY band, bucket_size""".stripMargin
     },
     "q42_dedup_simhash" ->
-      """SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc FROM (
-        |  SELECT doc_id,
-        |         array_to_string(list_transform(range(1, 17), i ->
-        |           CASE WHEN list_reduce(list_prepend(0, list_transform(hs, h ->
-        |                  CASE WHEN substr(h, CAST(i AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)),
-        |                (acc, x) -> acc + x) >= 0
-        |           THEN '1' ELSE '0' END), '') AS simhash
-        |  FROM (SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs FROM documents)
-        |) GROUP BY simhash
-        |ORDER BY simhash""".stripMargin,
+      s"""SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc FROM (
+         |  SELECT doc_id,
+         |         array_to_string(list_transform(range(1, 17), i ->
+         |           CASE WHEN list_reduce(list_prepend(0, list_transform(hs, h ->
+         |                  CASE WHEN (h >> CAST(i - 1 AS INT)) & 1 = 1 THEN 1 ELSE -1 END)),
+         |                (acc, x) -> acc + x) >= 0
+         |           THEN '1' ELSE '0' END), '') AS simhash
+         |  FROM (SELECT doc_id, $tokenHashesSql AS hs
+         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |) ) GROUP BY simhash
+         |ORDER BY simhash""".stripMargin,
     "q43_dedup_ngram_jaccard" ->
       s"""WITH ex AS (
          |  SELECT doc_id, block, CAST(len(dshin) AS BIGINT) AS nsh, unnest(dshin) AS sh
