@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming surface (SURVEY.md §2.B streaming): the reference's
   * event-driven micro-batch model (S3 `ObjectCreated` → Lambda,
@@ -71,6 +71,38 @@ object Streams {
           state.update(next)
           Iterator(next)
       }
+  }
+
+  /** The same per-user running totals on the `transformWithState` API
+    * (Spark 4's successor to flatMapGroupsWithState): typed named state
+    * via the processor handle, timer/TTL support when needed, and state
+    * schema evolution — the API a long-lived 100 TB stream should be on.
+    * Requires the RocksDB state-store provider (see StreamsSpec). */
+  class UserTotalProcessor extends StatefulProcessor[Long, Event, UserTotal] {
+    @transient private var state: ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserTotal](
+        "totals", Encoders.product[UserTotal], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event], timers: TimerValues): Iterator[UserTotal] = {
+      val prev = if (state.exists()) state.get() else UserTotal(key, 0L, 0.0)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      val next = UserTotal(key, n, tot)
+      state.update(next)
+      Iterator(next)
+    }
+  }
+
+  /** Per-user running totals via transformWithState (update mode). */
+  def userTotalsTws(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new UserTotalProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** File-stream ingest (reference R22): each file that lands in `inDir` is

@@ -11,6 +11,7 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-tests")
       .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

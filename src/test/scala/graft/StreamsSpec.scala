@@ -92,6 +92,32 @@ class StreamsSpec extends SparkSpec {
     assert(last(2L) === ((2L, 7.0)))
   }
 
+  test("transformWithState user totals match flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = Streams.userTotalsTws(mem.toDS()).writeStream
+        .format("memory").queryName("t_tws").outputMode(OutputMode.Update).start()
+      mem.addData(sample.take(3)); q.processAllAvailable()
+      mem.addData(sample.drop(3)); q.processAllAvailable()
+      q.stop()
+      val last = spark.table("t_tws").collect()
+        .groupBy(_.getLong(0)).map { case (u, rs) =>
+          u -> rs.map(r => (r.getLong(1), r.getDouble(2))).maxBy(_._1) }
+      assert(last(1L) === ((4L, 10.0)))
+      assert(last(2L) === ((2L, 7.0)))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("file-stream ingest processes each file exactly once") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("stream_in").toString
