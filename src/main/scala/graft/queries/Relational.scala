@@ -193,6 +193,70 @@ object Relational {
     r.crossJoin(n).select($"r_name", $"n_name").orderBy($"r_name", $"n_name")
   }
 
+  /** TPC-H Q3 shape (shipping priority) adapted to fixture columns:
+    * selective filters on both fact sides pushed to the scans, two shuffle
+    * joins, agg, top-10 by revenue. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = "1995-03-15 00:00:00"
+    val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val o = Tables.orders(s, dir)
+      .filter($"o_orderdate" < to_timestamp(lit(cutoff)))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" > to_timestamp(lit(cutoff)))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_cents"))
+      .orderBy($"revenue_cents".desc, $"l_orderkey".asc)
+      .limit(10)
+      .orderBy($"revenue_cents".desc, $"l_orderkey".asc)
+  }
+
+  /** TPC-H Q5 shape (local-supplier volume): five-way join where the
+    * supplier must be in the customer's nation, region-filtered; dims
+    * broadcast, facts shuffle on their keys. */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+    val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    val sp = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter($"r_name".isin("AMERICA", "ASIA"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sp), li("l_suppkey") === sp("s_suppkey") &&
+        c("c_nationkey") === sp("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"revenue_cents".desc, $"n_name")
+  }
+
+  /** Correlated scalar subquery shape — "parts priced above their brand's
+    * average" — written as aggregate-then-self-join (exactly what Catalyst
+    * decorrelates a subquery into; formulated explicitly so the cents
+    * arithmetic stays oracle-exact). */
+  def aboveBrandAverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, dir)
+    val brandAvg = p.groupBy($"p_brand".as("b_brand"))
+      .agg(sum(cents($"p_retailprice")).as("b_sum"), count(lit(1)).as("b_n"))
+    p.join(broadcast(brandAvg), $"p_brand" === $"b_brand")
+      .filter(cents($"p_retailprice").cast("double") > ratio($"b_sum", $"b_n"))
+      .select($"p_partkey", $"p_brand", cents($"p_retailprice").as("price_cents"),
+        ratio($"b_sum", $"b_n").as("brand_avg_cents"))
+      .orderBy($"p_partkey")
+  }
+
   /** Multi-key sort with an explicitly null-ordered synthetic null column
     * (Spark defaults NULLS FIRST on ASC, DuckDB NULLS LAST — always be
     * explicit). Global sort = range-partitioned exchange; LIMIT k makes it
@@ -264,6 +328,9 @@ object Relational {
     "q08_join_theta" -> thetaJoin,
     "q09_join_full_outer" -> fullOuterJoin,
     "q10_join_cross" -> crossJoinDims,
+    "q54_shipping_priority" -> shippingPriority,
+    "q55_local_supplier_volume" -> localSupplierVolume,
+    "q56_above_brand_avg" -> aboveBrandAverage,
     "q23_sort_multikey_nulls" -> sortMultiKey,
     "q24_topk_limit" -> topK,
     "q25_union_all" -> unionAll,
@@ -356,6 +423,42 @@ object Relational {
       """SELECT r_name, n_name
         |FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    "q54_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |       ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS revenue_cents
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue_cents DESC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "q55_local_supplier_volume" ->
+      s"""SELECT r_name, n_name,
+         |       ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS revenue_cents,
+         |       count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name IN ('AMERICA', 'ASIA')
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, revenue_cents DESC, n_name""".stripMargin,
+    "q56_above_brand_avg" ->
+      s"""SELECT p_partkey, p_brand,
+         |       ${centsSql("p_retailprice")} AS price_cents,
+         |       ${ratioSql("b_sum", "b_n")} AS brand_avg_cents
+         |FROM part
+         |JOIN (SELECT p_brand AS b_brand,
+         |             ${sumLongSql(centsSql("p_retailprice"))} AS b_sum,
+         |             count(*) AS b_n
+         |      FROM part GROUP BY p_brand) b ON p_brand = b_brand
+         |WHERE CAST(${centsSql("p_retailprice")} AS DOUBLE) > ${ratioSql("b_sum", "b_n")}
+         |ORDER BY p_partkey""".stripMargin,
     "q23_sort_multikey_nulls" ->
       """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS maybe_status,
         |       o_totalprice, o_orderpriority
