@@ -76,8 +76,10 @@ case class FloatVecDot(left: Expression, right: Expression)
   * formulation when the function isn't registered.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.CosineTopKStrategy)
+  }
 }
 
 object GraftFunctions {

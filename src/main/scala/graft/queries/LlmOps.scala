@@ -205,6 +205,21 @@ object LlmOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** The same brute-force top-5 as [[annBruteForce]], executed by the
+    * custom whole-operator plan (graft.plans.CosineTopK via its
+    * SparkStrategy): per-candidate-partition bounded heaps, shuffle only
+    * partial top-k rows. Oracle-identical to q45 by construction — the
+    * declared pair IS the cross-check that the custom physical operator
+    * agrees with the composed join+window formulation. */
+  def annCustomTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    graft.plans.SimilarityOps.cosineTopK(
+      e.filter($"vec_id" < 10), $"vec_id", $"embedding",
+      e, $"vec_id", $"embedding", k = 5)
+      .orderBy($"qid", $"rn")
+  }
+
   /** Corpus text statistics per language. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -322,6 +337,7 @@ object LlmOps {
     "q45_ann_brute_force" -> annBruteForce,
     "q46_ann_lsh_bucketed" -> annLshBucketed,
     "q53_ann_ivf" -> annIvf,
+    "q57_ann_custom_topk" -> annCustomTopK,
     "q47_text_stats" -> textStats,
     "q48_lang_id" -> langId,
     "q49_quality_score" -> qualityScore,
@@ -421,6 +437,16 @@ object LlmOps {
          |               array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS key
          |        FROM embeddings) c ON q.key = c.key AND q.vec_id <> c.vec_id
          |) WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
+    "q57_ann_custom_topk" ->
+      s"""SELECT qid, CAST(rn AS INT) AS rn, vid, cos FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cos,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |  JOIN (SELECT * FROM embeddings) c ON q.vec_id <> c.vec_id
+         |) WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
     "q53_ann_ivf" ->
       s"""WITH cents AS (

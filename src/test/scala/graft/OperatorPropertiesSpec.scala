@@ -76,6 +76,14 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(math.abs(r.getLong(1) - exact) / exact <= 0.05)
   }
 
+  test("custom CosineTopK operator plans as CosineTopKExec and matches join+window") {
+    val composed = graft.queries.LlmOps.annBruteForce(spark, sfDir).collect()
+    val custom = graft.queries.LlmOps.annCustomTopK(spark, sfDir)
+    // SparkPlan nodes print without the Exec suffix
+    assert(custom.queryExecution.executedPlan.toString.contains("CosineTopK"))
+    assert(custom.collect().toSeq === composed.toSeq) // same rows, same order, bit-exact cos
+  }
+
   test("native graft_vec_dot is bit-identical to the HOF dot and registered") {
     assert(spark.catalog.functionExists(graft.functions.GraftFunctions.vecDotName))
     val vecs = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
