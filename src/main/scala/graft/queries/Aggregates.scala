@@ -155,6 +155,21 @@ object Aggregates {
       .orderBy($"p_brand")
   }
 
+  /** Pivot: one column per l_returnflag value (explicit value list — never
+    * let pivot scan for distinct values at scale), measures as exact cents.
+    * Portable: a pivot with known values IS conditional aggregation, which
+    * is how the oracle states it. */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .withColumn("cents", cents($"l_extendedprice"))
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(coalesce(sum($"cents"), lit(0L)))
+      .withColumnsRenamed(Map("A" -> "cents_a", "N" -> "cents_n", "R" -> "cents_r"))
+      .orderBy($"l_linestatus")
+  }
+
   /** HLL approximate distinct — the 100 TB substitute for exact distinct.
     * No DuckDB oracle (different sketch); driver records a rows-only check
     * and the ScalaTest spec asserts the documented ≤5% relative error
@@ -175,6 +190,7 @@ object Aggregates {
     "q13_agg_rollup" -> rollupAgg,
     "q14_agg_cube" -> cubeAgg,
     "q36_grouping_sets" -> groupingSetsAgg,
+    "q58_pivot" -> pivotAgg,
     "q15_agg_filtered" -> filteredAgg,
     "q16_agg_string_agg" -> stringAgg,
     "q17_agg_udaf_weighted_mean" -> udafWeightedMean,
@@ -229,6 +245,14 @@ object Aggregates {
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q58_pivot" ->
+      s"""SELECT l_linestatus,
+         |       coalesce(CAST(sum(CASE WHEN l_returnflag = 'A' THEN ${centsSql("l_extendedprice")} END) AS BIGINT), 0) AS cents_a,
+         |       coalesce(CAST(sum(CASE WHEN l_returnflag = 'N' THEN ${centsSql("l_extendedprice")} END) AS BIGINT), 0) AS cents_n,
+         |       coalesce(CAST(sum(CASE WHEN l_returnflag = 'R' THEN ${centsSql("l_extendedprice")} END) AS BIGINT), 0) AS cents_r
+         |FROM lineitem
+         |GROUP BY l_linestatus
+         |ORDER BY l_linestatus""".stripMargin,
     "q15_agg_filtered" ->
       s"""SELECT o_orderpriority,
          |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,

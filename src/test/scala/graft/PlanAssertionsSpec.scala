@@ -1,0 +1,46 @@
+package graft
+
+/** Regression guards for the scale properties the queries were designed
+  * around: pushdown reaching the parquet scan, dims broadcast, window
+  * group-limit, top-k as TakeOrdered. A refactor that silently loses one
+  * of these still passes the oracle — these specs are what catch it.
+  */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q29 predicates push down to the parquet scan") {
+    val p = planOf("q29_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"))
+    assert(p.contains("In(o_orderstatus"))
+  }
+
+  test("q01/q02 dims join via broadcast, scans prune columns") {
+    val p1 = planOf("q01_revenue_by_nation")
+    assert(p1.contains("BroadcastHashJoin"))
+    assert(p1.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"))
+    val p2 = planOf("q02_join_broadcast_dim")
+    assert(p2.contains("BroadcastHashJoin"))
+  }
+
+  test("q22 rank filter plans as WindowGroupLimit") {
+    assert(planOf("q22_window_topk_per_group").contains("WindowGroupLimit"))
+  }
+
+  test("q24 limit plans as TakeOrderedAndProject (no global sort)") {
+    assert(planOf("q24_topk_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q07 as-of join is a hash join with the range as residual, not a cartesian") {
+    val p = planOf("q07_join_asof")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q43 inverted-index join is an equi-join, not a nested loop") {
+    val p = planOf("q43_dedup_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+}
