@@ -114,4 +114,16 @@ object TextOps {
   /** Count of tokens that appear in a fixed marker list. */
   def markerHits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Training-data PII scrub: emails, URLs, and long digit runs replaced
+    * with typed sentinels. Conservative patterns that mean the same thing
+    * in Java regex and RE2 — per-row projection, scan-speed at any scale.
+    * (Fixture docs contain none of these, so the operator is exercised by
+    * unit tests on synthetic text rather than a declared query.) */
+  def scrubPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://[^ ]+", "<URL>")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9]{6,}", "<NUM>")
+  }
 }

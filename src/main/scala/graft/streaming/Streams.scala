@@ -105,6 +105,27 @@ object Streams {
         new UserTotalProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** foreachBatch sink: the escape hatch for sinks Structured Streaming
+    * doesn't provide natively (JDBC, upserts, multi-sink fan-out). Each
+    * micro-batch arrives as an ordinary DataFrame with its batch id —
+    * exactly-once when the batch write is idempotent on (path, batchId).
+    * This is also how streaming results get materialized for the batch
+    * oracle compare. */
+  def foreachBatchIngest(
+      spark: SparkSession,
+      inDir: String,
+      checkpointDir: String,
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val schema = spark.read.parquet(inDir).schema
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch(onBatch)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** File-stream ingest (reference R22): each file that lands in `inDir` is
     * processed exactly once (checkpointed), result appended as parquet.
     * `Trigger.AvailableNow` drains the backlog then stops — the batch

@@ -120,6 +120,24 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(hamming(hs(1L), hs(2L)) <= hamming(hs(1L), hs(3L)))
   }
 
+  test("scrubPii replaces urls, emails, and long digit runs with sentinels") {
+    val rows = Seq(
+      "contact me at jane.doe+spam@example.co.uk today",
+      "see https://example.com/a?b=c#frag and http://x.io",
+      "card 1234567890123456 but keep 12345 and year 2024",
+      "clean text stays clean").toDF("text")
+    val out = rows.select(TextOps.scrubPii($"text").as("t"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "contact me at <EMAIL> today")
+    assert(out(1) === "see <URL> and <URL>")
+    assert(out(2) === "card <NUM> but keep 12345 and year 2024")
+    assert(out(3) === "clean text stays clean")
+    // idempotent: scrubbing scrubbed text is a no-op
+    val again = rows.select(TextOps.scrubPii(TextOps.scrubPii($"text")).as("t"))
+      .collect().map(_.getString(0))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("round vs bround (declared-query exclusion documented): HALF_UP vs HALF_EVEN") {
     val df = Seq(2.5, 3.5, -2.5).toDF("x")
     val r = df.select(round($"x", 0).as("r"), bround($"x", 0).as("b")).collect()

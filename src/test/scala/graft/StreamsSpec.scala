@@ -118,6 +118,20 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch sink receives each file's rows exactly once") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("fb_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fb_ckpt").toString
+    sample.take(4).toDF().write.mode("append").parquet(in)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    def drain(): Unit = Streams.foreachBatchIngest(spark, in, ckpt,
+      (df, _) => seen.addAndGet(df.count()))
+    drain()
+    assert(seen.get() === 4)
+    drain() // checkpointed: nothing new, no re-delivery
+    assert(seen.get() === 4)
+  }
+
   test("file-stream ingest processes each file exactly once") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("stream_in").toString
