@@ -30,6 +30,14 @@ object SimilarityOps {
       candidates: DataFrame, cId: Column, cVec: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = queries.sparkSession
+    // Sessions built with GraftExtensions already have the strategy via
+    // injectPlannerStrategy; for any other session, install it through the
+    // public experimental hook so the node always has a physical plan.
+    // (A duplicate registration is harmless: the strategy only matches
+    // CosineTopK and the planner takes the first produced plan.)
+    if (!spark.experimental.extraStrategies.contains(CosineTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ CosineTopKStrategy
     val q = queries.select(qId.cast("long").as("qid"), qVec.as("qe"))
     val c = candidates.select(cId.cast("long").as("vid"), cVec.as("ve"))
     org.apache.spark.sql.classic.GraftPlanBridgeImpl.ofRows(spark,
