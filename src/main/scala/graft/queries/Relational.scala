@@ -257,6 +257,29 @@ object Relational {
       .orderBy($"p_partkey")
   }
 
+  /** Salted join through the correctness gate: the salted plan must produce
+    * exactly the rows of the plain join, so its oracle IS the plain join
+    * SQL. The salt spreads any hot customer key over 8 reducers. */
+  def saltedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select($"o_custkey", cents($"o_totalprice").as("pc"))
+    val c = Tables.customer(s, dir).select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    graft.operators.SkewOps.saltedJoin(o, c, "o_custkey", salt = 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sum($"pc").as("sum_cents"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Two-phase salted aggregation through the gate: merged partials must
+    * equal the direct groupBy (oracle = plain GROUP BY). */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_returnflag", cents($"l_extendedprice").as("pc"))
+    graft.operators.SkewOps.saltedSumCount(li, "l_returnflag", "pc", salt = 8)
+      .orderBy($"l_returnflag")
+  }
+
   /** Multi-key sort with an explicitly null-ordered synthetic null column
     * (Spark defaults NULLS FIRST on ASC, DuckDB NULLS LAST — always be
     * explicit). Global sort = range-partitioned exchange; LIMIT k makes it
@@ -331,6 +354,8 @@ object Relational {
     "q54_shipping_priority" -> shippingPriority,
     "q55_local_supplier_volume" -> localSupplierVolume,
     "q56_above_brand_avg" -> aboveBrandAverage,
+    "q59_salted_join" -> saltedJoinAgg,
+    "q60_salted_agg" -> saltedAgg,
     "q23_sort_multikey_nulls" -> sortMultiKey,
     "q24_topk_limit" -> topK,
     "q25_union_all" -> unionAll,
@@ -459,6 +484,18 @@ object Relational {
          |      FROM part GROUP BY p_brand) b ON p_brand = b_brand
          |WHERE CAST(${centsSql("p_retailprice")} AS DOUBLE) > ${ratioSql("b_sum", "b_n")}
          |ORDER BY p_partkey""".stripMargin,
+    "q59_salted_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |       ${sumLongSql(centsSql("o_totalprice"))} AS sum_cents
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+    "q60_salted_agg" ->
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         |       ${sumLongSql(centsSql("l_extendedprice"))} AS sum_pc
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     "q23_sort_multikey_nulls" ->
       """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS maybe_status,
         |       o_totalprice, o_orderpriority
