@@ -12,7 +12,11 @@ object SparkEntry {
       Scalars.queries ++ Sources.queries ++ LlmOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = oracleSqlFor(Oracle.sfDir)
+
+  /** Oracle SQL rewritten against an arbitrary scale-factor dir (Verify
+    * passes its runtime sfDir so results and oracles stay coupled). */
+  def oracleSqlFor(dir: String): Map[String, String] =
     Oracle(Relational.oracles ++ Aggregates.oracles ++ Windows.oracles ++
-      Scalars.oracles ++ Sources.oracles ++ LlmOps.oracles)
+      Scalars.oracles ++ Sources.oracles ++ LlmOps.oracles, dir)
 }

@@ -20,10 +20,14 @@ object SkewOps {
 
   private val SaltCol = "__graft_salt"
 
-  /** Uniform, cheap scatter value in [0, salt): hash of a per-row id. Any
-    * scatter works for correctness; uniformity is what kills the skew. */
-  private def scatter(salt: Int): Column =
-    pmod(hash(monotonically_increasing_id()), lit(salt))
+  /** Uniform scatter value in [0, salt), derived from the row's CONTENT —
+    * never from monotonically_increasing_id or rand: a nondeterministic
+    * scatter re-partitions differently when a lost map task is recomputed,
+    * double-counting or dropping rows on the reducers that already fetched
+    * (the SPARK-23207 failure class). Hashing every column keeps the hot
+    * key's rows spread as long as they differ anywhere outside the key. */
+  private def scatter(df: DataFrame, salt: Int): Column =
+    pmod(hash(df.columns.map(col): _*), lit(salt))
 
   /** Inner equi-join where `large` is skewed on `key`: large rows scatter
     * over `salt` sub-keys; `small` replicates `salt`× (explode of a
@@ -31,7 +35,7 @@ object SkewOps {
     * key's rows now land on `salt` reducers instead of one. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val l = large.withColumn(SaltCol, scatter(salt))
+    val l = large.withColumn(SaltCol, scatter(large, salt))
     val s = small.withColumn(SaltCol, explode(sequence(lit(0), lit(salt - 1))))
     l.join(s, Seq(key, SaltCol)).drop(SaltCol)
   }
@@ -42,7 +46,7 @@ object SkewOps {
     * commutative/associative measures exposed here. */
   def saltedSumCount(df: DataFrame, key: String, sumCol: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
-    df.withColumn(SaltCol, scatter(salt))
+    df.withColumn(SaltCol, scatter(df, salt))
       .groupBy(col(key), col(SaltCol))
       .agg(count(lit(1)).as("__n"), sum(col(sumCol)).as("__s"))
       .groupBy(col(key))

@@ -22,10 +22,15 @@ object TextOps {
   /** Whitespace tokenizer (fixture docs are single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** k-word shingles as strings; expects size(toks) >= k. */
+  /** k-word shingles as strings; documents shorter than k tokens yield an
+    * empty array. The `when` guard matters: Spark's sequence(1, n) with
+    * n < 1 counts DOWN (yielding [1, 0]) instead of producing an empty
+    * sequence, and element_at(_, 0) then aborts the job. */
   def wordShingles(toks: Column, k: Int): Column =
-    transform(sequence(lit(1), size(toks) - (k - 1)), i =>
-      concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*))
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** MinHash universal-hash family over 2^40-sized digests: one prime just
     * above 2^40 and fixed (a, b) pairs, so a*h + b < 2^60 — exact BIGINT
@@ -63,10 +68,14 @@ object TextOps {
     * polynomial rolling is the difference between CPU-bound and scan-bound.
     */
   def shingleHashes3(tokenDigests: Column): Column =
-    transform(sequence(lit(1), size(tokenDigests) - 2), i =>
-      (element_at(tokenDigests, i) * lit(ShingleC1)
-        + element_at(tokenDigests, i + 1) * lit(ShingleC2)
-        + element_at(tokenDigests, i + 2)) % lit(MinhashPrime))
+    // Guarded like wordShingles: <3 tokens → empty array, matching the
+    // DuckDB twin (range(1, n) with n <= 1 is empty there).
+    when(size(tokenDigests) >= 3,
+      transform(sequence(lit(1), size(tokenDigests) - 2), i =>
+        (element_at(tokenDigests, i) * lit(ShingleC1)
+          + element_at(tokenDigests, i + 1) * lit(ShingleC2)
+          + element_at(tokenDigests, i + 2)) % lit(MinhashPrime)))
+      .otherwise(array().cast("array<bigint>"))
 
   /** MinHash signature from pre-computed shingle digests: element j is
     * min((a_j * h + b_j) mod p) over the digests — 12 passes of cheap

@@ -116,7 +116,7 @@ object Listings {
     import spark.implicits._
     val errors = spark.sparkContext.longAccumulator("fetch_errors")
     spark.createDataset(urls)
-      .repartition(math.min(urls.size, 8))
+      .repartition(math.max(1, math.min(urls.size, 8)))
       .mapPartitions { it =>
         it.map { url =>
           val (status, body) = try fetch(url) catch { case _: Exception => (-1, null) }

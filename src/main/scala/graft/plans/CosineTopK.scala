@@ -28,7 +28,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
   * the engine-wide contract: float products, left-to-right double fold —
   * results bit-match the declared-query formulation and the DuckDB oracle.
   * Self-pairs (qid == vid) are excluded; ties break on smaller vid,
-  * exactly like `row_number() OVER (ORDER BY cos DESC, vid ASC)`.
+  * exactly like `row_number() OVER (ORDER BY cos DESC, vid ASC)`; a
+  * zero-norm vector's undefined cosine surfaces as null ranked last,
+  * matching the composed form's divide-by-zero null under nulls-last
+  * DESC ordering.
   */
 case class CosineTopK(
     queries: LogicalPlan,
@@ -63,7 +66,9 @@ object CosineTopK {
     AttributeReference("qid", LongType, nullable = false)(),
     AttributeReference("rn", IntegerType, nullable = false)(),
     AttributeReference("vid", LongType, nullable = false)(),
-    AttributeReference("cos", DoubleType, nullable = false)())
+    // nullable: a zero-norm vector has no defined cosine — emitted as null,
+    // exactly like Spark's (non-ANSI) 0/0 divide in the composed form.
+    AttributeReference("cos", DoubleType, nullable = true)())
 }
 
 case class CosineTopKExec(
@@ -116,9 +121,11 @@ case class CosineTopKExec(
       val proj = UnsafeProjection.create(
         Array[DataType](LongType, IntegerType, LongType, DoubleType))
       it.flatMap { case (qid, es) =>
-        es.toSeq.sortBy { case (cos, vid) => (-cos, vid) }.take(kk)
+        // ascending by worstFirst = best-first ("less" = better cos)
+        es.toSeq.sorted(CosineTopKExec.worstFirst).take(kk)
           .zipWithIndex.map { case ((cos, vid), i) =>
-            proj(InternalRow(qid, i + 1, vid, cos)).copy(): InternalRow
+            val cosOrNull: Any = if (cos.isNaN) null else cos
+            proj(InternalRow(qid, i + 1, vid, cosOrNull)).copy(): InternalRow
           }
       }
     }
@@ -144,7 +151,20 @@ object CosineTopKExec {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  // Evict-worst ordering: max of the queue = lowest cos, then largest vid.
-  val worstFirst: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (cos, vid) => (-cos, vid) }
+  /** Evict-worst ordering: "greater" = worse = lower cos, ties on larger
+    * vid. NaN here encodes an UNDEFINED cosine (zero-norm input): the
+    * composed Spark formulation produces null for it (non-ANSI 0/0 divide)
+    * and `ORDER BY cos DESC` puts nulls last — so undefined ranks strictly
+    * worst. A naive Double.compare would instead rank NaN as the largest
+    * cosine (rank 1), silently diverging from the join+window form. */
+  val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val an = a._1.isNaN; val bn = b._1.isNaN
+      if (an != bn) { if (an) 1 else -1 }
+      else {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+  }
 }

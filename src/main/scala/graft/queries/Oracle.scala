@@ -14,15 +14,18 @@ import graft.Tables
   * for self-joins wrap in a subselect (`FROM (SELECT * FROM lineitem) a`).
   */
 object Oracle {
+  /** The driver's t2 correctness scale (BASELINE.md); `SparkEntry.oracleSql`
+    * pins this dir, while Verify re-derives the SQL for whatever sfDir it
+    * was invoked with so outputs and oracles can never decouple. */
   val sfDir = "/root/testdata/sf0.01"
 
-  def rewrite(sql: String): String =
+  def rewrite(sql: String, dir: String = sfDir): String =
     Tables.names.foldLeft(sql) { (acc, t) =>
       acc.replaceAll(
         s"(?i)\\b(FROM|JOIN)\\s+$t\\b",
-        s"$$1 read_parquet('$sfDir/$t.parquet') AS $t")
+        s"$$1 read_parquet('$dir/$t.parquet') AS $t")
     }
 
-  def apply(m: Map[String, String]): Map[String, String] =
-    m.map { case (k, v) => k -> rewrite(v) }
+  def apply(m: Map[String, String], dir: String = sfDir): Map[String, String] =
+    m.map { case (k, v) => k -> rewrite(v, dir) }
 }

@@ -115,9 +115,12 @@ object Streams {
       spark: SparkSession,
       inDir: String,
       checkpointDir: String,
-      onBatch: (DataFrame, Long) => Unit): Unit = {
-    val schema = spark.read.parquet(inDir).schema
-    val q = spark.readStream.schema(schema).parquet(inDir)
+      onBatch: (DataFrame, Long) => Unit,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    // Explicit schema lets the stream start on a not-yet-populated dir;
+    // inference requires at least one file to exist already.
+    val st = schema.getOrElse(spark.read.parquet(inDir).schema)
+    val q = spark.readStream.schema(st).parquet(inDir)
       .writeStream
       .foreachBatch(onBatch)
       .option("checkpointLocation", checkpointDir)
@@ -135,9 +138,11 @@ object Streams {
       inDir: String,
       outDir: String,
       checkpointDir: String,
-      transform: DataFrame => DataFrame = identity): Unit = {
-    val schema = spark.read.parquet(inDir).schema
-    val q = transform(spark.readStream.schema(schema).parquet(inDir))
+      transform: DataFrame => DataFrame = identity,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    // Explicit schema lets the stream start on a not-yet-populated dir.
+    val st = schema.getOrElse(spark.read.parquet(inDir).schema)
+    val q = transform(spark.readStream.schema(st).parquet(inDir))
       .writeStream
       .format("parquet")
       .option("path", outDir)

@@ -76,6 +76,63 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(math.abs(r.getLong(1) - exact) / exact <= 0.05)
   }
 
+  test("shingle ops yield empty arrays for documents shorter than the width") {
+    val docs = Seq((1L, "one"), (2L, "two words"), (3L, "three word doc"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextOps.tokens($"text"))
+    val out = docs.select(
+      $"doc_id",
+      size(TextOps.wordShingles($"toks", 3)).as("nws"),
+      size(TextOps.shingleHashes3(TextOps.tokenHashes($"toks"))).as("nsh"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) === ((0, 0)))
+    assert(out(2L) === ((0, 0)))
+    assert(out(3L) === ((1, 1)))
+  }
+
+  test("CosineTopK ranks NaN cosine (zero-norm vector) like ORDER BY cos DESC") {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)), // zero-norm -> cosine NaN with anything
+      (2L, Array(0.5f, 0.5f, 0.0f)),
+      (3L, Array(-1.0f, 0.2f, 0.1f))).toDF("vec_id", "embedding")
+    val custom = graft.plans.SimilarityOps.cosineTopK(
+      vecs.filter($"vec_id" === 0L), $"vec_id", $"embedding",
+      vecs, $"vec_id", $"embedding", k = 3)
+      .orderBy($"qid", $"rn").collect()
+    // ANSI mode (Spark 4 default) turns the 0/0 into a DIVIDE_BY_ZERO error
+    // rather than NaN, so the composed reference here runs non-ANSI — the
+    // float semantics DuckDB (and classic SQL DESC ordering) use, which is
+    // the contract the custom operator implements.
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    val composed = try {
+      vecs.filter($"vec_id" === 0L)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+        .crossJoin(vecs.select($"vec_id".as("vid"), $"embedding".as("ve")))
+        .filter($"qid" =!= $"vid")
+        .withColumn("cos", VectorOps.cosine($"qe", $"ve"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .select($"qid", $"rn", $"vid", $"cos")
+        .orderBy($"qid", $"rn").collect()
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    // field-wise compare with null-aware cosine check
+    assert(custom.length === composed.length)
+    custom.zip(composed).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0) && a.getInt(1) === b.getInt(1)
+        && a.getLong(2) === b.getLong(2))
+      assert(a.isNullAt(3) === b.isNullAt(3))
+      if (!a.isNullAt(3))
+        assert(java.lang.Double.doubleToLongBits(a.getDouble(3)) ===
+          java.lang.Double.doubleToLongBits(b.getDouble(3)))
+    }
+    // the zero-norm pair ranks LAST with null cosine (nulls-last DESC),
+    // exactly like the composed form's 0/0 -> null divide
+    assert(custom.last.getLong(2) === 1L && custom.last.isNullAt(3))
+  }
+
   test("custom CosineTopK operator plans as CosineTopKExec and matches join+window") {
     val composed = graft.queries.LlmOps.annBruteForce(spark, sfDir).collect()
     val custom = graft.queries.LlmOps.annCustomTopK(spark, sfDir)

@@ -34,7 +34,7 @@ class SkewOpsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
     // the hot key really was split: phase-1 groups exceed distinct keys
     val phase1Groups = skewed
-      .withColumn("s", pmod(hash(monotonically_increasing_id()), lit(8)))
+      .withColumn("s", pmod(hash($"k", $"v"), lit(8)))
       .select($"k", $"s").distinct().count()
     assert(phase1Groups > skewed.select($"k").distinct().count())
   }
