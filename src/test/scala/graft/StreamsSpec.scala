@@ -92,6 +92,30 @@ class StreamsSpec extends SparkSpec {
     assert(last(2L) === ((2L, 7.0)))
   }
 
+  test("watermark drops events later than the horizon (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val agged = Streams.withWatermarked(mem.toDF(), "30 minutes")(Streams.tumblingCounts)
+    val q = agged.writeStream.format("memory").queryName("t_wm")
+      .outputMode(OutputMode.Append).start()
+    // two on-time events in the 10:00 window
+    mem.addData(Seq(
+      Event(10, ts("2024-01-01 10:05:00"), 1, "click", 1.0, "{}"),
+      Event(11, ts("2024-01-01 10:10:00"), 1, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    // jump far ahead: watermark advances to 19:30, finalizing 10:00
+    mem.addData(Seq(Event(12, ts("2024-01-01 20:00:00"), 1, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    // a 10:07 straggler is now behind the watermark -> dropped
+    mem.addData(Seq(Event(13, ts("2024-01-01 10:07:00"), 1, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val tenOclock = spark.table("t_wm").collect()
+      .filter(_.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+    assert(tenOclock.map(_.getLong(2)).sum === 2) // late event not counted
+  }
+
   test("transformWithState user totals match flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
