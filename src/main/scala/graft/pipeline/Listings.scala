@@ -131,6 +131,24 @@ object Listings {
   def goodPages(pages: Dataset[FetchedPage]): Dataset[FetchedPage] =
     pages.filter(_.status == 200)
 
+  /** Parse the reference's COP price strings ("$ 185.000.000" →
+    * 185000000L). Built-in expressions (regexp_replace + cast), not a UDF —
+    * stays inside whole-stage codegen; unparseable/absent prices → null.
+    * The ScalaTest spec also registers the same logic as a scalar `udf()`
+    * and asserts equality, covering the UDF surface (SURVEY §2.B) while
+    * documenting why the built-in form is the production path. */
+  def parseValorPesos(valor: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    nullif(regexp_replace(valor, "[^0-9]", ""), lit("")).cast("long")
+
+  /** Plain-Scala twin of [[parseValorPesos]] for the udf() registration. */
+  def parseValorPesosScala(valor: String): Option[Long] = {
+    if (valor == null) None
+    else {
+      val digits = valor.filter(_.isDigit)
+      if (digits.isEmpty) None else Some(digits.toLong)
+    }
+  }
+
   // --- sinks ---
 
   /** CSV sink with reference byte-compat: header row, nulls → "N/A"

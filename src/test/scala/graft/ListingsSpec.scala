@@ -104,6 +104,23 @@ class ListingsSpec extends SparkSpec {
     assert(viaGen.count() === 3) // 2 + 1 + 0 rows
   }
 
+  test("price parsing: built-in expression and scalar udf() agree") {
+    import org.apache.spark.sql.functions.{col, udf}
+    import spark.implicits._
+    val prices = Seq("$ 185.000.000", "$1.200.000", "N/A", "", null, "99")
+      .toDF("valor")
+    val parseUdf = udf(Listings.parseValorPesosScala _)
+    val out = prices.select(
+      Listings.parseValorPesos(col("valor")).as("builtin"),
+      parseUdf(col("valor")).as("viaUdf")).collect()
+    val expected = Seq(Some(185000000L), Some(1200000L), None, None, None, Some(99L))
+    out.zip(expected).foreach { case (r, e) =>
+      val b = if (r.isNullAt(0)) None else Some(r.getLong(0))
+      val u = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      assert(b === e && u === e)
+    }
+  }
+
   test("error-tolerant fetch keeps partial results (reference R2 contract)") {
     val body = card() // materialize outside the closure (serializable capture)
     val fetch: String => (Int, String) =
