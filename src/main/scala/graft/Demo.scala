@@ -17,6 +17,7 @@ object Demo {
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/graft_demo"
     val spark = SparkSession.builder().master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -48,6 +49,17 @@ object Demo {
     Streams.fileStreamIngest(spark, s"$out/pq/dt=2026-08-12", s"$out/stream_out", s"$out/ckpt")
     Streams.fileStreamIngest(spark, s"$out/pq/dt=2026-08-12", s"$out/stream_out", s"$out/ckpt")
     println("stream out rows: " + spark.read.parquet(s"$out/stream_out").count())
+
+    // Custom-plan surface: the Generator UDTF in SQL space, and the
+    // whole-operator cosine top-k over the embeddings fixture.
+    val viaGen = Seq(("2026-08-12.html", html)).toDF("file", "value")
+      .selectExpr("graft_extract_listings(file, value)")
+    println("generator rows: " + viaGen.count())
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val topk = graft.plans.SimilarityOps.cosineTopK(
+      emb.limit(3), emb("vec_id"), emb("embedding"),
+      emb, emb("vec_id"), emb("embedding"), k = 2)
+    println("cosineTopK rows: " + topk.count())
     spark.stop()
   }
 }

@@ -67,13 +67,17 @@ object LlmOps {
     import s.implicits._
     Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens($"text"))
-      .withColumn("th", TextOps.tokenHashes($"toks"))
-      .withColumn("hs", TextOps.shingleHashes3($"th"))
       // shingle-less docs (<3 tokens) have no minhash signature: drop them
       // BEFORE signing — array_min over empty yields null signature parts,
       // which Spark's concat_ws would skip but SQL string-concat nulls out,
-      // so keeping them would also diverge from any SQL twin.
-      .filter(size($"hs") > 0)
+      // so keeping them would also diverge from any SQL twin. The guard is
+      // on TOKEN count, not size(hs): a filter on the expensive hs column
+      // gets predicate-pushed below the projection and inlines the whole
+      // digest pipeline into a scan-side Filter (O(tokens²) md5 per doc —
+      // the q43 explode_outer lesson); size(split(text)) is cheap to push.
+      .filter(size($"toks") >= 3)
+      .withColumn("th", TextOps.tokenHashes($"toks"))
+      .withColumn("hs", TextOps.shingleHashes3($"th"))
       .withColumn("sig", TextOps.minhashSignature($"hs", 12))
       .withColumn("bandkey", explode(TextOps.lshBands($"sig", 4, 3)))
       .select($"doc_id", $"bandkey.band".as("band"), $"bandkey.bkey".as("bkey"))
@@ -369,14 +373,11 @@ object LlmOps {
          |      SELECT doc_id,
          |             list_transform(range(12), j2 -> list_min(list_transform(hs, h -> ($aList[CAST(j2 AS INT)+1] * h + $bList[CAST(j2 AS INT)+1]) % $MinhashPrime))) AS sig
          |      FROM (
-         |        SELECT doc_id, hs
+         |        SELECT doc_id, $shingle3Sql AS hs
          |        FROM (
-         |          SELECT doc_id, $shingle3Sql AS hs
-         |          FROM (
-         |            SELECT doc_id, $tokenHashesSql AS th
-         |            FROM (SELECT doc_id, $toksSql AS toks FROM documents)
-         |          )
-         |        ) WHERE len(hs) > 0
+         |          SELECT doc_id, $tokenHashesSql AS th
+         |          FROM (SELECT doc_id, toks FROM (SELECT doc_id, $toksSql AS toks FROM documents) WHERE len(toks) >= 3)
+         |        )
          |      )
          |    ), (SELECT unnest([0,1,2,3]) AS j)
          |  ) GROUP BY band, bkey
