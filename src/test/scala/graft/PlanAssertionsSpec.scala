@@ -43,4 +43,20 @@ class PlanAssertionsSpec extends SparkSpec {
     val p = planOf("q43_dedup_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("no digest hashing inlined into Filter nodes (pushdown-inlining guard)") {
+    // Predicates on expensive computed columns get pushed below their
+    // projection and re-evaluate the whole digest pipeline per row inside
+    // a Filter (two separate 25-50x regressions came from this). Hashing
+    // belongs in Project/Generate nodes only.
+    Seq("q41_dedup_minhash_lsh", "q42_dedup_simhash", "q43_dedup_ngram_jaccard",
+      "q50_fingerprint").foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
+      val filterConds = plan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+      }
+      assert(!filterConds.exists(_.contains("md5")),
+        s"$n has md5 inside a Filter: $filterConds")
+    }
+  }
 }
