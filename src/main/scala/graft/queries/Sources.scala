@@ -77,10 +77,36 @@ object Sources {
       .orderBy($"ws", $"event_type")
   }
 
+  /** Gap-based sessionization in batch (30-minute inactivity gap), the
+    * SQL-expressible complement to `session_window` (whose streaming form
+    * StreamsSpec covers by batch equivalence): lag to flag gaps, running
+    * sum to number sessions, then a session-length histogram. One shuffle
+    * on user_id — the same partitioning the streaming state store uses. */
+  def sessionizationBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum($"new_sess").over(running))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy($"n_events")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_events")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_csv_roundtrip" -> csvRoundtrip,
     "q38_json_roundtrip" -> jsonRoundtrip,
-    "q39_stream_tumbling_batch" -> streamTumblingBatch
+    "q39_stream_tumbling_batch" -> streamTumblingBatch,
+    "q61_sessionization" -> sessionizationBatch
   )
 
   val oracles: Map[String, String] = Map(
@@ -98,6 +124,23 @@ object Sources {
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY ws, event_type""".stripMargin
+        |ORDER BY ws, event_type""".stripMargin,
+    "q61_sessionization" ->
+      """SELECT n_events, count(*) AS n_sessions FROM (
+        |  SELECT user_id, sess_id, count(*) AS n_events FROM (
+        |    SELECT user_id,
+        |           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |             CASE WHEN lag(ts) OVER w IS NULL
+        |                    OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+        |                  THEN 1 ELSE 0 END AS new_sess
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |    )
+        |  ) GROUP BY user_id, sess_id
+        |) GROUP BY n_events
+        |ORDER BY n_events""".stripMargin
   )
 }
