@@ -137,17 +137,19 @@ object Relational {
       .orderBy($"p_brand")
   }
 
-  /** As-of join: latest event at-or-before each order date for the order's
-    * customer. One shuffle to co-partition on the key, then a window rank —
-    * no per-row point lookups, no cartesian; survives 100× scale because
-    * candidates are bounded per (customer, order). */
+  /** As-of join (forward): FIRST event at-or-after each order date for the
+    * order's customer — forward direction because the fixture events
+    * (2024) all postdate the TPC-H order dates, so the backward variant
+    * would be vacuously empty. One shuffle to co-partition on the key,
+    * then a window rank — no per-row point lookups, no cartesian; survives
+    * 100× scale because candidates are bounded per (customer, order). */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_orderdate")
     val e = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
-    val joined = o.join(e, o("o_custkey") === e("user_id") && e("ts") <= o("o_orderdate"))
+    val joined = o.join(e, o("o_custkey") === e("user_id") && e("ts") >= o("o_orderdate"))
     val w = Window.partitionBy($"o_orderkey")
-      .orderBy($"ts".desc, $"event_id".desc)
+      .orderBy($"ts".asc, $"event_id".asc)
     joined
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
@@ -427,8 +429,8 @@ object Relational {
       """SELECT o_orderkey, asof_event, asof_ts FROM (
         |  SELECT o_orderkey, event_id AS asof_event, ts AS asof_ts,
         |         row_number() OVER (PARTITION BY o_orderkey
-        |                            ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM orders JOIN events ON o_custkey = user_id AND ts <= o_orderdate
+        |                            ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM orders JOIN events ON o_custkey = user_id AND ts >= o_orderdate
         |) WHERE rn = 1
         |ORDER BY o_orderkey""".stripMargin,
     "q08_join_theta" ->
