@@ -21,9 +21,12 @@ object Oracle {
 
   def rewrite(sql: String, dir: String = sfDir): String =
     Tables.names.foldLeft(sql) { (acc, t) =>
+      // quoteReplacement: a '$' or '\' in the dir would otherwise be read
+      // as a group reference in the replacement string.
       acc.replaceAll(
         s"(?i)\\b(FROM|JOIN)\\s+$t\\b",
-        s"$$1 read_parquet('$dir/$t.parquet') AS $t")
+        "$1 " + java.util.regex.Matcher.quoteReplacement(
+          s"read_parquet('$dir/$t.parquet') AS $t"))
     }
 
   def apply(m: Map[String, String], dir: String = sfDir): Map[String, String] =

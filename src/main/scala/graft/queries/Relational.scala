@@ -140,20 +140,36 @@ object Relational {
   /** As-of join (forward): FIRST event at-or-after each order date for the
     * order's customer — forward direction because the fixture events
     * (2024) all postdate the TPC-H order dates, so the backward variant
-    * would be vacuously empty. One shuffle to co-partition on the key,
-    * then a window rank — no per-row point lookups, no cartesian; survives
-    * 100× scale because candidates are bounded per (customer, order). */
+    * would be vacuously empty.
+    *
+    * Merge formulation, not join+rank: union orders and events into one
+    * per-user timeline, sort once, and carry the next event to each order
+    * row with an unbounded-following `first(..., ignoreNulls)` frame. A
+    * range join would materialize |orders/user| × |future events/user|
+    * candidate rows before ranking — a per-user PRODUCT; the merge is one
+    * shuffle + one sort of |orders| + |events|, linear at any scale. Ties
+    * at equal ts: the order row sorts before events (null event_id first),
+    * so an event exactly at the order date is matched, and events tie on
+    * event_id — exactly `ORDER BY ts, event_id` of the rank form. */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_orderdate")
-    val e = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
-    val joined = o.join(e, o("o_custkey") === e("user_id") && e("ts") >= o("o_orderdate"))
-    val w = Window.partitionBy($"o_orderkey")
-      .orderBy($"ts".asc, $"event_id".asc)
-    joined
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"o_orderkey", $"event_id".as("asof_event"), $"ts".as("asof_ts"))
+    val o = Tables.orders(s, dir).select(
+      $"o_custkey".as("uid"),
+      // ntz→ltz cast so the union's ts column has one type (UTC session)
+      $"o_orderdate".cast("timestamp").as("ts"),
+      lit(null).cast("long").as("event_id"), $"o_orderkey")
+    val e = Tables.events(s, dir).select(
+      $"user_id".as("uid"), $"ts",
+      $"event_id", lit(null).cast("long").as("o_orderkey"))
+    val w = Window.partitionBy($"uid")
+      .orderBy($"ts".asc, $"event_id".asc_nulls_first, $"o_orderkey".asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    o.unionByName(e)
+      .withColumn("asof_event", first($"event_id", ignoreNulls = true).over(w))
+      .withColumn("asof_ts",
+        first(when($"event_id".isNotNull, $"ts"), ignoreNulls = true).over(w))
+      .filter($"o_orderkey".isNotNull && $"asof_event".isNotNull)
+      .select($"o_orderkey", $"asof_event", $"asof_ts")
       .orderBy($"o_orderkey")
   }
 
@@ -427,11 +443,21 @@ object Relational {
          |ORDER BY p_brand""".stripMargin,
     "q07_join_asof" ->
       """SELECT o_orderkey, asof_event, asof_ts FROM (
-        |  SELECT o_orderkey, event_id AS asof_event, ts AS asof_ts,
-        |         row_number() OVER (PARTITION BY o_orderkey
-        |                            ORDER BY ts ASC, event_id ASC) AS rn
-        |  FROM orders JOIN events ON o_custkey = user_id AND ts >= o_orderdate
-        |) WHERE rn = 1
+        |  SELECT o_orderkey,
+        |         first_value(event_id IGNORE NULLS) OVER w AS asof_event,
+        |         first_value(CASE WHEN event_id IS NOT NULL THEN ts END IGNORE NULLS) OVER w AS asof_ts
+        |  FROM (
+        |    SELECT o_custkey AS uid, o_orderdate AS ts,
+        |           CAST(NULL AS BIGINT) AS event_id, o_orderkey
+        |    FROM orders
+        |    UNION ALL
+        |    SELECT user_id AS uid, ts, event_id, CAST(NULL AS BIGINT) AS o_orderkey
+        |    FROM events
+        |  )
+        |  WINDOW w AS (PARTITION BY uid
+        |               ORDER BY ts ASC, event_id ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |) WHERE o_orderkey IS NOT NULL AND asof_event IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
     "q08_join_theta" ->
       """SELECT r_name, count(*) AS n_pairs

@@ -159,7 +159,7 @@ object Scalars {
         |       date_trunc('month', o_orderdate) AS month_start,
         |       strftime(o_orderdate, '%Y-%m-%d') AS fmt,
         |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-09-02') AS INT) AS days_to_ref,
-        |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
         |       CAST(o_orderdate AS DATE) + 30 AS plus30,
         |       last_day(CAST(o_orderdate AS DATE)) AS eom
         |FROM orders

@@ -26,8 +26,10 @@ import Portable._
   */
 object Sources {
 
+  // Per-JVM staging root: two concurrent sessions at the same scale factor
+  // must not overwrite each other's round-trip files mid-read.
   private def stage(dir: String, name: String): String =
-    s"/tmp/graft_stage/${new java.io.File(dir).getName}/$name"
+    s"/tmp/graft_stage/${ProcessHandle.current.pid}/${new java.io.File(dir).getName}/$name"
 
   /** CSV sink with header (reference R19) + CSV source with explicit
     * schema: write → read-back → total order. */
@@ -134,7 +136,7 @@ object Sources {
         |    FROM (
         |      SELECT user_id, ts, event_id,
         |             CASE WHEN lag(ts) OVER w IS NULL
-        |                    OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+        |                    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
         |                  THEN 1 ELSE 0 END AS new_sess
         |      FROM events
         |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -64,16 +64,17 @@ object Windows {
   }
 
   /** Top-k per group: row_number + filter — the scalable formulation (no
-    * global sort; per-group work bounded by k after the window). Both join
-    * inputs are pruned to the referenced columns and both dims broadcast
-    * (customer is ~1.5% of orders), so the fact side never shuffles for the
-    * joins — only once, for the window partition. */
+    * global sort; per-group work bounded by k after the window). Join
+    * inputs pruned to referenced columns; the fixed-size nation dim is
+    * broadcast explicitly, customer is left to Catalyst — it scales with
+    * the fact tables, so a hard broadcast hint would OOM at large SF while
+    * size-based planning still broadcasts it when it fits. */
   def topKPerGroup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
     val c = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
     val n = Tables.nation(s, dir).select($"n_nationkey", $"n_name")
-    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .withColumn("price_cents", cents($"o_totalprice"))
     val w = Window.partitionBy($"n_name")

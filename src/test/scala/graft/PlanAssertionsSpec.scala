@@ -32,11 +32,11 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(planOf("q24_topk_limit").contains("TakeOrderedAndProject"))
   }
 
-  test("q07 as-of join is a hash join with the range as residual, not a cartesian") {
+  test("q07 as-of is the join-free merge formulation (union + window)") {
     val p = planOf("q07_join_asof")
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
-      || p.contains("ShuffledHashJoin"))
-    assert(!p.contains("CartesianProduct"))
+    // the merge form materializes NO candidate pairs: union + one window
+    assert(p.contains("Window") && p.contains("Union"))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
   }
 
   test("q43 inverted-index join is an equi-join, not a nested loop") {
