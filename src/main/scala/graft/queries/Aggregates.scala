@@ -170,6 +170,24 @@ object Aggregates {
       .orderBy($"l_linestatus")
   }
 
+  /** Exact quartiles of integer cents per return flag. Quartile fractions
+    * are dyadic (.25/.5/.75 = exact powers of two), so the linear
+    * interpolation between two integer-valued doubles is bit-exact in IEEE
+    * arithmetic whatever formula each engine uses — arbitrary percentiles
+    * (p90 etc.) would NOT hash-match and belong to approx_percentile. */
+  def quartilesAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .withColumn("pc", cents($"l_extendedprice"))
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"pc", lit(0.25)).as("q1_cents"),
+        percentile($"pc", lit(0.5)).as("median_cents"),
+        percentile($"pc", lit(0.75)).as("q3_cents"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
   /** HLL approximate distinct — the 100 TB substitute for exact distinct.
     * No DuckDB oracle (different sketch); driver records a rows-only check
     * and the ScalaTest spec asserts the documented ≤5% relative error
@@ -191,6 +209,7 @@ object Aggregates {
     "q14_agg_cube" -> cubeAgg,
     "q36_grouping_sets" -> groupingSetsAgg,
     "q58_pivot" -> pivotAgg,
+    "q63_agg_quartiles" -> quartilesAgg,
     "q15_agg_filtered" -> filteredAgg,
     "q16_agg_string_agg" -> stringAgg,
     "q17_agg_udaf_weighted_mean" -> udafWeightedMean,
@@ -245,6 +264,15 @@ object Aggregates {
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q63_agg_quartiles" ->
+      s"""SELECT l_returnflag,
+         |       quantile_cont(pc, 0.25) AS q1_cents,
+         |       quantile_cont(pc, 0.5) AS median_cents,
+         |       quantile_cont(pc, 0.75) AS q3_cents,
+         |       count(*) AS n_rows
+         |FROM (SELECT l_returnflag, ${centsSql("l_extendedprice")} AS pc FROM lineitem)
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     "q58_pivot" ->
       s"""SELECT l_linestatus,
          |       coalesce(CAST(sum(CASE WHEN l_returnflag = 'A' THEN ${centsSql("l_extendedprice")} END) AS BIGINT), 0) AS cents_a,

@@ -86,7 +86,27 @@ object Windows {
       .orderBy($"n_name", $"rn")
   }
 
+  /** RANGE frame (value-based, vs q21's row-based frames): per customer,
+    * orders within ±15 days of each order by VALUE distance on the epoch
+    * axis — rows at equal distance all enter the frame regardless of row
+    * position, which is what rowsBetween cannot express. */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val day = 86400L
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"epoch_s".asc)
+      .rangeBetween(-15 * day, 15 * day)
+    Tables.orders(s, dir)
+      .withColumn("epoch_s", unix_timestamp($"o_orderdate"))
+      .withColumn("price_cents", cents($"o_totalprice"))
+      .select($"o_custkey", $"o_orderkey", $"epoch_s",
+        count(lit(1)).over(w).as("n_within_30d"),
+        sum($"price_cents").over(w).as("cents_within_30d"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_window_range_frame" -> rangeFrame,
     "q19_window_rank" -> rankFamily,
     "q20_window_lag_lead" -> lagLead,
     "q21_window_frames" -> frames,
@@ -94,6 +114,17 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_window_range_frame" ->
+      s"""SELECT o_custkey, o_orderkey, epoch_s,
+         |       count(*) OVER w AS n_within_30d,
+         |       CAST(sum(price_cents) OVER w AS BIGINT) AS cents_within_30d
+         |FROM (SELECT o_custkey, o_orderkey,
+         |             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+         |             ${centsSql("o_totalprice")} AS price_cents
+         |      FROM orders)
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s ASC
+         |             RANGE BETWEEN 1296000 PRECEDING AND 1296000 FOLLOWING)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q19_window_rank" ->
       """SELECT s_nationkey, s_suppkey, s_name,
         |       CAST(row_number() OVER w AS INT) AS rn,
