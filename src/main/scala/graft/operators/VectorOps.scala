@@ -50,7 +50,24 @@ object VectorOps {
 
   /** Sign-LSH bucket key from the first `bits` coordinates (axis-aligned
     * hyperplanes): '1'/'0' string, e.g. "10110010". */
-  def signKey(a: Column, bits: Int): Column =
-    concat_ws("", transform(slice(a, 1, bits), x =>
+  def signKey(a: Column, bits: Int): Column = signKeyFrom(a, 1, bits)
+
+  /** Sign key over coordinates [start, start+bits) (1-based start). */
+  def signKeyFrom(a: Column, start: Int, bits: Int): Column =
+    concat_ws("", transform(slice(a, start, bits), x =>
       when(x >= 0, lit("1")).otherwise(lit("0"))))
+
+  /** Multi-band sign-LSH: `bands` disjoint groups of `bits` coordinates
+    * each, OR-construction — a pair is a candidate if it collides in ANY
+    * band. This is how sign-LSH scales with N: a single fixed-width key
+    * (e.g. 8 bits = 256 buckets) leaves ~N/256 vectors per bucket and the
+    * in-bucket pairing is still quadratic at corpus scale; wider keys
+    * (16–24 bits → 65k–16M buckets) keep buckets near-constant size, and
+    * multiple bands buy back the recall the wider key costs (a true
+    * near-dup that flips one sign in band 0 still collides in band 1).
+    * Returns array<struct<band:int, key:string>> ready to explode. */
+  def signBandKeys(a: Column, bits: Int, bands: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"), signKeyFrom(a, b * bits + 1, bits).as("key"))
+    }: _*)
 }

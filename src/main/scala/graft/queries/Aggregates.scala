@@ -189,9 +189,13 @@ object Aggregates {
   }
 
   /** HLL approximate distinct — the 100 TB substitute for exact distinct.
-    * No DuckDB oracle (different sketch); driver records a rows-only check
-    * and the ScalaTest spec asserts the documented ≤5% relative error
-    * against the exact count. */
+    * The raw sketch value is engine-specific (Spark HLL++ ≠ any DuckDB
+    * sketch), so the DECLARED output is oracle-checkable instead: the exact
+    * count plus `approx_within_5pct`, the documented ≤5% relative-error
+    * bound evaluated in Spark. The oracle recomputes the exact column and
+    * asserts the bound as TRUE — if HLL ever drifts outside its contract
+    * the hash check goes red, which is exactly the failure we want caught.
+    * The ScalaTest spec additionally checks the raw error magnitude. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
@@ -199,6 +203,10 @@ object Aggregates {
       .agg(
         approx_count_distinct($"l_partkey").as("approx_parts"),
         countDistinct($"l_partkey").as("exact_parts"))
+      .select(
+        $"l_returnflag", $"exact_parts",
+        (abs($"approx_parts" - $"exact_parts").cast("double")
+          <= lit(0.05) * $"exact_parts".cast("double")).as("approx_within_5pct"))
       .orderBy($"l_returnflag")
   }
 
@@ -304,6 +312,15 @@ object Aggregates {
          |       ${sumIntValuedSql("p_size")} AS wtot
          |FROM part
          |GROUP BY p_brand
-         |ORDER BY p_brand""".stripMargin
+         |ORDER BY p_brand""".stripMargin,
+    // The oracle asserts HLL's documented contract: exact count recomputed,
+    // within-5% flag expected TRUE. A sketch regression flips the hash red.
+    "q18_agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS approx_within_5pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -104,9 +104,22 @@ object LlmOps {
     * all-pairs-in-block with per-pair array intersection would be O(B²·|sh|)
     * per block and is the thing that does NOT survive a 100× scale-up. At
     * true corpus scale the remaining risk is shingle-frequency skew
-    * (boilerplate shingles shared by thousands of docs); the standard guard
-    * is a document-frequency cap on shingles before the self-join, which
-    * composes here as one extra groupBy/filter. */
+    * (boilerplate shingles shared by thousands of docs): one shingle with
+    * document frequency f contributes f² join rows, so a boilerplate
+    * header shared by 10⁴ docs is quadratic on its own. Guard: a
+    * document-frequency cap ([[JaccardDfCap]]) drops hot shingles before
+    * the self-join — a shingle that common carries no near-dup signal
+    * anyway (it is stopword-like at the shingle level).
+    *
+    * Plan shape: ONE explicit repartition on the blocking key (block, sh)
+    * is the only shuffle of exploded digests. All four consumers — the df
+    * histogram, the semi-join that applies the cap, and both self-join
+    * sides — hang off that same exchange, which Catalyst's ReuseExchange
+    * dedups (the digest pipeline runs once, fixing the double-scan of the
+    * previous formulation), and every join downstream is co-partitioned:
+    * no further exchange until the final pair-level groupBy. */
+  val JaccardDfCap = 100L
+
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // explode_outer, not explode: a plain explode lets the optimizer infer
@@ -124,8 +137,14 @@ object LlmOps {
         concat($"lang", lit("|"), floor($"n_chars" / lit(500)).cast("long").cast("string")))
       .select($"doc_id", $"block", size($"dshin").cast("long").as("nsh"),
         explode_outer($"dshin").as("sh"))
-    val a = ex.select($"doc_id".as("doc1"), $"block", $"nsh".as("nsh1"), $"sh")
-    val b = ex.select($"doc_id".as("doc2"), $"block".as("block2"),
+    // the single shuffle of exploded digests; reused by all four consumers
+    val exRep = ex.repartition($"block", $"sh")
+    val rare = exRep.groupBy($"block", $"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= JaccardDfCap)
+      .select($"block", $"sh")
+    val ok = exRep.join(rare, Seq("block", "sh"), "left_semi")
+    val a = ok.select($"doc_id".as("doc1"), $"block", $"nsh".as("nsh1"), $"sh")
+    val b = ok.select($"doc_id".as("doc2"), $"block".as("block2"),
       $"nsh".as("nsh2"), $"sh".as("sh2"))
     val ord = Seq($"jac".desc, $"doc1".asc, $"doc2".asc)
     a.join(b, $"sh" === $"sh2" && $"block" === $"block2" && $"doc1" < $"doc2")
@@ -147,6 +166,30 @@ object LlmOps {
     a.join(b, $"key" === $"key2" && $"vec1" < $"vec2")
       .withColumn("cos", cosine(s)($"e1", $"e2"))
       .select($"vec1", $"vec2", $"cos")
+      .orderBy(ord: _*).limit(20).orderBy(ord: _*)
+  }
+
+  /** Embedding near-dup at scale width: 16-bit keys × 4 disjoint bands
+    * (OR-construction, [[VectorOps.signBandKeys]]). The 8-bit single-key
+    * variant ([[dedupEmbedding]]) is the readable baseline; THIS is the
+    * shape you run at 100 TB — 65k buckets per band keep in-bucket pairing
+    * near-linear, and the 4-band OR recovers recall. A pair colliding in
+    * several bands is counted once (pair-level groupBy; cos is identical
+    * across bands so max = the value). explode_outer, not explode, per the
+    * q43 pushdown-inlining lesson. */
+  def dedupEmbeddingBanded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        explode_outer(VectorOps.signBandKeys($"embedding", 16, 4)).as("bk"))
+      .select($"vec_id", $"embedding", $"bk.band".as("band"), $"bk.key".as("key"))
+    val a = e.select($"vec_id".as("vec1"), $"band", $"key", $"embedding".as("e1"))
+    val b = e.select($"vec_id".as("vec2"), $"band".as("band2"), $"key".as("key2"),
+      $"embedding".as("e2"))
+    val ord = Seq($"cos".desc, $"vec1".asc, $"vec2".asc)
+    a.join(b, $"band" === $"band2" && $"key" === $"key2" && $"vec1" < $"vec2")
+      .withColumn("cos", cosine(s)($"e1", $"e2"))
+      .groupBy($"vec1", $"vec2").agg(max($"cos").as("cos"))
       .orderBy(ord: _*).limit(20).orderBy(ord: _*)
   }
 
@@ -183,25 +226,45 @@ object LlmOps {
       .orderBy($"qid", $"rn")
   }
 
-  /** IVF-style ANN: a fixed coarse quantizer (the first 16 vectors as
-    * centroids — deterministic, no iterative k-means), every vector assigned
-    * to its nearest centroid cell map-side (broadcast centroids, O(N·16·d),
-    * zero shuffle), then search probes only the query's cell. The second
-    * scale path next to sign-LSH ([[annLshBucketed]]): cells replace the
-    * all-pairs cross join with an equi-join on cell id, exactly how a
-    * 100 TB index shards — centroid assignment at write time, per-cell
-    * partitions at read time. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  /** IVF centroid assignment, map-side: the 16 centroids are folded into a
+    * single sorted array (one bounded ≤32-partial-row shuffle, like
+    * CosineTopK's query side), broadcast as ONE row, and each vector picks
+    * its argmax-cosine cell inside a single projection — `aggregate` over
+    * the centroid array with a (cid, cos) accumulator, strictly-greater
+    * replacement so ties keep the lowest cid (identical semantics to the
+    * `row_number` formulation it replaces, which shuffled all N candidate
+    * rows through a per-vector Window just to rank 16 of them). At 100 TB
+    * this is the difference between a full-corpus shuffle and none:
+    * assignment cost is O(N·16·d) map-side FLOPs, zero rows move. */
+  def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val cents = e.filter($"vec_id" < 16)
-      .select($"vec_id".as("cid"), $"embedding".as("ce"))
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cid".asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cos_c", cosine(s)($"embedding", $"ce"))
-      .withColumn("rnc", row_number().over(wAssign))
-      .filter($"rnc" === 1)
-      .select($"vec_id", $"cid", $"embedding")
+    val centsArr = e.filter($"vec_id" < 16)
+      .agg(sort_array(collect_list(struct($"vec_id".as("cid"), $"embedding".as("ce"))))
+        .as("cents"))
+    e.crossJoin(broadcast(centsArr))
+      .withColumn("best", aggregate(
+        $"cents",
+        struct(lit(-1L).as("cid"), lit(Double.NegativeInfinity).as("cos_c")),
+        (acc, c) => {
+          val cs = cosine(s)($"embedding", c.getField("ce"))
+          when(cs > acc.getField("cos_c"),
+            struct(c.getField("cid").as("cid"), cs.as("cos_c"))).otherwise(acc)
+        }))
+      .select($"vec_id", $"best.cid".as("cid"), $"embedding")
+  }
+
+  /** IVF-style ANN: a fixed coarse quantizer (the first 16 vectors as
+    * centroids — deterministic, no iterative k-means), every vector assigned
+    * to its nearest centroid cell map-side ([[ivfAssigned]] — broadcast
+    * centroid array, zero shuffle), then search probes only the query's
+    * cell. The second scale path next to sign-LSH ([[annLshBucketed]]):
+    * cells replace the all-pairs cross join with an equi-join on cell id,
+    * exactly how a 100 TB index shards — centroid assignment at write time,
+    * per-cell partitions at read time. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assigned = ivfAssigned(s, dir)
     val q = assigned.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"cid".as("qcell"), $"embedding".as("qe"))
     val c = assigned.select($"vec_id".as("vid"), $"cid", $"embedding".as("ve"))
@@ -343,6 +406,7 @@ object LlmOps {
     "q42_dedup_simhash" -> dedupSimhash,
     "q43_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q44_dedup_embedding" -> dedupEmbedding,
+    "q64_dedup_embedding_banded" -> dedupEmbeddingBanded,
     "q45_ann_brute_force" -> annBruteForce,
     "q46_ann_lsh_bucketed" -> annLshBucketed,
     "q53_ann_ivf" -> annIvf,
@@ -402,11 +466,15 @@ object LlmOps {
          |  FROM (SELECT doc_id, lang || '|' || CAST(n_chars // 500 AS VARCHAR) AS block, list_distinct($shingle3Sql) AS dshin
          |        FROM (SELECT doc_id, lang, n_chars, $tokenHashesSql AS th
          |              FROM (SELECT doc_id, lang, n_chars, $toksSql AS toks FROM documents)))
+         |), okx AS (
+         |  SELECT e.* FROM ex e
+         |  JOIN (SELECT block, sh FROM ex GROUP BY block, sh HAVING count(*) <= $JaccardDfCap) d
+         |    ON e.block = d.block AND e.sh = d.sh
          |)
          |SELECT doc1, doc2, CAST(common AS DOUBLE) / CAST(nsh1 + nsh2 - common AS DOUBLE) AS jac
          |FROM (
          |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.nsh AS nsh1, b.nsh AS nsh2, count(*) AS common
-         |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.block = b.block AND a.doc_id < b.doc_id
+         |  FROM okx a JOIN okx b ON a.sh = b.sh AND a.block = b.block AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2, 3, 4
          |)
          |ORDER BY jac DESC, doc1 ASC, doc2 ASC
@@ -421,6 +489,22 @@ object LlmOps {
          |             array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS key
          |      FROM embeddings) b
          |  ON a.key = b.key AND a.vec_id < b.vec_id
+         |ORDER BY cos DESC, vec1 ASC, vec2 ASC
+         |LIMIT 20""".stripMargin,
+    "q64_dedup_embedding_banded" ->
+      s"""WITH keyed AS (
+         |  SELECT vec_id, embedding, band,
+         |         array_to_string(list_transform(embedding[(16*band+1):(16*band+16)],
+         |           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS key
+         |  FROM embeddings, (SELECT unnest([0,1,2,3]) AS band)
+         |)
+         |SELECT vec1, vec2, max(pcos) AS cos FROM (
+         |  SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+         |         ${cosSql("a.embedding", "b.embedding")} AS pcos
+         |  FROM keyed a JOIN keyed b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+         |)
+         |GROUP BY vec1, vec2
          |ORDER BY cos DESC, vec1 ASC, vec2 ASC
          |LIMIT 20""".stripMargin,
     "q45_ann_brute_force" ->

@@ -44,6 +44,20 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q53 IVF centroid assignment is map-side (no full-corpus exchange)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = graft.queries.LlmOps.ivfAssigned(spark, sfDir)
+      .queryExecution.executedPlan
+    // no Window ranking N candidate rows per vector...
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "assignment must be an argmax projection, not a window rank")
+    // ...and the only shuffle is the bounded 16-centroid fold feeding the
+    // broadcast (≤ one partial row per input partition), never the corpus.
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1, s"unexpected shuffles: $shuffles")
+  }
+
   test("no digest hashing inlined into Filter nodes (pushdown-inlining guard)") {
     // Predicates on expensive computed columns get pushed below their
     // projection and re-evaluate the whole digest pipeline per row inside
