@@ -112,12 +112,14 @@ object LlmOps {
     * anyway (it is stopword-like at the shingle level).
     *
     * Plan shape: ONE explicit repartition on the blocking key (block, sh)
-    * is the only shuffle of exploded digests. All four consumers — the df
-    * histogram, the semi-join that applies the cap, and both self-join
-    * sides — hang off that same exchange, which Catalyst's ReuseExchange
-    * dedups (the digest pipeline runs once, fixing the double-scan of the
-    * previous formulation), and every join downstream is co-partitioned:
-    * no further exchange until the final pair-level groupBy. */
+    * is the only shuffle of exploded digests; both self-join sides hang
+    * off that same exchange, which Catalyst's ReuseExchange dedups — the
+    * md5 digest pipeline runs ONCE (the round-1 formulation scanned and
+    * digested documents twice). The df cap is a window count over the same
+    * partitioning rather than a separate groupBy+semi-join: a groupBy
+    * branch gets column-pruned into a non-identical subtree that defeats
+    * ReuseExchange and re-runs the digest scan, which an .explain audit of
+    * the first attempt showed (ShuffleQueryStage 0 ≠ ReusedExchange). */
   val JaccardDfCap = 100L
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -137,12 +139,13 @@ object LlmOps {
         concat($"lang", lit("|"), floor($"n_chars" / lit(500)).cast("long").cast("string")))
       .select($"doc_id", $"block", size($"dshin").cast("long").as("nsh"),
         explode_outer($"dshin").as("sh"))
-    // the single shuffle of exploded digests; reused by all four consumers
+    // the single shuffle of exploded digests; reused by both join sides
     val exRep = ex.repartition($"block", $"sh")
-    val rare = exRep.groupBy($"block", $"sh").agg(count(lit(1)).as("df"))
+    val wdf = Window.partitionBy($"block", $"sh")
+    val ok = exRep
+      .withColumn("df", count(lit(1)).over(wdf))
       .filter($"df" <= JaccardDfCap)
-      .select($"block", $"sh")
-    val ok = exRep.join(rare, Seq("block", "sh"), "left_semi")
+      .drop("df")
     val a = ok.select($"doc_id".as("doc1"), $"block", $"nsh".as("nsh1"), $"sh")
     val b = ok.select($"doc_id".as("doc2"), $"block".as("block2"),
       $"nsh".as("nsh2"), $"sh".as("sh2"))
