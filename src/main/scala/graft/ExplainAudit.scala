@@ -21,6 +21,7 @@ object ExplainAudit {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.maxToStringFields", 200)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -23,6 +23,15 @@ object Tables {
     * with *integer* division to micros — the values carry no sub-µs
     * component, and int64 nanos exceed 2^53 so a double roundtrip would
     * corrupt them.
+    *
+    * `nanosAsLong` is a SESSION-level conf: the parquet→catalyst schema
+    * conversion happens per file at execution time, so it cannot be scoped
+    * to this one read (a save/restore around the lazy DataFrame would be
+    * unset again by action time). Every graft session builder
+    * (Verify/Bench/ExplainAudit/Demo/TestSpark) pre-sets it; the set below
+    * is kept so the loader also works on a caller-supplied session, at the
+    * documented cost that any other TIMESTAMP(NANOS) read in that session
+    * then resolves as LONG too.
     */
   private def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

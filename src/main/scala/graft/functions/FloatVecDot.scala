@@ -23,6 +23,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * elements of the longer input are ignored (fixture embeddings are
   * fixed-length; `zip_with` would null-poison instead, so don't feed
   * ragged pairs to either form).
+  *
+  * Null elements: a null slot inside either array (within the compared
+  * prefix) makes the result NULL — the same null-poisoning the HOF form
+  * has (`zip_with` product of a null is null; `aggregate`'s `+` then
+  * poisons the sum), so the two formulations stay interchangeable. The
+  * guard is explicit because `ArrayData.getFloat` on a null slot would
+  * otherwise read an undefined value rather than fail.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -41,6 +48,7 @@ case class FloatVecDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += (x.getFloat(i) * y.getFloat(i)).toDouble
       i += 1
     }
@@ -52,13 +60,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      val bad = ctx.freshName("hasNullElem")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
          |  $acc += (double) ($x.getFloat($i) * $y.getFloat($i));
          |}
-         |${ev.value} = $acc;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 

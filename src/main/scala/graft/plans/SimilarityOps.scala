@@ -34,10 +34,15 @@ object SimilarityOps {
     // injectPlannerStrategy; for any other session, install it through the
     // public experimental hook so the node always has a physical plan.
     // (A duplicate registration is harmless: the strategy only matches
-    // CosineTopK and the planner takes the first produced plan.)
-    if (!spark.experimental.extraStrategies.contains(CosineTopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ CosineTopKStrategy
+    // CosineTopK and the planner takes the first produced plan. The
+    // check-then-append is synchronized because extraStrategies is a plain
+    // var — two threads racing the read-modify-write could lose an append
+    // and fail planning with "No plan for CosineTopK".)
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(CosineTopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ CosineTopKStrategy
+    }
     val q = queries.select(qId.cast("long").as("qid"), qVec.as("qe"))
     val c = candidates.select(cId.cast("long").as("vid"), cVec.as("ve"))
     org.apache.spark.sql.classic.GraftPlanBridgeImpl.ofRows(spark,

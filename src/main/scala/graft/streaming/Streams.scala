@@ -49,9 +49,22 @@ object Streams {
   def withWatermarked(events: DataFrame, delay: String)(f: DataFrame => DataFrame): DataFrame =
     f(events.withWatermark("ts", delay))
 
-  /** Streaming dedup by event_id within the watermark horizon. */
+  /** Streaming dedup by event_id within the watermark horizon.
+    *
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`): with the
+    * plain form, state for a key is never evicted unless the event-time
+    * column is itself part of the dedup keys, so a long-lived stream grows
+    * state without bound. The within-watermark form expires each key once
+    * the watermark passes its event time — state is bounded by the number
+    * of distinct ids seen per `delay` horizon, which is what a 100 TB
+    * stream needs. Batch frames reject the within-watermark form
+    * (UnsupportedOperationChecker), so the batch twin — which has no state
+    * to bound — is plain dropDuplicates; the batch-equivalence spec ties
+    * the two together. */
   def dedupEvents(events: DataFrame, delay: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", delay).dropDuplicates("event_id")
+    if (events.isStreaming)
+      events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 

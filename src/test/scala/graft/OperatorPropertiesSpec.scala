@@ -153,6 +153,21 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("graft_vec_dot null-poisons on a null element, matching the HOF form") {
+    // A null slot inside either array must yield NULL (the HOF contract),
+    // never an undefined getFloat read. Exercised through both the
+    // interpreted path (eval) and codegen (a projection over a DataFrame).
+    val rows = Seq(
+      (1L, Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (2L, Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](1.0f, 2.0f)))
+      .toDF("id", "a", "b")
+    val out = rows.select($"id",
+      VectorOps.dot(spark)($"a", $"b").as("native"),
+      VectorOps.dotF($"a", $"b").as("hof")).orderBy($"id").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2)) // both formulations null
+    assert(out(1).getDouble(1) === 5.0 && out(1).getDouble(2) === 5.0)
+  }
+
   test("minhash signature is stable and length-correct; identical docs collide") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "x y z w v u t s")).toDF("doc_id", "text")
     val sigs = docs
