@@ -125,13 +125,73 @@ object Scalars {
       .orderBy($"event_id")
   }
 
+  /** Date functions beyond q31, closing the §2.B date row exactly:
+    * months_between / add_months / next_day / quarter / dayofyear /
+    * weekofyear / make_date. months_between is declared on month-first
+    * dates (both day 1 → exact integer months), the regime where every
+    * engine agrees; the 31-day fractional regime is Spark-specific and
+    * exercised in ScalaTest instead. */
+  def dateExtraFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(
+        $"o_orderkey",
+        months_between(trunc($"o_orderdate", "mon"), lit("1992-01-01").cast("date"))
+          .cast("long").as("months_since"),
+        add_months($"o_orderdate", 3).as("plus3mo"),
+        quarter($"o_orderdate").as("qtr"),
+        dayofyear($"o_orderdate").as("doy"),
+        weekofyear($"o_orderdate").as("wk"),
+        next_day($"o_orderdate", "Mon").as("next_mon"),
+        make_date(year($"o_orderdate"), month($"o_orderdate"), lit(1)).as("month_first"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Array functions beyond q33: array_contains / array_position /
+    * array_distinct / sort_array / higher-order filter & exists, over the
+    * documents word list. Array-valued intermediates never leave the
+    * query: outputs are scalars (joined strings / counts / booleans) so
+    * the cross-engine compare stays on primitive columns. */
+  def arrayExtraFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("words", split($"text", " "))
+      .select(
+        $"doc_id",
+        array_contains($"words", "the").as("has_the"),
+        array_position($"words", "the").as("pos_the"),
+        array_join(slice(sort_array(array_distinct($"words")), 1, 5), ",").as("first5_alpha"),
+        size(filter($"words", w => length(w) > 3)).as("n_long"),
+        exists($"words", w => length(w) > 6).as("has_very_long"))
+      .orderBy($"doc_id")
+  }
+
+  /** json_tuple (the Generator-based multi-field JSON extractor, distinct
+    * from q35's per-path get_json_object) plus a to_json rebuild proving
+    * the struct→JSON direction round-trips. */
+  def jsonTupleFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id", $"props",
+        json_tuple($"props", "k", "missing").as(Seq("k_str", "miss")))
+      .select(
+        $"event_id",
+        $"k_str",
+        $"miss",
+        to_json(struct($"k_str".cast("int").as("k"))).as("rebuilt"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_fn_string" -> stringFns,
     "q31_fn_date" -> dateFns,
     "q32_fn_math" -> mathFns,
     "q33_fn_array" -> arrayFns,
     "q34_fn_map" -> mapFns,
-    "q35_fn_json" -> jsonFns
+    "q35_fn_json" -> jsonFns,
+    "q65_fn_date_extra" -> dateExtraFns,
+    "q66_fn_array_extra" -> arrayExtraFns,
+    "q67_fn_json_tuple" -> jsonTupleFns
   )
 
   val oracles: Map[String, String] = Map(
@@ -200,6 +260,43 @@ object Scalars {
       """SELECT event_id,
         |       props->>'$.k' AS k_str,
         |       CAST(props->>'$.k' AS INT) AS k_int
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q65_fn_date_extra" ->
+      // date_diff('month', ...) counts month-boundary crossings = calendar
+      // month delta, exactly Spark's months_between on two day-1 dates.
+      // next_day(Mon): isodow is 1=Monday; (8 - isodow) % 7 days ahead,
+      // with 0 mapped to 7 so a Monday advances a full week (strictly-after
+      // semantics, like Spark).
+      """SELECT o_orderkey,
+        |       CAST(date_diff('month', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS months_since,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+        |       CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |       CAST(weekofyear(o_orderdate) AS INT) AS wk,
+        |       CAST(o_orderdate AS DATE)
+        |         + CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+        |                     ELSE (8 - isodow(o_orderdate)) % 7 END AS INT) AS next_mon,
+        |       make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS month_first
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "q66_fn_array_extra" ->
+      // list_position returns 0 for a missing element (same as Spark's
+      // array_position); list_distinct's order is unspecified, so the
+      // distinct list is always sorted before joining.
+      """SELECT doc_id,
+        |       list_contains(words, 'the') AS has_the,
+        |       CAST(list_position(words, 'the') AS BIGINT) AS pos_the,
+        |       array_to_string(list_sort(list_distinct(words))[1:5], ',') AS first5_alpha,
+        |       CAST(len(list_filter(words, w -> length(w) > 3)) AS INT) AS n_long,
+        |       len(list_filter(words, w -> length(w) > 6)) > 0 AS has_very_long
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q67_fn_json_tuple" ->
+      """SELECT event_id,
+        |       props->>'$.k' AS k_str,
+        |       props->>'$.missing' AS miss,
+        |       CAST(to_json(struct_pack(k := CAST(props->>'$.k' AS INT))) AS VARCHAR) AS rebuilt
         |FROM events
         |ORDER BY event_id""".stripMargin
   )

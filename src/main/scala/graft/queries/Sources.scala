@@ -104,11 +104,35 @@ object Sources {
       .orderBy($"n_events")
   }
 
+  /** The streaming sliding-window operator (Streams.slidingCounts, 1-hour
+    * window every 15 minutes) applied to the batch frame — each event lands
+    * in exactly window/slide = 4 windows. Same contract as q39: DuckDB
+    * parity here + the StreamsSpec batch-equivalence spec cover the
+    * streaming path. */
+  def streamSlidingBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.Streams.slidingCounts(Tables.events(s, dir))
+      .orderBy($"ws", $"event_type")
+  }
+
+  /** `session_window` proper (Streams.sessionCounts, 30-minute gap) on the
+    * batch frame. Sessions merge while each event starts within `gap` of
+    * the previous one — a new session opens exactly when the inter-event
+    * gap is >= 30 minutes (the window is the half-open union of
+    * [ts, ts+gap)), which is what the lag/cumsum oracle encodes. */
+  def streamSessionBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.Streams.sessionCounts(Tables.events(s, dir))
+      .orderBy($"ss", $"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_csv_roundtrip" -> csvRoundtrip,
     "q38_json_roundtrip" -> jsonRoundtrip,
     "q39_stream_tumbling_batch" -> streamTumblingBatch,
-    "q61_sessionization" -> sessionizationBatch
+    "q61_sessionization" -> sessionizationBatch,
+    "q68_stream_sliding_batch" -> streamSlidingBatch,
+    "q69_stream_session_batch" -> streamSessionBatch
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,6 +167,36 @@ object Sources {
         |    )
         |  ) GROUP BY user_id, sess_id
         |) GROUP BY n_events
-        |ORDER BY n_events""".stripMargin
+        |ORDER BY n_events""".stripMargin,
+    "q68_stream_sliding_batch" ->
+      // Each event belongs to the 4 sliding windows whose starts are the
+      // event's 15-minute bucket minus 0..3 slides; window starts are
+      // epoch-aligned exactly like Spark's TimeWindow, computed here with
+      // integer epoch arithmetic so no origin convention is involved.
+      """SELECT TIMESTAMP '1970-01-01 00:00:00'
+        |         + ((CAST(floor(epoch(ts) / 900) AS BIGINT) - t.g) * 900) * INTERVAL 1 SECOND AS ws,
+        |       event_type, count(*) AS n
+        |FROM events CROSS JOIN generate_series(0, 3) t(g)
+        |GROUP BY 1, 2
+        |ORDER BY ws, event_type""".stripMargin,
+    "q69_stream_session_batch" ->
+      // Gap-based twin of session_window: a session breaks when the
+      // inter-event gap reaches the 30-minute horizon (>= — the window
+      // union is half-open), session start = min(ts) of the run.
+      """SELECT ss, user_id, n FROM (
+        |  SELECT min(ts) AS ss, user_id, count(*) AS n FROM (
+        |    SELECT user_id, ts,
+        |           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |             CASE WHEN lag(ts) OVER w IS NULL
+        |                    OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+        |                  THEN 1 ELSE 0 END AS new_sess
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |    )
+        |  ) GROUP BY user_id, sess_id
+        |) ORDER BY ss, user_id""".stripMargin
   )
 }

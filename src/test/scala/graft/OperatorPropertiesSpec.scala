@@ -168,6 +168,19 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out(1).getDouble(1) === 5.0 && out(1).getDouble(2) === 5.0)
   }
 
+  test("months_between fractional regime (not oracle-checkable) follows the 31-day rule") {
+    // q65 declares only the day-1 integer regime (every engine agrees
+    // there); the fractional regime is Spark-defined: day difference / 31.
+    import org.apache.spark.sql.functions.{months_between, lit}
+    val got = spark.range(1).select(
+      months_between(lit("1995-03-14").cast("date"), lit("1995-01-01").cast("date")).as("m"),
+      months_between(lit("2020-03-31").cast("date"), lit("2020-02-29").cast("date")).as("eom"))
+      .head()
+    // months_between rounds to 8 decimal places by default (roundOff=true)
+    assert(math.abs(got.getDouble(0) - (2.0 + 13.0 / 31.0)) < 5e-8)
+    assert(got.getDouble(1) === 1.0) // both end-of-month -> exact integer
+  }
+
   test("minhash signature is stable and length-correct; identical docs collide") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "x y z w v u t s")).toDF("doc_id", "text")
     val sigs = docs
