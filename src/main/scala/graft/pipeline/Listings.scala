@@ -44,19 +44,99 @@ object Listings {
     Seq("FechaDescarga", "Barrio", "Valor", "NumHabitaciones", "NumBanos", "mts2")
 
   // --- extraction (reference process_handler, download_lambda.py:87-119) ---
+  //
+  // BeautifulSoup-faithful without a parser dependency (jsoup is not on the
+  // image classpath): tags are located by OPEN-TAG scan and their attributes
+  // parsed generically, so attribute ORDER, quote style (double / single /
+  // unquoted), and whitespace around `=` never matter — `find(class_=...)`
+  // matches a whitespace-separated class TOKEN, `find(attrs={...})` an exact
+  // attribute value, and text is `get_text(strip=True)` (every text node
+  // stripped, concatenated), exactly BS4's behavior on the same input.
+  // Known divergence, documented: an element's extent is taken to the FIRST
+  // close tag of its own name, so a geo <div> containing a *nested div*
+  // would truncate early (nested spans/b/i are fine) — the reference site's
+  // cards don't nest divs inside the geo element.
 
-  private val cardSplit =
-    Pattern.compile("""<div[^>]*class="[^"]*listing-card__content[^"]*"[^>]*>""")
-  private val priceRe =
-    Pattern.compile("""<span[^>]*class="[^"]*price__actual[^"]*"[^>]*>(.*?)</span>""", Pattern.DOTALL)
-  private val geoRe =
-    Pattern.compile("""<div[^>]*class="[^"]*listing-card__location__geo[^"]*"[^>]*>(.*?)</div>""", Pattern.DOTALL)
-  private def attrRe(test: String) =
-    Pattern.compile("""<p[^>]*data-test="""" + test + """"[^>]*content="([^"]*)"""")
-  private val bedroomsRe = attrRe("bedrooms")
-  private val bathroomsRe = attrRe("bathrooms")
-  private val areaRe = attrRe("floor-area")
   private val dateRe = Pattern.compile("""(\d{4}-\d{2}-\d{2})""")
+
+  private def openTagRe(tag: String) =
+    Pattern.compile("(?i)<" + tag + "\\b([^>]*?)/?>")
+  private val divOpen = openTagRe("div")
+  private val spanOpen = openTagRe("span")
+  private val pOpen = openTagRe("p")
+  private val anyTag = Pattern.compile("<[^>]*>")
+
+  /** One HTML attribute: name = "dq" | 'sq' | bare (all legal per the HTML
+    * spec and handled by BS4's html.parser). */
+  private val attrValRe = Pattern.compile(
+    """(?i)([a-zA-Z][-\w:]*)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""")
+
+  /** First value of `name` inside an open tag's attribute string, any
+    * position, any quote style. */
+  private def attrValue(attrs: String, name: String): Option[String] = {
+    val m = attrValRe.matcher(attrs)
+    while (m.find()) {
+      if (m.group(1).equalsIgnoreCase(name)) {
+        val v =
+          if (m.group(2) != null) m.group(2)
+          else if (m.group(3) != null) m.group(3)
+          else m.group(4)
+        return Some(v)
+      }
+    }
+    None
+  }
+
+  /** BS4 `class_=` semantics: the token appears in the whitespace-split
+    * class list (never a substring match — "listing-card__content-extra"
+    * must NOT match). */
+  private def hasClassToken(attrs: String, token: String): Boolean =
+    attrValue(attrs, "class").exists(_.trim.split("\\s+").contains(token))
+
+  /** BS4 `get_text(strip=True)`: strip each text node, concatenate. */
+  private def innerText(s: String): String =
+    anyTag.split(s).iterator.map(_.trim).filter(_.nonEmpty).mkString("")
+
+  /** Chunk the document at each card-open tag (BS4's `find_all(
+    * "div", class_="listing-card__content")` loop scope): a card's search
+    * scope runs to the next card start. */
+  private def cardChunks(html: String): IndexedSeq[String] = {
+    val m = divOpen.matcher(html)
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (m.find()) {
+      if (hasClassToken(m.group(1), "listing-card__content")) starts += m.start()
+    }
+    starts.indices.map { i =>
+      val end = if (i + 1 < starts.length) starts(i + 1) else html.length
+      html.substring(starts(i), end)
+    }
+  }
+
+  /** First `tag` with the class token; inner text to the first matching
+    * close tag (see divergence note above). */
+  private def classedText(chunk: String, open: Pattern, tag: String, token: String): Option[String] = {
+    val m = open.matcher(chunk)
+    while (m.find()) {
+      if (hasClassToken(m.group(1), token)) {
+        val close = Pattern.compile("(?i)</" + tag + "\\s*>").matcher(chunk)
+        if (close.find(m.end())) return Some(innerText(chunk.substring(m.end(), close.start())))
+        return Some(innerText(chunk.substring(m.end())))
+      }
+    }
+    None
+  }
+
+  /** BS4 `find("p", {"data-test": test}).get("content")`: the FIRST p whose
+    * data-test equals `test` exactly decides the answer — a missing content
+    * attr on that p is a miss (None), not a cue to keep searching. */
+  private def dataTestContent(chunk: String, test: String): Option[String] = {
+    val m = pOpen.matcher(chunk)
+    while (m.find()) {
+      if (attrValue(m.group(1), "data-test").contains(test))
+        return attrValue(m.group(1), "content")
+    }
+    None
+  }
 
   private def first(p: Pattern, s: String): Option[String] = {
     val m = p.matcher(s)
@@ -75,15 +155,14 @@ object Listings {
     val fecha = first(dateRe, fileName)
       .map(Date.valueOf)
       .getOrElse(new Date(0L))
-    val chunks = cardSplit.split(html).drop(1) // text before the first card is not a card
-    chunks.toIndexedSeq.map { chunk =>
+    cardChunks(html).map { chunk =>
       Listing(
         FechaDescarga = fecha,
-        Barrio = first(geoRe, chunk),
-        Valor = first(priceRe, chunk),
-        NumHabitaciones = toIntOpt(first(bedroomsRe, chunk)),
-        NumBanos = toIntOpt(first(bathroomsRe, chunk)),
-        mts2 = toDoubleOpt(first(areaRe, chunk)))
+        Barrio = classedText(chunk, divOpen, "div", "listing-card__location__geo"),
+        Valor = classedText(chunk, spanOpen, "span", "price__actual"),
+        NumHabitaciones = toIntOpt(dataTestContent(chunk, "bedrooms")),
+        NumBanos = toIntOpt(dataTestContent(chunk, "bathrooms")),
+        mts2 = toDoubleOpt(dataTestContent(chunk, "floor-area")))
     }
   }
 

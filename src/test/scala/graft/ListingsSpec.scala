@@ -57,6 +57,88 @@ class ListingsSpec extends SparkSpec {
     assert(rows(2).mts2.contains(99.0))
   }
 
+  // --- adversarial goldens: BS4-parity on real-world-messy markup ---
+  // BeautifulSoup (download_lambda.py:87-114) is indifferent to attribute
+  // order, quote style, and whitespace; a regex port that bakes in one
+  // canonical serialization silently extracts null on reordered attrs.
+
+  test("attribute order is irrelevant: content before data-test still extracts") {
+    val html =
+      """<div class="listing-card__content">
+        |<p content="3" data-test="bedrooms"></p>
+        |<p class="x" content="2" id="b" data-test="bathrooms"></p>
+        |<p data-test="floor-area" class="y" content="77.5"></p>
+        |</div>""".stripMargin
+    val r = Listings.extractListings("2024-01-01.html", html).head
+    assert(r.NumHabitaciones.contains(3))
+    assert(r.NumBanos.contains(2))
+    assert(r.mts2.contains(77.5))
+  }
+
+  test("single-quoted / unquoted attributes and whitespace around = parse like BS4") {
+    val html =
+      """<div class = 'listing-card__content extra'>
+        |<span class='price__actual ask'>$ 99.000.000</span>
+        |<div class = "geo listing-card__location__geo">Suba</div>
+        |<p data-test = 'bedrooms' content = 2></p>
+        |<p content=1 data-test=bathrooms></p>
+        |</div>""".stripMargin
+    val r = Listings.extractListings("2024-01-01.html", html).head
+    assert(r.Valor.contains("$ 99.000.000"))
+    assert(r.Barrio.contains("Suba"))
+    assert(r.NumHabitaciones.contains(2))
+    assert(r.NumBanos.contains(1))
+  }
+
+  test("class matches the whitespace token, never a substring (BS4 class_ semantics)") {
+    // listing-card__content-extra must NOT open a card; price__actual-old
+    // must NOT be the price element.
+    val html =
+      """<div class="listing-card__content-extra"><span class="price__actual">$ 1</span></div>
+        |<div class="listing-card__content">
+        |<span class="price__actual-old">$ 2</span>
+        |<span class="price__actual">$ 3</span>
+        |</div>""".stripMargin
+    val rows = Listings.extractListings("2024-01-01.html", html)
+    assert(rows.size === 1)
+    assert(rows.head.Valor.contains("$ 3"))
+  }
+
+  test("nested inline tags inside price/geo concatenate like get_text(strip=True)") {
+    val html =
+      """<div class="listing-card__content">
+        |<span class="price__actual">$ <b>185</b>.000.000 </span>
+        |<div class="listing-card__location__geo"> <span>Chapinero</span>, <i>Bogotá</i> </div>
+        |</div>""".stripMargin
+    val r = Listings.extractListings("2024-01-01.html", html).head
+    // get_text(strip=True) strips each text node then concatenates
+    assert(r.Valor.contains("$185.000.000"))
+    assert(r.Barrio.contains("Chapinero,Bogotá"))
+  }
+
+  test("first matching p decides: missing content on it is a miss, not a fallthrough") {
+    // BS4's find returns the FIRST data-test match; .get("content") on it
+    // is None even if a LATER p carries a content attr.
+    val html =
+      """<div class="listing-card__content">
+        |<p data-test="bedrooms"></p>
+        |<p data-test="bedrooms" content="9"></p>
+        |</div>""".stripMargin
+    val r = Listings.extractListings("2024-01-01.html", html).head
+    assert(r.NumHabitaciones.isEmpty)
+  }
+
+  test("self-closing p tags and uppercase tag names extract the same") {
+    val html =
+      """<DIV CLASS="listing-card__content">
+        |<P data-test="bedrooms" content="4"/>
+        |<SPAN class="price__actual">$ 5</SPAN>
+        |</DIV>""".stripMargin
+    val r = Listings.extractListings("2024-01-01.html", html).head
+    assert(r.NumHabitaciones.contains(4))
+    assert(r.Valor.contains("$ 5"))
+  }
+
   test("distributed extract over a Dataset of pages") {
     import spark.implicits._
     val pages = spark.createDataset(Seq(
