@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
   * `maxPartitionBytes`-sized scan splits and binary-aware shuffle avoidance
   * (operate map-side, join on ids only) are the design.
   *
-  * The codec step itself is STUBBED with a deterministic fake (this
-  * container has no image/audio libraries): `StubCodec` derives pixels /
-  * samples from the bytes' rolling hash, so outputs are reproducible and
-  * testable. Swap `StubCodec` for a real decoder (e.g. TwelveMonkeys /
-  * javacv) without touching any Spark plumbing.
+  * The IMAGE path is real: `ImageIoCodec` decodes/encodes PNG via
+  * `javax.imageio` (JDK-native, no external dependency) — synthesized
+  * image rows carry genuine PNG payloads, features are pixel-luminance
+  * histograms, resize re-samples and re-encodes actual pixels. Audio and
+  * video remain STUBBED with a deterministic fake (`StubCodec`, rolling
+  * hash of the payload) because the JDK ships no codec for them; swap in a
+  * real decoder (javacv etc.) behind the same seam without touching any
+  * Spark plumbing. An image payload that does not decode (foreign bytes)
+  * falls back to the stub rather than failing the task — the PERMISSIVE
+  * stance every graft source takes.
   */
 object Multimodal {
 
@@ -71,41 +76,128 @@ object Multimodal {
       }
   }
 
+  /** Real PNG codec on `javax.imageio` — no dependency beyond the JDK.
+    * Everything is deterministic: the default PNG writer emits no
+    * timestamp chunks, so encode(decode(x)) is stable across runs. */
+  object ImageIoCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Deterministic seeded RGB pattern → real PNG bytes. */
+    def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var s = seed * 6364136223846793005L + 1442695040888963407L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          img.setRGB(x, y, ((s >>> 40) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      toPng(img)
+    }
+
+    def toPng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** None when the bytes are not a decodable image — callers fall back
+      * to the stub instead of failing the task. */
+    def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    /** Pixel features: luminance histogram over `dim` bins, normalized by
+      * pixel count — a real (if simple) image descriptor. */
+    def features(img: BufferedImage, dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      val n = img.getWidth * img.getHeight
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+          out((lum * dim) / 256) += 1.0f
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < dim) { out(i) /= n; i += 1 }
+      out
+    }
+
+    /** Real resample (Graphics2D draw into the target raster) + re-encode. */
+    def resizePng(img: BufferedImage, w: Int, h: Int): Array[Byte] = {
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+      toPng(dst)
+    }
+  }
+
   /** Deterministic synthetic media table (tests/demo — fixtures carry no
-    * binary tables). Payload bytes are seeded by media_id. */
+    * binary tables). Image rows carry REAL PNG payloads (decodable with any
+    * PNG reader); audio/video payloads are seeded opaque bytes. */
   def synthesize(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n.toLong).map { id =>
       val kind = Seq("image", "audio", "video")((id % 3).toInt)
-      val len = 256 + (id % 512).toInt
-      val bytes = new Array[Byte](len)
-      var h = id * 6364136223846793005L + 1442695040888963407L
-      var i = 0
-      while (i < len) { h = h * 6364136223846793005L + 1442695040888963407L; bytes(i) = (h >>> 56).toByte; i += 1 }
-      MediaRecord(id, kind,
-        bytes,
-        MediaMeta(Seq("png", "wav", "mp4")((id % 3).toInt), 64 + (id % 64).toInt, 64, id % 10000))
+      val w = 64 + (id % 64).toInt
+      val bytes =
+        if (kind == "image") ImageIoCodec.encodePng(w, 64, id)
+        else {
+          val len = 256 + (id % 512).toInt
+          val b = new Array[Byte](len)
+          var h = id * 6364136223846793005L + 1442695040888963407L
+          var i = 0
+          while (i < len) { h = h * 6364136223846793005L + 1442695040888963407L; b(i) = (h >>> 56).toByte; i += 1 }
+          b
+        }
+      MediaRecord(id, kind, bytes,
+        MediaMeta(Seq("png", "wav", "mp4")((id % 3).toInt), w, 64, id % 10000))
     }
   }
 
   /** Feature extraction: mapPartitions so a real codec is initialized once
-    * per partition (the batch shape that matters), never per row. */
+    * per partition (the batch shape that matters), never per row. Image
+    * rows decode real pixels (luminance histogram); audio/video use the
+    * stub; an undecodable image falls back to the stub, never fails. */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: val codec = Codec.open() — once per partition
-      it.map(m => MediaFeatures(m.media_id, m.kind, StubCodec.features(m.bytes, dim)))
+      // a heavier codec would be opened HERE — once per partition
+      it.map { m =>
+        val f =
+          if (m.kind == "image")
+            ImageIoCodec.tryDecode(m.bytes)
+              .map(ImageIoCodec.features(_, dim))
+              .getOrElse(StubCodec.features(m.bytes, dim))
+          else StubCodec.features(m.bytes, dim)
+        MediaFeatures(m.media_id, m.kind, f)
+      }
     }
   }
 
-  /** Resize images (other kinds pass through), meta updated consistently. */
+  /** Resize images (other kinds pass through), meta updated consistently.
+    * Decodable images are genuinely resampled and re-encoded as PNG. */
   def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        if (m.kind == "image")
-          m.copy(bytes = StubCodec.resize(m.bytes, w, h), meta = m.meta.copy(width = w, height = h))
-        else m
+        if (m.kind == "image") {
+          val out = ImageIoCodec.tryDecode(m.bytes)
+            .map(ImageIoCodec.resizePng(_, w, h))
+            .getOrElse(StubCodec.resize(m.bytes, w, h))
+          m.copy(bytes = out, meta = m.meta.copy(width = w, height = h))
+        } else m
       }
     }
   }

@@ -31,6 +31,50 @@ class MultimodalSpec extends SparkSpec {
     assert(audio.forall(_.meta.width != 32 || true)) // untouched rows keep original meta
   }
 
+  test("image payloads are REAL PNGs: decodable, meta-consistent dimensions") {
+    val images = Multimodal.synthesize(spark, 12).filter(_.kind == "image").collect()
+    assert(images.nonEmpty)
+    images.foreach { m =>
+      // PNG magic
+      assert((m.bytes(0) & 0xff) === 0x89 && m.bytes(1) === 'P'.toByte)
+      val img = Multimodal.ImageIoCodec.tryDecode(m.bytes)
+      assert(img.nonEmpty, s"media ${m.media_id} must decode as an image")
+      assert(img.get.getWidth === m.meta.width && img.get.getHeight === m.meta.height)
+    }
+  }
+
+  test("image features come from pixels: a luminance histogram summing to 1") {
+    val m = Multimodal.synthesize(spark, 12)
+    val feats = Multimodal.extractFeatures(m, dim = 16).collect().filter(_.kind == "image")
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      // histogram normalized by pixel count -> bins sum to ~1
+      assert(math.abs(f.features.map(_.toDouble).sum - 1.0) < 1e-3)
+    }
+  }
+
+  test("resized images re-encode as real PNGs at the target raster size") {
+    val m = Multimodal.synthesize(spark, 9)
+    val r = Multimodal.resizeImages(m, 32, 24).collect().filter(_.kind == "image")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val img = Multimodal.ImageIoCodec.tryDecode(x.bytes)
+      assert(img.nonEmpty)
+      assert(img.get.getWidth === 32 && img.get.getHeight === 24)
+    }
+  }
+
+  test("undecodable image bytes fall back to the stub instead of failing") {
+    import spark.implicits._
+    val bogus = spark.createDataset(Seq(
+      Multimodal.MediaRecord(99L, "image", Array[Byte](1, 2, 3, 4),
+        Multimodal.MediaMeta("png", 8, 8, 0L))))
+    val f = Multimodal.extractFeatures(bogus, dim = 8).collect()
+    assert(f.length === 1 && f.head.features.length === 8)
+    val r = Multimodal.resizeImages(bogus, 16, 16).collect()
+    assert(r.head.meta.width === 16)
+  }
+
   test("frame sampling explodes each video into n frames") {
     val m = Multimodal.synthesize(spark, 9)
     val videos = m.filter(_.kind == "video").count()
