@@ -174,17 +174,47 @@ object Aggregates {
     * are dyadic (.25/.5/.75 = exact powers of two), so the linear
     * interpolation between two integer-valued doubles is bit-exact in IEEE
     * arithmetic whatever formula each engine uses — arbitrary percentiles
-    * (p90 etc.) would NOT hash-match and belong to approx_percentile. */
+    * (p90 etc.) would NOT hash-match and belong to approx_percentile.
+    *
+    * Formulation: NOT `percentile(...)` — Spark's exact percentile is an
+    * ObjectHashAggregate whose buffer holds every raw value per group (the
+    * 32-core plan audit showed it as the most expensive query in the set),
+    * which at 100 TB is an executor-OOM plan. Instead: count-by-value
+    * (aggregate state bounded by the DOMAIN — distinct cent values — not by
+    * row count, with map-side combine shrinking each partition to its
+    * distinct values), then a cumulative-count window over the per-value
+    * counts and the standard interpolation `v_lo + (v_hi - v_lo) * frac`
+    * at 0-based position (n-1)*q, where the value at index i is the first
+    * value whose cumulative count exceeds i. Identical exact result,
+    * whole-stage-codegen aggregates, bounded memory. The window partitions
+    * by l_returnflag (3 partitions) but its input is the distinct-value
+    * table, so per-partition work is domain-bounded at any scale. */
   def quartilesAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(s, dir)
       .withColumn("pc", cents($"l_extendedprice"))
+      .groupBy($"l_returnflag", $"pc")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"l_returnflag").orderBy($"pc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"l_returnflag")
+    val quartiles = Seq(0.25 -> "q1_cents", 0.5 -> "median_cents", 0.75 -> "q3_cents")
+    val ranked = quartiles.foldLeft(
+      counts
+        .withColumn("cum", sum($"cnt").over(wCum))
+        .withColumn("n", sum($"cnt").over(wAll))) { case (df, (q, name)) =>
+      df.withColumn(s"pos_$name", ($"n" - 1) * lit(q))
+    }
+    val aggs = quartiles.map { case (_, name) =>
+      val pos = col(s"pos_$name")
+      val vLo = min(when($"cum" >= floor(pos) + 1, $"pc"))
+      val vHi = min(when($"cum" >= ceil(pos) + 1, $"pc"))
+      (vLo + (vHi - vLo) * max(pos - floor(pos))).as(name)
+    }
+    ranked
       .groupBy($"l_returnflag")
-      .agg(
-        percentile($"pc", lit(0.25)).as("q1_cents"),
-        percentile($"pc", lit(0.5)).as("median_cents"),
-        percentile($"pc", lit(0.75)).as("q3_cents"),
-        count(lit(1)).as("n_rows"))
+      .agg(aggs.head, aggs.tail :+ max($"n").as("n_rows"): _*)
       .orderBy($"l_returnflag")
   }
 
