@@ -58,6 +58,18 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"unexpected shuffles: $shuffles")
   }
 
+  test("q63 quartiles plan stays codegen: no ObjectHashAggregate (value-buffering percentile)") {
+    // percentile() would plan an ObjectHashAggregate whose buffer holds
+    // every raw value per group — memory grows with data volume. The
+    // count-by-value rewrite must keep all aggregates as codegen
+    // HashAggregateExec (state bounded by the distinct-value domain).
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val plan = SparkEntry.queries("q63_agg_quartiles")(spark, sfDir)
+      .queryExecution.executedPlan
+    assert(plan.collect { case o: ObjectHashAggregateExec => o }.isEmpty,
+      "q63 regressed to a value-buffering aggregate")
+  }
+
   test("no digest hashing inlined into Filter nodes (pushdown-inlining guard)") {
     // Predicates on expensive computed columns get pushed below their
     // projection and re-evaluate the whole digest pipeline per row inside
