@@ -39,6 +39,14 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // A null ELEMENT yields a null result even when both array inputs are
+  // non-null, so this must stay nullable regardless of child nullability:
+  // with non-nullable children, nullSafeCodeGen would otherwise emit
+  // `${ev.isNull} = true` against isNull=FalseLiteral (`false = true;`,
+  // a codegen compile error), and the interpreted path would return null
+  // from a declared-non-null expression — undefined under UnsafeProjection.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_vec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {

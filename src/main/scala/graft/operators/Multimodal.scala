@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
   * The IMAGE path is real: `ImageIoCodec` decodes/encodes PNG via
   * `javax.imageio` (JDK-native, no external dependency) — synthesized
   * image rows carry genuine PNG payloads, features are pixel-luminance
-  * histograms, resize re-samples and re-encodes actual pixels. Audio and
-  * video remain STUBBED with a deterministic fake (`StubCodec`, rolling
-  * hash of the payload) because the JDK ships no codec for them; swap in a
+  * histograms, resize re-samples and re-encodes actual pixels. The AUDIO
+  * path is real too: `WavCodec` decodes/encodes WAV PCM via
+  * `javax.sound.sampled.AudioSystem` (also JDK-native) — synthesized audio
+  * rows carry genuine RIFF/WAVE payloads, features are RMS + zero-crossing
+  * rate + Goertzel band energies over the decoded samples. Only VIDEO
+  * remains STUBBED with a deterministic fake (`StubCodec`, rolling hash of
+  * the payload) because the JDK ships no video codec at all; swap in a
   * real decoder (javacv etc.) behind the same seam without touching any
-  * Spark plumbing. An image payload that does not decode (foreign bytes)
-  * falls back to the stub rather than failing the task — the PERMISSIVE
-  * stance every graft source takes.
+  * Spark plumbing. A payload that does not decode (foreign bytes) falls
+  * back to the stub rather than failing the task — the PERMISSIVE stance
+  * every graft source takes.
   */
 object Multimodal {
 
@@ -143,44 +147,158 @@ object Multimodal {
     }
   }
 
+  /** Real WAV PCM codec on `javax.sound.sampled` — no dependency beyond the
+    * JDK. 16-bit signed mono little-endian PCM; `AudioSystem.write` emits a
+    * canonical RIFF header with no timestamps, so encode/decode round-trips
+    * are stable across runs.
+    */
+  object WavCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    val SampleRate = 8000f
+
+    /** Deterministic seeded tone-plus-noise signal → real WAV bytes. The
+      * two mixed tones land in different Goertzel bands so band energies
+      * are a meaningful descriptor, not flat noise. */
+    def encodeWav(nSamples: Int, seed: Long): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      val f1 = 200.0 + (seed % 7) * 150.0   // 200..1100 Hz
+      val f2 = 1500.0 + (seed % 5) * 400.0  // 1500..3100 Hz
+      var s = seed * 6364136223846793005L + 1442695040888963407L
+      var i = 0
+      while (i < nSamples) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val noise = ((s >>> 40).toInt & 0xffff) / 65535.0 - 0.5
+        val t = i / SampleRate
+        val v = 0.5 * math.sin(2 * math.Pi * f1 * t) +
+          0.3 * math.sin(2 * math.Pi * f2 * t) + 0.1 * noise
+        val sample = (v * Short.MaxValue).toInt.max(Short.MinValue).min(Short.MaxValue)
+        pcm(2 * i) = (sample & 0xff).toByte          // little-endian
+        pcm(2 * i + 1) = ((sample >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new ByteArrayOutputStream()
+      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos) finally ais.close()
+      bos.toByteArray
+    }
+
+    /** None when the bytes are not decodable 16-bit PCM WAV — callers fall
+      * back to the stub instead of failing the task. Returns samples
+      * normalized to [-1, 1] (first channel if multi-channel). */
+    def tryDecode(bytes: Array[Byte]): Option[Array[Float]] =
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val raw = ais.readAllBytes()
+            val ch = fmt.getChannels
+            val stride = 2 * ch
+            val n = raw.length / stride
+            val out = new Array[Float](n)
+            val big = fmt.isBigEndian
+            var i = 0
+            while (i < n) {
+              val lo = raw(i * stride + (if (big) 1 else 0)) & 0xff
+              val hi = raw(i * stride + (if (big) 0 else 1))
+              out(i) = ((hi << 8) | lo).toShort / 32768.0f
+              i += 1
+            }
+            Some(out)
+          }
+        } finally ais.close()
+      } catch { case _: Exception => None }
+
+    /** PCM features: [rms, zero-crossing rate, band energies...] — `dim - 2`
+      * Goertzel filters at band centers spread over (0, Nyquist). A real
+      * (if simple) audio descriptor over genuinely decoded samples. */
+    def features(samples: Array[Float], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      val n = samples.length
+      if (n == 0) return out
+      var sumSq = 0.0
+      var zc = 0
+      var i = 0
+      while (i < n) {
+        sumSq += samples(i).toDouble * samples(i)
+        if (i > 0 && (samples(i) >= 0) != (samples(i - 1) >= 0)) zc += 1
+        i += 1
+      }
+      out(0) = math.sqrt(sumSq / n).toFloat
+      out(1) = zc.toFloat / n
+      val bands = dim - 2
+      var b = 0
+      while (b < bands) {
+        // Goertzel power at the band-center frequency, normalized by length.
+        val freq = (b + 0.5) * (SampleRate / 2.0) / bands
+        val coeff = 2.0 * math.cos(2 * math.Pi * freq / SampleRate)
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+        var j = 0
+        while (j < n) {
+          s0 = samples(j) + coeff * s1 - s2
+          s2 = s1; s1 = s0
+          j += 1
+        }
+        out(2 + b) = ((s1 * s1 + s2 * s2 - coeff * s1 * s2) / n).toFloat
+        b += 1
+      }
+      out
+    }
+  }
+
   /** Deterministic synthetic media table (tests/demo — fixtures carry no
     * binary tables). Image rows carry REAL PNG payloads (decodable with any
-    * PNG reader); audio/video payloads are seeded opaque bytes. */
+    * PNG reader); audio rows carry REAL WAV PCM payloads (decodable with
+    * any WAV reader); only video payloads are seeded opaque bytes. */
   def synthesize(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n.toLong).map { id =>
       val kind = Seq("image", "audio", "video")((id % 3).toInt)
       val w = 64 + (id % 64).toInt
-      val bytes =
-        if (kind == "image") ImageIoCodec.encodePng(w, 64, id)
-        else {
+      val nSamples = 800 + (id % 800).toInt // 100–200 ms at 8 kHz
+      val bytes = kind match {
+        case "image" => ImageIoCodec.encodePng(w, 64, id)
+        case "audio" => WavCodec.encodeWav(nSamples, id)
+        case _ =>
           val len = 256 + (id % 512).toInt
           val b = new Array[Byte](len)
           var h = id * 6364136223846793005L + 1442695040888963407L
           var i = 0
           while (i < len) { h = h * 6364136223846793005L + 1442695040888963407L; b(i) = (h >>> 56).toByte; i += 1 }
           b
-        }
+      }
+      val durationMs = if (kind == "audio") (nSamples * 1000L) / WavCodec.SampleRate.toLong else id % 10000
       MediaRecord(id, kind, bytes,
-        MediaMeta(Seq("png", "wav", "mp4")((id % 3).toInt), w, 64, id % 10000))
+        MediaMeta(Seq("png", "wav", "mp4")((id % 3).toInt), w, 64, durationMs))
     }
   }
 
   /** Feature extraction: mapPartitions so a real codec is initialized once
     * per partition (the batch shape that matters), never per row. Image
-    * rows decode real pixels (luminance histogram); audio/video use the
-    * stub; an undecodable image falls back to the stub, never fails. */
+    * rows decode real pixels (luminance histogram); audio rows decode real
+    * PCM (RMS/ZCR/band energies); video uses the stub; an undecodable
+    * payload falls back to the stub, never fails. */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // a heavier codec would be opened HERE — once per partition
       it.map { m =>
-        val f =
-          if (m.kind == "image")
+        val f = m.kind match {
+          case "image" =>
             ImageIoCodec.tryDecode(m.bytes)
               .map(ImageIoCodec.features(_, dim))
               .getOrElse(StubCodec.features(m.bytes, dim))
-          else StubCodec.features(m.bytes, dim)
+          case "audio" =>
+            WavCodec.tryDecode(m.bytes)
+              .map(WavCodec.features(_, dim))
+              .getOrElse(StubCodec.features(m.bytes, dim))
+          case _ => StubCodec.features(m.bytes, dim)
+        }
         MediaFeatures(m.media_id, m.kind, f)
       }
     }

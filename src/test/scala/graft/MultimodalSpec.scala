@@ -64,6 +64,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio payloads are REAL WAVs: RIFF magic, decodable, meta-consistent duration") {
+    val audio = Multimodal.synthesize(spark, 12).filter(_.kind == "audio").collect()
+    assert(audio.nonEmpty)
+    audio.foreach { m =>
+      assert(m.bytes(0) === 'R'.toByte && m.bytes(1) === 'I'.toByte &&
+        m.bytes(2) === 'F'.toByte && m.bytes(3) === 'F'.toByte)
+      val samples = Multimodal.WavCodec.tryDecode(m.bytes)
+      assert(samples.nonEmpty, s"media ${m.media_id} must decode as WAV PCM")
+      val expectMs = (samples.get.length * 1000L) / Multimodal.WavCodec.SampleRate.toLong
+      assert(m.meta.durationMs === expectMs)
+    }
+  }
+
+  test("audio features come from PCM: positive RMS, tone-consistent ZCR, band energy") {
+    val m = Multimodal.synthesize(spark, 12)
+    val feats = Multimodal.extractFeatures(m, dim = 16).collect().filter(_.kind == "audio")
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val rms = f.features(0)
+      val zcr = f.features(1)
+      // a 0.5-amplitude tone mix has RMS well inside (0.1, 0.8)
+      assert(rms > 0.1f && rms < 0.8f, s"RMS $rms out of tone range")
+      // dominant tone <= 3100 Hz at 8 kHz -> ZCR well below Nyquist's 1.0
+      assert(zcr > 0.01f && zcr < 0.9f, s"ZCR $zcr implausible for a tone mix")
+      // some Goertzel band must carry real energy (tones, not silence)
+      assert(f.features.drop(2).exists(_ > 1e-4f), "no band energy detected")
+    }
+  }
+
+  test("audio WAV encode/decode round-trips the PCM samples") {
+    val wav = Multimodal.WavCodec.encodeWav(1000, seed = 7L)
+    val s1 = Multimodal.WavCodec.tryDecode(wav)
+    assert(s1.nonEmpty && s1.get.length === 1000)
+    // re-encode decoded samples via a second synthesis of the same seed
+    val s2 = Multimodal.WavCodec.tryDecode(Multimodal.WavCodec.encodeWav(1000, seed = 7L))
+    assert(s1.get.sameElements(s2.get))
+  }
+
+  test("undecodable audio bytes fall back to the stub instead of failing") {
+    import spark.implicits._
+    val bogus = spark.createDataset(Seq(
+      Multimodal.MediaRecord(98L, "audio", Array[Byte](9, 9, 9, 9),
+        Multimodal.MediaMeta("wav", 0, 0, 0L))))
+    val f = Multimodal.extractFeatures(bogus, dim = 8).collect()
+    assert(f.length === 1 && f.head.features.length === 8)
+  }
+
   test("undecodable image bytes fall back to the stub instead of failing") {
     import spark.implicits._
     val bogus = spark.createDataset(Seq(
