@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -218,6 +218,69 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** approx_percentile for the non-dyadic percentiles (p90/p99) that q63
+    * deliberately excludes — the 100 TB percentile path. The raw sketch
+    * value is engine-specific (Spark's Greenwald-Khanna summary ≠ any
+    * DuckDB structure), so the q18 trick applies: the DECLARED output is
+    * the exact nearest-rank percentile (bit-exact integer cents — no
+    * interpolation, so no cross-engine FP formula to disagree on) plus a
+    * `within_bound` flag evaluating GK's deterministic contract in Spark;
+    * the oracle recomputes the exact column and asserts the flag TRUE, so
+    * a sketch regression flips the hash red.
+    *
+    * Bound: percentile_approx(pc, p, acc) guarantees rank error ≤ n/acc
+    * (relative error 1/acc, deterministic — not probabilistic). The flag
+    * checks the approx value lies between the exact values at ranks
+    * ceil(p·n) ± (ceil(n/acc) + 1); the +1 absorbs the nearest-rank-vs-p·n
+    * convention gap between this formulation and the sketch's target rank.
+    * All rank arithmetic is integer (ceil(a/b) = (a+b-1) div b) — no FP.
+    *
+    * Exact side reuses q63's domain-bounded count-by-value shape: aggregate
+    * state is bounded by distinct cent values, never an ObjectHashAggregate
+    * holding raw rows — the executor-OOM plan this formulation replaces at
+    * scale. The approx side is one codegen'd hash agg over raw rows with a
+    * constant-size GK buffer per group; the two 3-row sides join broadcast. */
+  val PercentileAccuracy = 1000
+
+  def approxPercentileAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pc = Tables.lineitem(s, dir).withColumn("pc", cents($"l_extendedprice"))
+    val counts = pc.groupBy($"l_returnflag", $"pc").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"l_returnflag").orderBy($"pc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"l_returnflag")
+    // exact integer floor-division on longs: (a - a mod b) / b, where the
+    // double divide of an exact multiple below 2^53 is exact
+    def idiv(a: Column, b: Int): Column =
+      ((a - pmod(a, lit(b.toLong))).cast("double") / lit(b.toDouble)).cast("long")
+    def ceilDiv(a: Column, b: Int): Column = idiv(a + lit(b.toLong - 1L), b)
+    val ranked = counts
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n", sum($"cnt").over(wAll))
+      .withColumn("err", ceilDiv($"n", PercentileAccuracy) + lit(1L))
+      .withColumn("r90", ceilDiv($"n" * 90, 100))
+      .withColumn("r99", ceilDiv($"n" * 99, 100))
+    def valueAt(rank: Column): Column = min(when($"cum" >= rank, $"pc"))
+    val exact = ranked.groupBy($"l_returnflag").agg(
+      max($"n").as("n_rows"),
+      valueAt($"r90").as("p90_cents"),
+      valueAt($"r99").as("p99_cents"),
+      valueAt(greatest($"r90" - $"err", lit(1L))).as("lo90"),
+      valueAt(least($"r90" + $"err", $"n")).as("hi90"),
+      valueAt(greatest($"r99" - $"err", lit(1L))).as("lo99"),
+      valueAt(least($"r99" + $"err", $"n")).as("hi99"))
+    val approx = pc.groupBy($"l_returnflag").agg(
+      percentile_approx($"pc", lit(0.90), lit(PercentileAccuracy)).as("a90"),
+      percentile_approx($"pc", lit(0.99), lit(PercentileAccuracy)).as("a99"))
+    exact.join(broadcast(approx), "l_returnflag")
+      .select(
+        $"l_returnflag", $"n_rows", $"p90_cents", $"p99_cents",
+        ($"a90" >= $"lo90" && $"a90" <= $"hi90").as("p90_within_bound"),
+        ($"a99" >= $"lo99" && $"a99" <= $"hi99").as("p99_within_bound"))
+      .orderBy($"l_returnflag")
+  }
+
   /** HLL approximate distinct — the 100 TB substitute for exact distinct.
     * The raw sketch value is engine-specific (Spark HLL++ ≠ any DuckDB
     * sketch), so the DECLARED output is oracle-checkable instead: the exact
@@ -248,6 +311,7 @@ object Aggregates {
     "q36_grouping_sets" -> groupingSetsAgg,
     "q58_pivot" -> pivotAgg,
     "q63_agg_quartiles" -> quartilesAgg,
+    "q73_agg_approx_percentile" -> approxPercentileAgg,
     "q15_agg_filtered" -> filteredAgg,
     "q16_agg_string_agg" -> stringAgg,
     "q17_agg_udaf_weighted_mean" -> udafWeightedMean,
@@ -309,6 +373,29 @@ object Aggregates {
          |       quantile_cont(pc, 0.75) AS q3_cents,
          |       count(*) AS n_rows
          |FROM (SELECT l_returnflag, ${centsSql("l_extendedprice")} AS pc FROM lineitem)
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
+    // Exact nearest-rank p90/p99 recomputed via the same integer-rank
+    // window formulation; the within-bound flags assert GK's contract TRUE
+    // (the q18 pattern: a sketch regression flips the hash red).
+    "q73_agg_approx_percentile" ->
+      s"""WITH counts AS (
+         |  SELECT l_returnflag, ${centsSql("l_extendedprice")} AS pc, count(*) AS cnt
+         |  FROM lineitem GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT l_returnflag, pc, cnt,
+         |         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY pc
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM counts
+         |)
+         |SELECT l_returnflag,
+         |       CAST(max(n) AS BIGINT) AS n_rows,
+         |       min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN pc END) AS p90_cents,
+         |       min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN pc END) AS p99_cents,
+         |       TRUE AS p90_within_bound,
+         |       TRUE AS p99_within_bound
+         |FROM ranked
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
     "q58_pivot" ->

@@ -295,6 +295,63 @@ object LlmOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** Minimum recall@3 the IVF path ([[annIvf]]) must deliver for the gate
+    * to hold. Measured (DuckDB replication, all three fixture SFs):
+    * 0.93 / 0.97 / 0.97 at sf0.001 / 0.01 / 0.1 — 0.8 leaves real headroom
+    * while still catching any centroid/assignment drift that matters. */
+  val AnnIvfRecallFloor = 0.8
+
+  /** Recall floor for the sign-LSH path ([[annLshBucketed]]). Measured at
+    * 0.00–0.03 across all fixture SFs — NOT a bug: the fixture embeddings
+    * are isotropic (near-random directions), where a sign-LSH bucket's
+    * recall is information-theoretically pinned to ~the fraction of the
+    * corpus scanned (measured sweep: 8 bit × 8 band OR-construction gives
+    * recall 0.07–0.20 at 3 % candidates; 4 bit × 16 bands 0.87–0.93 at a
+    * useless 65 % of the corpus; every config lands on recall ≈ candidate
+    * fraction). Sign-LSH only beats that line when the corpus is clustered
+    * — real embedding corpora are; this fixture is not. IVF escapes the
+    * bound because argmax-cos cell assignment adapts to the data (neighbors
+    * correlate through the shared centroid, whatever the geometry), which
+    * is why [[annIvf]] is this library's recommended ANN path and carries
+    * the real floor. The LSH row is declared with floor 0 so the gate
+    * DOCUMENTS the measured property instead of pretending; its row still
+    * hash-fails if the bucketing formulation itself drifts (hits/recall are
+    * replicated exactly in the oracle). */
+  val AnnLshRecallFloor = 0.0
+
+  /** The ANN recall gate: both approximate paths' top-3 joined against the
+    * exact brute-force top-3 ([[annBruteForce]]) per query id, aggregated
+    * to recall@3 per method, with `recall_ok` asserting each method's
+    * declared floor — evaluated in Spark, hard-coded TRUE in the oracle
+    * (the q18 pattern), so an LSH-plane or IVF-centroid regression that
+    * hurts recall flips the CORRECTNESS hash red even though the
+    * approximate queries themselves remain "correct as formulated".
+    * Everything here is bounded by the query set (|Q| = 10): the join keys
+    * are (method, qid, vid) over ≤ 60 rows a side. */
+  def annRecallGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = annBruteForce(s, dir).filter($"rn" <= 3)
+      .select($"qid".as("eqid"), $"vid".as("evid"))
+    val methods = Seq("ivf", "lsh").toDF("method")
+    val approx =
+      annLshBucketed(s, dir).select(lit("lsh").as("amethod"), $"qid", $"vid", lit(1L).as("hit"))
+        .unionByName(
+          annIvf(s, dir).select(lit("ivf").as("amethod"), $"qid", $"vid", lit(1L).as("hit")))
+    exact.crossJoin(broadcast(methods))
+      .join(approx,
+        $"method" === $"amethod" && $"eqid" === $"qid" && $"evid" === $"vid", "left")
+      .groupBy($"method")
+      .agg(
+        count(lit(1)).as("n_expected"),
+        coalesce(sum($"hit"), lit(0L)).as("hits"))
+      .withColumn("recall_at_3", ratio($"hits", $"n_expected"))
+      .withColumn("recall_ok",
+        when($"method" === "ivf", $"recall_at_3" >= lit(AnnIvfRecallFloor))
+          .otherwise($"recall_at_3" >= lit(AnnLshRecallFloor)))
+      .select($"method", $"n_expected", $"hits", $"recall_at_3", $"recall_ok")
+      .orderBy($"method")
+  }
+
   /** Corpus text statistics per language. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -414,6 +471,7 @@ object LlmOps {
     "q46_ann_lsh_bucketed" -> annLshBucketed,
     "q53_ann_ivf" -> annIvf,
     "q57_ann_custom_topk" -> annCustomTopK,
+    "q70_ann_recall_gate" -> annRecallGate,
     "q47_text_stats" -> textStats,
     "q48_lang_id" -> langId,
     "q49_quality_score" -> qualityScore,
@@ -564,6 +622,62 @@ object LlmOps {
          |  JOIN assigned c ON q.cid = c.cid AND q.vec_id <> c.vec_id
          |) WHERE rn <= 3
          |ORDER BY qid, rn""".stripMargin,
+    // Recall replicated exactly (hits/recall columns); recall_ok asserted
+    // TRUE — red the moment either approximate path's recall drops below
+    // its declared floor in Spark.
+    "q70_ann_recall_gate" ->
+      s"""WITH exact3 AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |    JOIN (SELECT * FROM embeddings) c ON q.vec_id <> c.vec_id
+         |  ) WHERE rn <= 3
+         |), lsh3 AS (
+         |  SELECT 'lsh' AS method, qid, vid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+         |    FROM (SELECT vec_id, embedding,
+         |                 array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS key
+         |          FROM embeddings WHERE vec_id < 10) q
+         |    JOIN (SELECT vec_id, embedding,
+         |                 array_to_string(list_transform(embedding[1:8], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS key
+         |          FROM embeddings) c ON q.key = c.key AND q.vec_id <> c.vec_id
+         |  ) WHERE rn <= 3
+         |), cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+         |), assigned AS (
+         |  SELECT vec_id, cid, embedding FROM (
+         |    SELECT e.vec_id, cents.cid, e.embedding,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cents.ce")} DESC, cents.cid ASC) AS rnc
+         |    FROM (SELECT * FROM embeddings) e CROSS JOIN cents
+         |  ) WHERE rnc = 1
+         |), ivf3 AS (
+         |  SELECT 'ivf' AS method, qid, vid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+         |    FROM (SELECT * FROM assigned WHERE vec_id < 10) q
+         |    JOIN assigned c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+         |  ) WHERE rn <= 3
+         |), approx AS (
+         |  SELECT * FROM lsh3 UNION ALL SELECT * FROM ivf3
+         |), expected AS (
+         |  SELECT m.method, e.qid AS eqid, e.vid AS evid
+         |  FROM exact3 e CROSS JOIN (SELECT unnest(['ivf', 'lsh']) AS method) m
+         |)
+         |SELECT x.method,
+         |       count(*) AS n_expected,
+         |       CAST(coalesce(sum(CASE WHEN a.vid IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits,
+         |       ${ratioSql("CAST(coalesce(sum(CASE WHEN a.vid IS NOT NULL THEN 1 END), 0) AS BIGINT)", "count(*)")} AS recall_at_3,
+         |       TRUE AS recall_ok
+         |FROM expected x LEFT JOIN approx a
+         |  ON x.method = a.method AND x.eqid = a.qid AND x.evid = a.vid
+         |GROUP BY x.method
+         |ORDER BY x.method""".stripMargin,
     "q47_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          |       CAST(sum(ntok) AS BIGINT) AS sum_tokens,

@@ -99,6 +99,25 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  /** Right outer join — the symmetric twin of [[leftOuterJoin]] with the
+    * fact table on the LEFT and the preserved (customer) side on the RIGHT,
+    * closing the last open §2.B join bullet. Same shuffle shape as q03:
+    * both sides exchange on the customer key; Spark's planner is free to
+    * build the hash side either way (a right-outer SHJ can stream orders
+    * and build customers), which is exactly why the variant deserves its
+    * own declared plan rather than "it's just q03 flipped". */
+  def rightOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        coalesce(sum(cents($"o_totalprice")), lit(0L)).as("total_cents"))
+      .orderBy($"c_custkey")
+  }
+
   /** Left semi: EXISTS without materializing the right side's columns. */
   def semiJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -362,6 +381,7 @@ object Relational {
     "q01_revenue_by_nation" -> revenueByNation,
     "q02_join_broadcast_dim" -> broadcastDimJoin,
     "q03_join_left_outer" -> leftOuterJoin,
+    "q72_join_right_outer" -> rightOuterJoin,
     "q04_join_semi" -> semiJoin,
     "q05_join_anti" -> antiJoin,
     "q06_join_equirange" -> equiRangeJoin,
@@ -420,6 +440,13 @@ object Relational {
          |       count(o_orderkey) AS n_orders,
          |       coalesce(${sumLongSql(centsSql("o_totalprice"))}, 0) AS total_cents
          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name
+         |ORDER BY c_custkey""".stripMargin,
+    "q72_join_right_outer" ->
+      s"""SELECT c_custkey, c_name,
+         |       count(o_orderkey) AS n_orders,
+         |       coalesce(${sumLongSql(centsSql("o_totalprice"))}, 0) AS total_cents
+         |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_custkey, c_name
          |ORDER BY c_custkey""".stripMargin,
     "q04_join_semi" ->

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.Tables
 import Portable._
@@ -114,14 +114,40 @@ object Scalars {
       .orderBy($"event_id")
   }
 
+  /** explode(map) — map entries to (key, value) rows, the last open bullet
+    * of the §2.B map-function row (q34 covers create_map / element_at /
+    * map_keys / map_values but never exploded entries). A Generate node per
+    * row with a 2-entry map: output is exactly 2× the input rows, ordered
+    * totally by (event_id, k). DuckDB twin: map_entries + unnest. */
+  def mapExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("m", map(
+        lit("et"), $"event_type",
+        lit("uid"), $"user_id".cast("string")))
+      .select($"event_id", explode($"m").as(Seq("k", "v")))
+      .orderBy($"event_id", $"k")
+  }
+
   def jsonFns(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val schema = StructType(Seq(StructField("k", IntegerType)))
+    // Single parse per row: ONE from_json with a string-typed field (Jackson
+    // renders a JSON number token as its literal text, exactly what
+    // get_json_object('$.k') returned in the two-parse formulation this
+    // replaces), then both outputs derive from the parsed struct — k_str is
+    // the field, k_int its int cast. Catalyst's subexpression elimination
+    // would dedup two textual copies inside one Project anyway, but deriving
+    // both columns from one struct makes the single-parse shape explicit in
+    // the plan rather than a codegen courtesy. On the two most expensive
+    // per-row queries of the set, JSON parsing IS the cost: halving it is
+    // measurable money at 100 TB.
+    val schema = StructType(Seq(StructField("k", StringType)))
     Tables.events(s, dir)
+      .withColumn("p", from_json($"props", schema))
       .select(
         $"event_id",
-        get_json_object($"props", "$.k").as("k_str"),
-        from_json($"props", schema).getField("k").as("k_int"))
+        $"p".getField("k").as("k_str"),
+        $"p".getField("k").cast("int").as("k_int"))
       .orderBy($"event_id")
   }
 
@@ -188,6 +214,7 @@ object Scalars {
     "q32_fn_math" -> mathFns,
     "q33_fn_array" -> arrayFns,
     "q34_fn_map" -> mapFns,
+    "q71_fn_map_explode" -> mapExplode,
     "q35_fn_json" -> jsonFns,
     "q65_fn_date_extra" -> dateExtraFns,
     "q66_fn_array_extra" -> arrayExtraFns,
@@ -256,6 +283,12 @@ object Scalars {
         |             MAP {'et': event_type, 'uid': CAST(user_id AS VARCHAR)} AS m
         |      FROM events)
         |ORDER BY event_id""".stripMargin,
+    "q71_fn_map_explode" ->
+      """SELECT event_id, e.key AS k, e.value AS v
+        |FROM (SELECT event_id,
+        |             unnest(map_entries(MAP {'et': event_type, 'uid': CAST(user_id AS VARCHAR)})) AS e
+        |      FROM events)
+        |ORDER BY event_id, k""".stripMargin,
     "q35_fn_json" ->
       """SELECT event_id,
         |       props->>'$.k' AS k_str,
