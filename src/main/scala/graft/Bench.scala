@@ -12,6 +12,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional comma-separated query filter (e.g. the sf1 soak runs just
+    // the fact-table join/agg subset); empty/unset = the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -26,24 +34,43 @@ object Bench {
     // plans at the target SF hit the cache).
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { exec(fn(spark, sfDir)); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-      }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    // n timed iterations per query, report the per-query MEDIAN and the
+    // total of medians: single-shot timings on this box show ±3× jitter on
+    // sub-second queries (JIT / GC / noisy neighbors), which manufactured
+    // phantom per-query "regressions" in earlier round artifacts. The
+    // median of 3 is robust to one bad sample while keeping the full-set
+    // runtime ~3× one pass.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // iterate over the whole set per pass (not per-query back-to-back) so
+    // a pass-wide disturbance lands in one sample per query, not all three
+    val samples = (1 to iters).flatMap { _ =>
+      queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { exec(fn(spark, sfDir)); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+    }
+    val byQuery = samples.groupBy(_._1)
+    val medians = queries.keys.map { name =>
+      name -> median(byQuery(name).map(_._2))
+    }.toSeq
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"$k\"" }
+    val failed = byQuery.collect { case (k, ss) if ss.exists(!_._3) => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val total = medians.map(_._2).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Also land the JSON in a file: the driver greps sbt's log tail for the
     // stdout line, and round 1 showed that parse can fail ("parsed": null).

@@ -216,11 +216,14 @@ object Multimodal {
 
     /** PCM features: [rms, zero-crossing rate, band energies...] — `dim - 2`
       * Goertzel filters at band centers spread over (0, Nyquist). A real
-      * (if simple) audio descriptor over genuinely decoded samples. */
+      * (if simple) audio descriptor over genuinely decoded samples.
+      * Permissive on `dim` like the other codecs: dims too small for a
+      * slot simply omit it (dim=1 → RMS only; dim=0 → empty) instead of
+      * throwing from an executor task. */
     def features(samples: Array[Float], dim: Int): Array[Float] = {
-      val out = new Array[Float](dim)
+      val out = new Array[Float](math.max(dim, 0))
       val n = samples.length
-      if (n == 0) return out
+      if (n == 0 || dim <= 0) return out
       var sumSq = 0.0
       var zc = 0
       var i = 0
@@ -230,11 +233,15 @@ object Multimodal {
         i += 1
       }
       out(0) = math.sqrt(sumSq / n).toFloat
-      out(1) = zc.toFloat / n
+      if (dim > 1) out(1) = zc.toFloat / n
       val bands = dim - 2
       var b = 0
       while (b < bands) {
-        // Goertzel power at the band-center frequency, normalized by length.
+        // Goertzel power at the band-center frequency, normalized by n² —
+        // a coherent tone's |sum|² grows as n², so /n² makes band energy
+        // length-invariant (matching the already length-invariant RMS and
+        // ZCR); the previous /n scaled linearly with clip duration, making
+        // identical signals of different lengths look dissimilar.
         val freq = (b + 0.5) * (SampleRate / 2.0) / bands
         val coeff = 2.0 * math.cos(2 * math.Pi * freq / SampleRate)
         var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
@@ -244,7 +251,7 @@ object Multimodal {
           s2 = s1; s1 = s0
           j += 1
         }
-        out(2 + b) = ((s1 * s1 + s2 * s2 - coeff * s1 * s2) / n).toFloat
+        out(2 + b) = ((s1 * s1 + s2 * s2 - coeff * s1 * s2) / (n.toDouble * n)).toFloat
         b += 1
       }
       out

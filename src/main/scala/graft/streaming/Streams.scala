@@ -70,7 +70,10 @@ object Streams {
 
   /** Arbitrary stateful processing: per-user running totals via
     * flatMapGroupsWithState (update mode). State is one small record per
-    * user — bounded by key cardinality, not input size. */
+    * user — bounded by key cardinality, not input size. NoTimeout keeps
+    * every key forever, which is fine for a bounded/catch-up run but grows
+    * state with lifetime key cardinality on a long-lived stream — that
+    * deployment should use [[userTotalsExpiring]] (event-time TTL). */
   def userTotals(events: Dataset[Event]): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -86,17 +89,67 @@ object Streams {
       }
   }
 
+  /** [[userTotals]] with BOUNDED state: a key idle for `ttlMs` of event
+    * time past its last event is evicted, so state size tracks the number
+    * of ACTIVE users per TTL horizon instead of lifetime key cardinality —
+    * the difference between a state store that plateaus and one that grows
+    * forever on a 100 TB stream (same class of fix as
+    * [[dedupEvents]]'s dropDuplicatesWithinWatermark).
+    *
+    * Event-time timeout, not processing-time: eviction is driven by the
+    * watermark (set here from `delay`), which makes expiry deterministic
+    * for replay/backfill and for the batch-equivalence test harness — a
+    * wall-clock TTL would evict a different set of keys on every rerun of
+    * the same data. A key's timeout re-arms at (its latest event + ttlMs);
+    * the timed-out callback removes state and emits nothing, so a user
+    * returning after expiry restarts from zero (asserted in StreamsSpec). */
+  def userTotalsExpiring(
+      events: Dataset[Event],
+      ttlMs: Long = 30L * 60 * 1000,
+      delay: String = "10 minutes"): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserTotal]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+            var n = prev.n_events
+            var tot = prev.total_value
+            var maxTs = Long.MinValue
+            it.foreach { e =>
+              n += 1; tot += e.value
+              if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+            }
+            val next = UserTotal(uid, n, tot)
+            state.update(next)
+            if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs + ttlMs)
+            Iterator(next)
+          }
+      }
+  }
+
   /** The same per-user running totals on the `transformWithState` API
     * (Spark 4's successor to flatMapGroupsWithState): typed named state
     * via the processor handle, timer/TTL support when needed, and state
     * schema evolution — the API a long-lived 100 TB stream should be on.
-    * Requires the RocksDB state-store provider (see StreamsSpec). */
-  class UserTotalProcessor extends StatefulProcessor[Long, Event, UserTotal] {
+    * Requires the RocksDB state-store provider (see StreamsSpec).
+    *
+    * `ttl` bounds state: with `TTLConfig(duration)` (and processing-time
+    * mode) a value not updated within the duration stops being returned
+    * and is purged by the store — the transformWithState twin of
+    * [[userTotalsExpiring]]'s event-time timeout. TTLConfig.NONE keeps
+    * state forever (catch-up/bounded runs only). */
+  class UserTotalProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, Event, UserTotal] {
     @transient private var state: ValueState[UserTotal] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[UserTotal](
-        "totals", Encoders.product[UserTotal], TTLConfig.NONE)
+        "totals", Encoders.product[UserTotal], ttl)
 
     override def handleInputRows(
         key: Long, rows: Iterator[Event], timers: TimerValues): Iterator[UserTotal] = {
@@ -110,12 +163,19 @@ object Streams {
     }
   }
 
-  /** Per-user running totals via transformWithState (update mode). */
-  def userTotalsTws(events: Dataset[Event]): Dataset[UserTotal] = {
+  /** Per-user running totals via transformWithState (update mode). Pass
+    * `ttl` to bound state: the long-lived-stream deployment should —
+    * a key idle longer than the TTL reads back as absent and is purged,
+    * so a returning user restarts from zero (asserted in StreamsSpec). */
+  def userTotalsTws(
+      events: Dataset[Event],
+      ttl: Option[java.time.Duration] = None): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(
-        new UserTotalProcessor, TimeMode.None(), OutputMode.Update())
+        new UserTotalProcessor(ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** foreachBatch sink: the escape hatch for sinks Structured Streaming

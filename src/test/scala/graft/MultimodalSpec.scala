@@ -88,18 +88,63 @@ class MultimodalSpec extends SparkSpec {
       assert(rms > 0.1f && rms < 0.8f, s"RMS $rms out of tone range")
       // dominant tone <= 3100 Hz at 8 kHz -> ZCR well below Nyquist's 1.0
       assert(zcr > 0.01f && zcr < 0.9f, s"ZCR $zcr implausible for a tone mix")
-      // some Goertzel band must carry real energy (tones, not silence)
-      assert(f.features.drop(2).exists(_ > 1e-4f), "no band energy detected")
+      // some Goertzel band must carry real energy (tones, not silence).
+      // Threshold calibrated to the n²-normalized scale: the fixture's
+      // off-center tones leak across the 14 coarse bands, so the max band
+      // sits at ~8e-5..2e-4 for the ~800-sample clips here — 1e-5 keeps
+      // ~10× margin while still failing on silence/noise-only output.
+      assert(f.features.drop(2).exists(_ > 1e-5f), "no band energy detected")
     }
   }
 
-  test("audio WAV encode/decode round-trips the PCM samples") {
-    val wav = Multimodal.WavCodec.encodeWav(1000, seed = 7L)
-    val s1 = Multimodal.WavCodec.tryDecode(wav)
-    assert(s1.nonEmpty && s1.get.length === 1000)
-    // re-encode decoded samples via a second synthesis of the same seed
-    val s2 = Multimodal.WavCodec.tryDecode(Multimodal.WavCodec.encodeWav(1000, seed = 7L))
-    assert(s1.get.sameElements(s2.get))
+  test("audio WAV decode returns the exact synthesized PCM, not just a deterministic one") {
+    // Independently re-synthesize the quantized samples with the same
+    // LCG/tone math as encodeWav and assert the decoded stream equals them
+    // ELEMENT-WISE: decode(encode(x)) == x, where x is computed here, not
+    // by calling encode twice (which would only prove encode determinism
+    // and let a symmetric encode/decode corruption pass).
+    val n = 1000; val seed = 7L
+    val got = Multimodal.WavCodec.tryDecode(Multimodal.WavCodec.encodeWav(n, seed))
+    assert(got.nonEmpty && got.get.length === n)
+    val f1 = 200.0 + (seed % 7) * 150.0
+    val f2 = 1500.0 + (seed % 5) * 400.0
+    var s = seed * 6364136223846793005L + 1442695040888963407L
+    var i = 0
+    while (i < n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val noise = ((s >>> 40).toInt & 0xffff) / 65535.0 - 0.5
+      val t = i / Multimodal.WavCodec.SampleRate
+      val v = 0.5 * math.sin(2 * math.Pi * f1 * t) +
+        0.3 * math.sin(2 * math.Pi * f2 * t) + 0.1 * noise
+      val sample = (v * Short.MaxValue).toInt.max(Short.MinValue).min(Short.MaxValue)
+      assert(got.get(i) === sample / 32768.0f, s"sample $i diverges from synthesized PCM")
+      i += 1
+    }
+  }
+
+  test("band energy is clip-length invariant for a center-frequency tone") {
+    // A pure tone exactly at a band center is coherent: its Goertzel power
+    // grows as n², so the /n² normalization must make the feature equal
+    // (±5%) across clip lengths. (The synthesize() tones sit off-center,
+    // where spectral leakage legitimately varies with n — hence a
+    // purpose-built signal here.) dim=16 → 14 bands; band 3 center =
+    // 3.5·4000/14 = 1000 Hz = exactly 8 samples/period at 8 kHz.
+    def tone(n: Int): Array[Float] =
+      Array.tabulate(n)(i => math.sin(2 * math.Pi * 1000.0 * i / 8000.0).toFloat)
+    val e800 = Multimodal.WavCodec.features(tone(800), 16)(2 + 3)
+    val e1600 = Multimodal.WavCodec.features(tone(1600), 16)(2 + 3)
+    assert(e800 > 0.1f, s"center-tone band energy $e800 should be ~amp²/4 = 0.25")
+    assert(math.abs(e800 - e1600) / e800 < 0.05f,
+      s"band energy not length-invariant: $e800 (n=800) vs $e1600 (n=1600)")
+  }
+
+  test("audio features tolerate any non-negative dim (permissive API)") {
+    val wavSamples = Multimodal.WavCodec.tryDecode(
+      Multimodal.WavCodec.encodeWav(800, seed = 1L)).get
+    assert(Multimodal.WavCodec.features(wavSamples, 0).length === 0)
+    assert(Multimodal.WavCodec.features(wavSamples, 1).length === 1)
+    val two = Multimodal.WavCodec.features(wavSamples, 2)
+    assert(two.length === 2 && two(0) > 0f)
   }
 
   test("undecodable audio bytes fall back to the stub instead of failing") {

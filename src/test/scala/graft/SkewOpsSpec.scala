@@ -27,6 +27,40 @@ class SkewOpsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  // 900 hot rows that are BYTE-IDENTICAL — the documented degenerate input
+  // for content-hash scatter (replayed events / default-valued records)
+  private lazy val identicalHot = (1 to 1000).map { i =>
+    if (i % 10 == 0) (s"COLD$i", i.toLong) else ("HOT", 1L)
+  }.toDF("k", "v")
+
+  test("content scatter degenerates on byte-identical hot rows (documented precondition)") {
+    // every identical row hashes alike: the hot key collapses to ONE salt
+    // bucket and the mitigation silently becomes the unsalted plan
+    val buckets = identicalHot.filter($"k" === "HOT")
+      .withColumn("s", pmod(hash($"k", $"v"), lit(8)))
+      .select($"s").distinct().count()
+    assert(buckets === 1)
+  }
+
+  test("positional scatter spreads byte-identical hot rows and keeps results exact") {
+    // the positional hash does spread identical rows...
+    val buckets = identicalHot.filter($"k" === "HOT")
+      .withColumn("s", pmod(hash(monotonically_increasing_id()), lit(8)))
+      .select($"s").distinct().count()
+    assert(buckets > 1, "positional scatter must split the identical hot rows")
+    // ...and both salted operators still return exactly the unsalted result
+    val plainAgg = identicalHot.groupBy($"k")
+      .agg(count(lit(1)).as("n_rows"), sum($"v").as("sum_v"))
+    val saltedAgg = SkewOps.saltedSumCount(identicalHot, "k", "v", salt = 8,
+      positionalScatter = true)
+    assert(saltedAgg.exceptAll(plainAgg).isEmpty && plainAgg.exceptAll(saltedAgg).isEmpty)
+    val plainJoin = identicalHot.join(dim, "k").select($"k", $"v", $"label")
+    val saltedJoin = SkewOps.saltedJoin(identicalHot, dim, "k", salt = 8,
+      positionalScatter = true).select($"k", $"v", $"label")
+    assert(saltedJoin.count() === plainJoin.count())
+    assert(saltedJoin.exceptAll(plainJoin).isEmpty && plainJoin.exceptAll(saltedJoin).isEmpty)
+  }
+
   test("saltedSumCount equals plain groupBy sum/count") {
     val plain = skewed.groupBy($"k")
       .agg(count(lit(1)).as("n_rows"), sum($"v").as("sum_v"))

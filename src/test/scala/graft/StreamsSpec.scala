@@ -92,6 +92,102 @@ class StreamsSpec extends SparkSpec {
     assert(last(2L) === ((2L, 7.0)))
   }
 
+  test("event-time TTL evicts idle user state; a returning user restarts from zero") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // 1-hour TTL, zero-delay watermark: expiry is driven purely by event time
+    val q = Streams.userTotalsExpiring(mem.toDS(), ttlMs = 60L * 60 * 1000, delay = "0 seconds")
+      .writeStream.format("memory").queryName("t_ttl").outputMode(OutputMode.Update).start()
+    // batch 1: user 1 seeds state (timeout armed at 11:00)
+    mem.addData(Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    // batch 2: only user 2 — its 20:00 event advances the watermark past 11:00
+    mem.addData(Seq(Event(2, ts("2024-01-01 20:00:00"), 2, "view", 5.0, "{}")))
+    q.processAllAvailable()
+    // batch 3: still no user-1 data; the now-current 20:00 watermark fires
+    // user 1's timeout and its state is removed
+    mem.addData(Seq(Event(3, ts("2024-01-01 20:05:00"), 2, "view", 1.0, "{}")))
+    q.processAllAvailable()
+    // batch 4: user 1 returns — must restart at n=1, not accumulate to 2
+    mem.addData(Seq(Event(4, ts("2024-01-01 20:30:00"), 1, "click", 2.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val user1 = spark.table("t_ttl").collect().filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(user1.toSeq === Seq((1L, 1.0), (1L, 2.0)),
+      s"expected state restart after TTL expiry, got ${user1.toSeq}")
+    // control: the unbounded variant accumulates (2, 3.0) on the same feed —
+    // proving the difference above comes from expiry, not from the rewrite
+    val all = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+      Event(4, ts("2024-01-01 20:30:00"), 1, "click", 2.0, "{}"))
+    val mem2 = MemoryStream[Event]
+    val q2 = Streams.userTotals(mem2.toDS()).writeStream
+      .format("memory").queryName("t_nottl").outputMode(OutputMode.Update).start()
+    all.foreach { e => mem2.addData(Seq(e)); q2.processAllAvailable() }
+    q2.stop()
+    val lastNoTtl = spark.table("t_nottl").collect().filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getDouble(2))).last
+    assert(lastNoTtl === ((2L, 3.0)))
+  }
+
+  test("transformWithState TTL purges idle state; a returning user restarts from zero") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // TTL mode checkpoints extra (secondary-index) state per batch; the
+    // checksum checkpoint manager's async close deadlocks under that load
+    // on a local-FS checkpoint (stack: ChecksumCancellableFSDataOutputStream
+    // .close awaiting a result that never arrives). Local-FS test
+    // checkpoints don't need corruption detection — turn it off here.
+    val prevChecksum = spark.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    try {
+      // In TimeMode.ProcessingTime the operator always schedules another
+      // micro-batch for potential timer/TTL work, so the query NEVER
+      // quiesces: processAllAvailable blocks forever and even
+      // Trigger.AvailableNow never terminates (verified by jstack — the
+      // trigger executor keeps running timer batches). Drive it instead by
+      // polling the sink with a deadline, then stop() explicitly.
+      val mem = MemoryStream[Event]
+      val q = Streams.userTotalsTws(mem.toDS(), ttl = Some(java.time.Duration.ofMillis(300)))
+        .writeStream.format("memory").queryName("t_tws_ttl")
+        .outputMode(OutputMode.Update).start()
+      def user1Rows: Seq[(Long, Double)] =
+        spark.table("t_tws_ttl").collect().toSeq
+          .filter(_.getLong(0) == 1L).map(r => (r.getLong(1), r.getDouble(2)))
+      def awaitSink(expect: (Long, Double), what: String): Unit = {
+        val deadline = System.currentTimeMillis + 60000
+        while (System.currentTimeMillis < deadline && !user1Rows.contains(expect))
+          Thread.sleep(100)
+        assert(user1Rows.contains(expect), s"$what: got $user1Rows")
+      }
+      mem.addData(Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}")))
+      awaitSink((1L, 1.0), "first event must seed totals")
+      // let wall-clock pass well beyond the 300 ms TTL (batches keep
+      // ticking meanwhile), then touch the key: the expired value reads
+      // back as absent, so totals restart instead of accumulating to (2, 3.0)
+      Thread.sleep(2000)
+      mem.addData(Seq(Event(2, ts("2024-01-01 10:01:00"), 1, "click", 2.0, "{}")))
+      awaitSink((1L, 2.0), "state must have been TTL-purged before the second event")
+      q.stop()
+      assert(!user1Rows.contains((2L, 3.0)),
+        s"unexpired state accumulated across the TTL horizon: $user1Rows")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevChecksum match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+    }
+  }
+
   test("watermark drops events later than the horizon (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
