@@ -127,8 +127,9 @@ object TextOps {
   /** Training-data PII scrub: emails, URLs, and long digit runs replaced
     * with typed sentinels. Conservative patterns that mean the same thing
     * in Java regex and RE2 — per-row projection, scan-speed at any scale.
-    * (Fixture docs contain none of these, so the operator is exercised by
-    * unit tests on synthetic text rather than a declared query.) */
+    * (Fixture docs contain none of these, so the declared query —
+    * q74_pii_scrub — synthesizes PII-shaped text from fixture columns;
+    * unit tests cover the sentinel classes and idempotence directly.) */
   def scrubPii(text: Column): Column = {
     val noUrl = regexp_replace(text, "https?://[^ ]+", "<URL>")
     val noEmail = regexp_replace(noUrl,

@@ -440,6 +440,26 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** PII scrub as a DECLARED query (the operator itself lives in
+    * [[TextOps.scrubPii]]): the fixture corpus deliberately contains no
+    * PII, so the query synthesizes adversarial text from fixture columns —
+    * an email, a URL, and a long digit run per customer row — and scrubs
+    * it; the oracle rebuilds the same string and applies the same three
+    * regexp_replace chains (identical Java-regex/RE2-portable patterns).
+    * Converts the PII row from spec-only to oracle-checked. Per-row
+    * projection; scan-speed at any scale. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .withColumn("raw", concat(
+        lit("contact "), $"c_name",
+        lit(" at user"), $"c_custkey".cast("string"), lit("@example.com"),
+        lit(" or https://ex.com/p/"), $"c_custkey".cast("string"),
+        lit(" ref "), lpad($"c_custkey".cast("string"), 9, "7")))
+      .select($"c_custkey", $"raw", TextOps.scrubPii($"raw").as("scrubbed"))
+      .orderBy($"c_custkey")
+  }
+
   /** tf-idf top-3 terms per doc (df over the whole corpus, output bounded
     * to doc_id < 50). idf is the exact ratio N/df to stay libm-free. */
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
@@ -477,7 +497,8 @@ object LlmOps {
     "q49_quality_score" -> qualityScore,
     "q50_fingerprint" -> fingerprint,
     "q51_token_count" -> tokenCount,
-    "q52_tfidf_top_terms" -> tfidfTop
+    "q52_tfidf_top_terms" -> tfidfTop,
+    "q74_pii_scrub" -> piiScrub
   )
 
   val oracles: Map[String, String] = Map(
@@ -735,6 +756,18 @@ object LlmOps {
          |       CAST(length(text) AS BIGINT) AS chars
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "q74_pii_scrub" ->
+      """SELECT c_custkey, raw,
+        |       regexp_replace(regexp_replace(regexp_replace(raw,
+        |         'https?://[^ ]+', '<URL>', 'g'),
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+        |FROM (SELECT c_custkey,
+        |             'contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+        |               || '@example.com or https://ex.com/p/' || CAST(c_custkey AS VARCHAR)
+        |               || ' ref ' || lpad(CAST(c_custkey AS VARCHAR), 9, '7') AS raw
+        |      FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
     "q52_tfidf_top_terms" ->
       """WITH tfx AS (
         |  SELECT doc_id, term, count(*) AS tf

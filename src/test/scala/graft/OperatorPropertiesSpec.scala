@@ -141,6 +141,18 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(custom.collect().toSeq === composed.toSeq) // same rows, same order, bit-exact cos
   }
 
+  test("ANN recall gate holds: IVF meets its floor, every method row is recall_ok") {
+    // The declared q70 row also asserts this against the DuckDB oracle; the
+    // suite-level twin makes `sbt test` catch recall drift without the
+    // driver loop (and pins the IVF number itself, not just the boolean).
+    val rows = graft.queries.LlmOps.annRecallGate(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("ivf", "lsh"))
+    val ivfRecall = rows.find(_.getString(0) == "ivf").get.getDouble(3)
+    assert(ivfRecall >= graft.queries.LlmOps.AnnIvfRecallFloor,
+      s"IVF recall@3 $ivfRecall fell below the declared floor")
+    assert(rows.forall(_.getBoolean(4)), "recall_ok must hold for every method")
+  }
+
   test("native graft_vec_dot is bit-identical to the HOF dot and registered") {
     assert(spark.catalog.functionExists(graft.functions.GraftFunctions.vecDotName))
     val vecs = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
