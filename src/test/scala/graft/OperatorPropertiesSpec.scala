@@ -146,10 +146,14 @@ class OperatorPropertiesSpec extends SparkSpec {
     // suite-level twin makes `sbt test` catch recall drift without the
     // driver loop (and pins the IVF number itself, not just the boolean).
     val rows = graft.queries.LlmOps.annRecallGate(spark, sfDir).collect()
-    assert(rows.map(_.getString(0)).toSeq === Seq("ivf", "lsh"))
+    assert(rows.map(_.getString(0)).toSeq === Seq("ivf", "ivf_probe2", "lsh"))
     val ivfRecall = rows.find(_.getString(0) == "ivf").get.getDouble(3)
     assert(ivfRecall >= graft.queries.LlmOps.AnnIvfRecallFloor,
       s"IVF recall@3 $ivfRecall fell below the declared floor")
+    val mpRecall = rows.find(_.getString(0) == "ivf_probe2").get.getDouble(3)
+    assert(mpRecall >= graft.queries.LlmOps.AnnIvfMultiprobeRecallFloor,
+      s"multi-probe IVF recall@3 $mpRecall fell below the declared floor")
+    assert(mpRecall >= ivfRecall, "probing a second cell must never lose recall")
     assert(rows.forall(_.getBoolean(4)), "recall_ok must hold for every method")
   }
 
