@@ -58,6 +58,30 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"unexpected shuffles: $shuffles")
   }
 
+  test("q75 multi-probe top-2 assignment is map-side too (no window, no corpus exchange)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = graft.queries.LlmOps.ivfAssignedTop2(spark, sfDir)
+      .queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "top-2 assignment must be a fold projection, not a window rank")
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1, s"unexpected shuffles: $shuffles")
+  }
+
+  test("q73 approx-percentile plan stays codegen on the exact side (no raw-value buffering)") {
+    // The exact nearest-rank side must keep the q63 domain-bounded shape;
+    // only percentile_approx's constant-size GK buffer may plan as an
+    // ObjectHashAggregate (that is the sketch itself, bounded by accuracy,
+    // not by data volume).
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val plan = SparkEntry.queries("q73_agg_approx_percentile")(spark, sfDir)
+      .queryExecution.executedPlan
+    val objAggs = plan.collect { case o: ObjectHashAggregateExec => o }
+    assert(objAggs.forall(_.toString.contains("percentile_approx")),
+      s"non-GK ObjectHashAggregate crept into q73: $objAggs")
+  }
+
   test("q63 quartiles plan stays codegen: no ObjectHashAggregate (value-buffering percentile)") {
     // percentile() would plan an ObjectHashAggregate whose buffer holds
     // every raw value per group — memory grows with data volume. The
