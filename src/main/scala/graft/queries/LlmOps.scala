@@ -65,6 +65,17 @@ object LlmOps {
     * the dup structure); docs sharing a (band, bkey) are candidates. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    lshKeyed(s, dir)
+      .groupBy($"band", $"bkey").agg(count(lit(1)).as("bucket_size"))
+      .groupBy($"band", $"bucket_size").agg(count(lit(1)).as("n_buckets"))
+      .orderBy($"band", $"bucket_size")
+  }
+
+  /** Shared candidate-edge builder for [[dedupMinhashLsh]] (bucket census)
+    * and [[dedupClusters]] (component labels): docs keyed by their 4×(3-row)
+    * MinHash band buckets. */
+  private def lshKeyed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens($"text"))
       // shingle-less docs (<3 tokens) have no minhash signature: drop them
@@ -81,9 +92,61 @@ object LlmOps {
       .withColumn("sig", TextOps.minhashSignature($"hs", 12))
       .withColumn("bandkey", explode(TextOps.lshBands($"sig", 4, 3)))
       .select($"doc_id", $"bandkey.band".as("band"), $"bandkey.bkey".as("bkey"))
-      .groupBy($"band", $"bkey").agg(count(lit(1)).as("bucket_size"))
-      .groupBy($"band", $"bucket_size").agg(count(lit(1)).as("n_buckets"))
-      .orderBy($"band", $"bucket_size")
+  }
+
+  /** Dedup CLUSTER assignment — the stage after candidate generation that
+    * q41 stops short of: docs sharing any MinHash-LSH bucket form edges;
+    * each connected component is one near-dup cluster, labeled by its
+    * minimum doc_id (so a keep-one-per-cluster policy is `doc_id == lab`).
+    * Output: one row per multi-doc cluster with its sorted member list.
+    *
+    * Algorithm: iterative min-label propagation to the unique fixpoint —
+    * label(v) ← min over {v} ∪ neighbors(v) of label; each round is one
+    * shuffled join+agg over the EDGE list (candidate pairs only, df-capped
+    * by the band scheme — never the corpus). The driver-side work per round
+    * is a single scalar (sum of labels, monotone decreasing in ℤ ⇒
+    * terminates) used as the convergence test; rounds ≤ component diameter,
+    * which for LSH bucket graphs is tiny (members of a bucket form a
+    * clique, so chains only arise across buckets). At true 100 TB scale
+    * with adversarial long chains you'd switch the iteration body to
+    * large-star/small-star contraction (O(log n) rounds, same fixpoint,
+    * same join/agg primitives); the declared formulation keeps the
+    * per-round plan identical and the fixpoint IS the oracle-checked
+    * contract. Lineage is cut per round with localCheckpoint so the plan
+    * does not deepen with iteration count. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ONE explicit repartition on the bucket key so both self-join sides
+    // hang off the same exchange (ReuseExchange — the q43 lesson): the
+    // md5 digest pipeline runs once, not once per join side.
+    val keyed = lshKeyed(s, dir).repartition($"band", $"bkey")
+    val a = keyed.select($"doc_id".as("sa"), $"band", $"bkey")
+    val b = keyed.select($"doc_id".as("ta"), $"band".as("band2"), $"bkey".as("bkey2"))
+    // directed both ways + self-loops: label(src) = min over dst of label(dst).
+    // pairs is materialized once (localCheckpoint); nodes/edges/iterations
+    // all read the materialized pair list, never the digest pipeline.
+    val pairs = a.join(b, $"band" === $"band2" && $"bkey" === $"bkey2" && $"sa" =!= $"ta")
+      .select($"sa".as("src"), $"ta".as("dst")).distinct()
+      .localCheckpoint()
+    val nodes = pairs.select($"src").distinct()
+    val ed = pairs.unionByName(nodes.select($"src", $"src".as("dst")))
+    var labels = nodes.select($"src".as("doc"), $"src".as("lab")).localCheckpoint()
+    var prevSum = Long.MaxValue
+    var sum = labels.agg(org.apache.spark.sql.functions.sum($"lab")).head.getLong(0)
+    while (sum < prevSum) {
+      labels = ed.join(labels, $"dst" === $"doc")
+        .groupBy($"src").agg(min($"lab").as("lab"))
+        .select($"src".as("doc"), $"lab")
+        .localCheckpoint()
+      prevSum = sum
+      sum = labels.agg(org.apache.spark.sql.functions.sum($"lab")).head.getLong(0)
+    }
+    labels.groupBy($"lab".as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list($"doc"))).as("members"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"cluster_id")
   }
 
   /** SimHash bucketing: 16-bit signature per doc, grouped. */
@@ -546,6 +609,7 @@ object LlmOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_dedup_minhash_lsh" -> dedupMinhashLsh,
+    "q76_dedup_clusters" -> dedupClusters,
     "q42_dedup_simhash" -> dedupSimhash,
     "q43_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q44_dedup_embedding" -> dedupEmbedding,
@@ -593,6 +657,42 @@ object LlmOps {
          |  ) GROUP BY band, bkey
          |) GROUP BY band, bucket_size
          |ORDER BY band, bucket_size""".stripMargin
+    },
+    // Transitive closure by recursive CTE (min reachable id per doc) —
+    // the same unique fixpoint the Spark side reaches by label propagation.
+    "q76_dedup_clusters" -> {
+      import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
+      val aList = MinhashA.mkString("[", ", ", "]")
+      val bList = MinhashB.mkString("[", ", ", "]")
+      s"""WITH RECURSIVE keyed AS (
+         |  SELECT doc_id, j AS band,
+         |         md5(CAST(sig[3*j+1] AS VARCHAR) || ',' || CAST(sig[3*j+2] AS VARCHAR) || ',' || CAST(sig[3*j+3] AS VARCHAR)) AS bkey
+         |  FROM (
+         |    SELECT doc_id,
+         |           list_transform(range(12), j2 -> list_min(list_transform(hs, h -> ($aList[CAST(j2 AS INT)+1] * h + $bList[CAST(j2 AS INT)+1]) % $MinhashPrime))) AS sig
+         |    FROM (
+         |      SELECT doc_id, $shingle3Sql AS hs
+         |      FROM (
+         |        SELECT doc_id, $tokenHashesSql AS th
+         |        FROM (SELECT doc_id, toks FROM (SELECT doc_id, $toksSql AS toks FROM documents) WHERE len(toks) >= 3)
+         |      )
+         |    )
+         |  ), (SELECT unnest([0,1,2,3]) AS j)
+         |), edges AS (
+         |  SELECT a.doc_id AS s, b.doc_id AS t
+         |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2
+         |), reach(doc, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT x.doc, e.t FROM reach x JOIN edges e ON x.r = e.s
+         |), labels AS (
+         |  SELECT doc, min(r) AS lab FROM reach GROUP BY doc
+         |)
+         |SELECT lab AS cluster_id, count(*) AS n_docs,
+         |       array_to_string(list_sort(list(doc)), ',') AS members
+         |FROM labels GROUP BY lab HAVING count(*) >= 2
+         |ORDER BY cluster_id""".stripMargin
     },
     "q42_dedup_simhash" ->
       s"""SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc FROM (
