@@ -126,13 +126,27 @@ object Sources {
       .orderBy($"ss", $"user_id")
   }
 
+  /** The stream-stream click→view interval join (Streams.clickViewJoin)
+    * applied to batch frames — same `(DataFrame, DataFrame) => DataFrame`
+    * the stream runs; DuckDB parity here plus the StreamsSpec
+    * batch-equivalence case cover the streaming path. */
+  def streamJoinBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    graft.streaming.Streams.clickViewJoin(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "view"))
+      .orderBy($"click_id", $"view_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_csv_roundtrip" -> csvRoundtrip,
     "q38_json_roundtrip" -> jsonRoundtrip,
     "q39_stream_tumbling_batch" -> streamTumblingBatch,
     "q61_sessionization" -> sessionizationBatch,
     "q68_stream_sliding_batch" -> streamSlidingBatch,
-    "q69_stream_session_batch" -> streamSessionBatch
+    "q69_stream_session_batch" -> streamSessionBatch,
+    "q77_stream_join_batch" -> streamJoinBatch
   )
 
   val oracles: Map[String, String] = Map(
@@ -146,6 +160,22 @@ object Sources {
          |       ${centsSql("value")} AS value_cents
          |FROM events
          |ORDER BY event_id""".stripMargin,
+    // ts truncated to microseconds in BOTH subqueries so the interval
+    // boundary compares on exactly the precision Spark carries (parquet
+    // nanos → timestamp_micros in Tables.readEvents); epoch seconds via
+    // floor(epoch()) = Spark's truncating unix_timestamp.
+    "q77_stream_join_batch" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id,
+        |       c.user_id AS user_id,
+        |       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_s,
+        |       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_s
+        |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        |      FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, view_id""".stripMargin,
     "q39_stream_tumbling_batch" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
         |FROM events

@@ -44,6 +44,27 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("ss"), col("user_id"), col("n"))
 
+  /** Stream-stream inner join: each click joined to the SAME user's views
+    * in the following 30 minutes. The time-range predicate plus watermarks
+    * on BOTH sides are what make this runnable as a stream: the range
+    * bounds how long a buffered click can still find matching views, and
+    * the watermark bounds how late either side may arrive — together they
+    * let the join state evict rows older than (watermark − range), so
+    * state size tracks the in-flight horizon, not stream history. The
+    * batch form (watermarks are no-ops on batch frames) is the oracle
+    * twin, declared as q77. */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame, delay: String = "1 hour"): DataFrame = {
+    def wm(df: DataFrame) = if (df.isStreaming) df.withWatermark("ts", delay) else df
+    wm(clicks).alias("c")
+      .join(wm(views).alias("v"), expr(
+        "c.user_id = v.user_id AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTES"))
+      .select(
+        col("c.event_id").as("click_id"), col("v.event_id").as("view_id"),
+        col("c.user_id").as("user_id"),
+        unix_timestamp(col("c.ts")).as("click_s"),
+        unix_timestamp(col("v.ts")).as("view_s"))
+  }
+
   /** Watermarked stream variant of a windowed transform: watermark bounds
     * state and drops events later than `delay` behind the max seen ts. */
   def withWatermarked(events: DataFrame, delay: String)(f: DataFrame => DataFrame): DataFrame =

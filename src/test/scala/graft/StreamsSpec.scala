@@ -92,6 +92,33 @@ class StreamsSpec extends SparkSpec {
     assert(last(2L) === ((2L, 7.0)))
   }
 
+  test("stream-stream click-view interval join: stream equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+      Event(2, ts("2024-01-01 12:00:00"), 1, "click", 1.0, "{}"),
+      Event(3, ts("2024-01-01 10:10:00"), 2, "click", 1.0, "{}"))
+    val views = Seq(
+      Event(10, ts("2024-01-01 10:15:00"), 1, "view", 1.0, "{}"), // in click 1's window
+      Event(11, ts("2024-01-01 10:45:00"), 1, "view", 1.0, "{}"), // outside every window
+      Event(12, ts("2024-01-01 10:20:00"), 2, "view", 1.0, "{}"), // in click 3's window
+      Event(13, ts("2024-01-01 12:29:00"), 1, "view", 1.0, "{}")) // in click 2's window
+    val memC = MemoryStream[Event]
+    val memV = MemoryStream[Event]
+    val q = Streams.clickViewJoin(memC.toDF(), memV.toDF()).writeStream
+      .format("memory").queryName("t_ssjoin").outputMode(OutputMode.Append).start()
+    // feed the sides unevenly across micro-batches: matches must still
+    // surface once both halves have arrived (that's the buffered state)
+    memC.addData(clicks.take(2)); memV.addData(views.take(1)); q.processAllAvailable()
+    memV.addData(views.drop(1)); memC.addData(clicks.drop(2)); q.processAllAvailable()
+    q.stop()
+    val batch = Streams.clickViewJoin(clicks.toDF(), views.toDF()).collect().toSet
+    assert(spark.table("t_ssjoin").collect().toSet === batch)
+    assert(batch.map(r => (r.getLong(0), r.getLong(1))) ===
+      Set((1L, 10L), (2L, 13L), (3L, 12L)))
+  }
+
   test("event-time TTL evicts idle user state; a returning user restarts from zero") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
