@@ -170,6 +170,28 @@ object Aggregates {
       .orderBy($"l_linestatus")
   }
 
+  /** Unpivot (melt) — the inverse of q58's pivot, closing the reshape
+    * pair: two exact-integer measures per lineitem row melt into
+    * (measure, value) rows, 2× the input cardinality, bounded here by the
+    * orderkey filter purely to keep the declared output small. Spark's
+    * `unpivot` plans as an Expand node (each input row emitted once per
+    * measure — a projection, no shuffle, no join); the oracle states the
+    * same semantics as a UNION ALL of per-measure projections. */
+  def unpivotAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_orderkey" < 100)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        cents($"l_extendedprice").as("price_cents"),
+        $"l_quantity".cast("long").as("qty_l"))
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"price_cents", $"qty_l"),
+        "measure", "value")
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+  }
+
   /** Exact quartiles of integer cents per return flag. Quartile fractions
     * are dyadic (.25/.5/.75 = exact powers of two), so the linear
     * interpolation between two integer-valued doubles is bit-exact in IEEE
@@ -310,6 +332,7 @@ object Aggregates {
     "q14_agg_cube" -> cubeAgg,
     "q36_grouping_sets" -> groupingSetsAgg,
     "q58_pivot" -> pivotAgg,
+    "q79_unpivot" -> unpivotAgg,
     "q63_agg_quartiles" -> quartilesAgg,
     "q73_agg_approx_percentile" -> approxPercentileAgg,
     "q15_agg_filtered" -> filteredAgg,
@@ -406,6 +429,17 @@ object Aggregates {
          |FROM lineitem
          |GROUP BY l_linestatus
          |ORDER BY l_linestatus""".stripMargin,
+    "q79_unpivot" ->
+      s"""SELECT l_orderkey, l_linenumber, measure, value FROM (
+         |  SELECT l_orderkey, l_linenumber, 'price_cents' AS measure,
+         |         ${centsSql("l_extendedprice")} AS value
+         |  FROM lineitem WHERE l_orderkey < 100
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, 'qty_l' AS measure,
+         |         CAST(l_quantity AS BIGINT) AS value
+         |  FROM lineitem WHERE l_orderkey < 100
+         |)
+         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q15_agg_filtered" ->
       s"""SELECT o_orderpriority,
          |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,

@@ -129,6 +129,20 @@ object Scalars {
       .orderBy($"event_id", $"k")
   }
 
+  /** posexplode — positional array explosion, the last generator-family
+    * variant (explode: q43 et al., explode_outer: q43/q64, explode(map):
+    * q71, json_tuple: q67, custom Generator: ExtractListings). The doc_id
+    * filter sits BEFORE the explode so it pushes to the scan instead of
+    * multiplying then filtering. DuckDB twin: lateral unnest over the
+    * index range, 1-based → 0-based. */
+  def posExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"doc_id" < 50)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+      .orderBy($"doc_id", $"pos")
+  }
+
   def jsonFns(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Single parse per row: ONE from_json with a string-typed field (Jackson
@@ -215,6 +229,7 @@ object Scalars {
     "q33_fn_array" -> arrayFns,
     "q34_fn_map" -> mapFns,
     "q71_fn_map_explode" -> mapExplode,
+    "q80_fn_posexplode" -> posExplode,
     "q35_fn_json" -> jsonFns,
     "q65_fn_date_extra" -> dateExtraFns,
     "q66_fn_array_extra" -> arrayExtraFns,
@@ -289,6 +304,12 @@ object Scalars {
         |             unnest(map_entries(MAP {'et': event_type, 'uid': CAST(user_id AS VARCHAR)})) AS e
         |      FROM events)
         |ORDER BY event_id, k""".stripMargin,
+    "q80_fn_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, words[CAST(i AS INT)] AS word
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words
+        |      FROM documents WHERE doc_id < 50),
+        |     unnest(range(1, len(words) + 1)) AS t(i)
+        |ORDER BY doc_id, pos""".stripMargin,
     "q35_fn_json" ->
       """SELECT event_id,
         |       props->>'$.k' AS k_str,
