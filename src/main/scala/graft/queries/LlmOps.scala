@@ -131,15 +131,21 @@ object LlmOps {
     val nodes = pairs.select($"src").distinct()
     val ed = pairs.unionByName(nodes.select($"src", $"src".as("dst")))
     var labels = nodes.select($"src".as("doc"), $"src".as("lab")).localCheckpoint()
+    // coalesce: sum over an EMPTY label set (a corpus with zero LSH
+    // collisions) is null, and a bare getLong would NPE before the loop
+    // even decides it has nothing to do
+    def labelSum(): Long = labels
+      .agg(coalesce(org.apache.spark.sql.functions.sum($"lab"), lit(0L)))
+      .head.getLong(0)
     var prevSum = Long.MaxValue
-    var sum = labels.agg(org.apache.spark.sql.functions.sum($"lab")).head.getLong(0)
+    var sum = labelSum()
     while (sum < prevSum) {
       labels = ed.join(labels, $"dst" === $"doc")
         .groupBy($"src").agg(min($"lab").as("lab"))
         .select($"src".as("doc"), $"lab")
         .localCheckpoint()
       prevSum = sum
-      sum = labels.agg(org.apache.spark.sql.functions.sum($"lab")).head.getLong(0)
+      sum = labelSum()
     }
     labels.groupBy($"lab".as("cluster_id"))
       .agg(
