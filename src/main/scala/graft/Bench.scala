@@ -62,14 +62,20 @@ object Bench {
       }
     }
     val byQuery = samples.groupBy(_._1)
+    // Median over SUCCESSFUL samples only: a query that crashes in 1 of n
+    // runs must not have its time-to-failure mixed into the median (that
+    // silently skews the artifact even though the query is listed in
+    // `failed`). A query with zero successful samples reports null and is
+    // excluded from the total — the `failed` list is its record.
     val medians = queries.keys.map { name =>
-      name -> median(byQuery(name).map(_._2))
+      val ok = byQuery(name).filter(_._3).map(_._2)
+      name -> (if (ok.nonEmpty) Some(median(ok)) else None)
     }.toSeq
-    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val failed = byQuery.collect { case (k, ss) if ss.exists(!_._3) => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = medians.map(_._2).sum
+    val total = medians.flatMap(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Also land the JSON in a file: the driver greps sbt's log tail for the

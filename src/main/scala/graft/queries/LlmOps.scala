@@ -104,8 +104,11 @@ object LlmOps {
     * label(v) ← min over {v} ∪ neighbors(v) of label; each round is one
     * shuffled join+agg over the EDGE list (candidate pairs only, df-capped
     * by the band scheme — never the corpus). The driver-side work per round
-    * is a single scalar (sum of labels, monotone decreasing in ℤ ⇒
-    * terminates) used as the convergence test; rounds ≤ component diameter,
+    * is a single scalar (sum of labels as decimal(38,0): monotone decreasing
+    * and wrap-free — a BIGINT sum would silently wrap at the doc-id
+    * cardinalities a 100 TB corpus carries, and a wrapped "increase" would
+    * exit the loop before the fixpoint with wrong labels and no error)
+    * used as the convergence test; rounds ≤ component diameter,
     * which for LSH bucket graphs is tiny (members of a bucket form a
     * clique, so chains only arise across buckets). At true 100 TB scale
     * with adversarial long chains you'd switch the iteration body to
@@ -132,14 +135,17 @@ object LlmOps {
     val ed = pairs.unionByName(nodes.select($"src", $"src".as("dst")))
     var labels = nodes.select($"src".as("doc"), $"src".as("lab")).localCheckpoint()
     // coalesce: sum over an EMPTY label set (a corpus with zero LSH
-    // collisions) is null, and a bare getLong would NPE before the loop
-    // even decides it has nothing to do
-    def labelSum(): Long = labels
-      .agg(coalesce(org.apache.spark.sql.functions.sum($"lab"), lit(0L)))
-      .head.getLong(0)
-    var prevSum = Long.MaxValue
+    // collisions) is null, and a bare getDecimal would NPE before the loop
+    // even decides it has nothing to do. decimal(38,0) holds up to ~10^19
+    // max-long labels without wrapping; BIGINT wraps at ~10 of them.
+    def labelSum(): java.math.BigDecimal = labels
+      .agg(coalesce(
+        org.apache.spark.sql.functions.sum($"lab".cast("decimal(38,0)")),
+        lit(BigDecimal(0)).cast("decimal(38,0)")))
+      .head.getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
     var sum = labelSum()
-    while (sum < prevSum) {
+    while (prevSum == null || sum.compareTo(prevSum) < 0) {
       labels = ed.join(labels, $"dst" === $"doc")
         .groupBy($"src").agg(min($"lab").as("lab"))
         .select($"src".as("doc"), $"lab")

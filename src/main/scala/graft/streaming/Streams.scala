@@ -121,32 +121,40 @@ object Streams {
     * watermark (set here from `delay`), which makes expiry deterministic
     * for replay/backfill and for the batch-equivalence test harness — a
     * wall-clock TTL would evict a different set of keys on every rerun of
-    * the same data. A key's timeout re-arms at (its latest event + ttlMs);
+    * the same data. A key's timeout re-arms at (its latest event SEEN SO
+    * FAR + ttlMs) — the max event ts is carried in state, so a later batch
+    * containing only older (late-but-admitted) events can never pull the
+    * timeout EARLIER and evict a key before its documented TTL horizon;
     * the timed-out callback removes state and emits nothing, so a user
     * returning after expiry restarts from zero (asserted in StreamsSpec). */
   def userTotalsExpiring(
       events: Dataset[Event],
       ttlMs: Long = 30L * 60 * 1000,
       delay: String = "10 minutes"): Dataset[UserTotal] = {
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
     import events.sparkSession.implicits._
     events.withWatermark("ts", delay)
       .groupByKey(_.user_id)
+      // state = (running total, max event ts ever seen for this key):
+      // the high-water mark must survive batches, not be recomputed per
+      // batch, or late-data batches would re-arm the timeout backwards
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[Event], state: GroupState[UserTotal]) =>
+        (uid: Long, it: Iterator[Event], state: GroupState[(UserTotal, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+            val (prev, prevMaxTs) =
+              state.getOption.getOrElse((UserTotal(uid, 0L, 0.0), Long.MinValue))
             var n = prev.n_events
             var tot = prev.total_value
-            var maxTs = Long.MinValue
+            var maxTs = prevMaxTs
             it.foreach { e =>
               n += 1; tot += e.value
               if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
             }
             val next = UserTotal(uid, n, tot)
-            state.update(next)
+            state.update((next, maxTs))
             if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs + ttlMs)
             Iterator(next)
           }

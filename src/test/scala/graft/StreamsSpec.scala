@@ -159,6 +159,47 @@ class StreamsSpec extends SparkSpec {
     assert(lastNoTtl === ((2L, 3.0)))
   }
 
+  test("late-but-admitted older events do not pull the TTL timeout earlier") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // 1-hour TTL, 4-hour watermark delay (so the late event below is
+    // admitted). The documented contract is (latest event SEEN SO FAR +
+    // ttl): re-arming from only the CURRENT batch's max would move user
+    // 1's timeout from 11:00 back to 08:00 and evict it at batch 4.
+    val q = Streams.userTotalsExpiring(mem.toDS(), ttlMs = 60L * 60 * 1000, delay = "4 hours")
+      .writeStream.format("memory").queryName("t_ttl_late").outputMode(OutputMode.Update).start()
+    // batch 1: user 1 @ 10:00 → timeout armed at 11:00 (watermark 06:00)
+    mem.addData(Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    // batch 2: user 1 LATE event @ 07:00 — above the 06:00 watermark, so
+    // admitted; must NOT re-arm the timeout back to 08:00
+    mem.addData(Seq(Event(2, ts("2024-01-01 07:00:00"), 1, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    // batch 3: user 2 @ 14:00 advances the watermark to 10:00 — past the
+    // buggy 08:00 timeout, short of the correct 11:00 one
+    mem.addData(Seq(Event(3, ts("2024-01-01 14:00:00"), 2, "view", 1.0, "{}")))
+    q.processAllAvailable()
+    // batch 4: user-1-less batch where a (wrongly) expired timeout would fire
+    mem.addData(Seq(Event(4, ts("2024-01-01 14:05:00"), 2, "view", 1.0, "{}")))
+    q.processAllAvailable()
+    // batch 5: user 1 returns before its documented horizon — must ACCUMULATE
+    mem.addData(Seq(Event(5, ts("2024-01-01 14:10:00"), 1, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val user1Last = spark.table("t_ttl_late").collect().filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getDouble(2))).last
+    assert(user1Last === ((3L, 3.0)),
+      s"late batch pulled the timeout earlier and evicted live state: $user1Last")
+  }
+
+  test("userTotalsExpiring rejects a non-positive TTL") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[Event]
+    intercept[IllegalArgumentException](Streams.userTotalsExpiring(empty, ttlMs = 0L))
+    intercept[IllegalArgumentException](Streams.userTotalsExpiring(empty, ttlMs = -5L))
+  }
+
   test("transformWithState TTL purges idle state; a returning user restarts from zero") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
