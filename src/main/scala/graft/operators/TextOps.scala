@@ -77,6 +77,17 @@ object TextOps {
           + element_at(tokenDigests, i + 2)) % lit(MinhashPrime)))
       .otherwise(array().cast("array<bigint>"))
 
+  /** 2-token shingle (bigram) digests from token digests — same integer
+    * polynomial scheme as [[shingleHashes3]] (h1*C1 + h2 < 2^61, exact
+    * BIGINT everywhere), for repetition metrics where the unit of
+    * repetition is the word pair. */
+  def shingleHashes2(tokenDigests: Column): Column =
+    when(size(tokenDigests) >= 2,
+      transform(sequence(lit(1), size(tokenDigests) - 1), i =>
+        (element_at(tokenDigests, i) * lit(ShingleC1)
+          + element_at(tokenDigests, i + 1)) % lit(MinhashPrime)))
+      .otherwise(array().cast("array<bigint>"))
+
   /** MinHash signature from pre-computed shingle digests: element j is
     * min((a_j * h + b_j) mod p) over the digests — 12 passes of cheap
     * integer arithmetic instead of 12 md5 evaluations per shingle. */

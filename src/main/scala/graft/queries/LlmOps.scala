@@ -39,6 +39,18 @@ object LlmOps {
     s"list_transform(range(1, len(th) - 1), i -> (th[i] * $ShingleC1 + th[i+1] * $ShingleC2 + th[i+2]) % $MinhashPrime)"
   }
 
+  /** 2-token shingle digests over a `th` column (TextOps.shingleHashes2
+    * twin — identical integer op tree, exact in BIGINT on both engines). */
+  private val shingle2Sql = {
+    import graft.operators.TextOps.{MinhashPrime, ShingleC1}
+    s"list_transform(range(1, len(th)), i -> (th[i] * $ShingleC1 + th[i+1]) % $MinhashPrime)"
+  }
+
+  /** DuckDB twin of the 40-bit md5 doc-id digest used by the split and
+    * sampling operators (hex-parse trick: BIGINT cast of '0x…'). */
+  private val docIdDigestSql =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)"
+
   /** Fixture embeddings are fixed 64-dim; float products, double fold. */
   private def dotSql(x: String, y: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(range(1, 65), i -> $x[i] * $y[i]) AS DOUBLE[])), (acc, p) -> acc + p)"
@@ -658,6 +670,125 @@ object LlmOps {
       .orderBy($"doc_id", $"rn")
   }
 
+  /** Repetition-based quality signals (the Gopher-rule family): per doc,
+    * the fraction of bigram mass held by the single most frequent bigram
+    * (`top_bigram_frac`) and the fraction of trigrams that are repeats of
+    * an earlier trigram (`dup_trigram_frac`); `rep_ok` applies the filter
+    * thresholds. Trigram dup-frac is ENTIRELY map-side (array_distinct on
+    * the per-row digest array — nothing shuffles); the top-bigram count is
+    * the one inherently-grouped metric, and it shuffles only (doc_id,
+    * 40-bit bigram digest) pairs with map-side partial aggregation — never
+    * text. explode_outer, not explode: a non-outer generator lets the
+    * optimizer infer `size(bgs) > 0` and push the whole digest pipeline
+    * into a scan-side Filter (the q43 O(tokens²) trap), and it would also
+    * silently drop sub-2-token docs from the census. */
+  def qualityRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pre = Tables.documents(s, dir)
+      .withColumn("th", TextOps.tokenHashes(TextOps.tokens($"text")))
+      .withColumn("n_tok", size($"th").cast("long"))
+      .withColumn("tgs", TextOps.shingleHashes3($"th"))
+      .withColumn("n_tg", size($"tgs").cast("long"))
+      .withColumn("n_tg_dist", size(array_distinct($"tgs")).cast("long"))
+      .select($"doc_id", $"n_tok", $"n_tg", $"n_tg_dist",
+        explode_outer(TextOps.shingleHashes2($"th")).as("bg"))
+    pre.groupBy($"doc_id", $"bg")
+      .agg(max($"n_tok").as("n_tok"), max($"n_tg").as("n_tg"),
+        max($"n_tg_dist").as("n_tg_dist"),
+        count(when($"bg".isNotNull, lit(1))).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(max($"n_tok").as("n_tok"), max($"n_tg").as("n_tg"),
+        max($"n_tg_dist").as("n_tg_dist"), max($"cnt").as("top_bigram_cnt"))
+      .withColumn("n_bg", greatest($"n_tok" - 1L, lit(0L)))
+      .withColumn("top_bigram_frac",
+        when($"n_bg" > 0, ratio($"top_bigram_cnt", $"n_bg")).otherwise(lit(0.0)))
+      .withColumn("dup_trigram_frac",
+        when($"n_tg" > 0, ratio($"n_tg" - $"n_tg_dist", $"n_tg")).otherwise(lit(0.0)))
+      .withColumn("rep_ok",
+        $"top_bigram_frac" <= lit(0.2) && $"dup_trigram_frac" <= lit(0.5))
+      .select($"doc_id", $"n_tok", $"top_bigram_cnt", $"top_bigram_frac",
+        $"dup_trigram_frac", $"rep_ok")
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic train/val/test split: bucket = 40-bit md5 digest of the
+    * doc id mod 100 → 90/5/5. The split is a pure per-row projection — no
+    * shuffle, no RNG, no seed to lose: the same doc lands in the same split
+    * on every engine, every rerun, every backfill, which is the property a
+    * training pipeline needs (TABLESAMPLE and rand(seed) both break under
+    * re-partitioning). The census aggregates per split; the global-frame
+    * window for `frac` runs AFTER the groupBy, over at most three rows —
+    * the single-partition WindowExec warning it triggers is about those
+    * three post-agg rows, not the corpus. */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wAll = Window.partitionBy()
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string")), 1, 10), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when($"bucket" < 90, "train").when($"bucket" < 95, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .withColumn("frac", ratio($"n_docs", sum($"n_docs").over(wAll)))
+      .select($"split", $"n_docs", $"frac", $"sum_chars", $"min_doc", $"max_doc")
+      .orderBy($"split")
+  }
+
+  /** Token count per training chunk. */
+  val ChunkSize = 32
+  /** Stride between chunk starts (overlap = ChunkSize - ChunkStride). */
+  val ChunkStride = 24
+
+  /** Overlapping token-window chunking — the doc→training-sample explosion
+    * step of a pretraining pipeline: fixed 32-token windows every 24 tokens
+    * (8-token overlap so no boundary context is lost). Chunk count is
+    * closed-form integer math (1 + ceil((n-size)/stride), exact in BIGINT
+    * on both engines via `div`), chunk extraction is a per-row array slice:
+    * the whole operator is map-side projection + generator — zero shuffle
+    * at any corpus size; only the declared total ORDER BY sorts. */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val size_ = lit(ChunkSize.toLong)
+    val stride = lit(ChunkStride.toLong)
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("n_tok", size($"toks").cast("long"))
+      .withColumn("n_chunks",
+        when($"n_tok" <= size_, lit(1L))
+          .otherwise(lit(1L) + expr(
+            s"(n_tok - ${ChunkSize} + ${ChunkStride - 1}) div ${ChunkStride}")))
+      .select($"doc_id", $"toks", $"n_tok",
+        explode_outer(sequence(lit(0L), $"n_chunks" - 1L)).as("chunk_idx"))
+      .withColumn("chunk_start", $"chunk_idx" * stride)
+      .withColumn("chunk_toks",
+        slice($"toks", ($"chunk_start" + 1L).cast("int"), lit(ChunkSize)))
+      .select($"doc_id", $"chunk_idx", $"chunk_start",
+        size($"chunk_toks").cast("long").as("n_chunk_toks"),
+        concat_ws(" ", $"chunk_toks").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Deterministic stratified sample: 10 docs per language, chosen by
+    * md5-digest order — a reproducible "random" sample (the digest is
+    * uniform over doc ids but fixed across engines/reruns/partitionings,
+    * which rand(seed) is not). WindowGroupLimit keeps it top-k-shaped:
+    * per-partition partial top-10 per lang, only survivors shuffle. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"hkey".asc, $"doc_id".asc)
+    Tables.documents(s, dir)
+      .withColumn("hkey",
+        conv(substring(md5($"doc_id".cast("string")), 1, 10), 16, 10).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select($"lang", $"rn", $"doc_id", $"hkey")
+      .orderBy($"lang", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -679,7 +810,11 @@ object LlmOps {
     "q51_token_count" -> tokenCount,
     "q52_tfidf_top_terms" -> tfidfTop,
     "q74_pii_scrub" -> piiScrub,
-    "q78_embed_quantize" -> embedQuantize
+    "q78_embed_quantize" -> embedQuantize,
+    "q81_quality_repetition" -> qualityRepetition,
+    "q82_split_assign" -> splitAssign,
+    "q83_chunk_overlap" -> chunkOverlap,
+    "q84_sample_stratified" -> sampleStratified
   )
 
   val oracles: Map[String, String] = Map(
@@ -1063,6 +1198,80 @@ object LlmOps {
         |  FROM tfx JOIN dfx USING (term), nx
         |  WHERE doc_id < 50
         |) WHERE rn <= 3
-        |ORDER BY doc_id, rn""".stripMargin
+        |ORDER BY doc_id, rn""".stripMargin,
+    "q81_quality_repetition" ->
+      s"""WITH pre AS (
+         |  SELECT doc_id,
+         |         CAST(len(th) AS BIGINT) AS n_tok,
+         |         CAST(len(tgs) AS BIGINT) AS n_tg,
+         |         CAST(len(list_distinct(tgs)) AS BIGINT) AS n_tg_dist,
+         |         bgs
+         |  FROM (
+         |    SELECT doc_id, th, $shingle3Sql AS tgs, $shingle2Sql AS bgs
+         |    FROM (SELECT doc_id, $tokenHashesSql AS th
+         |          FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |  )
+         |), topbg AS (
+         |  SELECT doc_id, max(cnt) AS top_bigram_cnt FROM (
+         |    SELECT doc_id, bg, count(*) AS cnt
+         |    FROM (SELECT doc_id, unnest(bgs) AS bg FROM pre)
+         |    GROUP BY doc_id, bg
+         |  ) GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tok, top_bigram_cnt, top_bigram_frac, dup_trigram_frac,
+         |       (top_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.5) AS rep_ok
+         |FROM (
+         |  SELECT p.doc_id, p.n_tok,
+         |         CAST(coalesce(t.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+         |         CASE WHEN greatest(p.n_tok - 1, 0) > 0
+         |              THEN ${ratioSql("coalesce(t.top_bigram_cnt, 0)", "greatest(p.n_tok - 1, 0)")}
+         |              ELSE 0.0 END AS top_bigram_frac,
+         |         CASE WHEN p.n_tg > 0
+         |              THEN ${ratioSql("p.n_tg - p.n_tg_dist", "p.n_tg")}
+         |              ELSE 0.0 END AS dup_trigram_frac
+         |  FROM pre p LEFT JOIN topbg t ON p.doc_id = t.doc_id
+         |)
+         |ORDER BY doc_id""".stripMargin,
+    "q82_split_assign" ->
+      s"""SELECT split, n_docs,
+         |       ${ratioSql("n_docs", "sum(n_docs) OVER ()")} AS frac,
+         |       sum_chars, min_doc, max_doc
+         |FROM (
+         |  SELECT CASE WHEN bucket < 90 THEN 'train'
+         |              WHEN bucket < 95 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |         count(*) AS n_docs,
+         |         ${sumLongSql("n_chars")} AS sum_chars,
+         |         min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |  FROM (SELECT doc_id, n_chars, $docIdDigestSql % 100 AS bucket FROM documents)
+         |  GROUP BY 1
+         |)
+         |ORDER BY split""".stripMargin,
+    "q83_chunk_overlap" ->
+      s"""SELECT doc_id, chunk_idx, chunk_idx * 24 AS chunk_start,
+         |       CAST(len(ct) AS BIGINT) AS n_chunk_toks,
+         |       array_to_string(ct, ' ') AS chunk_text
+         |FROM (
+         |  SELECT doc_id, chunk_idx,
+         |         list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32) AS ct
+         |  FROM (
+         |    SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx
+         |    FROM (
+         |      SELECT doc_id, toks,
+         |             CASE WHEN n_tok <= 32 THEN 1
+         |                  ELSE 1 + (n_tok - 32 + 23) // 24 END AS n_chunks
+         |      FROM (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok
+         |            FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |    )
+         |  )
+         |)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q84_sample_stratified" ->
+      s"""SELECT lang, CAST(rn AS INT) AS rn, doc_id, hkey FROM (
+         |  SELECT lang, doc_id, hkey,
+         |         row_number() OVER (PARTITION BY lang ORDER BY hkey ASC, doc_id ASC) AS rn
+         |  FROM (SELECT lang, doc_id, $docIdDigestSql AS hkey FROM documents)
+         |) WHERE rn <= 10
+         |ORDER BY lang, rn""".stripMargin
   )
 }

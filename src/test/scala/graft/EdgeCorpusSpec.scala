@@ -20,7 +20,9 @@ class EdgeCorpusSpec extends SparkSpec {
       (3L, "two words", "en", "web", 9L),
       (4L, "three word document here now", "en", "web", 28L),
       (5L, "three word document here now", "en", "web", 28L), // exact dup
-      (6L, "a b c d e f g h i j k l m n o p", "de", "book", 31L))
+      (6L, "a b c d e f g h i j k l m n o p", "de", "book", 31L),
+      (7L, Seq.fill(20)("spam").mkString(" "), "en", "web", 99L), // max repetition
+      (8L, (1 to 40).map(i => s"t$i").mkString(" "), "en", "web", 160L)) // spans 2 chunks
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
     d
@@ -30,7 +32,9 @@ class EdgeCorpusSpec extends SparkSpec {
     "q40_dedup_exact", "q41_dedup_minhash_lsh", "q42_dedup_simhash",
     "q43_dedup_ngram_jaccard", "q47_text_stats", "q48_lang_id",
     "q49_quality_score", "q50_fingerprint", "q51_token_count",
-    "q52_tfidf_top_terms", "q76_dedup_clusters", "q80_fn_posexplode")
+    "q52_tfidf_top_terms", "q76_dedup_clusters", "q80_fn_posexplode",
+    "q81_quality_repetition", "q82_split_assign", "q83_chunk_overlap",
+    "q84_sample_stratified")
 
   textQueries.foreach { name =>
     test(s"$name runs on the degenerate corpus") {
@@ -52,6 +56,42 @@ class EdgeCorpusSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$d2/documents.parquet")
     assert(SparkEntry.queries("q76_dedup_clusters")(spark, d2).collect().isEmpty)
+  }
+
+  test("q81 flags the all-repetition doc and zeroes metrics on sub-bigram docs") {
+    val rep = SparkEntry.queries("q81_quality_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 7 is "spam" ×20: every bigram identical → top_bigram_frac = 1.0
+    assert(rep(7L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(!rep(7L).getAs[Boolean]("rep_ok"))
+    // doc 2 has one token: no bigrams/trigrams — fractions define to 0, keeps
+    assert(rep(2L).getAs[Double]("top_bigram_frac") == 0.0)
+    assert(rep(2L).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(rep(2L).getAs[Boolean]("rep_ok"))
+    // doc 8 is 40 distinct tokens: zero repetition
+    assert(rep(8L).getAs[Long]("top_bigram_cnt") == 1L)
+    assert(rep(8L).getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  test("q83 chunk math: 40 tokens → chunks of 32 and 16 with an 8-token overlap") {
+    val ch = SparkEntry.queries("q83_chunk_overlap")(spark, dir)
+      .collect().filter(_.getLong(0) == 8L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ch.toSeq === Seq((0L, 0L, 32L), (1L, 24L, 16L)))
+    // every doc appears: even the empty-text doc yields its one chunk
+    val docs = SparkEntry.queries("q83_chunk_overlap")(spark, dir)
+      .select("doc_id").distinct().count()
+    assert(docs == 8L)
+  }
+
+  test("q82 buckets partition the corpus; q84 caps the sample per stratum") {
+    val split = SparkEntry.queries("q82_split_assign")(spark, dir).collect()
+    assert(split.map(_.getAs[Long]("n_docs")).sum == 8L)
+    assert(math.abs(split.map(_.getAs[Double]("frac")).sum - 1.0) < 1e-12)
+    val sample = SparkEntry.queries("q84_sample_stratified")(spark, dir).collect()
+    // 7 en docs + 1 de doc, cap 10 → everything sampled exactly once here
+    assert(sample.length == 8)
+    assert(sample.map(_.getAs[Int]("rn")).max <= 10)
   }
 
   test("q41 drops shingle-less docs; q43 finds the exact-dup pair") {
