@@ -143,6 +143,20 @@ object Scalars {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** inline(arrays_zip(...)): the array-of-structs generator — one output
+    * ROW per element with the struct unpacked to columns, completing the
+    * generator family (explode q33/q71, posexplode q80, json_tuple q67,
+    * unpivot q79). Zips each part-name word with its 40-bit digest; the
+    * DuckDB twin is parallel unnest (positional zip). Pure map-side fan-out. */
+  def inlineFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .withColumn("ws", split($"p_name", " "))
+      .withColumn("hs", graft.operators.TextOps.tokenHashes($"ws"))
+      .select($"p_partkey", inline(arrays_zip($"ws".as("w"), $"hs".as("h"))))
+      .orderBy($"p_partkey", $"w", $"h")
+  }
+
   def jsonFns(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Single parse per row: ONE from_json with a string-typed field (Jackson
@@ -230,6 +244,7 @@ object Scalars {
     "q34_fn_map" -> mapFns,
     "q71_fn_map_explode" -> mapExplode,
     "q80_fn_posexplode" -> posExplode,
+    "q86_fn_inline" -> inlineFns,
     "q35_fn_json" -> jsonFns,
     "q65_fn_date_extra" -> dateExtraFns,
     "q66_fn_array_extra" -> arrayExtraFns,
@@ -310,6 +325,14 @@ object Scalars {
         |      FROM documents WHERE doc_id < 50),
         |     unnest(range(1, len(words) + 1)) AS t(i)
         |ORDER BY doc_id, pos""".stripMargin,
+    "q86_fn_inline" ->
+      """SELECT p_partkey, unnest(ws) AS w, unnest(hs) AS h
+        |FROM (SELECT p_partkey,
+        |             string_split(p_name, ' ') AS ws,
+        |             list_transform(string_split(p_name, ' '),
+        |               t -> CAST(('0x' || substr(md5(t), 1, 10)) AS BIGINT)) AS hs
+        |      FROM part)
+        |ORDER BY p_partkey, w, h""".stripMargin,
     "q35_fn_json" ->
       """SELECT event_id,
         |       props->>'$.k' AS k_str,

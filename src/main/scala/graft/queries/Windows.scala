@@ -105,8 +105,26 @@ object Windows {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Distribution family (percent_rank / cume_dist): each order's price
+    * position within its priority class as a [0,1] quantile — the window
+    * analytics q19's ranking family doesn't cover. Ordering includes the
+    * key (no ties), so rank == row_number and both functions reduce to
+    * small-integer divisions — bit-identical across engines. */
+  def distribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"price_cents".asc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .withColumn("price_cents", cents($"o_totalprice"))
+      .select($"o_orderpriority", $"o_orderkey", $"price_cents",
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_window_range_frame" -> rangeFrame,
+    "q85_window_distribution" -> distribution,
     "q19_window_rank" -> rankFamily,
     "q20_window_lag_lead" -> lagLead,
     "q21_window_frames" -> frames,
@@ -114,6 +132,16 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q85_window_distribution" ->
+      s"""SELECT o_orderpriority, o_orderkey, price_cents,
+         |       percent_rank() OVER w AS pct_rank,
+         |       cume_dist() OVER w AS cume
+         |FROM (SELECT o_orderpriority, o_orderkey,
+         |             ${centsSql("o_totalprice")} AS price_cents
+         |      FROM orders)
+         |WINDOW w AS (PARTITION BY o_orderpriority
+         |             ORDER BY price_cents ASC, o_orderkey ASC)
+         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q62_window_range_frame" ->
       s"""SELECT o_custkey, o_orderkey, epoch_s,
          |       count(*) OVER w AS n_within_30d,
