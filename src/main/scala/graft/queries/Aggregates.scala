@@ -325,7 +325,125 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Statistical-moment family: native `var_samp` / `stddev_samp` /
+    * `covar_samp` / `corr` — the one agg family whose results are genuinely
+    * FP-order-dependent (Welford-style streaming merges), so raw values can
+    * never hash-match a second engine. Declared output therefore splits:
+    *
+    *   - values PROVABLY bit-exact cross-engine: `mean_price_cents` (exact
+    *     long ratio) and `var_qty`/`stddev_qty`, whose portable tree
+    *     `(n*Σy² − (Σy)²) / (n(n−1))` stays below 2^53 at sf ≤ 0.1
+    *     (Σy² ≤ 6e5·2500 = 1.5e9, n·Σy² ≤ 9e14), so every long→double
+    *     conversion and IEEE op is exact in both engines;
+    *   - the price moments, whose exact sums (Σx² ≈ 6.6e19 at sf0.1) need
+    *     DECIMAL(38,0) accumulation, surface as `*_ok` CONTRACT BOOLEANS:
+    *     each engine checks its own native estimate against the exact
+    *     decimal-sum tree within 1e-6 relative (hybrid `1e-6·(|x|+1)` so a
+    *     near-zero corr can't fail on relative error) — the q18 pattern.
+    *     The exact tree itself is NOT output: a ~1e24 integer's nearest
+    *     double could differ by 1 ulp between Spark's BigDecimal path and
+    *     DuckDB's two-half HUGEINT conversion.
+    *
+    * Scale: one codegen hash agg, map-side partials; decimal sums keep
+    * exactness far past long overflow (100 TB row counts). */
+  def statsMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val d38 = DecimalType(38, 0)
+    val li = Tables.lineitem(s, dir).select(
+      $"l_returnflag",
+      cents($"l_extendedprice").as("pc"),
+      $"l_quantity".cast("long").as("qty"))
+    val g = li.groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum($"pc".cast(d38)).as("sx"),
+      sum($"qty").as("sy"),
+      sum(($"pc" * $"pc").cast(d38)).as("sxx"),
+      sum(($"pc" * $"qty").cast(d38)).as("sxy"),
+      sum($"qty" * $"qty").as("syy"),
+      var_samp($"pc".cast(DoubleType)).as("v_n"),
+      stddev_samp($"pc".cast(DoubleType)).as("s_n"),
+      covar_samp($"pc".cast(DoubleType), $"qty".cast(DoubleType)).as("cv_n"),
+      corr($"pc".cast(DoubleType), $"qty".cast(DoubleType)).as("cr_n"))
+    val n38 = $"n".cast(d38)
+    val numV = n38 * $"sxx" - $"sx" * $"sx"           // exact decimal ints
+    val numC = n38 * $"sxy" - $"sx" * $"sy".cast(d38)
+    val numYl = $"n" * $"syy" - $"sy" * $"sy"          // exact LONG (< 2^53)
+    val denNm1 = ($"n" * ($"n" - lit(1L))).cast(DoubleType)
+    val varPc = numV.cast(DoubleType) / denNm1
+    val covPq = numC.cast(DoubleType) / denNm1
+    val corPq = numC.cast(DoubleType) /
+      (sqrt(numV.cast(DoubleType)) * sqrt(numYl.cast(DoubleType)))
+    val varQty = numYl.cast(DoubleType) / denNm1
+    def ok(native: Column, portable: Column): Column =
+      abs(native - portable) <= lit(1e-6) * (abs(portable) + lit(1.0))
+    g.select(
+      $"l_returnflag",
+      $"n".as("n_rows"),
+      ratio($"sx".cast("long"), $"n").as("mean_price_cents"),
+      varQty.as("var_qty"),
+      sqrt(varQty).as("stddev_qty"),
+      ok($"v_n", varPc).as("var_price_ok"),
+      ok($"s_n", sqrt(varPc)).as("stddev_price_ok"),
+      ok($"cv_n", covPq).as("covar_ok"),
+      ok($"cr_n", corPq).as("corr_ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Bitwise / boolean aggregate family over a 40-bit per-row digest
+    * (`bit_and`/`bit_or`/`bit_xor`, `bool_and`/`bool_or`). Integer bit ops
+    * are associative+commutative, so results are order-independent and
+    * hash-exact in any engine at any parallelism — the same property that
+    * makes them safe partial-aggregate reducers on a 1000-executor cluster
+    * (XOR-fold is the classic distributed set-digest). */
+  def bitwiseBoolAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select(
+      $"o_orderpriority",
+      cents($"o_totalprice").as("pc"),
+      conv(substring(md5($"o_orderkey".cast("string")), 1, 10), 16, 10)
+        .cast("long").as("h"))
+    o.groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        bit_and($"h").as("h_and"),
+        bit_or($"h").as("h_or"),
+        bit_xor($"h").as("h_xor"),
+        bool_and($"pc" > 0).as("all_positive"),
+        bool_or($"pc" >= 45000000L).as("any_over_450k"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Arg-extremum family: `min_by`/`max_by` (DuckDB `arg_min`/`arg_max`),
+    * `median`, `any_value`. Determinism contracts, stated and engineered:
+    * min_by/max_by tie-break via a composite compare key
+    * `pc·10^6 + o_orderkey` that is unique per row (orderkey < 10^6 at the
+    * verified SFs — at larger scale widen the multiplier or use a struct
+    * ordering); `median` of integer cents interpolates the two middle values
+    * as `(a+b)/2`, exact in IEEE for a+b < 2^53 in both engines; `any_value`
+    * is only deterministic over an expression CONSTANT within its group
+    * (here: the priority's leading digit). */
+  def argExtremes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_orderpriority", $"o_orderkey", $"o_orderstatus",
+        cents($"o_totalprice").as("pc"))
+      .withColumn("cmp", $"pc" * lit(1000000L) + $"o_orderkey")
+    o.groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        median($"pc").as("median_price_cents"),
+        min_by($"o_orderkey", $"cmp").as("cheapest_orderkey"),
+        max_by($"o_orderkey", $"cmp").as("priciest_orderkey"),
+        min_by($"o_orderstatus", $"cmp").as("cheapest_status"),
+        any_value(substring($"o_orderpriority", 1, 1)).as("priority_digit"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_agg_stats_moments" -> statsMoments,
+    "q88_agg_bitwise_bool" -> bitwiseBoolAgg,
+    "q89_agg_arg_extremes" -> argExtremes,
     "q11_agg_multi_measure" -> multiMeasure,
     "q12_agg_count_distinct" -> countDistinctAgg,
     "q13_agg_rollup" -> rollupAgg,
@@ -342,6 +460,75 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    // Portable trees mirror statsMoments exactly where output values are
+    // bit-exact (< 2^53 longs); the price-moment booleans re-check DuckDB's
+    // OWN natives against the HUGEINT-exact tree — same 1e-6 hybrid band.
+    "q87_agg_stats_moments" ->
+      s"""WITH li AS (SELECT l_returnflag,
+         |                   ${centsSql("l_extendedprice")} AS pc,
+         |                   CAST(l_quantity AS BIGINT) AS qty
+         |            FROM lineitem),
+         |g AS (SELECT l_returnflag,
+         |             count(*) AS n,
+         |             CAST(sum(pc) AS HUGEINT) AS sx,
+         |             CAST(sum(qty) AS BIGINT) AS sy,
+         |             sum(CAST(pc AS HUGEINT) * pc) AS sxx,
+         |             sum(CAST(pc AS HUGEINT) * qty) AS sxy,
+         |             CAST(sum(qty * qty) AS BIGINT) AS syy,
+         |             var_samp(CAST(pc AS DOUBLE)) AS v_n,
+         |             stddev_samp(CAST(pc AS DOUBLE)) AS s_n,
+         |             covar_samp(CAST(pc AS DOUBLE), CAST(qty AS DOUBLE)) AS cv_n,
+         |             corr(CAST(pc AS DOUBLE), CAST(qty AS DOUBLE)) AS cr_n
+         |      FROM li GROUP BY l_returnflag),
+         |d AS (SELECT *,
+         |             n * sxx - sx * sx AS num_v,
+         |             n * sxy - sx * CAST(sy AS HUGEINT) AS num_c,
+         |             n * syy - sy * sy AS num_y,
+         |             CAST(n * (n - 1) AS DOUBLE) AS den
+         |      FROM g)
+         |SELECT l_returnflag,
+         |       n AS n_rows,
+         |       CAST(CAST(sx AS BIGINT) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_price_cents,
+         |       CAST(num_y AS DOUBLE) / den AS var_qty,
+         |       sqrt(CAST(num_y AS DOUBLE) / den) AS stddev_qty,
+         |       abs(v_n - CAST(num_v AS DOUBLE) / den)
+         |         <= 1e-6 * (abs(CAST(num_v AS DOUBLE) / den) + 1.0) AS var_price_ok,
+         |       abs(s_n - sqrt(CAST(num_v AS DOUBLE) / den))
+         |         <= 1e-6 * (abs(sqrt(CAST(num_v AS DOUBLE) / den)) + 1.0) AS stddev_price_ok,
+         |       abs(cv_n - CAST(num_c AS DOUBLE) / den)
+         |         <= 1e-6 * (abs(CAST(num_c AS DOUBLE) / den) + 1.0) AS covar_ok,
+         |       abs(cr_n - CAST(num_c AS DOUBLE) / (sqrt(CAST(num_v AS DOUBLE)) * sqrt(CAST(num_y AS DOUBLE))))
+         |         <= 1e-6 * (abs(CAST(num_c AS DOUBLE) / (sqrt(CAST(num_v AS DOUBLE)) * sqrt(CAST(num_y AS DOUBLE)))) + 1.0) AS corr_ok
+         |FROM d
+         |ORDER BY l_returnflag""".stripMargin,
+    "q88_agg_bitwise_bool" ->
+      s"""SELECT o_orderpriority,
+         |       count(*) AS n_rows,
+         |       bit_and(h) AS h_and,
+         |       bit_or(h) AS h_or,
+         |       bit_xor(h) AS h_xor,
+         |       bool_and(pc > 0) AS all_positive,
+         |       bool_or(pc >= 45000000) AS any_over_450k
+         |FROM (SELECT o_orderpriority,
+         |             ${centsSql("o_totalprice")} AS pc,
+         |             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10)) AS BIGINT) AS h
+         |      FROM orders)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    "q89_agg_arg_extremes" ->
+      s"""SELECT o_orderpriority,
+         |       count(*) AS n_rows,
+         |       median(pc) AS median_price_cents,
+         |       arg_min(o_orderkey, cmp) AS cheapest_orderkey,
+         |       arg_max(o_orderkey, cmp) AS priciest_orderkey,
+         |       arg_min(o_orderstatus, cmp) AS cheapest_status,
+         |       any_value(substr(o_orderpriority, 1, 1)) AS priority_digit
+         |FROM (SELECT o_orderpriority, o_orderkey, o_orderstatus,
+         |             ${centsSql("o_totalprice")} AS pc,
+         |             ${centsSql("o_totalprice")} * 1000000 + o_orderkey AS cmp
+         |      FROM orders)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     "q11_agg_multi_measure" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sumIntValuedSql("l_quantity")} AS sum_qty,

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** SQL-text entry point: the same engine surface as the DataFrame queries,
+  * driven through `spark.sql(...)` over registered views — proving a user
+  * can run plain ANSI SQL against the library's tables (SURVEY.md §1.3's
+  * `spark.sql` mandate). Every other declared query builds its plan with the
+  * DataFrame/Dataset API; this one goes parser → analyzer → same Catalyst
+  * pipeline, and lands on the identical physical plans (SQL text is sugar,
+  * not a second engine).
+  *
+  * The query text is ONE shared ANSI string executed verbatim by BOTH
+  * engines (the oracle gets the same constant, `Oracle.rewrite` only swaps
+  * table names for `read_parquet`): CTE + two joins + grouped agg + EXISTS
+  * correlated subquery + CASE + window rank — the shapes a SQL user reaches
+  * for first. Money stays exact-integer cents ([[Portable.centsSql]] inlined
+  * so the tree is identical by construction); rank ties are broken by
+  * custkey so ordering is total.
+  *
+  * Scale: cust_orders is a map-side-partial hash agg on o_custkey; the
+  * EXISTS plans as a left-semi hash join on the same key (no row explosion);
+  * customer⋈nation broadcasts the 25-row dim; the window partitions by
+  * nation (25 groups) AFTER aggregation, so it windows ~|customer| rows,
+  * not |orders|.
+  */
+object SqlApi {
+
+  /** Shared Spark/DuckDB SQL. Keep this ANSI-portable: no engine-specific
+    * functions, no inline fixture-table aliases (Oracle.rewrite contract). */
+  val customerTiersSql: String =
+    """WITH cust_orders AS (
+      |  SELECT o_custkey,
+      |         count(*) AS n_orders,
+      |         CAST(sum(CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
+      |  FROM orders
+      |  GROUP BY o_custkey
+      |)
+      |SELECT c_custkey, n_name, n_orders, spend_cents,
+      |       CASE WHEN spend_cents >= 100000000 THEN 'gold'
+      |            WHEN spend_cents >= 50000000 THEN 'silver'
+      |            ELSE 'bronze' END AS tier,
+      |       CAST(rank() OVER (PARTITION BY n_name
+      |                         ORDER BY spend_cents DESC, c_custkey)
+      |            AS INT) AS rank_in_nation
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN cust_orders ON o_custkey = c_custkey
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY n_name, rank_in_nation, c_custkey""".stripMargin
+
+  /** Registers the referenced fixture tables as temp views (idempotent) and
+    * runs the shared SQL through `spark.sql`. */
+  def sqlTextQuery(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "nation", "orders").foreach { t =>
+      Tables(s, dir, t).createOrReplaceTempView(t)
+    }
+    s.sql(customerTiersSql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_sql_text_api" -> sqlTextQuery)
+
+  val oracles: Map[String, String] = Map(
+    "q90_sql_text_api" -> customerTiersSql)
+}
