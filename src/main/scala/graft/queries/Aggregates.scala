@@ -417,9 +417,10 @@ object Aggregates {
   /** Arg-extremum family: `min_by`/`max_by` (DuckDB `arg_min`/`arg_max`),
     * `median`, `any_value`. Determinism contracts, stated and engineered:
     * min_by/max_by tie-break via a composite compare key
-    * `pc·10^6 + o_orderkey` that is unique per row (orderkey < 10^6 at the
-    * verified SFs — at larger scale widen the multiplier or use a struct
-    * ordering); `median` of integer cents interpolates the two middle values
+    * `pc·10^9 + o_orderkey`, unique while orderkey < 10^9 and pc < 9.2·10^9
+    * (billions of orders; beyond that use a struct ordering, which both
+    * engines compare lexicographically but DuckDB's arg_min cannot take);
+    * `median` of integer cents interpolates the two middle values
     * as `(a+b)/2`, exact in IEEE for a+b < 2^53 in both engines; `any_value`
     * is only deterministic over an expression CONSTANT within its group
     * (here: the priority's leading digit). */
@@ -428,7 +429,7 @@ object Aggregates {
     val o = Tables.orders(s, dir)
       .select($"o_orderpriority", $"o_orderkey", $"o_orderstatus",
         cents($"o_totalprice").as("pc"))
-      .withColumn("cmp", $"pc" * lit(1000000L) + $"o_orderkey")
+      .withColumn("cmp", $"pc" * lit(1000000000L) + $"o_orderkey")
     o.groupBy($"o_orderpriority")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -525,7 +526,7 @@ object Aggregates {
          |       any_value(substr(o_orderpriority, 1, 1)) AS priority_digit
          |FROM (SELECT o_orderpriority, o_orderkey, o_orderstatus,
          |             ${centsSql("o_totalprice")} AS pc,
-         |             ${centsSql("o_totalprice")} * 1000000 + o_orderkey AS cmp
+         |             ${centsSql("o_totalprice")} * 1000000000 + o_orderkey AS cmp
          |      FROM orders)
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,

@@ -94,6 +94,21 @@ class PlanAssertionsSpec extends SparkSpec {
       "q63 regressed to a value-buffering aggregate")
   }
 
+  test("q87 stats moments is ONE codegen hash-agg pass (no Object agg, no second scan)") {
+    // String asserts see through the AQE wrapper (node-collect does not).
+    val p = planOf("q87_agg_stats_moments")
+    assert(!p.contains("ObjectHashAggregate"),
+      "native moment aggs must stay declarative codegen HashAggregate")
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1,
+      "exact sums and native moments must share one scan")
+  }
+
+  test("q90 SQL text plans like the DataFrame queries: broadcast dim, semi-join EXISTS") {
+    val p = planOf("q90_sql_text_api")
+    assert(p.contains("BroadcastHashJoin"), "25-row nation dim must broadcast")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join, not a row-exploding inner")
+  }
+
   test("no digest hashing inlined into Filter nodes (pushdown-inlining guard)") {
     // Predicates on expensive computed columns get pushed below their
     // projection and re-evaluate the whole digest pipeline per row inside
