@@ -441,7 +441,88 @@ object Aggregates {
       .orderBy($"o_orderpriority")
   }
 
+  /** Linear-regression aggregate family (`regr_slope` / `regr_intercept` /
+    * `regr_r2` / `regr_count` / `regr_avgx` / `regr_avgy`), q87's split
+    * applied again: avgx/avgy/count are exact long ratios (output values);
+    * slope/intercept/r2 are FP-order-dependent natives gated by contract
+    * booleans against the decimal-exact trees. Slope needs no n-scaling:
+    * `(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)` is the same for population and
+    * sample moments (the n cancels). y = price cents regressed on x = qty;
+    * this fixture generates them independently, so slope ≈ 0 and the
+    * hybrid band's +1 term carries the comparison. */
+  def regressionAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val d38 = DecimalType(38, 0)
+    val li = Tables.lineitem(s, dir).select(
+      $"l_returnflag",
+      cents($"l_extendedprice").as("pc"),
+      $"l_quantity".cast("long").as("qty"))
+    val g = li.groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum($"pc".cast(d38)).as("sx"),
+      sum($"qty").as("sy"),
+      sum(($"pc" * $"pc").cast(d38)).as("sxx"),
+      sum(($"pc" * $"qty").cast(d38)).as("sxy"),
+      sum($"qty" * $"qty").as("syy"),
+      regr_slope($"pc".cast(DoubleType), $"qty".cast(DoubleType)).as("sl_n"),
+      regr_intercept($"pc".cast(DoubleType), $"qty".cast(DoubleType)).as("ic_n"),
+      regr_r2($"pc".cast(DoubleType), $"qty".cast(DoubleType)).as("r2_n"),
+      regr_count($"pc".cast(DoubleType), $"qty".cast(DoubleType)).as("regr_n"))
+    val n38 = $"n".cast(d38)
+    val numV = n38 * $"sxx" - $"sx" * $"sx"
+    val numC = n38 * $"sxy" - $"sx" * $"sy".cast(d38)
+    val numYl = $"n" * $"syy" - $"sy" * $"sy"
+    val slope = numC.cast(DoubleType) / numYl.cast(DoubleType)
+    val avgx = ratio($"sy", $"n")
+    val avgy = ratio($"sx".cast("long"), $"n")
+    val intercept = avgy - slope * avgx
+    val r2 = (numC.cast(DoubleType) * numC.cast(DoubleType)) /
+      (numV.cast(DoubleType) * numYl.cast(DoubleType))
+    def ok(native: Column, portable: Column): Column =
+      abs(native - portable) <= lit(1e-6) * (abs(portable) + lit(1.0))
+    g.select(
+      $"l_returnflag",
+      $"regr_n".as("regr_count"),
+      avgx.as("regr_avgx"),
+      avgy.as("regr_avgy"),
+      ok($"sl_n", slope).as("slope_ok"),
+      ok($"ic_n", intercept).as("intercept_ok"),
+      ok($"r2_n", r2).as("r2_ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Two-level mergeable-sketch rollup: DataSketches HLL partials per
+    * (returnflag, linestatus) leaf, `hll_union_agg` re-rolled to the
+    * returnflag parent, estimate checked against the exact distinct within
+    * HLL's contract — the q18 pattern, but through a MERGE. This is the
+    * operator that makes 100 TB rollups incremental: per-partition /
+    * per-day sketch partials persist, and any coarser grouping or late
+    * partition re-aggregates by unioning kilobyte sketches instead of
+    * rescanning rows (exact distinct counts cannot be merged at all —
+    * that's the whole point of the sketch column). */
+  def hllMergeRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val leafSketches = li
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(hll_sketch_agg($"l_partkey").as("sk"))
+    val merged = leafSketches
+      .groupBy($"l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"))
+    exact.join(broadcast(merged), "l_returnflag")
+      .select(
+        $"l_returnflag", $"exact_parts",
+        (abs($"est" - $"exact_parts".cast("double"))
+          <= lit(0.05) * $"exact_parts".cast("double")).as("merged_within_5pct"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_agg_regression" -> regressionAgg,
+    "q92_agg_hll_merge" -> hllMergeRollup,
     "q87_agg_stats_moments" -> statsMoments,
     "q88_agg_bitwise_bool" -> bitwiseBoolAgg,
     "q89_agg_arg_extremes" -> argExtremes,
@@ -461,6 +542,55 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q91_agg_regression" ->
+      s"""WITH li AS (SELECT l_returnflag,
+         |                   ${centsSql("l_extendedprice")} AS pc,
+         |                   CAST(l_quantity AS BIGINT) AS qty
+         |            FROM lineitem),
+         |g AS (SELECT l_returnflag,
+         |             count(*) AS n,
+         |             CAST(sum(pc) AS HUGEINT) AS sx,
+         |             CAST(sum(qty) AS BIGINT) AS sy,
+         |             sum(CAST(pc AS HUGEINT) * pc) AS sxx,
+         |             sum(CAST(pc AS HUGEINT) * qty) AS sxy,
+         |             CAST(sum(qty * qty) AS BIGINT) AS syy,
+         |             regr_slope(CAST(pc AS DOUBLE), CAST(qty AS DOUBLE)) AS sl_n,
+         |             regr_intercept(CAST(pc AS DOUBLE), CAST(qty AS DOUBLE)) AS ic_n,
+         |             regr_r2(CAST(pc AS DOUBLE), CAST(qty AS DOUBLE)) AS r2_n,
+         |             regr_count(CAST(pc AS DOUBLE), CAST(qty AS DOUBLE)) AS regr_n
+         |      FROM li GROUP BY l_returnflag),
+         |d AS (SELECT *,
+         |             n * sxx - sx * sx AS num_v,
+         |             n * sxy - sx * CAST(sy AS HUGEINT) AS num_c,
+         |             n * syy - sy * sy AS num_y
+         |      FROM g),
+         |e AS (SELECT *,
+         |             CAST(num_c AS DOUBLE) / CAST(num_y AS DOUBLE) AS slope,
+         |             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS avgx,
+         |             CAST(CAST(sx AS BIGINT) AS DOUBLE) / CAST(n AS DOUBLE) AS avgy
+         |      FROM d)
+         |SELECT l_returnflag,
+         |       CAST(regr_n AS BIGINT) AS regr_count,
+         |       avgx AS regr_avgx,
+         |       avgy AS regr_avgy,
+         |       abs(sl_n - slope) <= 1e-6 * (abs(slope) + 1.0) AS slope_ok,
+         |       abs(ic_n - (avgy - slope * avgx))
+         |         <= 1e-6 * (abs(avgy - slope * avgx) + 1.0) AS intercept_ok,
+         |       abs(r2_n - (CAST(num_c AS DOUBLE) * CAST(num_c AS DOUBLE))
+         |                  / (CAST(num_v AS DOUBLE) * CAST(num_y AS DOUBLE)))
+         |         <= 1e-6 * (abs((CAST(num_c AS DOUBLE) * CAST(num_c AS DOUBLE))
+         |                  / (CAST(num_v AS DOUBLE) * CAST(num_y AS DOUBLE))) + 1.0) AS r2_ok
+         |FROM e
+         |ORDER BY l_returnflag""".stripMargin,
+    // Oracle asserts the merged sketch's contract (q18 pattern, through a
+    // union): exact recomputed from rows, within-5% flag expected TRUE.
+    "q92_agg_hll_merge" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS merged_within_5pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // Portable trees mirror statsMoments exactly where output values are
     // bit-exact (< 2^53 longs); the price-moment booleans re-check DuckDB's
     // OWN natives against the HUGEINT-exact tree — same 1e-6 hybrid band.
