@@ -157,6 +157,38 @@ object Scalars {
       .orderBy($"p_partkey", $"w", $"h")
   }
 
+  /** Map higher-order functions — transform_keys / transform_values /
+    * map_filter / map_zip_with — the lambda family q34/q71's structural map
+    * ops don't reach. DuckDB has no map-lambda surface, so the oracle
+    * states the same SEMANTICS relationally: a VALUES fan-out computes each
+    * key's transformed value, and kept_keys re-derives map_filter's
+    * predicate as a CASE over both entries (fully general, no reliance on
+    * fixture value ranges). All map work is per-row projection — zero
+    * shuffle beyond the declared presentation sort. */
+  def mapHofFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, dir)
+      .filter($"l_orderkey" < 100)
+      .select($"l_orderkey", $"l_linenumber",
+        cents($"l_extendedprice").as("pc"),
+        $"l_quantity".cast("long").as("qty"))
+      .withColumn("m1", map(lit("price"), $"pc", lit("qty"), $"qty"))
+      .withColumn("m2", transform_values($"m1", (_, v) => v * 2))
+      .withColumn("m3", map_filter($"m2", (_, v) => v >= 100))
+      .withColumn("m4", map_zip_with($"m1", $"m2", (_, v1, v2) => v1 + v2))
+    base.select(
+      $"l_orderkey", $"l_linenumber",
+      concat_ws(",", sort_array(map_keys($"m3"))).as("kept_keys"),
+      concat_ws(",",
+        sort_array(map_keys(transform_keys($"m1", (k, _) => upper(k)))))
+        .as("upper_keys"),
+      explode($"m4"))
+      .withColumnsRenamed(Map("key" -> "k", "value" -> "v3"))
+      // (l_orderkey, l_linenumber) is NOT unique in this fixture; v3 +
+      // kept_keys make remaining ties fully identical rows (hash-stable).
+      .orderBy($"l_orderkey", $"l_linenumber", $"k", $"v3", $"kept_keys")
+  }
+
   def jsonFns(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Single parse per row: ONE from_json with a string-typed field (Jackson
@@ -245,6 +277,7 @@ object Scalars {
     "q71_fn_map_explode" -> mapExplode,
     "q80_fn_posexplode" -> posExplode,
     "q86_fn_inline" -> inlineFns,
+    "q95_fn_map_hof" -> mapHofFns,
     "q35_fn_json" -> jsonFns,
     "q65_fn_date_extra" -> dateExtraFns,
     "q66_fn_array_extra" -> arrayExtraFns,
@@ -333,6 +366,21 @@ object Scalars {
         |               t -> CAST(('0x' || substr(md5(t), 1, 10)) AS BIGINT)) AS hs
         |      FROM part)
         |ORDER BY p_partkey, w, h""".stripMargin,
+    "q95_fn_map_hof" ->
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+         |                  ${centsSql("l_extendedprice")} AS pc,
+         |                  CAST(l_quantity AS BIGINT) AS qty
+         |           FROM lineitem WHERE l_orderkey < 100)
+         |SELECT l_orderkey, l_linenumber,
+         |       CASE WHEN 2 * pc >= 100 AND 2 * qty >= 100 THEN 'price,qty'
+         |            WHEN 2 * pc >= 100 THEN 'price'
+         |            WHEN 2 * qty >= 100 THEN 'qty'
+         |            ELSE '' END AS kept_keys,
+         |       'PRICE,QTY' AS upper_keys,
+         |       k,
+         |       CASE WHEN k = 'price' THEN 3 * pc ELSE 3 * qty END AS v3
+         |FROM b, (VALUES ('price'), ('qty')) t(k)
+         |ORDER BY l_orderkey, l_linenumber, k, v3, kept_keys""".stripMargin,
     "q35_fn_json" ->
       """SELECT event_id,
         |       props->>'$.k' AS k_str,

@@ -52,18 +52,62 @@ object SqlApi {
       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       |ORDER BY n_name, rank_in_nation, c_custkey""".stripMargin
 
+  /** LATERAL correlated subquery — top-2 suppliers per nation, the
+    * "per-row dependent subquery" SQL users reach for before they learn
+    * window functions. Spark rewrites the correlated LIMIT subquery into a
+    * DomainJoin + per-domain-group limit — same work as the q22 window
+    * formulation, arrived at from SQL. Shared verbatim with DuckDB. */
+  val lateralTopSuppliersSql: String =
+    """SELECT n_name, s_suppkey, bal_cents
+      |FROM nation,
+      |  LATERAL (SELECT s_suppkey,
+      |                  CAST(floor((s_acctbal) * 100.0 + 0.5) AS BIGINT) AS bal_cents
+      |           FROM supplier
+      |           WHERE s_nationkey = n_nationkey
+      |           ORDER BY bal_cents DESC, s_suppkey
+      |           LIMIT 2)
+      |ORDER BY n_name, bal_cents DESC, s_suppkey""".stripMargin
+
+  /** WITH RECURSIVE (Spark 4's recursive CTE) — ancestor chains over the
+    * implicit binary tree `parent(k) = floor(k/2)`, seeded from the first
+    * 50 orderkeys. Integer halving is spelled `floor(x / 2.0)` because
+    * `/` is float division on integers in BOTH engines — that keeps the
+    * string shared verbatim. Depth is bounded by log2(max seed) ≈ 6, far
+    * under Spark's recursion-level limit (100). */
+  val recursiveAncestorsSql: String =
+    """WITH RECURSIVE anc(start_key, anc_key, depth) AS (
+      |  SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey < 50
+      |  UNION ALL
+      |  SELECT start_key, CAST(floor(anc_key / 2.0) AS BIGINT), depth + 1
+      |  FROM anc WHERE anc_key > 0
+      |)
+      |SELECT start_key, depth, anc_key FROM anc
+      |ORDER BY start_key, depth""".stripMargin
+
   /** Registers the referenced fixture tables as temp views (idempotent) and
-    * runs the shared SQL through `spark.sql`. */
-  def sqlTextQuery(s: SparkSession, dir: String): DataFrame = {
-    Seq("customer", "nation", "orders").foreach { t =>
-      Tables(s, dir, t).createOrReplaceTempView(t)
-    }
-    s.sql(customerTiersSql)
+    * runs a shared SQL string through `spark.sql`. */
+  private def viaSql(sql: String, tables: Seq[String])(
+      s: SparkSession, dir: String): DataFrame = {
+    tables.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sql)
   }
 
+  def sqlTextQuery(s: SparkSession, dir: String): DataFrame =
+    viaSql(customerTiersSql, Seq("customer", "nation", "orders"))(s, dir)
+
+  def lateralQuery(s: SparkSession, dir: String): DataFrame =
+    viaSql(lateralTopSuppliersSql, Seq("nation", "supplier"))(s, dir)
+
+  def recursiveQuery(s: SparkSession, dir: String): DataFrame =
+    viaSql(recursiveAncestorsSql, Seq("orders"))(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q90_sql_text_api" -> sqlTextQuery)
+    "q90_sql_text_api" -> sqlTextQuery,
+    "q93_sql_lateral" -> lateralQuery,
+    "q94_sql_recursive_cte" -> recursiveQuery)
 
   val oracles: Map[String, String] = Map(
-    "q90_sql_text_api" -> customerTiersSql)
+    "q90_sql_text_api" -> customerTiersSql,
+    "q93_sql_lateral" -> lateralTopSuppliersSql,
+    "q94_sql_recursive_cte" -> recursiveAncestorsSql)
 }
