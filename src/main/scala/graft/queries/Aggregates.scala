@@ -520,6 +520,37 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Bitmap-index distinct rollup — the EXACT-mergeable twin of q92's HLL
+    * sketches: each (group, bitmap_bucket_number(key)) cell folds its keys
+    * into a fixed 4 KB bitmap (`bitmap_construct_agg` of
+    * `bitmap_bit_position`), per-group distinct = sum of per-bucket
+    * `bitmap_count` (buckets partition the key domain, so the sum is
+    * exact), and the all-groups total re-rolls the SAME partials with
+    * `bitmap_or_agg` — which dedups keys shared across groups, exactly
+    * where a sum of per-group distincts double-counts. This is how exact
+    * distinct counts stay incremental at 100 TB when the key domain is
+    * dense/bounded (user ids, SKUs): persist bitmap partials per
+    * partition, merge kilobytes instead of rescanning rows; HLL (q18/q92)
+    * remains the unbounded-domain fallback. Only 4 KB bitmaps shuffle —
+    * never raw keys. Oracle = plain exact COUNT(DISTINCT) at both levels. */
+  def bitmapDistinctRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perBucket = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("prio"), $"o_custkey",
+        expr("bitmap_bucket_number(o_custkey)").as("bucket"))
+      .groupBy($"prio", $"bucket")
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").as("bm"))
+    val perGroup = perBucket
+      .groupBy($"prio")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_cust"))
+    val global = perBucket
+      .groupBy($"bucket")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_cust"))
+      .select(lit("ALL").as("prio"), $"n_distinct_cust")
+    perGroup.unionByName(global).orderBy($"prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_agg_regression" -> regressionAgg,
     "q92_agg_hll_merge" -> hllMergeRollup,
@@ -538,7 +569,8 @@ object Aggregates {
     "q15_agg_filtered" -> filteredAgg,
     "q16_agg_string_agg" -> stringAgg,
     "q17_agg_udaf_weighted_mean" -> udafWeightedMean,
-    "q18_agg_approx_distinct" -> approxDistinct
+    "q18_agg_approx_distinct" -> approxDistinct,
+    "q97_agg_bitmap_distinct" -> bitmapDistinctRollup
   )
 
   val oracles: Map[String, String] = Map(
@@ -790,6 +822,17 @@ object Aggregates {
         |       TRUE AS approx_within_5pct
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    // Bitmaps are exact, so the oracle is plain COUNT(DISTINCT) at both
+    // rollup levels — any bit-position/bucket/merge defect flips the hash.
+    "q97_agg_bitmap_distinct" ->
+      """SELECT prio, n_distinct_cust FROM (
+        |  SELECT o_orderpriority AS prio,
+        |         count(DISTINCT o_custkey) AS n_distinct_cust
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', count(DISTINCT o_custkey) FROM orders
+        |)
+        |ORDER BY prio""".stripMargin
   )
 }

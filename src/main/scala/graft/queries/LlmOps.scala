@@ -789,6 +789,69 @@ object LlmOps {
       .orderBy($"lang", $"rn")
   }
 
+  /** Benchmark decontamination — the pipeline stage that removes eval-set
+    * leakage from training data: a train doc is contaminated when it shares
+    * 3-token shingles with any doc in the held-out split. Splits reuse the
+    * q82 hash-split buckets (train <90, eval >=95) so the contamination
+    * relation is deterministic. The overlap is an inverted-index equi-join
+    * on 61-bit shingle digests — never doc×doc pairs: the eval side
+    * collapses to its DISTINCT digest set first (at 100 TB the eval split
+    * is benchmarks, i.e. tiny, so the distinct digest set broadcasts and
+    * the train side never shuffles at all — digest probe is map-side).
+    * explode_outer, not explode: a non-outer generator lets the optimizer
+    * infer `size(shs) > 0` and re-derive the whole digest pipeline as a
+    * scan-side Filter (the q43 O(tokens²) trap); the inner join drops the
+    * null rows explode_outer emits for shingle-less docs. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def shingled = Tables.documents(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string")), 1, 10), 16, 10)
+          .cast("long") % 100)
+      .withColumn("th", TextOps.tokenHashes(TextOps.tokens($"text")))
+      .withColumn("shs", array_distinct(TextOps.shingleHashes3($"th")))
+    val evalDigests = shingled.filter($"bucket" >= 95)
+      .select(explode_outer($"shs").as("sh"))
+      .filter($"sh".isNotNull).distinct()
+    val train = shingled.filter($"bucket" < 90)
+      .select($"doc_id", size($"shs").cast("long").as("n_shingles"),
+        explode_outer($"shs").as("sh"))
+    train.join(broadcast(evalDigests), "sh")
+      .groupBy($"doc_id")
+      .agg(max($"n_shingles").as("n_shingles"), count(lit(1)).as("n_overlap"))
+      .withColumn("contam_frac", ratio($"n_overlap", $"n_shingles"))
+      .withColumn("flagged", $"contam_frac" >= lit(0.1))
+      .select($"doc_id", $"n_shingles", $"n_overlap", $"contam_frac", $"flagged")
+      .orderBy($"doc_id")
+  }
+
+  /** Tokens per packed training sequence (bin) for [[packSequences]]. */
+  val PackBudget = 512L
+
+  /** Sequence packing — the docs→fixed-token-budget batching step of a
+    * pretraining pipeline: stream docs in deterministic order within each
+    * language shard, assign each doc to the bin its STARTING token offset
+    * falls in (`(cum - n_tok) div budget` — contiguous-stream packing, the
+    * scheme concat-and-chunk loaders implement). Pure window cumsum +
+    * integer math: no RNG, no driver loop, same packing on every engine
+    * and every rerun. The window partitions by lang, so packing
+    * parallelizes across shards; at 100 TB the shard key would be
+    * (lang, date-bucket) to bound any one partition — same plan shape. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select($"lang", $"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum($"n_tok").over(w))
+      .withColumn("bin_id", expr(s"(cum_tok - n_tok) div $PackBudget"))
+      .groupBy($"lang", $"bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tok"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"lang", $"bin_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -814,7 +877,9 @@ object LlmOps {
     "q81_quality_repetition" -> qualityRepetition,
     "q82_split_assign" -> splitAssign,
     "q83_chunk_overlap" -> chunkOverlap,
-    "q84_sample_stratified" -> sampleStratified
+    "q84_sample_stratified" -> sampleStratified,
+    "q96_decontaminate" -> decontaminate,
+    "q98_pack_sequences" -> packSequences
   )
 
   val oracles: Map[String, String] = Map(
@@ -1272,6 +1337,51 @@ object LlmOps {
          |         row_number() OVER (PARTITION BY lang ORDER BY hkey ASC, doc_id ASC) AS rn
          |  FROM (SELECT lang, doc_id, $docIdDigestSql AS hkey FROM documents)
          |) WHERE rn <= 10
-         |ORDER BY lang, rn""".stripMargin
+         |ORDER BY lang, rn""".stripMargin,
+    "q96_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, bucket, list_distinct(tgs) AS shs
+         |  FROM (
+         |    SELECT doc_id, bucket, $shingle3Sql AS tgs
+         |    FROM (
+         |      SELECT doc_id, bucket, $tokenHashesSql AS th
+         |      FROM (SELECT doc_id, $docIdDigestSql % 100 AS bucket,
+         |                   $toksSql AS toks FROM documents)
+         |    )
+         |  )
+         |), ev AS (
+         |  SELECT DISTINCT sh2 AS sh
+         |  FROM (SELECT unnest(shs) AS sh2 FROM sh WHERE bucket >= 95)
+         |), tr AS (
+         |  SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_shingles,
+         |         unnest(shs) AS sh
+         |  FROM sh WHERE bucket < 90
+         |)
+         |SELECT doc_id, n_shingles, n_overlap,
+         |       ${ratioSql("n_overlap", "n_shingles")} AS contam_frac,
+         |       (${ratioSql("n_overlap", "n_shingles")} >= 0.1) AS flagged
+         |FROM (
+         |  SELECT doc_id, n_shingles, count(*) AS n_overlap
+         |  FROM tr JOIN ev USING (sh)
+         |  GROUP BY doc_id, n_shingles
+         |)
+         |ORDER BY doc_id""".stripMargin,
+    "q98_pack_sequences" ->
+      s"""SELECT lang, bin_id, count(*) AS n_docs,
+         |       ${sumLongSql("n_tok")} AS sum_tok,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM (
+         |  SELECT lang, doc_id, n_tok,
+         |         CAST((cum_tok - n_tok) // $PackBudget AS BIGINT) AS bin_id
+         |  FROM (
+         |    SELECT lang, doc_id, n_tok,
+         |           CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+         |    FROM (SELECT lang, doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |          FROM documents)
+         |  )
+         |)
+         |GROUP BY lang, bin_id
+         |ORDER BY lang, bin_id""".stripMargin
   )
 }

@@ -376,6 +376,43 @@ object Relational {
       .orderBy($"o_custkey")
   }
 
+  /** CDC MERGE/upsert — apply a change feed (insert/update/delete ops) onto
+    * a keyed snapshot, the `MERGE INTO` shape every warehouse sync needs,
+    * expressed Spark-first as ONE full-outer join on the key plus a
+    * projection: unmatched-left rows pass through, 'U' rows take the new
+    * values, 'I' rows materialize from the right side, 'D' rows are
+    * filtered out. The change feed is derived deterministically from the
+    * snapshot itself (key mod 10 → delete / update / insert-with-shifted-
+    * key) so the oracle replays the identical relation. At scale this is
+    * the standard shuffle-on-key SMJ both engines pick for big×big;
+    * when the daily change feed is small relative to the snapshot the same
+    * plan broadcast-joins instead — no code change. The null-guard on `op`
+    * matters: `op <> 'D'` alone is three-valued and would drop every
+    * unmatched snapshot row. */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snap = Tables.customer(s, dir).select(
+      $"c_custkey".as("k"), cents($"c_acctbal").as("bal_cents"),
+      $"c_mktsegment".as("seg"))
+    val dels = snap.filter($"k" % 10 === 1).select(
+      $"k".as("ck"), lit("D").as("op"),
+      lit(null).cast("long").as("new_bal"), lit(null).cast("string").as("new_seg"))
+    val upds = snap.filter($"k" % 10 === 0).select(
+      $"k".as("ck"), lit("U").as("op"),
+      ($"bal_cents" + 10000L).as("new_bal"), $"seg".as("new_seg"))
+    val ins = snap.filter($"k" % 10 === 2).select(
+      ($"k" + 1000000L).as("ck"), lit("I").as("op"),
+      lit(77700L).as("new_bal"), lit("NEW").as("new_seg"))
+    snap.join(dels.unionByName(upds).unionByName(ins), $"k" === $"ck", "full_outer")
+      .filter($"op".isNull || $"op" =!= "D")
+      .select(
+        coalesce($"k", $"ck").as("mkey"),
+        when($"op".isin("U", "I"), $"new_bal").otherwise($"bal_cents").as("bal_cents"),
+        when($"op".isin("U", "I"), $"new_seg").otherwise($"seg").as("seg"),
+        coalesce($"op", lit("=")).as("op"))
+      .orderBy($"mkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_project_filter" -> projectFilter,
     "q01_revenue_by_nation" -> revenueByNation,
@@ -399,7 +436,8 @@ object Relational {
     "q25_union_all" -> unionAll,
     "q26_union_distinct" -> unionDistinct,
     "q27_intersect" -> intersectKeys,
-    "q28_except_all" -> exceptAllKeys
+    "q28_except_all" -> exceptAllKeys,
+    "q100_merge_upsert" -> mergeUpsert
   )
 
   val oracles: Map[String, String] = Map(
@@ -590,6 +628,27 @@ object Relational {
         |  SELECT c_custkey AS o_custkey FROM customer
         |)
         |GROUP BY o_custkey
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+    "q100_merge_upsert" ->
+      s"""WITH snap AS (
+         |  SELECT c_custkey AS k, ${centsSql("c_acctbal")} AS bal_cents,
+         |         c_mktsegment AS seg
+         |  FROM customer
+         |), changes AS (
+         |  SELECT k AS ck, 'D' AS op, CAST(NULL AS BIGINT) AS new_bal,
+         |         CAST(NULL AS VARCHAR) AS new_seg
+         |  FROM snap WHERE k % 10 = 1
+         |  UNION ALL
+         |  SELECT k, 'U', bal_cents + 10000, seg FROM snap WHERE k % 10 = 0
+         |  UNION ALL
+         |  SELECT k + 1000000, 'I', 77700, 'NEW' FROM snap WHERE k % 10 = 2
+         |)
+         |SELECT coalesce(k, ck) AS mkey,
+         |       CASE WHEN op IN ('U', 'I') THEN new_bal ELSE bal_cents END AS bal_cents,
+         |       CASE WHEN op IN ('U', 'I') THEN new_seg ELSE seg END AS seg,
+         |       coalesce(op, '=') AS op
+         |FROM snap FULL OUTER JOIN changes ON k = ck
+         |WHERE op IS NULL OR op <> 'D'
+         |ORDER BY mkey""".stripMargin
   )
 }

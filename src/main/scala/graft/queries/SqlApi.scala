@@ -84,6 +84,29 @@ object SqlApi {
       |SELECT start_key, depth, anc_key FROM anc
       |ORDER BY start_key, depth""".stripMargin
 
+  /** Scalar subqueries — the remaining SQL-subquery shape after q90's
+    * EXISTS and q93's LATERAL: a CORRELATED scalar aggregate in the SELECT
+    * list (per-nation supplier count / customer balance) and an
+    * uncorrelated scalar in the WHERE. Spark de-correlates both into
+    * aggregate-then-left-outer-join plans (RewriteCorrelatedScalarSubquery),
+    * so the physical work is two broadcastable 25-row joins — no per-row
+    * re-execution, which is what makes the shape safe at any fact-table
+    * scale. coalesce() pins the no-match→0 semantics both engines share;
+    * money goes through the exact-cents tree ([[Portable.centsSql]]
+    * inlined). */
+  val scalarSubquerySql: String =
+    """SELECT n_name,
+      |       CAST(coalesce((SELECT count(*) FROM supplier
+      |                      WHERE s_nationkey = n_nationkey), 0)
+      |            AS BIGINT) AS n_suppliers,
+      |       CAST(coalesce((SELECT sum(CAST(floor((s_acctbal) * 100.0 + 0.5) AS BIGINT))
+      |                      FROM supplier
+      |                      WHERE s_nationkey = n_nationkey), 0)
+      |            AS BIGINT) AS supp_bal_cents
+      |FROM nation
+      |WHERE n_regionkey < (SELECT max(r_regionkey) FROM region)
+      |ORDER BY n_name""".stripMargin
+
   /** Registers the referenced fixture tables as temp views (idempotent) and
     * runs a shared SQL string through `spark.sql`. */
   private def viaSql(sql: String, tables: Seq[String])(
@@ -101,13 +124,18 @@ object SqlApi {
   def recursiveQuery(s: SparkSession, dir: String): DataFrame =
     viaSql(recursiveAncestorsSql, Seq("orders"))(s, dir)
 
+  def scalarSubqueryQuery(s: SparkSession, dir: String): DataFrame =
+    viaSql(scalarSubquerySql, Seq("nation", "supplier", "region"))(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_sql_text_api" -> sqlTextQuery,
     "q93_sql_lateral" -> lateralQuery,
-    "q94_sql_recursive_cte" -> recursiveQuery)
+    "q94_sql_recursive_cte" -> recursiveQuery,
+    "q99_sql_scalar_subquery" -> scalarSubqueryQuery)
 
   val oracles: Map[String, String] = Map(
     "q90_sql_text_api" -> customerTiersSql,
     "q93_sql_lateral" -> lateralTopSuppliersSql,
-    "q94_sql_recursive_cte" -> recursiveAncestorsSql)
+    "q94_sql_recursive_cte" -> recursiveAncestorsSql,
+    "q99_sql_scalar_subquery" -> scalarSubquerySql)
 }

@@ -109,6 +109,51 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join, not a row-exploding inner")
   }
 
+  test("q96 decontamination probes a broadcast eval-digest set (no pair join)") {
+    val p = planOf("q96_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval digest set must broadcast — train side must not shuffle for the probe")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // The text-digest pipeline must stay in Project/Generate; only the
+    // cheap doc-id bucket predicate may sit in the scan Filter.
+    val plan = SparkEntry.queries("q96_decontaminate")(spark, sfDir)
+      .queryExecution.executedPlan
+    val filterConds = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+    }
+    assert(!filterConds.exists(_.contains("split(")),
+      s"q96 tokenizes inside a Filter: $filterConds")
+  }
+
+  test("q97 bitmap rollup levels share one scan (ReusedExchange after AQE)") {
+    val df = SparkEntry.queries("q97_agg_bitmap_distinct")(spark, sfDir)
+    df.collect() // finalize AQE — reuse is decided at runtime
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "per-(group,bucket) bitmap partials must feed BOTH rollup levels from one exchange")
+  }
+
+  test("q98 packing window partitions by lang and the groupBy reuses its shuffle") {
+    val df = SparkEntry.queries("q98_pack_sequences")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("windowspecdefinition(lang"),
+      "packing must window per language shard, never one global partition")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    // lang-partition for the window + rangepartitioning for the final ORDER
+    // BY; the (lang, bin_id) groupBy must NOT add a third exchange (lang
+    // partitioning already co-locates it).
+    assert(shuffles.size <= 2, s"unexpected extra shuffle: $shuffles")
+  }
+
+  test("q100 merge applies the change feed via one keyed join (no nested loop)") {
+    val p = planOf("q100_merge_upsert")
+    assert(p.contains("FullOuter"), "MERGE must be a single full-outer keyed join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("no digest hashing inlined into Filter nodes (pushdown-inlining guard)") {
     // Predicates on expensive computed columns get pushed below their
     // projection and re-evaluate the whole digest pipeline per row inside
