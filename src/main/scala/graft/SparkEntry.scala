@@ -9,7 +9,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ Windows.queries ++
-      Scalars.queries ++ Sources.queries ++ LlmOps.queries ++ SqlApi.queries
+      Scalars.queries ++ Sources.queries ++ LlmOps.queries ++
+      SqlApi.queries ++ TimeSeries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = oracleSqlFor(Oracle.sfDir)
@@ -19,5 +20,5 @@ object SparkEntry {
   def oracleSqlFor(dir: String): Map[String, String] =
     Oracle(Relational.oracles ++ Aggregates.oracles ++ Windows.oracles ++
       Scalars.oracles ++ Sources.oracles ++ LlmOps.oracles ++
-      SqlApi.oracles, dir)
+      SqlApi.oracles ++ TimeSeries.oracles, dir)
 }

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Time-series operators: calendar-spine gap fill, forward-fill (LOCF)
+  * imputation, and bounded-interval overlap counting — the densify/impute/
+  * overlap trio every metrics pipeline needs and naive SQL gets wrong or
+  * quadratic.
+  *
+  * Scale principles: spines are generated from ONE aggregated row (never
+  * collected to the driver), imputation is a per-key window (parallel
+  * across keys), and interval overlap explodes bounded-length intervals
+  * into per-day rows instead of running an inequality join — linear in
+  * rows × interval length, with only (day) partials shuffling.
+  */
+object TimeSeries {
+
+  /** Calendar-spine gap fill — densify a sparse (month, group) aggregate so
+    * months with zero orders appear explicitly (charting/forecasting input
+    * contract). The spine is sequence(min, max) exploded from the ONE-row
+    * global extent aggregate crossed with the distinct group dims — a few
+    * hundred rows, both sides broadcastable; the left join back to the
+    * post-agg counts is dim-sized at any fact scale. No driver-side
+    * collect: the extent row stays in the plan. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.orders(s, dir)
+      .select(trunc(to_date($"o_orderdate"), "month").as("mon"),
+        $"o_orderpriority".as("prio"))
+      .groupBy($"mon", $"prio").agg(count(lit(1)).as("n_orders"))
+    val months = counts.agg(min($"mon").as("lo"), max($"mon").as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("interval 1 month"))).as("mon"))
+    val prios = counts.select($"prio").distinct()
+    months.crossJoin(prios)
+      .join(counts, Seq("mon", "prio"), "left")
+      .select($"mon", $"prio", coalesce($"n_orders", lit(0L)).as("n_orders"))
+      .orderBy($"mon", $"prio")
+  }
+
+  /** Forward-fill (LOCF) imputation — replace nulls in a per-user series
+    * with the last observed value: `last(v, ignoreNulls)` over a running
+    * row frame, the canonical sensor/price-series cleaning step. Gaps are
+    * synthesized deterministically (event_id % 3) so the oracle replays
+    * the identical series; leading nulls (no prior observation) stay null
+    * in both engines. Values are COPIED, never computed, so doubles stay
+    * bitwise identical. The window partitions by user — parallel across
+    * the key space, state = one value per key. */
+  def forwardFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .filter($"user_id" < 50)
+      .withColumn("v",
+        when($"event_id" % 3 === 0, lit(null).cast("double")).otherwise($"value"))
+      .withColumn("v_filled", last($"v", ignoreNulls = true).over(w))
+      .withColumn("was_gap", $"v".isNull)
+      .select($"user_id", $"ts", $"event_id", $"v_filled", $"was_gap")
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  /** Bounded-interval overlap census — "how many shipments are in transit
+    * on each day": each lineitem covers [ship, ship + transit] where
+    * transit = orderkey % 7 + 1 days (synthesized deterministically; the
+    * fixture carries no receipt date). Instead of a day×interval
+    * inequality join (quadratic, unprunable), each interval EXPLODES into
+    * its covered days — linear in rows × max-transit (≤ 8), a map-side
+    * generator — and a plain (day) groupBy counts coverage; only per-day
+    * partials shuffle. This is the scale form of range-overlap joins
+    * whenever interval length is bounded. */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select(
+        to_date($"l_shipdate").as("ship"),
+        ($"l_orderkey" % 7 + 1).cast("int").as("transit"),
+        $"l_quantity".cast("long").as("qty"))
+      .select(
+        explode(sequence($"ship", date_add($"ship", $"transit"),
+          expr("interval 1 day"))).as("day"),
+        $"qty")
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_in_transit"), sum($"qty").as("sum_qty"))
+      .orderBy($"day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_gap_fill" -> gapFill,
+    "q102_window_fill" -> forwardFill,
+    "q103_interval_overlap" -> intervalOverlap)
+
+  val oracles: Map[String, String] = Map(
+    "q101_gap_fill" ->
+      """WITH counts AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |         o_orderpriority AS prio, count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2
+        |), months AS (
+        |  SELECT CAST(unnest(gs) AS DATE) AS mon FROM (
+        |    SELECT generate_series(CAST(min(mon) AS TIMESTAMP),
+        |                           CAST(max(mon) AS TIMESTAMP),
+        |                           INTERVAL 1 MONTH) AS gs
+        |    FROM counts
+        |  )
+        |), prios AS (SELECT DISTINCT prio FROM counts)
+        |SELECT mon, prio, coalesce(n_orders, 0) AS n_orders
+        |FROM months CROSS JOIN prios LEFT JOIN counts USING (mon, prio)
+        |ORDER BY mon, prio""".stripMargin,
+    "q102_window_fill" ->
+      """SELECT user_id, ts, event_id,
+        |       last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |       (v IS NULL) AS was_gap
+        |FROM (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        |  FROM events WHERE user_id < 50
+        |)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q103_interval_overlap" ->
+      """SELECT day, count(*) AS n_in_transit,
+        |       CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM (
+        |  SELECT CAST(unnest(generate_series(CAST(ship AS TIMESTAMP),
+        |                                     CAST(ship + transit AS TIMESTAMP),
+        |                                     INTERVAL 1 DAY)) AS DATE) AS day,
+        |         qty
+        |  FROM (
+        |    SELECT CAST(l_shipdate AS DATE) AS ship,
+        |           CAST(l_orderkey % 7 + 1 AS INT) AS transit,
+        |           CAST(l_quantity AS BIGINT) AS qty
+        |    FROM lineitem
+        |  )
+        |)
+        |GROUP BY day
+        |ORDER BY day""".stripMargin)
+}
