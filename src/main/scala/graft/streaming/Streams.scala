@@ -65,6 +65,20 @@ object Streams {
         unix_timestamp(col("v.ts")).as("view_s"))
   }
 
+  /** Stream-static enrichment join — each streaming event joined to a
+    * STATIC dimension frame (user → segment), the lookup-enrichment shape
+    * most streaming pipelines start with. Unlike stream-stream (above),
+    * this join is STATELESS: the static side is (re)read and broadcast per
+    * micro-batch, nothing buffers, no watermark is required, and left
+    * semantics are exact — so at any scale the cost is one broadcast of
+    * the dim per batch, never join state. Works identically on a batch
+    * frame, which is the spec's oracle twin. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        coalesce(col("segment"), lit("unknown")).as("segment"))
+
   /** Watermarked stream variant of a windowed transform: watermark bounds
     * state and drops events later than `delay` behind the max seen ts. */
   def withWatermarked(events: DataFrame, delay: String)(f: DataFrame => DataFrame): DataFrame =

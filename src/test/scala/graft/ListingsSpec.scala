@@ -170,6 +170,14 @@ class ListingsSpec extends SparkSpec {
     assert(new java.io.File(dir).list().exists(_.startsWith("dt=")))
     val pruned = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("dt") === "2024-01-01")
     assert(pruned.count() === 1)
+    // The dt predicate must prune at PLANNING time (PartitionFilters on the
+    // scan), not scan-then-filter — at 100 TB this is the difference
+    // between reading one day and reading the table.
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"),
+      s"dt filter did not reach the scan's partition filters:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(dt"),
+      "dt must prune as a partition column, not a data filter")
   }
 
   test("Generator UDTF (graft_extract_listings) matches the flatMap extract") {

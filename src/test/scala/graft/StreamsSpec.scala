@@ -119,6 +119,23 @@ class StreamsSpec extends SparkSpec {
       Set((1L, 10L), (2L, 13L), (3L, 12L)))
   }
 
+  test("stream-static dim enrichment: stream equals batch, unmatched → 'unknown'") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 has a segment; user 2 is missing from the dim (left semantics)
+    val dim = Seq((1L, "gold")).toDF("user_id", "segment")
+    val mem = MemoryStream[Event]
+    val q = Streams.enrichWithDim(mem.toDF(), dim).writeStream
+      .format("memory").queryName("t_dim").outputMode(OutputMode.Append).start()
+    mem.addData(sample.take(3)); q.processAllAvailable()
+    mem.addData(sample.drop(3)); q.processAllAvailable()
+    q.stop()
+    val batch = Streams.enrichWithDim(sample.toDF(), dim).collect().toSet
+    assert(spark.table("t_dim").collect().toSet === batch)
+    assert(batch.count(_.getString(4) == "unknown") === 2) // user 2's events
+    assert(batch.count(_.getString(4) == "gold") === 3) // user 1 (dup row collapses in the set)
+  }
+
   test("event-time TTL evicts idle user state; a returning user restarts from zero") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
