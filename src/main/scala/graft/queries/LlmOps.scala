@@ -852,6 +852,29 @@ object LlmOps {
       .orderBy($"lang", $"bin_id")
   }
 
+  /** Edit-distance near-dup pairs with prefix blocking — the fuzzy-match
+    * complement to the digest-based dedups (q41-q43): docs sharing an
+    * exact 16-char prefix block are compared by Levenshtein distance over
+    * a fixed 48-char body slice; pairs within 12 edits are near-dups. The
+    * block key turns the all-pairs O(n²) into per-block pairs (the same
+    * candidate-gating contract as the LSH bands), and slicing the body
+    * caps each comparison at 48×48 DP cells, so per-pair cost is a
+    * constant — the two bounds that make edit-distance dedup feasible at
+    * corpus scale. Both join sides are the same projection, so the block
+    * exchange is computed once and reused. */
+  def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id",
+      substring($"text", 1, 16).as("pfx"), substring($"text", 17, 48).as("body"))
+    val a = d.select($"doc_id".as("doc_a"), $"pfx", $"body".as("body_a"))
+    val b = d.select($"doc_id".as("doc_b"), $"pfx", $"body".as("body_b"))
+    a.join(b, Seq("pfx")).filter($"doc_a" < $"doc_b")
+      .withColumn("dist", levenshtein($"body_a", $"body_b"))
+      .filter($"dist" <= 12)
+      .select($"doc_a", $"doc_b", $"dist")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> dedupExact,
     "q41_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -879,7 +902,8 @@ object LlmOps {
     "q83_chunk_overlap" -> chunkOverlap,
     "q84_sample_stratified" -> sampleStratified,
     "q96_decontaminate" -> decontaminate,
-    "q98_pack_sequences" -> packSequences
+    "q98_pack_sequences" -> packSequences,
+    "q104_dedup_editdistance" -> dedupEditDistance
   )
 
   val oracles: Map[String, String] = Map(
@@ -1382,6 +1406,16 @@ object LlmOps {
          |  )
          |)
          |GROUP BY lang, bin_id
-         |ORDER BY lang, bin_id""".stripMargin
+         |ORDER BY lang, bin_id""".stripMargin,
+    "q104_dedup_editdistance" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 16) AS pfx, substr(text, 17, 48) AS body
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.body, b.body) AS INT) AS dist
+        |FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.body, b.body) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

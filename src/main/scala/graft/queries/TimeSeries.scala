@@ -88,10 +88,38 @@ object TimeSeries {
       .orderBy($"day")
   }
 
+  /** Sequential conversion funnel — per user, the earliest view, the
+    * earliest click AFTER that view, and the earliest purchase AFTER that
+    * click (strict event-order semantics, not mere presence). Each step is
+    * one filtered min-aggregate shuffled by user_id joined back to the
+    * event stream — the standard scalable funnel: three passes, all
+    * key-partitioned, no per-user event buffering, no window over the raw
+    * stream. Left joins keep drop-off visible; `step_reached` encodes how
+    * deep each user got. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" >= $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" >= $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id",
+        when($"t_purchase".isNotNull, 3)
+          .when($"t_click".isNotNull, 2).otherwise(1).cast("int").as("step_reached"),
+        $"t_view", $"t_click", $"t_purchase")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_gap_fill" -> gapFill,
     "q102_window_fill" -> forwardFill,
-    "q103_interval_overlap" -> intervalOverlap)
+    "q103_interval_overlap" -> intervalOverlap,
+    "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
     "q101_gap_fill" ->
@@ -138,5 +166,29 @@ object TimeSeries {
         |  )
         |)
         |GROUP BY day
-        |ORDER BY day""".stripMargin)
+        |ORDER BY day""".stripMargin,
+    "q105_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM (SELECT user_id, event_type, ts FROM events) e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM (SELECT user_id, event_type, ts FROM events) e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |  GROUP BY e.user_id
+        |)
+        |SELECT user_id,
+        |       CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |                 WHEN t_click IS NOT NULL THEN 2
+        |                 ELSE 1 END AS INT) AS step_reached,
+        |       t_view, t_click, t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin)
 }
