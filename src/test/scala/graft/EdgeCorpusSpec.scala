@@ -34,7 +34,8 @@ class EdgeCorpusSpec extends SparkSpec {
     "q49_quality_score", "q50_fingerprint", "q51_token_count",
     "q52_tfidf_top_terms", "q76_dedup_clusters", "q80_fn_posexplode",
     "q81_quality_repetition", "q82_split_assign", "q83_chunk_overlap",
-    "q84_sample_stratified")
+    "q84_sample_stratified", "q96_decontaminate", "q98_pack_sequences",
+    "q104_dedup_editdistance")
 
   textQueries.foreach { name =>
     test(s"$name runs on the degenerate corpus") {
@@ -92,6 +93,23 @@ class EdgeCorpusSpec extends SparkSpec {
     // 7 en docs + 1 de doc, cap 10 → everything sampled exactly once here
     assert(sample.length == 8)
     assert(sample.map(_.getAs[Int]("rn")).max <= 10)
+  }
+
+  test("q104 pairs the exact dup through its block; short texts never crash the slice") {
+    // docs 4/5 share the full prefix → distance 0; substring past the end
+    // of short/empty texts ('', 'one') must yield empty slices, not errors
+    val pairs = SparkEntry.queries("q104_dedup_editdistance")(spark, dir).collect()
+    assert(pairs.exists(r => r.getLong(0) == 4L && r.getLong(1) == 5L && r.getInt(2) == 0))
+  }
+
+  test("q98 packs every doc exactly once and preserves per-lang token totals") {
+    val packed = SparkEntry.queries("q98_pack_sequences")(spark, dir).collect()
+    assert(packed.map(_.getAs[Long]("n_docs")).sum == 8L)
+    // empty-text doc: split('', ' ') yields [''] in both engines → 1 token
+    val enTok = packed.filter(_.getString(0) == "en").map(_.getAs[Long]("sum_tok")).sum
+    val deTok = packed.filter(_.getString(0) == "de").map(_.getAs[Long]("sum_tok")).sum
+    assert(deTok == 16L) // doc 6: 16 single-letter tokens
+    assert(enTok > 0L)
   }
 
   test("q41 drops shingle-less docs; q43 finds the exact-dup pair") {
