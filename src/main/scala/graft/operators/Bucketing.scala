@@ -33,4 +33,19 @@ object Bucketing {
     import org.apache.spark.sql.functions.col
     spark.table(left).join(spark.table(right), col(leftKey) === col(rightKey))
   }
+
+  /** Clustered write — range-repartition on the cluster key and sort each
+    * partition before writing, so every output file covers a narrow,
+    * non-overlapping key range. Parquet stores per-column min/max in the
+    * footer, so a later `WHERE key BETWEEN …` scan skips every file whose
+    * range misses — the data-layout half of pruning (partition dirs handle
+    * the coarse grain, clustering handles the fine grain). At 100 TB this
+    * is the difference between touching terabytes and touching the few
+    * files that matter; the write cost is one range exchange, paid once at
+    * ingest. `files` controls layout granularity: more files = finer
+    * skipping but more footer/open overhead. */
+  def writeClustered(df: DataFrame, dir: String, key: String, files: Int): Unit =
+    df.repartitionByRange(files, df(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(dir)
 }

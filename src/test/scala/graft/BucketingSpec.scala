@@ -29,4 +29,25 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("clustered write produces disjoint per-file key ranges (min/max skipping layout)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("clustered").toString + "/orders"
+    Bucketing.writeClustered(Tables.orders(spark, sfDir), dir, "o_orderkey", 4)
+    // Per-file [min, max] ranges must not overlap — that's the property
+    // parquet footer skipping prunes on for any range predicate.
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length === 4)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2,
+        s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    // and nothing was lost in the relayout
+    assert(spark.read.parquet(dir).count() ===
+      Tables.orders(spark, sfDir).count())
+  }
 }
