@@ -250,4 +250,22 @@ class OperatorPropertiesSpec extends SparkSpec {
     val r = Seq(10.0).toDF("x").select(log($"x")).head.getDouble(0)
     assert(math.abs(r - math.log(10.0)) < 1e-12)
   }
+
+  test("order-sensitive ops are partitioning-invariant (bitmap, packing, LOCF, merge)") {
+    // The reproducibility contract behind every "deterministic" claim: the
+    // same result regardless of cluster parallelism. A formulation that
+    // leaks partial-agg or shuffle order (FP summation, unordered
+    // collect_list, rand()) fails exactly this.
+    val names = Seq("q97_agg_bitmap_distinct", "q98_pack_sequences",
+      "q102_window_fill", "q100_merge_upsert")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    names.foreach { n =>
+      val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        val alt = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
+        assert(alt === base, s"$n changes under different parallelism")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
 }
