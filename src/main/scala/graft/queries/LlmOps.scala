@@ -789,6 +789,65 @@ object LlmOps {
       .orderBy($"lang", $"rn")
   }
 
+  /** Weight cap for priority sampling: keeps w * 2^40 inside BIGINT
+    * (2^22 * 2^40 = 2^62) — a documented precondition, not a tuning knob. */
+  val WeightCap = 1L << 22
+
+  /** Deterministic WEIGHTED sampling without replacement — priority
+    * sampling (Duffield–Lund–Thorup): each doc gets priority w/u for a
+    * uniform u, and the k largest priorities are the sample, so selection
+    * probability scales with weight (here n_chars: longer docs are likelier
+    * to be drawn, the usual byte-budget view of a corpus). Instead of rand(),
+    * u is the q82/q84 40-bit md5 digest of the doc id discretized to
+    * (d+1)/2^40, and the priority is the *integer* floor of w·2^40/(d+1) —
+    * exact BIGINT arithmetic on both engines (weights capped at 2^22 so
+    * the product stays under 2^62), ties broken by doc_id. No FP, no RNG:
+    * the same doc set is drawn on every engine, rerun, and partitioning —
+    * rand(seed) guarantees none of those. Top-10 per lang plans as
+    * WindowGroupLimit: per-partition partial top-k, only survivors
+    * shuffle — the same linear shape at 100 TB as q84's unweighted form. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"prio".desc, $"doc_id".asc)
+    Tables.documents(s, dir)
+      .withColumn("hkey",
+        conv(substring(md5($"doc_id".cast("string")), 1, 10), 16, 10).cast("long"))
+      .withColumn("wt", least($"n_chars", lit(WeightCap)))
+      .withColumn("prio", expr(s"(wt * ${1L << 40}L) div (hkey + 1L)"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select($"lang", $"rn", $"doc_id", $"n_chars", $"prio")
+      .orderBy($"lang", $"rn")
+  }
+
+  /** One-pass corpus profile — the data-quality census a pipeline runs
+    * before training: row count, per-column null counts, value extents,
+    * and exact distinct cardinalities, all in ONE aggregate over one scan.
+    * Multiple COUNT(DISTINCT) in a single agg is its own plan shape:
+    * Catalyst rewrites it to an Expand (one row replica per distinct
+    * branch) followed by two hash aggregates — the replication factor is
+    * the number of distinct columns (3 here), partial aggregation still
+    * collapses each scan partition to its local distinct values before
+    * anything shuffles, so the shape stays linear at 100 TB. Null counts
+    * ride along as codegen'd conditional sums on the same pass; nothing
+    * rescans. */
+  def profileCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def nulls(c: Column): Column = sum(when(c.isNull, 1L).otherwise(0L))
+    Tables.documents(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct($"doc_id").as("n_distinct_docs"),
+      countDistinct($"lang").as("n_distinct_langs"),
+      countDistinct($"source").as("n_distinct_sources"),
+      nulls($"text").as("n_null_text"),
+      nulls($"lang").as("n_null_lang"),
+      min($"n_chars").as("min_chars"),
+      max($"n_chars").as("max_chars"),
+      sum($"n_chars").as("sum_chars"),
+      min($"doc_id").as("min_doc"),
+      max($"doc_id").as("max_doc"))
+  }
+
   /** Benchmark decontamination — the pipeline stage that removes eval-set
     * leakage from training data: a train doc is contaminated when it shares
     * 3-token shingles with any doc in the held-out split. Splits reuse the
@@ -910,7 +969,9 @@ object LlmOps {
     "q84_sample_stratified" -> sampleStratified,
     "q96_decontaminate" -> decontaminate,
     "q98_pack_sequences" -> packSequences,
-    "q104_dedup_editdistance" -> dedupEditDistance
+    "q104_dedup_editdistance" -> dedupEditDistance,
+    "q106_sample_weighted" -> sampleWeighted,
+    "q107_profile_corpus" -> profileCorpus
   )
 
   val oracles: Map[String, String] = Map(
@@ -1427,6 +1488,30 @@ object LlmOps {
         |       CAST(levenshtein(w.body, r.body) AS INT) AS dist
         |FROM w JOIN d r ON w.rep = r.doc_id AND w.pfx = r.pfx
         |WHERE w.doc_id <> w.rep AND levenshtein(w.body, r.body) <= 12
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q106_sample_weighted" ->
+      s"""SELECT lang, CAST(rn AS INT) AS rn, doc_id, n_chars, prio FROM (
+         |  SELECT lang, doc_id, n_chars, prio,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY prio DESC, doc_id ASC) AS rn
+         |  FROM (SELECT lang, doc_id, n_chars,
+         |               (least(n_chars, $WeightCap) * ${1L << 40})
+         |                 // ($docIdDigestSql + 1) AS prio
+         |        FROM documents)
+         |) WHERE rn <= 10
+         |ORDER BY lang, rn""".stripMargin,
+    "q107_profile_corpus" ->
+      """SELECT count(*) AS n_rows,
+        |       count(DISTINCT doc_id) AS n_distinct_docs,
+        |       count(DISTINCT lang) AS n_distinct_langs,
+        |       count(DISTINCT source) AS n_distinct_sources,
+        |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        |       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
+        |       min(n_chars) AS min_chars,
+        |       max(n_chars) AS max_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_doc,
+        |       max(doc_id) AS max_doc
+        |FROM documents""".stripMargin
   )
 }
