@@ -48,4 +48,68 @@ object Bucketing {
     df.repartitionByRange(files, df(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(dir)
+
+  /** Z-order (Morton-curve) clustered write — the TWO-dimensional form of
+    * [[writeClustered]]. Range clustering on one key gives perfect file
+    * skipping on that key and none on any other: every file spans the full
+    * range of the second column. Interleaving the bits of both keys into
+    * one Morton code and range-clustering on THAT makes each file cover a
+    * small rectangle of the (a, b) plane, so parquet min/max footers prune
+    * files for predicates on EITHER key (or both) — the layout trick behind
+    * Delta/Iceberg `OPTIMIZE ZORDER`, here as one range exchange at write
+    * time, linear at any scale.
+    *
+    * Keys are first normalized to 16-bit grid cells against their global
+    * min/max (one 1-row aggregate, attached by broadcast — no driver
+    * collect), then interleaved with a fold of codegen'd shift/or ops:
+    * z = Σ_i bitA_i·2^(2i+1) + bitB_i·2^(2i). The normalization divide is
+    * (k−min)·65535/(max−min) in integer math — exact for key spans below
+    * 2^47, the documented precondition. */
+  def writeZOrdered(
+      df: DataFrame, dir: String, keyA: String, keyB: String, files: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val ext = df.agg(
+      min(col(keyA)).as("_loA"), max(col(keyA)).as("_hiA"),
+      min(col(keyB)).as("_loB"), max(col(keyB)).as("_hiB"))
+    val withZ = df.join(broadcast(ext))
+      .withColumn("_ca", when(col("_hiA") === col("_loA"), lit(0L))
+        .otherwise(expr(s"(($keyA - _loA) * 65535L) div (_hiA - _loA)")))
+      .withColumn("_cb", when(col("_hiB") === col("_loB"), lit(0L))
+        .otherwise(expr(s"(($keyB - _loB) * 65535L) div (_hiB - _loB)")))
+      .withColumn("_z", (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(shiftright(col("_ca"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+          .bitwiseOR(shiftleft(shiftright(col("_cb"), i).bitwiseAND(lit(1L)), 2 * i))
+      })
+    withZ
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_loA", "_hiA", "_loB", "_hiB", "_ca", "_cb", "_z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Small-file compaction — the maintenance pass every streaming or
+    * incremental sink needs: micro-batch writes accrete thousands of tiny
+    * files, and at 100 TB the per-file open/footer/list overhead (and the
+    * driver-side listing memory) comes to dominate scan cost long before
+    * data volume does. Rewrites `inDir` into ceil(totalBytes/targetBytes)
+    * files via a round-robin exchange — one shuffle of the data, paid once,
+    * after which every scan of the table touches O(size/target) files
+    * instead of O(batches). Returns the output file count. Sizing uses the
+    * filesystem's own byte totals (compressed parquet size), not row
+    * counts, so skew in row width can't produce oversized files. */
+  def compact(
+      spark: SparkSession, inDir: String, outDir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1L) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    nOut
+  }
 }

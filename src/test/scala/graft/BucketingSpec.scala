@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Bucketing
+import org.apache.spark.sql.Row
 
 /** Co-bucketed join must plan with zero shuffle exchanges — the write-time
   * co-location contract that matters at fact⋈fact scale.
@@ -49,5 +50,73 @@ class BucketingSpec extends SparkSpec {
     // and nothing was lost in the relayout
     assert(spark.read.parquet(dir).count() ===
       Tables.orders(spark, sfDir).count())
+  }
+
+  test("z-ordered write prunes files on BOTH keys; single-key clustering only on one") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val li = Tables.lineitem(spark, sfDir)
+    val files = 16
+    Bucketing.writeZOrdered(li, s"$base/z", "l_orderkey", "l_partkey", files)
+    Bucketing.writeClustered(li, s"$base/r", "l_orderkey", files)
+
+    // Per-file bounding boxes over both keys.
+    def boxes(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("loA"), max("l_orderkey").as("hiA"),
+        min("l_partkey").as("loB"), max("l_partkey").as("hiB"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (zb, rb) = (boxes(s"$base/z"), boxes(s"$base/r"))
+    assert(zb.length === files && rb.length === files)
+
+    // A quarter-range predicate on the SECOND key: min/max skipping keeps
+    // only files whose box intersects it.
+    val Row(loB: Long, hiB: Long) =
+      li.agg(min("l_partkey"), max("l_partkey")).collect()(0)
+    val bHi = loB + (hiB - loB) / 4
+    def surviving(bs: Array[(Long, Long, Long, Long)]) =
+      bs.count { case (_, _, lo, hi) => lo <= bHi && hi >= loB }
+    // Single-key clustering on A cannot skip anything on B...
+    assert(surviving(rb) === files, "range layout unexpectedly pruned on B")
+    // ...z-order must skip at least half the files for a quarter range.
+    assert(surviving(zb) <= files / 2,
+      s"z-order pruned too little on B: ${surviving(zb)} of $files files survive")
+
+    // And it still skips on the FIRST key too (quarter range on A).
+    val Row(loA: Long, hiA: Long) =
+      li.agg(min("l_orderkey"), max("l_orderkey")).collect()(0)
+    val aHi = loA + (hiA - loA) / 4
+    val zSurviveA = zb.count { case (lo, hi, _, _) => lo <= aHi && hi >= loA }
+    assert(zSurviveA <= files / 2,
+      s"z-order pruned too little on A: $zSurviveA of $files files survive")
+
+    // Lossless relayout: same multiset (count + exact key sums).
+    val orig = li.agg(count(lit(1)), sum("l_orderkey"), sum("l_partkey")).collect()(0)
+    val rela = spark.read.parquet(s"$base/z")
+      .agg(count(lit(1)), sum("l_orderkey"), sum("l_partkey")).collect()(0)
+    assert(orig === rela)
+  }
+
+  test("compaction rewrites many small files into byte-targeted few, losslessly") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    // Simulate a streaming sink's debris: 64 tiny files.
+    Tables.lineitem(spark, sfDir).repartition(64)
+      .write.mode("overwrite").parquet(s"$base/small")
+    val smallFiles = new java.io.File(s"$base/small")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(smallFiles === 64)
+
+    val nOut = Bucketing.compact(spark, s"$base/small", s"$base/big", 8L << 20)
+    val bigFiles = new java.io.File(s"$base/big")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(bigFiles === nOut && nOut < 8,
+      s"expected few byte-targeted files, got $bigFiles (nOut=$nOut)")
+
+    // Lossless: identical multiset under exact aggregates.
+    def sig(dir: String) = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum("l_orderkey"), sum("l_partkey"),
+        sum(graft.queries.Portable.cents(col("l_extendedprice")))).collect()(0)
+    assert(sig(s"$base/small") === sig(s"$base/big"))
   }
 }
