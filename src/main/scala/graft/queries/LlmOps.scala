@@ -884,6 +884,50 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Corpus-internal exact-substring duplication census — the dedup signal
+    * behind "exact substring dedup" in pretraining pipelines: for each doc,
+    * the fraction of its distinct 3-token shingles that also occur in some
+    * OTHER doc. Unlike q81 (repetition within one doc) or q43/q41 (pairwise
+    * similarity), this measures how much of a doc is boilerplate shared
+    * across the corpus — the rows a substring-dedup pass would cut.
+    *
+    * Shape: explode per-doc distinct shingle digests once, reuse that
+    * exchange for BOTH the document-frequency aggregate and the per-doc
+    * probe side, then equi-join on the digest. Everything that shuffles is
+    * a 61-bit digest — never text — and unlike q96 neither join side is
+    * assumed broadcastable (the df table is corpus-sized at 100 TB), so
+    * this is the shuffle-join twin of q96's broadcast probe. A shingle
+    * occurring in ≥2 docs counts as shared; per-doc distinctness means a
+    * doc can't inflate its own df (self-repetition is q81's signal, kept
+    * orthogonal here). explode_outer + null-filter for the q43/q96
+    * generator-pushdown trap; left join keeps fully unique docs at 0. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exploded = Tables.documents(s, dir)
+      .withColumn("th", TextOps.tokenHashes(TextOps.tokens($"text")))
+      .withColumn("shs", array_distinct(TextOps.shingleHashes3($"th")))
+      .select($"doc_id", size($"shs").cast("long").as("n_shingles"),
+        explode_outer($"shs").as("sh"))
+    val present = exploded.filter($"sh".isNotNull)
+    val shared = present.groupBy($"sh")
+      .agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2)
+      .select($"sh")
+    val perDoc = present.join(shared, "sh")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    // Per-doc totals come from the SAME exploded subtree (the null row from
+    // explode_outer keeps shingle-less docs alive), so the digest pipeline
+    // executes once and the df/probe sides share its exchange.
+    exploded.groupBy($"doc_id").agg(max($"n_shingles").as("n_shingles"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce($"n_shared", lit(0L)))
+      .withColumn("shared_frac",
+        when($"n_shingles" > 0, ratio($"n_shared", $"n_shingles"))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged", $"shared_frac" >= lit(0.5))
+      .orderBy($"doc_id")
+  }
+
   /** Tokens per packed training sequence (bin) for [[packSequences]]. */
   val PackBudget = 512L
 
@@ -971,7 +1015,8 @@ object LlmOps {
     "q98_pack_sequences" -> packSequences,
     "q104_dedup_editdistance" -> dedupEditDistance,
     "q106_sample_weighted" -> sampleWeighted,
-    "q107_profile_corpus" -> profileCorpus
+    "q107_profile_corpus" -> profileCorpus,
+    "q108_dedup_substring" -> dedupSubstring
   )
 
   val oracles: Map[String, String] = Map(
@@ -1512,6 +1557,35 @@ object LlmOps {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       min(doc_id) AS min_doc,
         |       max(doc_id) AS max_doc
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q108_dedup_substring" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(tgs) AS shs
+         |  FROM (
+         |    SELECT doc_id, $shingle3Sql AS tgs
+         |    FROM (
+         |      SELECT doc_id, $tokenHashesSql AS th
+         |      FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |    )
+         |  )
+         |), ex AS (
+         |  SELECT doc_id, unnest(shs) AS s2 FROM sh
+         |), shared AS (
+         |  SELECT s2 FROM ex GROUP BY s2 HAVING count(*) >= 2
+         |), per AS (
+         |  SELECT doc_id, count(*) AS n_shared
+         |  FROM ex JOIN shared USING (s2)
+         |  GROUP BY doc_id
+         |)
+         |SELECT sh.doc_id, CAST(len(sh.shs) AS BIGINT) AS n_shingles,
+         |       coalesce(per.n_shared, 0) AS n_shared,
+         |       CASE WHEN len(sh.shs) > 0
+         |            THEN ${ratioSql("coalesce(per.n_shared, 0)", "len(sh.shs)")}
+         |            ELSE 0.0 END AS shared_frac,
+         |       CASE WHEN len(sh.shs) > 0
+         |            THEN ${ratioSql("coalesce(per.n_shared, 0)", "len(sh.shs)")}
+         |            ELSE 0.0 END >= 0.5 AS flagged
+         |FROM sh LEFT JOIN per ON sh.doc_id = per.doc_id
+         |ORDER BY sh.doc_id""".stripMargin
   )
 }

@@ -35,7 +35,8 @@ class EdgeCorpusSpec extends SparkSpec {
     "q52_tfidf_top_terms", "q76_dedup_clusters", "q80_fn_posexplode",
     "q81_quality_repetition", "q82_split_assign", "q83_chunk_overlap",
     "q84_sample_stratified", "q96_decontaminate", "q98_pack_sequences",
-    "q104_dedup_editdistance")
+    "q104_dedup_editdistance", "q106_sample_weighted", "q107_profile_corpus",
+    "q108_dedup_substring")
 
   textQueries.foreach { name =>
     test(s"$name runs on the degenerate corpus") {
@@ -110,6 +111,26 @@ class EdgeCorpusSpec extends SparkSpec {
     val deTok = packed.filter(_.getString(0) == "de").map(_.getAs[Long]("sum_tok")).sum
     assert(deTok == 16L) // doc 6: 16 single-letter tokens
     assert(enTok > 0L)
+  }
+
+  test("q108 marks the exact-dup pair fully shared; unique and shingle-less docs stay at 0") {
+    val rows = SparkEntry.queries("q108_dedup_substring")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // docs 4/5 are byte-identical → every shingle shared, flagged
+    Seq(4L, 5L).foreach { id =>
+      assert(rows(id).getAs[Double]("shared_frac") == 1.0 &&
+        rows(id).getAs[Boolean]("flagged"))
+    }
+    // the empty and 1-2-token docs have no 3-shingles: 0 total, 0 shared
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(rows(id).getAs[Long]("n_shingles") == 0L &&
+        rows(id).getAs[Long]("n_shared") == 0L &&
+        !rows(id).getAs[Boolean]("flagged"))
+    }
+    // the unique long docs share nothing
+    Seq(6L, 7L, 8L).foreach { id =>
+      assert(rows(id).getAs[Long]("n_shared") == 0L)
+    }
   }
 
   test("q41 drops shingle-less docs; q43 finds the exact-dup pair") {

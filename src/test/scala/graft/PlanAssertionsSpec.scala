@@ -160,7 +160,7 @@ class PlanAssertionsSpec extends SparkSpec {
     // a Filter (two separate 25-50x regressions came from this). Hashing
     // belongs in Project/Generate nodes only.
     Seq("q41_dedup_minhash_lsh", "q42_dedup_simhash", "q43_dedup_ngram_jaccard",
-      "q50_fingerprint").foreach { n =>
+      "q50_fingerprint", "q108_dedup_substring").foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
       val filterConds = plan.collect {
         case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
@@ -168,5 +168,22 @@ class PlanAssertionsSpec extends SparkSpec {
       assert(!filterConds.exists(_.contains("md5")),
         s"$n has md5 inside a Filter: $filterConds")
     }
+  }
+
+  test("q106 weighted sample plans as WindowGroupLimit (partial top-k before the shuffle)") {
+    assert(planOf("q106_sample_weighted").contains("WindowGroupLimit"))
+  }
+
+  test("q107 profile is one Expand-based pass: no Object agg, no second scan") {
+    val p = planOf("q107_profile_corpus")
+    assert(p.contains("Expand"), "multi-distinct should plan via Expand")
+    assert(!p.contains("ObjectHashAggregate"), "profile must stay codegen")
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      s"profile should scan documents once:\n$p")
+  }
+
+  test("q108 substring census joins digests (no pair join, no cartesian)") {
+    val p = planOf("q108_dedup_substring")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 }
