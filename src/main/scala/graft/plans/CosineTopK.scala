@@ -87,7 +87,7 @@ case class CosineTopKExec(
     // serialize the whole plan tree into every task.
     val kk = k
     val qRows: Array[(Long, Array[Float])] = queries.executeCollect().map { r =>
-      (r.getLong(0), r.getArray(1).toFloatArray)
+      (r.getLong(0), r.getArray(1).toFloatArray())
     }
     val candRdd = candidates.execute()
     val bc = candRdd.sparkContext.broadcast(qRows)
@@ -100,7 +100,7 @@ case class CosineTopKExec(
       }.toMap
       iter.foreach { row =>
         val vid = row.getLong(0)
-        val ve = row.getArray(1).toFloatArray
+        val ve = row.getArray(1).toFloatArray()
         var j = 0
         while (j < qs.length) {
           val (qid, qe) = qs(j)

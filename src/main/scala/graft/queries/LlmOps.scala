@@ -884,6 +884,79 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Cluster count for [[kmeansClusters]]. */
+  val KmeansK = 8
+
+  /** Deterministic k-means over int8-quantized embeddings — the semantic
+    * clustering step of embedding-based curation (cluster the corpus, then
+    * dedup/prune within clusters). Everything is exact integer arithmetic
+    * so the result is bit-identical across engines, reruns, and
+    * partitionings — no RNG, no FP accumulation:
+    *
+    *   - vectors land on the int8 grid via q78's portable quantization;
+    *   - seeds are the first K vectors (deterministic init);
+    *   - assignment codes are `sqdist·K + cluster` in BIGINT — the argmin
+    *     is a single integer `least(...)`, distance ties broken toward the
+    *     smaller cluster id by construction;
+    *   - centroid update snaps means back to the grid with the exact
+    *     floor((2·Σx+n)/2n) rounding (the IEEE-divide-then-floor trick is
+    *     bit-stable cross-engine, q73's idiv precedent), so the next
+    *     round's distances stay integer.
+    *
+    * Scale shape: each assignment is a map-side projection against a
+    * broadcast 1-row centroid pivot (zero corpus shuffle — the q53 IVF
+    * pattern); each update is a (cluster, dim) hash agg whose partials
+    * collapse to ≤ K·64 rows per partition before the shuffle. Two Lloyd
+    * rounds are unrolled here; a production run loops the same two plan
+    * shapes to convergence. Empty clusters drop out of the pivot as nulls
+    * and `least` skips them in both engines. */
+  def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val absmax = aggregate(
+      transform($"embedding", x => abs(x)), lit(0.0),
+      (a, x) => when(x > a, x).otherwise(a))
+    val qv = Tables.embeddings(s, dir)
+      .withColumn("scale",
+        when(absmax === 0.0, lit(1.0)).otherwise(absmax / lit(127.0)))
+      .withColumn("q",
+        transform($"embedding", x => floor(x / $"scale" + lit(0.5)).cast("int")))
+      .select($"vec_id", $"q")
+    val k = KmeansK
+    // centroid rows (cluster, m) → one broadcastable row of K array columns
+    def pivotCents(cdf: DataFrame): DataFrame =
+      cdf.groupBy().agg(
+        max(when($"cluster" === 0, $"m")).as("m0"),
+        (1 until k).map(j => max(when($"cluster" === j, $"m")).as(s"m$j")): _*)
+    def codeFor(j: Int): Column =
+      aggregate(
+        zip_with($"q", col(s"m$j"), (x, mi) => (x - mi).cast("long") * (x - mi)),
+        lit(0L), (a, b) => a + b) * lit(k.toLong) + lit(j.toLong)
+    def assign(cents: DataFrame): DataFrame =
+      qv.crossJoin(broadcast(cents))
+        .withColumn("code", least((0 until k).map(codeFor): _*))
+        .withColumn("cluster", pmod($"code", lit(k.toLong)).cast("int"))
+        .withColumn("sqdist",
+          (($"code" - pmod($"code", lit(k.toLong))).cast("double")
+            / lit(k.toDouble)).cast("long"))
+    def update(a: DataFrame): DataFrame =
+      a.select($"cluster", posexplode($"q").as(Seq("pos", "x")))
+        .groupBy($"cluster", $"pos")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+        .withColumn("mi",
+          floor((lit(2.0) * $"sx" + $"n") / (lit(2.0) * $"n")).cast("int"))
+        .groupBy($"cluster")
+        .agg(transform(sort_array(collect_list(struct($"pos", $"mi"))),
+          e => e.getField("mi")).as("m"))
+    val c0 = qv.filter($"vec_id" < k)
+      .select($"vec_id".cast("int").as("cluster"), $"q".as("m"))
+    val a2 = assign(pivotCents(update(assign(pivotCents(c0)))))
+    a2.groupBy($"cluster")
+      .agg(count(lit(1)).as("n_members"),
+        sum($"sqdist").as("sum_sqdist"),
+        min($"vec_id").as("min_vec"))
+      .orderBy($"cluster")
+  }
+
   /** Corpus-internal exact-substring duplication census — the dedup signal
     * behind "exact substring dedup" in pretraining pipelines: for each doc,
     * the fraction of its distinct 3-token shingles that also occur in some
@@ -1016,7 +1089,8 @@ object LlmOps {
     "q104_dedup_editdistance" -> dedupEditDistance,
     "q106_sample_weighted" -> sampleWeighted,
     "q107_profile_corpus" -> profileCorpus,
-    "q108_dedup_substring" -> dedupSubstring
+    "q108_dedup_substring" -> dedupSubstring,
+    "q109_kmeans_clusters" -> kmeansClusters
   )
 
   val oracles: Map[String, String] = Map(
@@ -1586,6 +1660,67 @@ object LlmOps {
          |            THEN ${ratioSql("coalesce(per.n_shared, 0)", "len(sh.shs)")}
          |            ELSE 0.0 END >= 0.5 AS flagged
          |FROM sh LEFT JOIN per ON sh.doc_id = per.doc_id
-         |ORDER BY sh.doc_id""".stripMargin
+         |ORDER BY sh.doc_id""".stripMargin,
+    "q109_kmeans_clusters" -> {
+      val k = KmeansK
+      // integer squared distance of q to centroid array column mJ, coded
+      // as dist*K + j (exact BIGINT; the argmin of codes IS the argmin of
+      // distances with ties toward the smaller cluster id)
+      def codeSql(j: Int) =
+        s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(1, 65),
+           |      i -> CAST(q[i] - m$j[i] AS BIGINT) * (q[i] - m$j[i]))),
+           |  (a, b) -> a + b) * $k + $j)""".stripMargin
+      def pivotSql(src: String, keyCol: String) =
+        (0 until k).map(j =>
+          s"max(CASE WHEN $keyCol = $j THEN m END) AS m$j").mkString(", ") +
+          s" FROM $src"
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+         |  FROM (
+         |    SELECT vec_id, embedding,
+         |           CASE WHEN absmax = 0.0 THEN 1.0 ELSE absmax / 127.0 END AS scale
+         |    FROM (
+         |      SELECT vec_id, embedding,
+         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(embedding, x -> abs(x)) AS DOUBLE[])),
+         |                         (a, x) -> CASE WHEN x > a THEN x ELSE a END) AS absmax
+         |      FROM embeddings
+         |    )
+         |  )
+         |), seeds AS (
+         |  SELECT CAST(vec_id AS INT) AS cluster, q AS m FROM qv WHERE vec_id < $k
+         |), p0 AS (
+         |  SELECT ${pivotSql("seeds", "cluster")}
+         |), a1 AS (
+         |  SELECT vec_id, q,
+         |         least(${(0 until k).map(codeSql).mkString(", ")}) AS code
+         |  FROM qv, p0
+         |), u1 AS (
+         |  SELECT CAST(code % $k AS INT) AS cluster, i AS pos, q[CAST(i AS INT)] AS x
+         |  FROM a1, range(1, 65) t(i)
+         |), c1 AS (
+         |  SELECT cluster, list(mi ORDER BY pos) AS m
+         |  FROM (
+         |    SELECT cluster, pos,
+         |           CAST(floor((2.0 * sum(x) + count(*)) / (2.0 * count(*))) AS INT) AS mi
+         |    FROM u1 GROUP BY cluster, pos
+         |  )
+         |  GROUP BY cluster
+         |), p1 AS (
+         |  SELECT ${pivotSql("c1", "cluster")}
+         |), a2 AS (
+         |  SELECT vec_id, q,
+         |         least(${(0 until k).map(codeSql).mkString(", ")}) AS code
+         |  FROM qv, p1
+         |)
+         |SELECT CAST(code % $k AS INT) AS cluster,
+         |       count(*) AS n_members,
+         |       CAST(sum(CAST(CAST(code - code % $k AS DOUBLE) / $k.0 AS BIGINT)) AS BIGINT) AS sum_sqdist,
+         |       min(vec_id) AS min_vec
+         |FROM a2
+         |GROUP BY 1
+         |ORDER BY cluster""".stripMargin
+    }
   )
 }

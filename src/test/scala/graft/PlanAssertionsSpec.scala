@@ -186,4 +186,13 @@ class PlanAssertionsSpec extends SparkSpec {
     val p = planOf("q108_dedup_substring")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q109 k-means: corpus never shuffle-joins; centroids attach as 1-row broadcasts") {
+    val p = planOf("q109_kmeans_clusters")
+    // assignments must be map-side vs broadcast centroid pivots — a
+    // SortMergeJoin or CartesianProduct would mean the corpus shuffled
+    // or paired against itself
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"k-means corpus got shuffled into a join:\n$p")
+  }
 }
