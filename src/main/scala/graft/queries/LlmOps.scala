@@ -910,7 +910,10 @@ object LlmOps {
     * rounds are unrolled here; a production run loops the same two plan
     * shapes to convergence. Empty clusters drop out of the pivot as nulls
     * and `least` skips them in both engines. */
-  def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Second-round Lloyd assignment `(vec_id, q, cluster, sqdist)` — the
+    * shared core of [[kmeansClusters]] (census) and [[semdedupPrune]]
+    * (within-cluster near-dup pass). */
+  def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val absmax = aggregate(
       transform($"embedding", x => abs(x)), lit(0.0),
@@ -949,11 +952,65 @@ object LlmOps {
           e => e.getField("mi")).as("m"))
     val c0 = qv.filter($"vec_id" < k)
       .select($"vec_id".cast("int").as("cluster"), $"q".as("m"))
-    val a2 = assign(pivotCents(update(assign(pivotCents(c0)))))
-    a2.groupBy($"cluster")
+    assign(pivotCents(update(assign(pivotCents(c0)))))
+      .select($"vec_id", $"q", $"cluster", $"sqdist")
+  }
+
+  def kmeansClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kmeansAssigned(s, dir)
+      .groupBy($"cluster")
       .agg(count(lit(1)).as("n_members"),
         sum($"sqdist").as("sum_sqdist"),
         min($"vec_id").as("min_vec"))
+      .orderBy($"cluster")
+  }
+
+  /** Cosine floor above which a member counts as a near-dup of its
+    * cluster representative. Production embeddings put true near-dups
+    * above ~0.9; the synthetic fixtures are isotropic (random 64-dim cos
+    * concentrates near 0, max intra-cluster ≈ 0.49 at sf0.01), so the
+    * declared floor sits at the measured discriminating point — the flag
+    * must actually fire for the oracle to be evidence. */
+  val SemdedupCos = 0.35
+
+  /** SemDeDup-style cluster-then-prune — the composition the q109
+    * clustering exists for: embeddings are clustered, then near-duplicates
+    * are detected WITHIN each cluster so no cross-cluster pair is ever
+    * formed. This is the representative form (each member scores against
+    * its cluster's min-id representative, not all pairs), which keeps the
+    * operator linear in corpus size: candidate volume is bounded by
+    * membership, not membership², the same soak-driven choice q104 made.
+    * At real scale K grows ~√N so per-cluster membership stays bounded;
+    * the plan shape is K-invariant.
+    *
+    * All similarity math happens on the int8 grid: member·rep dot products
+    * are exact BIGINT sums, and the cosine is one IEEE divide of exact
+    * integers (bit-stable cross-engine, the q73/q109 pattern). Reps attach
+    * by broadcast on cluster id — the corpus shuffles once for the final
+    * census only. */
+  def semdedupPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val member = kmeansAssigned(s, dir)
+    // one rep id per cluster; reps are distinct members, so joining the
+    // id set back on vec_id recovers (cluster, rep vector) unambiguously
+    val repIds = member.groupBy($"cluster").agg(min($"vec_id").as("rep_vec"))
+      .select($"rep_vec")
+    val repQ = member.join(broadcast(repIds), $"vec_id" === $"rep_vec")
+      .select($"cluster".as("rcluster"), $"rep_vec", $"q".as("rq"))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y), lit(0L),
+        (acc, p) => acc + p)
+    member.join(broadcast(repQ), $"cluster" === $"rcluster")
+      .withColumn("cos",
+        idot($"q", $"rq").cast("double") /
+          (sqrt(idot($"q", $"q").cast("double")) *
+            sqrt(idot($"rq", $"rq").cast("double"))))
+      .withColumn("near_dup", $"vec_id" =!= $"rep_vec" && $"cos" >= lit(SemdedupCos))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when($"near_dup", 1L).otherwise(0L)).as("n_near_dups"),
+        max($"rep_vec").as("rep_vec"))
       .orderBy($"cluster")
   }
 
@@ -1090,7 +1147,8 @@ object LlmOps {
     "q106_sample_weighted" -> sampleWeighted,
     "q107_profile_corpus" -> profileCorpus,
     "q108_dedup_substring" -> dedupSubstring,
-    "q109_kmeans_clusters" -> kmeansClusters
+    "q109_kmeans_clusters" -> kmeansClusters,
+    "q110_semdedup_prune" -> semdedupPrune
   )
 
   val oracles: Map[String, String] = Map(
@@ -1661,66 +1719,97 @@ object LlmOps {
          |            ELSE 0.0 END >= 0.5 AS flagged
          |FROM sh LEFT JOIN per ON sh.doc_id = per.doc_id
          |ORDER BY sh.doc_id""".stripMargin,
-    "q109_kmeans_clusters" -> {
-      val k = KmeansK
-      // integer squared distance of q to centroid array column mJ, coded
-      // as dist*K + j (exact BIGINT; the argmin of codes IS the argmin of
-      // distances with ties toward the smaller cluster id)
-      def codeSql(j: Int) =
-        s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |    list_transform(range(1, 65),
-           |      i -> CAST(q[i] - m$j[i] AS BIGINT) * (q[i] - m$j[i]))),
-           |  (a, b) -> a + b) * $k + $j)""".stripMargin
-      def pivotSql(src: String, keyCol: String) =
-        (0 until k).map(j =>
-          s"max(CASE WHEN $keyCol = $j THEN m END) AS m$j").mkString(", ") +
-          s" FROM $src"
-      s"""WITH qv AS (
-         |  SELECT vec_id,
-         |         list_transform(embedding, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
-         |  FROM (
-         |    SELECT vec_id, embedding,
-         |           CASE WHEN absmax = 0.0 THEN 1.0 ELSE absmax / 127.0 END AS scale
-         |    FROM (
-         |      SELECT vec_id, embedding,
-         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(embedding, x -> abs(x)) AS DOUBLE[])),
-         |                         (a, x) -> CASE WHEN x > a THEN x ELSE a END) AS absmax
-         |      FROM embeddings
-         |    )
-         |  )
-         |), seeds AS (
-         |  SELECT CAST(vec_id AS INT) AS cluster, q AS m FROM qv WHERE vec_id < $k
-         |), p0 AS (
-         |  SELECT ${pivotSql("seeds", "cluster")}
-         |), a1 AS (
-         |  SELECT vec_id, q,
-         |         least(${(0 until k).map(codeSql).mkString(", ")}) AS code
-         |  FROM qv, p0
-         |), u1 AS (
-         |  SELECT CAST(code % $k AS INT) AS cluster, i AS pos, q[CAST(i AS INT)] AS x
-         |  FROM a1, range(1, 65) t(i)
-         |), c1 AS (
-         |  SELECT cluster, list(mi ORDER BY pos) AS m
-         |  FROM (
-         |    SELECT cluster, pos,
-         |           CAST(floor((2.0 * sum(x) + count(*)) / (2.0 * count(*))) AS INT) AS mi
-         |    FROM u1 GROUP BY cluster, pos
-         |  )
-         |  GROUP BY cluster
-         |), p1 AS (
-         |  SELECT ${pivotSql("c1", "cluster")}
-         |), a2 AS (
-         |  SELECT vec_id, q,
-         |         least(${(0 until k).map(codeSql).mkString(", ")}) AS code
-         |  FROM qv, p1
-         |)
-         |SELECT CAST(code % $k AS INT) AS cluster,
+    "q109_kmeans_clusters" ->
+      s"""WITH $kmeansA2Sql
+         |SELECT CAST(code % $KmeansK AS INT) AS cluster,
          |       count(*) AS n_members,
-         |       CAST(sum(CAST(CAST(code - code % $k AS DOUBLE) / $k.0 AS BIGINT)) AS BIGINT) AS sum_sqdist,
+         |       CAST(sum(CAST(CAST(code - code % $KmeansK AS DOUBLE) / $KmeansK.0 AS BIGINT)) AS BIGINT) AS sum_sqdist,
          |       min(vec_id) AS min_vec
          |FROM a2
          |GROUP BY 1
-         |ORDER BY cluster""".stripMargin
+         |ORDER BY cluster""".stripMargin,
+    "q110_semdedup_prune" -> {
+      def idotSql(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), i -> CAST($a[i] AS BIGINT) * $b[i])), (x, y) -> x + y)"
+      val cosSql =
+        s"(CAST(${idotSql("m.q", "p.rq")} AS DOUBLE) / (sqrt(CAST(${idotSql("m.q", "m.q")} AS DOUBLE)) * sqrt(CAST(${idotSql("p.rq", "p.rq")} AS DOUBLE))))"
+      s"""WITH $kmeansA2Sql, mem AS (
+         |  SELECT vec_id, q, CAST(code % $KmeansK AS INT) AS cluster FROM a2
+         |), reps AS (
+         |  SELECT cluster, min(vec_id) AS rep_vec FROM mem GROUP BY cluster
+         |), repq AS (
+         |  SELECT m2.cluster, r.rep_vec, m2.q AS rq
+         |  FROM mem m2 JOIN reps r ON m2.vec_id = r.rep_vec
+         |)
+         |SELECT m.cluster,
+         |       count(*) AS n_members,
+         |       CAST(sum(CASE WHEN m.vec_id <> p.rep_vec AND $cosSql >= $SemdedupCos
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+         |       max(p.rep_vec) AS rep_vec
+         |FROM mem m JOIN repq p ON m.cluster = p.cluster
+         |GROUP BY m.cluster
+         |ORDER BY m.cluster""".stripMargin
     }
   )
+
+  /** Shared DuckDB CTE chain for the q109/q110 k-means pipeline: quantize
+    * (q78 formulation) → seed pivot → assignment 1 → grid-snapped centroid
+    * update → pivot → assignment 2 (`a2`: vec_id, q, code). Kept as a
+    * WITH-clause body so both oracles stay one SELECT away from the same
+    * deterministic pipeline, exactly like the Spark side shares
+    * [[kmeansAssigned]]. */
+  private lazy val kmeansA2Sql: String = {
+    val k = KmeansK
+    // integer squared distance of q to centroid array column mJ, coded
+    // as dist*K + j (exact BIGINT; the argmin of codes IS the argmin of
+    // distances with ties toward the smaller cluster id)
+    def codeSql(j: Int) =
+      s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, 65),
+         |      i -> CAST(q[i] - m$j[i] AS BIGINT) * (q[i] - m$j[i]))),
+         |  (a, b) -> a + b) * $k + $j)""".stripMargin
+    def pivotSql(src: String, keyCol: String) =
+      (0 until k).map(j =>
+        s"max(CASE WHEN $keyCol = $j THEN m END) AS m$j").mkString(", ") +
+        s" FROM $src"
+    s"""qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+       |  FROM (
+       |    SELECT vec_id, embedding,
+       |           CASE WHEN absmax = 0.0 THEN 1.0 ELSE absmax / 127.0 END AS scale
+       |    FROM (
+       |      SELECT vec_id, embedding,
+       |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(embedding, x -> abs(x)) AS DOUBLE[])),
+       |                         (a, x) -> CASE WHEN x > a THEN x ELSE a END) AS absmax
+       |      FROM embeddings
+       |    )
+       |  )
+       |), seeds AS (
+       |  SELECT CAST(vec_id AS INT) AS cluster, q AS m FROM qv WHERE vec_id < $k
+       |), p0 AS (
+       |  SELECT ${pivotSql("seeds", "cluster")}
+       |), a1 AS (
+       |  SELECT vec_id, q,
+       |         least(${(0 until k).map(codeSql).mkString(", ")}) AS code
+       |  FROM qv, p0
+       |), u1 AS (
+       |  SELECT CAST(code % $k AS INT) AS cluster, i AS pos, q[CAST(i AS INT)] AS x
+       |  FROM a1, range(1, 65) t(i)
+       |), c1 AS (
+       |  SELECT cluster, list(mi ORDER BY pos) AS m
+       |  FROM (
+       |    SELECT cluster, pos,
+       |           CAST(floor((2.0 * sum(x) + count(*)) / (2.0 * count(*))) AS INT) AS mi
+       |    FROM u1 GROUP BY cluster, pos
+       |  )
+       |  GROUP BY cluster
+       |), p1 AS (
+       |  SELECT ${pivotSql("c1", "cluster")}
+       |), a2 AS (
+       |  SELECT vec_id, q,
+       |         least(${(0 until k).map(codeSql).mkString(", ")}) AS code
+       |  FROM qv, p1
+       |)""".stripMargin
+  }
 }

@@ -195,4 +195,11 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"k-means corpus got shuffled into a join:\n$p")
   }
+
+  test("q110 semdedup attaches reps by broadcast; corpus pairs only within clusters") {
+    val p = planOf("q110_semdedup_prune")
+    assert(p.contains("BroadcastHashJoin"), "rep vectors must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus shuffled into a join:\n$p")
+  }
 }
