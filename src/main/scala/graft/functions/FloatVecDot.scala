@@ -103,12 +103,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
   val vecDotName = "graft_vec_dot"
+  val intDotName = "graft_ivec_dot"
+  val intSqDistName = "graft_ivec_sqdist"
+  val quantizeI8Name = "graft_quantize_i8"
   val extractListingsName = "graft_extract_listings"
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier(vecDotName),
       new ExpressionInfo(classOf[FloatVecDot].getName, vecDotName),
       (children: Seq[Expression]) => FloatVecDot(children(0), children(1))),
+    (FunctionIdentifier(intDotName),
+      new ExpressionInfo(classOf[IntVecDot].getName, intDotName),
+      (children: Seq[Expression]) => IntVecDot(children(0), children(1))),
+    (FunctionIdentifier(intSqDistName),
+      new ExpressionInfo(classOf[IntVecSqDist].getName, intSqDistName),
+      (children: Seq[Expression]) => IntVecSqDist(children(0), children(1))),
+    (FunctionIdentifier(quantizeI8Name),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, quantizeI8Name),
+      (children: Seq[Expression]) => QuantizeInt8(children(0))),
     (FunctionIdentifier(extractListingsName),
       new ExpressionInfo(classOf[ExtractListingsExpr].getName, extractListingsName),
       (children: Seq[Expression]) => ExtractListingsExpr(children(0), children(1))))

@@ -38,6 +38,46 @@ object VectorOps {
       call_function(GraftFunctions.vecDotName, a, b)
     else dotF(a, b)
 
+  /** Integer dot Σaᵢbᵢ over `array<int>`, HOF fallback (exact BIGINT). */
+  def dotIF(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y), lit(0L),
+      (acc, p) => acc + p)
+
+  /** Integer squared distance Σ(aᵢ−bᵢ)², HOF fallback (exact BIGINT). */
+  def sqDistIF(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("long") - y) * (x.cast("long") - y)), lit(0L),
+      (acc, p) => acc + p)
+
+  /** Integer dot: native codegen kernel when registered, HOF otherwise —
+    * identical exact-BIGINT result either way. */
+  def dotI(s: SparkSession)(a: Column, b: Column): Column =
+    if (s.catalog.functionExists(GraftFunctions.intDotName))
+      call_function(GraftFunctions.intDotName, a, b)
+    else dotIF(a, b)
+
+  /** Integer squared distance, dispatched like [[dotI]]. */
+  def sqDistI(s: SparkSession)(a: Column, b: Column): Column =
+    if (s.catalog.functionExists(GraftFunctions.intSqDistName))
+      call_function(GraftFunctions.intSqDistName, a, b)
+    else sqDistIF(a, b)
+
+  /** Per-vector symmetric int8 quantization, HOF fallback: the exact q78
+    * op tree (absmax double fold → scale → floor(x/scale + 0.5)). */
+  def quantizeI8F(a: Column): Column = {
+    val absmax = aggregate(transform(a, x => abs(x)), lit(0.0),
+      (acc, x) => when(x > acc, x).otherwise(acc))
+    val scale = when(absmax === 0.0, lit(1.0)).otherwise(absmax / lit(127.0))
+    transform(a, x => floor(x / scale + lit(0.5)).cast("int"))
+  }
+
+  /** Quantization dispatched like [[dotI]]: one compiled pass when the
+    * native expression is registered, the HOF chain otherwise. */
+  def quantizeI8(s: SparkSession)(a: Column): Column =
+    if (s.catalog.functionExists(GraftFunctions.quantizeI8Name))
+      call_function(GraftFunctions.quantizeI8Name, a)
+    else quantizeI8F(a)
+
   /** Cosine similarity with a fixed op tree: dot / (sqrt(na) * sqrt(nb)). */
   def cosine(a: Column, b: Column): Column =
     dotF(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))

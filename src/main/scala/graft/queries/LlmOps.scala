@@ -915,25 +915,29 @@ object LlmOps {
     * (within-cluster near-dup pass). */
   def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val absmax = aggregate(
-      transform($"embedding", x => abs(x)), lit(0.0),
-      (a, x) => when(x > a, x).otherwise(a))
+    // Persist the quantized corpus: (a) standard iterative-ML practice —
+    // every Lloyd round and every broadcast subtree reads the cached int8
+    // arrays instead of re-quantizing floats; (b) the materialization is a
+    // projection barrier, so CollapseProject cannot inline the
+    // quantization into the K distance expressions (the q41/q42
+    // expensive-expression-duplication trap). Quantization itself is the
+    // native one-pass kernel (graft_quantize_i8) — the chained-HOF form
+    // measured 0.6 ms/vector interpreted, 11.7 s of the sf1 cold build.
+    // CacheManager dedups by plan equality, so repeated invocations share
+    // one entry rather than accreting copies.
     val qv = Tables.embeddings(s, dir)
-      .withColumn("scale",
-        when(absmax === 0.0, lit(1.0)).otherwise(absmax / lit(127.0)))
-      .withColumn("q",
-        transform($"embedding", x => floor(x / $"scale" + lit(0.5)).cast("int")))
-      .select($"vec_id", $"q")
+      .select($"vec_id", VectorOps.quantizeI8(s)($"embedding").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = KmeansK
     // centroid rows (cluster, m) → one broadcastable row of K array columns
     def pivotCents(cdf: DataFrame): DataFrame =
       cdf.groupBy().agg(
         max(when($"cluster" === 0, $"m")).as("m0"),
         (1 until k).map(j => max(when($"cluster" === j, $"m")).as(s"m$j")): _*)
+    // native codegen sqdist kernel (graft_ivec_sqdist): the HOF form is
+    // CodegenFallback and measured ~40× slower here, K evaluations per row
     def codeFor(j: Int): Column =
-      aggregate(
-        zip_with($"q", col(s"m$j"), (x, mi) => (x - mi).cast("long") * (x - mi)),
-        lit(0L), (a, b) => a + b) * lit(k.toLong) + lit(j.toLong)
+      VectorOps.sqDistI(s)($"q", col(s"m$j")) * lit(k.toLong) + lit(j.toLong)
     def assign(cents: DataFrame): DataFrame =
       qv.crossJoin(broadcast(cents))
         .withColumn("code", least((0 until k).map(codeFor): _*))
@@ -991,16 +995,18 @@ object LlmOps {
     * census only. */
   def semdedupPrune(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The assignment feeds three consumers (rep-id census, rep-vector
+    // lookup, member scoring); persisting it runs Lloyd once instead of
+    // three times — the same persist-the-iterate practice as qv itself.
     val member = kmeansAssigned(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one rep id per cluster; reps are distinct members, so joining the
     // id set back on vec_id recovers (cluster, rep vector) unambiguously
     val repIds = member.groupBy($"cluster").agg(min($"vec_id").as("rep_vec"))
       .select($"rep_vec")
     val repQ = member.join(broadcast(repIds), $"vec_id" === $"rep_vec")
       .select($"cluster".as("rcluster"), $"rep_vec", $"q".as("rq"))
-    def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y), lit(0L),
-        (acc, p) => acc + p)
+    def idot(a: Column, b: Column): Column = VectorOps.dotI(s)(a, b)
     member.join(broadcast(repQ), $"cluster" === $"rcluster")
       .withColumn("cos",
         idot($"q", $"rq").cast("double") /

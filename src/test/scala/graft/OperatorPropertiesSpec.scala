@@ -184,6 +184,56 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out(1).getDouble(1) === 5.0 && out(1).getDouble(2) === 5.0)
   }
 
+  test("native integer vector kernels match their HOF twins exactly and null-poison") {
+    assert(spark.catalog.functionExists(graft.functions.GraftFunctions.intDotName))
+    assert(spark.catalog.functionExists(graft.functions.GraftFunctions.intSqDistName))
+    val rows = Seq(
+      (1L, Seq[Integer](3, -7, 127), Seq[Integer](-128, 0, 127)),
+      (2L, Seq[Integer](0, 0, 0), Seq[Integer](1, 2, 3)),
+      (3L, Seq[Integer](5, null, 1), Seq[Integer](1, 2, 3)), // null element
+      (4L, Seq[Integer](-127, -127, -127), Seq[Integer](127, 127, 127)))
+      .toDF("id", "a", "b")
+    val out = rows.select($"id",
+      VectorOps.dotI(spark)($"a", $"b").as("nd"),
+      VectorOps.dotIF($"a", $"b").as("hd"),
+      VectorOps.sqDistI(spark)($"a", $"b").as("ns"),
+      VectorOps.sqDistIF($"a", $"b").as("hs")).orderBy($"id").collect()
+    out.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(3))
+      if (!r.isNullAt(1)) {
+        assert(r.getLong(1) === r.getLong(2), s"dot mismatch at id ${r.getLong(0)}")
+        assert(r.getLong(3) === r.getLong(4), s"sqdist mismatch at id ${r.getLong(0)}")
+      }
+    }
+    assert(out(0).getLong(1) === 3L * -128 + 127L * 127)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2) &&
+      out(2).isNullAt(3) && out(2).isNullAt(4))
+    assert(out(3).getLong(3) === 3L * 254 * 254)
+  }
+
+  test("native graft_quantize_i8 is element-identical to the HOF quantize chain") {
+    assert(spark.catalog.functionExists(graft.functions.GraftFunctions.quantizeI8Name))
+    val vecs = Tables.embeddings(spark, sfDir).select($"embedding")
+    val both = vecs.select(
+      VectorOps.quantizeI8(spark)($"embedding").as("native"),
+      VectorOps.quantizeI8F($"embedding").as("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+    }
+    // all-zero vector hits the scale=1.0 branch; null element poisons
+    val edge = Seq(
+      (1L, Seq[java.lang.Float](0f, 0f, 0f)),
+      (2L, Seq[java.lang.Float](1f, null, 2f)))
+      .toDF("id", "e")
+    val out = edge.select($"id",
+      VectorOps.quantizeI8(spark)($"e").as("native"),
+      VectorOps.quantizeI8F($"e").as("hof")).orderBy($"id").collect()
+    assert(out(0).getSeq[Int](1) === Seq(0, 0, 0))
+    assert(out(0).getSeq[Int](2) === Seq(0, 0, 0))
+    assert(out(1).isNullAt(1), "native must null-poison on a null element")
+  }
+
   test("months_between fractional regime (not oracle-checkable) follows the 31-day rule") {
     // q65 declares only the day-1 integer regime (every engine agrees
     // there); the fractional regime is Spark-defined: day difference / 31.
