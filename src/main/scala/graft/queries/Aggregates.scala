@@ -551,6 +551,35 @@ object Aggregates {
     perGroup.unionByName(global).orderBy($"prio")
   }
 
+  /** Heavy hitters via the DataSketches frequent-items sketch
+    * (`approx_top_k`) — the mergeable one-pass answer to "what dominates
+    * this column" that exact groupBy-count-sort cannot give at 100 TB
+    * without a full shuffle of every distinct key. The sketch is EXACT
+    * whenever the column's distinct count fits its tracking map (default
+    * 10⁴); beyond that it degrades to a documented ±n/maxMap count error.
+    * The declared query pins the exact regime (5 priorities) so the
+    * DuckDB oracle can hash-check it end to end — the q18/q92 contract
+    * pattern — and explodes + re-sorts by item because the sketch's own
+    * array order breaks ties arbitrarily (observed: equal-count items
+    * swap positions), which a hash-compared artifact must not depend on.
+    * The exact side rides the same scan; a sketch regression (lost item
+    * or drifted count) flips `sketch_exact` and the hash goes red. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val sk = orders
+      .agg(expr("approx_top_k(o_orderpriority, 5)").as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item".as("o_orderpriority"), $"e.count".as("sketch_cnt"))
+    orders.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("exact_cnt"))
+      .join(sk, Seq("o_orderpriority"), "left")
+      .select($"o_orderpriority", $"exact_cnt",
+        coalesce($"sketch_cnt", lit(-1L)).as("sketch_cnt"),
+        ($"sketch_cnt" === $"exact_cnt").as("sketch_exact"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_agg_regression" -> regressionAgg,
     "q92_agg_hll_merge" -> hllMergeRollup,
@@ -570,7 +599,8 @@ object Aggregates {
     "q16_agg_string_agg" -> stringAgg,
     "q17_agg_udaf_weighted_mean" -> udafWeightedMean,
     "q18_agg_approx_distinct" -> approxDistinct,
-    "q97_agg_bitmap_distinct" -> bitmapDistinctRollup
+    "q97_agg_bitmap_distinct" -> bitmapDistinctRollup,
+    "q111_agg_heavy_hitters" -> heavyHitters
   )
 
   val oracles: Map[String, String] = Map(
@@ -748,6 +778,17 @@ object Aggregates {
          |FROM (SELECT l_returnflag, ${centsSql("l_extendedprice")} AS pc FROM lineitem)
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+    // Frequent-items census in the sketch's exact regime: the oracle
+    // recomputes exact counts and asserts the sketch agreed (TRUE flag);
+    // a lost item or drifted count flips the hash red.
+    "q111_agg_heavy_hitters" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS exact_cnt,
+        |       CAST(count(*) AS BIGINT) AS sketch_cnt,
+        |       TRUE AS sketch_exact
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // Exact nearest-rank p90/p99 recomputed via the same integer-rank
     // window formulation; the within-bound flags assert GK's contract TRUE
     // (the q18 pattern: a sketch regression flips the hash red).
