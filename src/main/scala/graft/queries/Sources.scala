@@ -139,6 +139,18 @@ object Sources {
       .orderBy($"click_id", $"view_id")
   }
 
+  /** The LEFT OUTER stream-stream join (Streams.clickViewJoinOuter) on
+    * batch frames — unmatched clicks surface with -1 view sentinels, the
+    * drop-off rows the inner q77 form cannot express. */
+  def streamOuterJoinBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    graft.streaming.Streams.clickViewJoinOuter(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "view"))
+      .orderBy($"click_id", $"view_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_csv_roundtrip" -> csvRoundtrip,
     "q38_json_roundtrip" -> jsonRoundtrip,
@@ -146,7 +158,8 @@ object Sources {
     "q61_sessionization" -> sessionizationBatch,
     "q68_stream_sliding_batch" -> streamSlidingBatch,
     "q69_stream_session_batch" -> streamSessionBatch,
-    "q77_stream_join_batch" -> streamJoinBatch
+    "q77_stream_join_batch" -> streamJoinBatch,
+    "q112_stream_outer_join_batch" -> streamOuterJoinBatch
   )
 
   val oracles: Map[String, String] = Map(
@@ -172,6 +185,21 @@ object Sources {
         |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
         |      FROM events WHERE event_type = 'click') c
         |JOIN (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        |      FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, view_id""".stripMargin,
+    // LEFT JOIN twin: unmatched clicks carry -1 sentinels in both view
+    // columns (same micro-truncation rules as q77).
+    "q112_stream_outer_join_batch" ->
+      """SELECT c.event_id AS click_id,
+        |       coalesce(v.event_id, -1) AS view_id,
+        |       c.user_id AS user_id,
+        |       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_s,
+        |       coalesce(CAST(floor(epoch(v.ts)) AS BIGINT), -1) AS view_s
+        |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
         |      FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id
         | AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE

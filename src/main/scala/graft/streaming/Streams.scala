@@ -65,6 +65,31 @@ object Streams {
         unix_timestamp(col("v.ts")).as("view_s"))
   }
 
+  /** LEFT OUTER form of [[clickViewJoin]] — clicks that never find a view
+    * must still be reported (the drop-off signal). On a stream this is the
+    * semantically hardest join mode: an unmatched click can only be
+    * emitted once the engine KNOWS no match can still arrive, i.e. when
+    * the watermark passes the end of the click's 30-minute interval — so
+    * outer results trail the watermark by the interval length, and the
+    * same state-eviction bound that caps memory also defines result
+    * latency. Null-safe output: view columns surface as -1 sentinels so
+    * the downstream schema stays non-null. Batch twin declared as q112
+    * (watermarks are no-ops on batch frames; LEFT JOIN gives identical
+    * rows), streaming path spec-covered with a watermark-advancing feed. */
+  def clickViewJoinOuter(clicks: DataFrame, views: DataFrame, delay: String = "1 hour"): DataFrame = {
+    def wm(df: DataFrame) = if (df.isStreaming) df.withWatermark("ts", delay) else df
+    wm(clicks).alias("c")
+      .join(wm(views).alias("v"), expr(
+        "c.user_id = v.user_id AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTES"),
+        "leftOuter")
+      .select(
+        col("c.event_id").as("click_id"),
+        coalesce(col("v.event_id"), lit(-1L)).as("view_id"),
+        col("c.user_id").as("user_id"),
+        unix_timestamp(col("c.ts")).as("click_s"),
+        coalesce(unix_timestamp(col("v.ts")), lit(-1L)).as("view_s"))
+  }
+
   /** Stream-static enrichment join — each streaming event joined to a
     * STATIC dimension frame (user → segment), the lookup-enrichment shape
     * most streaming pipelines start with. Unlike stream-stream (above),

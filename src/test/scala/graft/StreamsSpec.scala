@@ -119,6 +119,43 @@ class StreamsSpec extends SparkSpec {
       Set((1L, 10L), (2L, 13L), (3L, 12L)))
   }
 
+  test("stream-stream LEFT OUTER join: unmatched clicks emit after the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"), // matched
+      Event(2, ts("2024-01-01 10:05:00"), 2, "click", 1.0, "{}")) // never matched
+    val views = Seq(
+      Event(10, ts("2024-01-01 10:15:00"), 1, "view", 1.0, "{}"))
+    val memC = MemoryStream[Event]
+    val memV = MemoryStream[Event]
+    // zero-delay watermark so event time alone drives outer emission
+    val q = Streams.clickViewJoinOuter(memC.toDF(), memV.toDF(), delay = "0 seconds")
+      .writeStream.format("memory").queryName("t_ssouter")
+      .outputMode(OutputMode.Append).start()
+    memC.addData(clicks); memV.addData(views); q.processAllAvailable()
+    // click 2's interval ends 10:35; the 10:15 watermark cannot prove it
+    // unmatched yet — only the matched row may have surfaced
+    val early = spark.table("t_ssouter").collect()
+    assert(!early.exists(_.getLong(0) == 2L),
+      "outer row emitted before the watermark closed its interval")
+    // advance BOTH watermarks past 10:35 (the join watermark is the min
+    // of the two sides); the unmatched click must now surface with -1s
+    memV.addData(Seq(Event(11, ts("2024-01-01 12:00:00"), 9, "view", 1.0, "{}")))
+    memC.addData(Seq(Event(3, ts("2024-01-01 12:00:00"), 9, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ssouter").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 10L)), "matched pair missing")
+    assert(got.contains((2L, -1L)), "unmatched click never emitted")
+    // and the batch twin agrees with a plain LEFT JOIN of the same data
+    val batch = Streams.clickViewJoinOuter(clicks.toDF(), views.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch === Set((1L, 10L), (2L, -1L)))
+  }
+
   test("stream-static dim enrichment: stream equals batch, unmatched → 'unknown'") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
