@@ -155,6 +155,40 @@ object Aggregates {
       .orderBy($"p_brand")
   }
 
+  /** Typed `KeyValueGroupedDataset.mapGroups` — the Dataset-API escape
+    * hatch for genuinely SEQUENTIAL per-group logic (here: max gap in days
+    * between a customer's consecutive orders, which needs the group's
+    * rows in date order). Contract notes a production user must know,
+    * stated here because this is the API-surface demo: (a) mapGroups gets
+    * NO map-side partial aggregation — the whole group shuffles, so it
+    * only belongs where window/agg genuinely can't express the logic or
+    * group payloads are small (both true here: a customer's order DATES);
+    * (b) the iterator's order is undefined — the group sorts its own rows
+    * (dates, with epoch-day arithmetic under the session's fixed UTC) so
+    * results are partitioning-independent; (c) per-group memory is the
+    * group's row count — bounded by orders-per-customer, never corpus
+    * size. Oracle twin: the lag/datediff window formulation. */
+  def typedMapGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_custkey".as[Long],
+        $"o_orderdate".cast("date").as[java.sql.Date])
+      .groupByKey(_._1)
+      .mapGroups { (cust, it) =>
+        val days = it.map { case (_, d) =>
+          java.time.LocalDate.parse(d.toString).toEpochDay
+        }.toArray.sorted
+        val maxGap =
+          if (days.length < 2) 0L
+          else days.sliding(2).map(w => w(1) - w(0)).max
+        (cust, days.length.toLong, maxGap,
+          java.time.LocalDate.ofEpochDay(days.head).toString,
+          java.time.LocalDate.ofEpochDay(days.last).toString)
+      }
+      .toDF("custkey", "n_orders", "max_gap_days", "first_order", "last_order")
+      .orderBy($"custkey")
+  }
+
   /** Pivot: one column per l_returnflag value (explicit value list — never
     * let pivot scan for distinct values at scale), measures as exact cents.
     * Portable: a pivot with known values IS conditional aggregation, which
@@ -600,7 +634,8 @@ object Aggregates {
     "q17_agg_udaf_weighted_mean" -> udafWeightedMean,
     "q18_agg_approx_distinct" -> approxDistinct,
     "q97_agg_bitmap_distinct" -> bitmapDistinctRollup,
-    "q111_agg_heavy_hitters" -> heavyHitters
+    "q111_agg_heavy_hitters" -> heavyHitters,
+    "q113_typed_mapgroups" -> typedMapGroups
   )
 
   val oracles: Map[String, String] = Map(
@@ -778,6 +813,24 @@ object Aggregates {
          |FROM (SELECT l_returnflag, ${centsSql("l_extendedprice")} AS pc FROM lineitem)
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+    // lag/datediff window twin of the sequential mapGroups computation;
+    // ISO date strings render identically from Spark Date.toString and
+    // DuckDB VARCHAR casts.
+    "q113_typed_mapgroups" ->
+      """SELECT o_custkey AS custkey,
+        |       count(*) AS n_orders,
+        |       coalesce(max(gap), 0) AS max_gap_days,
+        |       CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS first_order,
+        |       CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS last_order
+        |FROM (
+        |  SELECT o_custkey, o_orderdate,
+        |         date_diff('day',
+        |           CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS DATE),
+        |           CAST(o_orderdate AS DATE)) AS gap
+        |  FROM orders
+        |)
+        |GROUP BY o_custkey
+        |ORDER BY custkey""".stripMargin,
     // Frequent-items census in the sketch's exact regime: the oracle
     // recomputes exact counts and asserts the sketch agreed (TRUE flag);
     // a lost item or drifted count flips the hash red.
