@@ -1064,6 +1064,47 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Modulus for the additive table checksum: the largest power of two
+    * whose per-row digests can accumulate exactly in DECIMAL(38,0)/HUGEINT
+    * before the final mod (2^61 · any realistic row count « 10^38). */
+  val ChecksumMod = 1L << 61
+
+  /** Order-independent table checksum — the integrity primitive a
+    * migration, replication, or relayout job needs at 100 TB: prove two
+    * copies of a table hold the same multiset of rows WITHOUT sorting
+    * either one (a global sort is exactly the shuffle you can't afford,
+    * and row order is meaningless in both copies anyway). Each row folds
+    * to a 40-bit digest of its canonical form (fields joined on \\u0001,
+    * a separator that cannot appear in the fixture text); two commutative
+    * folds then summarize the multiset:
+    *
+    *   - `xor_check`: bit_xor of digests — any single-row difference
+    *     flips it, but a row duplicated an EVEN number of times cancels;
+    *   - `sum_check`: digest sum mod 2^61, accumulated exactly in
+    *     DECIMAL(38,0) (HUGEINT in the oracle) — multiplicity-sensitive,
+    *     catching exactly the duplication class XOR misses.
+    *
+    * Both folds are map-side partials of constant size: the whole check
+    * is one scan, one 1-row aggregate, zero data shuffled. Used together
+    * with `n_rows` a mismatch in any of the three pinpoints the failure
+    * class (cardinality vs content vs multiplicity). The clustered/
+    * compacted writers (Bucketing) are the intended consumers: checksum
+    * before and after a relayout. */
+  def tableChecksum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val canonical = concat_ws("\u0001",
+      $"doc_id".cast("string"), $"lang", $"source",
+      $"n_chars".cast("string"), $"text")
+    Tables.documents(s, dir)
+      .select(conv(substring(md5(canonical), 1, 10), 16, 10)
+        .cast("long").as("digest"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(digest)").as("xor_check"),
+        (sum($"digest".cast("decimal(38,0)")) % lit(ChecksumMod))
+          .cast("long").as("sum_check"))
+  }
+
   /** Tokens per packed training sequence (bin) for [[packSequences]]. */
   val PackBudget = 512L
 
@@ -1154,7 +1195,8 @@ object LlmOps {
     "q107_profile_corpus" -> profileCorpus,
     "q108_dedup_substring" -> dedupSubstring,
     "q109_kmeans_clusters" -> kmeansClusters,
-    "q110_semdedup_prune" -> semdedupPrune
+    "q110_semdedup_prune" -> semdedupPrune,
+    "q114_table_checksum" -> tableChecksum
   )
 
   val oracles: Map[String, String] = Map(
@@ -1755,7 +1797,17 @@ object LlmOps {
          |FROM mem m JOIN repq p ON m.cluster = p.cluster
          |GROUP BY m.cluster
          |ORDER BY m.cluster""".stripMargin
-    }
+    },
+    "q114_table_checksum" ->
+      s"""SELECT count(*) AS n_rows,
+         |       bit_xor(digest) AS xor_check,
+         |       CAST(CAST(sum(digest) AS HUGEINT) % $ChecksumMod AS BIGINT) AS sum_check
+         |FROM (
+         |  SELECT CAST(('0x' || substr(md5(
+         |           concat_ws(chr(1), CAST(doc_id AS VARCHAR), lang, source,
+         |                     CAST(n_chars AS VARCHAR), text)), 1, 10)) AS BIGINT) AS digest
+         |  FROM documents
+         |)""".stripMargin
   )
 
   /** Shared DuckDB CTE chain for the q109/q110 k-means pipeline: quantize

@@ -318,4 +318,34 @@ class OperatorPropertiesSpec extends SparkSpec {
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
   }
+
+  test("table checksum: layout-invariant; xor and sum folds catch complementary failures") {
+    import graft.queries.LlmOps
+    val base = java.nio.file.Files.createTempDirectory("cksum").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def writeAs(name: String)(df: org.apache.spark.sql.DataFrame): String = {
+      df.write.mode("overwrite").parquet(s"$base/$name/documents.parquet")
+      s"$base/$name"
+    }
+    val orig = LlmOps.tableChecksum(spark, sfDir).head()
+    // any relayout (repartition = what compact/clustered writes do) must
+    // leave all three fields untouched — that's the migration use case
+    val relaid = LlmOps.tableChecksum(spark,
+      writeAs("relaid")(docs.repartition(7))).head()
+    assert(relaid === orig, "checksum changed under pure relayout")
+    // single-row content change: BOTH folds move
+    val mutated = LlmOps.tableChecksum(spark, writeAs("mutated")(
+      docs.withColumn("lang",
+        when(col("doc_id") === 0L, lit("xx")).otherwise(col("lang"))))).head()
+    assert(mutated.getLong(1) !== orig.getLong(1), "xor missed a content change")
+    assert(mutated.getLong(2) !== orig.getLong(2), "sum missed a content change")
+    // a row duplicated twice more (even multiplicity): xor cancels — the
+    // documented blind spot — while the sum fold catches it
+    val dup = docs.filter(col("doc_id") === 0L)
+    val dupped = LlmOps.tableChecksum(spark,
+      writeAs("dupped")(docs.unionAll(dup).unionAll(dup))).head()
+    assert(dupped.getLong(0) === orig.getLong(0) + 2)
+    assert(dupped.getLong(1) === orig.getLong(1), "even duplication should cancel in xor")
+    assert(dupped.getLong(2) !== orig.getLong(2), "sum fold must catch duplication")
+  }
 }
