@@ -196,6 +196,39 @@ class PlanAssertionsSpec extends SparkSpec {
       s"k-means corpus got shuffled into a join:\n$p")
   }
 
+  test("runtime bloom-filter injects row-level pruning into a non-broadcast fact join") {
+    // The 100 TB shape: fact ⋈ selectively-filtered dim too big (or too
+    // late) to broadcast. InjectRuntimeFilter builds a bloom filter from
+    // the filtered creation side and pushes might_contain() onto the fact
+    // scan, discarding non-joining rows BEFORE the shuffle — a semi-join's
+    // pruning without its extra exchange. Default thresholds assume real
+    // statistics (application side > 10 GB), so production jobs get this
+    // for free; the spec lowers them to pin the mechanism itself.
+    val conf = spark.conf
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no bloom filter injected:\n$plan")
+    } finally prev.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("q110 semdedup attaches reps by broadcast; corpus pairs only within clusters") {
     val p = planOf("q110_semdedup_prune")
     assert(p.contains("BroadcastHashJoin"), "rep vectors must broadcast")
