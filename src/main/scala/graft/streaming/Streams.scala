@@ -270,6 +270,47 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Incremental per-key rollup maintenance — the streaming form of a
+    * materialized aggregate: each micro-batch reduces to per-key PARTIALS
+    * (count + exact cents sum) written to `outDir/batch=<id>`, and the
+    * readable rollup is one fold over the partial files
+    * ([[rollupView]]). Two properties make this the 100 TB shape:
+    *
+    *   - EXACTLY-ONCE on a plain parquet sink: the write is
+    *     overwrite-by-batchId, so when the engine replays a micro-batch
+    *     after a failure (same checkpoint), the partial is rewritten
+    *     byte-identical instead of double-counted. (Idempotence is tied
+    *     to the checkpoint's batch numbering — deleting the checkpoint
+    *     and re-feeding WILL renumber batches; the checkpoint is part of
+    *     the table.)
+    *   - NO stream state: aggregation state lives in the table itself,
+    *     not a state store — no watermark, no TTL, no growth with key
+    *     cardinality in the engine. The partial files accrete instead,
+    *     which is exactly the small-file debris [[graft.operators
+    *     .Bucketing.compact]] exists to fold down; compaction preserves
+    *     the fold because partials are re-aggregable (sum of sums).
+    */
+  def incrementalRollup(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      checkpointDir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
+    foreachBatchIngest(spark, inDir, checkpointDir, (df, id) =>
+      df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+            .as("cents"))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$id"),
+      schema)
+
+  /** The queryable rollup over [[incrementalRollup]]'s partials: one
+    * groupBy folds per-batch partials to current totals. */
+  def rollupView(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+
   /** File-stream ingest (reference R22): each file that lands in `inDir` is
     * processed exactly once (checkpointed), result appended as parquet.
     * `Trigger.AvailableNow` drains the backlog then stops — the batch

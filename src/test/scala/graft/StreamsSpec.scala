@@ -374,6 +374,41 @@ class StreamsSpec extends SparkSpec {
     assert(seen.get() === 4)
   }
 
+  test("incremental rollup maintains exact per-key totals across drains, no double-count") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("ir_in").toString
+    val out = java.nio.file.Files.createTempDirectory("ir_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ir_ckpt").toString
+    def expected(rows: Seq[Event]) = rows.groupBy(_.user_id).map { case (u, es) =>
+      (u, es.size.toLong,
+        es.map(e => math.floor(e.value * 100.0 + 0.5).toLong).sum)
+    }.toSet
+    def view() = Streams.rollupView(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    sample.take(3).toDF().write.mode("append").parquet(in)
+    Streams.incrementalRollup(spark, in, out, ckpt)
+    assert(view() === expected(sample.take(3)))
+    // new data arrives: one more drain folds it in incrementally
+    sample.drop(3).toDF().write.mode("append").parquet(in)
+    Streams.incrementalRollup(spark, in, out, ckpt)
+    assert(view() === expected(sample))
+    // idle drain: checkpoint says nothing new — totals must not move
+    Streams.incrementalRollup(spark, in, out, ckpt)
+    assert(view() === expected(sample))
+    // partial debris compacts without changing the fold (sum of sums):
+    // relayout every batch=<id> dir's files through one compaction pass
+    val batches = new java.io.File(out).listFiles.filter(_.getName.startsWith("batch="))
+    assert(batches.length >= 2, "expected one partial dir per drained batch")
+    val compacted = java.nio.file.Files.createTempDirectory("ir_compact").toString
+    batches.foreach { b =>
+      graft.operators.Bucketing.compact(
+        spark, b.toString, s"$compacted/${b.getName}", 64L << 20)
+    }
+    assert(Streams.rollupView(spark, compacted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === expected(sample))
+  }
+
   test("file-stream ingest processes each file exactly once") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("stream_in").toString
