@@ -1064,6 +1064,48 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** URL canonicalization + dedup census — the first stage of any crawl
+    * pipeline: raw URLs differ in scheme case, `www.` prefixes, query
+    * strings, fragments, and trailing slashes while naming the same
+    * resource. Raw URLs are synthesized deterministically from fixture
+    * columns (the q74 pattern — fixtures carry no URL column), with
+    * `doc_id mod 3` choosing the mess variant and `doc_id mod 100` the
+    * canonical target so ~5 docs collide per canonical URL at sf0.01.
+    * The normalization chain is four anchored regexes + lowercase,
+    * identical text in both engines (anchored single-match patterns, so
+    * Spark's replace-all and DuckDB's replace-first agree). Census per
+    * host: raw vs canonical counts — the dedup ratio a crawler tracks.
+    * Pure per-row projection + one digest-sized groupBy: linear at any
+    * crawl size. */
+  def urlNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val target = pmod($"doc_id", lit(100L)).cast("string")
+    val raw = when(pmod($"doc_id", lit(3L)) === 0,
+        concat(lit("https://www."), $"source", lit(".com/Docs/"), target, lit("/")))
+      .when(pmod($"doc_id", lit(3L)) === 1,
+        concat(lit("HTTP://"), upper($"source"), lit(".COM/Docs/"), target,
+          lit("?utm_source=feed&ref=x")))
+      .otherwise(
+        concat(lit("https://"), $"source", lit(".com/Docs/"), target, lit("#section-2")))
+    def normalize(c: Column): Column = {
+      val lowered = lower(c)
+      val noScheme = regexp_replace(lowered, "^https?://", "")
+      val noWww = regexp_replace(noScheme, "^www\\.", "")
+      val noQuery = regexp_replace(noWww, "[?#].*$", "")
+      regexp_replace(noQuery, "/$", "")
+    }
+    Tables.documents(s, dir)
+      .select(raw.as("raw_url"))
+      .withColumn("canonical", normalize($"raw_url"))
+      .withColumn("host", regexp_extract($"canonical", "^([^/]+)", 1))
+      .groupBy($"host")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct($"canonical").as("n_canonical"),
+        countDistinct($"raw_url").as("n_raw_distinct"))
+      .withColumn("dedup_ratio", ratio($"n_canonical", $"n_raw"))
+      .orderBy($"host")
+  }
+
   /** Modulus for the additive table checksum: the largest power of two
     * whose per-row digests can accumulate exactly in DECIMAL(38,0)/HUGEINT
     * before the final mod (2^61 · any realistic row count « 10^38). */
@@ -1196,7 +1238,8 @@ object LlmOps {
     "q108_dedup_substring" -> dedupSubstring,
     "q109_kmeans_clusters" -> kmeansClusters,
     "q110_semdedup_prune" -> semdedupPrune,
-    "q114_table_checksum" -> tableChecksum
+    "q114_table_checksum" -> tableChecksum,
+    "q115_url_normalize" -> urlNormalize
   )
 
   val oracles: Map[String, String] = Map(
@@ -1807,7 +1850,37 @@ object LlmOps {
          |           concat_ws(chr(1), CAST(doc_id AS VARCHAR), lang, source,
          |                     CAST(n_chars AS VARCHAR), text)), 1, 10)) AS BIGINT) AS digest
          |  FROM documents
-         |)""".stripMargin
+         |)""".stripMargin,
+    "q115_url_normalize" ->
+      s"""WITH raw AS (
+         |  SELECT CASE doc_id % 3
+         |           WHEN 0 THEN concat('https://www.', source, '.com/Docs/',
+         |                              CAST(doc_id % 100 AS VARCHAR), '/')
+         |           WHEN 1 THEN concat('HTTP://', upper(source), '.COM/Docs/',
+         |                              CAST(doc_id % 100 AS VARCHAR), '?utm_source=feed&ref=x')
+         |           ELSE concat('https://', source, '.com/Docs/',
+         |                       CAST(doc_id % 100 AS VARCHAR), '#section-2')
+         |         END AS raw_url
+         |  FROM documents
+         |), norm AS (
+         |  SELECT raw_url,
+         |         regexp_replace(
+         |           regexp_replace(
+         |             regexp_replace(
+         |               regexp_replace(lower(raw_url), '^https?://', ''),
+         |               '^www\\.', ''),
+         |             '[?#].*$$', ''),
+         |           '/$$', '') AS canonical
+         |  FROM raw
+         |)
+         |SELECT regexp_extract(canonical, '^([^/]+)', 1) AS host,
+         |       count(*) AS n_raw,
+         |       count(DISTINCT canonical) AS n_canonical,
+         |       count(DISTINCT raw_url) AS n_raw_distinct,
+         |       ${ratioSql("count(DISTINCT canonical)", "count(*)")} AS dedup_ratio
+         |FROM norm
+         |GROUP BY 1
+         |ORDER BY host""".stripMargin
   )
 
   /** Shared DuckDB CTE chain for the q109/q110 k-means pipeline: quantize
