@@ -1064,6 +1064,35 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Keep-best dedup — the canonical-selection policy that follows any
+    * dup-grouping stage: within each duplicate group, KEEP exactly one
+    * document by an explicit quality order (longest n_chars, doc_id as
+    * the deterministic tie-break) and drop the rest. Grouping key is the
+    * q40 token-SET fingerprint, so near-identical docs that differ in
+    * repetition or ordering fall in one group and the policy has real
+    * choices (the fixture has 21 multi-member groups at sf0.01, one of
+    * size 29). Plan: ONE fingerprint exchange shared by both windows —
+    * the rank and the group-size census ride the same sort (audited; no
+    * second shuffle). A WindowGroupLimit would be wrong here: the census
+    * must count every member, so all rows legitimately flow through the
+    * window stage; what shuffles is (doc_id, n_chars, 32-byte fp), never
+    * text. Declared output is the multi-member groups: fingerprint,
+    * size, kept doc + its length, and the drop count a curation report
+    * needs. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = md5(concat_ws(" ", sort_array(array_distinct(split($"text", " ")))))
+    val w = Window.partitionBy($"fp").orderBy($"n_chars".desc, $"doc_id".asc)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars", fp.as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy($"fp")))
+      .filter($"rn" === 1 && $"n_members" >= 2)
+      .select($"fp", $"n_members", $"doc_id".as("kept_doc"),
+        $"n_chars".as("kept_chars"), ($"n_members" - 1L).as("n_dropped"))
+      .orderBy($"fp")
+  }
+
   /** URL canonicalization + dedup census — the first stage of any crawl
     * pipeline: raw URLs differ in scheme case, `www.` prefixes, query
     * strings, fragments, and trailing slashes while naming the same
@@ -1239,7 +1268,8 @@ object LlmOps {
     "q109_kmeans_clusters" -> kmeansClusters,
     "q110_semdedup_prune" -> semdedupPrune,
     "q114_table_checksum" -> tableChecksum,
-    "q115_url_normalize" -> urlNormalize
+    "q115_url_normalize" -> urlNormalize,
+    "q117_dedup_keep_best" -> dedupKeepBest
   )
 
   val oracles: Map[String, String] = Map(
@@ -1880,7 +1910,23 @@ object LlmOps {
          |       ${ratioSql("count(DISTINCT canonical)", "count(*)")} AS dedup_ratio
          |FROM norm
          |GROUP BY 1
-         |ORDER BY host""".stripMargin
+         |ORDER BY host""".stripMargin,
+    "q117_dedup_keep_best" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents
+        |), r AS (
+        |  SELECT fp, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY fp) AS n_members
+        |  FROM d
+        |)
+        |SELECT fp, n_members, doc_id AS kept_doc, n_chars AS kept_chars,
+        |       n_members - 1 AS n_dropped
+        |FROM r
+        |WHERE rn = 1 AND n_members >= 2
+        |ORDER BY fp""".stripMargin
   )
 
   /** Shared DuckDB CTE chain for the q109/q110 k-means pipeline: quantize

@@ -413,6 +413,39 @@ object Relational {
       .orderBy($"mkey")
   }
 
+  /** Snapshot diff — GENERATE the change feed q100 applies: given two
+    * keyed snapshots of the same table, classify every key as inserted /
+    * deleted / updated / unchanged. This is the inverse primitive of
+    * MERGE and the heart of incremental publishing (ship the diff, not
+    * the table). The two snapshots derive deterministically from the
+    * fixture (old = keys not ≡0 mod 7, new = keys not ≡0 mod 10, with
+    * balances bumped on keys ≡0 mod 5) so the oracle replays them
+    * exactly. One full-outer join on the key — the same shuffle-on-key
+    * plan as q100, linear at snapshot scale — then a projection
+    * classifies; the census aggregates per op so the declared output is
+    * compact at any scale while the row-level feed is the pre-agg
+    * DataFrame a caller would ship. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.customer(s, dir).select(
+      $"c_custkey".as("k"), cents($"c_acctbal").as("bal"))
+    val oldSnap = base.filter($"k" % 7 =!= 0)
+      .select($"k".as("ok"), $"bal".as("obal"))
+    val newSnap = base.filter($"k" % 10 =!= 0)
+      .select($"k".as("nk"),
+        when($"k" % 5 === 0, $"bal" + 500L).otherwise($"bal").as("nbal"))
+    oldSnap.join(newSnap, $"ok" === $"nk", "full_outer")
+      .select(
+        coalesce($"ok", $"nk").as("k"),
+        when($"ok".isNull, "I")
+          .when($"nk".isNull, "D")
+          .when($"obal" =!= $"nbal", "U")
+          .otherwise("=").as("op"))
+      .groupBy($"op")
+      .agg(count(lit(1)).as("n_keys"), min($"k").as("min_key"), max($"k").as("max_key"))
+      .orderBy($"op")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_project_filter" -> projectFilter,
     "q01_revenue_by_nation" -> revenueByNation,
@@ -437,7 +470,8 @@ object Relational {
     "q26_union_distinct" -> unionDistinct,
     "q27_intersect" -> intersectKeys,
     "q28_except_all" -> exceptAllKeys,
-    "q100_merge_upsert" -> mergeUpsert
+    "q100_merge_upsert" -> mergeUpsert,
+    "q116_snapshot_diff" -> snapshotDiff
   )
 
   val oracles: Map[String, String] = Map(
@@ -649,6 +683,27 @@ object Relational {
          |       coalesce(op, '=') AS op
          |FROM snap FULL OUTER JOIN changes ON k = ck
          |WHERE op IS NULL OR op <> 'D'
-         |ORDER BY mkey""".stripMargin
+         |ORDER BY mkey""".stripMargin,
+    "q116_snapshot_diff" ->
+      s"""WITH base AS (
+         |  SELECT c_custkey AS k, ${centsSql("c_acctbal")} AS bal FROM customer
+         |), olds AS (
+         |  SELECT k AS ok, bal AS obal FROM base WHERE k % 7 <> 0
+         |), news AS (
+         |  SELECT k AS nk,
+         |         CASE WHEN k % 5 = 0 THEN bal + 500 ELSE bal END AS nbal
+         |  FROM base WHERE k % 10 <> 0
+         |)
+         |SELECT op, count(*) AS n_keys, min(k) AS min_key, max(k) AS max_key
+         |FROM (
+         |  SELECT coalesce(ok, nk) AS k,
+         |         CASE WHEN ok IS NULL THEN 'I'
+         |              WHEN nk IS NULL THEN 'D'
+         |              WHEN obal <> nbal THEN 'U'
+         |              ELSE '=' END AS op
+         |  FROM olds FULL OUTER JOIN news ON ok = nk
+         |)
+         |GROUP BY op
+         |ORDER BY op""".stripMargin
   )
 }
