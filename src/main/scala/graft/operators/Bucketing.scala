@@ -88,6 +88,26 @@ object Bucketing {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** Write with observed metrics — pipeline observability on the SAME
+    * pass as the write: `Observation` attaches aggregate expressions to
+    * the plan, the action computes them as accumulator-style side output,
+    * and the caller gets (row count, null-key count, exact cents total)
+    * without a second scan. At 100 TB a separate validation query re-reads
+    * the table; this is free. The returned map is the write's health
+    * check: a pipeline asserts on it (nonzero rows, zero null keys,
+    * expected totals) before publishing the output path downstream. */
+  def writeObserved(
+      df: DataFrame, dir: String, keyCol: String, centsCol: String): Map[String, Any] = {
+    import org.apache.spark.sql.functions._
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("n_null_keys"),
+        sum(floor(col(centsCol) * lit(100.0) + lit(0.5)).cast("long")).as("total_cents"))
+      .write.mode("overwrite").parquet(dir)
+    obs.get
+  }
+
   /** Small-file compaction — the maintenance pass every streaming or
     * incremental sink needs: micro-batch writes accrete thousands of tiny
     * files, and at 100 TB the per-file open/footer/list overhead (and the

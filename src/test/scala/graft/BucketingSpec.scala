@@ -97,6 +97,23 @@ class BucketingSpec extends SparkSpec {
     assert(orig === rela)
   }
 
+  test("observed write reports row/null/total metrics from the write pass itself") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("observed").toString
+    val o = Tables.orders(spark, sfDir)
+    val metrics = Bucketing.writeObserved(o, s"$base/out", "o_custkey", "o_totalprice")
+    // the metrics must agree with an independent read of what was written
+    val written = spark.read.parquet(s"$base/out")
+    val expected = written.agg(
+      count(lit(1)),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)),
+      sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))).head()
+    assert(metrics("n_rows") === expected.getLong(0))
+    assert(metrics("n_null_keys") === expected.getLong(1))
+    assert(metrics("total_cents") === expected.getLong(2))
+    assert(metrics("n_rows").asInstanceOf[Long] > 0)
+  }
+
   test("compaction rewrites many small files into byte-targeted few, losslessly") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("compact").toString
