@@ -446,6 +446,36 @@ object Relational {
       .orderBy($"op")
   }
 
+  /** Null-safe equality join (`<=>` / SQL `IS NOT DISTINCT FROM`) — the
+    * join mode dirty keyed data actually needs: with plain `=`, null keys
+    * silently drop from an inner join (three-valued logic), so two
+    * records that BOTH lack a key never pair. Null-safe equality treats
+    * null as a value (null matches null), which is the semantics of a
+    * "match on possibly-missing natural key" reconciliation. Nullable
+    * keys derive deterministically from the fixture (`nullif(k mod 7, 3)`
+    * keys ≡3 mod 7 go null on both sides). Catalyst plans `<=>` as an
+    * ordinary hash join — EqualNullSafe is a valid equi-join key, NOT a
+    * nested loop — so the shape stays the q03 shuffle join at any scale;
+    * all null-key rows hash to one partition, which is the documented
+    * skew consideration (salt or pre-filter nulls when they dominate). */
+  def nullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).select(
+      $"c_custkey",
+      when($"c_custkey" % 7 === 3, lit(null).cast("long"))
+        .otherwise($"c_custkey" % 1000L).as("ck"))
+    val o = Tables.orders(s, dir).select(
+      $"o_orderkey",
+      when($"o_custkey" % 7 === 3, lit(null).cast("long"))
+        .otherwise($"o_custkey" % 1000L).as("ok"))
+    c.join(o, $"ck" <=> $"ok")
+      .groupBy($"ck")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"c_custkey").as("n_cust"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"ck".asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_project_filter" -> projectFilter,
     "q01_revenue_by_nation" -> revenueByNation,
@@ -471,7 +501,8 @@ object Relational {
     "q27_intersect" -> intersectKeys,
     "q28_except_all" -> exceptAllKeys,
     "q100_merge_upsert" -> mergeUpsert,
-    "q116_snapshot_diff" -> snapshotDiff
+    "q116_snapshot_diff" -> snapshotDiff,
+    "q118_join_nullsafe" -> nullSafeJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -704,6 +735,21 @@ object Relational {
          |  FROM olds FULL OUTER JOIN news ON ok = nk
          |)
          |GROUP BY op
-         |ORDER BY op""".stripMargin
+         |ORDER BY op""".stripMargin,
+    "q118_join_nullsafe" ->
+      """SELECT ck, count(*) AS n_pairs,
+        |       count(DISTINCT c_custkey) AS n_cust,
+        |       count(DISTINCT o_orderkey) AS n_orders
+        |FROM (SELECT c_custkey,
+        |             CASE WHEN c_custkey % 7 = 3 THEN NULL
+        |                  ELSE c_custkey % 1000 END AS ck
+        |      FROM customer) c
+        |JOIN (SELECT o_orderkey,
+        |             CASE WHEN o_custkey % 7 = 3 THEN NULL
+        |                  ELSE o_custkey % 1000 END AS ok
+        |      FROM orders) o
+        |  ON ck IS NOT DISTINCT FROM ok
+        |GROUP BY ck
+        |ORDER BY ck NULLS FIRST""".stripMargin
   )
 }

@@ -307,7 +307,8 @@ class OperatorPropertiesSpec extends SparkSpec {
     // leaks partial-agg or shuffle order (FP summation, unordered
     // collect_list, rand()) fails exactly this.
     val names = Seq("q97_agg_bitmap_distinct", "q98_pack_sequences",
-      "q102_window_fill", "q100_merge_upsert")
+      "q102_window_fill", "q100_merge_upsert", "q106_sample_weighted",
+      "q108_dedup_substring", "q117_dedup_keep_best")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     names.foreach { n =>
       val base = SparkEntry.queries(n)(spark, sfDir).collect().toSeq

@@ -229,6 +229,12 @@ class PlanAssertionsSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("q118 null-safe equality plans as an equi hash join, never a nested loop") {
+    val p = planOf("q118_join_nullsafe")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"EqualNullSafe fell out of the equi-join path:\n$p")
+  }
+
   test("q110 semdedup attaches reps by broadcast; corpus pairs only within clusters") {
     val p = planOf("q110_semdedup_prune")
     assert(p.contains("BroadcastHashJoin"), "rep vectors must broadcast")
