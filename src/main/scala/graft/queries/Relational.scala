@@ -452,28 +452,33 @@ object Relational {
     * records that BOTH lack a key never pair. Null-safe equality treats
     * null as a value (null matches null), which is the semantics of a
     * "match on possibly-missing natural key" reconciliation. Nullable
-    * keys derive deterministically from the fixture (`nullif(k mod 7, 3)`
-    * keys ≡3 mod 7 go null on both sides). Catalyst plans `<=>` as an
+    * keys derive deterministically from the fixture (keys ≡3 mod 97 go
+    * null on both sides — ~1% missing). Catalyst plans `<=>` as an
     * ordinary hash join — EqualNullSafe is a valid equi-join key, NOT a
-    * nested loop — so the shape stays the q03 shuffle join at any scale;
-    * all null-key rows hash to one partition, which is the documented
-    * skew consideration (salt or pre-filter nulls when they dominate). */
+    * nested loop — so the shape stays the q03 shuffle join at any scale.
+    * The sharp edge this query is honest about: the null bucket is a
+    * SELF-PRODUCT (every null-key left row pairs with every null-key
+    * right row) hashed to one partition. A draft with 1/7 null density
+    * measured 13.9 s at sf0.1 — a ~46 M-pair hot key; at production
+    * null rates, pre-filter or salt the null bucket before a `<=>`
+    * join. The declared form keeps nulls at the realistic 1% where the
+    * null product stays bounded. */
   def nullSafeJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = Tables.customer(s, dir).select(
       $"c_custkey",
-      when($"c_custkey" % 7 === 3, lit(null).cast("long"))
-        .otherwise($"c_custkey" % 1000L).as("ck"))
+      when($"c_custkey" % 97 === 3, lit(null).cast("long"))
+        .otherwise($"c_custkey").as("ck"))
     val o = Tables.orders(s, dir).select(
       $"o_orderkey",
-      when($"o_custkey" % 7 === 3, lit(null).cast("long"))
-        .otherwise($"o_custkey" % 1000L).as("ok"))
+      when($"o_custkey" % 97 === 3, lit(null).cast("long"))
+        .otherwise($"o_custkey").as("ok"))
     c.join(o, $"ck" <=> $"ok")
-      .groupBy($"ck")
+      .groupBy(isnull($"ck").as("key_missing"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct($"c_custkey").as("n_cust"),
         countDistinct($"o_orderkey").as("n_orders"))
-      .orderBy($"ck".asc_nulls_first)
+      .orderBy($"key_missing")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -737,19 +742,19 @@ object Relational {
          |GROUP BY op
          |ORDER BY op""".stripMargin,
     "q118_join_nullsafe" ->
-      """SELECT ck, count(*) AS n_pairs,
+      """SELECT (ck IS NULL) AS key_missing, count(*) AS n_pairs,
         |       count(DISTINCT c_custkey) AS n_cust,
         |       count(DISTINCT o_orderkey) AS n_orders
         |FROM (SELECT c_custkey,
-        |             CASE WHEN c_custkey % 7 = 3 THEN NULL
-        |                  ELSE c_custkey % 1000 END AS ck
+        |             CASE WHEN c_custkey % 97 = 3 THEN NULL
+        |                  ELSE c_custkey END AS ck
         |      FROM customer) c
         |JOIN (SELECT o_orderkey,
-        |             CASE WHEN o_custkey % 7 = 3 THEN NULL
-        |                  ELSE o_custkey % 1000 END AS ok
+        |             CASE WHEN o_custkey % 97 = 3 THEN NULL
+        |                  ELSE o_custkey END AS ok
         |      FROM orders) o
         |  ON ck IS NOT DISTINCT FROM ok
-        |GROUP BY ck
-        |ORDER BY ck NULLS FIRST""".stripMargin
+        |GROUP BY 1
+        |ORDER BY key_missing""".stripMargin
   )
 }
