@@ -1064,6 +1064,28 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Token-count histogram — the distribution census that pairs with
+    * q107's scalar profile: bucket every doc's whitespace token count
+    * into fixed-width bins (width 8, capped at bin 31 so the bucket
+    * domain is bounded regardless of outlier docs) and report per-bin
+    * membership and extents. All-integer bucketing (`div` + `least`), so
+    * the histogram is bit-identical cross-engine — the floor-division
+    * form `width_bucket` compiles to when bounds are integers. One
+    * map-side projection + a ≤32-group hash agg: partials collapse to
+    * the bin domain per partition before the shuffle, flat at any
+    * corpus size. */
+  def tokenHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(size(TextOps.tokens($"text")).cast("long").as("n_tok"))
+      .withColumn("bin", least(expr("n_tok div 8L"), lit(31L)))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_tok").as("min_tok"), max($"n_tok").as("max_tok"),
+        sum($"n_tok").as("sum_tok"))
+      .orderBy($"bin")
+  }
+
   /** Keep-best dedup — the canonical-selection policy that follows any
     * dup-grouping stage: within each duplicate group, KEEP exactly one
     * document by an explicit quality order (longest n_chars, doc_id as
@@ -1269,7 +1291,8 @@ object LlmOps {
     "q110_semdedup_prune" -> semdedupPrune,
     "q114_table_checksum" -> tableChecksum,
     "q115_url_normalize" -> urlNormalize,
-    "q117_dedup_keep_best" -> dedupKeepBest
+    "q117_dedup_keep_best" -> dedupKeepBest,
+    "q119_token_histogram" -> tokenHistogram
   )
 
   val oracles: Map[String, String] = Map(
@@ -1926,7 +1949,17 @@ object LlmOps {
         |       n_members - 1 AS n_dropped
         |FROM r
         |WHERE rn = 1 AND n_members >= 2
-        |ORDER BY fp""".stripMargin
+        |ORDER BY fp""".stripMargin,
+    "q119_token_histogram" ->
+      s"""SELECT bin, count(*) AS n_docs,
+         |       min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+         |       CAST(sum(n_tok) AS BIGINT) AS sum_tok
+         |FROM (
+         |  SELECT CASE WHEN n_tok // 8 < 31 THEN n_tok // 8 ELSE 31 END AS bin, n_tok
+         |  FROM (SELECT CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents)
+         |)
+         |GROUP BY bin
+         |ORDER BY bin""".stripMargin
   )
 
   /** Shared DuckDB CTE chain for the q109/q110 k-means pipeline: quantize

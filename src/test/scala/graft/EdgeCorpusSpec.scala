@@ -37,7 +37,7 @@ class EdgeCorpusSpec extends SparkSpec {
     "q84_sample_stratified", "q96_decontaminate", "q98_pack_sequences",
     "q104_dedup_editdistance", "q106_sample_weighted", "q107_profile_corpus",
     "q108_dedup_substring", "q114_table_checksum", "q115_url_normalize",
-    "q117_dedup_keep_best")
+    "q117_dedup_keep_best", "q119_token_histogram")
 
   textQueries.foreach { name =>
     test(s"$name runs on the degenerate corpus") {
