@@ -614,7 +614,42 @@ object Aggregates {
       .orderBy($"o_orderpriority")
   }
 
+  /** mode() — most-frequent-value aggregate, gated the q87/q91 way. The
+    * native `mode` picks an ARBITRARY value on frequency ties (both
+    * engines document this), so the declared output is the exact argmax
+    * with a deterministic tie-break (highest count, then smallest value —
+    * one groupBy + one window over the tiny (flag, qty) count table), and
+    * the native aggregate is asserted through `native_ok`: it must equal
+    * the exact argmax whenever the max is UNIQUE, and is excused (gate
+    * true) only on a detected tie. A native-mode regression on untied
+    * groups turns the row red; tied groups can never flake the hash. The
+    * count table is ≤ |flags|·|qty domain| rows, so the window input is
+    * domain-bounded, not data-bounded — the q63 scale argument. */
+  def modeAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_quantity".cast("long").as("qty"))
+    val counts = li.groupBy($"l_returnflag", $"qty").agg(count(lit(1)).as("cnt"))
+    val wAll = Window.partitionBy($"l_returnflag")
+    val wRank = Window.partitionBy($"l_returnflag").orderBy($"cnt".desc, $"qty".asc)
+    val ranked = counts
+      .withColumn("maxc", max($"cnt").over(wAll))
+      .withColumn("n_tied",
+        sum(when($"cnt" === $"maxc", lit(1L)).otherwise(lit(0L))).over(wAll))
+      .withColumn("rn", row_number().over(wRank))
+    val exact = ranked.filter($"rn" === 1)
+      .select($"l_returnflag", $"qty".as("mode_qty"), $"cnt".as("mode_cnt"),
+        ($"n_tied" > 1).as("tied"))
+    val native = li.groupBy($"l_returnflag").agg(mode($"qty").as("native_mode"))
+    exact.join(broadcast(native), "l_returnflag")
+      .select($"l_returnflag", $"mode_qty", $"mode_cnt", $"tied",
+        ($"tied" || $"native_mode" === $"mode_qty").as("native_ok"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_agg_mode" -> modeAgg,
     "q91_agg_regression" -> regressionAgg,
     "q92_agg_hll_merge" -> hllMergeRollup,
     "q87_agg_stats_moments" -> statsMoments,
@@ -639,6 +674,26 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q124_agg_mode" ->
+      """WITH li AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+        |            FROM lineitem),
+        |c AS (SELECT l_returnflag, qty, count(*) AS cnt FROM li GROUP BY 1, 2),
+        |r1 AS (SELECT *, max(cnt) OVER (PARTITION BY l_returnflag) AS maxc FROM c),
+        |r2 AS (SELECT *,
+        |              row_number() OVER (PARTITION BY l_returnflag
+        |                                 ORDER BY cnt DESC, qty ASC) AS rn,
+        |              sum(CASE WHEN cnt = maxc THEN 1 ELSE 0 END)
+        |                OVER (PARTITION BY l_returnflag) AS n_tied
+        |       FROM r1),
+        |n AS (SELECT l_returnflag, mode(qty) AS native_mode FROM li GROUP BY 1)
+        |SELECT r2.l_returnflag,
+        |       r2.qty AS mode_qty,
+        |       CAST(r2.cnt AS BIGINT) AS mode_cnt,
+        |       r2.n_tied > 1 AS tied,
+        |       (r2.n_tied > 1 OR n.native_mode = r2.qty) AS native_ok
+        |FROM r2 JOIN n ON r2.l_returnflag = n.l_returnflag
+        |WHERE r2.rn = 1
+        |ORDER BY r2.l_returnflag""".stripMargin,
     "q91_agg_regression" ->
       s"""WITH li AS (SELECT l_returnflag,
          |                   ${centsSql("l_extendedprice")} AS pc,

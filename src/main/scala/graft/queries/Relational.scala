@@ -481,7 +481,39 @@ object Relational {
       .orderBy($"key_missing")
   }
 
+  /** Forward as-of join — "first event STRICTLY AFTER the order date per
+    * customer", the time-reversed twin of [[asofJoin]] (q07 merges the
+    * latest-or-equal event; this merges the next one). Same join-free
+    * sorted-merge shape: union both sides on (uid, ts), one window pass.
+    * Strictness comes from the SORT + FRAME pair: same-ts events sort
+    * BEFORE the order row (`event_id ASC NULLS LAST` — non-null ids
+    * first), and the frame starts at 1 FOLLOWING, so an event at exactly
+    * the order timestamp is excluded while anything later is seen. One
+    * shuffle on uid total — the same 100-TB argument as q07 (an
+    * inequality join would be quadratic per user). */
+  def asofForwardJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select(
+      $"o_custkey".as("uid"),
+      $"o_orderdate".cast("timestamp").as("ts"),
+      lit(null).cast("long").as("event_id"), $"o_orderkey")
+    val e = Tables.events(s, dir).select(
+      $"user_id".as("uid"), $"ts",
+      $"event_id", lit(null).cast("long").as("o_orderkey"))
+    val w = Window.partitionBy($"uid")
+      .orderBy($"ts".asc, $"event_id".asc_nulls_last, $"o_orderkey".asc_nulls_first)
+      .rowsBetween(1, Window.unboundedFollowing)
+    o.unionByName(e)
+      .withColumn("next_event", first($"event_id", ignoreNulls = true).over(w))
+      .withColumn("next_ts",
+        first(when($"event_id".isNotNull, $"ts"), ignoreNulls = true).over(w))
+      .filter($"o_orderkey".isNotNull && $"next_event".isNotNull)
+      .select($"o_orderkey", $"next_event", $"next_ts")
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_join_asof_forward" -> asofForwardJoin,
     "q29_project_filter" -> projectFilter,
     "q01_revenue_by_nation" -> revenueByNation,
     "q02_join_broadcast_dim" -> broadcastDimJoin,
@@ -511,6 +543,24 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q125_join_asof_forward" ->
+      """SELECT o_orderkey, next_event, next_ts FROM (
+        |  SELECT o_orderkey,
+        |         first_value(event_id IGNORE NULLS) OVER w AS next_event,
+        |         first_value(CASE WHEN event_id IS NOT NULL THEN ts END IGNORE NULLS) OVER w AS next_ts
+        |  FROM (
+        |    SELECT o_custkey AS uid, o_orderdate AS ts,
+        |           CAST(NULL AS BIGINT) AS event_id, o_orderkey
+        |    FROM orders
+        |    UNION ALL
+        |    SELECT user_id AS uid, ts, event_id, CAST(NULL AS BIGINT) AS o_orderkey
+        |    FROM events
+        |  )
+        |  WINDOW w AS (PARTITION BY uid
+        |               ORDER BY ts ASC, event_id ASC NULLS LAST, o_orderkey ASC NULLS FIRST
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |) WHERE o_orderkey IS NOT NULL AND next_event IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
     "q29_project_filter" ->
       s"""SELECT o_orderkey,
          |       CAST(o_custkey AS INT) AS cust_int,

@@ -268,7 +268,144 @@ object Scalars {
       .orderBy($"event_id")
   }
 
+  /** try_ error-tolerant scalar family — the ANSI-mode answer to the
+    * reference's tolerate-and-continue stance (R2: a failed page must not
+    * abort the run). Spark 4 runs with `spark.sql.ansi.enabled=true`, so a
+    * plain `cast('garbage' AS INT)`, divide-by-zero, or long overflow THROWS
+    * at runtime; the `try_` family converts each error to NULL row-locally,
+    * which is the only behavior that survives a 100-TB run — one poison row
+    * out of 10^12 must cost one NULL, not the job.
+    *   - try_cast: mixed numeric/word strings → INT or NULL
+    *   - try_divide: divisor hits 0 on p_size=25 rows → NULL
+    *   - try_add: Long.MaxValue + positive key overflows → NULL
+    *   - try_element_at: index 20 past the end of the word list → NULL
+    * DuckDB twins: TRY_CAST, CASE-guarded divide/add, and native
+    * out-of-bounds list indexing (already NULL). Pure projection — zero
+    * shuffle beyond the presentation sort. */
+  def tryFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .withColumn("maybe_num",
+        when($"p_partkey" % 3 === 0, $"p_size".cast("string"))
+          .otherwise($"p_name"))
+      .select(
+        $"p_partkey",
+        expr("try_cast(maybe_num AS INT)").as("parsed"),
+        try_divide(cents($"p_retailprice"),
+          ($"p_size" - lit(25)).cast("long")).as("per_size"),
+        try_add(
+          when($"p_partkey" % 2 === 0, lit(Long.MaxValue)).otherwise(lit(1L)),
+          $"p_partkey").as("sum_guard"),
+        try_element_at(split($"p_name", " "), lit(20)).as("w20"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Timestamp/interval arithmetic family — the sub-day twin of the date
+    * rows (q31/q65 operate on day-granular order dates; events.ts carries
+    * real microseconds). Covers interval literals (minute- and
+    * month-granular adds), field extraction (hour/minute/second),
+    * timestampdiff, make_timestamp reassembly, and unix_micros.
+    * Cross-engine notes:
+    *   - DuckDB `date_diff` counts UNIT-BOUNDARY CROSSINGS while Spark
+    *     `timestampdiff` truncates the elapsed span — identical iff the
+    *     start bound sits ON a unit boundary, so the anchor is midnight.
+    *   - DuckDB `date_trunc('day', ts)` returns DATE (not TIMESTAMP), so
+    *     day binning is declared as CAST(ts AS DATE) on both sides.
+    * Pure projection; zero shuffle beyond the presentation sort. */
+  def intervalFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(
+        $"event_id",
+        ($"ts" + expr("INTERVAL '90' MINUTE")).as("plus90m"),
+        ($"ts" + expr("INTERVAL '2' MONTH")).as("plus2mo"),
+        $"ts".cast("date").as("day_date"),
+        hour($"ts").as("hr"),
+        minute($"ts").as("mi"),
+        second($"ts").as("sec"),
+        expr("timestampdiff(MINUTE, TIMESTAMP'2020-01-01 00:00:00', ts)")
+          .as("mins_since"),
+        expr("make_timestamp(year(ts), month(ts), dayofmonth(ts), " +
+          "hour(ts), minute(ts), 0)").as("made"),
+        unix_micros($"ts").as("us"))
+      .orderBy($"event_id")
+  }
+
+  /** Struct (nested record) scalar family: construction with named fields,
+    * field access, whole-struct equality and LEXICOGRAPHIC ordering (field
+    * order = comparison order in both engines), and the struct→JSON
+    * rendering direction (compact, insertion-ordered keys — byte-identical
+    * across engines). Nested types are how a 100-TB lakehouse schema
+    * actually arrives; this declares the scalar surface (group-by-struct
+    * and array-of-struct generators are covered by q86/q113). */
+  def structFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .withColumn("st",
+        struct($"o_orderstatus".as("st"), year($"o_orderdate").as("y")))
+      .select(
+        $"o_orderkey",
+        $"st".getField("y").as("yr"),
+        to_json($"st").as("js"),
+        ($"st" === struct(lit("F").as("st"), lit(1995).as("y"))).as("eq_f95"),
+        ($"st" < struct(lit("O").as("st"), lit(1996).as("y"))).as("lt_o96"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** VARIANT semi-structured family (Spark 4's open-schema JSON type):
+    * `parse_json` once into the binary variant encoding, then typed path
+    * extraction with `variant_get` (int and string target types from the
+    * same field — a number renders as its literal token), a missing-path
+    * probe (SQL NULL), and `is_variant_null` distinguishing JSON `null`
+    * (a present null VALUE) from an absent field. Declared because variant
+    * is the 100-TB answer to schema-on-read event payloads: the binary
+    * encoding is parsed once at ingest, not re-tokenized per query like
+    * q35/q67's string JSON. DuckDB twin: `->>`  path extraction; the
+    * variant-null flag replays the synthesis predicate. Zero shuffle. */
+  def variantFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("v", parse_json($"props"))
+      // every 5th event's payload replaced by JSON `null`: a variant null
+      .withColumn("vn", parse_json(
+        when($"event_id" % 5 === 0, lit("null")).otherwise($"props")))
+      .select(
+        $"event_id",
+        variant_get($"v", "$.k", "int").as("k_int"),
+        variant_get($"v", "$.k", "string").as("k_str"),
+        variant_get($"v", "$.missing", "string").as("miss"),
+        is_variant_null($"vn").as("vnull"))
+      .orderBy($"event_id")
+  }
+
+  /** Case-insensitive collation (Spark 4 collated strings): grouping on a
+    * `UTF8_LCASE`-collated key merges case variants of the same segment
+    * into ONE group, while `count(DISTINCT raw)` inside each group proves
+    * both binary variants are really present. The group representative a
+    * collated group-by keeps is engine-arbitrary, so the declared output
+    * is `lower(key)` — deterministic on both sides; the DuckDB twin states
+    * the same semantics as a lower() grouping. Collation is declared here
+    * as the *semantic* operator (comparison/grouping rules as data, not
+    * code) — at scale it replaces the error-prone lower()-everywhere
+    * convention in multi-tenant lakehouse schemas. */
+  def collationGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .withColumn("seg_mixed",
+        when($"c_custkey" % 2 === 0, lower($"c_mktsegment"))
+          .otherwise($"c_mktsegment"))
+      .groupBy(collate($"seg_mixed", "UTF8_LCASE").as("k"))
+      .agg(count(lit(1)).as("n"), countDistinct($"seg_mixed").as("n_variants"))
+      .select(lower($"k").cast("string").as("seg"), $"n", $"n_variants")
+      .orderBy($"seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_fn_variant" -> variantFns,
+    "q126_collation_group" -> collationGroup,
+    "q120_fn_try" -> tryFns,
+    "q121_fn_interval" -> intervalFns,
+    "q122_fn_struct" -> structFns,
     "q30_fn_string" -> stringFns,
     "q31_fn_date" -> dateFns,
     "q32_fn_math" -> mathFns,
@@ -285,6 +422,63 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "q123_fn_variant" ->
+      """SELECT event_id,
+        |       CAST(props->>'$.k' AS INT) AS k_int,
+        |       props->>'$.k' AS k_str,
+        |       props->>'$.missing' AS miss,
+        |       event_id % 5 = 0 AS vnull
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q126_collation_group" ->
+      """SELECT lower(seg_mixed) AS seg,
+        |       count(*) AS n,
+        |       count(DISTINCT seg_mixed) AS n_variants
+        |FROM (SELECT c_custkey,
+        |             CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+        |                  ELSE c_mktsegment END AS seg_mixed
+        |      FROM customer)
+        |GROUP BY lower(seg_mixed)
+        |ORDER BY seg""".stripMargin,
+    "q120_fn_try" ->
+      s"""SELECT p_partkey,
+         |       TRY_CAST(CASE WHEN p_partkey % 3 = 0 THEN CAST(p_size AS VARCHAR)
+         |                     ELSE p_name END AS INT) AS parsed,
+         |       CASE WHEN p_size = 25 THEN NULL
+         |            ELSE CAST(${centsSql("p_retailprice")} AS DOUBLE)
+         |                 / CAST(p_size - 25 AS DOUBLE) END AS per_size,
+         |       CASE WHEN p_partkey = 0 THEN 9223372036854775807
+         |            WHEN p_partkey % 2 = 0 THEN NULL
+         |            ELSE p_partkey + 1 END AS sum_guard,
+         |       string_split(p_name, ' ')[20] AS w20
+         |FROM part
+         |ORDER BY p_partkey""".stripMargin,
+    "q121_fn_interval" ->
+      """SELECT event_id,
+        |       ts + INTERVAL 90 MINUTE AS plus90m,
+        |       ts + INTERVAL 2 MONTH AS plus2mo,
+        |       CAST(ts AS DATE) AS day_date,
+        |       CAST(hour(ts) AS INT) AS hr,
+        |       CAST(minute(ts) AS INT) AS mi,
+        |       CAST(second(ts) AS INT) AS sec,
+        |       CAST(date_diff('minute', TIMESTAMP '2020-01-01 00:00:00', ts) AS BIGINT) AS mins_since,
+        |       make_timestamp(CAST(year(ts) AS BIGINT), CAST(month(ts) AS BIGINT),
+        |                      CAST(day(ts) AS BIGINT), CAST(hour(ts) AS BIGINT),
+        |                      CAST(minute(ts) AS BIGINT), 0.0) AS made,
+        |       epoch_us(ts) AS us
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q122_fn_struct" ->
+      """SELECT o_orderkey,
+        |       (st).y AS yr,
+        |       CAST(to_json(st) AS VARCHAR) AS js,
+        |       st = {'st': 'F', 'y': 1995} AS eq_f95,
+        |       st < {'st': 'O', 'y': 1996} AS lt_o96
+        |FROM (SELECT o_orderkey,
+        |             struct_pack(st := o_orderstatus,
+        |                         y := CAST(year(o_orderdate) AS INT)) AS st
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "q30_fn_string" ->
       """SELECT c_custkey,
         |       upper(c_mktsegment) AS seg_up,
