@@ -1255,7 +1255,107 @@ object LlmOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Domain-mixture rebalancing — "sample the corpus to a target language
+    * mixture" (here: uniform, quota = the smallest language's count). The
+    * real pipeline step behind mixture weights in pretraining data recipes:
+    * downsample over-represented domains deterministically, never upsample.
+    * Selection is the q84 digest order (reproducible across engines,
+    * reruns, and repartitionings — rand(seed) is none of those), so the
+    * kept set is exactly the quota-smallest digests per language. Shape:
+    * one tiny per-lang count agg (broadcast as a 1-row quota), one
+    * WindowGroupLimit-able rank per lang over (doc_id, lang, digest) — the
+    * text column never shuffles; output is the per-language census with
+    * before/after shares (exact integer ratios rendered by one IEEE
+    * divide, the Portable rule). */
+  def mixRebalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", $"lang")
+      .withColumn("hkey",
+        conv(substring(md5($"doc_id".cast("string")), 1, 10), 16, 10).cast("long"))
+    val counts = d.groupBy($"lang").agg(count(lit(1)).as("n_total"))
+    val quota = counts.agg(min($"n_total").as("quota"))
+    val w = Window.partitionBy($"lang").orderBy($"hkey".asc, $"doc_id".asc)
+    val kept = d.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(quota))
+      .filter($"rn" <= $"quota")
+      .groupBy($"lang").agg(count(lit(1)).as("n_kept"))
+    val wAll = Window.partitionBy()
+    counts.join(kept, "lang")
+      .withColumn("share_before", ratio($"n_total", sum($"n_total").over(wAll)))
+      .withColumn("share_after", ratio($"n_kept", sum($"n_kept").over(wAll)))
+      .select($"lang", $"n_total", $"n_kept", $"share_before", $"share_after")
+      .orderBy($"lang")
+  }
+
+  /** Tokens per "line" for the line-level dedup below: the synthetic
+    * fixture text has no newlines, so fixed 8-token windows stand in for
+    * lines; the last line keeps its ragged tail. */
+  val LineTokens = 8
+
+  /** Line-level exact dedup with document RECONSTRUCTION — the C4 rule:
+    * drop every line that also appears in ANY other document, keep the
+    * rest of each document in original order. This is the first corpus
+    * cleaning stage whose output is a rewritten *document*, not a keep/drop
+    * verdict, so the reassembly path matters as much as the dedup:
+    *   1. lines are derived map-side per doc (closed-form count, array
+    *      slices — the q83 chunker with stride = size);
+    *   2. only (line digest, doc_id, line_idx) triples ever shuffle — the
+    *      dup-digest census (count distinct docs >= 2), the dup-line
+    *      marking join, and the per-doc dup-index sets are all digest/id
+    *      traffic;
+    *   3. each doc is rebuilt IN PLACE by one keyed join of the small
+    *      dup-index set back to documents, then a higher-order
+    *      filter/transform re-slices the kept lines from the original
+    *      token array — document text crosses the wire exactly once, in
+    *      that join, and the within-doc line order is positional (never
+    *      a collect_list whose order an aggregation could scramble).
+    * Output: per-doc census + md5 of the cleaned text (a 100-TB-safe
+    * proxy for "the rewritten corpus matched"). Within-doc repeats are
+    * kept (nd counts DISTINCT docs) — the cross-doc rule, exactly. */
+  def dedupLinesRebuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("n_tok", size($"toks").cast("long"))
+      .withColumn("n_lines", expr(s"(n_tok + ${LineTokens - 1}) div $LineTokens"))
+    val lines = docs
+      .select($"doc_id",
+        explode(when($"n_lines" > 0, sequence(lit(0L), $"n_lines" - 1L))
+          .otherwise(array().cast("array<bigint>"))).as("line_idx"),
+        $"toks")
+      .withColumn("line_text",
+        concat_ws(" ", slice($"toks",
+          ($"line_idx" * LineTokens + 1L).cast("int"), lit(LineTokens))))
+      .select($"doc_id", $"line_idx",
+        conv(substring(md5($"line_text"), 1, 10), 16, 10).cast("long").as("ld"))
+    val dupDigests = lines.groupBy($"ld")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"ld")
+    val dupIdx = lines.join(dupDigests, "ld")
+      .groupBy($"doc_id").agg(collect_set($"line_idx").as("dup_idx"))
+    docs.join(dupIdx, Seq("doc_id"), "left")
+      .withColumn("dup_idx",
+        coalesce($"dup_idx", array().cast("array<bigint>")))
+      .withColumn("kept",
+        transform(
+          filter(
+            when($"n_lines" > 0, sequence(lit(0L), $"n_lines" - 1L))
+              .otherwise(array().cast("array<bigint>")),
+            i => !array_contains($"dup_idx", i)),
+          i => concat_ws(" ", slice($"toks",
+            (i * LineTokens + 1L).cast("int"), lit(LineTokens)))))
+      .withColumn("clean_text", array_join($"kept", " "))
+      .select($"doc_id", $"n_lines",
+        size($"dup_idx").cast("long").as("n_dup_lines"),
+        length($"clean_text").cast("long").as("clean_len"),
+        md5($"clean_text").as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_mix_rebalance" -> mixRebalance,
+    "q128_dedup_lines" -> dedupLinesRebuild,
     "q40_dedup_exact" -> dedupExact,
     "q41_dedup_minhash_lsh" -> dedupMinhashLsh,
     "q76_dedup_clusters" -> dedupClusters,
@@ -1296,6 +1396,51 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q127_mix_rebalance" ->
+      s"""WITH d AS (SELECT doc_id, lang, $docIdDigestSql AS hkey FROM documents),
+         |c AS (SELECT lang, count(*) AS n_total FROM d GROUP BY 1),
+         |q AS (SELECT min(n_total) AS quota FROM c),
+         |r AS (SELECT lang, row_number() OVER (PARTITION BY lang
+         |                                      ORDER BY hkey ASC, doc_id ASC) AS rn
+         |      FROM d),
+         |k AS (SELECT lang, count(*) AS n_kept FROM r, q WHERE rn <= quota GROUP BY lang),
+         |t AS (SELECT sum(n_total) AS tot FROM c),
+         |tk AS (SELECT sum(n_kept) AS tot_k FROM k)
+         |SELECT c.lang,
+         |       CAST(c.n_total AS BIGINT) AS n_total,
+         |       CAST(k.n_kept AS BIGINT) AS n_kept,
+         |       CAST(c.n_total AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share_before,
+         |       CAST(k.n_kept AS DOUBLE) / CAST(tk.tot_k AS DOUBLE) AS share_after
+         |FROM c JOIN k ON c.lang = k.lang, t, tk
+         |ORDER BY c.lang""".stripMargin,
+    "q128_dedup_lines" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |d2 AS (SELECT doc_id, toks,
+        |              (CAST(len(toks) AS BIGINT) + 7) // 8 AS n_lines
+        |       FROM d),
+        |l AS (SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+        |             array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line_text
+        |      FROM d2, unnest(range(0, n_lines)) AS t(i)),
+        |l2 AS (SELECT *, CAST(('0x' || substr(md5(line_text), 1, 10)) AS BIGINT) AS ld
+        |       FROM l),
+        |dup AS (SELECT ld FROM l2 GROUP BY ld HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT l2.doc_id, l2.line_idx, l2.line_text,
+        |             (dup.ld IS NOT NULL) AS is_dup
+        |      FROM l2 LEFT JOIN dup ON l2.ld = dup.ld),
+        |reb AS (SELECT doc_id,
+        |               count(*) AS n_lines,
+        |               sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_lines,
+        |               coalesce(array_to_string(
+        |                 list(line_text ORDER BY line_idx) FILTER (WHERE NOT is_dup),
+        |                 ' '), '') AS clean_text
+        |        FROM m GROUP BY doc_id)
+        |SELECT doc_id,
+        |       CAST(n_lines AS BIGINT) AS n_lines,
+        |       CAST(n_dup_lines AS BIGINT) AS n_dup_lines,
+        |       CAST(length(clean_text) AS BIGINT) AS clean_len,
+        |       md5(clean_text) AS clean_md5
+        |FROM reb
+        |ORDER BY doc_id""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT count(*) AS n_docs,
         |       count(DISTINCT sha256(text)) AS n_uniq_text,

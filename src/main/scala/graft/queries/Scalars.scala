@@ -400,7 +400,34 @@ object Scalars {
       .orderBy($"seg")
   }
 
+  /** xpath XML-extraction family — the markup twin of the JSON rows
+    * (q35/q67/q123): xpath_string / xpath_long / xpath (node-list →
+    * string array) / xpath_boolean over a per-row XML payload synthesized
+    * from fixture columns (the same synthesize-then-extract pattern as
+    * q74's PII scrub). DuckDB has no XML surface at all, so the oracle
+    * re-derives each output from the SOURCE columns the XML was built
+    * from — the declared check is a round-trip: build markup, extract
+    * with xpath, land exactly on the inputs. Complements the jsoup/HTML
+    * path (Listings R8–R10), which is spec-verified; this one is
+    * hash-verified. Pure projection, zero shuffle. */
+  def xmlFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .withColumn("xml", concat(
+        lit("<c><seg>"), $"c_mktsegment", lit("</seg><k>"), $"c_custkey",
+        lit("</k><k>"), ($"c_custkey" + 1).cast("string"), lit("</k></c>")))
+      .select(
+        $"c_custkey",
+        expr("xpath_string(xml, '/c/seg')").as("seg"),
+        expr("xpath_long(xml, '/c/k[1]')").as("k1"),
+        expr("xpath_long(xml, '/c/k[2]')").as("k2"),
+        array_join(expr("xpath(xml, '/c/k/text()')"), ",").as("ks"),
+        expr("xpath_boolean(xml, '/c/seg')").as("has_seg"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_fn_xpath" -> xmlFns,
     "q123_fn_variant" -> variantFns,
     "q126_collation_group" -> collationGroup,
     "q120_fn_try" -> tryFns,
@@ -422,6 +449,15 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "q129_fn_xpath" ->
+      """SELECT c_custkey,
+        |       c_mktsegment AS seg,
+        |       c_custkey AS k1,
+        |       c_custkey + 1 AS k2,
+        |       CAST(c_custkey AS VARCHAR) || ',' || CAST(c_custkey + 1 AS VARCHAR) AS ks,
+        |       TRUE AS has_seg
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
     "q123_fn_variant" ->
       """SELECT event_id,
         |       CAST(props->>'$.k' AS INT) AS k_int,
