@@ -1353,7 +1353,122 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Unigram-LM surprise scoring — perplexity filtering (the CCNet /
+    * quality-classifier stage): score each document by how "surprising"
+    * its tokens are under the corpus's own unigram distribution, then gate
+    * on the mean. The cross-engine trick is a DYADIC log (the q63 move
+    * applied to information content): per-token surprise = bits(N) −
+    * bits(cnt) where bits(x) = length of x in binary — an exact integer
+    * log2 quantization both engines compute identically (`bin`/`length`),
+    * so the per-doc sum is order-independent integer math and the mean is
+    * one IEEE divide. A production pipeline would use real logs and
+    * tolerate FP; a hash-compared oracle cannot, and the quantized score
+    * induces the same coarse keep/drop partition. Scale: the vocab count
+    * table is vocabulary-bounded → broadcast back to the token stream
+    * (map-side join, the q96 contract); only token digests shuffle for the
+    * counts and only (doc_id, int) pairs for the final census. */
+  def qualityUnigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bits(c: Column): Column = length(bin(c)).cast("long")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val nTot = vocab.agg(sum($"cnt").as("n_corpus"))
+    toks
+      .join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(nTot))
+      .withColumn("surprise", bits($"n_corpus") - bits($"cnt"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"surprise").as("surprise_bits"))
+      .withColumn("mean_bits", ratio($"surprise_bits", $"n_toks"))
+      .withColumn("keep", $"mean_bits" <= lit(6.0))
+      .select($"doc_id", $"n_toks", $"surprise_bits", $"mean_bits", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  /** BM25 ranked retrieval over the corpus for a fixed 3-term query — the
+    * search-scoring operator of a data pipeline (e.g. "find the training
+    * docs most relevant to a probe"). Okapi BM25 with k1=1.2, b=0.75;
+    * idf is the q131 dyadic bits(N)−bits(df) so every input to the FP
+    * score tree is an exact integer (tf, len, df, N) or an exact ratio
+    * (avg_len), and each per-term score is ONE identical IEEE expression
+    * tree in both engines. The per-doc total is a FIXED-ORDER sum of the
+    * three per-term scores (pivoted to columns — never a float groupBy
+    * sum, whose order the shuffle would own). Top-10 by (score, doc_id):
+    * total order even under score ties. Scale: tf is an inverted-index
+    * groupBy on the 3 probe terms only (the isin filter prunes the token
+    * stream map-side); df/N/avg_len are broadcast 1-row/3-row tables. */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bits(c: Column): Column = length(bin(c)).cast("long")
+    val terms = Seq("join", "scan", "window")
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("len", size($"toks").cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum($"len").as("sum_len"))
+    val tf = docs
+      .select($"doc_id", $"len", explode($"toks").as("tok"))
+      .filter($"tok".isin(terms: _*))
+      .groupBy($"doc_id", $"len", $"tok").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfT), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("avg_len", ratio($"sum_len", $"n_docs"))
+      .withColumn("idf", (bits($"n_docs") - bits($"df")).cast("double"))
+      .withColumn("score_t",
+        $"idf" * ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"len" / $"avg_len")))
+    scored.groupBy($"doc_id")
+      .agg(
+        coalesce(sum(when($"tok" === "join", $"score_t")), lit(0.0)).as("s_join"),
+        coalesce(sum(when($"tok" === "scan", $"score_t")), lit(0.0)).as("s_scan"),
+        coalesce(sum(when($"tok" === "window", $"score_t")), lit(0.0)).as("s_window"))
+      .withColumn("score", $"s_join" + $"s_scan" + $"s_window")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(10)
+      .select($"doc_id", $"s_join", $"s_scan", $"s_window", $"score")
+  }
+
+  /** Collocation mining — top-20 bigrams by pointwise mutual information
+    * with a min-support floor, the phrase-detection stage (word2vec-style
+    * phrase merging, stopword-pair diagnostics). Ranking uses the PMI
+    * ORDER STATISTIC without the log: cxy·N / (cx·cy) is a monotone
+    * transform of PMI, computed as one IEEE divide of two exact integer
+    * products (each < 2^53 here; the products are formed as doubles so
+    * the same expression is deterministic even when a 100-TB N pushes
+    * them past exactness — both engines multiply the same two doubles).
+    * Ties broken by bigram text → total order. Scale: unigram and bigram
+    * count tables are vocabulary-bounded; the bigram table joins the
+    * broadcast unigram table twice (w1, w2) — no token-stream self-join
+    * ever happens. */
+  def collocationPmi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).withColumn("toks", TextOps.tokens($"text"))
+    val uni = docs.select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c1"))
+    val nTot = uni.agg(sum($"c1").as("n"))
+    val bi = docs.select(explode(TextOps.wordShingles($"toks", 2)).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("cxy"))
+      .filter($"cxy" >= 5)
+      .withColumn("w1", element_at(split($"bg", " "), 1))
+      .withColumn("w2", element_at(split($"bg", " "), 2))
+    bi
+      .join(broadcast(uni.select($"tok".as("w1"), $"c1".as("cx"))), "w1")
+      .join(broadcast(uni.select($"tok".as("w2"), $"c1".as("cy"))), "w2")
+      .crossJoin(broadcast(nTot))
+      .withColumn("pmi_ratio",
+        ($"cxy".cast("double") * $"n".cast("double")) /
+          ($"cx".cast("double") * $"cy".cast("double")))
+      .orderBy($"pmi_ratio".desc, $"bg".asc)
+      .limit(20)
+      .select($"bg", $"cxy", $"cx", $"cy", $"pmi_ratio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_quality_unigram_lm" -> qualityUnigramLm,
+    "q132_bm25_search" -> bm25Search,
+    "q133_collocation_pmi" -> collocationPmi,
     "q127_mix_rebalance" -> mixRebalance,
     "q128_dedup_lines" -> dedupLinesRebuild,
     "q40_dedup_exact" -> dedupExact,
@@ -1396,6 +1511,76 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q131_quality_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus FROM v),
+        |sc AS (SELECT t.doc_id,
+        |              CAST(length(bin(n.n_corpus)) AS BIGINT)
+        |                - CAST(length(bin(v.cnt)) AS BIGINT) AS surprise
+        |       FROM toks t JOIN v ON t.tok = v.tok, n),
+        |agg AS (SELECT doc_id, count(*) AS n_toks, sum(surprise) AS surprise_bits
+        |        FROM sc GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(n_toks AS BIGINT) AS n_toks,
+        |       CAST(surprise_bits AS BIGINT) AS surprise_bits,
+        |       CAST(surprise_bits AS DOUBLE) / CAST(n_toks AS DOUBLE) AS mean_bits,
+        |       (CAST(surprise_bits AS DOUBLE) / CAST(n_toks AS DOUBLE)) <= 6.0 AS keep
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
+    "q132_bm25_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |d2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len, toks FROM d),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len FROM d2),
+        |tf AS (SELECT doc_id, len, tok, count(*) AS tf
+        |       FROM (SELECT doc_id, len, unnest(toks) AS tok FROM d2)
+        |       WHERE tok IN ('join', 'scan', 'window')
+        |       GROUP BY 1, 2, 3),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tok,
+        |              CAST(CAST(length(bin(st.n_docs)) AS BIGINT)
+        |                   - CAST(length(bin(dft.df)) AS BIGINT) AS DOUBLE)
+        |                * (tf.tf * 2.2)
+        |                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.len
+        |                     / (CAST(st.sum_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+        |                AS score_t
+        |       FROM tf JOIN dft ON tf.tok = dft.tok, st),
+        |agg AS (SELECT doc_id,
+        |               coalesce(sum(CASE WHEN tok = 'join' THEN score_t END), 0.0) AS s_join,
+        |               coalesce(sum(CASE WHEN tok = 'scan' THEN score_t END), 0.0) AS s_scan,
+        |               coalesce(sum(CASE WHEN tok = 'window' THEN score_t END), 0.0) AS s_window
+        |        FROM sc GROUP BY doc_id)
+        |SELECT doc_id, s_join, s_scan, s_window,
+        |       s_join + s_scan + s_window AS score
+        |FROM agg
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 10""".stripMargin,
+    "q133_collocation_pmi" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |uni AS (SELECT tok, count(*) AS c1
+        |        FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uni),
+        |bi0 AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |                                     i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |        FROM d),
+        |bi AS (SELECT bg, count(*) AS cxy FROM bi0 GROUP BY 1 HAVING count(*) >= 5),
+        |b2 AS (SELECT bg, cxy,
+        |              string_split(bg, ' ')[1] AS w1,
+        |              string_split(bg, ' ')[2] AS w2
+        |       FROM bi),
+        |j AS (SELECT b2.bg, b2.cxy, u1.c1 AS cx, u2.c1 AS cy
+        |      FROM b2 JOIN uni u1 ON b2.w1 = u1.tok
+        |               JOIN uni u2 ON b2.w2 = u2.tok)
+        |SELECT bg,
+        |       CAST(cxy AS BIGINT) AS cxy,
+        |       CAST(cx AS BIGINT) AS cx,
+        |       CAST(cy AS BIGINT) AS cy,
+        |       (CAST(cxy AS DOUBLE) * CAST(n.n AS DOUBLE))
+        |         / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)) AS pmi_ratio
+        |FROM j, n
+        |ORDER BY pmi_ratio DESC, bg ASC
+        |LIMIT 20""".stripMargin,
     "q127_mix_rebalance" ->
       s"""WITH d AS (SELECT doc_id, lang, $docIdDigestSql AS hkey FROM documents),
          |c AS (SELECT lang, count(*) AS n_total FROM d GROUP BY 1),

@@ -151,7 +151,25 @@ object Sources {
       .orderBy($"click_id", $"view_id")
   }
 
+  /** ORC sink + source round-trip — the second columnar format next to
+    * parquet (built into Spark; a lakehouse migration regularly has to
+    * read legacy ORC). Write typed columns (long/string/timestamp/exact
+    * cents) to ORC, read them back with the file-embedded schema, total
+    * order. The oracle reads the SAME logical rows straight from the
+    * parquet fixture: a green row proves the ORC round-trip is lossless
+    * for every type carried. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = stage(dir, "orders_orc")
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderdate",
+        cents($"o_totalprice").as("price_cents"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_orc_roundtrip" -> orcRoundtrip,
     "q37_csv_roundtrip" -> csvRoundtrip,
     "q38_json_roundtrip" -> jsonRoundtrip,
     "q39_stream_tumbling_batch" -> streamTumblingBatch,
@@ -163,6 +181,11 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    "q130_orc_roundtrip" ->
+      s"""SELECT o_orderkey, o_orderstatus, o_orderdate,
+         |       ${centsSql("o_totalprice")} AS price_cents
+         |FROM orders
+         |ORDER BY o_orderkey""".stripMargin,
     "q37_csv_roundtrip" ->
       s"""SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
          |       ${centsSql("c_acctbal")} AS acct_cents

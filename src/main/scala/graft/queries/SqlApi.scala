@@ -107,6 +107,23 @@ object SqlApi {
       |WHERE n_regionkey < (SELECT max(r_regionkey) FROM region)
       |ORDER BY n_name""".stripMargin
 
+  /** GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics dialect both
+    * engines adopted (group by every non-aggregate select item, order by
+    * every select item left-to-right). Declared because the resolution
+    * RULE is the operator here: a regression in how Spark expands ALL
+    * (e.g. grouping on an aliased expression) silently changes results,
+    * and a shared-verbatim string catches it. The underlying plan is the
+    * plain q11-shaped hash aggregate. ORDER BY ALL on (flag, status, …)
+    * is total because the two leading keys are the full grouping key. */
+  val groupByAllSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       count(*) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
   /** Registers the referenced fixture tables as temp views (idempotent) and
     * runs a shared SQL string through `spark.sql`. */
   private def viaSql(sql: String, tables: Seq[String])(
@@ -127,15 +144,20 @@ object SqlApi {
   def scalarSubqueryQuery(s: SparkSession, dir: String): DataFrame =
     viaSql(scalarSubquerySql, Seq("nation", "supplier", "region"))(s, dir)
 
+  def groupByAllQuery(s: SparkSession, dir: String): DataFrame =
+    viaSql(groupByAllSql, Seq("lineitem"))(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_sql_text_api" -> sqlTextQuery,
     "q93_sql_lateral" -> lateralQuery,
     "q94_sql_recursive_cte" -> recursiveQuery,
-    "q99_sql_scalar_subquery" -> scalarSubqueryQuery)
+    "q99_sql_scalar_subquery" -> scalarSubqueryQuery,
+    "q134_sql_group_by_all" -> groupByAllQuery)
 
   val oracles: Map[String, String] = Map(
     "q90_sql_text_api" -> customerTiersSql,
     "q93_sql_lateral" -> lateralTopSuppliersSql,
     "q94_sql_recursive_cte" -> recursiveAncestorsSql,
-    "q99_sql_scalar_subquery" -> scalarSubquerySql)
+    "q99_sql_scalar_subquery" -> scalarSubquerySql,
+    "q134_sql_group_by_all" -> groupByAllSql)
 }
