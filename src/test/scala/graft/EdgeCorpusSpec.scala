@@ -37,13 +37,29 @@ class EdgeCorpusSpec extends SparkSpec {
     "q84_sample_stratified", "q96_decontaminate", "q98_pack_sequences",
     "q104_dedup_editdistance", "q106_sample_weighted", "q107_profile_corpus",
     "q108_dedup_substring", "q114_table_checksum", "q115_url_normalize",
-    "q117_dedup_keep_best", "q119_token_histogram")
+    "q117_dedup_keep_best", "q119_token_histogram", "q127_mix_rebalance",
+    "q128_dedup_lines", "q131_quality_unigram_lm", "q132_bm25_search",
+    "q133_collocation_pmi")
 
   textQueries.foreach { name =>
     test(s"$name runs on the degenerate corpus") {
       val rows = SparkEntry.queries(name)(spark, dir).collect()
       assert(rows != null) // no crash is the contract; counts vary per query
     }
+  }
+
+  test("q128 removes the cross-doc duplicated lines and rebuilds the rest in order") {
+    val rows = SparkEntry.queries("q128_dedup_lines")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // docs 4 and 5 are byte-identical: every line of each is shared with
+    // the other, so both documents clean down to empty
+    assert(rows(4L).getAs[Long]("n_dup_lines") == rows(4L).getAs[Long]("n_lines"))
+    assert(rows(4L).getAs[Long]("clean_len") == 0L)
+    assert(rows(5L).getAs[Long]("clean_len") == 0L)
+    // doc 8's 40 distinct tokens share no 8-token line with anything:
+    // reconstruction must reproduce the original text byte-for-byte
+    assert(rows(8L).getAs[Long]("n_dup_lines") == 0L)
+    assert(rows(8L).getAs[Long]("clean_len") == (1 to 40).map(i => s"t$i").mkString(" ").length.toLong)
   }
 
   test("q76 clusters the exact-dup pair; a collision-free corpus yields zero clusters, no crash") {
