@@ -648,7 +648,25 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Native listagg WITHIN GROUP (Spark 4) — the ANSI form of q16's
+    * ordered string aggregation (q16 proves the semantics via
+    * sort_array(collect_list(...)); this declares the native aggregate
+    * with its mandated ORDER BY, which is what makes a string agg
+    * deterministic under any shuffle order). DuckDB twin:
+    * string_agg(... ORDER BY ...). s_name is unique per nation → the
+    * within-group order is total and the result hash-stable. */
+  def listaggAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.supplier(s, dir)
+      .groupBy($"s_nationkey")
+      .agg(
+        expr("listagg(s_name, ',') within group (order by s_name)").as("names"),
+        count(lit(1)).as("n_supp"))
+      .orderBy($"s_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_agg_listagg" -> listaggAgg,
     "q124_agg_mode" -> modeAgg,
     "q91_agg_regression" -> regressionAgg,
     "q92_agg_hll_merge" -> hllMergeRollup,
@@ -674,6 +692,13 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q137_agg_listagg" ->
+      """SELECT s_nationkey,
+        |       string_agg(s_name, ',' ORDER BY s_name) AS names,
+        |       count(*) AS n_supp
+        |FROM supplier
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
     "q124_agg_mode" ->
       """WITH li AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty
         |            FROM lineitem),

@@ -426,7 +426,51 @@ object Scalars {
       .orderBy($"c_custkey")
   }
 
+  /** parse_url / url_encode / url_decode — the URL-structure twin of
+    * q115's canonicalization regexes: synthesize a URL per row from
+    * fixture columns, extract HOST / PATH / QUERY and a named query
+    * parameter with `parse_url`, and round-trip a value through
+    * url_encode→url_decode. DuckDB has no URL parser, so (as with q129's
+    * xpath) the oracle re-derives every output from the SOURCE columns —
+    * the declared check is build→parse→land-on-the-inputs. Zero shuffle. */
+  def urlFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("url", concat(
+        lit("https://"), $"source", lit(".example.com/docs/"),
+        $"doc_id".cast("string"), lit("?lang="), $"lang"))
+      .select(
+        $"doc_id",
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"),
+        url_decode(url_encode($"text")).as("text_rt"))
+      .orderBy($"doc_id")
+  }
+
+  /** Bitwise scalar family — AND / OR / XOR / shifts / bit_count over
+    * integer keys (the q88 bitwise AGGREGATES' per-row counterpart; the
+    * q114 checksum and q42 SimHash build on exactly these ops). Exact
+    * integer semantics on both engines; DuckDB note baked in: its `^` is
+    * exponentiation, XOR is spelled `xor()`. */
+  def bitwiseFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select(
+        $"p_partkey",
+        ($"p_partkey".bitwiseAND(lit(255L))).as("and255"),
+        ($"p_partkey".bitwiseOR(lit(4096L))).as("or4k"),
+        ($"p_partkey".bitwiseXOR(lit(0x5555L))).as("xor_mask"),
+        shiftleft($"p_partkey", 3).as("shl3"),
+        shiftright($"p_partkey", 2).as("shr2"),
+        bit_count($"p_partkey").as("nbits"))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_fn_url" -> urlFns,
+    "q136_fn_bitwise" -> bitwiseFns,
     "q129_fn_xpath" -> xmlFns,
     "q123_fn_variant" -> variantFns,
     "q126_collation_group" -> collationGroup,
@@ -449,6 +493,25 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "q135_fn_url" ->
+      """SELECT doc_id,
+        |       source || '.example.com' AS host,
+        |       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+        |       'lang=' || lang AS query,
+        |       lang AS lang_param,
+        |       text AS text_rt
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q136_fn_bitwise" ->
+      """SELECT p_partkey,
+        |       p_partkey & 255 AS and255,
+        |       p_partkey | 4096 AS or4k,
+        |       xor(p_partkey, 21845) AS xor_mask,
+        |       p_partkey << 3 AS shl3,
+        |       p_partkey >> 2 AS shr2,
+        |       CAST(bit_count(p_partkey) AS INT) AS nbits
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
     "q129_fn_xpath" ->
       """SELECT c_custkey,
         |       c_mktsegment AS seg,
