@@ -1262,9 +1262,11 @@ object LlmOps {
     * Selection is the q84 digest order (reproducible across engines,
     * reruns, and repartitionings — rand(seed) is none of those), so the
     * kept set is exactly the quota-smallest digests per language. Shape:
-    * one tiny per-lang count agg (broadcast as a 1-row quota), one
-    * WindowGroupLimit-able rank per lang over (doc_id, lang, digest) — the
-    * text column never shuffles; output is the per-language census with
+    * one tiny per-lang count agg (broadcast as a 1-row quota), one full
+    * rank per lang over narrow (doc_id, lang, digest) triples — the quota
+    * is data-dependent, so unlike q84/q106 this rank cannot collapse to
+    * WindowGroupLimit; the one shuffle it costs carries ids, never text.
+    * Output is the per-language census with
     * before/after shares (exact integer ratios rendered by one IEEE
     * divide, the Portable rule). */
   def mixRebalance(s: SparkSession, dir: String): DataFrame = {

@@ -241,4 +241,47 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"corpus shuffled into a join:\n$p")
   }
+
+  test("q125 forward as-of is the join-free merge formulation (union + window)") {
+    val p = planOf("q125_join_asof_forward")
+    assert(p.contains("Window") && p.contains("Union"))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"forward as-of must not materialize candidate pairs:\n$p")
+  }
+
+  test("q128 line dedup joins digests/ids only — no nested loop, no cartesian") {
+    val p = planOf("q128_dedup_lines")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"line dedup must stay on keyed joins:\n$p")
+  }
+
+  test("q131/q132/q133 attach vocab/stats tables by broadcast (token stream never sort-merges)") {
+    Seq("q131_quality_unigram_lm", "q132_bm25_search", "q133_collocation_pmi")
+      .foreach { q =>
+        val p = planOf(q)
+        assert(p.contains("BroadcastHashJoin"), s"$q: vocab must broadcast")
+        assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+          s"$q: token stream shuffled into a join:\n$p")
+      }
+  }
+
+  test("q124 mode windows the domain-bounded count table, native side broadcasts") {
+    val p = planOf("q124_agg_mode")
+    // the window must consume an aggregated (flag, qty) table, not raw rows
+    assert(p.contains("HashAggregate") && p.contains("Window"))
+    assert(p.contains("BroadcastHashJoin"), "native-mode side must broadcast")
+  }
+
+  test("q129 bulk XML path is the single from_xml parse; xpath stays on the probe subset") {
+    val p = planOf("q129_fn_xpath")
+    assert(p.contains("from_xml"), "bulk path must parse once via from_xml")
+    // every XPath evaluator must sit under the probe's CASE WHEN guard —
+    // a refactor that lifts xpath back onto every row re-creates the 21 s
+    // per-row-DOM plan this query was rewritten away from (plan renders
+    // the calls as `invoke(XPath*Evaluator(...).evaluate(xml))`)
+    val nXpath = "invoke\\(XPath".r.findAllMatchIn(p).size
+    val nGuarded = "THEN (array_join\\()?invoke\\(XPath".r.findAllMatchIn(p).size
+    assert(nXpath > 0 && nXpath == nGuarded,
+      s"unguarded XPath evaluation ($nGuarded of $nXpath guarded):\n$p")
+  }
 }
