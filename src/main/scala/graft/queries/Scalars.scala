@@ -479,7 +479,27 @@ object Scalars {
       .orderBy($"p_partkey")
   }
 
+  /** Higher-order fold with a FINISH lambda — the 3-arg `aggregate(zero,
+    * merge, finish)` surface q33's 2-arg folds don't reach, plus its
+    * `reduce` alias: mean of the first 8 embedding coords (finish divides
+    * the fold once at the end) and sum-of-squares via reduce. DuckDB's
+    * list_reduce has no finish parameter, so the oracle applies the same
+    * final transform OUTSIDE the fold — identical op tree, same IEEE
+    * result. Pure projection, zero shuffle. */
+  def hofFinishFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .withColumn("head8", slice($"embedding", 1, 8))
+      .select(
+        $"vec_id",
+        aggregate($"head8", lit(0.0), (acc, x) => acc + x,
+          acc => acc / lit(8.0)).as("mean8"),
+        reduce($"head8", lit(0.0), (acc, x) => acc + x * x).as("sumsq8"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_fn_hof_finish" -> hofFinishFns,
     "q135_fn_url" -> urlFns,
     "q136_fn_bitwise" -> bitwiseFns,
     "q129_fn_xpath" -> xmlFns,
@@ -504,6 +524,12 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "q140_fn_hof_finish" ->
+      """SELECT vec_id,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(embedding[1:8] AS DOUBLE[])), (acc, x) -> acc + x) / 8.0 AS mean8,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(embedding[1:8], x -> x * x) AS DOUBLE[])), (acc, p) -> acc + p) AS sumsq8
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
     "q135_fn_url" ->
       """SELECT doc_id,
         |       source || '.example.com' AS host,

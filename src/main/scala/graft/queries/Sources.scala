@@ -151,6 +151,20 @@ object Sources {
       .orderBy($"click_id", $"view_id")
   }
 
+  /** The FULL OUTER stream-stream join (Streams.clickViewJoinFull) on
+    * batch frames — unmatched rows from BOTH sides surface with -1
+    * sentinels (unclaimed views are the rows neither q77 nor q112 can
+    * express). (click_id, view_id) with sentinels is still a total order:
+    * ids are unique within each unmatched class. */
+  def streamFullJoinBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    graft.streaming.Streams.clickViewJoinFull(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "view"))
+      .orderBy($"click_id", $"view_id")
+  }
+
   /** ORC sink + source round-trip — the second columnar format next to
     * parquet (built into Spark; a lakehouse migration regularly has to
     * read legacy ORC). Write typed columns (long/string/timestamp/exact
@@ -168,7 +182,26 @@ object Sources {
     s.read.orc(out).orderBy($"o_orderkey")
   }
 
+  /** Hidden `_metadata` file columns — the lakehouse debugging surface
+    * (which physical file did this row come from, how many rows per
+    * file): read the fixture with `_metadata.file_name` projected and
+    * census per file. The fixtures are single-file tables, so the oracle
+    * re-derives the expected name as a literal (the q129 pattern: the
+    * declared check is that Spark's metadata column lands on the known
+    * physical layout). At scale this is the operator behind file-level
+    * skew diagnosis and compaction targeting (Bucketing.compact reads
+    * the same sizes filesystem-side). */
+  def fileMetadata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey", $"_metadata.file_name".as("fname"))
+      .groupBy($"fname")
+      .agg(count(lit(1)).as("n_rows"), max($"l_orderkey").as("max_key"))
+      .orderBy($"fname")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_fn_file_metadata" -> fileMetadata,
     "q130_orc_roundtrip" -> orcRoundtrip,
     "q37_csv_roundtrip" -> csvRoundtrip,
     "q38_json_roundtrip" -> jsonRoundtrip,
@@ -177,10 +210,18 @@ object Sources {
     "q68_stream_sliding_batch" -> streamSlidingBatch,
     "q69_stream_session_batch" -> streamSessionBatch,
     "q77_stream_join_batch" -> streamJoinBatch,
-    "q112_stream_outer_join_batch" -> streamOuterJoinBatch
+    "q112_stream_outer_join_batch" -> streamOuterJoinBatch,
+    "q138_stream_full_join_batch" -> streamFullJoinBatch
   )
 
   val oracles: Map[String, String] = Map(
+    "q139_fn_file_metadata" ->
+      """SELECT 'lineitem.parquet' AS fname,
+        |       count(*) AS n_rows,
+        |       max(l_orderkey) AS max_key
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY fname""".stripMargin,
     "q130_orc_roundtrip" ->
       s"""SELECT o_orderkey, o_orderstatus, o_orderdate,
          |       ${centsSql("o_totalprice")} AS price_cents
@@ -223,6 +264,21 @@ object Sources {
         |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
         |      FROM events WHERE event_type = 'click') c
         |LEFT JOIN (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        |      FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, view_id""".stripMargin,
+    // FULL JOIN twin: -1 sentinels on whichever side is unmatched; user_id
+    // coalesces across sides (same micro-truncation rules as q77).
+    "q138_stream_full_join_batch" ->
+      """SELECT coalesce(c.event_id, -1) AS click_id,
+        |       coalesce(v.event_id, -1) AS view_id,
+        |       coalesce(c.user_id, v.user_id) AS user_id,
+        |       coalesce(CAST(floor(epoch(c.ts)) AS BIGINT), -1) AS click_s,
+        |       coalesce(CAST(floor(epoch(v.ts)) AS BIGINT), -1) AS view_s
+        |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
         |      FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id
         | AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE

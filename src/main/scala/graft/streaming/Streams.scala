@@ -90,6 +90,28 @@ object Streams {
         coalesce(unix_timestamp(col("v.ts")), lit(-1L)).as("view_s"))
   }
 
+  /** FULL OUTER form of [[clickViewJoin]] — completes the stream-stream
+    * join-mode family (inner q77, left q112): clicks that never find a
+    * view AND views no click ever claimed both surface, each once the
+    * watermark proves no match can still arrive. State/latency bounds are
+    * the left-outer ones applied symmetrically: each side's buffered rows
+    * evict at (watermark − its interval slack), and outer results trail
+    * the watermark by the interval length. Sentinels keep both halves of
+    * the schema non-null. Batch twin = FULL JOIN, declared as q138. */
+  def clickViewJoinFull(clicks: DataFrame, views: DataFrame, delay: String = "1 hour"): DataFrame = {
+    def wm(df: DataFrame) = if (df.isStreaming) df.withWatermark("ts", delay) else df
+    wm(clicks).alias("c")
+      .join(wm(views).alias("v"), expr(
+        "c.user_id = v.user_id AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTES"),
+        "fullOuter")
+      .select(
+        coalesce(col("c.event_id"), lit(-1L)).as("click_id"),
+        coalesce(col("v.event_id"), lit(-1L)).as("view_id"),
+        coalesce(col("c.user_id"), col("v.user_id")).as("user_id"),
+        coalesce(unix_timestamp(col("c.ts")), lit(-1L)).as("click_s"),
+        coalesce(unix_timestamp(col("v.ts")), lit(-1L)).as("view_s"))
+  }
+
   /** Stream-static enrichment join — each streaming event joined to a
     * STATIC dimension frame (user → segment), the lookup-enrichment shape
     * most streaming pipelines start with. Unlike stream-stream (above),

@@ -156,6 +156,38 @@ class StreamsSpec extends SparkSpec {
     assert(batch === Set((1L, 10L), (2L, -1L)))
   }
 
+  test("stream-stream FULL OUTER join: both unmatched sides emit after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"), // matched
+      Event(2, ts("2024-01-01 10:05:00"), 2, "click", 1.0, "{}")) // never matched
+    val views = Seq(
+      Event(10, ts("2024-01-01 10:15:00"), 1, "view", 1.0, "{}"),
+      Event(11, ts("2024-01-01 10:20:00"), 3, "view", 1.0, "{}")) // no click claims it
+    val memC = MemoryStream[Event]
+    val memV = MemoryStream[Event]
+    val q = Streams.clickViewJoinFull(memC.toDF(), memV.toDF(), delay = "0 seconds")
+      .writeStream.format("memory").queryName("t_ssfull")
+      .outputMode(OutputMode.Append).start()
+    memC.addData(clicks); memV.addData(views); q.processAllAvailable()
+    // advance both watermarks far past every open interval
+    memV.addData(Seq(Event(12, ts("2024-01-01 12:00:00"), 9, "view", 1.0, "{}")))
+    memC.addData(Seq(Event(3, ts("2024-01-01 12:00:00"), 9, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ssfull").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 10L)), "matched pair missing")
+    assert(got.contains((2L, -1L)), "unmatched click never emitted")
+    assert(got.contains((-1L, 11L)), "unclaimed view never emitted")
+    // batch twin = plain FULL JOIN of the same data
+    val batch = Streams.clickViewJoinFull(clicks.toDF(), views.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch === Set((1L, 10L), (2L, -1L), (-1L, 11L)))
+  }
+
   test("stream-static dim enrichment: stream equals batch, unmatched → 'unknown'") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
