@@ -122,7 +122,28 @@ object Windows {
       .orderBy($"o_orderpriority", $"o_orderkey")
   }
 
+  /** nth_value + last_value with explicit frames — the analytic-family
+    * tail q20 (lag/lead/first) leaves open. nth_value needs the SAME
+    * default-frame semantics on both engines, so the frame is pinned
+    * explicitly: the running frame for nth (null until the 2nd row
+    * arrives), the full-partition frame for last (group-constant).
+    * Deterministic: the (date, key) sort is total per customer. */
+  def nthValue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val order = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .withColumn("price_cents", cents($"o_totalprice"))
+      .select($"o_custkey", $"o_orderkey",
+        nth_value($"price_cents", 2).over(running).as("second_seen_cents"),
+        last($"price_cents").over(whole).as("last_cents"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_window_nth_value" -> nthValue,
     "q62_window_range_frame" -> rangeFrame,
     "q85_window_distribution" -> distribution,
     "q19_window_rank" -> rankFamily,
@@ -132,6 +153,18 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q141_window_nth_value" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |       nth_value(${centsSql("o_totalprice")}, 2)
+         |         OVER (PARTITION BY o_custkey
+         |               ORDER BY o_orderdate ASC, o_orderkey ASC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_seen_cents,
+         |       last_value(${centsSql("o_totalprice")})
+         |         OVER (PARTITION BY o_custkey
+         |               ORDER BY o_orderdate ASC, o_orderkey ASC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_cents
+         |FROM orders
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q85_window_distribution" ->
       s"""SELECT o_orderpriority, o_orderkey, price_cents,
          |       percent_rank() OVER w AS pct_rank,
