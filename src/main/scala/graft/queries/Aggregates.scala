@@ -665,7 +665,42 @@ object Aggregates {
       .orderBy($"s_nationkey")
   }
 
+  /** NATIVE exact percentile / median — the third corner of the
+    * percentile triangle: q63 derives quartiles from domain-bounded
+    * counts, q73 bounds `approx_percentile` against exact ranks; this
+    * declares Spark's exact `percentile` / `median` aggregates
+    * themselves, hash-compared against DuckDB's `quantile_cont`.
+    *
+    * Why this is hash-exact across engines (normally FP interpolation
+    * forbids that): at quarter percentiles the interpolated position
+    * (n-1)·p has fraction ∈ {0, ¼, ½, ¾} for EVERY n, and the data are
+    * integer cents — so lo, hi and the interpolation weights are all
+    * exact dyadic rationals and both `lo+(hi-lo)·f` and `lo·(1-f)+hi·f`
+    * evaluate exactly, whatever formula each engine uses. p90-style
+    * percentiles have no such lattice (0.9 isn't dyadic) — those stay
+    * q73's error-bound territory by design.
+    *
+    * Scale note: exact percentile is an ObjectHashAggregate holding a
+    * value→count map per group — declared here over l_quantity cents
+    * (domain-bounded, ≤50 distinct per group, so partials stay tiny and
+    * map-side combine works). For unbounded domains at 100 TB, use q73's
+    * sketch; that split is the point of declaring all three. */
+  def percentileExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", cents($"l_quantity").as("qc"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile($"qc", lit(0.25)).cast("double").as("p25"),
+        percentile($"qc", lit(0.5)).cast("double").as("p50"),
+        percentile($"qc", lit(0.75)).cast("double").as("p75"),
+        median($"qc").cast("double").as("med"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_agg_percentile_exact" -> percentileExact,
     "q137_agg_listagg" -> listaggAgg,
     "q124_agg_mode" -> modeAgg,
     "q91_agg_regression" -> regressionAgg,
@@ -692,6 +727,17 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_agg_percentile_exact" ->
+      s"""SELECT l_returnflag,
+         |       count(*) AS n,
+         |       CAST(quantile_cont(qc, 0.25) AS DOUBLE) AS p25,
+         |       CAST(quantile_cont(qc, 0.5) AS DOUBLE) AS p50,
+         |       CAST(quantile_cont(qc, 0.75) AS DOUBLE) AS p75,
+         |       CAST(median(qc) AS DOUBLE) AS med
+         |FROM (SELECT l_returnflag, ${centsSql("l_quantity")} AS qc
+         |      FROM lineitem)
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     "q137_agg_listagg" ->
       """SELECT s_nationkey,
         |       string_agg(s_name, ',' ORDER BY s_name) AS names,

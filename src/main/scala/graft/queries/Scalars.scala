@@ -498,7 +498,54 @@ object Scalars {
       .orderBy($"vec_id")
   }
 
+  /** Regex scalar family — the pattern-matching surface q30 only samples
+    * (one extract + one replace): regexp_extract_all (list of matches),
+    * regexp_count, rlike, group-indexed regexp_extract, split_part, a
+    * replace-all, and translate. All built-in codegen'd expressions over
+    * one scan; zero shuffle. Cross-engine notes: Spark `regexp_replace`
+    * is replace-ALL by default — the DuckDB twin needs the explicit 'g'
+    * flag; `regexp_count` has no DuckDB spelling, so the twin counts via
+    * `len(regexp_extract_all)`; both engines return '' (not NULL) for a
+    * non-matching `regexp_extract`. */
+  def regexFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select(
+        $"p_partkey",
+        regexp_extract_all($"p_name", lit("[a-z]+"), lit(0)).as("words"),
+        regexp_count($"p_name", lit("d")).as("n_d"),
+        $"p_name".rlike("t$").as("ends_t"),
+        regexp_extract($"p_brand", "([0-9]+)", 1).as("brand_num"),
+        split_part($"p_name", lit(" "), lit(2)).as("word2"),
+        regexp_replace($"p_name", "[aeiou]", "*").as("masked"),
+        translate($"p_brand", "#", "-").as("dashed"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Hash / codec scalar family — content addressing is the backbone of
+    * every dedup row in this suite (q40 exact, q108 substring, q114
+    * checksum all hash first): md5 and sha2-256 digests, bigint→hex, and
+    * a base64 encode→decode round-trip landing back on the source
+    * column. All four are codegen'd one-pass byte transforms — at 100 TB
+    * the digest pass is bandwidth-bound, not CPU-bound, and shuffles
+    * nothing. (crc32/xxhash64 exist Spark-side but have no DuckDB twin;
+    * they're exercised in ScalaTest via q114's digest plumbing instead.) */
+  def hashFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select(
+        $"p_partkey",
+        md5($"p_name".cast("binary")).as("h_md5"),
+        sha2($"p_name".cast("binary"), 256).as("h_sha256"),
+        hex($"p_partkey").as("key_hex"),
+        base64($"p_name".cast("binary")).as("b64"),
+        decode(unbase64(base64($"p_name".cast("binary"))), "UTF-8").as("rt"))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_fn_regex" -> regexFns,
+    "q143_fn_hash" -> hashFns,
     "q140_fn_hof_finish" -> hofFinishFns,
     "q135_fn_url" -> urlFns,
     "q136_fn_bitwise" -> bitwiseFns,
@@ -524,6 +571,26 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "q142_fn_regex" ->
+      """SELECT p_partkey,
+        |       regexp_extract_all(p_name, '[a-z]+') AS words,
+        |       CAST(len(regexp_extract_all(p_name, 'd')) AS INT) AS n_d,
+        |       regexp_matches(p_name, 't$') AS ends_t,
+        |       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |       split_part(p_name, ' ', 2) AS word2,
+        |       regexp_replace(p_name, '[aeiou]', '*', 'g') AS masked,
+        |       translate(p_brand, '#', '-') AS dashed
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "q143_fn_hash" ->
+      """SELECT p_partkey,
+        |       md5(p_name) AS h_md5,
+        |       sha256(p_name) AS h_sha256,
+        |       to_hex(p_partkey) AS key_hex,
+        |       to_base64(encode(p_name)) AS b64,
+        |       p_name AS rt
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
     "q140_fn_hof_finish" ->
       """SELECT vec_id,
         |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(embedding[1:8] AS DOUBLE[])), (acc, x) -> acc + x) / 8.0 AS mean8,
