@@ -1467,7 +1467,121 @@ object LlmOps {
       .select($"bg", $"cxy", $"cx", $"cy", $"pmi_ratio")
   }
 
+  /** Gopher-style rule-set quality gate — the named-rule form of document
+    * filtering (q49 scores, q81 measures repetition; production curation
+    * pipelines ship a RULE LIST with per-rule pass booleans and a reasons
+    * trail, which is what makes filter decisions auditable and tunable
+    * per-rule). Four rules calibrated to the fixture corpus: token-count
+    * bounds, mean-word-length bounds, stopword presence (≥2 of the
+    * stoplist present), and top-token frequency ≤10 % (the one rule that
+    * needs an explode→count pass; the comparison is the INTEGER form
+    * top_cnt·10 ≤ ntok, so no FP ever decides a rule). The per-token
+    * aggregate groups on md5 digests, so the shuffle carries (doc_id,
+    * 16-byte digest) — document text never crosses the wire. `reasons`
+    * concatenates failed rule names in fixed order (concat_ws skips NULLs
+    * identically in both engines). */
+  def qualityGopherRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a")
+    val base = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("ntok", size($"toks").cast("long"))
+      .withColumn("nosp", length(regexp_replace($"text", " ", "")).cast("long"))
+      .withColumn("n_stop_present",
+        size(filter(array(stop.map(lit): _*),
+          t => array_contains($"toks", t))).cast("long"))
+      .select($"doc_id", $"ntok", $"nosp", $"n_stop_present")
+    val top = Tables.documents(s, dir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", md5($"tok").as("td"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(max($"cnt").as("top_cnt"))
+    base.join(top, "doc_id")
+      .withColumn("mean_tok_len", ratio($"nosp", $"ntok"))
+      .withColumn("r_len", $"ntok" >= 25L && $"ntok" <= 90L)
+      .withColumn("r_wordlen",
+        $"mean_tok_len" >= lit(4.0) && $"mean_tok_len" < lit(7.0))
+      .withColumn("r_stop", $"n_stop_present" >= 2L)
+      .withColumn("r_rep", $"top_cnt" * 10L <= $"ntok")
+      .select($"doc_id", $"ntok", $"top_cnt", $"mean_tok_len",
+        $"r_len", $"r_wordlen", $"r_stop", $"r_rep",
+        ($"r_len" && $"r_wordlen" && $"r_stop" && $"r_rep").as("keep"),
+        concat_ws(",",
+          when(!$"r_len", lit("len")),
+          when(!$"r_wordlen", lit("wordlen")),
+          when(!$"r_stop", lit("stop")),
+          when(!$"r_rep", lit("rep"))).as("reasons"))
+      .orderBy($"doc_id")
+  }
+
+  /** Domain-blocklist filtering by SUFFIX match — the URL-level curation
+    * gate next to q115's canonicalization: a blocklist entry blocks a
+    * domain and every subdomain under it. The scalable form (this
+    * implementation): explode each domain into its label-suffix chain
+    * (a.b.c → [a.b.c, b.c, c]) and BROADCAST-join the blocklist on exact
+    * suffix — O(labels) rows per doc against a hash lookup, which is how
+    * a 100 k-rule blocklist meets 100 TB of URLs without a single LIKE
+    * scan. Most-specific rule wins (max_by on label-chain length). The
+    * oracle states the same semantics as explicit suffix CASE arms —
+    * tractable because the declared blocklist is 3 literal rules. */
+  def domainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = Seq("src7.fr.site", "es.site", "badsrc.zz.site")
+    val rulesDf = rules.toDF("rule")
+    val docs = Tables.documents(s, dir)
+      .withColumn("domain", concat($"source", lit("."), $"lang", lit(".site")))
+    val matched = docs
+      .withColumn("parts", split($"domain", "\\."))
+      .select($"doc_id", explode(
+        transform(sequence(lit(1), size($"parts")),
+          i => array_join(slice($"parts", i, size($"parts") - i + 1), "."))
+      ).as("sfx"))
+      .join(broadcast(rulesDf), $"sfx" === $"rule")
+      .groupBy($"doc_id")
+      .agg(max_by($"rule", length($"rule")).as("matched_rule"))
+    docs.join(matched, Seq("doc_id"), "left")
+      .select($"doc_id", $"domain",
+        coalesce($"matched_rule", lit("none")).as("matched_rule"),
+        $"matched_rule".isNotNull.as("blocked"))
+      .orderBy($"doc_id")
+  }
+
+  /** Inverted-index construction with BOUNDED posting heads — the index-
+    * build behind q132's BM25 probe, declared as its own operator: per
+    * (term, doc) tf, then per term df + total_tf + the first 5 postings
+    * by doc id as a packed string. The head is capped BEFORE any
+    * collection: a row_number window over the tf table keeps ≤5 rows per
+    * term (WindowGroupLimit prunes the rest rank-side), so the
+    * collect_list buffer is bounded by construction — the naive
+    * collect-then-slice form buffers EVERY posting of a stopword-grade
+    * term and collapses at scale. Posting doc-ids are zero-padded so the
+    * string sort equals the numeric sort. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      .groupBy($"tok", $"doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy($"tok")
+      .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("total_tf"))
+    val wTerm = Window.partitionBy($"tok").orderBy($"doc_id".asc)
+    val heads = tf
+      .withColumn("rn", row_number().over(wTerm))
+      .filter($"rn" <= 5)
+      .groupBy($"tok")
+      .agg(array_join(array_sort(collect_list(
+        concat(lpad($"doc_id".cast("string"), 8, "0"), lit(":"),
+          $"tf".cast("string")))), ",").as("postings_head"))
+    stats.join(heads, "tok")
+      .select($"tok".as("term"), $"df", $"total_tf", $"postings_head")
+      .orderBy($"term")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_quality_gopher" -> qualityGopherRules,
+    "q148_domain_blocklist" -> domainBlocklist,
+    "q149_inverted_index" -> invertedIndex,
     "q131_quality_unigram_lm" -> qualityUnigramLm,
     "q132_bm25_search" -> bm25Search,
     "q133_collocation_pmi" -> collocationPmi,
@@ -1513,6 +1627,70 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q147_quality_gopher" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS ntok,
+         |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS nosp,
+         |         CAST(len(list_filter(['the','a'],
+         |                              t -> list_contains(toks, t))) AS BIGINT) AS n_stop_present
+         |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |),
+         |top AS (
+         |  SELECT doc_id, max(c) AS top_cnt FROM (
+         |    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |    FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |    GROUP BY doc_id, tok)
+         |  GROUP BY doc_id
+         |),
+         |r AS (
+         |  SELECT b.doc_id, b.ntok, t.top_cnt,
+         |         ${ratioSql("b.nosp", "b.ntok")} AS mean_tok_len,
+         |         (b.ntok >= 25 AND b.ntok <= 90) AS r_len,
+         |         (${ratioSql("b.nosp", "b.ntok")} >= 4.0
+         |            AND ${ratioSql("b.nosp", "b.ntok")} < 7.0) AS r_wordlen,
+         |         (b.n_stop_present >= 2) AS r_stop,
+         |         (t.top_cnt * 10 <= b.ntok) AS r_rep
+         |  FROM base b JOIN top t USING (doc_id)
+         |)
+         |SELECT doc_id, ntok, top_cnt, mean_tok_len,
+         |       r_len, r_wordlen, r_stop, r_rep,
+         |       (r_len AND r_wordlen AND r_stop AND r_rep) AS keep,
+         |       concat_ws(',',
+         |         CASE WHEN NOT r_len THEN 'len' END,
+         |         CASE WHEN NOT r_wordlen THEN 'wordlen' END,
+         |         CASE WHEN NOT r_stop THEN 'stop' END,
+         |         CASE WHEN NOT r_rep THEN 'rep' END) AS reasons
+         |FROM r
+         |ORDER BY doc_id""".stripMargin,
+    "q148_domain_blocklist" ->
+      """SELECT doc_id, domain,
+        |       CASE WHEN domain = 'src7.fr.site' OR domain LIKE '%.src7.fr.site'
+        |              THEN 'src7.fr.site'
+        |            WHEN domain = 'es.site' OR domain LIKE '%.es.site'
+        |              THEN 'es.site'
+        |            ELSE 'none' END AS matched_rule,
+        |       (domain = 'src7.fr.site' OR domain LIKE '%.src7.fr.site'
+        |          OR domain = 'es.site' OR domain LIKE '%.es.site') AS blocked
+        |FROM (SELECT doc_id, source || '.' || lang || '.site' AS domain
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q149_inverted_index" ->
+      s"""WITH tf AS (
+         |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY tok, doc_id
+         |)
+         |SELECT tok AS term,
+         |       count(*) AS df,
+         |       CAST(sum(tf) AS BIGINT) AS total_tf,
+         |       array_to_string(
+         |         (list(lpad(CAST(doc_id AS VARCHAR), 8, '0')
+         |               || ':' || CAST(tf AS VARCHAR)
+         |               ORDER BY doc_id))[1:5], ',') AS postings_head
+         |FROM tf
+         |GROUP BY tok
+         |ORDER BY term""".stripMargin,
     "q131_quality_unigram_lm" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |              FROM documents),

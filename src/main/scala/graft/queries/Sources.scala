@@ -165,6 +165,19 @@ object Sources {
       .orderBy($"click_id", $"view_id")
   }
 
+  /** The LEFT SEMI stream-stream join (Streams.clickViewJoinSemi) on
+    * batch frames — each converted click exactly once, no view-fanout
+    * (the per-click cardinality q77's inner join can't give). click_id
+    * is unique → total order. */
+  def streamSemiJoinBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    graft.streaming.Streams.clickViewJoinSemi(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "view"))
+      .orderBy($"click_id")
+  }
+
   /** ORC sink + source round-trip — the second columnar format next to
     * parquet (built into Spark; a lakehouse migration regularly has to
     * read legacy ORC). Write typed columns (long/string/timestamp/exact
@@ -211,7 +224,8 @@ object Sources {
     "q69_stream_session_batch" -> streamSessionBatch,
     "q77_stream_join_batch" -> streamJoinBatch,
     "q112_stream_outer_join_batch" -> streamOuterJoinBatch,
-    "q138_stream_full_join_batch" -> streamFullJoinBatch
+    "q138_stream_full_join_batch" -> streamFullJoinBatch,
+    "q145_stream_semi_join_batch" -> streamSemiJoinBatch
   )
 
   val oracles: Map[String, String] = Map(
@@ -283,6 +297,19 @@ object Sources {
         |  ON c.user_id = v.user_id
         | AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, view_id""".stripMargin,
+    // SEMI twin: each converted click once, click-side columns only (same
+    // micro-truncation rules as q77).
+    "q145_stream_semi_join_batch" ->
+      """SELECT c.event_id AS click_id, c.user_id AS user_id,
+        |       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_s
+        |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM (SELECT user_id, date_trunc('microseconds', ts) AS ts
+        |                 FROM events WHERE event_type = 'view') v
+        |  WHERE c.user_id = v.user_id
+        |    AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE)
+        |ORDER BY click_id""".stripMargin,
     "q39_stream_tumbling_batch" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
         |FROM events

@@ -142,7 +142,34 @@ object Windows {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Running DISTINCT count over a window — an operator NEITHER engine
+    * has natively (`count(DISTINCT) OVER` is unsupported SQL in both), so
+    * this declares the scalable COMPOSITION: pass 1 marks each key's
+    * first occurrence in the running order (row_number over
+    * (partition, key) == 1), pass 2 running-sums the first-occurrence
+    * flags. Two sort-based window passes, no per-row set buffer — the
+    * naive `size(collect_set() OVER)` alternative holds a hash-set per
+    * ROW inside the frame and collapses at 100 TB; this form's state per
+    * window pass is one row. The (o_orderdate, o_orderkey) order is
+    * total, so every intermediate row is deterministic. The oracle
+    * replicates the identical composition in SQL. */
+  def countDistinctRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firstSeen = Window.partitionBy($"o_orderpriority", $"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val running = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("is_first",
+        when(row_number().over(firstSeen) === 1, lit(1L)).otherwise(lit(0L)))
+      .select($"o_orderpriority", $"o_orderkey",
+        sum($"is_first").over(running).as("run_distinct_custs"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_window_count_distinct" -> countDistinctRunning,
     "q141_window_nth_value" -> nthValue,
     "q62_window_range_frame" -> rangeFrame,
     "q85_window_distribution" -> distribution,
@@ -153,6 +180,18 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q146_window_count_distinct" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |       CAST(sum(is_first) OVER (PARTITION BY o_orderpriority
+        |                                ORDER BY o_orderdate ASC, o_orderkey ASC
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS run_distinct_custs
+        |FROM (SELECT o_orderpriority, o_orderkey, o_orderdate,
+        |             CASE WHEN row_number() OVER (PARTITION BY o_orderpriority, o_custkey
+        |                                          ORDER BY o_orderdate ASC, o_orderkey ASC) = 1
+        |                  THEN 1 ELSE 0 END AS is_first
+        |      FROM orders)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q141_window_nth_value" ->
       s"""SELECT o_custkey, o_orderkey,
          |       nth_value(${centsSql("o_totalprice")}, 2)

@@ -112,6 +112,29 @@ object Streams {
         coalesce(unix_timestamp(col("v.ts")), lit(-1L)).as("view_s"))
   }
 
+  /** LEFT SEMI form of [[clickViewJoin]] — "which clicks converted?"
+    * without duplicating a click per matching view (the inner join q77
+    * explodes a click × its views; the question most funnels ask is
+    * per-click, so semi is the right cardinality). On a stream, semi is
+    * cheaper than inner in OUTPUT but not in state: the left side still
+    * buffers until the watermark closes its interval, because a match may
+    * yet arrive — but each click emits at most ONCE, immediately on its
+    * first match (no dedup pass downstream, no match-count skew in the
+    * output volume). Emits only click-side columns by definition. Batch
+    * twin = LEFT SEMI JOIN, declared as q145; streaming path
+    * spec-covered. */
+  def clickViewJoinSemi(clicks: DataFrame, views: DataFrame, delay: String = "1 hour"): DataFrame = {
+    def wm(df: DataFrame) = if (df.isStreaming) df.withWatermark("ts", delay) else df
+    wm(clicks).alias("c")
+      .join(wm(views).alias("v"), expr(
+        "c.user_id = v.user_id AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTES"),
+        "leftSemi")
+      .select(
+        col("event_id").as("click_id"),
+        col("user_id").as("user_id"),
+        unix_timestamp(col("ts")).as("click_s"))
+  }
+
   /** Stream-static enrichment join — each streaming event joined to a
     * STATIC dimension frame (user → segment), the lookup-enrichment shape
     * most streaming pipelines start with. Unlike stream-stream (above),

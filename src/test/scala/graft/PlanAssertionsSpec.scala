@@ -272,6 +272,25 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "native-mode side must broadcast")
   }
 
+  test("q147 gopher gate shuffles digests only; q148 blocklist attaches by broadcast") {
+    val p147 = planOf("q147_quality_gopher")
+    // the top-token pass must aggregate before joining back — no token
+    // strings in a sort-merge, no pair explosion
+    assert(p147.contains("HashAggregate"), "top-token pass must aggregate")
+    assert(!p147.contains("CartesianProduct"), s"pair join in gopher gate:\n$p147")
+    val p148 = planOf("q148_domain_blocklist")
+    assert(p148.contains("BroadcastHashJoin"),
+      s"blocklist must broadcast (hash lookup, not LIKE scan):\n$p148")
+    assert(!p148.contains("SortMergeJoin") || p148.contains("BroadcastHashJoin"),
+      s"suffix match shuffled:\n$p148")
+  }
+
+  test("q149 posting heads are rank-limited BEFORE collection (WindowGroupLimit)") {
+    val p = planOf("q149_inverted_index")
+    assert(p.contains("WindowGroupLimit"),
+      s"head cap must prune rank-side before collect_list:\n$p")
+  }
+
   test("q129 bulk XML path is the single from_xml parse; xpath stays on the probe subset") {
     val p = planOf("q129_fn_xpath")
     assert(p.contains("from_xml"), "bulk path must parse once via from_xml")

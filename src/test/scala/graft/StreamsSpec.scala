@@ -188,6 +188,37 @@ class StreamsSpec extends SparkSpec {
     assert(batch === Set((1L, 10L), (2L, -1L), (-1L, 11L)))
   }
 
+  test("stream-stream LEFT SEMI join: one row per converted click, no view fanout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"), // 2 matching views
+      Event(2, ts("2024-01-01 10:05:00"), 2, "click", 1.0, "{}")) // never matched
+    val views = Seq(
+      Event(10, ts("2024-01-01 10:15:00"), 1, "view", 1.0, "{}"),
+      Event(11, ts("2024-01-01 10:20:00"), 1, "view", 1.0, "{}"), // same click — must NOT duplicate
+      Event(12, ts("2024-01-01 10:30:00"), 3, "view", 1.0, "{}"))
+    val memC = MemoryStream[Event]
+    val memV = MemoryStream[Event]
+    val q = Streams.clickViewJoinSemi(memC.toDF(), memV.toDF(), delay = "0 seconds")
+      .writeStream.format("memory").queryName("t_sssemi")
+      .outputMode(OutputMode.Append).start()
+    memC.addData(clicks); memV.addData(views); q.processAllAvailable()
+    // advance both watermarks past every open interval (disjoint users so
+    // the advancer rows cannot semi-join each other)
+    memV.addData(Seq(Event(13, ts("2024-01-01 12:00:00"), 8, "view", 1.0, "{}")))
+    memC.addData(Seq(Event(3, ts("2024-01-01 12:00:00"), 9, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_sssemi").collect().map(_.getLong(0)).toSeq.sorted
+    // click 1 exactly once despite two matching views; click 2 never
+    assert(got === Seq(1L), s"semi output wrong: $got")
+    // batch twin = LEFT SEMI JOIN of the same data
+    val batch = Streams.clickViewJoinSemi(clicks.toDF(), views.toDF())
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(batch === Seq(1L))
+  }
+
   test("stream-static dim enrichment: stream equals batch, unmatched → 'unknown'") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
