@@ -278,6 +278,105 @@ object Relational {
       .orderBy($"r_name", $"revenue_cents".desc, $"n_name")
   }
 
+  /** TPC-H Q8 shape (market share): the widest join in the suite — fact
+    * lineitem against part, orders, customer, supplier and TWO nation
+    * legs plus region (8 relations). Every dimension leg broadcasts; the
+    * only shuffles are the fact-fact joins on l_orderkey/o_custkey. The
+    * share is a conditional-sum ratio: both numerator and denominator
+    * are exact cent sums (order-independent), divided once per year row
+    * — the q1 pattern lifted to a two-measure ratio. This is the query
+    * shape AQE join-reordering and runtime broadcast-sizing exist for;
+    * at 100 TB the dims stay broadcast-able (nation/region are KBs at
+    * any SF) and the plan's shuffle count is invariant in data size. */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("vol"))
+    val p = Tables.part(s, dir).filter($"p_type" === "PROMO").select($"p_partkey")
+    val o = Tables.orders(s, dir)
+      .filter(year($"o_orderdate").between(1995, 1996))
+      .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("o_year"))
+    val c = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+    val nc = Tables.nation(s, dir).select($"n_nationkey".as("cn_key"), $"n_regionkey")
+    val r = Tables.region(s, dir).filter($"r_name" === "EUROPE").select($"r_regionkey")
+    val sp = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+    val ns = Tables.nation(s, dir).select($"n_nationkey".as("sn_key"), $"n_name".as("s_nation"))
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nc), $"c_nationkey" === $"cn_key")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .join(broadcast(sp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(ns), $"s_nationkey" === $"sn_key")
+      .groupBy($"o_year")
+      .agg(
+        sum(when($"s_nation" === "NATION_3", $"vol").otherwise(lit(0L))).as("nation_cents"),
+        sum($"vol").as("total_cents"))
+      .select($"o_year", $"nation_cents", $"total_cents",
+        ratio($"nation_cents", $"total_cents").as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  /** SCD Type-2 dimension build — turn a keyed event history (orders per
+    * customer) into versioned rows with half-open validity intervals:
+    * valid_from = the event's date, valid_to = the NEXT event's date
+    * (sentinel 9999-12-31 on the open version), is_current on the last.
+    * ONE window pass per customer (lead + row_number share the same sort)
+    * — the shape every warehouse dimension refresh needs, and on Spark it
+    * is a single shuffle on the key with no self-join (the naive form
+    * joins the table to itself on "next date"). The (date, key) order is
+    * total, so version numbers are deterministic. */
+  def scd2Build(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderstatus")
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", $"o_orderdate")
+      .withColumn("valid_to",
+        coalesce(lead($"o_orderdate", 1).over(w), to_timestamp(lit("9999-12-31 00:00:00"))))
+      .withColumn("is_current", lead($"o_orderdate", 1).over(w).isNull)
+      .select($"o_custkey", $"version", $"o_orderkey", $"o_orderstatus",
+        $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"o_custkey", $"version")
+  }
+
+  /** Schema-evolution union — `unionByName(allowMissingColumns = true)`
+    * resolves columns BY NAME across frames with different column order
+    * and a missing column (NULL-filled), the append every evolving
+    * lakehouse table needs (positional UNION silently mis-binds after a
+    * schema change — the failure mode this operator exists to prevent).
+    * DuckDB twin: UNION ALL BY NAME. The (src, key, line) sort is total. */
+  def unionByNameEvolved(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select(
+      $"l_orderkey".as("key"), $"l_linenumber".cast("long").as("line_no"),
+      $"l_quantity".cast("long").as("qty"),
+      cents($"l_extendedprice").as("price_cents"), lit("li").as("src"))
+    // different column ORDER and no qty column: by-name must still align
+    val ord = Tables.orders(s, dir).select(
+      lit("ord").as("src"), cents($"o_totalprice").as("price_cents"),
+      $"o_orderkey".as("key"), lit(-1L).as("line_no"))
+    li.unionByName(ord, allowMissingColumns = true)
+      .orderBy($"src", $"key", $"line_no")
+  }
+
+  /** INTERSECT ALL — the multiset twin of q27's distinct intersect (and
+    * q28's EXCEPT ALL): multiplicities surface as min(left, right) per
+    * value. Same compaction as q28: group-count the result so the
+    * declared output is the multiplicity census, deterministic and
+    * small. Plans as a left-semi-style shuffle on the compared row, with
+    * counts carried — no explosion. */
+  def intersectAllKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.orders(s, dir).filter($"o_orderstatus" === "O").select($"o_custkey")
+    val b = Tables.orders(s, dir).filter($"o_orderstatus" === "F").select($"o_custkey")
+    a.intersectAll(b).groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy($"o_custkey")
+  }
+
   /** Correlated scalar subquery shape — "parts priced above their brand's
     * average" — written as aggregate-then-self-join (exactly what Catalyst
     * decorrelates a subquery into; formulated explicitly so the cents
@@ -513,6 +612,10 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_market_share" -> marketShare,
+    "q151_scd2_build" -> scd2Build,
+    "q152_union_by_name" -> unionByNameEvolved,
+    "q153_intersect_all" -> intersectAllKeys,
     "q125_join_asof_forward" -> asofForwardJoin,
     "q29_project_filter" -> projectFilter,
     "q01_revenue_by_nation" -> revenueByNation,
@@ -543,6 +646,55 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |       ${sumLongSql(s"CASE WHEN ns.n_name = 'NATION_3' THEN ${centsSql("l_extendedprice * (1 - l_discount)")} ELSE 0 END")} AS nation_cents,
+         |       ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS total_cents,
+         |       ${ratioSql(
+              s"sum(CASE WHEN ns.n_name = 'NATION_3' THEN ${centsSql("l_extendedprice * (1 - l_discount)")} ELSE 0 END)",
+              s"sum(${centsSql("l_extendedprice * (1 - l_discount)")})")} AS mkt_share
+         |FROM lineitem
+         |JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN (SELECT n_nationkey AS cn_key, n_regionkey FROM nation) nc
+         |  ON c_nationkey = nc.cn_key
+         |JOIN region   ON nc.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN (SELECT n_nationkey AS sn_key, n_name FROM nation) ns
+         |  ON s_nationkey = ns.sn_key
+         |WHERE year(o_orderdate) BETWEEN 1995 AND 1996
+         |GROUP BY 1
+         |ORDER BY o_year""".stripMargin,
+    "q151_scd2_build" ->
+      """SELECT o_custkey,
+        |       CAST(row_number() OVER w AS BIGINT) AS version,
+        |       o_orderkey, o_orderstatus,
+        |       o_orderdate AS valid_from,
+        |       coalesce(lead(o_orderdate, 1) OVER w,
+        |                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |       lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, version""".stripMargin,
+    "q152_union_by_name" ->
+      s"""SELECT * FROM (
+         |  SELECT l_orderkey AS key, CAST(l_linenumber AS BIGINT) AS line_no,
+         |         CAST(l_quantity AS BIGINT) AS qty,
+         |         ${centsSql("l_extendedprice")} AS price_cents, 'li' AS src
+         |  FROM lineitem
+         |  UNION ALL BY NAME
+         |  SELECT 'ord' AS src, ${centsSql("o_totalprice")} AS price_cents,
+         |         o_orderkey AS key, CAST(-1 AS BIGINT) AS line_no
+         |  FROM orders)
+         |ORDER BY src, key, line_no""".stripMargin,
+    "q153_intersect_all" ->
+      """SELECT o_custkey, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "q125_join_asof_forward" ->
       """SELECT o_orderkey, next_event, next_ts FROM (
         |  SELECT o_orderkey,

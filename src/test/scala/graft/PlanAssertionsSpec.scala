@@ -291,6 +291,21 @@ class PlanAssertionsSpec extends SparkSpec {
       s"head cap must prune rank-side before collect_list:\n$p")
   }
 
+  test("q150 market share broadcasts every dimension leg (shuffle count invariant in SF)") {
+    val p = planOf("q150_market_share")
+    // 5 broadcast legs: part, cust-nation, region, supplier, supp-nation
+    val nBroadcast = "BroadcastHashJoin".r.findAllMatchIn(p).size
+    assert(nBroadcast >= 5, s"expected >=5 broadcast joins, got $nBroadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"market share must stay on equi joins:\n$p")
+  }
+
+  test("q151 SCD2 is one window pass (no self-join on next-date)") {
+    val p = planOf("q151_scd2_build")
+    assert(p.contains("Window"), "needs the lead/row_number window")
+    assert(!p.contains("Join"), s"SCD2 must not self-join:\n$p")
+  }
+
   test("q129 bulk XML path is the single from_xml parse; xpath stays on the probe subset") {
     val p = planOf("q129_fn_xpath")
     assert(p.contains("from_xml"), "bulk path must parse once via from_xml")
