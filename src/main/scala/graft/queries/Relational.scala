@@ -360,7 +360,9 @@ object Relational {
       lit("ord").as("src"), cents($"o_totalprice").as("price_cents"),
       $"o_orderkey".as("key"), lit(-1L).as("line_no"))
     li.unionByName(ord, allowMissingColumns = true)
-      .orderBy($"src", $"key", $"line_no")
+      // price/qty in the sort: (key, line_no) alone is not total once a
+      // scaled fixture replicates lines (sf1 soak caught the tie)
+      .orderBy($"src", $"key", $"line_no", $"price_cents", $"qty")
   }
 
   /** INTERSECT ALL — the multiset twin of q27's distinct intersect (and
@@ -687,7 +689,7 @@ object Relational {
          |  SELECT 'ord' AS src, ${centsSql("o_totalprice")} AS price_cents,
          |         o_orderkey AS key, CAST(-1 AS BIGINT) AS line_no
          |  FROM orders)
-         |ORDER BY src, key, line_no""".stripMargin,
+         |ORDER BY src, key, line_no, price_cents, qty""".stripMargin,
     "q153_intersect_all" ->
       """SELECT o_custkey, count(*) AS n FROM (
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
