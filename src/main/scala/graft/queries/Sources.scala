@@ -178,6 +178,55 @@ object Sources {
       .orderBy($"click_id")
   }
 
+  /** Partition-pruned scan — the single biggest 100 TB lever made
+    * DECLARED and measurable: stage orders as a year-partitioned parquet
+    * table, read it back with a partition filter, and aggregate only the
+    * surviving partition. The filter never touches row data: it prunes
+    * whole directories at planning time (the plan shows it under
+    * PartitionFilters, guarded in PlanAssertionsSpec) — at 100 TB this
+    * is the difference between scanning one year and scanning the lake.
+    * The oracle replays the same predicate over the unpartitioned
+    * fixture: a green row proves partition columns round-trip losslessly
+    * through directory encoding (the int→string→int path). */
+  def partitionPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = stage(dir, "orders_by_year")
+    Tables.orders(s, dir)
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    s.read.parquet(out)
+      .filter($"o_year" === 1996)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("sum_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** DYNAMIC partition pruning — the runtime form of q154's lever: the
+    * fact side is partitioned by year, the filter lives on a joined
+    * DIMENSION (a tiny year→era table filtered to one era), and Spark
+    * injects the dim's surviving keys into the fact scan as a runtime
+    * partition predicate (dynamicpruningexpression in the plan,
+    * guarded). This is how a star-schema query at 100 TB reads only the
+    * partitions its dimension slice touches WITHOUT the user repeating
+    * the filter on the fact — the optimization TPC-DS lives and dies
+    * by. The dim is derived deterministically in-plan; the oracle
+    * replays the same join over the unpartitioned fixture. */
+  def dynamicPartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = stage(dir, "orders_by_year_dpp")
+    Tables.orders(s, dir)
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    // year→era dim: 1995-1997 'early', rest 'late'; filter selects 'early'
+    val dim = s.range(1995, 2002).select($"id".cast("int").as("d_year"))
+      .withColumn("era", when($"d_year" <= 1997, lit("early")).otherwise(lit("late")))
+    s.read.parquet(out)
+      .join(broadcast(dim.filter($"era" === "early")), $"o_year" === $"d_year")
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("sum_cents"))
+      .orderBy($"o_year")
+  }
+
   /** ORC sink + source round-trip — the second columnar format next to
     * parquet (built into Spark; a lakehouse migration regularly has to
     * read legacy ORC). Write typed columns (long/string/timestamp/exact
@@ -225,7 +274,9 @@ object Sources {
     "q77_stream_join_batch" -> streamJoinBatch,
     "q112_stream_outer_join_batch" -> streamOuterJoinBatch,
     "q138_stream_full_join_batch" -> streamFullJoinBatch,
-    "q145_stream_semi_join_batch" -> streamSemiJoinBatch
+    "q145_stream_semi_join_batch" -> streamSemiJoinBatch,
+    "q154_partition_pruned_scan" -> partitionPrunedScan,
+    "q155_dynamic_partition_pruning" -> dynamicPartitionPruning
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,6 +348,20 @@ object Sources {
         |  ON c.user_id = v.user_id
         | AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, view_id""".stripMargin,
+    "q154_partition_pruned_scan" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |       ${sumLongSql(centsSql("o_totalprice"))} AS sum_cents
+         |FROM orders
+         |WHERE year(o_orderdate) = 1996
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    "q155_dynamic_partition_pruning" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
+         |       ${sumLongSql(centsSql("o_totalprice"))} AS sum_cents
+         |FROM orders
+         |WHERE year(o_orderdate) <= 1997
+         |GROUP BY 1
+         |ORDER BY o_year""".stripMargin,
     // SEMI twin: each converted click once, click-side columns only (same
     // micro-truncation rules as q77).
     "q145_stream_semi_join_batch" ->

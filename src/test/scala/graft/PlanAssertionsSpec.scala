@@ -306,6 +306,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("Join"), s"SCD2 must not self-join:\n$p")
   }
 
+  test("q154 scan prunes partitions statically; q155 injects runtime (dynamic) pruning") {
+    val p154 = planOf("q154_partition_pruned_scan")
+    // the year predicate must be a PartitionFilter (directory-level),
+    // never a row-level PushedFilter/post-scan Filter on o_year
+    assert(p154.contains("PartitionFilters: [isnotnull(o_year"),
+      s"partition filter missing from the scan:\n$p154")
+    val p155 = planOf("q155_dynamic_partition_pruning")
+    assert(p155.contains("dynamicpruningexpression"),
+      s"DPP expression missing — fact scan reads every partition:\n$p155")
+  }
+
   test("q129 bulk XML path is the single from_xml parse; xpath stays on the probe subset") {
     val p = planOf("q129_fn_xpath")
     assert(p.contains("from_xml"), "bulk path must parse once via from_xml")
