@@ -1578,7 +1578,64 @@ object LlmOps {
       .orderBy($"term")
   }
 
+  /** End-to-end curation FUNNEL — the pipeline composition the individual
+    * operators exist for (lang gate → Gopher-style quality gate → exact
+    * dedup), declared as a per-stage survival census: (stage, n_in,
+    * n_out, drop_rate). This is the artifact a curation run actually
+    * ships to its operators — where did the corpus go? — and the
+    * composition is ONE pass: every per-doc flag is computed in a single
+    * scan (+ the q147 top-token digest agg), the dedup rank windows ONLY
+    * the rows that survived the earlier gates (partitioned by text
+    * digest — no text crosses the wire), and the three stage rows fall
+    * out of one global aggregate. Stage semantics are cumulative by
+    * construction, so n_in of stage k+1 provably equals n_out of stage
+    * k — a broken funnel invariant cannot hash-match. */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a")
+    val base = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("ntok", size($"toks").cast("long"))
+      .withColumn("nosp", length(regexp_replace($"text", " ", "")).cast("long"))
+      .withColumn("n_stop_present",
+        size(filter(array(stop.map(lit): _*),
+          t => array_contains($"toks", t))).cast("long"))
+      .withColumn("digest", md5($"text"))
+      .select($"doc_id", $"lang", $"ntok", $"nosp", $"n_stop_present", $"digest")
+    val top = Tables.documents(s, dir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", md5($"tok").as("td"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(max($"cnt").as("top_cnt"))
+    val flagged = base.join(top, "doc_id")
+      .withColumn("lang_ok", $"lang" === "en")
+      .withColumn("q_ok",
+        $"ntok" >= 25L && $"ntok" <= 90L &&
+          ratio($"nosp", $"ntok") >= lit(4.0) && ratio($"nosp", $"ntok") < lit(7.0) &&
+          $"n_stop_present" >= 2L && $"top_cnt" * 10L <= $"ntok")
+    // dedup rank over the gate survivors only: first doc per digest wins
+    val wDigest = Window.partitionBy($"digest").orderBy($"doc_id".asc)
+    val ranked = flagged.filter($"lang_ok" && $"q_ok")
+      .withColumn("first_of_digest", row_number().over(wDigest) === 1)
+      .groupBy().agg(
+        count(lit(1)).as("n2"),
+        sum(when($"first_of_digest", 1L).otherwise(0L)).as("n3"))
+    val totals = flagged.groupBy().agg(
+      count(lit(1)).as("n0"),
+      sum(when($"lang_ok", 1L).otherwise(0L)).as("n1"))
+    totals.crossJoin(ranked)
+      .select(explode(array(
+        struct(lit("1_lang").as("stage"), $"n0".as("n_in"), $"n1".as("n_out")),
+        struct(lit("2_quality").as("stage"), $"n1".as("n_in"), $"n2".as("n_out")),
+        struct(lit("3_dedup").as("stage"), $"n2".as("n_in"), $"n3".as("n_out")))).as("r"))
+      .select($"r.stage", $"r.n_in", $"r.n_out",
+        ratio($"r.n_in" - $"r.n_out", $"r.n_in").as("drop_rate"))
+      .orderBy($"stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_curation_funnel" -> curationFunnel,
     "q147_quality_gopher" -> qualityGopherRules,
     "q148_domain_blocklist" -> domainBlocklist,
     "q149_inverted_index" -> invertedIndex,
@@ -1627,6 +1684,54 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q156_curation_funnel" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(toks) AS BIGINT) AS ntok,
+         |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS nosp,
+         |         CAST(len(list_filter(['the','a'],
+         |                              t -> list_contains(toks, t))) AS BIGINT) AS n_stop_present,
+         |         md5(text) AS digest
+         |  FROM (SELECT doc_id, lang, text, $toksSql AS toks FROM documents)
+         |),
+         |top AS (
+         |  SELECT doc_id, max(c) AS top_cnt FROM (
+         |    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |    FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |    GROUP BY doc_id, tok)
+         |  GROUP BY doc_id
+         |),
+         |flagged AS (
+         |  SELECT b.doc_id, b.digest,
+         |         (b.lang = 'en') AS lang_ok,
+         |         (b.ntok >= 25 AND b.ntok <= 90
+         |            AND ${ratioSql("b.nosp", "b.ntok")} >= 4.0
+         |            AND ${ratioSql("b.nosp", "b.ntok")} < 7.0
+         |            AND b.n_stop_present >= 2
+         |            AND t.top_cnt * 10 <= b.ntok) AS q_ok
+         |  FROM base b JOIN top t USING (doc_id)
+         |),
+         |ranked AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n2,
+         |         CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n3
+         |  FROM (SELECT doc_id,
+         |               row_number() OVER (PARTITION BY digest ORDER BY doc_id ASC) AS rn
+         |        FROM flagged WHERE lang_ok AND q_ok)
+         |),
+         |totals AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n0,
+         |         CAST(count(*) FILTER (lang_ok) AS BIGINT) AS n1
+         |  FROM flagged
+         |)
+         |SELECT stage, n_in, n_out,
+         |       ${ratioSql("n_in - n_out", "n_in")} AS drop_rate
+         |FROM (
+         |  SELECT '1_lang' AS stage, n0 AS n_in, n1 AS n_out FROM totals
+         |  UNION ALL
+         |  SELECT '2_quality', n1, n2 FROM totals, ranked
+         |  UNION ALL
+         |  SELECT '3_dedup', n2, n3 FROM ranked)
+         |ORDER BY stage""".stripMargin,
     "q147_quality_gopher" ->
       s"""WITH base AS (
          |  SELECT doc_id,
