@@ -1634,7 +1634,57 @@ object LlmOps {
       .orderBy($"stage")
   }
 
+  /** BPE tokenizer-vocabulary induction, two merge rounds UNROLLED — the
+    * training half of the tokenizer q51 only applies. Exactly how real
+    * BPE trainers work at scale: the corpus is touched ONCE to build the
+    * (word, freq) dictionary; every merge round then operates on the
+    * VOCABULARY (bounded — ~50 surface forms here, ≤|vocab| anywhere),
+    * weighted by freq. Words are spaced symbol strings (' c o l d ');
+    * pair counts explode symbol bigrams weighted by word freq; the
+    * winning pair (max count, lexicographic tie-break) merges via
+    * literal string replace — ' l ' || ' d ' → ' ld ' — whose
+    * non-overlapping left-to-right semantics IS BPE's greedy merge rule,
+    * identically in both engines ('a a a' merges once). Each round is a
+    * vocab-bounded agg + a 1-row broadcast back; nothing about the
+    * corpus re-shuffles, so 100 TB costs one word-count pass. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .withColumn("seg", concat(lit(" "),
+        regexp_replace($"w", "(.)", "$1 ")))
+    def pairCounts(v: DataFrame): DataFrame = v
+      .withColumn("syms", split(trim($"seg"), " "))
+      // sequence(1, 0) DESCENDS in Spark — guard the single-symbol words
+      // (explode of the empty array drops them, matching DuckDB's range)
+      .select($"freq", explode(
+        when(size($"syms") >= 2,
+          transform(sequence(lit(1), size($"syms") - 1),
+            i => concat(element_at($"syms", i), lit(" "), element_at($"syms", i + 1))))
+          .otherwise(array())
+      ).as("pair"))
+      .groupBy($"pair").agg(sum($"freq").as("cnt"))
+    def topPair(pc: DataFrame): DataFrame = pc
+      .orderBy($"cnt".desc, $"pair".asc).limit(1)
+      .select($"pair".as("top_pair"), $"cnt".as("top_cnt"))
+    def applyMerge(v: DataFrame, top: DataFrame): DataFrame = v
+      .crossJoin(broadcast(top))
+      .withColumn("seg", expr(
+        "replace(seg, ' ' || top_pair || ' ', ' ' || replace(top_pair, ' ', '') || ' ')"))
+      .select($"w", $"freq", $"seg")
+    val top1 = topPair(pairCounts(vocab))
+    val vocab2 = applyMerge(vocab, top1)
+    val top2 = topPair(pairCounts(vocab2))
+    top1.select(lit(1).as("round"), $"top_pair".as("pair"),
+        regexp_replace($"top_pair", " ", "").as("merged"), $"top_cnt".as("cnt"))
+      .unionAll(top2.select(lit(2).as("round"), $"top_pair".as("pair"),
+        regexp_replace($"top_pair", " ", "").as("merged"), $"top_cnt".as("cnt")))
+      .orderBy($"round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_bpe_merges" -> bpeMerges,
     "q156_curation_funnel" -> curationFunnel,
     "q147_quality_gopher" -> qualityGopherRules,
     "q148_domain_blocklist" -> domainBlocklist,
@@ -1684,6 +1734,43 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q157_bpe_merges" ->
+      s"""WITH vocab AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         |         ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  GROUP BY w
+         |),
+         |pc1 AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |                        i -> syms[i] || ' ' || syms[i + 1])) AS pair
+         |    FROM (SELECT freq, string_split(trim(seg), ' ') AS syms FROM vocab))
+         |  GROUP BY pair
+         |),
+         |top1 AS (SELECT pair AS top_pair, cnt AS top_cnt FROM pc1
+         |         ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |vocab2 AS (
+         |  SELECT w, freq,
+         |         replace(seg, ' ' || top_pair || ' ',
+         |                 ' ' || replace(top_pair, ' ', '') || ' ') AS seg
+         |  FROM vocab, top1
+         |),
+         |pc2 AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |                        i -> syms[i] || ' ' || syms[i + 1])) AS pair
+         |    FROM (SELECT freq, string_split(trim(seg), ' ') AS syms FROM vocab2))
+         |  GROUP BY pair
+         |),
+         |top2 AS (SELECT pair AS top_pair, cnt AS top_cnt FROM pc2
+         |         ORDER BY cnt DESC, pair ASC LIMIT 1)
+         |SELECT CAST(round AS INT) AS round, pair, merged, cnt FROM (
+         |  SELECT 1 AS round, top_pair AS pair,
+         |         replace(top_pair, ' ', '') AS merged, top_cnt AS cnt FROM top1
+         |  UNION ALL
+         |  SELECT 2, top_pair, replace(top_pair, ' ', ''), top_cnt FROM top2)
+         |ORDER BY round""".stripMargin,
     "q156_curation_funnel" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang,
