@@ -227,6 +227,39 @@ object Sources {
       .orderBy($"o_year")
   }
 
+  /** Corrupt-tolerant JSON ingest — the engine-level form of the
+    * reference's error-tolerant scan (R2: a bad page logs and the run
+    * continues): stage a JSON-lines file where every 10th record is
+    * BROKEN mid-object, read it back PERMISSIVE with `_corrupt_record`
+    * projected, and census good vs corrupt plus an exact-cents total
+    * over the survivors. At 100 TB this is the contract that one
+    * malformed row costs one NULL-row, never a failed job — and the
+    * corrupt count is the data-quality metric the ingest dashboard
+    * plots. The oracle re-derives the census from the source fixture
+    * (the staged corruption is deterministic by key). */
+  def corruptTolerantJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = stage(dir, "events_mixed_json")
+    Tables.events(s, dir)
+      .select(when($"event_id" % 10 === 0,
+          concat(lit("{\"event_id\": "), $"event_id", lit(", BROKEN")))
+        .otherwise(to_json(struct($"event_id", $"event_type",
+          cents($"value").as("value_cents")))).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("event_id", org.apache.spark.sql.types.LongType),
+      StructField("event_type", StringType),
+      StructField("value_cents", org.apache.spark.sql.types.LongType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema).json(out)
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_total"),
+        count($"_corrupt_record").as("n_corrupt"),
+        count($"event_id").as("n_good"),
+        sum($"value_cents").as("good_cents"))
+  }
+
   /** ORC sink + source round-trip — the second columnar format next to
     * parquet (built into Spark; a lakehouse migration regularly has to
     * read legacy ORC). Write typed columns (long/string/timestamp/exact
@@ -276,7 +309,8 @@ object Sources {
     "q138_stream_full_join_batch" -> streamFullJoinBatch,
     "q145_stream_semi_join_batch" -> streamSemiJoinBatch,
     "q154_partition_pruned_scan" -> partitionPrunedScan,
-    "q155_dynamic_partition_pruning" -> dynamicPartitionPruning
+    "q155_dynamic_partition_pruning" -> dynamicPartitionPruning,
+    "q158_corrupt_tolerant_json" -> corruptTolerantJson
   )
 
   val oracles: Map[String, String] = Map(
@@ -362,6 +396,12 @@ object Sources {
          |WHERE year(o_orderdate) <= 1997
          |GROUP BY 1
          |ORDER BY o_year""".stripMargin,
+    "q158_corrupt_tolerant_json" ->
+      s"""SELECT count(*) AS n_total,
+         |       count(*) FILTER (event_id % 10 = 0) AS n_corrupt,
+         |       count(*) FILTER (event_id % 10 <> 0) AS n_good,
+         |       ${sumLongSql(s"CASE WHEN event_id % 10 <> 0 THEN ${centsSql("value")} END")} AS good_cents
+         |FROM events""".stripMargin,
     // SEMI twin: each converted click once, click-side columns only (same
     // micro-truncation rules as q77).
     "q145_stream_semi_join_batch" ->
