@@ -178,6 +178,18 @@ object Sources {
       .orderBy($"click_id")
   }
 
+  /** The RIGHT OUTER stream-stream join (Streams.clickViewJoinRight) on
+    * batch frames — unclaimed views surface with -1 click sentinels.
+    * (view_id unique among unmatched; pairs ordered) total order. */
+  def streamRightJoinBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    graft.streaming.Streams.clickViewJoinRight(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "view"))
+      .orderBy($"click_id", $"view_id")
+  }
+
   /** Partition-pruned scan — the single biggest 100 TB lever made
     * DECLARED and measurable: stage orders as a year-partitioned parquet
     * table, read it back with a partition filter, and aggregate only the
@@ -310,7 +322,8 @@ object Sources {
     "q145_stream_semi_join_batch" -> streamSemiJoinBatch,
     "q154_partition_pruned_scan" -> partitionPrunedScan,
     "q155_dynamic_partition_pruning" -> dynamicPartitionPruning,
-    "q158_corrupt_tolerant_json" -> corruptTolerantJson
+    "q158_corrupt_tolerant_json" -> corruptTolerantJson,
+    "q159_stream_right_join_batch" -> streamRightJoinBatch
   )
 
   val oracles: Map[String, String] = Map(
@@ -402,6 +415,21 @@ object Sources {
          |       count(*) FILTER (event_id % 10 <> 0) AS n_good,
          |       ${sumLongSql(s"CASE WHEN event_id % 10 <> 0 THEN ${centsSql("value")} END")} AS good_cents
          |FROM events""".stripMargin,
+    // RIGHT JOIN twin: unclaimed views carry -1 click sentinels (same
+    // micro-truncation rules as q77).
+    "q159_stream_right_join_batch" ->
+      """SELECT coalesce(c.event_id, -1) AS click_id,
+        |       v.event_id AS view_id,
+        |       v.user_id AS user_id,
+        |       coalesce(CAST(floor(epoch(c.ts)) AS BIGINT), -1) AS click_s,
+        |       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_s
+        |FROM (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |RIGHT JOIN (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        |      FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, view_id""".stripMargin,
     // SEMI twin: each converted click once, click-side columns only (same
     // micro-truncation rules as q77).
     "q145_stream_semi_join_batch" ->

@@ -112,6 +112,26 @@ object Streams {
         coalesce(unix_timestamp(col("v.ts")), lit(-1L)).as("view_s"))
   }
 
+  /** RIGHT OUTER form of [[clickViewJoin]] — "which views were never
+    * claimed by a click?" (the inventory-of-unattributed-impressions
+    * question). Symmetric to [[clickViewJoinOuter]] with the roles
+    * swapped: an unmatched VIEW emits once the watermark proves no click
+    * interval can still claim it; click columns surface as -1 sentinels.
+    * Declared batch twin = RIGHT JOIN (q159). */
+  def clickViewJoinRight(clicks: DataFrame, views: DataFrame, delay: String = "1 hour"): DataFrame = {
+    def wm(df: DataFrame) = if (df.isStreaming) df.withWatermark("ts", delay) else df
+    wm(clicks).alias("c")
+      .join(wm(views).alias("v"), expr(
+        "c.user_id = v.user_id AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTES"),
+        "rightOuter")
+      .select(
+        coalesce(col("c.event_id"), lit(-1L)).as("click_id"),
+        col("v.event_id").as("view_id"),
+        col("v.user_id").as("user_id"),
+        coalesce(unix_timestamp(col("c.ts")), lit(-1L)).as("click_s"),
+        unix_timestamp(col("v.ts")).as("view_s"))
+  }
+
   /** LEFT SEMI form of [[clickViewJoin]] — "which clicks converted?"
     * without duplicating a click per matching view (the inner join q77
     * explodes a click × its views; the question most funnels ask is

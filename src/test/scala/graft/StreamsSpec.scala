@@ -188,6 +188,36 @@ class StreamsSpec extends SparkSpec {
     assert(batch === Set((1L, 10L), (2L, -1L), (-1L, 11L)))
   }
 
+  test("stream-stream RIGHT OUTER join: unclaimed views emit after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"))
+    val views = Seq(
+      Event(10, ts("2024-01-01 10:15:00"), 1, "view", 1.0, "{}"), // claimed
+      Event(11, ts("2024-01-01 10:20:00"), 3, "view", 1.0, "{}")) // unclaimed
+    val memC = MemoryStream[Event]
+    val memV = MemoryStream[Event]
+    val q = Streams.clickViewJoinRight(memC.toDF(), memV.toDF(), delay = "0 seconds")
+      .writeStream.format("memory").queryName("t_ssright")
+      .outputMode(OutputMode.Append).start()
+    memC.addData(clicks); memV.addData(views); q.processAllAvailable()
+    // advance both watermarks past every open interval (disjoint users)
+    memV.addData(Seq(Event(12, ts("2024-01-01 12:00:00"), 8, "view", 1.0, "{}")))
+    memC.addData(Seq(Event(2, ts("2024-01-01 12:00:00"), 9, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ssright").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 10L)), "claimed pair missing")
+    assert(got.contains((-1L, 11L)), "unclaimed view never emitted")
+    // batch twin = plain RIGHT JOIN of the same data
+    val batch = Streams.clickViewJoinRight(clicks.toDF(), views.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch === Set((1L, 10L), (-1L, 11L)))
+  }
+
   test("stream-stream LEFT SEMI join: one row per converted click, no view fanout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
