@@ -147,7 +147,49 @@ object SqlApi {
   def groupByAllQuery(s: SparkSession, dir: String): DataFrame =
     viaSql(groupByAllSql, Seq("lineitem"))(s, dir)
 
+  /** SQL session VARIABLES + EXECUTE IMMEDIATE (Spark 4) — state that
+    * lives in the session, not the query string: DECLARE a threshold,
+    * SET it from a scalar subquery (integer DIV keeps it exact), then
+    * run a census that references the variable from dynamically-supplied
+    * SQL text. This is the migration surface for stored-proc-style
+    * warehouse scripts; the oracle re-derives the variable as a CTE, so
+    * a green row proves the variable binding matches the inline form. */
+  def sessionVariableQuery(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("DECLARE OR REPLACE VARIABLE hi_cents BIGINT")
+    s.sql("""SET VARIABLE hi_cents =
+            |  (SELECT max(CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)) DIV 2
+            |   FROM orders)""".stripMargin)
+    s.sql("""EXECUTE IMMEDIATE
+            |  'SELECT o_orderpriority,
+            |          count(*) AS n_hi,
+            |          hi_cents AS threshold_cents
+            |   FROM orders
+            |   WHERE CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT) >= hi_cents
+            |   GROUP BY o_orderpriority, hi_cents
+            |   ORDER BY o_orderpriority'""".stripMargin)
+  }
+
+  /** Parameterized SQL (named parameter markers, Spark 3.4+) — the
+    * injection-safe API form of query templating: the SQL text carries
+    * `:prio` / `:min_cents` markers and the values bind at call time.
+    * The oracle inlines the same constants; a green row proves the
+    * binding path is value-identical to literal SQL. */
+  def parameterizedQuery(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_orderpriority = :prio
+        |  AND CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT) >= :min_cents
+        |ORDER BY o_orderkey""".stripMargin,
+      Map("prio" -> "1-URGENT", "min_cents" -> 10000000L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_sql_session_variable" -> sessionVariableQuery,
+    "q161_sql_parameterized" -> parameterizedQuery,
     "q90_sql_text_api" -> sqlTextQuery,
     "q93_sql_lateral" -> lateralQuery,
     "q94_sql_recursive_cte" -> recursiveQuery,
@@ -155,6 +197,24 @@ object SqlApi {
     "q134_sql_group_by_all" -> groupByAllQuery)
 
   val oracles: Map[String, String] = Map(
+    "q160_sql_session_variable" ->
+      """WITH v AS (
+        |  SELECT max(CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)) // 2 AS hi_cents
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |       count(*) AS n_hi,
+        |       hi_cents AS threshold_cents
+        |FROM orders, v
+        |WHERE CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT) >= hi_cents
+        |GROUP BY o_orderpriority, hi_cents
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q161_sql_parameterized" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT) >= 10000000
+        |ORDER BY o_orderkey""".stripMargin,
     "q90_sql_text_api" -> customerTiersSql,
     "q93_sql_lateral" -> lateralTopSuppliersSql,
     "q94_sql_recursive_cte" -> recursiveAncestorsSql,
