@@ -53,6 +53,28 @@ class EngineSurfaceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("df.stat surface: approxQuantile within its error contract, freqItems a superset, crosstab sums to n") {
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("pc", expr("CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)"))
+    val n = o.count()
+    // approxQuantile: relativeError 0.01 → rank within ±n/100 of exact
+    val Array(approxMed) = o.stat.approxQuantile("pc", Array(0.5), 0.01)
+    val below = o.filter($"pc" <= approxMed).count()
+    assert(math.abs(below - n / 2.0) <= n / 100.0 + 1,
+      s"approx median rank off: $below of $n below $approxMed")
+    // freqItems(support s) must contain every value with freq > s·n
+    val freq = o.stat.freqItems(Array("o_orderpriority"), 0.3)
+      .head.getSeq[String](0).toSet
+    val trueHeavy = o.groupBy($"o_orderpriority").count()
+      .filter($"count" > n * 0.3).collect().map(_.getString(0)).toSet
+    assert(trueHeavy.subsetOf(freq), s"freqItems missed $trueHeavy vs $freq")
+    // crosstab: cell counts sum to the table size
+    val ct = o.stat.crosstab("o_orderpriority", "o_orderstatus")
+    val cellSum = ct.collect().map(r =>
+      (1 until r.length).map(i => r.getLong(i)).sum).sum
+    assert(cellSum === n, s"crosstab cells sum $cellSum != $n")
+  }
+
   test("REPARTITION hint lands the requested partitioning") {
     Tables.orders(spark, sfDir).createOrReplaceTempView("hint_orders")
     val df = spark.sql("SELECT /*+ REPARTITION(7) */ o_orderkey FROM hint_orders")
