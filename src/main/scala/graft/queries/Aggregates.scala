@@ -699,7 +699,27 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** df.stat.crosstab as a DECLARED contingency table — the two-variable
+    * census behind every "priority × status" dashboard tile. crosstab
+    * pivots value-derived column names, so the declared projection pins
+    * the known domain (F/O/P) explicitly — a domain drift fails loudly
+    * in the ANALYZER, not silently in the data. Oracle = FILTER-counted
+    * pivot. Plans as one hash agg + pivot over a 5×3 domain: partials
+    * collapse to the cell domain per partition, nothing else shuffles. */
+  def crosstabAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .stat.crosstab("o_orderpriority", "o_orderstatus")
+      .select(
+        $"o_orderpriority_o_orderstatus".as("prio"),
+        $"F".cast("long").as("n_f"),
+        $"O".cast("long").as("n_o"),
+        $"P".cast("long").as("n_p"))
+      .orderBy($"prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_stat_crosstab" -> crosstabAgg,
     "q144_agg_percentile_exact" -> percentileExact,
     "q137_agg_listagg" -> listaggAgg,
     "q124_agg_mode" -> modeAgg,
@@ -727,6 +747,14 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q162_stat_crosstab" ->
+      """SELECT o_orderpriority AS prio,
+        |       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |       count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY prio""".stripMargin,
     "q144_agg_percentile_exact" ->
       s"""SELECT l_returnflag,
          |       count(*) AS n,

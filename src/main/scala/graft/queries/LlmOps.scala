@@ -1649,11 +1649,14 @@ object LlmOps {
     * corpus re-shuffles, so 100 TB costs one word-count pass. */
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // localCheckpoint: the dict is referenced by both merge rounds — cut
+    // lineage so the corpus word-count really runs ONCE (q76's pattern)
     val vocab = Tables.documents(s, dir)
       .select(explode(TextOps.tokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .withColumn("seg", concat(lit(" "),
         regexp_replace($"w", "(.)", "$1 ")))
+      .localCheckpoint()
     def pairCounts(v: DataFrame): DataFrame = v
       .withColumn("syms", split(trim($"seg"), " "))
       // sequence(1, 0) DESCENDS in Spark — guard the single-symbol words
@@ -1683,7 +1686,32 @@ object LlmOps {
       .orderBy($"round")
   }
 
+  /** Hard-negative mining for contrastive training — for each probe
+    * vector, the top-2 neighbors inside a similarity BAND [0.15, 0.45):
+    * related enough to be informative, far enough to not be a near-dup
+    * (the q44 dedup band starts where this one ends). Same scale shape
+    * as q45: probes broadcast, the corpus never shuffles, the band
+    * filter runs before the rank window so the window only sees
+    * in-band candidates. The FP band compare is deterministic because
+    * both engines compute the identical cosine op tree (q45's
+    * contract). */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" % 50 === 0).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("vid"), $"embedding".as("ve"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
+    broadcast(q).join(c, $"qid" =!= $"vid")
+      .withColumn("cos", cosine(s)($"qe", $"ve"))
+      .filter($"cos" >= lit(0.15) && $"cos" < lit(0.45))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"qid", $"rn", $"vid", $"cos")
+      .orderBy($"qid", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_hard_negatives" -> hardNegatives,
     "q157_bpe_merges" -> bpeMerges,
     "q156_curation_funnel" -> curationFunnel,
     "q147_quality_gopher" -> qualityGopherRules,
@@ -1734,6 +1762,19 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q163_hard_negatives" ->
+      s"""SELECT qid, CAST(rn AS INT) AS rn, vid, cos FROM (
+         |  SELECT qid, vid, cos,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, vid ASC) AS rn
+         |  FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |           ${cosSql("q.embedding", "c.embedding")} AS cos
+         |    FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+         |    JOIN (SELECT * FROM embeddings) c ON q.vec_id <> c.vec_id)
+         |  WHERE cos >= 0.15 AND cos < 0.45
+         |) WHERE rn <= 2
+         |ORDER BY qid, rn""".stripMargin,
     "q157_bpe_merges" ->
       s"""WITH vocab AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
