@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import Portable._
 
 /** Time-series operators: calendar-spine gap fill, forward-fill (LOCF)
   * imputation, and bounded-interval overlap counting — the densify/impute/
@@ -115,13 +116,96 @@ object TimeSeries {
       .orderBy($"user_id")
   }
 
+  /** Retention cohort grid — the product-analytics staple: users bucketed
+    * by first-seen week (their cohort), activity counted per (cohort,
+    * week-offset) cell as DISTINCT active users, retention as the exact
+    * ratio against cohort size. Two shuffles total at any scale: the
+    * min-agg that assigns cohorts (one row per user) and the cell
+    * count-distinct; the cohort table joins back on user_id, the only
+    * key that was already shuffled. Week arithmetic stays on
+    * Monday-truncated DATEs, so the offset division by 7 is exact in
+    * both engines. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", trunc(to_date($"ts"), "week").as("wk"))
+    val cohorts = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    val cells = ev.distinct()
+      .join(cohorts, "user_id")
+      .withColumn("week_offset",
+        (datediff($"wk", $"cohort_wk") / 7).cast("int"))
+      .groupBy($"cohort_wk", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+    val sizes = cohorts.groupBy($"cohort_wk").agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, "cohort_wk")
+      .select($"cohort_wk", $"week_offset", $"n_active", $"cohort_size",
+        ratio($"n_active", $"cohort_size").as("retention"))
+      .orderBy($"cohort_wk", $"week_offset")
+  }
+
+  /** Behavioral trigram mining — the top event-type 3-sequences across
+    * user timelines (the "what do users do next" question sequence
+    * miners answer): two lag windows per user build the trigram, a
+    * vocab-bounded count agg (|event types|³ cells max) ranks them.
+    * The per-user sort is the only data-sized shuffle; the count table
+    * is domain-bounded like q119's histogram. The (ts, event_id) order
+    * is total, so every trigram is deterministic. */
+  def eventTrigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("g2", lag($"event_type", 2).over(w))
+      .withColumn("tg", concat_ws(">",
+        $"g2", lag($"event_type", 1).over(w), $"event_type"))
+      .filter($"g2".isNotNull)
+      .groupBy($"tg").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tg".asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_retention_cohorts" -> retentionCohorts,
+    "q165_event_trigrams" -> eventTrigrams,
     "q101_gap_fill" -> gapFill,
     "q102_window_fill" -> forwardFill,
     "q103_interval_overlap" -> intervalOverlap,
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "q164_retention_cohorts" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+         |),
+         |cohorts AS (
+         |  SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+         |),
+         |cells AS (
+         |  SELECT cohort_wk,
+         |         CAST(date_diff('day', cohort_wk, wk) / 7 AS INT) AS week_offset,
+         |         count(DISTINCT e.user_id) AS n_active
+         |  FROM (SELECT DISTINCT user_id, wk FROM ev) e
+         |  JOIN cohorts USING (user_id)
+         |  GROUP BY 1, 2
+         |),
+         |sizes AS (
+         |  SELECT cohort_wk, count(*) AS cohort_size FROM cohorts GROUP BY 1
+         |)
+         |SELECT cohort_wk, week_offset, n_active, cohort_size,
+         |       ${ratioSql("n_active", "cohort_size")} AS retention
+         |FROM cells JOIN sizes USING (cohort_wk)
+         |ORDER BY cohort_wk, week_offset""".stripMargin,
+    "q165_event_trigrams" ->
+      """SELECT tg, count(*) AS cnt FROM (
+        |  SELECT lag(event_type, 2) OVER w || '>' ||
+        |         lag(event_type, 1) OVER w || '>' || event_type AS tg,
+        |         lag(event_type, 2) OVER w AS g2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |WHERE g2 IS NOT NULL
+        |GROUP BY tg
+        |ORDER BY cnt DESC, tg ASC
+        |LIMIT 10""".stripMargin,
     "q101_gap_fill" ->
       """WITH counts AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
