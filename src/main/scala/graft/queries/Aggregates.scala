@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -718,7 +718,60 @@ object Aggregates {
       .orderBy($"prio")
   }
 
+  /** Robust outlier census via MAD (median absolute deviation) — the
+    * robust-statistics alternative to q87's moment-based z-scores (one
+    * wild row corrupts a mean/stddev; the median pair shrugs it off).
+    * Three passes over integer cents: median per group (1-row-per-group
+    * broadcast back), median of |x − med| (values stay on the ½-lattice,
+    * so the interpolated medians are exact dyadics — q144's argument one
+    * level deeper), then the census of rows beyond 3·MAD. Every compare
+    * is between exact dyadic rationals: bit-identical cross-engine. */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_returnflag", cents($"l_quantity").as("qc"))
+    val meds = li.groupBy($"l_returnflag").agg(median($"qc").as("med"))
+    val withAd = li.join(broadcast(meds), "l_returnflag")
+      .withColumn("ad", abs($"qc" - $"med"))
+    val stats = withAd.groupBy($"l_returnflag")
+      .agg(min($"med").as("med"), median($"ad").as("mad"), count(lit(1)).as("n"))
+    val outliers = withAd.join(broadcast(stats.select($"l_returnflag", $"mad")),
+        "l_returnflag")
+      .filter($"ad" > $"mad" * lit(3.0))
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n_outliers"))
+    stats.join(outliers, Seq("l_returnflag"), "left")
+      .select($"l_returnflag", $"n", $"med", $"mad",
+        coalesce($"n_outliers", lit(0L)).as("n_outliers"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** WEIGHTED median (discrete, lower) — "the price at which half the
+    * QUANTITY trades", not half the rows: cumulative weight over the
+    * value order, answer = the smallest value whose doubled running
+    * weight reaches the total. Discrete selection — no interpolation at
+    * all, so exactness needs no lattice argument; pure integer compares.
+    * One sort shuffle per group (the window), one broadcast of the
+    * 1-row-per-group totals. */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_returnflag", cents($"l_extendedprice").as("pc"),
+        $"l_quantity".cast("long").as("qty"))
+    val wCum = Window.partitionBy($"l_returnflag")
+      .orderBy($"pc".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = li.groupBy($"l_returnflag").agg(sum($"qty").as("w_total"))
+    li.withColumn("w_cum", sum($"qty").over(wCum))
+      .join(broadcast(tot), "l_returnflag")
+      .filter($"w_cum" * 2L >= $"w_total")
+      .groupBy($"l_returnflag")
+      .agg(min($"pc").as("w_median_cents"), min($"w_total").as("w_total"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_agg_mad_outliers" -> madOutliers,
+    "q167_agg_weighted_median" -> weightedMedian,
     "q162_stat_crosstab" -> crosstabAgg,
     "q144_agg_percentile_exact" -> percentileExact,
     "q137_agg_listagg" -> listaggAgg,
@@ -747,6 +800,56 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q166_agg_mad_outliers" ->
+      s"""WITH li AS (
+         |  SELECT l_returnflag, ${centsSql("l_quantity")} AS qc FROM lineitem
+         |),
+         |meds AS (
+         |  SELECT l_returnflag, quantile_cont(qc, 0.5) AS med
+         |  FROM li GROUP BY l_returnflag
+         |),
+         |wad AS (
+         |  SELECT li.l_returnflag, qc, med, abs(qc - med) AS ad
+         |  FROM li JOIN meds USING (l_returnflag)
+         |),
+         |stats AS (
+         |  SELECT l_returnflag, min(med) AS med, quantile_cont(ad, 0.5) AS mad,
+         |         count(*) AS n
+         |  FROM wad GROUP BY l_returnflag
+         |)
+         |SELECT s.l_returnflag, s.n, s.med, s.mad,
+         |       coalesce(o.n_outliers, 0) AS n_outliers
+         |FROM stats s
+         |LEFT JOIN (
+         |  SELECT w.l_returnflag, count(*) AS n_outliers
+         |  FROM wad w JOIN stats st USING (l_returnflag)
+         |  WHERE w.ad > st.mad * 3.0
+         |  GROUP BY w.l_returnflag) o USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
+    "q167_agg_weighted_median" ->
+      s"""WITH li AS (
+         |  SELECT l_returnflag, ${centsSql("l_extendedprice")} AS pc,
+         |         CAST(l_quantity AS BIGINT) AS qty
+         |  FROM lineitem
+         |),
+         |cum AS (
+         |  SELECT l_returnflag, pc,
+         |         CAST(sum(qty) OVER (PARTITION BY l_returnflag ORDER BY pc ASC
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS BIGINT) AS w_cum
+         |  FROM li
+         |),
+         |tot AS (
+         |  SELECT l_returnflag, CAST(sum(qty) AS BIGINT) AS w_total
+         |  FROM li GROUP BY l_returnflag
+         |)
+         |SELECT l_returnflag,
+         |       min(pc) AS w_median_cents,
+         |       min(w_total) AS w_total
+         |FROM cum JOIN tot USING (l_returnflag)
+         |WHERE w_cum * 2 >= w_total
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     "q162_stat_crosstab" ->
       """SELECT o_orderpriority AS prio,
         |       count(*) FILTER (o_orderstatus = 'F') AS n_f,

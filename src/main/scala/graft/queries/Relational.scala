@@ -335,8 +335,11 @@ object Relational {
       .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderstatus")
       .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("valid_from", $"o_orderdate")
+      // sentinel cast to NTZ so valid_from/valid_to share one timestamp
+      // family (orderdate is NTZ; a to_timestamp literal would be LTZ)
       .withColumn("valid_to",
-        coalesce(lead($"o_orderdate", 1).over(w), to_timestamp(lit("9999-12-31 00:00:00"))))
+        coalesce(lead($"o_orderdate", 1).over(w),
+          lit("9999-12-31 00:00:00").cast("timestamp_ntz")))
       .withColumn("is_current", lead($"o_orderdate", 1).over(w).isNull)
       .select($"o_custkey", $"version", $"o_orderkey", $"o_orderstatus",
         $"valid_from", $"valid_to", $"is_current")

@@ -349,4 +349,54 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(dupped.getLong(1) === orig.getLong(1), "even duplication should cancel in xor")
     assert(dupped.getLong(2) !== orig.getLong(2), "sum fold must catch duplication")
   }
+
+  test("q146 running distinct: final cell per partition equals countDistinct") {
+    import graft.queries.Windows
+    val rows = Windows.countDistinctRunning(spark, sfDir).collect()
+    val finals = rows.groupBy(_.getString(0))
+      .map { case (p, rs) => p -> rs.map(_.getLong(2)).max }
+    val truth = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finals === truth, "running distinct must converge to countDistinct")
+  }
+
+  test("q151 SCD2 versions tile the timeline: one current, contiguous intervals") {
+    import graft.queries.Relational
+    val byCust = Relational.scd2Build(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    byCust.foreach { case (cust, vs) =>
+      assert(vs.count(_.getAs[Boolean]("is_current")) === 1,
+        s"customer $cust: exactly one open version required")
+      val sorted = vs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // NTZ timestamps surface as LocalDateTime — compare generically
+          assert(a.getAs[Any]("valid_to") === b.getAs[Any]("valid_from"),
+            s"customer $cust: gap/overlap between versions ${a.getLong(1)} and ${b.getLong(1)}")
+        case _ =>
+      }
+    }
+  }
+
+  test("q167 weighted median splits the weight: each side holds >= half") {
+    import graft.queries.Aggregates
+    val wm = Aggregates.weightedMedian(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        expr("CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)").as("pc"),
+        col("l_quantity").cast("long").as("qty"))
+    wm.foreach { case (flag, m) =>
+      val below = li.filter(col("l_returnflag") === flag && col("pc") <= m)
+        .agg(sum("qty")).head.getLong(0)
+      val above = li.filter(col("l_returnflag") === flag && col("pc") >= m)
+        .agg(sum("qty")).head.getLong(0)
+      val total = li.filter(col("l_returnflag") === flag)
+        .agg(sum("qty")).head.getLong(0)
+      assert(below * 2 >= total, s"$flag: weight below median too small")
+      assert(above * 2 >= total - 1, s"$flag: weight at/above median too small")
+    }
+  }
 }
