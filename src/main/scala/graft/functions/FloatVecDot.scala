@@ -107,6 +107,8 @@ object GraftFunctions {
   val intSqDistName = "graft_ivec_sqdist"
   val quantizeI8Name = "graft_quantize_i8"
   val extractListingsName = "graft_extract_listings"
+  val bloomAggName = "graft_bloom_agg"
+  val bloomProbeName = "graft_bloom_might_contain"
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier(vecDotName),
@@ -123,5 +125,24 @@ object GraftFunctions {
       (children: Seq[Expression]) => QuantizeInt8(children(0))),
     (FunctionIdentifier(extractListingsName),
       new ExpressionInfo(classOf[ExtractListingsExpr].getName, extractListingsName),
-      (children: Seq[Expression]) => ExtractListingsExpr(children(0), children(1))))
+      (children: Seq[Expression]) => ExtractListingsExpr(children(0), children(1))),
+    // Catalyst's bloom build/probe pair, registered under graft names:
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime join pruning but exposes no SQL surface — the registration
+    // makes the primitive a first-class operator (q168). Callers pass
+    // xxhash64(key) (LongType contract, same as the injected filters).
+    (FunctionIdentifier(bloomAggName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        bloomAggName),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))),
+    (FunctionIdentifier(bloomProbeName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        bloomProbeName),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
 }

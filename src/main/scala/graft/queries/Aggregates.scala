@@ -769,7 +769,41 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Bloom-filter build + probe CONTRACT — the primitive behind the
+    * runtime row-level join pruning this suite plan-guards (q54's bloom
+    * rule): build one bloom per segment over its customer keys, probe
+    * every member key (false negatives are IMPOSSIBLE — the hard
+    * contract) and a disjoint shifted key set (false positives are
+    * allowed but must stay under the sizing bound). The q18 pattern: the
+    * probabilistic side is asserted as booleans the ORACLE states as
+    * constants, so a sizing regression or hash change that breaks the
+    * contract fails the hash compare. Both the build and the probes are
+    * one pass each; the blooms broadcast (KBs per segment). */
+  def bloomFilterContract(s: SparkSession, dir: String): DataFrame = {
+    // might_contain requires the bloom side to be a CONSTANT or scalar
+    // subquery (the engine evaluates it once and embeds the bitmap), so
+    // the build is a 1-row scalar subquery the probe references — the
+    // same shape Spark's own InjectRuntimeFilter produces.
+    Tables.customer(s, dir).createOrReplaceTempView("bloom_customer")
+    s.sql(
+      """WITH bf AS (
+        |  SELECT graft_bloom_agg(xxhash64(c_custkey), 100000L, 800000L) AS b
+        |  FROM bloom_customer)
+        |SELECT c_mktsegment,
+        |       count(*) AS n_members,
+        |       CAST(sum(CASE WHEN NOT graft_bloom_might_contain(
+        |                       (SELECT b FROM bf), xxhash64(c_custkey))
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_member_misses,
+        |       (sum(CASE WHEN graft_bloom_might_contain(
+        |                    (SELECT b FROM bf), xxhash64(c_custkey + 1000000000))
+        |                 THEN 1 ELSE 0 END) * 20 <= count(*)) AS fp_ok
+        |FROM bloom_customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_agg_bloom_contract" -> bloomFilterContract,
     "q166_agg_mad_outliers" -> madOutliers,
     "q167_agg_weighted_median" -> weightedMedian,
     "q162_stat_crosstab" -> crosstabAgg,
@@ -800,6 +834,17 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    // contract oracle (q18 pattern): member misses MUST be zero (bloom
+    // false negatives are impossible) and the FP rate must respect the
+    // sizing bound — both stated as constants the Spark side must earn.
+    "q168_agg_bloom_contract" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS n_members,
+        |       CAST(0 AS BIGINT) AS n_member_misses,
+        |       TRUE AS fp_ok
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q166_agg_mad_outliers" ->
       s"""WITH li AS (
          |  SELECT l_returnflag, ${centsSql("l_quantity")} AS qc FROM lineitem
