@@ -802,7 +802,36 @@ object Aggregates {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Pareto frontier (2-D skyline) — customers no other customer beats on
+    * BOTH spend and order count: the multi-objective "best" query
+    * recommendation and procurement analytics ask. The naive form is the
+    * quadratic NOT EXISTS dominance anti-join; the declared form is the
+    * LINEAR windowed formulation over the pre-aggregated points: sort by
+    * spend, a point survives iff its count beats every strictly-richer
+    * point's running max (RANGE frame excludes spend ties) and it holds
+    * its spend-tie group's max. Two windows over |customers| rows — the
+    * fact table never enters them; the post-agg single-partition window
+    * is the q82 precedent (points, not data). Integer cents order makes
+    * the strict-dominance RANGE offset exact. */
+  def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum(cents($"o_totalprice")).as("spend_cents"))
+    val wGt = Window.orderBy($"spend_cents".desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy($"spend_cents")
+    pts
+      .withColumn("best_richer", max($"n_orders").over(wGt))
+      .withColumn("best_tie", max($"n_orders").over(wEq))
+      .filter(($"best_richer".isNull || $"n_orders" > $"best_richer") &&
+        $"n_orders" === $"best_tie")
+      .select($"o_custkey", $"n_orders", $"spend_cents")
+      .orderBy($"spend_cents".desc, $"o_custkey".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_pareto_frontier" -> paretoFrontier,
     "q168_agg_bloom_contract" -> bloomFilterContract,
     "q166_agg_mad_outliers" -> madOutliers,
     "q167_agg_weighted_median" -> weightedMedian,
@@ -834,6 +863,25 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q169_pareto_frontier" ->
+      s"""WITH pts AS (
+         |  SELECT o_custkey, count(*) AS n_orders,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS spend_cents
+         |  FROM orders GROUP BY o_custkey
+         |),
+         |w AS (
+         |  SELECT o_custkey, n_orders, spend_cents,
+         |         max(n_orders) OVER (ORDER BY spend_cents DESC
+         |                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS best_richer,
+         |         max(n_orders) OVER (PARTITION BY spend_cents) AS best_tie
+         |  FROM pts
+         |)
+         |SELECT o_custkey, n_orders, spend_cents
+         |FROM w
+         |WHERE (best_richer IS NULL OR n_orders > best_richer)
+         |  AND n_orders = best_tie
+         |ORDER BY spend_cents DESC, o_custkey ASC""".stripMargin,
     // contract oracle (q18 pattern): member misses MUST be zero (bloom
     // false negatives are impossible) and the FP rate must respect the
     // sizing bound — both stated as constants the Spark side must earn.

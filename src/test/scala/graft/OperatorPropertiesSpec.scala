@@ -380,6 +380,24 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q169 windowed skyline equals the quadratic NOT-EXISTS dominance definition") {
+    import graft.queries.Aggregates
+    val fast = Aggregates.paretoFrontier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pts = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)")).as("s"))
+    val p = pts.as("p"); val q = pts.as("q")
+    val dominated = p.join(q,
+      (col("q.s") >= col("p.s")) && (col("q.n") >= col("p.n")) &&
+        ((col("q.s") > col("p.s")) || (col("q.n") > col("p.n"))),
+      "left_semi")
+    val brute = pts.except(dominated).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast === brute, "windowed frontier diverges from dominance definition")
+  }
+
   test("q167 weighted median splits the weight: each side holds >= half") {
     import graft.queries.Aggregates
     val wm = Aggregates.weightedMedian(spark, sfDir).collect()
