@@ -543,7 +543,34 @@ object Scalars {
       .orderBy($"p_partkey")
   }
 
+  /** Array SET algebra — union/intersect/except/overlap plus the 3.4+
+    * editors (compact, insert, prepend): the column-level set ops q25-q28
+    * declare at row level. Build two small sorted word-sets per doc from
+    * the text (first-5 / last-5 alphabetic distinct tokens) and apply the
+    * family. Spark's set ops keep FIRST-OCCURRENCE order, so both inputs
+    * are pre-sorted distinct arrays — the results are then order-canonical
+    * and the DuckDB twin (whose list_intersect makes no order promise)
+    * re-sorts explicitly. Pure projection, zero shuffle. */
+  def arraySetFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("ws", sort_array(array_distinct(split($"text", " "))))
+      .withColumn("a", slice($"ws", 1, 5))
+      .withColumn("b", slice($"ws", greatest(size($"ws") - 4, lit(1)), lit(5)))
+      .select(
+        $"doc_id",
+        sort_array(array_union($"a", $"b")).as("ab_union"),
+        sort_array(array_intersect($"a", $"b")).as("ab_inter"),
+        sort_array(array_except($"a", $"b")).as("a_minus_b"),
+        arrays_overlap($"a", $"b").as("overlaps"),
+        array_compact(array(lit("x"), lit(null), lit("y"))).as("compacted"),
+        array_insert($"a", lit(1), lit("zz_first")).as("inserted"),
+        array_prepend($"b", lit("aa_head")).as("prepended"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_fn_array_set" -> arraySetFns,
     "q142_fn_regex" -> regexFns,
     "q143_fn_hash" -> hashFns,
     "q140_fn_hof_finish" -> hofFinishFns,
@@ -571,6 +598,21 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "q170_fn_array_set" ->
+      """SELECT doc_id,
+        |       list_sort(list_distinct(list_cat(a, b))) AS ab_union,
+        |       list_sort(list_filter(a, x -> list_contains(b, x))) AS ab_inter,
+        |       list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS a_minus_b,
+        |       len(list_filter(a, x -> list_contains(b, x))) > 0 AS overlaps,
+        |       ['x', 'y'] AS compacted,
+        |       list_prepend('zz_first', a) AS inserted,
+        |       list_prepend('aa_head', b) AS prepended
+        |FROM (
+        |  SELECT doc_id, ws[1:5] AS a,
+        |         ws[greatest(len(ws) - 4, 1):greatest(len(ws) - 4, 1) + 4] AS b
+        |  FROM (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "q142_fn_regex" ->
       """SELECT p_partkey,
         |       regexp_extract_all(p_name, '[a-z]+') AS words,
