@@ -75,6 +75,25 @@ class EngineSurfaceSpec extends SparkSpec {
     assert(cellSum === n, s"crosstab cells sum $cellSum != $n")
   }
 
+  test("binaryFile source: opaque bytes + metadata columns, glob-filtered") {
+    val dir = java.nio.file.Files.createTempDirectory("binsrc")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("a.bin", Array[Byte](1, 2, 3))
+    put("b.bin", Array[Byte](4, 5))
+    put("skip.txt", Array[Byte](9))
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir.toString)
+      .select(element_at(split(col("path"), "/"), -1).as("name"),
+        col("length"), col("content"))
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      ("a.bin", 3L, Seq[Byte](1, 2, 3)),
+      ("b.bin", 2L, Seq[Byte](4, 5))),
+      "binaryFile must surface exact bytes + metadata and respect the glob")
+  }
+
   test("REPARTITION hint lands the requested partitioning") {
     Tables.orders(spark, sfDir).createOrReplaceTempView("hint_orders")
     val df = spark.sql("SELECT /*+ REPARTITION(7) */ o_orderkey FROM hint_orders")
