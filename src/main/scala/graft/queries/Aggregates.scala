@@ -830,7 +830,39 @@ object Aggregates {
       .orderBy($"spend_cents".desc, $"o_custkey".asc)
   }
 
+  /** Sliding 7-day distinct users via sketch UNION — the time-windowed
+    * form of q92's rollup merge, and the only way "rolling 28-day MAU"
+    * survives 100 TB: one HLL partial per DAY (persistable, incremental),
+    * each day fanned to the ≤7 window starts it serves (bounded explode —
+    * 7 rows of KB sketches per day, never row data), window estimate =
+    * union of its days' sketches. The exact sliding distinct is computed
+    * alongside (via the same day→window fan-out over (day, user) pairs)
+    * as the gate: the declared output asserts the estimate within HLL's
+    * 5 % contract, which the oracle states as TRUE (q18 pattern). */
+  def slidingDistinctHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(to_date($"ts").as("day"), $"user_id")
+    val fan = explode(sequence(lit(0), lit(6))).as("off")
+    val daySketches = ev.groupBy($"day").agg(hll_sketch_agg($"user_id").as("sk"))
+    val est = daySketches.select($"day", $"sk", fan)
+      .withColumn("win_start", date_add($"day", $"off" - lit(6)))
+      .select($"win_start", $"sk")
+      .groupBy($"win_start")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+    val exact = ev.distinct().select($"day", $"user_id", fan)
+      .withColumn("win_start", date_add($"day", $"off" - lit(6)))
+      .select($"win_start", $"user_id")
+      .groupBy($"win_start")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    exact.join(est, "win_start")
+      .select($"win_start", $"exact_users",
+        (abs($"est" - $"exact_users".cast("double"))
+          <= lit(0.05) * $"exact_users".cast("double")).as("est_ok"))
+      .orderBy($"win_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_sliding_distinct_hll" -> slidingDistinctHll,
     "q169_pareto_frontier" -> paretoFrontier,
     "q168_agg_bloom_contract" -> bloomFilterContract,
     "q166_agg_mad_outliers" -> madOutliers,
@@ -863,6 +895,14 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q171_sliding_distinct_hll" ->
+      """SELECT win_start, count(DISTINCT user_id) AS exact_users, TRUE AS est_ok
+        |FROM (
+        |  SELECT day - 6 + CAST(off AS INT) AS win_start, user_id
+        |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |       unnest(range(0, 7)) t(off))
+        |GROUP BY win_start
+        |ORDER BY win_start""".stripMargin,
     "q169_pareto_frontier" ->
       s"""WITH pts AS (
          |  SELECT o_custkey, count(*) AS n_orders,
