@@ -164,7 +164,43 @@ object TimeSeries {
       .limit(10)
   }
 
+  /** First-touch attribution — conversion rate by the event type that
+    * OPENED each session: q61's gap-based sessionization composed with a
+    * per-session first-value + converted flag, rolled up to the channel
+    * report every growth team ships. All three window passes (lag for
+    * session breaks, running sum for ids, running first for the opener)
+    * share ONE sort per user — Spark plans them in a single Window chain
+    * on the same ordering, so the composition costs the same single
+    * shuffle q61 pays. Conversion = the session contains a purchase. */
+  def firstTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum($"new_sess").over(running))
+    val perSession = sess
+      .groupBy($"user_id", $"sess_id")
+      .agg(
+        min_by($"event_type", struct($"ts", $"event_id")).as("first_touch"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("converted"),
+        count(lit(1)).as("n_events"))
+    perSession
+      .groupBy($"first_touch")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum($"converted").as("n_converted"),
+        ratio(sum($"converted"), count(lit(1))).as("conv_rate"))
+      .orderBy($"first_touch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_first_touch_attribution" -> firstTouchAttribution,
     "q164_retention_cohorts" -> retentionCohorts,
     "q165_event_trigrams" -> eventTrigrams,
     "q101_gap_fill" -> gapFill,
@@ -173,6 +209,42 @@ object TimeSeries {
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "q172_first_touch_attribution" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR CAST(floor(epoch(ts)) AS BIGINT)
+         |                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         |),
+         |sess AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM marked
+         |),
+         |opened AS (
+         |  SELECT user_id, sess_id, event_type,
+         |         first_value(event_type) OVER (PARTITION BY user_id, sess_id
+         |                                       ORDER BY ts ASC, event_id ASC) AS first_touch
+         |  FROM sess
+         |),
+         |per_session AS (
+         |  SELECT user_id, sess_id,
+         |         max(first_touch) AS first_touch,
+         |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         |  FROM opened
+         |  GROUP BY user_id, sess_id
+         |)
+         |SELECT first_touch,
+         |       count(*) AS n_sessions,
+         |       CAST(sum(converted) AS BIGINT) AS n_converted,
+         |       ${ratioSql("sum(converted)", "count(*)")} AS conv_rate
+         |FROM per_session
+         |GROUP BY first_touch
+         |ORDER BY first_touch""".stripMargin,
     "q164_retention_cohorts" ->
       s"""WITH ev AS (
          |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
