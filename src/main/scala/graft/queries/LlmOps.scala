@@ -131,6 +131,19 @@ object LlmOps {
     * does not deepen with iteration count. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    dedupLabels(s, dir)
+      .groupBy($"lab".as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list($"doc"))).as("members"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"cluster_id")
+  }
+
+  /** The (doc, lab) fixpoint of [[dedupClusters]]'s min-label propagation,
+    * shared by the cluster census (q76) and survivorship (q174). */
+  private def dedupLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // ONE explicit repartition on the bucket key so both self-join sides
     // hang off the same exchange (ReuseExchange — the q43 lesson): the
     // md5 digest pipeline runs once, not once per join side.
@@ -165,11 +178,35 @@ object LlmOps {
       prevSum = sum
       sum = labelSum()
     }
-    labels.groupBy($"lab".as("cluster_id"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        concat_ws(",", sort_array(collect_list($"doc"))).as("members"))
+    labels
+  }
+
+  /** Cluster SURVIVORSHIP — the keep-one policy applied to q76's near-dup
+    * clusters with a real multi-rule tiebreak (keep the LONGEST text,
+    * ties to the smallest doc_id), not just min-id: the policy curation
+    * teams actually run, because near-dup clusters usually contain one
+    * full document and several truncations. Only CLUSTERED docs (a tiny
+    * slice of the corpus) join back to documents for their lengths; the
+    * rank window partitions by cluster. Output one row per cluster:
+    * survivor + how many were removed. */
+  def clusterSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = dedupLabels(s, dir)
+    val sizes = labels.groupBy($"lab").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" >= 2)
+    val members = labels.join(sizes, "lab")
+      .join(Tables.documents(s, dir)
+          .select($"doc_id", length($"text").cast("long").as("len")),
+        $"doc" === $"doc_id")
+    val w = Window.partitionBy($"lab").orderBy($"len".desc, $"doc".asc)
+    members
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"lab".as("cluster_id"))
+      .agg(
+        max(when($"rn" === 1, $"doc")).as("survivor_doc"),
+        max(when($"rn" === 1, $"len")).as("survivor_len"),
+        max($"n_docs").as("n_docs"),
+        (max($"n_docs") - 1L).as("n_removed"))
       .orderBy($"cluster_id")
   }
 
@@ -1711,6 +1748,7 @@ object LlmOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
     "q157_bpe_merges" -> bpeMerges,
     "q156_curation_funnel" -> curationFunnel,
@@ -2101,6 +2139,54 @@ object LlmOps {
          |SELECT lab AS cluster_id, count(*) AS n_docs,
          |       array_to_string(list_sort(list(doc)), ',') AS members
          |FROM labels GROUP BY lab HAVING count(*) >= 2
+         |ORDER BY cluster_id""".stripMargin
+    },
+    // q76's label CTE chain + the keep-longest survivor window.
+    "q174_cluster_survivorship" -> {
+      import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
+      val aList = MinhashA.mkString("[", ", ", "]")
+      val bList = MinhashB.mkString("[", ", ", "]")
+      s"""WITH RECURSIVE keyed AS (
+         |  SELECT doc_id, j AS band,
+         |         md5(CAST(sig[3*j+1] AS VARCHAR) || ',' || CAST(sig[3*j+2] AS VARCHAR) || ',' || CAST(sig[3*j+3] AS VARCHAR)) AS bkey
+         |  FROM (
+         |    SELECT doc_id,
+         |           list_transform(range(12), j2 -> list_min(list_transform(hs, h -> ($aList[CAST(j2 AS INT)+1] * h + $bList[CAST(j2 AS INT)+1]) % $MinhashPrime))) AS sig
+         |    FROM (
+         |      SELECT doc_id, $shingle3Sql AS hs
+         |      FROM (
+         |        SELECT doc_id, $tokenHashesSql AS th
+         |        FROM (SELECT doc_id, toks FROM (SELECT doc_id, $toksSql AS toks FROM documents) WHERE len(toks) >= 3)
+         |      )
+         |    )
+         |  ), (SELECT unnest([0,1,2,3]) AS j)
+         |), edges AS (
+         |  SELECT a.doc_id AS s, b.doc_id AS t
+         |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2
+         |), reach(doc, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT x.doc, e.t FROM reach x JOIN edges e ON x.r = e.s
+         |), labels AS (
+         |  SELECT doc, min(r) AS lab FROM reach GROUP BY doc
+         |), sized AS (
+         |  SELECT lab, count(*) AS n_docs FROM labels GROUP BY lab HAVING count(*) >= 2
+         |), ranked AS (
+         |  SELECT l.lab, l.doc, CAST(length(d.text) AS BIGINT) AS len, s.n_docs,
+         |         row_number() OVER (PARTITION BY l.lab
+         |                            ORDER BY length(d.text) DESC, l.doc ASC) AS rn
+         |  FROM labels l
+         |  JOIN sized s ON l.lab = s.lab
+         |  JOIN (SELECT doc_id, text FROM documents) d ON l.doc = d.doc_id
+         |)
+         |SELECT lab AS cluster_id,
+         |       max(CASE WHEN rn = 1 THEN doc END) AS survivor_doc,
+         |       max(CASE WHEN rn = 1 THEN len END) AS survivor_len,
+         |       max(n_docs) AS n_docs,
+         |       max(n_docs) - 1 AS n_removed
+         |FROM ranked
+         |GROUP BY lab
          |ORDER BY cluster_id""".stripMargin
     },
     "q42_dedup_simhash" ->

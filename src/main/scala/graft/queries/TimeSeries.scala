@@ -199,7 +199,31 @@ object TimeSeries {
       .orderBy($"first_touch")
   }
 
+  /** Period-over-period report (MoM) — monthly order count + exact-cents
+    * revenue, each with its previous-month twin, absolute delta and
+    * growth ratio (two exact longs into one IEEE divide, the q1
+    * contract). The lag window runs over the POST-AGG month table — ≤ a
+    * few hundred rows at any fact scale, the q82 single-partition-window
+    * precedent — so the fact table pays exactly one aggregate. First
+    * month reports NULL prev/growth (no fabricated zero). */
+  def periodOverPeriod(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy(trunc(to_date($"o_orderdate"), "month").as("mon"))
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("rev_cents"))
+    val w = Window.orderBy($"mon".asc)
+    monthly
+      .withColumn("prev_n", lag($"n", 1).over(w))
+      .withColumn("prev_rev", lag($"rev_cents", 1).over(w))
+      .select($"mon", $"n", $"rev_cents",
+        $"prev_n", ($"n" - $"prev_n").as("delta_n"),
+        when($"prev_rev" > 0, ratio($"rev_cents" - $"prev_rev", $"prev_rev"))
+          .as("rev_growth"))
+      .orderBy($"mon")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_period_over_period" -> periodOverPeriod,
     "q172_first_touch_attribution" -> firstTouchAttribution,
     "q164_retention_cohorts" -> retentionCohorts,
     "q165_event_trigrams" -> eventTrigrams,
@@ -209,6 +233,22 @@ object TimeSeries {
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "q173_period_over_period" ->
+      s"""WITH monthly AS (
+         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+         |         count(*) AS n,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS rev_cents
+         |  FROM orders GROUP BY 1
+         |)
+         |SELECT mon, n, rev_cents,
+         |       lag(n, 1) OVER w AS prev_n,
+         |       n - lag(n, 1) OVER w AS delta_n,
+         |       CASE WHEN lag(rev_cents, 1) OVER w > 0 THEN
+         |         ${ratioSql("rev_cents - lag(rev_cents, 1) OVER w", "lag(rev_cents, 1) OVER w")}
+         |       END AS rev_growth
+         |FROM monthly
+         |WINDOW w AS (ORDER BY mon ASC)
+         |ORDER BY mon""".stripMargin,
     "q172_first_touch_attribution" ->
       s"""WITH marked AS (
          |  SELECT user_id, ts, event_id, event_type,
