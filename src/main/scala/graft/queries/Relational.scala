@@ -382,6 +382,31 @@ object Relational {
       .orderBy($"o_custkey")
   }
 
+  /** Policy-driven column masking — governance as DATA, not code: a
+    * broadcast policy table maps customer segment → masking level
+    * ('full' hashes the name and redacts the balance to a -1 sentinel,
+    * 'partial' keeps the name but coarsens the balance to the nearest
+    * 1000 cents, unmatched segments pass through). The enforcement is
+    * one broadcast join + one codegen'd projection — at 100 TB the
+    * policy changes by editing a 5-row table, never by redeploying a
+    * query; the oracle states the same policy as literal CASE arms. */
+  def policyMasking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val policy = Seq(("AUTOMOBILE", "full"), ("BUILDING", "partial"))
+      .toDF("p_seg", "level")
+    Tables.customer(s, dir)
+      .join(broadcast(policy), $"c_mktsegment" === $"p_seg", "left")
+      .withColumn("bal_cents", cents($"c_acctbal"))
+      .select(
+        $"c_custkey", $"c_mktsegment",
+        when($"level" === "full", md5($"c_name".cast("binary")))
+          .otherwise($"c_name").as("name_out"),
+        when($"level" === "full", lit(-1L))
+          .when($"level" === "partial", ($"bal_cents" - ($"bal_cents" % 100000L)))
+          .otherwise($"bal_cents").as("bal_out"))
+      .orderBy($"c_custkey")
+  }
+
   /** Correlated scalar subquery shape — "parts priced above their brand's
     * average" — written as aggregate-then-self-join (exactly what Catalyst
     * decorrelates a subquery into; formulated explicitly so the cents
@@ -618,6 +643,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_market_share" -> marketShare,
+    "q176_policy_masking" -> policyMasking,
     "q151_scd2_build" -> scd2Build,
     "q152_union_by_name" -> unionByNameEvolved,
     "q153_intersect_all" -> intersectAllKeys,
@@ -651,6 +677,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q176_policy_masking" ->
+      s"""SELECT c_custkey, c_mktsegment,
+         |       CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN md5(c_name)
+         |            ELSE c_name END AS name_out,
+         |       CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN -1
+         |            WHEN c_mktsegment = 'BUILDING'
+         |              THEN bc - (bc % 100000)
+         |            ELSE bc END AS bal_out
+         |FROM (SELECT c_custkey, c_mktsegment, c_name,
+         |             ${centsSql("c_acctbal")} AS bc
+         |      FROM customer)
+         |ORDER BY c_custkey""".stripMargin,
     "q150_market_share" ->
       s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
          |       ${sumLongSql(s"CASE WHEN ns.n_name = 'NATION_3' THEN ${centsSql("l_extendedprice * (1 - l_discount)")} ELSE 0 END")} AS nation_cents,

@@ -168,7 +168,25 @@ object Windows {
       .orderBy($"o_orderpriority", $"o_orderkey")
   }
 
+  /** Top-k per group WITH TIES — the rank() twin of q22's row_number
+    * form: a supplier tied on the k-th balance is kept, not arbitrarily
+    * dropped (the semantics a leaderboard wants; row_number's tiebreak
+    * is the one an idempotent export wants — declaring both pins the
+    * difference). rank() <= k is WindowGroupLimit-eligible exactly like
+    * row_number, so the partial top-k still prunes before the shuffle. */
+  def topKWithTies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"s_nationkey").orderBy($"bal_cents".desc)
+    Tables.supplier(s, dir)
+      .withColumn("bal_cents", cents($"s_acctbal"))
+      .withColumn("rnk", rank().over(w))
+      .filter($"rnk" <= 3)
+      .select($"s_nationkey", $"rnk", $"s_suppkey", $"bal_cents")
+      .orderBy($"s_nationkey", $"rnk", $"s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_window_topk_ties" -> topKWithTies,
     "q146_window_count_distinct" -> countDistinctRunning,
     "q141_window_nth_value" -> nthValue,
     "q62_window_range_frame" -> rangeFrame,
@@ -180,6 +198,16 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q175_window_topk_ties" ->
+      s"""SELECT s_nationkey, CAST(rnk AS INT) AS rnk, s_suppkey, bal_cents
+         |FROM (
+         |  SELECT s_nationkey, s_suppkey,
+         |         ${centsSql("s_acctbal")} AS bal_cents,
+         |         rank() OVER (PARTITION BY s_nationkey
+         |                      ORDER BY ${centsSql("s_acctbal")} DESC) AS rnk
+         |  FROM supplier)
+         |WHERE rnk <= 3
+         |ORDER BY s_nationkey, rnk, s_suppkey""".stripMargin,
     "q146_window_count_distinct" ->
       """SELECT o_orderpriority, o_orderkey,
         |       CAST(sum(is_first) OVER (PARTITION BY o_orderpriority
