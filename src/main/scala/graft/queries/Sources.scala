@@ -190,6 +190,31 @@ object Sources {
       .orderBy($"click_id", $"view_id")
   }
 
+  /** Session windows with a DYNAMIC per-event gap — purchases hold a
+    * session open for 60 minutes, everything else for 10: Spark's
+    * `session_window(ts, gapExpr)` form, whose semantics are INTERVAL
+    * MERGING ([ts, ts+gap) windows coalesce while they overlap), not
+    * q61's fixed-gap chain rule — a chain formulation with mixed gaps
+    * would split sessions a long-gap event still holds open. The oracle
+    * replicates the merge rule exactly: running max of interval ends per
+    * user, new session iff the event starts at-or-after every previous
+    * end — compared at MICROSECOND precision (a floored-seconds compare
+    * mis-classifies gap-boundary events, which the denser soak timeline
+    * exposed). */
+  def sessionDynamicGap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gap = when($"event_type" === "purchase", lit("60 minutes"))
+      .otherwise(lit("10 minutes"))
+    Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_timestamp($"sw.start").as("sess_start_s"),
+        unix_timestamp($"sw.end").as("sess_end_s"),
+        $"n_events")
+      .orderBy($"user_id", $"sess_start_s")
+  }
+
   /** Partition-pruned scan — the single biggest 100 TB lever made
     * DECLARED and measurable: stage orders as a year-partitioned parquet
     * table, read it back with a partition filter, and aggregate only the
@@ -323,10 +348,49 @@ object Sources {
     "q154_partition_pruned_scan" -> partitionPrunedScan,
     "q155_dynamic_partition_pruning" -> dynamicPartitionPruning,
     "q158_corrupt_tolerant_json" -> corruptTolerantJson,
-    "q159_stream_right_join_batch" -> streamRightJoinBatch
+    "q159_stream_right_join_batch" -> streamRightJoinBatch,
+    "q177_session_dynamic_gap" -> sessionDynamicGap
   )
 
   val oracles: Map[String, String] = Map(
+    // interval-merge twin at MICROSECOND precision (the merge compare must
+    // run on the exact event time — floored-seconds comparisons split or
+    // merge one session per ~gap-boundary event, which the sf0.01/sf1 row
+    // counts exposed in both directions). Half-open: ts == end starts a
+    // new session. Session end = max interval end within the session.
+    "q177_session_dynamic_gap" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'purchase' THEN 3600 ELSE 600 END AS gap_s
+        |  FROM events
+        |),
+        |marked AS (
+        |  SELECT user_id, ts, event_id, gap_s,
+        |         CASE WHEN max(end_us) OVER (PARTITION BY user_id
+        |                ORDER BY ts ASC, event_id ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR epoch_us(date_trunc('microseconds', ts)) >=
+        |                 max(end_us) OVER (PARTITION BY user_id
+        |                   ORDER BY ts ASC, event_id ASC
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, ts, event_id, gap_s,
+        |               epoch_us(date_trunc('microseconds', ts)) + CAST(gap_s AS BIGINT) * 1000000 AS end_us
+        |        FROM ev)
+        |),
+        |sess AS (
+        |  SELECT user_id, ts, gap_s,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start_s,
+        |       max(CAST(floor(epoch(ts)) AS BIGINT) + gap_s) AS sess_end_s,
+        |       count(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start_s""".stripMargin,
     "q139_fn_file_metadata" ->
       """SELECT 'lineitem.parquet' AS fname,
         |       count(*) AS n_rows,
@@ -395,6 +459,44 @@ object Sources {
         |  ON c.user_id = v.user_id
         | AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, view_id""".stripMargin,
+    // interval-merge twin at MICROSECOND precision (the merge compare must
+    // run on the exact event time — floored-seconds comparisons split or
+    // merge one session per ~gap-boundary event, which the sf0.01/sf1 row
+    // counts exposed in both directions). Half-open: ts == end starts a
+    // new session. Session end = max interval end within the session.
+    "q177_session_dynamic_gap" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'purchase' THEN 3600 ELSE 600 END AS gap_s
+        |  FROM events
+        |),
+        |marked AS (
+        |  SELECT user_id, ts, event_id, gap_s,
+        |         CASE WHEN max(end_us) OVER (PARTITION BY user_id
+        |                ORDER BY ts ASC, event_id ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR epoch_us(date_trunc('microseconds', ts)) >=
+        |                 max(end_us) OVER (PARTITION BY user_id
+        |                   ORDER BY ts ASC, event_id ASC
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, ts, event_id, gap_s,
+        |               epoch_us(date_trunc('microseconds', ts)) + CAST(gap_s AS BIGINT) * 1000000 AS end_us
+        |        FROM ev)
+        |),
+        |sess AS (
+        |  SELECT user_id, ts, gap_s,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start_s,
+        |       max(CAST(floor(epoch(ts)) AS BIGINT) + gap_s) AS sess_end_s,
+        |       count(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start_s""".stripMargin,
     "q154_partition_pruned_scan" ->
       s"""SELECT o_orderpriority, count(*) AS n,
          |       ${sumLongSql(centsSql("o_totalprice"))} AS sum_cents
