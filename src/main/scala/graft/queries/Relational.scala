@@ -192,6 +192,40 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** As-of join with a staleness TOLERANCE — the bounded form feature
+    * stores require: a match older than the budget is WORSE than no
+    * match (training on stale features silently poisons a model, so the
+    * operator must surface staleness as a first-class outcome, not hide
+    * it). Same merge formulation (and cost) as q07 — one union, one
+    * window — plus a per-row day-lag gate: beyond-tolerance matches
+    * degrade to -1 sentinels with the lag preserved for the staleness
+    * census. The 9400-day budget is calibrated to split the fixture
+    * (orders 1995-2001 vs events 2024, lags 8190-10592 days). */
+  def asofJoinTolerance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select(
+      $"o_custkey".as("uid"),
+      $"o_orderdate".cast("timestamp").as("ts"),
+      lit(null).cast("long").as("event_id"), $"o_orderkey")
+    val e = Tables.events(s, dir).select(
+      $"user_id".as("uid"), $"ts",
+      $"event_id", lit(null).cast("long").as("o_orderkey"))
+    val w = Window.partitionBy($"uid")
+      .orderBy($"ts".asc, $"event_id".asc_nulls_first, $"o_orderkey".asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    o.unionByName(e)
+      .withColumn("asof_event", first($"event_id", ignoreNulls = true).over(w))
+      .withColumn("asof_ts",
+        first(when($"event_id".isNotNull, $"ts"), ignoreNulls = true).over(w))
+      .filter($"o_orderkey".isNotNull && $"asof_event".isNotNull)
+      .withColumn("lag_days",
+        datediff($"asof_ts".cast("date"), $"ts".cast("date")).cast("long"))
+      .select($"o_orderkey",
+        when($"lag_days" <= 9400L, $"asof_event").otherwise(lit(-1L)).as("matched_event"),
+        $"lag_days", ($"lag_days" <= 9400L).as("fresh"))
+      .orderBy($"o_orderkey")
+  }
+
   /** Pure theta join (no equi prefix): dim×dim only — a broadcast
     * nested-loop over 25×5 rows. Theta joins on fact tables are banned at
     * scale; this documents the operator without the blowup. */
@@ -644,6 +678,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_market_share" -> marketShare,
     "q176_policy_masking" -> policyMasking,
+    "q178_join_asof_tolerance" -> asofJoinTolerance,
     "q151_scd2_build" -> scd2Build,
     "q152_union_by_name" -> unionByNameEvolved,
     "q153_intersect_all" -> intersectAllKeys,
@@ -677,6 +712,32 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q178_join_asof_tolerance" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN lag_days <= 9400 THEN asof_event ELSE -1 END AS matched_event,
+        |       lag_days,
+        |       lag_days <= 9400 AS fresh
+        |FROM (
+        |  SELECT o_orderkey, asof_event,
+        |         CAST(date_diff('day', CAST(ts AS DATE), CAST(asof_ts AS DATE)) AS BIGINT) AS lag_days
+        |  FROM (
+        |    SELECT o_orderkey, ts,
+        |           first_value(event_id IGNORE NULLS) OVER w AS asof_event,
+        |           first_value(CASE WHEN event_id IS NOT NULL THEN ts END IGNORE NULLS) OVER w AS asof_ts
+        |    FROM (
+        |      SELECT o_custkey AS uid, o_orderdate AS ts,
+        |             CAST(NULL AS BIGINT) AS event_id, o_orderkey
+        |      FROM orders
+        |      UNION ALL
+        |      SELECT user_id AS uid, ts, event_id, CAST(NULL AS BIGINT) AS o_orderkey
+        |      FROM events
+        |    )
+        |    WINDOW w AS (PARTITION BY uid
+        |                 ORDER BY ts ASC, event_id ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |  ) WHERE o_orderkey IS NOT NULL AND asof_event IS NOT NULL
+        |)
+        |ORDER BY o_orderkey""".stripMargin,
     "q176_policy_masking" ->
       s"""SELECT c_custkey, c_mktsegment,
          |       CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN md5(c_name)

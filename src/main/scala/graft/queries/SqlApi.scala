@@ -187,7 +187,25 @@ object SqlApi {
       Map("prio" -> "1-URGENT", "min_cents" -> 10000000L))
   }
 
+  /** LATERAL VIEW dialect (Hive-inherited generator syntax) — the SQL
+    * spelling of q80's posexplode and q86's inline, still the syntax most
+    * migrated warehouse SQL arrives in. OUTER keeps empty-token docs (the
+    * '' token row) — the LEFT JOIN semantics of generators. The plan is
+    * identical to the DataFrame generators; the declared value is the
+    * dialect resolution. DuckDB twin: unnest WITH ORDINALITY equivalent
+    * via generate_subscripts-free list position. */
+  val lateralViewSql: String =
+    """SELECT doc_id, pos, tok
+      |FROM documents
+      |LATERAL VIEW OUTER posexplode(split(text, ' ')) t AS pos, tok
+      |WHERE doc_id % 20 = 0
+      |ORDER BY doc_id, pos""".stripMargin
+
+  def lateralViewQuery(s: SparkSession, dir: String): DataFrame =
+    viaSql(lateralViewSql, Seq("documents"))(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_sql_lateral_view" -> lateralViewQuery,
     "q160_sql_session_variable" -> sessionVariableQuery,
     "q161_sql_parameterized" -> parameterizedQuery,
     "q90_sql_text_api" -> sqlTextQuery,
@@ -197,6 +215,17 @@ object SqlApi {
     "q134_sql_group_by_all" -> groupByAllQuery)
 
   val oracles: Map[String, String] = Map(
+    "q179_sql_lateral_view" ->
+      """SELECT doc_id,
+        |       CAST(pos1 - 1 AS INT) AS pos,
+        |       tok
+        |FROM (
+        |  SELECT doc_id,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos1,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |  WHERE doc_id % 20 = 0)
+        |ORDER BY doc_id, pos""".stripMargin,
     "q160_sql_session_variable" ->
       """WITH v AS (
         |  SELECT max(CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)) // 2 AS hi_cents
