@@ -1747,7 +1747,36 @@ object LlmOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** Feature hashing (the hashing trick / HashingTF shape) — text to a
+    * FIXED 64-dim integer vector with signed buckets: bucket = token
+    * digest mod 64, sign = digest bit 6, cell = signed count. The
+    * featurizer behind linear baselines and dedup embeddings at corpus
+    * scale: vocabulary-free (no fit pass, no dictionary to ship), output
+    * width fixed at write time, pure integer arithmetic so the vector is
+    * bit-identical on any engine. One explode→(doc, bucket) agg, then
+    * the per-doc map pivots into the dense array via a 64-step
+    * transform — never a 64-column pivot plan. */
+  def featureHashing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, dir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      .withColumn("th", conv(substring(md5($"tok"), 1, 10), 16, 10).cast("long"))
+      .withColumn("bucket", ($"th" % 64L).cast("int"))
+      .withColumn("sgn",
+        when($"th".bitwiseAND(lit(64L)) === 0L, 1L).otherwise(-1L))
+      .groupBy($"doc_id", $"bucket")
+      .agg(sum($"sgn").as("v"))
+    cells.groupBy($"doc_id")
+      .agg(map_from_entries(sort_array(collect_list(struct($"bucket", $"v"))))
+        .as("m"))
+      .select($"doc_id",
+        transform(sequence(lit(0), lit(63)),
+          i => coalesce(element_at($"m", i), lit(0L))).as("fvec"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_feature_hashing" -> featureHashing,
     "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
     "q157_bpe_merges" -> bpeMerges,
@@ -1800,6 +1829,25 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q180_feature_hashing" ->
+      s"""WITH cells AS (
+         |  SELECT doc_id, CAST(th % 64 AS INT) AS bucket,
+         |         CAST(sum(CASE WHEN (th & 64) = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |  FROM (
+         |    SELECT doc_id,
+         |           CAST(('0x' || substr(md5(tok), 1, 10)) AS BIGINT) AS th
+         |    FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents))
+         |  GROUP BY doc_id, bucket
+         |),
+         |maps AS (
+         |  SELECT doc_id, map_from_entries(list((bucket, v) ORDER BY bucket)) AS m
+         |  FROM cells GROUP BY doc_id
+         |)
+         |SELECT doc_id,
+         |       list_transform(range(0, 64),
+         |         i -> coalesce(m[CAST(i AS INT)][1], CAST(0 AS BIGINT))) AS fvec
+         |FROM maps
+         |ORDER BY doc_id""".stripMargin,
     "q163_hard_negatives" ->
       s"""SELECT qid, CAST(rn AS INT) AS rn, vid, cos FROM (
          |  SELECT qid, vid, cos,
