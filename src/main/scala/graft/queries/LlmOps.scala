@@ -1775,7 +1775,43 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Dense global ID assignment WITHOUT a single-partition window — the
+    * vocab-numbering step every tokenizer/embedding-table build needs
+    * (ids must be 1..N dense, ordered by frequency): the naive
+    * `row_number() OVER (ORDER BY ...)` collapses the dataset onto one
+    * reducer at 100 TB, so the declared implementation is the scalable
+    * two-pass form — range-repartition on the total order, rank WITHIN
+    * each partition (parallel windows), add per-partition offsets
+    * derived from a partition-count table that is #partitions rows
+    * (the one driver-side collect this suite allows, documented).
+    * The output is INVARIANT to RangePartitioner's sampled boundaries:
+    * within-partition rank + preceding-partition counts = global rank
+    * wherever the cuts land. Oracle = the single-window definition. */
+  def denseIdAssignment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val parts = vocab
+      .repartitionByRange(8, $"freq".desc, $"tok".asc)
+      .sortWithinPartitions($"freq".desc, $"tok".asc)
+      .withColumn("pid", spark_partition_id())
+    val counts = parts.groupBy($"pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // offset(pid) = rows in all preceding partitions (empty-input safe)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init).toSeq
+    val offDf = offsets.toDF("pid", "off")
+    val wPart = Window.partitionBy($"pid").orderBy($"freq".desc, $"tok".asc)
+    parts
+      .withColumn("rn", row_number().over(wPart).cast("long"))
+      .join(broadcast(offDf), "pid")
+      .select($"tok", $"freq", ($"rn" + $"off").as("dense_id"))
+      .orderBy($"dense_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_dense_id_assignment" -> denseIdAssignment,
     "q180_feature_hashing" -> featureHashing,
     "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
@@ -1829,6 +1865,13 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q181_dense_id_assignment" ->
+      s"""SELECT tok, freq,
+         |       CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS BIGINT) AS dense_id
+         |FROM (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+         |      FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |      GROUP BY tok)
+         |ORDER BY dense_id""".stripMargin,
     "q180_feature_hashing" ->
       s"""WITH cells AS (
          |  SELECT doc_id, CAST(th % 64 AS INT) AS bucket,

@@ -317,6 +317,19 @@ class PlanAssertionsSpec extends SparkSpec {
       s"DPP expression missing — fact scan reads every partition:\n$p155")
   }
 
+  test("q181 dense ids rank inside partitions — no single-partition global window") {
+    val p = planOf("q181_dense_id_assignment")
+    // the rank window must partition by spark_partition_id; a refactor to
+    // the naive row_number-over-total-order form would show a Window with
+    // an empty partition spec (the 100 TB one-reducer collapse)
+    assert(p.contains("Window"), "needs the per-partition rank window")
+    assert(p.contains("SPARK_PARTITION_ID") || p.contains("pid"),
+      s"rank window must partition by pid:\n$p")
+    assert(!"windowspecdefinition\\(\\s*[a-z_]+#\\d+L? DESC".r.findAllIn(p.toLowerCase)
+      .exists(_ => p.contains("windowspecdefinition()")),
+      s"global (unpartitioned) window found:\n$p")
+  }
+
   test("q129 bulk XML path is the single from_xml parse; xpath stays on the probe subset") {
     val p = planOf("q129_fn_xpath")
     assert(p.contains("from_xml"), "bulk path must parse once via from_xml")
