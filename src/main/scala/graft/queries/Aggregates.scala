@@ -746,24 +746,53 @@ object Aggregates {
   }
 
   /** WEIGHTED median (discrete, lower) — "the price at which half the
-    * QUANTITY trades", not half the rows: cumulative weight over the
-    * value order, answer = the smallest value whose doubled running
-    * weight reaches the total. Discrete selection — no interpolation at
-    * all, so exactness needs no lattice argument; pure integer compares.
-    * One sort shuffle per group (the window), one broadcast of the
-    * 1-row-per-group totals. */
+    * QUANTITY trades", not half the rows: the smallest value whose
+    * doubled cumulative weight reaches the total. Discrete selection —
+    * no interpolation, pure integer compares, no lattice argument
+    * needed.
+    *
+    * Two-phase BUCKET-THEN-REFINE formulation: the naive per-group
+    * cumulative window sorts the whole fact table into |groups|
+    * partitions — 3 reducers at any cluster size (the first cut of this
+    * query cost 10.8 s at the sf1 soak for exactly that reason, and at
+    * 100 TB it simply collapses). Instead: (1) value-level weight
+    * partials (a normal hash agg — map-side combine, full parallelism),
+    * (2) a cumulative window over 100k-cent BUCKET subtotals (≤ ~100
+    * rows per group) finds the bucket that contains the median and its
+    * preceding cumulative weight, (3) only THAT bucket's value rows —
+    * broadcast-pruned — take the exact in-bucket cumulative walk. Every
+    * window input is domain-bounded (q63's argument); the fact table
+    * never enters a window. Same answer, same oracle. */
   def weightedMedian(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
+    val byVal = Tables.lineitem(s, dir)
       .select($"l_returnflag", cents($"l_extendedprice").as("pc"),
         $"l_quantity".cast("long").as("qty"))
-    val wCum = Window.partitionBy($"l_returnflag")
-      .orderBy($"pc".asc)
+      .groupBy($"l_returnflag", $"pc").agg(sum($"qty").as("w"))
+    val byBucket = byVal
+      .withColumn("b", expr("pc div 100000L"))
+      .groupBy($"l_returnflag", $"b").agg(sum($"w").as("bw"))
+    val wB = Window.partitionBy($"l_returnflag").orderBy($"b".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = li.groupBy($"l_returnflag").agg(sum($"qty").as("w_total"))
-    li.withColumn("w_cum", sum($"qty").over(wCum))
+    val tot = byBucket.groupBy($"l_returnflag").agg(sum($"bw").as("w_total"))
+    val cumB = byBucket.withColumn("cum", sum($"bw").over(wB))
       .join(broadcast(tot), "l_returnflag")
-      .filter($"w_cum" * 2L >= $"w_total")
+    // the median bucket: first whose cumulative crosses half the weight
+    // (renamed key columns, not qualified refs — the lineage is a
+    // self-join of cumB and trips the ambiguity check otherwise)
+    val target = cumB.filter($"cum" * 2L >= $"w_total")
+      .groupBy($"l_returnflag").agg(min($"b").as("tb"))
+      .select($"l_returnflag".as("tflag"), $"tb")
+    val tinfo = cumB.join(broadcast(target),
+        $"b" === $"tb" && $"l_returnflag" === $"tflag")
+      .select($"l_returnflag", $"tb", ($"cum" - $"bw").as("cum_before"),
+        $"w_total")
+    val wV = Window.partitionBy($"l_returnflag").orderBy($"pc".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byVal.join(broadcast(tinfo), Seq("l_returnflag"))
+      .filter(expr("pc div 100000L") === $"tb")
+      .withColumn("cumv", sum($"w").over(wV) + $"cum_before")
+      .filter($"cumv" * 2L >= $"w_total")
       .groupBy($"l_returnflag")
       .agg(min($"pc").as("w_median_cents"), min($"w_total").as("w_total"))
       .orderBy($"l_returnflag")
