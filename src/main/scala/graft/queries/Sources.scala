@@ -297,6 +297,54 @@ object Sources {
         sum($"value_cents").as("good_cents"))
   }
 
+  /** DYNAMIC partition overwrite — the daily-correction write every
+    * partitioned lakehouse table lives by: a second write touching ONLY
+    * the 1996 partition (prices restated ×2) replaces that directory and
+    * must leave every other year byte-untouched — mode=overwrite with
+    * STATIC semantics would instead truncate the whole table to one year
+    * (the classic data-loss misconfiguration this query pins against).
+    * Writer-level option, no session mutation. The oracle re-derives the
+    * expected post-correction table from the fixture. */
+  def dynamicPartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = stage(dir, "orders_dpo")
+    val base = Tables.orders(s, dir)
+      .withColumn("o_year", year($"o_orderdate"))
+      .select($"o_orderkey", $"o_year", cents($"o_totalprice").as("pc"))
+    base.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    base.filter($"o_year" === 1996)
+      .withColumn("pc", $"pc" * 2L)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_year").parquet(out)
+    s.read.parquet(out)
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n"), sum($"pc").as("sum_cents"))
+      .orderBy($"o_year")
+  }
+
+  /** Schema evolution ON READ (mergeSchema) — batch 2 of a feed gains a
+    * column; the union read must surface batch-1 rows with NULLs there,
+    * not fail and not silently drop the column (parquet's default reads
+    * the FIRST file's schema — mergeSchema=true is the contract that
+    * makes additive evolution safe). Census by column presence; oracle
+    * re-derives both batches from the fixture. */
+  def mergeSchemaRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = stage(dir, "orders_evolving")
+    val v1 = Tables.orders(s, dir).filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", cents($"o_totalprice").as("pc"))
+    val v2 = Tables.orders(s, dir).filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey", cents($"o_totalprice").as("pc"),
+        $"o_orderpriority".as("prio"))
+    v1.write.mode("overwrite").parquet(s"$out/b=1")
+    v2.write.mode("overwrite").parquet(s"$out/b=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy($"prio".isNull.as("prio_missing"))
+      .agg(count(lit(1)).as("n"), sum($"pc").as("sum_cents"))
+      .orderBy($"prio_missing")
+  }
+
   /** ORC sink + source round-trip — the second columnar format next to
     * parquet (built into Spark; a lakehouse migration regularly has to
     * read legacy ORC). Write typed columns (long/string/timestamp/exact
@@ -349,10 +397,28 @@ object Sources {
     "q155_dynamic_partition_pruning" -> dynamicPartitionPruning,
     "q158_corrupt_tolerant_json" -> corruptTolerantJson,
     "q159_stream_right_join_batch" -> streamRightJoinBatch,
-    "q177_session_dynamic_gap" -> sessionDynamicGap
+    "q177_session_dynamic_gap" -> sessionDynamicGap,
+    "q182_dynamic_partition_overwrite" -> dynamicPartitionOverwrite,
+    "q183_merge_schema_read" -> mergeSchemaRead
   )
 
   val oracles: Map[String, String] = Map(
+    "q182_dynamic_partition_overwrite" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |       count(*) AS n,
+         |       CAST(sum(CASE WHEN year(o_orderdate) = 1996
+         |                     THEN ${centsSql("o_totalprice")} * 2
+         |                     ELSE ${centsSql("o_totalprice")} END) AS BIGINT) AS sum_cents
+         |FROM orders
+         |GROUP BY 1
+         |ORDER BY o_year""".stripMargin,
+    "q183_merge_schema_read" ->
+      s"""SELECT o_orderkey % 2 = 0 AS prio_missing,
+         |       count(*) AS n,
+         |       ${sumLongSql(centsSql("o_totalprice"))} AS sum_cents
+         |FROM orders
+         |GROUP BY 1
+         |ORDER BY prio_missing""".stripMargin,
     // interval-merge twin at MICROSECOND precision (the merge compare must
     // run on the exact event time — floored-seconds comparisons split or
     // merge one session per ~gap-boundary event, which the sf0.01/sf1 row
