@@ -185,7 +185,36 @@ object Windows {
       .orderBy($"s_nationkey", $"rnk", $"s_suppkey")
   }
 
+  /** RESET window — "events since the last purchase" per user: a running
+    * counter that restarts at every marker event. Neither engine has a
+    * native reset frame; the scalable composition is the segment trick —
+    * a running sum of marker flags numbers the segments, then a
+    * row_number within (user, segment) counts from each reset. Both
+    * windows share ONE per-user sort (same chain argument as q172); the
+    * segment id shuffles nothing extra. The marker row itself reports 0
+    * (the counter covers events strictly after it). */
+  def windowReset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = Window.partitionBy($"user_id", $"seg_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("is_marker", when($"event_type" === "purchase", 1L).otherwise(0L))
+      .withColumn("seg_id", sum($"is_marker").over(running))
+      .withColumn("since_purchase",
+        (row_number().over(seg) - 1).cast("long"))
+      // rows before any purchase (seg 0) count from the stream start;
+      // report -1 there to keep "since a purchase" honest
+      .select($"user_id", $"event_id",
+        when($"seg_id" === 0L, lit(-1L)).otherwise($"since_purchase")
+          .as("since_purchase"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_window_reset" -> windowReset,
     "q175_window_topk_ties" -> topKWithTies,
     "q146_window_count_distinct" -> countDistinctRunning,
     "q141_window_nth_value" -> nthValue,
@@ -198,6 +227,19 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q184_window_reset" ->
+      """SELECT user_id, event_id,
+        |       CASE WHEN seg_id = 0 THEN -1
+        |            ELSE CAST(row_number() OVER (PARTITION BY user_id, seg_id
+        |                                         ORDER BY ts ASC, event_id ASC) - 1
+        |                 AS BIGINT) END AS since_purchase
+        |FROM (
+        |  SELECT user_id, ts, event_id,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+        |  FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q175_window_topk_ties" ->
       s"""SELECT s_nationkey, CAST(rnk AS INT) AS rnk, s_suppkey, bal_cents
          |FROM (
