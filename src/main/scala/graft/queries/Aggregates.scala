@@ -890,7 +890,55 @@ object Aggregates {
       .orderBy($"win_start")
   }
 
+  /** Equal-DEPTH bucketing (quartile-bin census) — the discretization
+    * step feature pipelines run before one-hot/WoE encoding: per-group
+    * exact quartiles (q144's quarter-lattice broadcast) become bucket
+    * edges, every row lands in its bin with closed-left comparisons, and
+    * the census proves the depths are actually equal (±1 interpolation
+    * row). One percentile agg + one broadcast + one count agg — the fact
+    * table is scanned twice and never windowed. */
+  def equiDepthBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_returnflag", cents($"l_quantity").as("qc"))
+    val edges = li.groupBy($"l_returnflag").agg(
+      percentile($"qc", lit(0.25)).as("p25"),
+      percentile($"qc", lit(0.5)).as("p50"),
+      percentile($"qc", lit(0.75)).as("p75"))
+    li.join(broadcast(edges), "l_returnflag")
+      .withColumn("bin",
+        when($"qc" <= $"p25", 1)
+          .when($"qc" <= $"p50", 2)
+          .when($"qc" <= $"p75", 3)
+          .otherwise(4))
+      .groupBy($"l_returnflag", $"bin")
+      .agg(count(lit(1)).as("n"), min($"qc").as("lo"), max($"qc").as("hi"))
+      .orderBy($"l_returnflag", $"bin")
+  }
+
+  /** Min-max normalization — scale integer cents into [0, 1] per group:
+    * broadcast the exact per-group extent, one IEEE divide per row over
+    * exact-integer numerator/denominator (the q1 ratio contract, so the
+    * doubles are bit-identical cross-engine). Declared as the per-group
+    * census of the scaled column's exact mean — aggregating the scaled
+    * DOUBLES would be order-dependent, so the mean is computed in
+    * integer space and scaled once at the end (the portability rule
+    * applied to normalization). */
+  def minMaxNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_returnflag", cents($"l_extendedprice").as("pc"))
+    val ext = li.groupBy($"l_returnflag")
+      .agg(min($"pc").as("lo"), max($"pc").as("hi"),
+        sum($"pc").as("s"), count(lit(1)).as("n"))
+    ext.select($"l_returnflag", $"lo", $"hi",
+        ratio($"s" - $"n" * $"lo", ($"hi" - $"lo") * $"n").as("scaled_mean"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_agg_equidepth_buckets" -> equiDepthBuckets,
+    "q186_agg_minmax_normalize" -> minMaxNormalize,
     "q171_sliding_distinct_hll" -> slidingDistinctHll,
     "q169_pareto_frontier" -> paretoFrontier,
     "q168_agg_bloom_contract" -> bloomFilterContract,
@@ -924,6 +972,37 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q185_agg_equidepth_buckets" ->
+      s"""WITH li AS (
+         |  SELECT l_returnflag, ${centsSql("l_quantity")} AS qc FROM lineitem
+         |),
+         |edges AS (
+         |  SELECT l_returnflag,
+         |         quantile_cont(qc, 0.25) AS p25,
+         |         quantile_cont(qc, 0.5) AS p50,
+         |         quantile_cont(qc, 0.75) AS p75
+         |  FROM li GROUP BY l_returnflag
+         |)
+         |SELECT li.l_returnflag,
+         |       CAST(CASE WHEN qc <= p25 THEN 1
+         |                 WHEN qc <= p50 THEN 2
+         |                 WHEN qc <= p75 THEN 3
+         |                 ELSE 4 END AS INT) AS bin,
+         |       count(*) AS n, min(qc) AS lo, max(qc) AS hi
+         |FROM li JOIN edges USING (l_returnflag)
+         |GROUP BY li.l_returnflag, bin
+         |ORDER BY l_returnflag, bin""".stripMargin,
+    "q186_agg_minmax_normalize" ->
+      s"""SELECT l_returnflag, lo, hi,
+         |       ${ratioSql("s - n * lo", "(hi - lo) * n")} AS scaled_mean
+         |FROM (
+         |  SELECT l_returnflag,
+         |         min(pc) AS lo, max(pc) AS hi,
+         |         ${sumLongSql("pc")} AS s, count(*) AS n
+         |  FROM (SELECT l_returnflag, ${centsSql("l_extendedprice")} AS pc
+         |        FROM lineitem)
+         |  GROUP BY l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
     "q171_sliding_distinct_hll" ->
       """SELECT win_start, count(DISTINCT user_id) AS exact_users, TRUE AS est_ok
         |FROM (
