@@ -936,7 +936,53 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** MULTI-MEASURE pivot — q58 pivots one aggregate; real reports pivot
+    * several (count AND exact-cents sum per pivoted status), which Spark
+    * emits as `<value>_<agg>` suffixed columns: the declared projection
+    * pins that naming contract, aliased to stable names. Explicit pivot
+    * values as always (no distinct-scan planning pass at 100 TB). Oracle
+    * = FILTER-counted twin per (value × measure) cell. */
+  def multiMeasurePivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderpriority", $"o_orderstatus", cents($"o_totalprice").as("pc"))
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), sum($"pc").as("cents"))
+      .select($"o_orderpriority",
+        $"F_n", $"F_cents", $"O_n", $"O_cents",
+        coalesce($"P_n", lit(0L)).as("P_n"),
+        coalesce($"P_cents", lit(0L)).as("P_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Nested struct-array higher-order surface — build a per-customer
+    * array of (order, cents) STRUCTS and drive the lambda family through
+    * it (filter on a struct field, transform projecting a field,
+    * aggregate over a field), landing on SCALAR outputs only: lists of
+    * structs hash differently across engines' writers, scalars don't
+    * (the q149 lesson). The collect_list is bounded by orders-per-
+    * customer — a natural per-entity cap, same contract as q113's
+    * mapGroups. */
+  def nestedStructHof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", cents($"o_totalprice").as("pc"))
+      .groupBy($"o_custkey")
+      .agg(sort_array(collect_list(struct($"o_orderkey", $"pc"))).as("arr"))
+      .select($"o_custkey",
+        size($"arr").as("n_orders"),
+        size(filter($"arr", x => x.getField("pc") > 20000000L)).as("n_big"),
+        aggregate(transform($"arr", x => x.getField("pc")), lit(0L),
+          (acc, x) => acc + x).as("total_cents"),
+        element_at(transform($"arr", x => x.getField("o_orderkey")), 1)
+          .as("first_order"))
+      .orderBy($"o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_agg_multi_pivot" -> multiMeasurePivot,
+    "q188_fn_nested_struct_hof" -> nestedStructHof,
     "q185_agg_equidepth_buckets" -> equiDepthBuckets,
     "q186_agg_minmax_normalize" -> minMaxNormalize,
     "q171_sliding_distinct_hll" -> slidingDistinctHll,
@@ -972,6 +1018,33 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q187_agg_multi_pivot" ->
+      s"""SELECT o_orderpriority,
+         |       count(*) FILTER (o_orderstatus = 'F') AS F_n,
+         |       ${sumLongSql(s"CASE WHEN o_orderstatus = 'F' THEN ${centsSql("o_totalprice")} END")} AS F_cents,
+         |       count(*) FILTER (o_orderstatus = 'O') AS O_n,
+         |       ${sumLongSql(s"CASE WHEN o_orderstatus = 'O' THEN ${centsSql("o_totalprice")} END")} AS O_cents,
+         |       count(*) FILTER (o_orderstatus = 'P') AS P_n,
+         |       coalesce(${sumLongSql(s"CASE WHEN o_orderstatus = 'P' THEN ${centsSql("o_totalprice")} END")}, 0) AS P_cents
+         |FROM orders
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    "q188_fn_nested_struct_hof" ->
+      s"""SELECT o_custkey,
+         |       CAST(len(arr) AS INT) AS n_orders,
+         |       CAST(len(list_filter(arr, x -> x.pc > 20000000)) AS INT) AS n_big,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |              list_transform(arr, x -> x.pc)), (acc, x) -> acc + x)
+         |            AS BIGINT) AS total_cents,
+         |       arr[1].o_orderkey AS first_order
+         |FROM (
+         |  SELECT o_custkey,
+         |         list_sort(list({'o_orderkey': o_orderkey, 'pc': pc})) AS arr
+         |  FROM (SELECT o_custkey, o_orderkey,
+         |               ${centsSql("o_totalprice")} AS pc
+         |        FROM orders)
+         |  GROUP BY o_custkey)
+         |ORDER BY o_custkey""".stripMargin,
     "q185_agg_equidepth_buckets" ->
       s"""WITH li AS (
          |  SELECT l_returnflag, ${centsSql("l_quantity")} AS qc FROM lineitem
