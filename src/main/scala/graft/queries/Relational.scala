@@ -441,6 +441,54 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  /** Referential-integrity audit — orphan counts for every FK edge of
+    * the star schema in ONE declared artifact (the DQ check every
+    * warehouse load gates on): each edge is a LEFT ANTI join counting
+    * fact rows whose dimension key is missing, unioned into an audit
+    * table. Anti joins shuffle only the key columns; the four edges run
+    * independently (no barrier between them in the plan). All-zero on
+    * the fixtures — the value is the SHAPE: a load that breaks an edge
+    * flips exactly one census row, and the hash compare catches it. */
+  def fkOrphanAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def orphans(name: String, fact: DataFrame, key: String,
+        dim: DataFrame, dimKey: String): DataFrame =
+      fact.select(col(key))
+        .join(dim.select(col(dimKey)), col(key) === col(dimKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), $"n_orphans")
+    val li = Tables.lineitem(s, dir)
+    orphans("lineitem.orderkey->orders", li, "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")
+      .unionByName(orphans("lineitem.partkey->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"))
+      .unionByName(orphans("lineitem.suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"))
+      .unionByName(orphans("orders.custkey->customer", Tables.orders(s, dir),
+        "o_custkey", Tables.customer(s, dir), "c_custkey"))
+      .orderBy($"fk_edge")
+  }
+
+  /** Key-uniqueness audit — the PK half of the q189 DQ pair: per table,
+    * the number of keys that occur more than once and the worst
+    * multiplicity (group-count census, never a self-join). The fixture
+    * answer is all-unique; the declared shape is what a double-applied
+    * ingest batch flips. */
+  def pkUniquenessAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dups(name: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(
+          sum(when($"c" > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+          max($"c").as("max_multiplicity"))
+        .select(lit(name).as("pk"), $"n_dup_keys", $"max_multiplicity")
+    dups("customer.c_custkey", Tables.customer(s, dir), "c_custkey")
+      .unionByName(dups("orders.o_orderkey", Tables.orders(s, dir), "o_orderkey"))
+      .unionByName(dups("part.p_partkey", Tables.part(s, dir), "p_partkey"))
+      .unionByName(dups("supplier.s_suppkey", Tables.supplier(s, dir), "s_suppkey"))
+      .orderBy($"pk")
+  }
+
   /** Correlated scalar subquery shape — "parts priced above their brand's
     * average" — written as aggregate-then-self-join (exactly what Catalyst
     * decorrelates a subquery into; formulated explicitly so the cents
@@ -679,6 +727,8 @@ object Relational {
     "q150_market_share" -> marketShare,
     "q176_policy_masking" -> policyMasking,
     "q178_join_asof_tolerance" -> asofJoinTolerance,
+    "q189_fk_orphan_audit" -> fkOrphanAudit,
+    "q190_pk_uniqueness_audit" -> pkUniquenessAudit,
     "q151_scd2_build" -> scd2Build,
     "q152_union_by_name" -> unionByNameEvolved,
     "q153_intersect_all" -> intersectAllKeys,
@@ -712,6 +762,40 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q189_fk_orphan_audit" ->
+      """SELECT fk_edge, n_orphans FROM (
+        |  SELECT 'lineitem.orderkey->orders' AS fk_edge,
+        |         count(*) FILTER (o_orderkey IS NULL) AS n_orphans
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem.partkey->part',
+        |         count(*) FILTER (p_partkey IS NULL)
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem.suppkey->supplier',
+        |         count(*) FILTER (s_suppkey IS NULL)
+        |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |  UNION ALL
+        |  SELECT 'orders.custkey->customer',
+        |         count(*) FILTER (c_custkey IS NULL)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey)
+        |ORDER BY fk_edge""".stripMargin,
+    "q190_pk_uniqueness_audit" ->
+      """SELECT pk, n_dup_keys, max_multiplicity FROM (
+        |  SELECT 'customer.c_custkey' AS pk,
+        |         CAST(count(*) FILTER (c > 1) AS BIGINT) AS n_dup_keys,
+        |         max(c) AS max_multiplicity
+        |  FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey)
+        |  UNION ALL
+        |  SELECT 'orders.o_orderkey', CAST(count(*) FILTER (c > 1) AS BIGINT), max(c)
+        |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'part.p_partkey', CAST(count(*) FILTER (c > 1) AS BIGINT), max(c)
+        |  FROM (SELECT count(*) AS c FROM part GROUP BY p_partkey)
+        |  UNION ALL
+        |  SELECT 'supplier.s_suppkey', CAST(count(*) FILTER (c > 1) AS BIGINT), max(c)
+        |  FROM (SELECT count(*) AS c FROM supplier GROUP BY s_suppkey))
+        |ORDER BY pk""".stripMargin,
     "q178_join_asof_tolerance" ->
       """SELECT o_orderkey,
         |       CASE WHEN lag_days <= 9400 THEN asof_event ELSE -1 END AS matched_event,
