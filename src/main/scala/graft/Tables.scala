@@ -18,25 +18,31 @@ object Tables {
     if (name == "events") readEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and convert
-    * with *integer* division to micros — the values carry no sub-µs
-    * component, and int64 nanos exceed 2^53 so a double roundtrip would
-    * corrupt them.
+  /** events.parquet has shipped `ts` in two physical forms across driver
+    * testdata generations: parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read nanos as long via the legacy conf
+    * and integer-divide to micros; int64 nanos exceed 2^53 so a double
+    * roundtrip would corrupt them) and plain timestamp[us] (reads as
+    * TIMESTAMP_NTZ directly). The loader adapts on the LOADED schema so
+    * either generation lands on the same session-UTC TimestampType column
+    * every downstream query unions/compares against.
     *
     * `nanosAsLong` is a SESSION-level conf: the parquet→catalyst schema
     * conversion happens per file at execution time, so it cannot be scoped
-    * to this one read (a save/restore around the lazy DataFrame would be
-    * unset again by action time). Every graft session builder
-    * (Verify/Bench/ExplainAudit/Demo/TestSpark) pre-sets it; the set below
-    * is kept so the loader also works on a caller-supplied session, at the
-    * documented cost that any other TIMESTAMP(NANOS) read in that session
-    * then resolves as LONG too.
+    * to this one read. Every graft session builder pre-sets it; the set
+    * below keeps the loader working on a caller-supplied session.
     */
   private def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.LongType
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) generation, surfaced as int64 nanos
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>        // timestamp[us] generation (NTZ) — align to session-UTC LTZ
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")

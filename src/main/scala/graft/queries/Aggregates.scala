@@ -950,7 +950,10 @@ object Aggregates {
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)).as("n"), sum($"pc").as("cents"))
       .select($"o_orderpriority",
-        $"F_n", $"F_cents", $"O_n", $"O_cents",
+        coalesce($"F_n", lit(0L)).as("F_n"),
+        coalesce($"F_cents", lit(0L)).as("F_cents"),
+        coalesce($"O_n", lit(0L)).as("O_n"),
+        coalesce($"O_cents", lit(0L)).as("O_cents"),
         coalesce($"P_n", lit(0L)).as("P_n"),
         coalesce($"P_cents", lit(0L)).as("P_cents"))
       .orderBy($"o_orderpriority")
@@ -1021,9 +1024,9 @@ object Aggregates {
     "q187_agg_multi_pivot" ->
       s"""SELECT o_orderpriority,
          |       count(*) FILTER (o_orderstatus = 'F') AS F_n,
-         |       ${sumLongSql(s"CASE WHEN o_orderstatus = 'F' THEN ${centsSql("o_totalprice")} END")} AS F_cents,
+         |       coalesce(${sumLongSql(s"CASE WHEN o_orderstatus = 'F' THEN ${centsSql("o_totalprice")} END")}, 0) AS F_cents,
          |       count(*) FILTER (o_orderstatus = 'O') AS O_n,
-         |       ${sumLongSql(s"CASE WHEN o_orderstatus = 'O' THEN ${centsSql("o_totalprice")} END")} AS O_cents,
+         |       coalesce(${sumLongSql(s"CASE WHEN o_orderstatus = 'O' THEN ${centsSql("o_totalprice")} END")}, 0) AS O_cents,
          |       count(*) FILTER (o_orderstatus = 'P') AS P_n,
          |       coalesce(${sumLongSql(s"CASE WHEN o_orderstatus = 'P' THEN ${centsSql("o_totalprice")} END")}, 0) AS P_cents
          |FROM orders

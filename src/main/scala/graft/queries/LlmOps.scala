@@ -1755,7 +1755,9 @@ object LlmOps {
     * width fixed at write time, pure integer arithmetic so the vector is
     * bit-identical on any engine. One explode→(doc, bucket) agg, then
     * the per-doc map pivots into the dense array via a 64-step
-    * transform — never a 64-column pivot plan. */
+    * transform — never a 64-column pivot plan. The declared output joins
+    * the vector to a comma string — the driver's hasher cannot sort
+    * array cells (the q149/q188 rule); consumers use the array form. */
   def featureHashing(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cells = Tables.documents(s, dir)
@@ -1770,8 +1772,9 @@ object LlmOps {
       .agg(map_from_entries(sort_array(collect_list(struct($"bucket", $"v"))))
         .as("m"))
       .select($"doc_id",
-        transform(sequence(lit(0), lit(63)),
-          i => coalesce(element_at($"m", i), lit(0L))).as("fvec"))
+        array_join(
+          transform(sequence(lit(0), lit(63)),
+            i => coalesce(element_at($"m", i), lit(0L))), ",").as("fvec"))
       .orderBy($"doc_id")
   }
 
@@ -1780,13 +1783,16 @@ object LlmOps {
     * (ids must be 1..N dense, ordered by frequency): the naive
     * `row_number() OVER (ORDER BY ...)` collapses the dataset onto one
     * reducer at 100 TB, so the declared implementation is the scalable
-    * two-pass form — range-repartition on the total order, rank WITHIN
-    * each partition (parallel windows), add per-partition offsets
-    * derived from a partition-count table that is #partitions rows
-    * (the one driver-side collect this suite allows, documented).
-    * The output is INVARIANT to RangePartitioner's sampled boundaries:
-    * within-partition rank + preceding-partition counts = global rank
-    * wherever the cuts land. Oracle = the single-window definition. */
+    * two-pass form — range-repartition on the total order, PIN the
+    * partitioned result with localCheckpoint (RangePartitioner samples
+    * boundaries per job, so without pinning the offsets job and the
+    * ranks job could see DIFFERENT cuts and emit non-dense ids), rank
+    * WITHIN each partition (parallel windows), and add per-partition
+    * offsets computed in-plan as a running sum over the #partitions-row
+    * pid-count table (a single-partition window over ~8 rows — no
+    * driver collect anywhere). The output is INVARIANT to wherever the
+    * sampled cuts land: within-partition rank + preceding-partition
+    * counts = global rank. Oracle = the single-window definition. */
   def denseIdAssignment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vocab = Tables.documents(s, dir)
@@ -1796,12 +1802,16 @@ object LlmOps {
       .repartitionByRange(8, $"freq".desc, $"tok".asc)
       .sortWithinPartitions($"freq".desc, $"tok".asc)
       .withColumn("pid", spark_partition_id())
-    val counts = parts.groupBy($"pid").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    // offset(pid) = rows in all preceding partitions (empty-input safe)
-    val offsets = counts.map(_._1)
-      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init).toSeq
-    val offDf = offsets.toDF("pid", "off")
+      .localCheckpoint() // materialize ONCE; offsets + ranks read the same cuts
+    // offset(pid) = rows in all preceding partitions (empty-input safe):
+    // running sum over the pid-count table (#partitions rows, so the
+    // single-partition window is trivially cheap at any corpus scale).
+    val offDf = parts.groupBy($"pid").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum($"n").over(
+          Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select($"pid", $"off")
     val wPart = Window.partitionBy($"pid").orderBy($"freq".desc, $"tok".asc)
     parts
       .withColumn("rn", row_number().over(wPart).cast("long"))
@@ -1887,8 +1897,8 @@ object LlmOps {
          |  FROM cells GROUP BY doc_id
          |)
          |SELECT doc_id,
-         |       list_transform(range(0, 64),
-         |         i -> coalesce(m[CAST(i AS INT)][1], CAST(0 AS BIGINT))) AS fvec
+         |       array_to_string(list_transform(range(0, 64),
+         |         i -> coalesce(m[CAST(i AS INT)][1], CAST(0 AS BIGINT))), ',') AS fvec
          |FROM maps
          |ORDER BY doc_id""".stripMargin,
     "q163_hard_negatives" ->

@@ -192,15 +192,18 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
-  /** As-of join with a staleness TOLERANCE — the bounded form feature
-    * stores require: a match older than the budget is WORSE than no
-    * match (training on stale features silently poisons a model, so the
-    * operator must surface staleness as a first-class outcome, not hide
-    * it). Same merge formulation (and cost) as q07 — one union, one
-    * window — plus a per-row day-lag gate: beyond-tolerance matches
-    * degrade to -1 sentinels with the lag preserved for the staleness
-    * census. The 9400-day budget is calibrated to split the fixture
-    * (orders 1995-2001 vs events 2024, lags 8190-10592 days). */
+  /** FORWARD as-of join with a lag TOLERANCE — q07's inclusive forward
+    * merge (first event at-or-after each order ts) plus a bound on HOW
+    * FAR forward the match may be: a match further ahead than the
+    * budget degrades to a -1 sentinel with the lag preserved, so
+    * out-of-window pairings are surfaced as a first-class outcome
+    * rather than silently merged. (This is the forward-direction
+    * analogue of a feature store's backward staleness bound — here the
+    * lag is POSITIVE: the matched event postdates the order.) Same
+    * merge formulation (and cost) as q07 — one union, one window —
+    * plus the per-row day-lag gate. The 9400-day budget is calibrated
+    * to split the fixture (orders 1995-2001 vs events 2024, lags
+    * 8190-10592 days). */
   def asofJoinTolerance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir).select(
@@ -692,10 +695,12 @@ object Relational {
       .orderBy($"key_missing")
   }
 
-  /** Forward as-of join — "first event STRICTLY AFTER the order date per
-    * customer", the time-reversed twin of [[asofJoin]] (q07 merges the
-    * latest-or-equal event; this merges the next one). Same join-free
-    * sorted-merge shape: union both sides on (uid, ts), one window pass.
+  /** Strict-forward as-of join — "first event STRICTLY AFTER the order
+    * date per customer", the exclusive-boundary twin of [[asofJoin]]
+    * (q07 merges the first event AT-OR-AFTER the order ts — inclusive
+    * boundary; this excludes the exact-ts event and merges the next
+    * strictly-later one). Same join-free sorted-merge shape: union both
+    * sides on (uid, ts), one window pass.
     * Strictness comes from the SORT + FRAME pair: same-ts events sort
     * BEFORE the order row (`event_id ASC NULLS LAST` — non-null ids
     * first), and the frame starts at 1 FOLLOWING, so an event at exactly

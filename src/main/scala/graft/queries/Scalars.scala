@@ -506,13 +506,15 @@ object Scalars {
     * is replace-ALL by default — the DuckDB twin needs the explicit 'g'
     * flag; `regexp_count` has no DuckDB spelling, so the twin counts via
     * `len(regexp_extract_all)`; both engines return '' (not NULL) for a
-    * non-matching `regexp_extract`. */
+    * non-matching `regexp_extract`. The match list is pipe-joined to a
+    * scalar string for the declared output — the driver's hasher cannot
+    * sort array cells (the q149/q188 rule). */
   def regexFns(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.part(s, dir)
       .select(
         $"p_partkey",
-        regexp_extract_all($"p_name", lit("[a-z]+"), lit(0)).as("words"),
+        array_join(regexp_extract_all($"p_name", lit("[a-z]+"), lit(0)), "|").as("words"),
         regexp_count($"p_name", lit("d")).as("n_d"),
         $"p_name".rlike("t$").as("ends_t"),
         regexp_extract($"p_brand", "([0-9]+)", 1).as("brand_num"),
@@ -550,7 +552,9 @@ object Scalars {
     * family. Spark's set ops keep FIRST-OCCURRENCE order, so both inputs
     * are pre-sorted distinct arrays — the results are then order-canonical
     * and the DuckDB twin (whose list_intersect makes no order promise)
-    * re-sorts explicitly. Pure projection, zero shuffle. */
+    * re-sorts explicitly. Pure projection, zero shuffle. Every list
+    * result is pipe-joined to a scalar string for the declared output —
+    * the driver's hasher cannot sort array cells (the q149/q188 rule). */
   def arraySetFns(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -559,13 +563,13 @@ object Scalars {
       .withColumn("b", slice($"ws", greatest(size($"ws") - 4, lit(1)), lit(5)))
       .select(
         $"doc_id",
-        sort_array(array_union($"a", $"b")).as("ab_union"),
-        sort_array(array_intersect($"a", $"b")).as("ab_inter"),
-        sort_array(array_except($"a", $"b")).as("a_minus_b"),
+        array_join(sort_array(array_union($"a", $"b")), "|").as("ab_union"),
+        array_join(sort_array(array_intersect($"a", $"b")), "|").as("ab_inter"),
+        array_join(sort_array(array_except($"a", $"b")), "|").as("a_minus_b"),
         arrays_overlap($"a", $"b").as("overlaps"),
-        array_compact(array(lit("x"), lit(null), lit("y"))).as("compacted"),
-        array_insert($"a", lit(1), lit("zz_first")).as("inserted"),
-        array_prepend($"b", lit("aa_head")).as("prepended"))
+        array_join(array_compact(array(lit("x"), lit(null), lit("y"))), "|").as("compacted"),
+        array_join(array_insert($"a", lit(1), lit("zz_first")), "|").as("inserted"),
+        array_join(array_prepend($"b", lit("aa_head")), "|").as("prepended"))
       .orderBy($"doc_id")
   }
 
@@ -600,13 +604,13 @@ object Scalars {
   val oracles: Map[String, String] = Map(
     "q170_fn_array_set" ->
       """SELECT doc_id,
-        |       list_sort(list_distinct(list_cat(a, b))) AS ab_union,
-        |       list_sort(list_filter(a, x -> list_contains(b, x))) AS ab_inter,
-        |       list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS a_minus_b,
+        |       coalesce(array_to_string(list_sort(list_distinct(list_cat(a, b))), '|'), '') AS ab_union,
+        |       coalesce(array_to_string(list_sort(list_filter(a, x -> list_contains(b, x))), '|'), '') AS ab_inter,
+        |       coalesce(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), '|'), '') AS a_minus_b,
         |       len(list_filter(a, x -> list_contains(b, x))) > 0 AS overlaps,
-        |       ['x', 'y'] AS compacted,
-        |       list_prepend('zz_first', a) AS inserted,
-        |       list_prepend('aa_head', b) AS prepended
+        |       'x|y' AS compacted,
+        |       coalesce(array_to_string(list_prepend('zz_first', a), '|'), '') AS inserted,
+        |       coalesce(array_to_string(list_prepend('aa_head', b), '|'), '') AS prepended
         |FROM (
         |  SELECT doc_id, ws[1:5] AS a,
         |         ws[greatest(len(ws) - 4, 1):greatest(len(ws) - 4, 1) + 4] AS b
@@ -615,7 +619,7 @@ object Scalars {
         |ORDER BY doc_id""".stripMargin,
     "q142_fn_regex" ->
       """SELECT p_partkey,
-        |       regexp_extract_all(p_name, '[a-z]+') AS words,
+        |       coalesce(array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|'), '') AS words,
         |       CAST(len(regexp_extract_all(p_name, 'd')) AS INT) AS n_d,
         |       regexp_matches(p_name, 't$') AS ends_t,
         |       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,

@@ -419,44 +419,6 @@ object Sources {
          |FROM orders
          |GROUP BY 1
          |ORDER BY prio_missing""".stripMargin,
-    // interval-merge twin at MICROSECOND precision (the merge compare must
-    // run on the exact event time — floored-seconds comparisons split or
-    // merge one session per ~gap-boundary event, which the sf0.01/sf1 row
-    // counts exposed in both directions). Half-open: ts == end starts a
-    // new session. Session end = max interval end within the session.
-    "q177_session_dynamic_gap" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_id,
-        |         CASE WHEN event_type = 'purchase' THEN 3600 ELSE 600 END AS gap_s
-        |  FROM events
-        |),
-        |marked AS (
-        |  SELECT user_id, ts, event_id, gap_s,
-        |         CASE WHEN max(end_us) OVER (PARTITION BY user_id
-        |                ORDER BY ts ASC, event_id ASC
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-        |              OR epoch_us(date_trunc('microseconds', ts)) >=
-        |                 max(end_us) OVER (PARTITION BY user_id
-        |                   ORDER BY ts ASC, event_id ASC
-        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |              THEN 1 ELSE 0 END AS new_sess
-        |  FROM (SELECT user_id, ts, event_id, gap_s,
-        |               epoch_us(date_trunc('microseconds', ts)) + CAST(gap_s AS BIGINT) * 1000000 AS end_us
-        |        FROM ev)
-        |),
-        |sess AS (
-        |  SELECT user_id, ts, gap_s,
-        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-        |  FROM marked
-        |)
-        |SELECT user_id,
-        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start_s,
-        |       max(CAST(floor(epoch(ts)) AS BIGINT) + gap_s) AS sess_end_s,
-        |       count(*) AS n_events
-        |FROM sess
-        |GROUP BY user_id, sess_id
-        |ORDER BY user_id, sess_start_s""".stripMargin,
     "q139_fn_file_metadata" ->
       """SELECT 'lineitem.parquet' AS fname,
         |       count(*) AS n_rows,

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
 /** Smoke: every declared query runs at sf0.001 and the flagship returns
   * rows (the driver's t1 check). Correctness is the DuckDB oracle gate
   * (driver t2 / tools/check.py), not this suite. */
@@ -19,6 +21,17 @@ class QueriesSmokeSpec extends SparkSpec {
       val n = df.count()
       assert(n >= 0)
       assert(df.columns.distinct.length === df.columns.length, "duplicate column names break the oracle compare")
+      // Scalar-outputs-only rule (the q149/q142/q170/q180 lesson): the
+      // driver lexsorts the result frame before hashing, and pandas cannot
+      // sort array/map/struct cells — any nested output type errs in the
+      // correctness gate. Declared queries must array_join/to_json nested
+      // values into scalars in the final projection.
+      val nested = df.schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      })
+      assert(nested.isEmpty,
+        s"declared output must be scalar-only (driver hash safety); nested columns: ${nested.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
     }
   }
 }

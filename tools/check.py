@@ -35,6 +35,18 @@ for name in sorted(oracle):
         continue
     s = spark_df[sorted(spark_df.columns)]
     d = duck_df[sorted(duck_df.columns)]
+    # Driver parity: the driver lexsorts the whole frame before hashing,
+    # which raises TypeError on array/map/struct cells (unhashable
+    # numpy.ndarray). Sorting here makes nested-typed outputs fail
+    # locally exactly as they do in the driver (the q142/q170/q180
+    # escape: ORDER BY made unsorted stringify-compares pass locally).
+    try:
+        s = s.sort_values(list(s.columns), kind="mergesort").reset_index(drop=True)
+        d = d.sort_values(list(d.columns), kind="mergesort").reset_index(drop=True)
+    except Exception as e:
+        print(f"FAIL {name}: driver-style lexsort failed (nested output type?): {e}")
+        fails.append(name)
+        continue
     if list(s.columns) != list(d.columns):
         print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
         fails.append(name)
