@@ -25,6 +25,11 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // UTC like every other entry point: the NTZ fallback in
+      // Tables.readEvents casts wall-clock NTZ to session-zone LTZ, so a
+      // non-UTC session zone would shift event timestamps and change the
+      // session/as-of workloads being timed.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1802,7 +1802,11 @@ object LlmOps {
       .repartitionByRange(8, $"freq".desc, $"tok".asc)
       .sortWithinPartitions($"freq".desc, $"tok".asc)
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint() // materialize ONCE; offsets + ranks read the same cuts
+      // Lazy checkpoint: still pins a SINGLE materialization of the sampled
+      // range cuts at first action (offsets + ranks then read the same
+      // cuts), but plan-only consumers (ExplainAudit, tests that never
+      // run the query) no longer pay an eager full-pipeline execution.
+      .localCheckpoint(eager = false)
     // offset(pid) = rows in all preceding partitions (empty-input safe):
     // running sum over the pid-count table (#partitions rows, so the
     // single-partition window is trivially cheap at any corpus scale).

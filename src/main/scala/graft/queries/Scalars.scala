@@ -514,7 +514,7 @@ object Scalars {
     Tables.part(s, dir)
       .select(
         $"p_partkey",
-        array_join(regexp_extract_all($"p_name", lit("[a-z]+"), lit(0)), "|").as("words"),
+        coalesce(array_join(regexp_extract_all($"p_name", lit("[a-z]+"), lit(0)), "|"), lit("")).as("words"),
         regexp_count($"p_name", lit("d")).as("n_d"),
         $"p_name".rlike("t$").as("ends_t"),
         regexp_extract($"p_brand", "([0-9]+)", 1).as("brand_num"),
@@ -563,13 +563,13 @@ object Scalars {
       .withColumn("b", slice($"ws", greatest(size($"ws") - 4, lit(1)), lit(5)))
       .select(
         $"doc_id",
-        array_join(sort_array(array_union($"a", $"b")), "|").as("ab_union"),
-        array_join(sort_array(array_intersect($"a", $"b")), "|").as("ab_inter"),
-        array_join(sort_array(array_except($"a", $"b")), "|").as("a_minus_b"),
+        coalesce(array_join(sort_array(array_union($"a", $"b")), "|"), lit("")).as("ab_union"),
+        coalesce(array_join(sort_array(array_intersect($"a", $"b")), "|"), lit("")).as("ab_inter"),
+        coalesce(array_join(sort_array(array_except($"a", $"b")), "|"), lit("")).as("a_minus_b"),
         arrays_overlap($"a", $"b").as("overlaps"),
         array_join(array_compact(array(lit("x"), lit(null), lit("y"))), "|").as("compacted"),
-        array_join(array_insert($"a", lit(1), lit("zz_first")), "|").as("inserted"),
-        array_join(array_prepend($"b", lit("aa_head")), "|").as("prepended"))
+        coalesce(array_join(array_insert($"a", lit(1), lit("zz_first")), "|"), lit("")).as("inserted"),
+        coalesce(array_join(array_prepend($"b", lit("aa_head")), "|"), lit("")).as("prepended"))
       .orderBy($"doc_id")
   }
 

@@ -40,9 +40,21 @@ for name in sorted(oracle):
     # numpy.ndarray). Sorting here makes nested-typed outputs fail
     # locally exactly as they do in the driver (the q142/q170/q180
     # escape: ORDER BY made unsorted stringify-compares pass locally).
+    # Float columns are ROUNDED for the sort key only: two engines can
+    # agree to 1e-9 but differ in the last bits, and a float acting as a
+    # tie-breaker would then order rows differently per engine and the
+    # positional compare below would report spurious mismatches.
+    def sort_key_frame(df):
+        k = df.copy()
+        for c in k.columns:
+            if k[c].dtype.kind == "f":
+                k[c] = k[c].round(6)
+        return k
     try:
-        s = s.sort_values(list(s.columns), kind="mergesort").reset_index(drop=True)
-        d = d.sort_values(list(d.columns), kind="mergesort").reset_index(drop=True)
+        s = s.loc[sort_key_frame(s).sort_values(
+            list(s.columns), kind="mergesort").index].reset_index(drop=True)
+        d = d.loc[sort_key_frame(d).sort_values(
+            list(d.columns), kind="mergesort").index].reset_index(drop=True)
     except Exception as e:
         print(f"FAIL {name}: driver-style lexsort failed (nested output type?): {e}")
         fails.append(name)
