@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.Tables
@@ -380,6 +381,161 @@ object Sources {
       .orderBy($"fname")
   }
 
+  /** The reference's CORE — the R9–R18 HTML-extract path
+    * (`/root/reference/download_lambda.py:87-119`) — under the driver's
+    * hard signal: listing-card HTML is synthesized IN-PLAN from fixture
+    * columns (fixtures carry no HTML — the q74 synthesis pattern), pages
+    * are exploded back into typed rows by the `graft_extract_listings`
+    * Generator (`functions/ExtractListings.scala`), and the result is
+    * censused per barrio. The synthesis deliberately exercises the
+    * BS4-faithful corners the golden specs pin:
+    *   - attribute quote style rotates per row (double / single /
+    *     unquoted — all legal HTML, all parsed by BS4's html.parser);
+    *   - a decoy `listing-card__content-extra` div must NOT open a card
+    *     (class matching is per-TOKEN, never substring);
+    *   - some cards carry a multi-token class attr ("card featured
+    *     listing-card__content") — token matching again;
+    *   - the price span nests a <b> (get_text concatenates STRIPPED text
+    *     nodes: "$ <b>123</b>" → "$123");
+    *   - every 13th card puts a bedrooms <p> with NO content attr BEFORE
+    *     a well-formed one — BS4's `find` semantics say the first match
+    *     decides, so the value must be None, not 3;
+    *   - every 11th card omits the bathrooms <p> entirely (miss → None).
+    * The ORACLE inverts none of this: DuckDB computes the same census
+    * DIRECTLY from the fixture columns, so an extraction bug on the
+    * Spark side diverges from an independently-derived answer instead of
+    * being mirrored by a twin regex. Scale: card synthesis and the parse
+    * are map-side; pages shuffle once on page id (page count grows with
+    * the data — 50 cards/page, never a fixed group count), the census
+    * once on barrio. All numeric census measures are exact integers
+    * (mts2 is synthesized as exact half-integers and folded as 2×mts2). */
+  def extractListingsCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+      .select(
+        $"c_custkey",
+        trim($"n_name").as("barrio"),
+        (($"c_custkey" * 7919) % 900000 + 100000).as("price"),
+        ($"c_custkey" % 5 + 1).as("hab"),
+        ($"c_custkey" % 3 + 1).as("ban"),
+        (($"c_custkey" % 240 + 60) / lit(2.0)).as("mts2"),
+        expr("c_custkey DIV 50").as("page"))
+    // content attribute in one of the three legal quote styles (values are
+    // digit-only, so the unquoted form is well-formed HTML)
+    def attr(v: Column): Column = {
+      val mode = $"c_custkey" % 3
+      when(mode === 0, concat(lit("content=\""), v, lit("\"")))
+        .when(mode === 1, concat(lit("content='"), v, lit("'")))
+        .otherwise(concat(lit("content="), v))
+    }
+    val cls = when($"c_custkey" % 7 === 0,
+      lit("card featured listing-card__content"))
+      .otherwise(lit("listing-card__content"))
+    val card = concat(
+      lit("<div class=\""), cls, lit("\">"),
+      lit("<div class=\"listing-card__location__geo\"> "), $"barrio",
+      lit(" </div>"),
+      lit("<div class=\"listing-card__content-extra\">decoy</div>"),
+      lit("<span class=\"price__actual\">$ <b>"), $"price",
+      lit("</b></span>"),
+      when($"c_custkey" % 13 === 0,
+        concat(lit("<p data-test=\"bedrooms\"></p><p data-test=\"bedrooms\" "),
+          attr($"hab"), lit("></p>")))
+        .otherwise(concat(lit("<p data-test=\"bedrooms\" "), attr($"hab"),
+          lit("></p>"))),
+      when($"c_custkey" % 11 === 0, lit(""))
+        .otherwise(concat(lit("<p data-test=\"bathrooms\" "), attr($"ban"),
+          lit("></p>"))),
+      lit("<p data-test=\"floor-area\" "), attr($"mts2"), lit("></p>"),
+      lit("</div>"))
+    val pages = rows
+      .select($"page", card.as("card"))
+      .groupBy($"page")
+      .agg(concat_ws("", collect_list($"card")).as("html"))
+      .select(
+        concat(lit("fotocasa_"),
+          date_format(date_add(to_date(lit("2024-01-01")),
+            ($"page" % 28).cast("int")), "yyyy-MM-dd"),
+          lit(".html")).as("file"),
+        $"html")
+    pages
+      .selectExpr("graft_extract_listings(file, html)")
+      .groupBy($"Barrio")
+      .agg(
+        count(lit(1)).as("n_listings"),
+        countDistinct($"FechaDescarga").as("n_days"),
+        sum(regexp_replace($"Valor", "[^0-9]", "").cast("long")).as("sum_price"),
+        sum($"NumHabitaciones".cast("long")).as("sum_hab"),
+        count($"NumBanos").as("n_with_banos"),
+        sum($"NumBanos".cast("long")).as("sum_banos"),
+        sum(($"mts2" * 2).cast("long")).as("sum_half_m2"))
+      .orderBy($"Barrio")
+  }
+
+  /** transformWithState — the modern arbitrary-state streaming API —
+    * under the driver's hard signal: the batch twin of
+    * [[graft.streaming.Streams.userTotalsTws]]. Events are split into
+    * three deterministic chunks (event_id % 3) and replayed as three
+    * SEPARATE AvailableNow runs against ONE checkpoint, so the
+    * RocksDB-backed value state must survive query restarts exactly as a
+    * long-lived deployment's does (chunk boundaries live in the DATA, not
+    * in file-listing order — micro-batch membership is reproducible on
+    * any machine). Each run's update-mode emission — one running total
+    * per user seen in that chunk — is materialized by a foreachBatch
+    * parquet sink keyed by (round, batchId): idempotent overwrite, the
+    * exactly-once contract of `incrementalRollup`. Oracle = the per-user
+    * cumulative window sum over the same chunks in DuckDB. Doubles never
+    * reach the compare: the accumulated total collapses to exact integer
+    * cents (the Portable rule) — the ±ulp noise of arrival-order FP
+    * addition inside the processor is orders of magnitude below the
+    * half-cent rounding margin at any fixture scale. */
+  def streamTwsBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Streams
+    val base = stage(dir, "tws") + "/" + java.util.UUID.randomUUID().toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevChecksum = s.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // local-FS test checkpoints don't need corruption detection, and the
+    // checksum manager's async close can deadlock under load (see
+    // StreamsSpec's transformWithState cases)
+    s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    try {
+      (0 until 3).foreach { k =>
+        ev.filter($"event_id" % 3 === k).coalesce(1)
+          .write.mode("append").parquet(inDir)
+        val q = Streams.userTotalsTws(
+            s.readStream.schema(ev.schema).parquet(inDir).as[Streams.Event])
+          .writeStream
+          .outputMode(OutputMode.Update)
+          .foreachBatch((df: Dataset[Streams.UserTotal], id: Long) =>
+            df.write.mode("overwrite").parquet(s"$outDir/round=$k/batch=$id"))
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevChecksum match {
+        case Some(p) => s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", p)
+        case None => s.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+    }
+    s.read.parquet(outDir)
+      .select($"round".cast("int").as("round"), $"user_id", $"n_events",
+        cents($"total_value").as("total_cents"))
+      .orderBy($"round", $"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_fn_file_metadata" -> fileMetadata,
     "q130_orc_roundtrip" -> orcRoundtrip,
@@ -399,10 +555,52 @@ object Sources {
     "q159_stream_right_join_batch" -> streamRightJoinBatch,
     "q177_session_dynamic_gap" -> sessionDynamicGap,
     "q182_dynamic_partition_overwrite" -> dynamicPartitionOverwrite,
-    "q183_merge_schema_read" -> mergeSchemaRead
+    "q183_merge_schema_read" -> mergeSchemaRead,
+    "q191_extract_listings_census" -> extractListingsCensus,
+    "q192_stream_tws_batch" -> streamTwsBatch
   )
 
   val oracles: Map[String, String] = Map(
+    // Independent derivation: the census computed straight from the
+    // fixture columns, never from HTML — a Spark-side extraction bug
+    // cannot be mirrored here.
+    "q191_extract_listings_census" ->
+      """WITH c AS (
+        |  SELECT trim(n_name) AS barrio,
+        |         (c_custkey * 7919) % 900000 + 100000 AS price,
+        |         CASE WHEN c_custkey % 13 = 0 THEN NULL
+        |              ELSE c_custkey % 5 + 1 END AS hab,
+        |         CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |              ELSE c_custkey % 3 + 1 END AS ban,
+        |         c_custkey % 240 + 60 AS half_m2,
+        |         (c_custkey // 50) % 28 AS day
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT barrio AS Barrio,
+        |       count(*) AS n_listings,
+        |       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |       CAST(sum(price) AS BIGINT) AS sum_price,
+        |       CAST(sum(hab) AS BIGINT) AS sum_hab,
+        |       count(ban) AS n_with_banos,
+        |       CAST(sum(ban) AS BIGINT) AS sum_banos,
+        |       CAST(sum(half_m2) AS BIGINT) AS sum_half_m2
+        |FROM c
+        |GROUP BY 1
+        |ORDER BY Barrio""".stripMargin,
+    "q192_stream_tws_batch" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(event_id % 3 AS INT) AS round, user_id, value
+         |  FROM events),
+         |agg AS (
+         |  SELECT round, user_id, count(*) AS n,
+         |         CAST(sum(${centsSql("value")}) AS BIGINT) AS cents
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT round, user_id,
+         |       CAST(sum(n) OVER w AS BIGINT) AS n_events,
+         |       CAST(sum(cents) OVER w AS BIGINT) AS total_cents
+         |FROM agg
+         |WINDOW w AS (PARTITION BY user_id ORDER BY round
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY round, user_id""".stripMargin,
     "q182_dynamic_partition_overwrite" ->
       s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
          |       count(*) AS n,

@@ -317,17 +317,57 @@ class PlanAssertionsSpec extends SparkSpec {
       s"DPP expression missing — fact scan reads every partition:\n$p155")
   }
 
-  test("q181 dense ids rank inside partitions — no single-partition global window") {
-    val p = planOf("q181_dense_id_assignment")
-    // the rank window must partition by spark_partition_id; a refactor to
-    // the naive row_number-over-total-order form would show a Window with
-    // an empty partition spec (the 100 TB one-reducer collapse)
-    assert(p.contains("Window"), "needs the per-partition rank window")
-    assert(p.contains("SPARK_PARTITION_ID") || p.contains("pid"),
-      s"rank window must partition by pid:\n$p")
-    assert(!"windowspecdefinition\\(\\s*[a-z_]+#\\d+L? DESC".r.findAllIn(p.toLowerCase)
-      .exists(_ => p.contains("windowspecdefinition()")),
-      s"global (unpartitioned) window found:\n$p")
+  test("q181 two-pass dense-id shape: global windows only over the bounded pid fold; one pinned range exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.inputPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    // a WindowExec with an EMPTY partition spec funnels its whole input
+    // through one task — admissible only above the per-pid count fold
+    // (≤ #partitions rows), never above the vocab itself (the 100 TB
+    // one-reducer collapse the two-pass operator exists to avoid)
+    def offenders(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] =
+      flatten(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.filterNot { w =>
+        flatten(w.child).exists {
+          case a: BaseAggregateExec =>
+            a.groupingExpressions.exists(_.toString.contains("pid"))
+          case _ => false
+        }
+      }
+    val real = SparkEntry.queries("q181_dense_id_assignment")(spark, sfDir)
+    assert(offenders(real).isEmpty,
+      "vocab-wide single-partition window in the declared q181 plan")
+    // both consumers (offsets fold + rank window) must read the PINNED
+    // checkpoint of the range-partitioned vocab: the range exchange runs
+    // once inside the shared materialization, so the final plan shows the
+    // ExistingRDD scan in both branches and NO rangepartitioning exchange
+    // of its own (a second one would mean the RangePartitioner resampled
+    // cuts per consumer — the non-dense-ids hazard)
+    // (the final orderBy(dense_id) contributes its own, legitimate range
+    // exchange — the hazard is a range exchange on the VOCAB total order)
+    val p = real.queryExecution.executedPlan.toString
+    assert(!"""rangepartitioning\(freq""".r.findFirstIn(p.toLowerCase).isDefined,
+      s"vocab range exchange recomputed downstream of the checkpoint:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"both consumers must read the pinned partitioned vocab:\n$p")
+    // the detector must FIRE on the naive one-reducer formulation —
+    // otherwise this guard is vacuous
+    import spark.implicits._
+    val naive = graft.Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+      .withColumn("dense_id",
+        row_number().over(Window.orderBy($"freq".desc, $"tok".asc)))
+    assert(offenders(naive).nonEmpty,
+      "detector failed to flag row_number() OVER (ORDER BY …) — guard is vacuous")
   }
 
   test("q129 bulk XML path is the single from_xml parse; xpath stays on the probe subset") {
