@@ -181,4 +181,76 @@ class MultimodalSpec extends SparkSpec {
     assert(t.columns.toSet === Set("media_id", "kind", "features", "meta"))
     assert(t.count() === 10)
   }
+
+  test("video payloads are REAL MJPEG-AVIs: RIFF/AVI magic, MJPG fourcc, decodable frames") {
+    val videos = Multimodal.synthesize(spark, 12).filter(_.kind == "video").collect()
+    assert(videos.nonEmpty)
+    videos.foreach { m =>
+      val s = new String(m.bytes.take(12), "US-ASCII")
+      assert(s.startsWith("RIFF") && s.endsWith("AVI "))
+      assert(new String(m.bytes, "US-ASCII").contains("MJPG"))
+      val frames = Multimodal.AviMjpegCodec.tryDecodeFrames(m.bytes)
+      assert(frames.isDefined, s"media ${m.media_id} did not decode")
+      // meta consistency: frame count matches duration at the codec fps,
+      // raster matches meta dims
+      assert(frames.get.length.toLong ===
+        m.meta.durationMs * Multimodal.AviMjpegCodec.Fps / 1000L)
+      assert(frames.get.forall(f =>
+        f.getWidth == m.meta.width && f.getHeight == m.meta.height))
+    }
+  }
+
+  test("video features come from decoded frames: pooled luminance histogram sums to 1") {
+    val avi = Multimodal.AviMjpegCodec.encodeAvi(48, 32, 5, seed = 7L)
+    val frames = Multimodal.AviMjpegCodec.tryDecodeFrames(avi).get
+    assert(frames.length === 5)
+    val f = Multimodal.AviMjpegCodec.features(frames, 16)
+    assert(f.length === 16)
+    assert(math.abs(f.sum - 1.0f) < 1e-3, s"pooled histogram must sum to 1: ${f.sum}")
+    // and the extractFeatures path uses it (differs from the stub's answer)
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "video", avi, Multimodal.MediaMeta("avi", 48, 32, 500L))))
+    val viaOp = Multimodal.extractFeatures(ds, dim = 16).collect().head.features
+    assert(viaOp.sameElements(f))
+    assert(!viaOp.sameElements(Multimodal.StubCodec.features(avi, 16)))
+  }
+
+  test("video frame sampling yields real standalone JPEGs, evenly spaced") {
+    val avi = Multimodal.AviMjpegCodec.encodeAvi(32, 24, 8, seed = 3L)
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRecord(5L, "video", avi, Multimodal.MediaMeta("avi", 32, 24, 800L))))
+    val frames = Multimodal.sampleFrames(ds, 4).collect().sortBy(_.frame_no)
+    assert(frames.length === 4)
+    frames.foreach { fr =>
+      // JPEG SOI marker — each sampled frame is an independently decodable image
+      assert((fr.frame_bytes(0) & 0xff) === 0xff && (fr.frame_bytes(1) & 0xff) === 0xd8)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fr.frame_bytes))
+      assert(img != null && img.getWidth === 32 && img.getHeight === 24)
+    }
+  }
+
+  test("undecodable video bytes fall back to the stub instead of failing") {
+    import spark.implicits._
+    val bogus = spark.createDataset(Seq(
+      Multimodal.MediaRecord(77L, "video", Array[Byte](9, 9, 9, 9, 9),
+        Multimodal.MediaMeta("avi", 8, 8, 0L))))
+    val f = Multimodal.extractFeatures(bogus, dim = 8).collect()
+    assert(f.length === 1 && f.head.features.length === 8)
+    assert(f.head.features.sameElements(
+      Multimodal.StubCodec.features(Array[Byte](9, 9, 9, 9, 9), 8)))
+    val fr = Multimodal.sampleFrames(bogus, 3).collect()
+    assert(fr.length === 3)
+  }
+
+  test("truncated AVI decodes the intact prefix frames, never throws") {
+    val avi = Multimodal.AviMjpegCodec.encodeAvi(32, 24, 6, seed = 11L)
+    // chop mid-way through the movi list: the walker must return the frames
+    // whose chunks are wholly present and stop at the truncation point
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length * 2 / 3)
+    val frames = Multimodal.AviMjpegCodec.tryDecodeFrames(cut)
+    assert(frames.isEmpty || frames.get.length < 6)
+  }
 }
