@@ -983,7 +983,53 @@ object Aggregates {
       .orderBy($"o_custkey")
   }
 
+  /** Pairwise Pearson correlation census across the lineitem measures
+    * (quantity, price cents, discount basis points) per return flag — the
+    * feature-drift / collinearity dashboard every training pipeline keeps.
+    * Spark ships `corr()`, but its double accumulation is shuffle-order
+    * dependent (bits differ run to run at high parallelism), so the
+    * declared form follows the q91 contract instead: EXACT integer moment
+    * sums (decimal(38,0) — products fit 38 digits up to ~10¹¹-row groups
+    * at cents scale), then one identical IEEE op tree per output row:
+    * corr = (n·Sxy − SxSy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)). One hash
+    * agg over the fact (partials collapse to 10 numbers per group), a
+    * 3-row stack per group — dim-sized output at any scale. */
+  def corrCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val d38 = DecimalType(38, 0)
+    val li = Tables.lineitem(s, dir).select(
+      $"l_returnflag",
+      $"l_quantity".cast("long").as("q"),
+      cents($"l_extendedprice").as("p"),
+      floor($"l_discount" * lit(10000.0) + lit(0.5)).cast("long").as("d"))
+    val g = li.groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum($"q").as("sq0"), sum($"p".cast(d38)).as("sp"), sum($"d").as("sd0"),
+      sum(($"q" * $"q").cast(d38)).as("sqq"),
+      sum(($"p" * $"p").cast(d38)).as("spp"),
+      sum(($"d" * $"d").cast(d38)).as("sdd"),
+      sum(($"q" * $"p").cast(d38)).as("sqp"),
+      sum(($"q" * $"d").cast(d38)).as("sqd"),
+      sum(($"p" * $"d").cast(d38)).as("spd"))
+    val n38 = $"n".cast(d38)
+    def corrOf(sxy: Column, sx: Column, sy: Column,
+               sxx: Column, syy: Column): Column =
+      (n38 * sxy - sx * sy).cast(DoubleType) /
+        (sqrt((n38 * sxx - sx * sx).cast(DoubleType)) *
+          sqrt((n38 * syy - sy * sy).cast(DoubleType)))
+    g.select($"l_returnflag", $"n",
+        corrOf($"sqp", $"sq0".cast(d38), $"sp", $"sqq", $"spp").as("c_qty_price"),
+        corrOf($"sqd", $"sq0".cast(d38), $"sd0".cast(d38), $"sqq", $"sdd").as("c_qty_disc"),
+        corrOf($"spd", $"sp", $"sd0".cast(d38), $"spp", $"sdd").as("c_price_disc"))
+      .selectExpr("l_returnflag", "n",
+        "stack(3, 'qty_price', c_qty_price, 'qty_disc', c_qty_disc, " +
+          "'price_disc', c_price_disc) AS (pair, corr)")
+      .orderBy($"l_returnflag", $"pair")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_corr_census" -> corrCensus,
     "q187_agg_multi_pivot" -> multiMeasurePivot,
     "q188_fn_nested_struct_hof" -> nestedStructHof,
     "q185_agg_equidepth_buckets" -> equiDepthBuckets,
@@ -1021,6 +1067,40 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q195_corr_census" ->
+      s"""WITH li AS (SELECT l_returnflag,
+         |                   CAST(l_quantity AS BIGINT) AS q,
+         |                   ${centsSql("l_extendedprice")} AS p,
+         |                   CAST(floor((l_discount) * 10000.0 + 0.5) AS BIGINT) AS d
+         |            FROM lineitem),
+         |g AS (SELECT l_returnflag, count(*) AS n,
+         |             CAST(sum(q) AS HUGEINT) AS sq0,
+         |             CAST(sum(p) AS HUGEINT) AS sp,
+         |             CAST(sum(d) AS HUGEINT) AS sd0,
+         |             sum(CAST(q AS HUGEINT) * q) AS sqq,
+         |             sum(CAST(p AS HUGEINT) * p) AS spp,
+         |             sum(CAST(d AS HUGEINT) * d) AS sdd,
+         |             sum(CAST(q AS HUGEINT) * p) AS sqp,
+         |             sum(CAST(q AS HUGEINT) * d) AS sqd,
+         |             sum(CAST(p AS HUGEINT) * d) AS spd
+         |      FROM li GROUP BY 1),
+         |c AS (SELECT l_returnflag, n,
+         |             CAST(n * sqp - sq0 * sp AS DOUBLE) /
+         |               (sqrt(CAST(n * sqq - sq0 * sq0 AS DOUBLE)) *
+         |                sqrt(CAST(n * spp - sp * sp AS DOUBLE))) AS c_qty_price,
+         |             CAST(n * sqd - sq0 * sd0 AS DOUBLE) /
+         |               (sqrt(CAST(n * sqq - sq0 * sq0 AS DOUBLE)) *
+         |                sqrt(CAST(n * sdd - sd0 * sd0 AS DOUBLE))) AS c_qty_disc,
+         |             CAST(n * spd - sp * sd0 AS DOUBLE) /
+         |               (sqrt(CAST(n * spp - sp * sp AS DOUBLE)) *
+         |                sqrt(CAST(n * sdd - sd0 * sd0 AS DOUBLE))) AS c_price_disc
+         |      FROM g)
+         |SELECT l_returnflag, n, 'qty_price' AS pair, c_qty_price AS corr FROM c
+         |UNION ALL
+         |SELECT l_returnflag, n, 'qty_disc' AS pair, c_qty_disc AS corr FROM c
+         |UNION ALL
+         |SELECT l_returnflag, n, 'price_disc' AS pair, c_price_disc AS corr FROM c
+         |ORDER BY l_returnflag, pair""".stripMargin,
     "q187_agg_multi_pivot" ->
       s"""SELECT o_orderpriority,
          |       count(*) FILTER (o_orderstatus = 'F') AS F_n,

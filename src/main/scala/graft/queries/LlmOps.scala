@@ -1747,6 +1747,41 @@ object LlmOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** Semi-supervised k-NN label voting — the auto-labeling operator a
+    * training-data pipeline runs when a small labeled pool must annotate
+    * a large unlabeled one: every 20th vector plays "unlabeled" probe,
+    * the rest are the labeled corpus; each probe takes its 5 nearest
+    * labeled neighbors by cosine and adopts the majority label (ties →
+    * smallest label — deterministic, like every tie in this suite). The
+    * probe's own held-out label rides along, so the output doubles as a
+    * leave-out accuracy census. Scale shape: the probe pool broadcasts
+    * (q45/q163 contract — the corpus NEVER shuffles), neighbor ranking is
+    * a per-probe window, and the vote is an integer count over ≤k rows
+    * per probe; swap the brute-force candidate pass for the q46 sign-LSH
+    * bucket join or q53's IVF cells when the probe pool outgrows a
+    * broadcast. */
+  def knnLabelVote(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"label".as("true_label"))
+    val corpus = e.filter($"vec_id" % 20 =!= 0)
+      .select($"vec_id".as("vid"), $"label", $"embedding".as("ve"))
+    val wTop = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
+    val wVote = Window.partitionBy($"qid").orderBy($"votes".desc, $"label".asc)
+    broadcast(probes).join(corpus, $"qid" =!= $"vid")
+      .withColumn("cos", cosine(s)($"qe", $"ve"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter($"rn" <= 5)
+      .groupBy($"qid", $"true_label", $"label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("r", row_number().over(wVote))
+      .filter($"r" === 1)
+      .select($"qid", $"label".as("pred_label"), $"votes",
+        $"true_label", ($"label" === $"true_label").as("correct"))
+      .orderBy($"qid")
+  }
+
   /** Feature hashing (the hashing trick / HashingTF shape) — text to a
     * FIXED 64-dim integer vector with signed buckets: bucket = token
     * digest mod 64, sign = digest bit 6, cell = signed count. The
@@ -1829,6 +1864,7 @@ object LlmOps {
     "q180_feature_hashing" -> featureHashing,
     "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
+    "q193_knn_label_vote" -> knnLabelVote,
     "q157_bpe_merges" -> bpeMerges,
     "q156_curation_funnel" -> curationFunnel,
     "q147_quality_gopher" -> qualityGopherRules,
@@ -1905,6 +1941,27 @@ object LlmOps {
          |         i -> coalesce(m[CAST(i AS INT)][1], CAST(0 AS BIGINT))), ',') AS fvec
          |FROM maps
          |ORDER BY doc_id""".stripMargin,
+    "q193_knn_label_vote" ->
+      s"""WITH top AS (
+         |  SELECT qid, true_label, label,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, vid ASC) AS rn
+         |  FROM (
+         |    SELECT p.vec_id AS qid, p.label AS true_label,
+         |           c.vec_id AS vid, c.label AS label,
+         |           ${cosSql("p.embedding", "c.embedding")} AS cos
+         |    FROM (SELECT * FROM embeddings WHERE vec_id % 20 = 0) p
+         |    JOIN (SELECT * FROM embeddings WHERE vec_id % 20 <> 0) c
+         |      ON p.vec_id <> c.vec_id)
+         |), vote AS (
+         |  SELECT qid, true_label, label, count(*) AS votes
+         |  FROM top WHERE rn <= 5 GROUP BY 1, 2, 3)
+         |SELECT qid, label AS pred_label, CAST(votes AS BIGINT) AS votes,
+         |       true_label, label = true_label AS correct
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY votes DESC, label ASC) AS r FROM vote)
+         |WHERE r = 1
+         |ORDER BY qid""".stripMargin,
     "q163_hard_negatives" ->
       s"""SELECT qid, CAST(rn AS INT) AS rn, vid, cos FROM (
          |  SELECT qid, vid, cos,

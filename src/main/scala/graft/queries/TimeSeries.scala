@@ -222,7 +222,43 @@ object TimeSeries {
       .orderBy($"mon")
   }
 
+  /** Rolling z-score anomaly detection over the daily event-count series —
+    * the metrics-pipeline alerting shape — with the 3σ test carried out
+    * ENTIRELY in integer arithmetic so the flag is bit-portable: for a
+    * trailing window of n days with sum S and sum-of-squares SS,
+    * |x − μ| > 3σ  ⟺  (n·x − S)² > 9·(n·SS − S²), which never forms a
+    * float. (The naive stddev_samp route computes σ as a double whose
+    * last bits depend on accumulation order — a flag that flips between
+    * engines, or between runs at different parallelism, is an alert
+    * pipeline bug.) The window is the 7 STRICTLY PRECEDING days (the
+    * current day must not contaminate its own baseline) and only
+    * full-history days are emitted. One shuffle to the (type, day) agg —
+    * dim-sized — then per-type windows; at any fact scale the series
+    * table is |types| × |days| rows. At extreme daily counts (≥ ~10⁹)
+    * the squares outgrow BIGINT: promote the comparison to decimal(38,0)
+    * / HUGEINT on both sides — same op tree, same exactness. */
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("win_n", count($"n").over(w))
+      .withColumn("ss", sum($"n").over(w))
+      .withColumn("sq", sum($"n" * $"n").over(w))
+      .filter($"win_n" === 7)
+      .withColumn("dev", lit(7L) * $"n" - $"ss")
+      .select($"event_type", $"day", $"n",
+        ($"dev" * $"dev" > lit(9L) * (lit(7L) * $"sq" - $"ss" * $"ss"))
+          .as("is_anomaly"))
+      .orderBy($"event_type", $"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_anomaly_zscore" -> anomalyZscore,
     "q173_period_over_period" -> periodOverPeriod,
     "q172_first_touch_attribution" -> firstTouchAttribution,
     "q164_retention_cohorts" -> retentionCohorts,
@@ -233,6 +269,22 @@ object TimeSeries {
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "q194_anomaly_zscore" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), win AS (
+        |  SELECT event_type, day, n,
+        |         count(n) OVER w AS win_n,
+        |         sum(n) OVER w AS ss,
+        |         sum(n * n) OVER w AS sq
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n,
+        |       (7 * n - ss) * (7 * n - ss) > 9 * (7 * sq - ss * ss) AS is_anomaly
+        |FROM win WHERE win_n = 7
+        |ORDER BY event_type, day""".stripMargin,
     "q173_period_over_period" ->
       s"""WITH monthly AS (
          |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
