@@ -1028,7 +1028,33 @@ object Aggregates {
       .orderBy($"l_returnflag", $"pair")
   }
 
+  /** Key-skew census — the shuffle-planning diagnostic behind every
+    * salting decision in this library (q59/q60 salt, AQE skew-join
+    * splits): per join key, bucket the key's row count by its binary
+    * MAGNITUDE (bucket = ⌊log₂ cnt⌋) and report keys/rows per bucket.
+    * The log₂ is computed as `length(bin(cnt)) − 1` — pure integer/string
+    * ops, because IEEE `log(2^k)/log(2)` lands a hair under k and floors
+    * to k−1 on exact powers, flipping bucket boundaries between engines.
+    * Two keys censused side by side: l_orderkey (bounded fan-out ≤ 7 —
+    * healthy) vs l_suppkey (hundreds of rows per key — the profile that
+    * says "salt this or let AQE split it"). Per-key agg + a ≤64-row
+    * bucket fold: the profile of a 100 TB shuffle costs one map-side
+    * combine pass. */
+  def skewCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def census(df: DataFrame, keyCol: String): DataFrame = df
+      .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", (length(bin($"cnt")) - 1).cast("int"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_keys"), sum($"cnt").as("n_rows"))
+      .select(lit(keyCol).as("key_col"), $"bucket", $"n_keys", $"n_rows")
+    val li = Tables.lineitem(s, dir)
+    census(li, "l_orderkey").unionAll(census(li, "l_suppkey"))
+      .orderBy($"key_col", $"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_skew_census" -> skewCensus,
     "q195_corr_census" -> corrCensus,
     "q187_agg_multi_pivot" -> multiMeasurePivot,
     "q188_fn_nested_struct_hof" -> nestedStructHof,
@@ -1067,6 +1093,19 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q198_skew_census" ->
+      """WITH ko AS (SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |ks AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |co AS (SELECT 'l_orderkey' AS key_col,
+        |              CAST(length(bin(cnt)) - 1 AS INT) AS bucket,
+        |              count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows
+        |       FROM ko GROUP BY 1, 2),
+        |cs AS (SELECT 'l_suppkey' AS key_col,
+        |              CAST(length(bin(cnt)) - 1 AS INT) AS bucket,
+        |              count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows
+        |       FROM ks GROUP BY 1, 2)
+        |SELECT * FROM co UNION ALL SELECT * FROM cs
+        |ORDER BY key_col, bucket""".stripMargin,
     "q195_corr_census" ->
       s"""WITH li AS (SELECT l_returnflag,
          |                   CAST(l_quantity AS BIGINT) AS q,

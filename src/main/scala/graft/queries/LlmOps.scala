@@ -1684,18 +1684,25 @@ object LlmOps {
     * identically in both engines ('a a a' merges once). Each round is a
     * vocab-bounded agg + a 1-row broadcast back; nothing about the
     * corpus re-shuffles, so 100 TB costs one word-count pass. */
-  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+  /** Shared BPE machinery for q157 (training census) and q196 (encode
+    * census): the checkpointed (word, freq, spaced-segmentation) dict,
+    * pair counting, top-pair selection, and the literal-replace merge
+    * application whose non-overlapping left-to-right semantics IS BPE's
+    * greedy rule (identical in both engines). */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // localCheckpoint: the dict is referenced by both merge rounds — cut
     // lineage so the corpus word-count really runs ONCE (q76's pattern)
-    val vocab = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(explode(TextOps.tokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .withColumn("seg", concat(lit(" "),
         regexp_replace($"w", "(.)", "$1 ")))
       .localCheckpoint()
-    def pairCounts(v: DataFrame): DataFrame = v
-      .withColumn("syms", split(trim($"seg"), " "))
+  }
+  private def bpePairCounts(v: DataFrame): DataFrame = {
+    import v.sparkSession.implicits._
+    v.withColumn("syms", split(trim($"seg"), " "))
       // sequence(1, 0) DESCENDS in Spark — guard the single-symbol words
       // (explode of the empty array drops them, matching DuckDB's range)
       .select($"freq", explode(
@@ -1705,22 +1712,56 @@ object LlmOps {
           .otherwise(array())
       ).as("pair"))
       .groupBy($"pair").agg(sum($"freq").as("cnt"))
-    def topPair(pc: DataFrame): DataFrame = pc
-      .orderBy($"cnt".desc, $"pair".asc).limit(1)
+  }
+  private def bpeTopPair(pc: DataFrame): DataFrame = {
+    import pc.sparkSession.implicits._
+    pc.orderBy($"cnt".desc, $"pair".asc).limit(1)
       .select($"pair".as("top_pair"), $"cnt".as("top_cnt"))
-    def applyMerge(v: DataFrame, top: DataFrame): DataFrame = v
-      .crossJoin(broadcast(top))
+  }
+  private def bpeApplyMerge(v: DataFrame, top: DataFrame): DataFrame = {
+    import v.sparkSession.implicits._
+    v.crossJoin(broadcast(top))
       .withColumn("seg", expr(
         "replace(seg, ' ' || top_pair || ' ', ' ' || replace(top_pair, ' ', '') || ' ')"))
       .select($"w", $"freq", $"seg")
-    val top1 = topPair(pairCounts(vocab))
-    val vocab2 = applyMerge(vocab, top1)
-    val top2 = topPair(pairCounts(vocab2))
+  }
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = bpeVocab(s, dir)
+    val top1 = bpeTopPair(bpePairCounts(vocab))
+    val vocab2 = bpeApplyMerge(vocab, top1)
+    val top2 = bpeTopPair(bpePairCounts(vocab2))
     top1.select(lit(1).as("round"), $"top_pair".as("pair"),
         regexp_replace($"top_pair", " ", "").as("merged"), $"top_cnt".as("cnt"))
       .unionAll(top2.select(lit(2).as("round"), $"top_pair".as("pair"),
         regexp_replace($"top_pair", " ", "").as("merged"), $"top_cnt".as("cnt")))
       .orderBy($"round")
+  }
+
+  /** BPE ENCODE — the inference half q157 trains: apply both learned
+    * merges to the dictionary and census the resulting subword
+    * vocabulary (per symbol: total corpus occurrences weighted by word
+    * frequency, and how many distinct surface forms contain it). This is
+    * the tokenizer-deployment shape: encoding touches the VOCABULARY
+    * (bounded), never re-shuffles the corpus — tokenizing 100 TB costs
+    * the one word-count pass plus an O(|vocab|·|merges|) replay, which
+    * is why real tokenizers ship merge lists, not segmentations. Oracle
+    * = the identical merge replay + unnest census in DuckDB (formulation
+    * twin, the q157 contract). */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = bpeVocab(s, dir)
+    val top1 = bpeTopPair(bpePairCounts(vocab))
+    val vocab2 = bpeApplyMerge(vocab, top1)
+    val top2 = bpeTopPair(bpePairCounts(vocab2))
+    val vocab3 = bpeApplyMerge(vocab2, top2)
+    vocab3
+      .select($"w", $"freq", explode(split(trim($"seg"), " ")).as("sym"))
+      .groupBy($"sym")
+      .agg(sum($"freq").as("n_occurrences"),
+        countDistinct($"w").as("n_words"))
+      .orderBy($"sym")
   }
 
   /** Hard-negative mining for contrastive training — for each probe
@@ -1865,6 +1906,7 @@ object LlmOps {
     "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
     "q193_knn_label_vote" -> knnLabelVote,
+    "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q156_curation_funnel" -> curationFunnel,
     "q147_quality_gopher" -> qualityGopherRules,
@@ -1975,6 +2017,49 @@ object LlmOps {
          |  WHERE cos >= 0.15 AND cos < 0.45
          |) WHERE rn <= 2
          |ORDER BY qid, rn""".stripMargin,
+    "q196_bpe_encode" ->
+      s"""WITH vocab AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         |         ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  GROUP BY w
+         |),
+         |pc1 AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |                        i -> syms[i] || ' ' || syms[i + 1])) AS pair
+         |    FROM (SELECT freq, string_split(trim(seg), ' ') AS syms FROM vocab))
+         |  GROUP BY pair
+         |),
+         |top1 AS (SELECT pair AS top_pair FROM pc1
+         |         ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |vocab2 AS (
+         |  SELECT w, freq,
+         |         replace(seg, ' ' || top_pair || ' ',
+         |                 ' ' || replace(top_pair, ' ', '') || ' ') AS seg
+         |  FROM vocab, top1
+         |),
+         |pc2 AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |                        i -> syms[i] || ' ' || syms[i + 1])) AS pair
+         |    FROM (SELECT freq, string_split(trim(seg), ' ') AS syms FROM vocab2))
+         |  GROUP BY pair
+         |),
+         |top2 AS (SELECT pair AS top_pair FROM pc2
+         |         ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |vocab3 AS (
+         |  SELECT w, freq,
+         |         replace(seg, ' ' || top_pair || ' ',
+         |                 ' ' || replace(top_pair, ' ', '') || ' ') AS seg
+         |  FROM vocab2, top2
+         |)
+         |SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occurrences,
+         |       count(DISTINCT w) AS n_words
+         |FROM (SELECT w, freq, unnest(string_split(trim(seg), ' ')) AS sym
+         |      FROM vocab3)
+         |GROUP BY sym
+         |ORDER BY sym""".stripMargin,
     "q157_bpe_merges" ->
       s"""WITH vocab AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
