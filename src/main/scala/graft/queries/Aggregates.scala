@@ -1053,7 +1053,46 @@ object Aggregates {
       .orderBy($"key_col", $"bucket")
   }
 
+  /** Benford first-digit audit — the forensic-accounting screen for
+    * fabricated or truncated numeric data: the first significant digit of
+    * naturally occurring amounts follows log10(1 + 1/d), and a ledger that
+    * deviates hard is worth a look. Amounts are first made exact (the q1
+    * cents contract), the leading digit is string-extraction (no float
+    * log10, whose edge behavior at exact powers differs per libm), and
+    * the digit census is a 9-row map-side aggregate at any scale. The
+    * expected Benford shares are DOUBLE LITERALS repeated verbatim in the
+    * oracle — both engines parse the same decimal string to the same
+    * IEEE double, so observed − expected is bit-deterministic. The only
+    * shuffle is the 9-group partial-agg collapse. */
+  /** log10(1 + 1/d) for d = 1..9, as the double literals shared verbatim
+    * with the q201 oracle SQL. */
+  private val BenfordShares: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Scala double literals (not SQL-text decimals): a bare 0.30102… in
+    // either engine's SQL parses as DECIMAL and the decimal→double
+    // promotion paths diverge in the last bit. lit(Double) on this side
+    // and CAST(… AS DOUBLE) in the oracle both take the
+    // nearest-double-of-the-decimal-string route — bitwise identical.
+    val expected = array(BenfordShares.map(lit): _*)
+    Tables.orders(s, dir)
+      .select(substring(cents($"o_totalprice").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum($"n").over(Window.partitionBy(lit(1))))
+      .select($"digit", $"n",
+        ratio($"n", $"total").as("share"),
+        (ratio($"n", $"total") - element_at(expected, $"digit"))
+          .as("dev_from_benford"))
+      .orderBy($"digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_benford_audit" -> benfordAudit,
     "q198_skew_census" -> skewCensus,
     "q195_corr_census" -> corrCensus,
     "q187_agg_multi_pivot" -> multiMeasurePivot,
@@ -1093,6 +1132,21 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q201_benford_audit" ->
+      s"""WITH digits AS (
+         |  SELECT CAST(substring(CAST(${centsSql("o_totalprice")} AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM orders
+         |), census AS (
+         |  SELECT digit, count(*) AS n FROM digits GROUP BY 1
+         |), tot AS (
+         |  SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM census
+         |)
+         |SELECT digit, n,
+         |       ${ratioSql("n", "total")} AS share,
+         |       ${ratioSql("n", "total")} - list_extract(
+         |         [${BenfordShares.map(d => s"${d}e0").mkString(", ")}],
+         |         digit) AS dev_from_benford
+         |FROM tot ORDER BY digit""".stripMargin,
     "q198_skew_census" ->
       """WITH ko AS (SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
         |ks AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),

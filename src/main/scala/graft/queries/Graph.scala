@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import Portable._
 
 /** Iterative graph analytics beyond connected components (q76's label
   * propagation): PageRank over the customer–supplier interaction graph.
@@ -68,10 +69,98 @@ object Graph {
       .select($"node", $"r".as("pr"))
   }
 
+  /** Degree-oriented triangle census over the supplier co-order graph —
+    * the standard distributed triangle-counting algorithm (orient each
+    * undirected edge from its lower-(degree, id) endpoint to the higher,
+    * enumerate wedges from shared sources, close them against the
+    * oriented edge list). Orientation is the whole scale story: it
+    * bounds every out-degree by O(√m) regardless of how skewed the raw
+    * degree distribution is, so the wedge self-join — the only
+    * super-linear step — generates Σ C(outdeg, 2) ≤ O(m^1.5) rows
+    * instead of the Σ C(deg, 2) a naive neighbor join pays on hubs.
+    * Edge generation itself is basket-bounded (≤ 7 lineitems per order,
+    * the q199 contract). Every count is an exact long; the global
+    * clustering coefficient 3·T / Σ C(deg,2) is one IEEE divide over two
+    * exact integers. Output: a 1-row graph census. */
+  def triangleCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val so = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sp")).distinct()
+    val und = so.select($"ok", $"sp".as("u"))
+      .join(so.select($"ok", $"sp".as("v")), "ok")
+      .filter($"u" < $"v")
+      .select($"u", $"v").distinct()
+      .localCheckpoint(eager = false) // read by degs + orientation
+    val degs = und.select($"u".as("n")).unionAll(und.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val e = und
+      .join(degs.select($"n".as("u"), $"deg".as("du")), "u")
+      .join(degs.select($"n".as("v"), $"deg".as("dv")), "v")
+      .select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+          .otherwise($"v").as("src"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+          .otherwise($"u").as("dst"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv")
+          .otherwise($"du").as("ddst"))
+      .localCheckpoint(eager = false) // read by wedge gen ×2 + closure probe
+    val wedges = e.select($"src", $"dst".as("x"), $"ddst".as("dx"))
+      .join(e.select($"src", $"dst".as("y"), $"ddst".as("dy")), "src")
+      .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))
+    val tri = wedges
+      .join(e.select($"src".as("x"), $"dst".as("y")), Seq("x", "y"), "semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val census = degs.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val edges = und.agg(count(lit(1)).as("n_edges"))
+    census.crossJoin(edges).crossJoin(tri)
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        ratio(lit(3L) * $"n_triangles", $"n_wedges").as("clustering_coeff"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_triangle_census" -> triangleCensus,
     "q197_pagerank_fixed_point" -> pageRank)
 
   val oracles: Map[String, String] = Map(
+    "q202_triangle_census" ->
+      s"""WITH so AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sp FROM lineitem
+         |), und AS (
+         |  SELECT DISTINCT a.u, b.v
+         |  FROM (SELECT ok, sp AS u FROM so) a
+         |  JOIN (SELECT ok, sp AS v FROM so) b USING (ok)
+         |  WHERE a.u < b.v
+         |), degs AS (
+         |  SELECT n, count(*) AS deg FROM (
+         |    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+         |  GROUP BY 1
+         |), e AS (
+         |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+         |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+         |         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddst
+         |  FROM (SELECT u, v, da.deg AS du, db.deg AS dv
+         |        FROM und
+         |        JOIN degs da ON und.u = da.n
+         |        JOIN degs db ON und.v = db.n)
+         |), wedges AS (
+         |  SELECT a.src, a.x, b.y
+         |  FROM (SELECT src, dst AS x, ddst AS dx FROM e) a
+         |  JOIN (SELECT src, dst AS y, ddst AS dy FROM e) b USING (src)
+         |  WHERE a.dx < b.dy OR (a.dx = b.dy AND a.x < b.y)
+         |), tri AS (
+         |  SELECT count(*) AS n_triangles FROM wedges
+         |  WHERE EXISTS (SELECT 1 FROM e
+         |                WHERE e.src = wedges.x AND e.dst = wedges.y)
+         |), census AS (
+         |  SELECT count(*) AS n_nodes,
+         |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+         |  FROM degs
+         |), edges AS (SELECT count(*) AS n_edges FROM und)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |       ${ratioSql("3 * n_triangles", "n_wedges")} AS clustering_coeff
+         |FROM census CROSS JOIN edges CROSS JOIN tri""".stripMargin,
     "q197_pagerank_fixed_point" ->
       """WITH e0 AS (
         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

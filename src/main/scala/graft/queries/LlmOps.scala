@@ -1900,7 +1900,54 @@ object LlmOps {
       .orderBy($"dense_id")
   }
 
+  /** Prefix-filtered set-similarity join (the PPJoin family) — the THIRD
+    * candidate-generation regime next to q41's MinHash banding
+    * (probabilistic) and q43's df-capped inverted index (heuristic): an
+    * EXACT filter. Order every doc's distinct-token set by ascending
+    * global document frequency (rarest first, ties by token), and index
+    * only each doc's first L = n − ⌈t·n⌉ + 1 tokens: two sets with
+    * Jaccard ≥ t MUST share at least one token inside those prefixes
+    * (pigeonhole over the ⌈t·n⌉-sized overlap a qualifying pair needs),
+    * so joining on prefix tokens alone provably loses no qualifying
+    * pair — no df cap, no recall floor to argue. Because prefixes hold
+    * each doc's RAREST tokens, the candidate join's per-token groups are
+    * naturally tiny; hot tokens sit at the back of every ordering and
+    * are never indexed. ⌈t·n⌉ for t = 0.5 is computed as (n+1) div 2 —
+    * exact integer, no float ceil. Verification joins candidates back to
+    * the full token sets for exact intersection counts; jac is two exact
+    * longs into one IEEE divide. Shuffles: token-df agg, per-doc rank
+    * window, prefix equi-join, verify equi-join — all key-partitioned. */
+  def setSimPrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = Tables.documents(s, dir)
+      .select($"doc_id", explode(array_distinct(TextOps.tokens($"text"))).as("tok"))
+      .localCheckpoint(eager = false) // read by df, rank, and verify ×2
+    val df = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"df".asc, $"tok".asc)
+    val nDoc = Window.partitionBy($"doc_id")
+    val pre = dt.join(df, "tok")
+      .withColumn("n", count(lit(1)).over(nDoc))
+      .withColumn("rk", row_number().over(wDoc))
+      .filter($"rk" <= expr("n - ((n + 1) div 2) + 1"))
+    val cand = pre.select($"doc_id".as("doc1"), $"n".as("n1"), $"tok")
+      .join(pre.select($"doc_id".as("doc2"), $"n".as("n2"), $"tok".as("tok2")),
+        $"tok" === $"tok2" && $"doc1" < $"doc2")
+      .select($"doc1", $"doc2", $"n1", $"n2").distinct()
+    val ord = Seq($"jac".desc, $"doc1".asc, $"doc2".asc)
+    val dtB = dt.select($"doc_id".as("doc2x"), $"tok".as("tok2"))
+    cand
+      .join(dt.select($"doc_id".as("doc1"), $"tok"), "doc1")
+      .join(dtB, $"doc2" === $"doc2x" && $"tok" === $"tok2")
+      .groupBy($"doc1", $"doc2", $"n1", $"n2")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac", ratio($"common", $"n1" + $"n2" - $"common"))
+      .filter($"common" * 2 >= $"n1" + $"n2" - $"common") // exact jac >= 0.5
+      .select($"doc1", $"doc2", $"common", $"jac")
+      .orderBy(ord: _*).limit(20).orderBy(ord: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_setsim_prefix_join" -> setSimPrefixJoin,
     "q181_dense_id_assignment" -> denseIdAssignment,
     "q180_feature_hashing" -> featureHashing,
     "q174_cluster_survivorship" -> clusterSurvivorship,
@@ -1957,6 +2004,36 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q204_setsim_prefix_join" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, tok
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |), tdf AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+         |pre AS (
+         |  SELECT doc_id, tok, n FROM (
+         |    SELECT dt.doc_id, dt.tok,
+         |           count(*) OVER (PARTITION BY dt.doc_id) AS n,
+         |           row_number() OVER (PARTITION BY dt.doc_id
+         |                              ORDER BY tdf.df ASC, dt.tok ASC) AS rk
+         |    FROM dt JOIN tdf ON dt.tok = tdf.tok)
+         |  WHERE rk <= n - ((n + 1) // 2) + 1
+         |), cand AS (
+         |  SELECT DISTINCT a.doc1, b.doc2, a.n1, b.n2
+         |  FROM (SELECT doc_id AS doc1, n AS n1, tok FROM pre) a
+         |  JOIN (SELECT doc_id AS doc2, n AS n2, tok FROM pre) b USING (tok)
+         |  WHERE a.doc1 < b.doc2
+         |), inter AS (
+         |  SELECT doc1, doc2, n1, n2, count(*) AS common
+         |  FROM cand
+         |  JOIN (SELECT doc_id AS doc1, tok FROM dt) t1 USING (doc1)
+         |  JOIN (SELECT doc_id AS doc2, tok FROM dt) t2 USING (doc2, tok)
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT doc1, doc2, common,
+         |       ${ratioSql("common", "n1 + n2 - common")} AS jac
+         |FROM inter
+         |WHERE common * 2 >= n1 + n2 - common
+         |ORDER BY jac DESC, doc1 ASC, doc2 ASC LIMIT 20""".stripMargin,
     "q181_dense_id_assignment" ->
       s"""SELECT tok, freq,
          |       CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS BIGINT) AS dense_id

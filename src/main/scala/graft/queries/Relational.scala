@@ -728,7 +728,48 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Association-rule mining over the order market basket — which part
+    * brands are bought TOGETHER, scored by the three classic measures
+    * (support count, confidence, lift). The mechanics are a bipartite
+    * projection: (order, brand) incidence pairs self-joined on the order
+    * key to produce co-occurrence counts. The scale contract is that the
+    * multiplicity of the self-join is bounded by ITEMS PER BASKET (≤ 7
+    * lines per TPC-H order, and the brand projection collapses those
+    * further), never by table size: the join shuffles both sides by
+    * order key once and emits ≤ k² rows per order — linear in orders.
+    * The per-brand support table and the 1-row basket total are
+    * broadcast; the pair table itself is vocab-bounded (≤ |brands|² / 2
+    * rows at ANY fact scale). Lift — P(a,b) / (P(a)·P(b)) — is formed as
+    * the exact-integer cross-product `n_ab·N / (n_a·n_b)` with ONE IEEE
+    * divide at the end (the Portable contract), so every score is
+    * bit-identical across engines and parallelism. A support floor
+    * (n_ab ≥ 5) mirrors real rule miners: rare pairs are noise, and
+    * pruning them early keeps the output stable. */
+  def brandAffinity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ob = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"p_brand".as("brand"))
+      .distinct() // one row per (order, brand): co-occurrence, not volume
+    val a = ob.select($"ok", $"brand".as("brand_a"))
+    val b = ob.select($"ok", $"brand".as("brand_b"))
+    val pairs = a.join(b, "ok").filter($"brand_a" < $"brand_b")
+      .groupBy($"brand_a", $"brand_b").agg(count(lit(1)).as("n_ab"))
+    val sup = ob.groupBy($"brand").agg(count(lit(1)).as("n"))
+    val tot = ob.select($"ok").distinct().agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(broadcast(sup.select($"brand".as("brand_a"), $"n".as("n_a"))), "brand_a")
+      .join(broadcast(sup.select($"brand".as("brand_b"), $"n".as("n_b"))), "brand_b")
+      .crossJoin(broadcast(tot))
+      .filter($"n_ab" >= 5)
+      .select($"brand_a", $"brand_b", $"n_ab", $"n_a", $"n_b",
+        ratio($"n_ab", $"n_a").as("confidence"),
+        ratio($"n_ab" * $"n_orders", $"n_a" * $"n_b").as("lift"))
+      .orderBy($"brand_a", $"brand_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_brand_affinity" -> brandAffinity,
     "q150_market_share" -> marketShare,
     "q176_policy_masking" -> policyMasking,
     "q178_join_asof_tolerance" -> asofJoinTolerance,
@@ -767,6 +808,27 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q199_brand_affinity" ->
+      s"""WITH ob AS (
+         |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |), pairs AS (
+         |  SELECT a.brand_a, b.brand_b, count(*) AS n_ab
+         |  FROM (SELECT ok, brand AS brand_a FROM ob) a
+         |  JOIN (SELECT ok, brand AS brand_b FROM ob) b USING (ok)
+         |  WHERE a.brand_a < b.brand_b
+         |  GROUP BY 1, 2
+         |), sup AS (SELECT brand, count(*) AS n FROM ob GROUP BY 1),
+         |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM ob)
+         |SELECT brand_a, brand_b, n_ab, sa.n AS n_a, sb.n AS n_b,
+         |       ${ratioSql("n_ab", "sa.n")} AS confidence,
+         |       ${ratioSql("n_ab * n_orders", "sa.n * sb.n")} AS lift
+         |FROM pairs
+         |JOIN sup sa ON pairs.brand_a = sa.brand
+         |JOIN sup sb ON pairs.brand_b = sb.brand
+         |CROSS JOIN tot
+         |WHERE n_ab >= 5
+         |ORDER BY brand_a, brand_b""".stripMargin,
     "q189_fk_orphan_audit" ->
       """SELECT fk_edge, n_orphans FROM (
         |  SELECT 'lineitem.orderkey->orders' AS fk_edge,

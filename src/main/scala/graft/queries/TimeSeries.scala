@@ -257,7 +257,76 @@ object TimeSeries {
       .orderBy($"event_type", $"day")
   }
 
+  /** Sweep-line peak concurrency — the UNBOUNDED-length companion to
+    * q103's bounded-interval explode: "what was the busiest moment per
+    * supplier, and when". Each in-transit interval [ship, ship+transit]
+    * (q103's deterministic synthesis) contributes exactly TWO delta
+    * events — +1 at its start day, −1 the day after it ends — so cost is
+    * independent of interval LENGTH, which is what kills the explode
+    * form when intervals can span months. One (key, day) sum collapses
+    * the deltas, a per-key running sum turns them into instantaneous
+    * concurrency, and a same-partition max window (no extra exchange —
+    * Spark chains it onto the running-sum sort) finds the peak; ties
+    * resolve to the EARLIEST peak day via min(day), so the answer is
+    * total-ordered. Everything is integer. Shuffle budget at any scale:
+    * one hash partial-agg on (supp, day) + one window sort per key. */
+  def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iv = Tables.lineitem(s, dir)
+      .select($"l_suppkey".as("supp"),
+        to_date($"l_shipdate").as("ship"),
+        ($"l_orderkey" % 7 + 2).cast("int").as("end1")) // transit + 1 day
+    val deltas = iv.select($"supp", $"ship".as("day"), lit(1L).as("d"))
+      .unionAll(iv.select($"supp", date_add($"ship", $"end1").as("day"),
+        lit(-1L).as("d")))
+      .groupBy($"supp", $"day").agg(sum($"d").as("delta"))
+    val w = Window.partitionBy($"supp").orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("conc", sum($"delta").over(w))
+      .withColumn("peak", max($"conc").over(Window.partitionBy($"supp")))
+      .filter($"conc" === $"peak")
+      .groupBy($"supp")
+      .agg(max($"conc").as("peak_conc"), min($"day").as("peak_day"))
+      .orderBy($"supp")
+  }
+
+  /** Time-weighted average (TWAP) — the finance/sensor aggregate where a
+    * value holds until the NEXT observation, so each reading is weighted
+    * by how long it was in force, not counted once. One lead() per user
+    * assigns each event its holding duration (whole seconds — the q172
+    * epoch contract); the last event has no successor and drops, like
+    * every TWAP implementation. Portability: the value is fixed-pointed
+    * to cents per row FIRST, so the weighted sum Σ cents·seconds is
+    * exact long arithmetic (order-independent — FP-summing value·dt
+    * doubles would tie the result to shuffle layout), and the final
+    * twap_cents is ONE IEEE divide of two exact longs. Magnitudes:
+    * cents ≤ ~10⁵, gaps ≤ ~10⁶ s → ≤ 10¹¹ per interval; promote to
+    * decimal(38,0) for year-long gaps at billion-row keys. Cost: one
+    * window sort per user + one hash agg — both on the already-shuffled
+    * user key. */
+  def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", cents($"value").as("v_cents"))
+      .withColumn("next_ts", lead($"ts", 1).over(w))
+      .filter($"next_ts".isNotNull)
+      .withColumn("dur_s",
+        unix_timestamp($"next_ts") - unix_timestamp($"ts"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"dur_s").as("total_s"),
+        sum($"v_cents" * $"dur_s").as("wsum_cents_s"))
+      .filter($"total_s" > 0)
+      .select($"user_id", $"n_intervals", $"total_s",
+        ratio($"wsum_cents_s", $"total_s").as("twap_cents"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_time_weighted_avg" -> timeWeightedAvg,
+    "q200_peak_concurrency" -> peakConcurrency,
     "q194_anomaly_zscore" -> anomalyZscore,
     "q173_period_over_period" -> periodOverPeriod,
     "q172_first_touch_attribution" -> firstTouchAttribution,
@@ -269,6 +338,44 @@ object TimeSeries {
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "q203_time_weighted_avg" ->
+      s"""WITH iv AS (
+         |  SELECT user_id, ${centsSql("value")} AS v_cents,
+         |         lead(ts, 1) OVER w AS next_ts,
+         |         CAST(floor(epoch(lead(ts, 1) OVER w)) AS BIGINT)
+         |           - CAST(floor(epoch(ts)) AS BIGINT) AS dur_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         |)
+         |SELECT user_id, count(*) AS n_intervals,
+         |       ${sumLongSql("dur_s")} AS total_s,
+         |       ${ratioSql(s"sum(v_cents * dur_s)", "sum(dur_s)")} AS twap_cents
+         |FROM iv WHERE next_ts IS NOT NULL
+         |GROUP BY user_id HAVING sum(dur_s) > 0
+         |ORDER BY user_id""".stripMargin,
+    "q200_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS supp, CAST(l_shipdate AS DATE) AS ship,
+        |         CAST(l_orderkey % 7 + 2 AS INT) AS end1
+        |  FROM lineitem
+        |), deltas AS (
+        |  SELECT supp, day, CAST(sum(d) AS BIGINT) AS delta FROM (
+        |    SELECT supp, ship AS day, 1 AS d FROM iv
+        |    UNION ALL
+        |    SELECT supp, ship + end1 AS day, -1 AS d FROM iv)
+        |  GROUP BY 1, 2
+        |), run AS (
+        |  SELECT supp, day,
+        |         CAST(sum(delta) OVER (PARTITION BY supp ORDER BY day ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+        |  FROM deltas
+        |), pk AS (
+        |  SELECT supp, day, conc, max(conc) OVER (PARTITION BY supp) AS peak
+        |  FROM run)
+        |SELECT supp, CAST(max(conc) AS BIGINT) AS peak_conc,
+        |       min(day) AS peak_day
+        |FROM pk WHERE conc = peak
+        |GROUP BY supp ORDER BY supp""".stripMargin,
     "q194_anomaly_zscore" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
