@@ -9,6 +9,22 @@ object Bench {
   private def exec(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** Bench-session hygiene, run after every query execution (outside the
+    * timed region): several declared queries pin blocks for intra-query
+    * reuse (`persist` / lazy `localCheckpoint` — q76, q109/q110, q149,
+    * q181, q197, q202, q204) and nothing inside the query can release
+    * them (the pin must outlive the query's own action). One JVM running
+    * 200+ queries × 3 iterations otherwise accumulates storage memory
+    * monotonically, and round 7 showed that contaminating UNCHANGED
+    * queries' timings up to 10× (q129 3.4 s → 35.5 s with an identical
+    * plan). Unpersist is safe here: every iteration rebuilds its
+    * DataFrame from scratch, so no later action re-reads these blocks. */
+  private def releasePinnedBlocks(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,6 +57,7 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       queries.foreach { case (_, fn) =>
         try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
+        releasePinnedBlocks(spark)
       }
     // n timed iterations per query, report the per-query MEDIAN and the
     // total of medians: single-shot timings on this box show ±3× jitter on
@@ -63,7 +80,9 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
         }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        releasePinnedBlocks(spark) // hygiene is not part of the query's time
+        (name, dt, ok)
       }
     }
     val byQuery = samples.groupBy(_._1)

@@ -28,6 +28,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same session hygiene as Bench.releasePinnedBlocks: several queries
+      // pin blocks (persist / lazy localCheckpoint) that outlive their
+      // action; 200+ queries in one JVM must not accumulate them.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1053,6 +1053,13 @@ object Aggregates {
       .orderBy($"key_col", $"bucket")
   }
 
+  /** log10(1 + 1/d) for d = 1..9, as the double literals shared verbatim
+    * with the q201 oracle SQL. */
+  private val BenfordShares: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
   /** Benford first-digit audit — the forensic-accounting screen for
     * fabricated or truncated numeric data: the first significant digit of
     * naturally occurring amounts follows log10(1 + 1/d), and a ledger that
@@ -1062,15 +1069,12 @@ object Aggregates {
     * the digit census is a 9-row map-side aggregate at any scale. The
     * expected Benford shares are DOUBLE LITERALS repeated verbatim in the
     * oracle — both engines parse the same decimal string to the same
-    * IEEE double, so observed − expected is bit-deterministic. The only
-    * shuffle is the 9-group partial-agg collapse. */
-  /** log10(1 + 1/d) for d = 1..9, as the double literals shared verbatim
-    * with the q201 oracle SQL. */
-  private val BenfordShares: Seq[Double] = Seq(
-    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
-    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
-    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
-
+    * IEEE double, so observed − expected is bit-deterministic. Rows whose
+    * leading "digit" falls outside 1..9 (amounts < 0.005 cents→0, or
+    * negative amounts whose string starts with '-') are excluded before
+    * the share base — o_totalprice never produces them, but the audit is
+    * reusable on any amount column without a 1-based element_at abort.
+    * The only shuffle is the 9-group partial-agg collapse. */
   def benfordAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Scala double literals (not SQL-text decimals): a bare 0.30102… in
@@ -1082,6 +1086,7 @@ object Aggregates {
     Tables.orders(s, dir)
       .select(substring(cents($"o_totalprice").cast("string"), 1, 1)
         .cast("int").as("digit"))
+      .filter($"digit".between(1, 9))
       .groupBy($"digit").agg(count(lit(1)).as("n"))
       .withColumn("total", sum($"n").over(Window.partitionBy(lit(1))))
       .select($"digit", $"n",
@@ -1137,7 +1142,8 @@ object Aggregates {
          |  SELECT CAST(substring(CAST(${centsSql("o_totalprice")} AS VARCHAR), 1, 1) AS INT) AS digit
          |  FROM orders
          |), census AS (
-         |  SELECT digit, count(*) AS n FROM digits GROUP BY 1
+         |  SELECT digit, count(*) AS n FROM digits
+         |  WHERE digit BETWEEN 1 AND 9 GROUP BY 1
          |), tot AS (
          |  SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM census
          |)

@@ -79,17 +79,66 @@ object Graph {
     * super-linear step — generates Σ C(outdeg, 2) ≤ O(m^1.5) rows
     * instead of the Σ C(deg, 2) a naive neighbor join pays on hubs.
     * Edge generation itself is basket-bounded (≤ 7 lineitems per order,
-    * the q199 contract). Every count is an exact long; the global
-    * clustering coefficient 3·T / Σ C(deg,2) is one IEEE divide over two
-    * exact integers. Output: a 1-row graph census. */
+    * the q199 contract).
+    *
+    * The edge relation is made SPARSE BY CONSTRUCTION: an edge requires
+    * co-order multiplicity m ≥ max([[CoOrderMinMult]],
+    * [[CoOrderLift]]·λ), where λ = Σm / C(|V|,2) is the corpus-wide
+    * expected pair multiplicity — i.e. the pair must co-occur at least
+    * [[CoOrderLift]]× MORE OFTEN THAN CHANCE (a lift filter, the
+    * market-basket significance screen), and at least
+    * [[CoOrderMinMult]] times absolutely. This is the semantically
+    * interesting graph — strong ties, not one-off baskets — and it is
+    * what keeps the census computable at any SF: single-basket
+    * co-occurrence saturates (~91 % dense at sf0.1: nearly every
+    * supplier pair shares SOME order, so Σ C(outdeg,2) realizes the
+    * O(m^1.5) worst case and grows as ~|V|³). Absolute thresholds were
+    * measured first (sf0.1: oriented wedges 76.2 M at m ≥ 2, 28.7 M at
+    * ≥ 3, 7.3 M at ≥ 4, 1.34 M at ≥ 5 / 47 703 edges) — but a FIXED
+    * cutoff is not scale-robust: any fixture where facts grow while the
+    * entity population doesn't (the 10× soak replication, or a real
+    * corpus densifying over time) multiplies every m uniformly and
+    * re-saturates it. The lift form self-normalizes: multiplying all m
+    * by c multiplies λ by c and selects the SAME relative tail, while
+    * the absolute floor covers the sparse regime (λ < 1, the natural
+    * TPC-H scaling where suppliers grow with facts) where lift alone
+    * would admit the all-pairs noise. λ's ceil-division is exact long
+    * arithmetic ((2·L·Σm + D − 1) div D, D = |V|·(|V|−1)) — identical
+    * in both engines, and the threshold is DATA-DRIVEN in-plan: two
+    * 1-row scalars broadcast into the multiplicity filter, no driver
+    * round-trip.
+    * Every count is an exact long; the global clustering coefficient
+    * 3·T / Σ C(deg,2) is one IEEE divide over two exact integers, NULL
+    * on the wedge-free degenerate graph (0/0 would be NaN in Spark but
+    * NULL in DuckDB — guarded on both sides). Output: a 1-row census. */
+  /** Absolute strong-tie floor for the co-order graph (see
+    * [[triangleCensus]]'s scaladoc for the measured wedge-count table
+    * behind the value). */
+  val CoOrderMinMult = 5L
+
+  /** Lift multiplier: an edge must co-occur at least this many times
+    * more often than the corpus-wide expectation λ. */
+  val CoOrderLift = 3L
+
   def triangleCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val so = Tables.lineitem(s, dir)
       .select($"l_orderkey".as("ok"), $"l_suppkey".as("sp")).distinct()
-    val und = so.select($"ok", $"sp".as("u"))
+    val mult = so.select($"ok", $"sp".as("u"))
       .join(so.select($"ok", $"sp".as("v")), "ok")
       .filter($"u" < $"v")
-      .select($"u", $"v").distinct()
+      .groupBy($"u", $"v").agg(count(lit(1)).as("m"))
+      .localCheckpoint(eager = false) // read by Σm scalar + edge filter
+    // threshold = max(floor, ceil(Lift·λ)), λ = Σm / C(|V|,2) — two 1-row
+    // scalars, exact long ceil-division, broadcast into the filter.
+    val thr = mult.agg(sum($"m").as("slots"))
+      .crossJoin(so.select($"sp").distinct().agg(count(lit(1)).as("nv")))
+      .select(greatest(lit(CoOrderMinMult),
+        coalesce(expr(s"(2 * $CoOrderLift * slots + nv * (nv - 1) - 1)" +
+          " div nullif(nv * (nv - 1), 0)"), lit(CoOrderMinMult))).as("thr"))
+    val und = mult.crossJoin(broadcast(thr))
+      .filter($"m" >= $"thr") // sparse by construction: strong ties only
+      .select($"u", $"v")
       .localCheckpoint(eager = false) // read by degs + orientation
     val degs = und.select($"u".as("n")).unionAll(und.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg"))
@@ -116,7 +165,8 @@ object Graph {
     val edges = und.agg(count(lit(1)).as("n_edges"))
     census.crossJoin(edges).crossJoin(tri)
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
-        ratio(lit(3L) * $"n_triangles", $"n_wedges").as("clustering_coeff"))
+        when($"n_wedges" > 0, ratio(lit(3L) * $"n_triangles", $"n_wedges"))
+          .as("clustering_coeff"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -127,11 +177,19 @@ object Graph {
     "q202_triangle_census" ->
       s"""WITH so AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sp FROM lineitem
-         |), und AS (
-         |  SELECT DISTINCT a.u, b.v
+         |), mult AS (
+         |  SELECT a.u, b.v, count(*) AS m
          |  FROM (SELECT ok, sp AS u FROM so) a
          |  JOIN (SELECT ok, sp AS v FROM so) b USING (ok)
          |  WHERE a.u < b.v
+         |  GROUP BY 1, 2
+         |), thr AS (
+         |  SELECT greatest($CoOrderMinMult, coalesce(
+         |    (2 * $CoOrderLift * slots + nv * (nv - 1) - 1)
+         |      // nullif(nv * (nv - 1), 0), $CoOrderMinMult)) AS thr
+         |  FROM (SELECT coalesce(sum(m), 0) AS slots FROM mult),
+         |       (SELECT count(DISTINCT sp) AS nv FROM so)
+         |), und AS (SELECT u, v FROM mult, thr WHERE m >= thr
          |), degs AS (
          |  SELECT n, count(*) AS deg FROM (
          |    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
@@ -159,7 +217,8 @@ object Graph {
          |  FROM degs
          |), edges AS (SELECT count(*) AS n_edges FROM und)
          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-         |       ${ratioSql("3 * n_triangles", "n_wedges")} AS clustering_coeff
+         |       CASE WHEN n_wedges > 0
+         |            THEN ${ratioSql("3 * n_triangles", "n_wedges")} END AS clustering_coeff
          |FROM census CROSS JOIN edges CROSS JOIN tri""".stripMargin,
     "q197_pagerank_fixed_point" ->
       """WITH e0 AS (

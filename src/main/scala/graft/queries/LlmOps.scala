@@ -1903,41 +1903,68 @@ object LlmOps {
   /** Prefix-filtered set-similarity join (the PPJoin family) — the THIRD
     * candidate-generation regime next to q41's MinHash banding
     * (probabilistic) and q43's df-capped inverted index (heuristic): an
-    * EXACT filter. Order every doc's distinct-token set by ascending
-    * global document frequency (rarest first, ties by token), and index
-    * only each doc's first L = n − ⌈t·n⌉ + 1 tokens: two sets with
-    * Jaccard ≥ t MUST share at least one token inside those prefixes
-    * (pigeonhole over the ⌈t·n⌉-sized overlap a qualifying pair needs),
-    * so joining on prefix tokens alone provably loses no qualifying
-    * pair — no df cap, no recall floor to argue. Because prefixes hold
-    * each doc's RAREST tokens, the candidate join's per-token groups are
-    * naturally tiny; hot tokens sit at the back of every ordering and
-    * are never indexed. ⌈t·n⌉ for t = 0.5 is computed as (n+1) div 2 —
-    * exact integer, no float ceil. Verification joins candidates back to
-    * the full token sets for exact intersection counts; jac is two exact
-    * longs into one IEEE divide. Shuffles: token-df agg, per-doc rank
-    * window, prefix equi-join, verify equi-join — all key-partitioned. */
+    * EXACT filter. Set elements are distinct 3-token SHINGLE DIGESTS
+    * (q43/q108's representation), not raw tokens — a whitespace-token
+    * vocabulary saturates on any fixed-template corpus (the `documents`
+    * fixture has 31 distinct tokens across 5 000 docs, so every token is
+    * hot and a token-level prefix filter degenerates to the all-pairs
+    * join it exists to avoid), while the shingle space grows with the
+    * corpus and the rarest-first prefix actually discriminates. Order
+    * every doc's shingle set by ascending global document frequency
+    * (rarest first, ties by digest), and index only each doc's first
+    * L = n − ⌈t·n⌉ + 1 shingles: two sets with Jaccard ≥ t MUST share at
+    * least one element inside those prefixes (pigeonhole over the
+    * ⌈t·n⌉-sized overlap a qualifying pair needs), so joining on prefix
+    * elements alone provably loses no qualifying pair — no df cap, no
+    * recall floor to argue. The candidate join carries PPJoin's LENGTH
+    * filter in the join condition itself (jac ≥ ½ forces
+    * min(n1,n2) ≥ max(n1,n2)/2, since |A∩B| ≤ min and
+    * |A∪B| ≥ max): wildly different-sized docs never materialize a
+    * candidate row at all. ⌈t·n⌉ for t = 0.5 is computed as
+    * (n+1) div 2 — exact integer, no float ceil. Verification joins
+    * candidates back to the full shingle sets for exact intersection
+    * counts; jac is two exact longs into one IEEE divide. Shuffles: one
+    * explicit sh-repartition (df window; reused by BOTH prefix self-join
+    * sides via ReuseExchange), per-doc rank window, verify equi-joins —
+    * all key-partitioned. */
   def setSimPrefixJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // explode_outer (not explode) for the same reason as q43: a plain
+    // explode lets InferFiltersFromGenerate push a size()>0 guard below
+    // the projection, re-running the md5 digest pipeline per element.
+    // The null rows it emits for <3-token docs never join (every
+    // downstream edge is an equi-join on sh or on a doc that has rows in
+    // `pre`), so no explicit filter is needed.
     val dt = Tables.documents(s, dir)
-      .select($"doc_id", explode(array_distinct(TextOps.tokens($"text"))).as("tok"))
-      .localCheckpoint(eager = false) // read by df, rank, and verify ×2
-    val df = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy($"doc_id").orderBy($"df".asc, $"tok".asc)
+      .withColumn("th", TextOps.tokenHashes(TextOps.tokens($"text")))
+      .select($"doc_id",
+        explode_outer(array_distinct(TextOps.shingleHashes3($"th"))).as("sh"))
+      .localCheckpoint(eager = false) // read by pre + verify ×2: pinning
+      // costs nothing here and saves two full corpus re-digests at scale
+      // (Bench/Verify release the blocks after each query's action)
+    // df via a window over ONE explicit sh-repartition instead of a
+    // groupBy+join: the q43 lesson — both candidate self-join sides then
+    // hang off the same exchange (ReuseExchange), and the digest scan
+    // runs once.
+    val wSh = Window.partitionBy($"sh")
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)
     val nDoc = Window.partitionBy($"doc_id")
-    val pre = dt.join(df, "tok")
+    val pre = dt.repartition($"sh")
+      .withColumn("df", count(lit(1)).over(wSh))
       .withColumn("n", count(lit(1)).over(nDoc))
       .withColumn("rk", row_number().over(wDoc))
       .filter($"rk" <= expr("n - ((n + 1) div 2) + 1"))
-    val cand = pre.select($"doc_id".as("doc1"), $"n".as("n1"), $"tok")
-      .join(pre.select($"doc_id".as("doc2"), $"n".as("n2"), $"tok".as("tok2")),
-        $"tok" === $"tok2" && $"doc1" < $"doc2")
+      .repartition($"sh") // one exchange feeding both self-join sides
+    val cand = pre.select($"doc_id".as("doc1"), $"n".as("n1"), $"sh")
+      .join(pre.select($"doc_id".as("doc2"), $"n".as("n2"), $"sh".as("sh2")),
+        $"sh" === $"sh2" && $"doc1" < $"doc2" &&
+          $"n1" <= $"n2" * 2 && $"n2" <= $"n1" * 2) // t=0.5 length filter
       .select($"doc1", $"doc2", $"n1", $"n2").distinct()
     val ord = Seq($"jac".desc, $"doc1".asc, $"doc2".asc)
-    val dtB = dt.select($"doc_id".as("doc2x"), $"tok".as("tok2"))
+    val dtB = dt.select($"doc_id".as("doc2x"), $"sh".as("sh2"))
     cand
-      .join(dt.select($"doc_id".as("doc1"), $"tok"), "doc1")
-      .join(dtB, $"doc2" === $"doc2x" && $"tok" === $"tok2")
+      .join(dt.select($"doc_id".as("doc1"), $"sh"), "doc1")
+      .join(dtB, $"doc2" === $"doc2x" && $"sh" === $"sh2")
       .groupBy($"doc1", $"doc2", $"n1", $"n2")
       .agg(count(lit(1)).as("common"))
       .withColumn("jac", ratio($"common", $"n1" + $"n2" - $"common"))
@@ -2006,27 +2033,28 @@ object LlmOps {
   val oracles: Map[String, String] = Map(
     "q204_setsim_prefix_join" ->
       s"""WITH dt AS (
-         |  SELECT DISTINCT doc_id, tok
-         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
-         |), tdf AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+         |  SELECT doc_id, unnest(list_distinct($shingle3Sql)) AS sh
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th
+         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |), sdf AS (SELECT sh, count(*) AS df FROM dt GROUP BY 1),
          |pre AS (
-         |  SELECT doc_id, tok, n FROM (
-         |    SELECT dt.doc_id, dt.tok,
+         |  SELECT doc_id, sh, n FROM (
+         |    SELECT dt.doc_id, dt.sh,
          |           count(*) OVER (PARTITION BY dt.doc_id) AS n,
          |           row_number() OVER (PARTITION BY dt.doc_id
-         |                              ORDER BY tdf.df ASC, dt.tok ASC) AS rk
-         |    FROM dt JOIN tdf ON dt.tok = tdf.tok)
+         |                              ORDER BY sdf.df ASC, dt.sh ASC) AS rk
+         |    FROM dt JOIN sdf ON dt.sh = sdf.sh)
          |  WHERE rk <= n - ((n + 1) // 2) + 1
          |), cand AS (
          |  SELECT DISTINCT a.doc1, b.doc2, a.n1, b.n2
-         |  FROM (SELECT doc_id AS doc1, n AS n1, tok FROM pre) a
-         |  JOIN (SELECT doc_id AS doc2, n AS n2, tok FROM pre) b USING (tok)
-         |  WHERE a.doc1 < b.doc2
+         |  FROM (SELECT doc_id AS doc1, n AS n1, sh FROM pre) a
+         |  JOIN (SELECT doc_id AS doc2, n AS n2, sh FROM pre) b USING (sh)
+         |  WHERE a.doc1 < b.doc2 AND a.n1 <= 2 * b.n2 AND b.n2 <= 2 * a.n1
          |), inter AS (
          |  SELECT doc1, doc2, n1, n2, count(*) AS common
          |  FROM cand
-         |  JOIN (SELECT doc_id AS doc1, tok FROM dt) t1 USING (doc1)
-         |  JOIN (SELECT doc_id AS doc2, tok FROM dt) t2 USING (doc2, tok)
+         |  JOIN (SELECT doc_id AS doc1, sh FROM dt) t1 USING (doc1)
+         |  JOIN (SELECT doc_id AS doc2, sh FROM dt) t2 USING (doc2, sh)
          |  GROUP BY 1, 2, 3, 4
          |)
          |SELECT doc1, doc2, common,

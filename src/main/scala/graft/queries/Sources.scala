@@ -493,7 +493,21 @@ object Sources {
   def streamTwsBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.Streams
-    val base = stage(dir, "tws") + "/" + java.util.UUID.randomUUID().toString
+    // Each execution needs a FRESH in/ckpt/out triple (reusing a
+    // checkpoint across executions would renumber batches and accumulate
+    // rounds in `out`, changing the result), but the abandoned triples —
+    // RocksDB sst files included — must not pile up across a 3-iteration
+    // bench + warm-up in one JVM (round 7 measured them as a
+    // contamination source). Prior executions' staging is deleted at
+    // entry: by the time this query is invoked again, every earlier
+    // returned DataFrame has been consumed by its action.
+    val twsRoot = new java.io.File(stage(dir, "tws"))
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(): Unit
+    }
+    Option(twsRoot.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    val base = twsRoot.getPath + "/" + java.util.UUID.randomUUID().toString
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
     val ev = Tables.events(s, dir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")

@@ -298,13 +298,14 @@ object TimeSeries {
     * epoch contract); the last event has no successor and drops, like
     * every TWAP implementation. Portability: the value is fixed-pointed
     * to cents per row FIRST, so the weighted sum Σ cents·seconds is
-    * exact long arithmetic (order-independent — FP-summing value·dt
+    * exact integer arithmetic (order-independent — FP-summing value·dt
     * doubles would tie the result to shuffle layout), and the final
-    * twap_cents is ONE IEEE divide of two exact longs. Magnitudes:
-    * cents ≤ ~10⁵, gaps ≤ ~10⁶ s → ≤ 10¹¹ per interval; promote to
-    * decimal(38,0) for year-long gaps at billion-row keys. Cost: one
-    * window sort per user + one hash agg — both on the already-shuffled
-    * user key. */
+    * twap_cents is ONE IEEE divide of two exact integers. The weighted
+    * sum runs in decimal(38,0) (HUGEINT in the oracle): a silent Long
+    * wrap on cents×seconds would diverge from DuckDB (which errors or
+    * promotes) for year-long gaps at large amounts, and 38 digits
+    * covers any realizable Σ cents·seconds. Cost: one window sort per
+    * user + one hash agg — both on the already-shuffled user key. */
   def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
@@ -317,7 +318,8 @@ object TimeSeries {
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_intervals"),
         sum($"dur_s").as("total_s"),
-        sum($"v_cents" * $"dur_s").as("wsum_cents_s"))
+        sum($"v_cents".cast("decimal(19,0)") * $"dur_s".cast("decimal(19,0)"))
+          .as("wsum_cents_s"))
       .filter($"total_s" > 0)
       .select($"user_id", $"n_intervals", $"total_s",
         ratio($"wsum_cents_s", $"total_s").as("twap_cents"))
@@ -349,7 +351,7 @@ object TimeSeries {
          |)
          |SELECT user_id, count(*) AS n_intervals,
          |       ${sumLongSql("dur_s")} AS total_s,
-         |       ${ratioSql(s"sum(v_cents * dur_s)", "sum(dur_s)")} AS twap_cents
+         |       ${ratioSql(s"sum(CAST(v_cents AS HUGEINT) * dur_s)", "sum(dur_s)")} AS twap_cents
          |FROM iv WHERE next_ts IS NOT NULL
          |GROUP BY user_id HAVING sum(dur_s) > 0
          |ORDER BY user_id""".stripMargin,
