@@ -76,16 +76,29 @@ object Bucketing {
         .otherwise(expr(s"(($keyA - _loA) * 65535L) div (_hiA - _loA)")))
       .withColumn("_cb", when(col("_hiB") === col("_loB"), lit(0L))
         .otherwise(expr(s"(($keyB - _loB) * 65535L) div (_hiB - _loB)")))
-      .withColumn("_z", (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
-        acc
-          .bitwiseOR(shiftleft(shiftright(col("_ca"), i).bitwiseAND(lit(1L)), 2 * i + 1))
-          .bitwiseOR(shiftleft(shiftright(col("_cb"), i).bitwiseAND(lit(1L)), 2 * i))
-      })
+      .withColumn("_z", mortonInterleave(col("_ca"), col("_cb")))
     withZ
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_loA", "_hiA", "_loB", "_hiB", "_ca", "_cb", "_z")
       .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Morton (Z-curve) bit interleave of two 16-bit grid cells:
+    * z = Σ_i cellA_i·2^(2i+1) + cellB_i·2^(2i) — a 32-bit code whose prefix
+    * bits alternate between the two keys, so any fixed-length prefix pins a
+    * rectangle of the (a, b) plane. Pure codegen'd shift/and/or ops; exact
+    * and engine-portable (the q206 oracle replays the identical fold in
+    * integer SQL). Inputs must already be normalized to [0, 65535]. */
+  def mortonInterleave(
+      cellA: org.apache.spark.sql.Column,
+      cellB: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(cellA, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(cellB, i).bitwiseAND(lit(1L)), 2 * i))
+    }
   }
 
   /** Write with observed metrics — pipeline observability on the SAME

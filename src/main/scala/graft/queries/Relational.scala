@@ -531,6 +531,35 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Data-driven salted join — closes the q198-advisor → q59-actuator loop:
+    * instead of a hand-picked salt, a planning pass measures the hottest
+    * join key's row count and derives the fan-out from its binary magnitude
+    * (q198's integer log₂ — `length(bin(cnt)) − 1`, never IEEE log2 whose
+    * exact-power rounding flips bucket boundaries between engines): one
+    * salt lane per 2⁶ rows of the hottest key, clamped to [1, 32] (more
+    * lanes than executor cores just multiplies the replicated small side).
+    * The planning collect is ONE scalar row — the same runtime-stats shape
+    * AQE itself uses — and the census pass is a keys-only map-side-combined
+    * agg (the q198 cost: one pass at any scale). The chosen fan-out is
+    * emitted as a column so the DATA-DRIVEN DECISION ITSELF is
+    * oracle-checked, not just the salted join's row multiset. */
+  def saltedJoinAutotuned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_suppkey", cents($"l_extendedprice").as("pc"))
+    val hotBucket = li.groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
+      .agg(max(length(bin($"cnt")) - 1).cast("int").as("b"))
+      .head().getInt(0)
+    val salt = math.min(32, math.max(1, 1 << math.max(0, hotBucket - 6)))
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+    graft.operators.SkewOps.saltedJoin(li, sup, "l_suppkey", salt)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"), sum($"pc").as("sum_cents"))
+      .withColumn("salt_lanes", lit(salt))
+      .orderBy($"s_nationkey")
+  }
+
   /** Multi-key sort with an explicitly null-ordered synthetic null column
     * (Spark defaults NULLS FIRST on ASC, DuckDB NULLS LAST — always be
     * explicit). Global sort = range-partitioned exchange; LIMIT k makes it
@@ -796,6 +825,7 @@ object Relational {
     "q56_above_brand_avg" -> aboveBrandAverage,
     "q59_salted_join" -> saltedJoinAgg,
     "q60_salted_agg" -> saltedAgg,
+    "q205_salted_join_autotuned" -> saltedJoinAutotuned,
     "q23_sort_multikey_nulls" -> sortMultiKey,
     "q24_topk_limit" -> topK,
     "q25_union_all" -> unionAll,
@@ -1110,6 +1140,19 @@ object Relational {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment
          |ORDER BY c_mktsegment""".stripMargin,
+    "q205_salted_join_autotuned" ->
+      s"""WITH ks AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+         |b AS (SELECT CAST(max(length(bin(cnt)) - 1) AS INT) AS bucket FROM ks),
+         |sl AS (SELECT CAST(LEAST(32, GREATEST(1,
+         |         (1 << GREATEST(0, bucket - 6)))) AS INT) AS salt_lanes
+         |       FROM b)
+         |SELECT s_nationkey, count(*) AS n_items,
+         |       ${sumLongSql(centsSql("l_extendedprice"))} AS sum_cents,
+         |       salt_lanes
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |CROSS JOIN sl
+         |GROUP BY s_nationkey, salt_lanes
+         |ORDER BY s_nationkey""".stripMargin,
     "q60_salted_agg" ->
       s"""SELECT l_returnflag, count(*) AS n_rows,
          |       ${sumLongSql(centsSql("l_extendedprice"))} AS sum_pc

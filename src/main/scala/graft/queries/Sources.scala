@@ -550,7 +550,96 @@ object Sources {
       .orderBy($"round", $"user_id")
   }
 
+  /** Z-order file-skipping MEASURED — the layout claim of
+    * [[graft.operators.Bucketing.writeZOrdered]] as an oracle-checked
+    * number instead of a spec assertion. Three 16-file physical layouts of
+    * the same fact slice are written (parquet, one file per `fid` partition
+    * dir): `linear` (file = insertion order, i.e. orderkey band — what a
+    * naive append sink produces), `range` (file = partkey band — perfect
+    * 1-D clustering), and `zorder` (file = top 4 Morton bits of the
+    * (partkey, suppkey) grid — each file covers a rectangle of the plane).
+    * File assignments are DETERMINISTIC integer expressions of the data
+    * (band = (k−lo)·16 div span+1; cell = (k−lo)·65535 div span — no
+    * range-partitioner sampling), so DuckDB replays the exact layout from
+    * the fixture and every skipping number is hash-compared.
+    *
+    * For two band predicates (the middle band of partkey; of suppkey), each
+    * layout reports, from the read-back files' own min/max — exactly the
+    * parquet footer stats a pruning reader consults (band-of-min ≤ 7 ≤
+    * band-of-max is the intersection test, valid because the band function
+    * is monotone): `files_scanned` (stats overlap) and `files_with_hits`
+    * (files holding matching rows). The measured contract: `range` skips
+    * ~15/16 on partkey but NOTHING on suppkey; `zorder` skips ~3/4 on
+    * EITHER key; `linear` never skips. At 100 TB this is the difference
+    * between touching 25 % and 100 % of a table for the second predicate
+    * column. Precondition: key spans > 0 (any real fixture).
+    *
+    * Scale: extents are a 1-row agg attached by broadcast; the writes are
+    * one pass each; the census is a ≤48-row (layout, fid) agg. */
+  def zorderSkippingProof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = stage(dir, "li_layouts")
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        cents($"l_extendedprice").as("pc"))
+    val ext = li.agg(
+      min($"l_orderkey").as("loO"), max($"l_orderkey").as("hiO"),
+      min($"l_partkey").as("loP"), max($"l_partkey").as("hiP"),
+      min($"l_suppkey").as("loS"), max($"l_suppkey").as("hiS"))
+    val cells = li.join(broadcast(ext))
+      .withColumn("fO",
+        expr("((l_orderkey - loO) * 16) div (hiO - loO + 1)").cast("int"))
+      .withColumn("fP",
+        expr("((l_partkey - loP) * 16) div (hiP - loP + 1)").cast("int"))
+      .withColumn("cp", expr("((l_partkey - loP) * 65535) div (hiP - loP)"))
+      .withColumn("cs", expr("((l_suppkey - loS) * 65535) div (hiS - loS)"))
+      .withColumn("fZ",
+        shiftright(graft.operators.Bucketing.mortonInterleave($"cp", $"cs"), 28)
+          .cast("int"))
+    Seq("linear" -> "fO", "range" -> "fP", "zorder" -> "fZ").foreach {
+      case (name, fidCol) =>
+        cells.select($"l_partkey", $"l_suppkey", $"pc", col(fidCol).as("fid"))
+          .repartition(col("fid")) // one task per fid → one file per fid dir
+          .write.mode("overwrite").partitionBy("fid").parquet(s"$out/$name")
+    }
+    val readBack = Seq("linear", "range", "zorder")
+      .map(n => s.read.parquet(s"$out/$n").withColumn("layout", lit(n)))
+      .reduce(_.unionByName(_))
+    val fileStats = readBack.join(broadcast(ext))
+      .withColumn("bp", expr("((l_partkey - loP) * 16) div (hiP - loP + 1) = 7"))
+      .withColumn("bs", expr("((l_suppkey - loS) * 16) div (hiS - loS + 1) = 7"))
+      .groupBy($"layout", $"fid")
+      .agg(
+        min($"l_partkey").as("minP"), max($"l_partkey").as("maxP"),
+        min($"l_suppkey").as("minS"), max($"l_suppkey").as("maxS"),
+        sum(when($"bp", 1L).otherwise(0L)).as("hitsP"),
+        sum(when($"bs", 1L).otherwise(0L)).as("hitsS"))
+      .join(broadcast(ext))
+      .withColumn("scanP",
+        expr("((minP - loP) * 16) div (hiP - loP + 1) <= 7 AND " +
+             "((maxP - loP) * 16) div (hiP - loP + 1) >= 7"))
+      .withColumn("scanS",
+        expr("((minS - loS) * 16) div (hiS - loS + 1) <= 7 AND " +
+             "((maxS - loS) * 16) div (hiS - loS + 1) >= 7"))
+    fileStats.groupBy($"layout")
+      .agg(
+        count(lit(1)).as("files_total"),
+        sum(when($"scanP", 1L).otherwise(0L)).as("fsP"),
+        sum(when($"scanS", 1L).otherwise(0L)).as("fsS"),
+        sum(when($"hitsP" > 0, 1L).otherwise(0L)).as("fhP"),
+        sum(when($"hitsS" > 0, 1L).otherwise(0L)).as("fhS"),
+        sum($"hitsP").as("nP"), sum($"hitsS").as("nS"))
+      .selectExpr("layout", "files_total",
+        "stack(2, 'partkey_band', nP, fhP, fsP, " +
+          "'suppkey_band', nS, fhS, fsS) " +
+          "AS (pred, n_rows, files_with_hits, files_scanned)")
+      .select($"layout", $"pred", $"n_rows", $"files_with_hits",
+        $"files_scanned", $"files_total")
+      .orderBy($"layout", $"pred")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_zorder_skipping_proof" -> zorderSkippingProof,
     "q139_fn_file_metadata" -> fileMetadata,
     "q130_orc_roundtrip" -> orcRoundtrip,
     "q37_csv_roundtrip" -> csvRoundtrip,
@@ -574,7 +663,62 @@ object Sources {
     "q192_stream_tws_batch" -> streamTwsBatch
   )
 
+  /** The q206 Morton fold as DuckDB integer SQL — generated from the same
+    * (0 until 16) loop as [[graft.operators.Bucketing.mortonInterleave]] so
+    * the two engines cannot drift bit-by-bit. */
+  private val mortonSql: String = (0 until 16)
+    .map(i => s"(((cp >> $i) & 1) << ${2 * i + 1}) | (((cs >> $i) & 1) << ${2 * i})")
+    .mkString(" | ")
+
   val oracles: Map[String, String] = Map(
+    "q206_zorder_skipping_proof" ->
+      s"""WITH ext AS (
+         |  SELECT min(l_orderkey) AS loO, max(l_orderkey) AS hiO,
+         |         min(l_partkey) AS loP, max(l_partkey) AS hiP,
+         |         min(l_suppkey) AS loS, max(l_suppkey) AS hiS
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT l_partkey AS pk, l_suppkey AS sk,
+         |         ((l_orderkey - loO) * 16) // (hiO - loO + 1) AS fo,
+         |         ((l_partkey - loP) * 16) // (hiP - loP + 1) AS fp,
+         |         ((l_partkey - loP) * 65535) // (hiP - loP) AS cp,
+         |         ((l_suppkey - loS) * 65535) // (hiS - loS) AS cs,
+         |         ((l_partkey - loP) * 16) // (hiP - loP + 1) = 7 AS bp,
+         |         ((l_suppkey - loS) * 16) // (hiS - loS + 1) = 7 AS bs
+         |  FROM lineitem CROSS JOIN ext),
+         |r2 AS (SELECT pk, sk, bp, bs, fo, fp, ($mortonSql) >> 28 AS fz FROM r),
+         |u AS (
+         |  SELECT 'linear' AS layout, fo AS fid, pk, sk, bp, bs FROM r2
+         |  UNION ALL SELECT 'range', fp, pk, sk, bp, bs FROM r2
+         |  UNION ALL SELECT 'zorder', fz, pk, sk, bp, bs FROM r2),
+         |fs AS (
+         |  SELECT layout, fid, min(pk) AS minP, max(pk) AS maxP,
+         |         min(sk) AS minS, max(sk) AS maxS,
+         |         sum(CASE WHEN bp THEN 1 ELSE 0 END) AS hitsP,
+         |         sum(CASE WHEN bs THEN 1 ELSE 0 END) AS hitsS
+         |  FROM u GROUP BY 1, 2),
+         |fs2 AS (
+         |  SELECT layout, fid, hitsP, hitsS,
+         |         ((minP - loP) * 16) // (hiP - loP + 1) <= 7
+         |           AND ((maxP - loP) * 16) // (hiP - loP + 1) >= 7 AS scanP,
+         |         ((minS - loS) * 16) // (hiS - loS + 1) <= 7
+         |           AND ((maxS - loS) * 16) // (hiS - loS + 1) >= 7 AS scanS
+         |  FROM fs CROSS JOIN ext),
+         |agg AS (
+         |  SELECT layout, count(*) AS files_total,
+         |         CAST(sum(CASE WHEN scanP THEN 1 ELSE 0 END) AS BIGINT) AS fsP,
+         |         CAST(sum(CASE WHEN scanS THEN 1 ELSE 0 END) AS BIGINT) AS fsS,
+         |         CAST(sum(CASE WHEN hitsP > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fhP,
+         |         CAST(sum(CASE WHEN hitsS > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fhS,
+         |         CAST(sum(hitsP) AS BIGINT) AS nP,
+         |         CAST(sum(hitsS) AS BIGINT) AS nS
+         |  FROM fs2 GROUP BY 1)
+         |SELECT layout, 'partkey_band' AS pred, nP AS n_rows,
+         |       fhP AS files_with_hits, fsP AS files_scanned, files_total
+         |FROM agg
+         |UNION ALL
+         |SELECT layout, 'suppkey_band', nS, fhS, fsS, files_total FROM agg
+         |ORDER BY layout, pred""".stripMargin,
     // Independent derivation: the census computed straight from the
     // fixture columns, never from HTML — a Spark-side extraction bug
     // cannot be mirrored here.

@@ -140,4 +140,48 @@ class BucketingSpec extends SparkSpec {
         sum(graft.queries.Portable.cents(col("l_extendedprice")))).collect()(0)
     assert(sig(s"$base/small") === sig(s"$base/big"))
   }
+
+  test("q206 zorder skipping proof: z-order prunes files on EITHER key, " +
+      "range only on its own, linear on neither") {
+    val res = graft.queries.Sources.zorderSkippingProof(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[String]("pred")) ->
+        (r.getAs[Long]("files_scanned"), r.getAs[Long]("files_total")))
+      .toMap
+    def scanned(l: String, p: String) = res((l, p))._1
+    def total(l: String, p: String) = res((l, p))._2
+    // linear: every file spans the whole key plane — nothing skips
+    assert(scanned("linear", "partkey_band") == total("linear", "partkey_band"))
+    assert(scanned("linear", "suppkey_band") == total("linear", "suppkey_band"))
+    // range-on-partkey: near-perfect on partkey, useless on suppkey
+    assert(scanned("range", "partkey_band") <= 2)
+    assert(scanned("range", "suppkey_band") == total("range", "suppkey_band"))
+    // zorder: substantial pruning on BOTH predicates
+    assert(scanned("zorder", "partkey_band") <= total("zorder", "partkey_band") / 2)
+    assert(scanned("zorder", "suppkey_band") <= total("zorder", "suppkey_band") / 2)
+  }
+
+  test("q206 layouts are one physical parquet file per fid directory " +
+      "(fid identity == file identity)") {
+    // zorderSkippingProof above staged the layouts for this sfDir/JVM.
+    graft.queries.Sources.zorderSkippingProof(spark, sfDir).collect()
+    val root = s"/tmp/graft_stage/${ProcessHandle.current.pid}/" +
+      s"${new java.io.File(sfDir).getName}/li_layouts"
+    for (layout <- Seq("linear", "range", "zorder")) {
+      val dirs = new java.io.File(s"$root/$layout").listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("fid="))
+      assert(dirs.nonEmpty, s"$layout: no fid partition dirs")
+      for (d <- dirs) {
+        val files = d.listFiles.count(_.getName.endsWith(".parquet"))
+        assert(files == 1, s"$layout/${d.getName}: expected 1 file, got $files")
+      }
+      // _metadata agrees: distinct physical files == distinct fids
+      val m = spark.read.parquet(s"$root/$layout")
+        .select(col("fid"), col("_metadata.file_path").as("fp"))
+        .agg(countDistinct(col("fid")).as("nf"), countDistinct(col("fp")).as("np"))
+        .collect()(0)
+      assert(m.getLong(0) === m.getLong(1),
+        s"$layout: fids ${m.getLong(0)} != files ${m.getLong(1)}")
+    }
+  }
 }

@@ -72,4 +72,27 @@ class SkewOpsSpec extends SparkSpec {
       .select($"k", $"s").distinct().count()
     assert(phase1Groups > skewed.select($"k").distinct().count())
   }
+
+  test("q205 autotuned salt derives from the measured hot-key magnitude " +
+      "and the salted result equals the plain join") {
+    val res = graft.queries.Relational.saltedJoinAutotuned(spark, sfDir)
+    val rows = res.collect()
+    // Re-derive the expected fan-out from the fixture directly.
+    val hot = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
+      .agg(max($"cnt")).collect()(0).getLong(0)
+    val bucket = 63 - java.lang.Long.numberOfLeadingZeros(hot)
+    val expectSalt = math.min(32, math.max(1, 1 << math.max(0, bucket - 6)))
+    assert(rows.forall(_.getAs[Int]("salt_lanes") == expectSalt),
+      s"salt_lanes must equal the data-derived fan-out $expectSalt")
+    // And the salted join's aggregate equals the plain unsalted plan.
+    val plain = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey", graft.queries.Portable.cents($"l_extendedprice").as("pc"))
+      .join(Tables.supplier(spark, sfDir)
+        .select($"s_suppkey".as("l_suppkey"), $"s_nationkey"), "l_suppkey")
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"), sum($"pc").as("sum_cents"))
+    val got = res.drop("salt_lanes")
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+  }
 }
