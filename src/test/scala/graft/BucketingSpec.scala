@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Bucketing
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, countDistinct}
 
 /** Co-bucketed join must plan with zero shuffle exchanges — the write-time
   * co-location contract that matters at fact⋈fact scale.
