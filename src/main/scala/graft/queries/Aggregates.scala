@@ -1096,7 +1096,80 @@ object Aggregates {
       .orderBy($"digit")
   }
 
+  /** Winsorized robust stats — clip each order's price to its priority
+    * class's exact [p01, p99] band before averaging, the standard
+    * outlier-robust KPI. The percentile edges are ORDER STATISTICS, not
+    * interpolated quantiles: the value at row ⌈q·n⌉ of the class's sort —
+    * exactly replicable in any engine (interpolated `percentile`
+    * definitions differ between Spark and DuckDB; rank positions do not).
+    * Mechanics: one per-class window sort produces row_number + count,
+    * the two edge rows collapse to a ≤|classes|-row broadcast, and the
+    * clip + integer re-aggregation reuses the same shuffle key. Scale:
+    * the only data-sized operations are the per-class sort (parallel
+    * across classes) and one map-side-combined agg. */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("prio"), cents($"o_totalprice").as("pc"))
+    val w = Window.partitionBy($"prio").orderBy($"pc".asc)
+    val ranked = o
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"prio")))
+    // order statistics at ceil(0.01*n) and ceil(0.99*n): integer-exact
+    val edges = ranked
+      .filter($"rn" === ceil($"n" * lit(0.01)).cast("long") ||
+              $"rn" === ceil($"n" * lit(0.99)).cast("long"))
+      .groupBy($"prio".as("e_prio"))
+      .agg(min($"pc").as("lo"), max($"pc").as("hi"))
+    o.join(broadcast(edges), $"prio" === $"e_prio")
+      .select($"prio",
+        greatest(least($"pc", $"hi"), $"lo").as("clipped"),
+        ($"pc" < $"lo" || $"pc" > $"hi").cast("long").as("was_clipped"))
+      .groupBy($"prio")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"clipped").as("wsum_cents"),
+        sum($"was_clipped").as("n_clipped"))
+      .select($"prio", $"n_orders", $"wsum_cents", $"n_clipped",
+        ratio($"wsum_cents", $"n_orders").as("winsor_mean_cents"))
+      .orderBy($"prio")
+  }
+
+  /** Decile lift / gains table — the model-eval report scored here on
+    * customer lifetime spend: rank customers by exact integer spend,
+    * NTILE(10) them, and report each decile's share and cumulative share
+    * of total revenue. Ties in spend are broken by custkey so the decile
+    * assignment (and therefore every downstream number) is a pure function
+    * of the data in both engines. Scale: per-customer spend is one
+    * key-partitioned agg of the fact table; everything after operates on
+    * |customers| rows, and the final cumulative window is over exactly 10
+    * rows. The single global NTILE sort is the one unavoidable total-order
+    * operation — on a cluster it range-partitions rather than
+    * single-tasks. */
+  def decileLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(cents($"o_totalprice")).as("spend"))
+    val deciled = spend
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy($"spend".desc, $"o_custkey".asc))
+          .cast("long"))
+    val tot = spend.agg(sum($"spend").as("total_spend"))
+    val byDecile = deciled.groupBy($"decile")
+      .agg(count(lit(1)).as("n_cust"), sum($"spend").as("decile_spend"))
+    val wc = Window.orderBy($"decile".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile.crossJoin(broadcast(tot))
+      .withColumn("cum_spend", sum($"decile_spend").over(wc))
+      .select($"decile", $"n_cust", $"decile_spend",
+        ratio($"decile_spend", $"total_spend").as("share"),
+        ratio($"cum_spend", $"total_spend").as("cum_share"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_winsorized_stats" -> winsorizedStats,
+    "q213_decile_lift" -> decileLift,
     "q201_benford_audit" -> benfordAudit,
     "q198_skew_census" -> skewCensus,
     "q195_corr_census" -> corrCensus,
@@ -1137,6 +1210,49 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q212_winsorized_stats" ->
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS prio, ${centsSql("o_totalprice")} AS pc
+         |  FROM orders
+         |), ranked AS (
+         |  SELECT prio, pc,
+         |         row_number() OVER (PARTITION BY prio ORDER BY pc ASC) AS rn,
+         |         count(*) OVER (PARTITION BY prio) AS n
+         |  FROM o
+         |), edges AS (
+         |  SELECT prio AS e_prio, min(pc) AS lo, max(pc) AS hi
+         |  FROM ranked
+         |  WHERE rn = CAST(ceil(n * 0.01) AS BIGINT)
+         |     OR rn = CAST(ceil(n * 0.99) AS BIGINT)
+         |  GROUP BY 1
+         |)
+         |SELECT prio, count(*) AS n_orders,
+         |       ${sumLongSql("GREATEST(LEAST(pc, hi), lo)")} AS wsum_cents,
+         |       ${sumLongSql("CASE WHEN pc < lo OR pc > hi THEN 1 ELSE 0 END")} AS n_clipped,
+         |       ${ratioSql(s"${sumLongSql("GREATEST(LEAST(pc, hi), lo)")}", "count(*)")} AS winsor_mean_cents
+         |FROM o JOIN edges ON prio = e_prio
+         |GROUP BY prio
+         |ORDER BY prio""".stripMargin,
+    "q213_decile_lift" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey, ${sumLongSql(centsSql("o_totalprice"))} AS spend
+         |  FROM orders GROUP BY 1
+         |), deciled AS (
+         |  SELECT spend,
+         |         ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
+         |  FROM spend
+         |), tot AS (SELECT ${sumLongSql("spend")} AS total_spend FROM spend),
+         |by_decile AS (
+         |  SELECT decile, count(*) AS n_cust, ${sumLongSql("spend")} AS decile_spend
+         |  FROM deciled GROUP BY 1
+         |)
+         |SELECT decile, n_cust, decile_spend,
+         |       ${ratioSql("decile_spend", "total_spend")} AS share,
+         |       ${ratioSql(
+             "sum(decile_spend) OVER (ORDER BY decile ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+             "total_spend")} AS cum_share
+         |FROM by_decile CROSS JOIN tot
+         |ORDER BY decile""".stripMargin,
     "q201_benford_audit" ->
       s"""WITH digits AS (
          |  SELECT CAST(substring(CAST(${centsSql("o_totalprice")} AS VARCHAR), 1, 1) AS INT) AS digit

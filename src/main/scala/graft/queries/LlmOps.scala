@@ -1973,7 +1973,34 @@ object LlmOps {
       .orderBy(ord: _*).limit(20).orderBy(ord: _*)
   }
 
+  /** Keyword-in-context (KWIC / concordance) — the corpus-linguistics view
+    * of one anchor term: for every occurrence of "spark", count its
+    * (previous, next) neighbor pair, with `^`/`$` sentinels at document
+    * edges. Mechanics: split once, posexplode, filter to the anchor, index
+    * the SAME array for the neighbors (no self-join — the context comes
+    * from the row's own array), then a vocab-bounded (prev, next) rollup.
+    * Scale: the explode is linear in tokens and the only shuffle is the
+    * final ≤|vocab|² partial-agg; the anchor filter drops ~97% of exploded
+    * rows before anything wide happens. */
+  def kwicContext(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(split($"text", " ").as("toks"))
+      .select($"toks", posexplode($"toks").as(Seq("pos0", "tok")))
+      .filter($"tok" === "spark")
+      .select(
+        when($"pos0" === 0, lit("^"))
+          .otherwise(element_at($"toks", $"pos0")).as("prev_tok"),
+        when($"pos0" === size($"toks") - 1, lit("$"))
+          .otherwise(element_at($"toks", $"pos0" + 2)).as("next_tok"))
+      .groupBy($"prev_tok", $"next_tok")
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy($"n_occ".desc, $"prev_tok".asc, $"next_tok".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_kwic_context" -> kwicContext,
     "q204_setsim_prefix_join" -> setSimPrefixJoin,
     "q181_dense_id_assignment" -> denseIdAssignment,
     "q180_feature_hashing" -> featureHashing,
@@ -2031,6 +2058,21 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q210_kwic_context" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |e AS (
+         |  SELECT toks, unnest(toks) AS tok,
+         |         generate_subscripts(toks, 1) AS pos
+         |  FROM t
+         |)
+         |SELECT CASE WHEN pos = 1 THEN '^' ELSE toks[pos - 1] END AS prev_tok,
+         |       CASE WHEN pos = len(toks) THEN '$$' ELSE toks[pos + 1] END AS next_tok,
+         |       count(*) AS n_occ
+         |FROM e
+         |WHERE tok = 'spark'
+         |GROUP BY 1, 2
+         |ORDER BY n_occ DESC, prev_tok ASC, next_tok ASC
+         |LIMIT 20""".stripMargin,
     "q204_setsim_prefix_join" ->
       s"""WITH dt AS (
          |  SELECT doc_id, unnest(list_distinct($shingle3Sql)) AS sh

@@ -326,7 +326,42 @@ object TimeSeries {
       .orderBy($"user_id")
   }
 
+  /** Session path mining — the "what do the top user journeys look like"
+    * report: q61's 30-min-gap sessionization, then each session's first
+    * five event types joined into an ordered path string, then a frequency
+    * table of paths. Determinism contract: the in-session order is the
+    * total order (ts, event_id) — `collect_list` alone is
+    * partition-order-dependent, so the structs are `array_sort`ed (ts
+    * first, unique event_id as tiebreaker) before the types are extracted;
+    * the oracle's `list(... ORDER BY ts, event_id)` mirrors it exactly.
+    * Scale: both window passes and the session rollup share the one
+    * per-user shuffle; state per group is ≤ the session's events, and the
+    * path table is bounded by |event_types|^5, not by rows. */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum($"new_sess").over(running))
+      .groupBy($"user_id", $"sess_id")
+      .agg(array_sort(collect_list(
+        struct($"ts", $"event_id", $"event_type"))).as("evs"))
+      .select(concat_ws(">",
+        slice(transform($"evs", e => e("event_type")), 1, 5)).as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path".asc)
+      .limit(15)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_session_paths" -> sessionPaths,
     "q203_time_weighted_avg" -> timeWeightedAvg,
     "q200_peak_concurrency" -> peakConcurrency,
     "q194_anomaly_zscore" -> anomalyZscore,
@@ -340,6 +375,27 @@ object TimeSeries {
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "q211_session_paths" ->
+      """WITH sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id, event_type,
+        |           CASE WHEN lag(ts) OVER w IS NULL
+        |                  OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |                THEN 1 ELSE 0 END AS new_sess
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  )
+        |), p AS (
+        |  SELECT array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+        |  FROM sess GROUP BY user_id, sess_id
+        |)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path ASC
+        |LIMIT 15""".stripMargin,
     "q203_time_weighted_avg" ->
       s"""WITH iv AS (
          |  SELECT user_id, ${centsSql("value")} AS v_cents,
