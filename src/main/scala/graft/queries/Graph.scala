@@ -175,9 +175,15 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "q202_triangle_census" ->
-      s"""WITH so AS (
+      // MATERIALIZED on every multiply-referenced CTE: DuckDB inlines CTE
+      // references by default, so `e` (read 3x) re-expands und -> mult ->
+      // the 6M-row (ok,sp) self-join on every reference — combinatorial
+      // re-evaluation that is invisible at sf0.01 but turns the sf1 oracle
+      // from ~3 s into >10 min. The hint pins each stage to one evaluation
+      // without changing results.
+      s"""WITH so AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sp FROM lineitem
-         |), mult AS (
+         |), mult AS MATERIALIZED (
          |  SELECT a.u, b.v, count(*) AS m
          |  FROM (SELECT ok, sp AS u FROM so) a
          |  JOIN (SELECT ok, sp AS v FROM so) b USING (ok)
@@ -189,12 +195,12 @@ object Graph {
          |      // nullif(nv * (nv - 1), 0), $CoOrderMinMult)) AS thr
          |  FROM (SELECT coalesce(sum(m), 0) AS slots FROM mult),
          |       (SELECT count(DISTINCT sp) AS nv FROM so)
-         |), und AS (SELECT u, v FROM mult, thr WHERE m >= thr
-         |), degs AS (
+         |), und AS MATERIALIZED (SELECT u, v FROM mult, thr WHERE m >= thr
+         |), degs AS MATERIALIZED (
          |  SELECT n, count(*) AS deg FROM (
          |    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
          |  GROUP BY 1
-         |), e AS (
+         |), e AS MATERIALIZED (
          |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
          |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
          |         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddst
@@ -221,14 +227,17 @@ object Graph {
          |            THEN ${ratioSql("3 * n_triangles", "n_wedges")} END AS clustering_coeff
          |FROM census CROSS JOIN edges CROSS JOIN tri""".stripMargin,
     "q197_pagerank_fixed_point" ->
-      """WITH e0 AS (
+      // Same MATERIALIZED rationale as q202: e is read by deg/n and all
+      // three contribution joins; inlined it would rebuild the 6M-row
+      // orders⋈lineitem edge list per reference.
+      """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |), e AS (
+        |), e AS MATERIALIZED (
         |  SELECT src, dst FROM e0
         |  UNION ALL SELECT dst, src FROM e0
-        |), deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
-        |n AS (SELECT DISTINCT src AS node FROM e),
+        |), deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
         |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM n),
         |c1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS s
         |       FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
