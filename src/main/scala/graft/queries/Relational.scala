@@ -878,7 +878,161 @@ object Relational {
       .orderBy($"p_brand", $"s_name")
   }
 
+  /** TPC-H Q18's "large-volume order" shape: HAVING over a per-order
+    * quantity rollup, then re-attach order/customer context. Scale: the
+    * rollup shuffles lineitem ONCE by its natural key; the HAVING
+    * (> 300, ≈ p99.5 of the per-order distribution) collapses the relation
+    * to a sliver before any further join, so the orders/customer joins see
+    * thousands of rows, not the fact table — AQE turns both into broadcasts
+    * at runtime, and at 100 TB they stay key-partitioned joins whose left
+    * side is post-HAVING tiny. Top-20 by exact total cents, orderkey
+    * tiebreak — fully deterministic. */
+  def bigOrderCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sumIntValued($"l_quantity").as("order_qty"))
+      .filter($"order_qty" > 300)
+    big.join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        cents($"o_totalprice").as("total_cents"), $"order_qty")
+      .orderBy($"total_cents".desc, $"o_orderkey".asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q19's disjunctive multi-branch predicate: three conjunctive
+    * (part-attribute × lineitem-range) branches OR'd together. The point
+    * at scale is that the whole disjunction evaluates INSIDE the scan
+    * stage — one codegen'd filter over the broadcast-joined rows, no
+    * per-branch union of three scans (the naive translation reads the
+    * fact table three times). Output is a single exact-cents row. */
+  def disjunctivePredScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_type" === "PROMO" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1, 20)) ||
+        ($"p_type" === "ECONOMY" && $"p_size".between(10, 30) &&
+          $"l_quantity".between(10, 35)) ||
+        ($"p_type" === "LARGE" && $"p_size".between(25, 50) &&
+          $"l_quantity".between(20, 50)))
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .as("revenue_cents"), count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q7's bilateral trade-flow shape: volume between (supplier
+    * nation, customer nation) pairs by ship year, excluding domestic
+    * trade. Scale: ONE fact⋈fact shuffle (lineitem⋈orders on orderkey);
+    * the customer side is a key-partitioned join on custkey (customers
+    * grow with the data — never broadcast); supplier and nation are
+    * broadcast dims. The group space is |nations|² × years — constant in
+    * fact volume. */
+  def nationTradeFlow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cn = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val sn = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(cn, $"o_custkey" === $"c_custkey")
+      .join(broadcast(sn), $"l_suppkey" === $"s_suppkey")
+      .filter($"cust_nation" =!= $"supp_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").as("ship_year"))
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .as("volume_cents"))
+      .orderBy($"supp_nation", $"cust_nation", $"ship_year")
+  }
+
+  /** TPC-H Q15's "top supplier" shape: revenue per supplier over a fixed
+    * quarter, keep every supplier tied at the maximum (the classic
+    * revenue = (SELECT max ...) correlated form). Exact integer cents make
+    * the tie semantics reproducible — a double-sum formulation can
+    * disagree with the oracle on who ties at the top. Scale: the date
+    * filter pushes to the scan, one supplier-keyed agg, and the max is a
+    * 1-row broadcast back onto the agg — no second fact pass. */
+  def topSupplierInterval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .as("total_cents"))
+    val mx = rev.agg(max($"total_cents").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter($"total_cents" === $"mx")
+      .join(broadcast(Tables.supplier(s, dir)),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_cents")
+      .orderBy($"s_suppkey")
+  }
+
+  /** TPC-H Q16's supplier-count census, adapted to the fixture's star (no
+    * partsupp: the observed (part, supplier) incidence from lineitem
+    * stands in). Suppliers in deficit (s_acctbal < 0 — the "customer
+    * complaints" analog) are excluded by broadcast anti-join BEFORE the
+    * distinct, the brand/type/size screen is a broadcast dim filter, and
+    * the count-distinct groups on part attributes — a vocab-bounded group
+    * space. Scale: one distinct-pairs shuffle of the projected fact
+    * columns; everything else broadcasts. */
+  def brandSupplierCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val excl = Tables.supplier(s, dir)
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .join(broadcast(excl), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .filter($"p_brand" =!= "Brand#13" && $"p_type" =!= "MEDIUM" &&
+        $"p_size".isin(1, 4, 9, 16, 25, 36, 49))
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  /** TPC-H Q9's profit decomposition by (supplier nation, year). The
+    * fixture has no partsupp cost, so unit cost is modeled as 40 % of
+    * p_retailprice — kept EXACT: cost_cents = (retail_cents · qty · 2)
+    * div 5, all longs, truncating division identical in Spark's `div`
+    * and DuckDB's `//` for non-negative operands. Profit per row is
+    * revenue cents − cost cents; sums are exact longs (headroom: ~10⁷
+    * cents/row × 6·10⁹ rows at 100 TB ≈ 6·10¹⁶ ≪ 2⁶³). Scale: one
+    * fact⋈fact shuffle on orderkey for the order year; part and the
+    * supplier→nation map broadcast; group space |nations| × years. */
+  def profitDecomposition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sn = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sn), $"l_suppkey" === $"s_suppkey")
+      .withColumn("profit_cents",
+        cents($"l_extendedprice" * (lit(1.0) - $"l_discount")) -
+          expr(s"(${centsSql("p_retailprice")}" +
+            " * CAST(l_quantity AS BIGINT) * 2) div 5"))
+      .groupBy($"nation", year($"o_orderdate").as("o_year"))
+      .agg(sum($"profit_cents").as("profit_cents"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_big_order_customers" -> bigOrderCustomers,
+    "q215_disjunctive_pred_scan" -> disjunctivePredScan,
+    "q216_nation_trade_flow" -> nationTradeFlow,
+    "q217_top_supplier_interval" -> topSupplierInterval,
+    "q218_brand_supplier_census" -> brandSupplierCensus,
+    "q219_profit_decomposition" -> profitDecomposition,
     "q207_late_supplier_blame" -> lateSupplierBlame,
     "q208_dormant_high_value" -> dormantHighValue,
     "q209_promo_supplier_share" -> promoSupplierShare,
@@ -922,6 +1076,80 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q214_big_order_customers" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS order_qty
+         |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+         |)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+         |       ${centsSql("o_totalprice")} AS total_cents, order_qty
+         |FROM big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY total_cents DESC, o_orderkey
+         |LIMIT 20""".stripMargin,
+    "q215_disjunctive_pred_scan" ->
+      s"""SELECT ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS revenue_cents,
+         |       count(*) AS n_rows
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30
+         |        AND l_quantity BETWEEN 10 AND 35)
+         |   OR (p_type = 'LARGE' AND p_size BETWEEN 25 AND 50
+         |        AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "q216_nation_trade_flow" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |       CAST(year(l_shipdate) AS INT) AS ship_year,
+         |       ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS volume_cents
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN (SELECT * FROM nation) cn ON c_nationkey = cn.n_nationkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN (SELECT * FROM nation) sn ON s_nationkey = sn.n_nationkey
+         |WHERE cn.n_name <> sn.n_name
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "q217_top_supplier_interval" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |         ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS total_cents
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+         |    AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+         |  GROUP BY 1
+         |)
+         |SELECT s_suppkey, s_name, total_cents
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q218_brand_supplier_census" ->
+      s"""WITH ps AS (
+         |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+         |)
+         |SELECT p_brand, p_type, p_size,
+         |       count(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM ps JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+         |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+         |  AND l_suppkey NOT IN (
+         |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q219_profit_decomposition" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         |       ${sumLongSql(
+               s"${centsSql("l_extendedprice * (1 - l_discount)")}" +
+               s" - (${centsSql("p_retailprice")}" +
+               " * CAST(l_quantity AS BIGINT) * 2) // 5")} AS profit_cents
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin,
     "q207_late_supplier_blame" ->
       s"""WITH osup AS (
          |  SELECT l_orderkey AS ok, l_suppkey AS sk,
