@@ -1167,7 +1167,43 @@ object Aggregates {
       .orderBy($"decile")
   }
 
+  /** A/B contingency chi-square census — the experiment-analysis screen,
+    * emitted PER CELL rather than as the summed statistic: a chi-square
+    * total is an order-dependent float sum across cells, but each cell's
+    * contribution (o·N − r·c)² / (N·r·c) is a fixed op tree — exact
+    * decimal(38,0)/HUGEINT integers for the (o·N − r·c) difference
+    * (≤ ~10²⁶ even at 10¹³ events, well inside 38 digits; only the
+    * SQUARE would overflow, so the difference is cast to double first —
+    * one correctly-rounded cast, then correctly-rounded ×, ×, ÷), so
+    * every cell hash-compares. The reader (or a driver) sums the ≤
+    * |variants|·|types| cells for the statistic. Variant assignment is
+    * the deterministic user_id parity. Scale: one map-side partial-agg
+    * collapse to the cell table; margins are 1-to-5-row broadcasts. */
+  def abChiSquareCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val o = Tables.events(s, dir)
+      .select(($"user_id" % 2).cast("int").as("variant"), $"event_type")
+      .groupBy($"variant", $"event_type").agg(count(lit(1)).as("o"))
+    val r = o.groupBy($"variant").agg(sum($"o").as("r"))
+    val c = o.groupBy($"event_type").agg(sum($"o").as("c"))
+    val n = o.agg(sum($"o").as("n"))
+    o.join(broadcast(r), "variant")
+      .join(broadcast(c), "event_type")
+      .crossJoin(broadcast(n))
+      .withColumn("dd",
+        ($"o".cast(d38) * $"n".cast(d38) - $"r".cast(d38) * $"c".cast(d38))
+          .cast("double"))
+      .select($"variant", $"event_type", $"o", $"r", $"c", $"n",
+        (($"dd" * $"dd") /
+          (($"n".cast("double") * $"r".cast("double")) * $"c".cast("double")))
+          .as("chi2_cell"))
+      .orderBy($"variant", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_ab_chi2_census" -> abChiSquareCensus,
     "q212_winsorized_stats" -> winsorizedStats,
     "q213_decile_lift" -> decileLift,
     "q201_benford_audit" -> benfordAudit,
@@ -1210,6 +1246,24 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q222_ab_chi2_census" ->
+      s"""WITH o AS (
+         |  SELECT CAST(user_id % 2 AS INT) AS variant, event_type,
+         |         count(*) AS o
+         |  FROM events GROUP BY 1, 2
+         |), r AS (SELECT variant, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+         |c AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+         |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+         |cells AS (
+         |  SELECT variant, event_type, o, r, c, n,
+         |         CAST(CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
+         |              - CAST(r AS HUGEINT) * CAST(c AS HUGEINT) AS DOUBLE) AS dd
+         |  FROM o JOIN r USING (variant) JOIN c USING (event_type) CROSS JOIN n
+         |)
+         |SELECT variant, event_type, o, r, c, n,
+         |       (dd * dd) / ((CAST(n AS DOUBLE) * CAST(r AS DOUBLE)) * CAST(c AS DOUBLE)) AS chi2_cell
+         |FROM cells
+         |ORDER BY variant, event_type""".stripMargin,
     "q212_winsorized_stats" ->
       s"""WITH o AS (
          |  SELECT o_orderpriority AS prio, ${centsSql("o_totalprice")} AS pc

@@ -48,7 +48,14 @@ object Graph {
       .select(concat(lit("c"), $"o_custkey").as("src"),
         concat(lit("s"), $"l_suppkey").as("dst"))
       .distinct()
+    // Pinned PRE-PARTITIONED on src: deg's groupBy and all three
+    // iteration joins key on src, so hash-partitioning once before the
+    // checkpoint lets every consumer reuse the same exchange (the
+    // checkpointed LogicalRDD preserves its outputPartitioning) — 4
+    // edge-side shuffles become 1. This is exactly the cluster contract:
+    // partition the big immutable relation once, iterate against it.
     val edges = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
+      .repartition($"src")
       .localCheckpoint(eager = false) // read by deg + all 3 iterations
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
     val nodes = edges.select($"src".as("node")).distinct()

@@ -1999,7 +1999,88 @@ object LlmOps {
       .limit(20)
   }
 
+  /** Bigram language-model COVERAGE scoring — the held-out-likelihood
+    * quality screen without the log-probability float trap: a bigram LM's
+    * per-token log-prob sum is order-dependent FP accumulation (and libm
+    * log isn't bit-portable), but the COVERAGE statistic — what fraction
+    * of a held-out doc's distinct bigrams the training corpus has seen at
+    * least twice — is two exact integers and one IEEE divide, and ranks
+    * junk the same way (OOV-bigram-heavy docs are the perplexity
+    * outliers). Train/test split is the deterministic doc_id parity;
+    * the model is the df ≥ 2 distinct-bigram set (df counted doc-level).
+    * Scale: model and test bigrams join KEYED on the digest — the model
+    * grows with the corpus, never broadcast; output is the 25
+    * worst-covered docs (the quality-quarantine pick list). */
+  def bigramCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // explode_outer + post-agg filters, NEVER a pre-explode filter on the
+    // shingle array: the q43 lesson — a plain explode (or any predicate
+    // on size(bsh)) lets InferFiltersFromGenerate push the digest
+    // pipeline below the projection, re-running md5 per element — the
+    // first cut of this query did exactly that and went 51 s at sf1.
+    // n_bi is recovered as count(sh) per doc AFTER the explode (count
+    // skips the null row an empty array emits), so nothing references
+    // the array outside the Generate.
+    def exploded(parity: Int) = Tables.documents(s, dir)
+      .filter($"doc_id" % 2 === parity)
+      .withColumn("th", TextOps.tokenHashes(TextOps.tokens($"text")))
+      .select($"doc_id",
+        explode_outer(array_distinct(TextOps.shingleHashes2($"th"))).as("sh"))
+    val model = exploded(0)
+      .groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"sh".isNotNull)
+      .select($"sh")
+    exploded(1)
+      .join(model.withColumn("hit", lit(1L)), Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(count($"sh").as("n_bi"),
+        sum(coalesce($"hit", lit(0L))).as("n_cov"))
+      .filter($"n_bi" > 0)
+      .select($"doc_id", $"n_bi", $"n_cov",
+        ratio($"n_cov", $"n_bi").as("coverage"))
+      .orderBy($"coverage".asc, $"doc_id".asc)
+      .limit(25)
+  }
+
+  /** Directed near-CONTAINMENT detection — the dedup case Jaccard misses:
+    * a short doc quoted wholesale inside a longer one scores common/n1
+    * ≈ 1 (containment) while common/(n1+n2−common) (Jaccard) can be
+    * arbitrarily low. Same shingle-digest inverted index as q43 (df cap
+    * drops boilerplate shingles; heuristic recall, documented there), but
+    * the pair relation is DIRECTED (contained → container) and scored
+    * against the contained side's set size only. Scale contract is
+    * q43's: one exploded-digest shuffle reused by both join sides, the
+    * df cap bounds per-shingle fan-out, and the ≥ 80 % screen is exact
+    * integer (5·common ≥ 4·n1). */
+  def containmentDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ex = Tables.documents(s, dir)
+      .withColumn("th", TextOps.tokenHashes(TextOps.tokens($"text")))
+      .withColumn("dshin", array_distinct(TextOps.shingleHashes3($"th")))
+      .select($"doc_id", size($"dshin").cast("long").as("nsh"),
+        explode_outer($"dshin").as("sh"))
+    val exRep = ex.repartition($"sh")
+    val wdf = Window.partitionBy($"sh")
+    val ok = exRep
+      .withColumn("df", count(lit(1)).over(wdf))
+      .filter($"df" <= JaccardDfCap)
+      .drop("df")
+    val ord = Seq($"containment".desc, $"doc1".asc, $"doc2".asc)
+    ok.select($"doc_id".as("doc1"), $"nsh".as("n1"), $"sh")
+      .join(ok.select($"doc_id".as("doc2"), $"nsh".as("n2"),
+        $"sh".as("sh2")),
+        $"sh" === $"sh2" && $"doc1" =!= $"doc2" && $"n1" <= $"n2")
+      .groupBy($"doc1", $"doc2", $"n1", $"n2")
+      .agg(count(lit(1)).as("common"))
+      .filter($"common" * 5 >= $"n1" * 4) // containment >= 0.8, exact
+      .select($"doc1", $"doc2", $"n1", $"n2", $"common",
+        ratio($"common", $"n1").as("containment"))
+      .orderBy(ord: _*).limit(20).orderBy(ord: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_bigram_coverage" -> bigramCoverage,
+    "q223_containment_dedup" -> containmentDedup,
     "q210_kwic_context" -> kwicContext,
     "q204_setsim_prefix_join" -> setSimPrefixJoin,
     "q181_dense_id_assignment" -> denseIdAssignment,
@@ -2058,6 +2139,51 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q221_bigram_coverage" ->
+      // MATERIALIZED: dt is read by both the model and the test side —
+      // inlined, DuckDB would re-run the md5 digest pipeline per reference
+      // (the q202 soak lesson).
+      s"""WITH dt AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct($shingle2Sql) AS bsh
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th
+         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |), model AS MATERIALIZED (
+         |  SELECT sh FROM (SELECT unnest(bsh) AS sh FROM dt WHERE doc_id % 2 = 0)
+         |  GROUP BY 1 HAVING count(*) >= 2
+         |), test AS (
+         |  SELECT doc_id, CAST(len(bsh) AS BIGINT) AS n_bi, unnest(bsh) AS sh
+         |  FROM dt WHERE doc_id % 2 = 1 AND len(bsh) > 0
+         |)
+         |SELECT doc_id, n_bi,
+         |       CAST(sum(CASE WHEN model.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cov,
+         |       ${ratioSql("sum(CASE WHEN model.sh IS NOT NULL THEN 1 ELSE 0 END)", "n_bi")} AS coverage
+         |FROM test LEFT JOIN model ON test.sh = model.sh
+         |GROUP BY 1, 2
+         |ORDER BY coverage ASC, doc_id ASC
+         |LIMIT 25""".stripMargin,
+    "q223_containment_dedup" ->
+      s"""WITH ex AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(dshin) AS BIGINT) AS nsh, unnest(dshin) AS sh
+         |  FROM (SELECT doc_id, list_distinct($shingle3Sql) AS dshin
+         |        FROM (SELECT doc_id, $tokenHashesSql AS th
+         |              FROM (SELECT doc_id, $toksSql AS toks FROM documents)))
+         |), okx AS MATERIALIZED (
+         |  SELECT e.* FROM ex e
+         |  JOIN (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= $JaccardDfCap) d
+         |    ON e.sh = d.sh
+         |)
+         |SELECT doc1, doc2, n1, n2, common,
+         |       ${ratioSql("common", "n1")} AS containment
+         |FROM (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |         a.nsh AS n1, b.nsh AS n2, count(*) AS common
+         |  FROM okx a JOIN okx b
+         |    ON a.sh = b.sh AND a.doc_id <> b.doc_id AND a.nsh <= b.nsh
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |WHERE common * 5 >= n1 * 4
+         |ORDER BY containment DESC, doc1 ASC, doc2 ASC
+         |LIMIT 20""".stripMargin,
     "q210_kwic_context" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
          |e AS (

@@ -1026,7 +1026,39 @@ object Relational {
       .orderBy($"nation", $"o_year".desc)
   }
 
+  /** Item-item collaborative-filtering similarity at PART granularity —
+    * q199's basket projection, but with cosine over co-purchase vectors
+    * (the classic item-based recommender score) instead of lift over
+    * brands. Portability: cosine = n_ab / √(n_a·n_b) stays
+    * bit-deterministic because IEEE-754 requires sqrt, ×, / to be
+    * CORRECTLY ROUNDED — the whole score is a fixed three-op tree over
+    * exact integers, no order-dependent float accumulation anywhere.
+    * Scale: pair generation is basket-bounded (≤ C(7,2) rows per order);
+    * the support counts attach via KEYED joins, not broadcast — the part
+    * catalog grows with the corpus, unlike q199's 25-brand vocab. The
+    * n_ab ≥ 3 support floor prunes the pair tail before those joins. */
+  def itemCooccurrenceCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val op = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val pairs = op.select($"ok", $"pk".as("pa"))
+      .join(op.select($"ok".as("ok2"), $"pk".as("pb")),
+        $"ok" === $"ok2" && $"pa" < $"pb")
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 3)
+    val sup = op.groupBy($"pk").agg(count(lit(1)).as("n"))
+    val ord = Seq($"cosine".desc, $"pa".asc, $"pb".asc)
+    pairs
+      .join(sup.select($"pk".as("pa"), $"n".as("n_a")), "pa")
+      .join(sup.select($"pk".as("pb"), $"n".as("n_b")), "pb")
+      .select($"pa", $"pb", $"n_ab", $"n_a", $"n_b",
+        ($"n_ab".cast("double") /
+          sqrt($"n_a".cast("double") * $"n_b".cast("double"))).as("cosine"))
+      .orderBy(ord: _*).limit(50).orderBy(ord: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_item_cooccurrence_cosine" -> itemCooccurrenceCosine,
     "q214_big_order_customers" -> bigOrderCustomers,
     "q215_disjunctive_pred_scan" -> disjunctivePredScan,
     "q216_nation_trade_flow" -> nationTradeFlow,
@@ -1076,6 +1108,24 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q220_item_cooccurrence_cosine" ->
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |), pairs AS (
+         |  SELECT a.pa, b.pb, count(*) AS n_ab
+         |  FROM (SELECT ok, pk AS pa FROM op) a
+         |  JOIN (SELECT ok, pk AS pb FROM op) b USING (ok)
+         |  WHERE a.pa < b.pb
+         |  GROUP BY 1, 2 HAVING count(*) >= 3
+         |), sup AS (SELECT pk, count(*) AS n FROM op GROUP BY 1)
+         |SELECT pa, pb, n_ab, sa.n AS n_a, sb.n AS n_b,
+         |       CAST(n_ab AS DOUBLE)
+         |         / sqrt(CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS cosine
+         |FROM pairs
+         |JOIN sup sa ON pairs.pa = sa.pk
+         |JOIN sup sb ON pairs.pb = sb.pk
+         |ORDER BY cosine DESC, pa, pb
+         |LIMIT 50""".stripMargin,
     "q214_big_order_customers" ->
       s"""WITH big AS (
          |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS order_qty
