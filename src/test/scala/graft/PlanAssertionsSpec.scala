@@ -382,4 +382,43 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(nXpath > 0 && nXpath == nGuarded,
       s"unguarded XPath evaluation ($nGuarded of $nXpath guarded):\n$p")
   }
+
+  test("q215 disjunction stays one scan-stage filter (no per-branch union)") {
+    val p = planOf("q215_disjunctive_pred_scan")
+    assert(!p.contains("Union"),
+      s"disjunctive predicate split into a per-branch union:\n$p")
+    // one lineitem scan, one part scan — the fact table is read ONCE
+    assert("lineitem\\.parquet".r.findAllMatchIn(p).size == 1,
+      s"lineitem scanned more than once:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q216/q219 broadcast their dims and prune the fact scan") {
+    val p216 = planOf("q216_nation_trade_flow")
+    assert(p216.contains("BroadcastHashJoin"))
+    assert(p216.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint," +
+        "l_extendedprice:double,l_discount:double,l_shipdate:"),
+      s"fact scan not pruned to the 5 used columns:\n$p216")
+    val p219 = planOf("q219_profit_decomposition")
+    assert(p219.contains("BroadcastHashJoin"))
+  }
+
+  test("q220/q223 candidate joins are equi-joins, never nested loops") {
+    Seq("q220_item_cooccurrence_cosine", "q223_containment_dedup").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q planned a non-equi candidate join:\n$p")
+    }
+  }
+
+  test("q197 pinned edge list is pre-partitioned on src (one exchange feeds deg + iterations)") {
+    val p = planOf("q197_pagerank_fixed_point")
+    // the checkpointed RDD must be read by several consumers; no
+    // hashpartitioning(src) exchange may appear DOWNSTREAM of it (the
+    // whole point of partitioning before the pin)
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 4,
+      s"consumers must read the pinned pre-partitioned edges:\n$p")
+  }
 }
