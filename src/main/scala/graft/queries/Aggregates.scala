@@ -1202,7 +1202,79 @@ object Aggregates {
       .orderBy($"variant", $"event_type")
   }
 
+  /** RFM segmentation — the canonical customer-marketing rollup: quintile
+    * scores for Recency (days since last order, vs a fixed anchor),
+    * Frequency (order count) and Monetary (exact lifetime cents), crossed
+    * into the ≤ 125-cell segment census. All three scores are global
+    * NTILE(5)s with the q213 tie contract (custkey tiebreak makes the
+    * ntile assignment a total order, hence engine-invariant). Scale: one
+    * orders shuffle to the per-customer triple; each ntile is one
+    * total-order sort that RANGE-PARTITIONS on a cluster (the q213
+    * argument); the census is a ≤ 125-group collapse. */
+  def rfmSegmentation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rfm = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        datediff(lit("2002-01-01").cast("date"),
+          max($"o_orderdate").cast("date")).as("rec_days"),
+        count(lit(1)).as("freq"),
+        sum(cents($"o_totalprice")).as("mon_cents"))
+    val scored = rfm
+      .withColumn("r_q", ntile(5).over(
+        Window.orderBy($"rec_days".asc, $"o_custkey".asc)).cast("long"))
+      .withColumn("f_q", ntile(5).over(
+        Window.orderBy($"freq".desc, $"o_custkey".asc)).cast("long"))
+      .withColumn("m_q", ntile(5).over(
+        Window.orderBy($"mon_cents".desc, $"o_custkey".asc)).cast("long"))
+    scored.groupBy($"r_q", $"f_q", $"m_q")
+      .agg(count(lit(1)).as("n_cust"), sum($"mon_cents").as("seg_cents"))
+      .orderBy($"r_q", $"f_q", $"m_q")
+  }
+
+  /** Declarative data-quality EXPECTATION audit (the Deequ/
+    * Great-Expectations shape): a battery of named assertions over
+    * several tables, each emitted as (tbl, check, n_rows, n_violations) —
+    * so a regression flips exactly one integer cell, and the suite is ONE
+    * map-side conditional-sum pass per table regardless of how many
+    * checks that table carries (contrast: one COUNT query per check =
+    * one scan per check). Domain checks are range / set-membership /
+    * non-null / positivity; the l_quantity ≤ 49 check is intentionally
+    * violated by the fixture so the counting path itself is oracle-
+    * covered, not just the all-zeros happy path. */
+  def expectationAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def viol(tbl: String, df: DataFrame, checks: (String, Column)*): DataFrame = {
+      val aggs = count(lit(1)).as("n_rows") +:
+        checks.map { case (nm, bad) =>
+          sum(bad.cast("long")).as(nm) }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = checks.map { case (nm, _) => s"'$nm', $nm" }
+        .mkString(", ")
+      one.selectExpr("n_rows",
+          s"stack(${checks.size}, $stackArgs) AS (check_name, n_violations)")
+        .select(lit(tbl).as("tbl"), $"check_name", $"n_rows", $"n_violations")
+    }
+    val li = viol("lineitem", Tables.lineitem(s, dir),
+      "qty_le_49" -> ($"l_quantity" > 49),
+      "disc_range" -> ($"l_discount" < 0 || $"l_discount" > 0.1),
+      "price_positive" -> ($"l_extendedprice" <= 0))
+    val o = viol("orders", Tables.orders(s, dir),
+      "status_domain" -> !$"o_orderstatus".isin("O", "F", "P"),
+      "total_positive" -> ($"o_totalprice" <= 0),
+      "date_bounds" -> ($"o_orderdate" < lit("1995-01-01").cast("timestamp")))
+    val c = viol("customer", Tables.customer(s, dir),
+      "acctbal_not_null" -> $"c_acctbal".isNull,
+      "segment_not_null" -> $"c_mktsegment".isNull)
+    val p = viol("part", Tables.part(s, dir),
+      "size_range" -> ($"p_size" < 1 || $"p_size" > 50))
+    li.unionAll(o).unionAll(c).unionAll(p)
+      .orderBy($"tbl", $"check_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_rfm_segmentation" -> rfmSegmentation,
+    "q225_expectation_audit" -> expectationAudit,
     "q222_ab_chi2_census" -> abChiSquareCensus,
     "q212_winsorized_stats" -> winsorizedStats,
     "q213_decile_lift" -> decileLift,
@@ -1246,6 +1318,66 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q224_rfm_segmentation" ->
+      s"""WITH rfm AS (
+         |  SELECT o_custkey,
+         |         date_diff('day', CAST(max(o_orderdate) AS DATE),
+         |                   DATE '2002-01-01') AS rec_days,
+         |         count(*) AS freq,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS mon_cents
+         |  FROM orders GROUP BY 1
+         |), scored AS (
+         |  SELECT mon_cents,
+         |         ntile(5) OVER (ORDER BY rec_days ASC, o_custkey ASC) AS r_q,
+         |         ntile(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_q,
+         |         ntile(5) OVER (ORDER BY mon_cents DESC, o_custkey ASC) AS m_q
+         |  FROM rfm
+         |)
+         |SELECT r_q, f_q, m_q, count(*) AS n_cust,
+         |       ${sumLongSql("mon_cents")} AS seg_cents
+         |FROM scored GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "q225_expectation_audit" ->
+      // The Spark side is one conditional-sum pass per table; the oracle
+      // favors readability (one SELECT per check) — same integers.
+      s"""SELECT * FROM (
+         |SELECT 'lineitem' AS tbl, 'qty_le_49' AS check_name, count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN l_quantity > 49 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+         |FROM lineitem
+         |UNION ALL
+         |SELECT 'lineitem', 'disc_range', count(*),
+         |       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+         |FROM lineitem
+         |UNION ALL
+         |SELECT 'lineitem', 'price_positive', count(*),
+         |       CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |FROM lineitem
+         |UNION ALL
+         |SELECT 'orders', 'status_domain', count(*),
+         |       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+         |FROM orders
+         |UNION ALL
+         |SELECT 'orders', 'total_positive', count(*),
+         |       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |FROM orders
+         |UNION ALL
+         |SELECT 'orders', 'date_bounds', count(*),
+         |       CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT)
+         |FROM orders
+         |UNION ALL
+         |SELECT 'customer', 'acctbal_not_null', count(*),
+         |       CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |FROM customer
+         |UNION ALL
+         |SELECT 'customer', 'segment_not_null', count(*),
+         |       CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |FROM customer
+         |UNION ALL
+         |SELECT 'part', 'size_range', count(*),
+         |       CAST(sum(CASE WHEN p_size < 1 OR p_size > 50 THEN 1 ELSE 0 END) AS BIGINT)
+         |FROM part
+         |)
+         |ORDER BY tbl, check_name""".stripMargin,
     "q222_ab_chi2_census" ->
       s"""WITH o AS (
          |  SELECT CAST(user_id % 2 AS INT) AS variant, event_type,
