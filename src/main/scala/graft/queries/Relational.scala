@@ -1057,7 +1057,31 @@ object Relational {
       .orderBy(ord: _*).limit(50).orderBy(ord: _*)
   }
 
+  /** Brand loyalty census — repeat-purchase rate per brand: of the
+    * customers who ever bought the brand (reach), what fraction came back
+    * for a second distinct order (loyal). Complements q199/q220's
+    * within-basket co-occurrence with the ACROSS-TIME repeat dimension.
+    * Scale: one fact⋈fact shuffle for custkey, broadcast part dim, one
+    * distinct over (brand, cust, order) — basket-bounded fan-out — then
+    * two vocab-bounded collapses to the 25-row brand table. The loyal
+    * count is a conditional sum, exact; rate is one IEEE divide. */
+  def brandLoyalty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bc = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"p_brand", $"o_custkey", $"o_orderkey").distinct()
+      .groupBy($"p_brand", $"o_custkey").agg(count(lit(1)).as("n_ord"))
+    bc.groupBy($"p_brand")
+      .agg(count(lit(1)).as("reach"),
+        sum(($"n_ord" >= 2).cast("long")).as("loyal"))
+      .select($"p_brand", $"reach", $"loyal",
+        ratio($"loyal", $"reach").as("repeat_rate"))
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_brand_loyalty" -> brandLoyalty,
     "q220_item_cooccurrence_cosine" -> itemCooccurrenceCosine,
     "q214_big_order_customers" -> bigOrderCustomers,
     "q215_disjunctive_pred_scan" -> disjunctivePredScan,
@@ -1108,6 +1132,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q228_brand_loyalty" ->
+      s"""WITH bc AS (
+         |  SELECT p_brand, o_custkey, count(*) AS n_ord FROM (
+         |    SELECT DISTINCT p_brand, o_custkey, o_orderkey
+         |    FROM lineitem
+         |    JOIN part ON l_partkey = p_partkey
+         |    JOIN orders ON l_orderkey = o_orderkey)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p_brand, count(*) AS reach,
+         |       CAST(sum(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS loyal,
+         |       ${ratioSql("sum(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END)", "count(*)")} AS repeat_rate
+         |FROM bc GROUP BY 1
+         |ORDER BY p_brand""".stripMargin,
     "q220_item_cooccurrence_cosine" ->
       s"""WITH op AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -360,7 +360,62 @@ object TimeSeries {
       .limit(15)
   }
 
+  /** Inter-arrival (repeat-purchase latency) histogram — the classic
+    * "how long between orders" distribution, bucketed by ⌊log₂⌋ into a
+    * vocab-bounded census per market segment. The gap is exact integer
+    * days from consecutive-order LAG (orderkey tiebreak makes the
+    * per-customer sequence a total order); the bucket uses q198's
+    * string-of-bits integer log₂ (length(bin(x)) − 1) because IEEE log2
+    * floors exact powers of two inconsistently across libm builds.
+    * Scale: one orders shuffle by custkey for the lag window, then a
+    * map-side ≤ |segments|·~12-bucket collapse; the customer dim attaches
+    * keyed (it grows with the data). */
+  def interarrivalHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val gaps = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey")
+      .withColumn("prev", lag($"o_orderdate", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"o_custkey",
+        datediff($"o_orderdate".cast("date"), $"prev".cast("date"))
+          .cast("long").as("gap_days"))
+      .withColumn("bucket", (length(bin($"gap_days" + 1)) - 1).cast("int"))
+    gaps
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"bucket")
+      .agg(count(lit(1)).as("n_gaps"), sum($"gap_days").as("sum_days"))
+      .orderBy($"c_mktsegment", $"bucket")
+  }
+
+  /** Weekday seasonality profile — per (event_type, day-of-week) traffic
+    * lift vs the type's uniform expectation. Day-of-week is computed as
+    * pure integer date arithmetic — days since a known Monday, mod 7 —
+    * NOT dayofweek()/dow(), whose numbering conventions differ between
+    * engines (Spark 1=Sunday, DuckDB 0=Sunday). Lift is the exact
+    * integer cross-product o·7 over n_type with one IEEE divide. Scale:
+    * one map-side (type, dow) collapse; the per-type totals re-aggregate
+    * from the ≤ |types|·7 cell table itself — zero extra fact passes. */
+  def weekdaySeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, dir)
+      .select($"event_type",
+        (datediff($"ts".cast("date"), lit("1995-01-02").cast("date")) % 7)
+          .cast("int").as("dow"))
+      .groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("o"))
+    val totals = cells.groupBy($"event_type".as("et"))
+      .agg(sum($"o").as("n_type"))
+    cells.join(broadcast(totals), $"event_type" === $"et")
+      .select($"event_type", $"dow", $"o", $"n_type",
+        ratio($"o" * lit(7L), $"n_type").as("lift"))
+      .orderBy($"event_type", $"dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_interarrival_histogram" -> interarrivalHistogram,
+    "q227_weekday_seasonality" -> weekdaySeasonality,
     "q211_session_paths" -> sessionPaths,
     "q203_time_weighted_avg" -> timeWeightedAvg,
     "q200_peak_concurrency" -> peakConcurrency,
@@ -375,6 +430,36 @@ object TimeSeries {
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "q226_interarrival_histogram" ->
+      s"""WITH gaps AS (
+         |  SELECT o_custkey,
+         |         CAST(date_diff('day', CAST(prev AS DATE),
+         |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+         |  FROM (SELECT o_custkey, o_orderdate,
+         |               lag(o_orderdate) OVER (PARTITION BY o_custkey
+         |                 ORDER BY o_orderdate, o_orderkey) AS prev
+         |        FROM orders)
+         |  WHERE prev IS NOT NULL
+         |)
+         |SELECT c_mktsegment, CAST(length(bin(gap_days + 1)) - 1 AS INT) AS bucket,
+         |       count(*) AS n_gaps, ${sumLongSql("gap_days")} AS sum_days
+         |FROM gaps JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1, 2
+         |ORDER BY c_mktsegment, bucket""".stripMargin,
+    "q227_weekday_seasonality" ->
+      s"""WITH cells AS (
+         |  SELECT event_type,
+         |         CAST(date_diff('day', DATE '1995-01-02', CAST(ts AS DATE)) % 7 AS INT) AS dow,
+         |         count(*) AS o
+         |  FROM events GROUP BY 1, 2
+         |), totals AS (
+         |  SELECT event_type AS et, CAST(sum(o) AS BIGINT) AS n_type
+         |  FROM cells GROUP BY 1
+         |)
+         |SELECT event_type, dow, o, n_type,
+         |       ${ratioSql("o * 7", "n_type")} AS lift
+         |FROM cells JOIN totals ON event_type = et
+         |ORDER BY event_type, dow""".stripMargin,
     "q211_session_paths" ->
       """WITH sess AS (
         |  SELECT user_id, ts, event_id, event_type,
