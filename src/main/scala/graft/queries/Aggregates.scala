@@ -1272,7 +1272,68 @@ object Aggregates {
       .orderBy($"tbl", $"check_name")
   }
 
+  /** Customer segment-migration matrix — spend quintile in an early
+    * period vs a late period, full-outer-joined so churned (late = 0) and
+    * newly-acquired (early = 0) customers land in explicit matrix margins
+    * instead of disappearing: the classic cohort-migration report. Both
+    * quintiles are custkey-tiebroken NTILE(5)s (the q213/q224 total-order
+    * contract). Scale: two period-filtered orders collapses by custkey,
+    * one full-outer custkey join, ≤ 36-cell census. */
+  def segmentMigration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def quintiles(lo: String, hi: String) = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit(lo).cast("timestamp") &&
+        $"o_orderdate" < lit(hi).cast("timestamp"))
+      .groupBy($"o_custkey")
+      .agg(sum(cents($"o_totalprice")).as("spend"))
+      .withColumn("q", ntile(5).over(
+        Window.orderBy($"spend".desc, $"o_custkey".asc)).cast("long"))
+      .select($"o_custkey", $"q")
+    val early = quintiles("1995-01-01", "1998-01-01")
+      .select($"o_custkey".as("ck_e"), $"q".as("q_early"))
+    val late = quintiles("1999-01-01", "2002-01-01")
+      .select($"o_custkey".as("ck_l"), $"q".as("q_late"))
+    early.join(late, $"ck_e" === $"ck_l", "full_outer")
+      .select(coalesce($"q_early", lit(0L)).as("q_early"),
+        coalesce($"q_late", lit(0L)).as("q_late"))
+      .groupBy($"q_early", $"q_late")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy($"q_early", $"q_late")
+  }
+
+  /** Price-volume revenue decomposition (the finance waterfall): per
+    * brand, the year-over-year revenue delta split into a VOLUME effect
+    * ((q₂−q₁)·p̄₁) and a PRICE effect (r₂ − q₂·p̄₁ ≡ q₂·(p̄₂−p̄₁)) that sum
+    * exactly to Δr. Portability: the four base measures are exact
+    * integers (unit sums and cents sums); each effect is ONE integer
+    * difference times ONE IEEE divide-result — a fixed two-op double
+    * tree, no accumulation. Scale: one map-side (brand, year) collapse
+    * of the broadcast-part-joined fact, then a 25-row self-pivot. */
+  def priceVolumeDecomposition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val by = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .filter(year($"l_shipdate").isin(1999, 2000))
+      .groupBy($"p_brand", year($"l_shipdate").as("yr"))
+      .agg(sumIntValued($"l_quantity").as("qty"),
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("rev_cents"))
+    val y1 = by.filter($"yr" === 1999)
+      .select($"p_brand", $"qty".as("q1"), $"rev_cents".as("r1"))
+    val y2 = by.filter($"yr" === 2000)
+      .select($"p_brand".as("pb2"), $"qty".as("q2"), $"rev_cents".as("r2"))
+    y1.join(y2, $"p_brand" === $"pb2")
+      .select($"p_brand", $"q1", $"q2", $"r1", $"r2",
+        (($"q2" - $"q1").cast("double") * ratio($"r1", $"q1"))
+          .as("volume_effect"),
+        ($"r2".cast("double") - $"q2".cast("double") * ratio($"r1", $"q1"))
+          .as("price_effect"))
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_segment_migration" -> segmentMigration,
+    "q230_price_volume_decomposition" -> priceVolumeDecomposition,
     "q224_rfm_segmentation" -> rfmSegmentation,
     "q225_expectation_audit" -> expectationAudit,
     "q222_ab_chi2_census" -> abChiSquareCensus,
@@ -1318,6 +1379,44 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q229_segment_migration" ->
+      s"""WITH early AS (
+         |  SELECT o_custkey, ntile(5) OVER (ORDER BY spend DESC, o_custkey ASC) AS q_early
+         |  FROM (SELECT o_custkey, ${sumLongSql(centsSql("o_totalprice"))} AS spend
+         |        FROM orders
+         |        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         |        GROUP BY 1)
+         |), late AS (
+         |  SELECT o_custkey, ntile(5) OVER (ORDER BY spend DESC, o_custkey ASC) AS q_late
+         |  FROM (SELECT o_custkey, ${sumLongSql(centsSql("o_totalprice"))} AS spend
+         |        FROM orders
+         |        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+         |          AND o_orderdate <  TIMESTAMP '2002-01-01 00:00:00'
+         |        GROUP BY 1)
+         |)
+         |SELECT coalesce(q_early, 0) AS q_early, coalesce(q_late, 0) AS q_late,
+         |       count(*) AS n_cust
+         |FROM early FULL OUTER JOIN late USING (o_custkey)
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
+    "q230_price_volume_decomposition" ->
+      s"""WITH by_year AS (
+         |  SELECT p_brand, CAST(year(l_shipdate) AS INT) AS yr,
+         |         ${sumIntValuedSql("l_quantity")} AS qty,
+         |         ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS rev_cents
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE CAST(year(l_shipdate) AS INT) IN (1999, 2000)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a.p_brand, a.qty AS q1, b.qty AS q2,
+         |       a.rev_cents AS r1, b.rev_cents AS r2,
+         |       CAST(b.qty - a.qty AS DOUBLE) * ${ratioSql("a.rev_cents", "a.qty")} AS volume_effect,
+         |       CAST(b.rev_cents AS DOUBLE)
+         |         - CAST(b.qty AS DOUBLE) * ${ratioSql("a.rev_cents", "a.qty")} AS price_effect
+         |FROM (SELECT * FROM by_year WHERE yr = 1999) a
+         |JOIN (SELECT * FROM by_year WHERE yr = 2000) b ON a.p_brand = b.p_brand
+         |ORDER BY a.p_brand""".stripMargin,
     "q224_rfm_segmentation" ->
       s"""WITH rfm AS (
          |  SELECT o_custkey,
