@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Pin an immutable relation hash-partitioned on the keys its consumers
+  * iterate against — the cluster contract for iterative algorithms:
+  * partition the big relation ONCE, then every join/agg keyed on those
+  * columns reads it exchange-free.
+  *
+  * Why this needs its own helper: `df.repartition(k).localCheckpoint()`
+  * does NOT deliver that contract under AQE. `Dataset.checkpoint` copies
+  * `executedPlan.outputPartitioning` into the pinned `LogicalRDD`, but
+  * with adaptive execution the executed plan is an
+  * `AdaptiveSparkPlanExec`, whose statically-known partitioning is
+  * unknown (the final plan doesn't exist until runtime) — so the pin
+  * records UnknownPartitioning and EVERY downstream consumer plans its
+  * own redundant Exchange over the checkpointed rows (observed: 4 extra
+  * src-exchanges in q197's plan; the same holds for `persist`, since
+  * Spark 4 lets AQE re-plan cached relations too). The fix is to compile
+  * just the pin's subplan with AQE off: the subplan is a single static
+  * shuffle that adaptive re-planning couldn't improve anyway, and the
+  * resulting `LogicalRDD` then carries `hashpartitioning(keys, N)` that
+  * all consumers (and `newInstance` self-join copies, which rewrite the
+  * partitioning expressions along with the output) can reuse.
+  * Downstream consumers still get full AQE.
+  */
+object Pinned {
+
+  /** Lazy localCheckpoint of `df` hash-partitioned on `keys`, with the
+    * partitioning preserved in the pinned plan (see class doc). Lazy so
+    * plan-only consumers (explain audits, plan-assertion specs) never pay
+    * a materialization; the first action pins one copy for all readers.
+    */
+  def partitionedCheckpoint(df: DataFrame, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqe)
+    spark.conf.set(aqe, "false")
+    try df.repartition(keys: _*).localCheckpoint(eager = false)
+    finally spark.conf.set(aqe, prev)
+  }
+}

@@ -1247,7 +1247,10 @@ object Aggregates {
     def viol(tbl: String, df: DataFrame, checks: (String, Column)*): DataFrame = {
       val aggs = count(lit(1)).as("n_rows") +:
         checks.map { case (nm, bad) =>
-          sum(bad.cast("long")).as(nm) }
+          // when/otherwise (not a bare cast-sum): a predicate that is
+          // NULL on every row must still count as 0 violations, matching
+          // the oracle's CASE ... ELSE 0 END.
+          sum(when(bad, lit(1L)).otherwise(lit(0L))).as(nm) }
       val one = df.agg(aggs.head, aggs.tail: _*)
       val stackArgs = checks.map { case (nm, _) => s"'$nm', $nm" }
         .mkString(", ")

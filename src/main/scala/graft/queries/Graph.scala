@@ -50,13 +50,15 @@ object Graph {
       .distinct()
     // Pinned PRE-PARTITIONED on src: deg's groupBy and all three
     // iteration joins key on src, so hash-partitioning once before the
-    // checkpoint lets every consumer reuse the same exchange (the
-    // checkpointed LogicalRDD preserves its outputPartitioning) — 4
-    // edge-side shuffles become 1. This is exactly the cluster contract:
-    // partition the big immutable relation once, iterate against it.
-    val edges = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
-      .repartition($"src")
-      .localCheckpoint(eager = false) // read by deg + all 3 iterations
+    // checkpoint lets every consumer read it exchange-free — 4 edge-side
+    // shuffles become 1. This is exactly the cluster contract: partition
+    // the big immutable relation once, iterate against it. (Via
+    // Pinned.partitionedCheckpoint, NOT a bare repartition+checkpoint:
+    // under AQE the pinned LogicalRDD would record UnknownPartitioning
+    // and every consumer would re-shuffle — see Pinned's doc.)
+    val edges = graft.operators.Pinned.partitionedCheckpoint(
+      e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst"))),
+      $"src") // read by deg + all 3 iterations
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
     val nodes = edges.select($"src".as("node")).distinct()
     val r0 = nodes.select($"node", lit(Scale).as("r"))
@@ -149,17 +151,21 @@ object Graph {
       .localCheckpoint(eager = false) // read by degs + orientation
     val degs = und.select($"u".as("n")).unionAll(und.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg"))
-    val e = und
-      .join(degs.select($"n".as("u"), $"deg".as("du")), "u")
-      .join(degs.select($"n".as("v"), $"deg".as("dv")), "v")
-      .select(
-        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
-          .otherwise($"v").as("src"),
-        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
-          .otherwise($"u").as("dst"),
-        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv")
-          .otherwise($"du").as("ddst"))
-      .localCheckpoint(eager = false) // read by wedge gen ×2 + closure probe
+    // Pinned pre-partitioned on src (Pinned doc explains the AQE caveat):
+    // both wedge-generation self-join sides key on src, so they read the
+    // oriented edges exchange-free; only the closure probe re-keys.
+    val e = graft.operators.Pinned.partitionedCheckpoint(
+      und
+        .join(degs.select($"n".as("u"), $"deg".as("du")), "u")
+        .join(degs.select($"n".as("v"), $"deg".as("dv")), "v")
+        .select(
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+            .otherwise($"v").as("src"),
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+            .otherwise($"u").as("dst"),
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv")
+            .otherwise($"du").as("ddst")),
+      $"src") // read by wedge gen ×2 + closure probe
     val wedges = e.select($"src", $"dst".as("x"), $"ddst".as("dx"))
       .join(e.select($"src", $"dst".as("y"), $"ddst".as("dy")), "src")
       .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))

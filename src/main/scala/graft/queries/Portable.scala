@@ -38,8 +38,12 @@ object Portable {
   def ratio(num: Column, den: Column): Column =
     num.cast(DoubleType) / den.cast(DoubleType)
 
+  /** Self-parenthesizing: safe to interpolate into any enclosing expression
+    * (a bare `a / b` embedded after `*` would parse left-associatively as
+    * `(x*a)/b` — a different IEEE rounding than `x*(a/b)`).
+    */
   def ratioSql(num: String, den: String): String =
-    s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE)"
+    s"(CAST($num AS DOUBLE) / CAST($den AS DOUBLE))"
 
   /** Sum of an integer-valued double column (e.g. l_quantity): exact in FP,
     * order-independent; surfaced as BIGINT on both sides.

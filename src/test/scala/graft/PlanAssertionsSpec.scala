@@ -420,5 +420,12 @@ class PlanAssertionsSpec extends SparkSpec {
     // whole point of partitioning before the pin)
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 4,
       s"consumers must read the pinned pre-partitioned edges:\n$p")
+    // ... and none of them re-shuffles on src: the repartition($"src")
+    // happened BEFORE the checkpoint, whose LogicalRDD preserves its
+    // outputPartitioning, so deg's groupBy and every iteration join
+    // consume the edges exchange-free. If the pre-partition were removed,
+    // each consumer would plan its own hashpartitioning(src) Exchange.
+    assert(!"hashpartitioning\\(src#".r.findFirstIn(p).isDefined,
+      s"a consumer re-shuffled the pinned edges on src:\n$p")
   }
 }
