@@ -638,7 +638,119 @@ object Sources {
       .orderBy($"layout", $"pred")
   }
 
+  /** Observed-write audit as a DECLARED, driver-gated surface:
+    * `Dataset.observe` rides named aggregates along a WRITE job
+    * ([[graft.operators.Bucketing.writeObserved]]), so the sink emits its
+    * own audit row — row count, bad-key count, exact-cents total — in the
+    * SAME single pass that writes the files. At 100 TB this is the whole
+    * point: a separate post-write validation query re-reads the table; an
+    * Observation costs three accumulators. The staged relation
+    * deterministically NULLs the key of every 97th order so the
+    * null-counting path is oracle-covered, not just the all-zeros happy
+    * path (the q225 lesson). Output = the Observation's three metrics as
+    * one row; the oracle re-derives the same integers from the fixture.
+    * The 3-scalar driver hop IS the Observation contract (metrics travel
+    * accumulator-side, never through a shuffle) — the same documented
+    * exception class as q205's planning scalar. */
+  def observedWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = stage(dir, "orders_observed")
+    val staged = Tables.orders(s, dir).select(
+      when($"o_orderkey" % 97 === 0, lit(null))
+        .otherwise($"o_custkey").as("k"),
+      $"o_totalprice".as("price"))
+    val m = graft.operators.Bucketing.writeObserved(staged, out, "k", "price")
+    Seq((m("n_rows").asInstanceOf[Long],
+        m("n_null_keys").asInstanceOf[Long],
+        m("total_cents").asInstanceOf[Long]))
+      .toDF("n_rows", "n_null_keys", "total_cents")
+  }
+
+  /** Run `body` with session confs temporarily overridden, restoring the
+    * previous values (or unsetting) afterwards — the q232 proof needs
+    * dev-scale AQE skew thresholds without leaking them into the next
+    * query of a 230-query session. */
+  private def withConfs[T](s: SparkSession, confs: Map[String, String])(body: => T): T = {
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** AQE skew-join split as a MEASURED contract (the q206 pattern applied
+    * to skew): stage a deliberately skewed fact (90 % of keys collapsed
+    * onto one hot key) and a plain dim, sort-merge-join them under
+    * dev-scale skew thresholds, and DECLARE the runtime fact that AQE
+    * split the hot partition — the output's `skew_split_fired` column is
+    * read from the executed plan (`SortMergeJoin(skew=true)` /
+    * `AQEShuffleRead … skewed`), and the oracle asserts literal TRUE, so
+    * the query FAILS CORRECTNESS if the split ever stops firing. This is
+    * the runtime complement to q59/q60/q205's manual salting: at 100 TB a
+    * hot key either gets salted by the q198→q205 advisor path or split by
+    * AQE at runtime — this query proves the second mechanism actually
+    * engages on this engine build, not just that the conf is set.
+    *
+    * Mechanics worth recording (each cost a debugging round in dev):
+    * `OptimizeSkewedJoin` only pattern-matches
+    * `SMJ(Sort(ShuffleStage), Sort(ShuffleStage))` — a post-shuffle
+    * aggregate on either side (e.g. an in-plan `distinct` building the
+    * dim) disqualifies the join, and a single-mapper shuffle cannot be
+    * split at all (split units are per-mapper blocks), so BOTH sides are
+    * staged to parquet (the fact in 8 files) and read back. The ≤2-row
+    * `collect` is the same documented exception class as q205's planning
+    * scalar; the census itself rides the join's own execution (one pass).
+    * Thresholds are not fixed constants — a byte count tuned at sf0.01
+    * is exceeded by every partition at sf1 and by none at sf0.0001 — but
+    * derived from the staged fact's own on-disk size (total/16), so the
+    * hot partition (~90 % of the table) sits an order of magnitude above
+    * them at ANY scale and splits into ~10 chunks: the proof is
+    * scale-free. Production keeps the 256 MB default; this query proves
+    * the MECHANISM engages, with the threshold story scaled to match. */
+  def aqeSkewSplitProof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outF = stage(dir, "skew_fact")
+    val outD = stage(dir, "skew_dim")
+    val ev = Tables.events(s, dir)
+    ev.select(
+        when($"user_id" % 10 =!= 0, lit(0L)).otherwise($"user_id").as("k"),
+        $"event_id", cents($"value").as("vc"))
+      .repartition(8) // ≥2 mapper blocks per reduce partition: splittable
+      .write.mode("overwrite").parquet(outF)
+    ev.select($"user_id".as("k")).distinct()
+      .unionAll(s.range(1).select(lit(0L).as("k")))
+      .distinct()
+      .write.mode("overwrite").parquet(outD)
+    val fPath = new org.apache.hadoop.fs.Path(outF)
+    val fs = fPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val factBytes = fs.listStatus(fPath).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val sizeThreshold = math.max(1024L, factBytes / 16).toString
+    withConfs(s, Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> sizeThreshold,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> sizeThreshold)) {
+      val agg = s.read.parquet(outF)
+        .join(s.read.parquet(outD), "k")
+        .groupBy(($"k" === 0L).as("is_hot"))
+        .agg(count(lit(1)).as("n_rows"), sum($"vc").as("total_cents"))
+      val rows = agg.collect() // ≤2 rows; finalizes agg's OWN adaptive plan
+      val fired = agg.queryExecution.executedPlan.toString.contains("skew=true")
+      rows.toSeq
+        .map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2), fired))
+        .toDF("is_hot", "n_rows", "total_cents", "skew_split_fired")
+        .orderBy($"is_hot")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_aqe_skew_split_proof" -> aqeSkewSplitProof,
+    "q231_observed_write" -> observedWrite,
     "q206_zorder_skipping_proof" -> zorderSkippingProof,
     "q139_fn_file_metadata" -> fileMetadata,
     "q130_orc_roundtrip" -> orcRoundtrip,
@@ -671,6 +783,26 @@ object Sources {
     .mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    "q232_aqe_skew_split_proof" ->
+      // The census replayed WITHOUT the join (every non-null fact key has
+      // exactly one dim match, so the inner join is count-preserving; the
+      // k IS NOT NULL filter replays the inner join dropping null keys)
+      // + literal TRUE for the runtime flag: Spark must MEASURE a fired
+      // skew split or the hash compare fails.
+      s"""SELECT (k = 0) AS is_hot, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(vc) AS BIGINT) AS total_cents,
+         |       TRUE AS skew_split_fired
+         |FROM (SELECT CASE WHEN user_id % 10 <> 0 THEN 0 ELSE user_id END AS k,
+         |             ${centsSql("value")} AS vc
+         |      FROM events) t
+         |WHERE k IS NOT NULL
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+    "q231_observed_write" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys,
+         |       ${sumLongSql(centsSql("o_totalprice"))} AS total_cents
+         |FROM orders""".stripMargin,
     "q206_zorder_skipping_proof" ->
       s"""WITH ext AS (
          |  SELECT min(l_orderkey) AS loO, max(l_orderkey) AS hiO,

@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.Bucketing
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{col, countDistinct}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum, when}
 
 /** Co-bucketed join must plan with zero shuffle exchanges — the write-time
   * co-location contract that matters at fact⋈fact scale.
@@ -184,5 +184,35 @@ class BucketingSpec extends SparkSpec {
       assert(m.getLong(0) === m.getLong(1),
         s"$layout: fids ${m.getLong(0)} != files ${m.getLong(1)}")
     }
+  }
+
+  test("q231 observed write: metrics equal a direct recount of the fixture") {
+    val res = graft.queries.Sources.observedWrite(spark, sfDir).collect()
+    assert(res.length == 1)
+    val r = res(0)
+    val exp = graft.Tables.orders(spark, sfDir)
+      .agg(count(lit(1)),
+        sum(when(col("o_orderkey") % 97 === 0, 1L).otherwise(0L)),
+        sum(graft.queries.Portable.cents(col("o_totalprice"))))
+      .collect()(0)
+    assert(r.getAs[Long]("n_rows") === exp.getLong(0))
+    assert(r.getAs[Long]("n_null_keys") === exp.getLong(1))
+    assert(r.getAs[Long]("total_cents") === exp.getLong(2))
+    assert(r.getAs[Long]("n_null_keys") > 0,
+      "fixture must exercise the null-counting path")
+  }
+
+  test("q232 AQE skew split fires and the census is join-complete") {
+    val rows = graft.queries.Sources.aqeSkewSplitProof(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Boolean]("skew_split_fired")),
+      "AQE did not split the hot partition")
+    val byHot = rows.map(r =>
+      r.getAs[Boolean]("is_hot") -> r.getAs[Long]("n_rows")).toMap
+    // 90% of keys collapse onto the hot key; both groups must be present
+    assert(byHot.keySet == Set(true, false))
+    assert(byHot(true) > byHot(false) * 2,
+      s"hot group should dominate: $byHot")
+    // conf overrides must not leak into the shared session
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
   }
 }
