@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import Portable._
@@ -18,11 +19,14 @@ import Portable._
   * 10¹², per-edge contributions use integer division (truncation —
   * identical in Spark's `DIV` and DuckDB's `//` for non-negative values),
   * and the damping update `0.15·S + 0.85·Σ` becomes
-  * `(15·S) DIV 100 + (85·Σ) DIV 100` — every intermediate is an exact
-  * long, so three iterations produce bit-identical ranks on any engine at
-  * any parallelism. (Magnitudes: Σ ≤ N·S = N·10¹²; ×85 stays under 2⁶³
-  * up to N ≈ 10⁵ nodes — scale S down, or promote to decimal(38,0) /
-  * HUGEINT, for bigger graphs: same op tree, same exactness.)
+  * `(15·S) DIV 100 + (85·Σ) DIV 100` — every intermediate is exact, so
+  * three iterations produce bit-identical ranks on any engine at any
+  * parallelism. Magnitudes: Σ ≤ N·S = N·10¹², so Σ and the ×85 product
+  * are computed in decimal(38,0) (HUGEINT in the oracle — DuckDB's
+  * sum(BIGINT) already is one), which covers any realizable |V|; per-node
+  * ranks and per-edge contributions stay within long at any |V| (they are
+  * node-local quantities, not Σ-scale) and are declared BIGINT on both
+  * sides.
   *
   * Scale shape: each iteration is one join of the edge list with the
   * current |V|-row rank table (pre-divided per source — the rank/deg
@@ -65,12 +69,20 @@ object Graph {
     def step(rk: DataFrame): DataFrame = {
       val perSrc = rk.join(deg, rk("node") === deg("src"))
         .select($"node", expr("r div d").as("c"))
+      // Σ and the ×85 product run in decimal(38,0) — the q203 precedent,
+      // and the oracle's own arithmetic (DuckDB sum(BIGINT) is HUGEINT):
+      // in long they wrap past 2⁶³ at N ≈ 10⁵ nodes (85·N·S), silently
+      // diverging from the oracle; 38 digits cover any realizable graph.
+      // The damped rank itself stays BIGINT on both sides (each rank is
+      // ≤ 0.15·S + 0.85·max in-sum/deg — node-local, not Σ-scale).
       val contrib = edges.join(perSrc, edges("src") === perSrc("node"))
-        .groupBy($"dst").agg(sum($"c").as("in_sum"))
+        .groupBy($"dst")
+        .agg(sum($"c".cast(DecimalType(38, 0))).as("in_sum"))
       nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select($"node",
           (lit(15L * Scale / 100L) +
-            expr("85 * coalesce(in_sum, 0L) div 100")).as("r"))
+            expr("85 * coalesce(in_sum, CAST(0 AS DECIMAL(38,0))) div 100"))
+            .as("r"))
     }
     val r3 = step(step(step(r0)))
     r3.orderBy($"r".desc, $"node".asc)

@@ -1080,7 +1080,152 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** TPC-H Q4's order-priority census over orders with at least one LATE
+    * line (no l_commitdate in the fixture: "late" = shipped more than 60
+    * days after the order date — the correlated predicate still spans
+    * both tables, which is the shape's whole point). The EXISTS becomes a
+    * LEFT SEMI join keyed on orderkey with the date comparison carried in
+    * the join condition: one fact⋈fact shuffle, no pair materialization,
+    * 5-row census. The date window keeps the orders side pruned at the
+    * scan. */
+  def priorityLateExists(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.lineitem(s, dir),
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        "semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** TPC-H Q6's forecasting-revenue-change: the PURE SCAN query — no
+    * join, no window, one 1-row agg; its entire scale story is predicate
+    * pushdown (all three filters reach the parquet reader, plan-guarded)
+    * and map-side partial aggregation, so cost is one codegen pass over
+    * the pruned scan at any SF. Revenue = Σ cents(extendedprice·discount)
+    * — fixed-pointed per row FIRST, then an exact integer sum. */
+  def scanOnlyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+        $"l_quantity" < 24)
+      .agg(sum(cents($"l_extendedprice" * $"l_discount"))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q10's returned-item revenue report: which customers sent the
+    * most revenue back last quarter-pair. Scale: the returnflag filter
+    * prunes the fact scan; fact⋈fact joins on the natural orderkey; the
+    * per-customer collapse happens BEFORE the customer join, so the
+    * growing customer dim joins a |customers|-bounded aggregate on its
+    * own key (never broadcast); nation broadcasts; top-20 is
+    * TakeOrdered with a custkey tiebreak (exact cents ⇒ the tie set is
+    * engine-invariant). */
+  def returnedRevenueTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byCust = Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .join(Tables.orders(s, dir)
+          .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-07-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .as("rev_cents"))
+    byCust
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name".as("nation"), $"rev_cents")
+      .orderBy($"rev_cents".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q13's customer order-count distribution INCLUDING the
+    * never-ordered zero bucket — the reason it must be a LEFT OUTER from
+    * customer, not an orders groupBy (which silently drops the most
+    * interesting cohort). The comment-pattern exclusion becomes a status
+    * screen ('P' orders don't count), carried in the JOIN CONDITION so
+    * excluded orders still yield count 0, not a dropped customer. Scale:
+    * one custkey-keyed outer join (orders grow with facts — never
+    * broadcast), per-customer count, then a ≤ max-orders-per-customer
+    * histogram collapse. */
+  def orderCountDistribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        $"c_custkey" === $"o_custkey" && $"o_orderstatus" =!= "P",
+        "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** TPC-H Q14's promo revenue share for one month: two conditional
+    * integer sums over a single broadcast-part-joined fact pass, then ONE
+    * IEEE divide — the percentage the textbook computes with
+    * 100·sum(case…)/sum(…) on doubles, kept bit-deterministic here by
+    * fixed-pointing each row first. The date window prunes the fact
+    * scan. */
+  def promoRevenueShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1997-09-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .withColumn("pc", cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+      .agg(
+        sum(when($"p_type" === "PROMO", $"pc").otherwise(lit(0L)))
+          .as("promo_cents"),
+        sum($"pc").as("total_cents"))
+      .select($"promo_cents", $"total_cents",
+        ratio($"promo_cents", $"total_cents").as("promo_share"))
+  }
+
+  /** TPC-H Q17's small-quantity-order revenue: lines whose quantity is
+    * below 20 % of their part's average. The correlated scalar subquery
+    * is rewritten as a partkey-keyed join against per-part integer
+    * moments, and the 0.2·avg threshold stays EXACT: qty < 0.2·(Σq/n) ⇔
+    * 5·qty·n < Σq — all longs, no division anywhere. Scale: the brand
+    * screen is part-level, so it broadcast-prunes the FACT before the
+    * per-part stats are computed (the stats are unchanged by a
+    * partkey-functional filter — this is what makes the textbook's
+    * whole-table subquery collapse to the filtered sliver); the stats
+    * join is keyed on partkey. Output: one row, with the classic /7
+    * yearly average as one IEEE divide. */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pb = broadcast(Tables.part(s, dir)
+      .filter($"p_brand" === "Brand#23").select($"p_partkey"))
+    val li = Tables.lineitem(s, dir)
+      .join(pb, $"l_partkey" === $"p_partkey", "semi")
+      .select($"l_partkey", $"l_quantity".cast("long").as("qty"),
+        cents($"l_extendedprice").as("pc"))
+    val pa = li.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n"), sum($"qty").as("sq"))
+    li.join(pa, "l_partkey")
+      .filter(lit(5L) * $"qty" * $"n" < $"sq")
+      .agg(count(lit(1)).as("n_rows"), sum($"pc").as("rev_cents"))
+      .select($"n_rows", $"rev_cents",
+        ratio($"rev_cents", lit(7L)).as("avg_yearly_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_priority_late_exists" -> priorityLateExists,
+    "q234_scan_only_revenue" -> scanOnlyRevenue,
+    "q235_returned_revenue_topk" -> returnedRevenueTopk,
+    "q236_order_count_distribution" -> orderCountDistribution,
+    "q237_promo_revenue_share" -> promoRevenueShare,
+    "q238_small_qty_revenue" -> smallQtyRevenue,
     "q228_brand_loyalty" -> brandLoyalty,
     "q220_item_cooccurrence_cosine" -> itemCooccurrenceCosine,
     "q214_big_order_customers" -> bigOrderCustomers,
@@ -1132,6 +1277,79 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q233_priority_late_exists" ->
+      // no table alias: the Oracle rewriter re-aliases each table AS its
+      // own name, so the outer reference uses the bare table name.
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = orders.o_orderkey
+        |                AND l_shipdate > orders.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q234_scan_only_revenue" ->
+      s"""SELECT ${sumLongSql(centsSql("l_extendedprice * l_discount"))}
+         |         AS revenue_cents,
+         |       count(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    "q235_returned_revenue_topk" ->
+      s"""SELECT c_custkey, c_name, n_name AS nation,
+         |       ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))}
+         |         AS rev_cents
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY rev_cents DESC, c_custkey ASC
+         |LIMIT 20""".stripMargin,
+    "q236_order_count_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |  GROUP BY 1
+        |)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q237_promo_revenue_share" ->
+      s"""WITH pc AS (
+         |  SELECT p_type, ${centsSql("l_extendedprice * (1 - l_discount)")} AS pc
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+         |)
+         |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN pc ELSE 0 END) AS BIGINT)
+         |         AS promo_cents,
+         |       CAST(sum(pc) AS BIGINT) AS total_cents,
+         |       ${ratioSql("sum(CASE WHEN p_type = 'PROMO' THEN pc ELSE 0 END)",
+                           "sum(pc)")} AS promo_share
+         |FROM pc""".stripMargin,
+    "q238_small_qty_revenue" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         |         ${centsSql("l_extendedprice")} AS pc
+         |  FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part
+         |                      WHERE p_brand = 'Brand#23')
+         |), pa AS (
+         |  SELECT l_partkey, count(*) AS n, CAST(sum(qty) AS BIGINT) AS sq
+         |  FROM li GROUP BY 1
+         |)
+         |SELECT count(*) AS n_rows, CAST(sum(pc) AS BIGINT) AS rev_cents,
+         |       ${ratioSql("sum(pc)", "7")} AS avg_yearly_cents
+         |FROM li JOIN pa USING (l_partkey)
+         |WHERE 5 * qty * n < sq""".stripMargin,
     "q228_brand_loyalty" ->
       s"""WITH bc AS (
          |  SELECT p_brand, o_custkey, count(*) AS n_ord FROM (

