@@ -667,6 +667,99 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Tokenizer fertility per language — the multilingual-pretraining
+    * budgeting table: how many BPE-ish subtokens a language pays per
+    * whitespace word (fertility) and per character. High-fertility
+    * languages are under-served by a tokenizer, and corpus mixture math
+    * is done in TOKENS, not documents, so this census is the first thing
+    * a data-mixture owner asks for. All sums are exact integers; the two
+    * rates are one IEEE divide each. One map-side collapse to ≤|langs|
+    * rows — scan-speed at any corpus size. */
+  def tokenFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    Tables.documents(s, dir)
+      .select($"lang",
+        size(TextOps.tokens($"text")).cast("long").as("w"),
+        regexp_count($"text", lit(pat)).cast("long").as("t"),
+        length($"text").cast("long").as("c"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"w").as("sum_words"),
+        sum($"t").as("sum_tokens"), sum($"c").as("sum_chars"))
+      .select($"lang", $"n_docs", $"sum_words", $"sum_tokens", $"sum_chars",
+        ratio($"sum_tokens", $"sum_words").as("fertility"),
+        ratio($"sum_chars", $"sum_tokens").as("chars_per_token"))
+      .orderBy($"lang")
+  }
+
+  /** MinHash estimator accuracy as a MEASURED contract (the q70
+    * recall-gate pattern applied to q41's sketch): for every LSH
+    * candidate pair, the 12-component signature agreement m/12 next to
+    * the EXACT distinct-shingle Jaccard c/(n1+n2−c) — the two numbers
+    * the MinHash literature says should agree in expectation, here
+    * hash-compared per pair. Both scores are one IEEE divide over exact
+    * integers (signature match count via zip_with, set intersection via
+    * array_intersect — set semantics in both engines). Scale: the sig
+    * pipeline is computed ONCE and pinned (read by band explode + both
+    * pair sides); candidates come from the same 4×3 banding as
+    * q41/q76 — bucket fan-out bounded by real near-dup cluster sizes
+    * (the df-capped variant of this candidate join is q43's). */
+  def minhashAccuracyGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .filter(size($"toks") >= 3) // q41's shingle-less guard, same reason
+      .withColumn("th", TextOps.tokenHashes($"toks"))
+      .withColumn("hs", TextOps.shingleHashes3($"th"))
+      .select($"doc_id", array_distinct($"hs").as("dsh"),
+        TextOps.minhashSignature($"hs", 12).as("sig"))
+      .localCheckpoint(eager = false) // read by bands + both pair sides
+    val keyed = base
+      .select($"doc_id", explode(TextOps.lshBands($"sig", 4, 3)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+    val cand = keyed.select($"doc_id".as("doc1"), $"band", $"bkey")
+      .join(keyed.select($"doc_id".as("doc2"), $"band".as("b2"), $"bkey".as("k2")),
+        $"band" === $"b2" && $"bkey" === $"k2" && $"doc1" < $"doc2")
+      .select($"doc1", $"doc2").distinct()
+    cand
+      .join(base.select($"doc_id".as("doc1"), $"dsh".as("dsh1"), $"sig".as("sig1")), "doc1")
+      .join(base.select($"doc_id".as("doc2"), $"dsh".as("dsh2"), $"sig".as("sig2")), "doc2")
+      .select($"doc1", $"doc2",
+        expr("size(filter(zip_with(sig1, sig2, (a, b) -> a = b), x -> x))")
+          .cast("long").as("match_k"),
+        size(array_intersect($"dsh1", $"dsh2")).cast("long").as("common"),
+        size($"dsh1").cast("long").as("n1"),
+        size($"dsh2").cast("long").as("n2"))
+      .select($"doc1", $"doc2", $"match_k", $"common", $"n1", $"n2",
+        ratio($"match_k", lit(12L)).as("est_jac"),
+        ratio($"common", $"n1" + $"n2" - $"common").as("exact_jac"))
+      .orderBy($"doc1", $"doc2")
+  }
+
+  /** Deterministic corpus shuffle — the RNG-free global permutation every
+    * training run needs: total-order the corpus by a cryptographic hash
+    * of the stable id (md5 — identical bytes in any engine, any run, any
+    * partitioning), which is exactly what `ORDER BY rand()` pretends to
+    * do but reproducibly. At scale the order is realized as a range
+    * partition on the hash key — a distributed sort with no RNG and no
+    * single reducer. The DECLARED output is the interleaving-quality
+    * census: 16 hash-prefix buckets × language, with each bucket's first
+    * (hash, id) member — uniform language mix per bucket is the shuffle's
+    * goal (decorrelate adjacent examples), and the census is
+    * 16×|langs| rows at any corpus size. */
+  def deterministicShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        md5(concat(lit("shuf:"), $"doc_id".cast("string"))).as("hkey"))
+      .withColumn("bucket", substring($"hkey", 1, 1))
+      .groupBy($"bucket", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min(concat($"hkey", lit(":"), $"doc_id".cast("string")))
+          .as("first_member"))
+      .orderBy($"bucket", $"lang")
+  }
+
   /** PII scrub as a DECLARED query (the operator itself lives in
     * [[TextOps.scrubPii]]): the fixture corpus deliberately contains no
     * PII, so the query synthesizes adversarial text from fixture columns —
@@ -2100,6 +2193,9 @@ object LlmOps {
     "q127_mix_rebalance" -> mixRebalance,
     "q128_dedup_lines" -> dedupLinesRebuild,
     "q40_dedup_exact" -> dedupExact,
+    "q239_token_fertility" -> tokenFertility,
+    "q240_minhash_accuracy_gate" -> minhashAccuracyGate,
+    "q241_deterministic_shuffle" -> deterministicShuffle,
     "q41_dedup_minhash_lsh" -> dedupMinhashLsh,
     "q76_dedup_clusters" -> dedupClusters,
     "q42_dedup_simhash" -> dedupSimhash,
@@ -2602,6 +2698,70 @@ object LlmOps {
         |       count(DISTINCT sha256(text)) AS n_uniq_text,
         |       count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS n_uniq_tokenset
         |FROM documents""".stripMargin,
+    "q239_token_fertility" ->
+      s"""SELECT lang, n_docs, sum_words, sum_tokens, sum_chars,
+         |       ${ratioSql("sum_tokens", "sum_words")} AS fertility,
+         |       ${ratioSql("sum_chars", "sum_tokens")} AS chars_per_token
+         |FROM (
+         |  SELECT lang, count(*) AS n_docs,
+         |         CAST(sum(w) AS BIGINT) AS sum_words,
+         |         CAST(sum(t) AS BIGINT) AS sum_tokens,
+         |         CAST(sum(c) AS BIGINT) AS sum_chars
+         |  FROM (
+         |    SELECT lang, CAST(len($toksSql) AS BIGINT) AS w,
+         |           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS t,
+         |           CAST(length(text) AS BIGINT) AS c
+         |    FROM documents)
+         |  GROUP BY 1
+         |)
+         |ORDER BY lang""".stripMargin,
+    "q240_minhash_accuracy_gate" -> {
+      import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
+      val aList = MinhashA.mkString("[", ", ", "]")
+      val bList = MinhashB.mkString("[", ", ", "]")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(hs) AS dsh,
+         |         list_transform(range(12), j2 -> list_min(list_transform(hs, h -> ($aList[CAST(j2 AS INT)+1] * h + $bList[CAST(j2 AS INT)+1]) % $MinhashPrime))) AS sig
+         |  FROM (
+         |    SELECT doc_id, $shingle3Sql AS hs
+         |    FROM (
+         |      SELECT doc_id, $tokenHashesSql AS th
+         |      FROM (SELECT doc_id, toks FROM (SELECT doc_id, $toksSql AS toks FROM documents) WHERE len(toks) >= 3)
+         |    )
+         |  )
+         |), keyed AS MATERIALIZED (
+         |  SELECT doc_id, j AS band,
+         |         md5(CAST(sig[3*j+1] AS VARCHAR) || ',' || CAST(sig[3*j+2] AS VARCHAR) || ',' || CAST(sig[3*j+3] AS VARCHAR)) AS bkey
+         |  FROM base, (SELECT unnest([0,1,2,3]) AS j)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), scored AS (
+         |  SELECT doc1, doc2,
+         |         CAST(list_sum(list_transform(range(12), i -> CASE WHEN s1.sig[CAST(i AS INT)+1] = s2.sig[CAST(i AS INT)+1] THEN 1 ELSE 0 END)) AS BIGINT) AS match_k,
+         |         CAST(len(list_intersect(s1.dsh, s2.dsh)) AS BIGINT) AS common,
+         |         CAST(len(s1.dsh) AS BIGINT) AS n1,
+         |         CAST(len(s2.dsh) AS BIGINT) AS n2
+         |  FROM cand
+         |  JOIN base s1 ON cand.doc1 = s1.doc_id
+         |  JOIN base s2 ON cand.doc2 = s2.doc_id
+         |)
+         |SELECT doc1, doc2, match_k, common, n1, n2,
+         |       ${ratioSql("match_k", "12")} AS est_jac,
+         |       ${ratioSql("common", "n1 + n2 - common")} AS exact_jac
+         |FROM scored
+         |ORDER BY doc1, doc2""".stripMargin
+    },
+    "q241_deterministic_shuffle" ->
+      """SELECT bucket, lang, count(*) AS n_docs,
+        |       min(hkey || ':' || CAST(doc_id AS VARCHAR)) AS first_member
+        |FROM (
+        |  SELECT doc_id, lang,
+        |         md5('shuf:' || CAST(doc_id AS VARCHAR)) AS hkey,
+        |         substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+        |  FROM documents)
+        |GROUP BY 1, 2
+        |ORDER BY bucket, lang""".stripMargin,
     "q41_dedup_minhash_lsh" -> {
       import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
       val aList = MinhashA.mkString("[", ", ", "]")

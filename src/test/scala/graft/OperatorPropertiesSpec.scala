@@ -417,4 +417,30 @@ class OperatorPropertiesSpec extends SparkSpec {
       assert(above * 2 >= total - 1, s"$flag: weight at/above median too small")
     }
   }
+
+  test("q240 minhash estimator: identical shingle sets always sign 12/12, " +
+      "and the estimate tracks exact Jaccard") {
+    val rows = graft.queries.LlmOps.minhashAccuracyGate(spark, sfDir).collect()
+    assert(rows.nonEmpty, "LSH produced no candidate pairs on the fixture")
+    rows.foreach { r =>
+      val (mk, ex) = (r.getAs[Long]("match_k"), r.getAs[Double]("exact_jac"))
+      if (ex == 1.0) assert(mk == 12L,
+        s"exact duplicates must agree on every component: $r")
+      // a candidate surviving a 3-row band has est >= 1/4; the estimator
+      // must not be wildly off the exact score on any surfaced pair
+      assert(math.abs(mk / 12.0 - ex) <= 0.5, s"estimator off by > 0.5: $r")
+    }
+  }
+
+  test("q241 deterministic shuffle: buckets partition the corpus and are " +
+      "reproducible across runs") {
+    val a = graft.queries.LlmOps.deterministicShuffle(spark, sfDir).collect()
+    val b = graft.queries.LlmOps.deterministicShuffle(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "shuffle must be run-reproducible")
+    val total = a.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(total == nDocs, s"census must partition the corpus: $total != $nDocs")
+    val buckets = a.map(_.getAs[String]("bucket")).distinct
+    assert(buckets.forall(_.matches("[0-9a-f]")), s"non-hex bucket: ${buckets.toSeq}")
+  }
 }
