@@ -666,6 +666,41 @@ object Sources {
       .toDF("n_rows", "n_null_keys", "total_cents")
   }
 
+  /** Corrupt-tolerant CSV ingestion census — q158's contract for the CSV
+    * reader: a staged file where every 41st row carries an unparseable
+    * numeric field is read back PERMISSIVE with a corrupt-record column,
+    * and the census proves the reader (a) kept every physical line, (b)
+    * quarantined exactly the malformed ones, and (c) aggregated the clean
+    * ones exactly — at 100 TB, FAILFAST means one bad crawl line kills a
+    * day-long job, and silent DROPMALFORMED is a data-loss bug; the
+    * quarantine census is the operable middle. The oracle re-derives all
+    * three integers from the fixture (corruption is keyed on c_custkey,
+    * so DuckDB knows exactly which rows were dirtied). */
+  def csvPermissiveCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = stage(dir, "customer_dirty_csv")
+    Tables.customer(s, dir)
+      .select(concat_ws(",",
+        $"c_custkey", $"c_name", $"c_nationkey",
+        when($"c_custkey" % 41 === 0, lit("notanumber"))
+          .otherwise(cents($"c_acctbal").cast("string"))).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("acct_cents", LongType),
+      StructField("_bad", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(out)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"_bad".isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when($"_bad".isNull, $"acct_cents").otherwise(lit(0L)))
+          .as("clean_acct_cents"))
+  }
+
   /** Run `body` with session confs temporarily overridden, restoring the
     * previous values (or unsetting) afterwards — the q232 proof needs
     * dev-scale AQE skew thresholds without leaking them into the next
@@ -749,6 +784,7 @@ object Sources {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_csv_permissive_census" -> csvPermissiveCensus,
     "q232_aqe_skew_split_proof" -> aqeSkewSplitProof,
     "q231_observed_write" -> observedWrite,
     "q206_zorder_skipping_proof" -> zorderSkippingProof,
@@ -783,6 +819,12 @@ object Sources {
     .mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    "q244_csv_permissive_census" ->
+      s"""SELECT count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN c_custkey % 41 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+         |       CAST(sum(CASE WHEN c_custkey % 41 <> 0
+         |                     THEN ${centsSql("c_acctbal")} ELSE 0 END) AS BIGINT) AS clean_acct_cents
+         |FROM customer""".stripMargin,
     "q232_aqe_skew_split_proof" ->
       // The census replayed WITHOUT the join (every non-null fact key has
       // exactly one dim match, so the inner join is count-preserving; the

@@ -116,6 +116,77 @@ object TimeSeries {
       .orderBy($"user_id")
   }
 
+  /** Last-touch attribution — q172's mirror: each conversion credits the
+    * channel of the LAST event strictly before the session's first
+    * purchase (the other default every marketing stack ships). Total
+    * orders on (ts, event_id) everywhere, so both "first purchase" and
+    * "last prior touch" are engine-invariant; conversions whose purchase
+    * opens the session credit 'direct'. Scale: the q61 sessionization
+    * (one user_id window), then every join/agg stays on the already-
+    * shuffled (user_id, sess_id) key; the census is ≤|event_types|+1
+    * rows. */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum($"new_sess").over(running))
+    val conv = sess.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"sess_id")
+      .agg(min($"ts").as("cts"),
+        min_by($"event_id", struct($"ts", $"event_id")).as("ceid"))
+    val credited = sess.join(conv, Seq("user_id", "sess_id"))
+      .filter($"ts" < $"cts" ||
+        ($"ts" === $"cts" && $"event_id" < $"ceid"))
+      .groupBy($"user_id", $"sess_id")
+      .agg(max_by($"event_type", struct($"ts", $"event_id")).as("last_touch"))
+    conv.join(credited, Seq("user_id", "sess_id"), "left")
+      .groupBy(coalesce($"last_touch", lit("direct")).as("last_touch"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy($"last_touch")
+  }
+
+  /** Funnel with STEP TIMEOUTS — q105's funnel where each step must
+    * happen within its window (click ≤ 1 h after first view, purchase
+    * ≤ 24 h after the qualifying click), the form real conversion
+    * reporting uses (an untimed funnel credits a purchase months after
+    * the ad). Same scale contract as q105: three user-keyed min-aggs,
+    * each joining the previous step's one-row-per-user table on the
+    * already-shuffled key; census is 3 rows + one broadcast total for
+    * the share. */
+  def funnelTimeout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" >= $"t_view" &&
+        $"ts" <= $"t_view" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" >= $"t_click" &&
+        $"ts" <= $"t_click" + expr("INTERVAL 24 HOURS"))
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    val steps = v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(
+        when($"t_purchase".isNotNull, 3)
+          .when($"t_click".isNotNull, 2).otherwise(1).cast("int")
+          .as("step_reached"))
+      .groupBy($"step_reached").agg(count(lit(1)).as("n_users"))
+    val total = steps.agg(sum($"n_users").as("total"))
+    steps.crossJoin(broadcast(total))
+      .select($"step_reached", $"n_users",
+        ratio($"n_users", $"total").as("share"))
+      .orderBy($"step_reached")
+  }
+
   /** Retention cohort grid — the product-analytics staple: users bucketed
     * by first-seen week (their cohort), activity counted per (cohort,
     * week-offset) cell as DISTINCT active users, retention as the exact
@@ -421,6 +492,8 @@ object TimeSeries {
     "q200_peak_concurrency" -> peakConcurrency,
     "q194_anomaly_zscore" -> anomalyZscore,
     "q173_period_over_period" -> periodOverPeriod,
+    "q242_last_touch_attribution" -> lastTouchAttribution,
+    "q243_funnel_timeout" -> funnelTimeout,
     "q172_first_touch_attribution" -> firstTouchAttribution,
     "q164_retention_cohorts" -> retentionCohorts,
     "q165_event_trigrams" -> eventTrigrams,
@@ -551,6 +624,75 @@ object TimeSeries {
          |FROM monthly
          |WINDOW w AS (ORDER BY mon ASC)
          |ORDER BY mon""".stripMargin,
+    "q242_last_touch_attribution" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR CAST(floor(epoch(ts)) AS BIGINT)
+         |                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         |),
+         |sess AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM marked
+         |),
+         |conv AS (
+         |  SELECT user_id, sess_id, ts AS cts, event_id AS ceid FROM (
+         |    SELECT user_id, sess_id, ts, event_id,
+         |           row_number() OVER (PARTITION BY user_id, sess_id
+         |                              ORDER BY ts ASC, event_id ASC) AS rn
+         |    FROM sess WHERE event_type = 'purchase'
+         |  ) WHERE rn = 1
+         |),
+         |credited AS (
+         |  SELECT user_id, sess_id, event_type AS last_touch FROM (
+         |    SELECT sess.user_id, sess.sess_id, sess.event_type,
+         |           row_number() OVER (PARTITION BY sess.user_id, sess.sess_id
+         |                              ORDER BY sess.ts DESC, sess.event_id DESC) AS rn
+         |    FROM sess
+         |    JOIN conv ON sess.user_id = conv.user_id AND sess.sess_id = conv.sess_id
+         |    WHERE sess.ts < conv.cts
+         |       OR (sess.ts = conv.cts AND sess.event_id < conv.ceid)
+         |  ) WHERE rn = 1
+         |)
+         |SELECT coalesce(last_touch, 'direct') AS last_touch,
+         |       count(*) AS n_conversions
+         |FROM conv LEFT JOIN credited USING (user_id, sess_id)
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+    "q243_funnel_timeout" ->
+      s"""WITH v AS (
+         |  SELECT user_id, min(ts) AS t_view FROM events
+         |  WHERE event_type = 'view' GROUP BY 1
+         |), c AS (
+         |  SELECT events.user_id, min(ts) AS t_click
+         |  FROM events JOIN v ON events.user_id = v.user_id
+         |  WHERE event_type = 'click'
+         |    AND ts >= t_view AND ts <= t_view + INTERVAL 1 HOUR
+         |  GROUP BY 1
+         |), p AS (
+         |  SELECT events.user_id, min(ts) AS t_purchase
+         |  FROM events JOIN c ON events.user_id = c.user_id
+         |  WHERE event_type = 'purchase'
+         |    AND ts >= t_click AND ts <= t_click + INTERVAL 24 HOUR
+         |  GROUP BY 1
+         |), steps AS (
+         |  SELECT CASE WHEN t_purchase IS NOT NULL THEN 3
+         |              WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS step_reached
+         |  FROM v
+         |  LEFT JOIN c ON v.user_id = c.user_id
+         |  LEFT JOIN p ON v.user_id = p.user_id
+         |), census AS (
+         |  SELECT step_reached, count(*) AS n_users FROM steps GROUP BY 1
+         |)
+         |SELECT step_reached, n_users,
+         |       ${ratioSql("n_users", "(SELECT sum(n_users) FROM census)")} AS share
+         |FROM census
+         |ORDER BY step_reached""".stripMargin,
     "q172_first_touch_attribution" ->
       s"""WITH marked AS (
          |  SELECT user_id, ts, event_id, event_type,
