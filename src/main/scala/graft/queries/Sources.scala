@@ -701,6 +701,43 @@ object Sources {
           .as("clean_acct_cents"))
   }
 
+  /** Write-Audit-Publish (WAP) — the lakehouse publication gate: data is
+    * written to a STAGING location, a declarative audit battery runs
+    * against the staged files themselves (not the source — the audit
+    * must cover whatever the write actually produced), and only a clean
+    * audit publishes to the consumer location. At 100 TB this is the
+    * pattern that keeps a bad upstream batch out of every downstream
+    * dashboard; the alternative (publish then validate) serves corrupt
+    * data for the length of the check. Output: one row with the audit
+    * integers, the publish decision, and the PUBLISHED location's own
+    * read-back count — so the oracle-checked result proves the publish
+    * actually happened, not just that the code path returned. The 1-row
+    * audit collect is the q205 exception class (it IS the gate). */
+  def writeAuditPublish(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stagePath = stage(dir, "wap_orders_stage")
+    val pubPath = stage(dir, "wap_orders_pub")
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        cents($"o_totalprice").as("price_cents"))
+      .write.mode("overwrite").parquet(stagePath)
+    val staged = s.read.parquet(stagePath)
+    val a = staged.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when($"price_cents" <= 0, 1L).otherwise(0L)).as("bad_price"),
+      sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("bad_key"),
+      sum(when(!$"o_orderstatus".isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("bad_status")).collect()(0)
+    val violations = a.getLong(1) + a.getLong(2) + a.getLong(3)
+    val published = violations == 0L
+    if (published)
+      s.read.parquet(stagePath).write.mode("overwrite").parquet(pubPath)
+    val pubRows =
+      if (published) s.read.parquet(pubPath).count() else 0L
+    Seq((a.getLong(0), violations, published, pubRows))
+      .toDF("n_rows", "n_violations", "published", "published_rows")
+  }
+
   /** Run `body` with session confs temporarily overridden, restoring the
     * previous values (or unsetting) afterwards — the q232 proof needs
     * dev-scale AQE skew thresholds without leaking them into the next
@@ -785,6 +822,7 @@ object Sources {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_csv_permissive_census" -> csvPermissiveCensus,
+    "q247_write_audit_publish" -> writeAuditPublish,
     "q232_aqe_skew_split_proof" -> aqeSkewSplitProof,
     "q231_observed_write" -> observedWrite,
     "q206_zorder_skipping_proof" -> zorderSkippingProof,
@@ -819,6 +857,23 @@ object Sources {
     .mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    "q247_write_audit_publish" ->
+      // The full WAP decision tree replayed from the fixture: the same
+      // three audit sums, publish iff clean, published_rows only then —
+      // so a wrong decision OR an unmaterialized publish both fail the
+      // hash compare (the q206/q232 measured-contract pattern).
+      s"""WITH audit AS (
+         |  SELECT count(*) AS n_rows,
+         |         CAST(sum(CASE WHEN ${centsSql("o_totalprice")} <= 0 THEN 1 ELSE 0 END)
+         |            + sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+         |            + sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_violations
+         |  FROM orders
+         |)
+         |SELECT n_rows, n_violations,
+         |       n_violations = 0 AS published,
+         |       CASE WHEN n_violations = 0 THEN n_rows ELSE 0 END AS published_rows
+         |FROM audit""".stripMargin,
     "q244_csv_permissive_census" ->
       s"""SELECT count(*) AS n_rows,
          |       CAST(sum(CASE WHEN c_custkey % 41 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,

@@ -187,6 +187,73 @@ object TimeSeries {
       .orderBy($"step_reached")
   }
 
+  /** Ordered-sequence pattern census (MATCH_RECOGNIZE-lite / CEP): how
+    * far each session advances through the subsequence view → click →
+    * purchase, gaps allowed — the event-pattern query CEP engines sell,
+    * here as a prefix-automaton fold over each session's deterministic
+    * sequence (q211's array_sort(collect_list(struct(ts, event_id, …)))
+    * — collect_list alone is partition-order-dependent; the struct sort
+    * restores the total order). The automaton is ONE `aggregate` HOF per
+    * session — state bounded by the pattern length, cost bounded by
+    * session length, no self-joins, no per-step passes (contrast q105,
+    * which re-joins per step). Census: sessions per final state 0–3. */
+  def sequencePatternCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum($"new_sess").over(running))
+      .groupBy($"user_id", $"sess_id")
+      .agg(array_sort(collect_list(
+        struct($"ts", $"event_id", $"event_type"))).as("evs"))
+      .select(expr(
+        "aggregate(evs, 0, (s, x) -> CASE" +
+          " WHEN s = 0 AND x.event_type = 'view' THEN 1" +
+          " WHEN s = 1 AND x.event_type = 'click' THEN 2" +
+          " WHEN s = 2 AND x.event_type = 'purchase' THEN 3" +
+          " ELSE s END)").cast("int").as("stage_reached"))
+      .groupBy($"stage_reached")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"stage_reached")
+  }
+
+  /** Rank movers — the "biggest climbers and fallers" leaderboard: each
+    * brand's revenue rank within its month vs its previous OBSERVED
+    * month (lag over the brand's own month series; a brand absent for a
+    * month compares to its last active one — stated semantics, not an
+    * accident). Month key is year·100+month INTEGER arithmetic (
+    * date_trunc timestamps re-open engine formatting trouble), ranks and
+    * deltas are exact ints with brand tiebreaks. Scale: ONE fact shuffle
+    * to the (brand, month) grid — vocab × months rows — then two windows
+    * over that tiny grid; |movers| output bounded at 25. */
+  def rankMovers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bm = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand",
+        (year($"l_shipdate") * 100 + month($"l_shipdate")).as("mon"))
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .as("rev_cents"))
+    val wMon = Window.partitionBy($"mon")
+      .orderBy($"rev_cents".desc, $"p_brand".asc)
+    val wBrand = Window.partitionBy($"p_brand").orderBy($"mon".asc)
+    val ord = Seq(abs($"rank_delta").desc, $"mon".asc, $"p_brand".asc)
+    bm.withColumn("rnk", rank().over(wMon))
+      .withColumn("prev_rnk", lag($"rnk", 1).over(wBrand))
+      .filter($"prev_rnk".isNotNull)
+      .select($"mon", $"p_brand", $"rev_cents",
+        $"rnk".cast("long").as("rnk"),
+        $"prev_rnk".cast("long").as("prev_rnk"),
+        ($"prev_rnk" - $"rnk").cast("long").as("rank_delta"))
+      .orderBy(ord: _*).limit(25).orderBy(ord: _*)
+  }
+
   /** Retention cohort grid — the product-analytics staple: users bucketed
     * by first-seen week (their cohort), activity counted per (cohort,
     * week-offset) cell as DISTINCT active users, retention as the exact
@@ -494,6 +561,8 @@ object TimeSeries {
     "q173_period_over_period" -> periodOverPeriod,
     "q242_last_touch_attribution" -> lastTouchAttribution,
     "q243_funnel_timeout" -> funnelTimeout,
+    "q245_sequence_pattern_census" -> sequencePatternCensus,
+    "q246_rank_movers" -> rankMovers,
     "q172_first_touch_attribution" -> firstTouchAttribution,
     "q164_retention_cohorts" -> retentionCohorts,
     "q165_event_trigrams" -> eventTrigrams,
@@ -624,6 +693,59 @@ object TimeSeries {
          |FROM monthly
          |WINDOW w AS (ORDER BY mon ASC)
          |ORDER BY mon""".stripMargin,
+    "q245_sequence_pattern_census" ->
+      // list_reduce has no init parameter: prepend the 0 start state (the
+      // q78 precedent); event types are pre-encoded to automaton symbols
+      // so the fold is integer-only on both engines.
+      """WITH sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id, event_type,
+        |           CASE WHEN lag(ts) OVER w IS NULL
+        |                  OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |                THEN 1 ELSE 0 END AS new_sess
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  )
+        |), folded AS (
+        |  SELECT CAST(list_reduce(
+        |           list_prepend(0, list_transform(
+        |             list(event_type ORDER BY ts, event_id),
+        |             t -> CASE t WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |                         WHEN 'purchase' THEN 3 ELSE 0 END)),
+        |           (s, x) -> CASE WHEN s = 0 AND x = 1 THEN 1
+        |                          WHEN s = 1 AND x = 2 THEN 2
+        |                          WHEN s = 2 AND x = 3 THEN 3
+        |                          ELSE s END) AS INT) AS stage_reached
+        |  FROM sess GROUP BY user_id, sess_id
+        |)
+        |SELECT stage_reached, count(*) AS n_sessions
+        |FROM folded GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q246_rank_movers" ->
+      s"""WITH bm AS (
+         |  SELECT p_brand,
+         |         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS mon,
+         |         ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS rev_cents
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT mon, p_brand, rev_cents,
+         |         rank() OVER (PARTITION BY mon ORDER BY rev_cents DESC, p_brand ASC) AS rnk
+         |  FROM bm
+         |), moved AS (
+         |  SELECT mon, p_brand, rev_cents, rnk,
+         |         lag(rnk) OVER (PARTITION BY p_brand ORDER BY mon ASC) AS prev_rnk
+         |  FROM ranked
+         |)
+         |SELECT mon, p_brand, rev_cents,
+         |       CAST(rnk AS BIGINT) AS rnk, CAST(prev_rnk AS BIGINT) AS prev_rnk,
+         |       CAST(prev_rnk - rnk AS BIGINT) AS rank_delta
+         |FROM moved WHERE prev_rnk IS NOT NULL
+         |ORDER BY abs(prev_rnk - rnk) DESC, mon ASC, p_brand ASC
+         |LIMIT 25""".stripMargin,
     "q242_last_touch_attribution" ->
       s"""WITH marked AS (
          |  SELECT user_id, ts, event_id, event_type,
