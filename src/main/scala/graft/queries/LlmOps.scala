@@ -1419,6 +1419,84 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** Quality-weighted mixture PLAN — q127's complement: instead of
+    * downsampling to the min-quota, emit the UPSAMPLING table a training
+    * run consumes (the DoReMi/Pile-style static mixture): per
+    * (lang, length-band) cell, the actual share and the repeat factor
+    * that would equalize cells — repeat = N / (n_cells · n_cell), exact
+    * integers into ONE divide. The band is an exact integer threshold on
+    * token count (no float scoring in the keys). n_cells is a 1-row
+    * scalar broadcast computed in-plan. Scale: one map-side cell
+    * collapse; everything after is ≤|langs|·3 rows. */
+  def qualityMixturePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, dir)
+      .select($"lang", size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .withColumn("band",
+        when($"ntok" >= 40, "long").when($"ntok" >= 20, "mid")
+          .otherwise("short"))
+      .groupBy($"lang", $"band").agg(count(lit(1)).as("n_docs"))
+    val tot = cells.agg(sum($"n_docs").as("n_total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .select($"lang", $"band", $"n_docs",
+        ratio($"n_docs", $"n_total").as("share"),
+        ratio($"n_total", $"n_cells" * $"n_docs").as("repeat_factor"))
+      .orderBy($"lang", $"band")
+  }
+
+  /** Per-document n-gram NOVELTY — how much of each document's shingle
+    * set appears in NO earlier document (by doc_id order): the marginal-
+    * content measure dedup pipelines use to rank what to keep when a
+    * cluster must be collapsed, and the "data value" curve (novelty per
+    * added document) corpus builders plot. first-occurrence owner per
+    * shingle = min(doc_id); a doc's novelty = owned/total shingles — two
+    * exact ints, one divide. Output: the 20 LEAST novel docs (the most
+    * derivative ones — in the sf1docs soak these are exactly the
+    * replicas). Scale: one shingle explode, one shingle-keyed min-agg,
+    * one shingle-keyed join back — all linear in corpus shingles. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .filter(size($"toks") >= 3)
+      .withColumn("th", TextOps.tokenHashes($"toks"))
+      .select($"doc_id",
+        explode(array_distinct(TextOps.shingleHashes3($"th"))).as("sh"))
+    val first = sh.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+    val ord = Seq($"novelty".asc, $"doc_id".asc)
+    sh.join(first, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+          .as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        ratio($"n_novel", $"n_shingles").as("novelty"))
+      .orderBy(ord: _*).limit(20).orderBy(ord: _*)
+  }
+
+  /** Embedding hygiene census per label — the vector-quality audit run
+    * before any ANN index build: zero vectors (cosine-undefined, they
+    * poison normalized scores) and the norm² envelope. norm² is a
+    * SEQUENTIAL fold over the array (fixed element order ⇒ bit-identical
+    * in both engines — the q78 contract; a SUM over exploded elements
+    * would be shuffle-order-dependent), and min/max over per-row doubles
+    * are order-independent, so the census hash-compares despite being
+    * float-valued. One scan, ≤|labels| output rows. */
+  def embeddingNormCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .withColumn("norm2", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE)," +
+          " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"norm2" === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min($"norm2").as("min_norm2"),
+        max($"norm2").as("max_norm2"))
+      .orderBy($"label")
+  }
+
   /** Tokens per "line" for the line-level dedup below: the synthetic
     * fixture text has no newlines, so fixed 8-token windows stand in for
     * lines; the last line keeps its ragged tail. */
@@ -2196,6 +2274,9 @@ object LlmOps {
     "q239_token_fertility" -> tokenFertility,
     "q240_minhash_accuracy_gate" -> minhashAccuracyGate,
     "q241_deterministic_shuffle" -> deterministicShuffle,
+    "q248_quality_mixture_plan" -> qualityMixturePlan,
+    "q249_ngram_novelty" -> ngramNovelty,
+    "q250_embedding_norm_census" -> embeddingNormCensus,
     "q41_dedup_minhash_lsh" -> dedupMinhashLsh,
     "q76_dedup_clusters" -> dedupClusters,
     "q42_dedup_simhash" -> dedupSimhash,
@@ -2698,6 +2779,55 @@ object LlmOps {
         |       count(DISTINCT sha256(text)) AS n_uniq_text,
         |       count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS n_uniq_tokenset
         |FROM documents""".stripMargin,
+    "q248_quality_mixture_plan" ->
+      s"""WITH cells AS (
+         |  SELECT lang,
+         |         CASE WHEN ntok >= 40 THEN 'long'
+         |              WHEN ntok >= 20 THEN 'mid' ELSE 'short' END AS band,
+         |         count(*) AS n_docs
+         |  FROM (SELECT lang, CAST(len($toksSql) AS BIGINT) AS ntok FROM documents)
+         |  GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total, count(*) AS n_cells
+         |  FROM cells
+         |)
+         |SELECT lang, band, n_docs,
+         |       ${ratioSql("n_docs", "n_total")} AS share,
+         |       ${ratioSql("n_total", "n_cells * n_docs")} AS repeat_factor
+         |FROM cells CROSS JOIN tot
+         |ORDER BY lang, band""".stripMargin,
+    "q249_ngram_novelty" ->
+      s"""WITH sh AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct($shingle3Sql)) AS sh
+         |  FROM (
+         |    SELECT doc_id, $tokenHashesSql AS th
+         |    FROM (SELECT doc_id, toks FROM (SELECT doc_id, $toksSql AS toks FROM documents) WHERE len(toks) >= 3)
+         |  )
+         |), fst AS (
+         |  SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1
+         |), per_doc AS (
+         |  SELECT doc_id, count(*) AS n_shingles,
+         |         CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM sh JOIN fst USING (sh)
+         |  GROUP BY 1
+         |)
+         |SELECT doc_id, n_shingles, n_novel,
+         |       ${ratioSql("n_novel", "n_shingles")} AS novelty
+         |FROM per_doc
+         |ORDER BY novelty ASC, doc_id ASC
+         |LIMIT 20""".stripMargin,
+    "q250_embedding_norm_census" ->
+      """SELECT label, count(*) AS n_vecs,
+        |       CAST(sum(CASE WHEN norm2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |       min(norm2) AS min_norm2, max(norm2) AS max_norm2
+        |FROM (
+        |  SELECT label,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           CAST(list_transform(embedding, x -> CAST(x AS DOUBLE)) AS DOUBLE[])),
+        |           (acc, x) -> acc + x * x) AS norm2
+        |  FROM embeddings)
+        |GROUP BY 1
+        |ORDER BY label""".stripMargin,
     "q239_token_fertility" ->
       s"""SELECT lang, n_docs, sum_words, sum_tokens, sum_chars,
          |       ${ratioSql("sum_tokens", "sum_words")} AS fertility,
