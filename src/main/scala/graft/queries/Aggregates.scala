@@ -1334,7 +1334,79 @@ object Aggregates {
       .orderBy($"p_brand")
   }
 
+  /** Revenue concentration (the Pareto question asked directly): how many
+    * customers, ranked by spend, make up 10 % / 50 % / 90 % of total
+    * revenue. q213's decile table answers "what does each tenth of
+    * customers buy"; this answers "how few customers carry the business"
+    * — the number the board meeting actually quotes. All screening is
+    * exact integer arithmetic (100·cum ≥ L·total — no percentage
+    * floats); the ranked cumulative sum is ONE total-order window
+    * (range-partitionable at scale, the q213 argument), and the census
+    * collapses to 3 rows in one conditional-min pass. */
+  def revenueConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"cents".desc, $"o_custkey".asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(cents($"o_totalprice")).as("cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum($"cents").over(run))
+    val tot = ranked.agg(max($"rn").as("n_cust"), max($"cum").as("total"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(
+        min(when($"cum" * 100 >= lit(10L) * $"total", $"rn")).as("c10"),
+        min(when($"cum" * 100 >= lit(50L) * $"total", $"rn")).as("c50"),
+        min(when($"cum" * 100 >= lit(90L) * $"total", $"rn")).as("c90"),
+        max($"n_cust").as("n_cust"))
+      .selectExpr("stack(3, 10, c10, 50, c50, 90, c90)" +
+        " AS (pct_revenue, n_customers)", "n_cust")
+      .select($"pct_revenue".cast("int").as("pct_revenue"), $"n_customers",
+        ratio($"n_customers", $"n_cust").as("customer_share"))
+      .orderBy($"pct_revenue")
+  }
+
+  /** Per-nation trade balance — each nation's EXPORT revenue (as the
+    * supplying side) against its IMPORT revenue (as the buying side),
+    * with q09's full-outer margins so a nation active on only one side
+    * still appears (coalesced zeros, not dropped rows). q216 declares
+    * the nation×nation flow matrix; this is the net ledger view derived
+    * over all nations. Scale: exports = one fact pass + broadcast
+    * supplier→nation; imports = the q216 fact⋈fact shape with the
+    * customer leg keyed; both collapse to ≤|nations| rows before the
+    * outer join. Balance is an exact integer difference; the ratio one
+    * IEEE divide (NULL when imports are zero — 0-division stays NULL on
+    * both engines via nullif). */
+  def nationTradeBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+    val sn = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("exp_nation"))
+    val exports = Tables.lineitem(s, dir)
+      .join(broadcast(sn), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"exp_nation").agg(sum(rev).as("export_cents"))
+    val cn = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("imp_nation"))
+    val imports = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(cn, $"o_custkey" === $"c_custkey")
+      .groupBy($"imp_nation").agg(sum(rev).as("import_cents"))
+    exports.join(imports, $"exp_nation" === $"imp_nation", "full_outer")
+      .select(
+        coalesce($"exp_nation", $"imp_nation").as("nation"),
+        coalesce($"export_cents", lit(0L)).as("export_cents"),
+        coalesce($"import_cents", lit(0L)).as("import_cents"))
+      .withColumn("balance_cents", $"export_cents" - $"import_cents")
+      .withColumn("export_import_ratio",
+        ratio($"export_cents", nullif($"import_cents", lit(0L))))
+      .orderBy($"nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_revenue_concentration" -> revenueConcentration,
+    "q252_nation_trade_balance" -> nationTradeBalance,
     "q229_segment_migration" -> segmentMigration,
     "q230_price_volume_decomposition" -> priceVolumeDecomposition,
     "q224_rfm_segmentation" -> rfmSegmentation,
@@ -1403,6 +1475,59 @@ object Aggregates {
          |FROM early FULL OUTER JOIN late USING (o_custkey)
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+    "q251_revenue_concentration" ->
+      s"""WITH pc AS (
+         |  SELECT o_custkey, ${sumLongSql(centsSql("o_totalprice"))} AS cents
+         |  FROM orders GROUP BY 1
+         |), ranked AS (
+         |  SELECT cents,
+         |         CAST(row_number() OVER (ORDER BY cents DESC, o_custkey ASC) AS BIGINT) AS rn,
+         |         sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM pc
+         |), tot AS (
+         |  SELECT CAST(max(rn) AS BIGINT) AS n_cust, CAST(max(cum) AS BIGINT) AS total
+         |  FROM ranked
+         |), c AS (
+         |  SELECT CAST(min(CASE WHEN cum * 100 >= 10 * total THEN rn END) AS BIGINT) AS c10,
+         |         CAST(min(CASE WHEN cum * 100 >= 50 * total THEN rn END) AS BIGINT) AS c50,
+         |         CAST(min(CASE WHEN cum * 100 >= 90 * total THEN rn END) AS BIGINT) AS c90,
+         |         CAST(max(n_cust) AS BIGINT) AS n_cust
+         |  FROM ranked CROSS JOIN tot
+         |)
+         |SELECT pct_revenue, n_customers,
+         |       ${ratioSql("n_customers", "n_cust")} AS customer_share
+         |FROM (
+         |  SELECT CAST(10 AS INT) AS pct_revenue, c10 AS n_customers, n_cust FROM c
+         |  UNION ALL SELECT 50, c50, n_cust FROM c
+         |  UNION ALL SELECT 90, c90, n_cust FROM c
+         |)
+         |ORDER BY pct_revenue""".stripMargin,
+    "q252_nation_trade_balance" ->
+      s"""WITH exports AS (
+         |  SELECT n_name AS nation,
+         |         ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS export_cents
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  GROUP BY 1
+         |), imports AS (
+         |  SELECT n_name AS nation,
+         |         ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS import_cents
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1
+         |)
+         |SELECT coalesce(e.nation, i.nation) AS nation,
+         |       coalesce(export_cents, 0) AS export_cents,
+         |       coalesce(import_cents, 0) AS import_cents,
+         |       coalesce(export_cents, 0) - coalesce(import_cents, 0) AS balance_cents,
+         |       ${ratioSql("coalesce(export_cents, 0)",
+                           "nullif(coalesce(import_cents, 0), 0)")} AS export_import_ratio
+         |FROM exports e FULL OUTER JOIN imports i ON e.nation = i.nation
+         |ORDER BY 1""".stripMargin,
     "q230_price_volume_decomposition" ->
       s"""WITH by_year AS (
          |  SELECT p_brand, CAST(year(l_shipdate) AS INT) AS yr,

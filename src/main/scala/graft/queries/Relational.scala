@@ -1080,6 +1080,61 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** NEAREST as-of join — the fourth direction of the as-of family
+    * (q07 backward-inclusive, q125 forward, q178 tolerance): each
+    * purchase event matches the temporally NEAREST view event of the
+    * same user, whichever side it lies on; exact ties prefer the earlier
+    * (backward) candidate. Same join-free merge formulation: one union
+    * of the two filtered streams, then BOTH direction windows hang off
+    * the SAME sort exchange (the backward last-value and forward
+    * first-value share partitioning AND ordering — one shuffle, one
+    * sort, two frames). Gap arithmetic is integer seconds; the pick is
+    * a three-way CASE on exact longs. Orders×events would be degenerate
+    * here (the fixture's streams are years apart — q178's calibration
+    * note), so the two sides are event-type slices of the SAME stream,
+    * where both directions genuinely occur. */
+  def asofNearestJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val views = ev.filter($"event_type" === "view").select(
+      $"user_id".as("uid"), $"ts", $"event_id".as("view_id"),
+      lit(null).cast("long").as("purch_id"))
+    val purch = ev.filter($"event_type" === "purchase").select(
+      $"user_id".as("uid"), $"ts", lit(null).cast("long").as("view_id"),
+      $"event_id".as("purch_id"))
+    val ord = Seq($"ts".asc, $"view_id".asc_nulls_first,
+      $"purch_id".asc_nulls_first)
+    val wB = Window.partitionBy($"uid").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy($"uid").orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    views.unionByName(purch)
+      .withColumn("b_id", last($"view_id", ignoreNulls = true).over(wB))
+      .withColumn("b_ts",
+        last(when($"view_id".isNotNull, $"ts"), ignoreNulls = true).over(wB))
+      .withColumn("f_id", first($"view_id", ignoreNulls = true).over(wF))
+      .withColumn("f_ts",
+        first(when($"view_id".isNotNull, $"ts"), ignoreNulls = true).over(wF))
+      .filter($"purch_id".isNotNull)
+      .withColumn("d_b", unix_timestamp($"ts") - unix_timestamp($"b_ts"))
+      .withColumn("d_f", unix_timestamp($"f_ts") - unix_timestamp($"ts"))
+      .select($"purch_id",
+        when($"b_id".isNull, $"f_id")
+          .when($"f_id".isNull, $"b_id")
+          .when($"d_f" < $"d_b", $"f_id").otherwise($"b_id")
+          .as("nearest_view"),
+        when($"b_id".isNull, lit("forward"))
+          .when($"f_id".isNull, lit("backward"))
+          .when($"d_f" < $"d_b", lit("forward")).otherwise(lit("backward"))
+          .as("direction"),
+        when($"b_id".isNull, $"d_f")
+          .when($"f_id".isNull, $"d_b")
+          .when($"d_f" < $"d_b", $"d_f").otherwise($"d_b")
+          .as("gap_s"))
+      .filter($"nearest_view".isNotNull)
+      .orderBy($"purch_id")
+  }
+
   /** TPC-H Q4's order-priority census over orders with at least one LATE
     * line (no l_commitdate in the fixture: "late" = shipped more than 60
     * days after the order date — the correlated predicate still spans
@@ -1220,6 +1275,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_join_asof_nearest" -> asofNearestJoin,
     "q233_priority_late_exists" -> priorityLateExists,
     "q234_scan_only_revenue" -> scanOnlyRevenue,
     "q235_returned_revenue_topk" -> returnedRevenueTopk,
@@ -1277,6 +1333,43 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q253_join_asof_nearest" ->
+      """SELECT purch_id,
+        |       CASE WHEN b_id IS NULL THEN f_id WHEN f_id IS NULL THEN b_id
+        |            WHEN d_f < d_b THEN f_id ELSE b_id END AS nearest_view,
+        |       CASE WHEN b_id IS NULL THEN 'forward' WHEN f_id IS NULL THEN 'backward'
+        |            WHEN d_f < d_b THEN 'forward' ELSE 'backward' END AS direction,
+        |       CASE WHEN b_id IS NULL THEN d_f WHEN f_id IS NULL THEN d_b
+        |            WHEN d_f < d_b THEN d_f ELSE d_b END AS gap_s
+        |FROM (
+        |  SELECT purch_id, b_id, f_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(b_ts)) AS BIGINT) AS d_b,
+        |         CAST(floor(epoch(f_ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) AS d_f
+        |  FROM (
+        |    SELECT purch_id, ts,
+        |           last_value(view_id IGNORE NULLS) OVER wb AS b_id,
+        |           last_value(CASE WHEN view_id IS NOT NULL THEN ts END IGNORE NULLS) OVER wb AS b_ts,
+        |           first_value(view_id IGNORE NULLS) OVER wf AS f_id,
+        |           first_value(CASE WHEN view_id IS NOT NULL THEN ts END IGNORE NULLS) OVER wf AS f_ts
+        |    FROM (
+        |      SELECT user_id AS uid, ts, event_id AS view_id,
+        |             CAST(NULL AS BIGINT) AS purch_id
+        |      FROM events WHERE event_type = 'view'
+        |      UNION ALL
+        |      SELECT user_id, ts, CAST(NULL AS BIGINT), event_id
+        |      FROM events WHERE event_type = 'purchase'
+        |    )
+        |    WINDOW wb AS (PARTITION BY uid
+        |                  ORDER BY ts ASC, view_id ASC NULLS FIRST, purch_id ASC NULLS FIRST
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |           wf AS (PARTITION BY uid
+        |                  ORDER BY ts ASC, view_id ASC NULLS FIRST, purch_id ASC NULLS FIRST
+        |                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |  ) WHERE purch_id IS NOT NULL
+        |)
+        |WHERE (CASE WHEN b_id IS NULL THEN f_id WHEN f_id IS NULL THEN b_id
+        |            WHEN d_f < d_b THEN f_id ELSE b_id END) IS NOT NULL
+        |ORDER BY purch_id""".stripMargin,
     "q233_priority_late_exists" ->
       // no table alias: the Oracle rewriter re-aliases each table AS its
       // own name, so the outer reference uses the bare table name.

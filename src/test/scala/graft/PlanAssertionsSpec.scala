@@ -460,6 +460,16 @@ class PlanAssertionsSpec extends SparkSpec {
       s"semi join degenerated to a non-equi plan:\n$p")
   }
 
+  test("q253 nearest as-of is join-free: both direction windows share one exchange") {
+    val p = planOf("q253_join_asof_nearest")
+    assert(!p.contains("Join"), s"merge form must not plan a join:\n$p")
+    assert("Window".r.findAllIn(p).size >= 2, s"both direction frames expected:\n$p")
+    // one uid-exchange feeds both windows (identical partitioning+ordering);
+    // the only other allowed exchange is the final output range sort
+    assert("hashpartitioning\\(uid".r.findAllIn(p).size <= 1,
+      s"direction windows did not share the uid exchange:\n$p")
+  }
+
   test("q238 brand screen broadcast-prunes the fact before the per-part stats") {
     val p = planOf("q238_small_qty_revenue")
     // the semi against the brand sliver must be a broadcast, and the
