@@ -1035,7 +1035,7 @@ object Aggregates {
     * The log₂ is computed as `length(bin(cnt)) − 1` — pure integer/string
     * ops, because IEEE `log(2^k)/log(2)` lands a hair under k and floors
     * to k−1 on exact powers, flipping bucket boundaries between engines.
-    * Two keys censused side by side: l_orderkey (bounded fan-out ≤ 7 —
+    * Two keys censused side by side: l_orderkey (small bounded fan-out —
     * healthy) vs l_suppkey (hundreds of rows per key — the profile that
     * says "salt this or let AQE split it"). Per-key agg + a ≤64-row
     * bucket fold: the profile of a 100 TB shuffle costs one map-side
@@ -1404,7 +1404,59 @@ object Aggregates {
       .orderBy($"nation")
   }
 
+  /** Basket-size histogram — the MEASURED form of the assumption half
+    * the pair/wedge queries price in: q199/q202/q220's "basket-bounded
+    * fan-out (pairs per order ≤ C(max_basket, 2))" contract. This query makes the
+    * basket distribution a declared, hash-compared artifact (and the
+    * spec asserts a ≤32 bound on the fixture — observed max 12–17 across
+    * SFs, and the old ≤7 folklore this query retired), so a fixture or
+    * upstream change that fattens baskets — and silently re-prices
+    * every co-occurrence join — breaks CORRECTNESS here first. One
+    * orderkey collapse + a ≤max-basket-row census. */
+  def basketSizeHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // LEFT OUTER from orders (the q236 lesson applied here too): the
+    // fixture has line-less orders (27 at sf0.001) and a basket census
+    // that silently drops the 0 bucket does not partition the orders.
+    val per = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        $"o_orderkey" === $"l_orderkey", "left_outer")
+      .groupBy($"o_orderkey")
+      .agg(count($"l_orderkey").as("n_lines"),
+        coalesce(sumIntValued($"l_quantity"), lit(0L)).as("qty_total"))
+    val hist = per.groupBy($"n_lines")
+      .agg(count(lit(1)).as("n_orders"), sum($"qty_total").as("qty_sum"))
+    val tot = hist.agg(sum($"n_orders").as("total"))
+    hist.crossJoin(broadcast(tot))
+      .select($"n_lines", $"n_orders", $"qty_sum",
+        ratio($"n_orders", $"total").as("share"))
+      .orderBy($"n_lines")
+  }
+
+  /** Equi-WIDTH histogram with the extents computed IN-PLAN (q185 is the
+    * equi-depth complement): a 1-row min/max broadcast, then the q206
+    * band form ((v−lo)·16 div span — pure integer, no float binning) and
+    * a 16-row census carrying each bucket's own observed envelope. The
+    * profile-every-column pass a warehouse runs after load: one scan +
+    * one 1-row agg at any scale. */
+  def equiwidthHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.orders(s, dir)
+      .select(cents($"o_totalprice").as("v"))
+    val ext = c.agg(min($"v").as("lo"), max($"v").as("hi"))
+    c.crossJoin(broadcast(ext))
+      .withColumn("bucket",
+        expr("((v - lo) * 16) div (hi - lo + 1)").cast("int"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"v").as("bucket_min_cents"),
+        max($"v").as("bucket_max_cents"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_basket_size_histogram" -> basketSizeHistogram,
+    "q256_equiwidth_histogram" -> equiwidthHistogram,
     "q251_revenue_concentration" -> revenueConcentration,
     "q252_nation_trade_balance" -> nationTradeBalance,
     "q229_segment_migration" -> segmentMigration,
@@ -1475,6 +1527,31 @@ object Aggregates {
          |FROM early FULL OUTER JOIN late USING (o_custkey)
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+    "q255_basket_size_histogram" ->
+      s"""WITH per AS (
+         |  SELECT o_orderkey, count(l_orderkey) AS n_lines,
+         |         coalesce(${sumIntValuedSql("l_quantity")}, 0) AS qty_total
+         |  FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1
+         |), hist AS (
+         |  SELECT n_lines, count(*) AS n_orders,
+         |         CAST(sum(qty_total) AS BIGINT) AS qty_sum
+         |  FROM per GROUP BY 1
+         |)
+         |SELECT n_lines, n_orders, qty_sum,
+         |       ${ratioSql("n_orders", "(SELECT sum(n_orders) FROM hist)")} AS share
+         |FROM hist
+         |ORDER BY n_lines""".stripMargin,
+    "q256_equiwidth_histogram" ->
+      s"""WITH c AS (
+         |  SELECT ${centsSql("o_totalprice")} AS v FROM orders
+         |), ext AS (SELECT min(v) AS lo, max(v) AS hi FROM c)
+         |SELECT CAST(((v - lo) * 16) // (hi - lo + 1) AS INT) AS bucket,
+         |       count(*) AS n_orders,
+         |       min(v) AS bucket_min_cents, max(v) AS bucket_max_cents
+         |FROM c CROSS JOIN ext
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
     "q251_revenue_concentration" ->
       s"""WITH pc AS (
          |  SELECT o_custkey, ${sumLongSql(centsSql("o_totalprice"))} AS cents

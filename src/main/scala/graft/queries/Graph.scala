@@ -99,8 +99,8 @@ object Graph {
     * degree distribution is, so the wedge self-join — the only
     * super-linear step — generates Σ C(outdeg, 2) ≤ O(m^1.5) rows
     * instead of the Σ C(deg, 2) a naive neighbor join pays on hubs.
-    * Edge generation itself is basket-bounded (≤ 7 lineitems per order,
-    * the q199 contract).
+    * Edge generation itself is basket-bounded (≤ 17 lineitems per order
+    * on the fixture — the q255 measured distribution).
     *
     * The edge relation is made SPARSE BY CONSTRUCTION: an edge requires
     * co-order multiplicity m ≥ max([[CoOrderMinMult]],

@@ -762,7 +762,7 @@ object Relational {
     * (support count, confidence, lift). The mechanics are a bipartite
     * projection: (order, brand) incidence pairs self-joined on the order
     * key to produce co-occurrence counts. The scale contract is that the
-    * multiplicity of the self-join is bounded by ITEMS PER BASKET (≤ 7
+    * multiplicity of the self-join is bounded by ITEMS PER BASKET (≤ 17
     * lines per TPC-H order, and the brand projection collapses those
     * further), never by table size: the join shuffles both sides by
     * order key once and emits ≤ k² rows per order — linear in orders.
@@ -1033,7 +1033,8 @@ object Relational {
     * bit-deterministic because IEEE-754 requires sqrt, ×, / to be
     * CORRECTLY ROUNDED — the whole score is a fixed three-op tree over
     * exact integers, no order-dependent float accumulation anywhere.
-    * Scale: pair generation is basket-bounded (≤ C(7,2) rows per order);
+    * Scale: pair generation is basket-bounded (≤ C(17,2) rows per order
+    * on the fixture — q255 measures the distribution);
     * the support counts attach via KEYED joins, not broadcast — the part
     * catalog grows with the corpus, unlike q199's 25-brand vocab. The
     * n_ab ≥ 3 support floor prunes the pair tail before those joins. */
@@ -1133,6 +1134,34 @@ object Relational {
           .as("gap_s"))
       .filter($"nearest_view".isNotNull)
       .orderBy($"purch_id")
+  }
+
+  /** TPC-H Q2's min-cost-supplier shape (no partsupp in the fixture: the
+    * observed per-(part, supplier) minimum unit price from lineitem
+    * stands in for ps_supplycost). The correlated `= (SELECT min ...)`
+    * becomes an argmin join: per-part cheapest (unit price, supplier),
+    * tie-broken by suppkey. Unit price is ONE IEEE divide of two exact
+    * ints per (part, supplier) — identical doubles on both engines, so
+    * even the float ORDERING is engine-invariant (ties resolved on the
+    * integer key). Scale: one (part, supp) collapse of the screened
+    * fact, one part-keyed argmin — no correlated re-scan; the size
+    * screen broadcast-prunes the fact first. */
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val screen = broadcast(Tables.part(s, dir)
+      .filter($"p_size" <= 10).select($"p_partkey", $"p_brand"))
+    val unit = Tables.lineitem(s, dir)
+      .join(screen, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_partkey", $"p_brand", $"l_suppkey")
+      .agg(min(ratio(cents($"l_extendedprice"),
+        $"l_quantity".cast("long"))).as("unit_cents"))
+    unit.groupBy($"p_partkey", $"p_brand")
+      .agg(min_by(struct($"l_suppkey", $"unit_cents"),
+        struct($"unit_cents", $"l_suppkey")).as("best"))
+      .select($"p_partkey", $"p_brand",
+        $"best.l_suppkey".as("cheapest_supp"),
+        $"best.unit_cents".as("unit_cents"))
+      .orderBy($"p_partkey")
   }
 
   /** TPC-H Q4's order-priority census over orders with at least one LATE
@@ -1276,6 +1305,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q253_join_asof_nearest" -> asofNearestJoin,
+    "q254_min_cost_supplier" -> minCostSupplier,
     "q233_priority_late_exists" -> priorityLateExists,
     "q234_scan_only_revenue" -> scanOnlyRevenue,
     "q235_returned_revenue_topk" -> returnedRevenueTopk,
@@ -1333,6 +1363,23 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q254_min_cost_supplier" ->
+      s"""WITH unit AS (
+         |  SELECT p_partkey, p_brand, l_suppkey,
+         |         min(${ratioSql(centsSql("l_extendedprice"),
+                                  "CAST(l_quantity AS BIGINT)")}) AS unit_cents
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_size <= 10
+         |  GROUP BY 1, 2, 3
+         |), best AS (
+         |  SELECT p_partkey, p_brand, l_suppkey AS cheapest_supp, unit_cents,
+         |         row_number() OVER (PARTITION BY p_partkey
+         |                            ORDER BY unit_cents ASC, l_suppkey ASC) AS rn
+         |  FROM unit
+         |)
+         |SELECT p_partkey, p_brand, cheapest_supp, unit_cents
+         |FROM best WHERE rn = 1
+         |ORDER BY p_partkey""".stripMargin,
     "q253_join_asof_nearest" ->
       """SELECT purch_id,
         |       CASE WHEN b_id IS NULL THEN f_id WHEN f_id IS NULL THEN b_id

@@ -432,6 +432,21 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q255 basket-size distribution: the pair-fanout premise holds " +
+      "(baskets bounded, census partitions the orders)") {
+    val rows = graft.queries.Aggregates.basketSizeHistogram(spark, sfDir).collect()
+    val maxBasket = rows.map(_.getAs[Long]("n_lines")).max
+    // q199/q202/q220 price pair generation as C(basket, 2)-bounded; the
+    // fixture's observed max is 12-17 across SFs (the old ≤7 folklore
+    // was wrong — this spec + the declared census keep the real bound
+    // honest). 32 would still be only C(32,2)=496 pairs per order.
+    assert(maxBasket <= 32, s"basket fan-out premise broken: max=$maxBasket")
+    val totalOrders = rows.map(_.getAs[Long]("n_orders")).sum
+    val expected = graft.Tables.orders(spark, sfDir).count()
+    assert(totalOrders == expected,
+      s"census must partition orders: $totalOrders != $expected")
+  }
+
   test("q241 deterministic shuffle: buckets partition the corpus and are " +
       "reproducible across runs") {
     val a = graft.queries.LlmOps.deterministicShuffle(spark, sfDir).collect()
