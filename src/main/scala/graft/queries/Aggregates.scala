@@ -1454,7 +1454,41 @@ object Aggregates {
       .orderBy($"bucket")
   }
 
+  /** Re-aggregation invariance — the correctness property every OLAP
+    * cube / pre-aggregation / incremental-rollup architecture rests on:
+    * a monthly total computed DIRECTLY equals the monthly total rolled
+    * up FROM the daily pre-aggregate. With exact integer cents this is
+    * an identity (associativity of integer addition at any grouping) —
+    * with raw double sums it is NOT (FP addition re-associates across
+    * the two paths), which is precisely why Portable fixed-points money.
+    * The declared output carries both paths and their equality flag, so
+    * a future formulation change that breaks reassociability (e.g.
+    * reintroducing a double accumulator) fails CORRECTNESS, not a code
+    * review. Cost: one fact collapse to days, one tiny re-roll, one
+    * direct month collapse. */
+  def reaggregationInvariance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+    val daily = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag",
+        (year($"l_shipdate") * 10000 + month($"l_shipdate") * 100 +
+          dayofmonth($"l_shipdate")).as("day"))
+      .agg(sum(rev).as("rev_cents"))
+    val rolled = daily
+      .groupBy($"l_returnflag", expr("day div 100").cast("int").as("mon"))
+      .agg(sum($"rev_cents").as("rev_rolled"))
+    val direct = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag",
+        (year($"l_shipdate") * 100 + month($"l_shipdate")).as("mon"))
+      .agg(sum(rev).as("rev_direct"))
+    direct.join(rolled, Seq("l_returnflag", "mon"))
+      .select($"l_returnflag", $"mon", $"rev_direct",
+        ($"rev_direct" === $"rev_rolled").as("rollup_exact"))
+      .orderBy($"l_returnflag", $"mon")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_reaggregation_invariance" -> reaggregationInvariance,
     "q255_basket_size_histogram" -> basketSizeHistogram,
     "q256_equiwidth_histogram" -> equiwidthHistogram,
     "q251_revenue_concentration" -> revenueConcentration,
@@ -1525,6 +1559,17 @@ object Aggregates {
          |SELECT coalesce(q_early, 0) AS q_early, coalesce(q_late, 0) AS q_late,
          |       count(*) AS n_cust
          |FROM early FULL OUTER JOIN late USING (o_custkey)
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
+    "q259_reaggregation_invariance" ->
+      // rollup_exact asserted TRUE: if the Spark-side daily→monthly
+      // re-roll ever diverges from the direct monthly (a double
+      // accumulator sneaking back in), the hash compare fails.
+      s"""SELECT l_returnflag,
+         |       CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS mon,
+         |       ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS rev_direct,
+         |       TRUE AS rollup_exact
+         |FROM lineitem
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
     "q255_basket_size_histogram" ->

@@ -383,6 +383,72 @@ object Relational {
       .orderBy($"o_custkey", $"version")
   }
 
+  /** CDC changelog apply — q100's missing half: q100 merges a single
+    * batch of I/U/D rows, but a real change feed carries MULTIPLE ordered
+    * ops per key and the LAST op wins (Debezium-style compaction before
+    * merge). The changelog here is derived deterministically from orders
+    * (each order is a 'U' setting the balance; every 7th orderkey is a
+    * 'D'), compacted per key by one argmax over the (ts, seq) total
+    * order, then merged full-outer into the customer base — deletes
+    * drop, updates override, never-logged keys pass through. Scale: the
+    * compaction is ONE key-partitioned argmax (no window sort needed),
+    * the merge one custkey-keyed outer join; output is the applied state
+    * with a disposition column so every branch is oracle-covered. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val log = Tables.orders(s, dir).select(
+      $"o_custkey".as("ck"), $"o_orderdate".as("ts"),
+      $"o_orderkey".as("seq"),
+      when($"o_orderkey" % 7 === 0, "D").otherwise("U").as("op"),
+      cents($"o_totalprice").as("new_bal"))
+    val lastOp = log.groupBy($"ck")
+      .agg(max_by(struct($"op", $"new_bal"), struct($"ts", $"seq")).as("b"))
+      .select($"ck", $"b.op".as("op"), $"b.new_bal".as("new_bal"))
+    Tables.customer(s, dir)
+      .select($"c_custkey", cents($"c_acctbal").as("bal_cents"))
+      .join(lastOp, $"c_custkey" === $"ck", "full_outer")
+      .filter($"op".isNull || $"op" =!= "D")
+      .select(
+        coalesce($"c_custkey", $"ck").as("k"),
+        when($"op" === "U", $"new_bal").otherwise($"bal_cents")
+          .as("bal_cents"),
+        when($"op".isNull, "unchanged")
+          .when($"c_custkey".isNull, "inserted")
+          .otherwise("updated").as("disposition"))
+      .orderBy($"k")
+  }
+
+  /** Temporal (validity-interval) dimension lookup — the consumer side
+    * of q151's SCD2 build: each lineitem finds the customer STATUS
+    * VERSION in force on its ship date. The classic DW "as of fact
+    * time" join, planned the scalable way: an EQUI join on custkey with
+    * the interval containment as a residual condition — per-key
+    * candidates are that customer's few version rows, so there is no
+    * range-join explosion and no interval binning needed (contrast a
+    * key-less interval join, q103's problem). Ship dates BEFORE the
+    * customer's first version (the fixture's synthetic ship dates are
+    * not ordered against order dates — ~15 % precede it at sf0.01) fall
+    * in no interval; the LEFT join surfaces them as an explicit
+    * UNMATCHED margin instead of dropping them — the same
+    * margins-not-drops contract as q229/q236/q255. */
+  def scd2AsofLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = scd2Build(s, dir).select(
+      $"o_custkey".as("dk"), $"o_orderstatus".as("status_in_force"),
+      $"valid_from", $"valid_to")
+    val fact = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("fk"), $"l_shipdate")
+    fact.join(dim,
+        $"fk" === $"dk" && $"l_shipdate" >= $"valid_from" &&
+          $"l_shipdate" < $"valid_to", "left")
+      .groupBy(coalesce($"status_in_force", lit("UNMATCHED"))
+        .as("status_in_force"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct($"fk").as("n_customers"))
+      .orderBy($"status_in_force")
+  }
+
   /** Schema-evolution union — `unionByName(allowMissingColumns = true)`
     * resolves columns BY NAME across frames with different column order
     * and a missing column (NULL-filled), the append every evolving
@@ -1306,6 +1372,8 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q253_join_asof_nearest" -> asofNearestJoin,
     "q254_min_cost_supplier" -> minCostSupplier,
+    "q257_cdc_apply" -> cdcApply,
+    "q258_scd2_asof_lookup" -> scd2AsofLookup,
     "q233_priority_late_exists" -> priorityLateExists,
     "q234_scan_only_revenue" -> scanOnlyRevenue,
     "q235_returned_revenue_topk" -> returnedRevenueTopk,
@@ -1363,6 +1431,48 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q257_cdc_apply" ->
+      s"""WITH log AS (
+         |  SELECT o_custkey AS ck, o_orderdate AS ts, o_orderkey AS seq,
+         |         CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+         |         ${centsSql("o_totalprice")} AS new_bal
+         |  FROM orders
+         |), last_op AS (
+         |  SELECT ck, op, new_bal FROM (
+         |    SELECT ck, op, new_bal,
+         |           row_number() OVER (PARTITION BY ck ORDER BY ts DESC, seq DESC) AS rn
+         |    FROM log
+         |  ) WHERE rn = 1
+         |)
+         |SELECT coalesce(c_custkey, ck) AS k,
+         |       CASE WHEN op = 'U' THEN new_bal ELSE bal_cents END AS bal_cents,
+         |       CASE WHEN op IS NULL THEN 'unchanged'
+         |            WHEN c_custkey IS NULL THEN 'inserted'
+         |            ELSE 'updated' END AS disposition
+         |FROM (SELECT c_custkey, ${centsSql("c_acctbal")} AS bal_cents FROM customer) base
+         |FULL OUTER JOIN last_op ON c_custkey = ck
+         |WHERE op IS NULL OR op <> 'D'
+         |ORDER BY k""".stripMargin,
+    "q258_scd2_asof_lookup" ->
+      """WITH dim AS (
+        |  SELECT o_custkey AS dk, o_orderstatus AS status_in_force,
+        |         o_orderdate AS valid_from,
+        |         coalesce(lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |                  TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |  FROM orders
+        |), fact AS (
+        |  SELECT o_custkey AS fk, l_shipdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |)
+        |SELECT coalesce(status_in_force, 'UNMATCHED') AS status_in_force,
+        |       count(*) AS n_lines,
+        |       CAST(count(DISTINCT fk) AS BIGINT) AS n_customers
+        |FROM fact
+        |LEFT JOIN dim ON fk = dk AND l_shipdate >= valid_from
+        |                         AND l_shipdate < valid_to
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q254_min_cost_supplier" ->
       s"""WITH unit AS (
          |  SELECT p_partkey, p_brand, l_suppkey,
