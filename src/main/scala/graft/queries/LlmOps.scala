@@ -1497,6 +1497,37 @@ object LlmOps {
       .orderBy($"label")
   }
 
+  /** Consistent hash sampling — the holdout-set property RNG sampling
+    * cannot give: membership is a PURE FUNCTION of the stable id
+    * (md5 prefix under a threshold), so a document's sample membership
+    * never changes as the corpus grows, across engines, or across runs —
+    * and samples NEST (the 5 % sample is a subset of the 10 % by
+    * construction, since both are thresholds on the same hash). The
+    * declared output carries the per-threshold census AND the nesting
+    * violation count (asserted 0 in the oracle), making the subset
+    * property a hash-compared contract. One scan, integer thresholds on
+    * the first 6 hex digits (16⁶ buckets — granular to 0.0001 %). */
+  def consistentHashSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5(concat(lit("sample:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long")
+    val space = 16777216L // 16^6
+    val d = Tables.documents(s, dir).select($"doc_id", h.as("hv"))
+      .withColumn("in5", $"hv" * 100L < space * 5L)
+      .withColumn("in10", $"hv" * 100L < space * 10L)
+    val viol = d.agg(sum(when($"in5" && !$"in10", 1L).otherwise(0L))
+      .as("nesting_violations"))
+    d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"in5", 1L).otherwise(0L)).as("n_sample5"),
+        sum(when($"in10", 1L).otherwise(0L)).as("n_sample10"))
+      .crossJoin(broadcast(viol))
+      .select($"n_docs", $"n_sample5", $"n_sample10",
+        ratio($"n_sample5", $"n_docs").as("rate5"),
+        ratio($"n_sample10", $"n_docs").as("rate10"),
+        $"nesting_violations")
+  }
+
   /** Tokens per "line" for the line-level dedup below: the synthetic
     * fixture text has no newlines, so fixed 8-token windows stand in for
     * lines; the last line keeps its ragged tail. */
@@ -2275,6 +2306,7 @@ object LlmOps {
     "q240_minhash_accuracy_gate" -> minhashAccuracyGate,
     "q241_deterministic_shuffle" -> deterministicShuffle,
     "q248_quality_mixture_plan" -> qualityMixturePlan,
+    "q260_consistent_hash_sample" -> consistentHashSample,
     "q249_ngram_novelty" -> ngramNovelty,
     "q250_embedding_norm_census" -> embeddingNormCensus,
     "q41_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -2779,6 +2811,24 @@ object LlmOps {
         |       count(DISTINCT sha256(text)) AS n_uniq_text,
         |       count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS n_uniq_tokenset
         |FROM documents""".stripMargin,
+    "q260_consistent_hash_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS hv
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, hv,
+         |         hv * 100 < 16777216 * 5 AS in5,
+         |         hv * 100 < 16777216 * 10 AS in10
+         |  FROM d
+         |)
+         |SELECT count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN in5 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample5,
+         |       CAST(sum(CASE WHEN in10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample10,
+         |       ${ratioSql("sum(CASE WHEN in5 THEN 1 ELSE 0 END)", "count(*)")} AS rate5,
+         |       ${ratioSql("sum(CASE WHEN in10 THEN 1 ELSE 0 END)", "count(*)")} AS rate10,
+         |       CAST(sum(CASE WHEN in5 AND NOT in10 THEN 1 ELSE 0 END) AS BIGINT) AS nesting_violations
+         |FROM f""".stripMargin,
     "q248_quality_mixture_plan" ->
       s"""WITH cells AS (
          |  SELECT lang,

@@ -254,6 +254,68 @@ object TimeSeries {
       .orderBy(ord: _*).limit(25).orderBy(ord: _*)
   }
 
+  /** OHLC bars (time-bucket downsampling) — the metrics-store staple:
+    * per month, the OPEN (first by the (date, orderkey) total order),
+    * HIGH, LOW, CLOSE (last by the same order) and volume of order
+    * totals. open/close are argmin/argmax with integer tiebreaks
+    * (min_by/max_by over a struct key — engine-invariant), high/low are
+    * plain min/max, everything exact cents. One map-side collapse to
+    * ≤|months| rows: the downsampling that turns a billion ticks into a
+    * chartable series at any scale. */
+  def ohlcBars(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(
+        (year($"o_orderdate") * 100 + month($"o_orderdate")).as("mon"),
+        $"o_orderdate".as("ts"), $"o_orderkey".as("seq"),
+        cents($"o_totalprice").as("v"))
+      .groupBy($"mon")
+      .agg(
+        min_by($"v", struct($"ts", $"seq")).as("open_cents"),
+        max($"v").as("high_cents"),
+        min($"v").as("low_cents"),
+        max_by($"v", struct($"ts", $"seq")).as("close_cents"),
+        count(lit(1)).as("volume"))
+      .orderBy($"mon")
+  }
+
+  /** Cohorted funnel — q164's acquisition cohorts crossed with q243's
+    * TIMEOUT funnel: per first-seen-DAY cohort, how far its users get
+    * through view → click(≤1h) → purchase(≤24h). The cross that answers
+    * "are newer cohorts converting better", which neither the flat
+    * funnel nor the retention grid shows. (Daily cohorts and the
+    * timeout-constrained steps deliberately — the fixture's events span
+    * one month and every user eventually converts, so weekly cohorts ×
+    * untimed steps collapse to a single cell; the timed form
+    * discriminates.) Scale: all inputs are one-row-per-user tables keyed
+    * on user_id, so the joins and census ride the already-shuffled key;
+    * output is ≤|days|·3 rows. */
+  def funnelCohorted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+    val cohort = ev.groupBy($"user_id")
+      .agg(min($"ts").cast("date").as("cohort_day"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" >= $"t_view" &&
+        $"ts" <= $"t_view" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" >= $"t_click" &&
+        $"ts" <= $"t_click" + expr("INTERVAL 24 HOURS"))
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .join(cohort, "user_id")
+      .select($"cohort_day",
+        when($"t_purchase".isNotNull, 3)
+          .when($"t_click".isNotNull, 2).otherwise(1).cast("int")
+          .as("step_reached"))
+      .groupBy($"cohort_day", $"step_reached")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_day", $"step_reached")
+  }
+
   /** Retention cohort grid — the product-analytics staple: users bucketed
     * by first-seen week (their cohort), activity counted per (cohort,
     * week-offset) cell as DISTINCT active users, retention as the exact
@@ -563,6 +625,8 @@ object TimeSeries {
     "q243_funnel_timeout" -> funnelTimeout,
     "q245_sequence_pattern_census" -> sequencePatternCensus,
     "q246_rank_movers" -> rankMovers,
+    "q261_ohlc_bars" -> ohlcBars,
+    "q262_funnel_cohorted" -> funnelCohorted,
     "q172_first_touch_attribution" -> firstTouchAttribution,
     "q164_retention_cohorts" -> retentionCohorts,
     "q165_event_trigrams" -> eventTrigrams,
@@ -693,6 +757,59 @@ object TimeSeries {
          |FROM monthly
          |WINDOW w AS (ORDER BY mon ASC)
          |ORDER BY mon""".stripMargin,
+    "q261_ohlc_bars" ->
+      s"""WITH t AS (
+         |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS mon,
+         |         o_orderdate AS ts, o_orderkey AS seq,
+         |         ${centsSql("o_totalprice")} AS v
+         |  FROM orders
+         |), o AS (
+         |  SELECT mon, v AS open_cents,
+         |         row_number() OVER (PARTITION BY mon ORDER BY ts ASC, seq ASC) AS rn
+         |  FROM t
+         |), c AS (
+         |  SELECT mon, v AS close_cents,
+         |         row_number() OVER (PARTITION BY mon ORDER BY ts DESC, seq DESC) AS rn
+         |  FROM t
+         |)
+         |SELECT t.mon, min(open_cents) AS open_cents,
+         |       max(t.v) AS high_cents, min(t.v) AS low_cents,
+         |       min(close_cents) AS close_cents, count(*) AS volume
+         |FROM t
+         |JOIN (SELECT mon, open_cents FROM o WHERE rn = 1) oo ON t.mon = oo.mon
+         |JOIN (SELECT mon, close_cents FROM c WHERE rn = 1) cc ON t.mon = cc.mon
+         |GROUP BY t.mon
+         |ORDER BY t.mon""".stripMargin,
+    "q262_funnel_cohorted" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY 1
+        |), v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT events.user_id, min(ts) AS t_click
+        |  FROM events JOIN v ON events.user_id = v.user_id
+        |  WHERE event_type = 'click' AND ts >= t_view
+        |    AND ts <= t_view + INTERVAL 1 HOUR
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT events.user_id, min(ts) AS t_purchase
+        |  FROM events JOIN c ON events.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND ts >= t_click
+        |    AND ts <= t_click + INTERVAL 24 HOUR
+        |  GROUP BY 1
+        |)
+        |SELECT cohort_day,
+        |       CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS step_reached,
+        |       count(*) AS n_users
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |JOIN cohort ON v.user_id = cohort.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q245_sequence_pattern_census" ->
       // list_reduce has no init parameter: prepend the 0 start state (the
       // q78 precedent); event types are pre-encoded to automaton symbols
