@@ -383,6 +383,40 @@ object Relational {
       .orderBy($"o_custkey", $"version")
   }
 
+  /** Cross-system entity reconciliation — "which systems know this
+    * entity": the master customer registry, the order system's observed
+    * custkeys, and the event stream's user ids, three-way full-outer
+    * joined and censused by PRESENCE PATTERN (in_crm, in_orders,
+    * in_events). This is the report every data-integration project
+    * starts with; the full-outer chain (never inner — an entity known to
+    * one system only is the interesting row) and the pattern census make
+    * every disposition explicit. Scale: three key projections (two
+    * pre-collapsed by distinct), key-partitioned outer joins, 8-row
+    * census. */
+  def entityReconciliation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+      .select($"c_custkey".as("k")).withColumn("in_crm", lit(true))
+    val o = Tables.orders(s, dir)
+      .select($"o_custkey".as("ko")).distinct()
+      .withColumn("in_orders", lit(true))
+    val e = Tables.events(s, dir)
+      .select($"user_id".as("ke")).distinct()
+      .withColumn("in_events", lit(true))
+    c.join(o, $"k" === $"ko", "full_outer")
+      .select(coalesce($"k", $"ko").as("k"),
+        coalesce($"in_crm", lit(false)).as("in_crm"),
+        coalesce($"in_orders", lit(false)).as("in_orders"))
+      .join(e, $"k" === $"ke", "full_outer")
+      .select(
+        coalesce($"in_crm", lit(false)).as("in_crm"),
+        coalesce($"in_orders", lit(false)).as("in_orders"),
+        coalesce($"in_events", lit(false)).as("in_events"))
+      .groupBy($"in_crm", $"in_orders", $"in_events")
+      .agg(count(lit(1)).as("n_entities"))
+      .orderBy($"in_crm", $"in_orders", $"in_events")
+  }
+
   /** CDC changelog apply — q100's missing half: q100 merges a single
     * batch of I/U/D rows, but a real change feed carries MULTIPLE ordered
     * ops per key and the LAST op wins (Debezium-style compaction before
@@ -1373,6 +1407,7 @@ object Relational {
     "q253_join_asof_nearest" -> asofNearestJoin,
     "q254_min_cost_supplier" -> minCostSupplier,
     "q257_cdc_apply" -> cdcApply,
+    "q263_entity_reconciliation" -> entityReconciliation,
     "q258_scd2_asof_lookup" -> scd2AsofLookup,
     "q233_priority_late_exists" -> priorityLateExists,
     "q234_scan_only_revenue" -> scanOnlyRevenue,
@@ -1431,6 +1466,21 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q263_entity_reconciliation" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |o AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |e AS (SELECT DISTINCT user_id AS k FROM events),
+        |u AS (SELECT k FROM c UNION SELECT k FROM o UNION SELECT k FROM e)
+        |SELECT (c.k IS NOT NULL) AS in_crm,
+        |       (o.k IS NOT NULL) AS in_orders,
+        |       (e.k IS NOT NULL) AS in_events,
+        |       count(*) AS n_entities
+        |FROM u
+        |LEFT JOIN c ON u.k = c.k
+        |LEFT JOIN o ON u.k = o.k
+        |LEFT JOIN e ON u.k = e.k
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q257_cdc_apply" ->
       s"""WITH log AS (
          |  SELECT o_custkey AS ck, o_orderdate AS ts, o_orderkey AS seq,

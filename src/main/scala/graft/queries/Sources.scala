@@ -701,6 +701,43 @@ object Sources {
           .as("clean_acct_cents"))
   }
 
+  /** Schema drift census — the schema-registry diff as a declared query:
+    * two staged snapshots of "the same" table (v2 adds a column, drops a
+    * column, and widens a type — the three drifts every evolving
+    * pipeline meets), compared BY THEIR FILES' OWN SCHEMAS (what the
+    * readers will actually see, not what the writer intended). The diff
+    * is computed from the parquet footers' StructTypes — pure metadata,
+    * no row data moves — and the census row per column names the drift
+    * class. At 100 TB this is the check that runs before every
+    * mergeSchema read (q183) or by-name append (q152) is trusted. */
+  def schemaDriftCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v1 = stage(dir, "drift_v1")
+    val v2 = stage(dir, "drift_v2")
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority",
+        cents($"o_totalprice").as("price_cents"))
+      .limit(100).write.mode("overwrite").parquet(v1)
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus",
+        cents($"o_totalprice").cast("double").as("price_cents"), // widened
+        $"o_custkey") // added (o_orderpriority dropped)
+      .limit(100).write.mode("overwrite").parquet(v2)
+    val s1 = s.read.parquet(v1).schema.map(f => f.name -> f.dataType.sql).toMap
+    val s2 = s.read.parquet(v2).schema.map(f => f.name -> f.dataType.sql).toMap
+    val rows = (s1.keySet ++ s2.keySet).toSeq.sorted.map { col =>
+      (col, s1.get(col).orNull, s2.get(col).orNull,
+        (s1.get(col), s2.get(col)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) if a != b => "type_changed"
+          case _ => "unchanged"
+        })
+    }
+    rows.toDF("col_name", "v1_type", "v2_type", "change")
+      .orderBy($"col_name")
+  }
+
   /** Write-Audit-Publish (WAP) — the lakehouse publication gate: data is
     * written to a STAGING location, a declarative audit battery runs
     * against the staged files themselves (not the source — the audit
@@ -823,6 +860,7 @@ object Sources {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_csv_permissive_census" -> csvPermissiveCensus,
     "q247_write_audit_publish" -> writeAuditPublish,
+    "q264_schema_drift_census" -> schemaDriftCensus,
     "q232_aqe_skew_split_proof" -> aqeSkewSplitProof,
     "q231_observed_write" -> observedWrite,
     "q206_zorder_skipping_proof" -> zorderSkippingProof,
@@ -857,6 +895,19 @@ object Sources {
     .mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    "q264_schema_drift_census" ->
+      // The expected diff as a literal table: the staged schemas are a
+      // deterministic function of the code above, so the oracle states
+      // them outright — any drift in what the files actually carry (or
+      // in how the reader reports it) fails the compare.
+      """SELECT * FROM (VALUES
+        |  ('o_custkey', CAST(NULL AS VARCHAR), 'BIGINT', 'added'),
+        |  ('o_orderkey', 'BIGINT', 'BIGINT', 'unchanged'),
+        |  ('o_orderpriority', 'STRING', CAST(NULL AS VARCHAR), 'removed'),
+        |  ('o_orderstatus', 'STRING', 'STRING', 'unchanged'),
+        |  ('price_cents', 'BIGINT', 'DOUBLE', 'type_changed')
+        |) AS t(col_name, v1_type, v2_type, change)
+        |ORDER BY col_name""".stripMargin,
     "q247_write_audit_publish" ->
       // The full WAP decision tree replayed from the fixture: the same
       // three audit sums, publish iff clean, published_rows only then —

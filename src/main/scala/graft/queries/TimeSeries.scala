@@ -316,6 +316,31 @@ object TimeSeries {
       .orderBy($"cohort_day", $"step_reached")
   }
 
+  /** Exact proration (allocation spread) — each order's total spread
+    * evenly across its month's days the way an accountant does it:
+    * base = cents div days to every day, and the remainder distributed
+    * one cent each to the FIRST (cents mod days) days — all integer
+    * arithmetic, so Σ daily allocations == the original total by
+    * construction (no "lost cents", the bug every float-share proration
+    * ships). The fan-out is a bounded explode (≤31 rows/order, the q103
+    * pattern), then one (month, day) collapse. */
+  def exactProration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(
+        (year($"o_orderdate") * 100 + month($"o_orderdate")).as("mon"),
+        dayofmonth(last_day($"o_orderdate")).as("days"),
+        cents($"o_totalprice").as("v"))
+      .select($"mon", $"days", $"v",
+        explode(sequence(lit(1), $"days")).as("dom"))
+      .select($"mon", $"dom",
+        (expr("v div days") +
+          when($"dom" <= expr("v % days"), 1L).otherwise(0L)).as("alloc"))
+      .groupBy($"mon", $"dom")
+      .agg(sum($"alloc").as("alloc_cents"), count(lit(1)).as("n_orders"))
+      .orderBy($"mon", $"dom")
+  }
+
   /** Retention cohort grid — the product-analytics staple: users bucketed
     * by first-seen week (their cohort), activity counted per (cohort,
     * week-offset) cell as DISTINCT active users, retention as the exact
@@ -626,6 +651,7 @@ object TimeSeries {
     "q245_sequence_pattern_census" -> sequencePatternCensus,
     "q246_rank_movers" -> rankMovers,
     "q261_ohlc_bars" -> ohlcBars,
+    "q265_exact_proration" -> exactProration,
     "q262_funnel_cohorted" -> funnelCohorted,
     "q172_first_touch_attribution" -> firstTouchAttribution,
     "q164_retention_cohorts" -> retentionCohorts,
@@ -757,6 +783,21 @@ object TimeSeries {
          |FROM monthly
          |WINDOW w AS (ORDER BY mon ASC)
          |ORDER BY mon""".stripMargin,
+    "q265_exact_proration" ->
+      s"""WITH t AS (
+         |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS mon,
+         |         day(last_day(o_orderdate)) AS days,
+         |         ${centsSql("o_totalprice")} AS v
+         |  FROM orders
+         |), x AS (
+         |  SELECT mon, CAST(dom AS INT) AS dom,
+         |         v // days + CASE WHEN dom <= v % days THEN 1 ELSE 0 END AS alloc
+         |  FROM t, unnest(range(1, days + 1)) AS u(dom)
+         |)
+         |SELECT mon, dom, CAST(sum(alloc) AS BIGINT) AS alloc_cents,
+         |       count(*) AS n_orders
+         |FROM x GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
     "q261_ohlc_bars" ->
       s"""WITH t AS (
          |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS mon,
