@@ -1487,7 +1487,65 @@ object Aggregates {
       .orderBy($"l_returnflag", $"mon")
   }
 
+  /** Ranked top-k as an ordered LIST per group — the "top 3 customers per
+    * nation, one row per nation" report: rank window (custkey tiebreak)
+    * → k-slice → rebuild the ORDERED list with q211's determinism trick
+    * (collect_list alone is partition-order-dependent; sorting the
+    * (rank, entry) structs restores it). Composes q22's group-top-k with
+    * q16's listagg — the composed form is what BI exports actually ask
+    * for. Scale: spend collapses per customer BEFORE the dim join; the
+    * rank window partitions by nation over the collapsed table. */
+  def topkListagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, dir)
+      .groupBy($"o_custkey").agg(sum(cents($"o_totalprice")).as("cents"))
+    val w = Window.partitionBy($"n_name")
+      .orderBy($"cents".desc, $"o_custkey".asc)
+    spend
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .groupBy($"n_name")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct($"rn",
+            concat($"c_name", lit(":"), $"cents").as("entry")))),
+            e => e("entry")), ",").as("top3"),
+        sum($"cents").as("top3_cents"))
+      .orderBy($"n_name")
+  }
+
+  /** Percent-of-parent (hierarchical share) — the OLAP drill-down
+    * decoration: each (region, nation) revenue row carries its share of
+    * the REGION and the region's share of the TOTAL, computed with two
+    * window sums over the ≤|nations| collapsed grid (no re-scan, no
+    * self-join). Shares are one IEEE divide each over exact cents. */
+  def percentOfParent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val geo = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"n_name".as("nation"), $"r_name".as("region"))
+    val grid = Tables.orders(s, dir)
+      .groupBy($"o_custkey").agg(sum(cents($"o_totalprice")).as("cents"))
+      .join(geo, $"o_custkey" === $"c_custkey")
+      .groupBy($"region", $"nation").agg(sum($"cents").as("cents"))
+    val wR = Window.partitionBy($"region")
+    val wAll = Window.partitionBy()
+    grid
+      .withColumn("region_cents", sum($"cents").over(wR))
+      .withColumn("total_cents", sum($"cents").over(wAll))
+      .select($"region", $"nation", $"cents",
+        ratio($"cents", $"region_cents").as("pct_of_region"),
+        $"region_cents",
+        ratio($"region_cents", $"total_cents").as("region_pct_of_total"))
+      .orderBy($"region", $"nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_topk_listagg" -> topkListagg,
+    "q267_percent_of_parent" -> percentOfParent,
     "q259_reaggregation_invariance" -> reaggregationInvariance,
     "q255_basket_size_histogram" -> basketSizeHistogram,
     "q256_equiwidth_histogram" -> equiwidthHistogram,
@@ -1572,6 +1630,49 @@ object Aggregates {
          |FROM lineitem
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+    "q266_topk_listagg" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey, ${sumLongSql(centsSql("o_totalprice"))} AS cents
+         |  FROM orders GROUP BY 1
+         |), ranked AS (
+         |  SELECT n_name, c_name, cents,
+         |         row_number() OVER (PARTITION BY n_name
+         |                            ORDER BY cents DESC, o_custkey ASC) AS rn
+         |  FROM spend
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |)
+         |SELECT n_name,
+         |       array_to_string(list(c_name || ':' || CAST(cents AS VARCHAR)
+         |                            ORDER BY rn), ',') AS top3,
+         |       CAST(sum(cents) AS BIGINT) AS top3_cents
+         |FROM ranked WHERE rn <= 3
+         |GROUP BY 1
+         |ORDER BY n_name""".stripMargin,
+    "q267_percent_of_parent" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey, ${sumLongSql(centsSql("o_totalprice"))} AS cents
+         |  FROM orders GROUP BY 1
+         |), grid AS (
+         |  SELECT r_name AS region, n_name AS nation,
+         |         CAST(sum(cents) AS BIGINT) AS cents
+         |  FROM spend
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  GROUP BY 1, 2
+         |), dec AS (
+         |  SELECT region, nation, cents,
+         |         CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT) AS region_cents,
+         |         CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+         |  FROM grid
+         |)
+         |SELECT region, nation, cents,
+         |       ${ratioSql("cents", "region_cents")} AS pct_of_region,
+         |       region_cents,
+         |       ${ratioSql("region_cents", "total_cents")} AS region_pct_of_total
+         |FROM dec
+         |ORDER BY region, nation""".stripMargin,
     "q255_basket_size_histogram" ->
       s"""WITH per AS (
          |  SELECT o_orderkey, count(l_orderkey) AS n_lines,

@@ -341,6 +341,42 @@ object TimeSeries {
       .orderBy($"mon", $"dom")
   }
 
+  /** Clamped running inventory — stock level per supplier-day where the
+    * level FLOORS AT ZERO (you cannot ship what you do not have). The
+    * naive reading is a non-associative sequential fold — unparallelizable
+    * and inexpressible as a window sum — but clamping has a closed form:
+    * L_t = S_t − min(0, min_{j≤t} S_j) (prefix sum minus its running
+    * floor), which turns the scan into TWO ordinary integer windows over
+    * the same (supplier, day) sort — parallel across suppliers, exact,
+    * and identical in both engines. A day is a STOCKOUT (clamp fired)
+    * iff the unclamped step would have gone negative:
+    * S_t − min(0, runmin_{t−1}) < 0, computable with the same window
+    * lagged one row. In/out flows are synthesized deterministically
+    * (even orderkeys receive, odd ship). */
+  def clampedRunningInventory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.lineitem(s, dir)
+      .select($"l_suppkey", to_date($"l_shipdate").as("day"),
+        when($"l_orderkey" % 2 === 0, $"l_quantity".cast("long"))
+          .otherwise(-$"l_quantity".cast("long")).as("net"))
+      .groupBy($"l_suppkey", $"day").agg(sum($"net").as("net"))
+    val w = Window.partitionBy($"l_suppkey").orderBy($"day".asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val lv = daily
+      .withColumn("s", sum($"net").over(run))
+      .withColumn("runmin", min($"s").over(run))
+      .withColumn("prevmin", min($"s").over(prev))
+      .withColumn("level", $"s" - least(lit(0L), $"runmin"))
+      .withColumn("stockout",
+        ($"s" - least(lit(0L), coalesce($"prevmin", lit(0L)))) < 0)
+    lv.groupBy($"l_suppkey")
+      .agg(max_by($"level", $"day").as("final_level"),
+        sum(when($"stockout", 1L).otherwise(0L)).as("n_stockout_days"),
+        count(lit(1)).as("n_days"))
+      .orderBy($"l_suppkey")
+  }
+
   /** Retention cohort grid — the product-analytics staple: users bucketed
     * by first-seen week (their cohort), activity counted per (cohort,
     * week-offset) cell as DISTINCT active users, retention as the exact
@@ -652,6 +688,7 @@ object TimeSeries {
     "q246_rank_movers" -> rankMovers,
     "q261_ohlc_bars" -> ohlcBars,
     "q265_exact_proration" -> exactProration,
+    "q268_clamped_running_inventory" -> clampedRunningInventory,
     "q262_funnel_cohorted" -> funnelCohorted,
     "q172_first_touch_attribution" -> firstTouchAttribution,
     "q164_retention_cohorts" -> retentionCohorts,
@@ -783,6 +820,46 @@ object TimeSeries {
          |FROM monthly
          |WINDOW w AS (ORDER BY mon ASC)
          |ORDER BY mon""".stripMargin,
+    "q268_clamped_running_inventory" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+        |         CAST(sum(CASE WHEN l_orderkey % 2 = 0
+        |                       THEN CAST(l_quantity AS BIGINT)
+        |                       ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS net
+        |  FROM lineitem GROUP BY 1, 2
+        |), s1 AS (
+        |  SELECT l_suppkey, day,
+        |         CAST(sum(net) OVER (PARTITION BY l_suppkey ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |  FROM daily
+        |), s2 AS (
+        |  SELECT l_suppkey, day, s,
+        |         CAST(min(s) OVER (PARTITION BY l_suppkey ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS runmin,
+        |         CAST(min(s) OVER (PARTITION BY l_suppkey ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS prevmin
+        |  FROM s1
+        |), lv AS (
+        |  SELECT l_suppkey, day,
+        |         s - least(0, runmin) AS level,
+        |         (s - least(0, coalesce(prevmin, 0))) < 0 AS stockout
+        |  FROM s2
+        |)
+        |SELECT a.l_suppkey, a.final_level, b.n_stockout_days, b.n_days
+        |FROM (
+        |  SELECT l_suppkey, level AS final_level FROM (
+        |    SELECT l_suppkey, level,
+        |           row_number() OVER (PARTITION BY l_suppkey ORDER BY day DESC) AS rn
+        |    FROM lv
+        |  ) WHERE rn = 1
+        |) a
+        |JOIN (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CASE WHEN stockout THEN 1 ELSE 0 END) AS BIGINT) AS n_stockout_days,
+        |         count(*) AS n_days
+        |  FROM lv GROUP BY 1
+        |) b ON a.l_suppkey = b.l_suppkey
+        |ORDER BY a.l_suppkey""".stripMargin,
     "q265_exact_proration" ->
       s"""WITH t AS (
          |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS mon,
