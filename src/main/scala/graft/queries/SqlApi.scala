@@ -204,7 +204,65 @@ object SqlApi {
   def lateralViewQuery(s: SparkSession, dir: String): DataFrame =
     viaSql(lateralViewSql, Seq("documents"))(s, dir)
 
+  /** SQL-text PIVOT clause (Spark's parser surface for q58's DataFrame
+    * pivot): status columns spread wide with exact-cents cells. The
+    * DuckDB twin states the same table as conditional aggregation —
+    * PIVOT is sugar over it in both engines, and the empty cell stays
+    * NULL (never fabricated 0) on both sides. */
+  val pivotTextSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderpriority, o_orderstatus,
+      |         CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT) AS pc
+      |  FROM orders
+      |)
+      |PIVOT (
+      |  CAST(sum(pc) AS BIGINT)
+      |  FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p)
+      |)
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def pivotTextQuery(s: SparkSession, dir: String): DataFrame =
+    viaSql(pivotTextSql, Seq("orders"))(s, dir)
+
+  /** SQL-text UNPIVOT clause (Spark 3.4+; the parser surface for q79's
+    * melt): two metric columns fold to (metric, val) rows. UNPIVOT drops
+    * NULL cells by default in Spark — the fixture columns are non-null,
+    * and the oracle's UNION-ALL form states the same table. */
+  val unpivotTextSql: String =
+    """SELECT o_orderkey, metric, val FROM (
+      |  SELECT o_orderkey,
+      |         CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT) AS price_cents,
+      |         CAST(o_custkey AS BIGINT) AS custkey
+      |  FROM orders
+      |  WHERE o_orderkey % 100 = 0
+      |)
+      |UNPIVOT (val FOR metric IN (price_cents, custkey))
+      |ORDER BY o_orderkey, metric""".stripMargin
+
+  def unpivotTextQuery(s: SparkSession, dir: String): DataFrame =
+    viaSql(unpivotTextSql, Seq("orders"))(s, dir)
+
+  /** SQL-standard FILTER clause on aggregates (the ANSI spelling of
+    * q15's when()-conditional aggregation) — ONE string shared verbatim
+    * with DuckDB: both engines implement the standard, so the oracle IS
+    * the query. sum FILTER over an empty group stays NULL on both. */
+  val filterClauseSql: String =
+    """SELECT o_orderpriority,
+      |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |       CAST(sum(CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT))
+      |            FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cents
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def filterClauseQuery(s: SparkSession, dir: String): DataFrame =
+    viaSql(filterClauseSql, Seq("orders"))(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_sql_pivot_text" -> pivotTextQuery,
+    "q270_sql_unpivot_text" -> unpivotTextQuery,
+    "q271_sql_filter_clause" -> filterClauseQuery,
     "q179_sql_lateral_view" -> lateralViewQuery,
     "q160_sql_session_variable" -> sessionVariableQuery,
     "q161_sql_parameterized" -> parameterizedQuery,
@@ -215,6 +273,29 @@ object SqlApi {
     "q134_sql_group_by_all" -> groupByAllQuery)
 
   val oracles: Map[String, String] = Map(
+    "q269_sql_pivot_text" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN pc END) AS BIGINT) AS st_o,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN pc END) AS BIGINT) AS st_f,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN pc END) AS BIGINT) AS st_p
+        |FROM (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |         CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT) AS pc
+        |  FROM orders
+        |)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q270_sql_unpivot_text" ->
+      """SELECT o_orderkey, metric, val FROM (
+        |  SELECT o_orderkey, 'price_cents' AS metric,
+        |         CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT) AS val
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'custkey', CAST(o_custkey AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |)
+        |ORDER BY o_orderkey, metric""".stripMargin,
+    "q271_sql_filter_clause" -> filterClauseSql,
     "q179_sql_lateral_view" ->
       """SELECT doc_id,
         |       CAST(pos1 - 1 AS INT) AS pos,
