@@ -1543,7 +1543,30 @@ object Aggregates {
       .orderBy($"region", $"nation")
   }
 
+  /** Grouped mode — the most frequent event type per (user, week), then
+    * a census of the modes: q124 declares the GLOBAL tie-broken mode;
+    * this is the per-entity-per-period form (the "dominant behavior"
+    * feature every user model derives). The argmax is
+    * min_by(type, struct(−count, type)) — highest count, then smallest
+    * type: a deterministic total order both engines replay (the oracle
+    * uses the equivalent row_number). Two keyed collapses, then a
+    * ≤weeks·|types| census. */
+  def groupedMode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .groupBy($"user_id",
+        date_trunc("week", $"ts").cast("date").as("week"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy($"user_id", $"week")
+      .agg(min_by($"event_type", struct((-$"cnt").as("nc"), $"event_type"))
+        .as("mode_type"))
+      .groupBy($"week", $"mode_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"week", $"mode_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_grouped_mode" -> groupedMode,
     "q266_topk_listagg" -> topkListagg,
     "q267_percent_of_parent" -> percentOfParent,
     "q259_reaggregation_invariance" -> reaggregationInvariance,
@@ -1630,6 +1653,21 @@ object Aggregates {
          |FROM lineitem
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+    "q274_grouped_mode" ->
+      """WITH counts AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |         event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3
+        |), m AS (
+        |  SELECT user_id, week, event_type AS mode_type,
+        |         row_number() OVER (PARTITION BY user_id, week
+        |                            ORDER BY cnt DESC, event_type ASC) AS rn
+        |  FROM counts
+        |)
+        |SELECT week, mode_type, count(*) AS n_users
+        |FROM m WHERE rn = 1
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q266_topk_listagg" ->
       s"""WITH spend AS (
          |  SELECT o_custkey, ${sumLongSql(centsSql("o_totalprice"))} AS cents

@@ -80,6 +80,17 @@ object Sources {
       .orderBy($"ws", $"event_type")
   }
 
+  /** The two-chained-stateful-aggregation pipeline (Streams
+    * .twoLevelDailyMax) on the batch frame — hourly counts re-rolled to
+    * a daily burst/total profile. Same contract as q39/q68: DuckDB
+    * parity here plus the StreamsSpec append-mode equivalence test cover
+    * the streaming multi-stateful path end-to-end. */
+  def streamTwoLevelBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.Streams.twoLevelDailyMax(Tables.events(s, dir))
+      .orderBy($"day", $"event_type")
+  }
+
   /** Gap-based sessionization in batch (30-minute inactivity gap), the
     * SQL-expressible complement to `session_window` (whose streaming form
     * StreamsSpec covers by batch equivalence): lag to flag gaps, running
@@ -869,6 +880,7 @@ object Sources {
     "q37_csv_roundtrip" -> csvRoundtrip,
     "q38_json_roundtrip" -> jsonRoundtrip,
     "q39_stream_tumbling_batch" -> streamTumblingBatch,
+    "q272_stream_two_level_batch" -> streamTwoLevelBatch,
     "q61_sessionization" -> sessionizationBatch,
     "q68_stream_sliding_batch" -> streamSlidingBatch,
     "q69_stream_session_batch" -> streamSessionBatch,
@@ -1209,6 +1221,16 @@ object Sources {
         |  WHERE c.user_id = v.user_id
         |    AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE)
         |ORDER BY click_id""".stripMargin,
+    "q272_stream_two_level_batch" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hws, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT date_trunc('day', hws) AS day, event_type,
+        |       CAST(max(n) AS BIGINT) AS max_hourly,
+        |       CAST(sum(n) AS BIGINT) AS total
+        |FROM hourly GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
     "q39_stream_tumbling_batch" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
         |FROM events

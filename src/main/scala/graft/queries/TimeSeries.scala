@@ -377,6 +377,44 @@ object TimeSeries {
       .orderBy($"l_suppkey")
   }
 
+  /** Hysteresis (Schmitt-trigger) alerting — alert turns ON when daily
+    * revenue exceeds 120 % of the priority's average and stays on until
+    * it drops below 80 % (two thresholds, so the alert doesn't flap
+    * around a single line — how every production alerting system works).
+    * Like q268, the state LOOKS sequential but has a window closed form:
+    * the alert state at day t is the direction of the LAST band EXIT
+    * (`last(crossing, ignoreNulls)` over the running frame — in-band
+    * days contribute NULL and inherit). Threshold comparisons are exact
+    * cross-multiplications (5·n·cents vs 6·S / 4·S — no float average),
+    * with the per-priority totals attached by broadcast. Census: alert
+    * days + flap count per priority. */
+  def hysteresisAlerting(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderpriority".as("prio"),
+        to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("cents"))
+    val tot = daily.groupBy($"prio")
+      .agg(sum($"cents").as("s"), count(lit(1)).as("n"))
+    val w = Window.partitionBy($"prio").orderBy($"day".asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lv = daily.join(broadcast(tot), "prio")
+      .withColumn("crossing",
+        when(lit(5L) * $"n" * $"cents" > lit(6L) * $"s", 1)
+          .when(lit(5L) * $"n" * $"cents" < lit(4L) * $"s", -1)
+          .otherwise(lit(null).cast("int")))
+      .withColumn("state",
+        coalesce(last($"crossing", ignoreNulls = true).over(run), lit(-1)))
+      .withColumn("alert", $"state" === 1)
+      .withColumn("flap",
+        $"alert" =!= coalesce(lag($"alert", 1).over(w), lit(false)))
+    lv.groupBy($"prio")
+      .agg(sum(when($"alert", 1L).otherwise(0L)).as("n_alert_days"),
+        sum(when($"flap", 1L).otherwise(0L)).as("n_transitions"),
+        count(lit(1)).as("n_days"))
+      .orderBy($"prio")
+  }
+
   /** Retention cohort grid — the product-analytics staple: users bucketed
     * by first-seen week (their cohort), activity counted per (cohort,
     * week-offset) cell as DISTINCT active users, retention as the exact
@@ -689,6 +727,7 @@ object TimeSeries {
     "q261_ohlc_bars" -> ohlcBars,
     "q265_exact_proration" -> exactProration,
     "q268_clamped_running_inventory" -> clampedRunningInventory,
+    "q273_hysteresis_alerting" -> hysteresisAlerting,
     "q262_funnel_cohorted" -> funnelCohorted,
     "q172_first_touch_attribution" -> firstTouchAttribution,
     "q164_retention_cohorts" -> retentionCohorts,
@@ -820,6 +859,37 @@ object TimeSeries {
          |FROM monthly
          |WINDOW w AS (ORDER BY mon ASC)
          |ORDER BY mon""".stripMargin,
+    "q273_hysteresis_alerting" ->
+      s"""WITH daily AS (
+         |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS cents
+         |  FROM orders GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT prio, CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
+         |  FROM daily GROUP BY 1
+         |), lv AS (
+         |  SELECT daily.prio, day,
+         |         CASE WHEN 5 * n * cents > 6 * s THEN 1
+         |              WHEN 5 * n * cents < 4 * s THEN -1 END AS crossing
+         |  FROM daily JOIN tot ON daily.prio = tot.prio
+         |), st AS (
+         |  SELECT prio, day,
+         |         coalesce(last_value(crossing IGNORE NULLS) OVER (
+         |           PARTITION BY prio ORDER BY day
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS state
+         |  FROM lv
+         |), al AS (
+         |  SELECT prio, (state = 1) AS alert,
+         |         (state = 1) <> coalesce(lag(state = 1) OVER (
+         |           PARTITION BY prio ORDER BY day), false) AS flap
+         |  FROM st
+         |)
+         |SELECT prio,
+         |       CAST(sum(CASE WHEN alert THEN 1 ELSE 0 END) AS BIGINT) AS n_alert_days,
+         |       CAST(sum(CASE WHEN flap THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions,
+         |       count(*) AS n_days
+         |FROM al GROUP BY 1
+         |ORDER BY 1""".stripMargin,
     "q268_clamped_running_inventory" ->
       """WITH daily AS (
         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,

@@ -32,6 +32,21 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
 
+  /** TWO chained stateful aggregations — hourly counts re-aggregated to
+    * a daily (max hourly burst, total) profile via window-of-window
+    * (Spark 3.4+ multi-stateful support). In streaming this runs as two
+    * state stores in APPEND mode behind one watermark; the same
+    * DataFrame function executes on a batch frame for the q272 oracle
+    * gate and the StreamsSpec equivalence test — incremental two-level
+    * rollups (q177's family) without a foreachBatch escape hatch. */
+  def twoLevelDailyMax(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(max("n").as("max_hourly"), sum("n").as("total"))
+      .select(col("window.start").as("day"), col("event_type"),
+        col("max_hourly"), col("total"))
+
   /** Sliding 1-hour windows every 15 minutes. */
   def slidingCounts(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))

@@ -64,6 +64,32 @@ class StreamsSpec extends SparkSpec {
     assert(batch.size === 4)
   }
 
+  test("two-level windowed agg (chained stateful operators): stream equals batch on closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Streams.twoLevelDailyMax(sample.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val mem = MemoryStream[Event]
+    mem.addData(sample)
+    val q = Streams.twoLevelDailyMax(
+        mem.toDF().withWatermark("ts", "1 second"))
+      .writeStream.format("memory").queryName("t_twolevel")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // append mode only emits windows the watermark has closed: push a
+    // far-future sentinel to flush the sample's day windows, then ignore
+    // the sentinel's own (still-open) window in the comparison
+    mem.addData(Event(999, ts("2024-03-01 00:00:00"), 9, "flush", 0.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_twolevel").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed === batch,
+      s"closed-window stream output must equal batch:\n$streamed\nvs\n$batch")
+  }
+
   test("streaming dedup drops the duplicate event_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
