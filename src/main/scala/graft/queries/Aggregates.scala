@@ -1565,7 +1565,48 @@ object Aggregates {
       .orderBy($"week", $"mode_type")
   }
 
+  /** Column profile — the post-load data-profiling table (nulls,
+    * distincts, lexicographic extents per column) every warehouse emits
+    * before anyone writes a query: one conditional-sum + multi-distinct
+    * pass over orders, stacked to a row per column. Extents are profiled
+    * AS STRINGS (lexicographic min/max — uniform across types, and what
+    * a profile UI shows); distinct counts are EXACT (Spark plans
+    * multi-column count-distinct via one expand — |columns|× the scan
+    * rows shuffled as partials, the documented cost of exactness;
+    * q18/q92 are the sketch alternative at 100 TB). */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Profile over a type-normalized projection: raw DOUBLE→string
+    // rendering differs between engines (shortest-repr vs decimal), so
+    // money profiles as exact cents and the timestamp as a DATE — both
+    // string-stable everywhere.
+    val o = Tables.orders(s, dir).select(
+      $"o_orderkey", $"o_custkey", $"o_orderstatus",
+      cents($"o_totalprice").as("price_cents"),
+      to_date($"o_orderdate").as("order_date"),
+      $"o_orderpriority")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "price_cents", "order_date", "o_orderpriority")
+    // Stack FIRST, aggregate once: a wide multi-count-distinct plans as
+    // an N-way expand (N× the scan shuffled); melting to (col, value)
+    // pairs map-side and running ONE grouped count-distinct shuffles
+    // only the (col, DISTINCT value) partials — the profiler shape that
+    // survives wide tables.
+    val stackArgs = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    o.selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
+      .groupBy($"col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"v".isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct($"v").as("n_distinct"),
+        min($"v").as("min_str"),
+        max($"v").as("max_str"))
+      .orderBy($"col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_relationship_profile" -> Relational.relationshipProfile,
+    "q276_column_profile" -> columnProfile,
     "q274_grouped_mode" -> groupedMode,
     "q266_topk_listagg" -> topkListagg,
     "q267_percent_of_parent" -> percentOfParent,
@@ -1653,6 +1694,83 @@ object Aggregates {
          |FROM lineitem
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+    "q275_relationship_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem->orders' AS relationship,
+        |         CAST(max(coalesce(ln, 0)) AS BIGINT) AS max_left,
+        |         CAST(max(coalesce(rn, 0)) AS BIGINT) AS max_right,
+        |         CAST(sum(CASE WHEN rn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS left_orphans,
+        |         CAST(sum(CASE WHEN ln IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS right_only,
+        |         (CASE WHEN max(coalesce(ln, 0)) > 1 THEN 'N' ELSE '1' END || ':' ||
+        |          CASE WHEN max(coalesce(rn, 0)) > 1 THEN 'N' ELSE '1' END) AS cardinality
+        |  FROM (SELECT l_orderkey AS k, count(*) AS ln FROM lineitem GROUP BY 1) l
+        |  FULL OUTER JOIN (SELECT o_orderkey AS k, count(*) AS rn FROM orders GROUP BY 1) r
+        |    ON l.k = r.k
+        |  UNION ALL
+        |  SELECT 'lineitem->part',
+        |         CAST(max(coalesce(ln, 0)) AS BIGINT),
+        |         CAST(max(coalesce(rn, 0)) AS BIGINT),
+        |         CAST(sum(CASE WHEN rn IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(CASE WHEN ln IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         (CASE WHEN max(coalesce(ln, 0)) > 1 THEN 'N' ELSE '1' END || ':' ||
+        |          CASE WHEN max(coalesce(rn, 0)) > 1 THEN 'N' ELSE '1' END)
+        |  FROM (SELECT l_partkey AS k, count(*) AS ln FROM lineitem GROUP BY 1) l
+        |  FULL OUTER JOIN (SELECT p_partkey AS k, count(*) AS rn FROM part GROUP BY 1) r
+        |    ON l.k = r.k
+        |  UNION ALL
+        |  SELECT 'orders->customer',
+        |         CAST(max(coalesce(ln, 0)) AS BIGINT),
+        |         CAST(max(coalesce(rn, 0)) AS BIGINT),
+        |         CAST(sum(CASE WHEN rn IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(sum(CASE WHEN ln IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         (CASE WHEN max(coalesce(ln, 0)) > 1 THEN 'N' ELSE '1' END || ':' ||
+        |          CASE WHEN max(coalesce(rn, 0)) > 1 THEN 'N' ELSE '1' END)
+        |  FROM (SELECT o_custkey AS k, count(*) AS ln FROM orders GROUP BY 1) l
+        |  FULL OUTER JOIN (SELECT c_custkey AS k, count(*) AS rn FROM customer GROUP BY 1) r
+        |    ON l.k = r.k
+        |)
+        |ORDER BY relationship""".stripMargin,
+    "q276_column_profile" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         ${centsSql("o_totalprice")} AS price_cents,
+         |         CAST(o_orderdate AS DATE) AS order_date,
+         |         o_orderpriority
+         |  FROM orders
+         |)
+         |SELECT col_name, n_rows, n_nulls, n_distinct, min_str, max_str FROM (
+         |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+         |         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         |         min(CAST(o_orderkey AS VARCHAR)) AS min_str,
+         |         max(CAST(o_orderkey AS VARCHAR)) AS max_str FROM o
+         |  UNION ALL
+         |  SELECT 'o_custkey', count(*),
+         |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |         CAST(count(DISTINCT o_custkey) AS BIGINT),
+         |         min(CAST(o_custkey AS VARCHAR)), max(CAST(o_custkey AS VARCHAR)) FROM o
+         |  UNION ALL
+         |  SELECT 'o_orderstatus', count(*),
+         |         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |         CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+         |         min(o_orderstatus), max(o_orderstatus) FROM o
+         |  UNION ALL
+         |  SELECT 'price_cents', count(*),
+         |         CAST(sum(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |         CAST(count(DISTINCT price_cents) AS BIGINT),
+         |         min(CAST(price_cents AS VARCHAR)), max(CAST(price_cents AS VARCHAR)) FROM o
+         |  UNION ALL
+         |  SELECT 'order_date', count(*),
+         |         CAST(sum(CASE WHEN order_date IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |         CAST(count(DISTINCT order_date) AS BIGINT),
+         |         min(CAST(order_date AS VARCHAR)), max(CAST(order_date AS VARCHAR)) FROM o
+         |  UNION ALL
+         |  SELECT 'o_orderpriority', count(*),
+         |         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |         CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+         |         min(o_orderpriority), max(o_orderpriority) FROM o
+         |)
+         |ORDER BY col_name""".stripMargin,
     "q274_grouped_mode" ->
       """WITH counts AS (
         |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,

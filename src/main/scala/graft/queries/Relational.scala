@@ -383,6 +383,41 @@ object Relational {
       .orderBy($"o_custkey", $"version")
   }
 
+  /** Relationship cardinality profiler — measure, don't assume, the
+    * multiplicity class of each foreign-key edge (1:1 / 1:N / N:1 / N:M):
+    * for each relationship the max per-key multiplicity on BOTH sides
+    * plus orphan counts, classified into the label a modeling tool would
+    * print. Broadcast-join planners, dedup assumptions, and join-fanout
+    * estimates all silently rest on these classes; profiling them is one
+    * keyed count per side. */
+  def relationshipProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def profile(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val lc = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("ln"))
+      val rc = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("rn"))
+      lc.join(rc, Seq("k"), "full_outer")
+        .agg(
+          max(coalesce($"ln", lit(0L))).as("max_left"),
+          max(coalesce($"rn", lit(0L))).as("max_right"),
+          sum(when($"rn".isNull, 1L).otherwise(0L)).as("left_orphans"),
+          sum(when($"ln".isNull, 1L).otherwise(0L)).as("right_only"))
+        .select(lit(name).as("relationship"), $"max_left", $"max_right",
+          $"left_orphans", $"right_only",
+          concat(when($"max_left" > 1, lit("N")).otherwise(lit("1")),
+            lit(":"),
+            when($"max_right" > 1, lit("N")).otherwise(lit("1")))
+            .as("cardinality"))
+    }
+    profile("orders->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey")
+      .unionByName(profile("lineitem->orders", Tables.lineitem(s, dir),
+        "l_orderkey", Tables.orders(s, dir), "o_orderkey"))
+      .unionByName(profile("lineitem->part", Tables.lineitem(s, dir),
+        "l_partkey", Tables.part(s, dir), "p_partkey"))
+      .orderBy($"relationship")
+  }
+
   /** Cross-system entity reconciliation — "which systems know this
     * entity": the master customer registry, the order system's observed
     * custkeys, and the event stream's user ids, three-way full-outer
