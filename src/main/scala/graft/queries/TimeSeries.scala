@@ -415,6 +415,69 @@ object TimeSeries {
       .orderBy($"prio")
   }
 
+  /** Order-status transition matrix — the Markov census of consecutive
+    * order statuses per customer (lag over the (orderdate, orderkey)
+    * total order): the input every churn/state model starts from, and
+    * the quick answer to "do customers move O→F or bounce to P". One
+    * custkey window over orders, 9-cell census. */
+  def statusTransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey", $"o_orderstatus")
+      .withColumn("prev_status", lag($"o_orderstatus", 1).over(w))
+      .filter($"prev_status".isNotNull)
+      .groupBy($"prev_status".as("from_status"),
+        $"o_orderstatus".as("to_status"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy($"from_status", $"to_status")
+  }
+
+  /** Customer growth curve — monthly NEW customers (first-ever order
+    * lands that month) next to the cumulative acquired base: the
+    * top-left chart of every business review. First-order month is one
+    * custkey collapse; the cumulative is a window over the ≤|months|
+    * monthly table (the q173 single-partition-window-over-tiny-table
+    * precedent). All exact integers. */
+  def customerGrowthCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(min($"o_orderdate").as("first_order"))
+      .groupBy((year($"first_order") * 100 + month($"first_order"))
+        .as("mon"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy($"mon".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("cum_customers", sum($"n_new").over(w))
+      .orderBy($"mon")
+  }
+
+  /** Monthly VWAP (volume-weighted average price) — q261's OHLC sibling:
+    * per (month, returnflag), Σ(price_cents·qty) / Σqty with BOTH sums
+    * exact integers (the price·qty products promoted to decimal(38,0) —
+    * the q203 envelope argument: cents×qty×rows can pass 2⁶³ at large
+    * SF) and ONE IEEE divide at the end. One map-side collapse. */
+  def monthlyVwap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select(
+        (year($"l_shipdate") * 100 + month($"l_shipdate")).as("mon"),
+        $"l_returnflag",
+        cents($"l_extendedprice").as("pc"),
+        $"l_quantity".cast("long").as("qty"))
+      .groupBy($"mon", $"l_returnflag")
+      .agg(
+        sum(($"pc" * $"qty").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("pv"),
+        sum($"qty").as("v"))
+      .select($"mon", $"l_returnflag", $"v".as("total_qty"),
+        ratio($"pv", $"v").as("vwap_cents"))
+      .orderBy($"mon", $"l_returnflag")
+  }
+
   /** Retention cohort grid — the product-analytics staple: users bucketed
     * by first-seen week (their cohort), activity counted per (cohort,
     * week-offset) cell as DISTINCT active users, retention as the exact
@@ -728,6 +791,9 @@ object TimeSeries {
     "q265_exact_proration" -> exactProration,
     "q268_clamped_running_inventory" -> clampedRunningInventory,
     "q273_hysteresis_alerting" -> hysteresisAlerting,
+    "q277_status_transition_matrix" -> statusTransitionMatrix,
+    "q278_customer_growth_curve" -> customerGrowthCurve,
+    "q279_monthly_vwap" -> monthlyVwap,
     "q262_funnel_cohorted" -> funnelCohorted,
     "q172_first_touch_attribution" -> firstTouchAttribution,
     "q164_retention_cohorts" -> retentionCohorts,
@@ -859,6 +925,42 @@ object TimeSeries {
          |FROM monthly
          |WINDOW w AS (ORDER BY mon ASC)
          |ORDER BY mon""".stripMargin,
+    "q277_status_transition_matrix" ->
+      """SELECT prev_status AS from_status, o_orderstatus AS to_status,
+        |       count(*) AS n_transitions
+        |FROM (
+        |  SELECT o_custkey, o_orderstatus,
+        |         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_status
+        |  FROM orders
+        |)
+        |WHERE prev_status IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q278_customer_growth_curve" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(first_order) * 100 + month(first_order) AS INT) AS mon,
+        |         count(*) AS n_new
+        |  FROM (SELECT o_custkey, min(o_orderdate) AS first_order
+        |        FROM orders GROUP BY 1)
+        |  GROUP BY 1
+        |)
+        |SELECT mon, n_new,
+        |       CAST(sum(n_new) OVER (ORDER BY mon ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_customers
+        |FROM monthly
+        |ORDER BY mon""".stripMargin,
+    "q279_monthly_vwap" ->
+      s"""SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS mon,
+         |       l_returnflag,
+         |       ${sumIntValuedSql("l_quantity")} AS total_qty,
+         |       ${ratioSql(
+                   "sum(" + centsSql("l_extendedprice") + " * CAST(l_quantity AS BIGINT))",
+                   "sum(CAST(l_quantity AS BIGINT))")} AS vwap_cents
+         |FROM lineitem
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
     "q273_hysteresis_alerting" ->
       s"""WITH daily AS (
          |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
