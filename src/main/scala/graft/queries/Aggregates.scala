@@ -1604,7 +1604,77 @@ object Aggregates {
       .orderBy($"col_name")
   }
 
+  /** Discount elasticity table — mean quantity per discount band, the
+    * first-order "does discounting move volume" read: the band is an
+    * EXACT integer percent (floor(d·100 + 0.5), the cents trick applied
+    * to rates — float bands would bucket-flip at representation edges),
+    * quantities sum exactly, the mean is one divide. One map-side
+    * collapse to ≤11 bands. */
+  def discountElasticity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select(
+        floor($"l_discount" * 100.0 + 0.5).cast("int").as("discount_pct"),
+        $"l_quantity".cast("long").as("qty"),
+        cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rc"))
+      .groupBy($"discount_pct")
+      .agg(count(lit(1)).as("n_lines"), sum($"qty").as("sum_qty"),
+        sum($"rc").as("rev_cents"))
+      .select($"discount_pct", $"n_lines", $"sum_qty", $"rev_cents",
+        ratio($"sum_qty", $"n_lines").as("avg_qty"))
+      .orderBy($"discount_pct")
+  }
+
+  /** Shipping-delay SLA table — the p50/p90 delay per order priority as
+    * EXACT ORDER STATISTICS (q212's rank-position argument: engine
+    * quantile interpolations differ, rank positions cannot). Delay =
+    * whole days ship − order (can be negative on this fixture — ship
+    * dates are synthetic; the statistic is still well-defined). One
+    * fact⋈fact join on orderkey, one per-priority sort window, ≤5-row
+    * output. */
+  def shippingDelaySla(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority".as("prio"),
+        datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+          .cast("long").as("delay_days"))
+    val w = Window.partitionBy($"prio")
+      .orderBy($"delay_days".asc)
+    val n = Window.partitionBy($"prio")
+    d.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(n))
+      .groupBy($"prio")
+      .agg(
+        max($"cnt").as("n_lines"),
+        min(when($"rn" * 2 >= $"cnt", $"delay_days")).as("p50_days"),
+        min(when($"rn" * 10 >= $"cnt" * 9, $"delay_days")).as("p90_days"),
+        max($"delay_days").as("max_days"))
+      .orderBy($"prio")
+  }
+
+  /** Return-rate trend — the monthly share of returned lines with its
+    * month-over-month delta: the quality-regression monitor every ops
+    * team keeps. Share is one divide over exact counts; the delta is a
+    * lag over the ≤|months| monthly table (q173's precedent), surfaced
+    * as NULL for the first month (no fabricated zero). */
+  def returnRateTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.lineitem(s, dir)
+      .groupBy((year($"l_shipdate") * 100 + month($"l_shipdate")).as("mon"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("n_returned"))
+      .withColumn("return_rate", ratio($"n_returned", $"n_lines"))
+    val w = Window.orderBy($"mon".asc)
+    monthly
+      .withColumn("rate_delta", $"return_rate" - lag($"return_rate", 1).over(w))
+      .orderBy($"mon")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_discount_elasticity" -> discountElasticity,
+    "q281_shipping_delay_sla" -> shippingDelaySla,
+    "q282_return_rate_trend" -> returnRateTrend,
     "q275_relationship_profile" -> Relational.relationshipProfile,
     "q276_column_profile" -> columnProfile,
     "q274_grouped_mode" -> groupedMode,
@@ -1694,6 +1764,52 @@ object Aggregates {
          |FROM lineitem
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+    "q280_discount_elasticity" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(l_discount * 100.0 + 0.5) AS INT) AS discount_pct,
+         |         count(*) AS n_lines,
+         |         ${sumIntValuedSql("l_quantity")} AS sum_qty,
+         |         ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS rev_cents
+         |  FROM lineitem
+         |  GROUP BY 1
+         |)
+         |SELECT discount_pct, n_lines, sum_qty, rev_cents,
+         |       ${ratioSql("sum_qty", "n_lines")} AS avg_qty
+         |FROM b
+         |ORDER BY discount_pct""".stripMargin,
+    "q281_shipping_delay_sla" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |                        CAST(l_shipdate AS DATE)) AS BIGINT) AS delay_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), r AS (
+        |  SELECT prio, delay_days,
+        |         row_number() OVER (PARTITION BY prio ORDER BY delay_days ASC) AS rn,
+        |         count(*) OVER (PARTITION BY prio) AS cnt
+        |  FROM d
+        |)
+        |SELECT prio, CAST(max(cnt) AS BIGINT) AS n_lines,
+        |       CAST(min(CASE WHEN rn * 2 >= cnt THEN delay_days END) AS BIGINT) AS p50_days,
+        |       CAST(min(CASE WHEN rn * 10 >= cnt * 9 THEN delay_days END) AS BIGINT) AS p90_days,
+        |       CAST(max(delay_days) AS BIGINT) AS max_days
+        |FROM r GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q282_return_rate_trend" ->
+      s"""WITH m AS (
+         |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS mon,
+         |         count(*) AS n_lines,
+         |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+         |  FROM lineitem GROUP BY 1
+         |), r AS (
+         |  SELECT mon, n_lines, n_returned,
+         |         ${ratioSql("n_returned", "n_lines")} AS return_rate
+         |  FROM m
+         |)
+         |SELECT mon, n_lines, n_returned, return_rate,
+         |       return_rate - lag(return_rate) OVER (ORDER BY mon ASC) AS rate_delta
+         |FROM r
+         |ORDER BY mon""".stripMargin,
     "q275_relationship_profile" ->
       """SELECT * FROM (
         |  SELECT 'lineitem->orders' AS relationship,
