@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.TwoPass
 import Portable._
 
 /** Aggregation surface (SURVEY.md §2.B): multi-measure hash agg, exact and
@@ -837,22 +838,46 @@ object Aggregates {
     * quadratic NOT EXISTS dominance anti-join; the declared form is the
     * LINEAR windowed formulation over the pre-aggregated points: sort by
     * spend, a point survives iff its count beats every strictly-richer
-    * point's running max (RANGE frame excludes spend ties) and it holds
-    * its spend-tie group's max. Two windows over |customers| rows — the
-    * fact table never enters them; the post-agg single-partition window
-    * is the q82 precedent (points, not data). Integer cents order makes
-    * the strict-dominance RANGE offset exact. */
+    * point's running max (frame excludes spend ties) and it holds its
+    * spend-tie group's max. A single global RANGE window would plan
+    * `Exchange SinglePartition` (one task scans every customer; round-9
+    * plan audit), so the running max is the TwoPass shape applied to
+    * MAX: range-repartition on (spend desc), pin the sampled cuts, take
+    * each partition's strictly-richer local max (a pid-keyed RANGE
+    * window — equal spend always co-locates, because RangePartitioner
+    * places by key value, so "preceding partitions" are strictly
+    * richer), and fold in the broadcast prefix-max of preceding
+    * partitions. The tie-group max is a (pid, spend) window — co-located
+    * for the same reason. Integer cents order keeps the strict-dominance
+    * RANGE offset exact. */
   def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pts = Tables.orders(s, dir)
       .groupBy($"o_custkey")
       .agg(count(lit(1)).as("n_orders"), sum(cents($"o_totalprice")).as("spend_cents"))
-    val wGt = Window.orderBy($"spend_cents".desc)
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = pts
+      .repartitionByRange(nParts, $"spend_cents".desc)
+      .sortWithinPartitions($"spend_cents".desc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    // prefix max over preceding (strictly richer) partitions: a window
+    // over the ≤ numParts-row per-pid max table, then broadcast back.
+    val offDf = parts.groupBy($"pid").agg(max($"n_orders").as("pmax"))
+      .withColumn("pre_max", max($"pmax").over(
+        Window.orderBy($"pid".asc).rowsBetween(Window.unboundedPreceding, -1)))
+      .select($"pid", $"pre_max")
+    val wGt = Window.partitionBy($"pid").orderBy($"spend_cents".desc)
       .rangeBetween(Window.unboundedPreceding, -1)
-    val wEq = Window.partitionBy($"spend_cents")
-    pts
-      .withColumn("best_richer", max($"n_orders").over(wGt))
+    val wEq = Window.partitionBy($"pid", $"spend_cents")
+    parts
+      .withColumn("local_richer", max($"n_orders").over(wGt))
       .withColumn("best_tie", max($"n_orders").over(wEq))
+      .join(broadcast(offDf), "pid")
+      // greatest() skips NULLs: NULL only when BOTH sides are empty
+      // (first tie-group of the first non-empty partition) — exactly the
+      // single-window best_richer NULL contract.
+      .withColumn("best_richer", greatest($"local_richer", $"pre_max"))
       .filter(($"best_richer".isNull || $"n_orders" > $"best_richer") &&
         $"n_orders" === $"best_tie")
       .select($"o_custkey", $"n_orders", $"spend_cents")
@@ -1102,19 +1127,20 @@ object Aggregates {
     * interpolated quantiles: the value at row ⌈q·n⌉ of the class's sort —
     * exactly replicable in any engine (interpolated `percentile`
     * definitions differ between Spark and DuckDB; rank positions do not).
-    * Mechanics: one per-class window sort produces row_number + count,
-    * the two edge rows collapse to a ≤|classes|-row broadcast, and the
-    * clip + integer re-aggregation reuses the same shuffle key. Scale:
-    * the only data-sized operations are the per-class sort (parallel
-    * across classes) and one map-side-combined agg. */
+    * Mechanics: a TwoPass GROUPED rank produces row_number + count per
+    * class — a plain `partitionBy(prio)` window would collapse the whole
+    * orders table onto |priorities| = 5 sort tasks at any cluster size,
+    * so the sort is instead range-partitioned on (prio, pc) with
+    * broadcast per-partition offsets (parallelism O(cluster), not
+    * O(|classes|)); the two edge rows collapse to a ≤|classes|-row
+    * broadcast, and the clip + integer re-aggregation is one
+    * map-side-combined agg. */
   def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir)
       .select($"o_orderpriority".as("prio"), cents($"o_totalprice").as("pc"))
-    val w = Window.partitionBy($"prio").orderBy($"pc".asc)
-    val ranked = o
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"prio")))
+    val ranked = TwoPass.groupedRankWithCount(o, Seq("prio"), "rn", "n",
+      $"pc".asc)
     // order statistics at ceil(0.01*n) and ceil(0.99*n): integer-exact
     val edges = ranked
       .filter($"rn" === ceil($"n" * lit(0.01)).cast("long") ||
@@ -1140,20 +1166,21 @@ object Aggregates {
     * of total revenue. Ties in spend are broken by custkey so the decile
     * assignment (and therefore every downstream number) is a pure function
     * of the data in both engines. Scale: per-customer spend is one
-    * key-partitioned agg of the fact table; everything after operates on
-    * |customers| rows, and the final cumulative window is over exactly 10
-    * rows. The single global NTILE sort is the one unavoidable total-order
-    * operation — on a cluster it range-partitions rather than
-    * single-tasks. */
+    * key-partitioned agg of the fact table; a GLOBAL-window ntile would
+    * plan `Exchange SinglePartition` (one task sorts every customer —
+    * a Spark window with no partitionBy does NOT range-partition, unlike
+    * a global sort), so the decile comes from TwoPass.rankWithCount
+    * (range-partitioned two-pass rank, q181's pattern) +
+    * ntileFromRank — value-identical to NTILE(10), parallel at any
+    * |customers|. The final cumulative window is over exactly 10 rows. */
   def decileLift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val spend = Tables.orders(s, dir)
       .groupBy($"o_custkey")
       .agg(sum(cents($"o_totalprice")).as("spend"))
-    val deciled = spend
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy($"spend".desc, $"o_custkey".asc))
-          .cast("long"))
+    val deciled = TwoPass
+      .rankWithCount(spend, "rn", "n", $"spend".desc, $"o_custkey".asc)
+      .withColumn("decile", TwoPass.ntileFromRank($"rn", $"n", 10))
     val tot = spend.agg(sum($"spend").as("total_spend"))
     val byDecile = deciled.groupBy($"decile")
       .agg(count(lit(1)).as("n_cust"), sum($"spend").as("decile_spend"))
@@ -1205,12 +1232,15 @@ object Aggregates {
   /** RFM segmentation — the canonical customer-marketing rollup: quintile
     * scores for Recency (days since last order, vs a fixed anchor),
     * Frequency (order count) and Monetary (exact lifetime cents), crossed
-    * into the ≤ 125-cell segment census. All three scores are global
-    * NTILE(5)s with the q213 tie contract (custkey tiebreak makes the
-    * ntile assignment a total order, hence engine-invariant). Scale: one
-    * orders shuffle to the per-customer triple; each ntile is one
-    * total-order sort that RANGE-PARTITIONS on a cluster (the q213
-    * argument); the census is a ≤ 125-group collapse. */
+    * into the ≤ 125-cell segment census. All three scores carry the q213
+    * tie contract (custkey tiebreak makes the ntile assignment a total
+    * order, hence engine-invariant) and all three are TwoPass
+    * range-partitioned ranks + exact ntileFromRank — a global-window
+    * NTILE here would be three `Exchange SinglePartition` sorts of the
+    * whole customer table (Spark windows do not range-partition; round-9
+    * plan audit). Scale: one orders shuffle to the per-customer triple;
+    * three parallel two-pass ranks; the census is a ≤ 125-group
+    * collapse. */
   def rfmSegmentation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rfm = Tables.orders(s, dir)
@@ -1220,13 +1250,14 @@ object Aggregates {
           max($"o_orderdate").cast("date")).as("rec_days"),
         count(lit(1)).as("freq"),
         sum(cents($"o_totalprice")).as("mon_cents"))
-    val scored = rfm
-      .withColumn("r_q", ntile(5).over(
-        Window.orderBy($"rec_days".asc, $"o_custkey".asc)).cast("long"))
-      .withColumn("f_q", ntile(5).over(
-        Window.orderBy($"freq".desc, $"o_custkey".asc)).cast("long"))
-      .withColumn("m_q", ntile(5).over(
-        Window.orderBy($"mon_cents".desc, $"o_custkey".asc)).cast("long"))
+    def quint(df: DataFrame, out: String, order: Column*): DataFrame =
+      TwoPass.rankWithCount(df, "__rn", "__n", order: _*)
+        .withColumn(out, TwoPass.ntileFromRank($"__rn", $"__n", 5))
+        .drop("__rn", "__n")
+    val scored = quint(quint(quint(rfm,
+        "r_q", $"rec_days".asc, $"o_custkey".asc),
+        "f_q", $"freq".desc, $"o_custkey".asc),
+        "m_q", $"mon_cents".desc, $"o_custkey".asc)
     scored.groupBy($"r_q", $"f_q", $"m_q")
       .agg(count(lit(1)).as("n_cust"), sum($"mon_cents").as("seg_cents"))
       .orderBy($"r_q", $"f_q", $"m_q")
@@ -1279,19 +1310,24 @@ object Aggregates {
     * period vs a late period, full-outer-joined so churned (late = 0) and
     * newly-acquired (early = 0) customers land in explicit matrix margins
     * instead of disappearing: the classic cohort-migration report. Both
-    * quintiles are custkey-tiebroken NTILE(5)s (the q213/q224 total-order
-    * contract). Scale: two period-filtered orders collapses by custkey,
-    * one full-outer custkey join, ≤ 36-cell census. */
+    * quintiles are custkey-tiebroken (the q213/q224 total-order
+    * contract), computed as TwoPass range-partitioned ranks +
+    * ntileFromRank — not global windows, which would single-task the
+    * sort (round-9 plan audit). Scale: two period-filtered orders
+    * collapses by custkey, two parallel two-pass ranks, one full-outer
+    * custkey join, ≤ 36-cell census. */
   def segmentMigration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def quintiles(lo: String, hi: String) = Tables.orders(s, dir)
-      .filter($"o_orderdate" >= lit(lo).cast("timestamp") &&
-        $"o_orderdate" < lit(hi).cast("timestamp"))
-      .groupBy($"o_custkey")
-      .agg(sum(cents($"o_totalprice")).as("spend"))
-      .withColumn("q", ntile(5).over(
-        Window.orderBy($"spend".desc, $"o_custkey".asc)).cast("long"))
-      .select($"o_custkey", $"q")
+    def quintiles(lo: String, hi: String) = {
+      val spend = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit(lo).cast("timestamp") &&
+          $"o_orderdate" < lit(hi).cast("timestamp"))
+        .groupBy($"o_custkey")
+        .agg(sum(cents($"o_totalprice")).as("spend"))
+      TwoPass.rankWithCount(spend, "rn", "n", $"spend".desc, $"o_custkey".asc)
+        .withColumn("q", TwoPass.ntileFromRank($"rn", $"n", 5))
+        .select($"o_custkey", $"q")
+    }
     val early = quintiles("1995-01-01", "1998-01-01")
       .select($"o_custkey".as("ck_e"), $"q".as("q_early"))
     val late = quintiles("1999-01-01", "2002-01-01")
@@ -1339,25 +1375,30 @@ object Aggregates {
     * revenue. q213's decile table answers "what does each tenth of
     * customers buy"; this answers "how few customers carry the business"
     * — the number the board meeting actually quotes. All screening is
-    * exact integer arithmetic (100·cum ≥ L·total — no percentage
-    * floats); the ranked cumulative sum is ONE total-order window
-    * (range-partitionable at scale, the q213 argument), and the census
-    * collapses to 3 rows in one conditional-min pass. */
+    * exact integer arithmetic (100·cum ≥ L·total in decimal(38,0) — the
+    * oracle's HUGEINT twin, so the cross-multiplication cannot wrap even
+    * past 2⁶³ total cents); the ranked cumulative sum is a TwoPass
+    * range-partitioned rank+running-sum (a global cumulative window
+    * would plan `Exchange SinglePartition` — one task sums every
+    * customer; round-9 plan audit), and the census collapses to 3 rows
+    * in one conditional-min pass. */
   def revenueConcentration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy($"cents".desc, $"o_custkey".asc)
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = Tables.orders(s, dir)
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val pc = Tables.orders(s, dir)
       .groupBy($"o_custkey")
       .agg(sum(cents($"o_totalprice")).as("cents"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("cum", sum($"cents").over(run))
+    val ranked = TwoPass.rankAndRunningSum(pc, "rn", "n", "cum", $"cents",
+      $"cents".desc, $"o_custkey".asc)
     val tot = ranked.agg(max($"rn").as("n_cust"), max($"cum").as("total"))
+    val cumD = $"cum".cast(d38) * 100
+    val totD = $"total".cast(d38)
     ranked.crossJoin(broadcast(tot))
       .agg(
-        min(when($"cum" * 100 >= lit(10L) * $"total", $"rn")).as("c10"),
-        min(when($"cum" * 100 >= lit(50L) * $"total", $"rn")).as("c50"),
-        min(when($"cum" * 100 >= lit(90L) * $"total", $"rn")).as("c90"),
+        min(when(cumD >= lit(10L).cast(d38) * totD, $"rn")).as("c10"),
+        min(when(cumD >= lit(50L).cast(d38) * totD, $"rn")).as("c50"),
+        min(when(cumD >= lit(90L).cast(d38) * totD, $"rn")).as("c90"),
         max($"n_cust").as("n_cust"))
       .selectExpr("stack(3, 10, c10, 50, c50, 90, c90)" +
         " AS (pct_revenue, n_customers)", "n_cust")
@@ -1630,8 +1671,11 @@ object Aggregates {
     * quantile interpolations differ, rank positions cannot). Delay =
     * whole days ship − order (can be negative on this fixture — ship
     * dates are synthetic; the statistic is still well-defined). One
-    * fact⋈fact join on orderkey, one per-priority sort window, ≤5-row
-    * output. */
+    * fact⋈fact join on orderkey, then a TwoPass GROUPED rank — a plain
+    * `partitionBy(prio)` window would sort the whole fact join output on
+    * 5 tasks at any cluster size, so the rank is range-partitioned on
+    * (prio, delay) with broadcast per-partition offsets instead —
+    * ≤5-row output. */
   def shippingDelaySla(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables.lineitem(s, dir)
@@ -1639,11 +1683,8 @@ object Aggregates {
       .select($"o_orderpriority".as("prio"),
         datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
           .cast("long").as("delay_days"))
-    val w = Window.partitionBy($"prio")
-      .orderBy($"delay_days".asc)
-    val n = Window.partitionBy($"prio")
-    d.withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(n))
+    TwoPass.groupedRankWithCount(d, Seq("prio"), "rn", "cnt",
+        $"delay_days".asc)
       .groupBy($"prio")
       .agg(
         max($"cnt").as("n_lines"),
