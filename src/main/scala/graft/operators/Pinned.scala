@@ -30,6 +30,14 @@ object Pinned {
     * partitioning preserved in the pinned plan (see class doc). Lazy so
     * plan-only consumers (explain audits, plan-assertion specs) never pay
     * a materialization; the first action pins one copy for all readers.
+    *
+    * Concurrency: the AQE toggle is SESSION-GLOBAL for the duration of
+    * this (purely plan-side, sub-millisecond) call — a query compiled
+    * CONCURRENTLY on the same SparkSession during that window would
+    * silently compile without AQE. Verify/Bench compile queries
+    * sequentially, so this is safe today; a parallel harness must either
+    * serialize calls to this helper or hand it a cloned session
+    * (`spark.newSession()` shares the RDD state but scopes the conf).
     */
   def partitionedCheckpoint(df: DataFrame, keys: Column*): DataFrame = {
     val spark = df.sparkSession

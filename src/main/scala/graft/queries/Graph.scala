@@ -73,8 +73,15 @@ object Graph {
       // and the oracle's own arithmetic (DuckDB sum(BIGINT) is HUGEINT):
       // in long they wrap past 2⁶³ at N ≈ 10⁵ nodes (85·N·S), silently
       // diverging from the oracle; 38 digits cover any realizable graph.
-      // The damped rank itself stays BIGINT on both sides (each rank is
-      // ≤ 0.15·S + 0.85·max in-sum/deg — node-local, not Σ-scale).
+      // The damped rank itself stays BIGINT on both sides — valid under
+      // a DEGREE-BOUNDED assumption: each rank is ≤ 0.15·S + 0.85·(max
+      // in-sum/deg), and an in-sum is Θ(in-degree·S) after one step. On
+      // hub topologies (a star center with 10⁷+ spokes) the rank itself
+      // approaches 0.85·N·S and the BIGINT IntegralDivide result would
+      // overflow — such graphs need the rank kept in DECIMAL(38,0)
+      // end-to-end (the oracle's HUGEINT), trading the exact-integer
+      // compare contract for headroom. The fixture's co-order graph (and
+      // any bounded-fan-in graph) stays far inside BIGINT.
       val contrib = edges.join(perSrc, edges("src") === perSrc("node"))
         .groupBy($"dst")
         .agg(sum($"c".cast(DecimalType(38, 0))).as("in_sum"))

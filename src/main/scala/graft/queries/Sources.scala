@@ -690,9 +690,18 @@ object Sources {
   def csvPermissiveCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = stage(dir, "customer_dirty_csv")
+    // The hand-rolled concat_ws staging does NO quoting: correctness
+    // rests on c_name never containing the delimiter. Make that
+    // assumption LOUD — a fixture change that smuggles a comma in must
+    // fail the staging job, not silently shift fields and corrupt the
+    // census downstream.
+    val safeName = when($"c_name".contains(","),
+      raise_error(concat(lit("csvPermissiveCensus: unquoted staging " +
+        "cannot carry a comma in c_name: "), $"c_name")))
+      .otherwise($"c_name")
     Tables.customer(s, dir)
       .select(concat_ws(",",
-        $"c_custkey", $"c_name", $"c_nationkey",
+        $"c_custkey", safeName, $"c_nationkey",
         when($"c_custkey" % 41 === 0, lit("notanumber"))
           .otherwise(cents($"c_acctbal").cast("string"))).as("value"))
       .write.mode("overwrite").text(out)

@@ -448,9 +448,60 @@ class PlanAssertionsSpec extends SparkSpec {
     // size-based choice working as intended, and it flips to SMJ on its
     // own when the sliver's runtime stats outgrow the threshold; the
     // guard pins the aggregate-below-join shape, not the exchange kind.
+    // "Below" in the printed tree = deeper = LATER: the aggregate marker
+    // must appear after the join's first c_custkey reference, or the agg
+    // has floated above the join and the raw fact is what gets joined.
     val aggIdx = p.indexOf("HashAggregate(keys=[o_custkey")
     val joinIdx = p.indexOf("c_custkey")
     assert(aggIdx >= 0 && joinIdx >= 0, s"shape markers missing:\n$p")
+    assert(aggIdx > joinIdx,
+      s"o_custkey aggregate is not below the customer join:\n$p")
+  }
+
+  test("two-pass rank family: no single-partition window over unbounded input") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // A window is scale-safe iff it is keyed on the two-pass partition id
+    // (parallel per-range-partition work) or runs over a table bounded by
+    // CONSTRUCTION: an aggregate grouped on the partition id (the
+    // ≤ numParts-row offset/prefix tables) or on a derived ≤ k-valued
+    // bucket (decile). A window keyed on nothing — or on a natural
+    // low-cardinality column like o_orderpriority — over un-collapsed
+    // input is the Exchange SinglePartition shape the round-9 audit
+    // caught: one task sorts the whole table at any cluster size.
+    val pidLike = Set("__tp_pid", "pid")
+    val boundedKeys = pidLike + "decile"
+    def boundedBelow(p: SparkPlan): Boolean = p match {
+      // empty grouping = a 1-row (global) aggregate — bounded; otherwise
+      // bounded iff grouped on the partition id / derived bucket
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.isEmpty || a.groupingExpressions.exists(g =>
+          boundedKeys.exists(b => g.name == b))
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(boundedBelow)
+    }
+    val family = Seq("q213_decile_lift", "q224_rfm_segmentation",
+      "q229_segment_migration", "q251_revenue_concentration",
+      "q169_pareto_frontier", "q212_winsorized_stats",
+      "q281_shipping_delay_sla")
+    family.foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$q: expected window nodes (vacuous guard)")
+      val offenders = windows.filterNot { w =>
+        w.partitionSpec.exists(e => e.references.exists(a =>
+          pidLike.contains(a.name))) || boundedBelow(w.child)
+      }
+      assert(offenders.isEmpty,
+        s"$q: window(s) not pid-keyed and not over a bounded-by-" +
+          s"construction table:\n${offenders.mkString("\n")}")
+      // and at least one window must be doing the parallel per-partition
+      // work, or the two-pass structure has been silently dropped
+      assert(windows.exists(_.partitionSpec.exists(e =>
+        e.references.exists(a => pidLike.contains(a.name)))),
+        s"$q: no pid-keyed window — two-pass structure missing")
+    }
   }
 
   test("q233 EXISTS plans as one LeftSemi keyed on orderkey (no pair materialization)") {
