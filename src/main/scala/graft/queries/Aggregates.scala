@@ -1670,26 +1670,42 @@ object Aggregates {
     * EXACT ORDER STATISTICS (q212's rank-position argument: engine
     * quantile interpolations differ, rank positions cannot). Delay =
     * whole days ship − order (can be negative on this fixture — ship
-    * dates are synthetic; the statistic is still well-defined). One
-    * fact⋈fact join on orderkey, then a TwoPass GROUPED rank — a plain
-    * `partitionBy(prio)` window would sort the whole fact join output on
-    * 5 tasks at any cluster size, so the rank is range-partitioned on
-    * (prio, delay) with broadcast per-partition offsets instead —
-    * ≤5-row output. */
+    * dates are synthetic; the statistic is still well-defined). The
+    * fact join output is never sorted AT ALL: delay is an integer with a
+    * DOMAIN-bounded value space (whole days between two in-range dates —
+    * a few thousand values however many rows exist), so the order
+    * statistic comes from a VALUE CENSUS — one map-side-combined
+    * (prio, delay) count collapse, then cumulative counts over that
+    * ≤|classes|·|days| table (tiny by construction; its per-prio window
+    * is the bounded-table exception class). Rank positions are exactly
+    * recoverable from cumulative counts: tie groups occupy contiguous
+    * rank runs, so "min delay at rank rn with k·rn ≥ m·n" ≡ "min delay
+    * whose cumulative count c has k·c ≥ m·n" — the formulation a plain
+    * per-row rank (one sort task per priority at any scale; the round-9
+    * audit class) or even a two-pass rank (a full fact-sized range
+    * shuffle + pin) would pay dearly for. q212 keeps the generic
+    * two-pass rank for UNBOUNDED value domains; this is the
+    * domain-bounded fast path. */
   def shippingDelaySla(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = Tables.lineitem(s, dir)
+    val census = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
       .select($"o_orderpriority".as("prio"),
         datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
           .cast("long").as("delay_days"))
-    TwoPass.groupedRankWithCount(d, Seq("prio"), "rn", "cnt",
-        $"delay_days".asc)
+      .groupBy($"prio", $"delay_days")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"prio").orderBy($"delay_days".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"prio")
+    census
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("cnt", sum($"c").over(wAll))
       .groupBy($"prio")
       .agg(
         max($"cnt").as("n_lines"),
-        min(when($"rn" * 2 >= $"cnt", $"delay_days")).as("p50_days"),
-        min(when($"rn" * 10 >= $"cnt" * 9, $"delay_days")).as("p90_days"),
+        min(when($"cum" * 2 >= $"cnt", $"delay_days")).as("p50_days"),
+        min(when($"cum" * 10 >= $"cnt" * 9, $"delay_days")).as("p90_days"),
         max($"delay_days").as("max_days"))
       .orderBy($"prio")
   }

@@ -483,8 +483,7 @@ class PlanAssertionsSpec extends SparkSpec {
     }
     val family = Seq("q213_decile_lift", "q224_rfm_segmentation",
       "q229_segment_migration", "q251_revenue_concentration",
-      "q169_pareto_frontier", "q212_winsorized_stats",
-      "q281_shipping_delay_sla")
+      "q169_pareto_frontier", "q212_winsorized_stats")
     family.foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
       val windows = plan.collect { case w: WindowExec => w }
@@ -501,6 +500,23 @@ class PlanAssertionsSpec extends SparkSpec {
       assert(windows.exists(_.partitionSpec.exists(e =>
         e.references.exists(a => pidLike.contains(a.name)))),
         s"$q: no pid-keyed window — two-pass structure missing")
+    }
+    // q281 takes the domain-bounded fast path instead: NO rank over the
+    // fact join at all — every window must sit over the (prio, delay)
+    // value census (a ≤|classes|·|days| table), never over raw rows.
+    val p281 = SparkEntry.queries("q281_shipping_delay_sla")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val w281 = p281.collect { case w: WindowExec => w }
+    assert(w281.nonEmpty, "q281: census windows missing")
+    def censusBelow(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.map(_.name).toSet == Set("prio", "delay_days")
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(censusBelow)
+    }
+    w281.foreach { w =>
+      assert(censusBelow(w.child),
+        s"q281: window not over the (prio, delay) census:\n$w")
     }
   }
 
