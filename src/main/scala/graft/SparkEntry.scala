@@ -10,7 +10,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ Windows.queries ++
       Scalars.queries ++ Sources.queries ++ LlmOps.queries ++
-      SqlApi.queries ++ TimeSeries.queries ++ Graph.queries
+      SqlApi.queries ++ TimeSeries.queries ++ Graph.queries ++ Media.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = oracleSqlFor(Oracle.sfDir)
@@ -20,5 +20,5 @@ object SparkEntry {
   def oracleSqlFor(dir: String): Map[String, String] =
     Oracle(Relational.oracles ++ Aggregates.oracles ++ Windows.oracles ++
       Scalars.oracles ++ Sources.oracles ++ LlmOps.oracles ++
-      SqlApi.oracles ++ TimeSeries.oracles ++ Graph.oracles, dir)
+      SqlApi.oracles ++ TimeSeries.oracles ++ Graph.oracles ++ Media.oracles, dir)
 }

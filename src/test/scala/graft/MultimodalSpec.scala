@@ -253,4 +253,27 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.AviMjpegCodec.tryDecodeFrames(cut)
     assert(frames.isEmpty || frames.get.length < 6)
   }
+
+  test("q283 image census: real PNG round-trip, closed-form stats, all brands ok") {
+    import org.apache.spark.sql.Row
+    val rows = graft.queries.Media.imageFeatureCensus(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every brand must certify the lossless round-trip (decoded raster ==
+    // closed form) — a single corrupted payload flips its brand to false
+    assert(rows.forall(_.getAs[Boolean]("roundtrip_ok")))
+    // closed-form re-derivation for one brand: sum over its parts of
+    // sum_i (pk*37 + 11i) mod 256, 256 pixels each
+    val parts = graft.Tables.part(spark, sfDir)
+      .select("p_brand", "p_partkey").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    val Row(brand: String, n: Long, sumLum: Long, bright: Long, _) = rows.head
+    val pks = parts(brand)
+    assert(n === pks.length.toLong)
+    val expSum = pks.map(pk =>
+      (0 until 256).map(i => (pk * 37 + i * 11) % 256).sum).sum
+    assert(sumLum === expSum)
+    val expBright = pks.map(pk =>
+      (0 until 256).count(i => (pk * 37 + i * 11) % 256 >= 192).toLong).sum
+    assert(bright === expBright)
+  }
 }
