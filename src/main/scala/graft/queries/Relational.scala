@@ -1438,7 +1438,72 @@ object Relational {
         ratio($"rev_cents", lit(7L)).as("avg_yearly_cents"))
   }
 
+  /** TPC-H Q11's important-stock screen — the GROUP-HAVING-AGAINST-A-
+    * GLOBAL-SCALAR shape, adapted to the fixture (no partsupp table:
+    * "stock value" = revenue attributable to each part through the
+    * suppliers of ONE nation). A part survives iff its value exceeds
+    * 2× the uniform share of the SAME filtered set — the threshold is
+    * SELF-NORMALIZING (value·n_parts > 2·total — the q202 lesson: a
+    * fixed fraction either admits everything at small SF or nothing at
+    * large), and the screen cross-multiplies in decimal(38,0) so
+    * value·n cannot wrap past 2⁶³ at any corpus (q197/q203 envelope).
+    * Scale: nation's suppliers are a broadcast semi screen on the fact
+    * scan; one partkey-keyed cents collapse; the scalar (total, n) is a
+    * 1-row broadcast back — no correlated re-scan of the fact, which is
+    * the trap the textbook Q11 subquery invites. */
+  def importantPartsValue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val natSupp = broadcast(
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          $"s_nationkey" === $"n_nationkey")
+        .filter($"n_name" === "NATION_7")
+        .select($"s_suppkey"))
+    val value = Tables.lineitem(s, dir)
+      .join(natSupp, $"l_suppkey" === $"s_suppkey", "semi")
+      .groupBy($"l_partkey")
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .as("value_cents"))
+    val tot = value.agg(sum($"value_cents").as("total"),
+      count(lit(1)).as("n_parts"))
+    value.crossJoin(broadcast(tot))
+      .filter($"value_cents".cast(d38) * $"n_parts".cast(d38) >
+        lit(2L).cast(d38) * $"total".cast(d38))
+      .select($"l_partkey", $"value_cents")
+      .orderBy($"value_cents".desc, $"l_partkey".asc)
+  }
+
+  /** TPC-H Q12's two-flag shipping census — per "mode" (no l_shipmode in
+    * the fixture: l_returnflag stands in), the count of HIGH-priority
+    * (1-URGENT/2-HIGH) vs lower-priority orders among lines shipped
+    * within the on-time sandwich (0 < ship − order ≤ 60 days, the
+    * fixture's stand-in for the commit/receipt date ordering — the
+    * cross-table date predicate is the shape's point). One fact⋈fact
+    * orderkey shuffle with the year filter pruning the lineitem scan;
+    * both flags are one conditional-sum pass; ≤|flags| rows out. */
+  def shipPriorityCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hi = Seq("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("2000-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("2001-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" &&
+        $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"o_orderpriority".isin(hi: _*), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when($"o_orderpriority".isin(hi: _*), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_important_parts_value" -> importantPartsValue,
+    "q285_ship_priority_census" -> shipPriorityCensus,
     "q253_join_asof_nearest" -> asofNearestJoin,
     "q254_min_cost_supplier" -> minCostSupplier,
     "q257_cdc_apply" -> cdcApply,
@@ -1501,6 +1566,37 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q284_important_parts_value" ->
+      s"""WITH v AS (
+         |  SELECT l_partkey,
+         |         ${sumLongSql(centsSql("l_extendedprice * (1 - l_discount)"))} AS value_cents
+         |  FROM lineitem
+         |  WHERE l_suppkey IN (SELECT s_suppkey
+         |                      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |                      WHERE n_name = 'NATION_7')
+         |  GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(sum(value_cents) AS BIGINT) AS total,
+         |         count(*) AS n_parts
+         |  FROM v
+         |)
+         |SELECT l_partkey, value_cents
+         |FROM v CROSS JOIN t
+         |WHERE value_cents * n_parts > 2 * total
+         |ORDER BY value_cents DESC, l_partkey ASC""".stripMargin,
+    "q285_ship_priority_census" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q263_entity_reconciliation" ->
       """WITH c AS (SELECT c_custkey AS k FROM customer),
         |o AS (SELECT DISTINCT o_custkey AS k FROM orders),
