@@ -414,4 +414,41 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Rate-limited (admission-controlled) file-stream drain — the
+    * operational backpressure knob for file sources as a TESTED contract:
+    * `maxFilesPerTrigger` / `maxBytesPerTrigger` cap what each
+    * micro-batch admits, so a backlog of 10⁶ small files after an outage
+    * is worked off in bounded-memory batches instead of one giant batch
+    * that OOMs the driver's file index or the executors' shuffle.
+    * `Trigger.AvailableNow` honors the admission caps while still
+    * draining to empty and stopping — the catch-up mode a 100 TB
+    * re-backfill actually runs. Returns the per-micro-batch row counts
+    * in execution order (empty batches excluded), which IS the contract
+    * the spec pins: with `maxFilesPerTrigger=1` and N single-file
+    * writes, exactly N batches of one file each.
+    */
+  def rateLimitedDrain(
+      spark: SparkSession,
+      inDir: String,
+      checkpointDir: String,
+      sourceOptions: Map[String, String]): Seq[Long] = {
+    val st = spark.read.parquet(inDir).schema
+    val counts = new scala.collection.mutable.ArrayBuffer[Long]
+    val reader = sourceOptions.foldLeft(spark.readStream.schema(st)) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    val q = reader.parquet(inDir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val n = df.count()
+        if (n > 0) counts.synchronized { counts += n }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    counts.toSeq
+  }
 }

@@ -493,6 +493,40 @@ class StreamsSpec extends SparkSpec {
     assert(seen.get() === 4)
   }
 
+  test("maxFilesPerTrigger admission: N single-file writes drain as N one-file batches") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("rl_in").toString
+    // 4 separate single-file appends (repartition(1) → one part-file each)
+    sample.take(4).zipWithIndex.foreach { case (e, _) =>
+      Seq(e).toDF().repartition(1).write.mode("append").parquet(in)
+    }
+    val ckpt1 = java.nio.file.Files.createTempDirectory("rl_c1").toString
+    val counts1 = Streams.rateLimitedDrain(spark, in, ckpt1,
+      Map("maxFilesPerTrigger" -> "1"))
+    // the cap bounds every batch to ONE file's rows, and AvailableNow
+    // still drains the whole backlog before stopping
+    assert(counts1.length === 4, s"expected 4 capped batches: $counts1")
+    assert(counts1.forall(_ === 1L), s"a batch admitted >1 file: $counts1")
+    assert(counts1.sum === 4L)
+    // doubling the cap halves the batch count; nothing re-delivers with a
+    // fresh checkpoint reading the same files
+    val ckpt2 = java.nio.file.Files.createTempDirectory("rl_c2").toString
+    val counts2 = Streams.rateLimitedDrain(spark, in, ckpt2,
+      Map("maxFilesPerTrigger" -> "2"))
+    assert(counts2.length === 2 && counts2.forall(_ === 2L),
+      s"expected 2 batches of 2: $counts2")
+    // byte-based cap: 1 byte < any parquet file, and admission is
+    // at-least-one-file, so it degenerates to one file per batch
+    val ckpt3 = java.nio.file.Files.createTempDirectory("rl_c3").toString
+    val counts3 = Streams.rateLimitedDrain(spark, in, ckpt3,
+      Map("maxBytesPerTrigger" -> "1"))
+    assert(counts3.length === 4 && counts3.forall(_ === 1L),
+      s"expected 4 byte-capped batches: $counts3")
+    // resuming from an existing checkpoint re-delivers nothing
+    assert(Streams.rateLimitedDrain(spark, in, ckpt1,
+      Map("maxFilesPerTrigger" -> "1")).isEmpty)
+  }
+
   test("incremental rollup maintains exact per-key totals across drains, no double-count") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("ir_in").toString
