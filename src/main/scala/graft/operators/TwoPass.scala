@@ -91,6 +91,12 @@ object TwoPass {
                      order: Seq[Column], value: Option[Column], rnCol: String,
                      nCol: String, cumCol: String): DataFrame = {
     val rangeKeys = group.map(col) ++ order
+    // sortWithinPartitions before the pin looks redundant (the pid-keyed
+    // windows sort again after their exchange), but it is measured-
+    // faster: the pid exchange maps each stored partition to one target
+    // wholesale, so arrival order IS the stored order and the window's
+    // TimSort runs on presorted runs (sf10 soak: 13.7 s vs 15.2 s
+    // without). Correctness needs only the PLACEMENT.
     val parts = df
       .repartitionByRange(numParts, rangeKeys: _*)
       .sortWithinPartitions(rangeKeys: _*)
