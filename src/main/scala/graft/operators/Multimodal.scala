@@ -189,6 +189,25 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Caller-supplied 16-bit PCM samples → real WAV bytes (same canonical
+      * RIFF path as [[encodeWav]]) — the entry declared queries use to
+      * encode CLOSED-FORM integer signals the oracle can re-derive. */
+    def toWav(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos) finally ais.close()
+      bos.toByteArray
+    }
+
     /** None when the bytes are not decodable 16-bit PCM WAV — callers fall
       * back to the stub instead of failing the task. Returns samples
       * normalized to [-1, 1] (first channel if multi-channel). */

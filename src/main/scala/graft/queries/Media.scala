@@ -88,8 +88,68 @@ object Media {
       .orderBy($"p_brand")
   }
 
+  private val NSamp = 256
+
+  /** Per-sample closed form: pcm(cust, i) = ((custkey·13 + i·7) mod
+    * 65536) − 32768 — full 16-bit range, sign structure rich enough for
+    * zero-crossing counts to discriminate. */
+  private def pcm(ck: Long, i: Int): Int =
+    (((ck * 13 + i * 7) % 65536) - 32768).toInt
+
+  private case class AudioStats(sum_abs: Long, n_zero_cross: Long, exact: Boolean)
+
+  /** Multimodal AUDIO census — q283's contract applied to the second
+    * modality: synthesize one 256-sample 16-bit PCM clip per customer
+    * from a closed form, encode through the REAL `javax.sound` WAV
+    * writer, verify the RIFF/WAVE container magics IN-PLAN, decode with
+    * the real reader, and reduce to integer stats (Σ|s|, zero
+    * crossings). 16-bit PCM is LOSSLESS and s/32768 is exactly
+    * representable in float, so `roundtrip_ok` demands bit-exact sample
+    * recovery — the oracle states it TRUE and re-derives both stats
+    * from the same closed form (zero crossings row-wise via the
+    * PREVIOUS sample's own closed form — no window needed). Scale: same
+    * story as q283 — per-row codec CPU, zero extra shuffle, ≤|segments|
+    * census. */
+  def audioFeatureCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = udf { (ck: Long) =>
+      Multimodal.WavCodec.toWav(
+        Array.tabulate(NSamp)(i => pcm(ck, i).toShort))
+    }
+    val dec = udf { (wav: Array[Byte], ck: Long) =>
+      Multimodal.WavCodec.tryDecode(wav) match {
+        case Some(fs) if fs.length == NSamp =>
+          var sumAbs = 0L; var zc = 0L; var exact = true
+          var prev = 0; var i = 0
+          while (i < NSamp) {
+            val v = math.round(fs(i) * 32768.0f)
+            sumAbs += math.abs(v.toLong)
+            if (i > 0 && (v >= 0) != (prev >= 0)) zc += 1
+            exact &&= v == pcm(ck, i)
+            prev = v
+            i += 1
+          }
+          AudioStats(sumAbs, zc, exact)
+        case _ => AudioStats(0L, 0L, exact = false)
+      }
+    }
+    Tables.customer(s, dir)
+      .select($"c_mktsegment", $"c_custkey", enc($"c_custkey").as("wav"))
+      .withColumn("sig_ok",
+        substring($"wav", 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+          substring($"wav", 9, 4) === lit("WAVE".getBytes("US-ASCII")))
+      .withColumn("st", dec($"wav", $"c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_clips"),
+        sum($"st.sum_abs").as("sum_abs"),
+        sum($"st.n_zero_cross").as("n_zero_cross"),
+        expr("bool_and(sig_ok AND st.exact)").as("roundtrip_ok"))
+      .orderBy($"c_mktsegment")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q283_image_feature_census" -> imageFeatureCensus
+    "q283_image_feature_census" -> imageFeatureCensus,
+    "q286_audio_feature_census" -> audioFeatureCensus
   )
 
   def oracles: Map[String, String] = Map(
@@ -110,6 +170,26 @@ object Media {
          |       CAST(sum(CASE WHEN g >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright,
          |       TRUE AS roundtrip_ok
          |FROM px
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+    "q286_audio_feature_census" ->
+      s"""WITH idx AS (SELECT unnest(generate_series(0, ${NSamp - 1})) AS i),
+         |sm AS (
+         |  SELECT c_mktsegment, c_custkey, i,
+         |         (c_custkey * 13 + i * 7) % 65536 - 32768 AS smp,
+         |         CASE WHEN i = 0 THEN NULL
+         |              ELSE (c_custkey * 13 + (i - 1) * 7) % 65536 - 32768
+         |         END AS prev
+         |  FROM customer CROSS JOIN idx
+         |)
+         |SELECT c_mktsegment,
+         |       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_clips,
+         |       CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+         |       CAST(sum(CASE WHEN prev IS NOT NULL
+         |                      AND ((smp >= 0) <> (prev >= 0))
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+         |       TRUE AS roundtrip_ok
+         |FROM sm
          |GROUP BY 1
          |ORDER BY 1""".stripMargin
   )

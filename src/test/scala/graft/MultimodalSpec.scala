@@ -254,6 +254,23 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.isEmpty || frames.get.length < 6)
   }
 
+  test("q286 audio census: real WAV round-trip, closed-form PCM stats, all segments ok") {
+    import org.apache.spark.sql.Row
+    val rows = graft.queries.Media.audioFeatureCensus(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("roundtrip_ok")))
+    val segCusts = graft.Tables.customer(spark, sfDir)
+      .select("c_mktsegment", "c_custkey").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    val Row(seg: String, n: Long, sumAbs: Long, zc: Long, _) = rows.head
+    def s(ck: Long, i: Int): Long = (ck * 13 + i * 7) % 65536 - 32768
+    val cks = segCusts(seg)
+    assert(n === cks.length.toLong)
+    assert(sumAbs === cks.map(ck => (0 until 256).map(i => math.abs(s(ck, i))).sum).sum)
+    assert(zc === cks.map(ck =>
+      (1 until 256).count(i => (s(ck, i) >= 0) != (s(ck, i - 1) >= 0)).toLong).sum)
+  }
+
   test("q283 image census: real PNG round-trip, closed-form stats, all brands ok") {
     import org.apache.spark.sql.Row
     val rows = graft.queries.Media.imageFeatureCensus(spark, sfDir).collect()
