@@ -147,9 +147,76 @@ object Media {
       .orderBy($"c_mktsegment")
   }
 
+  private val VW = 32
+  private val VH = 24
+
+  private case class VideoStats(n_frames: Long, ok: Boolean)
+
+  /** Multimodal VIDEO census — the third modality under the gate, with
+    * the contract JPEG's LOSSINESS forces: structural integers are
+    * exact (frame count per video is the closed form 2 + suppkey mod 4 —
+    * the oracle re-derives their sum without touching a codec), while
+    * CONTENT is certified by a tolerance flag (each decoded frame's mean
+    * luminance within 8/256 of the encoder's closed-form gradient —
+    * JPEG on smooth gradients errs far less; a broken container walker,
+    * frame mis-order, or channel swap blows the bound). The Spark side
+    * round-trips a REAL hand-rolled RIFF/AVI container with real
+    * baseline JPEGs; the oracle states the flag TRUE. Scale: per-row
+    * codec CPU over a dim table, ≤|nations| census. */
+  def videoStructureCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def nFrames(sk: Long): Int = (2 + sk % 4).toInt
+    val enc = udf { (sk: Long) =>
+      Multimodal.AviMjpegCodec.encodeAvi(VW, VH, nFrames(sk), seed = sk)
+    }
+    val dec = udf { (avi: Array[Byte], sk: Long) =>
+      Multimodal.AviMjpegCodec.tryDecodeFrames(avi) match {
+        case Some(frames) =>
+          val p = ((sk % 97) + 3).toInt
+          var ok = frames.length == nFrames(sk)
+          frames.zipWithIndex.foreach { case (img, f) =>
+            ok &&= img.getWidth == VW && img.getHeight == VH
+            if (ok) {
+              var got = 0L; var exp = 0L
+              var y = 0
+              while (y < VH) {
+                var x = 0
+                while (x < VW) {
+                  val rgb = img.getRGB(x, y)
+                  got += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+                    29 * (rgb & 0xff)) >> 8
+                  val r = (x * p + f * 11) & 0xff
+                  val g = (y * p + f * 7) & 0xff
+                  val b = ((x + y) * 3 + f * 13) & 0xff
+                  exp += (77 * r + 150 * g + 29 * b) >> 8
+                  x += 1
+                }
+                y += 1
+              }
+              ok &&= math.abs(got - exp) <= 8L * VW * VH
+            }
+          }
+          VideoStats(frames.length.toLong, ok)
+        case None => VideoStats(0L, ok = false)
+      }
+    }
+    Tables.supplier(s, dir)
+      .select($"s_nationkey", $"s_suppkey", enc($"s_suppkey").as("avi"))
+      .withColumn("sig_ok",
+        substring($"avi", 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+          substring($"avi", 9, 4) === lit("AVI ".getBytes("US-ASCII")))
+      .withColumn("st", dec($"avi", $"s_suppkey"))
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_videos"),
+        sum($"st.n_frames").as("total_frames"),
+        expr("bool_and(sig_ok AND st.ok)").as("decode_ok"))
+      .orderBy($"s_nationkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q283_image_feature_census" -> imageFeatureCensus,
-    "q286_audio_feature_census" -> audioFeatureCensus
+    "q286_audio_feature_census" -> audioFeatureCensus,
+    "q287_video_structure_census" -> videoStructureCensus
   )
 
   def oracles: Map[String, String] = Map(
@@ -191,6 +258,14 @@ object Media {
          |       TRUE AS roundtrip_ok
          |FROM sm
          |GROUP BY 1
-         |ORDER BY 1""".stripMargin
+         |ORDER BY 1""".stripMargin,
+    "q287_video_structure_census" ->
+      """SELECT s_nationkey,
+        |       count(*) AS n_videos,
+        |       CAST(sum(2 + s_suppkey % 4) AS BIGINT) AS total_frames,
+        |       TRUE AS decode_ok
+        |FROM supplier
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -271,6 +271,21 @@ class MultimodalSpec extends SparkSpec {
       (1 until 256).count(i => (s(ck, i) >= 0) != (s(ck, i - 1) >= 0)).toLong).sum)
   }
 
+  test("q287 video census: real AVI round-trip, exact frame counts, tolerance content check") {
+    import org.apache.spark.sql.Row
+    val rows = graft.queries.Media.videoStructureCensus(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("decode_ok")))
+    val expect = graft.Tables.supplier(spark, sfDir)
+      .select("s_nationkey", "s_suppkey").collect()
+      .groupBy(_.getInt(0)).view
+      .mapValues(sks => (sks.length.toLong, sks.map(r => 2 + r.getLong(1) % 4).sum))
+      .toMap
+    rows.foreach { case Row(nk: Int, n: Long, tf: Long, _) =>
+      assert((n, tf) === expect(nk), s"nation $nk")
+    }
+  }
+
   test("q283 image census: real PNG round-trip, closed-form stats, all brands ok") {
     import org.apache.spark.sql.Row
     val rows = graft.queries.Media.imageFeatureCensus(spark, sfDir).collect()
