@@ -59,27 +59,47 @@ object ExplainAudit {
         if (a.groupingExpressions.isEmpty) "agg keys=[] (1 row)"
         else s"agg keys=[${a.groupingExpressions.map(_.name).mkString(",")}]"
       case l: LimitExec => s"limit(${l.nodeName})"
+      // rank-filter top-k: the partial limit prunes each group to k rows
+      // PER MAPPER before the shuffle — the window's input is bounded by
+      // cluster·k, not by the data
+      case g if g.nodeName.contains("WindowGroupLimit") => "group-limit"
       case leaf if leaf.children.isEmpty => "RAW INPUT"
       case other =>
         val kids = other.children.map(basisBelow)
         kids.find(_ == "RAW INPUT").getOrElse(kids.headOption.getOrElse("RAW INPUT"))
     }
+    // Columns whose value domain is a handful of constants: a window
+    // PARTITIONED solely on these over un-collapsed input is the q212
+    // class — the cluster collapses to |domain| sort tasks.
+    val lowCard = Set("o_orderpriority", "prio", "l_returnflag",
+      "l_linestatus", "c_mktsegment", "o_orderstatus", "lang", "split",
+      "event_type", "variant", "label", "n_name", "r_name", "p_brand")
     var hits = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.sparkPlan
-        plan.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
-        }.foreach { w =>
-          hits += 1
-          val head = w.windowExpression.map(_.name).mkString(",")
-          println(s"SWEEP $n: global window [$head] over ${basisBelow(w.child)}")
+        plan.collect { case w: WindowExec => w }.foreach { w =>
+          val keys = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+          val global = keys.isEmpty
+          val lowOnly = keys.nonEmpty && keys.forall(lowCard.contains)
+          if (global || lowOnly) {
+            val basis = basisBelow(w.child)
+            // low-card keyed windows are only a finding when the input
+            // is NOT already collapsed to a bounded table
+            if (global || basis == "RAW INPUT") {
+              hits += 1
+              val head = w.windowExpression.map(_.name).mkString(",")
+              val kind = if (global) "global window"
+                         else s"low-card window [${keys.mkString(",")}]"
+              println(s"SWEEP $n: $kind [$head] over $basis")
+            }
+          }
         }
       } catch {
         case e: Throwable => println(s"SWEEP $n: PLAN ERROR ${e.getMessage}")
       }
     }
-    println(s"SWEEP done: $hits global-window site(s) across " +
+    println(s"SWEEP done: $hits window site(s) flagged across " +
       s"${SparkEntry.queries.size} queries")
   }
 }

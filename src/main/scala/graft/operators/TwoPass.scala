@@ -87,6 +87,17 @@ object TwoPass {
                         order: Column*): DataFrame =
     ranked(df, defaultParts(df), Nil, order, Some(value), rnCol, nCol, cumCol)
 
+  /** Per-`group` rank + count + INCLUSIVE running sum of `value` in one
+    * two-pass — the scalable form of
+    * `sum(v) OVER (PARTITION BY low_card_group ORDER BY ...)`, which
+    * otherwise serializes the whole input onto |groups| sort tasks.
+    */
+  def groupedRankAndRunningSum(df: DataFrame, group: Seq[String],
+                               rnCol: String, cntCol: String, cumCol: String,
+                               value: Column, order: Column*): DataFrame =
+    ranked(df, defaultParts(df), group, order, Some(value), rnCol, cntCol,
+      cumCol)
+
   private def ranked(df: DataFrame, numParts: Int, group: Seq[String],
                      order: Seq[Column], value: Option[Column], rnCol: String,
                      nCol: String, cumCol: String): DataFrame = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.operators.{TextOps, VectorOps}
+import graft.operators.{TextOps, TwoPass, VectorOps}
 import Portable._
 
 /** LLM-data-pipeline operators (north-star mandate): dedup (exact, MinHash-
@@ -1342,12 +1342,16 @@ object LlmOps {
     * (lang, date-bucket) to bound any one partition — same plan shape. */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
-      .select($"lang", $"doc_id",
-        size(TextOps.tokens($"text")).cast("long").as("n_tok"))
-      .withColumn("cum_tok", sum($"n_tok").over(w))
+    // r10: the per-lang cumulative sum rides the TwoPass grouped
+    // two-pass — a plain partitionBy(lang) window serializes the whole
+    // corpus onto |langs| sort tasks (the q212 class); the two-pass form
+    // range-partitions (lang, doc_id), so packing parallelizes WITHIN a
+    // language too, not just across shards.
+    TwoPass.groupedRankAndRunningSum(
+        Tables.documents(s, dir)
+          .select($"lang", $"doc_id",
+            size(TextOps.tokens($"text")).cast("long").as("n_tok")),
+        Seq("lang"), "rn", "cnt", "cum_tok", $"n_tok", $"doc_id".asc)
       .withColumn("bin_id", expr(s"(cum_tok - n_tok) div $PackBudget"))
       .groupBy($"lang", $"bin_id")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tok"),
@@ -1406,8 +1410,13 @@ object LlmOps {
         conv(substring(md5($"doc_id".cast("string")), 1, 10), 16, 10).cast("long"))
     val counts = d.groupBy($"lang").agg(count(lit(1)).as("n_total"))
     val quota = counts.agg(min($"n_total").as("quota"))
-    val w = Window.partitionBy($"lang").orderBy($"hkey".asc, $"doc_id".asc)
-    val kept = d.withColumn("rn", row_number().over(w))
+    // r10: the quota is data-dependent so this rank can never collapse
+    // to WindowGroupLimit — and a partitionBy(lang) window would
+    // serialize the corpus onto |langs| sort tasks (the q212 class). The
+    // TwoPass grouped rank keeps the selection identical (same total
+    // order) with O(cluster) sort parallelism.
+    val kept = TwoPass.groupedRankWithCount(d, Seq("lang"), "rn", "cnt",
+        $"hkey".asc, $"doc_id".asc)
       .crossJoin(broadcast(quota))
       .filter($"rn" <= $"quota")
       .groupBy($"lang").agg(count(lit(1)).as("n_kept"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.operators.TwoPass
 import Portable._
 
 /** Window-function surface (SURVEY.md §2.B): ranking, analytic (lag/lead/
@@ -109,16 +110,26 @@ object Windows {
     * position within its priority class as a [0,1] quantile — the window
     * analytics q19's ranking family doesn't cover. Ordering includes the
     * key (no ties), so rank == row_number and both functions reduce to
-    * small-integer divisions — bit-identical across engines. */
+    * small-integer divisions — bit-identical across engines. That same
+    * reduction is the SCALE story (r10): a partitionBy(priority) window
+    * would serialize all orders onto |priorities| sort tasks, so the rank
+    * comes from the TwoPass GROUPED two-pass instead, and
+    * percent_rank/cume_dist are derived as (rn−1)/(n−1) and rn/n — one
+    * exact-integer IEEE divide each, the identical op tree the engines'
+    * native functions evaluate (single-row groups pinned to 0/1 like the
+    * engines define them). */
   def distribution(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"o_orderpriority")
-      .orderBy($"price_cents".asc, $"o_orderkey".asc)
-    Tables.orders(s, dir)
-      .withColumn("price_cents", cents($"o_totalprice"))
+    TwoPass.groupedRankWithCount(
+        Tables.orders(s, dir)
+          .withColumn("price_cents", cents($"o_totalprice"))
+          .select($"o_orderpriority", $"o_orderkey", $"price_cents"),
+        Seq("o_orderpriority"), "rn", "n",
+        $"price_cents".asc, $"o_orderkey".asc)
       .select($"o_orderpriority", $"o_orderkey", $"price_cents",
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
+        when($"n" === 1L, lit(0.0))
+          .otherwise(ratio($"rn" - 1, $"n" - 1)).as("pct_rank"),
+        ratio($"rn", $"n").as("cume"))
       .orderBy($"o_orderpriority", $"o_orderkey")
   }
 
@@ -155,16 +166,21 @@ object Windows {
     * replicates the identical composition in SQL. */
   def countDistinctRunning(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // pass 1: first-occurrence flags — keyed on (priority, customer),
+    // high-cardinality, fully parallel
     val firstSeen = Window.partitionBy($"o_orderpriority", $"o_custkey")
       .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
-    val running = Window.partitionBy($"o_orderpriority")
-      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.orders(s, dir)
+    val flagged = Tables.orders(s, dir)
       .withColumn("is_first",
         when(row_number().over(firstSeen) === 1, lit(1L)).otherwise(lit(0L)))
-      .select($"o_orderpriority", $"o_orderkey",
-        sum($"is_first").over(running).as("run_distinct_custs"))
+      .select($"o_orderpriority", $"o_orderkey", $"o_orderdate", $"is_first")
+    // pass 2 (r10): the running flag-sum per priority is the q212 class —
+    // a partitionBy(priority) window serializes all orders onto
+    // |priorities| tasks — so it rides the TwoPass grouped running sum.
+    TwoPass.groupedRankAndRunningSum(flagged, Seq("o_orderpriority"),
+        "rn", "cnt", "run_distinct_custs", $"is_first",
+        $"o_orderdate".asc, $"o_orderkey".asc)
+      .select($"o_orderpriority", $"o_orderkey", $"run_distinct_custs")
       .orderBy($"o_orderpriority", $"o_orderkey")
   }
 

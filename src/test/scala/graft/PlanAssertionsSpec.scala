@@ -133,19 +133,18 @@ class PlanAssertionsSpec extends SparkSpec {
       "per-(group,bucket) bitmap partials must feed BOTH rollup levels from one exchange")
   }
 
-  test("q98 packing window partitions by lang and the groupBy reuses its shuffle") {
+  test("q98 packing cumsum is two-pass: data window pid-keyed, lang windows only on offsets") {
     val df = SparkEntry.queries("q98_pack_sequences")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
+    // r10: the per-lang cumulative sum was the q212 class (|langs| sort
+    // tasks over the whole corpus); the data-sized window must now key on
+    // the two-pass partition id, with lang-partitioned windows appearing
+    // only over the ≤ numParts·|langs|-row offsets table (covered in
+    // detail by the two-pass family guard below).
+    assert(p.contains("windowspecdefinition(__tp_pid"),
+      s"packing cumsum must be pid-keyed (two-pass), got:\n$p")
     assert(p.contains("windowspecdefinition(lang"),
-      "packing must window per language shard, never one global partition")
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val shuffles = df.queryExecution.executedPlan.collect {
-      case e: ShuffleExchangeLike => e
-    }
-    // lang-partition for the window + rangepartitioning for the final ORDER
-    // BY; the (lang, bin_id) groupBy must NOT add a third exchange (lang
-    // partitioning already co-locates it).
-    assert(shuffles.size <= 2, s"unexpected extra shuffle: $shuffles")
+      "offsets prefix-combine must be per language shard")
   }
 
   test("q100 merge applies the change feed via one keyed join (no nested loop)") {
@@ -471,7 +470,13 @@ class PlanAssertionsSpec extends SparkSpec {
     // input is the Exchange SinglePartition shape the round-9 audit
     // caught: one task sorts the whole table at any cluster size.
     val pidLike = Set("__tp_pid", "pid")
-    val boundedKeys = pidLike + "decile"
+    // aggregates grouped on these yield bounded-by-construction tables:
+    // the two-pass pid offsets, the 10-row decile lattice, the ≤|langs|
+    // language census
+    val boundedKeys = pidLike ++ Set("decile", "lang")
+    // windows keyed on a high-cardinality NATURAL key spread on their own
+    // (q146's per-(priority, customer) first-occurrence flag)
+    val hiCard = Set("o_custkey")
     def boundedBelow(p: SparkPlan): Boolean = p match {
       // empty grouping = a 1-row (global) aggregate — bounded; otherwise
       // bounded iff grouped on the partition id / derived bucket
@@ -483,14 +488,18 @@ class PlanAssertionsSpec extends SparkSpec {
     }
     val family = Seq("q213_decile_lift", "q224_rfm_segmentation",
       "q229_segment_migration", "q251_revenue_concentration",
-      "q169_pareto_frontier", "q212_winsorized_stats")
+      "q169_pareto_frontier", "q212_winsorized_stats",
+      // r10 extended-sweep finds, reworked the same way
+      "q85_window_distribution", "q146_window_count_distinct",
+      "q98_pack_sequences", "q127_mix_rebalance")
     family.foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.sparkPlan
       val windows = plan.collect { case w: WindowExec => w }
       assert(windows.nonEmpty, s"$q: expected window nodes (vacuous guard)")
       val offenders = windows.filterNot { w =>
         w.partitionSpec.exists(e => e.references.exists(a =>
-          pidLike.contains(a.name))) || boundedBelow(w.child)
+          pidLike.contains(a.name) || hiCard.contains(a.name))) ||
+          boundedBelow(w.child)
       }
       assert(offenders.isEmpty,
         s"$q: window(s) not pid-keyed and not over a bounded-by-" +
