@@ -82,6 +82,23 @@ class TwoPassSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("groupedRankAndRunningSum matches the per-group cumulative window") {
+    val o = graft.Tables.orders(spark, sfDir)
+      .select($"o_orderpriority".as("prio"), $"o_orderkey",
+        graft.queries.Portable.cents($"o_totalprice").as("pc"))
+    val two = TwoPass.groupedRankAndRunningSum(o, Seq("prio"),
+        "rn", "cnt", "cum", $"pc", $"pc".asc, $"o_orderkey".asc)
+      .select($"prio", $"o_orderkey", $"rn", $"cnt", $"cum")
+    val w = Window.partitionBy($"prio").orderBy($"pc".asc, $"o_orderkey".asc)
+    val ref = o
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"prio")))
+      .withColumn("cum", sum($"pc").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"prio", $"o_orderkey", $"rn", $"cnt", $"cum")
+    assert(two.exceptAll(ref).isEmpty && ref.exceptAll(two).isEmpty)
+  }
+
   test("two-pass plans contain no data-sized single-partition exchange") {
     val two = TwoPass.rankWithCount(spend, "rn", "n", $"spend".desc, $"o_custkey".asc)
     two.collect()
