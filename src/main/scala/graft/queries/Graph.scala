@@ -201,11 +201,93 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** Multi-source 3-hop BFS reachability census — the TRAVERSAL member
+    * of the graph family next to q197's fixpoint VALUES and q76's
+    * component LABELS: from every seed supplier (deterministic
+    * suppkey mod screen), expand frontiers over the undirected
+    * customer↔supplier trade graph and report how many distinct nodes
+    * each seed reaches within 3 hops — the "blast radius" question
+    * (supply-chain exposure, contagion, account-linking) asked directly.
+    * Mechanics: frontier = (seed, node) pairs; each hop is one keyed
+    * join against the SAME pinned src-partitioned edge list q197
+    * established (Pinned.partitionedCheckpoint — every hop reads it
+    * exchange-free), then distinct + ANTI-join against the visited set,
+    * so re-reached nodes never re-expand (the frontier stays the BFS
+    * frontier, not the walk multiset — on a dense graph the naive
+    * re-expansion multiplies by average degree per hop). Hop count is
+    * fixed in the PLAN (unrolled), not driver-looped. The oracle unrolls
+    * the same three hops as DISTINCT joins and unions them — set
+    * semantics make frontier-vs-full-expansion provably identical.
+    * Scale: frontier size ≤ |seeds|·|V| with |seeds| a fixed screen;
+    * every join/distinct/anti is keyed; nothing is ever broadcast on the
+    * growing side. */
+  def bfsReachability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst"))
+      .distinct()
+    val edges = graft.operators.Pinned.partitionedCheckpoint(
+      e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst"))),
+      $"src") // read by all 3 hops
+    val seeds = Tables.supplier(s, dir)
+      .filter($"s_suppkey" % 25 === 1)
+      .select(concat(lit("s"), $"s_suppkey").as("seed"))
+    var visited = seeds.select($"seed", $"seed".as("node"))
+    var frontier = visited
+    (1 to 3).foreach { _ =>
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select($"seed", $"dst".as("node"))
+        .distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+      visited = visited.unionAll(next)
+      frontier = next
+    }
+    visited.groupBy($"seed")
+      .agg((count(lit(1)) - 1).as("n_reachable_3hop"))
+      .orderBy($"seed")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_triangle_census" -> triangleCensus,
+    "q288_bfs_reachability" -> bfsReachability,
     "q197_pagerank_fixed_point" -> pageRank)
 
   val oracles: Map[String, String] = Map(
+    "q288_bfs_reachability" ->
+      // unrolled DISTINCT hops ∪-folded: set semantics make this
+      // provably identical to the Spark side's frontier-minus-visited
+      // optimization (both compute "distinct nodes within 3 hops").
+      // MATERIALIZED on the edge CTEs — the q202 lesson: DuckDB inlines
+      // multiply-referenced CTEs and the trade-pair join would re-expand
+      // once per hop.
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), und AS MATERIALIZED (
+        |  SELECT src, dst FROM pairs
+        |  UNION ALL
+        |  SELECT dst AS src, src AS dst FROM pairs
+        |), seeds AS (
+        |  SELECT 's' || s_suppkey AS seed FROM supplier WHERE s_suppkey % 25 = 1
+        |), hop0 AS (SELECT seed, seed AS node FROM seeds),
+        |hop1 AS (SELECT DISTINCT h.seed, e.dst AS node
+        |         FROM hop0 h JOIN und e ON h.node = e.src),
+        |hop2 AS (SELECT DISTINCT h.seed, e.dst AS node
+        |         FROM hop1 h JOIN und e ON h.node = e.src),
+        |hop3 AS (SELECT DISTINCT h.seed, e.dst AS node
+        |         FROM hop2 h JOIN und e ON h.node = e.src),
+        |reach AS (
+        |  SELECT seed, node FROM hop0
+        |  UNION SELECT seed, node FROM hop1
+        |  UNION SELECT seed, node FROM hop2
+        |  UNION SELECT seed, node FROM hop3
+        |)
+        |SELECT seed, CAST(count(*) - 1 AS BIGINT) AS n_reachable_3hop
+        |FROM reach
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q202_triangle_census" ->
       // MATERIALIZED on every multiply-referenced CTE: DuckDB inlines CTE
       // references by default, so `e` (read 3x) re-expands und -> mult ->

@@ -458,4 +458,30 @@ class OperatorPropertiesSpec extends SparkSpec {
     val buckets = a.map(_.getAs[String]("bucket")).distinct
     assert(buckets.forall(_.matches("[0-9a-f]")), s"non-hex bucket: ${buckets.toSeq}")
   }
+
+  test("q288 frontier BFS equals naive full-expansion reachability") {
+    // the declared form anti-joins each frontier against the visited set
+    // (so nothing re-expands); the naive form re-joins everything every
+    // hop. Set semantics must make them identical.
+    val declared = graft.queries.Graph.bfsReachability(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val e0 = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst")).distinct()
+    val und = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = graft.Tables.supplier(spark, sfDir)
+      .filter($"s_suppkey" % 25 === 1)
+      .select(concat(lit("s"), $"s_suppkey").as("seed"))
+    var reach = seeds.select($"seed", $"seed".as("node"))
+    (1 to 3).foreach { _ =>
+      reach = reach.unionAll(
+        reach.join(und, reach("node") === und("src"))
+          .select($"seed", $"dst".as("node"))).distinct()
+    }
+    val naive = reach.groupBy($"seed").agg((count(lit(1)) - 1).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(declared === naive)
+    assert(declared.nonEmpty && declared.values.forall(_ >= 0L))
+  }
 }
