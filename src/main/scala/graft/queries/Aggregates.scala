@@ -1728,7 +1728,36 @@ object Aggregates {
       .orderBy($"mon")
   }
 
+  /** Functional-dependency discovery census — the WITHIN-table profiling
+    * op (Deequ-suggestor / Metanome class) next to q275's cross-table
+    * join-cardinality profiler: for each candidate lhs → rhs, count the
+    * lhs groups and the groups carrying MORE than one distinct rhs (FD
+    * violations), and emit the verdict. The candidate set is fixed and
+    * includes one FD that provably holds (a unique key determines
+    * everything) so the zero-violation path is oracle-covered alongside
+    * the violating ones (the q225 lesson). Scale: each candidate is one
+    * two-level agg — (lhs, rhs) distinct collapse, then a per-lhs
+    * distinct count folded to a 1-row verdict — all map-side-combinable,
+    * no windows, candidates evaluated independently (embarrassingly
+    * parallel across the union's branches). */
+  def fdDiscovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    def fd(lhs: String, rhs: String): DataFrame =
+      o.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+        .agg(count(lit(1)).as("n_lhs_groups"),
+          sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(s"$lhs->$rhs").as("fd"), $"n_lhs_groups",
+          $"n_violating", ($"n_violating" === 0L).as("holds"))
+    fd("o_orderkey", "o_orderstatus")
+      .unionAll(fd("o_custkey", "o_orderstatus"))
+      .unionAll(fd("o_orderdate", "o_orderpriority"))
+      .unionAll(fd("o_orderpriority", "o_orderstatus"))
+      .orderBy($"fd")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_fd_discovery" -> fdDiscovery,
     "q280_discount_elasticity" -> discountElasticity,
     "q281_shipping_delay_sla" -> shippingDelaySla,
     "q282_return_rate_trend" -> returnRateTrend,
@@ -1789,6 +1818,21 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q289_fd_discovery" -> {
+      def fdSql(lhs: String, rhs: String): String =
+        s"""SELECT '$lhs->$rhs' AS fd,
+           |       count(*) AS n_lhs_groups,
+           |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           |       (sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0) AS holds
+           |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nd
+           |      FROM orders GROUP BY 1)""".stripMargin
+      Seq(
+        fdSql("o_orderkey", "o_orderstatus"),
+        fdSql("o_custkey", "o_orderstatus"),
+        fdSql("o_orderdate", "o_orderpriority"),
+        fdSql("o_orderpriority", "o_orderstatus"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)\nORDER BY fd")
+    },
     "q229_segment_migration" ->
       s"""WITH early AS (
          |  SELECT o_custkey, ntile(5) OVER (ORDER BY spend DESC, o_custkey ASC) AS q_early
