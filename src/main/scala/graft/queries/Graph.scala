@@ -249,12 +249,102 @@ object Graph {
       .orderBy($"seed")
   }
 
+  private val BnInf = Long.MaxValue / 4 // exact BIGINT on both engines
+
+  /** Widest-path (bottleneck) census — the VALUE-relaxation traversal
+    * next to q288's SET expansion: for each seed supplier, the best
+    * achievable bottleneck strength (max over ≤3-hop paths of the MIN
+    * edge weight along the path) to every reachable node — the
+    * supply-chain robustness question ("how strong is the weakest link
+    * on the best route"). Edge weight = lineitem trade volume per
+    * (customer, supplier) pair — an exact integer, so the whole DP is
+    * integer max/least arithmetic with zero FP drift (the q197
+    * portability stance without even needing fixed-point). Relaxation:
+    * best₀ = (seed, seed, INF); each hop joins the CURRENT best table
+    * against the pinned src-partitioned weighted edges, proposes
+    * least(bn, w), and folds max per (seed, node) together with the
+    * previous best — Bellman-Ford with hops unrolled in the plan. Unlike
+    * q288 there is no visited anti-join: VALUES can improve on revisits
+    * (a longer path can carry a wider bottleneck), so re-relaxation is
+    * the semantics, bounded by the fixed hop count. Output collapses to
+    * the per-seed census (reach count + bottleneck extremes). Scale:
+    * best table ≤ |seeds|·|V| rows, every join/agg keyed, nothing
+    * growing is broadcast. */
+  def widestPathCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .groupBy(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val edges = graft.operators.Pinned.partitionedCheckpoint(
+      pairs.unionAll(pairs.select($"dst".as("src"), $"src".as("dst"), $"w")),
+      $"src")
+    val seeds = Tables.supplier(s, dir)
+      .filter($"s_suppkey" % 25 === 1)
+      .select(concat(lit("s"), $"s_suppkey").as("seed"))
+    var best = seeds.select($"seed", $"seed".as("node"), lit(BnInf).as("bn"))
+    (1 to 3).foreach { _ =>
+      val relaxed = best.join(edges, best("node") === edges("src"))
+        .select($"seed", $"dst".as("node"), least($"bn", $"w").as("bn"))
+      best = best.unionAll(relaxed)
+        .groupBy($"seed", $"node").agg(max($"bn").as("bn"))
+    }
+    best.filter($"node" =!= $"seed")
+      .groupBy($"seed")
+      .agg(count(lit(1)).as("n_reachable"),
+        max($"bn").as("max_bottleneck"),
+        min($"bn").as("min_bottleneck"))
+      .orderBy($"seed")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_triangle_census" -> triangleCensus,
     "q288_bfs_reachability" -> bfsReachability,
+    "q290_widest_path_census" -> widestPathCensus,
     "q197_pagerank_fixed_point" -> pageRank)
 
   val oracles: Map[String, String] = Map(
+    "q290_widest_path_census" ->
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+         |         count(*) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2
+         |), und AS MATERIALIZED (
+         |  SELECT src, dst, w FROM pairs
+         |  UNION ALL
+         |  SELECT dst AS src, src AS dst, w FROM pairs
+         |), seeds AS (
+         |  SELECT 's' || s_suppkey AS seed FROM supplier WHERE s_suppkey % 25 = 1
+         |), b0 AS (
+         |  SELECT seed, seed AS node, CAST($BnInf AS BIGINT) AS bn FROM seeds
+         |), r1 AS (
+         |  SELECT b.seed, e.dst AS node, max(least(b.bn, e.w)) AS bn
+         |  FROM b0 b JOIN und e ON b.node = e.src GROUP BY 1, 2
+         |), b1 AS (
+         |  SELECT seed, node, CAST(max(bn) AS BIGINT) AS bn
+         |  FROM (SELECT * FROM b0 UNION ALL SELECT * FROM r1) GROUP BY 1, 2
+         |), r2 AS (
+         |  SELECT b.seed, e.dst AS node, max(least(b.bn, e.w)) AS bn
+         |  FROM b1 b JOIN und e ON b.node = e.src GROUP BY 1, 2
+         |), b2 AS (
+         |  SELECT seed, node, CAST(max(bn) AS BIGINT) AS bn
+         |  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM r2) GROUP BY 1, 2
+         |), r3 AS (
+         |  SELECT b.seed, e.dst AS node, max(least(b.bn, e.w)) AS bn
+         |  FROM b2 b JOIN und e ON b.node = e.src GROUP BY 1, 2
+         |), b3 AS (
+         |  SELECT seed, node, CAST(max(bn) AS BIGINT) AS bn
+         |  FROM (SELECT * FROM b2 UNION ALL SELECT * FROM r3) GROUP BY 1, 2
+         |)
+         |SELECT seed, count(*) AS n_reachable,
+         |       CAST(max(bn) AS BIGINT) AS max_bottleneck,
+         |       CAST(min(bn) AS BIGINT) AS min_bottleneck
+         |FROM b3
+         |WHERE node <> seed
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
     "q288_bfs_reachability" ->
       // unrolled DISTINCT hops ∪-folded: set semantics make this
       // provably identical to the Spark side's frontier-minus-visited

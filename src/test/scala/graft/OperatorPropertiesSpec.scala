@@ -484,4 +484,28 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(declared === naive)
     assert(declared.nonEmpty && declared.values.forall(_ >= 0L))
   }
+
+  test("q290 widest-path reach agrees with q288 BFS; bottlenecks within edge range") {
+    // same seeds, same graph, same hop bound: a node has a bottleneck
+    // value iff it is BFS-reachable, so the reach counts must agree
+    // exactly — a cross-query consistency invariant two independent
+    // implementations are unlikely to satisfy by accident.
+    val bfs = graft.queries.Graph.bfsReachability(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val wide = graft.queries.Graph.widestPathCensus(spark, sfDir).collect()
+    assert(wide.nonEmpty)
+    wide.foreach { r =>
+      assert(r.getLong(1) === bfs(r.getString(0)),
+        s"reach mismatch for seed ${r.getString(0)}")
+      val (mx, mn) = (r.getLong(2), r.getLong(3))
+      assert(mn >= 1L && mx >= mn, s"bottleneck range broken: $mn..$mx")
+    }
+    // bottlenecks are min-edge maxima: they cannot exceed the heaviest
+    // edge in the graph
+    val maxW = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_custkey", $"l_suppkey").agg(count(lit(1)).as("w"))
+      .agg(max($"w")).collect()(0).getLong(0)
+    wide.foreach(r => assert(r.getLong(2) <= maxW))
+  }
 }
