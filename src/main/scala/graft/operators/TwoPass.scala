@@ -43,6 +43,20 @@ import org.apache.spark.sql.functions._
   * keys always land in one partition (`RangePartitioner` places by key
   * value), so order statistics at a given position are well-defined even
   * under ties.
+  *
+  * Fault-tolerance/footprint trade of the pin: `localCheckpoint` stores
+  * the partitions in executor-local block storage with lineage
+  * TRUNCATED — losing an executor mid-job makes its blocks
+  * unrecomputable and fails the job (no lineage replay), and the pinned
+  * copy holds a data-sized footprint (memory-and-disk) for the job's
+  * duration. That is the price of cut-placement invariance; it is the
+  * right default for the batch-query shape here (jobs are minutes, a
+  * retry re-runs the query). Long-running clusters with churny executors
+  * that cannot accept fail-and-retry should swap the pin for a RELIABLE
+  * `df.checkpoint()` against a durable `sparkContext.setCheckpointDir`
+  * location — same semantics (materialized cuts), survivable blocks,
+  * at the cost of a distributed-FS write. (Pinned.scala documents the
+  * same caveat for the iterate-against-an-edge-list shape.)
   */
 object TwoPass {
 
@@ -56,10 +70,16 @@ object TwoPass {
 
   /** Default partition count: the session's shuffle parallelism — the
     * cluster-sized choice (the offsets table stays ≤ that many rows per
-    * group, trivially broadcastable at any setting).
+    * group, trivially broadcastable at any setting). Platforms that set
+    * `spark.sql.shuffle.partitions` to a non-numeric sentinel (e.g.
+    * "auto" under Databricks AQE) fall back to the context's default
+    * parallelism — any positive cluster-sized value is correct here,
+    * the constant only sizes the range partitioning.
     */
   private def defaultParts(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
 
   /** `df` + global 1-based `row_number` over `order` (`rnCol`, LongType)
     * + total row count (`nCol`, LongType) — no single-partition window

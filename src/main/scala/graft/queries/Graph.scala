@@ -201,10 +201,35 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** Fixed seed panel for the q288/q290 traversals: the first
+    * [[SeedPanelK]] suppliers by suppkey — a BOUNDED deterministic
+    * panel, not a fraction of the table. This is the scale contract the
+    * round-10 `s_suppkey % 25` screen violated: a mod screen selects a
+    * fixed FRACTION, so |seeds| grows O(SF) and the traversals'
+    * |seeds|·|V| working set grows O(SF²) — ~6.4 G pairs at sf100,
+    * infeasible at 100 TB-class SF. With a fixed K the working set is
+    * K·|V| = O(SF) — linear, like every other query in the suite. The
+    * panel is K ROWS (not a key-range predicate whose population could
+    * drift), totally ordered by the unique key, so it is deterministic
+    * on both engines; the all-sources form of the same question is the
+    * q291 HLL reach sketch, whose state is |V|-sized at ANY seed count. */
+  private val SeedPanelK = 40
+
+  private def seedPanel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.supplier(s, dir)
+      .orderBy($"s_suppkey".asc)
+      .limit(SeedPanelK)
+      .select(concat(lit("s"), $"s_suppkey").as("seed"))
+  }
+
+  private val SeedPanelSql: String =
+    s"SELECT 's' || s_suppkey AS seed FROM supplier ORDER BY s_suppkey LIMIT $SeedPanelK"
+
   /** Multi-source 3-hop BFS reachability census — the TRAVERSAL member
     * of the graph family next to q197's fixpoint VALUES and q76's
-    * component LABELS: from every seed supplier (deterministic
-    * suppkey mod screen), expand frontiers over the undirected
+    * component LABELS: from every seed supplier (the fixed [[seedPanel]]
+    * of K suppliers), expand frontiers over the undirected
     * customer↔supplier trade graph and report how many distinct nodes
     * each seed reaches within 3 hops — the "blast radius" question
     * (supply-chain exposure, contagion, account-linking) asked directly.
@@ -218,9 +243,11 @@ object Graph {
     * fixed in the PLAN (unrolled), not driver-looped. The oracle unrolls
     * the same three hops as DISTINCT joins and unions them — set
     * semantics make frontier-vs-full-expansion provably identical.
-    * Scale: frontier size ≤ |seeds|·|V| with |seeds| a fixed screen;
-    * every join/distinct/anti is keyed; nothing is ever broadcast on the
-    * growing side. */
+    * Scale: frontier size ≤ K·|V| with K the FIXED seed-panel size —
+    * O(SF) linear in the data, verified by the dims-scaled soak (see
+    * docs/PLANS.md; the r10 mod-screen form was O(SF²) and the
+    * facts-only soak masked it); every join/distinct/anti is keyed;
+    * nothing is ever broadcast on the growing side. */
   def bfsReachability(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e0 = Tables.orders(s, dir)
@@ -231,9 +258,7 @@ object Graph {
     val edges = graft.operators.Pinned.partitionedCheckpoint(
       e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst"))),
       $"src") // read by all 3 hops
-    val seeds = Tables.supplier(s, dir)
-      .filter($"s_suppkey" % 25 === 1)
-      .select(concat(lit("s"), $"s_suppkey").as("seed"))
+    val seeds = seedPanel(s, dir)
     var visited = seeds.select($"seed", $"seed".as("node"))
     var frontier = visited
     (1 to 3).foreach { _ =>
@@ -268,8 +293,9 @@ object Graph {
     * (a longer path can carry a wider bottleneck), so re-relaxation is
     * the semantics, bounded by the fixed hop count. Output collapses to
     * the per-seed census (reach count + bottleneck extremes). Scale:
-    * best table ≤ |seeds|·|V| rows, every join/agg keyed, nothing
-    * growing is broadcast. */
+    * best table ≤ K·|V| rows with K the FIXED [[seedPanel]] size —
+    * O(SF) linear (the r10 mod-screen form was O(SF²)); every join/agg
+    * keyed, nothing growing is broadcast. */
   def widestPathCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = Tables.orders(s, dir)
@@ -280,9 +306,7 @@ object Graph {
     val edges = graft.operators.Pinned.partitionedCheckpoint(
       pairs.unionAll(pairs.select($"dst".as("src"), $"src".as("dst"), $"w")),
       $"src")
-    val seeds = Tables.supplier(s, dir)
-      .filter($"s_suppkey" % 25 === 1)
-      .select(concat(lit("s"), $"s_suppkey").as("seed"))
+    val seeds = seedPanel(s, dir)
     var best = seeds.select($"seed", $"seed".as("node"), lit(BnInf).as("bn"))
     (1 to 3).foreach { _ =>
       val relaxed = best.join(edges, best("node") === edges("src"))
@@ -316,7 +340,7 @@ object Graph {
          |  UNION ALL
          |  SELECT dst AS src, src AS dst, w FROM pairs
          |), seeds AS (
-         |  SELECT 's' || s_suppkey AS seed FROM supplier WHERE s_suppkey % 25 = 1
+         |  $SeedPanelSql
          |), b0 AS (
          |  SELECT seed, seed AS node, CAST($BnInf AS BIGINT) AS bn FROM seeds
          |), r1 AS (
@@ -352,7 +376,7 @@ object Graph {
       // MATERIALIZED on the edge CTEs — the q202 lesson: DuckDB inlines
       // multiply-referenced CTEs and the trade-pair join would re-expand
       // once per hop.
-      """WITH pairs AS MATERIALIZED (
+      s"""WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |), und AS MATERIALIZED (
@@ -360,7 +384,7 @@ object Graph {
         |  UNION ALL
         |  SELECT dst AS src, src AS dst FROM pairs
         |), seeds AS (
-        |  SELECT 's' || s_suppkey AS seed FROM supplier WHERE s_suppkey % 25 = 1
+        |  $SeedPanelSql
         |), hop0 AS (SELECT seed, seed AS node FROM seeds),
         |hop1 AS (SELECT DISTINCT h.seed, e.dst AS node
         |         FROM hop0 h JOIN und e ON h.node = e.src),

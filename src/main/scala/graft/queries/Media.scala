@@ -19,6 +19,22 @@ import graft.operators.Multimodal
   * around as bytes); feature extraction over decoded media is the
   * training-data-pipeline extension (SURVEY §2.C).
   */
+/** Decoded-pixel stats returned by q283's decode UDF. Top-level and
+  * public ON PURPOSE: a `private case class` nested in the query object
+  * is invisible to Janino, so every projection over the struct falls
+  * back to interpreted mode (`WARN UnsafeProjection: Expr codegen
+  * error`) — correctness survives but the whole-stage-codegen contract
+  * doesn't. Same rationale for [[AudioStats]]/[[VideoStats]]. */
+case class PxStats(sum_lum: Long, n_bright: Long, exact: Boolean)
+
+/** Decoded-sample stats returned by q286's decode UDF (see [[PxStats]]
+  * for why top-level public). */
+case class AudioStats(sum_abs: Long, n_zero_cross: Long, exact: Boolean)
+
+/** Decoded-frame stats returned by q287's decode UDF (see [[PxStats]]
+  * for why top-level public). */
+case class VideoStats(n_frames: Long, ok: Boolean)
+
 object Media {
 
   private val W = 16
@@ -28,8 +44,6 @@ object Media {
     * Chosen so the ORACLE can recompute it with one unnested index join —
     * no codec on the oracle side, a REAL codec on the Spark side. */
   private def gray(pk: Long, i: Int): Int = ((pk * 37 + i * 11) % 256).toInt
-
-  private case class PxStats(sum_lum: Long, n_bright: Long, exact: Boolean)
 
   /** Multimodal image-feature census — the decode/feature-extract shape
     * of a training-data pipeline as a DECLARED query: synthesize one
@@ -96,8 +110,6 @@ object Media {
   private def pcm(ck: Long, i: Int): Int =
     (((ck * 13 + i * 7) % 65536) - 32768).toInt
 
-  private case class AudioStats(sum_abs: Long, n_zero_cross: Long, exact: Boolean)
-
   /** Multimodal AUDIO census — q283's contract applied to the second
     * modality: synthesize one 256-sample 16-bit PCM clip per customer
     * from a closed form, encode through the REAL `javax.sound` WAV
@@ -149,8 +161,6 @@ object Media {
 
   private val VW = 32
   private val VH = 24
-
-  private case class VideoStats(n_frames: Long, ok: Boolean)
 
   /** Multimodal VIDEO census — the third modality under the gate, with
     * the contract JPEG's LOSSINESS forces: structural integers are

@@ -1582,7 +1582,7 @@ object Relational {
          |)
          |SELECT l_partkey, value_cents
          |FROM v CROSS JOIN t
-         |WHERE value_cents * n_parts > 2 * total
+         |WHERE CAST(value_cents AS HUGEINT) * n_parts > 2 * CAST(total AS HUGEINT)
          |ORDER BY value_cents DESC, l_partkey ASC""".stripMargin,
     "q285_ship_priority_census" ->
       """SELECT l_returnflag,

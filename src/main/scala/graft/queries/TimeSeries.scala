@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import Portable._
@@ -386,7 +387,11 @@ object TimeSeries {
     * (`last(crossing, ignoreNulls)` over the running frame — in-band
     * days contribute NULL and inherit). Threshold comparisons are exact
     * cross-multiplications (5·n·cents vs 6·S / 4·S — no float average),
-    * with the per-priority totals attached by broadcast. Census: alert
+    * promoted to decimal(38,0)/HUGEINT on both sides so the n·cents and
+    * 6·S products cannot wrap past 2⁶³ at any corpus (the q251/q203
+    * envelope stance — LongType left only one order of magnitude of
+    * headroom at sf100k-class totals), with the per-priority totals
+    * attached by broadcast. Census: alert
     * days + flap count per priority. */
   def hysteresisAlerting(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -398,10 +403,12 @@ object TimeSeries {
       .agg(sum($"cents").as("s"), count(lit(1)).as("n"))
     val w = Window.partitionBy($"prio").orderBy($"day".asc)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d38 = DecimalType(38, 0)
+    val lhs = lit(5L).cast(d38) * $"n" * $"cents"
     val lv = daily.join(broadcast(tot), "prio")
       .withColumn("crossing",
-        when(lit(5L) * $"n" * $"cents" > lit(6L) * $"s", 1)
-          .when(lit(5L) * $"n" * $"cents" < lit(4L) * $"s", -1)
+        when(lhs > lit(6L).cast(d38) * $"s", 1)
+          .when(lhs < lit(4L).cast(d38) * $"s", -1)
           .otherwise(lit(null).cast("int")))
       .withColumn("state",
         coalesce(last($"crossing", ignoreNulls = true).over(run), lit(-1)))
@@ -971,8 +978,8 @@ object TimeSeries {
          |  FROM daily GROUP BY 1
          |), lv AS (
          |  SELECT daily.prio, day,
-         |         CASE WHEN 5 * n * cents > 6 * s THEN 1
-         |              WHEN 5 * n * cents < 4 * s THEN -1 END AS crossing
+         |         CASE WHEN 5 * n * CAST(cents AS HUGEINT) > 6 * CAST(s AS HUGEINT) THEN 1
+         |              WHEN 5 * n * CAST(cents AS HUGEINT) < 4 * CAST(s AS HUGEINT) THEN -1 END AS crossing
          |  FROM daily JOIN tot ON daily.prio = tot.prio
          |), st AS (
          |  SELECT prio, day,

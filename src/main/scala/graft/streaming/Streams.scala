@@ -14,8 +14,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Every windowed transform is a plain `DataFrame => DataFrame`, applied
   * identically to a batch frame or a stream: the batch run IS the oracle
-  * (streaming results are validated by batch equivalence in the test suite,
-  * not DuckDB — sketch in `.claude/skills/verify/SKILL.md`).
+  * (streaming results are validated by batch equivalence in StreamsSpec,
+  * not DuckDB — each transform is run once as a checkpointed stream and
+  * once as a batch frame over the same files, and the outputs compared).
   *
   * Scale: streaming aggs shuffle by (window, key); watermarks bound state
   * size — without them, 100 TB of history accumulates in the state store.
@@ -434,21 +435,26 @@ object Streams {
       checkpointDir: String,
       sourceOptions: Map[String, String]): Seq[Long] = {
     val st = spark.read.parquet(inDir).schema
-    val counts = new scala.collection.mutable.ArrayBuffer[Long]
+    // Keyed by batchId, not appended: foreachBatch is AT-LEAST-ONCE (a
+    // transiently failed micro-batch re-runs under the same batchId), so
+    // an append buffer would double-count the retried epoch even though
+    // its data is delivered once. Overwrite-by-id makes the retry
+    // idempotent; emission in batchId order restores execution order.
+    val counts = new scala.collection.mutable.HashMap[Long, Long]
     val reader = sourceOptions.foldLeft(spark.readStream.schema(st)) {
       case (r, (k, v)) => r.option(k, v)
     }
     val q = reader.parquet(inDir)
       .writeStream
-      .foreachBatch { (df: DataFrame, _: Long) =>
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
         val n = df.count()
-        if (n > 0) counts.synchronized { counts += n }
+        if (n > 0) counts.synchronized { counts(batchId) = n }
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    counts.toSeq
+    counts.toSeq.sortBy(_._1).map(_._2)
   }
 }

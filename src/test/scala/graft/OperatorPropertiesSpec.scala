@@ -470,8 +470,11 @@ class OperatorPropertiesSpec extends SparkSpec {
       .select(concat(lit("c"), $"o_custkey").as("src"),
         concat(lit("s"), $"l_suppkey").as("dst")).distinct()
     val und = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
+    // same fixed panel as the declared form: first 40 suppliers by key
+    // (bounded K, not a fraction — the r10 mod screen made |seeds| grow
+    // with the table and the traversal O(SF²))
     val seeds = graft.Tables.supplier(spark, sfDir)
-      .filter($"s_suppkey" % 25 === 1)
+      .orderBy($"s_suppkey".asc).limit(40)
       .select(concat(lit("s"), $"s_suppkey").as("seed"))
     var reach = seeds.select($"seed", $"seed".as("node"))
     (1 to 3).foreach { _ =>
