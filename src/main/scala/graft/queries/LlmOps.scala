@@ -1999,38 +1999,71 @@ object LlmOps {
       .orderBy($"qid", $"rn")
   }
 
+  /** Fixed labeled-pool size for q193 — a BOUNDED panel (the first K
+    * vectors by vec_id), not a fraction of the table. The r10 form had
+    * the asymmetry backwards: it made the PROBES the bounded-looking
+    * side via `vec_id % 20 = 0` — a fixed FRACTION, so the broadcast
+    * side grew O(SF) and the brute-force candidate pass grew O(SF²)
+    * (measured on the dims-scaled soak: 80× cost for 10× data — the
+    * q288 seed-fraction shape in ANN clothing). The realistic asymmetry
+    * is the reverse: the LABELED pool is what's small (labels are
+    * expensive), the unlabeled pool is what scales. */
+  private val LabelPanelK = 100
+
   /** Semi-supervised k-NN label voting — the auto-labeling operator a
     * training-data pipeline runs when a small labeled pool must annotate
-    * a large unlabeled one: every 20th vector plays "unlabeled" probe,
-    * the rest are the labeled corpus; each probe takes its 5 nearest
-    * labeled neighbors by cosine and adopts the majority label (ties →
-    * smallest label — deterministic, like every tie in this suite). The
-    * probe's own held-out label rides along, so the output doubles as a
-    * leave-out accuracy census. Scale shape: the probe pool broadcasts
-    * (q45/q163 contract — the corpus NEVER shuffles), neighbor ranking is
-    * a per-probe window, and the vote is an integer count over ≤k rows
-    * per probe; swap the brute-force candidate pass for the q46 sign-LSH
-    * bucket join or q53's IVF cells when the probe pool outgrows a
-    * broadcast. */
+    * a large unlabeled one: the first [[LabelPanelK]] vectors play the
+    * labeled pool, EVERY other vector is an unlabeled probe; each probe
+    * takes its 5 nearest labeled neighbors by cosine and adopts the
+    * majority label (ties → smallest label — deterministic, like every
+    * tie in this suite). The probe's own held-out label rides along, so
+    * the output doubles as a leave-out accuracy census. Scale shape:
+    * the BOUNDED panel collapses to one array row and broadcasts; each
+    * probe scores it with higher-order functions (the per-pair cosine is
+    * the exact q45 op tree), sorts the ≤K scored structs in-row, and
+    * votes over the top-5 slice — a SCAN-ONLY plan: zero shuffle, zero
+    * window, work and output both O(|probes|·K) = linear in the corpus
+    * at any SF (dims-scaled soak in docs/PLANS.md). The r10 form's
+    * per-probe rank window and O(SF) broadcast are gone — this is the
+    * same panel-bounding fix as the q288/q290 seed panel. */
   def knnLabelVote(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val probes = e.filter($"vec_id" % 20 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"label".as("true_label"))
-    val corpus = e.filter($"vec_id" % 20 =!= 0)
-      .select($"vec_id".as("vid"), $"label", $"embedding".as("ve"))
-    val wTop = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
-    val wVote = Window.partitionBy($"qid").orderBy($"votes".desc, $"label".asc)
-    broadcast(probes).join(corpus, $"qid" =!= $"vid")
-      .withColumn("cos", cosine(s)($"qe", $"ve"))
-      .withColumn("rn", row_number().over(wTop))
-      .filter($"rn" <= 5)
-      .groupBy($"qid", $"true_label", $"label")
-      .agg(count(lit(1)).as("votes"))
-      .withColumn("r", row_number().over(wVote))
-      .filter($"r" === 1)
-      .select($"qid", $"label".as("pred_label"), $"votes",
-        $"true_label", ($"label" === $"true_label").as("correct"))
+    val panel = e.filter($"vec_id" < LabelPanelK)
+      .select(struct($"vec_id".as("vid"), $"label",
+        $"embedding".as("ve")).as("p"))
+      .agg(sort_array(collect_list($"p")).as("panel"))
+    val probes = e.filter($"vec_id" >= LabelPanelK)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        $"label".as("true_label"))
+    val byCosDescVidAsc = (l: Column, r: Column) =>
+      when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1)
+        .when(l.getField("vid") < r.getField("vid"), -1)
+        .when(l.getField("vid") > r.getField("vid"), 1)
+        .otherwise(0)
+    val byVotesDescLabelAsc = (l: Column, r: Column) =>
+      when(l.getField("votes") > r.getField("votes"), -1)
+        .when(l.getField("votes") < r.getField("votes"), 1)
+        .when(l.getField("label") < r.getField("label"), -1)
+        .when(l.getField("label") > r.getField("label"), 1)
+        .otherwise(0)
+    probes.crossJoin(broadcast(panel))
+      .withColumn("top5", slice(array_sort(
+        transform($"panel", p => struct(
+          cosine(s)($"qe", p.getField("ve")).as("cos"),
+          p.getField("vid").as("vid"),
+          p.getField("label").as("label"))),
+        byCosDescVidAsc), 1, 5))
+      .withColumn("labels", transform($"top5", x => x.getField("label")))
+      .withColumn("win", element_at(array_sort(
+        transform(array_distinct($"labels"), lb => struct(
+          size(filter($"labels", x => x === lb)).as("votes"),
+          lb.as("label"))),
+        byVotesDescLabelAsc), 1))
+      .select($"qid", $"win.label".as("pred_label"),
+        $"win.votes".cast("long").as("votes"), $"true_label",
+        ($"win.label" === $"true_label").as("correct"))
       .orderBy($"qid")
   }
 
@@ -2483,8 +2516,8 @@ object LlmOps {
          |    SELECT p.vec_id AS qid, p.label AS true_label,
          |           c.vec_id AS vid, c.label AS label,
          |           ${cosSql("p.embedding", "c.embedding")} AS cos
-         |    FROM (SELECT * FROM embeddings WHERE vec_id % 20 = 0) p
-         |    JOIN (SELECT * FROM embeddings WHERE vec_id % 20 <> 0) c
+         |    FROM (SELECT * FROM embeddings WHERE vec_id >= $LabelPanelK) p
+         |    JOIN (SELECT * FROM embeddings WHERE vec_id < $LabelPanelK) c
          |      ON p.vec_id <> c.vec_id)
          |), vote AS (
          |  SELECT qid, true_label, label, count(*) AS votes
