@@ -248,28 +248,58 @@ object Graph {
     * docs/PLANS.md; the r10 mod-screen form was O(SF²) and the
     * facts-only soak masked it); every join/distinct/anti is keyed;
     * nothing is ever broadcast on the growing side. */
-  def bfsReachability(s: SparkSession, dir: String): DataFrame = {
+  /** The undirected customer↔supplier trade graph as a pinned,
+    * src-partitioned edge list (Pinned.partitionedCheckpoint — every
+    * consumer joins on src exchange-free). Shared by q288's BFS and
+    * q291's sketch propagation. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e0 = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
       .select(concat(lit("c"), $"o_custkey").as("src"),
         concat(lit("s"), $"l_suppkey").as("dst"))
       .distinct()
-    val edges = graft.operators.Pinned.partitionedCheckpoint(
+    graft.operators.Pinned.partitionedCheckpoint(
       e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst"))),
-      $"src") // read by all 3 hops
-    val seeds = seedPanel(s, dir)
-    var visited = seeds.select($"seed", $"seed".as("node"))
+      $"src")
+  }
+
+  /** 3 unrolled BFS hops from `seeds` (a `seed` column) over pinned
+    * `edges`: returns the visited (seed, node) set, seed rows included.
+    * Each hop: keyed join → distinct → anti vs visited, so the frontier
+    * stays the BFS frontier, not the walk multiset.
+    *
+    * The per-hop state is PINNED (partitionedCheckpoint on (seed, node))
+    * because each hop references the prior state twice — `visited` in
+    * the anti-join and again in the union, `frontier` in the expansion —
+    * and a lazy plan re-evaluates a twice-referenced subtree per
+    * reference, compounding per hop (ReuseExchange recovers some but
+    * not all of it: measured 7.3 s unpinned vs 3.0 s pinned for the
+    * 10-seed panel at sf0.1). The pins are the K·|seeds-reachable| state
+    * the traversal carries anyway, hash-placed once so the anti-join and
+    * union consume them exchange-free. */
+  private def bfsVisited(seeds: DataFrame, edges: DataFrame): DataFrame = {
+    var visited = seeds.select(col("seed"), col("seed").as("node"))
     var frontier = visited
     (1 to 3).foreach { _ =>
-      val next = frontier.join(edges, frontier("node") === edges("src"))
-        .select($"seed", $"dst".as("node"))
-        .distinct()
-        .join(visited, Seq("seed", "node"), "left_anti")
-      visited = visited.unionAll(next)
+      val next = graft.operators.Pinned.partitionedCheckpoint(
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("seed"), col("dst").as("node"))
+          .distinct()
+          .join(visited, Seq("seed", "node"), "left_anti"),
+        col("seed"), col("node"))
+      visited = graft.operators.Pinned.partitionedCheckpoint(
+        visited.unionAll(next), col("seed"), col("node"))
       frontier = next
     }
-    visited.groupBy($"seed")
+    visited
+  }
+
+  def bfsReachability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    bfsVisited(seedPanel(s, dir), edges)
+      .groupBy($"seed")
       .agg((count(lit(1)) - 1).as("n_reachable_3hop"))
       .orderBy($"seed")
   }
@@ -322,13 +352,137 @@ object Graph {
       .orderBy($"seed")
   }
 
+  /** HLL precision for q291's per-node reach sketches: lgConfigK = 10 →
+    * 1 024 registers, ~3.25 % relative standard error, ~0.5 KB dense —
+    * the HyperBall working point (small enough that the per-hop
+    * |E|-row sketch shuffle stays modest, tight enough that the 15 %
+    * contract band is ≈4.6σ — a false flag is a non-event). */
+  private val ReachLgK = 10
+
+  /** q291's exact-verification panel: 10 suppliers (the first quarter of
+    * [[SeedPanelK]]'s panel). The EXACT 3-hop BFS for the panel is the
+    * expensive certification side (K·|V| working set), so it stays
+    * smaller than q288's census panel; the SKETCH side is all-nodes
+    * regardless. */
+  private val ReachPanelK = 10
+
+  /** All-sources 3-hop reach census via per-node HLL sketches — the
+    * HyperBall construction (Boldi–Rosa–Vigna's neighborhood-function
+    * algorithm, built from public descriptions of the HyperANF/HyperBall
+    * papers) and the genuinely 100 TB-shaped form of q288's question:
+    * q288 answers "how far does each of K seeds reach" with a K·|V|
+    * exact working set; this answers it for EVERY node at once with
+    * |V|-sized state at ANY seed count, because each node's reach SET is
+    * replaced by a fixed-size mergeable HLL sketch. Iteration k:
+    * sk_k(v) = sk_{k-1}(v) ∪ ⋃ neighbors' sk_{k-1} — one keyed join
+    * against the pinned src-partitioned edge list (scatter form: on the
+    * symmetrized graph, gather-by-dst ≡ scatter-from-src, so the SAME
+    * src pin q288 uses serves exchange-free here too), one
+    * hll_union_agg by destination, one |V|-row self-union. Hops unrolled
+    * in the plan. Per hop the shuffle is |E| rows × ~0.5 KB sketch —
+    * linear in edges, never a pair table.
+    *
+    * Contract (the q18/q92 bounded-error pattern): the sketch table is
+    * certified against the EXACT 3-hop BFS on a fixed 10-supplier panel
+    * ([[ReachPanelK]] — bounded, like every panel in this family):
+    * per panel seed, |est − exact| ≤ 15 %·exact must hold (estimate
+    * includes self, so exact+1), stated literally TRUE by the oracle;
+    * with lgK = 10's 3.25 % RSE the band is ≈4.6σ, so a false flag
+    * indicates a broken union/propagation, not sketch noise.
+    * `n_nodes_sketched` = |V| rides along exactly — the |V|-sized-state
+    * claim as a checked output, and DataSketches HLL unions are
+    * register-max merges (order-insensitive), so the estimates are
+    * deterministic under any shuffle layout. */
+  def reachSketchCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    // hop-0: each node's sketch holds exactly itself. distinct FIRST
+    // (exchange-free on the src-pinned edges), then the sketch agg runs
+    // over |V| rows instead of |E| — hll_sketch_agg is an object agg,
+    // so feeding it ~70× fewer rows is measurably cheaper than letting
+    // it fold the duplicate key values itself.
+    // Each hop references the previous sketch table TWICE (the edge
+    // gather and the self-union), so it must be PINNED per hop or the
+    // lazy plan re-evaluates hop k−1 twice per reference — 2³ = 8
+    // recomputations of hop 0 by hop 3 (measured: 27.6 s unpinned vs
+    // ~6 s pinned at sf0.1). Pinning HASH-PARTITIONED on node also
+    // makes both consumers exchange-free: the gather join matches the
+    // src-pinned edges side, and the groupBy(dst) output arrives
+    // already hash-distributed on node for the self-union join. The
+    // pin is |V| rows × ~0.5 KB — megabytes at any corpus.
+    var sk = graft.operators.Pinned.partitionedCheckpoint(
+      edges.select($"src".as("node")).distinct()
+        .groupBy($"node")
+        .agg(hll_sketch_agg($"node", ReachLgK).as("sk")),
+      $"node")
+    (1 to 3).foreach { _ =>
+      val gathered = sk.join(edges, sk("node") === edges("src"))
+        .groupBy($"dst".as("node"))
+        .agg(hll_union_agg($"sk").as("nbr"))
+      sk = graft.operators.Pinned.partitionedCheckpoint(
+        sk.join(gathered, "node")
+          .select($"node", hll_union($"sk", $"nbr").as("sk")),
+        $"node")
+    }
+    val est = sk.select($"node",
+      hll_sketch_estimate($"sk").as("est"))
+    val nNodes = est.agg(count(lit(1)).as("n_nodes_sketched"))
+    val seeds = Tables.supplier(s, dir)
+      .orderBy($"s_suppkey".asc).limit(ReachPanelK)
+      .select(concat(lit("s"), $"s_suppkey").as("seed"))
+    val exact = bfsVisited(seeds, edges)
+      .groupBy($"seed").agg((count(lit(1)) - 1).as("n_reachable_3hop"))
+    val exactP1 = ($"n_reachable_3hop" + 1).cast("double")
+    exact.join(est, exact("seed") === est("node"))
+      .crossJoin(broadcast(nNodes))
+      .select($"seed", $"n_reachable_3hop", $"n_nodes_sketched",
+        (abs($"est" - exactP1) <= lit(0.15) * exactP1)
+          .as("sketch_within_15pct"))
+      .orderBy($"seed")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_triangle_census" -> triangleCensus,
     "q288_bfs_reachability" -> bfsReachability,
     "q290_widest_path_census" -> widestPathCensus,
+    "q291_reach_sketch_census" -> reachSketchCensus,
     "q197_pagerank_fixed_point" -> pageRank)
 
   val oracles: Map[String, String] = Map(
+    "q291_reach_sketch_census" ->
+      // exact 3-hop reach for the 10-seed panel (the q288 unrolled
+      // DISTINCT-hop form), |V| from the edge list, and the sketch
+      // tolerance flag stated literally TRUE — the q18/q92 contract:
+      // DuckDB cannot rebuild a DataSketches HLL, but it can state the
+      // bound the estimate must satisfy.
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |), und AS MATERIALIZED (
+         |  SELECT src, dst FROM pairs
+         |  UNION ALL
+         |  SELECT dst AS src, src AS dst FROM pairs
+         |), seeds AS (
+         |  SELECT 's' || s_suppkey AS seed FROM supplier ORDER BY s_suppkey LIMIT $ReachPanelK
+         |), hop0 AS (SELECT seed, seed AS node FROM seeds),
+         |hop1 AS (SELECT DISTINCT h.seed, e.dst AS node
+         |         FROM hop0 h JOIN und e ON h.node = e.src),
+         |hop2 AS (SELECT DISTINCT h.seed, e.dst AS node
+         |         FROM hop1 h JOIN und e ON h.node = e.src),
+         |hop3 AS (SELECT DISTINCT h.seed, e.dst AS node
+         |         FROM hop2 h JOIN und e ON h.node = e.src),
+         |reach AS (
+         |  SELECT seed, node FROM hop0
+         |  UNION SELECT seed, node FROM hop1
+         |  UNION SELECT seed, node FROM hop2
+         |  UNION SELECT seed, node FROM hop3
+         |), nn AS (SELECT count(DISTINCT src) AS n FROM und)
+         |SELECT seed, CAST(count(*) - 1 AS BIGINT) AS n_reachable_3hop,
+         |       (SELECT CAST(n AS BIGINT) FROM nn) AS n_nodes_sketched,
+         |       TRUE AS sketch_within_15pct
+         |FROM reach
+         |GROUP BY seed
+         |ORDER BY seed""".stripMargin,
     "q290_widest_path_census" ->
       s"""WITH pairs AS MATERIALIZED (
          |  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,

@@ -488,6 +488,29 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(declared.nonEmpty && declared.values.forall(_ >= 0L))
   }
 
+  test("q291 sketch census: panel exact matches q288 BFS; |V| exact; flags true") {
+    // cross-query invariant: q291's exact column is the same 3-hop BFS
+    // as q288's census, on the first-10 sub-panel — the values must
+    // agree row-for-row. The sketch side is certified by the in-query
+    // 15% band (lgK=10 ≈ 3.25% RSE, so a false flag means broken
+    // propagation, not noise) and by n_nodes_sketched = |V| exactly.
+    val sk = graft.queries.Graph.reachSketchCensus(spark, sfDir).collect()
+    assert(sk.nonEmpty && sk.length <= 10)
+    val bfs = graft.queries.Graph.bfsReachability(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val e0 = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst")).distinct()
+    val nv = e0.select($"src").unionAll(e0.select($"dst")).distinct().count()
+    sk.foreach { r =>
+      assert(r.getLong(1) === bfs(r.getString(0)),
+        s"exact reach mismatch vs q288 for ${r.getString(0)}")
+      assert(r.getLong(2) === nv, "n_nodes_sketched must be |V| exactly")
+      assert(r.getBoolean(3), s"sketch band violated for ${r.getString(0)}")
+    }
+  }
+
   test("q290 widest-path reach agrees with q288 BFS; bottlenecks within edge range") {
     // same seeds, same graph, same hop bound: a node has a bottleneck
     // value iff it is BFS-reachable, so the reach counts must agree
