@@ -226,28 +226,6 @@ object Graph {
   private val SeedPanelSql: String =
     s"SELECT 's' || s_suppkey AS seed FROM supplier ORDER BY s_suppkey LIMIT $SeedPanelK"
 
-  /** Multi-source 3-hop BFS reachability census — the TRAVERSAL member
-    * of the graph family next to q197's fixpoint VALUES and q76's
-    * component LABELS: from every seed supplier (the fixed [[seedPanel]]
-    * of K suppliers), expand frontiers over the undirected
-    * customer↔supplier trade graph and report how many distinct nodes
-    * each seed reaches within 3 hops — the "blast radius" question
-    * (supply-chain exposure, contagion, account-linking) asked directly.
-    * Mechanics: frontier = (seed, node) pairs; each hop is one keyed
-    * join against the SAME pinned src-partitioned edge list q197
-    * established (Pinned.partitionedCheckpoint — every hop reads it
-    * exchange-free), then distinct + ANTI-join against the visited set,
-    * so re-reached nodes never re-expand (the frontier stays the BFS
-    * frontier, not the walk multiset — on a dense graph the naive
-    * re-expansion multiplies by average degree per hop). Hop count is
-    * fixed in the PLAN (unrolled), not driver-looped. The oracle unrolls
-    * the same three hops as DISTINCT joins and unions them — set
-    * semantics make frontier-vs-full-expansion provably identical.
-    * Scale: frontier size ≤ K·|V| with K the FIXED seed-panel size —
-    * O(SF) linear in the data, verified by the dims-scaled soak (see
-    * docs/PLANS.md; the r10 mod-screen form was O(SF²) and the
-    * facts-only soak masked it); every join/distinct/anti is keyed;
-    * nothing is ever broadcast on the growing side. */
   /** The undirected customer↔supplier trade graph as a pinned,
     * src-partitioned edge list (Pinned.partitionedCheckpoint — every
     * consumer joins on src exchange-free). Shared by q288's BFS and
@@ -295,6 +273,28 @@ object Graph {
     visited
   }
 
+  /** Multi-source 3-hop BFS reachability census — the TRAVERSAL member
+    * of the graph family next to q197's fixpoint VALUES and q76's
+    * component LABELS: from every seed supplier (the fixed [[seedPanel]]
+    * of K suppliers), expand frontiers over the undirected
+    * customer↔supplier trade graph and report how many distinct nodes
+    * each seed reaches within 3 hops — the "blast radius" question
+    * (supply-chain exposure, contagion, account-linking) asked directly.
+    * Mechanics: frontier = (seed, node) pairs; each hop is one keyed
+    * join against the SAME pinned src-partitioned edge list q197
+    * established (Pinned.partitionedCheckpoint — every hop reads it
+    * exchange-free), then distinct + ANTI-join against the visited set,
+    * so re-reached nodes never re-expand (the frontier stays the BFS
+    * frontier, not the walk multiset — on a dense graph the naive
+    * re-expansion multiplies by average degree per hop). Hop count is
+    * fixed in the PLAN (unrolled), not driver-looped. The oracle unrolls
+    * the same three hops as DISTINCT joins and unions them — set
+    * semantics make frontier-vs-full-expansion provably identical.
+    * Scale: frontier size ≤ K·|V| with K the FIXED seed-panel size —
+    * O(SF) linear in the data, verified by the dims-scaled soak (see
+    * docs/PLANS.md; the r10 mod-screen form was O(SF²) and the
+    * facts-only soak masked it); every join/distinct/anti is keyed;
+    * nothing is ever broadcast on the growing side. */
   def bfsReachability(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = tradeEdges(s, dir)
@@ -433,10 +433,17 @@ object Graph {
     val exact = bfsVisited(seeds, edges)
       .groupBy($"seed").agg((count(lit(1)) - 1).as("n_reachable_3hop"))
     val exactP1 = ($"n_reachable_3hop" + 1).cast("double")
-    exact.join(est, exact("seed") === est("node"))
+    // LEFT join: a panel supplier with zero trades has no edges, so the
+    // edge-derived sketch table has no row for it — an inner join would
+    // silently drop the seed while the oracle still emits it with reach
+    // 0 and flag TRUE. For such a seed the sketch is vacuously within
+    // band (there is nothing to estimate), so the flag coalesces to
+    // `reach == 0` — TRUE exactly when the absence is legitimate.
+    exact.join(est, exact("seed") === est("node"), "left")
       .crossJoin(broadcast(nNodes))
       .select($"seed", $"n_reachable_3hop", $"n_nodes_sketched",
-        (abs($"est" - exactP1) <= lit(0.15) * exactP1)
+        coalesce(abs($"est" - exactP1) <= lit(0.15) * exactP1,
+          $"n_reachable_3hop" === 0)
           .as("sketch_within_15pct"))
       .orderBy($"seed")
   }

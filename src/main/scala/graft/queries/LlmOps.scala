@@ -2029,11 +2029,21 @@ object LlmOps {
   def knnLabelVote(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val panel = e.filter($"vec_id" < LabelPanelK)
+    // The labeled pool is the first K vectors BY ORDER, not by the
+    // key-range predicate `vec_id < K` — that shape is the q288
+    // seed-fraction trap in miniature: with sparse or offset vec_ids a
+    // range screen silently shrinks (an empty panel would make the
+    // element_at below error under ANSI), while orderBy(..).limit(K)
+    // is a true bounded panel on ANY key population (LIMIT-based
+    // oracle CTE matches it exactly).
+    val panel = e.orderBy($"vec_id".asc).limit(LabelPanelK)
       .select(struct($"vec_id".as("vid"), $"label",
         $"embedding".as("ve")).as("p"))
       .agg(sort_array(collect_list($"p")).as("panel"))
-    val probes = e.filter($"vec_id" >= LabelPanelK)
+    // Probes = everything OUTSIDE the panel, decided against the same
+    // broadcast panel row the scorer consumes (no second join, no
+    // key-range assumption): one `exists` over the ≤K-element array.
+    val probes = e
       .select($"vec_id".as("qid"), $"embedding".as("qe"),
         $"label".as("true_label"))
     val byCosDescVidAsc = (l: Column, r: Column) =>
@@ -2049,6 +2059,7 @@ object LlmOps {
         .when(l.getField("label") > r.getField("label"), 1)
         .otherwise(0)
     probes.crossJoin(broadcast(panel))
+      .filter(!exists($"panel", p => p.getField("vid") === $"qid"))
       .withColumn("top5", slice(array_sort(
         transform($"panel", p => struct(
           cosine(s)($"qe", p.getField("ve")).as("cos"),
@@ -2508,7 +2519,9 @@ object LlmOps {
          |FROM maps
          |ORDER BY doc_id""".stripMargin,
     "q193_knn_label_vote" ->
-      s"""WITH top AS (
+      s"""WITH pool AS MATERIALIZED (
+         |  SELECT * FROM embeddings ORDER BY vec_id LIMIT $LabelPanelK
+         |), top AS (
          |  SELECT qid, true_label, label,
          |         row_number() OVER (PARTITION BY qid
          |           ORDER BY cos DESC, vid ASC) AS rn
@@ -2516,9 +2529,9 @@ object LlmOps {
          |    SELECT p.vec_id AS qid, p.label AS true_label,
          |           c.vec_id AS vid, c.label AS label,
          |           ${cosSql("p.embedding", "c.embedding")} AS cos
-         |    FROM (SELECT * FROM embeddings WHERE vec_id >= $LabelPanelK) p
-         |    JOIN (SELECT * FROM embeddings WHERE vec_id < $LabelPanelK) c
-         |      ON p.vec_id <> c.vec_id)
+         |    FROM (SELECT * FROM embeddings
+         |          WHERE vec_id NOT IN (SELECT vec_id FROM pool)) p
+         |    JOIN pool c ON p.vec_id <> c.vec_id)
          |), vote AS (
          |  SELECT qid, true_label, label, count(*) AS votes
          |  FROM top WHERE rn <= 5 GROUP BY 1, 2, 3)

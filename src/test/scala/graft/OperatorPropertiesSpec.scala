@@ -534,4 +534,82 @@ class OperatorPropertiesSpec extends SparkSpec {
       .agg(max($"w")).collect()(0).getLong(0)
     wide.foreach(r => assert(r.getLong(2) <= maxW))
   }
+
+  test("q291 keeps edge-less panel seeds: reach 0, flag true, not dropped") {
+    // A panel supplier with zero lineitem rows has no edges, so the
+    // edge-derived sketch table has no row for it; the join must be
+    // LEFT (an inner join silently drops the seed while the oracle
+    // still emits reach 0 / flag TRUE). Supplier 1 never trades here.
+    val dir = java.nio.file.Files.createTempDirectory("edgeless_seed").toString
+    (1L to 12L).toDF("s_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    (1L to 20L).map(k => (k, (k % 5) + 1)).toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (1L to 20L).map(k => (k, 2L + (k % 11))).toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    val out = graft.queries.Graph.reachSketchCensus(spark, dir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size === 10, "all 10 panel seeds must survive the join")
+    assert(out.contains("s1"), "the edge-less seed must not be dropped")
+    val (reach1, _, flag1) = out("s1")
+    assert(reach1 === 0L && flag1, "edge-less seed: reach 0, flag TRUE")
+    // every trading seed reaches its 3-hop set and stays within band
+    out.removed("s1").foreach { case (seed, (reach, nv, flag)) =>
+      assert(reach > 0L, s"$seed should reach the connected component")
+      assert(nv === 16L, "|V| = 5 customers + 11 trading suppliers")
+      assert(flag, s"$seed sketch band violated")
+    }
+  }
+
+  test("q193 label panel is order-bounded, not key-ranged: sparse/offset vec_ids") {
+    // The labeled pool must be the first 100 vectors BY ORDER — a
+    // key-range screen (`vec_id < 100`) returns an EMPTY panel on this
+    // corpus (ids start at 5000, stride 7) and the vote's element_at
+    // would error under ANSI. Cross-check the declared scan-only form
+    // against an independent window-rank implementation on the same
+    // cosine expression.
+    val dir = java.nio.file.Files.createTempDirectory("sparse_emb").toString
+    val rows = (0 until 130).map { i =>
+      val vid = 5000L + 7L * i
+      val emb = (0 until 8).map(j => (((i * 31 + j * 17) % 13) - 6).toFloat / 4f)
+      (vid, emb, i % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val declared = SparkEntry.queries("q193_knn_label_vote")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.get(1).toString, r.getLong(2),
+        r.get(3).toString, r.getBoolean(4)))).toMap
+
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables.embeddings(spark, dir)
+    val pool = e.orderBy($"vec_id".asc).limit(100)
+    val scored = e.join(pool.select($"vec_id"), Seq("vec_id"), "left_anti")
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        $"label".as("true_label"))
+      .crossJoin(pool.select($"vec_id".as("vid"), $"label".as("clabel"),
+        $"embedding".as("ce")))
+      .withColumn("cos", VectorOps.cosine(spark)($"qe", $"ce"))
+    val top = scored.withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)))
+      .filter($"rn" <= 5)
+    val naive = top.groupBy($"qid", $"true_label", $"clabel")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"qid").orderBy($"votes".desc, $"clabel".asc)))
+      .filter($"r" === 1)
+      .collect().map(r => (r.getLong(0), (r.getAs[Any]("clabel").toString,
+        r.getLong(3), r.getAs[Any]("true_label").toString))).toMap
+
+    assert(declared.size === 30, "probes must be exactly the 30 non-panel rows")
+    assert(naive.size === 30)
+    declared.foreach { case (qid, (pred, votes, tru, correct)) =>
+      val (npred, nvotes, ntru) = naive(qid)
+      assert(pred === npred && votes === nvotes && tru === ntru,
+        s"q193 disagrees with window-rank oracle at qid=$qid")
+      assert(correct === (pred == tru))
+    }
+  }
 }
