@@ -109,6 +109,7 @@ object GraftFunctions {
   val extractListingsName = "graft_extract_listings"
   val bloomAggName = "graft_bloom_agg"
   val bloomProbeName = "graft_bloom_might_contain"
+  val cmsEstimateName = "graft_cms_estimate"
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier(vecDotName),
@@ -144,5 +145,11 @@ object GraftFunctions {
         bloomProbeName),
       (children: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children(0), children(1))))
+          children(0), children(1))),
+    // Probe side for Spark's native count_min_sketch aggregate: the build
+    // exists in the public FunctionRegistry but the estimate has no SQL or
+    // Column surface at all — this closes the pair (q292).
+    (FunctionIdentifier(cmsEstimateName),
+      new ExpressionInfo(classOf[CmsEstimate].getName, cmsEstimateName),
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
 }

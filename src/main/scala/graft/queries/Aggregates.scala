@@ -832,6 +832,64 @@ object Aggregates {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Count-min-sketch frequency CONTRACT — the point-frequency member of
+    * the sketch family (HLL distinct q18/q92, bloom membership q168,
+    * MinHash similarity q41): build ONE mergeable CMS over the full
+    * lineitem supplier stream with Spark's native `count_min_sketch`
+    * aggregate (partials merge associatively — per-partition/per-day
+    * sketch columns re-roll by cell-wise adds, the q92 incrementality
+    * story at 160 KB per sketch), then probe a bounded supplier panel
+    * ([[graft.functions.CmsEstimate]] — the probe Spark never shipped)
+    * and assert BOTH sides of the CMS guarantee as booleans the oracle
+    * states: estimates never underestimate (structural — counters only
+    * ever add), and stay within exact + ε·N (ε = 1/1000, width 2000,
+    * depth 10 at confidence 0.999 ⇒ a false flag is a 10⁻³-class event
+    * frozen by the fixed seed, i.e. a broken merge, not noise). The
+    * ε-band compare is INTEGER (est·1000 ≤ exact·1000 + N) — nothing FP
+    * crosses the hash compare. Panel is orderBy+limit (the q288/q193
+    * contract) and LEFT-joined so a supplier with zero lineitems stays
+    * (exact 0 — the estimate may still collide upward; the band is the
+    * claim that bounds it). Scale: the build is one map-side-combinable
+    * object agg over the fact stream; exact counts shuffle only the
+    * panel's keys after a broadcast semi screen; the probe is 10 rows
+    * against a broadcast 1-row sketch. */
+  def cmsFrequencyContract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, dir).select($"l_suppkey")
+    val sk = items.agg(
+      call_function("count_min_sketch",
+        $"l_suppkey", lit(0.001d), lit(0.999d), lit(42)).as("sk"),
+      count(lit(1)).as("n_total"))
+    val panel = Tables.supplier(s, dir)
+      .orderBy($"s_suppkey".asc).limit(10)
+      .select($"s_suppkey")
+    // separate DataFrame for the semi screen (same limit) — referencing
+    // `panel` twice across nested joins trips self-join ambiguity
+    val screen = Tables.supplier(s, dir)
+      .orderBy($"s_suppkey".asc).limit(10)
+      .select($"s_suppkey".as("pk"))
+    val cnts = items.join(broadcast(screen), $"l_suppkey" === $"pk", "left_semi")
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
+    val exact = panel.join(cnts, $"s_suppkey" === $"l_suppkey", "left")
+      .select($"s_suppkey", coalesce($"cnt", lit(0L)).as("exact_cnt"))
+    val est =
+      if (s.catalog.functionExists(graft.functions.GraftFunctions.cmsEstimateName))
+        call_function(graft.functions.GraftFunctions.cmsEstimateName,
+          $"sk", $"s_suppkey".cast("long"))
+      else {
+        // foreign-session fallback: same helper, scalar UDF wrapper (the
+        // probe is 10 rows — never a hot path)
+        val f = udf((b: Array[Byte], k: Long) =>
+          graft.functions.CmsEstimateHelper.estimate(b, k))
+        f($"sk", $"s_suppkey".cast("long"))
+      }
+    exact.crossJoin(broadcast(sk))
+      .select($"s_suppkey", $"exact_cnt", $"n_total",
+        (est >= $"exact_cnt").as("cms_no_underestimate"),
+        (est * 1000L <= $"exact_cnt" * 1000L + $"n_total").as("cms_within_eps"))
+      .orderBy($"s_suppkey")
+  }
+
   /** Pareto frontier (2-D skyline) — customers no other customer beats on
     * BOTH spend and order count: the multi-objective "best" query
     * recommendation and procurement analytics ask. The naive form is the
@@ -1788,6 +1846,7 @@ object Aggregates {
     "q171_sliding_distinct_hll" -> slidingDistinctHll,
     "q169_pareto_frontier" -> paretoFrontier,
     "q168_agg_bloom_contract" -> bloomFilterContract,
+    "q292_cms_frequency_contract" -> cmsFrequencyContract,
     "q166_agg_mad_outliers" -> madOutliers,
     "q167_agg_weighted_median" -> weightedMedian,
     "q162_stat_crosstab" -> crosstabAgg,
@@ -2410,6 +2469,23 @@ object Aggregates {
          |WHERE (best_richer IS NULL OR n_orders > best_richer)
          |  AND n_orders = best_tie
          |ORDER BY spend_cents DESC, o_custkey ASC""".stripMargin,
+    // contract oracle (q18/q168 pattern): the exact panel counts and N
+    // are re-derived from rows; both CMS guarantees are stated as the
+    // constants the sketch must earn (no-underestimate is structural,
+    // the eps-band is 4+ sigma at this sizing with the seed frozen).
+    "q292_cms_frequency_contract" ->
+      """WITH panel AS (
+        |  SELECT s_suppkey FROM supplier ORDER BY s_suppkey LIMIT 10
+        |), cnt AS (
+        |  SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1
+        |), n AS (SELECT count(*) AS n_total FROM lineitem)
+        |SELECT s_suppkey,
+        |       CAST(coalesce(c, 0) AS BIGINT) AS exact_cnt,
+        |       (SELECT CAST(n_total AS BIGINT) FROM n) AS n_total,
+        |       TRUE AS cms_no_underestimate,
+        |       TRUE AS cms_within_eps
+        |FROM panel LEFT JOIN cnt ON s_suppkey = l_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
     // contract oracle (q18 pattern): member misses MUST be zero (bloom
     // false negatives are impossible) and the FP rate must respect the
     // sizing bound — both stated as constants the Spark side must earn.

@@ -535,6 +535,38 @@ class OperatorPropertiesSpec extends SparkSpec {
     wide.foreach(r => assert(r.getLong(2) <= maxW))
   }
 
+  test("q292 CMS contract: native and fallback probes agree; zero-count keys kept") {
+    val out = SparkEntry.queries("q292_cms_frequency_contract")(spark, sfDir)
+      .collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      assert(r.getBoolean(3), s"CMS underestimated for ${r.get(0)}")
+      assert(r.getBoolean(4), s"CMS eps band violated for ${r.get(0)}")
+    }
+    // a plain session has no graft_cms_estimate → the scalar-UDF fallback
+    // runs; both paths call the one helper, so rows must be identical
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.shuffle.partitions", "4")
+    plain.conf.set("spark.sql.session.timeZone", "UTC")
+    val out2 = graft.queries.Aggregates.cmsFrequencyContract(plain, sfDir)
+      .collect()
+    assert(out.map(_.toSeq).toSeq === out2.map(_.toSeq).toSeq)
+
+    // a panel supplier with zero lineitem rows must survive with exact 0
+    // (LEFT join) and still satisfy both bounds
+    val dir = java.nio.file.Files.createTempDirectory("cms_zero").toString
+    (1L to 12L).toDF("s_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    (1L to 200L).map(k => (k, 2L + (k % 11)))
+      .toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val z = graft.queries.Aggregates.cmsFrequencyContract(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3), r.getBoolean(4)))
+    assert(z.length === 10)
+    val s1 = z.find(_._1 == 1L).get
+    assert(s1._2 === 0L && s1._3 && s1._4, "zero-count supplier dropped or out of band")
+  }
+
   test("q291 keeps edge-less panel seeds: reach 0, flag true, not dropped") {
     // A panel supplier with zero lineitem rows has no edges, so the
     // edge-derived sketch table has no row for it; the join must be
