@@ -2109,6 +2109,56 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** DSIR-shaped importance scoring — Data Selection via Importance
+    * Resampling (Xie et al. 2023, public arXiv description): score every
+    * document by how much more likely its tokens are under a TARGET
+    * hashed-unigram LM than under the RAW-corpus LM, the selection
+    * operator pipelines run to up-weight data that "looks like" a
+    * high-quality domain. Target here = the `lang = 'en'` slice; features
+    * = the q180 hashed buckets (64 md5 buckets — hashing caps the
+    * feature space at any vocabulary, the whole point of the method at
+    * 100 TB). Per-bucket importance weight, DYADICALLY quantized like
+    * every "log" in this suite (q131's bits() = ⌊log₂⌋+1 — integer, so
+    * the per-doc sum is order-independent and hash-portable):
+    * w_b = [bits(cnt_t(b)+1) − bits(T+1)] − [bits(cnt_r(b)+1) − bits(R+1)]
+    * (+1-smoothed; the normalizers keep scores centered so `selected`
+    * is score > 0 — more target-like than corpus-average). Scale: the
+    * corpus pays two token passes (bucket census, then scoring); the
+    * weight table is ≤64 rows broadcast back map-side (the q96/q131
+    * contract), the only other shuffle is the (doc_id, int) census; the
+    * doc-table LEFT join is defensive completeness (this tokenizer maps
+    * "" to [""], so no doc is truly token-less — but a stricter
+    * tokenizer swapped in must not silently drop docs from the census). */
+  def importanceResampling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bits(c: Column): Column = length(bin(c)).cast("long")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        explode(TextOps.tokens($"text")).as("tok"))
+      .withColumn("bucket",
+        (conv(substring(md5($"tok"), 1, 10), 16, 10).cast("long") % 64L)
+          .cast("int"))
+    val buckets = toks.groupBy($"bucket").agg(
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("cnt_t"),
+      count(lit(1)).as("cnt_r"))
+    val tot = buckets.agg(sum($"cnt_t").as("tt"), sum($"cnt_r").as("rr"))
+    val weights = buckets.crossJoin(broadcast(tot))
+      .select($"bucket",
+        ((bits($"cnt_t" + 1L) - bits($"tt" + 1L))
+          - (bits($"cnt_r" + 1L) - bits($"rr" + 1L))).as("w"))
+    val scores = toks
+      .join(broadcast(weights), "bucket")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"w").as("score_bits"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(scores, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_toks", lit(0L)).as("n_toks"),
+        coalesce($"score_bits", lit(0L)).as("score_bits"))
+      .withColumn("selected", $"score_bits" > 0L)
+      .orderBy($"doc_id")
+  }
+
   /** Dense global ID assignment WITHOUT a single-partition window — the
     * vocab-numbering step every tokenizer/embedding-table build needs
     * (ids must be 1..N dense, ordered by frequency): the naive
@@ -2340,6 +2390,7 @@ object LlmOps {
     "q204_setsim_prefix_join" -> setSimPrefixJoin,
     "q181_dense_id_assignment" -> denseIdAssignment,
     "q180_feature_hashing" -> featureHashing,
+    "q293_importance_resampling" -> importanceResampling,
     "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
     "q193_knn_label_vote" -> knnLabelVote,
@@ -2499,6 +2550,38 @@ object LlmOps {
          |      FROM (SELECT unnest($toksSql) AS tok FROM documents)
          |      GROUP BY tok)
          |ORDER BY dense_id""".stripMargin,
+    "q293_importance_resampling" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, lang,
+         |         CAST(CAST(('0x' || substr(md5(tok), 1, 10)) AS BIGINT) % 64
+         |              AS INT) AS bucket
+         |  FROM (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents)
+         |), b AS (
+         |  SELECT bucket,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+         |         count(*) AS cnt_r
+         |  FROM toks GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(cnt_t) AS BIGINT) AS tt,
+         |         CAST(sum(cnt_r) AS BIGINT) AS rr FROM b
+         |), w AS (
+         |  SELECT bucket,
+         |         (CAST(length(bin(cnt_t + 1)) AS BIGINT)
+         |            - CAST(length(bin(tt + 1)) AS BIGINT))
+         |         - (CAST(length(bin(cnt_r + 1)) AS BIGINT)
+         |            - CAST(length(bin(rr + 1)) AS BIGINT)) AS w
+         |  FROM b, tot
+         |), sc AS (
+         |  SELECT t.doc_id, count(*) AS n_toks, sum(w.w) AS score_bits
+         |  FROM toks t JOIN w ON t.bucket = w.bucket
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(sc.n_toks, 0) AS BIGINT) AS n_toks,
+         |       CAST(coalesce(sc.score_bits, 0) AS BIGINT) AS score_bits,
+         |       coalesce(sc.score_bits, 0) > 0 AS selected
+         |FROM (SELECT doc_id FROM documents) d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q180_feature_hashing" ->
       s"""WITH cells AS (
          |  SELECT doc_id, CAST(th % 64 AS INT) AS bucket,

@@ -42,6 +42,7 @@ class EdgeCorpusSpec extends SparkSpec {
     "q133_collocation_pmi", "q147_quality_gopher", "q148_domain_blocklist",
     "q156_curation_funnel", "q157_bpe_merges", "q180_feature_hashing",
     "q181_dense_id_assignment",
+    "q293_importance_resampling",
     "q149_inverted_index")
 
   textQueries.foreach { name =>

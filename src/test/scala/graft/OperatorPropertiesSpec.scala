@@ -535,6 +535,31 @@ class OperatorPropertiesSpec extends SparkSpec {
     wide.foreach(r => assert(r.getLong(2) <= maxW))
   }
 
+  test("q293 importance scores are identically 0 when target == raw corpus") {
+    // When every document is in the target slice, cnt_t == cnt_r per
+    // bucket and T == R, so every bucket weight — and every score — is
+    // exactly 0 and nothing is selected. A nonzero anywhere means the
+    // target/raw sides diverged (wrong screen, wrong smoothing, or a
+    // normalizer applied to one side only).
+    val dir = java.nio.file.Files.createTempDirectory("all_en").toString
+    Seq(
+      (1L, "alpha beta gamma", "en", "web", 16L),
+      (2L, "beta beta delta", "en", "web", 15L),
+      (3L, "", "en", "web", 0L),
+      (4L, "epsilon", "en", "book", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q293_importance_resampling")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length === 4, "every doc must appear")
+    out.foreach { case (id, ntok, score, sel) =>
+      assert(score === 0L && !sel, s"doc $id scored $score on a target==raw corpus")
+      // the whitespace tokenizer maps "" to [""] (one empty token) —
+      // the same contract DuckDB's string_split has, so n_toks is 1
+      if (id == 3L) assert(ntok === 1L)
+    }
+  }
+
   test("q292 CMS contract: native and fallback probes agree; zero-count keys kept") {
     val out = SparkEntry.queries("q292_cms_frequency_contract")(spark, sfDir)
       .collect()
