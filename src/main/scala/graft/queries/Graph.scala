@@ -448,14 +448,115 @@ object Graph {
       .orderBy($"seed")
   }
 
+  /** Semi-supervised label propagation — the CLASSIFICATION member of
+    * the graph family (components assign CONNECTIVITY q76, PageRank
+    * VALUES q197, BFS REACH q288; this assigns CLASSES): suppliers in
+    * nations 0–4 seed their nation id, and labels spread synchronously
+    * over the undirected trade graph for 3 unrolled rounds — each
+    * unlabeled node adopts the MAJORITY label among its labeled
+    * neighbors (ties → smallest label; labeled nodes never change, the
+    * "clamped seeds" variant, so the result is deterministic and
+    * round-monotone). On the bipartite graph the rounds alternate
+    * frontiers: customers of seed suppliers, then non-seed suppliers,
+    * then second-ring customers — genuinely multi-round. Output is the
+    * (node-kind, label) census, unlabeled reported as label −1.
+    * Scale: state is ONE label per node — |V| rows at ANY seed count
+    * (seeding a fraction of a dimension is safe here precisely where
+    * q288's per-seed pair state was not; nothing is |seeds|-
+    * multiplied). Per round: one keyed join against the pinned
+    * src-partitioned edges (exchange-free), a (node, label) count, a
+    * struct-max majority pick (groupBy, not a window), an anti-join,
+    * a union — each round's state pinned hash-on-node because it is
+    * consumed three times (votes, anti, union). The census output is
+    * ≤ kinds·labels rows. */
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    // symmetric edges: src covers every node of the graph
+    val nodes = edges.select($"src".as("node")).distinct()
+    val seeds = nodes.join(
+      Tables.supplier(s, dir).filter($"s_nationkey" < 5)
+        .select(concat(lit("s"), $"s_suppkey").as("node"),
+          $"s_nationkey".cast("long").as("label")),
+      Seq("node"))
+    var labeled = graft.operators.Pinned.partitionedCheckpoint(seeds, $"node")
+    (1 to 3).foreach { _ =>
+      val votes = labeled.join(edges, labeled("node") === edges("src"))
+        .groupBy(edges("dst").as("vnode"), labeled("label"))
+        .agg(count(lit(1)).as("c"))
+      // majority with smallest-label ties: lexicographic struct max on
+      // (count, -label) — a keyed agg, never a per-node window
+      val picks = votes.groupBy($"vnode".as("node"))
+        .agg(max(struct($"c".as("c"), (-$"label").as("nl"))).as("m"))
+        .select($"node", (-$"m.nl").as("label"))
+      val newly = picks.join(labeled, Seq("node"), "left_anti")
+      labeled = graft.operators.Pinned.partitionedCheckpoint(
+        labeled.unionAll(newly), $"node")
+    }
+    val lab = labeled
+      .groupBy(substring($"node", 1, 1).as("kind"), $"label")
+      .agg(count(lit(1)).as("n_nodes"))
+    val unl = nodes.join(labeled, Seq("node"), "left_anti")
+      .groupBy(substring($"node", 1, 1).as("kind"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .select($"kind", lit(-1L).as("label"), $"n_nodes")
+    lab.unionByName(unl).orderBy($"kind", $"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_triangle_census" -> triangleCensus,
     "q288_bfs_reachability" -> bfsReachability,
     "q290_widest_path_census" -> widestPathCensus,
     "q291_reach_sketch_census" -> reachSketchCensus,
+    "q294_label_propagation" -> labelPropagation,
     "q197_pagerank_fixed_point" -> pageRank)
 
+  /** One unrolled propagation round for the q294 oracle: majority vote
+    * by labeled neighbors (row_number ties to smallest label), clamped
+    * union with the previous labeled set. */
+  private def lpRoundSql(k: Int): String = {
+    val prev = s"l${k - 1}"
+    s"""v$k AS (
+       |  SELECT e.dst AS node, l.label, count(*) AS c
+       |  FROM $prev l JOIN und e ON l.node = e.src GROUP BY 1, 2
+       |), p$k AS (
+       |  SELECT node, label FROM (
+       |    SELECT node, label, row_number() OVER (PARTITION BY node
+       |      ORDER BY c DESC, label ASC) AS rn FROM v$k) WHERE rn = 1
+       |), l$k AS MATERIALIZED (
+       |  SELECT node, label FROM $prev
+       |  UNION ALL
+       |  SELECT node, label FROM p$k
+       |  WHERE node NOT IN (SELECT node FROM $prev)
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q294_label_propagation" ->
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |), und AS MATERIALIZED (
+         |  SELECT src, dst FROM pairs
+         |  UNION ALL
+         |  SELECT dst AS src, src AS dst FROM pairs
+         |), nodes AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node FROM und
+         |), l0 AS MATERIALIZED (
+         |  SELECT n.node, CAST(s_nationkey AS BIGINT) AS label
+         |  FROM nodes n JOIN supplier ON n.node = 's' || s_suppkey
+         |  WHERE s_nationkey < 5
+         |), ${lpRoundSql(1)}, ${lpRoundSql(2)}, ${lpRoundSql(3)}
+         |SELECT kind, label, n_nodes FROM (
+         |  SELECT substr(node, 1, 1) AS kind, label, count(*) AS n_nodes
+         |  FROM l3 GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT substr(node, 1, 1) AS kind, CAST(-1 AS BIGINT) AS label,
+         |         count(*) AS n_nodes
+         |  FROM nodes WHERE node NOT IN (SELECT node FROM l3)
+         |  GROUP BY 1
+         |)
+         |ORDER BY kind, label""".stripMargin,
     "q291_reach_sketch_census" ->
       // exact 3-hop reach for the 10-seed panel (the q288 unrolled
       // DISTINCT-hop form), |V| from the edge list, and the sketch

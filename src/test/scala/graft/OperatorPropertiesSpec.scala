@@ -535,6 +535,62 @@ class OperatorPropertiesSpec extends SparkSpec {
     wide.foreach(r => assert(r.getLong(2) <= maxW))
   }
 
+  test("q294 label propagation: majority, tie-break, 3-round chain, unreachable") {
+    // Hand-computed graph: c1–{s1,s2,s3,s5}, c2–{s1,s4,s2,s3},
+    // c3–{s5}, c4–{s6}; seeds (nation<5): s1→1, s2→2, s3→2, s4→1.
+    // Round 1: c1 votes {1,2,2}→2 (majority); c2 votes {1,1,2,2}→1
+    // (tie → smallest). Round 2: s5's only labeled neighbor is c1(2)→2.
+    // Round 3: c3 reaches s5(2)→2. c4/s6 form a seedless component →
+    // both stay unlabeled (−1).
+    val dir = java.nio.file.Files.createTempDirectory("lp_graph").toString
+    Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L), (5L, 10L), (6L, 11L))
+      .toDF("s_suppkey", "s_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 5L),
+      (2L, 1L), (2L, 4L), (2L, 2L), (2L, 3L),
+      (3L, 5L), (4L, 6L))
+      .toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.queries.Graph.labelPropagation(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val expected = Map(
+      ("c", 1L) -> 1L, ("c", 2L) -> 2L, ("c", -1L) -> 1L,
+      ("s", 1L) -> 2L, ("s", 2L) -> 3L, ("s", -1L) -> 1L)
+    assert(out === expected)
+  }
+
+  test("q294 census conserves nodes and clamps seeds on the fixture graph") {
+    import org.apache.spark.sql.DataFrame
+    val out = graft.queries.Graph.labelPropagation(spark, sfDir)
+    val byKind = out.collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val e0: DataFrame = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"l_suppkey").distinct()
+    val nCust = e0.select($"o_custkey").distinct().count()
+    val nSupp = e0.select($"l_suppkey").distinct().count()
+    assert(byKind("c") === nCust && byKind("s") === nSupp,
+      "every graph node must appear in exactly one census row")
+    // clamped seeds: per seed nation, supplier count >= graph suppliers
+    // seeded with that nation (labels never change once assigned)
+    val seedCounts = graft.Tables.supplier(spark, sfDir)
+      .filter($"s_nationkey" < 5)
+      .join(e0.select($"l_suppkey").distinct(), $"s_suppkey" === $"l_suppkey")
+      .groupBy($"s_nationkey".cast("long").as("label")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val supByLabel = graft.queries.Graph.labelPropagation(spark, sfDir)
+      .filter($"kind" === "s" && $"label" >= 0).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    seedCounts.foreach { case (lbl, n) =>
+      assert(supByLabel.getOrElse(lbl, 0L) >= n,
+        s"seed nation $lbl lost suppliers: ${supByLabel.get(lbl)} < $n")
+    }
+  }
+
   test("q293 importance scores are identically 0 when target == raw corpus") {
     // When every document is in the target slice, cnt_t == cnt_r per
     // bucket and T == R, so every bucket weight — and every score — is
