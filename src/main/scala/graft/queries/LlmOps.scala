@@ -1454,6 +1454,53 @@ object LlmOps {
       .orderBy($"lang", $"band")
   }
 
+  /** Temperature-smoothed mixture ALLOCATION — the α-sampling step of
+    * multilingual/multi-domain data mixing (the p_i^α reweighting
+    * popularized by multilingual BERT/mT5 training recipes, α = 0.5):
+    * given per-language token masses n_i, sample a fixed budget of
+    * B = 1 000 000 examples with probability ∝ √n_i — up-weighting
+    * tail languages relative to proportional sampling — and emit the
+    * EXACT integer allocation via largest-remainder apportionment
+    * (Hamilton method): base_i = ⌊B·w_i / W⌋, then +1 to the r = B − Σ
+    * base largest remainders (ties → smaller lang; allocations sum to
+    * B exactly, by construction — the oracle re-derives every cell).
+    * The weight is an exact integer √: w_i = isqrt(n_i·10⁶) ≈ 10³·√n_i
+    * (0.1 % granularity), with the FP floor(sqrt) GUARDED by ±1 integer
+    * correction so both engines agree even when √x lands within an ulp
+    * of an integer; exact while n_i·10⁶ < 2⁵² (≈4·10⁹ tokens — at
+    * larger corpora drop the multiplier a decade per 100× tokens, the
+    * granularity trade documented here). Scale: per-lang token mass is
+    * sum(size(tokens)) — a scan + map-side combine, NO token explode;
+    * everything after runs on ≤|langs| rows (the remainder rank is a
+    * window over that dimension-bounded table, the q181 offsets-table
+    * class, not a data window). */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 1000000L
+    def isqrt(x: Column): Column = {
+      val r0 = floor(sqrt(x.cast("double"))).cast("long")
+      r0 + when((r0 + 1L) * (r0 + 1L) <= x, 1L).otherwise(0L) -
+        when(r0 * r0 > x, 1L).otherwise(0L)
+    }
+    val mass = Tables.documents(s, dir)
+      .select($"lang", size(TextOps.tokens($"text")).cast("long").as("nt"))
+      .groupBy($"lang").agg(sum($"nt").as("n_tokens"))
+      .withColumn("w", isqrt($"n_tokens" * 1000000L))
+    val tot = mass.agg(sum($"w").as("ww"))
+    val based = mass.crossJoin(broadcast(tot))
+      // `div`, not `/`: Spark's `/` on longs is IEEE double division
+      .withColumn("base", expr(s"w * ${B}L div ww"))
+      .withColumn("rem", ($"w" * B) % $"ww")
+    val short = based.agg((lit(B) - sum($"base")).as("r"))
+    based.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"rem".desc, $"lang".asc)))
+      .select($"lang", $"n_tokens", $"w".as("weight"),
+        ($"base" + when($"rk" <= $"r", 1L).otherwise(0L)).as("alloc"))
+      .orderBy($"lang")
+  }
+
   /** Per-document n-gram NOVELTY — how much of each document's shingle
     * set appears in NO earlier document (by doc_id order): the marginal-
     * content measure dedup pipelines use to rank what to keep when a
@@ -2391,6 +2438,7 @@ object LlmOps {
     "q181_dense_id_assignment" -> denseIdAssignment,
     "q180_feature_hashing" -> featureHashing,
     "q293_importance_resampling" -> importanceResampling,
+    "q295_temperature_mixture" -> temperatureMixture,
     "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
     "q193_knn_label_vote" -> knnLabelVote,
@@ -2550,6 +2598,33 @@ object LlmOps {
          |      FROM (SELECT unnest($toksSql) AS tok FROM documents)
          |      GROUP BY tok)
          |ORDER BY dense_id""".stripMargin,
+    "q295_temperature_mixture" ->
+      s"""WITH mass AS (
+         |  SELECT lang, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1
+         |), w0 AS (
+         |  SELECT lang, n_tokens, n_tokens * 1000000 AS x,
+         |         CAST(floor(sqrt(CAST(n_tokens * 1000000 AS DOUBLE)))
+         |              AS BIGINT) AS r0
+         |  FROM mass
+         |), wt AS (
+         |  SELECT lang, n_tokens,
+         |         r0 + (CASE WHEN (r0 + 1) * (r0 + 1) <= x THEN 1 ELSE 0 END)
+         |            - (CASE WHEN r0 * r0 > x THEN 1 ELSE 0 END) AS w
+         |  FROM w0
+         |), tot AS (SELECT CAST(sum(w) AS BIGINT) AS ww FROM wt),
+         |based AS MATERIALIZED (
+         |  SELECT lang, n_tokens, w,
+         |         (w * 1000000) // ww AS base,
+         |         (w * 1000000) % ww AS rem
+         |  FROM wt, tot
+         |), short AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS r FROM based),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+         |       FROM based)
+         |SELECT lang, n_tokens, CAST(w AS BIGINT) AS weight,
+         |       CAST(base + CASE WHEN rk <= (SELECT r FROM short)
+         |                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM rk ORDER BY lang""".stripMargin,
     "q293_importance_resampling" ->
       s"""WITH toks AS MATERIALIZED (
          |  SELECT doc_id, lang,

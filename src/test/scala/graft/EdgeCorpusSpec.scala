@@ -43,6 +43,7 @@ class EdgeCorpusSpec extends SparkSpec {
     "q156_curation_funnel", "q157_bpe_merges", "q180_feature_hashing",
     "q181_dense_id_assignment",
     "q293_importance_resampling",
+    "q295_temperature_mixture",
     "q149_inverted_index")
 
   textQueries.foreach { name =>

@@ -591,6 +591,25 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q295 allocation sums to the budget exactly; weights are exact isqrt") {
+    val out = SparkEntry.queries("q295_temperature_mixture")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // Hamilton apportionment: the +1 remainders close the gap exactly
+    assert(out.map(_._4).sum === 1000000L, "allocations must sum to B")
+    out.foreach { case (lang, nt, w, alloc) =>
+      val x = nt * 1000000L
+      assert(w * w <= x && (w + 1) * (w + 1) > x,
+        s"$lang: weight $w is not the exact integer sqrt of $x")
+      assert(alloc > 0L, s"$lang allocated nothing")
+    }
+    // sqrt smoothing must compress ratios vs proportional sampling:
+    // max/min alloc ratio <= max/min token-mass ratio
+    val nts = out.map(_._2); val als = out.map(_._4)
+    assert(als.max.toDouble / als.min <= nts.max.toDouble / nts.min + 1e-9,
+      "temperature sampling should flatten, not sharpen, the mixture")
+  }
+
   test("q293 importance scores are identically 0 when target == raw corpus") {
     // When every document is in the target slice, cnt_t == cnt_r per
     // bucket and T == R, so every bucket weight — and every score — is
