@@ -1553,6 +1553,35 @@ object LlmOps {
       .orderBy($"label")
   }
 
+  /** Matryoshka truncation census — the dimensionality-reduction audit
+    * MRL-style embeddings (Matryoshka Representation Learning, public
+    * arXiv description) are deployed with: when an index keeps only the
+    * first k dims of each vector, the cosine between the full vector
+    * and its zero-padded truncation collapses to ‖a₁..k‖/‖a‖, so the
+    * retained-norm fraction at each prefix IS the truncation quality —
+    * no pairwise math needed. Per vector: r₈/r₁₆/r₃₂ plus the smallest
+    * audited prefix reaching 90 % (the "how many dims does THIS corpus
+    * need" column an index-sizing decision reads). Float products,
+    * sequential double fold (the q45/q78 fixed-order contract — every
+    * ratio is one identical IEEE tree in both engines, so the census
+    * hash-compares despite being float-valued); zero vectors report 1.0
+    * (truncation loses nothing). SCAN-ONLY: one pass, no shuffle, no
+    * join — O(corpus) at any SF. */
+  def matryoshkaCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def r(k: Int): Column = {
+      val part = VectorOps.normSq(slice($"embedding", 1, k))
+      val full = VectorOps.normSq($"embedding")
+      when(full === 0.0, lit(1.0)).otherwise(sqrt(part) / sqrt(full))
+    }
+    Tables.embeddings(s, dir)
+      .select($"vec_id", r(8).as("r8"), r(16).as("r16"), r(32).as("r32"))
+      .withColumn("dims_for_90pct",
+        when($"r8" >= 0.9, 8L).when($"r16" >= 0.9, 16L)
+          .when($"r32" >= 0.9, 32L).otherwise(64L))
+      .orderBy($"vec_id")
+  }
+
   /** Consistent hash sampling — the holdout-set property RNG sampling
     * cannot give: membership is a PURE FUNCTION of the stable id
     * (md5 prefix under a threshold), so a document's sample membership
@@ -2439,6 +2468,7 @@ object LlmOps {
     "q180_feature_hashing" -> featureHashing,
     "q293_importance_resampling" -> importanceResampling,
     "q295_temperature_mixture" -> temperatureMixture,
+    "q296_matryoshka_census" -> matryoshkaCensus,
     "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
     "q193_knn_label_vote" -> knnLabelVote,
@@ -2598,6 +2628,32 @@ object LlmOps {
          |      FROM (SELECT unnest($toksSql) AS tok FROM documents)
          |      GROUP BY tok)
          |ORDER BY dense_id""".stripMargin,
+    "q296_matryoshka_census" -> {
+      // prefix-k self-dot with the exact q45 op tree: float products,
+      // sequential double fold over a FIXED element order
+      def pdot(k: Int): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"CAST(list_transform(range(1, ${k + 1}), " +
+          s"i -> embedding[i] * embedding[i]) AS DOUBLE[])), " +
+          "(acc, p) -> acc + p)"
+      s"""WITH n AS (
+         |  SELECT vec_id, ${pdot(8)} AS p8, ${pdot(16)} AS p16,
+         |         ${pdot(32)} AS p32, ${pdot(64)} AS f
+         |  FROM embeddings
+         |), r AS (
+         |  SELECT vec_id,
+         |         CASE WHEN f = 0 THEN 1.0 ELSE sqrt(p8) / sqrt(f) END AS r8,
+         |         CASE WHEN f = 0 THEN 1.0 ELSE sqrt(p16) / sqrt(f) END AS r16,
+         |         CASE WHEN f = 0 THEN 1.0 ELSE sqrt(p32) / sqrt(f) END AS r32
+         |  FROM n
+         |)
+         |SELECT vec_id, r8, r16, r32,
+         |       CAST(CASE WHEN r8 >= 0.9 THEN 8 WHEN r16 >= 0.9 THEN 16
+         |                 WHEN r32 >= 0.9 THEN 32 ELSE 64 END AS BIGINT)
+         |         AS dims_for_90pct
+         |FROM r
+         |ORDER BY vec_id""".stripMargin
+    },
     "q295_temperature_mixture" ->
       s"""WITH mass AS (
          |  SELECT lang, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens

@@ -591,6 +591,29 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q296 retained-norm fractions are monotone in prefix; zero vectors report 1.0") {
+    val out = SparkEntry.queries("q296_matryoshka_census")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (r8, r16, r32) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(r8 >= 0.0 && r8 <= r16 + 1e-12 && r16 <= r32 + 1e-12 && r32 <= 1.0 + 1e-12,
+        s"vec ${r.getLong(0)}: retained norm must grow with kept dims")
+      val expectedDims =
+        if (r8 >= 0.9) 8L else if (r16 >= 0.9) 16L else if (r32 >= 0.9) 32L else 64L
+      assert(r.getLong(4) === expectedDims)
+    }
+    // zero vector: truncation loses nothing — all ratios exactly 1.0
+    val dir = java.nio.file.Files.createTempDirectory("mrl_zero").toString
+    Seq((1L, Seq.fill(64)(0f), 0), (2L, (1 to 64).map(_.toFloat / 8f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q296_matryoshka_census")(spark, dir).collect()
+    val zrow = rows.find(_.getLong(0) == 1L).get
+    assert(zrow.getDouble(1) === 1.0 && zrow.getDouble(2) === 1.0 &&
+      zrow.getDouble(3) === 1.0 && zrow.getLong(4) === 8L)
+  }
+
   test("q295 allocation sums to the budget exactly; weights are exact isqrt") {
     val out = SparkEntry.queries("q295_temperature_mixture")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
