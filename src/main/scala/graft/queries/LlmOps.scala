@@ -1791,6 +1791,78 @@ object LlmOps {
       .select($"bg", $"cxy", $"cx", $"cy", $"pmi_ratio")
   }
 
+  /** Held-out bigram-LM perplexity census with backoff — the n-gram-LM
+    * quality scorer (the KenLM-filter shape CCNet/Gopher-class pipelines
+    * describe publicly) done PROPERLY: q131 scores every doc against a
+    * LM trained on the same corpus (self-perplexity); here the corpus is
+    * split by the q260 consistent hash (train ≈ half, membership a pure
+    * function of doc_id — stable at any SF), the LM trains on the TRAIN
+    * half only, and EVERY doc is scored against it, so held-out docs
+    * exercise the full backoff chain: seen bigram → conditional
+    * surprise bits(cntp(w₁)) − bits(cnt₂(w₁,w₂)); unseen bigram with a
+    * seen unigram → Katz-style backoff to unigram surprise + 4-bit
+    * penalty; OOV token → bits(N_train) + 8. All surprises are q131's
+    * integer dyadic bits, so per-doc sums are order-independent and
+    * hash-portable, and the mean is one IEEE divide. Output doubles as
+    * the train/held-out perplexity-gap census (the overfitting
+    * diagnostic) plus per-doc backoff/OOV counts (the coverage
+    * diagnostic). Scale: unigram and bigram-prefix tables are
+    * vocabulary-bounded → broadcast (the q131/q133 contract); the
+    * bigram-count table is corpus-shaped, so the doc-bigram stream
+    * joins it by KEY (shuffle join — never broadcast, never a
+    * token-stream self-join); docs with <2 tokens keep a NULL mean via
+    * the defensive doc LEFT join. */
+  def bigramLmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bits(c: Column): Column = length(bin(c)).cast("long")
+    val space = 16777216L // 16^6
+    def isTrain(id: Column): Column =
+      conv(substring(md5(concat(lit("lm:"), id.cast("string"))), 1, 6),
+        16, 10).cast("long") * 2L < space
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .withColumn("is_train", isTrain($"doc_id"))
+    val trainToks = docs.filter($"is_train")
+      .select(explode($"toks").as("tok"))
+    val uni = trainToks.groupBy($"tok").agg(count(lit(1)).as("c1"))
+    val nTrain = uni.agg(sum($"c1").as("n_train"))
+    val bi = docs.filter($"is_train")
+      .select(explode(TextOps.wordShingles($"toks", 2)).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c2"))
+    val prefix = bi
+      .withColumn("w1", element_at(split($"bg", " "), 1))
+      .groupBy($"w1").agg(sum($"c2").as("cp"))
+    val scored = docs
+      .select($"doc_id", explode(TextOps.wordShingles($"toks", 2)).as("bg"))
+      .withColumn("w2", element_at(split($"bg", " "), 2))
+      .join(bi, Seq("bg"), "left")
+      .withColumn("w1", element_at(split($"bg", " "), 1))
+      .join(broadcast(prefix), Seq("w1"), "left")
+      .join(broadcast(uni.select($"tok".as("w2"), $"c1")), Seq("w2"), "left")
+      .crossJoin(broadcast(nTrain))
+      .withColumn("surprise",
+        when($"c2".isNotNull, bits($"cp") - bits($"c2"))
+          .when($"c1".isNotNull, bits($"n_train") - bits($"c1") + 4L)
+          .otherwise(bits($"n_train") + 8L))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"surprise").as("surprise_bits"),
+        sum(when($"c2".isNull && $"c1".isNotNull, 1L).otherwise(0L))
+          .as("n_backoff"),
+        sum(when($"c2".isNull && $"c1".isNull, 1L).otherwise(0L))
+          .as("n_oov"))
+    docs.select($"doc_id", $"is_train")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id", $"is_train",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"surprise_bits", lit(0L)).as("surprise_bits"),
+        coalesce($"n_backoff", lit(0L)).as("n_backoff"),
+        coalesce($"n_oov", lit(0L)).as("n_oov"))
+      .withColumn("mean_bits",
+        when($"n_bigrams" > 0L, ratio($"surprise_bits", $"n_bigrams")))
+      .orderBy($"doc_id")
+  }
+
   /** Gopher-style rule-set quality gate — the named-rule form of document
     * filtering (q49 scores, q81 measures repetition; production curation
     * pipelines ship a RULE LIST with per-rule pass booleans and a reasons
@@ -2469,6 +2541,7 @@ object LlmOps {
     "q293_importance_resampling" -> importanceResampling,
     "q295_temperature_mixture" -> temperatureMixture,
     "q296_matryoshka_census" -> matryoshkaCensus,
+    "q297_bigram_lm_perplexity" -> bigramLmPerplexity,
     "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
     "q193_knn_label_vote" -> knnLabelVote,
@@ -2628,6 +2701,60 @@ object LlmOps {
          |      FROM (SELECT unnest($toksSql) AS tok FROM documents)
          |      GROUP BY tok)
          |ORDER BY dense_id""".stripMargin,
+    "q297_bigram_lm_perplexity" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, $toksSql AS toks,
+         |         CAST(('0x' || substr(md5('lm:' || CAST(doc_id AS VARCHAR)),
+         |                              1, 6)) AS BIGINT) * 2 < 16777216
+         |           AS is_train
+         |  FROM documents
+         |), uni AS MATERIALIZED (
+         |  SELECT tok, count(*) AS c1
+         |  FROM (SELECT unnest(toks) AS tok FROM d WHERE is_train) GROUP BY 1
+         |), nt AS (SELECT CAST(sum(c1) AS BIGINT) AS n_train FROM uni),
+         |bgs AS MATERIALIZED (
+         |  SELECT doc_id, is_train,
+         |         toks[i] || ' ' || toks[i + 1] AS bg,
+         |         toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, is_train, toks,
+         |               unnest(range(1, len(toks))) AS i
+         |        FROM d WHERE len(toks) >= 2)
+         |), bi AS MATERIALIZED (
+         |  SELECT bg, count(*) AS c2 FROM bgs WHERE is_train GROUP BY 1
+         |), pre AS MATERIALIZED (
+         |  SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS cp
+         |  FROM bi GROUP BY 1
+         |), sc AS (
+         |  SELECT g.doc_id,
+         |         CASE WHEN b.c2 IS NOT NULL
+         |                THEN CAST(length(bin(p.cp)) AS BIGINT)
+         |                     - CAST(length(bin(b.c2)) AS BIGINT)
+         |              WHEN u.c1 IS NOT NULL
+         |                THEN CAST(length(bin(nt.n_train)) AS BIGINT)
+         |                     - CAST(length(bin(u.c1)) AS BIGINT) + 4
+         |              ELSE CAST(length(bin(nt.n_train)) AS BIGINT) + 8
+         |         END AS surprise,
+         |         CASE WHEN b.c2 IS NULL AND u.c1 IS NOT NULL THEN 1 ELSE 0 END AS bk,
+         |         CASE WHEN b.c2 IS NULL AND u.c1 IS NULL THEN 1 ELSE 0 END AS ov
+         |  FROM bgs g
+         |  LEFT JOIN bi b ON g.bg = b.bg
+         |  LEFT JOIN pre p ON g.w1 = p.w1
+         |  LEFT JOIN uni u ON g.w2 = u.tok, nt
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, sum(surprise) AS sb,
+         |         sum(bk) AS nbk, sum(ov) AS nov
+         |  FROM sc GROUP BY 1
+         |)
+         |SELECT dd.doc_id, dd.is_train,
+         |       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       CAST(coalesce(a.sb, 0) AS BIGINT) AS surprise_bits,
+         |       CAST(coalesce(a.nbk, 0) AS BIGINT) AS n_backoff,
+         |       CAST(coalesce(a.nov, 0) AS BIGINT) AS n_oov,
+         |       CASE WHEN coalesce(a.n_bigrams, 0) > 0
+         |            THEN ${ratioSql("a.sb", "a.n_bigrams")} END AS mean_bits
+         |FROM (SELECT doc_id, is_train FROM d) dd
+         |LEFT JOIN agg a ON dd.doc_id = a.doc_id
+         |ORDER BY dd.doc_id""".stripMargin,
     "q296_matryoshka_census" -> {
       // prefix-k self-dot with the exact q45 op tree: float products,
       // sequential double fold over a FIXED element order

@@ -44,6 +44,7 @@ class EdgeCorpusSpec extends SparkSpec {
     "q181_dense_id_assignment",
     "q293_importance_resampling",
     "q295_temperature_mixture",
+    "q297_bigram_lm_perplexity",
     "q149_inverted_index")
 
   textQueries.foreach { name =>

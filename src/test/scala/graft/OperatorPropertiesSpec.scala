@@ -591,6 +591,30 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q297 train docs never back off; bigram counts match token lengths") {
+    val out = SparkEntry.queries("q297_bigram_lm_perplexity")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    val nTrain = out.count(_.getBoolean(1))
+    assert(nTrain > 0 && nTrain < out.length,
+      "the consistent-hash split must produce both train and held-out docs")
+    out.filter(_.getBoolean(1)).foreach { r =>
+      // every train bigram/unigram is in the train LM by construction
+      assert(r.getLong(4) === 0L && r.getLong(5) === 0L,
+        s"train doc ${r.getLong(0)} backed off or hit OOV against its own LM")
+    }
+    val lens = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.foreach { r =>
+      val expect = math.max(0L, lens(r.getLong(0)) - 1L)
+      assert(r.getLong(2) === expect,
+        s"doc ${r.getLong(0)}: n_bigrams ${r.getLong(2)} != len-1 $expect")
+      if (expect > 0) assert(!r.isNullAt(6) && r.getDouble(6) > 0.0)
+      else assert(r.isNullAt(6))
+    }
+  }
+
   test("q296 retained-norm fractions are monotone in prefix; zero vectors report 1.0") {
     val out = SparkEntry.queries("q296_matryoshka_census")(spark, sfDir)
       .collect()
