@@ -1553,6 +1553,41 @@ object LlmOps {
       .orderBy($"label")
   }
 
+  /** Boilerplate prefix/suffix census — the header/footer detector of
+    * C4-class cleaning (public C4/CCNet descriptions strip repeated
+    * page furniture): documents that OPEN or CLOSE with the same 3-token
+    * shingle share boilerplate, and the census ranks those shingles so a
+    * cleaning pass can strip them. Per eligible doc (≥3 tokens) one head
+    * and one tail shingle — NOT the all-positions shingle stream, so the
+    * working set is 2 rows/doc at any SF; two (kind, shingle) counts,
+    * screened to n_docs ≥ 2, with the share of eligible docs (exact
+    * integer ratio in one IEEE divide). Deterministic total order
+    * (kind, n_docs desc, shingle). Scale: one scan, two map-side-
+    * combinable aggs of 2·|docs| short rows, a broadcast 1-row
+    * eligible-count — no joins on the growing side. */
+  def boilerplateCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select(
+        concat_ws(" ", element_at($"toks", 1), element_at($"toks", 2),
+          element_at($"toks", 3)).as("head_sh"),
+        concat_ws(" ", element_at($"toks", -3), element_at($"toks", -2),
+          element_at($"toks", -1)).as("tail_sh"))
+    val nElig = base.agg(count(lit(1)).as("n_eligible"))
+    def census(col: String, kind: String) = base
+      .groupBy(base(col).as("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2L)
+      .select(lit(kind).as("kind"), $"shingle", $"n_docs")
+    census("head_sh", "head").unionAll(census("tail_sh", "tail"))
+      .crossJoin(broadcast(nElig))
+      .select($"kind", $"shingle", $"n_docs",
+        ratio($"n_docs", $"n_eligible").as("share"))
+      .orderBy($"kind", $"n_docs".desc, $"shingle")
+  }
+
   /** Matryoshka truncation census — the dimensionality-reduction audit
     * MRL-style embeddings (Matryoshka Representation Learning, public
     * arXiv description) are deployed with: when an index keeps only the
@@ -2542,6 +2577,7 @@ object LlmOps {
     "q295_temperature_mixture" -> temperatureMixture,
     "q296_matryoshka_census" -> matryoshkaCensus,
     "q297_bigram_lm_perplexity" -> bigramLmPerplexity,
+    "q298_boilerplate_census" -> boilerplateCensus,
     "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
     "q193_knn_label_vote" -> knnLabelVote,
@@ -2701,6 +2737,24 @@ object LlmOps {
          |      FROM (SELECT unnest($toksSql) AS tok FROM documents)
          |      GROUP BY tok)
          |ORDER BY dense_id""".stripMargin,
+    "q298_boilerplate_census" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT toks[1] || ' ' || toks[2] || ' ' || toks[3] AS head_sh,
+         |         toks[-3] || ' ' || toks[-2] || ' ' || toks[-1] AS tail_sh
+         |  FROM (SELECT $toksSql AS toks FROM documents)
+         |  WHERE len(toks) >= 3
+         |), ne AS (SELECT count(*) AS n_eligible FROM base),
+         |c AS (
+         |  SELECT 'head' AS kind, head_sh AS shingle, count(*) AS n_docs
+         |  FROM base GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'tail' AS kind, tail_sh AS shingle, count(*) AS n_docs
+         |  FROM base GROUP BY 2
+         |)
+         |SELECT kind, shingle, CAST(n_docs AS BIGINT) AS n_docs,
+         |       ${ratioSql("n_docs", "(SELECT n_eligible FROM ne)")} AS share
+         |FROM c WHERE n_docs >= 2
+         |ORDER BY kind, n_docs DESC, shingle""".stripMargin,
     "q297_bigram_lm_perplexity" ->
       s"""WITH d AS MATERIALIZED (
          |  SELECT doc_id, $toksSql AS toks,

@@ -45,6 +45,7 @@ class EdgeCorpusSpec extends SparkSpec {
     "q293_importance_resampling",
     "q295_temperature_mixture",
     "q297_bigram_lm_perplexity",
+    "q298_boilerplate_census",
     "q149_inverted_index")
 
   textQueries.foreach { name =>

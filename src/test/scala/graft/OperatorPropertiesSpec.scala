@@ -591,6 +591,29 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q298 finds planted boilerplate heads/tails and only those") {
+    val dir = java.nio.file.Files.createTempDirectory("boiler").toString
+    Seq(
+      (1L, "terms of service apply to alpha", "en", "web", 31L),
+      (2L, "terms of service apply to beta", "en", "web", 30L),
+      (3L, "terms of service govern gamma", "en", "web", 29L),
+      (4L, "unique opening one all rights reserved", "en", "web", 38L),
+      (5L, "unique opening two all rights reserved", "en", "web", 38L),
+      (6L, "totally unrelated text body here", "en", "web", 32L),
+      (7L, "ab", "en", "web", 2L)) // <3 tokens: ineligible
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q298_boilerplate_census")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out === Map(
+      ("head", "terms of service") -> 3L,
+      ("tail", "all rights reserved") -> 2L))
+    // share denominator is the 6 eligible docs
+    val share = SparkEntry.queries("q298_boilerplate_census")(spark, dir)
+      .filter($"kind" === "head").collect()(0).getDouble(3)
+    assert(math.abs(share - 3.0 / 6.0) < 1e-12)
+  }
+
   test("q297 train docs never back off; bigram counts match token lengths") {
     val out = SparkEntry.queries("q297_bigram_lm_perplexity")(spark, sfDir)
       .collect()
