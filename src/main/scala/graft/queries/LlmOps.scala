@@ -1553,6 +1553,58 @@ object LlmOps {
       .orderBy($"label")
   }
 
+  /** Cross-source overlap matrix — dataset-level contamination audit
+    * between SUBCORPORA (which crawl dumps / source feeds share
+    * content?), the corpus-curation complement of q41's doc-level LSH
+    * and q96's eval decontamination. Each source gets ONE set-level
+    * MinHash signature: per hash function, the min over ALL the
+    * source's shingle digests (same 12-hash universal family as q41 —
+    * and min is fully map-side combinable, so the signature build is
+    * one combine-heavy agg emitting |sources| rows however large the
+    * corpus). Every source PAIR then compares signatures: matching
+    * minima / 12 estimates the shingle-set Jaccard (the classic
+    * Broder estimator). The pair space is |sources|²/2 ≤ a few hundred
+    * — a broadcast theta join over a dimension-bounded table, never a
+    * data-sized pair table. Deterministic: integer minhash math both
+    * engines replay exactly (the q41 contract), the estimate is one
+    * integer ratio. */
+  def sourceOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
+    // Two landmines, both measured on this query at sf0.1:
+    // (1) th MUST be its own column (the q41 chain): composing
+    //     shingleHashes3(tokenHashes(toks)) inline duplicates the md5
+    //     transform five times in one tree — CSE can't hoist it out of
+    //     the shingle lambda, so every shingle re-digests the document.
+    // (2) explode_outer, NOT explode (the q43 lesson): a plain explode
+    //     lets InferFiltersFromGenerate add `size(hs) > 0`, which
+    //     pushdown rewrites in terms of text BELOW the projections —
+    //     inlining the digest pipeline ~6× into the scan-side Filter,
+    //     O(tokens²) md5 per doc (measured 78 s vs 1.5 s). The ≥3-token
+    //     screen already guarantees hs is non-empty, so outer ≡ inner.
+    val sh = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .filter(size($"toks") >= 3)
+      .withColumn("th", TextOps.tokenHashes($"toks"))
+      .withColumn("hs", TextOps.shingleHashes3($"th"))
+      .select($"source", explode_outer($"hs").as("h"))
+    val mins = (0 until 12).map(j =>
+      min((lit(MinhashA(j)) * $"h" + lit(MinhashB(j))) % lit(MinhashPrime))
+        .as(s"m$j"))
+    val sigs = sh.groupBy($"source").agg(mins.head, mins.tail: _*)
+    val a = sigs.select($"source".as("src_a") +:
+      (0 until 12).map(j => col(s"m$j").as(s"a$j")): _*)
+    val b = sigs.select($"source".as("src_b") +:
+      (0 until 12).map(j => col(s"m$j").as(s"b$j")): _*)
+    val nMatch = (0 until 12)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, $"src_a" < $"src_b")
+      .select($"src_a", $"src_b", nMatch.as("n_match"))
+      .withColumn("est_jaccard", ratio($"n_match", lit(12L)))
+      .orderBy($"src_a", $"src_b")
+  }
+
   /** Boilerplate prefix/suffix census — the header/footer detector of
     * C4-class cleaning (public C4/CCNet descriptions strip repeated
     * page furniture): documents that OPEN or CLOSE with the same 3-token
@@ -2578,6 +2630,7 @@ object LlmOps {
     "q296_matryoshka_census" -> matryoshkaCensus,
     "q297_bigram_lm_perplexity" -> bigramLmPerplexity,
     "q298_boilerplate_census" -> boilerplateCensus,
+    "q299_source_overlap_matrix" -> sourceOverlapMatrix,
     "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
     "q193_knn_label_vote" -> knnLabelVote,
@@ -2737,6 +2790,39 @@ object LlmOps {
          |      FROM (SELECT unnest($toksSql) AS tok FROM documents)
          |      GROUP BY tok)
          |ORDER BY dense_id""".stripMargin,
+    "q299_source_overlap_matrix" -> {
+      import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
+      val minCols = (0 until 12).map(j =>
+        s"min((${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashPrime) AS m$j")
+        .mkString(",\n         ")
+      val matchSum = (0 until 12)
+        .map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sh AS MATERIALIZED (
+         |  SELECT source, unnest(hs) AS h
+         |  FROM (
+         |    SELECT source, $shingle3Sql AS hs
+         |    FROM (
+         |      SELECT source, $tokenHashesSql AS th
+         |      FROM (SELECT source, toks
+         |            FROM (SELECT source, $toksSql AS toks FROM documents)
+         |            WHERE len(toks) >= 3)
+         |    )
+         |  )
+         |), sig AS MATERIALIZED (
+         |  SELECT source,
+         |         $minCols
+         |  FROM sh GROUP BY 1
+         |), pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST($matchSum AS BIGINT) AS n_match
+         |  FROM sig a JOIN sig b ON a.source < b.source
+         |)
+         |SELECT src_a, src_b, n_match,
+         |       ${ratioSql("n_match", "12")} AS est_jaccard
+         |FROM pairs
+         |ORDER BY src_a, src_b""".stripMargin
+    },
     "q298_boilerplate_census" ->
       s"""WITH base AS MATERIALIZED (
          |  SELECT toks[1] || ' ' || toks[2] || ' ' || toks[3] AS head_sh,

@@ -46,6 +46,7 @@ class EdgeCorpusSpec extends SparkSpec {
     "q295_temperature_mixture",
     "q297_bigram_lm_perplexity",
     "q298_boilerplate_census",
+    "q299_source_overlap_matrix",
     "q149_inverted_index")
 
   textQueries.foreach { name =>

@@ -591,6 +591,28 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q299 identical sources estimate Jaccard 1.0; disjoint ones agree by symmetry") {
+    val dir = java.nio.file.Files.createTempDirectory("src_overlap").toString
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (1L, shared, "en", "srcX", 40L),
+      (2L, shared + " iota kappa", "en", "srcX", 50L),
+      (3L, shared, "en", "srcY", 40L),
+      (4L, shared + " iota kappa", "en", "srcY", 50L),
+      (5L, "completely different words here nothing shared at all", "en", "srcZ", 53L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q299_source_overlap_matrix")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size === 3)
+    // X and Y hold byte-identical shingle sets: every minimum matches
+    assert(out(("srcX", "srcY")) === ((12L, 1.0)))
+    // Z's shingle set is the same distance from X and from Y
+    assert(out(("srcX", "srcZ")) === out(("srcY", "srcZ")))
+    assert(out(("srcX", "srcZ"))._1 < 12L)
+  }
+
   test("q298 finds planted boilerplate heads/tails and only those") {
     val dir = java.nio.file.Files.createTempDirectory("boiler").toString
     Seq(
