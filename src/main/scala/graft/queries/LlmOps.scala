@@ -1058,7 +1058,17 @@ object LlmOps {
     val qv = Tables.embeddings(s, dir)
       .select($"vec_id", VectorOps.quantizeI8(s)($"embedding").as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val k = KmeansK
+    lloydAssign2(s, qv, KmeansK)
+  }
+
+  /** Two unrolled Lloyd rounds over a `(vec_id, q: array<int>)` table for
+    * `k` clusters — the shared kernel of [[kmeansAssigned]] (full
+    * 64-dim vectors, q109/q110) and [[pqCodebookCensus]] (32-dim PQ
+    * subspaces, q300). Same deterministic contract as always: first-k
+    * seeds, integer `sqdist·k + cluster` argmin codes, grid-snapped
+    * centroid update. Returns `(vec_id, q, cluster, sqdist)`. */
+  private def lloydAssign2(s: SparkSession, qv: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
     // centroid rows (cluster, m) → one broadcastable row of K array columns
     def pivotCents(cdf: DataFrame): DataFrame =
       cdf.groupBy().agg(
@@ -1098,6 +1108,46 @@ object LlmOps {
         sum($"sqdist").as("sum_sqdist"),
         min($"vec_id").as("min_vec"))
       .orderBy($"cluster")
+  }
+
+  /** Sub-codebook size per PQ subspace: 4 centroids × 2 subspaces →
+    * 16 possible product codes, each vector stored as 2 codes (4 bits)
+    * instead of 64 int8 components — the 64× compression that makes
+    * billion-vector ANN indexes fit in RAM. */
+  val PqK = 4
+
+  /** Product-quantization codebook census — the PQ training + encode
+    * step of IVF-PQ ANN indexes (Jégou et al.'s product quantization,
+    * public description; the FAISS index family): split each int8
+    * vector into 2 independent 32-dim subspaces, train a deterministic
+    * [[PqK]]-centroid sub-codebook per subspace with the SAME two-round
+    * Lloyd kernel q109 uses ([[lloydAssign2]] — first-k seeds, integer
+    * argmin codes, grid-snapped updates, bit-identical cross-engine),
+    * and encode every vector as the product code c₁·K + c₂. Output is
+    * the per-code census: population, total sub-quantization error
+    * (the Σ of both subspace sqdists — PQ's additive-distance property
+    * as a checked quantity), and the min member id. Scale: the corpus
+    * is quantized ONCE (cache shared with q109 by plan identity);
+    * per subspace each Lloyd round is a map-side projection against a
+    * broadcast centroid pivot + a (cluster, dim) hash agg — zero
+    * corpus shuffle until the ≤K² -row census; the code join is
+    * vec_id-keyed. */
+  def pqCodebookCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv = Tables.embeddings(s, dir)
+      .select($"vec_id", VectorOps.quantizeI8(s)($"embedding").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a1 = lloydAssign2(s, qv.select($"vec_id", slice($"q", 1, 32).as("q")), PqK)
+      .select($"vec_id", $"cluster".as("c1"), $"sqdist".as("d1"))
+    val a2 = lloydAssign2(s, qv.select($"vec_id", slice($"q", 33, 32).as("q")), PqK)
+      .select($"vec_id", $"cluster".as("c2"), $"sqdist".as("d2"))
+    a1.join(a2, "vec_id")
+      .withColumn("pq_code", $"c1" * PqK + $"c2")
+      .groupBy($"pq_code")
+      .agg(count(lit(1)).as("n_members"),
+        sum($"d1" + $"d2").as("sum_sqdist"),
+        min($"vec_id").as("min_vec"))
+      .orderBy($"pq_code")
   }
 
   /** Cosine floor above which a member counts as a near-dup of its
@@ -2631,6 +2681,7 @@ object LlmOps {
     "q297_bigram_lm_perplexity" -> bigramLmPerplexity,
     "q298_boilerplate_census" -> boilerplateCensus,
     "q299_source_overlap_matrix" -> sourceOverlapMatrix,
+    "q300_pq_codebook_census" -> pqCodebookCensus,
     "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
     "q193_knn_label_vote" -> knnLabelVote,
@@ -2790,6 +2841,17 @@ object LlmOps {
          |      FROM (SELECT unnest($toksSql) AS tok FROM documents)
          |      GROUP BY tok)
          |ORDER BY dense_id""".stripMargin,
+    "q300_pq_codebook_census" ->
+      s"""WITH $qvSql, ${pqPipeSql("_1", 1, 32)}, ${pqPipeSql("_2", 33, 64)}
+         |SELECT CAST(s1.code % $PqK AS INT) * $PqK + CAST(s2.code % $PqK AS INT)
+         |         AS pq_code,
+         |       count(*) AS n_members,
+         |       CAST(sum(s1.code // $PqK + s2.code // $PqK) AS BIGINT)
+         |         AS sum_sqdist,
+         |       min(s1.vec_id) AS min_vec
+         |FROM a2_1 s1 JOIN a2_2 s2 ON s1.vec_id = s2.vec_id
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
     "q299_source_overlap_matrix" -> {
       import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
       val minCols = (0 until 12).map(j =>
@@ -4193,6 +4255,24 @@ object LlmOps {
     * WITH-clause body so both oracles stay one SELECT away from the same
     * deterministic pipeline, exactly like the Spark side shares
     * [[kmeansAssigned]]. */
+  /** The int8-quantization CTE (`qv AS (...)`) — q78's exact grid, shared
+    * by [[kmeansA2Sql]] (full vectors) and the q300 PQ oracle. */
+  private lazy val qvSql: String =
+    """qv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+      |  FROM (
+      |    SELECT vec_id, embedding,
+      |           CASE WHEN absmax = 0.0 THEN 1.0 ELSE absmax / 127.0 END AS scale
+      |    FROM (
+      |      SELECT vec_id, embedding,
+      |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(embedding, x -> abs(x)) AS DOUBLE[])),
+      |                         (a, x) -> CASE WHEN x > a THEN x ELSE a END) AS absmax
+      |      FROM embeddings
+      |    )
+      |  )
+      |)""".stripMargin
+
   private lazy val kmeansA2Sql: String = {
     val k = KmeansK
     // integer squared distance of q to centroid array column mJ, coded
@@ -4207,20 +4287,7 @@ object LlmOps {
       (0 until k).map(j =>
         s"max(CASE WHEN $keyCol = $j THEN m END) AS m$j").mkString(", ") +
         s" FROM $src"
-    s"""qv AS (
-       |  SELECT vec_id,
-       |         list_transform(embedding, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
-       |  FROM (
-       |    SELECT vec_id, embedding,
-       |           CASE WHEN absmax = 0.0 THEN 1.0 ELSE absmax / 127.0 END AS scale
-       |    FROM (
-       |      SELECT vec_id, embedding,
-       |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(embedding, x -> abs(x)) AS DOUBLE[])),
-       |                         (a, x) -> CASE WHEN x > a THEN x ELSE a END) AS absmax
-       |      FROM embeddings
-       |    )
-       |  )
-       |), seeds AS (
+    s"""$qvSql, seeds AS (
        |  SELECT CAST(vec_id AS INT) AS cluster, q AS m FROM qv WHERE vec_id < $k
        |), p0 AS (
        |  SELECT ${pivotSql("seeds", "cluster")}
@@ -4245,6 +4312,50 @@ object LlmOps {
        |  SELECT vec_id, q,
        |         least(${(0 until k).map(codeSql).mkString(", ")}) AS code
        |  FROM qv, p1
+       |)""".stripMargin
+  }
+
+  /** One PQ-subspace Lloyd pipeline for the q300 oracle: CTE-name suffix
+    * `sfx`, DuckDB list slice `[lo:hi]` (inclusive, 32 dims), same
+    * two-round construction as [[kmeansA2Sql]] with k = [[PqK]]. */
+  private def pqPipeSql(sfx: String, lo: Int, hi: Int): String = {
+    val k = PqK
+    def codeSql(j: Int) =
+      s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, 33),
+         |      i -> CAST(q[i] - m$j[i] AS BIGINT) * (q[i] - m$j[i]))),
+         |  (a, b) -> a + b) * $k + $j)""".stripMargin
+    def pivotSql(src: String) =
+      (0 until k).map(j =>
+        s"max(CASE WHEN cluster = $j THEN m END) AS m$j").mkString(", ") +
+        s" FROM $src"
+    s"""sub$sfx AS (
+       |  SELECT vec_id, q[$lo:$hi] AS q FROM qv
+       |), seeds$sfx AS (
+       |  SELECT CAST(vec_id AS INT) AS cluster, q AS m FROM sub$sfx WHERE vec_id < $k
+       |), p0$sfx AS (
+       |  SELECT ${pivotSql(s"seeds$sfx")}
+       |), a1$sfx AS (
+       |  SELECT vec_id, q,
+       |         least(${(0 until k).map(codeSql).mkString(", ")}) AS code
+       |  FROM sub$sfx, p0$sfx
+       |), u1$sfx AS (
+       |  SELECT CAST(code % $k AS INT) AS cluster, i AS pos, q[CAST(i AS INT)] AS x
+       |  FROM a1$sfx, range(1, 33) t(i)
+       |), c1$sfx AS (
+       |  SELECT cluster, list(mi ORDER BY pos) AS m
+       |  FROM (
+       |    SELECT cluster, pos,
+       |           CAST(floor((2.0 * sum(x) + count(*)) / (2.0 * count(*))) AS INT) AS mi
+       |    FROM u1$sfx GROUP BY cluster, pos
+       |  )
+       |  GROUP BY cluster
+       |), p1$sfx AS (
+       |  SELECT ${pivotSql(s"c1$sfx")}
+       |), a2$sfx AS (
+       |  SELECT vec_id,
+       |         least(${(0 until k).map(codeSql).mkString(", ")}) AS code
+       |  FROM sub$sfx, p1$sfx
        |)""".stripMargin
   }
 }

@@ -591,6 +591,43 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q300 PQ codes factor exactly on a separable fixture; census conserves members") {
+    // 4 sign patterns per 32-dim subspace, all with absmax 1 so every
+    // vector quantizes on the same int8 grid: pattern p = (s1, s2) signs
+    // over two 16-dim halves. Vectors are all 16 (head, tail) pattern
+    // combos; ids 0-3 are the diagonal so the first-k seeds hold 4
+    // DISTINCT patterns in BOTH subspaces. Lloyd then keeps each
+    // centroid at its pattern (clusters are identical members), so
+    // vector (head i, tail j) must encode as pq_code = 4i + j with zero
+    // quantization error — the whole census is hand-computable.
+    def half(sign: Int): Seq[Float] = Seq.fill(16)(sign.toFloat)
+    def pattern(p: Int): Seq[Float] =
+      half(if (p < 2) 1 else -1) ++ half(if (p % 2 == 0) 1 else -1)
+    val combos = (0 until 4).map(i => (i, i)) ++
+      (for (i <- 0 until 4; j <- 0 until 4 if i != j) yield (i, j))
+    val rows = combos.zipWithIndex.map { case ((i, j), id) =>
+      (id.toLong, pattern(i) ++ pattern(j), 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pq_fix").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q300_pq_codebook_census")(spark, dir)
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(out.length === 16, "all 16 product codes must be populated")
+    val expectedId = combos.zipWithIndex
+      .map { case ((i, j), id) => (i * 4 + j, id.toLong) }.toMap
+    out.foreach { case (code, (n, sq, minV)) =>
+      assert(n === 1L && sq === 0L, s"code $code: separable fixture must quantize exactly")
+      assert(minV === expectedId(code), s"code $code carries the wrong member")
+    }
+    // fixture-corpus invariant: member conservation
+    val census = SparkEntry.queries("q300_pq_codebook_census")(spark, sfDir).collect()
+    val total = census.map(_.getLong(1)).sum
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    assert(total === nVecs, "every vector must land in exactly one PQ cell")
+    census.foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) < 16))
+  }
+
   test("q299 identical sources estimate Jaccard 1.0; disjoint ones agree by symmetry") {
     val dir = java.nio.file.Files.createTempDirectory("src_overlap").toString
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
