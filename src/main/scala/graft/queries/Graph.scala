@@ -503,12 +503,57 @@ object Graph {
     lab.unionByName(unl).orderBy($"kind", $"label")
   }
 
+  /** Degree assortativity — Newman's degree-correlation coefficient
+    * (public network-science definition): the Pearson correlation of
+    * endpoint degrees over the directed-symmetric edge list. Negative on
+    * this bipartite trade graph (hubs bond to leaves), positive on
+    * social-style graphs — the one-number "is this graph hub-and-spoke"
+    * diagnostic q198 is for keys. Exact-moment construction (the q195
+    * contract): the five sums accumulate in decimal(38,0) (degree
+    * products pass 2⁶³ far below 100 TB-class SF — the q197/q203
+    * promotion lesson), and the coefficient is ONE IEEE tree over
+    * exactly-convertible integers, so it hash-compares despite being a
+    * float. Scale: degrees come from one groupBy over the pinned
+    * src-partitioned edges (exchange-free), pinned and joined back on
+    * src (exchange-free again) then on dst (the one keyed shuffle);
+    * everything after is a 1-row fold. */
+  def degreeAssortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val edges = tradeEdges(s, dir)
+    val deg = graft.operators.Pinned.partitionedCheckpoint(
+      edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")),
+      $"node")
+    val ed = edges
+      .join(deg.select($"node".as("src"), $"deg".as("dx")), "src")
+      .join(deg.select($"node".as("dst"), $"deg".as("dy")), "dst")
+    val m = ed.agg(
+      count(lit(1)).as("n"),
+      sum($"dx".cast(d38)).as("sx"),
+      sum($"dy".cast(d38)).as("sy"),
+      sum($"dx".cast(d38) * $"dy").as("sxy"),
+      sum($"dx".cast(d38) * $"dx").as("sxx"),
+      sum($"dy".cast(d38) * $"dy").as("syy"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+    val denx = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+    val deny = ($"n" * $"syy" - $"sy" * $"sy").cast("double")
+    m.crossJoin(broadcast(nn))
+      .select(
+        $"n".as("n_dir_edges"),
+        $"n_nodes",
+        ratio($"sx", $"n").as("mean_deg"),
+        when(denx > 0.0 && deny > 0.0, num / sqrt(denx * deny))
+          .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_triangle_census" -> triangleCensus,
     "q288_bfs_reachability" -> bfsReachability,
     "q290_widest_path_census" -> widestPathCensus,
     "q291_reach_sketch_census" -> reachSketchCensus,
     "q294_label_propagation" -> labelPropagation,
+    "q301_degree_assortativity" -> degreeAssortativity,
     "q197_pagerank_fixed_point" -> pageRank)
 
   /** One unrolled propagation round for the q294 oracle: majority vote
@@ -532,6 +577,39 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "q301_degree_assortativity" ->
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |), und AS MATERIALIZED (
+         |  SELECT src, dst FROM pairs
+         |  UNION ALL
+         |  SELECT dst AS src, src AS dst FROM pairs
+         |), deg AS MATERIALIZED (
+         |  SELECT src AS node, count(*) AS deg FROM und GROUP BY 1
+         |), ed AS (
+         |  SELECT dx.deg AS x, dy.deg AS y
+         |  FROM und e JOIN deg dx ON e.src = dx.node
+         |             JOIN deg dy ON e.dst = dy.node
+         |), m AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(x) AS HUGEINT) AS sx,
+         |         CAST(sum(y) AS HUGEINT) AS sy,
+         |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |         sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM ed
+         |), nn AS (SELECT count(*) AS n_nodes FROM deg)
+         |SELECT CAST(m.n AS BIGINT) AS n_dir_edges,
+         |       (SELECT CAST(n_nodes AS BIGINT) FROM nn) AS n_nodes,
+         |       CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean_deg,
+         |       CASE WHEN CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) > 0
+         |             AND CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE) > 0
+         |            THEN CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+         |                 / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+         |                        * CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE))
+         |       END AS assortativity
+         |FROM m""".stripMargin,
     "q294_label_propagation" ->
       s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

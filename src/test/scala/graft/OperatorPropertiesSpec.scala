@@ -591,6 +591,27 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q301 star graph scores assortativity -1; trade graph is disassortative") {
+    // a pure star is the textbook extreme: every edge joins the hub
+    // (degree n) to a leaf (degree 1), so endpoint degrees are
+    // perfectly anti-correlated
+    val dir = java.nio.file.Files.createTempDirectory("star_graph").toString
+    Seq((1L, 1L)).toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (1L to 5L).map(sk => (1L, sk)).toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val star = graft.queries.Graph.degreeAssortativity(spark, dir).collect()(0)
+    assert(star.getLong(0) === 10L && star.getLong(1) === 6L)
+    assert(math.abs(star.getDouble(3) - (-1.0)) < 1e-12,
+      s"star assortativity was ${star.getDouble(3)}, expected -1")
+
+    val r = graft.queries.Graph.degreeAssortativity(spark, sfDir).collect()(0)
+    assert(r.getLong(0) % 2 === 0L, "symmetric edge list must have even size")
+    val a = r.getDouble(3)
+    assert(a >= -1.0 - 1e-12 && a <= 1.0 + 1e-12)
+    assert(a < 0.0, "bipartite hub-leaf trade graph should be disassortative")
+  }
+
   test("q300 PQ codes factor exactly on a separable fixture; census conserves members") {
     // 4 sign patterns per 32-dim subspace, all with absmax 1 so every
     // vector quantizes on the same int8 grid: pattern p = (s1, s2) signs
