@@ -1501,9 +1501,64 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Join-path DISCOVERY via column sketches — the data-catalog
+    * operator (Aurum/Sherlock-class schema matching, public
+    * descriptions): which column PAIRS across tables look joinable,
+    * WITHOUT any declared relationship? q275 profiles relationships
+    * someone already knows about with an exact per-pair full-outer
+    * join; this screens ALL pairs first, the way a catalog must at
+    * thousands of tables. Each audited column gets ONE set-level
+    * 12-hash MinHash signature (the q299 construction — and because
+    * min ignores duplicates, the signature needs NO distinct: it is a
+    * pure column scan folding into a 1-row map-side-combinable agg),
+    * then the |columns|²/2 pair table compares signatures: matching
+    * minima / 12 estimates the value-set Jaccard, and ≥8/12 flags the
+    * pair joinable (J ≳ 0.67). Expected hits on this schema: the
+    * key/FK pairs (orderkey↔orderkey, custkey↔custkey,
+    * suppkey↔suppkey); everything else collides only by numeric-range
+    * accident — exactly what the estimate is for. Scale: one scan per
+    * audited column, six 1-row signatures, a bounded broadcast theta
+    * join; nothing grows with the data. */
+  def joinDiscovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
+    def sig(name: String, df: DataFrame, c: String): DataFrame = {
+      val h = conv(substring(md5(col(c).cast("string")), 1, 10), 16, 10)
+        .cast("long")
+      val mins = (0 until 12).map(j =>
+        min((lit(MinhashA(j)) * $"h" + lit(MinhashB(j))) % lit(MinhashPrime))
+          .as(s"m$j"))
+      df.select(h.as("h")).agg(mins.head, mins.tail: _*)
+        .select(lit(name).as("col_name") +:
+          (0 until 12).map(j => col(s"m$j")): _*)
+    }
+    val sigs = Seq(
+      sig("customer.c_custkey", Tables.customer(s, dir), "c_custkey"),
+      sig("lineitem.l_orderkey", Tables.lineitem(s, dir), "l_orderkey"),
+      sig("lineitem.l_suppkey", Tables.lineitem(s, dir), "l_suppkey"),
+      sig("orders.o_custkey", Tables.orders(s, dir), "o_custkey"),
+      sig("orders.o_orderkey", Tables.orders(s, dir), "o_orderkey"),
+      sig("supplier.s_suppkey", Tables.supplier(s, dir), "s_suppkey"))
+      .reduce(_ unionAll _)
+    val a = sigs.select($"col_name".as("col_a") +:
+      (0 until 12).map(j => col(s"m$j").as(s"a$j")): _*)
+    val b = sigs.select($"col_name".as("col_b") +:
+      (0 until 12).map(j => col(s"m$j").as(s"b$j")): _*)
+    val nMatch = (0 until 12)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, $"col_a" < $"col_b")
+      .select($"col_a", $"col_b", nMatch.as("n_match"))
+      .select($"col_a", $"col_b", $"n_match",
+        ratio($"n_match", lit(12L)).as("est_jaccard"),
+        ($"n_match" >= 8L).as("joinable"))
+      .orderBy($"col_a", $"col_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q284_important_parts_value" -> importantPartsValue,
     "q285_ship_priority_census" -> shipPriorityCensus,
+    "q302_join_discovery" -> joinDiscovery,
     "q253_join_asof_nearest" -> asofNearestJoin,
     "q254_min_cost_supplier" -> minCostSupplier,
     "q257_cdc_apply" -> cdcApply,
@@ -1566,6 +1621,40 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q302_join_discovery" -> {
+      import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
+      def sigSql(name: String, table: String, c: String): String = {
+        val mins = (0 until 12).map(j =>
+          s"min((${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashPrime) AS m$j")
+          .mkString(", ")
+        s"""SELECT '$name' AS col_name, $mins
+           |  FROM (SELECT CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 10))
+           |               AS BIGINT) AS h FROM $table)""".stripMargin
+      }
+      val matchSum = (0 until 12)
+        .map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val sigs = Seq(
+        sigSql("customer.c_custkey", "customer", "c_custkey"),
+        sigSql("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        sigSql("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        sigSql("orders.o_custkey", "orders", "o_custkey"),
+        sigSql("orders.o_orderkey", "orders", "o_orderkey"),
+        sigSql("supplier.s_suppkey", "supplier", "s_suppkey"))
+        .mkString("\n  UNION ALL\n")
+      s"""WITH sig AS MATERIALIZED (
+         |  $sigs
+         |), pairs AS (
+         |  SELECT a.col_name AS col_a, b.col_name AS col_b,
+         |         CAST($matchSum AS BIGINT) AS n_match
+         |  FROM sig a JOIN sig b ON a.col_name < b.col_name
+         |)
+         |SELECT col_a, col_b, n_match,
+         |       ${ratioSql("n_match", "12")} AS est_jaccard,
+         |       n_match >= 8 AS joinable
+         |FROM pairs
+         |ORDER BY col_a, col_b""".stripMargin
+    },
     "q284_important_parts_value" ->
       s"""WITH v AS (
          |  SELECT l_partkey,

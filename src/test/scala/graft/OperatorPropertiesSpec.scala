@@ -591,6 +591,19 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q302 discovers exactly the three true FK pairs on the fixture schema") {
+    val out = SparkEntry.queries("q302_join_discovery")(spark, sfDir).collect()
+    assert(out.length === 15, "all C(6,2) column pairs must be screened")
+    out.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) <= 12L))
+    val joinable = out.filter(_.getBoolean(4))
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(joinable === Set(
+      ("customer.c_custkey", "orders.o_custkey"),
+      ("lineitem.l_orderkey", "orders.o_orderkey"),
+      ("lineitem.l_suppkey", "supplier.s_suppkey")),
+      s"discovery should flag the FK pairs and only those, got $joinable")
+  }
+
   test("q301 star graph scores assortativity -1; trade graph is disassortative") {
     // a pure star is the textbook extreme: every edge joins the hub
     // (degree n) to a leaf (degree 1), so endpoint degrees are
