@@ -1555,10 +1555,64 @@ object Relational {
       .orderBy($"col_a", $"col_b")
   }
 
+  /** The audited-column registry shared by [[joinDiscovery]] (sketch
+    * screen) and [[inclusionDirection]] (exact verify): name → column
+    * projection. */
+  private def auditedColumns(s: SparkSession, dir: String): Seq[(String, DataFrame)] = Seq(
+    "customer.c_custkey" -> Tables.customer(s, dir).select(col("c_custkey").cast("string").as("v")),
+    "lineitem.l_orderkey" -> Tables.lineitem(s, dir).select(col("l_orderkey").cast("string").as("v")),
+    "lineitem.l_suppkey" -> Tables.lineitem(s, dir).select(col("l_suppkey").cast("string").as("v")),
+    "orders.o_custkey" -> Tables.orders(s, dir).select(col("o_custkey").cast("string").as("v")),
+    "orders.o_orderkey" -> Tables.orders(s, dir).select(col("o_orderkey").cast("string").as("v")),
+    "supplier.s_suppkey" -> Tables.supplier(s, dir).select(col("s_suppkey").cast("string").as("v")))
+
+  /** Inclusion-dependency DIRECTION — phase two of the q302 catalog:
+    * the sketch screen says WHICH pairs look joinable; this says WHICH
+    * WAY (FK → PK): per surviving pair, exact distinct cardinalities
+    * and both anti-join orphan counts classify the pair as
+    * `equal` / `a_subset_of_b` / `b_subset_of_a` / `overlap` — the
+    * label a modeling tool needs before it dares write a join. The
+    * two-phase shape IS the scale story: exact set comparison per pair
+    * costs a keyed distinct + two anti-joins, affordable only because
+    * the O(schema²) sketch screen (one cheap scan per column) already
+    * cut the candidate list; the screen result is a BOUNDED decision
+    * gate (≤ C(6,2) rows — the `Sources` WAP-audit collect class, an
+    * O(schema²) read, never O(data)). */
+  def inclusionDirection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = auditedColumns(s, dir).toMap
+    val screened = joinDiscovery(s, dir)
+      .filter($"joinable")
+      .select($"col_a", $"col_b")
+      .collect() // bounded: ≤ C(|audited columns|, 2) = 15 rows
+      .map(r => (r.getString(0), r.getString(1)))
+    val perPair = screened.toSeq.sorted.map { case (an, bn) =>
+      val av = cols(an).distinct()
+      val bv = cols(bn).distinct()
+      // the whole per-pair verdict is ONE plan: four 1-row aggregates
+      // crossJoined, evaluated when the final union materializes
+      av.agg(count(lit(1)).as("n_a"))
+        .crossJoin(bv.agg(count(lit(1)).as("n_b")))
+        .crossJoin(av.join(bv, Seq("v"), "left_anti")
+          .agg(count(lit(1)).as("a_not_in_b")))
+        .crossJoin(bv.join(av, Seq("v"), "left_anti")
+          .agg(count(lit(1)).as("b_not_in_a")))
+        .select(lit(an).as("col_a"), lit(bn).as("col_b"),
+          $"n_a", $"n_b", $"a_not_in_b", $"b_not_in_a")
+        .withColumn("relation",
+          when($"a_not_in_b" === 0L && $"b_not_in_a" === 0L, "equal")
+            .when($"a_not_in_b" === 0L, "a_subset_of_b")
+            .when($"b_not_in_a" === 0L, "b_subset_of_a")
+            .otherwise("overlap"))
+    }
+    perPair.reduce(_ unionAll _).orderBy($"col_a", $"col_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q284_important_parts_value" -> importantPartsValue,
     "q285_ship_priority_census" -> shipPriorityCensus,
     "q302_join_discovery" -> joinDiscovery,
+    "q303_inclusion_direction" -> inclusionDirection,
     "q253_join_asof_nearest" -> asofNearestJoin,
     "q254_min_cost_supplier" -> minCostSupplier,
     "q257_cdc_apply" -> cdcApply,
@@ -1621,6 +1675,57 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q303_inclusion_direction" -> {
+      import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
+      val reg = Seq(
+        ("customer.c_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("orders.o_orderkey", "orders", "o_orderkey"),
+        ("supplier.s_suppkey", "supplier", "s_suppkey"))
+      def sigSql(name: String, table: String, c: String): String = {
+        val mins = (0 until 12).map(j =>
+          s"min((${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashPrime) AS m$j")
+          .mkString(", ")
+        s"""SELECT '$name' AS col_name, $mins
+           |  FROM (SELECT CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 10))
+           |               AS BIGINT) AS h FROM $table)""".stripMargin
+      }
+      val matchSum = (0 until 12)
+        .map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      def exactSql(a: (String, String, String), b: (String, String, String)): String =
+        s"""SELECT '${a._1}' AS col_a, '${b._1}' AS col_b,
+           |  (SELECT count(DISTINCT ${a._3}) FROM ${a._2}) AS n_a,
+           |  (SELECT count(DISTINCT ${b._3}) FROM ${b._2}) AS n_b,
+           |  (SELECT count(*) FROM (SELECT DISTINCT CAST(${a._3} AS VARCHAR) AS v FROM ${a._2})
+           |   WHERE v NOT IN (SELECT CAST(${b._3} AS VARCHAR) FROM ${b._2})) AS a_not_in_b,
+           |  (SELECT count(*) FROM (SELECT DISTINCT CAST(${b._3} AS VARCHAR) AS v FROM ${b._2})
+           |   WHERE v NOT IN (SELECT CAST(${a._3} AS VARCHAR) FROM ${a._2})) AS b_not_in_a""".stripMargin
+      val allPairs = (for {
+        i <- reg.indices; j <- reg.indices if i < j
+      } yield exactSql(reg(i), reg(j))).mkString("\n  UNION ALL\n")
+      s"""WITH sig AS MATERIALIZED (
+         |  ${reg.map((sigSql _).tupled).mkString("\n  UNION ALL\n")}
+         |), screen AS (
+         |  SELECT a.col_name AS col_a, b.col_name AS col_b
+         |  FROM sig a JOIN sig b ON a.col_name < b.col_name
+         |  WHERE ($matchSum) >= 8
+         |), ex AS (
+         |  $allPairs
+         |)
+         |SELECT ex.col_a, ex.col_b,
+         |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |       CAST(a_not_in_b AS BIGINT) AS a_not_in_b,
+         |       CAST(b_not_in_a AS BIGINT) AS b_not_in_a,
+         |       CASE WHEN a_not_in_b = 0 AND b_not_in_a = 0 THEN 'equal'
+         |            WHEN a_not_in_b = 0 THEN 'a_subset_of_b'
+         |            WHEN b_not_in_a = 0 THEN 'b_subset_of_a'
+         |            ELSE 'overlap' END AS relation
+         |FROM ex JOIN screen ON ex.col_a = screen.col_a AND ex.col_b = screen.col_b
+         |ORDER BY ex.col_a, ex.col_b""".stripMargin
+    },
     "q302_join_discovery" -> {
       import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
       def sigSql(name: String, table: String, c: String): String = {

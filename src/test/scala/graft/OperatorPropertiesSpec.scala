@@ -604,6 +604,31 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"discovery should flag the FK pairs and only those, got $joinable")
   }
 
+  test("q303 verifies direction on screened pairs; referential integrity holds") {
+    val out = SparkEntry.queries("q303_inclusion_direction")(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    assert(out.keySet === Set(
+      ("customer.c_custkey", "orders.o_custkey"),
+      ("lineitem.l_orderkey", "orders.o_orderkey"),
+      ("lineitem.l_suppkey", "supplier.s_suppkey")),
+      "phase two must verify exactly the screened pairs")
+    out.foreach { case (pair, (na, nb, aNotB, bNotA, rel)) =>
+      // label must be the deterministic function of the orphan counts
+      val expect =
+        if (aNotB == 0 && bNotA == 0) "equal"
+        else if (aNotB == 0) "a_subset_of_b"
+        else if (bNotA == 0) "b_subset_of_a"
+        else "overlap"
+      assert(rel === expect, s"$pair mislabeled")
+      if (rel == "a_subset_of_b") assert(na < nb)
+    }
+    // referential integrity of the fixture: every lineitem names a real
+    // order, so the FK side can never have orphans
+    val (_, _, loNotO, _, _) = out(("lineitem.l_orderkey", "orders.o_orderkey"))
+    assert(loNotO === 0L, "lineitem must reference only existing orders")
+  }
+
   test("q301 star graph scores assortativity -1; trade graph is disassortative") {
     // a pure star is the textbook extreme: every edge joins the hub
     // (degree n) to a leaf (degree 1), so endpoint degrees are
