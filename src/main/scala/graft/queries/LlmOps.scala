@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.operators.{TextOps, TwoPass, VectorOps}
@@ -1655,6 +1656,53 @@ object LlmOps {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** Distribution-drift census — the snapshot-vs-snapshot monitor an
+    * ML-ops pipeline runs before retraining ("did the data mix move?"),
+    * here between the two halves of the q260 consistent-hash split
+    * (membership a pure function of doc_id — the same stable-split
+    * machinery q297 trains on). The drift measure is TOTAL VARIATION
+    * distance, chosen over PSI/KL deliberately: TV needs no logarithm,
+    * so the whole computation stays EXACT — per (lang, length-band)
+    * bucket the term |n_a·N_B − n_b·N_A| is integer (promoted to
+    * decimal(38,0): the cross products pass 2⁶³ at 100 TB-class corpus
+    * sizes, the q197/q203 lesson), the bucket sum is an exact decimal
+    * fold, and TV = Σ/(2·N_A·N_B) is ONE final IEEE divide — a float
+    * that hash-compares. Per-bucket rows carry the raw counts and the
+    * exact drift numerator (the "which bucket moved" answer); the
+    * global TV rides along via a broadcast 1-row total. Scale: one
+    * scan, one bounded (lang, band) agg, everything after on ≤ a few
+    * dozen rows. */
+  def distributionDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val space = 16777216L // 16^6
+    val half = conv(substring(md5(concat(lit("drift:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    val cells = Tables.documents(s, dir)
+      .select($"lang", $"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .withColumn("band",
+        when($"ntok" >= 40, "long").when($"ntok" >= 20, "mid")
+          .otherwise("short"))
+      .withColumn("in_a", half)
+      .groupBy($"lang", $"band")
+      .agg(sum(when($"in_a", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"in_a", 0L).otherwise(1L)).as("n_b"))
+    val tot = cells.agg(sum($"n_a").as("na"), sum($"n_b").as("nb"))
+    val withTerm = cells.crossJoin(broadcast(tot))
+      .withColumn("drift_num",
+        abs($"n_a".cast(d38) * $"nb" - $"n_b".cast(d38) * $"na"))
+    val tv = withTerm.agg(
+      sum($"drift_num").as("sum_num"),
+      max($"na").as("na"), max($"nb").as("nb"))
+    withTerm.crossJoin(broadcast(tv.select(
+        (($"sum_num").cast("double")
+          / (lit(2.0) * $"na" * $"nb")).as("tv_distance"))))
+      .select($"lang", $"band", $"n_a", $"n_b",
+        $"drift_num".cast("long").as("drift_num"), $"tv_distance")
+      .orderBy($"lang", $"band")
+  }
+
   /** Boilerplate prefix/suffix census — the header/footer detector of
     * C4-class cleaning (public C4/CCNet descriptions strip repeated
     * page furniture): documents that OPEN or CLOSE with the same 3-token
@@ -2681,6 +2729,7 @@ object LlmOps {
     "q297_bigram_lm_perplexity" -> bigramLmPerplexity,
     "q298_boilerplate_census" -> boilerplateCensus,
     "q299_source_overlap_matrix" -> sourceOverlapMatrix,
+    "q304_distribution_drift" -> distributionDrift,
     "q300_pq_codebook_census" -> pqCodebookCensus,
     "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
@@ -2852,6 +2901,35 @@ object LlmOps {
          |FROM a2_1 s1 JOIN a2_2 s2 ON s1.vec_id = s2.vec_id
          |GROUP BY 1
          |ORDER BY 1""".stripMargin,
+    "q304_distribution_drift" ->
+      s"""WITH c AS (
+         |  SELECT lang,
+         |         CASE WHEN ntok >= 40 THEN 'long'
+         |              WHEN ntok >= 20 THEN 'mid' ELSE 'short' END AS band,
+         |         CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
+         |                              1, 6)) AS BIGINT) * 2 < 16777216 AS in_a
+         |  FROM (SELECT doc_id, lang, len($toksSql) AS ntok FROM documents)
+         |), cells AS (
+         |  SELECT lang, band,
+         |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+         |  FROM c GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT CAST(sum(n_a) AS BIGINT) AS na,
+         |         CAST(sum(n_b) AS BIGINT) AS nb FROM cells
+         |), wt AS MATERIALIZED (
+         |  SELECT lang, band, n_a, n_b,
+         |         abs(CAST(n_a AS HUGEINT) * nb - CAST(n_b AS HUGEINT) * na)
+         |           AS drift_num
+         |  FROM cells, tot
+         |), tv AS (SELECT CAST(sum(drift_num) AS HUGEINT) AS sum_num FROM wt)
+         |SELECT lang, band, n_a, n_b,
+         |       CAST(drift_num AS BIGINT) AS drift_num,
+         |       CAST((SELECT sum_num FROM tv) AS DOUBLE)
+         |         / (2.0 * (SELECT na FROM tot) * (SELECT nb FROM tot))
+         |         AS tv_distance
+         |FROM wt
+         |ORDER BY lang, band""".stripMargin,
     "q299_source_overlap_matrix" -> {
       import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
       val minCols = (0 until 12).map(j =>

@@ -604,6 +604,30 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"discovery should flag the FK pairs and only those, got $joinable")
   }
 
+  test("q304 TV distance matches the share-form recompute; counts conserve") {
+    val out = SparkEntry.queries("q304_distribution_drift")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    val tv = out.head._6
+    assert(out.forall(_._6 == tv), "global TV must ride every row identically")
+    assert(tv >= 0.0 && tv <= 1.0)
+    val na = out.map(_._3).sum; val nb = out.map(_._4).sum
+    assert(na + nb === graft.Tables.documents(spark, sfDir).count(),
+      "every doc must land in exactly one (bucket, half)")
+    assert(na > 0 && nb > 0, "the hash split must populate both halves")
+    // TV identity: ½ Σ |pA − pB| computed from the emitted counts must
+    // equal the query's integer-form result
+    val tvRecompute = out.map { case (_, _, a, b, _, _) =>
+      math.abs(a.toDouble / na - b.toDouble / nb)
+    }.sum / 2.0
+    assert(math.abs(tv - tvRecompute) < 1e-12, s"$tv != $tvRecompute")
+    // drift_num is the exact integer numerator of the same term
+    out.foreach { case (_, _, a, b, num, _) =>
+      assert(num === math.abs(a * nb - b * na), "drift numerator mismatch")
+    }
+  }
+
   test("q303 verifies direction on screened pairs; referential integrity holds") {
     val out = SparkEntry.queries("q303_inclusion_direction")(spark, sfDir)
       .collect().map(r => ((r.getString(0), r.getString(1)),
