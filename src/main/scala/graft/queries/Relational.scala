@@ -1608,11 +1608,52 @@ object Relational {
     perPair.reduce(_ unionAll _).orderBy($"col_a", $"col_b")
   }
 
+  /** Incremental materialized-view maintenance with RETRACTIONS — the
+    * aggregate-level delta protocol (Differential-Dataflow / Flink
+    * retract-stream class, public semantics; q257 is the ROW-level
+    * last-writer-wins sibling): a per-customer (n_orders, spend) MV
+    * materialized as of a cutoff date is advanced by a delta batch —
+    * new orders as (+1, +cents) and upstream cancellations of BASE
+    * rows (every 7th orderkey) as (−1, −cents) retractions — via one
+    * delta aggregate + one keyed full-outer merge; groups retracted to
+    * zero DROP (the anti-join a naive implementation forgets). The
+    * ORACLE is the full recompute over the post-delta fact set, so the
+    * hash compare IS the theorem: maintained ≡ recomputed, key for
+    * key, cent for cent. Scale: this is the whole point of MV deltas —
+    * the base facts are NEVER rescanned on advance; the delta batch
+    * aggregates map-side and the merge shuffles only |state|+|delta
+    * keys| rows. */
+  def incrementalMv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = "1997-01-01"
+    val o = Tables.orders(s, dir)
+      .select($"o_custkey".as("ck"), $"o_orderkey", $"o_orderdate",
+        cents($"o_totalprice").as("pc"))
+    val base = o.filter($"o_orderdate" < lit(cutoff))
+      .groupBy($"ck")
+      .agg(count(lit(1)).as("n"), sum($"pc").as("spend"))
+    val inserts = o.filter($"o_orderdate" >= lit(cutoff))
+      .select($"ck", lit(1L).as("dn"), $"pc".as("dc"))
+    val retractions = o
+      .filter($"o_orderdate" < lit(cutoff) && $"o_orderkey" % 7 === 0)
+      .select($"ck", lit(-1L).as("dn"), (-$"pc").as("dc"))
+    val delta = inserts.unionAll(retractions)
+      .groupBy($"ck").agg(sum($"dn").as("dn"), sum($"dc").as("dc"))
+    base.join(delta, Seq("ck"), "full_outer")
+      .select($"ck",
+        (coalesce($"n", lit(0L)) + coalesce($"dn", lit(0L))).as("n_orders"),
+        (coalesce($"spend", lit(0L)) + coalesce($"dc", lit(0L)))
+          .as("spend_cents"))
+      .filter($"n_orders" > 0L)
+      .orderBy($"ck")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q284_important_parts_value" -> importantPartsValue,
     "q285_ship_priority_census" -> shipPriorityCensus,
     "q302_join_discovery" -> joinDiscovery,
     "q303_inclusion_direction" -> inclusionDirection,
+    "q305_incremental_mv" -> incrementalMv,
     "q253_join_asof_nearest" -> asofNearestJoin,
     "q254_min_cost_supplier" -> minCostSupplier,
     "q257_cdc_apply" -> cdcApply,
@@ -1675,6 +1716,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // The oracle IS the theorem: full recompute over the post-delta
+    // fact set (new orders in; cancelled base orders out) — any
+    // double-count, dropped retraction, or surviving empty group in
+    // the incremental path breaks the hash.
+    "q305_incremental_mv" ->
+      s"""SELECT o_custkey AS ck,
+         |       count(*) AS n_orders,
+         |       CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS spend_cents
+         |FROM orders
+         |WHERE o_orderdate >= DATE '1997-01-01'
+         |   OR (o_orderdate < DATE '1997-01-01' AND o_orderkey % 7 <> 0)
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
     "q303_inclusion_direction" -> {
       import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
       val reg = Seq(

@@ -604,6 +604,27 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"discovery should flag the FK pairs and only those, got $joinable")
   }
 
+  test("q305 retractions erase groups; inserts create them; merge is exact") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_mv").toString
+    val d0 = java.sql.Date.valueOf("1995-01-01") // base (pre-cutoff)
+    val d1 = java.sql.Date.valueOf("1998-01-01") // delta (post-cutoff)
+    Seq(
+      (7L, 1L, d0, 10.0), (14L, 1L, d0, 10.0),           // c1: fully retracted
+      (1L, 2L, d0, 10.0), (2L, 2L, d0, 10.0), (100L, 2L, d1, 5.0), // c2: 2 kept + 1 new
+      (101L, 3L, d1, 5.0),                               // c3: insert-only
+      (21L, 4L, d0, 10.0), (3L, 4L, d0, 10.0), (102L, 4L, d1, 5.0)) // c4: 1 retracted
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.queries.Relational.incrementalMv(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      2L -> ((3L, 2500L)), // 2×10.00 kept + 5.00 new
+      3L -> ((1L, 500L)),  // created by the delta alone
+      4L -> ((2L, 1500L))), // one base order retracted
+      s"got $out")
+    assert(!out.contains(1L), "a fully-retracted group must vanish from the MV")
+  }
+
   test("q304 TV distance matches the share-form recompute; counts conserve") {
     val out = SparkEntry.queries("q304_distribution_drift")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
