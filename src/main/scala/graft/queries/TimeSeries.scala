@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -782,6 +782,43 @@ object TimeSeries {
       .orderBy($"event_type", $"dow")
   }
 
+  /** Inter-arrival regularity census — the bot/automation detector for
+    * behavioral event streams (publicly standard abuse heuristic:
+    * humans arrive with high gap variance, scripts arrive on a
+    * metronome): per user, the exact inter-arrival-gap moments in
+    * MICROSECONDS and a coefficient-of-variation BAND, all in integer
+    * arithmetic — the CV never becomes a float. cv_band counts how
+    * many of the thresholds {1 %, 10 %, 50 %, 100 %} the CV exceeds,
+    * via the squared comparison n·Σg² − (Σg)² vs k²·(Σg)² in
+    * decimal(38,0) (µs gaps square past 2⁶³ — the q197/q203
+    * promotion), so band 0 ⇌ CV ≤ 1 % ⇌ `metronomic` (with ≥4 gaps) —
+    * a script; fixture humans land in bands 3–4. Scale: one keyed lag
+    * window per user (never global), one map-side moment agg, output
+    * |users| rows. */
+  def arrivalRegularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val gaps = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"ts",
+        unix_micros($"ts").as("us"))
+      .withColumn("gap", $"us" - lag($"us", 1).over(w))
+    val m = gaps.groupBy($"user_id").agg(
+      count(lit(1)).as("n_events"),
+      count($"gap").as("n_gaps"),
+      coalesce(sum($"gap"), lit(0L)).as("sum_gap_us"),
+      coalesce(sum($"gap".cast(d38) * $"gap"), lit(0L).cast(d38)).as("sg2"))
+    val varN = $"n_gaps" * $"sg2" - $"sum_gap_us".cast(d38) * $"sum_gap_us"
+    val s2 = $"sum_gap_us".cast(d38) * $"sum_gap_us"
+    def exceeds(pctSq: Long): Column = // CV² > (k%)² ⇔ varN·10⁴ > k²·s²
+      when($"n_gaps" > 0L && varN * 10000L > lit(pctSq) * s2, 1L).otherwise(0L)
+    m.select($"user_id", $"n_events", $"n_gaps", $"sum_gap_us",
+        (exceeds(1L) + exceeds(100L) + exceeds(2500L) + exceeds(10000L))
+          .as("cv_band"))
+      .withColumn("metronomic", $"n_gaps" >= 4L && $"cv_band" === 0L)
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q226_interarrival_histogram" -> interarrivalHistogram,
     "q227_weekday_seasonality" -> weekdaySeasonality,
@@ -808,9 +845,40 @@ object TimeSeries {
     "q101_gap_fill" -> gapFill,
     "q102_window_fill" -> forwardFill,
     "q103_interval_overlap" -> intervalOverlap,
+    "q306_arrival_regularity" -> arrivalRegularity,
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "q306_arrival_regularity" -> {
+      def exceeds(pctSq: Long): String =
+        s"(CASE WHEN n_gaps > 0 AND varn * 10000 > $pctSq * s2 THEN 1 ELSE 0 END)"
+      s"""WITH g AS (
+         |  SELECT user_id,
+         |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS gap
+         |  FROM events
+         |), m AS (
+         |  SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
+         |         CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap_us,
+         |         coalesce(sum(CAST(gap AS HUGEINT) * gap), 0) AS sg2
+         |  FROM g GROUP BY 1
+         |), v AS (
+         |  SELECT user_id, n_events, n_gaps, sum_gap_us,
+         |         n_gaps * sg2 - CAST(sum_gap_us AS HUGEINT) * sum_gap_us AS varn,
+         |         CAST(sum_gap_us AS HUGEINT) * sum_gap_us AS s2
+         |  FROM m
+         |), b AS (
+         |  SELECT user_id, n_events, n_gaps, sum_gap_us,
+         |         CAST(${exceeds(1L)} + ${exceeds(100L)} + ${exceeds(2500L)}
+         |              + ${exceeds(10000L)} AS BIGINT) AS cv_band
+         |  FROM v
+         |)
+         |SELECT user_id, n_events, CAST(n_gaps AS BIGINT) AS n_gaps,
+         |       sum_gap_us, cv_band,
+         |       (n_gaps >= 4 AND cv_band = 0) AS metronomic
+         |FROM b
+         |ORDER BY user_id""".stripMargin
+    },
     "q226_interarrival_histogram" ->
       s"""WITH gaps AS (
          |  SELECT o_custkey,

@@ -604,6 +604,29 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"discovery should flag the FK pairs and only those, got $joinable")
   }
 
+  test("q306 flags a planted metronome bot and spares humans and short histories") {
+    val dir = java.nio.file.Files.createTempDirectory("bot_events").toString
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    val bot = (0 until 10).map(i => (100L + i, ts(60L * i), 1L))       // exact 60 s
+    val human = Seq(0L, 47L, 201L, 230L, 611L, 800L, 1207L)
+      .zipWithIndex.map { case (sec, i) => (200L + i, ts(sec), 2L) }   // ragged
+    val shortBot = (0 until 3).map(i => (300L + i, ts(60L * i), 3L))   // 2 gaps only
+    (bot ++ human ++ shortBot).toDF("event_id", "ts", "user_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q306_arrival_regularity")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(5)))).toMap
+    val (bn, bg, bband, bflag) = out(1L)
+    assert(bn === 10L && bg === 9L && bband === 0L && bflag,
+      s"metronome bot not flagged: ${out(1L)}")
+    val (_, _, hband, hflag) = out(2L)
+    assert(hband >= 3L && !hflag, s"human misflagged: ${out(2L)}")
+    val (_, sg, sband, sflag) = out(3L)
+    assert(sg === 2L && sband === 0L && !sflag,
+      "a 2-gap history is too short to call metronomic")
+  }
+
   test("q305 retractions erase groups; inserts create them; merge is exact") {
     val dir = java.nio.file.Files.createTempDirectory("inc_mv").toString
     val d0 = java.sql.Date.valueOf("1995-01-01") // base (pre-cutoff)
