@@ -819,6 +819,44 @@ object TimeSeries {
       .orderBy($"user_id")
   }
 
+  /** Dyadic EWMA spike alerting — the exponentially-weighted smoother
+    * (the third member of the alerting family: q194 is the rolling
+    * z-score, q273 the hysteresis band; EWMA is the canonical
+    * recency-weighted baseline) made EXACT: α = ½ over a bounded
+    * 8-observation horizon, so the weights are powers of two
+    * (128, 64, …, 1) and the smoothed baseline is a pure integer pair
+    * (num, den) — num = Σ qtyₜ₋ᵢ·2⁸⁻ⁱ, den = Σ 2⁸⁻ⁱ over the lags that
+    * exist — truncation-normalized for short histories, no float ever
+    * formed. A spike fires when qty·den > 2·num with ≥4 priors
+    * (today ≥ 2× the recency-weighted baseline). One shipping year
+    * (1995) keeps the census bounded and pushes a date predicate into
+    * the scan. Scale: one (supp, day) pre-agg, one KEYED 8-lag window
+    * per supplier (never global), |supplier·days| output. */
+  def dyadicEwmaAlerts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1995-01-01") && $"l_shipdate" < lit("1996-01-01"))
+      .groupBy($"l_suppkey", $"l_shipdate")
+      .agg(sum($"l_quantity".cast("long")).as("qty"))
+    val w = Window.partitionBy($"l_suppkey").orderBy($"l_shipdate".asc)
+    val lags = (1 to 8).map(i => lag($"qty", i).over(w).as(s"l$i"))
+    val withLags = daily.select(($"l_suppkey" +: $"l_shipdate".as("day") +:
+      $"qty" +: lags): _*)
+    val num = (1 to 8).map(i =>
+      coalesce(col(s"l$i"), lit(0L)) * lit(1L << (8 - i))).reduce(_ + _)
+    val den = (1 to 8).map(i =>
+      when(col(s"l$i").isNotNull, lit(1L << (8 - i))).otherwise(0L))
+      .reduce(_ + _)
+    val nPrior = (1 to 8).map(i =>
+      when(col(s"l$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    withLags
+      .select($"l_suppkey", $"day", $"qty",
+        nPrior.as("n_prior"), num.as("ewma_num"), den.as("ewma_den"))
+      .withColumn("spike",
+        $"n_prior" >= 4L && $"qty" * $"ewma_den" > lit(2L) * $"ewma_num")
+      .orderBy($"l_suppkey", $"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q226_interarrival_histogram" -> interarrivalHistogram,
     "q227_weekday_seasonality" -> weekdaySeasonality,
@@ -846,9 +884,40 @@ object TimeSeries {
     "q102_window_fill" -> forwardFill,
     "q103_interval_overlap" -> intervalOverlap,
     "q306_arrival_regularity" -> arrivalRegularity,
+    "q307_dyadic_ewma_alerts" -> dyadicEwmaAlerts,
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "q307_dyadic_ewma_alerts" -> {
+      val num = (1 to 8).map(i => s"coalesce(l$i, 0) * ${1L << (8 - i)}")
+        .mkString(" + ")
+      val den = (1 to 8).map(i =>
+        s"(CASE WHEN l$i IS NOT NULL THEN ${1L << (8 - i)} ELSE 0 END)")
+        .mkString(" + ")
+      val np = (1 to 8).map(i =>
+        s"(CASE WHEN l$i IS NOT NULL THEN 1 ELSE 0 END)").mkString(" + ")
+      val lagCols = (1 to 8).map(i =>
+        s"lag(qty, $i) OVER (PARTITION BY l_suppkey ORDER BY day) AS l$i")
+        .mkString(",\n         ")
+      s"""WITH daily AS (
+         |  SELECT l_suppkey, l_shipdate AS day,
+         |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+         |  GROUP BY 1, 2
+         |), lg AS (
+         |  SELECT l_suppkey, day, qty,
+         |         $lagCols
+         |  FROM daily
+         |)
+         |SELECT l_suppkey, day, qty,
+         |       CAST($np AS BIGINT) AS n_prior,
+         |       CAST($num AS BIGINT) AS ewma_num,
+         |       CAST($den AS BIGINT) AS ewma_den,
+         |       (($np) >= 4 AND qty * ($den) > 2 * ($num)) AS spike
+         |FROM lg
+         |ORDER BY l_suppkey, day""".stripMargin
+    },
     "q306_arrival_regularity" -> {
       def exceeds(pctSq: Long): String =
         s"(CASE WHEN n_gaps > 0 AND varn * 10000 > $pctSq * s2 THEN 1 ELSE 0 END)"

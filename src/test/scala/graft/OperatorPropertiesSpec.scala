@@ -604,6 +604,34 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"discovery should flag the FK pairs and only those, got $joinable")
   }
 
+  test("q307 dyadic EWMA: exact weights, truncation normalization, spike fires at 2x") {
+    val dir = java.nio.file.Files.createTempDirectory("ewma").toString
+    // supplier 1: five flat days of 10 then a 100 burst; supplier 2:
+    // too short a history to ever alert
+    val rows =
+      (1 to 5).map(d => (1L, java.sql.Date.valueOf(f"1995-01-0$d"), 10.0)) ++
+        Seq((1L, java.sql.Date.valueOf("1995-01-06"), 100.0)) ++
+        (1 to 3).map(d => (2L, java.sql.Date.valueOf(f"1995-02-0$d"), 50.0))
+    rows.toDF("l_suppkey", "l_shipdate", "l_quantity")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q307_dyadic_ewma_alerts")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getDate(1).toString),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // burst day: 5 priors of 10 with weights 128,64,32,16,8
+    val (q, np, num, den, spike) = out((1L, "1995-01-06"))
+    assert(q === 100L && np === 5L)
+    assert(num === 10L * (128 + 64 + 32 + 16 + 8) && den === 248L,
+      s"dyadic weights wrong: num=$num den=$den")
+    assert(spike, "a 10x burst over a flat baseline must alert")
+    // flat days never alert; the first row has no priors at all
+    assert(!out((1L, "1995-01-05"))._5)
+    assert(out((1L, "1995-01-01"))._2 === 0L && out((1L, "1995-01-01"))._4 === 0L)
+    // supplier 2: max 2 priors -> below the evidence floor, never alerts
+    (1 to 3).foreach { d =>
+      assert(!out((2L, f"1995-02-0$d"))._5)
+    }
+  }
+
   test("q306 flags a planted metronome bot and spares humans and short histories") {
     val dir = java.nio.file.Files.createTempDirectory("bot_events").toString
     def ts(sec: Long) = java.sql.Timestamp.from(
