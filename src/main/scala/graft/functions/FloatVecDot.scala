@@ -110,6 +110,7 @@ object GraftFunctions {
   val bloomAggName = "graft_bloom_agg"
   val bloomProbeName = "graft_bloom_might_contain"
   val cmsEstimateName = "graft_cms_estimate"
+  val cmsInnerProductName = "graft_cms_inner_product"
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier(vecDotName),
@@ -151,5 +152,10 @@ object GraftFunctions {
     // Column surface at all — this closes the pair (q292).
     (FunctionIdentifier(cmsEstimateName),
       new ExpressionInfo(classOf[CmsEstimate].getName, cmsEstimateName),
-      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))),
+    // Inner-product (join-size) estimate over two sketches from the same
+    // family — the second probe the native build lacks (q308).
+    (FunctionIdentifier(cmsInnerProductName),
+      new ExpressionInfo(classOf[CmsInnerProduct].getName, cmsInnerProductName),
+      (children: Seq[Expression]) => CmsInnerProduct(children(0), children(1))))
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.operators.TwoPass
@@ -888,6 +889,69 @@ object Aggregates {
         (est >= $"exact_cnt").as("cms_no_underestimate"),
         (est * 1000L <= $"exact_cnt" * 1000L + $"n_total").as("cms_within_eps"))
       .orderBy($"s_suppkey")
+  }
+
+  /** CMS join-size CONTRACT — the inner-product member of the sketch
+    * family, and the cardinality-estimation primitive behind join
+    * planning at scale: estimate |A ⋈_k B| from two count-min sketches
+    * as min_d Σ_w A[d][w]·B[d][w] (AMS/CM inner product), never scanning
+    * A and B together. Here A = 1996 shipments, B = 1997 shipments keyed
+    * by supplier — "how large is the year-over-year self-join" is
+    * exactly the question a cost-based planner asks before choosing a
+    * strategy. The 100 TB shape: BOTH sketches build in the SAME single
+    * pass over the pruned fact scan (two when()-filtered mergeable
+    * object aggs — `count_min_sketch` skips nulls, spec-pinned), each
+    * 160 KB regardless of data; the exact ground truth needs the full
+    * keyed shuffle the sketch exists to avoid, affordable here precisely
+    * because the fixture is small and the oracle must recompute it. Both
+    * CM guarantees are asserted as booleans the oracle states (q292/q18
+    * pattern): no-underestimate is structural (every true join pair
+    * collides into the same cell of every row), and the ε-band
+    * est ≤ exact + ε·N_A·N_B holds with δ = 10⁻³ frozen by the fixed
+    * seed. All arithmetic that crosses the hash compare is exact
+    * decimal(38,0): Σ ca·cb and N_A·N_B pass 2⁶³ at 100 TB (the
+    * q197/q203 promotion), and [[graft.functions.CmsInnerProduct]]
+    * itself folds cell products in BigInteger for the same reason. */
+  def cmsJoinSizeContract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = DecimalType(38, 0)
+    val t = Tables.lineitem(s, dir)
+      .select($"l_suppkey", year($"l_shipdate").as("yr"))
+      .filter($"yr" === 1996 || $"yr" === 1997)
+    // one pass, two filtered sketch builds + both stream counts
+    val sk = t.agg(
+      call_function("count_min_sketch",
+        when($"yr" === 1996, $"l_suppkey"),
+        lit(0.001d), lit(0.999d), lit(42)).as("sk_a"),
+      call_function("count_min_sketch",
+        when($"yr" === 1997, $"l_suppkey"),
+        lit(0.001d), lit(0.999d), lit(42)).as("sk_b"),
+      sum(when($"yr" === 1996, 1L).otherwise(0L)).as("n_a"),
+      sum(when($"yr" === 1997, 1L).otherwise(0L)).as("n_b"))
+    // exact |A ⋈ B| — the one keyed shuffle, which is the oracle's
+    // ground truth, not part of the estimator
+    val exact = t.groupBy($"l_suppkey")
+      .agg(sum(when($"yr" === 1996, 1L).otherwise(0L)).as("ca"),
+        sum(when($"yr" === 1997, 1L).otherwise(0L)).as("cb"))
+      .agg(coalesce(sum(($"ca" * $"cb").cast(dec)), lit(0).cast(dec))
+        .as("n_pairs_exact"))
+    val est =
+      if (s.catalog.functionExists(graft.functions.GraftFunctions.cmsInnerProductName))
+        call_function(graft.functions.GraftFunctions.cmsInnerProductName,
+          $"sk_a", $"sk_b")
+      else {
+        // foreign-session fallback: same helper, scalar UDF wrapper (one
+        // row — never a hot path)
+        val f = udf((a: Array[Byte], b: Array[Byte]) =>
+          graft.functions.CmsInnerProductHelper.inner(a, b).toJavaBigDecimal)
+        f($"sk_a", $"sk_b").cast(dec)
+      }
+    sk.crossJoin(exact)
+      .select($"n_a", $"n_b", $"n_pairs_exact",
+        (est >= $"n_pairs_exact").as("cms_no_underestimate"),
+        (est * lit(1000).cast(dec) <=
+          $"n_pairs_exact" * lit(1000).cast(dec) +
+            $"n_a".cast(dec) * $"n_b".cast(dec)).as("cms_within_eps"))
   }
 
   /** Pareto frontier (2-D skyline) — customers no other customer beats on
@@ -1847,6 +1911,7 @@ object Aggregates {
     "q169_pareto_frontier" -> paretoFrontier,
     "q168_agg_bloom_contract" -> bloomFilterContract,
     "q292_cms_frequency_contract" -> cmsFrequencyContract,
+    "q308_cms_join_size_contract" -> cmsJoinSizeContract,
     "q166_agg_mad_outliers" -> madOutliers,
     "q167_agg_weighted_median" -> weightedMedian,
     "q162_stat_crosstab" -> crosstabAgg,
@@ -2486,6 +2551,28 @@ object Aggregates {
         |       TRUE AS cms_within_eps
         |FROM panel LEFT JOIN cnt ON s_suppkey = l_suppkey
         |ORDER BY s_suppkey""".stripMargin,
+    // contract oracle (q292/q18 pattern): the exact join size is the
+    // ground truth the sketch estimate is graded against; both CM
+    // inner-product guarantees are stated as the constants the Spark
+    // side must earn. Σ ca·cb exceeds BIGINT at scale → DECIMAL(38,0)
+    // on both engines (DuckDB sums to HUGEINT internally).
+    "q308_cms_join_size_contract" ->
+      """WITH t AS (
+        |  SELECT l_suppkey, year(l_shipdate) AS yr
+        |  FROM lineitem
+        |  WHERE year(l_shipdate) IN (1996, 1997)
+        |), per AS (
+        |  SELECT l_suppkey,
+        |         sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS cb
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT (SELECT CAST(count(*) FILTER (WHERE yr = 1996) AS BIGINT) FROM t) AS n_a,
+        |       (SELECT CAST(count(*) FILTER (WHERE yr = 1997) AS BIGINT) FROM t) AS n_b,
+        |       CAST(coalesce(sum(ca * cb), 0) AS DECIMAL(38,0)) AS n_pairs_exact,
+        |       TRUE AS cms_no_underestimate,
+        |       TRUE AS cms_within_eps
+        |FROM per""".stripMargin,
     // contract oracle (q18 pattern): member misses MUST be zero (bloom
     // false negatives are impossible) and the FP rate must respect the
     // sizing bound — both stated as constants the Spark side must earn.

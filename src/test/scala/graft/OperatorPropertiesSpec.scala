@@ -951,6 +951,76 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(s1._2 === 0L && s1._3 && s1._4, "zero-count supplier dropped or out of band")
   }
 
+  test("q308 CMS inner product: exact on single-key sketches, guards family mismatch") {
+    import org.apache.spark.sql.functions.{call_function, lit, when, col}
+    def sketch(rows: Seq[Long], seed: Int = 42): Array[Byte] =
+      rows.toDF("k")
+        .agg(call_function("count_min_sketch",
+          col("k"), lit(0.001d), lit(0.999d), lit(seed)))
+        .collect()(0).getAs[Array[Byte]](0)
+    // same single key on both sides: every row's product is 5·3 at the
+    // one shared cell → the min over rows is exactly 15
+    val a = sketch(Seq.fill(5)(7L))
+    val b = sketch(Seq.fill(3)(7L))
+    assert(graft.functions.CmsInnerProductHelper.inner(a, b).toLong === 15L)
+    // disjoint single keys: a row contributes only if both keys hash to
+    // the SAME cell in that row; the min over 10 independent rows of
+    // width 2000 is 0 (deterministic under the frozen seed)
+    val c = sketch(Seq.fill(3)(9L))
+    assert(graft.functions.CmsInnerProductHelper.inner(a, c).toLong === 0L)
+    // different seeds → different hash families → cells not comparable;
+    // the parse-level guard must refuse rather than estimate junk
+    val d = sketch(Seq.fill(3)(7L), seed = 43)
+    intercept[IllegalArgumentException] {
+      graft.functions.CmsInnerProductHelper.inner(a, d)
+    }
+
+    // the when()-filtered build (one pass, two sketches) must equal the
+    // sketch of a pre-filtered scan — count_min_sketch skips nulls, and
+    // cell-wise adds commute so the bytes are identical
+    val mixed = Seq((1L, 1994), (2L, 1995), (1L, 1994), (3L, 1995))
+      .toDF("k", "yr")
+    val viaWhen = mixed
+      .agg(call_function("count_min_sketch",
+        when(col("yr") === 1996, col("k")), lit(0.001d), lit(0.999d), lit(42)))
+      .collect()(0).getAs[Array[Byte]](0)
+    val viaFilter = mixed.filter(col("yr") === 1996)
+      .agg(call_function("count_min_sketch",
+        col("k"), lit(0.001d), lit(0.999d), lit(42)))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaWhen, viaFilter),
+      "when()-filtered sketch diverged from pre-filtered sketch")
+  }
+
+  test("q308 contract holds on fixture; estimate matches brute-force inner product") {
+    val out = SparkEntry.queries("q308_cms_join_size_contract")(spark, sfDir)
+      .collect()
+    assert(out.length === 1)
+    val r = out(0)
+    val nA = r.getLong(0); val nB = r.getLong(1)
+    val exact = r.getDecimal(2).longValueExact()
+    assert(nA > 0 && nB > 0, "both year streams must be non-empty on the fixture")
+    assert(r.getBoolean(3), "CMS inner product underestimated the join size")
+    assert(r.getBoolean(4), "CMS inner product outside the eps band")
+    // ground truth recomputed independently of the query's own exact side
+    import org.apache.spark.sql.functions.{year => yearFn, col, count}
+    val t = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), yearFn(col("l_shipdate")).as("yr"))
+    val ca = t.filter(col("yr") === 1996).groupBy("l_suppkey").agg(count("*").as("ca"))
+    val cb = t.filter(col("yr") === 1997).groupBy("l_suppkey").agg(count("*").as("cb"))
+    val brute = ca.join(cb, "l_suppkey")
+      .selectExpr("CAST(sum(ca * cb) AS BIGINT)").collect()(0).getLong(0)
+    assert(exact === brute, s"query exact side $exact != brute-force $brute")
+
+    // fallback parity: a plain session has no graft_cms_inner_product →
+    // the scalar-UDF path runs; both call the one helper
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.shuffle.partitions", "4")
+    plain.conf.set("spark.sql.session.timeZone", "UTC")
+    val out2 = graft.queries.Aggregates.cmsJoinSizeContract(plain, sfDir).collect()
+    assert(out.map(_.toSeq).toSeq === out2.map(_.toSeq).toSeq)
+  }
+
   test("q291 keeps edge-less panel seeds: reach 0, flag true, not dropped") {
     // A panel supplier with zero lineitem rows has no edges, so the
     // edge-derived sketch table has no row for it; the join must be
