@@ -954,6 +954,84 @@ object Aggregates {
             $"n_a".cast(dec) * $"n_b".cast(dec)).as("cms_within_eps"))
   }
 
+  /** EXACT quantile selection over an UNBOUNDED domain — the third member
+    * of the percentile family and the one that works at 100 TB: q144 is
+    * exact but only over domain-bounded columns (≤50 distinct values per
+    * group keep its counts-map buffer tiny), q73 is the sketch; this is
+    * exact selection over l_extendedprice cents (millions of distinct
+    * values) WITHOUT the global sort that exact order statistics naively
+    * require. Classic distributed selection by counting: 3 rounds of
+    * 10-bit dyadic narrowing over the 2³⁰-bounded cents domain — each
+    * round is ONE map-side-combinable conditional census (≤1024 buckets ×
+    * ≤3 live prefixes), collected as a BOUNDED decision gate (the
+    * Sources WAP-audit class: census size is DOMAIN-bound, 1024 rows,
+    * independent of data volume) and narrowed driver-side. Total cost:
+    * 3 column scans + 3 tiny aggregates — no shuffle ever carries more
+    * than the census; a global sort at 100 TB shuffles EVERY row. The
+    * round-2/3 screens are contiguous [lo, hi) ranges on the cents
+    * column (sargable — at 100 TB they prune row groups once cents is a
+    * stored column). Rank rule: value_p = min v with 100·#{x ≤ v} ≥ p·n
+    * (discrete lower quantile, q144's convention) — the compare stays in
+    * BIGINT (100·n < 2⁶³ to ~10¹⁶ rows). The 2³⁰ domain precondition is
+    * asserted on the round-1 census (a violated bound fails loudly, not
+    * silently wrong). */
+  def exactQuantileSelection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ps = Seq(50, 90, 99)
+    val t = Tables.lineitem(s, dir)
+      .select(cents($"l_extendedprice").as("v"))
+    // round 1: 10-bit census over v >> 20
+    val c1 = t.groupBy(shiftright($"v", 20).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(c1.nonEmpty, "empty input: quantiles undefined")
+    require(c1.head._1 >= 0L && c1.last._1 <= 1023L,
+      s"cents domain exceeds 2^30 (top bucket ${c1.last._1}) — " +
+        "the 3x10-bit narrowing precondition is violated")
+    val n = c1.map(_._2).sum
+    // walk a sorted census with `below` already-counted mass, return the
+    // bucket where the rank target crosses and the mass strictly below it
+    def pick(census: Seq[(Long, Long)], below: Long, p: Int): (Long, Long) = {
+      var cum = below
+      census.foreach { case (b, c) =>
+        if ((cum + c) * 100L >= p.toLong * n) return (b, cum)
+        cum += c
+      }
+      // unreachable: the parent bucket was chosen because the rank target
+      // crosses inside it, so its children must cross too
+      throw new IllegalStateException(
+        s"rank target p=$p did not cross inside the selected bucket — " +
+          "narrowing invariant broken")
+    }
+    val r1 = ps.map(p => p -> pick(c1.toSeq, 0L, p)).toMap
+    // round 2: 10-bit census over v >> 10, screened to the ≤3 live
+    // 10-bit prefixes as contiguous cents ranges
+    val live1 = r1.values.map(_._1).toSeq.distinct.sorted
+    val c2 = t.filter(live1.map(b =>
+        $"v" >= b * 1048576L && $"v" < (b + 1L) * 1048576L)
+        .reduce(_ || _))
+      .groupBy(shiftright($"v", 10).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val r2 = ps.map { p =>
+      val (b1, below) = r1(p)
+      p -> pick(c2.filter(_._1 >> 10 == b1).toSeq, below, p)
+    }.toMap
+    // round 3: exact values within the ≤3 live 20-bit prefixes
+    val live2 = r2.values.map(_._1).toSeq.distinct.sorted
+    val c3 = t.filter(live2.map(b =>
+        $"v" >= b * 1024L && $"v" < (b + 1L) * 1024L)
+        .reduce(_ || _))
+      .groupBy($"v").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val r3 = ps.map { p =>
+      val (b2, below) = r2(p)
+      p -> pick(c3.filter(_._1 >> 10 == b2).toSeq, below, p)._1
+    }.toMap
+    Seq((n, r3(50), r3(90), r3(99)))
+      .toDF("n_lines", "p50_cents", "p90_cents", "p99_cents")
+  }
+
   /** Pareto frontier (2-D skyline) — customers no other customer beats on
     * BOTH spend and order count: the multi-objective "best" query
     * recommendation and procurement analytics ask. The naive form is the
@@ -1912,6 +1990,7 @@ object Aggregates {
     "q168_agg_bloom_contract" -> bloomFilterContract,
     "q292_cms_frequency_contract" -> cmsFrequencyContract,
     "q308_cms_join_size_contract" -> cmsJoinSizeContract,
+    "q309_exact_quantile_selection" -> exactQuantileSelection,
     "q166_agg_mad_outliers" -> madOutliers,
     "q167_agg_weighted_median" -> weightedMedian,
     "q162_stat_crosstab" -> crosstabAgg,
@@ -2551,6 +2630,17 @@ object Aggregates {
         |       TRUE AS cms_within_eps
         |FROM panel LEFT JOIN cnt ON s_suppkey = l_suppkey
         |ORDER BY s_suppkey""".stripMargin,
+    // the oracle is the naive global-order formulation of the same rank
+    // rule (min v with 100·cum ≥ p·n) — the narrowing must agree exactly
+    "q309_exact_quantile_selection" ->
+      s"""WITH v AS (SELECT ${centsSql("l_extendedprice")} AS v FROM lineitem),
+         |n AS (SELECT count(*) AS n FROM v),
+         |c AS (SELECT v, count(*) AS c FROM v GROUP BY 1),
+         |w AS MATERIALIZED (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM c)
+         |SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n_lines,
+         |       (SELECT min(v) FROM w WHERE cum * 100 >= (SELECT n FROM n) * 50) AS p50_cents,
+         |       (SELECT min(v) FROM w WHERE cum * 100 >= (SELECT n FROM n) * 90) AS p90_cents,
+         |       (SELECT min(v) FROM w WHERE cum * 100 >= (SELECT n FROM n) * 99) AS p99_cents""".stripMargin,
     // contract oracle (q292/q18 pattern): the exact join size is the
     // ground truth the sketch estimate is graded against; both CM
     // inner-product guarantees are stated as the constants the Spark

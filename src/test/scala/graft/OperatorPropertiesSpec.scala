@@ -1021,6 +1021,40 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === out2.map(_.toSeq).toSeq)
   }
 
+  test("q309 narrowing equals sort-based selection on boundary-heavy and random data") {
+    // reference: the rank rule applied to a full sort
+    def ref(vals: Seq[Long], p: Int): Long = {
+      val sorted = vals.sorted
+      val n = sorted.length.toLong
+      sorted.zipWithIndex
+        .find { case (_, i) => (i + 1L) * 100L >= p * n }.get._1
+    }
+    def run(cents: Seq[Long]): (Long, Long, Long, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory("qsel").toString
+      cents.map(v => v / 100.0).toDF("l_extendedprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val r = graft.queries.Aggregates.exactQuantileSelection(spark, dir)
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // duplicates + values straddling every narrowing boundary (2^10, 2^20)
+    val tricky = Seq(1L, 1L, 1023L, 1024L, 1025L, 1048575L, 1048576L,
+      1048577L, 5000000L, 5000000L, 536870911L, 100L, 1024L)
+    val (n1, a50, a90, a99) = run(tricky)
+    assert(n1 === tricky.length.toLong)
+    assert((a50, a90, a99) === (ref(tricky, 50), ref(tricky, 90), ref(tricky, 99)))
+    // deterministic pseudo-random load across the domain
+    val rnd = new scala.util.Random(7)
+    val rand = Seq.fill(2000)((rnd.nextLong().abs % 536870912L) + 1L)
+    val (n2, b50, b90, b99) = run(rand)
+    assert(n2 === 2000L)
+    assert((b50, b90, b99) === (ref(rand, 50), ref(rand, 90), ref(rand, 99)))
+    // domain precondition violated (cents ≥ 2^30) → loud failure
+    intercept[IllegalArgumentException] {
+      run(Seq(1L, 1073741824L))
+    }
+  }
+
   test("q291 keeps edge-less panel seeds: reach 0, flag true, not dropped") {
     // A panel supplier with zero lineitem rows has no edges, so the
     // edge-derived sketch table has no row for it; the join must be
