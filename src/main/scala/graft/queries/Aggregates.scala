@@ -1032,6 +1032,67 @@ object Aggregates {
       .toDF("n_lines", "p50_cents", "p90_cents", "p99_cents")
   }
 
+  /** KMV (θ-sketch) set-operation census — the SET-OPS member of the
+    * sketch family, estimating what HLL structurally cannot: the DISTINCT
+    * INTERSECTION of two key sets (Bar-Yossef et al. 2002 "Counting
+    * distinct elements in a data stream"; the k-minimum-values /
+    * Datasketches-theta construction). Per side, the sketch is the k=256
+    * smallest DISTINCT 40-bit portable digests (the TextOps md5-prefix
+    * hash both engines reproduce); union merges by re-taking the k
+    * smallest of the union (mergeable, associative); θ = the union
+    * sketch's largest retained hash, and every retained hash stands for
+    * 2⁴⁰/θ distinct keys — so |A∩B| ≈ n_match·2⁴⁰/θ where n_match counts
+    * hashes the two k-sets share below θ. Everything up to the final
+    * single IEEE divide is exact integer arithmetic on deterministic
+    * digests, so the whole census (θ, match counts, estimate) is
+    * recomputed identically by the oracle — no contract flags needed.
+    * Scale: each side is a column-pruned distinct (map-side partial
+    * dedup — the shuffle carries 8-byte DISTINCT digests, never rows)
+    * followed by TakeOrdered k; the k-sets are broadcast-sized (≤256
+    * rows) and every downstream op is on them. The exact ground truth
+    * (one keyed agg over both years) rides along as the oracle-checkable
+    * truth the estimate is judged against — at 100 TB you would ship
+    * ONLY the two k-sets. */
+  def kmvIntersectionCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 256
+    val twoPow40 = 1099511627776L
+    val t = Tables.lineitem(s, dir)
+      .select($"l_partkey", year($"l_shipdate").as("yr"))
+      .filter($"yr" === 1996 || $"yr" === 1997)
+    def digest(c: Column): Column =
+      conv(substring(md5(concat(lit("kmv:"), c.cast("string"))), 1, 10),
+        16, 10).cast("long")
+    def kmin(yr: Int): DataFrame =
+      t.filter($"yr" === yr).select(digest($"l_partkey").as("h"))
+        .distinct().orderBy($"h".asc).limit(k)
+    val ka = kmin(1996)
+    val kb = kmin(1997)
+    val theta = ka.unionByName(kb).distinct()
+      .orderBy($"h".asc).limit(k)
+      .agg(max($"h").as("theta"))
+    // matches below θ: rebuild the k-sets (self-join ambiguity — the
+    // q292 screen/panel precedent) and keep shared hashes ≤ θ
+    val nMatch = kmin(1996).withColumnRenamed("h", "h_a")
+      .join(kmin(1997).withColumnRenamed("h", "h_b"),
+        $"h_a" === $"h_b")
+      .crossJoin(broadcast(
+        kmin(1996).unionByName(kmin(1997)).distinct()
+          .orderBy($"h".asc).limit(k).agg(max($"h").as("th2"))))
+      .filter($"h_a" <= $"th2")
+      .agg(count(lit(1)).as("n_match"))
+    val exact = t.groupBy($"l_partkey")
+      .agg(max(when($"yr" === 1996, 1).otherwise(0)).as("in_a"),
+        max(when($"yr" === 1997, 1).otherwise(0)).as("in_b"))
+      .agg(sum($"in_a").cast("long").as("n_a_distinct"),
+        sum($"in_b").cast("long").as("n_b_distinct"),
+        sum($"in_a" * $"in_b").cast("long").as("n_intersect_exact"))
+    exact.crossJoin(broadcast(theta)).crossJoin(broadcast(nMatch))
+      .select($"n_a_distinct", $"n_b_distinct", $"n_intersect_exact",
+        $"theta", $"n_match",
+        ratio($"n_match" * lit(twoPow40), $"theta").as("est_intersect"))
+  }
+
   /** Pareto frontier (2-D skyline) — customers no other customer beats on
     * BOTH spend and order count: the multi-objective "best" query
     * recommendation and procurement analytics ask. The naive form is the
@@ -1991,6 +2052,7 @@ object Aggregates {
     "q292_cms_frequency_contract" -> cmsFrequencyContract,
     "q308_cms_join_size_contract" -> cmsJoinSizeContract,
     "q309_exact_quantile_selection" -> exactQuantileSelection,
+    "q310_kmv_intersection_census" -> kmvIntersectionCensus,
     "q166_agg_mad_outliers" -> madOutliers,
     "q167_agg_weighted_median" -> weightedMedian,
     "q162_stat_crosstab" -> crosstabAgg,
@@ -2630,6 +2692,40 @@ object Aggregates {
         |       TRUE AS cms_within_eps
         |FROM panel LEFT JOIN cnt ON s_suppkey = l_suppkey
         |ORDER BY s_suppkey""".stripMargin,
+    // the KMV census is fully deterministic on the portable 40-bit digest,
+    // so the oracle recomputes the ENTIRE sketch pipeline (k-sets, θ,
+    // matches, estimate) — no contract flags, plain hash-exact agreement
+    "q310_kmv_intersection_census" ->
+      s"""WITH t AS (
+         |  SELECT l_partkey, year(l_shipdate) AS yr FROM lineitem
+         |  WHERE year(l_shipdate) IN (1996, 1997)
+         |), ka AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || CAST(l_partkey AS VARCHAR)), 1, 10)) AS BIGINT) AS h
+         |  FROM t WHERE yr = 1996 ORDER BY h LIMIT 256
+         |), kb AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || CAST(l_partkey AS VARCHAR)), 1, 10)) AS BIGINT) AS h
+         |  FROM t WHERE yr = 1997 ORDER BY h LIMIT 256
+         |), th AS (
+         |  SELECT max(h) AS theta
+         |  FROM (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+         |        ORDER BY h LIMIT 256)
+         |), nm AS (
+         |  SELECT count(*) AS n_match
+         |  FROM ka JOIN kb USING (h)
+         |  WHERE h <= (SELECT theta FROM th)
+         |), ex AS (
+         |  SELECT CAST(sum(in_a) AS BIGINT) AS n_a_distinct,
+         |         CAST(sum(in_b) AS BIGINT) AS n_b_distinct,
+         |         CAST(sum(in_a * in_b) AS BIGINT) AS n_intersect_exact
+         |  FROM (SELECT l_partkey,
+         |               max(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS in_a,
+         |               max(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS in_b
+         |        FROM t GROUP BY 1)
+         |)
+         |SELECT n_a_distinct, n_b_distinct, n_intersect_exact,
+         |       theta, CAST(n_match AS BIGINT) AS n_match,
+         |       ${ratioSql("n_match * 1099511627776", "theta")} AS est_intersect
+         |FROM ex, th, nm""".stripMargin,
     // the oracle is the naive global-order formulation of the same rank
     // rule (min v with 100·cum ≥ p·n) — the narrowing must agree exactly
     "q309_exact_quantile_selection" ->

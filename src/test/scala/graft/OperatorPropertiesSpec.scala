@@ -1055,6 +1055,36 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q310 KMV sketch: exact sides, match bounds, estimate near truth on controlled overlap") {
+    // parts 1..3000 ship in 1996, 1501..4500 in 1997 → |A∩B| = 1500
+    val dir = java.nio.file.Files.createTempDirectory("kmv").toString
+    val rows =
+      (1L to 3000L).map(p => (p, java.sql.Timestamp.valueOf("1996-06-01 00:00:00"))) ++
+      (1501L to 4500L).map(p => (p, java.sql.Timestamp.valueOf("1997-06-01 00:00:00")))
+    rows.toDF("l_partkey", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.Aggregates.kmvIntersectionCensus(spark, dir).collect()(0)
+    val (nA, nB, nInt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (theta, nMatch, est) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+    assert((nA, nB, nInt) === (3000L, 3000L, 1500L))
+    assert(theta > 0L && nMatch >= 0L && nMatch <= 256L)
+    // k=256 ⇒ σ ≈ 6% on the union estimate; a ±33% band can only fail if
+    // the sketch pipeline itself is broken (hashes are frozen — this is
+    // a deterministic value, banded for robustness to fixture edits)
+    assert(est > 1000.0 && est < 2000.0,
+      s"KMV intersection estimate $est implausibly far from exact 1500")
+    // disjoint years → zero matched hashes below θ and a zero estimate
+    val dir2 = java.nio.file.Files.createTempDirectory("kmv0").toString
+    ((1L to 500L).map(p => (p, java.sql.Timestamp.valueOf("1996-06-01 00:00:00"))) ++
+      (10001L to 10500L).map(p => (p, java.sql.Timestamp.valueOf("1997-06-01 00:00:00"))))
+      .toDF("l_partkey", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/lineitem.parquet")
+    val r2 = graft.queries.Aggregates.kmvIntersectionCensus(spark, dir2).collect()(0)
+    assert(r2.getLong(2) === 0L, "exact intersection must be 0")
+    assert(r2.getLong(4) === 0L && r2.getDouble(5) === 0.0,
+      "disjoint sets must produce zero matched hashes and a zero estimate")
+  }
+
   test("q291 keeps edge-less panel seeds: reach 0, flag true, not dropped") {
     // A panel supplier with zero lineitem rows has no edges, so the
     // edge-derived sketch table has no row for it; the join must be
