@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.operators.{TextOps, TwoPass, VectorOps}
+import graft.operators.{Pinned, TextOps, TwoPass, VectorOps}
 import Portable._
 
 /** LLM-data-pipeline operators (north-star mandate): dedup (exact, MinHash-
@@ -652,6 +652,107 @@ object LlmOps {
       .withColumn("fp_prefix", md5(substring($"text", 1, 64)))
       .withColumn("fp_group", count(lit(1)).over(w))
       .select($"doc_id", $"fp_tokenset", $"fp_prefix", $"fp_group")
+      .orderBy($"doc_id")
+  }
+
+  /** Winnowing fingerprint selection census — the MOSS algorithm
+    * (Schleimer, Wilkerson & Aiken, "Winnowing: local algorithms for
+    * document fingerprinting", SIGMOD 2003): from each window of w=4
+    * consecutive 3-token shingle digests keep the RIGHTMOST minimum, and
+    * index only those. The guarantee that makes this the code/plagiarism
+    * dedup primitive: any shared run of ≥ w+k−1 = 6 tokens shares a full
+    * window, hence a selected fingerprint — detection never silently
+    * lost — while the index stores ~2/(w+1) of all shingles. That ratio
+    * IS the 100 TB story next to q108 (which indexes every shingle):
+    * same detection class, ~40 % of the index, and the selection is one
+    * doc-keyed window pass over the exploded digest stream (codegen'd
+    * WindowExec — see the in-body note on why the array-lambda form is
+    * wrong); only SELECTED 8-byte digests reach the df/sharing join
+    * (q108's shuffle-join stance, shrunk by the winnow). Census per
+    * doc: shingles, selected
+    * fingerprints (distinct positions), and how many of its selected
+    * digests appear in ≥2 docs' selections. Docs with <w shingles fall
+    * back to one whole-list window (still ≥1 fingerprint when any
+    * shingle exists); <3 tokens → all-zero row, never dropped. The
+    * selection arithmetic is pure integer ops over the portable 40-bit
+    * digests, so the oracle replays it exactly. */
+  def winnowingCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 4
+    // Selection rides WINDOW FUNCTIONS over the exploded shingle stream,
+    // not per-row array lambdas: nested HOFs never codegen and the
+    // md5-pipeline column gets inlined into every lambda reference by
+    // project collapse — measured as a ~300× per-row recompute on the
+    // first (array-based) formulation. The exploded form is the q108
+    // shape: ONE doc-keyed exchange, then a single WindowExec computes
+    // min/rightmost-pos/frame-count over the [i, i+w-1] frame — all
+    // codegen, all per-doc (pid-keyed, plan-hygiene clean).
+    // The digest pipeline is interpreted (HOFs never codegen) and MUST
+    // run exactly once: repartition the raw text by doc_id first (the
+    // fixture ships documents as ONE parquet file, so hashing before an
+    // exchange would run single-task — at production scale the scan is
+    // file-parallel and this exchange is skippable), hash + explode once
+    // on the partitioned stream, then PIN the 8-byte digest rows
+    // (doc-keyed) for the three consumers (per-doc census / df table /
+    // sharing join). Without the pin each consumer re-evaluates the md5
+    // pipeline — measured 3× the whole corpus hash cost; pinning digests
+    // (24 B/row) rather than text keeps the pinned footprint trivial.
+    // The window's required doc_id distribution is the pin's
+    // partitioning — no further exchange.
+    val sh = Pinned.partitionedCheckpoint(
+      Tables.documents(s, dir).select($"doc_id", $"text")
+        .repartition($"doc_id")
+        .withColumn("toks", TextOps.tokens($"text"))
+        .withColumn("th", TextOps.tokenHashes($"toks"))
+        .withColumn("hs", TextOps.shingleHashes3($"th"))
+        // posexplode_OUTER, then drop the null row: the non-outer form
+        // makes InferFiltersFromGenerate add `size(hs) > 0`, which
+        // pushdown rewrites onto the SCAN as one composed predicate —
+        // with the token-hash transform inlined 3× PER SHINGLE (no CSE
+        // in interpreted eval), measured at ~80 s for 5 000 docs. The
+        // outer generator infers nothing; this filter is on generator
+        // OUTPUT and cannot sink below it.
+        .select($"doc_id", posexplode_outer($"hs"))
+        .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("h"))
+        .filter($"h".isNotNull),
+      $"doc_id")
+    val frame = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+      .rowsBetween(Window.currentRow, w - 1)
+    // window start i is valid iff a full w-frame fits OR i is the single
+    // clamped whole-list window (doc shorter than w shingles); the pick
+    // is the RIGHTMOST position achieving the frame minimum (the paper's
+    // tie rule). All three measures share one WindowExec.
+    // rightmost-min in ONE frame aggregate: min over (h, -pos) structs
+    // orders by h then by LARGEST pos — a second window column naming
+    // the first (max(when(h===wmin,...))) would read each frame-row's
+    // OWN frame min, not this frame's (the nested-window trap)
+    val picks = sh
+      .withColumn("pk", min(struct($"h", (-$"pos").as("np"))).over(frame))
+      .withColumn("nf", count(lit(1)).over(frame))
+      .filter($"nf" === w || $"pos" === 1L)
+      .select($"doc_id", (-$"pk.np").as("wpick"), $"pk.h".as("wmin"))
+      .groupBy($"doc_id", $"wpick", $"wmin")
+      .agg(count(lit(1)).as("n_windows_won"))
+    val perDoc = picks.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"))
+    // distinct selected digests per doc (wpick → wmin is functional, so
+    // (doc, wmin) dedup is a doc-partition-preserving agg, no exchange)
+    val selHash = picks.groupBy($"doc_id", $"wmin".as("h")).agg(count(lit(1)))
+      .select($"doc_id", $"h")
+    val dfTab = selHash.groupBy($"h").agg(count(lit(1)).as("df"))
+    val shared = selHash.join(dfTab.filter($"df" >= 2), "h")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_fp"))
+    // shingle counts come from the pinned stream too; the raw doc list
+    // (no hashing) restores the zero-shingle docs the explode drops
+    val shCount = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(shCount, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+        coalesce($"n_fingerprints", lit(0L)).as("n_fingerprints"),
+        coalesce($"n_shared_fp", lit(0L)).as("n_shared_fp"))
       .orderBy($"doc_id")
   }
 
@@ -2729,6 +2830,7 @@ object LlmOps {
     "q297_bigram_lm_perplexity" -> bigramLmPerplexity,
     "q298_boilerplate_census" -> boilerplateCensus,
     "q299_source_overlap_matrix" -> sourceOverlapMatrix,
+    "q311_winnowing_census" -> winnowingCensus,
     "q304_distribution_drift" -> distributionDrift,
     "q300_pq_codebook_census" -> pqCodebookCensus,
     "q174_cluster_survivorship" -> clusterSurvivorship,
@@ -2963,6 +3065,42 @@ object LlmOps {
          |FROM pairs
          |ORDER BY src_a, src_b""".stripMargin
     },
+    // the winnowing selection is pure integer arithmetic over the
+    // portable digests — the oracle replays the rightmost-min window
+    // rule exactly (list_reverse/list_position mirrors the Spark
+    // reverse/array_position tie-break)
+    "q311_winnowing_census" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, $shingle3Sql AS hs
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th
+         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |), sel AS MATERIALIZED (
+         |  SELECT doc_id, hs, len(hs) AS n_shingles,
+         |         CASE WHEN len(hs) >= 1 THEN
+         |           list_distinct(list_transform(
+         |             range(1, greatest(len(hs) - 3, 1) + 1),
+         |             i -> i + len(hs[i : i + 3])
+         |                  - list_position(list_reverse(hs[i : i + 3]),
+         |                                  list_min(hs[i : i + 3]))))
+         |         ELSE CAST([] AS BIGINT[]) END AS sel_pos
+         |  FROM d
+         |), selh AS MATERIALIZED (
+         |  SELECT doc_id, n_shingles, len(sel_pos) AS n_fingerprints,
+         |         list_distinct(list_transform(sel_pos, p -> hs[CAST(p AS INT)])) AS sel_hash
+         |  FROM sel
+         |), ex AS MATERIALIZED (
+         |  SELECT doc_id, unnest(sel_hash) AS h FROM selh
+         |), dfq AS (
+         |  SELECT h FROM ex GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+         |), sh AS (
+         |  SELECT doc_id, count(*) AS n_shared_fp
+         |  FROM ex JOIN dfq USING (h) GROUP BY 1
+         |)
+         |SELECT s.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |       CAST(n_fingerprints AS BIGINT) AS n_fingerprints,
+         |       CAST(coalesce(n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+         |FROM selh s LEFT JOIN sh USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q298_boilerplate_census" ->
       s"""WITH base AS MATERIALIZED (
          |  SELECT toks[1] || ' ' || toks[2] || ' ' || toks[3] AS head_sh,

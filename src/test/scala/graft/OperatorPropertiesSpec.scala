@@ -1085,6 +1085,58 @@ class OperatorPropertiesSpec extends SparkSpec {
       "disjoint sets must produce zero matched hashes and a zero estimate")
   }
 
+  test("q311 winnowing: matches reference selection, detection guarantee, bounds") {
+    import org.apache.spark.sql.functions.col
+    // reference rightmost-min winnowing over a digest sequence (1-based)
+    def refWinnow(hs: IndexedSeq[Long], w: Int): Set[Long] = {
+      if (hs.isEmpty) Set.empty
+      else {
+        val nw = math.max(hs.length - w + 1, 1)
+        (1 to nw).map { i =>
+          val win = hs.slice(i - 1, math.min(i - 1 + w, hs.length))
+          (i + win.lastIndexOf(win.min)).toLong
+        }.toSet
+      }
+    }
+    // per-doc n_fingerprints must equal the reference on real fixture text
+    val hsRows = graft.Tables.documents(spark, sfDir)
+      .withColumn("toks", graft.operators.TextOps.tokens(col("text")))
+      .withColumn("th", graft.operators.TextOps.tokenHashes(col("toks")))
+      .withColumn("hs", graft.operators.TextOps.shingleHashes3(col("th")))
+      .select(col("doc_id"), col("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    val out = SparkEntry.queries("q311_winnowing_census")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.size === hsRows.size, "every doc must appear")
+    out.foreach { case (id, nSh, nFp) =>
+      val hs = hsRows(id)
+      assert(nSh === hs.length.toLong, s"doc $id shingle count")
+      assert(nFp === refWinnow(hs, 4).size.toLong,
+        s"doc $id selection diverges from reference winnowing")
+      // coverage bounds: ≤ windows, and each pick covers ≤ w windows
+      val nw = if (hs.isEmpty) 0 else math.max(hs.length - 3, 1)
+      assert(nFp <= nw && nFp * 4 >= nw, s"doc $id fingerprint count outside bounds")
+    }
+
+    // detection guarantee: two docs sharing a ≥6-token run MUST share a
+    // selected fingerprint; an unrelated doc shares none
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique1 unique2 tail1"),
+      (2L, "head9 head8 alpha beta gamma delta epsilon zeta other3"),
+      (3L, "nothing shared here at all whatsoever today"),
+      (4L, "ab"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val g = graft.queries.LlmOps.winnowingCensus(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(g(1L)._3 >= 1L && g(2L)._3 >= 1L,
+      "docs sharing a 6-token run must share a selected fingerprint")
+    assert(g(3L)._3 === 0L, "unrelated doc must share nothing")
+    assert(g(4L) === ((0L, 0L, 0L)), "a <3-token doc is an all-zero row, kept")
+  }
+
   test("q291 keeps edge-less panel seeds: reach 0, flag true, not dropped") {
     // A panel supplier with zero lineitem rows has no edges, so the
     // edge-derived sketch table has no row for it; the join must be
