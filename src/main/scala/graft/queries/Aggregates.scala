@@ -946,8 +946,15 @@ object Aggregates {
           graft.functions.CmsInnerProductHelper.inner(a, b).toJavaBigDecimal)
         f($"sk_a", $"sk_b").cast(dec)
       }
+    // OUTPUT typing: the exact pair count leaves the query as BIGINT —
+    // exact to 9.2×10¹⁸ pairs, far past the 100 TB envelope (two ~2⁴⁰-row
+    // streams meeting on a key would need ~2⁴⁰ rows PER KEY on both sides
+    // to overflow); beyond that, render as VARCHAR on both engines. The
+    // internal fold stays decimal(38,0)/BigInteger — only the output
+    // column narrows, per the repo portability rule (raw DECIMAL output
+    // columns hash-diverge at the driver).
     sk.crossJoin(exact)
-      .select($"n_a", $"n_b", $"n_pairs_exact",
+      .select($"n_a", $"n_b", $"n_pairs_exact".cast("long").as("n_pairs_exact"),
         (est >= $"n_pairs_exact").as("cms_no_underestimate"),
         (est * lit(1000).cast(dec) <=
           $"n_pairs_exact" * lit(1000).cast(dec) +
@@ -2740,8 +2747,9 @@ object Aggregates {
     // contract oracle (q292/q18 pattern): the exact join size is the
     // ground truth the sketch estimate is graded against; both CM
     // inner-product guarantees are stated as the constants the Spark
-    // side must earn. Σ ca·cb exceeds BIGINT at scale → DECIMAL(38,0)
-    // on both engines (DuckDB sums to HUGEINT internally).
+    // side must earn. Σ ca·cb folds in HUGEINT/decimal internally but
+    // the OUTPUT column is BIGINT (exact to 9.2×10¹⁸ pairs) — raw
+    // DECIMAL output columns violate the portability rule.
     "q308_cms_join_size_contract" ->
       """WITH t AS (
         |  SELECT l_suppkey, year(l_shipdate) AS yr
@@ -2755,7 +2763,7 @@ object Aggregates {
         |)
         |SELECT (SELECT CAST(count(*) FILTER (WHERE yr = 1996) AS BIGINT) FROM t) AS n_a,
         |       (SELECT CAST(count(*) FILTER (WHERE yr = 1997) AS BIGINT) FROM t) AS n_b,
-        |       CAST(coalesce(sum(ca * cb), 0) AS DECIMAL(38,0)) AS n_pairs_exact,
+        |       CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS n_pairs_exact,
         |       TRUE AS cms_no_underestimate,
         |       TRUE AS cms_within_eps
         |FROM per""".stripMargin,

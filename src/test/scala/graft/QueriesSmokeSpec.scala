@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType}
 
 /** Smoke: every declared query runs at sf0.001 and the flagship returns
   * rows (the driver's t1 check). Correctness is the DuckDB oracle gate
@@ -32,6 +32,15 @@ class QueriesSmokeSpec extends SparkSpec {
       })
       assert(nested.isEmpty,
         s"declared output must be scalar-only (driver hash safety); nested columns: ${nested.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
+      // No-decimal-outputs rule (the q308 lesson): the driver's hash
+      // canonicalization diverges on decimal-typed cells (Decimal object
+      // vs numeric rendering) even when values are identical on both
+      // engines. Decimal arithmetic INSIDE a query is fine and often
+      // required (the q197/q203 2^63 promotions); the final projection
+      // must cast sums to BIGINT (exact to 9.2e18) or render as string.
+      val decimals = df.schema.fields.filter(_.dataType.isInstanceOf[DecimalType])
+      assert(decimals.isEmpty,
+        s"declared output must not carry DECIMAL columns (driver hash safety — cast to BIGINT or string): ${decimals.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
     }
   }
 }

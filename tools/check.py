@@ -29,6 +29,26 @@ for name in sorted(oracle):
         spark_df = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetchdf()
         duck_df = con.execute(oracle[name]).fetchdf()
+        # No-decimal-outputs rule (the q308 lesson): the DRIVER hashes a
+        # canonicalized frame and diverges on decimal-typed cells even
+        # when both engines' values are identical — a value-compare here
+        # would pass what the driver fails. Reject DECIMAL in EITHER
+        # engine's output schema so the class dies locally.
+        dec_cols = []
+        for col, typ, *_ in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall():
+            if "DECIMAL" in typ.upper():
+                dec_cols.append(f"spark:{col}:{typ}")
+        for col, typ, *_ in con.execute(
+                f"DESCRIBE {oracle[name]}").fetchall():
+            if "DECIMAL" in typ.upper() or "HUGEINT" in typ.upper():
+                dec_cols.append(f"oracle:{col}:{typ}")
+        if dec_cols:
+            print(f"FAIL {name}: DECIMAL/HUGEINT output column(s) — the "
+                  f"driver hash diverges on decimal cells; cast to BIGINT "
+                  f"or VARCHAR: {dec_cols}")
+            fails.append(name)
+            continue
     except Exception as e:
         print(f"FAIL {name}: {e}")
         fails.append(name)
