@@ -338,11 +338,38 @@ object Graph {
       $"src")
     val seeds = seedPanel(s, dir)
     var best = seeds.select($"seed", $"seed".as("node"), lit(BnInf).as("bn"))
-    (1 to 3).foreach { _ =>
-      val relaxed = best.join(edges, best("node") === edges("src"))
+    // DELTA relaxation (Bellman–Ford's standard work-skipping): a row
+    // that did not change in hop k−1 already propagated its value the
+    // hop after it last changed, and max-folding the same proposals
+    // again is a no-op — so only CHANGED rows re-expand. The inductive
+    // contract (any ≤k-hop path's value present after hop k) is
+    // unaffected: a dominated proposal's dominator is itself in the
+    // delta the hop it appears. This bounds each hop's proposal shuffle
+    // by Σ_{changed} deg(node) instead of Σ_{all best} deg(node) — on
+    // the final hop most of the K·|V| best table is stable and the
+    // difference is the bulk of the query's shuffled bytes.
+    var delta = best
+    (1 to 3).foreach { hop =>
+      val relaxed = delta.join(edges, delta("node") === edges("src"))
         .select($"seed", $"dst".as("node"), least($"bn", $"w").as("bn"))
-      best = best.unionAll(relaxed)
-        .groupBy($"seed", $"node").agg(max($"bn").as("bn"))
+      // Pin per hop: `best` is referenced twice (fold union + delta
+      // compare) and `newBest` twice (delta + next fold) — the same 2³
+      // lazy-recompute compounding bfsVisited documents. The
+      // hash-on-(seed,node) pins land the fold groupBy and the delta
+      // join exchange-free.
+      val newBest = graft.operators.Pinned.partitionedCheckpoint(
+        best.unionAll(relaxed)
+          .groupBy($"seed", $"node").agg(max($"bn").as("bn")),
+        $"seed", $"node")
+      if (hop < 3) // the final hop's delta has no consumer
+        delta = graft.operators.Pinned.partitionedCheckpoint(
+          newBest.as("n").join(best.as("o"),
+              newBest("seed") === best("seed") && newBest("node") === best("node"),
+              "left")
+            .filter(col("o.bn").isNull || col("n.bn") > col("o.bn"))
+            .select(col("n.seed"), col("n.node"), col("n.bn")),
+          col("seed"), col("node"))
+      best = newBest
     }
     best.filter($"node" =!= $"seed")
       .groupBy($"seed")
@@ -480,18 +507,30 @@ object Graph {
           $"s_nationkey".cast("long").as("label")),
       Seq("node"))
     var labeled = graft.operators.Pinned.partitionedCheckpoint(seeds, $"node")
+    // DELTA voting: only the PREVIOUS round's newly-labeled nodes cast
+    // votes. Equivalent to voting from the full labeled set because
+    // round r labels EVERY unlabeled node with ≥1 labeled neighbor, so
+    // a node still unlabeled at round r+1 has no labeled neighbor from
+    // rounds < r — votes from older nodes could only land on
+    // already-labeled vnodes, which the anti-join discards anyway.
+    // This bounds each round's expansion join to frontier·deg instead
+    // of |labeled|·deg — by round 3 the labeled set is most of the
+    // graph and the difference is the bulk of the query's vote stream.
+    var frontier = labeled
     (1 to 3).foreach { _ =>
-      val votes = labeled.join(edges, labeled("node") === edges("src"))
-        .groupBy(edges("dst").as("vnode"), labeled("label"))
+      val votes = frontier.join(edges, frontier("node") === edges("src"))
+        .groupBy(edges("dst").as("vnode"), frontier("label"))
         .agg(count(lit(1)).as("c"))
       // majority with smallest-label ties: lexicographic struct max on
       // (count, -label) — a keyed agg, never a per-node window
       val picks = votes.groupBy($"vnode".as("node"))
         .agg(max(struct($"c".as("c"), (-$"label").as("nl"))).as("m"))
         .select($"node", (-$"m.nl").as("label"))
-      val newly = picks.join(labeled, Seq("node"), "left_anti")
+      val newly = graft.operators.Pinned.partitionedCheckpoint(
+        picks.join(labeled, Seq("node"), "left_anti"), $"node")
       labeled = graft.operators.Pinned.partitionedCheckpoint(
         labeled.unionAll(newly), $"node")
+      frontier = newly
     }
     val lab = labeled
       .groupBy(substring($"node", 1, 1).as("kind"), $"label")

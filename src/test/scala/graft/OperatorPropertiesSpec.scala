@@ -998,7 +998,7 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.length === 1)
     val r = out(0)
     val nA = r.getLong(0); val nB = r.getLong(1)
-    val exact = r.getDecimal(2).longValueExact()
+    val exact = r.getLong(2) // BIGINT output per the no-decimal-outputs rule
     assert(nA > 0 && nB > 0, "both year streams must be non-empty on the fixture")
     assert(r.getBoolean(3), "CMS inner product underestimated the join size")
     assert(r.getBoolean(4), "CMS inner product outside the eps band")
