@@ -1039,6 +1039,127 @@ object Aggregates {
       .toDF("n_lines", "p50_cents", "p90_cents", "p99_cents")
   }
 
+  /** Log₂ bucket width of [[quantileSketchRollup]]'s histogram sketch:
+    * 2¹⁶ cents per bucket over the 2³⁰ cents domain → ≤16 384 cells,
+    * ~128 KB dense — the sketch ships, the rows don't. */
+  private val QsBucketBits = 16
+
+  /** Mergeable quantile-sketch ROLLUP — the percentile analogue of q92's
+    * two-level HLL union (q73 bounds a single-level GK sketch; q309 is
+    * exact selection; this is the MERGE story): leaf sketches per
+    * returnflag are re-rolled to a global parent by CELL-WISE ADDITION,
+    * and percentiles are read off both levels. The sketch is a
+    * fixed-resolution dyadic histogram over the 2³⁰-bounded cents domain
+    * (the q309 narrowing's mergeable cousin): (bucket = v >> 16) → count.
+    * Addition is associative and commutative, so leaf→parent union is
+    * EXACT — re-rolling per-day/per-partition sketch partials to any
+    * coarser grouping merges ~128 KB cell maps instead of rescanning
+    * rows, which is what makes 100 TB percentile rollups incremental
+    * (KLL/GK is the unbounded-domain alternative; on a bounded integer
+    * domain the histogram is simpler AND loses nothing). Both rollup
+    * levels consume the SAME leaf census — one partial-agg exchange,
+    * ReusedExchange plan-guarded like q97's bitmap rollup.
+    *
+    * Contract (q73's rank-error class, certified not assumed): the
+    * sketch answers value_p = (min bucket b with 100·cum ≥ p·n) << 16 —
+    * the q309 rank rule on bucketed mass — and the EXACT percentiles
+    * (computed from a per-value census, the certification side a 100 TB
+    * run would skip) must land INSIDE each estimate's bucket:
+    * est ≤ exact < est + 2¹⁶, asserted per scope over p50/p90/p99 as one
+    * boolean the oracle states TRUE. `domain_ok` asserts the 2³⁰ cents
+    * precondition the same way (a violated bound is a red row, never
+    * silently wrong). All arithmetic is integer; rank compares stay in
+    * BIGINT to ~10¹⁶ rows. */
+  def quantileSketchRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ps = Seq(50, 90, 99)
+    val bw = 1L << QsBucketBits
+    val v = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("rf"), cents($"l_extendedprice").as("pc"))
+    // THE sketch: per-leaf (bucket, count) cells — mergeable by addition.
+    // PINNED (hash-on-b): the leaf census feeds BOTH rollup levels — a
+    // lazy plan would rescan lineitem per reference (measured: 14 scans
+    // unpinned across this query's shared frames) — and the b-pin lands
+    // the parent merge exchange-free. The pin is ≤16 384 cells/leaf —
+    // the sketch IS the thing that ships, that's the operator's point.
+    val leaf = graft.operators.Pinned.partitionedCheckpoint(
+      v.groupBy($"rf", shiftright($"pc", QsBucketBits).as("b"))
+        .agg(count(lit(1)).as("c")),
+      $"b")
+    // parent rollup: cell-wise union of the leaf sketches (consumes the
+    // pinned cells — the merge never touches rows), then both levels
+    // union into ONE (scope, b, c) census so every window below carries
+    // a REAL partition key (scopes 'A'/'N'/'R'/'*' — never the
+    // no-partition WindowExec the sweep hunts)
+    val parent = leaf.groupBy($"b").agg(sum($"c").as("c"))
+    val sketchCensus = leaf.select($"rf".as("scope"), $"b", $"c")
+      .unionByName(parent.select(lit("*").as("scope"), $"b", $"c"))
+    // percentile reads ride the DOMAIN-bounded cell table (≤16 384
+    // rows/scope), never the data
+    val wCum = Window.partitionBy($"scope").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"scope")
+    def selB(p: Int) = min(when($"cum" * 100L >= $"n" * p, $"b")) * bw
+    val est = sketchCensus
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(wAll))
+      .groupBy($"scope").agg(
+        max($"n").as("n_rows"),
+        (min($"b") >= 0L && max($"b") < (1L << (30 - QsBucketBits)))
+          .as("domain_ok"),
+        selB(50).as("p50_sketch_cents"),
+        selB(90).as("p90_sketch_cents"),
+        selB(99).as("p99_sketch_cents"))
+    // certification side (the pass a 100 TB run would skip): exact
+    // per-value censuses, two levels sharing one exchange like the
+    // sketch. The global cum is DECOMPOSED per bucket — rank within
+    // bucket (windows keyed on (scope, b): parallel at any value
+    // cardinality) + broadcast bucket-prefix offsets from the bounded
+    // bucket table — so no window ever rides an unbounded census (the
+    // TwoPass offsets idea with the sketch's own buckets as the
+    // deterministic cuts).
+    val exLeaf = graft.operators.Pinned.partitionedCheckpoint(
+      v.groupBy($"rf", $"pc").agg(count(lit(1)).as("c")), $"pc")
+    val exParent = exLeaf.groupBy($"pc").agg(sum($"c").as("c"))
+    // pinned on (scope, b): consumed three times (bucket offsets, totals,
+    // the within-bucket rank window) and the pin partitioning matches the
+    // window/offset keys
+    val exCensus = graft.operators.Pinned.partitionedCheckpoint(
+      exLeaf.select($"rf".as("scope"), $"pc", $"c")
+        .unionByName(exParent.select(lit("*").as("scope"), $"pc", $"c"))
+        .withColumn("b", shiftright($"pc", QsBucketBits)),
+      $"scope", $"b")
+    val bucketMass = exCensus.groupBy($"scope", $"b").agg(sum($"c").as("bc"))
+    val wOff = Window.partitionBy($"scope").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketMass
+      .withColumn("off", coalesce(sum($"bc").over(wOff), lit(0L)))
+      .select($"scope", $"b", $"off")
+    val totals = exCensus.groupBy($"scope").agg(sum($"c").as("n"))
+    val wIn = Window.partitionBy($"scope", $"b").orderBy($"pc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def selV(p: Int) = min(when($"cum" * 100L >= $"n" * p, $"pc"))
+    val ex = exCensus
+      .withColumn("icum", sum($"c").over(wIn))
+      .join(broadcast(offs), Seq("scope", "b"))
+      .join(broadcast(totals), "scope")
+      .withColumn("cum", $"off" + $"icum")
+      .groupBy($"scope").agg(
+        selV(50).as("p50_exact"), selV(90).as("p90_exact"),
+        selV(99).as("p99_exact"))
+    val inBucket = ps.map { p =>
+      col(s"p${p}_sketch_cents") <= col(s"p${p}_exact") &&
+        col(s"p${p}_exact") < col(s"p${p}_sketch_cents") + bw
+    }.reduce(_ && _)
+    est.join(ex, "scope")
+      .select($"scope", $"n_rows", $"domain_ok",
+        $"p50_sketch_cents", $"p90_sketch_cents", $"p99_sketch_cents",
+        $"p50_exact", $"p90_exact", $"p99_exact",
+        inBucket.as("sketch_rank_ok"))
+      .orderBy($"scope")
+  }
+
   /** KMV (θ-sketch) set-operation census — the SET-OPS member of the
     * sketch family, estimating what HLL structurally cannot: the DISTINCT
     * INTERSECTION of two key sets (Bar-Yossef et al. 2002 "Counting
@@ -2059,6 +2180,7 @@ object Aggregates {
     "q292_cms_frequency_contract" -> cmsFrequencyContract,
     "q308_cms_join_size_contract" -> cmsJoinSizeContract,
     "q309_exact_quantile_selection" -> exactQuantileSelection,
+    "q313_quantile_sketch_rollup" -> quantileSketchRollup,
     "q310_kmv_intersection_census" -> kmvIntersectionCensus,
     "q166_agg_mad_outliers" -> madOutliers,
     "q167_agg_weighted_median" -> weightedMedian,
@@ -2744,6 +2866,47 @@ object Aggregates {
          |       (SELECT min(v) FROM w WHERE cum * 100 >= (SELECT n FROM n) * 50) AS p50_cents,
          |       (SELECT min(v) FROM w WHERE cum * 100 >= (SELECT n FROM n) * 90) AS p90_cents,
          |       (SELECT min(v) FROM w WHERE cum * 100 >= (SELECT n FROM n) * 99) AS p99_cents""".stripMargin,
+    // full replica oracle: the histogram sketch, its cell-wise rollup,
+    // the rank reads, AND both contract flags are pure integer
+    // arithmetic, so DuckDB re-derives every cell (stronger than the
+    // stated-constant pattern — a broken merge diverges numerically,
+    // not just boolean-ly). Window sums ride bounded censuses; HUGEINT
+    // stays internal (n_rows is CAST).
+    "q313_quantile_sketch_rollup" ->
+      s"""WITH v AS (SELECT l_returnflag AS rf, ${centsSql("l_extendedprice")} AS pc FROM lineitem),
+         |leaf AS (SELECT rf, (pc >> 16) AS b, count(*) AS c FROM v GROUP BY 1, 2),
+         |parent AS (SELECT b, sum(c) AS c FROM leaf GROUP BY 1),
+         |lc AS (SELECT rf AS scope, b, c FROM leaf UNION ALL SELECT '*', b, c FROM parent),
+         |lw AS (SELECT scope, b,
+         |              sum(c) OVER (PARTITION BY scope ORDER BY b) AS cum,
+         |              sum(c) OVER (PARTITION BY scope) AS n
+         |       FROM lc),
+         |est AS (SELECT scope, CAST(max(n) AS BIGINT) AS n_rows,
+         |               (min(b) >= 0 AND max(b) < 16384) AS domain_ok,
+         |               CAST((min(b) FILTER (WHERE cum * 100 >= n * 50)) * 65536 AS BIGINT) AS p50_sketch_cents,
+         |               CAST((min(b) FILTER (WHERE cum * 100 >= n * 90)) * 65536 AS BIGINT) AS p90_sketch_cents,
+         |               CAST((min(b) FILTER (WHERE cum * 100 >= n * 99)) * 65536 AS BIGINT) AS p99_sketch_cents
+         |        FROM lw GROUP BY scope),
+         |exl AS (SELECT rf, pc, count(*) AS c FROM v GROUP BY 1, 2),
+         |exp AS (SELECT pc, sum(c) AS c FROM exl GROUP BY 1),
+         |exc AS (SELECT rf AS scope, pc, c FROM exl UNION ALL SELECT '*', pc, c FROM exp),
+         |exw AS (SELECT scope, pc,
+         |               sum(c) OVER (PARTITION BY scope ORDER BY pc) AS cum,
+         |               sum(c) OVER (PARTITION BY scope) AS n
+         |        FROM exc),
+         |ex AS (SELECT scope,
+         |              min(pc) FILTER (WHERE cum * 100 >= n * 50) AS p50_exact,
+         |              min(pc) FILTER (WHERE cum * 100 >= n * 90) AS p90_exact,
+         |              min(pc) FILTER (WHERE cum * 100 >= n * 99) AS p99_exact
+         |       FROM exw GROUP BY scope)
+         |SELECT e.scope, e.n_rows, e.domain_ok,
+         |       e.p50_sketch_cents, e.p90_sketch_cents, e.p99_sketch_cents,
+         |       x.p50_exact, x.p90_exact, x.p99_exact,
+         |       (e.p50_sketch_cents <= x.p50_exact AND x.p50_exact < e.p50_sketch_cents + 65536
+         |        AND e.p90_sketch_cents <= x.p90_exact AND x.p90_exact < e.p90_sketch_cents + 65536
+         |        AND e.p99_sketch_cents <= x.p99_exact AND x.p99_exact < e.p99_sketch_cents + 65536) AS sketch_rank_ok
+         |FROM est e JOIN ex x USING (scope)
+         |ORDER BY scope""".stripMargin,
     // contract oracle (q292/q18 pattern): the exact join size is the
     // ground truth the sketch estimate is graded against; both CM
     // inner-product guarantees are stated as the constants the Spark

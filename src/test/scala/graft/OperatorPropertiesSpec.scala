@@ -1214,4 +1214,90 @@ class OperatorPropertiesSpec extends SparkSpec {
       assert(correct === (pred == tru))
     }
   }
+
+  /** The q312 split predicate replayed in plain JVM code: batch ⟺ the
+    * first 6 md5 hex chars of "incdedup:<id>" read as an int are < 25 %
+    * of the 16⁶ space. */
+  private def inIncBatch(id: Long): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"incdedup:$id".getBytes("UTF-8"))
+    val hex = d.take(3).map(b => f"$b%02x").mkString // 6 hex chars
+    java.lang.Long.parseLong(hex, 16) * 4L < 16777216L
+  }
+
+  test("q312 flags corpus dups, batch dups, uniques and shingle-less batch docs") {
+    // pick deterministic ids on each side of the split
+    val ids = (1L to 200L)
+    val batchIds = ids.filter(inIncBatch).take(4)
+    val standIds = ids.filterNot(inIncBatch).take(2)
+    assert(batchIds.length === 4 && standIds.length === 2)
+    val Seq(b1, b2, b3, b4) = batchIds
+    val Seq(s1, s2) = standIds
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val batchPair = "one two three four five six seven"
+    val dir = java.nio.file.Files.createTempDirectory("inc_lsh").toString
+    Seq(
+      (s1, shared),                      // standing original
+      (s2, "noise words here that match nothing else at all"),
+      (b1, shared),                      // batch copy of the standing doc
+      (b2, batchPair), (b3, batchPair),  // intra-batch near-dup pair
+      (b4, "hi yo"))                     // <3 tokens: no signature
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.LlmOps.incrementalLshDedup(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out.keySet === batchIds.toSet, "one row per batch doc, only batch docs")
+    assert(out(b1) === ((1L, true, false)), "identical to one standing doc")
+    assert(out(b2) === ((0L, false, true)) && out(b3) === ((0L, false, true)),
+      "intra-batch pair flags both members")
+    assert(out(b4) === ((0L, false, false)), "shingle-less doc kept with zeros")
+  }
+
+  test("q313 sketch/exact percentiles and contracts on a bucket-straddling fixture") {
+    // bucket width 2^16 = 65536 cents; values chosen to straddle edges
+    val dir = java.nio.file.Files.createTempDirectory("qsr").toString
+    def price(cents: Long) = cents / 100.0
+    (Seq(10L, 20L, 65536L, 65540L, 131072L).map(c => ("A", price(c))) ++
+      Seq(70000L, 70001L).map(c => ("B", price(c))))
+      .toDF("l_returnflag", "l_extendedprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q313_quantile_sketch_rollup")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2),
+          (r.getLong(3), r.getLong(4), r.getLong(5)),
+          (r.getLong(6), r.getLong(7), r.getLong(8)),
+          r.getBoolean(9)))).toMap
+    // hand-computed: rank rule min v with 100·cum ≥ p·n on both levels
+    assert(out("A") === ((5L, true,
+      (65536L, 131072L, 131072L), (65536L, 131072L, 131072L), true)))
+    assert(out("B") === ((2L, true,
+      (65536L, 65536L, 65536L), (70000L, 70001L, 70001L), true)))
+    assert(out("*") === ((7L, true,
+      (65536L, 131072L, 131072L), (65540L, 131072L, 131072L), true)))
+  }
+
+  test("q314 extracts maximal duplicated spans: runs, ties, zero docs") {
+    // A="a b c d e f", B="x a b c d e y": shared 5-token run "a b c d e"
+    // (3 consecutive dup shingle positions). D carries the dup shingles
+    // (a,b,c)@1 and (c,d,e)@7 in two SEPARATE runs of length 1 (3 tokens
+    // each; earliest start wins the tie). C unique, E shingle-less.
+    val dir = java.nio.file.Files.createTempDirectory("dupspan").toString
+    Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d e y"),
+      (3L, "p q r s t"),
+      (4L, "a b c m n o c d e"),
+      (5L, "hi yo"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q314_duplicate_span_extraction")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((1L, 3L, 5L, 1L)), "A: one 3-position run = 5 tokens at pos 1")
+    assert(out(2L) === ((1L, 3L, 5L, 2L)), "B: same run shifted to pos 2")
+    assert(out(3L) === ((0L, 0L, 0L, -1L)), "C: no cross-doc duplicate material")
+    assert(out(4L) === ((2L, 2L, 3L, 1L)), "D: two 1-position runs, earliest tie-break")
+    assert(out(5L) === ((0L, 0L, 0L, -1L)), "E: shingle-less doc kept as zeros")
+  }
 }

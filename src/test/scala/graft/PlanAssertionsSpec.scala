@@ -133,6 +133,27 @@ class PlanAssertionsSpec extends SparkSpec {
       "per-(group,bucket) bitmap partials must feed BOTH rollup levels from one exchange")
   }
 
+  test("q313 quantile rollup levels share pinned partials; windows all keyed") {
+    val df = SparkEntry.queries("q313_quantile_sketch_rollup")(spark, sfDir)
+    df.collect() // materialize the pins
+    val p = df.queryExecution.executedPlan.toString
+    // shared-partials contract (the ReusedExchange intent, in its pinned
+    // form): the sketch and exact censuses each read lineitem ONCE and
+    // every other consumer reads the pin — unpinned this query planned
+    // 14 scans. The final plan sees only the top consumers; count the
+    // lineitem scans across the whole executed tree.
+    val scans = p.split("\n").count(l => l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans <= 2,
+      s"q313 must build each census from ONE scan and share the pinned cells ($scans scans planned)")
+    // no window may ride an unbounded census: every WindowExec must carry
+    // a partition key (the scope/bucket decomposition)
+    val bare = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bare.isEmpty, "q313 planned a no-partition (single-task) window")
+  }
+
   test("q98 packing cumsum is two-pass: data window pid-keyed, lang windows only on offsets") {
     val df = SparkEntry.queries("q98_pack_sequences")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
