@@ -1586,9 +1586,19 @@ object Relational {
       .select($"col_a", $"col_b")
       .collect() // bounded: ≤ C(|audited columns|, 2) = 15 rows
       .map(r => (r.getString(0), r.getString(1)))
+    // each surviving column's distinct key set is PINNED once, hash-on-v:
+    // a pair references its sides three times each (cardinality agg +
+    // both anti-joins), and a column can survive in several pairs — the
+    // lazy form re-ran the distinct (and its table scan) per reference.
+    // The v-pin also lands both anti-joins exchange-free.
+    val distincts: Map[String, DataFrame] = screened
+      .flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(n => n -> graft.operators.Pinned.partitionedCheckpoint(
+        cols(n).distinct(), $"v"))
+      .toMap
     val perPair = screened.toSeq.sorted.map { case (an, bn) =>
-      val av = cols(an).distinct()
-      val bv = cols(bn).distinct()
+      val av = distincts(an)
+      val bv = distincts(bn)
       // the whole per-pair verdict is ONE plan: four 1-row aggregates
       // crossJoined, evaluated when the final union materializes
       av.agg(count(lit(1)).as("n_a"))
