@@ -204,10 +204,7 @@ object LlmOps {
     val dup = hs.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
       .filter($"df" >= 2).select($"h")
     val mark = hs.join(dup, "h").select($"doc_id", $"pos")
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val spans = mark.withColumn("grp", $"pos" - row_number().over(w))
-      .groupBy($"doc_id", $"grp")
-      .agg(min($"pos").as("sp"), count(lit(1)).as("len"))
+    val spans = maximalRuns(mark)
     val agg = spans.groupBy($"doc_id").agg(
       count(lit(1)).as("n_dup_spans"),
       sum($"len").as("n_dup_positions"),
@@ -219,6 +216,112 @@ object LlmOps {
         coalesce($"n_dup_positions", lit(0L)).as("n_dup_positions"),
         coalesce($"m.l" + 2L, lit(0L)).as("max_span_tokens"),
         coalesce(-$"m.ns", lit(-1L)).as("first_max_span_start"))
+      .orderBy($"doc_id")
+  }
+
+  /** Maximal runs of consecutive 1-based positions per doc — the
+    * gaps-and-islands kernel shared by [[duplicateSpanExtraction]] and
+    * [[evalSpanDecontamination]]: (doc_id, pos) → (doc_id, sp, len) via
+    * pos − row_number() over a doc-keyed window (never global). */
+  private def maximalRuns(mark: DataFrame): DataFrame = {
+    import mark.sparkSession.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    mark.withColumn("grp", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("sp"), count(lit(1)).as("len"))
+  }
+
+  /** Span-level EVAL-SET decontamination — the q314 span machinery
+    * pointed at the leak that actually matters in production (GPT-3
+    * appendix-C / Pile class): a 10 % consistent-hash slice of the corpus
+    * plays the benchmark (membership a pure function of doc_id, salt
+    * "eval:"), and every TRAIN doc reports the maximal spans whose
+    * 3-token shingles appear ANYWHERE in the eval set — q96 gives the
+    * doc-level keep/drop verdict, this gives the span-level evidence a
+    * surgical scrubber needs (which tokens, how long, how many). The
+    * eval side collapses to a DISTINCT digest set (no positions — at
+    * any scale it is the small side and only digests shuffle); train
+    * positions semi-join it, then the shared islands kernel emits
+    * maximal runs (a run of R positions = R+2 contaminated tokens).
+    * Defensive LEFT join keeps clean and shingle-less train docs as
+    * zeros/FALSE. Only (doc, pos, h) triples move; the islands window
+    * is doc-keyed. */
+  def evalSpanDecontamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("hv", conv(substring(md5(concat(lit("eval:"),
+        $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long"))
+    val isEval = $"hv" * 10L < lit(16777216L) // 10 % held-out benchmark
+    def shingleStream(d: DataFrame): DataFrame = d
+      .withColumn("th", TextOps.tokenHashes(TextOps.tokens($"text")))
+      .withColumn("hs", TextOps.shingleHashes3($"th"))
+      .select($"doc_id", posexplode_outer($"hs"))
+      .withColumnRenamed("pos", "pos0").withColumnRenamed("col", "h")
+      .filter($"h".isNotNull)
+      .select($"doc_id", ($"pos0" + 1L).as("pos"), $"h")
+    val evalSet = shingleStream(docs.filter(isEval)).select($"h").distinct()
+    val mark = shingleStream(docs.filter(!isEval))
+      .join(evalSet, Seq("h"), "left_semi")
+      .select($"doc_id", $"pos")
+    val agg = maximalRuns(mark).groupBy($"doc_id").agg(
+      count(lit(1)).as("n_contam_spans"),
+      sum($"len").as("n_contam_positions"),
+      max($"len" + 2L).as("max_span_tokens"))
+    docs.filter(!isEval).select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_contam_spans", lit(0L)).as("n_contam_spans"),
+        coalesce($"n_contam_positions", lit(0L)).as("n_contam_positions"),
+        coalesce($"max_span_tokens", lit(0L)).as("max_span_tokens"),
+        $"n_contam_spans".isNotNull.as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  /** 2-D Pareto frontier (skyline) — the PREFERENCE-query operator
+    * (Börzsönyi et al. 2001 "The Skyline Operator"): documents not
+    * dominated on (token count, distinct-token count) — the
+    * multi-objective data-selection question ("longest AND most lexically
+    * diverse docs") that no single ORDER BY can answer. The naive form is
+    * all-pairs dominance (O(n²) — the oracle's formulation, affordable at
+    * fixture scale); the declared plan is census-decomposed: token counts
+    * are DOMAIN-bounded, so one (x, y) cell census (≤|x-domain|·|y-domain|
+    * cells at any corpus size) answers everything —
+    *   survive(p) ⟺ p.y = ymax(p.x)  ∧  p.y > max{ymax(x') : x' > p.x},
+    * with the strictly-greater-x maximum from a broadcast theta self-join
+    * over the ≤|x-domain|-row column census (the q302/q310 bounded-theta
+    * idiom — no global window, nothing data-sized past the first census).
+    * Each frontier doc also reports how many docs it dominates — the same
+    * broadcast cells, one inequality join against the tiny frontier.
+    * Scale: ONE corpus scan; the dominance decision ships a
+    * kilobyte-sized census. */
+  def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .select($"doc_id", size($"toks").cast("long").as("x"),
+        size(array_distinct($"toks")).cast("long").as("y"))
+    // bounded (x, y) cell census — pinned: consumed by the column census,
+    // the survivors screen, and the dominance counter
+    val cells = graft.operators.Pinned.partitionedCheckpoint(
+      m.groupBy($"x", $"y").agg(count(lit(1)).as("c")), $"x")
+    val colc = cells.groupBy($"x").agg(max($"y").as("ymax"))
+    // M>(x) = max ymax over strictly greater x (null at the global max)
+    val mgt = colc.as("a")
+      .join(broadcast(colc.as("b")), col("b.x") > col("a.x"), "left")
+      .groupBy(col("a.x").as("x"), col("a.ymax").as("ymax"))
+      .agg(max(col("b.ymax")).as("m_gt"))
+    val frontier = m.join(broadcast(mgt), "x")
+      .filter($"y" === $"ymax" && ($"m_gt".isNull || $"y" > $"m_gt"))
+      .select($"doc_id", $"x", $"y")
+    // dominance count: cells strictly below-left (weak on both, strict on
+    // one) — frontier is tiny, cells bounded: a broadcast inequality join
+    frontier.as("f")
+      .join(broadcast(cells.as("q")),
+        col("f.x") >= col("q.x") && col("f.y") >= col("q.y") &&
+          (col("f.x") > col("q.x") || col("f.y") > col("q.y")), "left")
+      .groupBy(col("doc_id"), col("f.x").as("n_tokens"),
+        col("f.y").as("n_distinct_tokens"))
+      .agg(coalesce(sum(col("q.c")), lit(0L)).as("n_dominated"))
       .orderBy($"doc_id")
   }
 
@@ -2948,6 +3051,8 @@ object LlmOps {
     "q311_winnowing_census" -> winnowingCensus,
     "q312_incremental_lsh_dedup" -> incrementalLshDedup,
     "q314_duplicate_span_extraction" -> duplicateSpanExtraction,
+    "q315_pareto_frontier" -> paretoFrontier,
+    "q316_eval_span_decontamination" -> evalSpanDecontamination,
     "q304_distribution_drift" -> distributionDrift,
     "q300_pq_codebook_census" -> pqCodebookCensus,
     "q174_cluster_survivorship" -> clusterSurvivorship,
@@ -3896,6 +4001,69 @@ object LlmOps {
          |) GROUP BY band, bucket_size
          |ORDER BY band, bucket_size""".stripMargin
     },
+    // decontamination oracle: same split twin, same zipped positional
+    // stream, same islands key — the eval screen is a plain digest
+    // semi-join both engines replay exactly
+    "q316_eval_span_decontamination" ->
+      s"""WITH hvt AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS hv
+         |  FROM documents
+         |), d AS MATERIALIZED (
+         |  SELECT doc_id, $shingle3Sql AS hs
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th
+         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |), pos AS MATERIALIZED (
+         |  SELECT doc_id, unnest(range(1, len(hs) + 1)) AS pos, unnest(hs) AS h
+         |  FROM d
+         |), ev AS (
+         |  SELECT DISTINCT h FROM pos JOIN hvt USING (doc_id)
+         |  WHERE hv * 10 < 16777216
+         |), mark AS (
+         |  SELECT p.doc_id, p.pos
+         |  FROM pos p JOIN hvt USING (doc_id) JOIN ev USING (h)
+         |  WHERE NOT (hv * 10 < 16777216)
+         |), runs AS (
+         |  SELECT doc_id, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM mark
+         |), spans AS (
+         |  SELECT doc_id, min(pos) AS sp, count(*) AS len
+         |  FROM runs GROUP BY doc_id, grp
+         |), agg AS (
+         |  SELECT doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_contam_spans,
+         |         CAST(sum(len) AS BIGINT) AS n_contam_positions,
+         |         CAST(max(len) + 2 AS BIGINT) AS max_span_tokens
+         |  FROM spans GROUP BY doc_id
+         |)
+         |SELECT hvt.doc_id,
+         |       coalesce(a.n_contam_spans, 0) AS n_contam_spans,
+         |       coalesce(a.n_contam_positions, 0) AS n_contam_positions,
+         |       coalesce(a.max_span_tokens, 0) AS max_span_tokens,
+         |       a.doc_id IS NOT NULL AS contaminated
+         |FROM hvt
+         |LEFT JOIN agg a ON hvt.doc_id = a.doc_id
+         |WHERE NOT (hvt.hv * 10 < 16777216)
+         |ORDER BY hvt.doc_id""".stripMargin,
+    // skyline oracle: the INDEPENDENT all-pairs dominance formulation
+    // (NOT EXISTS) — agreement proves the census decomposition, not just
+    // replays it; dominance counts by correlated subquery the same way
+    "q315_pareto_frontier" ->
+      s"""WITH m AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS x,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS y
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |), f AS (
+         |  SELECT * FROM m p WHERE NOT EXISTS (
+         |    SELECT 1 FROM m q
+         |    WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+         |)
+         |SELECT doc_id, x AS n_tokens, y AS n_distinct_tokens,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM m q
+         |        WHERE f.x >= q.x AND f.y >= q.y
+         |          AND (f.x > q.x OR f.y > q.y)) AS n_dominated
+         |FROM f ORDER BY doc_id""".stripMargin,
     // span oracle: the same positional digest stream (zipped parallel
     // unnests), the same df≥2 screen, the same islands key — pure
     // integer arithmetic both engines replay exactly; struct max

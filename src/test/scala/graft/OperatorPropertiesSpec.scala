@@ -1300,4 +1300,58 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out(4L) === ((2L, 2L, 3L, 1L)), "D: two 1-position runs, earliest tie-break")
     assert(out(5L) === ((0L, 0L, 0L, -1L)), "E: shingle-less doc kept as zeros")
   }
+
+  test("q315 pareto frontier: survivors, equal-point twins, dominance counts") {
+    // points (x=tokens, y=distinct): d1(5,5) d2(5,3) d3(6,4) d4(7,3)
+    // d5(5,5 twin) d6(2,2) d7(6,3). Frontier = d1,d3,d4,d5 (equal points
+    // never dominate each other); d2/d6/d7 are dominated.
+    val dir = java.nio.file.Files.createTempDirectory("pareto").toString
+    Seq(
+      (1L, "p q r s t"), (2L, "a a a b c"), (3L, "a b c d a b"),
+      (4L, "a b a b a b c"), (5L, "v w x y z"), (6L, "m n"),
+      (7L, "e f g e f e"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q315_pareto_frontier")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(1L, 3L, 4L, 5L))
+    assert(out(1L) === ((5L, 5L, 2L)), "d1 dominates (5,3) and (2,2)")
+    assert(out(3L) === ((6L, 4L, 3L)), "d3 dominates (5,3),(2,2),(6,3)")
+    assert(out(4L) === ((7L, 3L, 3L)), "d4 dominates (5,3),(2,2),(6,3)")
+    assert(out(5L) === ((5L, 5L, 2L)), "equal-point twin also survives")
+  }
+
+  /** The q316 split predicate replayed in plain JVM code (salt "eval:",
+    * 10 % threshold). */
+  private def inEvalSlice(id: Long): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"eval:$id".getBytes("UTF-8"))
+    val hex = d.take(3).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) * 10L < 16777216L
+  }
+
+  test("q316 marks contaminated spans per train doc; clean/shingle-less stay zeros") {
+    val ids = (1L to 400L)
+    val evalId = ids.filter(inEvalSlice).head
+    val trainIds = ids.filterNot(inEvalSlice).take(4)
+    val Seq(t1, t2, t3, t4) = trainIds
+    val dir = java.nio.file.Files.createTempDirectory("evalspan").toString
+    Seq(
+      (evalId, "a b c d e"),          // eval shingles (a,b,c)(b,c,d)(c,d,e)
+      (t1, "x a b c d e y"),          // one 3-position run → 5 tokens
+      (t2, "p q r s"),                // clean
+      (t3, "hi yo"),                  // shingle-less
+      (t4, "a b c z z z c d e"))      // two 1-position runs at 1 and 7
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q316_eval_span_decontamination")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.keySet === trainIds.toSet, "one row per TRAIN doc only")
+    assert(out(t1) === ((1L, 3L, 5L, true)), "one maximal 5-token span")
+    assert(out(t2) === ((0L, 0L, 0L, false)), "clean doc")
+    assert(out(t3) === ((0L, 0L, 0L, false)), "shingle-less doc")
+    assert(out(t4) === ((2L, 2L, 3L, true)), "two separated 3-token spans")
+  }
 }
