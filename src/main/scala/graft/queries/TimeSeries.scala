@@ -857,7 +857,51 @@ object TimeSeries {
       .orderBy($"l_suppkey", $"day")
   }
 
+  /** CUSUM sustained-shift alerting — the fourth member of the alerting
+    * family and the detector the others structurally miss: q194's z-score
+    * and q307's EWMA flag SPIKES, q273's hysteresis flags level crossings;
+    * CUSUM (Page 1954) accumulates small persistent deviations until the
+    * evidence crosses a decision threshold — the "demand crept 50 % above
+    * plan for two weeks" alarm. Made EXACT and one-pass-per-window via
+    * the classical prefix identity: the recurrence
+    * S_t = max(0, S_{t−1} + δ_t) equals P_t − min(0, min_{j≤t} P_j) with
+    * P the prefix sums of δ — so the whole detector is TWO keyed windows
+    * (running sum, running min of it), never a row-by-row recurrence.
+    * Deviations stay integer by scaling: δ_t = 4·D·qtyc_t − 6·Σqtyc
+    * (= 4·D·(x_t − 1.5µ), allowance 1.5µ), alarm at S ≥ 8·Σqtyc
+    * (≈ two mean-days of cumulative excess) — discriminating on the
+    * fixture (≈30 % of suppliers alarm, both branches oracle-covered, the
+    * q225 lesson). Exactness envelope: |δ| ≤ 4·D·Σqtyc < 2⁶³ for
+    * D ≤ 366 days and yearly supplier cents-quantity < 2⁵⁰ — far past
+    * 100 TB-class volume; the prefix sums add ≤ log₂D more bits.
+    * Scale: one pruned (supp, day) pre-agg, one keyed totals join, two
+    * keyed windows — |supplier| output rows. */
+  def cusumShiftAlerts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1995-01-01") && $"l_shipdate" < lit("1996-01-01"))
+      .groupBy($"l_suppkey".as("sk"),
+        datediff($"l_shipdate", lit("1995-01-01")).cast("long").as("dayi"))
+      .agg(sum(cents($"l_quantity")).as("q"))
+    val tot = t.groupBy($"sk").agg(sum($"q").as("tq"), count(lit(1)).as("nd"))
+    val wCum = Window.partitionBy($"sk").orderBy($"dayi")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = t.join(tot, "sk")
+      .withColumn("delta", lit(4L) * $"nd" * $"q" - lit(6L) * $"tq")
+      .withColumn("pref", sum($"delta").over(wCum))
+      .withColumn("pmin", min($"pref").over(wCum))
+      .withColumn("alarm",
+        ($"pref" - least($"pmin", lit(0L))) >= lit(8L) * $"tq")
+    p.groupBy($"sk").agg(
+        max($"nd").as("n_days"),
+        sum(when($"alarm", 1L).otherwise(0L)).as("n_alarm_days"),
+        coalesce(min(when($"alarm", $"dayi")), lit(-1L)).as("first_alarm_day"))
+      .withColumn("shift_detected", $"n_alarm_days" > 0L)
+      .orderBy($"sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_cusum_shift_alerts" -> cusumShiftAlerts,
     "q226_interarrival_histogram" -> interarrivalHistogram,
     "q227_weekday_seasonality" -> weekdaySeasonality,
     "q211_session_paths" -> sessionPaths,
@@ -888,6 +932,35 @@ object TimeSeries {
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    // full-replica oracle: the prefix-identity CUSUM is pure integer
+    // arithmetic (scaled deviations, running sum + running min), so
+    // DuckDB re-derives every alarm; HUGEINT stays internal (outputs CAST)
+    "q317_cusum_shift_alerts" ->
+      s"""WITH t AS (
+         |  SELECT l_suppkey AS sk,
+         |         CAST(datediff('day', DATE '1995-01-01', l_shipdate) AS BIGINT) AS dayi,
+         |         sum(${centsSql("l_quantity")}) AS q
+         |  FROM lineitem
+         |  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+         |  GROUP BY 1, 2
+         |), tot AS (SELECT sk, sum(q) AS tq, count(*) AS nd FROM t GROUP BY 1),
+         |j AS (SELECT t.sk, dayi, 4 * nd * q - 6 * tq AS delta, tq, nd
+         |      FROM t JOIN tot USING (sk)),
+         |p0 AS (SELECT sk, dayi, tq, nd,
+         |              sum(delta) OVER (PARTITION BY sk ORDER BY dayi) AS pref
+         |       FROM j),
+         |p AS (SELECT sk, dayi, tq, nd, pref,
+         |             min(pref) OVER (PARTITION BY sk ORDER BY dayi) AS pmin
+         |      FROM p0),
+         |a AS (SELECT sk, dayi, nd,
+         |             (pref - least(pmin, 0)) >= 8 * tq AS alarm
+         |      FROM p)
+         |SELECT sk, CAST(max(nd) AS BIGINT) AS n_days,
+         |       CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+         |       CAST(coalesce(min(CASE WHEN alarm THEN dayi END), -1) AS BIGINT) AS first_alarm_day,
+         |       sum(CASE WHEN alarm THEN 1 ELSE 0 END) > 0 AS shift_detected
+         |FROM a GROUP BY sk
+         |ORDER BY sk""".stripMargin,
     "q307_dyadic_ewma_alerts" -> {
       val num = (1 to 8).map(i => s"coalesce(l$i, 0) * ${1L << (8 - i)}")
         .mkString(" + ")

@@ -1354,4 +1354,25 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out(t3) === ((0L, 0L, 0L, false)), "shingle-less doc")
     assert(out(t4) === ((2L, 2L, 3L, true)), "two separated 3-token spans")
   }
+
+  test("q317 CUSUM alarms on a sustained shift, stays silent on flat demand") {
+    // sup 1: 25 days at qty 3 then 5 days at qty 30. D=30, tq=22500c,
+    // δ_quiet = 120·300−6·22500 = −99000 (S clamps at 0),
+    // δ_loud = 120·3000−135000 = +225000 ≥ 8·tq = 180000 on the FIRST
+    // loud day → alarms on all 5 loud days, first at day index 25.
+    // sup 2: flat 10 days → δ = −10000 < 0 every day, never alarms.
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    val d0 = java.time.LocalDate.parse("1995-01-01")
+    val rows =
+      (0 until 25).map(i => (1L, java.sql.Date.valueOf(d0.plusDays(i)), 3.0)) ++
+      (25 until 30).map(i => (1L, java.sql.Date.valueOf(d0.plusDays(i)), 30.0)) ++
+      (0 until 10).map(i => (2L, java.sql.Date.valueOf(d0.plusDays(i)), 5.0))
+    rows.toDF("l_suppkey", "l_shipdate", "l_quantity")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q317_cusum_shift_alerts")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((30L, 5L, 25L, true)), "shift crosses h on its first day")
+    assert(out(2L) === ((10L, 0L, -1L, false)), "flat series never alarms")
+  }
 }
