@@ -277,6 +277,66 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** lcm(61..70): RRF denominators for ranks 1..10 at k=60 all divide
+    * this, so reciprocal-rank contributions are EXACT INTEGERS in units
+    * of 1/L — the no-float house stance applied to rank fusion. */
+  private val RrfL = 142813628717760L
+
+  /** Hybrid retrieval fusion via Reciprocal Rank Fusion — the RAG-stack
+    * operator that combines a LEXICAL ranker and a SEMANTIC ranker
+    * (Cormack-Clarke-Büttcher 2009 RRF: score(d) = Σ 1/(k + rank_s(d)),
+    * k = 60 — the standard hybrid-search recipe in every production
+    * retrieval stack): per query doc (fixed ≤8-doc panel, the q45
+    * bounded-query contract), candidates are ranked by distinct-token
+    * Jaccard (lexical) and by embedding cosine (semantic, q45's
+    * fixed-order tree), each top-10; the fused list re-ranks by the SUM
+    * of reciprocal ranks. Two portability moves: (1) contributions are
+    * exact integers — L/(60+r) with L = lcm(61..70) divides evenly for
+    * every rank, so the fused ORDER and score are integer arithmetic
+    * (the double division is exact below 2⁵³ on both engines);
+    * (2) within-ranker orders break ties on doc id, so ranks are
+    * engine-invariant. Scale: both rankers are broadcast-panel × corpus
+    * map-side scores (K·N, linear) + one keyed top-k window per ranker;
+    * the fusion join touches ≤ K·10 rows per side. Output: fused top-5
+    * per query with the consensus flag (in BOTH top-10 lists). */
+  def hybridRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", array_distinct(TextOps.tokens($"text")).as("ts"))
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val qd = docs.filter($"doc_id" < 8).select($"doc_id".as("qid"), $"ts".as("qts"))
+    val qe = emb.filter($"vec_id" < 8).select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    val lex = broadcast(qd)
+      .join(docs.select($"doc_id".as("vid"), $"ts"), $"qid" =!= $"vid")
+      .withColumn("inter", size(array_intersect($"qts", $"ts")).cast("long"))
+      .withColumn("uni",
+        size($"qts").cast("long") + size($"ts").cast("long") - $"inter")
+      .withColumn("jac",
+        when($"uni" === 0L, lit(0.0))
+          .otherwise($"inter".cast("double") / $"uni".cast("double")))
+      .withColumn("rl", row_number().over(
+        Window.partitionBy($"qid").orderBy($"jac".desc, $"vid".asc)))
+      .filter($"rl" <= 10).select($"qid", $"vid", $"rl")
+    val sem = broadcast(qe)
+      .join(emb.select($"vec_id".as("vid"), $"embedding".as("ve")), $"qid" =!= $"vid")
+      .withColumn("cos", cosine(s)($"qemb", $"ve"))
+      .withColumn("rs", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)))
+      .filter($"rs" <= 10).select($"qid", $"vid", $"rs")
+    val fused = lex.join(sem, Seq("qid", "vid"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce((lit(RrfL) / ($"rl".cast("long") + 60L)).cast("long"), lit(0L)) +
+          coalesce((lit(RrfL) / ($"rs".cast("long") + 60L)).cast("long"), lit(0L)))
+      .withColumn("in_both", $"rl".isNotNull && $"rs".isNotNull)
+    fused
+      .withColumn("fr", row_number().over(
+        Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"vid".asc)))
+      .filter($"fr" <= 5)
+      .select($"qid", $"fr".cast("long").as("fused_rank"),
+        $"vid".as("doc_id"), $"rrf_score", $"in_both")
+      .orderBy($"qid", $"fused_rank")
+  }
+
   /** 2-D Pareto frontier (skyline) — the PREFERENCE-query operator
     * (Börzsönyi et al. 2001 "The Skyline Operator"): documents not
     * dominated on (token count, distinct-token count) — the
@@ -3053,6 +3113,7 @@ object LlmOps {
     "q314_duplicate_span_extraction" -> duplicateSpanExtraction,
     "q315_pareto_frontier" -> paretoFrontier,
     "q316_eval_span_decontamination" -> evalSpanDecontamination,
+    "q318_hybrid_rrf_fusion" -> hybridRrfFusion,
     "q304_distribution_drift" -> distributionDrift,
     "q300_pq_codebook_census" -> pqCodebookCensus,
     "q174_cluster_survivorship" -> clusterSurvivorship,
@@ -4001,6 +4062,50 @@ object LlmOps {
          |) GROUP BY band, bucket_size
          |ORDER BY band, bucket_size""".stripMargin
     },
+    // fusion oracle: both rankers, both top-10 windows, the exact-integer
+    // RRF and the fused re-rank all replayed — the jaccard/cosine sort
+    // keys are single IEEE trees over exact inputs (q195 contract), and
+    // every rank/score that crosses the hash is an integer
+    "q318_hybrid_rrf_fusion" ->
+      s"""WITH qd AS (SELECT doc_id AS qid, list_distinct($toksSql) AS qts
+         |            FROM documents WHERE doc_id < 8),
+         |cd AS (SELECT doc_id AS vid, list_distinct($toksSql) AS ts FROM documents),
+         |lex0 AS (
+         |  SELECT qid, vid,
+         |         CAST(len(list_filter(qts, x -> list_contains(ts, x))) AS BIGINT) AS inter,
+         |         CAST(len(qts) AS BIGINT) + CAST(len(ts) AS BIGINT)
+         |           - CAST(len(list_filter(qts, x -> list_contains(ts, x))) AS BIGINT) AS uni
+         |  FROM qd, cd WHERE qid <> vid),
+         |lex AS (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY
+         |           (CASE WHEN uni = 0 THEN 0.0
+         |                 ELSE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) END) DESC,
+         |           vid ASC) AS rl
+         |  FROM lex0),
+         |lext AS (SELECT qid, vid, rl FROM lex WHERE rl <= 10),
+         |qe AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 8),
+         |ce AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
+         |sem0 AS (SELECT qid, vid, ${cosSql("qemb", "ve")} AS cos
+         |         FROM qe, ce WHERE qid <> vid),
+         |sem AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos DESC, vid ASC) AS rs FROM sem0),
+         |semt AS (SELECT qid, vid, rs FROM sem WHERE rs <= 10),
+         |f AS (SELECT coalesce(l.qid, s.qid) AS qid, coalesce(l.vid, s.vid) AS vid,
+         |             l.rl, s.rs
+         |      FROM lext l FULL OUTER JOIN semt s ON l.qid = s.qid AND l.vid = s.vid),
+         |g AS (SELECT qid, vid,
+         |             coalesce(CAST(142813628717760 / (rl + 60) AS BIGINT), 0)
+         |               + coalesce(CAST(142813628717760 / (rs + 60) AS BIGINT), 0) AS rrf_score,
+         |             (rl IS NOT NULL AND rs IS NOT NULL) AS in_both
+         |      FROM f),
+         |r AS (SELECT qid, vid, rrf_score, in_both,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY rrf_score DESC, vid ASC) AS fr
+         |      FROM g)
+         |SELECT qid, CAST(fr AS BIGINT) AS fused_rank, vid AS doc_id,
+         |       rrf_score, in_both
+         |FROM r WHERE fr <= 5
+         |ORDER BY qid, fused_rank""".stripMargin,
     // decontamination oracle: same split twin, same zipped positional
     // stream, same islands key — the eval screen is a plain digest
     // semi-join both engines replay exactly

@@ -1375,4 +1375,27 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out(1L) === ((30L, 5L, 25L, true)), "shift crosses h on its first day")
     assert(out(2L) === ((10L, 0L, -1L, false)), "flat series never alarms")
   }
+
+  test("q318 RRF fuses opposing lexical/semantic rankings with exact scores") {
+    // For query doc 0 ("a b c", emb [1,0]): d1 is the lexical winner
+    // (identical tokens, orthogonal embedding), d2 the semantic winner
+    // (disjoint tokens, near-parallel embedding), d3 middle on both.
+    // RRF: d1 = L/61+L/63 = d2 (symmetric ranks) → tie broken by id;
+    // d3 = 2·L/62 = L/31, slightly smaller since 1/61+1/63 > 2/62.
+    val dir = java.nio.file.Files.createTempDirectory("rrf").toString
+    Seq((0L, "a b c"), (1L, "a b c"), (2L, "x y z"), (3L, "a q r"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.01f)), (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val L = 142813628717760L
+    val out = SparkEntry.queries("q318_hybrid_rrf_fusion")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out((0L, 1L)) === ((1L, L / 61 + L / 63, true)), "tie won by smaller id")
+    assert(out((0L, 2L)) === ((2L, L / 61 + L / 63, true)), "same exact score")
+    assert(out((0L, 3L)) === ((3L, L / 31, true)), "middle-on-both ranks third")
+  }
 }
