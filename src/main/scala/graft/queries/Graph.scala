@@ -586,7 +586,60 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** Partition CONDUCTANCE census — the partition-QUALITY member of the
+    * graph family (components label q76, PageRank values q197, labels
+    * propagate q294, assortativity correlates q301; this EVALUATES a
+    * partition): for each nation's node set S (its suppliers + its
+    * customers), φ(S) = cut(S) / min(vol(S), vol(V∖S)) over the
+    * undirected trade graph — the standard community-quality measure
+    * (Shi–Malik / Kannan-Vempala-Vetta class; low φ = well-separated
+    * community, high φ = the partition cuts through dense structure).
+    * The whole computation collapses onto ONE bounded census: join the
+    * distinct (customer, supplier) edge list to both dimension nations
+    * and count per (cust_nation, supp_nation) — ≤|nations|² cells at ANY
+    * corpus size — then every cut/volume/internal figure per nation is a
+    * conditional sum over broadcast cells (an O(nations²) fold, no
+    * second pass over edges). All counts are exact integers; φ is the
+    * ONE final IEEE divide of exact integers (the q195 float contract).
+    * Nations with zero volume report φ = 0 by guard. */
+  def partitionConductance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("ck"), $"l_suppkey".as("sk"))
+      .distinct()
+    val cells = e0
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey".as("ck"), $"c_nationkey".cast("long").as("cn"))), "ck")
+      .join(broadcast(Tables.supplier(s, dir)
+        .select($"s_suppkey".as("sk"), $"s_nationkey".cast("long").as("sn"))), "sk")
+      .groupBy($"cn", $"sn").agg(count(lit(1)).as("c"))
+    val nations = Tables.nation(s, dir)
+      .select($"n_nationkey".cast("long").as("nk"), $"n_name")
+    val tot = cells.agg(sum($"c").as("m")) // |E| undirected
+    nations.join(broadcast(cells),
+        $"cn" === $"nk" || $"sn" === $"nk", "left")
+      .groupBy($"nk", $"n_name")
+      .agg(
+        coalesce(sum(when($"cn" === $"nk" && $"sn" === $"nk", $"c")), lit(0L))
+          .as("n_internal_edges"),
+        coalesce(sum(when(($"cn" === $"nk") =!= ($"sn" === $"nk"), $"c")), lit(0L))
+          .as("n_cut_edges"),
+        (coalesce(sum(when($"cn" === $"nk", $"c")), lit(0L)) +
+          coalesce(sum(when($"sn" === $"nk", $"c")), lit(0L)))
+          .as("volume"))
+      .crossJoin(broadcast(tot))
+      .select($"nk".as("nation"), $"n_name",
+        $"n_internal_edges", $"n_cut_edges", $"volume",
+        when(least($"volume", lit(2L) * $"m" - $"volume") > 0L,
+          $"n_cut_edges".cast("double") /
+            least($"volume", lit(2L) * $"m" - $"volume").cast("double"))
+          .otherwise(lit(0.0)).as("conductance"))
+      .orderBy($"nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_partition_conductance" -> partitionConductance,
     "q202_triangle_census" -> triangleCensus,
     "q288_bfs_reachability" -> bfsReachability,
     "q290_widest_path_census" -> widestPathCensus,
@@ -616,6 +669,35 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // full-replica oracle: cut/volume/internal are conditional integer
+    // sums over the (cn, sn) cell census; φ is the one IEEE divide of
+    // exact integers — both engines re-derive it identically
+    "q319_partition_conductance" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), cells AS MATERIALIZED (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS cn,
+        |         CAST(s_nationkey AS BIGINT) AS sn, count(*) AS c
+        |  FROM e0 JOIN customer ON ck = c_custkey
+        |          JOIN supplier ON sk = s_suppkey
+        |  GROUP BY 1, 2
+        |), tot AS (SELECT sum(c) AS m FROM cells),
+        |per AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS nation, n_name,
+        |         CAST(coalesce(sum(CASE WHEN cn = n_nationkey AND sn = n_nationkey THEN c END), 0) AS BIGINT) AS n_internal_edges,
+        |         CAST(coalesce(sum(CASE WHEN (cn = n_nationkey) <> (sn = n_nationkey) THEN c END), 0) AS BIGINT) AS n_cut_edges,
+        |         CAST(coalesce(sum(CASE WHEN cn = n_nationkey THEN c END), 0)
+        |              + coalesce(sum(CASE WHEN sn = n_nationkey THEN c END), 0) AS BIGINT) AS volume
+        |  FROM nation LEFT JOIN cells ON cn = n_nationkey OR sn = n_nationkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT nation, n_name, n_internal_edges, n_cut_edges, volume,
+        |       CASE WHEN least(volume, 2 * (SELECT CAST(m AS BIGINT) FROM tot) - volume) > 0
+        |            THEN CAST(n_cut_edges AS DOUBLE)
+        |                 / CAST(least(volume, 2 * (SELECT CAST(m AS BIGINT) FROM tot) - volume) AS DOUBLE)
+        |            ELSE 0.0 END AS conductance
+        |FROM per ORDER BY nation""".stripMargin,
     "q301_degree_assortativity" ->
       s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

@@ -1398,4 +1398,30 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out((0L, 2L)) === ((2L, L / 61 + L / 63, true)), "same exact score")
     assert(out((0L, 3L)) === ((3L, L / 31, true)), "middle-on-both ranks third")
   }
+
+  test("q319 conductance: hand-computed cut/volume, zero-volume nation guarded") {
+    // edges c1-s1, c1-s2, c2-s2, c3-s2 with nations c1,c3,s1→0; c2,s2→1:
+    // cells (0,0)=1,(0,1)=2,(1,1)=1, |E|=4. Nation 0: internal 1, cut 2,
+    // vol = 3(cust)+1(supp) = 4, min(4, 8−4)=4 → φ=0.5. Nation 1 mirrors.
+    // Nation 2 has no trade → zeros and φ=0 by guard.
+    val dir = java.nio.file.Files.createTempDirectory("conduct").toString
+    Seq((0L, "N0"), (1L, "N1"), (2L, "N2")).toDF("n_nationkey", "n_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 0L), (2L, 1L), (3L, 0L)).toDF("c_custkey", "c_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 0L), (2L, 1L)).toDF("s_suppkey", "s_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L), (11L, 2L), (12L, 2L), (13L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q319_partition_conductance")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(0L) === ((1L, 2L, 4L, 0.5)))
+    assert(out(1L) === ((1L, 2L, 4L, 0.5)))
+    assert(out(2L) === ((0L, 0L, 0L, 0.0)), "tradeless nation reports zeros")
+  }
 }
