@@ -900,7 +900,97 @@ object TimeSeries {
       .orderBy($"sk")
   }
 
+  /** FIFO lot matching — the inventory/cost-basis ALLOCATION operator
+    * (match demand to supply lots in arrival order), the famously
+    * quadratic-looking SQL problem done with KEYED WINDOWS ONLY: 1995
+    * daily production lots (receipts) are consumed by 1996 daily demand
+    * (issues) per supplier, first-in-first-out. The classical
+    * relational form is an interval-overlap join of the two cumulative
+    * ledgers (allocation (r, i) ⟺ [Rprev,Rcum) ∩ [Iprev,Icum) ≠ ∅) —
+    * O(R·I) per key if planned naively. This plan uses the BOUNDARY
+    * MERGE instead: every cumulative total from either ledger is a
+    * breakpoint; consecutive breakpoints delimit a segment consumed by
+    * EXACTLY ONE (receipt, issue) pair, and each side's covering row is
+    * the one with the smallest cum ≥ boundary — an as-of lookup done as
+    * LOCF over the per-supplier DESC-ordered union of boundaries and
+    * ledger rows (tag orders receipts before boundaries at equal cum,
+    * so a lot exactly exhausted at a boundary still covers it). Total
+    * cost: keyed windows + keyed joins, O(R+I) rows per supplier —
+    * never a pair table. Boundaries beyond a ledger's total inherit no
+    * covering row (null → excluded); matched mass stops at
+    * min(ΣR, ΣI) and the census reports unfilled/leftover remainders
+    * exactly. Lot age = issue day − receipt day on a common 1995 epoch
+    * (always ≥ 0 here); all quantities exact integer cents. */
+  def fifoLotMatching(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def ledger(yr: Int): DataFrame = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit(s"$yr-01-01") &&
+        $"l_shipdate" < lit(s"${yr + 1}-01-01"))
+      .groupBy($"l_suppkey".as("sk"),
+        datediff($"l_shipdate", lit("1995-01-01")).cast("long").as("day"))
+      .agg(sum(cents($"l_quantity")).as("qty"))
+    val wCum = Window.partitionBy($"sk").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // each ledger and the boundary set are consumed three times (bounds/
+    // cover/totals resp. seg + both covers) — pin once, hash-on-sk, so
+    // every downstream keyed window and join is exchange-free off the pin
+    val rec = graft.operators.Pinned.partitionedCheckpoint(
+      ledger(1995).withColumn("cum", sum($"qty").over(wCum)), $"sk")
+    val iss = graft.operators.Pinned.partitionedCheckpoint(
+      ledger(1996).withColumn("cum", sum($"qty").over(wCum)), $"sk")
+    val bounds = graft.operators.Pinned.partitionedCheckpoint(
+      rec.select($"sk", $"cum".as("b"))
+        .unionAll(iss.select($"sk", $"cum".as("b"))).distinct(), $"sk")
+    // LOCF as-of: covering row = smallest cum ≥ b. In (cum DESC, tag ASC)
+    // order the ledger row at cum ≥ b nearest above the boundary is the
+    // last non-null seen; tag 0 puts an exactly-exhausting row first.
+    def cover(led: DataFrame, pfx: String): DataFrame = {
+      val u = led.select($"sk", $"cum".as("k"), lit(0).as("tag"),
+          $"day".as("cday"))
+        .unionAll(bounds.select($"sk", $"b".as("k"), lit(1).as("tag"),
+          lit(null).cast("long").as("cday")))
+      val w = Window.partitionBy($"sk").orderBy($"k".desc, $"tag".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("cd", last($"cday", ignoreNulls = true).over(w))
+        .filter($"tag" === 1)
+        .select($"sk", $"k".as("b"), $"cd".as(s"${pfx}_day"))
+    }
+    val seg = bounds
+      .withColumn("pb", coalesce(lag($"b", 1).over(
+        Window.partitionBy($"sk").orderBy($"b")), lit(0L)))
+      .join(cover(rec, "r"), Seq("sk", "b"), "left")
+      .join(cover(iss, "i"), Seq("sk", "b"), "left")
+    val alloc = seg.filter($"r_day".isNotNull && $"i_day".isNotNull)
+      .select($"sk", ($"b" - $"pb").as("q"), ($"i_day" - $"r_day").as("age"))
+      .groupBy($"sk").agg(
+        count(lit(1)).as("n_allocations"),
+        sum($"q").as("matched_qty"),
+        max($"age").as("max_lot_age_days"),
+        sum($"q" * $"age").as("age_qty_days"))
+    val totals = rec.groupBy($"sk")
+      .agg(count(lit(1)).as("n_lots"), max($"cum").as("rtot"))
+      .join(iss.groupBy($"sk")
+        .agg(count(lit(1)).as("n_issues"), max($"cum").as("itot")),
+        Seq("sk"), "full_outer")
+    totals.join(alloc, Seq("sk"), "left")
+      .select($"sk",
+        coalesce($"n_lots", lit(0L)).as("n_lots"),
+        coalesce($"n_issues", lit(0L)).as("n_issues"),
+        coalesce($"n_allocations", lit(0L)).as("n_allocations"),
+        coalesce($"matched_qty", lit(0L)).as("matched_qty"),
+        (coalesce($"itot", lit(0L)) -
+          least(coalesce($"rtot", lit(0L)), coalesce($"itot", lit(0L))))
+          .as("unfilled_qty"),
+        (coalesce($"rtot", lit(0L)) -
+          least(coalesce($"rtot", lit(0L)), coalesce($"itot", lit(0L))))
+          .as("leftover_qty"),
+        coalesce($"max_lot_age_days", lit(-1L)).as("max_lot_age_days"),
+        coalesce($"age_qty_days", lit(0L)).as("age_qty_days"))
+      .orderBy($"sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_fifo_lot_matching" -> fifoLotMatching,
     "q317_cusum_shift_alerts" -> cusumShiftAlerts,
     "q226_interarrival_histogram" -> interarrivalHistogram,
     "q227_weekday_seasonality" -> weekdaySeasonality,
@@ -932,6 +1022,77 @@ object TimeSeries {
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    // INDEPENDENT oracle: DuckDB's native ASOF JOIN resolves each
+    // boundary's covering ledger row (largest prev ≤ b−1 ⟺ smallest
+    // cum ≥ b on contiguous positive-qty intervals), where the Spark
+    // side uses the LOCF union-window — agreement proves the boundary
+    // merge, not just replays it. All integer cents.
+    "q320_fifo_lot_matching" ->
+      s"""WITH rec0 AS (
+         |  SELECT l_suppkey AS sk,
+         |         CAST(datediff('day', DATE '1995-01-01', l_shipdate) AS BIGINT) AS day,
+         |         sum(${centsSql("l_quantity")}) AS qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+         |  GROUP BY 1, 2
+         |), rec AS MATERIALIZED (
+         |  SELECT sk, day, qty,
+         |         CAST(sum(qty) OVER (PARTITION BY sk ORDER BY day) AS BIGINT) AS cum,
+         |         CAST(sum(qty) OVER (PARTITION BY sk ORDER BY day) - qty AS BIGINT) AS prev
+         |  FROM rec0
+         |), iss0 AS (
+         |  SELECT l_suppkey AS sk,
+         |         CAST(datediff('day', DATE '1995-01-01', l_shipdate) AS BIGINT) AS day,
+         |         sum(${centsSql("l_quantity")}) AS qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+         |  GROUP BY 1, 2
+         |), iss AS MATERIALIZED (
+         |  SELECT sk, day, qty,
+         |         CAST(sum(qty) OVER (PARTITION BY sk ORDER BY day) AS BIGINT) AS cum,
+         |         CAST(sum(qty) OVER (PARTITION BY sk ORDER BY day) - qty AS BIGINT) AS prev
+         |  FROM iss0
+         |), bounds AS MATERIALIZED (
+         |  SELECT DISTINCT sk, b FROM (
+         |    SELECT sk, cum AS b FROM rec UNION ALL SELECT sk, cum AS b FROM iss)
+         |), seg AS MATERIALIZED (
+         |  SELECT sk, b, b - 1 AS bm1,
+         |         coalesce(lag(b) OVER (PARTITION BY sk ORDER BY b), 0) AS pb
+         |  FROM bounds
+         |), rt AS (SELECT sk, CAST(count(*) AS BIGINT) AS n_lots, max(cum) AS rtot FROM rec GROUP BY 1),
+         |it AS (SELECT sk, CAST(count(*) AS BIGINT) AS n_issues, max(cum) AS itot FROM iss GROUP BY 1),
+         |segr AS (
+         |  SELECT s.sk, s.b, s.pb, r.day AS r_day
+         |  FROM (SELECT seg.* FROM seg JOIN rt USING (sk) WHERE seg.b <= rt.rtot) s
+         |  ASOF JOIN rec r ON s.sk = r.sk AND s.bm1 >= r.prev
+         |), segi AS (
+         |  SELECT s.sk, s.b, i.day AS i_day
+         |  FROM (SELECT seg.* FROM seg JOIN it USING (sk) WHERE seg.b <= it.itot) s
+         |  ASOF JOIN iss i ON s.sk = i.sk AND s.bm1 >= i.prev
+         |), alloc AS (
+         |  SELECT sr.sk, sr.b - sr.pb AS q, si.i_day - sr.r_day AS age
+         |  FROM segr sr JOIN segi si ON sr.sk = si.sk AND sr.b = si.b
+         |), a AS (
+         |  SELECT sk, CAST(count(*) AS BIGINT) AS n_allocations,
+         |         CAST(sum(q) AS BIGINT) AS matched_qty,
+         |         CAST(max(age) AS BIGINT) AS max_lot_age_days,
+         |         CAST(sum(q * age) AS BIGINT) AS age_qty_days
+         |  FROM alloc GROUP BY 1
+         |), t AS (
+         |  SELECT coalesce(rt.sk, it.sk) AS sk,
+         |         coalesce(n_lots, 0) AS n_lots, coalesce(n_issues, 0) AS n_issues,
+         |         coalesce(rtot, 0) AS rtot, coalesce(itot, 0) AS itot
+         |  FROM rt FULL OUTER JOIN it ON rt.sk = it.sk
+         |)
+         |SELECT t.sk, t.n_lots, t.n_issues,
+         |       coalesce(a.n_allocations, 0) AS n_allocations,
+         |       coalesce(a.matched_qty, 0) AS matched_qty,
+         |       CAST(t.itot - least(t.rtot, t.itot) AS BIGINT) AS unfilled_qty,
+         |       CAST(t.rtot - least(t.rtot, t.itot) AS BIGINT) AS leftover_qty,
+         |       coalesce(a.max_lot_age_days, -1) AS max_lot_age_days,
+         |       coalesce(a.age_qty_days, 0) AS age_qty_days
+         |FROM t LEFT JOIN a ON t.sk = a.sk
+         |ORDER BY t.sk""".stripMargin,
     // full-replica oracle: the prefix-identity CUSUM is pure integer
     // arithmetic (scaled deviations, running sum + running min), so
     // DuckDB re-derives every alarm; HUGEINT stays internal (outputs CAST)

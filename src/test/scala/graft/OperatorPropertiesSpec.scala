@@ -1424,4 +1424,28 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out(1L) === ((1L, 2L, 4L, 0.5)))
     assert(out(2L) === ((0L, 0L, 0L, 0.0)), "tradeless nation reports zeros")
   }
+
+  test("q320 FIFO allocation: split lots, exhausted-at-boundary, one-sided ledgers") {
+    // sup 1: lots d0:500c d1:300c (cums 500,800); demand d365:400c
+    // d366:600c (cums 400,1000). Boundaries 400,500,800,1000 → allocs
+    // (400,age365)(100,age366)(300,age365); matched 800, unfilled 200.
+    // sup 2: supply only → leftover. sup 3: demand only → unfilled.
+    val dir = java.nio.file.Files.createTempDirectory("fifo").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    Seq(
+      (1L, d("1995-01-01"), 5.0), (1L, d("1995-01-02"), 3.0),
+      (1L, d("1996-01-01"), 4.0), (1L, d("1996-01-02"), 6.0),
+      (2L, d("1995-01-01"), 2.0),
+      (3L, d("1996-01-01"), 1.0))
+      .toDF("l_suppkey", "l_shipdate", "l_quantity")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q320_fifo_lot_matching")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(out(1L) === Seq(2L, 2L, 3L, 800L, 200L, 0L, 366L,
+      400L * 365 + 100L * 366 + 300L * 365))
+    assert(out(2L) === Seq(1L, 0L, 0L, 0L, 0L, 200L, -1L, 0L),
+      "supply-only supplier: pure leftover, no allocations")
+    assert(out(3L) === Seq(0L, 1L, 0L, 0L, 100L, 0L, -1L, 0L),
+      "demand-only supplier: pure unfilled")
+  }
 }
