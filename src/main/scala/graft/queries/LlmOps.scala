@@ -337,15 +337,21 @@ object LlmOps {
       .orderBy($"qid", $"fused_rank")
   }
 
-  /** 2-D Pareto frontier (skyline) — the PREFERENCE-query operator
-    * (Börzsönyi et al. 2001 "The Skyline Operator"): documents not
-    * dominated on (token count, distinct-token count) — the
-    * multi-objective data-selection question ("longest AND most lexically
-    * diverse docs") that no single ORDER BY can answer. The naive form is
-    * all-pairs dominance (O(n²) — the oracle's formulation, affordable at
-    * fixture scale); the declared plan is census-decomposed: token counts
-    * are DOMAIN-bounded, so one (x, y) cell census (≤|x-domain|·|y-domain|
-    * cells at any corpus size) answers everything —
+  /** 2-D Pareto frontier (skyline) over DOMAIN-BOUNDED metrics — the
+    * second member of the skyline pair (Börzsönyi et al. 2001): q169
+    * solves the unbounded-domain case (customer spend) with the TwoPass
+    * range-partition prefix-max, the general form that must move data;
+    * THIS is the fast path when both metrics are domain-bounded (token
+    * count, distinct-token count — the multi-objective data-selection
+    * question "longest AND most lexically diverse"), where the whole
+    * dominance decision collapses to a broadcast census and the corpus
+    * is touched exactly once, map-side. The same split exists in the
+    * percentile family (q144 bounded-domain exact / q309 narrowing /
+    * q73 sketch). The naive form is all-pairs dominance (O(n²) — the
+    * oracle's formulation, affordable at fixture scale); the declared
+    * plan is census-decomposed: one (x, y) cell census
+    * (≤|x-domain|·|y-domain| cells at any corpus size) answers
+    * everything —
     *   survive(p) ⟺ p.y = ymax(p.x)  ∧  p.y > max{ymax(x') : x' > p.x},
     * with the strictly-greater-x maximum from a broadcast theta self-join
     * over the ≤|x-domain|-row column census (the q302/q310 bounded-theta
