@@ -989,7 +989,48 @@ object TimeSeries {
       .orderBy($"sk")
   }
 
+  /** Forecast-skill backtest census (MASE — Hyndman-Koehler 2006, the
+    * M-competition standard): per supplier, walk the 1995 daily-demand
+    * series and score the SEASONAL-naive forecaster (value 7
+    * observations back — the weekly-pattern hypothesis) against the
+    * naive one-step forecaster (previous observation) on every day with
+    * ≥7 priors. The alerting family (q194/q273/q307/q317) DETECTS; this
+    * EVALUATES whether a pattern-based predictor beats persistence — the
+    * before-you-forecast question. Errors stay exact: both MAE
+    * numerators are integer |Δcents| sums over the same eval rows, the
+    * winner flag is an integer compare, and MASE = Σ|e_seasonal|/Σ|e_naive|
+    * is the ONE final IEEE divide (q195 contract; 0 when the naive
+    * error is 0 — a constant series, flag false). Scale: one pruned
+    * (supp, day) pre-agg + ONE keyed window with two lags —
+    * |supplier| output rows. */
+  def maseBacktest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1995-01-01") && $"l_shipdate" < lit("1996-01-01"))
+      .groupBy($"l_suppkey".as("sk"),
+        datediff($"l_shipdate", lit("1995-01-01")).cast("long").as("dayi"))
+      .agg(sum(cents($"l_quantity")).as("q"))
+    val w = Window.partitionBy($"sk").orderBy($"dayi")
+    val scored = t
+      .withColumn("l1", lag($"q", 1).over(w))
+      .withColumn("l7", lag($"q", 7).over(w))
+      .filter($"l7".isNotNull) // ≥7 priors: both forecasters defined
+      .select($"sk", abs($"q" - $"l1").as("e1"), abs($"q" - $"l7").as("e7"))
+    scored.groupBy($"sk").agg(
+        count(lit(1)).as("n_eval"),
+        sum($"e1").as("sum_abs_err_naive"),
+        sum($"e7").as("sum_abs_err_seasonal"))
+      .select($"sk", $"n_eval", $"sum_abs_err_naive", $"sum_abs_err_seasonal",
+        ($"sum_abs_err_seasonal" < $"sum_abs_err_naive").as("seasonal_better"),
+        when($"sum_abs_err_naive" > 0L,
+          $"sum_abs_err_seasonal".cast("double") /
+            $"sum_abs_err_naive".cast("double"))
+          .otherwise(lit(0.0)).as("mase"))
+      .orderBy($"sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_mase_backtest" -> maseBacktest,
     "q320_fifo_lot_matching" -> fifoLotMatching,
     "q317_cusum_shift_alerts" -> cusumShiftAlerts,
     "q226_interarrival_histogram" -> interarrivalHistogram,
@@ -1022,6 +1063,33 @@ object TimeSeries {
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    // full-replica oracle: row lags, integer |Δ| sums, one divide
+    "q322_mase_backtest" ->
+      s"""WITH t AS (
+         |  SELECT l_suppkey AS sk,
+         |         CAST(datediff('day', DATE '1995-01-01', l_shipdate) AS BIGINT) AS dayi,
+         |         sum(${centsSql("l_quantity")}) AS q
+         |  FROM lineitem
+         |  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+         |  GROUP BY 1, 2
+         |), l AS (
+         |  SELECT sk, q,
+         |         lag(q, 1) OVER (PARTITION BY sk ORDER BY dayi) AS l1,
+         |         lag(q, 7) OVER (PARTITION BY sk ORDER BY dayi) AS l7
+         |  FROM t
+         |), e AS (
+         |  SELECT sk, abs(q - l1) AS e1, abs(q - l7) AS e7
+         |  FROM l WHERE l7 IS NOT NULL
+         |)
+         |SELECT sk, CAST(count(*) AS BIGINT) AS n_eval,
+         |       CAST(sum(e1) AS BIGINT) AS sum_abs_err_naive,
+         |       CAST(sum(e7) AS BIGINT) AS sum_abs_err_seasonal,
+         |       sum(e7) < sum(e1) AS seasonal_better,
+         |       CASE WHEN sum(e1) > 0
+         |            THEN CAST(sum(e7) AS DOUBLE) / CAST(sum(e1) AS DOUBLE)
+         |            ELSE 0.0 END AS mase
+         |FROM e GROUP BY sk
+         |ORDER BY sk""".stripMargin,
     // INDEPENDENT oracle: DuckDB's native ASOF JOIN resolves each
     // boundary's covering ledger row (largest prev ≤ b−1 ⟺ smallest
     // cum ≥ b on contiguous positive-qty intervals), where the Spark

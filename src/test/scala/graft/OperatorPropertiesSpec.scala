@@ -1482,4 +1482,27 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(r.getDouble(6) === ht, "HT estimate must be the identical IEEE tree")
     assert(r.getBoolean(7) === (math.abs(ht - trueW) <= 0.15 * trueW))
   }
+
+  test("q322 MASE: weekly series beats naive, constant series guards, short series absent") {
+    // sup 1: exact period-7 series [10,20,..,70,10,20,30]c → eval rows
+    // days 7-9: seasonal errors 0, naive errors 60+10+10 → MASE 0, true.
+    // sup 2: constant 50c ×8 → both errors 0 → guard: mase 0, false.
+    // sup 3: 5 days only → no row (needs ≥8 observations).
+    val dir = java.nio.file.Files.createTempDirectory("mase").toString
+    val d0 = java.time.LocalDate.parse("1995-01-01")
+    val v1 = Seq(10, 20, 30, 40, 50, 60, 70, 10, 20, 30)
+    val rows =
+      v1.zipWithIndex.map { case (c, i) =>
+        (1L, java.sql.Date.valueOf(d0.plusDays(i)), c / 100.0) } ++
+      (0 until 8).map(i => (2L, java.sql.Date.valueOf(d0.plusDays(i)), 0.5)) ++
+      (0 until 5).map(i => (3L, java.sql.Date.valueOf(d0.plusDays(i)), 1.0))
+    rows.toDF("l_suppkey", "l_shipdate", "l_quantity")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q322_mase_backtest")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getDouble(5)))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((3L, 80L, 0L, true, 0.0)), "perfect weekly pattern")
+    assert(out(2L) === ((1L, 0L, 0L, false, 0.0)), "constant series: zero-error guard")
+  }
 }
