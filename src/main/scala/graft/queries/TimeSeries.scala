@@ -153,6 +153,65 @@ object TimeSeries {
       .orderBy($"last_touch")
   }
 
+  /** Position-based (U-shaped) attribution — the third member of the
+    * attribution family and the remaining industry default (q172 first-
+    * touch, q242 last-touch; this is the 40/20/40 rule every marketing
+    * stack ships): per conversion the FIRST and LAST touch each earn
+    * 40 % of the credit and the middle touches split 20 %. Credit is
+    * EXACT INTEGER basis points (10 000 per conversion): middles get
+    * 2000 div (n−2) each with the division remainder assigned to the
+    * EARLIEST middle (Hamilton-style; documented, deterministic), so
+    * Σ credit over channels ≡ 10 000 × conversions — conservation the
+    * oracle re-derives, never a float split. Degenerate paths follow the
+    * standard convention: one touch → 100 %, two → 50/50, none →
+    * 'direct'. Same q61 sessionization and (ts, event_id) total order
+    * as its siblings; the position windows ride the (user, session)
+    * key — everything after the one sessionization window stays on
+    * already-shuffled keys, census ≤ |event_types|+1 rows. */
+  def positionAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum($"new_sess").over(running))
+    val conv = sess.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"sess_id")
+      .agg(min($"ts").as("cts"),
+        min_by($"event_id", struct($"ts", $"event_id")).as("ceid"))
+    val touches = sess.join(conv, Seq("user_id", "sess_id"))
+      .filter($"ts" < $"cts" || ($"ts" === $"cts" && $"event_id" < $"ceid"))
+    val ws = Window.partitionBy($"user_id", $"sess_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val wn = Window.partitionBy($"user_id", $"sess_id")
+    val credited = touches
+      .withColumn("rn", row_number().over(ws).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("credit_bp",
+        when($"n" === 1L, lit(10000L))
+          .when($"n" === 2L, lit(5000L))
+          .when($"rn" === 1L || $"rn" === $"n", lit(4000L))
+          .otherwise(expr("2000 div (n - 2)") +
+            when($"rn" === 2L, expr("2000 % (n - 2)")).otherwise(lit(0L))))
+      .groupBy($"user_id", $"sess_id", $"event_type".as("channel"))
+      .agg(sum($"credit_bp").as("credit_bp"))
+    val direct = conv
+      .join(credited.select($"user_id", $"sess_id").distinct(),
+        Seq("user_id", "sess_id"), "left_anti")
+      .select(lit("direct").as("channel"), lit(10000L).as("credit_bp"))
+    credited.select($"channel", $"credit_bp")
+      .unionAll(direct)
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_conversions_touched"),
+        sum($"credit_bp").as("credit_bp"))
+      .orderBy($"channel")
+  }
+
   /** Funnel with STEP TIMEOUTS — q105's funnel where each step must
     * happen within its window (click ≤ 1 h after first view, purchase
     * ≤ 24 h after the qualifying click), the form real conversion
@@ -1031,6 +1090,7 @@ object TimeSeries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q322_mase_backtest" -> maseBacktest,
+    "q323_position_attribution" -> positionAttribution,
     "q320_fifo_lot_matching" -> fifoLotMatching,
     "q317_cusum_shift_alerts" -> cusumShiftAlerts,
     "q226_interarrival_histogram" -> interarrivalHistogram,
@@ -1063,6 +1123,73 @@ object TimeSeries {
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    // same sessionization twin as q242; credits are exact integer basis
+    // points with the remainder pinned to the earliest middle touch, so
+    // the whole census (including conservation) replays in DuckDB
+    "q323_position_attribution" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR CAST(floor(epoch(ts)) AS BIGINT)
+         |                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         |),
+         |sess AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM marked
+         |),
+         |conv AS (
+         |  SELECT user_id, sess_id, ts AS cts, event_id AS ceid FROM (
+         |    SELECT user_id, sess_id, ts, event_id,
+         |           row_number() OVER (PARTITION BY user_id, sess_id
+         |                              ORDER BY ts ASC, event_id ASC) AS rn
+         |    FROM sess WHERE event_type = 'purchase'
+         |  ) WHERE rn = 1
+         |),
+         |touches AS (
+         |  SELECT sess.user_id, sess.sess_id, sess.event_type, sess.ts, sess.event_id
+         |  FROM sess
+         |  JOIN conv ON sess.user_id = conv.user_id AND sess.sess_id = conv.sess_id
+         |  WHERE sess.ts < conv.cts
+         |     OR (sess.ts = conv.cts AND sess.event_id < conv.ceid)
+         |),
+         |pos AS (
+         |  SELECT user_id, sess_id, event_type,
+         |         CAST(row_number() OVER (PARTITION BY user_id, sess_id
+         |                                 ORDER BY ts ASC, event_id ASC) AS BIGINT) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY user_id, sess_id) AS BIGINT) AS n
+         |  FROM touches
+         |),
+         |cr AS (
+         |  SELECT user_id, sess_id, event_type AS channel,
+         |         CASE WHEN n = 1 THEN 10000
+         |              WHEN n = 2 THEN 5000
+         |              WHEN rn = 1 OR rn = n THEN 4000
+         |              ELSE 2000 // (n - 2)
+         |                   + CASE WHEN rn = 2 THEN 2000 % (n - 2) ELSE 0 END
+         |         END AS credit_bp
+         |  FROM pos
+         |),
+         |pc AS (
+         |  SELECT user_id, sess_id, channel, CAST(sum(credit_bp) AS BIGINT) AS credit_bp
+         |  FROM cr GROUP BY 1, 2, 3
+         |),
+         |u AS (
+         |  SELECT channel, credit_bp FROM pc
+         |  UNION ALL
+         |  SELECT 'direct' AS channel, CAST(10000 AS BIGINT) AS credit_bp
+         |  FROM conv
+         |  WHERE NOT EXISTS (SELECT 1 FROM pc
+         |                    WHERE pc.user_id = conv.user_id AND pc.sess_id = conv.sess_id)
+         |)
+         |SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions_touched,
+         |       CAST(sum(credit_bp) AS BIGINT) AS credit_bp
+         |FROM u GROUP BY 1
+         |ORDER BY 1""".stripMargin,
     // full-replica oracle: row lags, integer |Δ| sums, one divide
     "q322_mase_backtest" ->
       s"""WITH t AS (

@@ -1505,4 +1505,29 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out(1L) === ((3L, 80L, 0L, true, 0.0)), "perfect weekly pattern")
     assert(out(2L) === ((1L, 0L, 0L, false, 0.0)), "constant series: zero-error guard")
   }
+
+  test("q323 U-shaped credit: 40/20/40, remainder to earliest middle, conservation") {
+    // u1: v,c,v,c,purchase → 4000/1000/1000/4000 → view 5000, click 5000.
+    // u2: v,purchase → view 10000. u3: purchase only → direct 10000.
+    // u4: v,c,v,c,v,purchase → n=5 middles get 2000 div 3 = 666 with the
+    //     +2 remainder on the earliest middle → view 8666, click 1334.
+    val dir = java.nio.file.Files.createTempDirectory("uattr").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev =
+      Seq((1L, 1L, t(0), "view"), (1L, 2L, t(1), "click"), (1L, 3L, t(2), "view"),
+        (1L, 4L, t(3), "click"), (1L, 5L, t(4), "purchase"),
+        (2L, 6L, t(0), "view"), (2L, 7L, t(1), "purchase"),
+        (3L, 8L, t(0), "purchase"),
+        (4L, 9L, t(0), "view"), (4L, 10L, t(1), "click"), (4L, 11L, t(2), "view"),
+        (4L, 12L, t(3), "click"), (4L, 13L, t(4), "view"), (4L, 14L, t(5), "purchase"))
+    ev.toDF("user_id", "event_id", "ts", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q323_position_attribution")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      "view" -> ((3L, 23666L)),
+      "click" -> ((2L, 6334L)),
+      "direct" -> ((1L, 10000L))))
+    assert(out.values.map(_._2).sum === 40000L, "credit conservation: 10000 bp per conversion")
+  }
 }
