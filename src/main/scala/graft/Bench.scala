@@ -32,9 +32,31 @@ object Bench {
     // the fact-table join/agg subset); empty/unset = the full set.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val queries = only match {
+    val queryMap = only match {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
+    }
+    // Execution-order mode (SPARK_GRAFT_BENCH_ORDER): "declared" (default;
+    // the registry Map's iteration order — what every prior round's
+    // artifact used), "reverse" (the exact same sequence reversed), or
+    // "shuffle:<seed>" (deterministic Fisher-Yates). The reverse mode is
+    // the variance experiment the r13 verdict asked for: full-run
+    // per-query inflation vs a focused run either follows POSITION
+    // (late-running queries inflate regardless of which they are — the
+    // JVM-context-floor hypothesis: code cache/GC/cleaner debt grows with
+    // queries run) or follows the QUERY (a query is slow wherever it
+    // runs — real plan cost). Running both orders and correlating
+    // per-query deltas against position separates the two mechanically.
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = {
+      val declared = queryMap.toSeq
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "declared") match {
+        case "declared" => declared
+        case "reverse" => declared.reverse
+        case s if s.startsWith("shuffle:") =>
+          new scala.util.Random(s.stripPrefix("shuffle:").toLong)
+            .shuffle(declared)
+        case other => sys.error(s"unknown SPARK_GRAFT_BENCH_ORDER: $other")
+      }
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -91,10 +113,10 @@ object Bench {
     // silently skews the artifact even though the query is listed in
     // `failed`). A query with zero successful samples reports null and is
     // excluded from the total — the `failed` list is its record.
-    val medians = queries.keys.map { name =>
+    val medians = queries.map { case (name, _) =>
       val ok = byQuery(name).filter(_._3).map(_._2)
       name -> (if (ok.nonEmpty) Some(median(ok)) else None)
-    }.toSeq
+    }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val failed = byQuery.collect { case (k, ss) if ss.exists(!_._3) => s"\"$k\"" }

@@ -259,16 +259,24 @@ object Graph {
   private def bfsVisited(seeds: DataFrame, edges: DataFrame): DataFrame = {
     var visited = seeds.select(col("seed"), col("seed").as("node"))
     var frontier = visited
-    (1 to 3).foreach { _ =>
-      val next = graft.operators.Pinned.partitionedCheckpoint(
-        frontier.join(edges, frontier("node") === edges("src"))
-          .select(col("seed"), col("dst").as("node"))
-          .distinct()
-          .join(visited, Seq("seed", "node"), "left_anti"),
-        col("seed"), col("node"))
-      visited = graft.operators.Pinned.partitionedCheckpoint(
-        visited.unionAll(next), col("seed"), col("node"))
-      frontier = next
+    (1 to 3).foreach { hop =>
+      val nextLazy = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("seed"), col("dst").as("node"))
+        .distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+      // Hop 3's state needs no pins (round-14 narrowing): its `next` is
+      // consumed once (the union) and its `visited` once (the census) —
+      // pinning there bought nothing and cost two full K·|reach|
+      // materializations. Hops 1–2 keep both pins: `next` feeds the
+      // union AND the next expansion, `visited` the next anti-join AND
+      // the next union — the 2^hops lazy-recompute compounding above.
+      if (hop < 3) {
+        val next = graft.operators.Pinned.partitionedCheckpoint(
+          nextLazy, col("seed"), col("node"))
+        visited = graft.operators.Pinned.partitionedCheckpoint(
+          visited.unionAll(next), col("seed"), col("node"))
+        frontier = next
+      } else visited = visited.unionAll(nextLazy)
     }
     visited
   }
@@ -345,31 +353,37 @@ object Graph {
     // contract (any ≤k-hop path's value present after hop k) is
     // unaffected: a dominated proposal's dominator is itself in the
     // delta the hop it appears. This bounds each hop's proposal shuffle
-    // by Σ_{changed} deg(node) instead of Σ_{all best} deg(node) — on
-    // the final hop most of the K·|V| best table is stable and the
-    // difference is the bulk of the query's shuffled bytes.
+    // by Σ_{changed} deg(node) instead of Σ_{all best} deg(node).
+    //
+    // Merge shape (round-14 rework of the union+groupBy fold, which
+    // re-shuffled the full K·|V| best table every hop and pinned five
+    // times per run): fold ONLY the proposals (Σ deg over delta rows —
+    // the unavoidable Bellman-Ford shuffle), then FULL-OUTER merge them
+    // into the pinned best on the pin keys — the big side reads
+    // exchange-free, the proposal side is already (seed,node)-placed by
+    // its own fold. `changed` falls out of the same pass (pbn beats bn,
+    // or node is new), so the separate newBest⟕best delta join — and its
+    // pin — is gone. ONE pin per hop carries (seed,node,bn,changed);
+    // hop 3 pins nothing at all, because its merged state and its delta
+    // have exactly one consumer (the census) / none — two checkpoint
+    // materializations per run instead of five.
     var delta = best
     (1 to 3).foreach { hop =>
-      val relaxed = delta.join(edges, delta("node") === edges("src"))
+      val prop = delta.join(edges, delta("node") === edges("src"))
         .select($"seed", $"dst".as("node"), least($"bn", $"w").as("bn"))
-      // Pin per hop: `best` is referenced twice (fold union + delta
-      // compare) and `newBest` twice (delta + next fold) — the same 2³
-      // lazy-recompute compounding bfsVisited documents. The
-      // hash-on-(seed,node) pins land the fold groupBy and the delta
-      // join exchange-free.
-      val newBest = graft.operators.Pinned.partitionedCheckpoint(
-        best.unionAll(relaxed)
-          .groupBy($"seed", $"node").agg(max($"bn").as("bn")),
-        $"seed", $"node")
-      if (hop < 3) // the final hop's delta has no consumer
-        delta = graft.operators.Pinned.partitionedCheckpoint(
-          newBest.as("n").join(best.as("o"),
-              newBest("seed") === best("seed") && newBest("node") === best("node"),
-              "left")
-            .filter(col("o.bn").isNull || col("n.bn") > col("o.bn"))
-            .select(col("n.seed"), col("n.node"), col("n.bn")),
-          col("seed"), col("node"))
-      best = newBest
+        .groupBy($"seed", $"node").agg(max($"bn").as("pbn"))
+      val mergedLazy = best.join(prop, Seq("seed", "node"), "full_outer")
+      if (hop < 3) {
+        val merged = graft.operators.Pinned.partitionedCheckpoint(
+          mergedLazy.select($"seed", $"node",
+            greatest($"bn", $"pbn").as("bn"), // greatest skips NULLs
+            coalesce($"bn".isNull || $"pbn" > $"bn", lit(false)).as("changed")),
+          $"seed", $"node")
+        best = merged.select($"seed", $"node", $"bn")
+        delta = merged.filter($"changed").select($"seed", $"node", $"bn")
+      } else
+        best = mergedLazy.select($"seed", $"node",
+          greatest($"bn", $"pbn").as("bn"))
     }
     best.filter($"node" =!= $"seed")
       .groupBy($"seed")
@@ -442,17 +456,27 @@ object Graph {
         .groupBy($"node")
         .agg(hll_sketch_agg($"node", ReachLgK).as("sk")),
       $"node")
-    (1 to 3).foreach { _ =>
+    var est: DataFrame = null
+    (1 to 3).foreach { hop =>
       val gathered = sk.join(edges, sk("node") === edges("src"))
         .groupBy($"dst".as("node"))
         .agg(hll_union_agg($"sk").as("nbr"))
-      sk = graft.operators.Pinned.partitionedCheckpoint(
-        sk.join(gathered, "node")
-          .select($"node", hll_union($"sk", $"nbr").as("sk")),
-        $"node")
+      // Hop 3 (round-14 pin narrowing): downstream only the ESTIMATE is
+      // consumed (twice — the |V| census and the panel join), so the
+      // final pin carries (node, double) at 8 B/row instead of the
+      // ~0.5 KB sketch — ~60× fewer pinned bytes on the widest pin.
+      if (hop < 3)
+        sk = graft.operators.Pinned.partitionedCheckpoint(
+          sk.join(gathered, "node")
+            .select($"node", hll_union($"sk", $"nbr").as("sk")),
+          $"node")
+      else
+        est = graft.operators.Pinned.partitionedCheckpoint(
+          sk.join(gathered, "node")
+            .select($"node",
+              hll_sketch_estimate(hll_union($"sk", $"nbr")).as("est")),
+          $"node")
     }
-    val est = sk.select($"node",
-      hll_sketch_estimate($"sk").as("est"))
     val nNodes = est.agg(count(lit(1)).as("n_nodes_sketched"))
     val seeds = Tables.supplier(s, dir)
       .orderBy($"s_suppkey".asc).limit(ReachPanelK)

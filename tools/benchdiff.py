@@ -31,10 +31,18 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = sys.argv[1:]
-    ratio_thr = float(opts[opts.index("--ratio") + 1]) if "--ratio" in opts else 2.0
-    abs_thr = float(opts[opts.index("--abs") + 1]) if "--abs" in opts else 0.5
+    args, ratio_thr, abs_thr = [], 2.0, 0.5
+    toks = sys.argv[1:]
+    i = 0
+    while i < len(toks):
+        if toks[i] == "--ratio":
+            ratio_thr = float(toks[i + 1]); i += 2
+        elif toks[i] == "--abs":
+            abs_thr = float(toks[i + 1]); i += 2
+        elif toks[i].startswith("--"):
+            raise SystemExit(f"unknown flag {toks[i]}\n{__doc__}")
+        else:
+            args.append(toks[i]); i += 1
     if len(args) != 2:
         raise SystemExit(__doc__)
     new, old = load(args[0]), load(args[1])
