@@ -244,41 +244,39 @@ object Graph {
 
   /** 3 unrolled BFS hops from `seeds` (a `seed` column) over pinned
     * `edges`: returns the visited (seed, node) set, seed rows included.
-    * Each hop: keyed join → distinct → anti vs visited, so the frontier
-    * stays the BFS frontier, not the walk multiset.
+    * Each hop: keyed join → distinct → anti vs the prior LAYERS, so the
+    * frontier stays the BFS frontier, not the walk multiset.
     *
-    * The per-hop state is PINNED (partitionedCheckpoint on (seed, node))
-    * because each hop references the prior state twice — `visited` in
-    * the anti-join and again in the union, `frontier` in the expansion —
-    * and a lazy plan re-evaluates a twice-referenced subtree per
-    * reference, compounding per hop (ReuseExchange recovers some but
-    * not all of it: measured 7.3 s unpinned vs 3.0 s pinned for the
-    * 10-seed panel at sf0.1). The pins are the K·|seeds-reachable| state
-    * the traversal carries anyway, hash-placed once so the anti-join and
-    * union consume them exchange-free. */
+    * Round-14 rework (the q290 lesson applied to the SET traversal): the
+    * old shape maintained a `visited` union that it re-pinned every hop —
+    * a full K·|reach| checkpoint write+read per hop (5 pins/run) whose
+    * only purpose was the next hop's anti-join. The visited set is the
+    * disjoint union of the BFS LAYERS, and each layer is already pinned
+    * hash-on-(seed,node) for the next expansion — so the anti-join can
+    * CHAIN over the layers instead: expansion.distinct() leaves the rows
+    * hash-placed on (seed,node), and every left_anti against a pinned
+    * layer is exchange-free and partitioning-preserving, so the whole
+    * chain runs in the distinct's own tasks. Pins per run: 2 (layers 1–2;
+    * layer 3 and the final union have single consumers — the census —
+    * and stay lazy). Nothing is ever re-shuffled after its one distinct. */
   private def bfsVisited(seeds: DataFrame, edges: DataFrame): DataFrame = {
-    var visited = seeds.select(col("seed"), col("seed").as("node"))
-    var frontier = visited
+    val seedLayer = seeds.select(col("seed"), col("seed").as("node"))
+    var layers = List(seedLayer) // newest first; disjoint by construction
     (1 to 3).foreach { hop =>
-      val nextLazy = frontier.join(edges, frontier("node") === edges("src"))
-        .select(col("seed"), col("dst").as("node"))
-        .distinct()
-        .join(visited, Seq("seed", "node"), "left_anti")
-      // Hop 3's state needs no pins (round-14 narrowing): its `next` is
-      // consumed once (the union) and its `visited` once (the census) —
-      // pinning there bought nothing and cost two full K·|reach|
-      // materializations. Hops 1–2 keep both pins: `next` feeds the
-      // union AND the next expansion, `visited` the next anti-join AND
-      // the next union — the 2^hops lazy-recompute compounding above.
-      if (hop < 3) {
-        val next = graft.operators.Pinned.partitionedCheckpoint(
+      val frontier = layers.head
+      val nextLazy = layers.foldLeft(
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("seed"), col("dst").as("node"))
+          .distinct()) { (acc, layer) =>
+        acc.join(layer, Seq("seed", "node"), "left_anti")
+      }
+      val next =
+        if (hop < 3) graft.operators.Pinned.partitionedCheckpoint(
           nextLazy, col("seed"), col("node"))
-        visited = graft.operators.Pinned.partitionedCheckpoint(
-          visited.unionAll(next), col("seed"), col("node"))
-        frontier = next
-      } else visited = visited.unionAll(nextLazy)
+        else nextLazy
+      layers ::= next
     }
-    visited
+    layers.reduce(_ unionAll _)
   }
 
   /** Multi-source 3-hop BFS reachability census — the TRAVERSAL member
@@ -516,9 +514,15 @@ object Graph {
     * q288's per-seed pair state was not; nothing is |seeds|-
     * multiplied). Per round: one keyed join against the pinned
     * src-partitioned edges (exchange-free), a (node, label) count, a
-    * struct-max majority pick (groupBy, not a window), an anti-join,
-    * a union — each round's state pinned hash-on-node because it is
-    * consumed three times (votes, anti, union). The census output is
+    * struct-max majority pick (groupBy, not a window), then a CHAINED
+    * anti-join over the prior LAYERS (the round-14 q288/q290 rework
+    * pattern: the labeled set is the disjoint union of per-round layers,
+    * each already pinned hash-on-node, so the anti chain is exchange-free
+    * in the picks agg's own tasks and the old re-pinned `labeled` union —
+    * a full |labeled| checkpoint per round — is gone). The unlabeled
+    * census is |nodes per kind| MINUS |labeled per kind| (three tiny
+    * aggs), not an anti-join over the union. Pins per run: seeds + rounds
+    * 1–2 (round 3's layer has a single consumer). The census output is
     * ≤ kinds·labels rows. */
   def labelPropagation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -530,7 +534,6 @@ object Graph {
         .select(concat(lit("s"), $"s_suppkey").as("node"),
           $"s_nationkey".cast("long").as("label")),
       Seq("node"))
-    var labeled = graft.operators.Pinned.partitionedCheckpoint(seeds, $"node")
     // DELTA voting: only the PREVIOUS round's newly-labeled nodes cast
     // votes. Equivalent to voting from the full labeled set because
     // round r labels EVERY unlabeled node with ≥1 labeled neighbor, so
@@ -540,8 +543,10 @@ object Graph {
     // This bounds each round's expansion join to frontier·deg instead
     // of |labeled|·deg — by round 3 the labeled set is most of the
     // graph and the difference is the bulk of the query's vote stream.
-    var frontier = labeled
-    (1 to 3).foreach { _ =>
+    var layers = List(
+      graft.operators.Pinned.partitionedCheckpoint(seeds, $"node"))
+    (1 to 3).foreach { round =>
+      val frontier = layers.head
       val votes = frontier.join(edges, frontier("node") === edges("src"))
         .groupBy(edges("dst").as("vnode"), frontier("label"))
         .agg(count(lit(1)).as("c"))
@@ -550,19 +555,28 @@ object Graph {
       val picks = votes.groupBy($"vnode".as("node"))
         .agg(max(struct($"c".as("c"), (-$"label").as("nl"))).as("m"))
         .select($"node", (-$"m.nl").as("label"))
-      val newly = graft.operators.Pinned.partitionedCheckpoint(
-        picks.join(labeled, Seq("node"), "left_anti"), $"node")
-      labeled = graft.operators.Pinned.partitionedCheckpoint(
-        labeled.unionAll(newly), $"node")
-      frontier = newly
+      val newlyLazy = layers.foldLeft(picks) { (acc, layer) =>
+        acc.join(layer, Seq("node"), "left_anti")
+      }
+      layers ::= (if (round < 3)
+        graft.operators.Pinned.partitionedCheckpoint(newlyLazy, $"node")
+      else newlyLazy)
     }
-    val lab = labeled
+    // lab is ≤ kinds·labels rows but is consumed twice (output + the
+    // kind totals) — checkpoint the TINY census, not the big union, so
+    // round 3's lazy layer is evaluated exactly once
+    val lab = layers.reduce(_ unionAll _)
       .groupBy(substring($"node", 1, 1).as("kind"), $"label")
       .agg(count(lit(1)).as("n_nodes"))
-    val unl = nodes.join(labeled, Seq("node"), "left_anti")
+      .localCheckpoint(eager = false)
+    val labK = lab.groupBy($"kind").agg(sum($"n_nodes").as("n_lab"))
+    val unl = nodes
       .groupBy(substring($"node", 1, 1).as("kind"))
-      .agg(count(lit(1)).as("n_nodes"))
-      .select($"kind", lit(-1L).as("label"), $"n_nodes")
+      .agg(count(lit(1)).as("n_all"))
+      .join(broadcast(labK), Seq("kind"), "left")
+      .select($"kind", lit(-1L).as("label"),
+        ($"n_all" - coalesce($"n_lab", lit(0L))).as("n_nodes"))
+      .filter($"n_nodes" > 0L)
     lab.unionByName(unl).orderBy($"kind", $"label")
   }
 

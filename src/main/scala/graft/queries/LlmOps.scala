@@ -3164,7 +3164,159 @@ object LlmOps {
       .orderBy(ord: _*).limit(20).orderBy(ord: _*)
   }
 
+  /** Export shard count for [[shardManifest]] — fixed (like every panel/
+    * bucket constant in this suite), so the manifest is 16 rows at ANY
+    * corpus size; a real export would set it to corpus_tokens/shard_budget
+    * but the plan shape is identical. */
+  val NShards = 16L
+
+  /** Training-shard export manifest — the artifact a training run actually
+    * consumes, composing three ops this suite already certifies
+    * separately: q241's deterministic shuffle (placement + order by a
+    * cryptographic digest of the stable id — no RNG, invariant to input
+    * partitioning), q98's token-budget packing (each shard's docs packed
+    * into [[PackBudget]]-token sequences in shard order), and q114's
+    * order-independent checksum (per-shard xor + sum-mod-2⁶¹ of row
+    * digests — verifiable after any relayout without sorting). One row
+    * per shard: cardinality, token total, packed-sequence count, both
+    * checksums, and the first member in shard order (the resume cursor).
+    *
+    * Scale: shard assignment and row digests are map-side projections;
+    * the within-shard order/cumsum rides TwoPass's grouped two-pass
+    * (range-repartition on (shard, hkey, doc_id) — packing parallelizes
+    * WITHIN a shard, never |shards| sort tasks); the manifest fold is a
+    * [[NShards]]-row partial agg. Only (shard, digests, n_tok) quads
+    * shuffle — never text. Invariance contract (spec-enforced): the
+    * manifest is bit-identical under any repartitioning/reordering of the
+    * input, because placement, order, packing, and checksums all derive
+    * from row CONTENT alone. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val canonical = concat_ws("\u0001",
+      $"doc_id".cast("string"), $"lang", $"source",
+      $"n_chars".cast("string"), $"text")
+    val rows = Tables.documents(s, dir)
+      .select($"doc_id",
+        substring(md5(concat(lit("shard:"), $"doc_id".cast("string"))), 1, 10)
+          .as("hhex"),
+        size(TextOps.tokens($"text")).cast("long").as("n_tok"),
+        conv(substring(md5(canonical), 1, 10), 16, 10)
+          .cast("long").as("digest"))
+      .withColumn("hkey", conv($"hhex", 16, 10).cast("long"))
+      .withColumn("shard_id", ($"hkey" % NShards).cast("int"))
+    TwoPass.groupedRankAndRunningSum(rows, Seq("shard_id"),
+        "rn", "cnt", "cum_tok", $"n_tok", $"hkey".asc, $"doc_id".asc)
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("sum_tok"),
+        (max(expr(s"(cum_tok - n_tok) div $PackBudget")) + 1L).as("n_bins"),
+        expr("bit_xor(digest)").as("xor_check"),
+        (sum($"digest".cast(DecimalType(38, 0))) % lit(ChecksumMod))
+          .cast("long").as("sum_check"),
+        min(concat($"hhex", lit(":"), $"doc_id".cast("string")))
+          .as("first_member"))
+      .orderBy($"shard_id")
+  }
+
+  /** Hashed-bigram bucket count for [[qualityFilterInference]] (fastText's
+    * hashing-trick bucket table, scaled to the fixture: buckets must stay
+    * within ~an order of magnitude of the distinct-bigram count or
+    * collisions average the signal away — fastText ships 2M for real
+    * vocabularies; measured here: 128 buckets erase the en/¬en
+    * separation, 1024 keep it at every fixture SF). */
+  val QfBuckets = 1024L
+
+  /** Learned quality-filter INFERENCE, fastText-shape — the CCNet/
+    * RedPajama production filter architecture (Wenzek et al. 2020;
+    * Joulin et al. 2016 public descriptions): hashed-BIGRAM features, a
+    * broadcast integer weight table, a linear score, a sign threshold.
+    * q293 is the unigram importance-sampler and q131/q147 the LM/rule
+    * scorers; this is the missing member — the trained-classifier shape,
+    * with weights synthesized deterministically FROM fixture stats (one
+    * counting pass: per-bucket dyadic log-odds of the `lang = 'en'`
+    * reference slice vs the whole corpus, q293's bits() quantization, so
+    * the oracle replays training and inference exactly — no shipped
+    * floats, no libm).
+    *
+    * Selection is SELF-CALIBRATING (the dyadic quantization makes an
+    * absolute zero threshold scale-unstable — measured: 0 % selected at
+    * sf0.001, saturating at sf0.1): a doc is kept iff its per-bigram
+    * score beats the CORPUS-AVERAGE per-bigram score, decided by exact
+    * integer cross-multiplication `score·ΣNB > Σscore·nb` — "more
+    * target-like than the average document", stable at every SF.
+    * Envelope: |score| ≤ |w|max·nb with |w|max ≈ 4 observed (≤ 40 hard),
+    * so both cross-products stay < 2⁶³ for corpora to ~2⁴⁴ bigrams with
+    * docs to 2¹³ bigrams — far past 100 TB-class volume.
+    *
+    * Scale (the architecture's whole point): training is ONE pass whose
+    * shuffle is ≤[[QfBuckets]] partial-agg rows per task; the weight
+    * table is ≤1024 (bucket, BIGINT) rows broadcast as ONE map row; and
+    * INFERENCE is scan-only — the per-doc score is `aggregate()` over
+    * the bigram-digest array against the broadcast map (zero per-doc
+    * shuffle, no explode), so scoring 100 TB is embarrassingly parallel.
+    * The calibration totals are a second 1-row broadcast; the only
+    * post-scan shuffle is the |langs|-row census. */
+  def qualityFilterInference(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bits(c: Column): Column = length(bin(c)).cast("long")
+    // th MUST be bound as a column, never composed inline into
+    // shingleHashes2: the shingle lambda references its argument three
+    // times, and an inline tokenHashes tree would be duplicated into the
+    // lambda body and re-evaluated per ELEMENT — O(tokens²) md5, measured
+    // 38 s vs 2 s on the 5 000-doc fixture. As a bound attribute the
+    // multi-reference rule keeps the projection barrier (CollapseProject
+    // only inlines single-use/cheap exprs) and the digest array
+    // materializes once per row — the q43 lesson, scoring-pass edition.
+    def withBigrams(df: DataFrame): DataFrame = df
+      .withColumn("th", TextOps.tokenHashes(TextOps.tokens($"text")))
+      .withColumn("bgs", TextOps.shingleHashes2($"th"))
+    // explode_outer + post-generate null filter, NEVER a plain explode:
+    // a non-outer generator lets InferFiltersFromGenerate push
+    // `size(bgs) > 0` into a scan-side Filter whose inlined digest
+    // pipeline re-evaluates the token-hash array per lambda element —
+    // the q43 O(tokens²) trap (measured: 58 s vs 2 s on this pass)
+    val buckets = withBigrams(Tables.documents(s, dir))
+      .select($"lang", explode_outer($"bgs").as("h"))
+      .filter($"h".isNotNull)
+      .groupBy(($"h" % QfBuckets).cast("int").as("bucket"))
+      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("cnt_pos"),
+        count(lit(1)).as("cnt_all"))
+    val tot = buckets.agg(sum($"cnt_pos").as("tp"), sum($"cnt_all").as("ta"))
+    // weight table pivoted into a DENSE [[QfBuckets]]-cell array (q180's
+    // trick): MapType element_at is a LINEAR scan per probe — measured
+    // 94 s at sf1 with the map vs O(1) array indexing — and the dense
+    // form is also exactly what a shipped fastText table is
+    val wvec = buckets.crossJoin(broadcast(tot))
+      .select($"bucket",
+        ((bits($"cnt_pos" + 1L) - bits($"tp" + 1L))
+          - (bits($"cnt_all" + 1L) - bits($"ta" + 1L))).as("w"))
+      .agg(map_from_entries(sort_array(collect_list(struct($"bucket", $"w"))))
+        .as("m"))
+      .select(transform(sequence(lit(0), lit(QfBuckets.toInt - 1)),
+        i => coalesce(element_at($"m", i.cast("int")), lit(0L))).as("wa"))
+    val scored = withBigrams(Tables.documents(s, dir))
+      .crossJoin(broadcast(wvec))
+      .select($"lang",
+        size($"bgs").cast("long").as("n_bigrams"),
+        aggregate($"bgs", lit(0L),
+          (acc, h) => acc +
+            element_at($"wa", (h % QfBuckets).cast("int") + 1))
+          .as("score_bits"))
+      .localCheckpoint(eager = false) // read by the calib totals + census
+    val calib = scored.agg(sum($"score_bits").as("ts"), sum($"n_bigrams").as("tnb"))
+    scored.crossJoin(broadcast(calib))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"score_bits" * $"tnb" > $"ts" * $"n_bigrams", 1L)
+          .otherwise(0L)).as("n_selected"),
+        sum($"score_bits").as("sum_score_bits"))
+      .withColumn("sel_rate", ratio($"n_selected", $"n_docs"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_shard_manifest" -> shardManifest,
+    "q325_quality_filter_inference" -> qualityFilterInference,
     "q221_bigram_coverage" -> bigramCoverage,
     "q223_containment_dedup" -> containmentDedup,
     "q210_kwic_context" -> kwicContext,
@@ -3247,6 +3399,71 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q324_shard_manifest" ->
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |         substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 10) AS hhex,
+         |         CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) AS hkey,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |         CAST(('0x' || substr(md5(concat_ws(chr(1),
+         |           CAST(doc_id AS VARCHAR), lang, source,
+         |           CAST(n_chars AS VARCHAR), text)), 1, 10)) AS BIGINT) AS digest
+         |  FROM documents
+         |), a AS (
+         |  SELECT *, CAST(hkey % $NShards AS INT) AS shard_id FROM r
+         |), c AS (
+         |  SELECT *, CAST(sum(n_tok) OVER (PARTITION BY shard_id
+         |           ORDER BY hkey, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+         |  FROM a
+         |)
+         |SELECT shard_id, count(*) AS n_docs, ${sumLongSql("n_tok")} AS sum_tok,
+         |       CAST(max((cum_tok - n_tok) // $PackBudget) + 1 AS BIGINT) AS n_bins,
+         |       bit_xor(digest) AS xor_check,
+         |       CAST(CAST(sum(digest) AS HUGEINT) % $ChecksumMod AS BIGINT) AS sum_check,
+         |       min(concat(hhex, ':', CAST(doc_id AS VARCHAR))) AS first_member
+         |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "q325_quality_filter_inference" ->
+      s"""WITH bg AS MATERIALIZED (
+         |  SELECT doc_id, lang, CAST(h % $QfBuckets AS INT) AS bucket
+         |  FROM (
+         |    SELECT doc_id, lang, unnest($shingle2Sql) AS h
+         |    FROM (SELECT doc_id, lang, $tokenHashesSql AS th
+         |          FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents))
+         |  )
+         |), b AS (
+         |  SELECT bucket,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+         |         count(*) AS cnt_all
+         |  FROM bg GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(cnt_pos) AS BIGINT) AS tp,
+         |         CAST(sum(cnt_all) AS BIGINT) AS ta FROM b
+         |), w AS (
+         |  SELECT bucket,
+         |         (CAST(length(bin(cnt_pos + 1)) AS BIGINT)
+         |            - CAST(length(bin(tp + 1)) AS BIGINT))
+         |         - (CAST(length(bin(cnt_all + 1)) AS BIGINT)
+         |            - CAST(length(bin(ta + 1)) AS BIGINT)) AS w
+         |  FROM b, tot
+         |), sc AS (
+         |  SELECT bg.doc_id, count(*) AS nb, CAST(sum(w.w) AS BIGINT) AS score_bits
+         |  FROM bg JOIN w USING (bucket) GROUP BY 1
+         |), perdoc AS MATERIALIZED (
+         |  SELECT d.lang,
+         |         CAST(coalesce(sc.nb, 0) AS BIGINT) AS nb,
+         |         coalesce(sc.score_bits, 0) AS score_bits
+         |  FROM (SELECT doc_id, lang FROM documents) d
+         |  LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |), calib AS (
+         |  SELECT CAST(sum(score_bits) AS BIGINT) AS ts,
+         |         CAST(sum(nb) AS BIGINT) AS tnb FROM perdoc
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |       ${sumLongSql("CASE WHEN score_bits * tnb > ts * nb THEN 1 ELSE 0 END")} AS n_selected,
+         |       ${sumLongSql("score_bits")} AS sum_score_bits,
+         |       ${ratioSql("sum(CASE WHEN score_bits * tnb > ts * nb THEN 1 ELSE 0 END)", "count(*)")} AS sel_rate
+         |FROM perdoc, calib GROUP BY lang ORDER BY lang""".stripMargin,
     "q221_bigram_coverage" ->
       // MATERIALIZED: dt is read by both the model and the test side —
       // inlined, DuckDB would re-run the md5 digest pipeline per reference

@@ -1658,7 +1658,63 @@ object Relational {
       .orderBy($"ck")
   }
 
+  /** Deletion-cascade audit — the GDPR / right-to-be-forgotten blast-
+    * radius question q100/q257 (row-level CDC on ONE table) don't answer:
+    * a tombstone CUSTOMER set (every 97th custkey — a deterministic ~1 %
+    * request batch) propagates through orders → lineitem, and the audit
+    * censuses, per nation, what a compliant purge removes from each
+    * downstream table AND what it does to the derived revenue aggregate
+    * (the flagship revenue-by-nation MV's delta, in exact integer cents).
+    * The MAINTAINED side computes every delta INCREMENTALLY from the
+    * cascade frontier alone — base tables are never re-aggregated; the
+    * ORACLE recomputes before-minus-after from scratch, so the hash
+    * compare proves incremental ≡ recomputed (the q305 pattern, extended
+    * across a two-level cascade).
+    *
+    * Scale: the tombstone set is broadcast (a deletion request batch is
+    * small by nature — that IS the GDPR contract); the order-frontier →
+    * lineitem join stays KEYED on orderkey, because cascade frontiers
+    * grow with fan-out (1 % of customers ⇒ 1 % of orders — gigabytes at
+    * 100 TB, not broadcastable; AQE may still elect broadcast at runtime
+    * when the batch is tiny). Per-nation censuses are ≤|nation|-row
+    * partial aggs; the final assembly joins three ≤25-row frames onto
+    * the nation dim. */
+  def deletionCascade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tomb = Tables.customer(s, dir)
+      .filter($"c_custkey" % 97 === 0)
+      .select($"c_custkey", $"c_nationkey")
+    val delOrders = Tables.orders(s, dir)
+      .join(broadcast(tomb), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_nationkey")
+    val delLines = Tables.lineitem(s, dir)
+      .join(delOrders, $"l_orderkey" === $"o_orderkey")
+      .select($"c_nationkey",
+        cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    val cN = tomb.groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust_deleted"))
+    val oN = delOrders.groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders_deleted"))
+    val lN = delLines.groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_lineitems_deleted"),
+        sum($"rev").as("revenue_cents_delta"))
+    Tables.nation(s, dir).select($"n_nationkey", $"n_name")
+      .join(broadcast(cN), $"n_nationkey" === cN("c_nationkey"), "left")
+      .drop(cN("c_nationkey"))
+      .join(broadcast(oN), $"n_nationkey" === oN("c_nationkey"), "left")
+      .drop(oN("c_nationkey"))
+      .join(broadcast(lN), $"n_nationkey" === lN("c_nationkey"), "left")
+      .drop(lN("c_nationkey"))
+      .select($"n_name",
+        coalesce($"n_cust_deleted", lit(0L)).as("n_cust_deleted"),
+        coalesce($"n_orders_deleted", lit(0L)).as("n_orders_deleted"),
+        coalesce($"n_lineitems_deleted", lit(0L)).as("n_lineitems_deleted"),
+        coalesce($"revenue_cents_delta", lit(0L)).as("revenue_cents_delta"))
+      .orderBy($"n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_deletion_cascade" -> deletionCascade,
     "q284_important_parts_value" -> importantPartsValue,
     "q285_ship_priority_census" -> shipPriorityCensus,
     "q302_join_discovery" -> joinDiscovery,
@@ -1726,6 +1782,42 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // Independent path on purpose: the oracle recomputes BEFORE-minus-
+    // AFTER totals from scratch (full aggregates over all rows vs over
+    // surviving rows), while the declared plan sums the cascade frontier
+    // incrementally — agreement proves incremental ≡ recomputed across
+    // the two-level cascade.
+    "q326_deletion_cascade" ->
+      s"""WITH co AS MATERIALIZED (
+         |  SELECT o_orderkey, c_nationkey, (c_custkey % 97 = 0) AS tomb
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |), cu AS (
+         |  SELECT c_nationkey AS nk,
+         |         count(*) - ${sumLongSql("CASE WHEN c_custkey % 97 = 0 THEN 0 ELSE 1 END")} AS n_cust_deleted
+         |  FROM customer GROUP BY 1
+         |), od AS (
+         |  SELECT c_nationkey AS nk,
+         |         count(*) - ${sumLongSql("CASE WHEN tomb THEN 0 ELSE 1 END")} AS n_orders_deleted
+         |  FROM co GROUP BY 1
+         |), li AS (
+         |  SELECT c_nationkey AS nk,
+         |         count(*) - ${sumLongSql("CASE WHEN tomb THEN 0 ELSE 1 END")} AS n_lineitems_deleted,
+         |         ${sumLongSql(centsSql("l_extendedprice * (1.0 - l_discount)"))}
+         |           - ${sumLongSql(s"CASE WHEN tomb THEN 0 ELSE ${centsSql("l_extendedprice * (1.0 - l_discount)")} END")}
+         |           AS revenue_cents_delta
+         |  FROM lineitem JOIN co ON l_orderkey = o_orderkey
+         |  GROUP BY 1
+         |)
+         |SELECT n_name,
+         |       coalesce(cu.n_cust_deleted, 0) AS n_cust_deleted,
+         |       coalesce(od.n_orders_deleted, 0) AS n_orders_deleted,
+         |       coalesce(li.n_lineitems_deleted, 0) AS n_lineitems_deleted,
+         |       coalesce(li.revenue_cents_delta, 0) AS revenue_cents_delta
+         |FROM nation
+         |LEFT JOIN cu ON n_nationkey = cu.nk
+         |LEFT JOIN od ON n_nationkey = od.nk
+         |LEFT JOIN li ON n_nationkey = li.nk
+         |ORDER BY n_name""".stripMargin,
     // The oracle IS the theorem: full recompute over the post-delta
     // fact set (new orders in; cancelled base orders out) — any
     // double-count, dropped retraction, or surviving empty group in

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exactness-envelope audit (round-14, r13 verdict item 8): the suite's
+  * integer-exact queries rest on DOCUMENTED envelope arguments ("|δ| ≤
+  * 4·D·Σqtyc < 2⁶³ for yearly cents-quantity < 2⁵⁰", "ranks stay within
+  * long under bounded fan-in", "checksums live in [0, 2⁶¹)"). q308 showed
+  * what happens when an envelope claim silently fails (BIGINT retype only
+  * after the driver flagged it); this spec turns the prose into executed
+  * assertions, two ways:
+  *
+  *   1. HYPOTHESIS checks — the envelope's premise measured on the
+  *      fixture (e.g. q317's yearly per-supplier cents-quantity < 2⁵⁰),
+  *      so a fixture or scale change that voids the argument fails CI
+  *      before the arithmetic can wrap;
+  *   2. WRAP-SYMPTOM checks — for queries whose outputs are non-negative
+  *      by construction, any negative long in the output is the classic
+  *      two's-complement overflow signature; [[assertNoWrap]] scans every
+  *      long column at once.
+  *
+  * The planted-overflow test proves the detector actually fires: a sum
+  * that wraps past 2⁶³ must fail the scan. */
+class EnvelopeAuditSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Fails if any LongType column in `df` holds a negative value — the
+    * wrap symptom for outputs that are non-negative by construction. */
+  private def assertNoWrap(df: DataFrame, what: String): Unit = {
+    val longCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.LongType).map(_.name)
+    assert(longCols.nonEmpty, s"$what: audit expected at least one long column")
+    val minCols = longCols.map(c => min(col(c)))
+    val combined = if (minCols.size == 1) minCols.head else least(minCols: _*)
+    val mins = df.agg(combined.as("m")).collect()(0)
+    if (!mins.isNullAt(0))
+      assert(mins.getLong(0) >= 0L,
+        s"$what: negative value in a non-negative-by-construction long column " +
+          s"(cols ${longCols.mkString(",")}) — overflow signature")
+  }
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("planted overflow trips a detector at one of the two layers") {
+    // Layer 1 — the engine guard: Spark 4 ANSI arithmetic refuses to wrap,
+    // so an in-plan overflow is LOUD (this is what retired the silent-wrap
+    // class q203/q222 defended against by hand). Prove the guard is live
+    // in this session's configuration:
+    val loud = intercept[Exception] {
+      Seq(Long.MaxValue, 1L).toDF("v").agg(sum($"v")).collect()
+    }
+    assert(loud.getMessage.toLowerCase.contains("overflow"),
+      s"expected an arithmetic-overflow error, got: ${loud.getMessage.take(120)}")
+    // Layer 2 — values that wrapped OUTSIDE checked arithmetic (ingested
+    // from a corrupt source, Scala-side constant folding, bitwise/conv
+    // channels) arrive as negatives; the scan must flag them:
+    val smuggled = Long.MaxValue + 1L // Scala wraps silently: MinValue
+    intercept[org.scalatest.exceptions.TestFailedException] {
+      assertNoWrap(Seq(smuggled).toDF("v"), "planted")
+    }
+  }
+
+  test("q317 CUSUM envelope hypothesis holds on the fixture") {
+    // Documented: |δ| ≤ 4·D·Σqtyc < 2⁶³ needs D ≤ 366 and yearly
+    // per-supplier cents-quantity < 2⁵⁰. Measure both premises.
+    val t = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter($"l_shipdate" >= lit("1995-01-01") && $"l_shipdate" < lit("1996-01-01"))
+      .groupBy($"l_suppkey")
+      .agg(sum(queries.Portable.cents($"l_quantity")).as("tq"),
+        countDistinct($"l_shipdate").as("nd"))
+      .agg(max($"tq").as("max_tq"), max($"nd").as("max_nd")).collect()(0)
+    assert(t.getLong(0) < (1L << 50), "yearly supplier cents-quantity < 2^50")
+    assert(t.getLong(1) <= 366L, "window days <= 366")
+    assertNoWrap(run("q317_cusum_shift_alerts")
+      .select("n_days", "n_alarm_days"), "q317 outputs")
+  }
+
+  test("q197 fixed-point ranks stay positive and inside the degree-bounded envelope") {
+    val pr = run("q197_pagerank_fixed_point")
+    val r = pr.agg(min($"pr").as("lo"), max($"pr").as("hi")).collect()(0)
+    // a wrapped rank goes negative; a blown in-sum div would exceed any
+    // plausible multiple of the 10¹² fixed-point scale
+    assert(r.getLong(0) > 0L, "ranks positive (no wrap)")
+    assert(r.getLong(1) < 1000L * 1000000000000L,
+      "rank within 1000x the fixed-point scale (degree-bounded claim)")
+  }
+
+  test("checksum family lives in its documented ranges") {
+    // xor of 40-bit digests stays under 2⁴⁰; sum_check is mod 2⁶¹ by
+    // construction — on BOTH checksum-bearing queries (q114 and q324).
+    for (name <- Seq("q114_table_checksum", "q324_shard_manifest")) {
+      val df = run(name)
+      val r = df.agg(
+        max($"xor_check").as("x"), min($"xor_check").as("x0"),
+        max($"sum_check").as("s"), min($"sum_check").as("s0")).collect()(0)
+      assert(r.getLong(1) >= 0L && r.getLong(0) < (1L << 40), s"$name xor_check in [0, 2^40)")
+      assert(r.getLong(3) >= 0L && r.getLong(2) < (1L << 61), s"$name sum_check in [0, 2^61)")
+    }
+  }
+
+  test("q290 bottleneck values stay strictly inside the BnInf sentinel") {
+    // BnInf = Long.MaxValue/4: a real path's bottleneck is bounded by the
+    // max edge weight; the sentinel leaking into census output would mean
+    // a seed row survived the node != seed filter or least() saw no edge
+    val r = run("q290_widest_path_census")
+      .agg(max($"max_bottleneck").as("hi"), min($"min_bottleneck").as("lo"))
+      .collect()(0)
+    assert(r.getLong(0) < Long.MaxValue / 4, "below the INF sentinel")
+    assert(r.getLong(1) >= 1L, "weights are positive trade counts")
+  }
+
+  test("wrap-symptom scan over the non-negative-by-construction census family") {
+    // Counts, token totals, shard stats, blast radii: all non-negative by
+    // construction; a negative long anywhere is an overflow signature.
+    Seq(
+      "q324_shard_manifest" -> Seq("n_docs", "sum_tok", "n_bins"),
+      "q326_deletion_cascade" -> Seq("n_cust_deleted", "n_orders_deleted",
+        "n_lineitems_deleted", "revenue_cents_delta"),
+      "q288_bfs_reachability" -> Seq("n_reachable_3hop"),
+      "q98_pack_sequences" -> Seq("n_docs", "sum_tok")
+    ).foreach { case (name, cols) =>
+      assertNoWrap(run(name).select(cols.map(col): _*), name)
+    }
+  }
+}
