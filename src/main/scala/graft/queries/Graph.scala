@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -47,10 +47,15 @@ object Graph {
     * ranking is reproducible to the last row. */
   def pageRank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // long-encoded node ids (ck ↦ 2ck, sk ↦ 2sk+1 — see the
+    // trade-graph encoding note below): the three iterations shuffle
+    // |E|-row (node, contribution) streams, and fixed-width long keys
+    // sort/hash/ship ~2× leaner than the public string ids, which are
+    // reconstructed only in the 20-row output projection
     val e0 = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .select(concat(lit("c"), $"o_custkey").as("src"),
-        concat(lit("s"), $"l_suppkey").as("dst"))
+      .select(($"o_custkey" * 2).as("src"),
+        ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
     // Pinned PRE-PARTITIONED on src: deg's groupBy and all three
     // iteration joins key on src, so hash-partitioning once before the
@@ -92,7 +97,12 @@ object Graph {
             .as("r"))
     }
     val r3 = step(step(step(r0)))
-    r3.orderBy($"r".desc, $"node".asc)
+    // reconstruct the public string id BEFORE the total order: the
+    // oracle's tie-break is lexicographic on the string id ("c10" <
+    // "c2"), which differs from numeric order — sorting the longs and
+    // projecting after could pick different rows at rank-20 ties
+    r3.select(nodeStr($"node").as("node"), $"r")
+      .orderBy($"r".desc, $"node".asc)
       .limit(20)
       .select($"node", $"r".as("pr"))
   }
@@ -215,12 +225,29 @@ object Graph {
     * q291 HLL reach sketch, whose state is |V|-sized at ANY seed count. */
   private val SeedPanelK = 40
 
+  /** INTERNAL node encoding for the trade-graph family (round 14): node
+    * ids are LONGS — customer ck ↦ 2·ck, supplier sk ↦ 2·sk+1 — not the
+    * "c…"/"s…" strings of earlier rounds. Every hop of every traversal
+    * shuffles, sorts, and checkpoints (seed, node) pairs, and a fixed
+    * 8-byte long beats a variable UTF8 key on all three (an UnsafeRow
+    * string field is offset+len+padded bytes ≈ 2–3× wider, and hash/
+    * compare are byte loops instead of single long ops). The public
+    * string ids are reconstructed ONLY at bounded outputs ([[seedStr]],
+    * [[nodeStr]] — ≤K rows or a top-k), so every declared schema and
+    * every oracle is unchanged. */
+  private def seedStr(c: Column): Column =
+    concat(lit("s"), shiftright(c, 1).cast("string"))
+
+  private def nodeStr(c: Column): Column =
+    concat(when(c % 2 === 0, lit("c")).otherwise(lit("s")),
+      shiftright(c, 1).cast("string"))
+
   private def seedPanel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.supplier(s, dir)
       .orderBy($"s_suppkey".asc)
       .limit(SeedPanelK)
-      .select(concat(lit("s"), $"s_suppkey").as("seed"))
+      .select(($"s_suppkey" * 2 + 1).as("seed"))
   }
 
   private val SeedPanelSql: String =
@@ -228,14 +255,14 @@ object Graph {
 
   /** The undirected customer↔supplier trade graph as a pinned,
     * src-partitioned edge list (Pinned.partitionedCheckpoint — every
-    * consumer joins on src exchange-free). Shared by q288's BFS and
-    * q291's sketch propagation. */
+    * consumer joins on src exchange-free), long-encoded node ids (see
+    * above). Shared by q288's BFS and q291's sketch propagation. */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e0 = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .select(concat(lit("c"), $"o_custkey").as("src"),
-        concat(lit("s"), $"l_suppkey").as("dst"))
+      .select(($"o_custkey" * 2).as("src"),
+        ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
     graft.operators.Pinned.partitionedCheckpoint(
       e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst"))),
@@ -307,6 +334,7 @@ object Graph {
     bfsVisited(seedPanel(s, dir), edges)
       .groupBy($"seed")
       .agg((count(lit(1)) - 1).as("n_reachable_3hop"))
+      .select(seedStr($"seed").as("seed"), $"n_reachable_3hop")
       .orderBy($"seed")
   }
 
@@ -336,8 +364,8 @@ object Graph {
     import s.implicits._
     val pairs = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
-      .groupBy(concat(lit("c"), $"o_custkey").as("src"),
-        concat(lit("s"), $"l_suppkey").as("dst"))
+      .groupBy(($"o_custkey" * 2).as("src"),
+        ($"l_suppkey" * 2 + 1).as("dst"))
       .agg(count(lit(1)).as("w"))
     val edges = graft.operators.Pinned.partitionedCheckpoint(
       pairs.unionAll(pairs.select($"dst".as("src"), $"src".as("dst"), $"w")),
@@ -388,6 +416,8 @@ object Graph {
       .agg(count(lit(1)).as("n_reachable"),
         max($"bn").as("max_bottleneck"),
         min($"bn").as("min_bottleneck"))
+      .select(seedStr($"seed").as("seed"), $"n_reachable",
+        $"max_bottleneck", $"min_bottleneck")
       .orderBy($"seed")
   }
 
@@ -478,7 +508,7 @@ object Graph {
     val nNodes = est.agg(count(lit(1)).as("n_nodes_sketched"))
     val seeds = Tables.supplier(s, dir)
       .orderBy($"s_suppkey".asc).limit(ReachPanelK)
-      .select(concat(lit("s"), $"s_suppkey").as("seed"))
+      .select(($"s_suppkey" * 2 + 1).as("seed"))
     val exact = bfsVisited(seeds, edges)
       .groupBy($"seed").agg((count(lit(1)) - 1).as("n_reachable_3hop"))
     val exactP1 = ($"n_reachable_3hop" + 1).cast("double")
@@ -490,7 +520,8 @@ object Graph {
     // `reach == 0` — TRUE exactly when the absence is legitimate.
     exact.join(est, exact("seed") === est("node"), "left")
       .crossJoin(broadcast(nNodes))
-      .select($"seed", $"n_reachable_3hop", $"n_nodes_sketched",
+      .select(seedStr($"seed").as("seed"), $"n_reachable_3hop",
+        $"n_nodes_sketched",
         coalesce(abs($"est" - exactP1) <= lit(0.15) * exactP1,
           $"n_reachable_3hop" === 0)
           .as("sketch_within_15pct"))
@@ -531,7 +562,7 @@ object Graph {
     val nodes = edges.select($"src".as("node")).distinct()
     val seeds = nodes.join(
       Tables.supplier(s, dir).filter($"s_nationkey" < 5)
-        .select(concat(lit("s"), $"s_suppkey").as("node"),
+        .select(($"s_suppkey" * 2 + 1).as("node"),
           $"s_nationkey".cast("long").as("label")),
       Seq("node"))
     // DELTA voting: only the PREVIOUS round's newly-labeled nodes cast
@@ -565,13 +596,15 @@ object Graph {
     // lab is ≤ kinds·labels rows but is consumed twice (output + the
     // kind totals) — checkpoint the TINY census, not the big union, so
     // round 3's lazy layer is evaluated exactly once
+    def kind(c: Column): Column =
+      when(c % 2 === 0, lit("c")).otherwise(lit("s"))
     val lab = layers.reduce(_ unionAll _)
-      .groupBy(substring($"node", 1, 1).as("kind"), $"label")
+      .groupBy(kind($"node").as("kind"), $"label")
       .agg(count(lit(1)).as("n_nodes"))
       .localCheckpoint(eager = false)
     val labK = lab.groupBy($"kind").agg(sum($"n_nodes").as("n_lab"))
     val unl = nodes
-      .groupBy(substring($"node", 1, 1).as("kind"))
+      .groupBy(kind($"node").as("kind"))
       .agg(count(lit(1)).as("n_all"))
       .join(broadcast(labK), Seq("kind"), "left")
       .select($"kind", lit(-1L).as("label"),
