@@ -421,12 +421,16 @@ object Graph {
       .orderBy($"seed")
   }
 
-  /** HLL precision for q291's per-node reach sketches: lgConfigK = 10 →
-    * 1 024 registers, ~3.25 % relative standard error, ~0.5 KB dense —
-    * the HyperBall working point (small enough that the per-hop
-    * |E|-row sketch shuffle stays modest, tight enough that the 15 %
-    * contract band is ≈4.6σ — a false flag is a non-event). */
-  private val ReachLgK = 10
+  /** HLL precision for q291's per-node reach sketches: lgConfigK = 9 →
+    * 512 registers, ~4.6 % relative standard error, ~0.25 KB dense —
+    * the HyperBall working point (the per-hop sketch shuffle and the
+    * |V|-row pins are linear in register count, so this halves the
+    * query's dominant byte volume vs lgK 10; the 15 % contract band is
+    * still ≈3.3σ, and HLL estimates are DETERMINISTIC for a fixed
+    * corpus — the band flags are verified TRUE at every gated fixture
+    * SF, so the tighter working point risks nothing the gate would
+    * catch probabilistically). */
+  private val ReachLgK = 9
 
   /** q291's exact-verification panel: 10 suppliers (the first quarter of
     * [[SeedPanelK]]'s panel). The EXACT 3-hop BFS for the panel is the

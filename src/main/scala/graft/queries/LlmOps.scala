@@ -3314,7 +3314,73 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** Neighborhood size for [[bitextMarginMining]]'s margin normalizer
+    * (the k of Artetxe-Schwenk's ratio margin). */
+  val BitextK = 4
+
+  /** Margin-based bitext mining — the parallel-pair mining operator
+    * behind CCMatrix/WikiMatrix-class corpora (Artetxe & Schwenk 2019,
+    * public description): candidate (en, de) document pairs are scored
+    * not by raw cosine (which a hubness-prone embedding space inflates
+    * uniformly) but by the RATIO MARGIN — best cosine over the mean of
+    * the top-[[BitextK]] candidate cosines — so a pair is mined only
+    * when its match stands OUT of its neighborhood, the property that
+    * separates true translations from generic nearest neighbors.
+    * Forward-margin form; candidates come from the q64 sign-LSH band
+    * machinery (8-bit keys × 4 bands between the two language slices
+    * only (16-bit keys block almost everything between slices this
+    * small — 1 candidate at sf0.01; 8-bit buckets keep in-bucket
+    * pairing linear while actually generating a neighborhood) — never a cross-language all-pairs), restricted to positive
+    * cosines (the ratio is meaningless below 0).
+    *
+    * Portability: the margin is a DOUBLE, so its op tree is fixed on
+    * both engines — the top-k cosines fold in RANK order (rank-sorted
+    * struct array + aggregate() here, `list(... ORDER BY rn)` +
+    * list_reduce in the oracle), one divide for the mean, one for the
+    * margin; cosines themselves are the q44-proven bit-identical tree.
+    * Scale: one banded-key exchange per side, in-bucket pairing only,
+    * per-source top-k via a source-keyed window (WindowGroupLimit
+    * prunes map-side), 20-row output. */
+  def bitextMarginMining(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang"),
+        $"vec_id" === $"doc_id")
+      .select($"vec_id", $"lang", $"embedding",
+        explode_outer(VectorOps.signBandKeys($"embedding", 8, 4)).as("bk"))
+      .select($"vec_id", $"lang", $"embedding",
+        $"bk.band".as("band"), $"bk.key".as("key"))
+      .localCheckpoint(eager = false) // read by both candidate sides
+    val src = emb.filter($"lang" === "en")
+      .select($"vec_id".as("en_id"), $"band", $"key", $"embedding".as("se"))
+    val tgt = emb.filter($"lang" === "de")
+      .select($"vec_id".as("de_id"), $"band".as("b2"), $"key".as("k2"),
+        $"embedding".as("te"))
+    val cand = src.join(tgt, $"band" === $"b2" && $"key" === $"k2")
+      .withColumn("pcos", cosine(s)($"se", $"te"))
+      .filter($"pcos" > 0.0)
+      .groupBy($"en_id", $"de_id") // multi-band collisions count once
+      .agg(max($"pcos").as("cos"))
+    val w = Window.partitionBy($"en_id").orderBy($"cos".desc, $"de_id".asc)
+    val top = cand.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= BitextK)
+      .groupBy($"en_id")
+      .agg(sort_array(collect_list(struct($"rn", $"cos", $"de_id")))
+        .as("tk"))
+    val meanCos =
+      aggregate(transform($"tk", t => t.getField("cos")), lit(0.0),
+        (a, x) => a + x) / size($"tk").cast("double")
+    val ord = Seq($"margin".desc, $"en_id".asc)
+    top.select($"en_id",
+        element_at($"tk", 1).getField("de_id").as("de_id"),
+        element_at($"tk", 1).getField("cos").as("cos"),
+        (element_at($"tk", 1).getField("cos") / meanCos).as("margin"))
+      .withColumn("accepted", $"margin" >= lit(1.05))
+      .orderBy(ord: _*).limit(20).orderBy(ord: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_bitext_margin_mining" -> bitextMarginMining,
     "q324_shard_manifest" -> shardManifest,
     "q325_quality_filter_inference" -> qualityFilterInference,
     "q221_bigram_coverage" -> bigramCoverage,
@@ -3399,6 +3465,42 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q327_bitext_margin_mining" -> {
+      val meanSql = "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs), (a, x) -> a + x) / CAST(len(cs) AS DOUBLE))"
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT vec_id, lang, embedding
+         |  FROM embeddings JOIN documents ON vec_id = doc_id
+         |), keyed AS MATERIALIZED (
+         |  SELECT vec_id, lang, embedding, band,
+         |         array_to_string(list_transform(embedding[(8*band+1):(8*band+8)],
+         |           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS key
+         |  FROM base, (SELECT unnest([0,1,2,3]) AS band)
+         |), cand AS (
+         |  SELECT en_id, de_id, max(pcos) AS cos FROM (
+         |    SELECT a.vec_id AS en_id, b.vec_id AS de_id,
+         |           ${cosSql("a.embedding", "b.embedding")} AS pcos
+         |    FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key
+         |    WHERE a.lang = 'en' AND b.lang = 'de'
+         |  ) WHERE pcos > 0
+         |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT en_id, de_id, cos,
+         |         row_number() OVER (PARTITION BY en_id
+         |                            ORDER BY cos DESC, de_id ASC) AS rn
+         |  FROM cand
+         |), agg AS (
+         |  SELECT en_id,
+         |         first(de_id ORDER BY rn) AS de_id,
+         |         first(cos ORDER BY rn) AS cos,
+         |         list(cos ORDER BY rn) AS cs
+         |  FROM ranked WHERE rn <= $BitextK GROUP BY 1
+         |)
+         |SELECT en_id, de_id, cos, cos / $meanSql AS margin,
+         |       (cos / $meanSql >= 1.05) AS accepted
+         |FROM agg
+         |ORDER BY margin DESC, en_id ASC
+         |LIMIT 20""".stripMargin
+    },
     "q324_shard_manifest" ->
       s"""WITH r AS (
          |  SELECT doc_id,

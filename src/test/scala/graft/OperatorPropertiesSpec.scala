@@ -1578,6 +1578,45 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q327 bitext mining: best-candidate pick, margin law, language gating") {
+    // planted geometry: band keys are sign patterns of coords 1..32, so
+    // the all-positive group {en1, de2, de3, de4, fr7} collides in every
+    // band and the all-negative-prefix pair {en5, de6} collides only
+    // with itself. Cosines are closed-form.
+    val dir = java.nio.file.Files.createTempDirectory("bitext").toString
+    val pos = Array.fill(64)(1.0f)
+    val d2v = Array.fill(32)(1.0f) ++ Array.fill(32)(3.0f)
+    val d3v = Array.fill(32)(1.0f) ++ Array.fill(32)(7.0f)
+    val neg = Array.fill(32)(-1.0f) ++ Array.fill(32)(1.0f)
+    val embs = Seq((1L, pos), (2L, pos), (3L, d2v), (4L, d3v),
+      (5L, neg), (6L, neg), (7L, pos))
+    embs.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq((1L, "en"), (2L, "de"), (3L, "de"), (4L, "de"),
+      (5L, "en"), (6L, "de"), (7L, "fr"))
+      .toDF("doc_id", "lang")
+      .withColumn("text", lit("x")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(1L))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q327_bitext_margin_mining")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.keySet === Set(1L, 5L), "one mined row per en source with candidates")
+    // en1: candidates de2 (cos 1), de3, de4 — best is de2; margin is the
+    // exact IEEE tree the op defines (fold in rank order, two divides)
+    val c3 = (32.0 + 32.0 * 3.0) / (8.0 * math.sqrt(32.0 + 9.0 * 32.0))
+    val c4 = (32.0 + 32.0 * 7.0) / (8.0 * math.sqrt(32.0 + 49.0 * 32.0))
+    val mean = ((0.0 + 1.0) + c3 + c4) / 3.0
+    val (de1, cos1, m1, acc1) = out(1L)
+    assert(de1 === 2L && cos1 === 1.0)
+    assert(m1 === 1.0 / mean, "margin = best / rank-ordered mean")
+    assert(acc1 === (1.0 / mean >= 1.05))
+    // en5: single candidate de6 → margin exactly 1.0, never accepted
+    assert(out(5L) === ((6L, 1.0, 1.0, false)))
+    // fr7 is a byte-identical twin of de2 and must appear nowhere
+    assert(!out.values.exists(_._1 == 7L), "non-target languages are gated out")
+  }
+
   test("q326 deletion cascade: incremental deltas equal full before-minus-after recompute") {
     import graft.queries.Portable
     val out = SparkEntry.queries("q326_deletion_cascade")(spark, sfDir)
