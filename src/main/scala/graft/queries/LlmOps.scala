@@ -3379,7 +3379,55 @@ object LlmOps {
       .orderBy(ord: _*).limit(20).orderBy(ord: _*)
   }
 
+  /** Leakage-safe train/test split — the split-time complement of the
+    * decontamination ops (q96/q316 scrub an EXTERNAL eval set; this
+    * prevents the INTERNAL leak): a doc-level hash split (q82's scheme)
+    * puts ~10 % of near-dup CLUSTERS on both sides of the boundary, so
+    * the eval half measures memorization of the train half (the
+    * Lee et al. 2022 failure mode). The fix is one indirection: split by
+    * a digest of the doc's DEDUP-CLUSTER label (q76's min-label
+    * fixpoint; singletons label themselves), so every cluster lands
+    * wholly on one side BY CONSTRUCTION. The declared output is the
+    * per-scheme audit: split sizes, multi-doc cluster count, and the
+    * straddling-cluster count — positive for the naive scheme on any
+    * corpus with near-dups, and ZERO for the cluster-aware scheme, a
+    * structural invariant the oracle re-derives (its recursive-CTE
+    * components + the same censuses — the straddle-0 row is recomputed,
+    * not asserted).
+    *
+    * Scale: the label fixpoint is q76's machinery (banded LSH pairs,
+    * iterations over the pinned pair list — never the corpus); the
+    * split marks and censuses are one |docs|-row projection + two
+    * ≤2-row aggs. */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dig(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 10), 16, 10).cast("long")
+    val full = Tables.documents(s, dir).select($"doc_id")
+      .join(dedupLabels(s, dir), $"doc_id" === $"doc", "left")
+      .select($"doc_id", coalesce($"lab", $"doc_id").as("lab"))
+      .withColumn("naive_test", dig(concat(lit("split:"), $"doc_id")) % 10 === 0)
+      .withColumn("aware_test", dig(concat(lit("split:"), $"lab")) % 10 === 0)
+      .localCheckpoint(eager = false) // read by both scheme censuses
+    def scheme(name: String, testCol: Column): DataFrame = {
+      val perLab = full.groupBy($"lab").agg(
+        count(lit(1)).as("n"),
+        sum(when(testCol, 1L).otherwise(0L)).as("nt"))
+      perLab.agg(
+        lit(name).as("scheme"),
+        sum($"nt").as("n_test"),
+        sum($"n" - $"nt").as("n_train"),
+        sum(when($"n" >= 2, 1L).otherwise(0L)).as("n_clusters_multi"),
+        sum(when($"n" >= 2 && $"nt" > 0L && $"nt" < $"n", 1L).otherwise(0L))
+          .as("n_straddling"))
+    }
+    scheme("naive", $"naive_test")
+      .unionByName(scheme("cluster_aware", $"aware_test"))
+      .orderBy($"scheme")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_leakage_safe_split" -> leakageSafeSplit,
     "q327_bitext_margin_mining" -> bitextMarginMining,
     "q324_shard_manifest" -> shardManifest,
     "q325_quality_filter_inference" -> qualityFilterInference,
@@ -3465,6 +3513,70 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // q76's recursive-CTE component chain + the two split censuses; the
+    // cluster_aware straddle count is RECOMPUTED (and equals 0), not
+    // asserted.
+    "q328_leakage_safe_split" -> {
+      import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
+      val aList = MinhashA.mkString("[", ", ", "]")
+      val bList = MinhashB.mkString("[", ", ", "]")
+      def digSql(e: String) =
+        s"CAST(('0x' || substr(md5('split:' || CAST($e AS VARCHAR)), 1, 10)) AS BIGINT)"
+      s"""WITH RECURSIVE keyed AS (
+         |  SELECT doc_id, j AS band,
+         |         md5(CAST(sig[3*j+1] AS VARCHAR) || ',' || CAST(sig[3*j+2] AS VARCHAR) || ',' || CAST(sig[3*j+3] AS VARCHAR)) AS bkey
+         |  FROM (
+         |    SELECT doc_id,
+         |           list_transform(range(12), j2 -> list_min(list_transform(hs, h -> ($aList[CAST(j2 AS INT)+1] * h + $bList[CAST(j2 AS INT)+1]) % $MinhashPrime))) AS sig
+         |    FROM (
+         |      SELECT doc_id, $shingle3Sql AS hs
+         |      FROM (
+         |        SELECT doc_id, $tokenHashesSql AS th
+         |        FROM (SELECT doc_id, toks FROM (SELECT doc_id, $toksSql AS toks FROM documents) WHERE len(toks) >= 3)
+         |      )
+         |    )
+         |  ), (SELECT unnest([0,1,2,3]) AS j)
+         |), edges AS (
+         |  SELECT a.doc_id AS s, b.doc_id AS t
+         |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2
+         |), reach(doc, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT x.doc, e.t FROM reach x JOIN edges e ON x.r = e.s
+         |), labels AS (
+         |  SELECT doc, min(r) AS lab FROM reach GROUP BY doc
+         |), f AS (
+         |  SELECT doc_id, coalesce(lab, doc_id) AS lab
+         |  FROM documents LEFT JOIN labels ON doc_id = doc
+         |), marked AS (
+         |  SELECT lab,
+         |         (${digSql("doc_id")} % 10 = 0) AS naive_test,
+         |         (${digSql("lab")} % 10 = 0) AS aware_test
+         |  FROM f
+         |), per AS (
+         |  SELECT lab, count(*) AS n,
+         |         ${sumLongSql("CASE WHEN naive_test THEN 1 ELSE 0 END")} AS ntn,
+         |         ${sumLongSql("CASE WHEN aware_test THEN 1 ELSE 0 END")} AS nta
+         |  FROM marked GROUP BY 1
+         |)
+         |SELECT scheme, n_test, n_train, n_clusters_multi, n_straddling FROM (
+         |  SELECT 'naive' AS scheme,
+         |         ${sumLongSql("ntn")} AS n_test,
+         |         ${sumLongSql("n - ntn")} AS n_train,
+         |         ${sumLongSql("CASE WHEN n >= 2 THEN 1 ELSE 0 END")} AS n_clusters_multi,
+         |         ${sumLongSql("CASE WHEN n >= 2 AND ntn > 0 AND ntn < n THEN 1 ELSE 0 END")} AS n_straddling
+         |  FROM per
+         |  UNION ALL
+         |  SELECT 'cluster_aware' AS scheme,
+         |         ${sumLongSql("nta")},
+         |         ${sumLongSql("n - nta")},
+         |         ${sumLongSql("CASE WHEN n >= 2 THEN 1 ELSE 0 END")},
+         |         ${sumLongSql("CASE WHEN n >= 2 AND nta > 0 AND nta < n THEN 1 ELSE 0 END")}
+         |  FROM per
+         |)
+         |ORDER BY scheme""".stripMargin
+    },
     "q327_bitext_margin_mining" -> {
       val meanSql = "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs), (a, x) -> a + x) / CAST(len(cs) AS DOUBLE))"
       s"""WITH base AS MATERIALIZED (

@@ -1617,6 +1617,25 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(!out.values.exists(_._1 == 7L), "non-target languages are gated out")
   }
 
+  test("q328 leakage-safe split: cluster-aware straddle is structurally zero") {
+    val out = SparkEntry.queries("q328_leakage_safe_split")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set("naive", "cluster_aware"))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    out.foreach { case (sch, (nt, ntr, _, _)) =>
+      assert(nt + ntr === nDocs, s"$sch split partitions the corpus")
+    }
+    // both schemes census the same clustering
+    assert(out("naive")._3 === out("cluster_aware")._3)
+    // ... which is exactly q76's multi-doc cluster census
+    val q76n = SparkEntry.queries("q76_dedup_clusters")(spark, sfDir).count()
+    assert(out("naive")._3 === q76n, "multi-doc cluster count matches q76")
+    // the op's whole point: splitting by cluster label CANNOT straddle
+    assert(out("cluster_aware")._4 === 0L, "cluster-aware straddle is zero by construction")
+    assert(out("naive")._4 <= out("naive")._3, "straddles bounded by multi clusters")
+  }
+
   test("q326 deletion cascade: incremental deltas equal full before-minus-after recompute") {
     import graft.queries.Portable
     val out = SparkEntry.queries("q326_deletion_cascade")(spark, sfDir)
