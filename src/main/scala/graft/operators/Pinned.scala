@@ -47,4 +47,23 @@ object Pinned {
     try df.repartition(keys: _*).localCheckpoint(eager = false)
     finally spark.conf.set(aqe, prev)
   }
+
+  /** Lazy localCheckpoint that preserves the partitioning `df`'s plan
+    * ALREADY ends in — for frames whose last operator is a keyed
+    * aggregation/shuffle on exactly the keys consumers want (e.g. a
+    * `groupBy(src)` adjacency build): [[partitionedCheckpoint]] would
+    * append a REDUNDANT exchange (an explicit repartition over an
+    * identically-partitioned child is not removed statically), while
+    * compiling the subplan AQE-off and checkpointing directly records
+    * the aggregation's own hashpartitioning in the LogicalRDD. The
+    * caller owns the precondition that the plan tail is the keyed
+    * exchange it wants to pin. */
+  def checkpointAsIs(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqe)
+    spark.conf.set(aqe, "false")
+    try df.localCheckpoint(eager = false)
+    finally spark.conf.set(aqe, prev)
+  }
 }

@@ -52,24 +52,24 @@ object Graph {
     // |E|-row (node, contribution) streams, and fixed-width long keys
     // sort/hash/ship ~2× leaner than the public string ids, which are
     // reconstructed only in the 20-row output projection
-    val e0 = Tables.orders(s, dir)
+    val raw = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
       .select(($"o_custkey" * 2).as("src"),
         ($"l_suppkey" * 2 + 1).as("dst"))
-      .distinct()
-    // Pinned PRE-PARTITIONED on src: deg's groupBy and all three
-    // iteration joins key on src, so hash-partitioning once before the
-    // checkpoint lets every consumer read it exchange-free — 4 edge-side
-    // shuffles become 1. This is exactly the cluster contract: partition
-    // the big immutable relation once, iterate against it. (Via
-    // Pinned.partitionedCheckpoint, NOT a bare repartition+checkpoint:
-    // under AQE the pinned LogicalRDD would record UnknownPartitioning
-    // and every consumer would re-shuffle — see Pinned's doc.)
-    val edges = graft.operators.Pinned.partitionedCheckpoint(
-      e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst"))),
-      $"src") // read by deg + all 3 iterations
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
-    val nodes = edges.select($"src".as("node")).distinct()
+    // Pinned src-partitioned ADJACENCY (see tradeAdjacency's doc): the
+    // one groupBy(src) exchange both deduplicates and places the graph;
+    // its own hashpartitioning is recorded by the checkpoint
+    // (Pinned.checkpointAsIs), every iteration reads it exchange-free,
+    // degree and the node list fall out map-side (size(dsts) / the
+    // groupBy key), and the contribution join is |V|-row with the
+    // |E|-row stream existing only after the explode. This is the
+    // cluster contract: partition the big immutable relation once,
+    // iterate against it.
+    val edges = graft.operators.Pinned.checkpointAsIs(
+      raw.unionAll(raw.select($"dst".as("src"), $"src".as("dst")))
+        .groupBy($"src").agg(collect_set($"dst").as("dsts")))
+    val deg = edges.select($"src", size($"dsts").cast("long").as("d"))
+    val nodes = edges.select($"src".as("node"))
     val r0 = nodes.select($"node", lit(Scale).as("r"))
     def step(rk: DataFrame): DataFrame = {
       val perSrc = rk.join(deg, rk("node") === deg("src"))
@@ -88,6 +88,7 @@ object Graph {
       // compare contract for headroom. The fixture's co-order graph (and
       // any bounded-fan-in graph) stays far inside BIGINT.
       val contrib = edges.join(perSrc, edges("src") === perSrc("node"))
+        .select(explode($"dsts").as("dst"), $"c")
         .groupBy($"dst")
         .agg(sum($"c".cast(DecimalType(38, 0))).as("in_sum"))
       nodes.join(contrib, nodes("node") === contrib("dst"), "left")
@@ -254,19 +255,32 @@ object Graph {
     s"SELECT 's' || s_suppkey AS seed FROM supplier ORDER BY s_suppkey LIMIT $SeedPanelK"
 
   /** The undirected customer↔supplier trade graph as a pinned,
-    * src-partitioned edge list (Pinned.partitionedCheckpoint — every
-    * consumer joins on src exchange-free), long-encoded node ids (see
-    * above). Shared by q288's BFS and q291's sketch propagation. */
-  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    * src-partitioned ADJACENCY LIST (src, dsts: array<long>) —
+    * long-encoded node ids (see above). Round-14 second build rework:
+    * the pair-list form cost scan → distinct exchange → symmetrize →
+    * repartition exchange (≈1.6 s warm per materialization, ~40 % of
+    * each graph query); the adjacency form symmetrizes the RAW pairs
+    * first and folds dedup INTO the one groupBy(src) exchange
+    * (collect_set), whose own hashpartitioning the checkpoint records
+    * directly (Pinned.checkpointAsIs — no redundant repartition).
+    * Consumers join on src exchange-free and explode `dsts` AFTER the
+    * join, so expansion joins are |V|-row, not |E|-row; `src` doubles
+    * as the distinct node list (groupBy key) and `size(dsts)` as the
+    * degree — both exchange-FREE where the pair form paid a distinct /
+    * a groupBy. collect_set's element order is nondeterministic and no
+    * consumer may depend on it (all downstream ops are set-semantics:
+    * distinct, anti-join, groupBy, register-max sketch unions).
+    * Shared by q288/q291/q294/q301; q290 keeps the weighted PAIR build
+    * (its per-pair trade counts need the (src,dst) grain). */
+  private def tradeAdjacency(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e0 = Tables.orders(s, dir)
+    val raw = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
       .select(($"o_custkey" * 2).as("src"),
         ($"l_suppkey" * 2 + 1).as("dst"))
-      .distinct()
-    graft.operators.Pinned.partitionedCheckpoint(
-      e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst"))),
-      $"src")
+    graft.operators.Pinned.checkpointAsIs(
+      raw.unionAll(raw.select($"dst".as("src"), $"src".as("dst")))
+        .groupBy($"src").agg(collect_set($"dst").as("dsts")))
   }
 
   /** 3 unrolled BFS hops from `seeds` (a `seed` column) over pinned
@@ -286,14 +300,16 @@ object Graph {
     * chain runs in the distinct's own tasks. Pins per run: 2 (layers 1–2;
     * layer 3 and the final union have single consumers — the census —
     * and stay lazy). Nothing is ever re-shuffled after its one distinct. */
-  private def bfsVisited(seeds: DataFrame, edges: DataFrame): DataFrame = {
+  private def bfsVisited(seeds: DataFrame, adj: DataFrame): DataFrame = {
     val seedLayer = seeds.select(col("seed"), col("seed").as("node"))
     var layers = List(seedLayer) // newest first; disjoint by construction
     (1 to 3).foreach { hop =>
       val frontier = layers.head
+      // expansion joins the |frontier|-row state to the |V|-row
+      // adjacency (exchange-free on the pin key) and explodes AFTER
       val nextLazy = layers.foldLeft(
-        frontier.join(edges, frontier("node") === edges("src"))
-          .select(col("seed"), col("dst").as("node"))
+        frontier.join(adj, frontier("node") === adj("src"))
+          .select(col("seed"), explode(col("dsts")).as("node"))
           .distinct()) { (acc, layer) =>
         acc.join(layer, Seq("seed", "node"), "left_anti")
       }
@@ -330,7 +346,7 @@ object Graph {
     * nothing is ever broadcast on the growing side. */
   def bfsReachability(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = tradeEdges(s, dir)
+    val edges = tradeAdjacency(s, dir)
     bfsVisited(seedPanel(s, dir), edges)
       .groupBy($"seed")
       .agg((count(lit(1)) - 1).as("n_reachable_3hop"))
@@ -468,12 +484,10 @@ object Graph {
     * deterministic under any shuffle layout. */
   def reachSketchCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = tradeEdges(s, dir)
-    // hop-0: each node's sketch holds exactly itself. distinct FIRST
-    // (exchange-free on the src-pinned edges), then the sketch agg runs
-    // over |V| rows instead of |E| — hll_sketch_agg is an object agg,
-    // so feeding it ~70× fewer rows is measurably cheaper than letting
-    // it fold the duplicate key values itself.
+    val edges = tradeAdjacency(s, dir)
+    // hop-0: each node's sketch holds exactly itself. The adjacency's
+    // src column IS the distinct node list (groupBy key), so the sketch
+    // agg runs over |V| rows with no distinct pass at all.
     // Each hop references the previous sketch table TWICE (the edge
     // gather and the self-union), so it must be PINNED per hop or the
     // lazy plan re-evaluates hop k−1 twice per reference — 2³ = 8
@@ -484,14 +498,17 @@ object Graph {
     // already hash-distributed on node for the self-union join. The
     // pin is |V| rows × ~0.5 KB — megabytes at any corpus.
     var sk = graft.operators.Pinned.partitionedCheckpoint(
-      edges.select($"src".as("node")).distinct()
+      edges.select($"src".as("node"))
         .groupBy($"node")
         .agg(hll_sketch_agg($"node", ReachLgK).as("sk")),
       $"node")
     var est: DataFrame = null
     (1 to 3).foreach { hop =>
+      // |V|-row join against the pinned adjacency (exchange-free), the
+      // |E|-row sketch stream only exists AFTER the explode
       val gathered = sk.join(edges, sk("node") === edges("src"))
-        .groupBy($"dst".as("node"))
+        .select($"sk", explode($"dsts").as("node"))
+        .groupBy($"node")
         .agg(hll_union_agg($"sk").as("nbr"))
       // Hop 3 (round-14 pin narrowing): downstream only the ESTIMATE is
       // consumed (twice — the |V| census and the panel join), so the
@@ -561,9 +578,9 @@ object Graph {
     * ≤ kinds·labels rows. */
   def labelPropagation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = tradeEdges(s, dir)
-    // symmetric edges: src covers every node of the graph
-    val nodes = edges.select($"src".as("node")).distinct()
+    val edges = tradeAdjacency(s, dir)
+    // symmetric adjacency: src covers every node, already distinct
+    val nodes = edges.select($"src".as("node"))
     val seeds = nodes.join(
       Tables.supplier(s, dir).filter($"s_nationkey" < 5)
         .select(($"s_suppkey" * 2 + 1).as("node"),
@@ -583,7 +600,8 @@ object Graph {
     (1 to 3).foreach { round =>
       val frontier = layers.head
       val votes = frontier.join(edges, frontier("node") === edges("src"))
-        .groupBy(edges("dst").as("vnode"), frontier("label"))
+        .select(explode($"dsts").as("vnode"), frontier("label"))
+        .groupBy($"vnode", $"label")
         .agg(count(lit(1)).as("c"))
       // majority with smallest-label ties: lexicographic struct max on
       // (count, -label) — a keyed agg, never a per-node window
@@ -627,20 +645,20 @@ object Graph {
     * products pass 2⁶³ far below 100 TB-class SF — the q197/q203
     * promotion lesson), and the coefficient is ONE IEEE tree over
     * exactly-convertible integers, so it hash-compares despite being a
-    * float. Scale: degrees come from one groupBy over the pinned
-    * src-partitioned edges (exchange-free), pinned and joined back on
-    * src (exchange-free again) then on dst (the one keyed shuffle);
-    * everything after is a 1-row fold. */
+    * float. Scale (round-14 adjacency form): the SOURCE degree is
+    * `size(dsts)` — attached map-side in the same projection that
+    * explodes the edge, so the old deg groupBy, its pin, and the
+    * src-side join are gone; only the dst-side degree lookup pays the
+    * one keyed |E|-row shuffle; everything after is a 1-row fold. */
   def degreeAssortativity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
-    val edges = tradeEdges(s, dir)
-    val deg = graft.operators.Pinned.partitionedCheckpoint(
-      edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")),
-      $"node")
-    val ed = edges
-      .join(deg.select($"node".as("src"), $"deg".as("dx")), "src")
-      .join(deg.select($"node".as("dst"), $"deg".as("dy")), "dst")
+    val adj = tradeAdjacency(s, dir)
+    val deg = adj.select($"src".as("dst"), size($"dsts").cast("long").as("dy"))
+    val ed = adj
+      .select($"src", size($"dsts").cast("long").as("dx"),
+        explode($"dsts").as("dst"))
+      .join(deg, "dst")
     val m = ed.agg(
       count(lit(1)).as("n"),
       sum($"dx".cast(d38)).as("sx"),
