@@ -57,13 +57,26 @@ object Pinned {
     * compiling the subplan AQE-off and checkpointing directly records
     * the aggregation's own hashpartitioning in the LogicalRDD. The
     * caller owns the precondition that the plan tail is the keyed
-    * exchange it wants to pin. */
+    * exchange it wants to pin — and this helper VERIFIES it: a plan
+    * ending in a projection/filter that drops the partitioning would
+    * silently record UnknownPartitioning and re-shuffle at every
+    * consumer (the exact regression [[partitionedCheckpoint]] exists
+    * to prevent), so that misuse fails loudly at compile time here
+    * instead of surfacing as a perf cliff in a bench. */
   def checkpointAsIs(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val aqe = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(aqe)
     spark.conf.set(aqe, "false")
-    try df.localCheckpoint(eager = false)
-    finally spark.conf.set(aqe, prev)
+    try {
+      val part = df.queryExecution.executedPlan.outputPartitioning
+      require(
+        part.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning],
+        s"checkpointAsIs precondition violated: plan tail must carry a " +
+          s"HashPartitioning for consumers to reuse, got $part — " +
+          s"use partitionedCheckpoint(df, keys*) instead")
+      df.localCheckpoint(eager = false)
+    } finally spark.conf.set(aqe, prev)
   }
 }

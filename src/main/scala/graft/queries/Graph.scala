@@ -270,8 +270,21 @@ object Graph {
     * a groupBy. collect_set's element order is nondeterministic and no
     * consumer may depend on it (all downstream ops are set-semantics:
     * distinct, anti-join, groupBy, register-max sketch unions).
-    * Shared by q288/q291/q294/q301; q290 keeps the weighted PAIR build
-    * (its per-pair trade counts need the (src,dst) grain). */
+    *
+    * DEGREE PRECONDITION (the price of the adjacency form): collect_set
+    * materializes each node's whole neighbor set as ONE array row, so a
+    * node's degree must stay far below array-row comfort (~10⁵ longs ≈
+    * 1 MB; a 10⁷-neighbor hub is a multi-hundred-MB single row that
+    * kills the build where a pair list survives). On the trade graph
+    * degrees are SF-CONSTANT — customers hold ≈40 suppliers and
+    * suppliers ≈600 customers at every SF, because dims and facts scale
+    * together — so the bound holds at any corpus. A power-law graph
+    * (social edges, web links) VIOLATES it: use the pair-list build
+    * (q290's form) there instead. EnvelopeAuditSpec measures the
+    * fixture's max degree against this bound so a graph-shape change
+    * fails CI before a build dies. Shared by q288/q291/q294/q301; q290
+    * keeps the weighted PAIR build (its per-pair trade counts need the
+    * (src,dst) grain). */
   private def tradeAdjacency(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val raw = Tables.orders(s, dir)
@@ -462,12 +475,15 @@ object Graph {
     * q288 answers "how far does each of K seeds reach" with a K·|V|
     * exact working set; this answers it for EVERY node at once with
     * |V|-sized state at ANY seed count, because each node's reach SET is
-    * replaced by a fixed-size mergeable HLL sketch. Iteration k:
-    * sk_k(v) = sk_{k-1}(v) ∪ ⋃ neighbors' sk_{k-1} — one keyed join
-    * against the pinned src-partitioned edge list (scatter form: on the
+    * replaced by a fixed-size mergeable HLL sketch. Iteration k ≥ 2:
+    * sk_k(v) = ⋃_{u∈N(v)} sk_{k-1}(u) — one keyed gather join against
+    * the pinned src-partitioned adjacency (scatter form: on the
     * symmetrized graph, gather-by-dst ≡ scatter-from-src, so the SAME
     * src pin q288 uses serves exchange-free here too), one
-    * hll_union_agg by destination, one |V|-row self-union. Hops unrolled
+    * hll_union_agg by destination; hop 1 sketches {v} ∪ N(v) straight
+    * off the adjacency in its own partitions (zero shuffle). No per-hop
+    * self-union and no per-hop pin — see [[reachSketchPanel]] for the
+    * identity and the single-consumer laziness argument. Hops unrolled
     * in the plan. Per hop the shuffle is |E| rows × ~0.5 KB sketch —
     * linear in edges, never a pair table.
     *
@@ -476,77 +492,97 @@ object Graph {
     * ([[ReachPanelK]] — bounded, like every panel in this family):
     * per panel seed, |est − exact| ≤ 15 %·exact must hold (estimate
     * includes self, so exact+1), stated literally TRUE by the oracle;
-    * with lgK = 10's 3.25 % RSE the band is ≈4.6σ, so a false flag
-    * indicates a broken union/propagation, not sketch noise.
+    * with [[ReachLgK]] = 9's ~4.6 % RSE the band is ≈3.3σ, so a false
+    * flag indicates a broken union/propagation, not sketch noise —
+    * and EnvelopeAuditSpec pins the measured fixture error
+    * under 10 %, attributing any margin collapse before this gate.
     * `n_nodes_sketched` = |V| rides along exactly — the |V|-sized-state
     * claim as a checked output, and DataSketches HLL unions are
     * register-max merges (order-insensitive), so the estimates are
     * deterministic under any shuffle layout. */
   def reachSketchCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    reachSketchPanel(s, dir)
+      .select($"seed_str".as("seed"), $"n_reachable_3hop",
+        $"n_nodes_sketched",
+        coalesce(abs($"est" - $"exact_p1") <= lit(0.15) * $"exact_p1",
+          $"n_reachable_3hop" === 0)
+          .as("sketch_within_15pct"))
+      .orderBy($"seed")
+  }
+
+  /** q291's certification frame BEFORE the band flag is applied: per
+    * panel seed, the exact 3-hop reach, the HLL estimate, and the |V|
+    * census — package-private so EnvelopeAuditSpec can measure the
+    * ACTUAL max relative error and assert headroom (< 10 %) under the
+    * 15 % contract band; a margin collapse (fixture regeneration, a new
+    * gated SF, a ReachLgK change) is then attributed by a failing spec
+    * BEFORE the oracle's hard `sketch_within_15pct = TRUE` trips with a
+    * confusing value-hash diff.
+    *
+    * Round-15 hop-loop rework (the q288 layer-chaining lesson applied,
+    * r14 verdict item 1): the old loop pinned FOUR |V|-row tables (hop-0
+    * sketches + one per hop) because each hop referenced sk_{k−1} twice —
+    * the edge gather AND a self-union. But on the symmetrized graph,
+    * where every tabled node has degree ≥ 1, the self-union is
+    * mathematically redundant for k ≥ 2:
+    *   ball_k(v) = ⋃_{u∈N(v)} ball_{k−1}(u)
+    * (⊇: dist(w,u) ≤ k−1 ⇒ dist(w,v) ≤ k; ⊆: w = v is within k−1 of any
+    * neighbor since k ≥ 2, else the first node on a shortest v→w path is
+    * a neighbor within k−1 of w). And hop 1 needs no hop-0 table at all:
+    * ball_1(v) = {v} ∪ N(v) sketches straight off the pinned adjacency —
+    * explode preserves the src placement and the groupBy key IS src, so
+    * hop 1 costs ZERO shuffle and zero pin. Every sk_k then has exactly
+    * ONE consumer (hop k+1's gather, or the final estimate), so the
+    * whole loop is one lazy linear chain — no double-evaluation to pin
+    * against. Pins per run: ONE, the (node, double) estimate table
+    * (8 B/row, consumed twice: census + panel join). Per-hop cost is the
+    * irreducible HyperBall shuffle — |E| exploded sketch rows into the
+    * groupBy(node) fold — and the gather join stays exchange-free
+    * (sk_{k−1}'s agg output is hash-placed on node; edges are pinned on
+    * src). vs r14: −3 sketch pins (write+read each), −3 self-union
+    * joins, −1 hop-0 build. */
+  private[graft] def reachSketchPanel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val edges = tradeAdjacency(s, dir)
-    // hop-0: each node's sketch holds exactly itself. The adjacency's
-    // src column IS the distinct node list (groupBy key), so the sketch
-    // agg runs over |V| rows with no distinct pass at all.
-    // Each hop references the previous sketch table TWICE (the edge
-    // gather and the self-union), so it must be PINNED per hop or the
-    // lazy plan re-evaluates hop k−1 twice per reference — 2³ = 8
-    // recomputations of hop 0 by hop 3 (measured: 27.6 s unpinned vs
-    // ~6 s pinned at sf0.1). Pinning HASH-PARTITIONED on node also
-    // makes both consumers exchange-free: the gather join matches the
-    // src-pinned edges side, and the groupBy(dst) output arrives
-    // already hash-distributed on node for the self-union join. The
-    // pin is |V| rows × ~0.5 KB — megabytes at any corpus.
-    var sk = graft.operators.Pinned.partitionedCheckpoint(
-      edges.select($"src".as("node"))
-        .groupBy($"node")
-        .agg(hll_sketch_agg($"node", ReachLgK).as("sk")),
-      $"node")
-    var est: DataFrame = null
-    (1 to 3).foreach { hop =>
-      // |V|-row join against the pinned adjacency (exchange-free), the
-      // |E|-row sketch stream only exists AFTER the explode
-      val gathered = sk.join(edges, sk("node") === edges("src"))
+    // ball_1 = self + neighbors, in the adjacency's own partitions
+    var sk = edges
+      .select($"src".as("node"),
+        explode(concat($"dsts", array($"src"))).as("m"))
+      .groupBy($"node")
+      .agg(hll_sketch_agg($"m", ReachLgK).as("sk"))
+    (2 to 3).foreach { _ =>
+      // |V|-row exchange-free gather join; the |E|-row sketch stream
+      // only exists AFTER the explode, then folds by destination
+      sk = sk.join(edges, sk("node") === edges("src"))
         .select($"sk", explode($"dsts").as("node"))
         .groupBy($"node")
-        .agg(hll_union_agg($"sk").as("nbr"))
-      // Hop 3 (round-14 pin narrowing): downstream only the ESTIMATE is
-      // consumed (twice — the |V| census and the panel join), so the
-      // final pin carries (node, double) at 8 B/row instead of the
-      // ~0.5 KB sketch — ~60× fewer pinned bytes on the widest pin.
-      if (hop < 3)
-        sk = graft.operators.Pinned.partitionedCheckpoint(
-          sk.join(gathered, "node")
-            .select($"node", hll_union($"sk", $"nbr").as("sk")),
-          $"node")
-      else
-        est = graft.operators.Pinned.partitionedCheckpoint(
-          sk.join(gathered, "node")
-            .select($"node",
-              hll_sketch_estimate(hll_union($"sk", $"nbr")).as("est")),
-          $"node")
+        .agg(hll_union_agg($"sk").as("sk"))
     }
+    // The only pin: downstream consumes the ESTIMATE twice (the |V|
+    // census and the panel join), at 8 B/row instead of the ~0.5 KB
+    // sketch — ~60× fewer pinned bytes than any sketch-carrying pin.
+    val est = graft.operators.Pinned.partitionedCheckpoint(
+      sk.select($"node", hll_sketch_estimate($"sk").as("est")),
+      $"node")
     val nNodes = est.agg(count(lit(1)).as("n_nodes_sketched"))
     val seeds = Tables.supplier(s, dir)
       .orderBy($"s_suppkey".asc).limit(ReachPanelK)
       .select(($"s_suppkey" * 2 + 1).as("seed"))
     val exact = bfsVisited(seeds, edges)
       .groupBy($"seed").agg((count(lit(1)) - 1).as("n_reachable_3hop"))
-    val exactP1 = ($"n_reachable_3hop" + 1).cast("double")
     // LEFT join: a panel supplier with zero trades has no edges, so the
     // edge-derived sketch table has no row for it — an inner join would
     // silently drop the seed while the oracle still emits it with reach
     // 0 and flag TRUE. For such a seed the sketch is vacuously within
-    // band (there is nothing to estimate), so the flag coalesces to
-    // `reach == 0` — TRUE exactly when the absence is legitimate.
+    // band (there is nothing to estimate; `est` stays NULL), so the
+    // census's flag coalesces to `reach == 0` — TRUE exactly when the
+    // absence is legitimate.
     exact.join(est, exact("seed") === est("node"), "left")
       .crossJoin(broadcast(nNodes))
-      .select(seedStr($"seed").as("seed"), $"n_reachable_3hop",
-        $"n_nodes_sketched",
-        coalesce(abs($"est" - exactP1) <= lit(0.15) * exactP1,
-          $"n_reachable_3hop" === 0)
-          .as("sketch_within_15pct"))
-      .orderBy($"seed")
+      .select(seedStr($"seed").as("seed_str"), $"n_reachable_3hop",
+        ($"n_reachable_3hop" + 1).cast("double").as("exact_p1"),
+        $"est", $"n_nodes_sketched")
   }
 
   /** Semi-supervised label propagation — the CLASSIFICATION member of

@@ -3213,7 +3213,11 @@ object LlmOps {
         expr("bit_xor(digest)").as("xor_check"),
         (sum($"digest".cast(DecimalType(38, 0))) % lit(ChecksumMod))
           .cast("long").as("sum_check"),
-        min(concat($"hhex", lit(":"), $"doc_id".cast("string")))
+        // doc_id zero-padded so the string min agrees with the numeric
+        // (hkey, doc_id) shard order even on a 40-bit hkey collision —
+        // without the pad, doc 10 sorts before doc 2 and the resume
+        // cursor names the wrong first member.
+        min(concat($"hhex", lit(":"), lpad($"doc_id".cast("string"), 12, "0")))
           .as("first_member"))
       .orderBy($"shard_id")
   }
@@ -3635,7 +3639,7 @@ object LlmOps {
          |       CAST(max((cum_tok - n_tok) // $PackBudget) + 1 AS BIGINT) AS n_bins,
          |       bit_xor(digest) AS xor_check,
          |       CAST(CAST(sum(digest) AS HUGEINT) % $ChecksumMod AS BIGINT) AS sum_check,
-         |       min(concat(hhex, ':', CAST(doc_id AS VARCHAR))) AS first_member
+         |       min(concat(hhex, ':', lpad(CAST(doc_id AS VARCHAR), 12, '0'))) AS first_member
          |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "q325_quality_filter_inference" ->
       s"""WITH bg AS MATERIALIZED (

@@ -112,6 +112,60 @@ class EnvelopeAuditSpec extends SparkSpec {
     assert(r.getLong(1) >= 1L, "weights are positive trade counts")
   }
 
+  /** The adjacency-list degree bound (Graph.tradeAdjacency's documented
+    * precondition): collect_set materializes each node's neighbor set as
+    * ONE array row, safe only while max degree stays far below
+    * array-row comfort (~10⁵). */
+  private val MaxAdjacencyDegree = 100000L
+
+  private def assertDegreeBound(edges: DataFrame, what: String): Unit = {
+    val maxDeg = edges.groupBy("src")
+      .agg(countDistinct("dst").as("deg"))
+      .agg(max($"deg")).collect()(0).getLong(0)
+    assert(maxDeg < MaxAdjacencyDegree,
+      s"$what: max degree $maxDeg breaches the adjacency-list array-row " +
+        s"bound ($MaxAdjacencyDegree) — use the pair-list build (q290's " +
+        s"form) for this graph shape")
+  }
+
+  test("adjacency-list hub-degree precondition holds on the trade graph") {
+    // The hypothesis behind tradeAdjacency's collect_set build: trade
+    // degrees are SF-constant (≈40 per customer, ≈600 per supplier).
+    // Measure the symmetrized fixture graph; a fixture/shape change that
+    // grows a hub fails HERE, not as a dead executor in a bench.
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val raw = orders.join(li, $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+    val sym = raw.unionAll(raw.select($"dst".as("src"), $"src".as("dst")))
+    assertDegreeBound(sym, "trade graph")
+    // ... and the detector actually fires: a planted 10⁵-degree hub
+    // (one src fanning out to 100k distinct dsts) must trip the bound.
+    val hub = spark.range(MaxAdjacencyDegree)
+      .select(lit(0L).as("src"), $"id".as("dst"))
+    intercept[org.scalatest.exceptions.TestFailedException] {
+      assertDegreeBound(hub, "planted hub")
+    }
+  }
+
+  test("q291 sketch error has headroom under the 15% contract band") {
+    // ReachLgK = 9 puts the band at ≈3.3σ; the oracle hard-asserts
+    // sketch_within_15pct = TRUE, so a margin collapse (fixture regen, a
+    // new gated SF, a precision change) would surface as a confusing
+    // value-hash diff. Pin the MEASURED max relative error well inside
+    // the band (< 10%) so the collapse is attributed here first.
+    val panel = queries.Graph.reachSketchPanel(spark, sfDir)
+      .filter($"exact_p1" > 1.0) // zero-reach seeds carry no estimate
+      .select((abs($"est" - $"exact_p1") / $"exact_p1").as("rel_err"))
+      .agg(max($"rel_err")).collect()(0)
+    assert(!panel.isNullAt(0), "panel produced no estimable seeds")
+    val maxErr = panel.getDouble(0)
+    assert(maxErr < 0.10,
+      f"measured max relative error $maxErr%.4f has lost its headroom " +
+        f"under the 15%% oracle band — revisit ReachLgK before the " +
+        f"CORRECTNESS gate trips")
+  }
+
   test("wrap-symptom scan over the non-negative-by-construction census family") {
     // Counts, token totals, shard stats, blast radii: all non-negative by
     // construction; a negative long anywhere is an overflow signature.

@@ -35,10 +35,20 @@ def main():
     toks = sys.argv[1:]
     i = 0
     while i < len(toks):
-        if toks[i] == "--ratio":
-            ratio_thr = float(toks[i + 1]); i += 2
-        elif toks[i] == "--abs":
-            abs_thr = float(toks[i + 1]); i += 2
+        if toks[i] in ("--ratio", "--abs"):
+            if i + 1 >= len(toks):
+                raise SystemExit(f"{toks[i]} requires a value\n{__doc__}")
+            try:
+                val = float(toks[i + 1])
+            except ValueError:
+                raise SystemExit(
+                    f"{toks[i]} value {toks[i + 1]!r} is not a number\n"
+                    f"{__doc__}")
+            if toks[i] == "--ratio":
+                ratio_thr = val
+            else:
+                abs_thr = val
+            i += 2
         elif toks[i].startswith("--"):
             raise SystemExit(f"unknown flag {toks[i]}\n{__doc__}")
         else:
