@@ -2756,6 +2756,106 @@ object LlmOps {
       .orderBy($"sym")
   }
 
+  /** Merge-round count for [[bpeMergeLoop]]. A production induction runs
+    * thousands of rounds with the same per-round shape; 8 is enough to
+    * leave any unrolled form behind and exercise the loop's early-exit
+    * path in specs (a pair-exhausted vocabulary stops the loop). */
+  val BpeLoopRounds = 8
+
+  /** Full BPE merge LOOP — the production tokenizer induction (Sennrich
+    * et al. 2016's algorithm, trained the way real trainers train:
+    * K greedy rounds over the weighted word dictionary, never the
+    * corpus). q157 proves two UNROLLED rounds; this runs
+    * [[BpeLoopRounds]] DRIVER-COORDINATED rounds in q309's bounded-
+    * narrowing style — per round: one vocabulary-bounded pair-count
+    * aggregate, a ≤1-row collect of the winning pair (max count,
+    * lexicographic tie-break — greedy BPE's determinism rule), the merge
+    * applied as a LITERAL string replace over the checkpointed
+    * (word, freq, seg) dict (non-overlapping left-to-right replace IS
+    * the greedy merge rule, identically in both engines), then q196's
+    * explode machinery re-encodes the vocabulary for the round's
+    * distinct-symbol census. The corpus is touched ONCE (the dict
+    * build); each round's distributed work is O(|vocab|) map-side
+    * replaces + one bounded agg, and only TWO driver-side rows per round
+    * cross the gate — the q309 narrowing contract, so inducting over
+    * 100 TB costs the one word-count pass. The loop is TOTAL: a
+    * vocabulary with no pairs left (every word fully merged) ends it
+    * early, emitting only the completed rounds — exactly what the
+    * oracle's replay emits, because every later top_k CTE is empty.
+    * Oracle: the identical K-round replay as a programmatically
+    * generated CTE chain (pc_k → top_k → vocab_{k+1} → census_k), every
+    * multiply-referenced CTE MATERIALIZED (DuckDB inlines CTEs; an
+    * unmaterialized chain re-derives vocab_k exponentially). */
+  def bpeMergeLoop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var vocab = bpeVocab(s, dir)
+    val out = Seq.newBuilder[(Int, String, String, Long, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= BpeLoopRounds && !exhausted) {
+      val top = bpeTopPair(bpePairCounts(vocab)).collect() // ≤1-row gate
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        vocab = vocab.select($"w", $"freq",
+          replace($"seg", lit(s" $pair "), lit(s" $merged ")).as("seg"))
+        val nSyms = vocab
+          .select(explode(split(trim($"seg"), " ")).as("sym"))
+          .agg(countDistinct($"sym")).collect()(0).getLong(0) // 1-row gate
+        out += ((k, pair, merged, cnt, nSyms))
+        k += 1
+      }
+    }
+    out.result().toDF("round", "pair", "merged", "cnt", "vocab_syms")
+      .orderBy($"round")
+  }
+
+  /** q329's oracle: the [[BpeLoopRounds]]-round replay, generated as one
+    * CTE chain per round. See [[bpeMergeLoop]]'s Scaladoc for why every
+    * vocab_k / top_k is MATERIALIZED. */
+  private def bpeLoopOracleSql: String = {
+    val rounds = (1 to BpeLoopRounds).map { k =>
+      s""",
+         |pc$k AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |                        i -> syms[i] || ' ' || syms[i + 1])) AS pair
+         |    FROM (SELECT freq, string_split(trim(seg), ' ') AS syms FROM vocab$k))
+         |  GROUP BY pair
+         |),
+         |top$k AS MATERIALIZED (
+         |  SELECT pair AS top_pair, cnt AS top_cnt FROM pc$k
+         |  ORDER BY cnt DESC, pair ASC LIMIT 1
+         |),
+         |vocab${k + 1} AS MATERIALIZED (
+         |  SELECT w, freq,
+         |         replace(seg, ' ' || top_pair || ' ',
+         |                 ' ' || replace(top_pair, ' ', '') || ' ') AS seg
+         |  FROM vocab$k, top$k
+         |),
+         |vs$k AS (
+         |  SELECT CAST(count(DISTINCT sym) AS BIGINT) AS vocab_syms
+         |  FROM (SELECT unnest(string_split(trim(seg), ' ')) AS sym
+         |        FROM vocab${k + 1})
+         |)""".stripMargin
+    }.mkString
+    val sel = (1 to BpeLoopRounds).map { k =>
+      s"""  SELECT $k AS round, top_pair AS pair,
+         |         replace(top_pair, ' ', '') AS merged, top_cnt AS cnt,
+         |         vocab_syms FROM top$k, vs$k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH vocab1 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |         ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |  GROUP BY w
+       |)""".stripMargin + rounds +
+      s"\nSELECT CAST(round AS INT) AS round, pair, merged, cnt, vocab_syms" +
+      s"\nFROM (\n$sel)\nORDER BY round"
+  }
+
   /** Hard-negative mining for contrastive training — for each probe
     * vector, the top-2 neighbors inside a similarity BAND [0.15, 0.45):
     * related enough to be informative, far enough to not be a near-dup
@@ -3461,6 +3561,7 @@ object LlmOps {
     "q193_knn_label_vote" -> knnLabelVote,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
+    "q329_bpe_merge_loop" -> bpeMergeLoop,
     "q156_curation_funnel" -> curationFunnel,
     "q147_quality_gopher" -> qualityGopherRules,
     "q148_domain_blocklist" -> domainBlocklist,
@@ -4144,6 +4245,7 @@ object LlmOps {
          |      FROM vocab3)
          |GROUP BY sym
          |ORDER BY sym""".stripMargin,
+    "q329_bpe_merge_loop" -> bpeLoopOracleSql,
     "q157_bpe_merges" ->
       s"""WITH vocab AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS freq,

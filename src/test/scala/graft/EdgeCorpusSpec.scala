@@ -40,7 +40,8 @@ class EdgeCorpusSpec extends SparkSpec {
     "q117_dedup_keep_best", "q119_token_histogram", "q127_mix_rebalance",
     "q128_dedup_lines", "q131_quality_unigram_lm", "q132_bm25_search",
     "q133_collocation_pmi", "q147_quality_gopher", "q148_domain_blocklist",
-    "q156_curation_funnel", "q157_bpe_merges", "q180_feature_hashing",
+    "q156_curation_funnel", "q157_bpe_merges", "q329_bpe_merge_loop",
+    "q180_feature_hashing",
     "q181_dense_id_assignment",
     "q293_importance_resampling",
     "q295_temperature_mixture",

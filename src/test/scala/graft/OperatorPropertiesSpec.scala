@@ -1531,6 +1531,35 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.values.map(_._2).sum === 40000L, "credit conservation: 10000 bp per conversion")
   }
 
+  test("q329 BPE loop: greedy ties break lexicographically; pair exhaustion ends the loop") {
+    // Two two-letter words, equal frequency: round 1 sees 'a b' and
+    // 'c d' tied at count 1 — greedy BPE's determinism rule says the
+    // lexicographically smaller pair must win. After both merges every
+    // word is a single symbol, so round 3 finds no pairs and the loop
+    // must stop, emitting exactly 2 rows (not BpeLoopRounds).
+    val dir = java.nio.file.Files.createTempDirectory("bpe_tie").toString
+    Seq((1L, "ab cd", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q329_bpe_merge_loop")(spark, dir).collect()
+    assert(rows.length === 2, "loop must end at pair exhaustion")
+    assert(rows(0).getInt(0) === 1 && rows(0).getString(1) === "a b" &&
+      rows(0).getString(2) === "ab", "tie must break to the smaller pair")
+    assert(rows(1).getInt(0) === 2 && rows(1).getString(1) === "c d")
+    // symbol census: {ab, c, d} after round 1, {ab, cd} after round 2
+    assert(rows(0).getLong(4) === 3L && rows(1).getLong(4) === 2L)
+    // prefix consistency: the loop's first two rounds on the real corpus
+    // must be exactly q157's two unrolled merges
+    val loop = SparkEntry.queries("q329_bpe_merge_loop")(spark, sfDir).collect()
+    val two = SparkEntry.queries("q157_bpe_merges")(spark, sfDir).collect()
+    assert(loop.length === graft.queries.LlmOps.BpeLoopRounds)
+    (0 to 1).foreach { i =>
+      assert(loop(i).getString(1) === two(i).getString(1) &&
+        loop(i).getLong(3) === two(i).getLong(3),
+        s"round ${i + 1} must match the unrolled q157 merge")
+    }
+  }
+
   test("q324 shard manifest is invariant to input partitioning and ordering") {
     // The manifest's whole contract: placement, order, packing, and
     // checksums derive from row CONTENT alone, so a repartitioned and
