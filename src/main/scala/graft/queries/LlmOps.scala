@@ -751,22 +751,37 @@ object LlmOps {
     * rows through a per-vector Window just to rank 16 of them). At 100 TB
     * this is the difference between a full-corpus shuffle and none:
     * assignment cost is O(N·16·d) map-side FLOPs, zero rows move. */
+  /** The 16-centroid coarse-quantizer array (1 broadcastable row) — shared
+    * by [[ivfAssigned]] and q330's fused encode projection. */
+  private def ivfCentsArr(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.filter($"vec_id" < 16)
+      .agg(sort_array(collect_list(struct($"vec_id".as("cid"), $"embedding".as("ce"))))
+        .as("cents"))
+  }
+
+  /** The argmax-cosine cell id of `embedding` against the broadcast
+    * `cents` array — [[ivfAssigned]]'s map-side fold as a reusable
+    * Column (strictly-greater replacement keeps ties on the lowest
+    * cid). */
+  private def ivfCidCol(s: SparkSession): Column = {
+    import s.implicits._
+    aggregate(
+      $"cents",
+      struct(lit(-1L).as("cid"), lit(Double.NegativeInfinity).as("cos_c")),
+      (acc, c) => {
+        val cs = cosine(s)($"embedding", c.getField("ce"))
+        when(cs > acc.getField("cos_c"),
+          struct(c.getField("cid").as("cid"), cs.as("cos_c"))).otherwise(acc)
+      }).getField("cid")
+  }
+
   def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val centsArr = e.filter($"vec_id" < 16)
-      .agg(sort_array(collect_list(struct($"vec_id".as("cid"), $"embedding".as("ce"))))
-        .as("cents"))
-    e.crossJoin(broadcast(centsArr))
-      .withColumn("best", aggregate(
-        $"cents",
-        struct(lit(-1L).as("cid"), lit(Double.NegativeInfinity).as("cos_c")),
-        (acc, c) => {
-          val cs = cosine(s)($"embedding", c.getField("ce"))
-          when(cs > acc.getField("cos_c"),
-            struct(c.getField("cid").as("cid"), cs.as("cos_c"))).otherwise(acc)
-        }))
-      .select($"vec_id", $"best.cid".as("cid"), $"embedding")
+    e.crossJoin(broadcast(ivfCentsArr(e)))
+      .withColumn("cid", ivfCidCol(s))
+      .select($"vec_id", $"cid", $"embedding")
   }
 
   /** [[ivfAssigned]] extended to the TOP-2 nearest cells per vector, still
@@ -1516,36 +1531,51 @@ object LlmOps {
     * subspaces, q300). Same deterministic contract as always: first-k
     * seeds, integer `sqdist·k + cluster` argmin codes, grid-snapped
     * centroid update. Returns `(vec_id, q, cluster, sqdist)`. */
-  private def lloydAssign2(s: SparkSession, qv: DataFrame, k: Int): DataFrame = {
+  // centroid rows (cluster, m) → one broadcastable row of K array columns
+  private def lloydPivotCents(k: Int, cdf: DataFrame): DataFrame = {
+    import cdf.sparkSession.implicits._
+    cdf.groupBy().agg(
+      max(when($"cluster" === 0, $"m")).as("m0"),
+      (1 until k).map(j => max(when($"cluster" === j, $"m")).as(s"m$j")): _*)
+  }
+  // native codegen sqdist kernel (graft_ivec_sqdist): the HOF form is
+  // CodegenFallback and measured ~40× slower here, K evaluations per row
+  private def lloydAssignWith(
+      s: SparkSession, qv: DataFrame, k: Int, cents: DataFrame): DataFrame = {
     import s.implicits._
-    // centroid rows (cluster, m) → one broadcastable row of K array columns
-    def pivotCents(cdf: DataFrame): DataFrame =
-      cdf.groupBy().agg(
-        max(when($"cluster" === 0, $"m")).as("m0"),
-        (1 until k).map(j => max(when($"cluster" === j, $"m")).as(s"m$j")): _*)
-    // native codegen sqdist kernel (graft_ivec_sqdist): the HOF form is
-    // CodegenFallback and measured ~40× slower here, K evaluations per row
     def codeFor(j: Int): Column =
       VectorOps.sqDistI(s)($"q", col(s"m$j")) * lit(k.toLong) + lit(j.toLong)
-    def assign(cents: DataFrame): DataFrame =
-      qv.crossJoin(broadcast(cents))
-        .withColumn("code", least((0 until k).map(codeFor): _*))
-        .withColumn("cluster", pmod($"code", lit(k.toLong)).cast("int"))
-        .withColumn("sqdist",
-          (($"code" - pmod($"code", lit(k.toLong))).cast("double")
-            / lit(k.toDouble)).cast("long"))
-    def update(a: DataFrame): DataFrame =
-      a.select($"cluster", posexplode($"q").as(Seq("pos", "x")))
-        .groupBy($"cluster", $"pos")
-        .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
-        .withColumn("mi",
-          floor((lit(2.0) * $"sx" + $"n") / (lit(2.0) * $"n")).cast("int"))
-        .groupBy($"cluster")
-        .agg(transform(sort_array(collect_list(struct($"pos", $"mi"))),
-          e => e.getField("mi")).as("m"))
+    qv.crossJoin(broadcast(cents))
+      .withColumn("code", least((0 until k).map(codeFor): _*))
+      .withColumn("cluster", pmod($"code", lit(k.toLong)).cast("int"))
+      .withColumn("sqdist",
+        (($"code" - pmod($"code", lit(k.toLong))).cast("double")
+          / lit(k.toDouble)).cast("long"))
+  }
+  private def lloydUpdate(a: DataFrame): DataFrame = {
+    import a.sparkSession.implicits._
+    a.select($"cluster", posexplode($"q").as(Seq("pos", "x")))
+      .groupBy($"cluster", $"pos")
+      .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+      .withColumn("mi",
+        floor((lit(2.0) * $"sx" + $"n") / (lit(2.0) * $"n")).cast("int"))
+      .groupBy($"cluster")
+      .agg(transform(sort_array(collect_list(struct($"pos", $"mi"))),
+        e => e.getField("mi")).as("m"))
+  }
+  /** The trained pivot after two Lloyd rounds — the 1-row (m0..m{k−1})
+    * centroid table itself, exposed for consumers that need the CODEBOOK
+    * and not just assignments (q330's ADC distance tables). */
+  private def lloydFinalPivot(s: SparkSession, qv: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
     val c0 = qv.filter($"vec_id" < k)
       .select($"vec_id".cast("int").as("cluster"), $"q".as("m"))
-    assign(pivotCents(update(assign(pivotCents(c0)))))
+    lloydPivotCents(k,
+      lloydUpdate(lloydAssignWith(s, qv, k, lloydPivotCents(k, c0))))
+  }
+  private def lloydAssign2(s: SparkSession, qv: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    lloydAssignWith(s, qv, k, lloydFinalPivot(s, qv, k))
       .select($"vec_id", $"q", $"cluster", $"sqdist")
   }
 
@@ -1597,6 +1627,165 @@ object LlmOps {
         sum($"d1" + $"d2").as("sum_sqdist"),
         min($"vec_id").as("min_vec"))
       .orderBy($"pq_code")
+  }
+
+  /** PQ subspace count for q330's ADC search — FAISS's `m` parameter at
+    * its stock value for 64-dim vectors: 8 subspaces × 8 dims. q300's
+    * 2×32 split demonstrates the codebook TRAINING; search needs the
+    * finer split because ADC's distance resolution grows with m (here
+    * [[PqK]]⁸ = 65 536 product codes vs q300's 16 — enough for the
+    * shortlist ranking to be informative even on the isotropic
+    * fixture). */
+  val PqAdcM = 8
+  private val PqAdcDim = 8
+
+  /** ADC shortlist size per query: the code-only ranking keeps this many
+    * candidates per query for the exact re-rank — the standard IVF-PQ
+    * accuracy/cost dial next to nprobe. 50 measured 0.80 recall at
+    * sf0.1 (zero headroom against [[IvfPqRecallFloor]] — the q291
+    * margin lesson); 100 recovers the cell-recall ceiling. */
+  val AdcShortlistK = 100
+
+  /** Minimum recall@3 (vs q45's exact brute force) the composed IVF-PQ
+    * path must deliver. Measured 0.93 / 0.97 / 0.97 at sf0.001 / 0.01 /
+    * 0.1 — the single-probe cell recall (q53's 0.93–0.97) is the
+    * ceiling, and the 100-candidate shortlist reaches it at every
+    * fixture SF, so 0.8 leaves ≥0.13 headroom while catching codebook /
+    * assignment / ADC-lookup drift. */
+  val IvfPqRecallFloor = 0.8
+
+  /** IVF-PQ composed ADC top-k search — the operator a production vector
+    * store actually runs (the FAISS IVF-PQ index family; Jégou et al.'s
+    * asymmetric distance computation, public descriptions): q53's coarse
+    * quantizer picks the cell, q300's Lloyd kernel trains [[PqAdcM]]
+    * per-subspace codebooks, every corpus vector is stored as 8 2-bit
+    * codes, and search ranks candidates WITHOUT touching their vectors —
+    * per query one [[PqK]]-entry integer distance table per subspace
+    * (32 exact BIGINT sqdists on the int8 grid), candidate distance =
+    * Σ_m dt_m[c_m], an 8-lookup add. The ADC top-[[AdcShortlistK]]
+    * shortlist then re-ranks EXACTLY (raw-vector cosine, q45's op tree)
+    * and emits top-3 — shortlist-then-rerank is the production shape.
+    * Scale: training is 8 broadcast-pivot Lloyd chains over the cached
+    * int8 corpus (a real store trains on a bounded sample — the kernel
+    * is sample-size-agnostic); ENCODING is one map-side projection (all
+    * 8 codes against one broadcast codebook row, zero shuffle); search
+    * shuffles only the per-query shortlist (WindowGroupLimit caps each
+    * map task at 50 rows per query before the exchange), and the re-rank
+    * fetches ≤|Q|·50 vectors by broadcast join — the corpus is never
+    * shuffled and raw vectors never ride the ADC stream. Recall\@3 vs
+    * the exact baseline rides the output as the q70 contract boolean
+    * (floor [[IvfPqRecallFloor]], literal TRUE in the oracle). */
+  /** All [[PqAdcM]] sub-codebooks trained in ONE fused two-round Lloyd —
+    * the per-subspace math is exactly [[lloydFinalPivot]]'s (first-k
+    * seeds, integer argmin codes, grid-snapped update; the q330 oracle
+    * replays each subspace through the same [[pqPipeSql]] pipeline), but
+    * the execution fuses the 8 independent chains: ONE seed pivot, ONE
+    * round-1 assignment projection computing all 8 cluster ids, ONE
+    * posexplode+agg computing all 8 grid-snapped updates (subspace =
+    * pos div 8 recovers which codebook a dimension belongs to), ONE
+    * final pivot. 2 corpus passes instead of 16 — measured 5.9 s → see
+    * PLANS at sf0.1. Returns the 1-row broadcastable codebook
+    * (s{m}_m{j} array columns). */
+  private def pqAdcCodebooks(s: SparkSession, qv: DataFrame): DataFrame = {
+    import s.implicits._
+    val k = PqK
+    def subCol(m: Int): Column = slice($"q", m * PqAdcDim + 1, PqAdcDim)
+    def pivotAgg(cm: (Int, Int) => Column): DataFrame => DataFrame = df => {
+      val cols = for (m <- 0 until PqAdcM; j <- 0 until k)
+        yield cm(m, j).as(s"s${m}_m$j")
+      df.groupBy().agg(cols.head, cols.tail: _*)
+    }
+    val cents0 = pivotAgg((m, j) =>
+      max(when($"vec_id" === j, subCol(m))))(qv.filter($"vec_id" < k))
+    def codeCol(m: Int): Column = pmod(
+      least((0 until k).map(j =>
+        VectorOps.sqDistI(s)(subCol(m), col(s"s${m}_m$j"))
+          * lit(k.toLong) + lit(j.toLong)): _*),
+      lit(k.toLong)).cast("int")
+    val a1 = qv.crossJoin(broadcast(cents0))
+      .select($"q", array((0 until PqAdcM).map(codeCol): _*).as("cl"))
+    pivotAgg((m, j) => max(when($"m" === m && $"cluster" === j, $"cm")))(
+      a1.select($"cl", posexplode($"q").as(Seq("pos", "x")))
+        .withColumn("m", ($"pos" / lit(PqAdcDim)).cast("int"))
+        .withColumn("inpos", pmod($"pos", lit(PqAdcDim)))
+        .withColumn("cluster", element_at($"cl", $"m" + 1))
+        .groupBy($"m", $"cluster", $"inpos")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+        .withColumn("mi",
+          floor((lit(2.0) * $"sx" + $"n") / (lit(2.0) * $"n")).cast("int"))
+        .groupBy($"m", $"cluster")
+        .agg(transform(sort_array(collect_list(struct($"inpos", $"mi"))),
+          e => e.getField("mi")).as("cm")))
+  }
+
+  def annIvfPqAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ONE persisted enriched corpus (raw + int8): the projection barrier
+    // that stops CollapseProject from inlining the quantization into the
+    // 32 code-distance expressions (the q41/q42 duplication trap), and
+    // the single cached scan every downstream pass reads.
+    val enriched = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        VectorOps.quantizeI8(s)($"embedding").as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def subCol(m: Int): Column = slice($"q", m * PqAdcDim + 1, PqAdcDim)
+    // 8 trained sub-codebooks fused into ONE broadcastable row
+    val cents = pqAdcCodebooks(s, enriched.select($"vec_id", $"q"))
+    // encode + coarse-assign FUSED: all 8 PQ codes AND the IVF cell in
+    // one map-side projection over the cached corpus — zero joins, the
+    // write-time shape of a real index build.
+    def codeCol(m: Int): Column = pmod(
+      least((0 until PqK).map(j =>
+        VectorOps.sqDistI(s)(subCol(m), col(s"s${m}_m$j"))
+          * lit(PqK.toLong) + lit(j.toLong)): _*),
+      lit(PqK.toLong)).cast("int")
+    val cands = enriched
+      .crossJoin(broadcast(ivfCentsArr(enriched.select($"vec_id", $"embedding"))))
+      .crossJoin(broadcast(cents))
+      .select(($"vec_id".as("vid") +: ivfCidCol(s).as("cid") +:
+        (0 until PqAdcM).map(m => codeCol(m).as(s"c$m"))): _*)
+    // query side (bounded |Q| = 10, cached scan): home cell + the 8 ADC
+    // distance tables (4 exact BIGINTs each)
+    val queries = enriched.filter($"vec_id" < 10)
+      .crossJoin(broadcast(ivfCentsArr(enriched.select($"vec_id", $"embedding"))))
+      .crossJoin(broadcast(cents))
+      .select(($"vec_id".as("qid") +: ivfCidCol(s).as("qcell") +:
+        (0 until PqAdcM).map(m =>
+          array((0 until PqK).map(j =>
+            VectorOps.sqDistI(s)(subCol(m), col(s"s${m}_m$j"))): _*)
+            .as(s"dt$m"))): _*)
+    val w50 = Window.partitionBy($"qid").orderBy($"adc".asc, $"vid".asc)
+    val shortlist = broadcast(queries)
+      .join(cands, $"qcell" === $"cid" && $"qid" =!= $"vid")
+      .withColumn("adc", (0 until PqAdcM).map(m =>
+        element_at(col(s"dt$m"), col(s"c$m") + 1)).reduce(_ + _))
+      .withColumn("rn50", row_number().over(w50))
+      .filter($"rn50" <= AdcShortlistK)
+      .select($"qid", $"vid", $"adc")
+    // exact re-rank of the bounded shortlist: fetch vectors by broadcast
+    val w3 = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
+    val top3 = broadcast(shortlist)
+      .join(enriched.select($"vec_id".as("vid"), $"embedding".as("ve")), "vid")
+      .join(broadcast(enriched.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))), "qid")
+      .withColumn("cos", cosine(s)($"qe", $"ve"))
+      .withColumn("rn", row_number().over(w3))
+      .filter($"rn" <= 3)
+      .select($"qid", $"rn", $"vid", $"adc".as("adc_dist"), $"cos")
+      .localCheckpoint() // ≤30 rows, read by the output AND the recall agg
+    val exact = annBruteForce(s, dir).filter($"rn" <= 3)
+      .select($"qid".as("eqid"), $"vid".as("evid"))
+    val recallRow = exact
+      .join(top3.select($"qid".as("aqid"), $"vid".as("avid"), lit(1L).as("hit")),
+        $"eqid" === $"aqid" && $"evid" === $"avid", "left")
+      .agg(count(lit(1)).as("n_expected"),
+        coalesce(sum($"hit"), lit(0L)).as("hits"))
+      .withColumn("recall_at_3", ratio($"hits", $"n_expected"))
+      .withColumn("recall_ok", $"recall_at_3" >= lit(IvfPqRecallFloor))
+    top3.crossJoin(broadcast(recallRow))
+      .select($"qid", $"rn", $"vid", $"adc_dist", $"cos",
+        $"hits", $"recall_at_3", $"recall_ok")
+      .orderBy($"qid", $"rn")
   }
 
   /** Cosine floor above which a member counts as a near-dup of its
@@ -3556,6 +3745,7 @@ object LlmOps {
     "q321_priority_sample" -> prioritySample,
     "q304_distribution_drift" -> distributionDrift,
     "q300_pq_codebook_census" -> pqCodebookCensus,
+    "q330_ann_ivf_pq_adc" -> annIvfPqAdc,
     "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
     "q193_knn_label_vote" -> knnLabelVote,
@@ -3892,6 +4082,101 @@ object LlmOps {
          |FROM a2_1 s1 JOIN a2_2 s2 ON s1.vec_id = s2.vec_id
          |GROUP BY 1
          |ORDER BY 1""".stripMargin,
+    // q330: the full IVF-PQ replay — 8 generated Lloyd sub-pipelines
+    // (q300's machinery at 8×8 dims), coarse cells (q53's CTEs), the
+    // per-query ADC distance tables as 4-entry integer lists, the
+    // shortlist window, the exact cosine re-rank, and the recall compare
+    // (recall_ok literal TRUE — the q70 contract).
+    "q330_ann_ivf_pq_adc" -> {
+      val m = PqAdcM
+      val pipes = (0 until m)
+        .map(j => pqPipeSql(s"_b$j", j * 8 + 1, j * 8 + 8)).mkString(", ")
+      val codeCols = (0 until m)
+        .map(j => s"a$j.code % $PqK AS c$j").mkString(", ")
+      val codeJoins = (1 until m)
+        .map(j => s"JOIN a2_b$j a$j ON a$j.vec_id = a0.vec_id")
+        .mkString("\n         |  ")
+      def sqd(mm: Int, j: Int) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |             list_transform(range(1, 9),
+           |               i -> CAST(s$mm.q[i] - pv$mm.m$j[i] AS BIGINT)
+           |                    * (s$mm.q[i] - pv$mm.m$j[i]))),
+           |           (a, b) -> a + b)""".stripMargin
+      val dtCols = (0 until m).map(mm =>
+        s"[${(0 until PqK).map(j => sqd(mm, j)).mkString(",\n           ")}] AS dt$mm")
+        .mkString(",\n         ")
+      val qdtJoins = (1 until m)
+        .map(j => s"JOIN sub_b$j s$j ON s$j.vec_id = s0.vec_id")
+        .mkString("\n         |  ")
+      val pvList = (0 until m).map(j => s"p1_b$j pv$j").mkString(", ")
+      val adcSum = (0 until m)
+        .map(j => s"qdt.dt$j[CAST(codes.c$j + 1 AS INT)]").mkString(" + ")
+      s"""WITH $qvSql, $pipes,
+         |codes AS MATERIALIZED (
+         |  SELECT a0.vec_id, $codeCols FROM a2_b0 a0
+         |  $codeJoins
+         |),
+         |qdt AS MATERIALIZED (
+         |  SELECT s0.vec_id AS qid,
+         |         $dtCols
+         |  FROM sub_b0 s0
+         |  $qdtJoins, $pvList
+         |  WHERE s0.vec_id < 10
+         |),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+         |), assigned AS MATERIALIZED (
+         |  SELECT vec_id, cid, embedding FROM (
+         |    SELECT e.vec_id, cents.cid, e.embedding,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cents.ce")} DESC, cents.cid ASC) AS rnc
+         |    FROM (SELECT * FROM embeddings) e CROSS JOIN cents
+         |  ) WHERE rnc = 1
+         |), cand AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid, ($adcSum) AS adc
+         |  FROM (SELECT * FROM assigned WHERE vec_id < 10) q
+         |  JOIN assigned c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+         |  JOIN codes ON codes.vec_id = c.vec_id
+         |  JOIN qdt ON qdt.qid = q.vec_id
+         |), sl AS MATERIALIZED (
+         |  SELECT qid, vid, adc FROM (
+         |    SELECT qid, vid, adc, row_number() OVER (PARTITION BY qid
+         |             ORDER BY adc ASC, vid ASC) AS rn50 FROM cand
+         |  ) WHERE rn50 <= $AdcShortlistK
+         |), top3 AS MATERIALIZED (
+         |  SELECT qid, rn, vid, adc_dist, cos FROM (
+         |    SELECT sl.qid, sl.vid, sl.adc AS adc_dist,
+         |           ${cosSql("qe.embedding", "ce.embedding")} AS cos,
+         |           row_number() OVER (PARTITION BY sl.qid
+         |             ORDER BY ${cosSql("qe.embedding", "ce.embedding")} DESC,
+         |                      sl.vid ASC) AS rn
+         |    FROM sl
+         |    JOIN (SELECT * FROM embeddings) qe ON qe.vec_id = sl.qid
+         |    JOIN (SELECT * FROM embeddings) ce ON ce.vec_id = sl.vid
+         |  ) WHERE rn <= 3
+         |), exact3 AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rn
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |    JOIN (SELECT * FROM embeddings) c ON q.vec_id <> c.vec_id
+         |  ) WHERE rn <= 3
+         |), rec AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_expected,
+         |         CAST(coalesce(sum(hit), 0) AS BIGINT) AS hits
+         |  FROM (
+         |    SELECT CASE WHEN t.vid IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |    FROM exact3 e LEFT JOIN top3 t ON t.qid = e.qid AND t.vid = e.vid
+         |  )
+         |)
+         |SELECT qid, CAST(rn AS INT) AS rn, vid,
+         |       CAST(adc_dist AS BIGINT) AS adc_dist, cos, hits,
+         |       ${ratioSql("hits", "n_expected")} AS recall_at_3,
+         |       TRUE AS recall_ok
+         |FROM top3, rec
+         |ORDER BY qid, rn""".stripMargin
+    },
     "q304_distribution_drift" ->
       s"""WITH c AS (
          |  SELECT lang,
@@ -5654,14 +5939,16 @@ object LlmOps {
        |)""".stripMargin
   }
 
-  /** One PQ-subspace Lloyd pipeline for the q300 oracle: CTE-name suffix
-    * `sfx`, DuckDB list slice `[lo:hi]` (inclusive, 32 dims), same
-    * two-round construction as [[kmeansA2Sql]] with k = [[PqK]]. */
+  /** One PQ-subspace Lloyd pipeline for the q300/q330 oracles: CTE-name
+    * suffix `sfx`, DuckDB list slice `[lo:hi]` (inclusive; any width —
+    * q300 uses 2×32 dims, q330 8×8), same two-round construction as
+    * [[kmeansA2Sql]] with k = [[PqK]]. */
   private def pqPipeSql(sfx: String, lo: Int, hi: Int): String = {
     val k = PqK
+    val dims = hi - lo + 1
     def codeSql(j: Int) =
       s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(1, 33),
+         |    list_transform(range(1, ${dims + 1}),
          |      i -> CAST(q[i] - m$j[i] AS BIGINT) * (q[i] - m$j[i]))),
          |  (a, b) -> a + b) * $k + $j)""".stripMargin
     def pivotSql(src: String) =
@@ -5680,7 +5967,7 @@ object LlmOps {
        |  FROM sub$sfx, p0$sfx
        |), u1$sfx AS (
        |  SELECT CAST(code % $k AS INT) AS cluster, i AS pos, q[CAST(i AS INT)] AS x
-       |  FROM a1$sfx, range(1, 33) t(i)
+       |  FROM a1$sfx, range(1, ${dims + 1}) t(i)
        |), c1$sfx AS (
        |  SELECT cluster, list(mi ORDER BY pos) AS m
        |  FROM (
