@@ -1713,7 +1713,51 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** k for the q331 anonymity census: at the gated sf0.01 fixture the QI
+    * grid's group sizes run 2–47 (875 cells, median 16), so k = 10 splits
+    * the census — 120 below-k cells — and the flag is evidence, not a
+    * constant. (At sf0.1 every cell clears 10: dims and facts both scale,
+    * so re-identification risk FALLS with corpus size — the flag goes
+    * all-false there, which is itself the correct answer.) */
+  val KAnonK = 10
+
+  /** k-anonymity / quasi-identifier risk census — the privacy-audit
+    * complement of [[deletionCascade]] (q326 measures what a deletion
+    * removes; this measures what a RELEASE would expose): every order
+    * record carries the quasi-identifier triple (customer nation, market
+    * segment, order year) — the attacker-joinable attributes in the
+    * Sweeney k-anonymity model (public description) — and the census
+    * reports, per QI cell, the group size (a release is k-anonymous iff
+    * every cell ≥ k) and the l-diversity of the sensitive column
+    * (distinct order priorities: a cell where every record shares one
+    * sensitive value leaks it even at size ≥ k). Global risk numbers
+    * ride every row: k_anonymity = min cell size, l_diversity = min
+    * distinct-sensitive, n_groups_below_k. Everything is exact integer
+    * counting — one keyed fact⋈dim join, one grouped count, a ≤|cells|
+    * second agg; the census is ≤ |nations|·|segments|·|years| rows at
+    * any corpus size. */
+  def kAnonymityCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // 875-row census read twice (rows + global mins): pin, don't recompute
+    val g = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nation"), $"c_mktsegment".as("mktsegment"),
+        year($"o_orderdate").as("order_year"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"o_orderpriority").as("l_div"))
+      .localCheckpoint()
+    val tot = g.agg(min($"n_rows").as("k_anonymity"),
+      min($"l_div").as("l_diversity"),
+      sum(when($"n_rows" < KAnonK, 1L).otherwise(0L)).as("n_groups_below_k"))
+    g.crossJoin(broadcast(tot))
+      .select($"nation", $"mktsegment", $"order_year", $"n_rows", $"l_div",
+        ($"n_rows" < KAnonK).as("below_k"),
+        $"k_anonymity", $"l_diversity", $"n_groups_below_k")
+      .orderBy($"nation", $"mktsegment", $"order_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q331_k_anonymity_census" -> kAnonymityCensus,
     "q326_deletion_cascade" -> deletionCascade,
     "q284_important_parts_value" -> importantPartsValue,
     "q285_ship_priority_census" -> shipPriorityCensus,
@@ -1782,6 +1826,26 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q331_k_anonymity_census" ->
+      s"""WITH g AS MATERIALIZED (
+         |  SELECT c_nationkey AS nation, c_mktsegment AS mktsegment,
+         |         CAST(year(o_orderdate) AS INT) AS order_year,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_div
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2, 3
+         |), tot AS (
+         |  SELECT CAST(min(n_rows) AS BIGINT) AS k_anonymity,
+         |         CAST(min(l_div) AS BIGINT) AS l_diversity,
+         |         CAST(sum(CASE WHEN n_rows < $KAnonK THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_groups_below_k
+         |  FROM g
+         |)
+         |SELECT nation, mktsegment, order_year, n_rows, l_div,
+         |       n_rows < $KAnonK AS below_k,
+         |       k_anonymity, l_diversity, n_groups_below_k
+         |FROM g, tot
+         |ORDER BY nation, mktsegment, order_year""".stripMargin,
     // Independent path on purpose: the oracle recomputes BEFORE-minus-
     // AFTER totals from scratch (full aggregates over all rows vs over
     // surviving rows), while the declared plan sums the cascade frontier

@@ -1531,6 +1531,27 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.values.map(_._2).sum === 40000L, "credit conservation: 10000 bp per conversion")
   }
 
+  test("q331 k-anonymity: partition law, global mins, discriminating flags") {
+    val out = SparkEntry.queries("q331_k_anonymity_census")(spark, sfDir).collect()
+    // partition law: every order lands in exactly one QI cell
+    val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum === nOrders)
+    // the riding globals are exactly the cell-level mins / below-k count
+    val kAnon = out.map(_.getAs[Long]("k_anonymity")).distinct
+    val lDiv = out.map(_.getAs[Long]("l_diversity")).distinct
+    assert(kAnon.length === 1 && kAnon(0) === out.map(_.getAs[Long]("n_rows")).min)
+    assert(lDiv.length === 1 && lDiv(0) === out.map(_.getAs[Long]("l_div")).min)
+    val below = out.filter(_.getAs[Boolean]("below_k"))
+    assert(below.length.toLong ===
+      out.head.getAs[Long]("n_groups_below_k"))
+    assert(below.forall(_.getAs[Long]("n_rows") < graft.queries.Relational.KAnonK))
+    // the fixture must make the flag evidence: both flag values present
+    // and a leaking cell (l = 1) exists at the small SF
+    assert(below.nonEmpty && below.length < out.length, "flag must discriminate")
+    assert(lDiv(0) >= 1L && out.forall(r =>
+      r.getAs[Long]("l_div") <= r.getAs[Long]("n_rows")))
+  }
+
   test("q330 IVF-PQ ADC: exact re-rank, ordered output, recall headroom") {
     val out = SparkEntry.queries("q330_ann_ivf_pq_adc")(spark, sfDir).collect()
     assert(out.length === 30, "10 queries x top-3")
