@@ -2309,6 +2309,70 @@ object LlmOps {
     * global TV rides along via a broadcast 1-row total. Scale: one
     * scan, one bounded (lang, band) agg, everything after on ≤ a few
     * dozen rows. */
+  /** Smirnov's asymptotic critical coefficient c(α) = √(−ln(α/2)/2) at
+    * α = 0.05 — the standard two-sample KS rejection line
+    * D > c(α)·√((n₁+n₂)/(n₁·n₂)). */
+  val KsCritAlpha05 = 1.358
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic — the EXACT sup-gap
+    * complement of q304's binned TV distance: per language, compare the
+    * token-count distribution of the q304 consistent-hash halves by the
+    * supremum of |CDF_A − CDF_B| over the ranked value census, computed
+    * entirely in integers — sup_v |cum_a(v)·N_B − cum_b(v)·N_A| — with
+    * ONE final IEEE divide per language (q317's no-floats-until-the-end
+    * stance). Where q304 pays information for binning robustness, KS
+    * sees ANY shift in location or shape at its exact size — the
+    * standard pre-training distribution-regression test between two
+    * corpus snapshots. `drifted` applies Smirnov's α = 0.05 line
+    * ([[KsCritAlpha05]]) — the fixture halves are iid by construction,
+    * so flags are 5 %-level false positives there (sf0.01 is all-FALSE;
+    * sf0.001's en slice sits at 0.198 vs a 0.196 line and trips — the
+    * correct behavior of a 0.05-level test on null data, and both
+    * engines compute the identical boolean). The spec plants a disjoint
+    * shift (KS exactly 1) and a constant null (KS exactly 0).
+    *
+    * Scale shape: the corpus collapses to the (lang, ntok) value census
+    * in one grouped count (map-side partials); the prefix sums run as a
+    * lang-keyed window over CENSUS rows — bounded by the token-count
+    * DOMAIN (doc-length cap), never corpus size, so the window task is
+    * safe at any SF (the q144 bounded-domain argument, not the TwoPass
+    * unbounded-input case). Envelope: cum·N ≤ N_A·N_B < 2⁶³ holds for
+    * slices to ~3·10⁹ docs a side; beyond that, retype the
+    * cross-multiply to decimal internally (q304's d38 pattern). */
+  def ksDriftStat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val space = 16777216L // 16^6
+    val half = conv(substring(md5(concat(lit("drift:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    // value census, pinned: read by the prefix window AND the totals
+    val census = Tables.documents(s, dir)
+      .select($"lang", $"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .withColumn("in_a", half)
+      .groupBy($"lang", $"ntok")
+      .agg(sum(when($"in_a", 1L).otherwise(0L)).as("nav"),
+        sum(when($"in_a", 0L).otherwise(1L)).as("nbv"))
+      .localCheckpoint()
+    val totals = census.groupBy($"lang")
+      .agg(sum($"nav").as("n_a"), sum($"nbv").as("n_b"))
+    val w = Window.partitionBy($"lang").orderBy($"ntok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = census
+      .withColumn("cum_a", sum($"nav").over(w))
+      .withColumn("cum_b", sum($"nbv").over(w))
+      .join(broadcast(totals), "lang")
+      .withColumn("dnum", abs($"cum_a" * $"n_b" - $"cum_b" * $"n_a"))
+      .groupBy($"lang")
+      .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+        max($"dnum").as("ks_num"))
+    val ksStat = $"ks_num".cast("double") / ($"n_a".cast("double") * $"n_b")
+    per.select($"lang", $"n_a", $"n_b", $"ks_num", ksStat.as("ks_stat"),
+        ($"n_a" > 0L && $"n_b" > 0L && ksStat > lit(KsCritAlpha05) *
+          sqrt(($"n_a" + $"n_b").cast("double") / ($"n_a".cast("double") * $"n_b")))
+          .as("drifted"))
+      .orderBy($"lang")
+  }
+
   def distributionDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
@@ -3744,6 +3808,7 @@ object LlmOps {
     "q318_hybrid_rrf_fusion" -> hybridRrfFusion,
     "q321_priority_sample" -> prioritySample,
     "q304_distribution_drift" -> distributionDrift,
+    "q332_ks_drift_stat" -> ksDriftStat,
     "q300_pq_codebook_census" -> pqCodebookCensus,
     "q330_ann_ivf_pq_adc" -> annIvfPqAdc,
     "q174_cluster_survivorship" -> clusterSurvivorship,
@@ -4177,6 +4242,42 @@ object LlmOps {
          |FROM top3, rec
          |ORDER BY qid, rn""".stripMargin
     },
+    "q332_ks_drift_stat" ->
+      s"""WITH base AS (
+         |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS ntok,
+         |         CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
+         |                              1, 6)) AS BIGINT) * 2 < 16777216 AS in_a
+         |  FROM documents
+         |), census AS MATERIALIZED (
+         |  SELECT lang, ntok,
+         |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS nav,
+         |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nbv
+         |  FROM base GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT lang, CAST(sum(nav) AS BIGINT) AS n_a,
+         |         CAST(sum(nbv) AS BIGINT) AS n_b
+         |  FROM census GROUP BY 1
+         |), cums AS (
+         |  SELECT lang, ntok,
+         |         CAST(sum(nav) OVER w AS BIGINT) AS cum_a,
+         |         CAST(sum(nbv) OVER w AS BIGINT) AS cum_b
+         |  FROM census
+         |  WINDOW w AS (PARTITION BY lang ORDER BY ntok
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), per AS (
+         |  SELECT c.lang, t.n_a, t.n_b,
+         |         CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num
+         |  FROM cums c JOIN tot t ON c.lang = t.lang
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT lang, n_a, n_b, ks_num,
+         |       CAST(ks_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) AS ks_stat,
+         |       (n_a > 0 AND n_b > 0 AND
+         |        CAST(ks_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+         |          > $KsCritAlpha05 * sqrt(CAST(n_a + n_b AS DOUBLE)
+         |                                  / (CAST(n_a AS DOUBLE) * n_b))) AS drifted
+         |FROM per
+         |ORDER BY lang""".stripMargin,
     "q304_distribution_drift" ->
       s"""WITH c AS (
          |  SELECT lang,

@@ -1531,6 +1531,43 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.values.map(_._2).sum === 40000L, "credit conservation: 10000 bp per conversion")
   }
 
+  test("q332 KS drift: planted shift fires exactly, identical halves give zero") {
+    val half = conv(substring(md5(concat(lit("drift:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < 16777216L
+    def mkDocs(text: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+      spark.range(1, 401).select($"id".as("doc_id"))
+        .withColumn("in_a", half)
+        .select($"doc_id", text.as("text"), lit("en").as("lang"),
+          lit("web").as("source"), lit(0L).as("n_chars"))
+    // PLANTED SHIFT: half A docs carry 12 tokens, half B 3 — disjoint
+    // supports, so sup|CDF_A − CDF_B| must be EXACTLY 1 (ks_num = n_a·n_b)
+    // and the α=0.05 line must fire.
+    val dir1 = java.nio.file.Files.createTempDirectory("ks_shift").toString
+    mkDocs(when($"in_a", lit(Seq.fill(12)("w").mkString(" "))).otherwise(lit("w w w")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+    val shifted = SparkEntry.queries("q332_ks_drift_stat")(spark, dir1).collect()
+    assert(shifted.length === 1)
+    assert(shifted(0).getAs[Long]("ks_num") ===
+      shifted(0).getAs[Long]("n_a") * shifted(0).getAs[Long]("n_b"),
+      "disjoint supports must give KS = 1 exactly")
+    assert(shifted(0).getAs[Boolean]("drifted"), "planted shift must fire")
+    // NULL case: one constant distribution — the sup gap is exactly zero
+    val dir2 = java.nio.file.Files.createTempDirectory("ks_null").toString
+    mkDocs(lit("w w w"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val nullCase = SparkEntry.queries("q332_ks_drift_stat")(spark, dir2).collect()
+    assert(nullCase.length === 1 && nullCase(0).getAs[Long]("ks_num") === 0L)
+    assert(nullCase(0).getAs[Double]("ks_stat") === 0.0)
+    assert(!nullCase(0).getAs[Boolean]("drifted"))
+    // fixture: the consistent-hash halves are iid, so drift flags are
+    // α=0.05 false positives — allow at most one marginal trip across
+    // the 5 languages (at sf0.001 'en' sits at 0.198 vs a 0.196 line;
+    // a 5%-level test is ALLOWED to do that on null data)
+    val fx = SparkEntry.queries("q332_ks_drift_stat")(spark, sfDir).collect()
+    assert(fx.nonEmpty && fx.count(_.getAs[Boolean]("drifted")) <= 1,
+      "iid halves must not broadly drift")
+  }
+
   test("q331 k-anonymity: partition law, global mins, discriminating flags") {
     val out = SparkEntry.queries("q331_k_anonymity_census")(spark, sfDir).collect()
     // partition law: every order lands in exactly one QI cell
