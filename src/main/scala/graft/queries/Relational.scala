@@ -1756,7 +1756,79 @@ object Relational {
       .orderBy($"nation", $"mktsegment", $"order_year")
   }
 
+  /** q333 block-size cap: blocks larger than this are SKIPPED (and
+    * censused) — the standard record-linkage guard that keeps candidate
+    * volume ≤ N·cap instead of Σ|block|², because block sizes grow with
+    * the corpus under any fixed key grammar. */
+  val LinkMaxBlock = 64
+
+  /** q333 match threshold on the integer Fellegi–Sunter score. Weights
+    * are fixed dyadic log-odds (the q325 trained-model stance): name
+    * edit-distance ≤ 1 agrees +8 / disagrees −4; balance within $100
+    * agrees +4 / disagrees −2. Score lattice {−6, 0, 6, 12}: ≥ 10 needs
+    * BOTH agreements (match), < 0 is neither (non-match), the two
+    * single-agreement points land in `possible` — the clerical-review
+    * band that is the F-S model's whole point. */
+  val LinkMatchMin = 10L
+
+  /** Blocked fuzzy entity linkage — the Fellegi–Sunter (1969, public
+    * description) record-linkage operator q263's exact-key
+    * reconciliation can't express: decide which customer RECORDS refer
+    * to the same entity when keys don't match exactly. Three stages,
+    * each the standard production shape: (1) BLOCKING — candidates are
+    * pairs sharing (nation, segment, $1000 balance band); blocks over
+    * [[LinkMaxBlock]] records are skipped and censused (real linkage
+    * systems cap block size — it is what keeps candidates O(N) at
+    * 100 TB); (2) COMPARISON — field comparators, integer-exact: q104's
+    * bounded edit distance on the name (levenshtein is exact and
+    * identical in both engines on ASCII) and exact-cents balance
+    * proximity; (3) CLASSIFICATION — integer log-odds weights sum to a
+    * score classed match / possible / non-match ([[LinkMatchMin]]).
+    * Output is the per-class census (+ min/max score, the zero-padded
+    * first pair as the resume cursor, and the block census riding every
+    * row). The fixture has no planted duplicates, so its census is
+    * non-match/possible mass only — the spec plants a typo'd duplicate
+    * (must land in `match`) and an oversize block (its pairs must NOT
+    * appear, the skip census must count it). */
+  def entityLinkage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_mktsegment",
+        cents($"c_acctbal").as("bal_c"))
+      .select($"c_custkey", $"c_name", $"bal_c",
+        concat_ws(":", $"c_nationkey".cast("string"), $"c_mktsegment",
+          expr("bal_c div 100000").cast("string")).as("blk"))
+    val sized = recs.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy($"blk")))
+    val blockStats = sized.groupBy().agg(
+      countDistinct($"blk").as("n_blocks"),
+      countDistinct(when($"bn" > LinkMaxBlock, $"blk")).as("n_blocks_skipped"))
+    val usable = sized.filter($"bn" <= LinkMaxBlock)
+    val a = usable.select($"blk", $"c_custkey".as("id_a"),
+      $"c_name".as("name_a"), $"bal_c".as("bal_a"))
+    val b = usable.select($"blk".as("blk2"), $"c_custkey".as("id_b"),
+      $"c_name".as("name_b"), $"bal_c".as("bal_b"))
+    val census = a.join(b, $"blk" === $"blk2" && $"id_a" < $"id_b")
+      .withColumn("score",
+        when(levenshtein($"name_a", $"name_b") <= 1, 8L).otherwise(-4L) +
+          when(abs($"bal_a" - $"bal_b") <= 10000L, 4L).otherwise(-2L))
+      .withColumn("link_class",
+        when($"score" >= LinkMatchMin, "match")
+          .when($"score" < 0L, "non_match")
+          .otherwise("possible"))
+      .groupBy($"link_class")
+      .agg(count(lit(1)).as("n_pairs"),
+        min($"score").as("min_score"), max($"score").as("max_score"),
+        min(concat(lpad($"id_a".cast("string"), 10, "0"), lit(":"),
+          lpad($"id_b".cast("string"), 10, "0"))).as("first_pair"))
+    census.crossJoin(broadcast(blockStats))
+      .select($"link_class", $"n_pairs", $"min_score", $"max_score",
+        $"first_pair", $"n_blocks", $"n_blocks_skipped")
+      .orderBy($"link_class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q333_entity_linkage" -> entityLinkage,
     "q331_k_anonymity_census" -> kAnonymityCensus,
     "q326_deletion_cascade" -> deletionCascade,
     "q284_important_parts_value" -> importantPartsValue,
@@ -1826,6 +1898,48 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q333_entity_linkage" ->
+      s"""WITH recs AS MATERIALIZED (
+         |  SELECT c_custkey, c_name, bal_c,
+         |         concat_ws(':', CAST(c_nationkey AS VARCHAR), c_mktsegment,
+         |                   CAST(bal_c // 100000 AS VARCHAR)) AS blk
+         |  FROM (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         |               ${centsSql("c_acctbal")} AS bal_c
+         |        FROM customer)
+         |), bn AS MATERIALIZED (
+         |  SELECT blk, count(*) AS bn FROM recs GROUP BY 1
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+         |         CAST(sum(CASE WHEN bn > $LinkMaxBlock THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_blocks_skipped
+         |  FROM bn
+         |), usable AS MATERIALIZED (
+         |  SELECT r.* FROM recs r JOIN bn USING (blk) WHERE bn <= $LinkMaxBlock
+         |), classed AS (
+         |  SELECT id_a, id_b, score,
+         |         CASE WHEN score >= $LinkMatchMin THEN 'match'
+         |              WHEN score < 0 THEN 'non_match'
+         |              ELSE 'possible' END AS link_class
+         |  FROM (
+         |    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         |           (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+         |                 THEN 8 ELSE -4 END
+         |            + CASE WHEN abs(a.bal_c - b.bal_c) <= 10000
+         |                   THEN 4 ELSE -2 END) AS score
+         |    FROM usable a JOIN usable b
+         |      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+         |  )
+         |)
+         |SELECT link_class, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(min(score) AS BIGINT) AS min_score,
+         |       CAST(max(score) AS BIGINT) AS max_score,
+         |       min(lpad(CAST(id_a AS VARCHAR), 10, '0') || ':'
+         |           || lpad(CAST(id_b AS VARCHAR), 10, '0')) AS first_pair,
+         |       (SELECT n_blocks FROM stats) AS n_blocks,
+         |       (SELECT n_blocks_skipped FROM stats) AS n_blocks_skipped
+         |FROM classed
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
     "q331_k_anonymity_census" ->
       s"""WITH g AS MATERIALIZED (
          |  SELECT c_nationkey AS nation, c_mktsegment AS mktsegment,

@@ -1531,6 +1531,40 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.values.map(_._2).sum === 40000L, "credit conservation: 10000 bp per conversion")
   }
 
+  test("q333 linkage: planted duplicate matches; oversize block is skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("linkage").toString
+    // one small block: a typo'd duplicate pair (edit distance 1, $5
+    // apart → both comparators agree → score 12, class `match`) plus an
+    // unrelated record; one OVERSIZE block of 70 near-identical records
+    // whose pairs would all be matches — they must NOT appear, and the
+    // skip census must count the block.
+    val rows = Seq(
+      (1L, "Acme Corp", 1, "BUILDING", 50.00),
+      (2L, "Acme C0rp", 1, "BUILDING", 55.00),
+      (3L, "Zeta Industries", 1, "BUILDING", 900.00)
+    ) ++ (100L until 170L).map(i => (i, s"Bulk$i", 2, "MACHINERY", 10.0))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q333_entity_linkage")(spark, dir).collect()
+      .map(r => r.getAs[String]("link_class") -> r).toMap
+    assert(out("match").getAs[Long]("n_pairs") === 1L)
+    assert(out("match").getAs[String]("first_pair") === "0000000001:0000000002")
+    assert(out("match").getAs[Long]("min_score") === 12L)
+    assert(out("non_match").getAs[Long]("n_pairs") === 2L, "pairs (1,3),(2,3)")
+    assert(!out.contains("possible"))
+    assert(out.values.map(_.getAs[Long]("n_pairs")).sum === 3L,
+      "the oversize block contributes ZERO candidate pairs")
+    assert(out("match").getAs[Long]("n_blocks") === 2L)
+    assert(out("match").getAs[Long]("n_blocks_skipped") === 1L)
+    // fixture sanity: all three classes exist at sf0.001+ and blocking
+    // never degenerates to all-pairs
+    val fx = SparkEntry.queries("q333_entity_linkage")(spark, sfDir).collect()
+    val n = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(fx.map(_.getAs[Long]("n_pairs")).sum <
+      n * graft.queries.Relational.LinkMaxBlock,
+      "candidate volume must stay under the N*cap blocking bound")
+  }
+
   test("q332 KS drift: planted shift fires exactly, identical halves give zero") {
     val half = conv(substring(md5(concat(lit("drift:"),
       $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < 16777216L
