@@ -326,9 +326,13 @@ object Graph {
           .distinct()) { (acc, layer) =>
         acc.join(layer, Seq("seed", "node"), "left_anti")
       }
+      // checkpointAsIs, not partitionedCheckpoint: the chain's tail is
+      // the distinct's own hash(seed, node) exchange carried through the
+      // partitioning-preserving anti-joins, so the explicit repartition
+      // the keyed pin would append is a REDUNDANT per-pin shuffle of the
+      // whole layer (the helper's assert guards the precondition).
       val next =
-        if (hop < 3) graft.operators.Pinned.partitionedCheckpoint(
-          nextLazy, col("seed"), col("node"))
+        if (hop < 3) graft.operators.Pinned.checkpointAsIs(nextLazy)
         else nextLazy
       layers ::= next
     }
@@ -562,9 +566,9 @@ object Graph {
     // The only pin: downstream consumes the ESTIMATE twice (the |V|
     // census and the panel join), at 8 B/row instead of the ~0.5 KB
     // sketch — ~60× fewer pinned bytes than any sketch-carrying pin.
-    val est = graft.operators.Pinned.partitionedCheckpoint(
-      sk.select($"node", hll_sketch_estimate($"sk").as("est")),
-      $"node")
+    // checkpointAsIs: the hop-3 groupBy(node) already placed the rows.
+    val est = graft.operators.Pinned.checkpointAsIs(
+      sk.select($"node", hll_sketch_estimate($"sk").as("est")))
     val nNodes = est.agg(count(lit(1)).as("n_nodes_sketched"))
     val seeds = Tables.supplier(s, dir)
       .orderBy($"s_suppkey".asc).limit(ReachPanelK)
@@ -631,8 +635,12 @@ object Graph {
     // This bounds each round's expansion join to frontier·deg instead
     // of |labeled|·deg — by round 3 the labeled set is most of the
     // graph and the difference is the bulk of the query's vote stream.
-    var layers = List(
-      graft.operators.Pinned.partitionedCheckpoint(seeds, $"node"))
+    // checkpointAsIs throughout (round-15): the seed join inherits the
+    // adjacency's hash(node) placement, and each round's picks end in
+    // their own groupBy(node) exchange carried through the anti-chain —
+    // the keyed pin's explicit repartition was a redundant per-pin
+    // shuffle (the helper's assert guards the precondition).
+    var layers = List(graft.operators.Pinned.checkpointAsIs(seeds))
     (1 to 3).foreach { round =>
       val frontier = layers.head
       val votes = frontier.join(edges, frontier("node") === edges("src"))
@@ -648,7 +656,7 @@ object Graph {
         acc.join(layer, Seq("node"), "left_anti")
       }
       layers ::= (if (round < 3)
-        graft.operators.Pinned.partitionedCheckpoint(newlyLazy, $"node")
+        graft.operators.Pinned.checkpointAsIs(newlyLazy)
       else newlyLazy)
     }
     // lab is ≤ kinds·labels rows but is consumed twice (output + the
