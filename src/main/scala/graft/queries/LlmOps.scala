@@ -1060,8 +1060,11 @@ object LlmOps {
     // pipeline — measured 3× the whole corpus hash cost; pinning digests
     // (24 B/row) rather than text keeps the pinned footprint trivial.
     // The window's required doc_id distribution is the pin's
-    // partitioning — no further exchange.
-    val sh = Pinned.partitionedCheckpoint(
+    // partitioning — no further exchange. checkpointAsIs (round-15):
+    // the explicit repartition below is the placement; generate /
+    // project / filter preserve it, so the keyed pin's second
+    // repartition was a redundant full-shingle-stream shuffle.
+    val sh = Pinned.checkpointAsIs(
       Tables.documents(s, dir).select($"doc_id", $"text")
         .repartition($"doc_id")
         .withColumn("toks", TextOps.tokens($"text"))
@@ -1076,8 +1079,7 @@ object LlmOps {
         // OUTPUT and cannot sink below it.
         .select($"doc_id", posexplode_outer($"hs"))
         .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("h"))
-        .filter($"h".isNotNull),
-      $"doc_id")
+        .filter($"h".isNotNull))
     val frame = Window.partitionBy($"doc_id").orderBy($"pos".asc)
       .rowsBetween(Window.currentRow, w - 1)
     // window start i is valid iff a full w-frame fits OR i is the single

@@ -993,10 +993,15 @@ object TimeSeries {
     // each ledger and the boundary set are consumed three times (bounds/
     // cover/totals resp. seg + both covers) — pin once, hash-on-sk, so
     // every downstream keyed window and join is exchange-free off the pin
-    val rec = graft.operators.Pinned.partitionedCheckpoint(
-      ledger(1995).withColumn("cum", sum($"qty").over(wCum)), $"sk")
-    val iss = graft.operators.Pinned.partitionedCheckpoint(
-      ledger(1996).withColumn("cum", sum($"qty").over(wCum)), $"sk")
+    // checkpointAsIs (round-15): the cum window's own exchange already
+    // placed each ledger hash-on-sk (WindowExec preserves its child's
+    // partitioning), so the keyed pin's repartition was a redundant
+    // ledger-sized shuffle; `bounds` keeps the keyed pin — its distinct
+    // tail is hash(sk, b), which does NOT satisfy the sk consumers.
+    val rec = graft.operators.Pinned.checkpointAsIs(
+      ledger(1995).withColumn("cum", sum($"qty").over(wCum)))
+    val iss = graft.operators.Pinned.checkpointAsIs(
+      ledger(1996).withColumn("cum", sum($"qty").over(wCum)))
     val bounds = graft.operators.Pinned.partitionedCheckpoint(
       rec.select($"sk", $"cum".as("b"))
         .unionAll(iss.select($"sk", $"cum".as("b"))).distinct(), $"sk")
