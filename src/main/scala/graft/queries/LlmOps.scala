@@ -337,6 +337,82 @@ object LlmOps {
       .orderBy($"qid", $"fused_rank")
   }
 
+  /** Total sample budget for [[neymanAllocation]]. */
+  val NeymanK = 200L
+
+  /** Neyman-optimal stratified sample ALLOCATION (Neyman 1934, the
+    * textbook survey-sampling design) — the missing DESIGN step in the
+    * sampling family: q84 draws a stratified sample with GIVEN
+    * per-stratum rates; this computes the rates that minimize estimator
+    * variance for a fixed budget, n_h ∝ N_h·σ_h — sample MORE where the
+    * metric varies more, the rule every serious eval-set builder
+    * applies. Strata = (lang, q304's length band); metric = token
+    * count. N_h·σ_h = √(N_h·Σx² − (Σx)²) from EXACT integer moments
+    * (decimal(38,0) cross terms — sum² passes 2⁶³ early, the q304
+    * pattern; decimal stays internal), converted to double ONCE for the
+    * √. Integerization is LARGEST-REMAINDER (Hamilton) rounding, so the
+    * allocations sum to EXACTLY [[NeymanK]] — floor every ideal, then
+    * award the K−Σfloor leftovers to the largest fractional parts,
+    * ties broken by stratum key.
+    *
+    * Portability + plan hygiene: Σw over strata is an ORDER-DEPENDENT
+    * float sum, and the leftover ranking is a global order — both run
+    * over the ≤|langs|·3-row census folded into ONE sorted array row
+    * (the q327 rank-ordered fold), so every float accumulates in
+    * stratum order on both engines and the rank is an array POSITION —
+    * no no-partition WindowExec anywhere. Scale: the corpus pays one
+    * grouped-moments pass; everything after is a ≤15-element array on
+    * one row. `capped` flags n_alloc > N_h (a stratum smaller than its
+    * award — production designs reallocate iteratively; flagged FALSE
+    * at every fixture SF so a trip means the design broke). */
+  def neymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val strata = Tables.documents(s, dir)
+      .select($"lang", size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .withColumn("band",
+        when($"ntok" >= 40, "long").when($"ntok" >= 20, "mid")
+          .otherwise("short"))
+      .groupBy($"lang", $"band")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("st"),
+        sum($"ntok" * $"ntok").as("ssq"))
+      .withColumn("w", sqrt(($"n_docs".cast(d38) * $"ssq"
+        - $"st".cast(d38) * $"st").cast("double")))
+    val kd = lit(NeymanK.toDouble)
+    strata
+      .agg(sort_array(collect_list(
+        struct($"lang", $"band", $"n_docs", $"w"))).as("xs"))
+      .select($"xs",
+        aggregate($"xs", lit(0.0), (a, x) => a + x.getField("w")).as("sw"))
+      .select(transform($"xs", x => struct(
+        x.getField("lang").as("lang"), x.getField("band").as("band"),
+        x.getField("n_docs").as("n_docs"), x.getField("w").as("w"),
+        (kd * x.getField("w") / $"sw").as("ideal"))).as("xs"))
+      .select(transform($"xs", x => struct(
+        x.getField("lang").as("lang"), x.getField("band").as("band"),
+        x.getField("n_docs").as("n_docs"), x.getField("w").as("w"),
+        x.getField("ideal").as("ideal"),
+        floor(x.getField("ideal")).cast("long").as("base"),
+        (x.getField("ideal") - floor(x.getField("ideal"))).as("frac")))
+        .as("xs"))
+      .select($"xs", (lit(NeymanK) - aggregate($"xs", lit(0L),
+        (a, x) => a + x.getField("base"))).as("leftover"))
+      // largest-remainder order as a STRUCT SORT (−frac, lang, band):
+      // the award is then just `position < leftover`
+      .select($"leftover", posexplode(sort_array(transform($"xs",
+        x => struct((-x.getField("frac")).as("nf"),
+          x.getField("lang").as("lang"), x.getField("band").as("band"),
+          x.getField("n_docs").as("n_docs"), x.getField("w").as("w"),
+          x.getField("ideal").as("ideal"), x.getField("base").as("base"))))))
+      .select($"col.lang".as("lang"), $"col.band".as("band"),
+        $"col.n_docs".as("n_docs"), $"col.w".as("neyman_weight"),
+        $"col.ideal".as("ideal"),
+        ($"col.base" + when($"pos" < $"leftover", 1L).otherwise(0L))
+          .as("n_alloc"))
+      .withColumn("capped", $"n_alloc" > $"n_docs")
+      .orderBy($"lang", $"band")
+  }
+
   /** Weighted PRIORITY SAMPLING with a Horvitz-Thompson total estimator
     * (Duffield-Lund-Thorup 2007) — the weighted, estimator-carrying
     * member of the sampling family: q82/q260 sample uniformly by
@@ -3811,6 +3887,7 @@ object LlmOps {
     "q321_priority_sample" -> prioritySample,
     "q304_distribution_drift" -> distributionDrift,
     "q332_ks_drift_stat" -> ksDriftStat,
+    "q334_neyman_allocation" -> neymanAllocation,
     "q300_pq_codebook_census" -> pqCodebookCensus,
     "q330_ann_ivf_pq_adc" -> annIvfPqAdc,
     "q174_cluster_survivorship" -> clusterSurvivorship,
@@ -4244,6 +4321,70 @@ object LlmOps {
          |FROM top3, rec
          |ORDER BY qid, rn""".stripMargin
     },
+    "q334_neyman_allocation" ->
+      s"""WITH strata AS MATERIALIZED (
+         |  SELECT lang, band, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(ntok) AS BIGINT) AS st,
+         |         CAST(sum(ntok * ntok) AS BIGINT) AS ssq
+         |  FROM (
+         |    SELECT lang, ntok,
+         |           CASE WHEN ntok >= 40 THEN 'long'
+         |                WHEN ntok >= 20 THEN 'mid' ELSE 'short' END AS band
+         |    FROM (SELECT lang, CAST(len($toksSql) AS BIGINT) AS ntok
+         |          FROM documents)
+         |  )
+         |  GROUP BY 1, 2
+         |), ws AS (
+         |  SELECT lang, band, n_docs,
+         |         sqrt(CAST(CAST(n_docs AS HUGEINT) * ssq
+         |                   - CAST(st AS HUGEINT) * st AS DOUBLE)) AS w
+         |  FROM strata
+         |), folded AS MATERIALIZED (
+         |  SELECT list(struct_pack(lang := lang, band := band,
+         |                          n_docs := n_docs, w := w)
+         |              ORDER BY lang, band) AS xs
+         |  FROM ws
+         |), ideals AS (
+         |  SELECT list_transform(xs, x -> struct_pack(
+         |           lang := x.lang, band := x.band, n_docs := x.n_docs,
+         |           w := x.w, ideal := $NeymanK.0 * x.w / sw)) AS xs
+         |  FROM (
+         |    SELECT xs, list_reduce(
+         |             list_prepend(CAST(0.0 AS DOUBLE),
+         |                          list_transform(xs, x -> x.w)),
+         |             (a, b) -> a + b) AS sw
+         |    FROM folded
+         |  )
+         |), based AS (
+         |  SELECT list_transform(xs, x -> struct_pack(
+         |           lang := x.lang, band := x.band, n_docs := x.n_docs,
+         |           w := x.w, ideal := x.ideal,
+         |           base := CAST(floor(x.ideal) AS BIGINT),
+         |           frac := x.ideal - floor(x.ideal))) AS xs
+         |  FROM ideals
+         |), ranked AS MATERIALIZED (
+         |  SELECT $NeymanK - list_reduce(
+         |           list_prepend(CAST(0 AS BIGINT),
+         |                        list_transform(xs, x -> x.base)),
+         |           (a, b) -> a + b) AS leftover,
+         |         list_sort(list_transform(xs, x -> struct_pack(
+         |           nf := -x.frac, lang := x.lang, band := x.band,
+         |           n_docs := x.n_docs, w := x.w, ideal := x.ideal,
+         |           base := x.base))) AS sorted
+         |  FROM based
+         |), pe AS (
+         |  SELECT leftover, unnest(range(1, len(sorted) + 1)) AS pos1,
+         |         unnest(sorted) AS x
+         |  FROM ranked
+         |)
+         |SELECT x.lang AS lang, x.band AS band, x.n_docs AS n_docs,
+         |       x.w AS neyman_weight, x.ideal AS ideal,
+         |       CAST(x.base + CASE WHEN pos1 - 1 < leftover
+         |                          THEN 1 ELSE 0 END AS BIGINT) AS n_alloc,
+         |       (x.base + CASE WHEN pos1 - 1 < leftover THEN 1 ELSE 0 END)
+         |         > x.n_docs AS capped
+         |FROM pe
+         |ORDER BY lang, band""".stripMargin,
     "q332_ks_drift_stat" ->
       s"""WITH base AS (
          |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS ntok,

@@ -1531,6 +1531,40 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.values.map(_._2).sum === 40000L, "credit conservation: 10000 bp per conversion")
   }
 
+  test("q334 Neyman allocation: sums to K exactly, Hamilton bound, zero-variance stratum") {
+    val K = graft.queries.LlmOps.NeymanK
+    val out = SparkEntry.queries("q334_neyman_allocation")(spark, sfDir).collect()
+    // largest-remainder integerization must hit the budget EXACTLY
+    assert(out.map(_.getAs[Long]("n_alloc")).sum === K)
+    // Hamilton's bound: every allocation is floor(ideal) or ceil(ideal)
+    out.foreach { r =>
+      val d = r.getAs[Long]("n_alloc") - r.getAs[Double]("ideal")
+      assert(d > -1.0 && d < 1.0, s"allocation strayed from its ideal: $r")
+    }
+    assert(out.forall(!_.getAs[Boolean]("capped")), "no stratum over-awarded")
+    // allocation follows the design weight: sort by weight, n_alloc is
+    // non-decreasing up to the ±1 rounding step
+    val byW = out.sortBy(_.getAs[Double]("neyman_weight")).map(_.getAs[Long]("n_alloc"))
+    byW.zip(byW.tail).foreach { case (a, b) => assert(b >= a - 1) }
+    // planted zero-variance stratum: constant token count → w exactly 0,
+    // so it draws nothing beyond at most one remainder award
+    val dir = java.nio.file.Files.createTempDirectory("neyman").toString
+    (spark.range(1, 101).select($"id".as("doc_id"),
+        lit("w w w").as("text"), lit("zz").as("lang"),
+        lit("web").as("source"), lit(5L).as("n_chars"))
+      unionAll spark.range(101, 201).select($"id".as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), pmod($"id", lit(50L)) + 1),
+          _ => lit("t"))).as("text"), lit("en").as("lang"),
+        lit("web").as("source"), lit(5L).as("n_chars")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = SparkEntry.queries("q334_neyman_allocation")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("band")) -> r).toMap
+    val zz = planted(("zz", "short"))
+    assert(zz.getAs[Double]("neyman_weight") === 0.0)
+    assert(zz.getAs[Long]("n_alloc") <= 1L)
+    assert(planted.values.map(_.getAs[Long]("n_alloc")).sum === K)
+  }
+
   test("q333 linkage: planted duplicate matches; oversize block is skipped") {
     val dir = java.nio.file.Files.createTempDirectory("linkage").toString
     // one small block: a typo'd duplicate pair (edit distance 1, $5
