@@ -2443,11 +2443,17 @@ object LlmOps {
       .groupBy($"lang")
       .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
         max($"dnum").as("ks_num"))
+    // KS is undefined when either half is empty (a degenerate slice, not
+    // the fixture): gate the divides behind the branch — ANSI division
+    // refuses a zero divisor even for doubles, so the guard must keep
+    // the expression UNevaluated, not just mask its result.
+    val denomOk = $"n_a" > 0L && $"n_b" > 0L
     val ksStat = $"ks_num".cast("double") / ($"n_a".cast("double") * $"n_b")
-    per.select($"lang", $"n_a", $"n_b", $"ks_num", ksStat.as("ks_stat"),
-        ($"n_a" > 0L && $"n_b" > 0L && ksStat > lit(KsCritAlpha05) *
-          sqrt(($"n_a" + $"n_b").cast("double") / ($"n_a".cast("double") * $"n_b")))
-          .as("drifted"))
+    per.select($"lang", $"n_a", $"n_b", $"ks_num",
+        when(denomOk, ksStat).as("ks_stat"),
+        coalesce(when(denomOk, ksStat > lit(KsCritAlpha05) *
+          sqrt(($"n_a" + $"n_b").cast("double") / ($"n_a".cast("double") * $"n_b"))),
+          lit(false)).as("drifted"))
       .orderBy($"lang")
   }
 
@@ -4414,11 +4420,14 @@ object LlmOps {
          |  GROUP BY 1, 2, 3
          |)
          |SELECT lang, n_a, n_b, ks_num,
-         |       CAST(ks_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) AS ks_stat,
-         |       (n_a > 0 AND n_b > 0 AND
-         |        CAST(ks_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
-         |          > $KsCritAlpha05 * sqrt(CAST(n_a + n_b AS DOUBLE)
-         |                                  / (CAST(n_a AS DOUBLE) * n_b))) AS drifted
+         |       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |         CAST(ks_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+         |       END AS ks_stat,
+         |       coalesce(CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |         CAST(ks_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+         |           > $KsCritAlpha05 * sqrt(CAST(n_a + n_b AS DOUBLE)
+         |                                   / (CAST(n_a AS DOUBLE) * n_b))
+         |       END, FALSE) AS drifted
          |FROM per
          |ORDER BY lang""".stripMargin,
     "q304_distribution_drift" ->
