@@ -2392,6 +2392,80 @@ object LlmOps {
     * D > c(α)·√((n₁+n₂)/(n₁·n₂)). */
   val KsCritAlpha05 = 1.358
 
+  /** Miscoverage level for [[conformalThreshold]], in percent: α = 10 %
+    * → nominal coverage 90 %. Kept integral so the conformal rank
+    * k = ⌈(1−α)(n+1)⌉ is EXACT integer arithmetic. */
+  val ConformalAlphaPct = 10L
+
+  /** Empirical-coverage floor for [[conformalThreshold]]'s contract
+    * flag. The split-conformal guarantee is ≥ 1−α = 0.90 IN EXPECTATION
+    * over calibration draws; a single split fluctuates ~±√(α(1−α)/n),
+    * so the flag sits at 0.80 — measured per-lang coverage at the three
+    * fixture SFs runs 0.861–1.0 (min: de at sf0.001, n_test = 36, where
+    * one doc moves coverage by 0.028 — the floor keeps a ≥2-doc margin
+    * at the tightest cell; the q240 measured-floor + q291 headroom
+    * stance). */
+  val ConformalCovFloor = 0.80
+
+  /** Split-conformal calibration threshold — the FINITE-SAMPLE quantile
+    * rule (Vovk et al.'s split conformal prediction, public
+    * description) a calibrated production filter ships where q309/q144
+    * ship plain quantiles: per language, τ = the ⌈(1−α)(n+1)⌉-th
+    * smallest calibration score (score = token count; calibration set =
+    * q304's consistent-hash half A), which guarantees
+    * P(score_new ≤ τ) ≥ 1−α for exchangeable data — the +1 in the rank
+    * is exactly what turns an empirical quantile into a guarantee. The
+    * held-out half B then REPLAYS the guarantee: per-lang empirical
+    * coverage rides the output with the [[ConformalCovFloor]] contract
+    * flag. All arithmetic exact: the rank is integer
+    * ((100−α)(n+1)+99) div 100, τ is a cum≥k selection over the
+    * (lang, score) value census (bounded by the token-count DOMAIN —
+    * q332's window argument), ties round τ UP the value ladder
+    * (coverage can only exceed nominal), and k > n (tiny calibration
+    * sets) yields τ = NULL = accept-everything, the conformal +∞
+    * convention. One divide per lang at the end; empty halves guarded
+    * like q332. */
+  def conformalThreshold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val space = 16777216L // 16^6
+    val half = conv(substring(md5(concat(lit("drift:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    val base = Tables.documents(s, dir)
+      .select($"lang", $"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .withColumn("in_a", half)
+      .localCheckpoint() // one corpus pass feeds both half-censuses
+    val ca = base.filter($"in_a").groupBy($"lang", $"ntok")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bounded census, read by totals AND the rank
+    val tot = ca.groupBy($"lang")
+      .agg(sum($"c").as("n_cal"))
+      .withColumn("k_rank",
+        expr(s"((100 - $ConformalAlphaPct) * (n_cal + 1) + 99) div 100"))
+    val wCum = Window.partitionBy($"lang").orderBy($"ntok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tau = ca.withColumn("cum", sum($"c").over(wCum))
+      .join(broadcast(tot), "lang")
+      .groupBy($"lang")
+      .agg(max($"n_cal").as("n_cal"), max($"k_rank").as("k_rank"),
+        min(when($"cum" >= $"k_rank", $"ntok")).as("tau"))
+    val bt = base.filter(!$"in_a").groupBy($"lang", $"ntok")
+      .agg(count(lit(1)).as("c"))
+    val covRatio = $"n_covered".cast("double") / $"n_test"
+    tau.join(bt, Seq("lang"), "left")
+      .groupBy($"lang")
+      .agg(max($"n_cal").as("n_cal"), max($"k_rank").as("k_rank"),
+        max($"tau").as("tau"),
+        coalesce(sum($"c"), lit(0L)).as("n_test"),
+        coalesce(sum(when($"tau".isNull || $"ntok" <= $"tau", $"c")
+          .otherwise(lit(0L))), lit(0L)).as("n_covered"))
+      .select($"lang", $"n_cal", $"k_rank", $"tau", $"n_test", $"n_covered",
+        when($"n_test" > 0L, covRatio).as("coverage"),
+        coalesce(when($"n_test" > 0L, covRatio >= lit(ConformalCovFloor)),
+          lit(false)).as("coverage_ok"))
+      .orderBy($"lang")
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic — the EXACT sup-gap
     * complement of q304's binned TV distance: per language, compare the
     * token-count distribution of the q304 consistent-hash halves by the
@@ -3894,6 +3968,7 @@ object LlmOps {
     "q304_distribution_drift" -> distributionDrift,
     "q332_ks_drift_stat" -> ksDriftStat,
     "q334_neyman_allocation" -> neymanAllocation,
+    "q335_conformal_threshold" -> conformalThreshold,
     "q300_pq_codebook_census" -> pqCodebookCensus,
     "q330_ann_ivf_pq_adc" -> annIvfPqAdc,
     "q174_cluster_survivorship" -> clusterSurvivorship,
@@ -4327,6 +4402,52 @@ object LlmOps {
          |FROM top3, rec
          |ORDER BY qid, rn""".stripMargin
     },
+    "q335_conformal_threshold" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS ntok,
+         |         CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
+         |                              1, 6)) AS BIGINT) * 2 < 16777216 AS in_a
+         |  FROM documents
+         |), ca AS MATERIALIZED (
+         |  SELECT lang, ntok, CAST(count(*) AS BIGINT) AS c
+         |  FROM base WHERE in_a GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_cal,
+         |         CAST(((100 - $ConformalAlphaPct) * (sum(c) + 1) + 99) // 100
+         |              AS BIGINT) AS k_rank
+         |  FROM ca GROUP BY 1
+         |), tau AS MATERIALIZED (
+         |  SELECT cum.lang, max(n_cal) AS n_cal, max(k_rank) AS k_rank,
+         |         min(CASE WHEN cum >= k_rank THEN ntok END) AS tau
+         |  FROM (
+         |    SELECT lang, ntok,
+         |           CAST(sum(c) OVER (PARTITION BY lang ORDER BY ntok
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             AS BIGINT) AS cum
+         |    FROM ca
+         |  ) cum JOIN tot ON cum.lang = tot.lang
+         |  GROUP BY 1
+         |), bt AS (
+         |  SELECT lang, ntok, CAST(count(*) AS BIGINT) AS c
+         |  FROM base WHERE NOT in_a GROUP BY 1, 2
+         |), cov AS (
+         |  SELECT tau.lang, max(n_cal) AS n_cal, max(k_rank) AS k_rank,
+         |         max(tau) AS tau,
+         |         CAST(coalesce(sum(c), 0) AS BIGINT) AS n_test,
+         |         CAST(coalesce(sum(CASE WHEN tau IS NULL OR bt.ntok <= tau
+         |                                THEN c ELSE 0 END), 0) AS BIGINT)
+         |           AS n_covered
+         |  FROM tau LEFT JOIN bt ON bt.lang = tau.lang
+         |  GROUP BY 1
+         |)
+         |SELECT lang, n_cal, k_rank, tau, n_test, n_covered,
+         |       CASE WHEN n_test > 0 THEN
+         |         CAST(n_covered AS DOUBLE) / n_test END AS coverage,
+         |       coalesce(CASE WHEN n_test > 0 THEN
+         |         CAST(n_covered AS DOUBLE) / n_test >= $ConformalCovFloor
+         |       END, FALSE) AS coverage_ok
+         |FROM cov
+         |ORDER BY lang""".stripMargin,
     "q334_neyman_allocation" ->
       s"""WITH strata AS MATERIALIZED (
          |  SELECT lang, band, CAST(count(*) AS BIGINT) AS n_docs,

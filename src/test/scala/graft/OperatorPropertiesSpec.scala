@@ -1531,6 +1531,44 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.values.map(_._2).sum === 40000L, "credit conservation: 10000 bp per conversion")
   }
 
+  test("q335 conformal: rank law, halves partition, tiny-calibration accepts all") {
+    val out = SparkEntry.queries("q335_conformal_threshold")(spark, sfDir).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Boolean]("coverage_ok")))
+    // the conformal rank law: k = ceil(0.9 * (n_cal + 1)), exactly
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_cal")
+      assert(r.getAs[Long]("k_rank") === (90L * (n + 1) + 99L) / 100L)
+      assert(!r.isNullAt(r.fieldIndex("tau")), "fixture calibration sets are large")
+    }
+    // calibration + test halves partition each language's docs
+    val perLang = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") ===
+        perLang(r.getAs[String]("lang")))
+    }
+    // tiny calibration set: k = ceil(0.9*(n+1)) > n → tau NULL =
+    // accept-everything (the conformal +inf convention), coverage 1.0
+    val half = conv(substring(md5(concat(lit("drift:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < 16777216L
+    val ids = spark.range(1, 60).select($"id".as("doc_id"))
+      .withColumn("in_a", half).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val calId = ids.collectFirst { case (i, true) => i }.get
+    val testIds = ids.collect { case (i, false) => i }.take(5).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("conformal").toString
+    (calId +: testIds).map(i => (i, s"t$i tokens here", "aa", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tiny = SparkEntry.queries("q335_conformal_threshold")(spark, dir)
+      .collect().head
+    assert(tiny.getAs[Long]("n_cal") === 1L && tiny.getAs[Long]("k_rank") === 2L)
+    assert(tiny.isNullAt(tiny.fieldIndex("tau")))
+    assert(tiny.getAs[Double]("coverage") === 1.0 &&
+      tiny.getAs[Boolean]("coverage_ok"))
+  }
+
   test("q334 Neyman allocation: sums to K exactly, Hamilton bound, zero-variance stratum") {
     val K = graft.queries.LlmOps.NeymanK
     val out = SparkEntry.queries("q334_neyman_allocation")(spark, sfDir).collect()
