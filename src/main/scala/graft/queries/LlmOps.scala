@@ -413,6 +413,55 @@ object LlmOps {
       .orderBy($"lang", $"band")
   }
 
+  /** Isotonic calibration curve (pool-adjacent-violators) — the standard
+    * score→probability calibration (Zadrozny & Elkan 2002's isotonic
+    * recipe, public description) a production filter runs between q48's
+    * raw marker score and a decision: fit the best NON-DECREASING
+    * P(en | score) in least squares. Computed LOOP-FREE via isotonic
+    * regression's minimax characterization,
+    *   fit(i) = max_{j ≤ i} min_{k ≥ i} (Σ_{j..k} pos / Σ_{j..k} n),
+    * which both engines replay as three tiny joins — no PAV loop, no
+    * recursion, no driver round-trips. min/max over the interval ratios
+    * are ORDER-INDEPENDENT double folds (the output is the ratio value,
+    * never an arg — ties collapse), and every interval mean is one IEEE
+    * divide of exact integer sums, so the curve hash-compares bitwise.
+    *
+    * Scale/precondition: the corpus pays ONE grouped count; everything
+    * after runs on the score-value census, so the predictor domain must
+    * be BOUNDED (marker-hit counts are ≤ per-doc token cap; a continuous
+    * score gets bucketed first — the q144/q313 bounded-domain stance).
+    * Interval construction is O(B³) rows for B bins — trivial to
+    * B ≈ 10³. PAV's mass-conservation law (Σ n·fit = Σ pos) and
+    * monotonicity are spec-asserted; a planted violator sequence
+    * (0.2, 0.8, 0.4) must pool to (0.2, 0.6, 0.6). */
+  def isotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val en = Seq("the", "and", "of", "to", "is")
+    val bins = Tables.documents(s, dir)
+      .select(
+        TextOps.markerHits(TextOps.tokens($"text"), en).cast("long").as("x"),
+        when($"lang" === "en", 1L).otherwise(0L).as("y"))
+      .groupBy($"x")
+      .agg(count(lit(1)).as("n"), sum($"y").as("npos"))
+      .localCheckpoint() // bounded census, read by three joins
+    val pairs = broadcast(bins.select($"x".as("j")))
+      .join(broadcast(bins.select($"x".as("k"))), $"j" <= $"k")
+    val intervals = broadcast(pairs)
+      .join(bins.select($"x".as("m"), $"n", $"npos"),
+        $"m" >= $"j" && $"m" <= $"k")
+      .groupBy($"j", $"k")
+      .agg((sum($"npos").cast("double") / sum($"n").cast("double")).as("r"))
+    val fit = broadcast(bins.select($"x".as("bx")))
+      .join(intervals, $"j" <= $"bx" && $"k" >= $"bx")
+      .groupBy($"bx", $"j").agg(min($"r").as("mr"))
+      .groupBy($"bx").agg(max($"mr").as("iso_rate"))
+    bins.join(broadcast(fit), $"x" === $"bx")
+      .select($"x".as("score"), $"n", $"npos",
+        ($"npos".cast("double") / $"n".cast("double")).as("raw_rate"),
+        $"iso_rate")
+      .orderBy($"score")
+  }
+
   /** Weighted PRIORITY SAMPLING with a Horvitz-Thompson total estimator
     * (Duffield-Lund-Thorup 2007) — the weighted, estimator-carrying
     * member of the sampling family: q82/q260 sample uniformly by
@@ -3969,6 +4018,7 @@ object LlmOps {
     "q332_ks_drift_stat" -> ksDriftStat,
     "q334_neyman_allocation" -> neymanAllocation,
     "q335_conformal_threshold" -> conformalThreshold,
+    "q336_isotonic_calibration" -> isotonicCalibration,
     "q300_pq_codebook_census" -> pqCodebookCensus,
     "q330_ann_ivf_pq_adc" -> annIvfPqAdc,
     "q174_cluster_survivorship" -> clusterSurvivorship,
@@ -4402,6 +4452,35 @@ object LlmOps {
          |FROM top3, rec
          |ORDER BY qid, rn""".stripMargin
     },
+    "q336_isotonic_calibration" ->
+      s"""WITH bins AS MATERIALIZED (
+         |  SELECT x, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS npos
+         |  FROM (
+         |    SELECT CAST(len(list_filter($toksSql,
+         |             t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS x,
+         |           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |    FROM documents
+         |  )
+         |  GROUP BY 1
+         |), intervals AS MATERIALIZED (
+         |  SELECT j.x AS j, k.x AS k,
+         |         CAST(sum(m.npos) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS r
+         |  FROM bins j JOIN bins k ON j.x <= k.x
+         |  JOIN bins m ON m.x >= j.x AND m.x <= k.x
+         |  GROUP BY 1, 2
+         |), fit AS (
+         |  SELECT bx, max(mr) AS iso_rate FROM (
+         |    SELECT b.x AS bx, i.j AS j, min(i.r) AS mr
+         |    FROM bins b JOIN intervals i ON i.j <= b.x AND i.k >= b.x
+         |    GROUP BY 1, 2
+         |  )
+         |  GROUP BY 1
+         |)
+         |SELECT bins.x AS score, n, npos,
+         |       CAST(npos AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+         |       iso_rate
+         |FROM bins JOIN fit ON fit.bx = bins.x
+         |ORDER BY score""".stripMargin,
     "q335_conformal_threshold" ->
       s"""WITH base AS MATERIALIZED (
          |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS ntok,

@@ -1531,6 +1531,38 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.values.map(_._2).sum === 40000L, "credit conservation: 10000 bp per conversion")
   }
 
+  test("q336 isotonic: monotone, mass-conserving, planted violator pools correctly") {
+    val out = SparkEntry.queries("q336_isotonic_calibration")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("score"))
+    // isotonic by construction: the fit never decreases in the score
+    val iso = out.map(_.getAs[Double]("iso_rate"))
+    iso.zip(iso.tail).foreach { case (a, b) => assert(b >= a, "fit must be monotone") }
+    // PAV's mass-conservation law: sum n*fit = sum positives
+    val mass = out.map(r => r.getAs[Long]("n") * r.getAs[Double]("iso_rate")).sum
+    val pos = out.map(_.getAs[Long]("npos")).sum.toDouble
+    assert(math.abs(mass - pos) < 1e-6, s"mass not conserved: $mass vs $pos")
+    // fit bounded by the observed rate range
+    val raw = out.map(_.getAs[Double]("raw_rate"))
+    assert(iso.min >= raw.min - 1e-12 && iso.max <= raw.max + 1e-12)
+    // planted violator: bins with raw rates 0.2 / 0.8 / 0.4 — PAV must
+    // keep the first and pool the violating pair to (4+2)/(5+5) = 0.6
+    val dir = java.nio.file.Files.createTempDirectory("isotonic").toString
+    def doc(i: Long, x: Int, en: Boolean) =
+      (i, Seq.fill(x)("the").padTo(3, "zz").mkString(" "),
+        if (en) "en" else "de", "web", 9L)
+    val rows = (1L to 5L).map(i => doc(i, 0, en = i == 1)) ++
+      (6L to 10L).map(i => doc(i, 1, en = i <= 9)) ++
+      (11L to 15L).map(i => doc(i, 2, en = i <= 12))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = SparkEntry.queries("q336_isotonic_calibration")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("score"))
+      .map(r => (r.getAs[Long]("score"), r.getAs[Double]("raw_rate"),
+        r.getAs[Double]("iso_rate")))
+    assert(planted.map(_._2).toSeq === Seq(0.2, 0.8, 0.4), "planted raw rates")
+    assert(planted.map(_._3).toSeq === Seq(0.2, 0.6, 0.6), "PAV pooling")
+  }
+
   test("q335 conformal: rank law, halves partition, tiny-calibration accepts all") {
     val out = SparkEntry.queries("q335_conformal_threshold")(spark, sfDir).collect()
     assert(out.nonEmpty && out.forall(_.getAs[Boolean]("coverage_ok")))
