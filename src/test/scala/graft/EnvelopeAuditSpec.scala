@@ -174,7 +174,12 @@ class EnvelopeAuditSpec extends SparkSpec {
       "q326_deletion_cascade" -> Seq("n_cust_deleted", "n_orders_deleted",
         "n_lineitems_deleted", "revenue_cents_delta"),
       "q288_bfs_reachability" -> Seq("n_reachable_3hop"),
-      "q98_pack_sequences" -> Seq("n_docs", "sum_tok")
+      "q98_pack_sequences" -> Seq("n_docs", "sum_tok"),
+      "q331_k_anonymity_census" -> Seq("n_rows", "l_div", "k_anonymity",
+        "l_diversity", "n_groups_below_k"),
+      "q332_ks_drift_stat" -> Seq("n_a", "n_b", "ks_num"),
+      "q333_entity_linkage" -> Seq("n_pairs", "n_blocks", "n_blocks_skipped"),
+      "q335_conformal_threshold" -> Seq("n_cal", "k_rank", "n_test", "n_covered")
     ).foreach { case (name, cols) =>
       assertNoWrap(run(name).select(cols.map(col): _*), name)
     }
