@@ -56,25 +56,53 @@ object Pinned {
     * identically-partitioned child is not removed statically), while
     * compiling the subplan AQE-off and checkpointing directly records
     * the aggregation's own hashpartitioning in the LogicalRDD. The
-    * caller owns the precondition that the plan tail is the keyed
-    * exchange it wants to pin — and this helper VERIFIES it: a plan
-    * ending in a projection/filter that drops the partitioning would
-    * silently record UnknownPartitioning and re-shuffle at every
-    * consumer (the exact regression [[partitionedCheckpoint]] exists
-    * to prevent), so that misuse fails loudly at compile time here
-    * instead of surfacing as a perf cliff in a bench. */
-  def checkpointAsIs(df: DataFrame): DataFrame = {
+    * caller states the keys consumers will iterate against, and this
+    * helper VERIFIES the plan tail actually carries them: the tail's
+    * HashPartitioning expressions must match `keys` semantically
+    * (same attribute set, compared by exprId — names are resolved
+    * case-insensitively against the plan output). That catches BOTH
+    * misuse directions a bare isInstanceOf check misses: a tail
+    * partitioned on the WRONG keys (the hash(sk, b) coarser-key trap —
+    * silently re-shuffles at every consumer), and a projection/filter
+    * tail that drops the partitioning entirely (records
+    * UnknownPartitioning — the regression [[partitionedCheckpoint]]
+    * exists to prevent). A PartitioningCollection tail is accepted when
+    * ANY member is a matching HashPartitioning (joins report their
+    * reusable placements that way), so a legitimately-partitioned
+    * SMJ/BHJ tail is pinnable rather than rejected on shape. */
+  def checkpointAsIs(df: DataFrame, keys: String*): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.physical.{
+      HashPartitioning, Partitioning, PartitioningCollection}
+    require(keys.nonEmpty,
+      "checkpointAsIs needs the consumer keys to verify the pin against")
     val spark = df.sparkSession
     val aqe = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(aqe)
     spark.conf.set(aqe, "false")
     try {
-      val part = df.queryExecution.executedPlan.outputPartitioning
-      require(
-        part.isInstanceOf[
-          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning],
-        s"checkpointAsIs precondition violated: plan tail must carry a " +
-          s"HashPartitioning for consumers to reuse, got $part — " +
+      val exec = df.queryExecution.executedPlan
+      val resolver = spark.sessionState.analyzer.resolver
+      val expected = keys.map { k =>
+        exec.output.find(a => resolver(a.name, k)).getOrElse(
+          throw new IllegalArgumentException(
+            s"checkpointAsIs: key '$k' is not an output column " +
+              s"(${exec.output.map(_.name).mkString(", ")})"))
+      }
+      def hashMembers(p: Partitioning): Seq[HashPartitioning] = p match {
+        case h: HashPartitioning => Seq(h)
+        case c: PartitioningCollection => c.partitionings.flatMap(hashMembers)
+        case _ => Nil
+      }
+      val members = hashMembers(exec.outputPartitioning)
+      val ok = members.exists { h =>
+        h.expressions.length == expected.length &&
+          h.expressions.forall(e => expected.exists(_.semanticEquals(e))) &&
+          expected.forall(k => h.expressions.exists(k.semanticEquals))
+      }
+      require(ok,
+        s"checkpointAsIs precondition violated: plan tail must carry " +
+          s"HashPartitioning(${keys.mkString(", ")}) for consumers to " +
+          s"reuse, got ${exec.outputPartitioning} — " +
           s"use partitionedCheckpoint(df, keys*) instead")
       df.localCheckpoint(eager = false)
     } finally spark.conf.set(aqe, prev)

@@ -67,7 +67,7 @@ object Graph {
     // iterate against it.
     val edges = graft.operators.Pinned.checkpointAsIs(
       raw.unionAll(raw.select($"dst".as("src"), $"src".as("dst")))
-        .groupBy($"src").agg(collect_set($"dst").as("dsts")))
+        .groupBy($"src").agg(collect_set($"dst").as("dsts")), "src")
     val deg = edges.select($"src", size($"dsts").cast("long").as("d"))
     val nodes = edges.select($"src".as("node"))
     val r0 = nodes.select($"node", lit(Scale).as("r"))
@@ -293,7 +293,7 @@ object Graph {
         ($"l_suppkey" * 2 + 1).as("dst"))
     graft.operators.Pinned.checkpointAsIs(
       raw.unionAll(raw.select($"dst".as("src"), $"src".as("dst")))
-        .groupBy($"src").agg(collect_set($"dst").as("dsts")))
+        .groupBy($"src").agg(collect_set($"dst").as("dsts")), "src")
   }
 
   /** 3 unrolled BFS hops from `seeds` (a `seed` column) over pinned
@@ -332,7 +332,8 @@ object Graph {
       // the keyed pin would append is a REDUNDANT per-pin shuffle of the
       // whole layer (the helper's assert guards the precondition).
       val next =
-        if (hop < 3) graft.operators.Pinned.checkpointAsIs(nextLazy)
+        if (hop < 3)
+          graft.operators.Pinned.checkpointAsIs(nextLazy, "seed", "node")
         else nextLazy
       layers ::= next
     }
@@ -568,7 +569,7 @@ object Graph {
     // sketch — ~60× fewer pinned bytes than any sketch-carrying pin.
     // checkpointAsIs: the hop-3 groupBy(node) already placed the rows.
     val est = graft.operators.Pinned.checkpointAsIs(
-      sk.select($"node", hll_sketch_estimate($"sk").as("est")))
+      sk.select($"node", hll_sketch_estimate($"sk").as("est")), "node")
     val nNodes = est.agg(count(lit(1)).as("n_nodes_sketched"))
     val seeds = Tables.supplier(s, dir)
       .orderBy($"s_suppkey".asc).limit(ReachPanelK)
@@ -640,7 +641,7 @@ object Graph {
     // their own groupBy(node) exchange carried through the anti-chain —
     // the keyed pin's explicit repartition was a redundant per-pin
     // shuffle (the helper's assert guards the precondition).
-    var layers = List(graft.operators.Pinned.checkpointAsIs(seeds))
+    var layers = List(graft.operators.Pinned.checkpointAsIs(seeds, "node"))
     (1 to 3).foreach { round =>
       val frontier = layers.head
       val votes = frontier.join(edges, frontier("node") === edges("src"))
@@ -656,7 +657,7 @@ object Graph {
         acc.join(layer, Seq("node"), "left_anti")
       }
       layers ::= (if (round < 3)
-        graft.operators.Pinned.checkpointAsIs(newlyLazy)
+        graft.operators.Pinned.checkpointAsIs(newlyLazy, "node")
       else newlyLazy)
     }
     // lab is ≤ kinds·labels rows but is consumed twice (output + the

@@ -383,11 +383,19 @@ object LlmOps {
       .agg(sort_array(collect_list(
         struct($"lang", $"band", $"n_docs", $"w"))).as("xs"))
       .select($"xs",
-        aggregate($"xs", lit(0.0), (a, x) => a + x.getField("w")).as("sw"))
+        aggregate($"xs", lit(0.0), (a, x) => a + x.getField("w")).as("sw"),
+        aggregate($"xs", lit(0.0),
+          (a, x) => a + x.getField("n_docs").cast("double")).as("sn"))
+      // sw = 0 (every stratum variance-free) would make the Neyman
+      // divide an ANSI DIVIDE_BY_ZERO; CaseWhen leaves the divide
+      // UNevaluated and falls back to proportional-to-N_h allocation
+      // (the textbook degenerate case — q332/q335's denomOk stance)
       .select(transform($"xs", x => struct(
         x.getField("lang").as("lang"), x.getField("band").as("band"),
         x.getField("n_docs").as("n_docs"), x.getField("w").as("w"),
-        (kd * x.getField("w") / $"sw").as("ideal"))).as("xs"))
+        when($"sw" > 0.0, kd * x.getField("w") / $"sw")
+          .otherwise(kd * x.getField("n_docs") / $"sn").as("ideal")))
+        .as("xs"))
       .select(transform($"xs", x => struct(
         x.getField("lang").as("lang"), x.getField("band").as("band"),
         x.getField("n_docs").as("n_docs"), x.getField("w").as("w"),
@@ -1204,7 +1212,7 @@ object LlmOps {
         // OUTPUT and cannot sink below it.
         .select($"doc_id", posexplode_outer($"hs"))
         .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("h"))
-        .filter($"h".isNotNull))
+        .filter($"h".isNotNull), "doc_id")
     val frame = Window.partitionBy($"doc_id").orderBy($"pos".asc)
       .rowsBetween(Window.currentRow, w - 1)
     // window start i is valid iff a full w-frame fits OR i is the single
@@ -3128,19 +3136,27 @@ object LlmOps {
     * BPE trainers work at scale: the corpus is touched ONCE to build the
     * (word, freq) dictionary; every merge round then operates on the
     * VOCABULARY (bounded — ~50 surface forms here, ≤|vocab| anywhere),
-    * weighted by freq. Words are spaced symbol strings (' c o l d ');
-    * pair counts explode symbol bigrams weighted by word freq; the
-    * winning pair (max count, lexicographic tie-break) merges via
-    * literal string replace — ' l ' || ' d ' → ' ld ' — whose
-    * non-overlapping left-to-right semantics IS BPE's greedy merge rule,
-    * identically in both engines ('a a a' merges once). Each round is a
+    * weighted by freq. Words are DOUBLE-spaced symbol strings
+    * ('  c  o  l  d  '); pair counts explode symbol bigrams weighted by
+    * word freq; the winning pair (max count, lexicographic tie-break)
+    * merges via literal string replace whose pattern keeps ONE of each
+    * boundary's two spaces — '  l  d  ' matched as ' l  d ' → ' ld ' —
+    * so each match leaves the shared boundary space for the adjacent
+    * site and non-overlapping left-to-right replace IS greedy BPE
+    * (Sennrich 2016) even inside repeated-symbol runs: '  a  a  a  a  '
+    * → '  aa  aa  ', where a single-spaced pattern ' a a ' would
+    * consume the shared space and skip alternate sites in runs ≥ 4
+    * (' a a a a ' → ' aa a a '). Identical semantics in both engines. Each round is a
     * vocab-bounded agg + a 1-row broadcast back; nothing about the
     * corpus re-shuffles, so 100 TB costs one word-count pass. */
   /** Shared BPE machinery for q157 (training census) and q196 (encode
-    * census): the checkpointed (word, freq, spaced-segmentation) dict,
-    * pair counting, top-pair selection, and the literal-replace merge
-    * application whose non-overlapping left-to-right semantics IS BPE's
-    * greedy rule (identical in both engines). */
+    * census): the checkpointed (word, freq, DOUBLE-spaced segmentation)
+    * dict, pair counting, top-pair selection, and the literal-replace
+    * merge application — the pattern keeps one of each boundary's two
+    * spaces, so left-to-right non-overlapping replace merges every
+    * greedy site including runs of repeated symbols (see
+    * [[bpeMerges]]'s doc for the run-≥4 counterexample the
+    * single-spaced form got wrong). */
   private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // localCheckpoint: the dict is referenced by both merge rounds — cut
@@ -3148,13 +3164,13 @@ object LlmOps {
     Tables.documents(s, dir)
       .select(explode(TextOps.tokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
-      .withColumn("seg", concat(lit(" "),
-        regexp_replace($"w", "(.)", "$1 ")))
+      .withColumn("seg", concat(lit("  "),
+        regexp_replace($"w", "(.)", "$1  ")))
       .localCheckpoint()
   }
   private def bpePairCounts(v: DataFrame): DataFrame = {
     import v.sparkSession.implicits._
-    v.withColumn("syms", split(trim($"seg"), " "))
+    v.withColumn("syms", split(trim($"seg"), "  "))
       // sequence(1, 0) DESCENDS in Spark — guard the single-symbol words
       // (explode of the empty array drops them, matching DuckDB's range)
       .select($"freq", explode(
@@ -3174,7 +3190,8 @@ object LlmOps {
     import v.sparkSession.implicits._
     v.crossJoin(broadcast(top))
       .withColumn("seg", expr(
-        "replace(seg, ' ' || top_pair || ' ', ' ' || replace(top_pair, ' ', '') || ' ')"))
+        "replace(seg, ' ' || replace(top_pair, ' ', '  ') || ' ', " +
+          "' ' || replace(top_pair, ' ', '') || ' ')"))
       .select($"w", $"freq", $"seg")
   }
 
@@ -3209,7 +3226,7 @@ object LlmOps {
     val top2 = bpeTopPair(bpePairCounts(vocab2))
     val vocab3 = bpeApplyMerge(vocab2, top2)
     vocab3
-      .select($"w", $"freq", explode(split(trim($"seg"), " ")).as("sym"))
+      .select($"w", $"freq", explode(split(trim($"seg"), "  ")).as("sym"))
       .groupBy($"sym")
       .agg(sum($"freq").as("n_occurrences"),
         countDistinct($"w").as("n_words"))
@@ -3231,8 +3248,9 @@ object LlmOps {
     * aggregate, a ≤1-row collect of the winning pair (max count,
     * lexicographic tie-break — greedy BPE's determinism rule), the merge
     * applied as a LITERAL string replace over the checkpointed
-    * (word, freq, seg) dict (non-overlapping left-to-right replace IS
-    * the greedy merge rule, identically in both engines), then q196's
+    * (word, freq, seg) dict (double-spaced boundaries make
+    * non-overlapping left-to-right replace exactly the greedy merge
+    * rule, runs included — [[bpeMerges]]'s doc), then q196's
     * explode machinery re-encodes the vocabulary for the round's
     * distinct-symbol census. The corpus is touched ONCE (the dict
     * build); each round's distributed work is O(|vocab|) map-side
@@ -3260,9 +3278,10 @@ object LlmOps {
         val cnt = top(0).getLong(1)
         val merged = pair.replace(" ", "")
         vocab = vocab.select($"w", $"freq",
-          replace($"seg", lit(s" $pair "), lit(s" $merged ")).as("seg"))
+          replace($"seg", lit(" " + pair.replace(" ", "  ") + " "),
+            lit(s" $merged ")).as("seg"))
         val nSyms = vocab
-          .select(explode(split(trim($"seg"), " ")).as("sym"))
+          .select(explode(split(trim($"seg"), "  ")).as("sym"))
           .agg(countDistinct($"sym")).collect()(0).getLong(0) // 1-row gate
         out += ((k, pair, merged, cnt, nSyms))
         k += 1
@@ -3282,7 +3301,7 @@ object LlmOps {
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq, unnest(list_transform(range(1, len(syms)),
          |                        i -> syms[i] || ' ' || syms[i + 1])) AS pair
-         |    FROM (SELECT freq, string_split(trim(seg), ' ') AS syms FROM vocab$k))
+         |    FROM (SELECT freq, string_split(trim(seg), '  ') AS syms FROM vocab$k))
          |  GROUP BY pair
          |),
          |top$k AS MATERIALIZED (
@@ -3291,13 +3310,13 @@ object LlmOps {
          |),
          |vocab${k + 1} AS MATERIALIZED (
          |  SELECT w, freq,
-         |         replace(seg, ' ' || top_pair || ' ',
+         |         replace(seg, ' ' || replace(top_pair, ' ', '  ') || ' ',
          |                 ' ' || replace(top_pair, ' ', '') || ' ') AS seg
          |  FROM vocab$k, top$k
          |),
          |vs$k AS (
          |  SELECT CAST(count(DISTINCT sym) AS BIGINT) AS vocab_syms
-         |  FROM (SELECT unnest(string_split(trim(seg), ' ')) AS sym
+         |  FROM (SELECT unnest(string_split(trim(seg), '  ')) AS sym
          |        FROM vocab${k + 1})
          |)""".stripMargin
     }.mkString
@@ -3308,7 +3327,7 @@ object LlmOps {
     }.mkString("\n  UNION ALL\n")
     s"""WITH vocab1 AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
-       |         ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg
+       |         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS seg
        |  FROM (SELECT unnest($toksSql) AS w FROM documents)
        |  GROUP BY w
        |)""".stripMargin + rounds +
@@ -4553,12 +4572,20 @@ object LlmOps {
          |), ideals AS (
          |  SELECT list_transform(xs, x -> struct_pack(
          |           lang := x.lang, band := x.band, n_docs := x.n_docs,
-         |           w := x.w, ideal := $NeymanK.0 * x.w / sw)) AS xs
+         |           w := x.w,
+         |           ideal := CASE WHEN sw > 0
+         |                         THEN $NeymanK.0 * x.w / sw
+         |                         ELSE $NeymanK.0 * x.n_docs / sn END)) AS xs
          |  FROM (
          |    SELECT xs, list_reduce(
          |             list_prepend(CAST(0.0 AS DOUBLE),
          |                          list_transform(xs, x -> x.w)),
-         |             (a, b) -> a + b) AS sw
+         |             (a, b) -> a + b) AS sw,
+         |           list_reduce(
+         |             list_prepend(CAST(0.0 AS DOUBLE),
+         |                          list_transform(xs,
+         |                                         x -> CAST(x.n_docs AS DOUBLE))),
+         |             (a, b) -> a + b) AS sn
          |    FROM folded
          |  )
          |), based AS (
@@ -4943,7 +4970,7 @@ object LlmOps {
     "q196_bpe_encode" ->
       s"""WITH vocab AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
-         |         ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg
+         |         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS seg
          |  FROM (SELECT unnest($toksSql) AS w FROM documents)
          |  GROUP BY w
          |),
@@ -4951,14 +4978,14 @@ object LlmOps {
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq, unnest(list_transform(range(1, len(syms)),
          |                        i -> syms[i] || ' ' || syms[i + 1])) AS pair
-         |    FROM (SELECT freq, string_split(trim(seg), ' ') AS syms FROM vocab))
+         |    FROM (SELECT freq, string_split(trim(seg), '  ') AS syms FROM vocab))
          |  GROUP BY pair
          |),
          |top1 AS (SELECT pair AS top_pair FROM pc1
          |         ORDER BY cnt DESC, pair ASC LIMIT 1),
          |vocab2 AS (
          |  SELECT w, freq,
-         |         replace(seg, ' ' || top_pair || ' ',
+         |         replace(seg, ' ' || replace(top_pair, ' ', '  ') || ' ',
          |                 ' ' || replace(top_pair, ' ', '') || ' ') AS seg
          |  FROM vocab, top1
          |),
@@ -4966,20 +4993,20 @@ object LlmOps {
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq, unnest(list_transform(range(1, len(syms)),
          |                        i -> syms[i] || ' ' || syms[i + 1])) AS pair
-         |    FROM (SELECT freq, string_split(trim(seg), ' ') AS syms FROM vocab2))
+         |    FROM (SELECT freq, string_split(trim(seg), '  ') AS syms FROM vocab2))
          |  GROUP BY pair
          |),
          |top2 AS (SELECT pair AS top_pair FROM pc2
          |         ORDER BY cnt DESC, pair ASC LIMIT 1),
          |vocab3 AS (
          |  SELECT w, freq,
-         |         replace(seg, ' ' || top_pair || ' ',
+         |         replace(seg, ' ' || replace(top_pair, ' ', '  ') || ' ',
          |                 ' ' || replace(top_pair, ' ', '') || ' ') AS seg
          |  FROM vocab2, top2
          |)
          |SELECT sym, CAST(sum(freq) AS BIGINT) AS n_occurrences,
          |       count(DISTINCT w) AS n_words
-         |FROM (SELECT w, freq, unnest(string_split(trim(seg), ' ')) AS sym
+         |FROM (SELECT w, freq, unnest(string_split(trim(seg), '  ')) AS sym
          |      FROM vocab3)
          |GROUP BY sym
          |ORDER BY sym""".stripMargin,
@@ -4987,7 +5014,7 @@ object LlmOps {
     "q157_bpe_merges" ->
       s"""WITH vocab AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
-         |         ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg
+         |         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS seg
          |  FROM (SELECT unnest($toksSql) AS w FROM documents)
          |  GROUP BY w
          |),
@@ -4995,14 +5022,14 @@ object LlmOps {
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq, unnest(list_transform(range(1, len(syms)),
          |                        i -> syms[i] || ' ' || syms[i + 1])) AS pair
-         |    FROM (SELECT freq, string_split(trim(seg), ' ') AS syms FROM vocab))
+         |    FROM (SELECT freq, string_split(trim(seg), '  ') AS syms FROM vocab))
          |  GROUP BY pair
          |),
          |top1 AS (SELECT pair AS top_pair, cnt AS top_cnt FROM pc1
          |         ORDER BY cnt DESC, pair ASC LIMIT 1),
          |vocab2 AS (
          |  SELECT w, freq,
-         |         replace(seg, ' ' || top_pair || ' ',
+         |         replace(seg, ' ' || replace(top_pair, ' ', '  ') || ' ',
          |                 ' ' || replace(top_pair, ' ', '') || ' ') AS seg
          |  FROM vocab, top1
          |),
@@ -5010,7 +5037,7 @@ object LlmOps {
          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq, unnest(list_transform(range(1, len(syms)),
          |                        i -> syms[i] || ' ' || syms[i + 1])) AS pair
-         |    FROM (SELECT freq, string_split(trim(seg), ' ') AS syms FROM vocab2))
+         |    FROM (SELECT freq, string_split(trim(seg), '  ') AS syms FROM vocab2))
          |  GROUP BY pair
          |),
          |top2 AS (SELECT pair AS top_pair, cnt AS top_cnt FROM pc2

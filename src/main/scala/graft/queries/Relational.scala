@@ -1795,6 +1795,12 @@ object Relational {
     val recs = Tables.customer(s, dir)
       .select($"c_custkey", $"c_name", $"c_nationkey", $"c_mktsegment",
         cents($"c_acctbal").as("bal_c"))
+      // band key portability: the fixtures carry NEGATIVE balances, and
+      // Spark `div` and DuckDB `//` must agree on them for the candidate
+      // sets to match. Both TRUNCATE TOWARD ZERO (verified:
+      // -150000 div 100000 = -1 on both; floor division would give -2
+      // and band (-$1000, $0) differently) — the spec plants a
+      // negative-balance block that pairs only under truncation.
       .select($"c_custkey", $"c_name", $"bal_c",
         concat_ws(":", $"c_nationkey".cast("string"), $"c_mktsegment",
           expr("bal_c div 100000").cast("string")).as("blk"))

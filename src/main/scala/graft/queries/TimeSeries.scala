@@ -999,9 +999,9 @@ object TimeSeries {
     // ledger-sized shuffle; `bounds` keeps the keyed pin — its distinct
     // tail is hash(sk, b), which does NOT satisfy the sk consumers.
     val rec = graft.operators.Pinned.checkpointAsIs(
-      ledger(1995).withColumn("cum", sum($"qty").over(wCum)))
+      ledger(1995).withColumn("cum", sum($"qty").over(wCum)), "sk")
     val iss = graft.operators.Pinned.checkpointAsIs(
-      ledger(1996).withColumn("cum", sum($"qty").over(wCum)))
+      ledger(1996).withColumn("cum", sum($"qty").over(wCum)), "sk")
     val bounds = graft.operators.Pinned.partitionedCheckpoint(
       rec.select($"sk", $"cum".as("b"))
         .unionAll(iss.select($"sk", $"cum".as("b"))).distinct(), $"sk")

@@ -1786,6 +1786,126 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q329 BPE merges repeated-symbol runs greedily (the run-≥4 case)") {
+    // 'aaaa' segments to 4 'a' symbols = 3 overlapping 'a a' sites; real
+    // greedy BPE merges left-to-right into 'aa aa'. A single-spaced
+    // replace pattern consumes the shared boundary space and yields
+    // 'aa a a' (alternate sites skipped) — the double-spaced encoding
+    // must produce the true greedy result on BOTH rounds.
+    val dir = java.nio.file.Files.createTempDirectory("bpe_run").toString
+    Seq((1L, "aaaa aaaa", "en", "web", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q329_bpe_merge_loop")(spark, dir).collect()
+    assert(rows.length === 2, "aa+aa -> aaaa, then exhaustion")
+    // round 1: 3 'a a' sites per word x freq 2 = 6; greedy merge leaves
+    // ONLY 'aa' symbols (census 1) — the broken form leaves {aa, a} (2)
+    assert(rows(0).getString(1) === "a a" && rows(0).getLong(3) === 6L)
+    assert(rows(0).getLong(4) === 1L,
+      "run of 4 must merge at both sites in one round")
+    // round 2: the two 'aa' halves merge to the full word
+    assert(rows(1).getString(1) === "aa aa" && rows(1).getString(2) === "aaaa")
+    assert(rows(1).getLong(4) === 1L)
+  }
+
+  test("q334 all-variance-free strata fall back to proportional allocation") {
+    // every stratum constant token count -> total Neyman weight sw = 0;
+    // the guarded divide must stay unevaluated (no ANSI DIVIDE_BY_ZERO)
+    // and the allocation degrade to proportional-to-N_h
+    val K = graft.queries.LlmOps.NeymanK
+    val dir = java.nio.file.Files.createTempDirectory("neyman0").toString
+    (spark.range(1, 101).select($"id".as("doc_id"),
+        lit("w w w").as("text"), lit("zz").as("lang"),
+        lit("web").as("source"), lit(5L).as("n_chars"))
+      unionAll spark.range(101, 201).select($"id".as("doc_id"),
+        lit("t t t t t").as("text"), lit("en").as("lang"),
+        lit("web").as("source"), lit(5L).as("n_chars")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q334_neyman_allocation")(spark, dir).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[Double]("neyman_weight") === 0.0))
+    // proportional: both strata have 100 docs -> K/2 each, exactly
+    assert(out.forall(_.getAs[Long]("n_alloc") === K / 2))
+    assert(out.map(_.getAs[Long]("n_alloc")).sum === K)
+  }
+
+  test("q333 band key truncates toward zero on negative balances") {
+    // bal -$5.00 bands to 0 under truncation (Spark div, DuckDB //) but
+    // to -1 under floor division — the pair below exists ONLY if the
+    // engine truncates, so a silent floor-division drift fails here
+    // instead of shrinking the candidate set unnoticed.
+    val dir = java.nio.file.Files.createTempDirectory("linkneg").toString
+    Seq(
+      (1L, "Nova Ltd", 3, "AUTOMOBILE", -5.00),
+      (2L, "Nova Ltd", 3, "AUTOMOBILE", 50.00)
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q333_entity_linkage")(spark, dir).collect()
+      .map(r => r.getAs[String]("link_class") -> r).toMap
+    assert(out.contains("match") && out("match").getAs[Long]("n_pairs") === 1L,
+      "negative and positive balances in (-$1000, $1000) share band 0")
+    assert(out("match").getAs[Long]("n_blocks") === 1L)
+  }
+
+  test("Pinned.checkpointAsIs verifies the stated keys semantically") {
+    import graft.operators.Pinned
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val base = spark.range(0, 1000)
+      .select(($"id" % 37).as("k"), ($"id" % 11).as("v"))
+    // right keys on a keyed-agg tail: accepted, and the pin RECORDS the
+    // hash placement (the whole point — consumers read it exchange-free)
+    val pinned = Pinned.checkpointAsIs(base.groupBy($"k").count(), "k")
+    val recorded = pinned.queryExecution.executedPlan.outputPartitioning
+    assert(recorded.isInstanceOf[HashPartitioning] &&
+      recorded.asInstanceOf[HashPartitioning].expressions.length === 1)
+    // coarser-key trap: tail hash(k, v) does NOT satisfy consumers keyed
+    // on k alone — must fail loudly, not record a useless placement
+    intercept[IllegalArgumentException] {
+      Pinned.checkpointAsIs(base.groupBy($"k", $"v").count(), "k")
+    }
+    // wrong key entirely
+    intercept[IllegalArgumentException] {
+      Pinned.checkpointAsIs(base.groupBy($"k").count(), "count")
+    }
+    // key not even in the output
+    intercept[IllegalArgumentException] {
+      Pinned.checkpointAsIs(base.groupBy($"k").count(), "nope")
+    }
+    // a bare scan/projection tail has no placement to pin
+    intercept[IllegalArgumentException] {
+      Pinned.checkpointAsIs(base, "k")
+    }
+    // PartitioningCollection tail (sort-merge join reports BOTH sides'
+    // placements): accepted when a member matches — the labelPropagation
+    // seeds-join shape at a SF where the dim side outgrows broadcast
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(bcast)
+    val prevAqe = spark.conf.get(aqe)
+    spark.conf.set(bcast, "-1")
+    // probe AQE-off: under AQE the cached executedPlan is an
+    // AdaptiveSparkPlanExec (UnknownPartitioning) and a pre-forced plan
+    // would poison checkpointAsIs's own AQE-off compilation anyway
+    spark.conf.set(aqe, "false")
+    try {
+      val l = base.groupBy($"k").agg(count(lit(1)).as("n"))
+      val r = base.select($"k".as("k2"), $"v")
+        .groupBy($"k2").agg(sum($"v").as("sv"))
+      // explicit condition keeps BOTH key columns in the output, so the
+      // SMJ's PartitioningCollection(hash(k), hash(k2)) survives the
+      // projection (join-USING coalesces to one key and collapses it)
+      val joined = l.join(r, $"k" === $"k2")
+      assert(joined.queryExecution.executedPlan.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
+          .PartitioningCollection],
+        "fixture must actually exercise the collection shape")
+      Pinned.checkpointAsIs(joined, "k") // must not throw
+    } finally {
+      spark.conf.set(bcast, prev)
+      spark.conf.set(aqe, prevAqe)
+    }
+  }
+
   test("q324 shard manifest is invariant to input partitioning and ordering") {
     // The manifest's whole contract: placement, order, packing, and
     // checksums derive from row CONTENT alone, so a repartitioned and
