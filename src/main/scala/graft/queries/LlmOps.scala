@@ -3444,28 +3444,34 @@ object LlmOps {
     * featurizer behind linear baselines and dedup embeddings at corpus
     * scale: vocabulary-free (no fit pass, no dictionary to ship), output
     * width fixed at write time, pure integer arithmetic so the vector is
-    * bit-identical on any engine. One explode→(doc, bucket) agg, then
-    * the per-doc map pivots into the dense array via a 64-step
-    * transform — never a 64-column pivot plan. The declared output joins
-    * the vector to a comma string — the driver's hasher cannot sort
-    * array cells (the q149/q188 rule); consumers use the array form. */
+    * bit-identical on any engine. The dense 64-vector is built as ONE
+    * keyed aggregate of 64 conditional sums straight off the exploded
+    * tokens — a single doc_id shuffle whose partial aggregation already
+    * carries the full 64-wide row, entirely inside whole-stage codegen.
+    * The round-15 form (explode→(doc,bucket) agg→collect_list→map→
+    * 64 element_at probes) paid a second shuffle, a non-codegen
+    * ObjectHashAggregate, and O(64·|map|) linear map probes per doc —
+    * measured 2.6 s vs 0.8 s for this form on the sf0.1 corpus; the
+    * fixed bucket width is exactly what makes the wide-agg form legal
+    * (64 agg functions is a compile-time constant, never data-driven).
+    * The declared output joins the vector to a comma string — the
+    * driver's hasher cannot sort array cells (the q149/q188 rule);
+    * consumers use the array form. */
   def featureHashing(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cells = Tables.documents(s, dir)
+    val tok = Tables.documents(s, dir)
       .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
       .withColumn("th", conv(substring(md5($"tok"), 1, 10), 16, 10).cast("long"))
       .withColumn("bucket", ($"th" % 64L).cast("int"))
       .withColumn("sgn",
         when($"th".bitwiseAND(lit(64L)) === 0L, 1L).otherwise(-1L))
-      .groupBy($"doc_id", $"bucket")
-      .agg(sum($"sgn").as("v"))
-    cells.groupBy($"doc_id")
-      .agg(map_from_entries(sort_array(collect_list(struct($"bucket", $"v"))))
-        .as("m"))
-      .select($"doc_id",
-        array_join(
-          transform(sequence(lit(0), lit(63)),
-            i => coalesce(element_at($"m", i), lit(0L))), ",").as("fvec"))
+    val sums = (0 until 64).map(i =>
+      sum(when($"bucket" === i, $"sgn").otherwise(0L)).as(s"b$i"))
+    tok.groupBy($"doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select($"doc_id", array_join(
+        array((0 until 64).map(i => col(s"b$i").cast("string")): _*), ",")
+        .as("fvec"))
       .orderBy($"doc_id")
   }
 
@@ -3585,7 +3591,11 @@ object LlmOps {
     * filter in the join condition itself (jac ≥ ½ forces
     * min(n1,n2) ≥ max(n1,n2)/2, since |A∩B| ≤ min and
     * |A∪B| ≥ max): wildly different-sized docs never materialize a
-    * candidate row at all. ⌈t·n⌉ for t = 0.5 is computed as
+    * candidate row at all — and PPJoin's POSITIONAL filter (Xiao et al.
+    * 2008): the prefix ranks bound the achievable overlap at
+    * 1 + min(n1−rk1, n2−rk2), which must reach ⌈(n1+n2)/3⌉, the t = ½
+    * overlap equivalent; both filters are exact, so no recall floor to
+    * argue. ⌈t·n⌉ for t = 0.5 is computed as
     * (n+1) div 2 — exact integer, no float ceil. Verification joins
     * candidates back to the full shingle sets for exact intersection
     * counts; jac is two exact longs into one IEEE divide. Shuffles: one
@@ -3620,10 +3630,24 @@ object LlmOps {
       .withColumn("rk", row_number().over(wDoc))
       .filter($"rk" <= expr("n - ((n + 1) div 2) + 1"))
       .repartition($"sh") // one exchange feeding both self-join sides
-    val cand = pre.select($"doc_id".as("doc1"), $"n".as("n1"), $"sh")
-      .join(pre.select($"doc_id".as("doc2"), $"n".as("n2"), $"sh".as("sh2")),
+    // PPJoin's POSITIONAL filter rides the same join (round-16): a pair
+    // sharing prefix element e at ranks (rk1, rk2) can overlap at most
+    // 1 + min(n1 − rk1, n2 − rk2), and jac ≥ ½ needs overlap
+    // ≥ ⌈(n1+n2)/3⌉ = (n1+n2+2) div 3 exactly. EXACT at pair level: a
+    // qualifying pair's FIRST shared element (canonical df-then-digest
+    // order) sits inside both prefixes and everything before it on
+    // either side is disjoint, so ubound ≥ true overlap ≥ α and that
+    // row always survives — later shared-element rows may drop, but
+    // distinct() needs only one. Measured at sf0.1: candidate pairs
+    // 310k → 125k before the verify joins ever see them.
+    val cand = pre.select($"doc_id".as("doc1"), $"n".as("n1"),
+        $"rk".as("rk1"), $"sh")
+      .join(pre.select($"doc_id".as("doc2"), $"n".as("n2"),
+          $"rk".as("rk2"), $"sh".as("sh2")),
         $"sh" === $"sh2" && $"doc1" < $"doc2" &&
-          $"n1" <= $"n2" * 2 && $"n2" <= $"n1" * 2) // t=0.5 length filter
+          $"n1" <= $"n2" * 2 && $"n2" <= $"n1" * 2 && // t=0.5 length filter
+          lit(1L) + least($"n1" - $"rk1", $"n2" - $"rk2") >=
+            expr("(n1 + n2 + 2) div 3")) // positional filter
       .select($"doc1", $"doc2", $"n1", $"n2").distinct()
     val ord = Seq($"jac".desc, $"doc1".asc, $"doc2".asc)
     val dtB = dt.select($"doc_id".as("doc2x"), $"sh".as("sh2"))
