@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -776,7 +777,203 @@ object Graph {
       .orderBy($"nation")
   }
 
+  /** Unrolled peel rounds for [[kcorePeelCensus]]. The fixture trade
+    * graph reaches its k-core fixpoint in ONE round at every SF (random
+    * bipartite graphs have no deep degeneracy cascade), so 4 unrolled
+    * rounds leave the converged flag visibly TRUE with idempotent slack;
+    * a real degeneracy-ordered graph (path/tree-like) peels ~diameter/2
+    * rounds and a production run driver-gates on the converged flag
+    * (the q329 ≤1-row collect gate). The planted-path spec exercises a
+    * genuine multi-round cascade this fixture cannot. */
+  val KCoreRounds = 4
+
+  /** k-core peel census — iterative degeneracy peeling (Seidman 1983;
+    * the distributed formulation is Montresor et al.'s degree-pruning
+    * loop): repeatedly delete nodes of induced degree < k until
+    * fixpoint, the standard "dense cohesive subgraph" extraction next
+    * to q202's triangle view of density. k is DATA-DRIVEN — the lower
+    * median of the initial degree distribution, selected exactly on the
+    * degree VALUE census (the q309 rank-selection, over a census
+    * bounded by the degree domain, not |V|) — because a fixed k is not
+    * scale-robust on a graph whose density grows with SF (the q202
+    * lift-threshold lesson: self-normalize, don't hardcode).
+    *
+    * Output: one census row per peel state r = 0..[[KCoreRounds]] —
+    * (round, k, n_nodes, n_edges, converged) — where converged compares
+    * |S_r| to |S_{r-1}|: survivor sets shrink monotonically, so equal
+    * COUNTS prove equal SETS (no set-compare needed) and rounds after
+    * the fixpoint are idempotent by construction.
+    *
+    * Scale shape: the symmetric edge list is pinned hash(src) ONCE
+    * (partitionedCheckpoint); each round is one exchange-free
+    * groupBy(src) degree count + a broadcast-k filter + two semi-joins
+    * of the edge list against the |V|-row survivor set — O(|E|) per
+    * round, the standard distributed peel. Survivor/edge states pin
+    * lazily so the 5 census reads don't re-run the chain. Every count
+    * is an exact long; there are no floats anywhere. */
+  def kcorePeelCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // The pinned src-keyed ADJACENCY (tradeAdjacency: symmetrize raw
+    // pairs, dedup+place in its ONE groupBy exchange). Per-round state
+    // is the |V|-row DEGREE TABLE, pinned: it yields the next survivor
+    // set (filter), the round's node count (every graph node has
+    // deg ≥ 1 initially, so S₀ = d₀'s keys — no distinct), AND the
+    // round's edge count (Σdeg = 2|E| — no separate edge-count pass).
+    // A peel round re-derives induced degrees from the PINNED adjacency
+    // (S_r ⊆ S_{r-1} makes induced(G, S_r) ≡ induced(E_{r-1}, S_r)):
+    // one BROADCAST semi against the dim-sized survivor set BEFORE the
+    // explode (|V|-row probe), one after on dst (map-side over the
+    // exploded stream), then a groupBy(src) landing on the adjacency's
+    // own hash placement — ONE map-side pass over the graph and zero
+    // |E|-row exchanges per round (the pair-list form with a
+    // distinct+repartition build measured 6.3 s; this form ~2.5 s at
+    // sf0.1/32c, the q197 build economics). Envelope: the survivor
+    // broadcast is |V|-bounded — beyond ~10⁷ nodes drop the hint and
+    // let the semis plan as shuffle joins.
+    val adj = tradeAdjacency(s, dir)
+    def degrees(surv: DataFrame): DataFrame =
+      adj.join(broadcast(surv.select($"node".as("src"))), Seq("src"), "semi")
+        .select($"src", explode($"dsts").as("dst"))
+        .join(broadcast(surv.select($"node".as("dst"))), Seq("dst"), "semi")
+        .groupBy($"src").agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
+    val d0 = adj.select($"src", size($"dsts").cast("long").as("c"))
+      .localCheckpoint(eager = false) // map-side; read by k + S₀ + census
+    // k = lower median degree: cum-count selection over the degree-value
+    // census (rows bounded by the degree DOMAIN — the q144 argument)
+    val wCum = Window.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val kPin = d0.groupBy($"c").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum($"n").over(wCum))
+      .withColumn("tot", sum($"n").over(wAll))
+      .agg(min(when($"cum" * 2 >= $"tot", $"c")).as("k"))
+      .localCheckpoint(eager = false) // 1-row, read every round
+    // degs(r): induced degrees of round r's survivors; survivors(r) for
+    // r ≥ 1 = prior degrees filtered by k. n_nodes(r) still counts the
+    // SURVIVOR set (an S_r node can drop to induced degree 0 and leave
+    // the degree table while remaining a round-r node).
+    var prevDeg = d0
+    val states = Seq.newBuilder[(Int, DataFrame, DataFrame)]
+    states += ((0, d0.select($"src".as("node")), d0))
+    (1 to KCoreRounds).foreach { r =>
+      val next = prevDeg
+        .crossJoin(broadcast(kPin)).filter($"c" >= $"k")
+        .select($"src".as("node"))
+        .localCheckpoint(eager = false) // read by 2 semi-joins + census
+      val dr = degrees(next)
+      states += ((r, next, dr))
+      prevDeg = dr
+    }
+    val rows = states.result().map { case (r, sv, dg) =>
+      sv.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(dg.agg(
+          coalesce(expr("sum(c) div 2"), lit(0L)).as("n_edges")))
+        .select(lit(r.toLong).as("round"), $"n_nodes", $"n_edges")
+    }.reduce(_ unionAll _)
+    val wr = Window.orderBy($"round") // 5 rows — bounded by KCoreRounds
+    rows.crossJoin(broadcast(kPin))
+      .withColumn("converged",
+        coalesce($"n_nodes" === lag($"n_nodes", 1).over(wr), lit(false)))
+      .select($"round", $"k", $"n_nodes", $"n_edges", $"converged")
+      .orderBy($"round")
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) on the DIRECTED bipartite
+    * customer→supplier trade graph — the natural HITS instance: hubs =
+    * customers whose purchases concentrate on authoritative suppliers,
+    * authorities = suppliers endorsed by strong hubs. Two full mutual-
+    * reinforcement iterations, a(s) = Σ_{c→s} h(c) then h(c) = Σ_{c→s}
+    * a(s), starting from h₀ ≡ [[Scale]] (so the first authority pass is
+    * exactly indegree·Scale, folded in without a join).
+    *
+    * Portability: the textbook L2 normalization is a √ of an order-
+    * dependent float sum — unusable under the hash-compare contract.
+    * MAX-normalization (scores rescaled so max = [[Scale]]) is the
+    * standard integer-friendly variant: every step is an exact integer
+    * sum (decimal(38,0) — Σ ≤ |E|·Scale passes 2⁶³ at |E| ≈ 10⁷, the
+    * q197 promotion) followed by one integer (score·Scale) div max —
+    * truncating division, identical in Spark `div` and DuckDB `//` on
+    * non-negative operands — so both engines produce bit-identical
+    * longs at any parallelism. Envelope: score·Scale ≤ |E|·10²⁴ stays
+    * inside decimal(38,0) to |E| ≈ 10¹⁴ directed edges.
+    *
+    * Scale shape: the two directed adjacencies pin on their OWN groupBy
+    * keys (checkpointAsIs — tradeAdjacency's degree precondition and
+    * collect_set caveats apply verbatim); each half-iteration joins the
+    * |V|-row score table against its adjacency exchange-free (scores
+    * arrive hash-placed by the previous groupBy), explodes AFTER the
+    * join, and pays exactly one |E|-row exchange in its groupBy — the
+    * q197 iteration contract. Output: top-10 authorities and top-10
+    * hubs (string ids rebuilt only at this bounded projection), totally
+    * ordered (role, score desc, node). */
+  def hitsScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val raw = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("ck"), $"l_suppkey".as("sk"))
+      .distinct()
+      .localCheckpoint(eager = false) // read by both adjacency builds
+    val ckAdj = graft.operators.Pinned.checkpointAsIs(
+      raw.groupBy($"ck").agg(collect_set($"sk").as("sks")), "ck")
+    val skAdj = graft.operators.Pinned.checkpointAsIs(
+      raw.groupBy($"sk").agg(collect_set($"ck").as("cks")), "sk")
+    // (score·Scale) div max, exact; max is a 1-row broadcast scalar.
+    // The raw-score input is pinned first: both the max and the main
+    // pass read it, and unpinned the whole upstream iteration chain
+    // would re-execute once per read (measured 10.2 s → 2-ish at
+    // sf0.1/32c for the full query). Over the empty graph max is NULL
+    // and the div propagates NULL (never a zero divisor), so the
+    // degenerate case yields no rows rather than an ANSI error.
+    def maxNorm(df: DataFrame, key: String, v: String): DataFrame = {
+      val pinned = df.localCheckpoint(eager = false) // |V|-row score table
+      val m = pinned.agg(max(col(v)).as("m"))
+      pinned.crossJoin(broadcast(m))
+        .select(col(key), expr(s"CAST(($v * $Scale) div m AS BIGINT)").as(v))
+    }
+    // Each half-iteration BROADCASTS the |V|-row score table into the
+    // exploded adjacency (dim-sized build — the same envelope as the
+    // q337 survivor broadcast), so the explode stays map-side over the
+    // pinned adjacency and the groupBy that follows lands on the
+    // adjacency's own hash placement: zero |E|-row exchanges per step.
+    // iteration 1: a₁(s) = indeg(s)·Scale (h₀ ≡ Scale folded in)
+    val a1 = maxNorm(
+      skAdj.select($"sk", (size($"cks").cast(d38) * lit(Scale)).as("a")),
+      "sk", "a")
+    val h1 = maxNorm(
+      ckAdj.select($"ck", explode($"sks").as("sk"))
+        .join(broadcast(a1), "sk")
+        .groupBy($"ck").agg(sum($"a".cast(d38)).as("h")),
+      "ck", "h")
+    // iteration 2
+    val a2 = maxNorm(
+      skAdj.select($"sk", explode($"cks").as("ck"))
+        .join(broadcast(h1), "ck")
+        .groupBy($"sk").agg(sum($"h".cast(d38)).as("a")),
+      "sk", "a")
+    val h2 = maxNorm(
+      ckAdj.select($"ck", explode($"sks").as("sk"))
+        .join(broadcast(a2), "sk")
+        .groupBy($"ck").agg(sum($"a".cast(d38)).as("h")),
+      "ck", "h")
+    val auth = a2
+      .select(lit("authority").as("role"),
+        concat(lit("s"), $"sk".cast("string")).as("node"),
+        $"a".as("score"))
+      .orderBy($"score".desc, $"node".asc).limit(10)
+    val hubs = h2
+      .select(lit("hub").as("role"),
+        concat(lit("c"), $"ck".cast("string")).as("node"),
+        $"h".as("score"))
+      .orderBy($"score".desc, $"node".asc).limit(10)
+    auth.unionAll(hubs).orderBy($"role", $"score".desc, $"node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q337_kcore_peel_census" -> kcorePeelCensus,
+    "q338_hits_scores" -> hitsScores,
     "q319_partition_conductance" -> partitionConductance,
     "q202_triangle_census" -> triangleCensus,
     "q288_bfs_reachability" -> bfsReachability,
@@ -806,7 +1003,91 @@ object Graph {
        |)""".stripMargin
   }
 
+  /** One unrolled peel round for the q337 oracle: induced-degree count,
+    * threshold filter against the data-driven k, induced edge list. */
+  private def kcoreRoundSql(r: Int): String = {
+    val pe = if (r == 1) "und" else s"e${r - 1}"
+    s"""d$r AS (SELECT src, count(*) AS c FROM $pe GROUP BY 1),
+       |s$r AS MATERIALIZED (SELECT src AS node FROM d$r, kv WHERE c >= k),
+       |e$r AS MATERIALIZED (
+       |  SELECT src, dst FROM $pe
+       |  WHERE src IN (SELECT node FROM s$r)
+       |    AND dst IN (SELECT node FROM s$r))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q337_kcore_peel_census" ->
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |), und AS MATERIALIZED (
+         |  SELECT src, dst FROM e0
+         |  UNION ALL SELECT dst, src FROM e0
+         |), dc AS (
+         |  SELECT c, count(*) AS n
+         |  FROM (SELECT count(*) AS c FROM und GROUP BY src) GROUP BY 1
+         |), kv AS MATERIALIZED (
+         |  SELECT CAST(min(CASE WHEN 2 * cum >= tot THEN c END) AS BIGINT) AS k
+         |  FROM (SELECT c, sum(n) OVER (ORDER BY c) AS cum,
+         |               sum(n) OVER () AS tot FROM dc)
+         |), s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM und),
+         |${kcoreRoundSql(1)}, ${kcoreRoundSql(2)}, ${kcoreRoundSql(3)},
+         |${kcoreRoundSql(4)}, cen AS (
+         |  SELECT 0 AS round, (SELECT count(*) FROM s0) AS n_nodes,
+         |         (SELECT count(*) // 2 FROM und) AS n_edges
+         |  UNION ALL SELECT 1, (SELECT count(*) FROM s1),
+         |         (SELECT count(*) // 2 FROM e1)
+         |  UNION ALL SELECT 2, (SELECT count(*) FROM s2),
+         |         (SELECT count(*) // 2 FROM e2)
+         |  UNION ALL SELECT 3, (SELECT count(*) FROM s3),
+         |         (SELECT count(*) // 2 FROM e3)
+         |  UNION ALL SELECT 4, (SELECT count(*) FROM s4),
+         |         (SELECT count(*) // 2 FROM e4)
+         |)
+         |SELECT CAST(round AS BIGINT) AS round, (SELECT k FROM kv) AS k,
+         |       CAST(n_nodes AS BIGINT) AS n_nodes,
+         |       CAST(n_edges AS BIGINT) AS n_edges,
+         |       coalesce(n_nodes = lag(n_nodes) OVER (ORDER BY round), FALSE)
+         |         AS converged
+         |FROM cen ORDER BY round""".stripMargin,
+    "q338_hits_scores" ->
+      // HUGEINT sums mirror the Spark side's decimal(38,0); each
+      // normalization is the same (score·Scale) // max truncating
+      // division over non-negative integers, so scores are bit-identical.
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |), a1r AS (
+         |  SELECT sk, CAST(count(*) AS HUGEINT) * $Scale AS a FROM p GROUP BY 1
+         |), a1 AS MATERIALIZED (
+         |  SELECT sk, CAST((a * $Scale) // (SELECT max(a) FROM a1r) AS BIGINT) AS a
+         |  FROM a1r
+         |), h1r AS (
+         |  SELECT ck, sum(CAST(a AS HUGEINT)) AS h
+         |  FROM p JOIN a1 USING (sk) GROUP BY 1
+         |), h1 AS MATERIALIZED (
+         |  SELECT ck, CAST((h * $Scale) // (SELECT max(h) FROM h1r) AS BIGINT) AS h
+         |  FROM h1r
+         |), a2r AS (
+         |  SELECT sk, sum(CAST(h AS HUGEINT)) AS a
+         |  FROM p JOIN h1 USING (ck) GROUP BY 1
+         |), a2 AS MATERIALIZED (
+         |  SELECT sk, CAST((a * $Scale) // (SELECT max(a) FROM a2r) AS BIGINT) AS a
+         |  FROM a2r
+         |), h2r AS (
+         |  SELECT ck, sum(CAST(a AS HUGEINT)) AS h
+         |  FROM p JOIN a2 USING (sk) GROUP BY 1
+         |), h2 AS (
+         |  SELECT ck, CAST((h * $Scale) // (SELECT max(h) FROM h2r) AS BIGINT) AS h
+         |  FROM h2r
+         |)
+         |SELECT * FROM (
+         |  (SELECT 'authority' AS role, 's' || sk AS node, a AS score
+         |   FROM a2 ORDER BY a DESC, node LIMIT 10)
+         |  UNION ALL
+         |  (SELECT 'hub' AS role, 'c' || ck AS node, h AS score
+         |   FROM h2 ORDER BY h DESC, node LIMIT 10))
+         |ORDER BY role, score DESC, node""".stripMargin,
     // full-replica oracle: cut/volume/internal are conditional integer
     // sums over the (cn, sn) cell census; φ is the one IEEE divide of
     // exact integers — both engines re-derive it identically

@@ -2047,4 +2047,59 @@ class OperatorPropertiesSpec extends SparkSpec {
       assert(out(name) === exp, s"nation $name blast radius")
     }
   }
+
+  test("q337 k-core: planted path cascades two ends per round, never converges in 4") {
+    // A path graph is the canonical deep-degeneracy cascade the trade
+    // fixture cannot produce: c1-s1-c2-s2-...-c6 (11 nodes, 10 edges),
+    // degrees are 1 at the two ends and 2 inside, so the data-driven k
+    // (lower median degree) is 2 and each peel round removes EXACTLY the
+    // two current endpoints — a genuine multi-round iteration.
+    val dir = java.nio.file.Files.createTempDirectory("kcore").toString
+    // edge i of the path, one (order, lineitem) pair per edge:
+    // customers 1..6, suppliers 1..5; edges (c_i, s_i) and (c_{i+1}, s_i)
+    val edges = (1 to 5).flatMap(i => Seq((i, i), (i + 1, i)))
+    edges.zipWithIndex.map { case ((c, _), o) => (o.toLong + 1, c.toLong) }
+      .toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    edges.zipWithIndex.map { case ((_, sup), o) => (o.toLong + 1, sup.toLong) }
+      .toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q337_kcore_peel_census")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("round"))
+    assert(out.map(_.getAs[Long]("k")).distinct.toSeq === Seq(2L), "median degree")
+    assert(out.map(_.getAs[Long]("n_nodes")).toSeq === Seq(11L, 9L, 7L, 5L, 3L))
+    assert(out.map(_.getAs[Long]("n_edges")).toSeq === Seq(10L, 8L, 6L, 4L, 2L))
+    assert(out.forall(!_.getAs[Boolean]("converged")), "strictly shrinking")
+    // ... and on the real fixture the peel CONVERGES (random bipartite
+    // graphs cascade once), so the idempotent-slack path is covered too
+    val fix = SparkEntry.queries("q337_kcore_peel_census")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("round"))
+    assert(fix.last.getAs[Boolean]("converged"), "fixture reaches fixpoint")
+    assert(fix.map(_.getAs[Long]("n_nodes")).sliding(2).forall(p => p(1) <= p(0)))
+  }
+
+  test("q338 HITS: hand-computed 2-iteration scores on a star-plus-spur graph") {
+    // s1 ← {c1,c2,c3}, s2 ← {c1}: every max-normalized score after two
+    // iterations is hand-derivable in exact integer arithmetic.
+    val dir = java.nio.file.Files.createTempDirectory("hits").toString
+    val pairs = Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 2L))
+    pairs.map { case (o, c, _) => (o, c) }.toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    pairs.map { case (o, _, sup) => (o, sup) }.toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q338_hits_scores")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("role"), r.getAs[String]("node")) ->
+        r.getAs[Long]("score")).toMap
+    val S = 1000000000000L
+    // a1: s1 = S, s2 = S div 3; h1: c1 = S, c2 = c3 = S·S div (S + S div 3)
+    // a2: s1 = S (raw 2.5e12), s2 = S·S div 2.5e12 = 4e11
+    // h2: c1 = S (raw 1.4e12), c2 = c3 = S·S div 1.4e12
+    assert(out(("authority", "s1")) === S)
+    assert(out(("authority", "s2")) === 400000000000L)
+    assert(out(("hub", "c1")) === S)
+    assert(out(("hub", "c2")) === 714285714285L)
+    assert(out(("hub", "c3")) === 714285714285L)
+    assert(out.size === 5)
+  }
 }
