@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1833,7 +1833,173 @@ object Relational {
       .orderBy($"link_class")
   }
 
+  /** Truncation bound for the q339 noise distribution: |noise| ≤ 12.
+    * P(|noise| = 12 or beyond in the untruncated geometric) < 2⁻¹¹ — the
+    * truncated geometric mechanism (Ghosh–Roughgarden–Sundararajan 2009,
+    * public description) trades that tail mass for a bounded, exactly
+    * representable distribution. */
+  val DpNoiseMax = 12
+
+  private val dpWeights: Seq[Long] =
+    (-DpNoiseMax to DpNoiseMax).map(j => 1L << (DpNoiseMax - j.abs))
+
+  /** Σ 2^(12−|j|) = 12286 — the integer probability denominator. */
+  val DpWeightTotal: Long = dpWeights.sum
+
+  /** Inverse-CDF CASE chain mapping a uniform u ∈ [0, [[DpWeightTotal]])
+    * to the noise value — one SQL string shared LITERALLY by the Spark
+    * expression and the DuckDB oracle, so the mechanism cannot drift
+    * between engines. Thresholds are exact integer cumulative weights. */
+  def dpNoiseCaseSql(u: String): String = {
+    val cums = dpWeights.scanLeft(0L)(_ + _).tail
+    val cases = (-DpNoiseMax until DpNoiseMax).zip(cums).map {
+      case (j, b) => s"WHEN $u < $b THEN ($j)"
+    }.mkString(" ")
+    s"(CASE $cases ELSE $DpNoiseMax END)"
+  }
+
+  /** Differentially-private released histogram — the RELEASE step the
+    * q331 k-anonymity census audits for: per (nation, segment) cell of
+    * the customer table, the count plus two-sided geometric noise — the
+    * DISCRETE Laplace mechanism (Ghosh et al. 2009), the standard DP
+    * mechanism for counting queries (sensitivity 1), at ε = ln 2
+    * (weights halve per step: P(j±1)/P(j) = ½ exactly). Everything is
+    * libm-free integer arithmetic — the repo's no-`ln` stance rules out
+    * the continuous Laplace inverse CDF, and the geometric mechanism
+    * needs only the integer weight ladder 2^(12−|j|): noise = inverse
+    * CDF ([[dpNoiseCaseSql]]) of a uniform u derived from md5 of the
+    * cell key (deterministic across engines — the q260 seeded-sampling
+    * stance: a DP deployment would draw real randomness; the OPERATOR
+    * under test is the mechanism, and determinism is what makes it
+    * oracle-checkable). Negative noised counts clamp to 0 (standard
+    * post-processing, DP-safe). Scale: one grouped count collapses the
+    * corpus to a ≤|nations|·|segments| cell census; the mechanism is a
+    * map-side expression over cells. */
+  def dpNoisedHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .groupBy($"c_nationkey".cast("long").as("nation"),
+        $"c_mktsegment".as("mktsegment"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("dp:"), $"nation".cast("string"),
+          lit(":"), $"mktsegment")), 1, 6), 16, 10).cast("long")
+          % DpWeightTotal)
+      .withColumn("noise", expr(dpNoiseCaseSql("u")).cast("long"))
+      .select($"nation", $"mktsegment",
+        greatest($"n_true" + $"noise", lit(0L)).as("n_noised"))
+      .withColumn("suppressed", $"n_noised" === 0L)
+      .orderBy($"nation", $"mktsegment")
+  }
+
+  /** Itemset support floor for q342, per mille of baskets: 0.4 %. A
+    * RELATIVE floor (the q202 lift lesson): absolute counts grow with
+    * SF while the brand domain stays 25, so any fixed count saturates
+    * or starves as the corpus scales. At sf0.01 every brand pair
+    * clears it (pair support ≈ 1.3–3.2 %) while triples straddle it
+    * (0.14–0.6 %) — both the pass and prune paths are oracle-covered. */
+  val AprioriMinSupPerMille = 4L
+
+  /** Confidence line (percent) for a rule's `strong` flag. Pair-rule
+    * confidence at the fixture runs ≈ 9–21 % and triple-rule ≈ 8–27 %,
+    * so 15 % splits both families — evidence, not a constant. */
+  val AprioriMinConfPct = 15L
+
+  /** Apriori association rules (Agrawal–Srikant 1994) over order
+    * baskets with brand items — the level-wise itemset operator next to
+    * q199's pairwise affinity and q220's co-occurrence cosine: L2 and
+    * L3 itemsets above a relative support floor, expanded to rules
+    * X → y with exact confidence and lift and a `strong` flag decided
+    * by INTEGER cross-multiplication (100·c_both ≥ 15·c_ante) so the
+    * flag never hinges on a float compare; confidence and lift are the
+    * only divides, over exact counts.
+    *
+    * Scale shape: the basket table folds dedup into ONE groupBy
+    * (collect_set — basket size is order-bounded, ≤ q255's measured 17
+    * lines); 2- and 3-combinations are generated WITHIN the basket row
+    * by index-lambda transforms (map-side, Σ C(k,2)+C(k,3) rows per
+    * basket, bounded by basket size, never a self-join shuffle), and
+    * every downstream table is bounded by the BRAND DOMAIN (≤ 25³/6
+    * itemsets at any SF), broadcast into the rule expansion. Envelope:
+    * lift's cross products stay under 2⁵³ to ~10⁸ baskets per count —
+    * beyond, promote the products to decimal before the one divide. */
+  def aprioriRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baskets = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"l_orderkey").agg(sort_array(collect_set($"p_brand")).as("bs"))
+      .localCheckpoint(eager = false) // read by N + L1 + pairs + triples
+    val nDf = baskets.agg(count(lit(1)).as("n_baskets"))
+    // ALL three itemset censuses in ONE pass: within-row combinations
+    // (slice from the element AFTER each pick) for arities 1–3, tagged
+    // by null-padding, concatenated and exploded together — one
+    // Σ(k + C(k,2) + C(k,3))-row stream into one map-side-combining
+    // groupBy (≤ 25 + 300 + 2300 groups at any SF). Three separate
+    // explode passes measured 3.6 s at sf0.1/32c; fused ≈ half that.
+    val nil = lit(null).cast("string")
+    val combos = baskets.select(explode(concat(
+        transform($"bs", x =>
+          struct(x.as("i1"), nil.as("i2"), nil.as("i3"))),
+        flatten(transform($"bs", (x, i) =>
+          transform(slice($"bs", i + 2, size($"bs")),
+            y => struct(x.as("i1"), y.as("i2"), nil.as("i3"))))),
+        flatten(transform($"bs", (x, i) =>
+          flatten(transform(slice($"bs", i + 2, size($"bs")), (y, j) =>
+            transform(slice($"bs", i + j + 3, size($"bs")),
+              z => struct(x.as("i1"), y.as("i2"), z.as("i3"))))))))).as("t"))
+      .groupBy($"t.i1".as("i1"), $"t.i2".as("i2"), $"t.i3".as("i3"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // brand-domain-bounded, read 8×
+    val singles = combos.filter($"i2".isNull)
+      .select($"i1".as("item"), $"c".as("c_item"))
+    val pairs = combos.filter($"i2".isNotNull && $"i3".isNull)
+      .select($"i1".as("ia"), $"i2".as("ib"), $"c".as("c_pair"))
+    val triples = combos.filter($"i3".isNotNull)
+      .select($"i1".as("ia"), $"i2".as("ib"), $"i3".as("ic"),
+        $"c".as("c_tri"))
+    val l2 = pairs.crossJoin(broadcast(nDf))
+      .filter($"c_pair" * 1000 >= lit(AprioriMinSupPerMille) * $"n_baskets")
+    val l3 = triples.crossJoin(broadcast(nDf))
+      .filter($"c_tri" * 1000 >= lit(AprioriMinSupPerMille) * $"n_baskets")
+    val s1 = broadcast(singles)
+    val p1 = broadcast(pairs.select($"ia".as("pa"), $"ib".as("pb"),
+      $"c_pair".as("c_ante_pair")))
+    // pair rules, both directions: {x} → y
+    def pairRule(ante: Column, cons: Column) =
+      l2.join(s1.select($"item".as("ante_i"), $"c_item".as("n_ante")),
+          ante === $"ante_i")
+        .join(s1.select($"item".as("cons_i"), $"c_item".as("n_cons")),
+          cons === $"cons_i")
+        .select(ante.as("antecedent"), cons.as("consequent"),
+          $"n_ante", $"n_cons", $"c_pair".as("n_both"), $"n_baskets")
+    // triple rules: {a,b} → c for each rotation; the antecedent-pair
+    // count comes from the UNFILTERED pair table (Apriori monotonicity:
+    // a frequent triple's sub-pairs are at least as frequent, so the
+    // lookup always hits)
+    def tripleRule(a1c: Column, a2c: Column, cons: Column) =
+      l3.join(p1, a1c === $"pa" && a2c === $"pb")
+        .join(s1.select($"item".as("cons_i"), $"c_item".as("n_cons")),
+          cons === $"cons_i")
+        .select(concat(a1c, lit("+"), a2c).as("antecedent"),
+          cons.as("consequent"), $"c_ante_pair".as("n_ante"),
+          $"n_cons", $"c_tri".as("n_both"), $"n_baskets")
+    val rules = pairRule($"ia", $"ib")
+      .unionAll(pairRule($"ib", $"ia"))
+      .unionAll(tripleRule($"ia", $"ib", $"ic"))
+      .unionAll(tripleRule($"ia", $"ic", $"ib"))
+      .unionAll(tripleRule($"ib", $"ic", $"ia"))
+    rules.select($"antecedent", $"consequent", $"n_ante", $"n_cons",
+        $"n_both", ratio($"n_both", $"n_ante").as("confidence"),
+        ratio($"n_baskets" * $"n_both", $"n_ante" * $"n_cons").as("lift"),
+        (lit(100L) * $"n_both" >= lit(AprioriMinConfPct) * $"n_ante")
+          .as("strong"))
+      .orderBy($"antecedent", $"consequent")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q339_dp_noised_histogram" -> dpNoisedHistogram,
+    "q342_apriori_rules" -> aprioriRules,
     "q333_entity_linkage" -> entityLinkage,
     "q331_k_anonymity_census" -> kAnonymityCensus,
     "q326_deletion_cascade" -> deletionCascade,
@@ -1904,6 +2070,79 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q339_dp_noised_histogram" ->
+      s"""WITH cells AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |         c_mktsegment AS mktsegment,
+         |         CAST(count(*) AS BIGINT) AS n_true
+         |  FROM customer GROUP BY 1, 2
+         |), noised AS (
+         |  SELECT nation, mktsegment, n_true,
+         |         ${dpNoiseCaseSql("u")} AS noise
+         |  FROM (SELECT *,
+         |          CAST(('0x' || substr(md5('dp:' || CAST(nation AS VARCHAR)
+         |                                    || ':' || mktsegment), 1, 6))
+         |               AS BIGINT) % $DpWeightTotal AS u
+         |        FROM cells)
+         |)
+         |SELECT nation, mktsegment,
+         |       CAST(greatest(n_true + noise, 0) AS BIGINT) AS n_noised,
+         |       greatest(n_true + noise, 0) = 0 AS suppressed
+         |FROM noised ORDER BY nation, mktsegment""".stripMargin,
+    "q342_apriori_rules" ->
+      // the oracle generates itemsets by SELF-JOIN (DuckDB has no
+      // index-lambda combination idiom) — provably the same multisets
+      // the Spark side's within-basket combination transforms produce,
+      // because both enumerate each basket's ordered item pairs/triples
+      // exactly once (items are DISTINCT per basket on both sides)
+      s"""WITH bi AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |), nb AS (SELECT count(DISTINCT ok) AS n FROM bi),
+         |c1 AS MATERIALIZED (
+         |  SELECT b AS item, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1
+         |), c2 AS MATERIALIZED (
+         |  SELECT x.b AS ia, y.b AS ib, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT * FROM bi) x JOIN (SELECT * FROM bi) y
+         |    ON x.ok = y.ok AND x.b < y.b
+         |  GROUP BY 1, 2
+         |), c3 AS MATERIALIZED (
+         |  SELECT x.b AS ia, y.b AS ib, z.b AS ic, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT * FROM bi) x
+         |  JOIN (SELECT * FROM bi) y ON x.ok = y.ok AND x.b < y.b
+         |  JOIN (SELECT * FROM bi) z ON y.ok = z.ok AND y.b < z.b
+         |  GROUP BY 1, 2, 3
+         |), l2 AS MATERIALIZED (
+         |  SELECT c2.* FROM c2, nb WHERE c * 1000 >= $AprioriMinSupPerMille * n
+         |), l3 AS MATERIALIZED (
+         |  SELECT c3.* FROM c3, nb WHERE c * 1000 >= $AprioriMinSupPerMille * n
+         |), rules AS (
+         |  SELECT ia AS antecedent, ib AS consequent,
+         |         a1.c AS n_ante, a2.c AS n_cons, l2.c AS n_both
+         |  FROM l2 JOIN c1 a1 ON a1.item = ia JOIN c1 a2 ON a2.item = ib
+         |  UNION ALL
+         |  SELECT ib, ia, a1.c, a2.c, l2.c
+         |  FROM l2 JOIN c1 a1 ON a1.item = ib JOIN c1 a2 ON a2.item = ia
+         |  UNION ALL
+         |  SELECT l3.ia || '+' || l3.ib, l3.ic, p.c, s.c, l3.c
+         |  FROM l3 JOIN c2 p ON p.ia = l3.ia AND p.ib = l3.ib
+         |          JOIN c1 s ON s.item = l3.ic
+         |  UNION ALL
+         |  SELECT l3.ia || '+' || l3.ic, l3.ib, p.c, s.c, l3.c
+         |  FROM l3 JOIN c2 p ON p.ia = l3.ia AND p.ib = l3.ic
+         |          JOIN c1 s ON s.item = l3.ib
+         |  UNION ALL
+         |  SELECT l3.ib || '+' || l3.ic, l3.ia, p.c, s.c, l3.c
+         |  FROM l3 JOIN c2 p ON p.ia = l3.ib AND p.ib = l3.ic
+         |          JOIN c1 s ON s.item = l3.ia
+         |)
+         |SELECT antecedent, consequent, n_ante, n_cons, n_both,
+         |       ${ratioSql("n_both", "n_ante")} AS confidence,
+         |       ${ratioSql("(SELECT n FROM nb) * n_both", "n_ante * n_cons")}
+         |         AS lift,
+         |       100 * n_both >= $AprioriMinConfPct * n_ante AS strong
+         |FROM rules
+         |ORDER BY antecedent, consequent""".stripMargin,
     "q333_entity_linkage" ->
       s"""WITH recs AS MATERIALIZED (
          |  SELECT c_custkey, c_name, bal_c,

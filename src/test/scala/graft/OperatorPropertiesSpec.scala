@@ -2078,6 +2078,82 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fix.map(_.getAs[Long]("n_nodes")).sliding(2).forall(p => p(1) <= p(0)))
   }
 
+  test("q339 DP histogram matches a first-principles JVM recompute of the mechanism") {
+    import graft.queries.Relational
+    // independent implementation: md5 via MessageDigest, the same weight
+    // ladder, max(0, n + noise) — every fixture cell must agree exactly
+    def jvmNoise(nation: Long, seg: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dp:$nation:$seg".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val u = java.lang.Long.parseLong(hex, 16) % Relational.DpWeightTotal
+      val cums = (-Relational.DpNoiseMax to Relational.DpNoiseMax)
+        .map(j => 1L << (Relational.DpNoiseMax - j.abs)).scanLeft(0L)(_ + _).tail
+      (-Relational.DpNoiseMax to Relational.DpNoiseMax)
+        .zip(cums).collectFirst { case (j, b) if u < b => j.toLong }.get
+    }
+    assert(Relational.DpWeightTotal === 12286L)
+    val truth = spark.read.parquet(s"$sfDir/customer.parquet")
+      .groupBy(col("c_nationkey").cast("long").as("n"), col("c_mktsegment").as("s"))
+      .count().collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val out = SparkEntry.queries("q339_dp_noised_histogram")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("nation"), r.getAs[String]("mktsegment")) ->
+        ((r.getAs[Long]("n_noised"), r.getAs[Boolean]("suppressed")))).toMap
+    assert(out.keySet === truth.keySet)
+    out.foreach { case (cell, (noised, sup)) =>
+      val exp = math.max(0L, truth(cell) + jvmNoise(cell._1, cell._2))
+      assert(noised === exp, s"cell $cell")
+      assert(sup === (exp == 0L))
+      assert(math.abs(noised - truth(cell)) <= Relational.DpNoiseMax,
+        "noise bound (clamp only tightens)")
+    }
+    // planted single-customer cells: n_true = 1, so any noise ≤ −1
+    // exercises the non-negativity clamp (suppression)
+    val dir = java.nio.file.Files.createTempDirectory("dp").toString
+    (1 to 50).map(i => (i.toLong, i.toLong, s"SEG$i")).toDF(
+        "c_custkey", "c_nationkey", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val planted = SparkEntry.queries("q339_dp_noised_histogram")(spark, dir).collect()
+    assert(planted.exists(_.getAs[Boolean]("suppressed")),
+      "at least one size-1 cell must clamp to 0 under negative noise")
+    planted.foreach { r =>
+      val exp = math.max(0L,
+        1L + jvmNoise(r.getAs[Long]("nation"), r.getAs[String]("mktsegment")))
+      assert(r.getAs[Long]("n_noised") === exp)
+    }
+  }
+
+  test("q342 Apriori: hand-computed supports, confidence, lift, strong split") {
+    // baskets: 3× {A,B,C}, 2× {A,B}, 20× {C} → N = 25,
+    // c(A)=c(B)=5, c(C)=23, c(AB)=5, c(AC)=c(BC)=c(ABC)=3
+    val dir = java.nio.file.Files.createTempDirectory("apriori").toString
+    Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("p_partkey", "p_brand")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val baskets =
+      (1 to 3).flatMap(ok => Seq(1L, 2L, 3L).map(p => (ok.toLong, p))) ++
+      (4 to 5).flatMap(ok => Seq(1L, 2L).map(p => (ok.toLong, p))) ++
+      (6 to 25).map(ok => (ok.toLong, 3L))
+    baskets.toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q342_apriori_rules")(spark, dir)
+      .collect().map(r => (r.getAs[String]("antecedent"), r.getAs[String]("consequent")) -> r)
+      .toMap
+    assert(out.size === 9, "6 pair rules + 3 triple rotations")
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("n_ante") === 5L && ab.getAs[Long]("n_both") === 5L)
+    assert(ab.getAs[Double]("confidence") === 1.0)
+    assert(ab.getAs[Double]("lift") === 5.0) // 25·5 / (5·5)
+    assert(ab.getAs[Boolean]("strong"))
+    val ca = out(("C", "A")) // conf 3/23 ≈ 0.1304 < 15 % — not strong
+    assert(ca.getAs[Long]("n_ante") === 23L && ca.getAs[Long]("n_both") === 3L)
+    assert(!ca.getAs[Boolean]("strong"))
+    val acb = out(("A+C", "B")) // triple rotation: conf 3/3, lift 25·3/(3·5)
+    assert(acb.getAs[Long]("n_ante") === 3L)
+    assert(acb.getAs[Double]("confidence") === 1.0)
+    assert(acb.getAs[Double]("lift") === 5.0)
+    assert(acb.getAs[Boolean]("strong"))
+  }
+
   test("q338 HITS: hand-computed 2-iteration scores on a star-plus-spur graph") {
     // s1 ← {c1,c2,c3}, s2 ← {c1}: every max-normalized score after two
     // iterations is hand-derivable in exact integer arithmetic.
