@@ -1093,7 +1093,189 @@ object TimeSeries {
       .orderBy($"sk")
   }
 
+  /** q340 censoring horizon: a customer whose last order is more than
+    * this many days before the corpus end is an observed churn EVENT;
+    * anyone active within the horizon is RIGHT-CENSORED (still alive as
+    * far as the data can tell). 90 days splits the fixture ~57 % events
+    * at sf0.01 — both branches carry real mass. */
+  val KmChurnDays = 90
+
+  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) over
+    * customer lifetimes — THE right-censoring-aware lifetime operator
+    * that q164's retention cohorts approximate away: duration = days
+    * from first to last order (event = churn, per [[KmChurnDays]]) or
+    * first order to corpus end (censored), and at each event time t_i
+    * the survival curve multiplies by (1 − d_i/n_i) with n_i = at-risk
+    * count (duration ≥ t_i, events AND censored — censoring reduces the
+    * risk set without contributing a death; that asymmetry is the whole
+    * estimator).
+    *
+    * Portability: the survival product is an ORDER-DEPENDENT float fold
+    * — it runs inside ONE sorted struct-array row (the q327/q334
+    * rank-ordered fold; census rows are bounded by the DAY-SPAN domain,
+    * never corpus size), where each per-element prefix product re-folds
+    * left-to-right (Σ O(n²) float ops over ≤ span-days elements — a few
+    * million at a 10-year span, one task, SF-invariant). n_risk comes
+    * from exact integer prefix sums over the same array; each factor is
+    * one IEEE divide of exact longs, so the curve hash-compares
+    * bitwise. Scale: the corpus collapses to the per-customer (first,
+    * last) grouped agg (map-side), then to the duration value census;
+    * the array stage is domain-bounded. Output: one row per EVENT time
+    * (the KM curve's step points). */
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.orders(s, dir)
+      .agg(max(to_date($"o_orderdate")).as("mday"))
+    val census = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(min(to_date($"o_orderdate")).as("f"),
+        max(to_date($"o_orderdate")).as("l"))
+      .crossJoin(broadcast(mx))
+      .select(
+        (datediff($"mday", $"l") > KmChurnDays).as("ev"),
+        when(datediff($"mday", $"l") > KmChurnDays, datediff($"l", $"f"))
+          .otherwise(datediff($"mday", $"f")).cast("long").as("t"))
+      .groupBy($"t")
+      .agg(sum(when($"ev", 1L).otherwise(0L)).as("d_ev"),
+        count(lit(1)).as("d_tot"))
+    val folded = census
+      .agg(sort_array(collect_list(struct($"t", $"d_ev", $"d_tot"))).as("xs"))
+      .select($"xs", aggregate($"xs", lit(0L),
+        (a, x) => a + x.getField("d_tot")).as("n"))
+    // n_risk(i) = N − Σ_{j<i} d_tot(j): exact integer prefix over the
+    // sorted array (slice(xs, 1, i) is the strict prefix — i is the
+    // 0-based transform index)
+    val withRisk = folded.select($"xs", transform($"xs", (x, i) => struct(
+      x.getField("t").as("t"), x.getField("d_ev").as("d_ev"),
+      x.getField("d_tot").as("d_tot"),
+      ($"n" - aggregate(slice($"xs", lit(1), i), lit(0L),
+        (a, e) => a + e.getField("d_tot"))).as("n_risk"))).as("xs2"))
+    // survival(i) = Π_{j≤i} (1 − d_ev/n_risk): each prefix re-folds
+    // left-to-right — identical IEEE sequence to a running product
+    val curve = withRisk.select(posexplode(transform($"xs2", (x, i) => struct(
+      x.getField("t").as("t"), x.getField("n_risk").as("n_risk"),
+      x.getField("d_ev").as("d_ev"),
+      (x.getField("d_tot") - x.getField("d_ev")).as("d_cens"),
+      aggregate(slice($"xs2", lit(1), i + 1), lit(1.0), (acc, e) =>
+        acc * (lit(1.0) - e.getField("d_ev").cast("double") /
+          e.getField("n_risk").cast("double"))).as("survival")))))
+    curve.select($"col.t".as("t_days"), $"col.n_risk".as("n_risk"),
+        $"col.d_ev".as("n_events"), $"col.d_cens".as("n_censored"),
+        $"col.survival".as("survival"))
+      .filter($"n_events" > 0L) // the curve steps only at event times
+      .orderBy($"t_days")
+  }
+
+  /** q341 trend window: Theil–Sen over the LAST this-many days of daily
+    * revenue. A bounded window is the scale contract: the pair set is
+    * C(window, 2) ≤ 66 430 FOREVER — SF grows daily row counts, not the
+    * day domain — where all-history pairs would grow quadratically with
+    * the time span. (It is also the honest semantics: the slope of a
+    * decade is not a "trend".) */
+  val TheilSenWindowDays = 365
+
+  /** Theil–Sen robust trend (Theil 1950 / Sen 1968) of daily order
+    * revenue — the median of all pairwise slopes, the robust-regression
+    * complement of q91's least-squares fit (one corrupted day moves OLS
+    * arbitrarily; Theil–Sen tolerates ~29 % outliers). Every pairwise
+    * slope is ONE IEEE divide of exact integers (cents diff / day
+    * diff); the median is an EXACT RANK SELECTION — the lower median,
+    * element ⌈n/2⌉ of the sorted slope array (the q309 selection
+    * applied to a bounded pair census; no averaging of middles, no
+    * float summation anywhere). The intercept is the median residual
+    * (Conover's estimator) at the window-start anchor, same selection
+    * over ≤window residuals. Scale shape: the corpus pays one map-side
+    * grouped sum to the ≤[[TheilSenWindowDays]]-row daily census
+    * (pinned); pairs are a broadcast inequality self-join of that
+    * census (SF-invariant row count); the sort lives in one
+    * domain-bounded array row. */
+  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.orders(s, dir)
+      .agg(max(to_date($"o_orderdate")).as("mday"))
+    val daily = Tables.orders(s, dir)
+      .crossJoin(broadcast(mx))
+      .filter(to_date($"o_orderdate") >=
+        date_sub($"mday", TheilSenWindowDays - 1))
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("rev"),
+        max(date_sub($"mday", TheilSenWindowDays - 1)).as("anchor"))
+      .localCheckpoint(eager = false) // read by both pair sides + residuals
+    def lowerMedian(df: DataFrame, c: String, m: String, n: String): DataFrame =
+      df.agg(sort_array(collect_list(col(c))).as("xs"))
+        .select(
+          when(size($"xs") > 0,
+            element_at($"xs", expr("(size(xs) + 1) div 2").cast("int")))
+            .as(m),
+          size($"xs").cast("long").as(n))
+    val slopes = daily.select($"day".as("da"), $"rev".as("ra"))
+      .join(broadcast(daily.select($"day".as("db"), $"rev".as("rb"))),
+        $"da" < $"db")
+      .select(ratio($"rb" - $"ra", datediff($"db", $"da")).as("slope"))
+    val slopeM = lowerMedian(slopes, "slope", "slope", "n_pairs")
+      .localCheckpoint(eager = false) // read by residuals + output
+    val resid = daily.crossJoin(broadcast(slopeM))
+      .select(($"rev".cast("double") -
+        $"slope" * datediff($"day", $"anchor").cast("double")).as("resid"))
+    val interM = lowerMedian(resid, "resid", "intercept", "n_days")
+    slopeM.crossJoin(interM)
+      .select($"n_days", $"n_pairs",
+        $"slope".as("slope_cents_per_day"),
+        $"intercept".as("intercept_cents"))
+  }
+
+  /** Holt's linear (double-exponential) smoothing — the trend-aware
+    * forecaster between q307's level-only EWMA and q322's seasonal
+    * naive: level l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}), trend
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, over monthly revenue with
+    * DYADIC α = 1/2, β = 1/4 (the q307 stance: dyadic smoothing weights
+    * keep every multiply exact-IEEE, so the only portability question
+    * is fold ORDER). The fold is inherently sequential — it runs over
+    * the ≤|months| sorted struct array in one row (the q334 pattern:
+    * month-domain-bounded, SF-invariant), initialized l₀ = y₀, b₀ = 0,
+    * accumulating the one-step-ahead SSE along the way; both engines
+    * replay the identical operation sequence, so level/trend/SSE
+    * hash-compare bitwise. Forecasts are level + h·trend. Scale: the
+    * corpus pays one map-side grouped sum to the monthly census;
+    * everything after is a ≤10²-element array fold. */
+  def holtLinear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("mon"))
+      .agg(sum(cents($"o_totalprice")).as("rev"))
+    val st = monthly
+      .agg(sort_array(collect_list(struct($"mon",
+        $"rev".cast("double").as("y")))).as("xs"))
+      .select(aggregate($"xs",
+        struct(lit(0L).as("i"), lit(0.0).as("l"), lit(0.0).as("b"),
+          lit(0.0).as("sse")),
+        (acc, x) => {
+          val y = x.getField("y")
+          val pred = acc.getField("l") + acc.getField("b")
+          val l2 = lit(0.5) * y + lit(0.5) * pred
+          when(acc.getField("i") === 0L,
+            struct(lit(1L).as("i"), y.as("l"), lit(0.0).as("b"),
+              lit(0.0).as("sse")))
+            .otherwise(struct(
+              (acc.getField("i") + 1L).as("i"), l2.as("l"),
+              (lit(0.25) * (l2 - acc.getField("l")) +
+                lit(0.75) * acc.getField("b")).as("b"),
+              (acc.getField("sse") + (y - pred) * (y - pred)).as("sse")))
+        }).as("st"))
+    st.select($"st.i".as("n_months"),
+        when($"st.i" > 0L, $"st.l").as("level"),
+        when($"st.i" > 0L, $"st.b").as("trend"),
+        when($"st.i" > 0L, $"st.sse").as("sse"),
+        when($"st.i" > 0L, $"st.l" + lit(1.0) * $"st.b").as("fc_1"),
+        when($"st.i" > 0L, $"st.l" + lit(3.0) * $"st.b").as("fc_3"),
+        when($"st.i" > 0L, $"st.l" + lit(6.0) * $"st.b").as("fc_6"),
+        when($"st.i" > 0L, $"st.l" + lit(12.0) * $"st.b").as("fc_12"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_kaplan_meier" -> kaplanMeier,
+    "q341_theil_sen_trend" -> theilSenTrend,
+    "q343_holt_linear" -> holtLinear,
     "q322_mase_backtest" -> maseBacktest,
     "q323_position_attribution" -> positionAttribution,
     "q320_fifo_lot_matching" -> fifoLotMatching,
@@ -1128,6 +1310,116 @@ object TimeSeries {
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "q340_kaplan_meier" ->
+      // DuckDB's 1-based lambda index i ↔ Spark's 0-based transform
+      // index: strict prefix = xs[1:i-1] ↔ slice(xs, 1, i); inclusive
+      // prefix = xs[1:i] ↔ slice(xs, 1, i+1). Each survival value
+      // re-folds its prefix product left-to-right — the identical IEEE
+      // sequence on both engines.
+      s"""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mday FROM orders),
+         |per AS (
+         |  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f,
+         |         max(CAST(o_orderdate AS DATE)) AS l
+         |  FROM orders GROUP BY 1
+         |), census AS (
+         |  SELECT t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d_ev,
+         |         CAST(count(*) AS BIGINT) AS d_tot
+         |  FROM (SELECT date_diff('day', l, mday) > $KmChurnDays AS ev,
+         |               CAST(CASE WHEN date_diff('day', l, mday) > $KmChurnDays
+         |                         THEN date_diff('day', f, l)
+         |                         ELSE date_diff('day', f, mday) END AS BIGINT) AS t
+         |        FROM per, mx)
+         |  GROUP BY 1
+         |), folded AS MATERIALIZED (
+         |  SELECT list(struct_pack(t := t, d_ev := d_ev, d_tot := d_tot)
+         |              ORDER BY t) AS xs
+         |  FROM census
+         |), withn AS (
+         |  SELECT xs, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(xs, e -> e.d_tot)), (a, b) -> a + b) AS n
+         |  FROM folded
+         |), risk AS MATERIALIZED (
+         |  SELECT list_transform(xs, (x, i) -> struct_pack(
+         |           t := x.t, d_ev := x.d_ev, d_tot := x.d_tot,
+         |           n_risk := n - list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(xs[1:i-1], e -> e.d_tot)),
+         |             (a, b) -> a + b))) AS xs2
+         |  FROM withn
+         |), curve AS (
+         |  SELECT unnest(list_transform(xs2, (x, i) -> struct_pack(
+         |           t := x.t, n_risk := x.n_risk, d_ev := x.d_ev,
+         |           d_cens := x.d_tot - x.d_ev,
+         |           survival := list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+         |             list_transform(xs2[1:i], e ->
+         |               1.0 - (CAST(e.d_ev AS DOUBLE)
+         |                      / CAST(e.n_risk AS DOUBLE)))),
+         |             (a, b) -> a * b)))) AS c
+         |  FROM risk
+         |)
+         |SELECT c.t AS t_days, c.n_risk AS n_risk, c.d_ev AS n_events,
+         |       c.d_cens AS n_censored, c.survival AS survival
+         |FROM curve WHERE c.d_ev > 0 ORDER BY t_days""".stripMargin,
+    "q341_theil_sen_trend" ->
+      s"""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mday FROM orders),
+         |daily AS MATERIALIZED (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS rev,
+         |         max(mday - ${TheilSenWindowDays - 1}) AS anchor
+         |  FROM orders, mx
+         |  WHERE CAST(o_orderdate AS DATE) >= mday - ${TheilSenWindowDays - 1}
+         |  GROUP BY 1
+         |), slopes AS (
+         |  SELECT ${ratioSql("(b.rev - a.rev)",
+                              "date_diff('day', a.day, b.day)")} AS slope
+         |  FROM (SELECT * FROM daily) a JOIN (SELECT * FROM daily) b
+         |    ON a.day < b.day
+         |), sm AS (
+         |  SELECT CASE WHEN len(xs) > 0 THEN xs[(len(xs) + 1) // 2] END AS slope,
+         |         CAST(len(xs) AS BIGINT) AS n_pairs
+         |  FROM (SELECT list(slope ORDER BY slope) AS xs FROM slopes)
+         |), resid AS (
+         |  SELECT CAST(rev AS DOUBLE)
+         |           - (slope * CAST(date_diff('day', anchor, day) AS DOUBLE)) AS r
+         |  FROM daily, sm
+         |), im AS (
+         |  SELECT CASE WHEN len(xs) > 0 THEN xs[(len(xs) + 1) // 2] END AS intercept,
+         |         CAST(len(xs) AS BIGINT) AS n_days
+         |  FROM (SELECT list(r ORDER BY r) AS xs FROM resid)
+         |)
+         |SELECT n_days, n_pairs, slope AS slope_cents_per_day,
+         |       intercept AS intercept_cents
+         |FROM sm, im""".stripMargin,
+    "q343_holt_linear" ->
+      // RECURSIVE-CTE replay, not a list_reduce struct fold: DuckDB
+      // 1.0's list_reduce mutates the accumulator struct IN PLACE field
+      // by field, so a later field's formula (trend, which needs the
+      // PRE-update level) silently reads the already-updated value —
+      // measured divergence on the fixture; scalar-accumulator folds
+      // (q340) are unaffected. The recursive step carries immutable
+      // per-iteration state and replicates the Spark fold's arithmetic
+      // tree operation-for-operation.
+      s"""WITH RECURSIVE monthly AS (
+         |  SELECT row_number() OVER (ORDER BY mon) AS rn,
+         |         CAST(rev AS DOUBLE) AS y
+         |  FROM (SELECT year(o_orderdate) * 100 + month(o_orderdate) AS mon,
+         |               ${sumLongSql(centsSql("o_totalprice"))} AS rev
+         |        FROM orders GROUP BY 1)
+         |), st AS (
+         |  SELECT CAST(1 AS BIGINT) AS k, y AS l, CAST(0.0 AS DOUBLE) AS b,
+         |         CAST(0.0 AS DOUBLE) AS sse
+         |  FROM monthly WHERE rn = 1
+         |  UNION ALL
+         |  SELECT st.k + 1,
+         |         0.5 * m.y + 0.5 * (st.l + st.b),
+         |         0.25 * ((0.5 * m.y + 0.5 * (st.l + st.b)) - st.l)
+         |           + 0.75 * st.b,
+         |         st.sse + (m.y - (st.l + st.b)) * (m.y - (st.l + st.b))
+         |  FROM st JOIN monthly m ON m.rn = st.k + 1
+         |), fin AS (SELECT * FROM st ORDER BY k DESC LIMIT 1)
+         |SELECT k AS n_months, l AS level, b AS trend, sse,
+         |       l + (1.0 * b) AS fc_1, l + (3.0 * b) AS fc_3,
+         |       l + (6.0 * b) AS fc_6, l + (12.0 * b) AS fc_12
+         |FROM fin""".stripMargin,
     // same sessionization twin as q242; credits are exact integer basis
     // points with the remainder pinned to the earliest middle touch, so
     // the whole census (including conservation) replays in DuckDB

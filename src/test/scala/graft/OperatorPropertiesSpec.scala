@@ -2154,6 +2154,72 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(acb.getAs[Boolean]("strong"))
   }
 
+  test("q340 Kaplan-Meier: hand-computed curve with ties, censoring, and risk-set law") {
+    // M = 2000-12-31. Durations: c1,c5 event t=10; c2 event t=20;
+    // c3 censored t=365; c4 censored t=213 (active within the horizon).
+    // Curve: t=10 n_risk=5 S=1-2/5; t=20 n_risk=3 S=0.6*(1-1/3).
+    val dir = java.nio.file.Files.createTempDirectory("km").toString
+    val orders = Seq(
+      (1L, 1L, "2000-01-01"), (2L, 1L, "2000-01-11"),
+      (3L, 2L, "2000-01-01"), (4L, 2L, "2000-01-21"),
+      (5L, 3L, "2000-01-01"), (6L, 3L, "2000-12-31"),
+      (7L, 4L, "2000-06-01"), (8L, 4L, "2000-12-01"),
+      (9L, 5L, "2000-01-01"), (10L, 5L, "2000-01-11"))
+    orders.toDF("o_orderkey", "o_custkey", "d")
+      .select($"o_orderkey", $"o_custkey", $"d".cast("timestamp").as("o_orderdate"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q340_kaplan_meier")(spark, dir)
+      .collect().map(r => r.getAs[Long]("t_days") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_censored"), r.getAs[Double]("survival")))).toMap
+    assert(out.keySet === Set(10L, 20L), "curve steps only at event times")
+    assert(out(10L) === ((5L, 2L, 0L, 1.0 - 2.0 / 5.0)))
+    assert(out(20L) === ((3L, 1L, 0L, (1.0 - 2.0 / 5.0) * (1.0 - 1.0 / 3.0))))
+    // fixture sanity: survival is non-increasing and within (0, 1]
+    val fix = SparkEntry.queries("q340_kaplan_meier")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("t_days")).map(_.getAs[Double]("survival"))
+    fix.zip(fix.tail).foreach { case (a, b) => assert(b <= a) }
+    assert(fix.forall(v => v > 0.0 && v <= 1.0))
+  }
+
+  test("q341 Theil-Sen: exact slope/intercept on a planted line with an outlier") {
+    // 10 days of perfectly linear revenue (slope 10 cents/day) with day
+    // 5 corrupted 1000x — the median slope and median residual must
+    // shrug it off EXACTLY, where OLS would be dragged by it. The
+    // intercept is at the WINDOW-START anchor (max day − 364): data
+    // days sit at x = 355..364, so every clean residual is
+    // 100 + 10i − 10·(355 + i) = −3450.
+    val dir = java.nio.file.Files.createTempDirectory("theilsen").toString
+    (0 to 9).map { i =>
+      val price = if (i == 5) 1000.0 else 1.0 + 0.10 * i
+      (i.toLong + 1, f"2000-01-${i + 1}%02d", price)
+    }.toDF("o_orderkey", "d", "o_totalprice")
+      .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"), $"o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q341_theil_sen_trend")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_days") === 10L)
+    assert(r.getAs[Long]("n_pairs") === 45L)
+    assert(r.getAs[Double]("slope_cents_per_day") === 10.0)
+    assert(r.getAs[Double]("intercept_cents") === -3450.0)
+  }
+
+  test("q343 Holt: hand-computed level/trend/SSE on a 3-month series") {
+    // y = [100, 60, 80] cents: l2=80 b2=-5 sse=1600; then pred=75,
+    // l3=77.5, b3=0.25*(77.5-80)+0.75*(-5)=-4.375, sse=1625.
+    val dir = java.nio.file.Files.createTempDirectory("holt").toString
+    Seq((1L, "2000-01-15", 1.0), (2L, "2000-02-15", 0.60), (3L, "2000-03-15", 0.80))
+      .toDF("o_orderkey", "d", "o_totalprice")
+      .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"), $"o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q343_holt_linear")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_months") === 3L)
+    assert(r.getAs[Double]("level") === 77.5)
+    assert(r.getAs[Double]("trend") === -4.375)
+    assert(r.getAs[Double]("sse") === 1625.0)
+    assert(r.getAs[Double]("fc_1") === 77.5 + 1.0 * -4.375)
+    assert(r.getAs[Double]("fc_12") === 77.5 + 12.0 * -4.375)
+  }
+
   test("q338 HITS: hand-computed 2-iteration scores on a star-plus-spur graph") {
     // s1 ← {c1,c2,c3}, s2 ← {c1}: every max-normalized score after two
     // iterations is hand-derivable in exact integer arithmetic.
