@@ -4033,7 +4033,86 @@ object LlmOps {
       .orderBy($"scheme")
   }
 
+  /** q344 target dimensionality: 64-d fixture embeddings project to 16
+    * — a 4× compression, enough for the distortion histogram to carry
+    * real JL concentration (ratios cluster near 1 with visible spread;
+    * k = d would make every ratio trivially tight). */
+  val JlDims = 16
+
+  /** Johnson–Lindenstrauss random sign projection + distortion census —
+    * the dimensionality-REDUCTION operator in front of the ANN family
+    * (q45/q46/q330 search what this shrinks): y = R·x with
+    * R ∈ {±1}^(k×d), the database-friendly JL construction (Achlioptas
+    * 2003 — sign matrices satisfy the JL lemma with no Gaussian
+    * sampling), signs derived from md5(i, j) so the matrix is a pure
+    * expression — no matrix table, no join, no driver state; the
+    * projection is SCAN-ONLY map-side work over the whole corpus
+    * (embarrassingly parallel at any SF, the q325 inference stance).
+    *
+    * The census side verifies the lemma on a FIXED 64-vector panel (the
+    * q193 order-bounded panel stance — C(64,2) = 2016 pairs at any SF):
+    * distortion ratio = ‖ya−yb‖² / (k·‖xa−xb‖²) per pair (a ±1 sign
+    * matrix satisfies E‖Rx‖² = k‖x‖², so the JL-normalized estimate of
+    * ‖x‖² is ‖Rx‖²/k and the ratio concentrates at 1), folded
+    * into quarter-width histogram buckets with per-bucket min/max. All
+    * float sums are left-to-right array folds over the embedding's
+    * FIXED element order (the q327 ordered-fold contract — both engines
+    * replay the identical IEEE sequence); the ratio is exact products
+    * and ONE guarded divide. A corpus-wide row count and an exact
+    * integer checksum (Σ floor(y₀·2²⁰)) ride every row, so the oracle
+    * proves the FULL corpus was projected, not just the panel. */
+  def jlProjectionCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def sign(i: Column, j: Column): Column =
+      when(conv(substring(md5(concat_ws(":", lit("jl"), i.cast("string"),
+        j.cast("string"))), 1, 4), 16, 10).cast("long") % 2 === 0L,
+        lit(1.0)).otherwise(lit(-1.0))
+    // the k×d sign matrix is built ONCE (1 row, 1024 md5 calls) and
+    // broadcast — per-row md5 in the projection lambda measured 2.4 s
+    // at sf0.1/32c (10⁶ md5 calls); with the hoisted matrix each row
+    // pays only k·d multiply-adds and the scan stays ~0.3 s
+    val signs = Tables.embeddings(s, dir).limit(1)
+      .select(transform(sequence(lit(0), lit(JlDims - 1)), j =>
+        transform(sequence(lit(0), size($"embedding") - 1), i =>
+          sign(i, j))).as("sm"))
+    val proj = Tables.embeddings(s, dir)
+      .crossJoin(broadcast(signs))
+      .select($"vec_id", $"embedding",
+        transform(sequence(lit(0), lit(JlDims - 1)), j =>
+          aggregate(zip_with($"embedding", element_at($"sm", j + 1),
+            (x, sg) => sg * x.cast("double")), lit(0.0), (a, v) => a + v))
+          .as("p"))
+      .localCheckpoint(eager = false) // read by corpus stats + both pair sides
+    val stats = proj.agg(count(lit(1)).as("n_vectors"),
+      sum(floor(element_at($"p", 1) * lit(1048576.0)).cast("long"))
+        .as("proj_checksum"))
+    val panel = proj.filter($"vec_id" < 64)
+    def sq(a: Column, b: Column): Column = {
+      val d = a - b
+      d * d
+    }
+    val pairs = panel.select($"vec_id".as("ia"), $"embedding".as("ea"),
+        $"p".as("pa"))
+      .join(broadcast(panel.select($"vec_id".as("ib"),
+        $"embedding".as("eb"), $"p".as("pb"))), $"ia" < $"ib")
+      .select(
+        aggregate(zip_with($"ea", $"eb",
+          (x, y) => sq(x.cast("double"), y.cast("double"))),
+          lit(0.0), (a, v) => a + v).as("do2"),
+        aggregate(zip_with($"pa", $"pb", (x, y) => sq(x, y)),
+          lit(0.0), (a, v) => a + v).as("dp2"))
+      .select(when($"do2" > 0.0,
+        $"dp2" / ($"do2" * lit(JlDims.toDouble))).as("ratio"))
+    pairs
+      .groupBy(floor($"ratio" * 4.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), min($"ratio").as("min_ratio"),
+        max($"ratio").as("max_ratio"))
+      .crossJoin(broadcast(stats))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q344_jl_projection_census" -> jlProjectionCensus,
     "q328_leakage_safe_split" -> leakageSafeSplit,
     "q327_bitext_margin_mining" -> bitextMarginMining,
     "q324_shard_manifest" -> shardManifest,
@@ -4126,6 +4205,53 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q344_jl_projection_census" ->
+      // DuckDB's 1-based lambda index ↔ Spark's 0-based: the sign-matrix
+      // key uses (i − 1); peer-element access b[i] replaces zip_with.
+      // Squares are computed per element then left-fold-summed — the
+      // identical IEEE sequence to the Spark aggregate.
+      s"""WITH proj AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(0, $JlDims), j ->
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(embedding, (x, i) ->
+         |          (CASE WHEN CAST(('0x' || substr(md5('jl:'
+         |                  || CAST(i - 1 AS VARCHAR) || ':'
+         |                  || CAST(j AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+         |                THEN 1.0 ELSE -1.0 END) * CAST(x AS DOUBLE))),
+         |        (a, v) -> a + v)) AS p
+         |  FROM embeddings
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |         CAST(sum(CAST(floor(p[1] * 1048576.0) AS BIGINT)) AS BIGINT)
+         |           AS proj_checksum
+         |  FROM proj
+         |), panel AS MATERIALIZED (
+         |  SELECT * FROM proj WHERE vec_id < 64
+         |), pairs AS (
+         |  SELECT CASE WHEN do2 > 0 THEN dp2 / (do2 * ${JlDims.toDouble}) END AS ratio
+         |  FROM (
+         |    SELECT
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(a.embedding, (x, i) ->
+         |          (CAST(x AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+         |          * (CAST(x AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))),
+         |        (s, v) -> s + v) AS do2,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(a.p, (x, i) ->
+         |          (x - b.p[i]) * (x - b.p[i]))),
+         |        (s, v) -> s + v) AS dp2
+         |    FROM (SELECT * FROM panel) a JOIN (SELECT * FROM panel) b
+         |      ON a.vec_id < b.vec_id)
+         |)
+         |SELECT CAST(floor(ratio * 4.0) AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       min(ratio) AS min_ratio, max(ratio) AS max_ratio,
+         |       (SELECT n_vectors FROM stats) AS n_vectors,
+         |       (SELECT proj_checksum FROM stats) AS proj_checksum
+         |FROM pairs
+         |GROUP BY 1
+         |ORDER BY bucket""".stripMargin,
     // q76's recursive-CTE component chain + the two split censuses; the
     // cluster_aware straddle count is RECOMPUTED (and equals 0), not
     // asserted.

@@ -2220,6 +2220,43 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(r.getAs[Double]("fc_12") === 77.5 + 12.0 * -4.375)
   }
 
+  test("q344 JL projection: one-coordinate law is exactly 1, JVM sign/checksum agree") {
+    import graft.queries.LlmOps
+    // planted law: vectors differing in exactly ONE coordinate by δ have
+    // dp2 = Σ_j (sign_j·δ)² = k·δ², so ratio ≡ 1.0 EXACTLY for any sign
+    // matrix — a sign-independent invariant of the projection
+    val dir = java.nio.file.Files.createTempDirectory("jl").toString
+    val d = 8
+    def vec(head: Float) = head +: Array.fill(d - 1)(0.0f)
+    Seq((0L, vec(1.0f)), (1L, vec(0.0f)), (2L, vec(2.0f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q344_jl_projection_census")(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("bucket") === 4L) // floor(1.0 · 4)
+    assert(out(0).getAs[Long]("n_pairs") === 3L)
+    assert(out(0).getAs[Double]("min_ratio") === 1.0)
+    assert(out(0).getAs[Double]("max_ratio") === 1.0)
+    // checksum: y₀ = sign(0,0)·head (other coords 0) — recompute the
+    // sign from first principles and the floor(y₀·2²⁰) sum
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("jl:0:0".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(4)
+    val s00 = if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    val expChecksum = Seq(1.0, 0.0, 2.0)
+      .map(h => math.floor(s00 * h * 1048576.0).toLong).sum
+    assert(out(0).getAs[Long]("proj_checksum") === expChecksum)
+    assert(out(0).getAs[Long]("n_vectors") === 3L)
+    // fixture: JL concentration — ≥75 % of panel pairs inside ratio
+    // [0.5, 1.5) (buckets 2–5) at k = 16
+    val fix = SparkEntry.queries("q344_jl_projection_census")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n_pairs"))
+    val tot = fix.map(_._2).sum.toDouble
+    val core = fix.filter(b => b._1 >= 2 && b._1 <= 5).map(_._2).sum.toDouble
+    assert(core / tot >= 0.75, s"concentration ${core / tot}")
+    assert(LlmOps.JlDims === 16)
+  }
+
   test("q338 HITS: hand-computed 2-iteration scores on a star-plus-spur graph") {
     // s1 ← {c1,c2,c3}, s2 ← {c1}: every max-normalized score after two
     // iterations is hand-derivable in exact integer arithmetic.
