@@ -4061,27 +4061,35 @@ object LlmOps {
     * and ONE guarded divide. A corpus-wide row count and an exact
     * integer checksum (Σ floor(y₀·2²⁰)) ride every row, so the oracle
     * proves the FULL corpus was projected, not just the panel. */
-  def jlProjectionCensus(s: SparkSession, dir: String): DataFrame = {
+  /** JL sign projection of the embedding corpus to k dims (shared by
+    * q344's distortion census and q345's density clustering — q345's
+    * 2-d matrix is rows j = 0, 1 of q344's, same md5 keys). The k×d
+    * sign matrix is built ONCE (1 row, k·d md5 calls) and broadcast —
+    * per-row md5 in the projection lambda measured 2.4 s at sf0.1/32c
+    * (10⁶ md5 calls); with the hoisted matrix each row pays only k·d
+    * multiply-adds and the scan stays ~0.3 s. */
+  private def jlProjected(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     def sign(i: Column, j: Column): Column =
       when(conv(substring(md5(concat_ws(":", lit("jl"), i.cast("string"),
         j.cast("string"))), 1, 4), 16, 10).cast("long") % 2 === 0L,
         lit(1.0)).otherwise(lit(-1.0))
-    // the k×d sign matrix is built ONCE (1 row, 1024 md5 calls) and
-    // broadcast — per-row md5 in the projection lambda measured 2.4 s
-    // at sf0.1/32c (10⁶ md5 calls); with the hoisted matrix each row
-    // pays only k·d multiply-adds and the scan stays ~0.3 s
     val signs = Tables.embeddings(s, dir).limit(1)
-      .select(transform(sequence(lit(0), lit(JlDims - 1)), j =>
+      .select(transform(sequence(lit(0), lit(k - 1)), j =>
         transform(sequence(lit(0), size($"embedding") - 1), i =>
           sign(i, j))).as("sm"))
-    val proj = Tables.embeddings(s, dir)
+    Tables.embeddings(s, dir)
       .crossJoin(broadcast(signs))
       .select($"vec_id", $"embedding",
-        transform(sequence(lit(0), lit(JlDims - 1)), j =>
+        transform(sequence(lit(0), lit(k - 1)), j =>
           aggregate(zip_with($"embedding", element_at($"sm", j + 1),
             (x, sg) => sg * x.cast("double")), lit(0.0), (a, v) => a + v))
           .as("p"))
+  }
+
+  def jlProjectionCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val proj = jlProjected(s, dir, JlDims)
       .localCheckpoint(eager = false) // read by corpus stats + both pair sides
     val stats = proj.agg(count(lit(1)).as("n_vectors"),
       sum(floor(element_at($"p", 1) * lit(1048576.0)).cast("long"))
@@ -4111,7 +4119,324 @@ object LlmOps {
       .orderBy($"bucket")
   }
 
+  /** Cross-source quantile normalization (Bolstad et al. 2003's
+    * microarray recipe, the batch-effect corrector) — map each source's
+    * token-count distribution onto the POOLED corpus distribution by
+    * rank, so per-source length biases (one crawler truncates, another
+    * pads) stop masquerading as quality signal: normalized value of
+    * (source, v) = the smallest pooled value whose pooled CDF reaches
+    * the source's CDF at v. The CDF comparison is an exact integer
+    * cross-multiply — cum_pool·n_src ≥ cum_src·n_pool — so the mapping
+    * never hinges on a float (the q332 stance; envelope: the products
+    * are ≤ N², inside long to N ≈ 3·10⁹ docs).
+    *
+    * Scale shape: one grouped count collapses the corpus to the
+    * (source, value) census; prefix CDFs are source-keyed and global
+    * windows over DOMAIN-bounded census rows (q144); the rank-matching
+    * theta join is census × broadcast(census) — a few hundred rows at
+    * any SF. */
+  def quantileNormalization(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcCen = Tables.documents(s, dir)
+      .select($"source", size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .groupBy($"source", $"ntok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // read by source CDF AND pooled CDF
+    val wSrc = Window.partitionBy($"source").orderBy($"ntok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSrcAll = Window.partitionBy($"source")
+    val src = srcCen
+      .withColumn("cum_s", sum($"c").over(wSrc))
+      .withColumn("n_s", sum($"c").over(wSrcAll))
+    val wPool = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPoolAll = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pool = srcCen.groupBy($"ntok".as("v")).agg(sum($"c").as("pc"))
+      .withColumn("cum_p", sum($"pc").over(wPool))
+      .withColumn("n_p", sum($"pc").over(wPoolAll))
+      .select($"v", $"cum_p", $"n_p")
+    src.join(broadcast(pool), $"cum_p" * $"n_s" >= $"cum_s" * $"n_p")
+      .groupBy($"source", $"ntok")
+      .agg(max($"c").as("n_docs"), min($"v").as("norm_ntok"))
+      .orderBy($"source", $"ntok")
+  }
+
+  /** q348 resample count. 32 keeps the estimate table trivially
+    * broadcastable and the extremes meaningful (min/max of 32 ≈ the
+    * 3rd/97th percentile band). */
+  val BootB = 32
+
+  /** Truncated Poisson(1) inverse-CDF thresholds over a 16-bit uniform:
+    * floor(2¹⁶·P(X ≤ k)) for k = 0..7 (weight 8 beyond — tail mass
+    * < 2⁻¹⁶ truncated, the q339 stance). Constants of the mechanism,
+    * identical literals in both engines; e⁻¹ enters only here, at
+    * authoring time — runtime stays libm-free. */
+  val PoissonCdf16: Seq[Long] =
+    Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L, 65535L)
+
+  /** CASE-chain inverse CDF shared literally by both engines (q339's
+    * [[graft.queries.Relational.dpNoiseCaseSql]] pattern). */
+  def poissonCaseSql(u: String): String = {
+    val cases = PoissonCdf16.zipWithIndex.map {
+      case (b, k) => s"WHEN $u < $b THEN $k"
+    }.mkString(" ")
+    s"(CASE $cases ELSE 8 END)"
+  }
+
+  /** Poisson-bootstrap confidence band for the corpus mean token count
+    * — uncertainty quantification for corpus statistics (the Poisson
+    * bootstrap is THE distributed-bootstrap construction: each row
+    * joins resample b with Poisson(1) multiplicity, no sampling pass,
+    * no global coordination — Chamandy et al., Google 2012, public
+    * description). Multiplicities are deterministic ([[PoissonCdf16]]
+    * inverse CDF over md5-derived 16-bit uniforms — the q260/q339
+    * seeded stance), so the band is oracle-checkable. Each doc derives
+    * its [[BootB]] weights from FOUR md5 calls (8 × 16-bit slices per
+    * digest — 4 calls/doc, not 32: the q344 md5-budget lesson);
+    * resample estimates are one IEEE divide over exact integer
+    * (Σw·ntok, Σw) pairs; the band is min / lower-median / max of the
+    * 32-element sorted estimate array (exact rank selection). Scale:
+    * one scan emits 32 weighted partials per doc, map-side-combined
+    * into ≤B groups — no shuffle wider than 32 rows, SF-independent
+    * state. */
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val caseFor = (u: String) => expr(poissonCaseSql(u))
+    // u(doc, b) = 16-bit slice (b mod 8) of md5(doc, b div 8): the
+    // slice offsets are LITERALS, so the whole 32-uniform vector is one
+    // flatten(transform(...)) with 4 md5 calls; pos of the posexplode
+    // IS the resample id b
+    val us = flatten(transform(sequence(lit(0), lit(BootB / 8 - 1)),
+      blk => {
+        val h = md5(concat(lit("boot:"), $"doc_id".cast("string"),
+          lit(":"), blk.cast("string")))
+        array((0 until 8).map(sl =>
+          conv(substring(h, sl * 4 + 1, 4), 16, 10).cast("long")): _*)
+      }))
+    val weighted = Tables.documents(s, dir)
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .select($"ntok", posexplode(us))
+      .select($"ntok", $"pos".as("b"), caseFor("col").cast("long").as("w"))
+    // an all-zero-weight resample (possible only on degenerate tiny
+    // corpora) has no estimate — dropped on BOTH sides, because the
+    // engines disagree on NULL placement in sorted arrays
+    val ests = weighted.groupBy($"b")
+      .agg(sum($"w" * $"ntok").as("num"), sum($"w").as("den"))
+      .filter($"den" > 0L)
+      .select(ratio($"num", $"den").as("est"))
+    val point = Tables.documents(s, dir)
+      .select(size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("st"))
+      .select($"n_docs", ratio($"st", $"n_docs").as("est_point"))
+    ests.agg(sort_array(collect_list($"est")).as("xs"))
+      .select(size($"xs").cast("long").as("b_count"),
+        element_at($"xs", 1).as("boot_min"),
+        element_at($"xs", expr("(size(xs) + 1) div 2").cast("int"))
+          .as("boot_median"),
+        element_at($"xs", size($"xs")).as("boot_max"))
+      .crossJoin(broadcast(point))
+      .select($"n_docs", $"b_count", $"est_point",
+        $"boot_min", $"boot_median", $"boot_max",
+        ($"est_point" >= $"boot_min" && $"est_point" <= $"boot_max")
+          .as("point_in_band"))
+  }
+
+  /** Minimum content-token length for the q349 word graph — the crude
+    * stopword screen (TextRank's POS filter without a tagger). */
+  val TrMinTokenLen = 4
+
+  /** q349 fixed-point rank scale — q197's 10¹² recipe on the word graph. */
+  val TrScale = 1000000000000L
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — corpus-level
+    * keywords as the PageRank of the word CO-OCCURRENCE graph: nodes
+    * are content tokens (length ≥ [[TrMinTokenLen]]), edges join
+    * ADJACENT content tokens with weight = corpus co-occurrence count,
+    * kept sparse at the LOWER-MEDIAN multiplicity (the q337 selection —
+    * a language graph is dense over its content vocabulary, so the
+    * q202 lift rule would empty it; the median keeps the strong half
+    * at any scale). Ranks run the q197 exact fixed-point recipe,
+    * WEIGHTED: contribution = (rank·w) div strength (strength = Σw at
+    * the source), Σ and the ×85 in decimal(38,0), three unrolled
+    * iterations — bit-identical longs on both engines. Scale shape:
+    * the pair stream is one explode of adjacent-pair arrays (map-side,
+    * token-count-bounded per doc) into one grouped count; the graph is
+    * VOCABULARY-bounded; iterations join the |V|-row rank table against
+    * the pinned weighted adjacency exchange-free and pay one |E|-row
+    * groupBy each (the q197 contract). Output: top-20 keywords. */
+  def textrankKeywords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val ft = filter(TextOps.tokens($"text"),
+      t => length(t) >= TrMinTokenLen)
+    val prs = Tables.documents(s, dir)
+      .select(explode(filter(zip_with(ft, slice(ft, lit(2), size(ft)),
+        (a, b) => struct(a.as("x"), b.as("y"))),
+        p => p.getField("y").isNotNull &&
+          p.getField("x") =!= p.getField("y"))).as("p"))
+      .select(least($"p.x", $"p.y").as("u"), greatest($"p.x", $"p.y").as("v"))
+    val mult = prs.groupBy($"u", $"v").agg(count(lit(1)).as("m"))
+      .localCheckpoint(eager = false) // read by the threshold + edge filter
+    // Sparsifier: keep edges at or above the LOWER-MEDIAN pair
+    // multiplicity (the q337 self-normalizing selection). The q202 lift
+    // rule is wrong here: a natural-language co-occurrence graph is
+    // DENSE over its content vocabulary (the fixture realizes every
+    // pair), so lift·λ lands above max(m) and empties the graph;
+    // the median keeps the strong half at ANY corpus scale, never
+    // empties a non-empty graph, and the census it selects over is
+    // bounded by the multiplicity value domain.
+    val wCum = Window.orderBy($"mv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy($"mv")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val thr = mult.groupBy($"m".as("mv")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum($"n").over(wCum))
+      .withColumn("tot", sum($"n").over(wAll))
+      .agg(min(when($"cum" * 2 >= $"tot", $"mv")).as("thr"))
+    val und = mult.crossJoin(broadcast(thr)).filter($"m" >= $"thr")
+      .select($"u", $"v", $"m")
+    val adj = graft.operators.Pinned.checkpointAsIs(
+      und.unionAll(und.select($"v".as("u"), $"u".as("v"), $"m"))
+        .groupBy($"u").agg(collect_list(struct($"v", $"m")).as("es"),
+          sum($"m").as("sw")),
+      "u")
+    val nodes = adj.select($"u".as("node"))
+    val r0 = nodes.select($"node", lit(TrScale).as("r"))
+    def step(rk: DataFrame): DataFrame = {
+      val contrib = adj.join(rk, adj("u") === rk("node"))
+        .select(explode($"es").as("e"), $"r", $"sw")
+        .select($"e.v".as("dst"),
+          expr("(CAST(r AS DECIMAL(38,0)) * e.m) div sw").as("c"))
+        .groupBy($"dst")
+        .agg(sum($"c".cast(d38)).as("in_sum"))
+      nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select($"node",
+          (lit(15L * TrScale / 100L) +
+            expr("85 * coalesce(in_sum, CAST(0 AS DECIMAL(38,0))) div 100"))
+            .as("r"))
+    }
+    val r3 = step(step(step(r0)))
+    r3.select($"node".as("keyword"), $"r".as("pr"))
+      .orderBy($"pr".desc, $"keyword".asc)
+      .limit(20)
+  }
+
+  /** q345 radius. The grid cell width equals ε, so any two points
+    * within ε land in adjacent cells and the candidate join is exact. */
+  val DbscanEps = 0.2
+
+  /** ε² as its OWN decimal literal: 0.2·0.2 in IEEE is
+    * 0.04000000000000001, NOT the double nearest 0.04 — both engines
+    * must square-compare against the same literal string, never a
+    * computed square. */
+  val DbscanEps2 = 0.04
+
+  /** Core threshold: |N_ε(p)| ≥ 5, the neighborhood INCLUDING p itself
+    * (Ester et al.'s convention). At the fixture's 2-d projection this
+    * splits 500 points into ~262 core / 71 border / 167 noise — all
+    * three classes carry real mass. */
+  val DbscanMinPts = 5L
+
+  /** Grid-accelerated DBSCAN (Ester et al. 1996) over the 2-d JL
+    * projection of the embedding corpus — the DENSITY clustering
+    * counterpart of q109's k-means (no k, finds noise, arbitrary
+    * shapes): composed with [[jlProjected]] exactly the way production
+    * pipelines run DBSCAN on reduced dimensions. The ε-wide grid makes
+    * the neighbor search a KEYED join: each point explodes to its 3×3
+    * neighbor cells on the probe side and sits in its own cell on the
+    * build side, so every ε-pair is found exactly once per direction —
+    * never an all-pairs theta join (the q46 LSH-bucket stance; cell
+    * population is density-bounded, not corpus-bounded). Core points
+    * are an exact count filter; core-core components run min-label
+    * propagation WITH POINTER JUMPING (label(v) ← label(label(v)) after
+    * each neighbor round — O(log diameter) driver-gated rounds where
+    * plain propagation pays the full diameter; the q76 decimal
+    * label-sum convergence gate), so the spatial chain clusters a 2-d
+    * projection produces converge in a handful of rounds. Borders join
+    * their minimum core-neighbor label; the rest is noise. Output: one
+    * census row per cluster + the noise row (cluster_id = −1). */
+  def dbscanGrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = jlProjected(s, dir, 2)
+      .select($"vec_id", element_at($"p", 1).as("y0"),
+        element_at($"p", 2).as("y1"))
+      .withColumn("cx", floor($"y0" / lit(DbscanEps)).cast("long"))
+      .withColumn("cy", floor($"y1" / lit(DbscanEps)).cast("long"))
+      .localCheckpoint(eager = false) // read by probe/build sides + total
+    val probe = pts
+      .select($"vec_id".as("ia"), $"y0".as("xa"), $"y1".as("ya"),
+        $"cx", $"cy")
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select($"ia", $"xa", $"ya",
+        ($"cx" + $"dx").as("gx"), ($"cy" + $"dy").as("gy"))
+    val build = pts.select($"vec_id".as("ib"), $"y0".as("xb"),
+      $"y1".as("yb"), $"cx".as("gx"), $"cy".as("gy"))
+    val nbr = probe.join(build, Seq("gx", "gy"))
+      .filter(($"xa" - $"xb") * ($"xa" - $"xb") +
+        ($"ya" - $"yb") * ($"ya" - $"yb") <= lit(DbscanEps2))
+      .select($"ia", $"ib") // symmetric; includes the self-pair
+      .localCheckpoint(eager = false) // read by degrees + edges + borders
+    val deg = nbr.groupBy($"ia").agg(count(lit(1)).as("nn"))
+      .localCheckpoint(eager = false) // read by cores + non-cores
+    val cores = deg.filter($"nn" >= DbscanMinPts).select($"ia".as("v"))
+      .localCheckpoint(eager = false)
+    val coreEdges = nbr
+      .join(broadcast(cores.select($"v".as("ia"))), Seq("ia"), "semi")
+      .join(broadcast(cores.select($"v".as("ib"))), Seq("ib"), "semi")
+      .localCheckpoint(eager = false) // read every fixpoint round
+    var labels = cores.select($"v".as("doc"), $"v".as("lab"))
+      .localCheckpoint(eager = false) // materialized by the first labelSum
+    def labelSum(): java.math.BigDecimal = labels
+      .agg(coalesce(sum($"lab".cast(DecimalType(38, 0))),
+        lit(BigDecimal(0)).cast(DecimalType(38, 0))))
+      .head.getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
+    var curSum = labelSum()
+    while (prevSum == null || curSum.compareTo(prevSum) < 0) {
+      val propagated = coreEdges.join(labels, $"ib" === $"doc")
+        .groupBy($"ia").agg(min($"lab").as("lab"))
+        .select($"ia".as("doc"), $"lab")
+      // pointer jump: labels are core ids, always present as docs
+      // (a second jump per round was measured SLOWER — the extra
+      // intermediate pin costs more than the ~3 saved rounds)
+      labels = propagated.as("l")
+        .join(propagated.select($"doc".as("ld"), $"lab".as("ll")).as("r"),
+          col("l.lab") === col("r.ld"))
+        .select(col("l.doc").as("doc"), col("r.ll").as("lab"))
+        .localCheckpoint(eager = false) // one job per round: the labelSum
+      prevSum = curSum
+      curSum = labelSum()
+    }
+    val border = nbr
+      .join(broadcast(deg.filter($"nn" < DbscanMinPts).select($"ia")),
+        Seq("ia"), "semi")
+      .join(broadcast(cores.select($"v".as("ib"))), Seq("ib"), "semi")
+      .join(labels, $"ib" === $"doc")
+      .groupBy($"ia").agg(min($"lab").as("lab"))
+    val cc = labels.groupBy($"lab").agg(count(lit(1)).as("n_core"))
+    val bc = border.groupBy($"lab").agg(count(lit(1)).as("n_border"))
+    val clusters = cc.join(bc, Seq("lab"), "left")
+      .select($"lab".as("cluster_id"), $"n_core",
+        coalesce($"n_border", lit(0L)).as("n_border"))
+    val totals = pts.agg(count(lit(1)).as("n_total"))
+      .crossJoin(cc.agg(coalesce(sum($"n_core"), lit(0L)).as("tc")))
+      .crossJoin(bc.agg(coalesce(sum($"n_border"), lit(0L)).as("tb")))
+    val noiseRow = totals.select(lit(-1L).as("cluster_id"),
+      lit(0L).as("n_core"), lit(0L).as("n_border"),
+      ($"n_total" - $"tc" - $"tb").as("n_points"))
+    clusters
+      .select($"cluster_id", $"n_core", $"n_border",
+        ($"n_core" + $"n_border").as("n_points"))
+      .unionAll(noiseRow)
+      .orderBy($"cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q345_dbscan_grid" -> dbscanGrid,
+    "q349_textrank_keywords" -> textrankKeywords,
+    "q348_bootstrap_ci" -> bootstrapCi,
+    "q347_quantile_normalization" -> quantileNormalization,
     "q344_jl_projection_census" -> jlProjectionCensus,
     "q328_leakage_safe_split" -> leakageSafeSplit,
     "q327_bitext_margin_mining" -> bitextMarginMining,
@@ -4204,7 +4529,175 @@ object LlmOps {
     "q119_token_histogram" -> tokenHistogram
   )
 
+  /** One unrolled weighted-PageRank round for the q349 oracle. */
+  private def trRoundSql(k: Int): String = {
+    val prev = s"r${k - 1}"
+    s"""c$k AS (SELECT e.dst AS node,
+       |        sum((CAST($prev.r AS HUGEINT) * e.m) // st.sw) AS s
+       |        FROM e JOIN $prev ON e.src = $prev.node
+       |               JOIN st ON e.src = st.src
+       |        GROUP BY 1),
+       |r$k AS (SELECT n.node,
+       |        CAST(${15L * TrScale / 100L}
+       |             + (85 * coalesce(c$k.s, 0)) // 100 AS BIGINT) AS r
+       |        FROM n LEFT JOIN c$k ON n.node = c$k.node)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q345_dbscan_grid" ->
+      // 2-d slice of the q344 projection replay; components by
+      // recursive-CTE reachability + min (the q76 oracle pattern), so
+      // the hash compare proves pointer-jumped propagation ≡ the
+      // definitional transitive closure
+      s"""WITH RECURSIVE proj AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(range(0, 2), j ->
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(embedding, (x, i) ->
+         |          (CASE WHEN CAST(('0x' || substr(md5('jl:'
+         |                  || CAST(i - 1 AS VARCHAR) || ':'
+         |                  || CAST(j AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+         |                THEN 1.0 ELSE -1.0 END) * CAST(x AS DOUBLE))),
+         |        (a, v) -> a + v)) AS p
+         |  FROM embeddings
+         |), pts AS MATERIALIZED (
+         |  SELECT vec_id, p[1] AS y0, p[2] AS y1,
+         |         CAST(floor(p[1] / $DbscanEps) AS BIGINT) AS cx,
+         |         CAST(floor(p[2] / $DbscanEps) AS BIGINT) AS cy
+         |  FROM proj
+         |), nbr AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM (SELECT pts.*, dx, dy FROM pts,
+         |          (SELECT unnest([-1, 0, 1]) AS dx),
+         |          (SELECT unnest([-1, 0, 1]) AS dy)) a
+         |  JOIN pts b ON a.cx + a.dx = b.cx AND a.cy + a.dy = b.cy
+         |  WHERE (a.y0 - b.y0) * (a.y0 - b.y0)
+         |        + (a.y1 - b.y1) * (a.y1 - b.y1) <= $DbscanEps2
+         |), deg AS MATERIALIZED (
+         |  SELECT ia, count(*) AS nn FROM nbr GROUP BY 1
+         |), cores AS MATERIALIZED (
+         |  SELECT ia AS v FROM deg WHERE nn >= $DbscanMinPts
+         |), ce AS MATERIALIZED (
+         |  SELECT ia, ib FROM nbr
+         |  WHERE ia IN (SELECT v FROM cores) AND ib IN (SELECT v FROM cores)
+         |), reach(v, r) AS (
+         |  SELECT v, v FROM cores
+         |  UNION
+         |  SELECT x.v, e.ib FROM reach x JOIN ce e ON x.r = e.ia
+         |), labels AS MATERIALIZED (
+         |  SELECT v AS doc, CAST(min(r) AS BIGINT) AS lab
+         |  FROM reach GROUP BY 1
+         |), border AS MATERIALIZED (
+         |  SELECT n.ia, CAST(min(l.lab) AS BIGINT) AS lab
+         |  FROM nbr n JOIN labels l ON n.ib = l.doc
+         |  WHERE n.ia IN (SELECT ia FROM deg WHERE nn < $DbscanMinPts)
+         |  GROUP BY 1
+         |), cc AS MATERIALIZED (
+         |  SELECT lab, CAST(count(*) AS BIGINT) AS n_core FROM labels GROUP BY 1
+         |), bc AS MATERIALIZED (
+         |  SELECT lab, CAST(count(*) AS BIGINT) AS n_border FROM border GROUP BY 1
+         |)
+         |SELECT * FROM (
+         |  SELECT cc.lab AS cluster_id, n_core,
+         |         CAST(coalesce(n_border, 0) AS BIGINT) AS n_border,
+         |         n_core + CAST(coalesce(n_border, 0) AS BIGINT) AS n_points
+         |  FROM cc LEFT JOIN bc ON cc.lab = bc.lab
+         |  UNION ALL
+         |  SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |         (SELECT CAST(count(*) AS BIGINT) FROM pts)
+         |         - (SELECT CAST(coalesce(sum(n_core), 0) AS BIGINT) FROM cc)
+         |         - (SELECT CAST(coalesce(sum(n_border), 0) AS BIGINT) FROM bc)
+         |)
+         |ORDER BY cluster_id""".stripMargin,
+    "q349_textrank_keywords" ->
+      s"""WITH ft AS (
+         |  SELECT list_filter($toksSql, t -> len(t) >= $TrMinTokenLen) AS fts
+         |  FROM documents
+         |), prs AS (
+         |  SELECT least(p.x, p.y) AS u, greatest(p.x, p.y) AS v
+         |  FROM (SELECT unnest(list_filter(
+         |          list_transform(fts, (a, i) ->
+         |            struct_pack(x := a, y := fts[i+1])),
+         |          p -> p.y IS NOT NULL AND p.x <> p.y)) AS p
+         |        FROM ft)
+         |), mult AS MATERIALIZED (
+         |  SELECT u, v, CAST(count(*) AS BIGINT) AS m FROM prs GROUP BY 1, 2
+         |), thr AS (
+         |  SELECT CAST(min(CASE WHEN 2 * cum >= tot THEN mv END) AS BIGINT) AS thr
+         |  FROM (SELECT mv, sum(n) OVER (ORDER BY mv) AS cum,
+         |               sum(n) OVER () AS tot
+         |        FROM (SELECT m AS mv, count(*) AS n FROM mult GROUP BY 1))
+         |), e0 AS MATERIALIZED (
+         |  SELECT u, v, m FROM mult, thr WHERE m >= thr
+         |), e AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst, m FROM e0
+         |  UNION ALL SELECT v AS src, u AS dst, m FROM e0
+         |), st AS MATERIALIZED (
+         |  SELECT src, CAST(sum(m) AS BIGINT) AS sw FROM e GROUP BY 1
+         |), n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         |r0 AS (SELECT node, CAST($TrScale AS BIGINT) AS r FROM n),
+         |${trRoundSql(1)}, ${trRoundSql(2)}, ${trRoundSql(3)}
+         |SELECT node AS keyword, r AS pr FROM r3
+         |ORDER BY pr DESC, keyword ASC LIMIT 20""".stripMargin,
+    "q348_bootstrap_ci" ->
+      s"""WITH weighted AS (
+         |  SELECT ntok, b,
+         |         CAST(${poissonCaseSql("u")} AS BIGINT) AS w
+         |  FROM (
+         |    SELECT CAST(len($toksSql) AS BIGINT) AS ntok, b,
+         |           CAST(('0x' || substr(md5('boot:'
+         |               || CAST(doc_id AS VARCHAR) || ':'
+         |               || CAST(b // 8 AS VARCHAR)),
+         |             (b % 8) * 4 + 1, 4)) AS BIGINT) AS u
+         |    FROM documents, (SELECT unnest(range(0, $BootB)) AS b))
+         |), ests AS (
+         |  SELECT ${ratioSql("num", "den")} AS est
+         |  FROM (SELECT b, CAST(sum(w * ntok) AS BIGINT) AS num,
+         |               CAST(sum(w) AS BIGINT) AS den
+         |        FROM weighted GROUP BY 1)
+         |  WHERE den > 0
+         |), arr AS (
+         |  SELECT list(est ORDER BY est) AS xs FROM ests
+         |), point AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         ${ratioSql(sumLongSql(s"CAST(len($toksSql) AS BIGINT)"),
+                             "count(*)")} AS est_point
+         |  FROM documents
+         |)
+         |SELECT n_docs, CAST(len(xs) AS BIGINT) AS b_count, est_point,
+         |       xs[1] AS boot_min,
+         |       xs[(len(xs) + 1) // 2] AS boot_median,
+         |       xs[len(xs)] AS boot_max,
+         |       est_point >= xs[1] AND est_point <= xs[len(xs)]
+         |         AS point_in_band
+         |FROM arr, point""".stripMargin,
+    "q347_quantile_normalization" ->
+      s"""WITH base AS (
+         |  SELECT source, CAST(len($toksSql) AS BIGINT) AS ntok
+         |  FROM documents
+         |), cen AS MATERIALIZED (
+         |  SELECT source, ntok, CAST(count(*) AS BIGINT) AS c
+         |  FROM base GROUP BY 1, 2
+         |), src AS (
+         |  SELECT source, ntok, c,
+         |         CAST(sum(c) OVER (PARTITION BY source ORDER BY ntok
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_s,
+         |         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_s
+         |  FROM cen
+         |), pool AS MATERIALIZED (
+         |  SELECT v, CAST(sum(pc) OVER (ORDER BY v
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_p,
+         |         CAST(sum(pc) OVER () AS BIGINT) AS n_p
+         |  FROM (SELECT ntok AS v, CAST(sum(c) AS BIGINT) AS pc
+         |        FROM cen GROUP BY 1)
+         |)
+         |SELECT source, ntok, CAST(max(c) AS BIGINT) AS n_docs,
+         |       CAST(min(v) AS BIGINT) AS norm_ntok
+         |FROM src JOIN pool ON cum_p * n_s >= cum_s * n_p
+         |GROUP BY 1, 2
+         |ORDER BY source, ntok""".stripMargin,
     "q344_jl_projection_census" ->
       // DuckDB's 1-based lambda index ↔ Spark's 0-based: the sign-matrix
       // key uses (i − 1); peer-element access b[i] replaces zip_with.

@@ -1272,7 +1272,44 @@ object TimeSeries {
         when($"st.i" > 0L, $"st.l" + lit(12.0) * $"st.b").as("fc_12"))
   }
 
+  /** At-most-one-changepoint (AMOC) location — the WHERE to q317's
+    * CUSUM WHETHER: the split k maximizing the scaled mean-contrast
+    * statistic |S_k·n − k·S_n| over the daily-revenue series (the CUSUM
+    * numerator at split k — cross-multiplied so the argmax is decided
+    * on EXACT INTEGERS, never a float compare; the q332 stance). Ties
+    * break to the earliest day; the split is proper (1 ≤ k < n), so
+    * both segment means are defined. Segment means are the only
+    * divides, over exact cents/counts. Scale: the corpus collapses to
+    * the day census (map-side grouped sum); the prefix sum is one
+    * global window over DOMAIN-bounded census rows (the q282 months
+    * precedent); the argmax is a 1-row TakeOrdered. Envelope: S_k·n ≤
+    * total-cents·days needs decimal(38,0) past ~10¹⁵ total cents —
+    * promoted internally; only safe longs and doubles are output. */
+  def amocChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("rev"))
+    val tot = daily.agg(count(lit(1)).as("n_days"), sum($"rev").as("s_n"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("k", row_number().over(Window.orderBy($"day")).cast("long"))
+      .withColumn("s_k", sum($"rev").over(w))
+      .crossJoin(broadcast(tot))
+      .filter($"k" < $"n_days") // proper split: both segments non-empty
+      .withColumn("stat",
+        abs($"s_k".cast(d38) * $"n_days" - $"k".cast(d38) * $"s_n"))
+      .orderBy($"stat".desc, $"day".asc)
+      .limit(1)
+      .select($"day".as("cp_day"), $"k".as("k_at_max"), $"n_days",
+        ratio($"s_k", $"k").as("mean_before_cents"),
+        ratio($"s_n" - $"s_k", $"n_days" - $"k").as("mean_after_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q346_amoc_changepoint" -> amocChangepoint,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
     "q343_holt_linear" -> holtLinear,
@@ -1310,6 +1347,34 @@ object TimeSeries {
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "q346_amoc_changepoint" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS rev
+         |  FROM orders GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         |         CAST(sum(rev) AS BIGINT) AS s_n
+         |  FROM daily
+         |), pre AS (
+         |  SELECT day,
+         |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+         |         CAST(sum(rev) OVER (ORDER BY day
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS s_k
+         |  FROM daily
+         |), best AS (
+         |  SELECT day, k, n_days, s_k, s_n
+         |  FROM pre, tot
+         |  WHERE k < n_days
+         |  ORDER BY abs(CAST(s_k AS HUGEINT) * n_days
+         |               - CAST(k AS HUGEINT) * s_n) DESC, day ASC
+         |  LIMIT 1
+         |)
+         |SELECT day AS cp_day, k AS k_at_max, n_days,
+         |       ${ratioSql("s_k", "k")} AS mean_before_cents,
+         |       ${ratioSql("s_n - s_k", "n_days - k")} AS mean_after_cents
+         |FROM best""".stripMargin,
     "q340_kaplan_meier" ->
       // DuckDB's 1-based lambda index i ↔ Spark's 0-based transform
       // index: strict prefix = xs[1:i-1] ↔ slice(xs, 1, i); inclusive

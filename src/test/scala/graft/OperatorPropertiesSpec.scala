@@ -2257,6 +2257,130 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(LlmOps.JlDims === 16)
   }
 
+  test("q345 DBSCAN: planted chains give exact core/border/noise census") {
+    // vectors differing only in coordinate 0 project to a LINE whose 2-d
+    // distances are |Δh|·√2 — sign-matrix-INDEPENDENT (both coords flip
+    // by ±Δh). Spacing 0.05 ⇒ ε-neighbors at ±1, ±2 steps (d² = 0.005,
+    // 0.02 ≤ 0.04) and not ±3 (0.045): a 10-chain has 6 interior cores
+    // (|N| = 5 incl. self), 4 border ends, 0 noise.
+    val dir = java.nio.file.Files.createTempDirectory("dbscan").toString
+    val d = 8
+    def vec(head: Double) = head.toFloat +: Array.fill(d - 1)(0.0f)
+    val chainA = (0 until 10).map(i => (i.toLong, vec(0.05 * i)))
+    val chainB = (0 until 10).map(i => (10L + i, vec(10.0 + 0.05 * i)))
+    val lone = Seq((20L, vec(5.0)))
+    (chainA ++ chainB ++ lone).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q345_dbscan_grid")(spark, dir)
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("n_core"), r.getAs[Long]("n_border"),
+          r.getAs[Long]("n_points")))).toMap
+    assert(out === Map(
+      -1L -> ((0L, 0L, 1L)),  // the lone point is noise
+      2L -> ((6L, 4L, 10L)),  // chain A: min core id = 2
+      12L -> ((6L, 4L, 10L))))  // chain B: min core id = 12
+  }
+
+  test("q346 changepoint lands exactly at a planted level shift") {
+    val dir = java.nio.file.Files.createTempDirectory("amoc").toString
+    (0 until 20).map { i =>
+      val p = if (i < 10) 1.0 else 2.0 // 100 → 200 cents at day 10
+      (i.toLong + 1, f"2000-01-${i + 1}%02d", p)
+    }.toDF("o_orderkey", "d", "o_totalprice")
+      .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"), $"o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q346_amoc_changepoint")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("k_at_max") === 10L)
+    assert(r.getAs[java.sql.Date]("cp_day").toString === "2000-01-10")
+    assert(r.getAs[Long]("n_days") === 20L)
+    assert(r.getAs[Double]("mean_before_cents") === 100.0)
+    assert(r.getAs[Double]("mean_after_cents") === 200.0)
+  }
+
+  test("q347 quantile normalization maps shifted sources onto the pooled ladder") {
+    // A = {10×5, 20×5}, B = {30×5, 40×5}: pooled = {10,20,30,40}×5.
+    // A@10 (CDF 1/2) → pooled value at CDF ≥ 1/2 = 20; A@20 → 40;
+    // B@30 → 20; B@40 → 40 — both sources normalize onto {20, 40}.
+    val dir = java.nio.file.Files.createTempDirectory("qnorm").toString
+    def doc(id: Long, n: Int, src: String) =
+      (id, (1 to n).map(_ => "t").mkString(" "), "en", src, 1L)
+    val docs = (1 to 5).map(i => doc(i, 10, "A")) ++
+      (6 to 10).map(i => doc(i, 20, "A")) ++
+      (11 to 15).map(i => doc(i, 30, "B")) ++
+      (16 to 20).map(i => doc(i, 40, "B"))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q347_quantile_normalization")(spark, dir)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("ntok")) ->
+        r.getAs[Long]("norm_ntok")).toMap
+    assert(out === Map(("A", 10L) -> 20L, ("A", 20L) -> 40L,
+      ("B", 30L) -> 20L, ("B", 40L) -> 40L))
+  }
+
+  test("q348 bootstrap band matches a first-principles JVM replay") {
+    import graft.queries.LlmOps
+    val dir = java.nio.file.Files.createTempDirectory("boot").toString
+    val docs = Seq((1L, "a b c", "en", "web", 5L), (2L, "a b", "en", "web", 3L),
+      (3L, "a b c d e f", "en", "web", 11L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent implementation of the whole mechanism
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(docId: Long, b: Int): Long = {
+      val hex = md.digest(s"boot:$docId:${b / 8}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(
+        hex.substring((b % 8) * 4, (b % 8) * 4 + 4), 16)
+      LlmOps.PoissonCdf16.zipWithIndex
+        .collectFirst { case (t, k) if u < t => k.toLong }.getOrElse(8L)
+    }
+    val ntoks = Map(1L -> 3L, 2L -> 2L, 3L -> 6L)
+    val ests = (0 until LlmOps.BootB).flatMap { b =>
+      val num = ntoks.map { case (id, n) => w(id, b) * n }.sum
+      // keysIterator, NOT keys.map: mapping a key SET collapses equal
+      // weights and shrinks the denominator
+      val den = ntoks.keysIterator.map(w(_, b)).sum
+      if (den > 0) Some(num.toDouble / den.toDouble) else None
+    }.sorted
+    val r = SparkEntry.queries("q348_bootstrap_ci")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("b_count") === ests.length.toLong)
+    assert(r.getAs[Double]("boot_min") === ests.head)
+    assert(r.getAs[Double]("boot_max") === ests.last)
+    assert(r.getAs[Double]("boot_median") === ests((ests.length + 1) / 2 - 1))
+    assert(r.getAs[Double]("est_point") === 11.0 / 3.0)
+  }
+
+  test("q349 TextRank ranks match an exact integer JVM replay of the word graph") {
+    import graft.queries.LlmOps
+    // vocabulary {aaaa, bbbb, cccc}: edges (aaaa,bbbb) m=10, (bbbb,cccc)
+    // m=4; median multiplicity threshold = 4 keeps both
+    val dir = java.nio.file.Files.createTempDirectory("textrank").toString
+    val docs = (1 to 10).map(i => (i.toLong, "aaaa bbbb", "en", "web", 9L)) ++
+      (11 to 14).map(i => (i.toLong, "bbbb cccc", "en", "web", 9L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // exact integer replay: sw(a)=10, sw(b)=14, sw(c)=4
+    val S = LlmOps.TrScale
+    val edges = Seq(("aaaa", "bbbb", 10L), ("bbbb", "aaaa", 10L),
+      ("bbbb", "cccc", 4L), ("cccc", "bbbb", 4L))
+    val sw = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    var r = Map("aaaa" -> S, "bbbb" -> S, "cccc" -> S)
+    (1 to 3).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, m) =>
+          BigInt(r(src)) * m / sw(src) }.sum }
+      r = r.keys.map(k => k ->
+        (15L * S / 100L + (BigInt(85) * in.getOrElse(k, BigInt(0)) / 100).toLong))
+        .toMap
+    }
+    val out = SparkEntry.queries("q349_textrank_keywords")(spark, dir)
+      .collect().map(x => x.getAs[String]("keyword") -> x.getAs[Long]("pr")).toMap
+    assert(out === r, s"expected $r got $out")
+    assert(out("bbbb") > out("aaaa") && out("aaaa") > out("cccc"),
+      "the hub word outranks its spokes; the heavier spoke outranks the lighter")
+  }
+
   test("q338 HITS: hand-computed 2-iteration scores on a star-plus-spur graph") {
     // s1 ← {c1,c2,c3}, s2 ← {c1}: every max-normalized score after two
     // iterations is hand-derivable in exact integer arithmetic.
