@@ -4432,7 +4432,190 @@ object LlmOps {
       .orderBy($"cluster_id")
   }
 
+  /** q350 panel/selection sizes: 6 queries × 10 candidates → 5 picks. */
+  val MmrQueries = 6
+  val MmrCandidates = 10
+  val MmrPicks = 5
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) —
+    * the DIVERSIFICATION stage a RAG stack runs between retrieval
+    * (q45/q330) and the prompt: greedily pick k documents maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked (λ = 1/2,
+    * dyadic — both terms exact IEEE ops over the established bitwise
+    * cosine), so near-duplicate hits stop crowding out coverage. The
+    * greedy loop is UNROLLED to [[MmrPicks]] fixed steps (per step: an
+    * anti-join against the picked set, one max-sim lookup on the
+    * candidate-pair sim table, a per-query rank-1 window, vid ties) —
+    * both engines replay the identical argmax sequence. Scale shape:
+    * candidates are a top-[[MmrCandidates]] WindowGroupLimit per query;
+    * the pair-sim table is panel × k² (bounded, pinned); every step
+    * operates on ≤ panel·k rows. Pick 1 is pure relevance (its
+    * mmr_score IS its cosine — the standard convention). */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < MmrQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("vid"), $"embedding".as("ve"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
+    val cand = broadcast(q).join(c, $"qid" =!= $"vid")
+      .withColumn("cos", graft.operators.VectorOps.cosine(s)($"qe", $"ve"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= MmrCandidates)
+      .select($"qid", $"vid", $"ve", $"cos".as("rel"))
+      .localCheckpoint(eager = false) // read by sims + all 5 steps
+    val sims = cand.select($"qid", $"vid".as("vi"), $"ve".as("ei"))
+      .join(cand.select($"qid".as("q2"), $"vid".as("vj"), $"ve".as("ej")),
+        $"qid" === $"q2" && $"vi" =!= $"vj")
+      .select($"qid", $"vi", $"vj",
+        graft.operators.VectorOps.cosine(s)($"ei", $"ej").as("sim"))
+      .localCheckpoint(eager = false) // read by steps 2..5
+    val wPick = Window.partitionBy($"qid").orderBy($"score".desc, $"vid".asc)
+    val first = cand.select($"qid", $"vid", $"rel", $"rel".as("score"))
+      .withColumn("pk", row_number().over(wPick)).filter($"pk" === 1)
+      .select($"qid", $"vid", $"rel", $"score", lit(1L).as("pick"))
+    var selected = first.localCheckpoint(eager = false)
+    (2 to MmrPicks).foreach { k =>
+      val pick = cand
+        .join(selected.select($"qid", $"vid"), Seq("qid", "vid"), "anti")
+        .join(sims.join(selected.select($"qid".as("sq"), $"vid".as("sv")),
+            $"qid" === $"sq" && $"vj" === $"sv")
+          .groupBy($"qid".as("mq"), $"vi".as("mv"))
+          .agg(max($"sim").as("ms")),
+          $"qid" === $"mq" && $"vid" === $"mv")
+        .select($"qid", $"vid", $"rel",
+          (lit(0.5) * $"rel" - lit(0.5) * $"ms").as("score"))
+        .withColumn("pk", row_number().over(wPick)).filter($"pk" === 1)
+        .select($"qid", $"vid", $"rel", $"score", lit(k.toLong).as("pick"))
+      selected = selected.unionAll(pick).localCheckpoint(eager = false)
+    }
+    selected
+      .select($"qid", $"pick", $"vid", $"rel".as("rel_cos"),
+        $"score".as("mmr_score"))
+      .orderBy($"qid", $"pick")
+  }
+
+  /** q351 confidence bins (deciles of the marker-share confidence). */
+  val EceBins = 10
+
+  /** Expected-calibration-error census over the q48 language-ID scorer —
+    * the MEASUREMENT next to the q335/q336 calibration FIXES: bin each
+    * scored doc by its confidence — the LAPLACE-SMOOTHED posterior of
+    * the predicted language over the 4 candidates,
+    * (s_best + 1)/(s_tot + 4), binned by exact integer cross-multiply,
+    * never a float boundary (the unsmoothed share degenerates: docs
+    * rarely mix marker lists, so s_best = s_tot puts ALL mass in the
+    * top bin; the smoothed posterior is also the statistically honest
+    * confidence at single-digit counts) — compare per-bin accuracy to
+    * the bin's midpoint
+    * confidence, and fold ECE = Σ (n_b/N)·|acc_b − mid_b|. This is the
+    * STATIC-MIDPOINT ECE variant (documented deviation: the classic form
+    * uses the bin's MEAN confidence, an order-dependent float sum over
+    * corpus-sized bins — unportable under the hash contract; midpoints
+    * keep every per-bin term a single-divide exact quantity, and the
+    * ≤10-element ECE fold runs in one sorted array row). Unscored docs
+    * (no markers) are excluded and censused. */
+  def eceCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val es = Seq("el", "la", "de", "que", "los")
+    val de = Seq("der", "die", "und", "das", "ist")
+    val fr = Seq("le", "les", "des", "une", "est")
+    val en = Seq("the", "and", "of", "to", "is")
+    val scored = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("s_es", TextOps.markerHits($"toks", es).cast("long"))
+      .withColumn("s_de", TextOps.markerHits($"toks", de).cast("long"))
+      .withColumn("s_fr", TextOps.markerHits($"toks", fr).cast("long"))
+      .withColumn("s_en", TextOps.markerHits($"toks", en).cast("long"))
+      .withColumn("s_tot", $"s_es" + $"s_de" + $"s_fr" + $"s_en")
+      .filter($"s_tot" > 0L)
+      .withColumn("predicted",
+        when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" &&
+          $"s_en" >= $"s_fr" && $"s_en" > 0, "en")
+          .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr" && $"s_es" > 0, "es")
+          .when($"s_de" >= $"s_fr" && $"s_de" > 0, "de")
+          .otherwise("fr"))
+      .withColumn("s_best", greatest($"s_es", $"s_de", $"s_fr", $"s_en"))
+      .withColumn("bin",
+        least(lit(EceBins - 1L),
+          expr(s"((s_best + 1) * $EceBins) div (s_tot + 4)")))
+      .withColumn("correct", $"predicted" === $"lang")
+    val bins = scored.groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"correct", 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", ratio($"n_correct", $"n_docs"))
+      .withColumn("conf_mid", ratio(lit(2L) * $"bin" + 1L, lit(2L * EceBins)))
+    val ece = bins
+      .agg(sort_array(collect_list(
+        struct($"bin", $"n_docs", $"accuracy", $"conf_mid"))).as("xs"))
+      .select(aggregate($"xs", lit(0L),
+        (a, x) => a + x.getField("n_docs")).as("n_scored"), $"xs")
+      .select($"n_scored", aggregate($"xs", lit(0.0), (a, x) =>
+        a + (x.getField("n_docs").cast("double") / $"n_scored".cast("double"))
+          * abs(x.getField("accuracy") - x.getField("conf_mid"))).as("ece"))
+    bins.crossJoin(broadcast(ece))
+      .select($"bin", $"n_docs", $"n_correct", $"accuracy", $"conf_mid",
+        $"n_scored", $"ece")
+      .orderBy($"bin")
+  }
+
+  /** q352 panel: the first 8 vectors query the rest of the corpus. */
+  val IrEvalQueries = 8
+
+  /** Retrieval-quality evaluation census (MRR, precision@5, hits@10) —
+    * the EVAL harness for the ANN family: each panel query's exact
+    * cosine top-10 is scored against label-match relevance (the fixture
+    * embeddings carry cluster labels), per query reciprocal rank and
+    * precision, plus the panel MRR / mean-P@5 riding every row. DCG is
+    * deliberately absent: its 1/log₂(rank+1) gains are libm — RR and
+    * precision are exact single divides, and the panel means fold over
+    * the qid-sorted ≤8-element array (fixed IEEE order). The no-relevant
+    * case contributes RR = 0 (the standard convention) and a NULL first
+    * rank. Scale: the ranking is the q45 broadcast panel scan; panel
+    * size is FIXED (the q193 order-bounded stance). */
+  def retrievalEvalCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < IrEvalQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"label".as("qlab"))
+    val c = e.select($"vec_id".as("vid"), $"embedding".as("ve"),
+      $"label".as("vlab"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
+    val per = broadcast(q).join(c, $"qid" =!= $"vid")
+      .withColumn("cos", graft.operators.VectorOps.cosine(s)($"qe", $"ve"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select($"qid", $"qlab", $"rn".cast("long").as("rn"),
+        ($"vlab" === $"qlab").as("rel"))
+      .groupBy($"qid", $"qlab")
+      .agg(min(when($"rel", $"rn")).as("first_rel_rank"),
+        sum(when($"rel" && $"rn" <= 5L, 1L).otherwise(0L)).as("rel_at_5"),
+        sum(when($"rel", 1L).otherwise(0L)).as("rel_at_10"))
+      .withColumn("rr", when($"first_rel_rank".isNotNull,
+        ratio(lit(1L), $"first_rel_rank")).otherwise(lit(0.0)))
+      .withColumn("p_at_5", ratio($"rel_at_5", lit(5L)))
+    val glob = per
+      .agg(sort_array(collect_list(
+        struct($"qid", $"rr", $"p_at_5".as("p5")))).as("xs"))
+      .select(size($"xs").cast("long").as("n_queries"), $"xs")
+      .select($"n_queries",
+        when($"n_queries" > 0L, aggregate($"xs", lit(0.0),
+          (a, x) => a + x.getField("rr")) / $"n_queries".cast("double"))
+          .as("mrr"),
+        when($"n_queries" > 0L, aggregate($"xs", lit(0.0),
+          (a, x) => a + x.getField("p5")) / $"n_queries".cast("double"))
+          .as("mean_p_at_5"))
+    per.crossJoin(broadcast(glob))
+      .select($"qid", $"qlab".as("label"), $"first_rel_rank", $"rel_at_5",
+        $"rel_at_10", $"rr", $"p_at_5", $"n_queries", $"mrr",
+        $"mean_p_at_5")
+      .orderBy($"qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q350_mmr_rerank" -> mmrRerank,
+    "q351_ece_calibration" -> eceCalibration,
+    "q352_retrieval_eval_census" -> retrievalEvalCensus,
     "q345_dbscan_grid" -> dbscanGrid,
     "q349_textrank_keywords" -> textrankKeywords,
     "q348_bootstrap_ci" -> bootstrapCi,
@@ -4543,7 +4726,144 @@ object LlmOps {
        |        FROM n LEFT JOIN c$k ON n.node = c$k.node)""".stripMargin
   }
 
+  /** One unrolled greedy MMR step for the q350 oracle: the not-picked
+    * candidates score 0.5·rel − 0.5·max-sim-to-picked; rank-1 per query,
+    * vid ties; the picked set accrues. */
+  private def mmrStepSql(k: Int): String = {
+    val prev = s"s${k - 1}"
+    s"""p$k AS MATERIALIZED (
+       |  SELECT qid, vid, rel, score, CAST($k AS BIGINT) AS pick FROM (
+       |    SELECT qid, vid, rel, score, row_number() OVER (
+       |      PARTITION BY qid ORDER BY score DESC, vid ASC) AS pk
+       |    FROM (
+       |      SELECT c.qid, c.vid, c.rel,
+       |             0.5 * c.rel - 0.5 * max(m.sim) AS score
+       |      FROM cand c
+       |      JOIN sims m ON m.qid = c.qid AND m.vi = c.vid
+       |      JOIN $prev sl ON sl.qid = m.qid AND sl.vid = m.vj
+       |      WHERE NOT EXISTS (SELECT 1 FROM $prev x
+       |                        WHERE x.qid = c.qid AND x.vid = c.vid)
+       |      GROUP BY 1, 2, 3)) WHERE pk = 1
+       |), s$k AS MATERIALIZED (
+       |  SELECT * FROM $prev UNION ALL SELECT * FROM p$k)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q350_mmr_rerank" ->
+      s"""WITH cand AS MATERIALIZED (
+         |  SELECT qid, vid, ve, rel FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS vid, c.embedding AS ve,
+         |           ${cosSql("q.embedding", "c.embedding")} AS rel,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+         |                      c.vec_id ASC) AS rn
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < $MmrQueries) q
+         |    JOIN (SELECT * FROM embeddings) c ON q.vec_id <> c.vec_id)
+         |  WHERE rn <= $MmrCandidates
+         |), sims AS MATERIALIZED (
+         |  SELECT a.qid, a.vid AS vi, b.vid AS vj,
+         |         ${cosSql("a.ve", "b.ve")} AS sim
+         |  FROM (SELECT * FROM cand) a JOIN (SELECT * FROM cand) b
+         |    ON a.qid = b.qid AND a.vid <> b.vid
+         |), s1 AS MATERIALIZED (
+         |  SELECT qid, vid, rel, rel AS score, CAST(1 AS BIGINT) AS pick
+         |  FROM (SELECT qid, vid, rel, row_number() OVER (
+         |          PARTITION BY qid ORDER BY rel DESC, vid ASC) AS pk
+         |        FROM cand) WHERE pk = 1
+         |), ${(2 to MmrPicks).map(mmrStepSql).mkString(", ")}
+         |SELECT qid, pick, vid, rel AS rel_cos, score AS mmr_score
+         |FROM s$MmrPicks ORDER BY qid, pick""".stripMargin,
+    "q351_ece_calibration" ->
+      s"""WITH scored AS MATERIALIZED (
+         |  SELECT lang,
+         |         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+         |                   AND s_en > 0 THEN 'en'
+         |              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         |              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |              ELSE 'fr' END AS predicted,
+         |         greatest(s_es, s_de, s_fr, s_en) AS s_best,
+         |         s_es + s_de + s_fr + s_en AS s_tot
+         |  FROM (
+         |    SELECT lang,
+         |      CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS BIGINT) AS s_es,
+         |      CAST(len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
+         |      CAST(len(list_filter(toks, t -> t IN ('le','les','des','une','est'))) AS BIGINT) AS s_fr,
+         |      CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en
+         |    FROM (SELECT lang, $toksSql AS toks FROM documents)
+         |  ) WHERE s_es + s_de + s_fr + s_en > 0
+         |), bins AS MATERIALIZED (
+         |  SELECT least(${EceBins - 1},
+         |               ((s_best + 1) * $EceBins) // (s_tot + 4)) AS bin,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_correct
+         |  FROM scored GROUP BY 1
+         |), wb AS MATERIALIZED (
+         |  SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_correct,
+         |         ${ratioSql("n_correct", "n_docs")} AS accuracy,
+         |         ${ratioSql("2 * bin + 1", s"${2 * EceBins}")} AS conf_mid
+         |  FROM bins
+         |), folded AS (
+         |  SELECT list(struct_pack(bin := bin, n_docs := n_docs,
+         |           accuracy := accuracy, conf_mid := conf_mid)
+         |           ORDER BY bin) AS xs
+         |  FROM wb
+         |), tot AS (
+         |  SELECT n_scored,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(xs, x ->
+         |             (CAST(x.n_docs AS DOUBLE) / CAST(n_scored AS DOUBLE))
+         |             * abs(x.accuracy - x.conf_mid))), (a, b) -> a + b) AS ece
+         |  FROM (SELECT xs, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(xs, x -> x.n_docs)), (a, b) -> a + b)
+         |          AS n_scored
+         |        FROM folded)
+         |)
+         |SELECT bin, n_docs, n_correct, accuracy, conf_mid, n_scored, ece
+         |FROM wb, tot ORDER BY bin""".stripMargin,
+    "q352_retrieval_eval_census" ->
+      s"""WITH per AS MATERIALIZED (
+         |  SELECT qid, qlab,
+         |         CAST(min(CASE WHEN rel THEN rn END) AS BIGINT)
+         |           AS first_rel_rank,
+         |         CAST(sum(CASE WHEN rel AND rn <= 5 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS rel_at_5,
+         |         CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS rel_at_10
+         |  FROM (
+         |    SELECT qid, qlab, rn, rel FROM (
+         |      SELECT q.vec_id AS qid, q.label AS qlab,
+         |             c.label = q.label AS rel,
+         |             row_number() OVER (PARTITION BY q.vec_id
+         |               ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+         |                        c.vec_id ASC) AS rn
+         |      FROM (SELECT * FROM embeddings WHERE vec_id < $IrEvalQueries) q
+         |      JOIN (SELECT * FROM embeddings) c ON q.vec_id <> c.vec_id)
+         |    WHERE rn <= 10)
+         |  GROUP BY 1, 2
+         |), sc AS MATERIALIZED (
+         |  SELECT qid, qlab, first_rel_rank, rel_at_5, rel_at_10,
+         |         CASE WHEN first_rel_rank IS NOT NULL
+         |              THEN ${ratioSql("1", "first_rel_rank")}
+         |              ELSE 0.0 END AS rr,
+         |         ${ratioSql("rel_at_5", "5")} AS p_at_5
+         |  FROM per
+         |), panelg AS (
+         |  SELECT CAST(len(xs) AS BIGINT) AS n_queries,
+         |         CASE WHEN len(xs) > 0 THEN
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform(xs, x -> x.rr)), (a, b) -> a + b)
+         |           / CAST(len(xs) AS DOUBLE) END AS mrr,
+         |         CASE WHEN len(xs) > 0 THEN
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform(xs, x -> x.p5)), (a, b) -> a + b)
+         |           / CAST(len(xs) AS DOUBLE) END AS mean_p_at_5
+         |  FROM (SELECT list(struct_pack(qid := qid, rr := rr, p5 := p_at_5)
+         |                 ORDER BY qid) AS xs FROM sc)
+         |)
+         |SELECT qid, qlab AS label, first_rel_rank, rel_at_5, rel_at_10,
+         |       rr, p_at_5, n_queries, mrr, mean_p_at_5
+         |FROM sc, panelg ORDER BY qid""".stripMargin,
     "q345_dbscan_grid" ->
       // 2-d slice of the q344 projection replay; components by
       // recursive-CTE reachability + min (the q76 oracle pattern), so

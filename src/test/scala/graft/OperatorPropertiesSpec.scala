@@ -2381,6 +2381,85 @@ class OperatorPropertiesSpec extends SparkSpec {
       "the hub word outranks its spokes; the heavier spoke outranks the lighter")
   }
 
+  test("q350 MMR: planted near-duplicate is demoted, diverse doc promoted") {
+    // qid 0 = e₁; v1 = v2 = (1,1,0,0) (identical twins, rel ≈ .707);
+    // v3 = (1,0,3,0) (rel ≈ .316, near-orthogonal to v1); v4, v5 far.
+    // Pure relevance would pick v1, v2 first; MMR must pick v1 then v3
+    // (v2's max-sim to the picked set is exactly 1), then v4 (0 beats
+    // v2's −.146), then v2, then v5 — the diversification in action.
+    val dir = java.nio.file.Files.createTempDirectory("mmr").toString
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    Seq((0L, v(1, 0, 0, 0)), (1L, v(1, 1, 0, 0)), (2L, v(1, 1, 0, 0)),
+      (3L, v(1, 0, 3, 0)), (4L, v(0, 0, 0, 1)), (5L, v(0, 0, 1, 1)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val picks = SparkEntry.queries("q350_mmr_rerank")(spark, dir)
+      .collect().filter(_.getAs[Long]("qid") == 0L)
+      .sortBy(_.getAs[Long]("pick")).map(_.getAs[Long]("vid")).toSeq
+    assert(picks === Seq(1L, 3L, 4L, 2L, 5L))
+  }
+
+  test("q351 ECE: hand-computed two-bin calibration census") {
+    // d1 "the and" en → bin (3·10)div6 = 5, correct; d2 same text de →
+    // bin 5, wrong; d3 "the la" en → s_en=s_es=1, predicted en, bin
+    // (2·10)div6 = 3, correct; d4 "que la" fr → predicted es, bin 5,
+    // wrong. Bins: 3 → (1, acc 1), 5 → (3, acc 1/3).
+    val dir = java.nio.file.Files.createTempDirectory("ece").toString
+    Seq((1L, "the and", "en", "web", 7L), (2L, "the and", "de", "web", 7L),
+      (3L, "the la", "en", "web", 6L), (4L, "que la", "fr", "web", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q351_ece_calibration")(spark, dir)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out.keySet === Set(3L, 5L))
+    assert(out(3L).getAs[Long]("n_docs") === 1L)
+    assert(out(3L).getAs[Double]("accuracy") === 1.0)
+    assert(out(3L).getAs[Double]("conf_mid") === 7.0 / 20.0)
+    assert(out(5L).getAs[Long]("n_docs") === 3L)
+    assert(out(5L).getAs[Double]("accuracy") === 1.0 / 3.0)
+    assert(out(5L).getAs[Double]("conf_mid") === 11.0 / 20.0)
+    // fold order is bin asc — replicate the exact IEEE sequence
+    val expEce = 0.0 +
+      (1.0 / 4.0) * math.abs(1.0 - 7.0 / 20.0) +
+      (3.0 / 4.0) * math.abs(1.0 / 3.0 - 11.0 / 20.0)
+    assert(out(3L).getAs[Double]("ece") === expEce)
+    assert(out(3L).getAs[Long]("n_scored") === 4L)
+  }
+
+  test("q352 retrieval eval: all-relevant and none-relevant extremes, mean law") {
+    // all ten vectors share a label → every query's rank 1 is relevant:
+    // rr = 1, p@5 = 1, mrr = 1
+    val dir = java.nio.file.Files.createTempDirectory("ireval").toString
+    def vecs(lab: Long => Int) = (0 until 10).map { i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == i % 4) 1.0f else 0.1f * i), lab(i))
+    }
+    vecs(_ => 7).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val all = SparkEntry.queries("q352_retrieval_eval_census")(spark, dir).collect()
+    assert(all.length === 8)
+    all.foreach { r =>
+      assert(r.getAs[Long]("first_rel_rank") === 1L)
+      assert(r.getAs[Double]("rr") === 1.0)
+      assert(r.getAs[Double]("p_at_5") === 1.0)
+      assert(r.getAs[Double]("mrr") === 1.0)
+    }
+    // unique labels → nothing is ever relevant: rr = 0, NULL first rank
+    val dir2 = java.nio.file.Files.createTempDirectory("ireval2").toString
+    vecs(i => i.toInt).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val none = SparkEntry.queries("q352_retrieval_eval_census")(spark, dir2).collect()
+    none.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("first_rel_rank")))
+      assert(r.getAs[Double]("rr") === 0.0)
+      assert(r.getAs[Double]("mrr") === 0.0)
+    }
+    // fixture: the global means are the means of the per-query columns
+    val fix = SparkEntry.queries("q352_retrieval_eval_census")(spark, sfDir).collect()
+    val mrr = fix.map(_.getAs[Double]("mrr")).distinct
+    assert(mrr.length === 1)
+    assert(math.abs(mrr.head - fix.map(_.getAs[Double]("rr")).sum / fix.length) < 1e-12)
+  }
+
   test("q338 HITS: hand-computed 2-iteration scores on a star-plus-spur graph") {
     // s1 ← {c1,c2,c3}, s2 ← {c1}: every max-normalized score after two
     // iterations is hand-derivable in exact integer arithmetic.
