@@ -1308,7 +1308,132 @@ object TimeSeries {
         ratio($"s_n" - $"s_k", $"n_days" - $"k").as("mean_after_cents"))
   }
 
+  /** q353 window width (days) and the non-overlap exclusion band. */
+  val MotifW = 7
+
+  /** Motif + discord discovery (the matrix-profile pair, Yeh et al.
+    * 2016's definitions computed exactly): over the last-365-day daily
+    * revenue sequence, the MOTIF is the closest pair of non-overlapping
+    * [[MotifW]]-wide windows (the repeated weekly pattern) and the
+    * DISCORD is the window whose NEAREST non-overlapping neighbor is
+    * farthest (the anomaly — no week looks like it). Distances are
+    * exact integer Σ(Δdollars)² (dollar grain: cents² × 7 passes 2⁶³
+    * within the fixture decade; beyond ~10⁹ daily dollars promote the
+    * fold to decimal(38,0)), so both argmin and argmax are integer
+    * compares with (i, j) ties — never a float decision. Windows slide
+    * over OBSERVED-sequence positions (calendar gaps close up — the
+    * honest choice for a sparse series, documented; the bounded-window
+    * stance and pair census are [[theilSenTrend]]'s: C(359, 2)-ish
+    * pairs FOREVER, SF-independent). The whole computation runs on the
+    * one sorted array row + a bounded window self-join. */
+  def motifDiscord(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.orders(s, dir)
+      .agg(max(to_date($"o_orderdate")).as("mday"))
+    val daily = Tables.orders(s, dir)
+      .crossJoin(broadcast(mx))
+      .filter(to_date($"o_orderdate") >=
+        date_sub($"mday", TheilSenWindowDays - 1))
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("revc"))
+      .select($"day", expr("revc div 100").as("rev")) // dollar grain
+    val arr = daily
+      .agg(sort_array(collect_list(struct($"day", $"rev"))).as("xs"))
+    val wins = arr
+      .select(posexplode(transform(
+        sequence(lit(0), greatest(size($"xs") - MotifW, lit(0))),
+        i => struct(
+          element_at($"xs", i + 1).getField("day").as("day"),
+          transform(slice($"xs", i + 1, lit(MotifW)),
+            e => e.getField("rev")).as("w")))))
+      .filter(size($"col.w") === MotifW) // degenerate short series drop out
+      .select($"pos".cast("long").as("i"), $"col.day".as("day"),
+        $"col.w".as("w"))
+      .localCheckpoint(eager = false) // read by both pair-join sides
+    val pairs = wins.select($"i".as("ia"), $"day".as("da"), $"w".as("wa"))
+      .join(broadcast(wins.select($"i".as("ib"), $"day".as("db"),
+        $"w".as("wb"))), $"ib" - $"ia" >= MotifW)
+      .select($"ia", $"da", $"ib", $"db",
+        aggregate(zip_with($"wa", $"wb", (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v).as("d2"))
+      .localCheckpoint(eager = false) // read by motif argmin + discord
+    val motif = pairs
+      .orderBy($"d2".asc, $"ia".asc, $"ib".asc).limit(1)
+      .select(lit("motif").as("kind"), $"ia".as("i"), $"da".as("day_i"),
+        $"ib".as("j"), $"db".as("day_j"), $"d2".as("dist2_dollars"))
+    // nearest non-overlapping neighbor per window (both directions),
+    // then the window whose NN is farthest
+    val sym = pairs.select($"ia".as("i"), $"da".as("d"), $"ib".as("j"),
+        $"db".as("dj"), $"d2")
+      .unionAll(pairs.select($"ib".as("i"), $"db".as("d"), $"ia".as("j"),
+        $"da".as("dj"), $"d2"))
+    val nn = sym
+      .withColumn("rn", row_number().over(Window.partitionBy($"i")
+        .orderBy($"d2".asc, $"j".asc)))
+      .filter($"rn" === 1)
+    val discord = nn
+      .orderBy($"d2".desc, $"i".asc).limit(1)
+      .select(lit("discord").as("kind"), $"i", $"d".as("day_i"),
+        $"j", $"dj".as("day_j"), $"d2".as("dist2_dollars"))
+    motif.unionAll(discord).orderBy($"kind")
+  }
+
+  /** Classical seasonal decomposition (the moving-average + seasonal-
+    * median recipe STL refines): daily revenue = trend (centered 7-day
+    * mean over observed positions) + seasonal (per-day-of-week MEDIAN
+    * of the detrended series, de-meaned so the seven effects sum to
+    * ~0) + residual. Portability: the trend is one divide of an exact
+    * 7-day integer sum; seasonal medians are exact rank selections over
+    * per-dow sorted arrays (bounded by the day domain); the de-meaning
+    * constant folds over the 7-element dow array in dow order; every
+    * residual is two subtractions of already-agreed doubles — nothing
+    * accumulates corpus-sized float sums. Output: interior days only
+    * (a full centered window exists). Scale: one grouped sum to the
+    * day census; everything after is array work on bounded rows. */
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("rev"))
+    val arr = daily
+      .agg(sort_array(collect_list(struct($"day", $"rev"))).as("xs"))
+    // interior positions: trend = (Σ rev over i−3..i+3) / 7, one divide
+    // interior index list is EMPTY (not a descending sequence) when the
+    // series is shorter than one full window
+    val idxs = when(size($"xs") >= 7, sequence(lit(3), size($"xs") - 4))
+      .otherwise(expr("CAST(array() AS array<int>)"))
+    val base = arr
+      .select(posexplode(transform(idxs,
+        i => struct(
+          element_at($"xs", i + 1).getField("day").as("day"),
+          element_at($"xs", i + 1).getField("rev").as("rev"),
+          (aggregate(slice($"xs", i - 2, lit(7)), lit(0L),
+            (a, e) => a + e.getField("rev")).cast("double") /
+            lit(7.0)).as("trend")))))
+      .select($"col.day".as("day"), $"col.rev".as("rev"),
+        $"col.trend".as("trend"))
+      .withColumn("dow", dayofweek($"day").cast("long"))
+      .withColumn("detr", $"rev".cast("double") - $"trend")
+      .localCheckpoint(eager = false) // read by the dow medians + output
+    val dowMed = base.groupBy($"dow")
+      .agg(sort_array(collect_list($"detr")).as("ds"))
+      .select($"dow", element_at($"ds",
+        expr("(size(ds) + 1) div 2").cast("int")).as("med"))
+    val grand = dowMed
+      .agg(sort_array(collect_list(struct($"dow", $"med"))).as("ms"))
+      .select((aggregate($"ms", lit(0.0), (a, x) => a + x.getField("med"))
+        / size($"ms").cast("double")).as("mbar"))
+    val seas = dowMed.crossJoin(broadcast(grand))
+      .select($"dow", ($"med" - $"mbar").as("seasonal"))
+    base.join(broadcast(seas), "dow")
+      .select($"day", $"rev".as("rev_cents"), $"trend", $"seasonal",
+        ($"detr" - $"seasonal").as("residual"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q353_motif_discord" -> motifDiscord,
+    "q354_seasonal_decompose" -> seasonalDecompose,
     "q346_amoc_changepoint" -> amocChangepoint,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
@@ -1347,6 +1472,88 @@ object TimeSeries {
     "q105_funnel" -> funnel)
 
   val oracles: Map[String, String] = Map(
+    "q353_motif_discord" ->
+      s"""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mday FROM orders),
+         |daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         CAST(${sumLongSql(centsSql("o_totalprice"))} // 100 AS BIGINT)
+         |           AS rev
+         |  FROM orders, mx
+         |  WHERE CAST(o_orderdate AS DATE) >= mday - ${TheilSenWindowDays - 1}
+         |  GROUP BY 1
+         |), folded AS MATERIALIZED (
+         |  SELECT list(struct_pack(day := day, rev := rev) ORDER BY day) AS xs
+         |  FROM daily
+         |), wins AS MATERIALIZED (
+         |  SELECT p AS i, xs[CAST(p AS INT) + 1].day AS day,
+         |         list_transform(xs[CAST(p AS INT) + 1:CAST(p AS INT) + $MotifW],
+         |           e -> e.rev) AS w
+         |  FROM (SELECT xs, unnest(range(0, greatest(len(xs) - ${MotifW - 1}, 0)))
+         |          AS p FROM folded)
+         |), pairs AS MATERIALIZED (
+         |  SELECT a.i AS ia, a.day AS da, b.i AS ib, b.day AS db,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(a.w, (x, k) -> (x - b.w[k]) * (x - b.w[k]))),
+         |           (s, v) -> s + v) AS d2
+         |  FROM (SELECT * FROM wins) a JOIN (SELECT * FROM wins) b
+         |    ON b.i - a.i >= $MotifW
+         |), motif AS (
+         |  SELECT 'motif' AS kind, ia AS i, da AS day_i, ib AS j,
+         |         db AS day_j, d2 AS dist2_dollars
+         |  FROM pairs ORDER BY d2 ASC, ia ASC, ib ASC LIMIT 1
+         |), sym AS (
+         |  SELECT ia AS i, da AS d, ib AS j, db AS dj, d2 FROM pairs
+         |  UNION ALL SELECT ib, db, ia, da, d2 FROM pairs
+         |), nn AS (
+         |  SELECT * FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY i ORDER BY d2 ASC, j ASC) AS rn FROM sym)
+         |  WHERE rn = 1
+         |), discord AS (
+         |  SELECT 'discord' AS kind, i, d AS day_i, j, dj AS day_j,
+         |         d2 AS dist2_dollars
+         |  FROM nn ORDER BY d2 DESC, i ASC LIMIT 1
+         |)
+         |SELECT * FROM (SELECT * FROM motif UNION ALL SELECT * FROM discord)
+         |ORDER BY kind""".stripMargin,
+    "q354_seasonal_decompose" ->
+      // DuckDB dayofweek is Sunday=0; Spark's is Sunday=1 — the +1
+      // aligns them
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS rev
+         |  FROM orders GROUP BY 1
+         |), folded AS MATERIALIZED (
+         |  SELECT list(struct_pack(day := day, rev := rev) ORDER BY day) AS xs
+         |  FROM daily
+         |), base AS MATERIALIZED (
+         |  SELECT xs[CAST(i AS INT) + 1].day AS day,
+         |         xs[CAST(i AS INT) + 1].rev AS rev,
+         |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(xs[CAST(i AS INT) - 2:CAST(i AS INT) + 4],
+         |             e -> e.rev)), (a, b) -> a + b) AS DOUBLE) / 7.0 AS trend
+         |  FROM (SELECT xs, unnest(CASE WHEN len(xs) >= 7
+         |          THEN range(3, len(xs) - 3)
+         |          ELSE CAST([] AS BIGINT[]) END) AS i FROM folded)
+         |), detrended AS MATERIALIZED (
+         |  SELECT day, rev, trend,
+         |         CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+         |         CAST(rev AS DOUBLE) - trend AS detr
+         |  FROM base
+         |), dowmed AS MATERIALIZED (
+         |  SELECT dow, ds[(len(ds) + 1) // 2] AS med
+         |  FROM (SELECT dow, list(detr ORDER BY detr) AS ds
+         |        FROM detrended GROUP BY 1)
+         |), grand AS (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(ms, x -> x.med)), (a, b) -> a + b)
+         |         / CAST(len(ms) AS DOUBLE) AS mbar
+         |  FROM (SELECT list(struct_pack(dow := dow, med := med)
+         |                 ORDER BY dow) AS ms FROM dowmed)
+         |), seas AS (SELECT dow, med - mbar AS seasonal FROM dowmed, grand)
+         |SELECT d.day, d.rev AS rev_cents, d.trend, s.seasonal,
+         |       d.detr - s.seasonal AS residual
+         |FROM detrended d JOIN seas s ON d.dow = s.dow
+         |ORDER BY d.day""".stripMargin,
     "q346_amoc_changepoint" ->
       s"""WITH daily AS (
          |  SELECT CAST(o_orderdate AS DATE) AS day,

@@ -2460,6 +2460,62 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(math.abs(mrr.head - fix.map(_.getAs[Double]("rr")).sum / fix.length) < 1e-12)
   }
 
+  test("q353 motif/discord match an exact integer JVM replay; planted twin weeks") {
+    // days 0-6 and 14-20 carry the IDENTICAL dollar pattern → the motif
+    // is (0, 14) at distance exactly 0; the discord is re-derived by an
+    // independent integer replay of the whole profile
+    val dir = java.nio.file.Files.createTempDirectory("motif").toString
+    val p = Seq(1, 2, 3, 4, 5, 6, 7)
+    val q = Seq(50, 60, 70, 80, 90, 100, 110)
+    val r = Seq(33, 77, 55, 99, 11, 66, 44)
+    val dollars = p ++ q ++ p ++ r
+    dollars.zipWithIndex.map { case (d, i) =>
+      (i.toLong + 1, f"2000-01-${i + 1}%02d", d.toDouble)
+    }.toDF("o_orderkey", "d", "o_totalprice")
+      .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"), $"o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q353_motif_discord")(spark, dir)
+      .collect().map(x => x.getAs[String]("kind") -> x).toMap
+    assert(out("motif").getAs[Long]("i") === 0L)
+    assert(out("motif").getAs[Long]("j") === 14L)
+    assert(out("motif").getAs[Long]("dist2_dollars") === 0L)
+    // independent replay: windows, non-overlapping pairs, NN, argmax
+    val xs = dollars.map(_.toLong)
+    val wins = (0 to xs.length - 7).map(i => xs.slice(i, i + 7))
+    val pairs = for {
+      a <- wins.indices; b <- wins.indices if b - a >= 7
+    } yield (a, b, wins(a).zip(wins(b)).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val nn = pairs.flatMap { case (a, b, d2) => Seq(a -> (d2, b), b -> (d2, a)) }
+      .groupBy(_._1).map { case (i, ds) => i -> ds.map(_._2).min }
+    val (di, (dd2, dj)) = nn.toSeq.sortBy { case (i, (d2, _)) => (-d2, i) }.head
+    assert(out("discord").getAs[Long]("i") === di.toLong)
+    assert(out("discord").getAs[Long]("j") === dj.toLong)
+    assert(out("discord").getAs[Long]("dist2_dollars") === dd2)
+  }
+
+  test("q354 decomposition: exactly periodic series gives zero residuals") {
+    // rev(d) = 700 + p[d mod 7] cents with Σp = 147 (divisible by 7):
+    // every interior trend is EXACTLY 721, the seasonal effect is
+    // p[dow] − 21, and every residual is exactly 0.0 — the additive
+    // model recovered perfectly
+    val dir = java.nio.file.Files.createTempDirectory("seas").toString
+    val p = Seq(0, 7, 14, 21, 28, 35, 42)
+    (0 until 21).map { i =>
+      (i.toLong + 1, f"2000-01-${i + 1}%02d", (700 + p(i % 7)) / 100.0)
+    }.toDF("o_orderkey", "d", "o_totalprice")
+      .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"), $"o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q354_seasonal_decompose")(spark, dir).collect()
+    assert(out.length === 15) // interior positions 3..17
+    out.foreach { row =>
+      assert(row.getAs[Double]("trend") === 721.0)
+      assert(row.getAs[Double]("residual") === 0.0)
+      val d = row.getAs[java.sql.Date]("day").toLocalDate.getDayOfMonth - 1
+      assert(row.getAs[Double]("seasonal") === (p(d % 7) - 21).toDouble)
+      assert(row.getAs[Long]("rev_cents") === 700L + p(d % 7))
+    }
+  }
+
   test("q338 HITS: hand-computed 2-iteration scores on a star-plus-spur graph") {
     // s1 ← {c1,c2,c3}, s2 ← {c1}: every max-normalized score after two
     // iterations is hand-derivable in exact integer arithmetic.
