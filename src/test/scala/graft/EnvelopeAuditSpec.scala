@@ -179,7 +179,17 @@ class EnvelopeAuditSpec extends SparkSpec {
         "l_diversity", "n_groups_below_k"),
       "q332_ks_drift_stat" -> Seq("n_a", "n_b", "ks_num"),
       "q333_entity_linkage" -> Seq("n_pairs", "n_blocks", "n_blocks_skipped"),
-      "q335_conformal_threshold" -> Seq("n_cal", "k_rank", "n_test", "n_covered")
+      "q335_conformal_threshold" -> Seq("n_cal", "k_rank", "n_test", "n_covered"),
+      // round-16 additions: fixed-point ranks, census counts, exact
+      // squared distances — all non-negative by construction
+      "q337_kcore_peel_census" -> Seq("k", "n_nodes", "n_edges"),
+      "q338_hits_scores" -> Seq("score"),
+      "q339_dp_noised_histogram" -> Seq("n_noised"),
+      "q340_kaplan_meier" -> Seq("n_risk", "n_events", "n_censored"),
+      "q342_apriori_rules" -> Seq("n_ante", "n_cons", "n_both"),
+      "q345_dbscan_grid" -> Seq("n_core", "n_border", "n_points"),
+      "q349_textrank_keywords" -> Seq("pr"),
+      "q353_motif_discord" -> Seq("dist2_dollars")
     ).foreach { case (name, cols) =>
       assertNoWrap(run(name).select(cols.map(col): _*), name)
     }
