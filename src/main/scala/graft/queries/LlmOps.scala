@@ -4068,7 +4068,7 @@ object LlmOps {
     * per-row md5 in the projection lambda measured 2.4 s at sf0.1/32c
     * (10⁶ md5 calls); with the hoisted matrix each row pays only k·d
     * multiply-adds and the scan stays ~0.3 s. */
-  private def jlProjected(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private[graft] def jlProjected(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     def sign(i: Column, j: Column): Column =
       when(conv(substring(md5(concat_ws(":", lit("jl"), i.cast("string"),

@@ -574,4 +574,33 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"brand screen is not a broadcast semi:\n$p")
   }
+
+  test("q344 JL projection subplan is scan-side: one bounded shuffle, no window") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the only exchange allowed is the 1-row sign-matrix build (limit 1);
+    // the corpus pays a pure map-side projection
+    val plan = graft.queries.LlmOps.jlProjected(spark, sfDir, 16)
+      .queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty)
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1, s"projection must not shuffle the corpus: $shuffles")
+  }
+
+  test("q352 top-10 candidate filter plans as WindowGroupLimit") {
+    // q350's identical candidate stage sits behind its lazy checkpoint
+    // (compiled as its own query execution), so the guard lives on the
+    // checkpoint-free q352 plan where the optimizer's work is visible
+    assert(planOf("q352_retrieval_eval_census").contains("WindowGroupLimit"))
+  }
+
+  test("q346 changepoint argmax plans as TakeOrderedAndProject (no global sort)") {
+    assert(planOf("q346_amoc_changepoint").contains("TakeOrderedAndProject"))
+  }
+
+  test("q342 itemset/rule joins stay broadcast (no sort-merge, no cartesian)") {
+    val p = planOf("q342_apriori_rules")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"rule expansion fell off the broadcast path:\n$p")
+  }
 }
