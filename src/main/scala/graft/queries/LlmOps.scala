@@ -4621,7 +4621,64 @@ object LlmOps {
       .orderBy($"qid")
   }
 
+  /** Skip-gram training-pair generation with frequency subsampling
+    * (Mikolov et al. 2013's word2vec recipe, public description) — the
+    * pipeline stage that turns a corpus into embedding training pairs:
+    * each token OCCURRENCE survives with p = min(1, √(t/z) + t/z)
+    * (z = corpus frequency share, t = 10⁻³ — frequent words thinned
+    * aggressively, rare ones kept), then (center, context) pairs are
+    * emitted over a ±2 window of the COMPACTED kept sequence. The keep
+    * decision is deterministic (md5(doc, pos) 24-bit uniform vs
+    * floor(p·2²⁴) — p's √ and divides are IEEE ops over exact count
+    * ratios, identical trees both engines; the q260/q339/q348 seeded
+    * stance), so the pair census is oracle-checkable. Scale shape: one
+    * grouped count builds the vocab-bounded frequency table (broadcast
+    * here; a web-scale vocab shuffles the token-keyed join instead —
+    * same plan class); keeps are map-side; pair generation is
+    * within-doc array work (doc-length-bounded, the q342 combination
+    * stance); the census groupBy is vocab²-bounded. Output: top-30
+    * pairs + corpus totals riding every row. */
+  def skipgramSubsample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(TextOps.tokens($"text")))
+      .select($"doc_id", $"pos", $"col".as("w"))
+    val freq = toks.groupBy($"w").agg(count(lit(1)).as("f"))
+    val tot = freq.agg(sum($"f").as("t_all"))
+    val thr = freq.crossJoin(broadcast(tot))
+      .withColumn("z", ratio($"f", $"t_all"))
+      .select($"w",
+        floor(least(lit(1.0), sqrt(lit(0.001) / $"z") + (lit(0.001) / $"z"))
+          * lit(16777216.0)).cast("long").as("keep_below"))
+    val kept = toks
+      .join(broadcast(thr), "w")
+      .filter(conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+        $"pos".cast("string"))), 1, 6), 16, 10).cast("long") < $"keep_below")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"pos", $"w"))).as("ks"))
+      .localCheckpoint(eager = false) // read by the pair explode + totals
+    // ordered pairs at compacted distance 1..2, emitted in BOTH
+    // directions (skip-gram's symmetric context window)
+    val pairs = kept.select(explode(flatten(transform($"ks", (x, i) =>
+        transform(slice($"ks", i + 2, lit(2)),
+          y => struct(x.getField("w").as("a"), y.getField("w").as("b")))))).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+    val census = pairs.select($"a".as("center"), $"b".as("context"))
+      .unionAll(pairs.select($"b".as("center"), $"a".as("context")))
+      .groupBy($"center", $"context").agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint(eager = false) // read by top-30 + the pair total
+    val stats = toks.agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(kept.agg(
+        coalesce(sum(size($"ks")), lit(0)).cast("long").as("n_kept")))
+      .crossJoin(census.agg(
+        coalesce(sum($"n_pairs"), lit(0L)).as("n_pairs_total")))
+    census.orderBy($"n_pairs".desc, $"center".asc, $"context".asc)
+      .limit(30)
+      .crossJoin(broadcast(stats))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q355_skipgram_subsample" -> skipgramSubsample,
     "q350_mmr_rerank" -> mmrRerank,
     "q351_ece_calibration" -> eceCalibration,
     "q352_retrieval_eval_census" -> retrievalEvalCensus,
@@ -4758,6 +4815,51 @@ object LlmOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q355_skipgram_subsample" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, u.pos AS pos, u.w AS w
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform($toksSql, (x, i) ->
+         |            struct_pack(pos := CAST(i - 1 AS BIGINT), w := x))) AS u
+         |        FROM documents)
+         |), freq AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1
+         |), tot AS (SELECT CAST(sum(f) AS BIGINT) AS t_all FROM freq),
+         |thr AS MATERIALIZED (
+         |  SELECT w, CAST(floor(least(1.0, sqrt(0.001 / z) + (0.001 / z))
+         |         * 16777216.0) AS BIGINT) AS keep_below
+         |  FROM (SELECT w, ${ratioSql("f", "t_all")} AS z FROM freq, tot)
+         |), kept AS MATERIALIZED (
+         |  SELECT doc_id, list(struct_pack(pos := pos, w := w)
+         |           ORDER BY pos) AS ks
+         |  FROM toks JOIN thr USING (w)
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+         |          || CAST(pos AS VARCHAR)), 1, 6)) AS BIGINT) < keep_below
+         |  GROUP BY 1
+         |), prs AS MATERIALIZED (
+         |  SELECT p.a AS a, p.b AS b FROM (
+         |    SELECT unnest(flatten(list_transform(ks, (x, i) ->
+         |      list_transform(ks[i+1:i+2],
+         |        y -> struct_pack(a := x.w, b := y.w))))) AS p
+         |    FROM kept)
+         |), census AS MATERIALIZED (
+         |  SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs FROM (
+         |    SELECT a AS center, b AS context FROM prs
+         |    UNION ALL SELECT b AS center, a AS context FROM prs)
+         |  GROUP BY 1, 2
+         |), top30 AS (
+         |  SELECT * FROM census
+         |  ORDER BY n_pairs DESC, center ASC, context ASC LIMIT 30
+         |), stats AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM toks) AS n_occurrences,
+         |         (SELECT CAST(coalesce(sum(len(ks)), 0) AS BIGINT) FROM kept)
+         |           AS n_kept,
+         |         (SELECT CAST(coalesce(sum(n_pairs), 0) AS BIGINT) FROM census)
+         |           AS n_pairs_total
+         |)
+         |SELECT center, context, n_pairs, n_occurrences, n_kept, n_pairs_total
+         |FROM top30, stats
+         |ORDER BY n_pairs DESC, center, context""".stripMargin,
     "q350_mmr_rerank" ->
       s"""WITH cand AS MATERIALIZED (
          |  SELECT qid, vid, ve, rel FROM (

@@ -2516,6 +2516,59 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q355 skip-gram census matches a first-principles JVM replay; rare word survives") {
+    // 10 docs × 50 tokens from a skewed 5-word vocab, plus ONE 'rareword'
+    // occurrence: z = 1/501 < the p=1 region (√(t/z) + t/z ≥ 1), so the
+    // rare occurrence is ALWAYS kept — the subsampler's whole point —
+    // while 'w0' (the most frequent) is thinned hard. The entire
+    // mechanism (md5 keeps, compaction, ±2 pairs, census) is re-derived
+    // independently and compared row-for-row.
+    val dir = java.nio.file.Files.createTempDirectory("sgram").toString
+    val vocab = Seq("w0", "w0", "w0", "w1", "w2") // w0 at 60 % of mass
+    val docTokens: Seq[(Long, Seq[String])] = (0 until 10).map { d =>
+      val base = (0 until 50).map(i => vocab((d * 7 + i * i) % 5))
+      (d.toLong, if (d == 0) base :+ "rareword" else base)
+    }
+    docTokens.map { case (id, ts) => (id, ts.mkString(" "), "en", "web", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // replay
+    val all = docTokens.flatMap { case (id, ts) => ts.map(id -> _) }
+    val freq = all.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    val tTot = freq.values.sum
+    def keepBelow(w: String): Long = {
+      val z = freq(w).toDouble / tTot.toDouble
+      math.floor(math.min(1.0, math.sqrt(0.001 / z) + (0.001 / z)) * 16777216.0).toLong
+    }
+    assert(keepBelow("rareword") === 16777216L, "rare word always kept")
+    assert(keepBelow("w0") < 2000000L, "frequent word thinned hard")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(doc: Long, pos: Int): Long = java.lang.Long.parseLong(
+      md.digest(s"$doc:$pos".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6), 16)
+    val keptPerDoc = docTokens.map { case (id, ts) =>
+      id -> ts.zipWithIndex.collect {
+        case (w, p) if u(id, p) < keepBelow(w) => w
+      }
+    }
+    val pairs = keptPerDoc.flatMap { case (_, ks) =>
+      ks.indices.flatMap(i => (i + 1 to math.min(i + 2, ks.length - 1))
+        .flatMap(j => Seq(ks(i) -> ks(j), ks(j) -> ks(i))))
+    }
+    val census = pairs.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val top30 = census.toSeq
+      .sortBy { case ((c, x), n) => (-n, c, x) }.take(30)
+    val out = SparkEntry.queries("q355_skipgram_subsample")(spark, dir).collect()
+    assert(out.length === top30.length)
+    val got = out.map(r => (r.getAs[String]("center"), r.getAs[String]("context")) ->
+      r.getAs[Long]("n_pairs")).toMap
+    top30.foreach { case (p, n) => assert(got(p) === n, s"pair $p") }
+    assert(out.head.getAs[Long]("n_occurrences") === tTot)
+    assert(out.head.getAs[Long]("n_kept") ===
+      keptPerDoc.map(_._2.length.toLong).sum)
+    assert(out.head.getAs[Long]("n_pairs_total") === census.values.sum)
+  }
+
   test("q338 HITS: hand-computed 2-iteration scores on a star-plus-spur graph") {
     // s1 ← {c1,c2,c3}, s2 ← {c1}: every max-normalized score after two
     // iterations is hand-derivable in exact integer arithmetic.
