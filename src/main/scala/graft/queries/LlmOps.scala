@@ -4067,7 +4067,12 @@ object LlmOps {
     * sign matrix is built ONCE (1 row, k·d md5 calls) and broadcast —
     * per-row md5 in the projection lambda measured 2.4 s at sf0.1/32c
     * (10⁶ md5 calls); with the hoisted matrix each row pays only k·d
-    * multiply-adds and the scan stays ~0.3 s. */
+    * multiply-adds and the scan stays ~0.3 s. PRECONDITION: every
+    * embedding has the same dimension — the matrix is sized from one
+    * arbitrary row and zip_with null-pads longer vectors, so a ragged
+    * corpus would emit NULL projections here while the oracle projects
+    * each row at its own length (EnvelopeAuditSpec measures the fixture
+    * and proves the detector fires on a planted ragged corpus). */
   private[graft] def jlProjected(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     def sign(i: Column, j: Column): Column =
@@ -4229,6 +4234,11 @@ object LlmOps {
       .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("st"))
       .select($"n_docs", ratio($"st", $"n_docs").as("est_point"))
     ests.agg(sort_array(collect_list($"est")).as("xs"))
+      // empty-corpus contract: zero resamples → ZERO rows (the filter
+      // must run before the element_at projection — index (0+1) div 2 = 0
+      // would error under ANSI); the oracle's len(xs) > 0 guard filters
+      // its NULL-list row the same way (EmptyInputSpec)
+      .filter(size($"xs") > 0)
       .select(size($"xs").cast("long").as("b_count"),
         element_at($"xs", 1).as("boot_min"),
         element_at($"xs", expr("(size(xs) + 1) div 2").cast("int"))
@@ -5101,7 +5111,8 @@ object LlmOps {
          |       xs[len(xs)] AS boot_max,
          |       est_point >= xs[1] AND est_point <= xs[len(xs)]
          |         AS point_in_band
-         |FROM arr, point""".stripMargin,
+         |FROM arr, point
+         |WHERE len(xs) > 0""".stripMargin,
     "q347_quantile_normalization" ->
       s"""WITH base AS (
          |  SELECT source, CAST(len($toksSql) AS BIGINT) AS ntok

@@ -1849,7 +1849,16 @@ object Relational {
   /** Inverse-CDF CASE chain mapping a uniform u ∈ [0, [[DpWeightTotal]])
     * to the noise value — one SQL string shared LITERALLY by the Spark
     * expression and the DuckDB oracle, so the mechanism cannot drift
-    * between engines. Thresholds are exact integer cumulative weights. */
+    * between engines. Thresholds are exact integer cumulative weights.
+    *
+    * Modulo-bias bound: u is a 24-bit hash mod 12286, and 2²⁴ =
+    * 12286·1365 + 6826, so residues 0..6825 are drawn 1366/2²⁴ instead
+    * of 1365/2²⁴ — a relative over-weight of 1/1365 ≈ 7.3·10⁻⁴ on the
+    * low tail of the ladder. Deterministic and bit-identical in both
+    * engines (the oracle computes the same u), so the CORRECTNESS
+    * contract is unaffected; a fidelity-critical deployment would
+    * rejection-sample (retry on u ≥ 12286·1365 from the next hash
+    * slice) at the cost of a second CASE tier. */
   def dpNoiseCaseSql(u: String): String = {
     val cums = dpWeights.scanLeft(0L)(_ + _).tail
     val cases = (-DpNoiseMax until DpNoiseMax).zip(cums).map {

@@ -1222,6 +1222,11 @@ object TimeSeries {
       .select($"n_days", $"n_pairs",
         $"slope".as("slope_cents_per_day"),
         $"intercept".as("intercept_cents"))
+      // degenerate-window contract (< 2 days → no pairwise slopes): emit
+      // ZERO rows, matching the oracle's `coalesce(n_pairs, 0) > 0` guard
+      // — DuckDB's list() over zero rows is NULL where Spark's
+      // collect_list is [], so the 0-vs-NULL row would hash-diverge
+      .filter($"n_pairs" > 0L)
   }
 
   /** Holt's linear (double-exponential) smoothing — the trend-aware
@@ -1270,6 +1275,11 @@ object TimeSeries {
         when($"st.i" > 0L, $"st.l" + lit(3.0) * $"st.b").as("fc_3"),
         when($"st.i" > 0L, $"st.l" + lit(6.0) * $"st.b").as("fc_6"),
         when($"st.i" > 0L, $"st.l" + lit(12.0) * $"st.b").as("fc_12"))
+      // zero-months contract: the oracle's recursive CTE emits zero rows
+      // on an empty orders table, so the degenerate n_months=0 row must
+      // not exist here either (EmptyInputSpec pins both engines to the
+      // zero-row shape)
+      .filter($"n_months" > 0L)
   }
 
   /** At-most-one-changepoint (AMOC) location — the WHERE to q317's
@@ -1660,7 +1670,8 @@ object TimeSeries {
          |)
          |SELECT n_days, n_pairs, slope AS slope_cents_per_day,
          |       intercept AS intercept_cents
-         |FROM sm, im""".stripMargin,
+         |FROM sm, im
+         |WHERE coalesce(n_pairs, 0) > 0""".stripMargin,
     "q343_holt_linear" ->
       // RECURSIVE-CTE replay, not a list_reduce struct fold: DuckDB
       // 1.0's list_reduce mutates the accumulator struct IN PLACE field

@@ -166,6 +166,26 @@ class EnvelopeAuditSpec extends SparkSpec {
         f"CORRECTNESS gate trips")
   }
 
+  test("jlProjected uniform-dimension precondition holds on the embeddings fixture") {
+    // jlProjected sizes its sign matrix from ONE arbitrary row and
+    // zip_with null-pads any longer vector: heterogeneous embedding
+    // lengths would yield NULL projections Spark-side while the oracle
+    // projects each row at its own length. The operator's documented
+    // precondition is a uniform dimension — measure it, and prove the
+    // detector fires on a planted ragged corpus.
+    def dimSpread(df: DataFrame) = df
+      .agg(min(size($"embedding")).as("lo"), max(size($"embedding")).as("hi"))
+      .collect()(0)
+    val r = dimSpread(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    assert(r.getInt(0) == r.getInt(1),
+      s"embeddings fixture is dimension-ragged (${r.getInt(0)}..${r.getInt(1)}) " +
+        "— q344/q345's fixed-dimension precondition is void")
+    val ragged = Seq(Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))
+      .toDF("embedding")
+    val p = dimSpread(ragged)
+    assert(p.getInt(0) != p.getInt(1), "planted ragged corpus must differ")
+  }
+
   test("wrap-symptom scan over the non-negative-by-construction census family") {
     // Counts, token totals, shard stats, blast radii: all non-negative by
     // construction; a negative long anywhere is an overflow signature.
