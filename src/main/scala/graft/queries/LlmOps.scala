@@ -2588,6 +2588,74 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** Asymptotic α = 0.05 critical value of the two-sample Cramér–von
+    * Mises criterion T (Anderson 1962, public tables): reject at
+    * T > 0.461. A constant of the test, shared literally by both
+    * engines (the q339/q348 authoring-time-constant stance). */
+  val CvmCritAlpha05 = 0.461
+
+  /** Two-sample Cramér–von Mises drift statistic — the INTEGRATED
+    * squared-gap companion of q332's KS sup-gap over the same
+    * consistent-hash halves: where KS sees only the single largest CDF
+    * gap, CvM accumulates Σ over every combined observation of
+    * (CDF_A − CDF_B)², so a broad small shift that never produces one
+    * big gap (the distribution-drift shape KS is least powered for)
+    * still registers. The statistic is decided on EXACT INTEGERS end to
+    * end: per census value, d = cum_a·N_B − cum_b·N_A (the q332
+    * cross-multiply), and the weighted square sum
+    * W = Σ_v (nav+nbv)·d² folds in decimal(38,0) — W itself
+    * hash-compares with zero float ops (surfaced as a digit string;
+    * the driver hash refuses DECIMAL columns). The normalized
+    * criterion T = W / (N_A·N_B·(N_A+N_B)²) is ONE IEEE divide;
+    * `drifted` applies [[CvmCritAlpha05]]. Degenerate slices (an empty
+    * half) leave T NULL and drifted false, the q332 gating.
+    *
+    * Scale shape: identical to q332 — one grouped count to the
+    * (lang, ntok) domain-bounded census, a lang-keyed prefix window
+    * over census rows, one bounded agg. Envelope: W ≤ N·(N_A·N_B)²
+    * needs its 38 digits at the adversarial extreme (disjoint
+    * supports), which holds to ~3·10⁷ docs per language slice; real
+    * iid-half deployments sit orders below, and past the bound the
+    * honest rewrite divides d by N_A·N_B per value before squaring
+    * (floats, losing the exact-W contract). */
+  def cvmDriftStat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val space = 16777216L // 16^6
+    val half = conv(substring(md5(concat(lit("drift:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    // value census, pinned: read by the prefix window AND the totals
+    val census = Tables.documents(s, dir)
+      .select($"lang", $"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .withColumn("in_a", half)
+      .groupBy($"lang", $"ntok")
+      .agg(sum(when($"in_a", 1L).otherwise(0L)).as("nav"),
+        sum(when($"in_a", 0L).otherwise(1L)).as("nbv"))
+      .localCheckpoint()
+    val totals = census.groupBy($"lang")
+      .agg(sum($"nav").as("n_a"), sum($"nbv").as("n_b"))
+    val w = Window.partitionBy($"lang").orderBy($"ntok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = census
+      .withColumn("cum_a", sum($"nav").over(w))
+      .withColumn("cum_b", sum($"nbv").over(w))
+      .join(broadcast(totals), "lang")
+      .withColumn("d", $"cum_a".cast(d38) * $"n_b" - $"cum_b".cast(d38) * $"n_a")
+      .groupBy($"lang")
+      .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+        sum(($"nav" + $"nbv").cast(d38) * $"d" * $"d").as("wnum"))
+    val denomOk = $"n_a" > 0L && $"n_b" > 0L
+    val cvmStat = $"wnum".cast("double") /
+      ($"n_a".cast("double") * $"n_b" * ($"n_a" + $"n_b") * ($"n_a" + $"n_b"))
+    per.select($"lang", $"n_a", $"n_b",
+        $"wnum".cast("string").as("cvm_num"),
+        when(denomOk, cvmStat).as("cvm_stat"),
+        coalesce(when(denomOk, cvmStat > lit(CvmCritAlpha05)), lit(false))
+          .as("drifted"))
+      .orderBy($"lang")
+  }
+
   def distributionDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
@@ -4722,6 +4790,7 @@ object LlmOps {
     "q321_priority_sample" -> prioritySample,
     "q304_distribution_drift" -> distributionDrift,
     "q332_ks_drift_stat" -> ksDriftStat,
+    "q356_cvm_drift_stat" -> cvmDriftStat,
     "q334_neyman_allocation" -> neymanAllocation,
     "q335_conformal_threshold" -> conformalThreshold,
     "q336_isotonic_calibration" -> isotonicCalibration,
@@ -5739,6 +5808,52 @@ object LlmOps {
          |         CAST(ks_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
          |           > $KsCritAlpha05 * sqrt(CAST(n_a + n_b AS DOUBLE)
          |                                   / (CAST(n_a AS DOUBLE) * n_b))
+         |       END, FALSE) AS drifted
+         |FROM per
+         |ORDER BY lang""".stripMargin,
+    // q332's census/prefix chain with the weighted square-sum fold; the
+    // exact W rides as a digit string (HUGEINT → VARCHAR; Spark
+    // decimal(38,0) → string), T is the one shared divide
+    "q356_cvm_drift_stat" ->
+      s"""WITH base AS (
+         |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS ntok,
+         |         CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
+         |                              1, 6)) AS BIGINT) * 2 < 16777216 AS in_a
+         |  FROM documents
+         |), census AS MATERIALIZED (
+         |  SELECT lang, ntok,
+         |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS nav,
+         |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nbv
+         |  FROM base GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT lang, CAST(sum(nav) AS BIGINT) AS n_a,
+         |         CAST(sum(nbv) AS BIGINT) AS n_b
+         |  FROM census GROUP BY 1
+         |), cums AS (
+         |  SELECT lang, ntok, nav, nbv,
+         |         CAST(sum(nav) OVER w AS BIGINT) AS cum_a,
+         |         CAST(sum(nbv) OVER w AS BIGINT) AS cum_b
+         |  FROM census
+         |  WINDOW w AS (PARTITION BY lang ORDER BY ntok
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), per AS (
+         |  SELECT c.lang, t.n_a, t.n_b,
+         |         sum(CAST(nav + nbv AS HUGEINT)
+         |             * (CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)
+         |             * (CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a))
+         |           AS wnum
+         |  FROM cums c JOIN tot t ON c.lang = t.lang
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT lang, n_a, n_b, CAST(wnum AS VARCHAR) AS cvm_num,
+         |       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |         CAST(wnum AS DOUBLE)
+         |           / (CAST(n_a AS DOUBLE) * n_b * (n_a + n_b) * (n_a + n_b))
+         |       END AS cvm_stat,
+         |       coalesce(CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |         CAST(wnum AS DOUBLE)
+         |           / (CAST(n_a AS DOUBLE) * n_b * (n_a + n_b) * (n_a + n_b))
+         |           > $CvmCritAlpha05
          |       END, FALSE) AS drifted
          |FROM per
          |ORDER BY lang""".stripMargin,

@@ -1706,6 +1706,46 @@ class OperatorPropertiesSpec extends SparkSpec {
       "iid halves must not broadly drift")
   }
 
+  test("q356 CvM drift: closed-form planted shift, exact zero on the constant null") {
+    val half = conv(substring(md5(concat(lit("drift:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < 16777216L
+    def mkDocs(text: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+      spark.range(1, 401).select($"id".as("doc_id"))
+        .withColumn("in_a", half)
+        .select($"doc_id", text.as("text"), lit("en").as("lang"),
+          lit("web").as("source"), lit(0L).as("n_chars"))
+    // PLANTED SHIFT (q332's disjoint supports): A at 12 tokens, B at 3.
+    // Only the B mass point sees a CDF gap (gap 1), so the closed form is
+    // W = n_b·(n_a·n_b)² and T = n_a·n_b²/(n_a+n_b)² — check both exactly.
+    val dir1 = java.nio.file.Files.createTempDirectory("cvm_shift").toString
+    mkDocs(when($"in_a", lit(Seq.fill(12)("w").mkString(" "))).otherwise(lit("w w w")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+    val shifted = SparkEntry.queries("q356_cvm_drift_stat")(spark, dir1).collect()
+    assert(shifted.length === 1)
+    val na = BigInt(shifted(0).getAs[Long]("n_a"))
+    val nb = BigInt(shifted(0).getAs[Long]("n_b"))
+    assert(shifted(0).getAs[String]("cvm_num") === (nb * (na * nb).pow(2)).toString,
+      "disjoint supports: W = n_b·(n_a·n_b)² exactly")
+    val t = (nb * (na * nb).pow(2)).toDouble /
+      (na.toDouble * nb.toDouble * (na + nb).toDouble * (na + nb).toDouble)
+    assert(math.abs(shifted(0).getAs[Double]("cvm_stat") - t) < 1e-9 * t)
+    assert(shifted(0).getAs[Boolean]("drifted"), "planted shift must fire")
+    // NULL case: one constant value — every combined observation sees a
+    // zero gap, so W = 0 EXACTLY and the flag stays down
+    val dir2 = java.nio.file.Files.createTempDirectory("cvm_null").toString
+    mkDocs(lit("w w w"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val nullCase = SparkEntry.queries("q356_cvm_drift_stat")(spark, dir2).collect()
+    assert(nullCase.length === 1 && nullCase(0).getAs[String]("cvm_num") === "0")
+    assert(nullCase(0).getAs[Double]("cvm_stat") === 0.0)
+    assert(!nullCase(0).getAs[Boolean]("drifted"))
+    // fixture: iid halves — CvM at the 0.05 level may trip a slice or two
+    // by construction, never broadly (E[T] under the null is 1/6)
+    val fx = SparkEntry.queries("q356_cvm_drift_stat")(spark, sfDir).collect()
+    assert(fx.nonEmpty && fx.count(_.getAs[Boolean]("drifted")) <= 1,
+      "iid halves must not broadly drift")
+  }
+
   test("q331 k-anonymity: partition law, global mins, discriminating flags") {
     val out = SparkEntry.queries("q331_k_anonymity_census")(spark, sfDir).collect()
     // partition law: every order lands in exactly one QI cell
