@@ -1756,6 +1756,82 @@ object Relational {
       .orderBy($"nation", $"mktsegment", $"order_year")
   }
 
+  /** t-closeness line for q357: flag QI cells whose sensitive
+    * distribution sits farther than this EMD from the global one. At the
+    * gated sf0.01 fixture cell t runs 0.001–0.50 (median ≈ 0.083; 29 of
+    * 875 cells clear 0.2), so 0.2 splits the census — evidence, not a
+    * constant (the q331 KAnonK stance). */
+  val TCloseT = 0.2
+
+  /** t-closeness census (Li–Li–Venkatasubramanian 2007, public
+    * description) — the distribution-level privacy audit k-anonymity
+    * (q331) and l-diversity can't express: a cell can clear both and
+    * still leak because its SENSITIVE distribution diverges from the
+    * corpus's (e.g. a cell that is 100 % URGENT). Per q331 QI cell
+    * (customer nation, market segment, order year), the Earth-Mover's
+    * Distance between the cell's and the global order-priority
+    * distributions under the ordered-domain metric: EMD =
+    * (1/(m−1))·Σ_i |cum_cell(i)/n − cum_glob(i)/N| over the sorted
+    * priority census. Every prefix gap is the q332 exact integer
+    * cross-multiply d_i = cum_cell·N − cum_glob·n (the i = m term is
+    * identically 0, so summing all m prefixes IS the m−1 sum); the one
+    * IEEE divide lands at the end: t = Σ|d_i| / ((m−1)·n·N). Global
+    * t_max / cells-above-t ride every row. Degenerate single-value
+    * domain (m = 1): every distribution is identical, t defines to 0.
+    *
+    * Scale shape: one keyed fact⋈dim join collapses the corpus to the
+    * (cell, priority) census (≤ |cells|·m rows at any SF); the full
+    * grid is census × broadcast(priority domain) so absent priorities
+    * count as zero mass; prefix sums are cell-keyed windows over
+    * domain-bounded rows. Envelope: cum·N ≤ n·N < 2⁶³ to ~3·10⁹ rows
+    * a side (the q332 bound); beyond, retype the cross-multiply to
+    * decimal(38,0). */
+  def tClosenessCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nation"), $"c_mktsegment".as("mktsegment"),
+        year($"o_orderdate").as("order_year"), $"o_orderpriority".as("prio"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read by the global census AND the cell grid
+    val glob = counts.groupBy($"prio").agg(sum($"c").as("g"))
+      .withColumn("cum_g", sum($"g").over(Window.orderBy($"prio")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_total", sum($"g").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("m", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"prio", $"cum_g", $"n_total", $"m")
+    val cellTot = counts.groupBy($"nation", $"mktsegment", $"order_year")
+      .agg(sum($"c").as("n_rows"))
+    val wCell = Window.partitionBy($"nation", $"mktsegment", $"order_year")
+      .orderBy($"prio")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = cellTot
+      .crossJoin(broadcast(glob)) // full grid: absent priorities = 0 mass
+      .join(counts, Seq("nation", "mktsegment", "order_year", "prio"), "left")
+      .withColumn("cum_c", sum(coalesce($"c", lit(0L))).over(wCell))
+      .withColumn("d", abs($"cum_c" * $"n_total" - $"cum_g" * $"n_rows"))
+      .groupBy($"nation", $"mktsegment", $"order_year")
+      .agg(max($"n_rows").as("n_rows"), sum($"d").as("emd_num"),
+        max($"n_total").as("n_total"), max($"m").as("m"))
+      // denominator formed in DOUBLE (exact for these magnitudes): the
+      // long product (m−1)·n·N would ANSI-overflow long before the
+      // envelope on the numerator does
+      .withColumn("t_closeness",
+        when($"m" > 1L, $"emd_num".cast("double") /
+          (($"m" - 1L).cast("double") * $"n_rows" * $"n_total"))
+          .otherwise(lit(0.0)))
+      .withColumn("above_t", $"t_closeness" > lit(TCloseT))
+      .localCheckpoint() // read by the rows AND the riding globals
+    val tot = cells.agg(max($"t_closeness").as("t_max"),
+      sum(when($"above_t", 1L).otherwise(0L)).as("n_cells_above"))
+    cells.crossJoin(broadcast(tot))
+      .select($"nation", $"mktsegment", $"order_year", $"n_rows",
+        $"emd_num", $"t_closeness", $"above_t", $"t_max", $"n_cells_above")
+      .orderBy($"nation", $"mktsegment", $"order_year")
+  }
+
   /** q333 block-size cap: blocks larger than this are SKIPPED (and
     * censused) — the standard record-linkage guard that keeps candidate
     * volume ≤ N·cap instead of Σ|block|², because block sizes grow with
@@ -2011,6 +2087,7 @@ object Relational {
     "q342_apriori_rules" -> aprioriRules,
     "q333_entity_linkage" -> entityLinkage,
     "q331_k_anonymity_census" -> kAnonymityCensus,
+    "q357_t_closeness_census" -> tClosenessCensus,
     "q326_deletion_cascade" -> deletionCascade,
     "q284_important_parts_value" -> importantPartsValue,
     "q285_ship_priority_census" -> shipPriorityCensus,
@@ -2194,6 +2271,66 @@ object Relational {
          |FROM classed
          |GROUP BY 1
          |ORDER BY 1""".stripMargin,
+    // q331's QI grid × the sorted-priority domain; every prefix gap is
+    // the exact cross-multiply, one shared divide at the end
+    "q357_t_closeness_census" ->
+      s"""WITH counts AS MATERIALIZED (
+         |  SELECT c_nationkey AS nation, c_mktsegment AS mktsegment,
+         |         CAST(year(o_orderdate) AS INT) AS order_year,
+         |         o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS c
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2, 3, 4
+         |), gcen AS MATERIALIZED (
+         |  SELECT prio,
+         |         CAST(sum(g) OVER (ORDER BY prio
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_g,
+         |         CAST(sum(g) OVER () AS BIGINT) AS n_total,
+         |         CAST(count(*) OVER () AS BIGINT) AS m
+         |  FROM (SELECT prio, CAST(sum(c) AS BIGINT) AS g
+         |        FROM counts GROUP BY 1)
+         |), celltot AS (
+         |  SELECT nation, mktsegment, order_year,
+         |         CAST(sum(c) AS BIGINT) AS n_rows
+         |  FROM counts GROUP BY 1, 2, 3
+         |), grid AS (
+         |  SELECT ct.nation, ct.mktsegment, ct.order_year, ct.n_rows,
+         |         g.prio, g.cum_g, g.n_total, g.m,
+         |         CAST(sum(coalesce(c.c, 0)) OVER (
+         |           PARTITION BY ct.nation, ct.mktsegment, ct.order_year
+         |           ORDER BY g.prio
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_c
+         |  FROM celltot ct CROSS JOIN gcen g
+         |  LEFT JOIN counts c
+         |    ON c.nation = ct.nation AND c.mktsegment = ct.mktsegment
+         |   AND c.order_year = ct.order_year AND c.prio = g.prio
+         |), cells AS MATERIALIZED (
+         |  SELECT nation, mktsegment, order_year,
+         |         CAST(max(n_rows) AS BIGINT) AS n_rows,
+         |         CAST(sum(abs(cum_c * n_total - cum_g * n_rows)) AS BIGINT)
+         |           AS emd_num,
+         |         CAST(max(n_total) AS BIGINT) AS n_total,
+         |         CAST(max(m) AS BIGINT) AS m
+         |  FROM grid GROUP BY 1, 2, 3
+         |), scored AS MATERIALIZED (
+         |  SELECT nation, mktsegment, order_year, n_rows, emd_num,
+         |         CASE WHEN m > 1 THEN CAST(emd_num AS DOUBLE)
+         |                / (CAST(m - 1 AS DOUBLE) * n_rows * n_total)
+         |              ELSE 0.0 END AS t_closeness
+         |  FROM cells
+         |), flagged AS MATERIALIZED (
+         |  SELECT *, t_closeness > $TCloseT AS above_t FROM scored
+         |), tot AS (
+         |  SELECT max(t_closeness) AS t_max,
+         |         ${sumLongSql("CASE WHEN above_t THEN 1 ELSE 0 END")}
+         |           AS n_cells_above
+         |  FROM flagged
+         |)
+         |SELECT nation, mktsegment, order_year, n_rows, emd_num,
+         |       t_closeness, above_t, t_max, n_cells_above
+         |FROM flagged, tot
+         |ORDER BY nation, mktsegment, order_year""".stripMargin,
     "q331_k_anonymity_census" ->
       s"""WITH g AS MATERIALIZED (
          |  SELECT c_nationkey AS nation, c_mktsegment AS mktsegment,

@@ -1746,6 +1746,49 @@ class OperatorPropertiesSpec extends SparkSpec {
       "iid halves must not broadly drift")
   }
 
+  test("q357 t-closeness: single-value cells are maximal, a global-matching cell is exactly 0") {
+    val dir = java.nio.file.Files.createTempDirectory("tclose").toString
+    def order(key: Long, cust: Long, prio: String) =
+      (key, cust, java.sql.Date.valueOf("1995-03-01"), prio)
+    // three cells in one year: X all-URGENT, Y all-LOW (both single-value
+    // — the leak t-closeness exists to flag), Z exactly the global mix
+    val orders =
+      (1L to 4L).map(i => order(i, 1L, "1-URGENT")) ++
+      (5L to 8L).map(i => order(i, 2L, "5-LOW")) ++
+      Seq(order(9L, 3L, "1-URGENT"), order(10L, 3L, "1-URGENT"),
+        order(11L, 3L, "5-LOW"), order(12L, 3L, "5-LOW"))
+    orders.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1, "BUILDING"), (2L, 2, "MACHINERY"), (3L, 3, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // global: N=12, m=2, G_urgent=6. Cell X (n=4): |4·12−6·4| + 0 = 24,
+    // t = 24/(1·4·12) = 1/2. Cell Y: |0·12−6·4| = 24 → 1/2. Cell Z
+    // (n=4, 2+2): |2·12−6·4| = 0 → t = 0 EXACTLY.
+    val out = SparkEntry.queries("q357_t_closeness_census")(spark, dir)
+      .collect().map(r => r.getAs[Int]("nation") -> r).toMap
+    assert(out(1).getAs[Long]("emd_num") === 24L)
+    assert(out(1).getAs[Double]("t_closeness") === 0.5)
+    assert(out(2).getAs[Double]("t_closeness") === 0.5)
+    assert(out(3).getAs[Long]("emd_num") === 0L)
+    assert(out(3).getAs[Double]("t_closeness") === 0.0)
+    assert(out.values.forall(_.getAs[Double]("t_max") === 0.5))
+    assert(out.values.forall(_.getAs[Long]("n_cells_above") === 2L))
+    assert(out(1).getAs[Boolean]("above_t") && !out(3).getAs[Boolean]("above_t"))
+    // degenerate single-value DOMAIN (m = 1): t defines to 0 everywhere
+    val dir2 = java.nio.file.Files.createTempDirectory("tclose_m1").toString
+    (1L to 6L).map(i => order(i, 1L + i % 2, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    Seq((1L, 1, "BUILDING"), (2L, 2, "MACHINERY"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/customer.parquet")
+    val m1 = SparkEntry.queries("q357_t_closeness_census")(spark, dir2).collect()
+    assert(m1.length === 2)
+    assert(m1.forall(_.getAs[Double]("t_closeness") === 0.0))
+    assert(m1.forall(!_.getAs[Boolean]("above_t")))
+  }
+
   test("q331 k-anonymity: partition law, global mins, discriminating flags") {
     val out = SparkEntry.queries("q331_k_anonymity_census")(spark, sfDir).collect()
     // partition law: every order lands in exactly one QI cell
