@@ -4699,6 +4699,82 @@ object LlmOps {
       .orderBy($"qid")
   }
 
+  /** 10-entry literal discount table for q358: disc(r) = 1/log₂(r+1),
+    * r = 1..10, as AUTHORING-TIME constants (the q348 e⁻¹ stance — log₂
+    * is libm, so it enters only here, at write time; shortest-repr
+    * doubles round-trip to identical bits in both engines' parsers).
+    * The spec re-derives each entry against math.log to 1 ulp. */
+  val NdcgDiscount: Seq[Double] = Seq(
+    1.0, 0.6309297535714574, 0.5, 0.43067655807339306,
+    0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+    0.3154648767857287, 0.30102999566398114, 0.2890648263178878)
+
+  /** SQL literal twin of [[NdcgDiscount]] (a 1-indexed DuckDB list).
+    * Every element is CAST(... AS DOUBLE): a bare decimal literal
+    * parses as DECIMAL(17,16), the list unifies to DECIMAL, and the
+    * later DECIMAL→DOUBLE conversion lands one ulp off the correctly
+    * rounded literal (measured on 1/3) — the cast keeps the list
+    * DOUBLE-typed so the parse itself is the shortest-repr round-trip. */
+  private def ndcgDiscSql: String =
+    NdcgDiscount.map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
+
+  /** nDCG@10 over the q352 retrieval panel — closes the gap q352's own
+    * Scaladoc documents: rank is bounded in {1..10}, so the log₂ gains
+    * live in [[NdcgDiscount]]'s literal table and DCG/IDCG become
+    * FIXED-ORDER folds over the rank-sorted top-10 array (each term is
+    * a literal or 0.0 — the float sums hash-compare because both
+    * engines replay the identical ≤10-step IEEE sequence). The ideal
+    * ranking uses the CORPUS relevant count R = |label cohort| − 1
+    * (not just relevance inside the retrieved 10 — the honest IDCG):
+    * IDCG = Σ_{r≤min(R,10)} disc(r), guarded for R = 0 where the
+    * convention is nDCG = 0 (q352's no-relevant stance; Spark's
+    * sequence(1, 0) would count DOWN, so the guard is load-bearing).
+    * Panel mean rides every row via the qid-sorted fold. Scale: the
+    * ranking is the q45 broadcast panel scan; the label-cohort table
+    * is label-domain-bounded and broadcast. */
+  def ndcgAt10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val labCnt = e.groupBy($"label".as("lc_lab")).agg(count(lit(1)).as("n_lab"))
+    val q = e.filter($"vec_id" < IrEvalQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"label".as("qlab"))
+    val c = e.select($"vec_id".as("vid"), $"embedding".as("ve"),
+      $"label".as("vlab"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
+    val disc = array(NdcgDiscount.map(lit): _*)
+    val per = broadcast(q).join(c, $"qid" =!= $"vid")
+      .withColumn("cos", graft.operators.VectorOps.cosine(s)($"qe", $"ve"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select($"qid", $"qlab", $"rn".cast("long").as("rn"),
+        ($"vlab" === $"qlab").as("rel"))
+      .groupBy($"qid", $"qlab")
+      .agg(sort_array(collect_list(struct($"rn", $"rel"))).as("xs"))
+      .join(broadcast(labCnt), $"qlab" === $"lc_lab")
+      .withColumn("n_rel_corpus", $"n_lab" - 1L)
+      .withColumn("dcg", aggregate($"xs", lit(0.0), (a, x) =>
+        a + when(x.getField("rel"),
+          element_at(disc, x.getField("rn").cast("int")))
+          .otherwise(lit(0.0))))
+      .withColumn("k_ideal", least($"n_rel_corpus", lit(10L)))
+      .withColumn("idcg", when($"k_ideal" > 0L,
+        aggregate(sequence(lit(1L), $"k_ideal"), lit(0.0), (a, i) =>
+          a + element_at(disc, i.cast("int")))).otherwise(lit(0.0)))
+      .withColumn("ndcg",
+        when($"idcg" > 0.0, $"dcg" / $"idcg").otherwise(lit(0.0)))
+    val glob = per
+      .agg(sort_array(collect_list(struct($"qid", $"ndcg".as("nd")))).as("gs"))
+      .select(size($"gs").cast("long").as("n_queries"), $"gs")
+      .select($"n_queries",
+        when($"n_queries" > 0L, aggregate($"gs", lit(0.0),
+          (a, x) => a + x.getField("nd")) / $"n_queries".cast("double"))
+          .as("mean_ndcg"))
+    per.crossJoin(broadcast(glob))
+      .select($"qid", $"qlab".as("label"), $"n_rel_corpus", $"dcg",
+        $"idcg", $"ndcg", $"n_queries", $"mean_ndcg")
+      .orderBy($"qid")
+  }
+
   /** Skip-gram training-pair generation with frequency subsampling
     * (Mikolov et al. 2013's word2vec recipe, public description) — the
     * pipeline stage that turns a corpus into embedding training pairs:
@@ -4760,6 +4836,7 @@ object LlmOps {
     "q350_mmr_rerank" -> mmrRerank,
     "q351_ece_calibration" -> eceCalibration,
     "q352_retrieval_eval_census" -> retrievalEvalCensus,
+    "q358_ndcg_at_10" -> ndcgAt10,
     "q345_dbscan_grid" -> dbscanGrid,
     "q349_textrank_keywords" -> textrankKeywords,
     "q348_bootstrap_ci" -> bootstrapCi,
@@ -5054,6 +5131,54 @@ object LlmOps {
          |SELECT qid, qlab AS label, first_rel_rank, rel_at_5, rel_at_10,
          |       rr, p_at_5, n_queries, mrr, mean_p_at_5
          |FROM sc, panelg ORDER BY qid""".stripMargin,
+    // q352's panel scan + the literal discount table; DCG/IDCG are
+    // fixed-order ≤10-step folds so the float columns hash-compare
+    "q358_ndcg_at_10" ->
+      s"""WITH per AS MATERIALIZED (
+         |  SELECT qid, qlab,
+         |         list(struct_pack(rn := rn, rel := rel) ORDER BY rn) AS xs
+         |  FROM (
+         |    SELECT qid, qlab, CAST(rn AS BIGINT) AS rn, rel FROM (
+         |      SELECT q.vec_id AS qid, q.label AS qlab,
+         |             c.label = q.label AS rel,
+         |             row_number() OVER (PARTITION BY q.vec_id
+         |               ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+         |                        c.vec_id ASC) AS rn
+         |      FROM (SELECT * FROM embeddings WHERE vec_id < $IrEvalQueries) q
+         |      JOIN (SELECT * FROM embeddings) c ON q.vec_id <> c.vec_id)
+         |    WHERE rn <= 10)
+         |  GROUP BY 1, 2
+         |), lc AS (
+         |  SELECT label AS lc_lab, CAST(count(*) AS BIGINT) AS n_lab
+         |  FROM embeddings GROUP BY 1
+         |), sc AS MATERIALIZED (
+         |  SELECT qid, qlab, n_lab - 1 AS n_rel_corpus,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(xs, x -> CASE WHEN x.rel
+         |             THEN ($ndcgDiscSql)[CAST(x.rn AS INT)]
+         |             ELSE 0.0 END)), (a, b) -> a + b) AS dcg,
+         |         CASE WHEN least(n_lab - 1, 10) > 0 THEN
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform(range(1, least(n_lab - 1, 10) + 1),
+         |               i -> ($ndcgDiscSql)[CAST(i AS INT)])), (a, b) -> a + b)
+         |         ELSE 0.0 END AS idcg
+         |  FROM per JOIN lc ON qlab = lc_lab
+         |), nd AS MATERIALIZED (
+         |  SELECT qid, qlab, n_rel_corpus, dcg, idcg,
+         |         CASE WHEN idcg > 0.0 THEN dcg / idcg ELSE 0.0 END AS ndcg
+         |  FROM sc
+         |), panelg AS (
+         |  SELECT CAST(len(gs) AS BIGINT) AS n_queries,
+         |         CASE WHEN len(gs) > 0 THEN
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform(gs, x -> x.nd)), (a, b) -> a + b)
+         |           / CAST(len(gs) AS DOUBLE) END AS mean_ndcg
+         |  FROM (SELECT list(struct_pack(qid := qid, nd := ndcg)
+         |                 ORDER BY qid) AS gs FROM nd)
+         |)
+         |SELECT qid, qlab AS label, n_rel_corpus, dcg, idcg, ndcg,
+         |       n_queries, mean_ndcg
+         |FROM nd, panelg ORDER BY qid""".stripMargin,
     "q345_dbscan_grid" ->
       // 2-d slice of the q344 projection replay; components by
       // recursive-CTE reachability + min (the q76 oracle pattern), so

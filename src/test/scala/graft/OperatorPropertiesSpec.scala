@@ -2543,6 +2543,55 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(math.abs(mrr.head - fix.map(_.getAs[Double]("rr")).sum / fix.length) < 1e-12)
   }
 
+  test("q358 nDCG@10: extreme laws, corpus-R ideal, and the literal discount table") {
+    // the authoring-time table IS 1/log2(r+1): re-derive to 1 ulp
+    graft.queries.LlmOps.NdcgDiscount.zipWithIndex.foreach { case (d, i) =>
+      val expect = 1.0 / (math.log(i + 2) / math.log(2))
+      assert(math.abs(d - expect) <= math.ulp(expect),
+        s"discount r=${i + 1} drifted from 1/log2(r+1)")
+    }
+    def vecs(lab: Long => Int) = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == i % 4) 1.0f else 0.1f * i), lab(i))
+    }
+    // all twelve share a label → every query's top-10 is all-relevant and
+    // R = 11 ≥ 10, so DCG and IDCG are the SAME 10-term fold → nDCG = 1.0
+    // EXACTLY (bit-identical numerator and denominator)
+    val dir = java.nio.file.Files.createTempDirectory("ndcg").toString
+    vecs(_ => 7).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val all = SparkEntry.queries("q358_ndcg_at_10")(spark, dir).collect()
+    assert(all.length === 8)
+    all.foreach { r =>
+      assert(r.getAs[Long]("n_rel_corpus") === 11L)
+      assert(r.getAs[Double]("ndcg") === 1.0)
+      assert(r.getAs[Double]("mean_ndcg") === 1.0)
+      assert(r.getAs[Double]("idcg") ===
+        graft.queries.LlmOps.NdcgDiscount.foldLeft(0.0)(_ + _))
+    }
+    // unique labels → R = 0: DCG = 0, IDCG defines to 0, nDCG = 0
+    val dir2 = java.nio.file.Files.createTempDirectory("ndcg2").toString
+    vecs(i => i.toInt).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val none = SparkEntry.queries("q358_ndcg_at_10")(spark, dir2).collect()
+    none.foreach { r =>
+      assert(r.getAs[Long]("n_rel_corpus") === 0L)
+      assert(r.getAs[Double]("dcg") === 0.0)
+      assert(r.getAs[Double]("idcg") === 0.0)
+      assert(r.getAs[Double]("ndcg") === 0.0)
+    }
+    // corpus-R ideal: 2 relevant docs in a 12-doc corpus → IDCG uses
+    // min(R,10) = 2 terms even though 10 docs were retrieved
+    val dir3 = java.nio.file.Files.createTempDirectory("ndcg3").toString
+    vecs(i => if (i < 3) 99 else i.toInt).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir3/embeddings.parquet")
+    val part = SparkEntry.queries("q358_ndcg_at_10")(spark, dir3).collect()
+      .map(r => r.getAs[Long]("qid") -> r).toMap
+    assert(part(0L).getAs[Long]("n_rel_corpus") === 2L)
+    assert(part(0L).getAs[Double]("idcg") ===
+      graft.queries.LlmOps.NdcgDiscount.take(2).foldLeft(0.0)(_ + _))
+    assert(part(0L).getAs[Double]("ndcg") <= 1.0)
+  }
+
   test("q353 motif/discord match an exact integer JVM replay; planted twin weeks") {
     // days 0-6 and 14-20 carry the IDENTICAL dollar pattern → the motif
     // is (0, 14) at distance exactly 0; the discord is re-derived by an
