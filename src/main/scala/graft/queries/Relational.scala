@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import Portable._
@@ -1866,7 +1867,10 @@ object Relational {
     * non-match/possible mass only — the spec plants a typo'd duplicate
     * (must land in `match`) and an oversize block (its pairs must NOT
     * appear, the skip census must count it). */
-  def entityLinkage(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q333/q359 stage: the blocked, capped, scored candidate
+    * pairs (id_a < id_b, score, link_class) plus the block census.
+    * See [[entityLinkage]] for the semantics of each stage. */
+  private def linkageClassed(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val recs = Tables.customer(s, dir)
       .select($"c_custkey", $"c_name", $"c_nationkey", $"c_mktsegment",
@@ -1890,7 +1894,7 @@ object Relational {
       $"c_name".as("name_a"), $"bal_c".as("bal_a"))
     val b = usable.select($"blk".as("blk2"), $"c_custkey".as("id_b"),
       $"c_name".as("name_b"), $"bal_c".as("bal_b"))
-    val census = a.join(b, $"blk" === $"blk2" && $"id_a" < $"id_b")
+    val classed = a.join(b, $"blk" === $"blk2" && $"id_a" < $"id_b")
       .withColumn("score",
         when(levenshtein($"name_a", $"name_b") <= 1, 8L).otherwise(-4L) +
           when(abs($"bal_a" - $"bal_b") <= 10000L, 4L).otherwise(-2L))
@@ -1898,6 +1902,13 @@ object Relational {
         when($"score" >= LinkMatchMin, "match")
           .when($"score" < 0L, "non_match")
           .otherwise("possible"))
+    (classed, blockStats)
+  }
+
+  def entityLinkage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (classed, blockStats) = linkageClassed(s, dir)
+    val census = classed
       .groupBy($"link_class")
       .agg(count(lit(1)).as("n_pairs"),
         min($"score").as("min_score"), max($"score").as("max_score"),
@@ -1907,6 +1918,87 @@ object Relational {
       .select($"link_class", $"n_pairs", $"min_score", $"max_score",
         $"first_pair", $"n_blocks", $"n_blocks_skipped")
       .orderBy($"link_class")
+  }
+
+  /** Entity-cluster canonicalization (linkage → golden record) — the
+    * stage q333 stops short of: its `match`-class pairs become edges,
+    * connected components become ENTITIES (q76's min-label propagation,
+    * run only over MATCHED records — the tiny slice with any edge; every
+    * untouched record is its own entity via one left join, so the
+    * fixpoint loop never scales with the corpus), and a survivorship
+    * policy elects each entity's golden record: the LONGEST name (ties
+    * to the smallest custkey — the q174 policy, because linkage clusters
+    * usually hold one full record and several truncations) with the MAX
+    * balance surviving field-wise. Output is the entity census BY
+    * CLUSTER SIZE — one row per size with the count, exact golden-field
+    * sums (Σ golden balance cents, Σ golden-name length, Σ survivor
+    * custkey — three aggregates that pin every per-entity argmax choice
+    * through the hash compare), and the zero-padded first entity as the
+    * resume cursor; corpus totals (records, entities, merged records)
+    * ride every row. The fixture plants no duplicates, so its census is
+    * the single size-1 row with zero merged — the spec plants an
+    * A≈B, B≈C, A≉C chain that must land in ONE entity with the longest
+    * name and max balance surviving. Envelope: Σ survivor keys ≤ N·max
+    * key stays in long to ~10⁹ records with 10⁹-range keys; beyond,
+    * retype that one aggregate to decimal and surface a digit string
+    * (the q356 pattern). */
+  def entityCanonicalization(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (classed, _) = linkageClassed(s, dir)
+    val matched = classed.filter($"link_class" === "match")
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+    // min-label propagation to the fixpoint over matched records only
+    // (q76's loop: decimal label sum is the convergence gate — monotone
+    // decreasing, wrap-free at any key cardinality)
+    val pairs = matched
+      .unionAll(matched.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = pairs.select($"src").distinct()
+    val ed = pairs.unionByName(nodes.select($"src", $"src".as("dst")))
+    var labels = nodes.select($"src".as("rec"), $"src".as("lab"))
+      .localCheckpoint()
+    def labelSum(): java.math.BigDecimal = labels
+      .agg(coalesce(sum($"lab".cast(DecimalType(38, 0))),
+        lit(BigDecimal(0)).cast(DecimalType(38, 0))))
+      .head.getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
+    var curSum = labelSum()
+    while (prevSum == null || curSum.compareTo(prevSum) < 0) {
+      labels = ed.join(labels, $"dst" === $"rec")
+        .groupBy($"src").agg(min($"lab").as("lab"))
+        .select($"src".as("rec"), $"lab")
+        .localCheckpoint()
+      prevSum = curSum
+      curSum = labelSum()
+    }
+    // every record gets an entity: its component label, or itself
+    val ents = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", cents($"c_acctbal").as("bal_c"))
+      .join(labels, $"c_custkey" === $"rec", "left")
+      .withColumn("ent", coalesce($"lab", $"c_custkey"))
+    val w = Window.partitionBy($"ent")
+      .orderBy(length($"c_name").desc, $"c_custkey".asc)
+    val per = ents.withColumn("rn", row_number().over(w))
+      .groupBy($"ent")
+      .agg(count(lit(1)).as("n_records"),
+        max($"bal_c").as("golden_bal"),
+        max(when($"rn" === 1, length($"c_name").cast("long")))
+          .as("golden_name_len"),
+        max(when($"rn" === 1, $"c_custkey")).as("survivor_key"))
+      .localCheckpoint(eager = false) // read by the census AND the totals
+    val tot = per.agg(sum($"n_records").as("n_records_total"),
+      count(lit(1)).as("n_entities_total"))
+      .select($"n_records_total", $"n_entities_total",
+        ($"n_records_total" - $"n_entities_total").as("n_merged_records"))
+    per.groupBy($"n_records".as("cluster_size"))
+      .agg(count(lit(1)).as("n_entities"),
+        sum($"golden_bal").as("sum_golden_bal_cents"),
+        sum($"golden_name_len").as("sum_golden_name_len"),
+        sum($"survivor_key").as("sum_survivor_key"),
+        min(lpad($"ent".cast("string"), 10, "0")).as("first_entity"))
+      .crossJoin(broadcast(tot))
+      .orderBy($"cluster_size")
   }
 
   /** Truncation bound for the q339 noise distribution: |noise| ≤ 12.
@@ -2086,6 +2178,7 @@ object Relational {
     "q339_dp_noised_histogram" -> dpNoisedHistogram,
     "q342_apriori_rules" -> aprioriRules,
     "q333_entity_linkage" -> entityLinkage,
+    "q359_entity_canonicalization" -> entityCanonicalization,
     "q331_k_anonymity_census" -> kAnonymityCensus,
     "q357_t_closeness_census" -> tClosenessCensus,
     "q326_deletion_cascade" -> deletionCascade,
@@ -2229,6 +2322,73 @@ object Relational {
          |       100 * n_both >= $AprioriMinConfPct * n_ante AS strong
          |FROM rules
          |ORDER BY antecedent, consequent""".stripMargin,
+    // q333's blocked/capped/scored pairs → match edges → recursive-CTE
+    // components (the q76 oracle pattern) → survivor window → size census;
+    // the hash compare proves driver-gated propagation ≡ transitive closure
+    // AND pins every argmax through the three golden-field sums
+    "q359_entity_canonicalization" ->
+      s"""WITH RECURSIVE recs AS MATERIALIZED (
+         |  SELECT c_custkey, c_name, bal_c,
+         |         concat_ws(':', CAST(c_nationkey AS VARCHAR), c_mktsegment,
+         |                   CAST(bal_c // 100000 AS VARCHAR)) AS blk
+         |  FROM (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         |               ${centsSql("c_acctbal")} AS bal_c
+         |        FROM customer)
+         |), bn AS MATERIALIZED (
+         |  SELECT blk, count(*) AS bn FROM recs GROUP BY 1
+         |), usable AS MATERIALIZED (
+         |  SELECT r.* FROM recs r JOIN bn USING (blk) WHERE bn <= $LinkMaxBlock
+         |), mp AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         |           (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+         |                 THEN 8 ELSE -4 END
+         |            + CASE WHEN abs(a.bal_c - b.bal_c) <= 10000
+         |                   THEN 4 ELSE -2 END) AS score
+         |    FROM usable a JOIN usable b
+         |      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+         |  ) WHERE score >= $LinkMatchMin
+         |), edges AS MATERIALIZED (
+         |  SELECT id_a AS s, id_b AS t FROM mp
+         |  UNION SELECT id_b AS s, id_a AS t FROM mp
+         |), reach(rec, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT x.rec, e.t FROM reach x JOIN edges e ON x.r = e.s
+         |), labels AS MATERIALIZED (
+         |  SELECT rec, min(r) AS lab FROM reach GROUP BY 1
+         |), ents AS MATERIALIZED (
+         |  SELECT c.c_custkey, c.c_name, c.bal_c,
+         |         coalesce(l.lab, c.c_custkey) AS ent
+         |  FROM (SELECT c_custkey, c_name, ${centsSql("c_acctbal")} AS bal_c
+         |        FROM customer) c
+         |  LEFT JOIN labels l ON c.c_custkey = l.rec
+         |), per AS MATERIALIZED (
+         |  SELECT ent, CAST(count(*) AS BIGINT) AS n_records,
+         |         CAST(max(bal_c) AS BIGINT) AS golden_bal,
+         |         CAST(max(CASE WHEN rn = 1 THEN length(c_name) END) AS BIGINT)
+         |           AS golden_name_len,
+         |         CAST(max(CASE WHEN rn = 1 THEN c_custkey END) AS BIGINT)
+         |           AS survivor_key
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY ent
+         |          ORDER BY length(c_name) DESC, c_custkey ASC) AS rn
+         |        FROM ents)
+         |  GROUP BY 1
+         |), tot AS (
+         |  SELECT ${sumLongSql("n_records")} AS n_records_total,
+         |         CAST(count(*) AS BIGINT) AS n_entities_total,
+         |         CAST(sum(n_records) - count(*) AS BIGINT) AS n_merged_records
+         |  FROM per
+         |)
+         |SELECT n_records AS cluster_size, CAST(count(*) AS BIGINT) AS n_entities,
+         |       ${sumLongSql("golden_bal")} AS sum_golden_bal_cents,
+         |       ${sumLongSql("golden_name_len")} AS sum_golden_name_len,
+         |       ${sumLongSql("survivor_key")} AS sum_survivor_key,
+         |       min(lpad(CAST(ent AS VARCHAR), 10, '0')) AS first_entity,
+         |       n_records_total, n_entities_total, n_merged_records
+         |FROM per, tot
+         |GROUP BY 1, n_records_total, n_entities_total, n_merged_records
+         |ORDER BY 1""".stripMargin,
     "q333_entity_linkage" ->
       s"""WITH recs AS MATERIALIZED (
          |  SELECT c_custkey, c_name, bal_c,

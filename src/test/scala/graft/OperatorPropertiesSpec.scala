@@ -1669,6 +1669,44 @@ class OperatorPropertiesSpec extends SparkSpec {
       "candidate volume must stay under the N*cap blocking bound")
   }
 
+  test("q359 canonicalization: an A≈B≈C chain lands in ONE entity; survivorship argmax") {
+    val dir = java.nio.file.Files.createTempDirectory("canon").toString
+    // A≈B (edit 1, $5 apart) and B≈C (edit 1, $60 apart) are matches;
+    // A≉C (edit 2 → score 0, 'possible') — transitivity through the
+    // component, NOT through the comparator, must merge all three.
+    // Survivor: the longest name is C ("Acme C0rpX", 10 chars); the
+    // golden balance is A's max ($110 = 11000 cents... actually B's 115).
+    val rows = Seq(
+      (1L, "Acme Corp", 1, "BUILDING", 110.00),
+      (2L, "Acme C0rp", 1, "BUILDING", 115.00),
+      (3L, "Acme C0rpX", 1, "BUILDING", 55.00),
+      (9L, "Solo Firm", 1, "BUILDING", 900.00))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q359_entity_canonicalization")(spark, dir)
+      .collect().map(r => r.getAs[Long]("cluster_size") -> r).toMap
+    assert(out.keySet === Set(1L, 3L))
+    val c3 = out(3L)
+    assert(c3.getAs[Long]("n_entities") === 1L)
+    assert(c3.getAs[String]("first_entity") === "0000000001",
+      "entity label is the component's min custkey")
+    assert(c3.getAs[Long]("sum_golden_name_len") === 10L,
+      "the longest name (C's) survives")
+    assert(c3.getAs[Long]("sum_survivor_key") === 3L,
+      "the survivor record is C")
+    assert(c3.getAs[Long]("sum_golden_bal_cents") === 11500L,
+      "the max balance (B's) survives field-wise")
+    assert(out(1L).getAs[Long]("n_entities") === 1L)
+    assert(c3.getAs[Long]("n_records_total") === 4L)
+    assert(c3.getAs[Long]("n_entities_total") === 2L)
+    assert(c3.getAs[Long]("n_merged_records") === 2L)
+    // fixture: totals are conserved and merging is rare but present
+    val fx = SparkEntry.queries("q359_entity_canonicalization")(spark, sfDir).collect()
+    val n = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(fx.map(r => r.getAs[Long]("cluster_size") * r.getAs[Long]("n_entities")).sum === n,
+      "every record lands in exactly one entity")
+  }
+
   test("q332 KS drift: planted shift fires exactly, identical halves give zero") {
     val half = conv(substring(md5(concat(lit("drift:"),
       $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < 16777216L
