@@ -3359,6 +3359,142 @@ object LlmOps {
       .orderBy($"round")
   }
 
+  /** q360's oracle: seed cut + [[UlmRounds]] EM rounds as generated
+    * CTEs. The Viterbi DP is a LINEAR recursive CTE carrying the last
+    * [[UlmMaxPieceLen]] best-costs as state (one row per (word, pos) —
+    * never the exponential all-segmentations closure); the backwalk is
+    * a second linear recursion re-deriving each chosen piece under the
+    * identical largest-j tie rule; each round's prune median is a
+    * list-selection CTE the Spark side's driver-collected literal must
+    * hash-match. */
+  private def ulmRoundSql(r: Int): String = {
+    val prev = if (r == 1) "p0" else s"p${r - 1}"
+    val inf = UlmInf
+    s""",
+       |dp$r(word, wl, pos, s0, s1, s2, s3) AS (
+       |  SELECT w, wl, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |         CAST($inf AS BIGINT), CAST($inf AS BIGINT), CAST($inf AS BIGINT)
+       |  FROM words
+       |  UNION ALL
+       |  SELECT d.word, d.wl, d.pos + 1,
+       |         least(
+       |           d.s0 + coalesce(q1.cost, $inf),
+       |           CASE WHEN d.pos >= 1 THEN d.s1 + coalesce(q2.cost, $inf)
+       |                ELSE $inf END,
+       |           CASE WHEN d.pos >= 2 THEN d.s2 + coalesce(q3.cost, $inf)
+       |                ELSE $inf END,
+       |           CASE WHEN d.pos >= 3 THEN d.s3 + coalesce(q4.cost, $inf)
+       |                ELSE $inf END),
+       |         d.s0, d.s1, d.s2
+       |  FROM dp$r d
+       |  LEFT JOIN $prev q1 ON q1.piece = substr(d.word, CAST(d.pos + 1 AS INT), 1)
+       |  LEFT JOIN $prev q2 ON d.pos >= 1 AND q2.piece = substr(d.word, CAST(d.pos AS INT), 2)
+       |  LEFT JOIN $prev q3 ON d.pos >= 2 AND q3.piece = substr(d.word, CAST(d.pos - 1 AS INT), 3)
+       |  LEFT JOIN $prev q4 ON d.pos >= 3 AND q4.piece = substr(d.word, CAST(d.pos - 2 AS INT), 4)
+       |  WHERE d.pos < d.wl
+       |),
+       |best$r AS MATERIALIZED (SELECT word, pos, s0 AS b FROM dp$r),
+       |bt$r(word, freq, cur, piece) AS (
+       |  SELECT w, freq, wl, CAST(NULL AS VARCHAR) FROM words
+       |  UNION ALL
+       |  SELECT t.word, t.freq,
+       |    t.cur - (CASE
+       |      WHEN t.cur >= 4 AND b4.b + coalesce(q4.cost, $inf) = bc.b THEN 4
+       |      WHEN t.cur >= 3 AND b3.b + coalesce(q3.cost, $inf) = bc.b THEN 3
+       |      WHEN t.cur >= 2 AND b2.b + coalesce(q2.cost, $inf) = bc.b THEN 2
+       |      ELSE 1 END),
+       |    (CASE
+       |      WHEN t.cur >= 4 AND b4.b + coalesce(q4.cost, $inf) = bc.b
+       |        THEN substr(t.word, CAST(t.cur - 3 AS INT), 4)
+       |      WHEN t.cur >= 3 AND b3.b + coalesce(q3.cost, $inf) = bc.b
+       |        THEN substr(t.word, CAST(t.cur - 2 AS INT), 3)
+       |      WHEN t.cur >= 2 AND b2.b + coalesce(q2.cost, $inf) = bc.b
+       |        THEN substr(t.word, CAST(t.cur - 1 AS INT), 2)
+       |      ELSE substr(t.word, CAST(t.cur AS INT), 1) END)
+       |  FROM bt$r t
+       |  JOIN best$r bc ON bc.word = t.word AND bc.pos = t.cur
+       |  LEFT JOIN best$r b2 ON b2.word = t.word AND b2.pos = t.cur - 2
+       |  LEFT JOIN best$r b3 ON b3.word = t.word AND b3.pos = t.cur - 3
+       |  LEFT JOIN best$r b4 ON b4.word = t.word AND b4.pos = t.cur - 4
+       |  LEFT JOIN $prev q2 ON t.cur >= 2 AND q2.piece = substr(t.word, CAST(t.cur - 1 AS INT), 2)
+       |  LEFT JOIN $prev q3 ON t.cur >= 3 AND q3.piece = substr(t.word, CAST(t.cur - 2 AS INT), 3)
+       |  LEFT JOIN $prev q4 ON t.cur >= 4 AND q4.piece = substr(t.word, CAST(t.cur - 3 AS INT), 4)
+       |  WHERE t.cur > 0
+       |),
+       |usage$r AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS u
+       |  FROM bt$r WHERE piece IS NOT NULL GROUP BY 1
+       |),
+       |pu$r AS MATERIALIZED (
+       |  SELECT p.piece, CAST(coalesce(u.u, 0) AS BIGINT) AS u
+       |  FROM $prev p LEFT JOIN usage$r u USING (piece)
+       |),
+       |med$r AS (
+       |  SELECT CAST(CASE WHEN len(xs) > 0 THEN xs[(len(xs) + 1) // 2]
+       |              ELSE 0 END AS BIGINT) AS med
+       |  FROM (SELECT list(u ORDER BY u) AS xs FROM pu$r
+       |        WHERE length(piece) > 1 AND u > 0)
+       |),
+       |sur$r AS MATERIALIZED (
+       |  SELECT piece, u FROM pu$r, med$r
+       |  WHERE length(piece) = 1 OR (u > 0 AND u >= med)
+       |),
+       |ut$r AS (SELECT CAST(sum(u) AS BIGINT) AS ut FROM sur$r),
+       |p$r AS MATERIALIZED (
+       |  SELECT piece,
+       |         CAST(length(bin(ut)) AS BIGINT)
+       |           - CASE WHEN u > 0 THEN CAST(length(bin(u)) AS BIGINT)
+       |                  ELSE 0 END AS cost,
+       |         u
+       |  FROM sur$r, ut$r
+       |)""".stripMargin
+  }
+
+  private def ulmOracleSql: String = {
+    val rounds = (1 to UlmRounds).map(ulmRoundSql).mkString
+    val k = UlmRounds
+    s"""WITH RECURSIVE words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |         CAST(length(w) AS BIGINT) AS wl
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |  WHERE length(w) >= 1
+       |  GROUP BY 1
+       |),
+       |gridw AS MATERIALIZED (
+       |  SELECT w, freq, st, j,
+       |         substr(w, CAST(st AS INT), CAST(j AS INT)) AS piece
+       |  FROM (SELECT w, freq, wl, unnest(range(1, wl + 1)) AS st FROM words),
+       |       (SELECT unnest([1, 2, 3, 4]) AS j)
+       |  WHERE st + j - 1 <= wl
+       |),
+       |subc AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM gridw GROUP BY 1
+       |),
+       |seed AS MATERIALIZED (
+       |  SELECT piece, c FROM subc WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c FROM subc WHERE length(piece) > 1
+       |    ORDER BY c DESC, piece ASC LIMIT $UlmSeedMulti)
+       |),
+       |ct AS (SELECT CAST(sum(c) AS BIGINT) AS ct FROM seed),
+       |p0 AS MATERIALIZED (
+       |  SELECT piece, CAST(length(bin(ct)) AS BIGINT)
+       |           - CAST(length(bin(c)) AS BIGINT) AS cost
+       |  FROM seed, ct
+       |)""".stripMargin + rounds +
+      s"""
+         |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+         |       u AS usage, cost AS cost_bits,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM p$k) AS n_pieces,
+         |       (SELECT CAST(sum(u) AS BIGINT) FROM p$k) AS total_usage,
+         |       CAST($UlmRounds AS BIGINT) AS n_rounds,
+         |       (SELECT med FROM med1) AS med_r1,
+         |       (SELECT med FROM med2) AS med_r2
+         |FROM p$k
+         |ORDER BY piece""".stripMargin
+  }
+
   /** q329's oracle: the [[BpeLoopRounds]]-round replay, generated as one
     * CTE chain per round. See [[bpeMergeLoop]]'s Scaladoc for why every
     * vocab_k / top_k is MATERIALIZED. */
@@ -3401,6 +3537,180 @@ object LlmOps {
        |)""".stripMargin + rounds +
       s"\nSELECT CAST(round AS INT) AS round, pair, merged, cnt, vocab_syms" +
       s"\nFROM (\n$sel)\nORDER BY round"
+  }
+
+  /** q360 seed size: multi-char seed pieces kept (all single chars ride
+    * along for vocabulary closure — every word stays segmentable). */
+  val UlmSeedMulti = 48
+
+  /** q360 maximum piece length (SentencePiece-style inductions cap
+    * candidate length; 4 keeps the DP fan-in and the oracle's linear
+    * recursion at a fixed width). */
+  val UlmMaxPieceLen = 4
+
+  /** q360 EM prune rounds — each is one driver-gated (≤1 row) narrowing
+    * step, the q309/q329 protocol. */
+  val UlmRounds = 2
+
+  /** Out-of-vocabulary sentinel cost: far above any reachable path cost
+    * (path ≤ |word|·64 bits), far below long overflow even summed. */
+  val UlmInf = 1L << 40
+
+  private def bits(c: Column): Column = length(bin(c)).cast("long")
+
+  /** Unigram-LM (SentencePiece-style, Kudo 2018 — public description)
+    * tokenizer induction — the OTHER production tokenizer family next to
+    * q329's BPE: instead of greedy pair merges, hold a piece VOCABULARY
+    * with costs, VITERBI-segment the word dictionary under those costs
+    * (E-step), re-cost pieces from their usage (M-step), and PRUNE the
+    * weak half of the multi-char candidates each round — [[UlmRounds]]
+    * driver-gated rounds where the only value crossing the driver is the
+    * round's lower-median prune line (≤1 row/round, q329's narrowing
+    * contract; both medians ride the output as oracle-checked columns).
+    *
+    * Exactness (the q131 machinery): piece costs are DYADIC-BIT
+    * surprisals, cost = bits(Σu) − bits(u) with bits(x) = |bin(x)| — an
+    * exact integer log₂ quantization identical in both engines — so the
+    * Viterbi DP is INTEGER arithmetic end to end and every tie is
+    * decided by rule, not rounding: minimum path cost, ties to the
+    * LONGEST piece (the segmenter convention). A production induction
+    * uses float log-likelihoods and EM expectations; the hash contract
+    * buys bit-exact replay with the same algorithmic shape (documented
+    * deviation, the q307/q131 stance).
+    *
+    * Stages: (1) SEED — all substrings of length ≤ [[UlmMaxPieceLen]]
+    * of the word dict, weighted by word frequency; every single char
+    * (vocabulary closure — words stay segmentable forever) plus the top
+    * [[UlmSeedMulti]] multi-char pieces by (count, lex) — a
+    * deterministic ORDER BY/LIMIT cut, oracle-replayed. (2) Per round:
+    * Viterbi over each word as a WITHIN-ROW fold — the per-word cost
+    * grid (position × piece-length) is built by ONE broadcast join of
+    * the exploded position grid against the piece table (never a map
+    * probe in the fold — the q325 dense-lookup lesson), the DP folds
+    * left-to-right over positions, the backwalk re-derives each chosen
+    * piece by the largest-j tie rule; usage = freq-weighted piece
+    * occurrences (multiplicity counted). Prune drops multi-char pieces
+    * under the round's lower-median usage; single chars never prune.
+    * (3) Final vocabulary census with costs, usage, and both gate
+    * values riding.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count pass);
+    * everything after is VOCAB-bounded — the grid is Σ|word|·4 rows,
+    * the piece table ≤ chars+[[UlmSeedMulti]] rows (broadcast), each
+    * round is one broadcast join + one word-keyed groupBy + map-side
+    * folds. Oracle: the seed cut and both EM rounds replayed as
+    * generated CTEs — the DP as a LINEAR recursive CTE carrying the
+    * last 4 best-costs as state (one row per (word, position), never
+    * the exponential all-segmentations closure), the backwalk as a
+    * second linear recursion, the medians as list-selection CTEs (the
+    * driver-collected literals must MATCH them — the gate itself is
+    * hash-checked). */
+  def unigramLmTokenizer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens($"text")).as("w"))
+      .filter(length($"w") >= 1)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // the ONE corpus pass; reused by grid + every round
+    // (start, len) grid per word; invalid cells (running past the word
+    // end) carry a NULL piece so no lookup can alias a shorter piece
+    val grid = words.select($"w", explode(sequence(lit(1), length($"w"))).as("st"))
+      .select($"w", $"st",
+        explode(sequence(lit(1), lit(UlmMaxPieceLen))).as("j"))
+      .withColumn("piece",
+        when($"st" + $"j" - 1 <= length($"w"), $"w".substr($"st", $"j")))
+      .localCheckpoint() // reused by the seed census and both rounds
+    // E-step: cost grid via one broadcast join, then within-row folds
+    def eStep(pieces: DataFrame): DataFrame = {
+      val cm = grid
+        .join(broadcast(pieces.select($"piece", $"cost")), Seq("piece"), "left")
+        .withColumn("pc", coalesce($"cost", lit(UlmInf)))
+        .groupBy($"w")
+        .agg(sort_array(collect_list(struct($"st", $"j", $"pc"))).as("cells"))
+        .withColumn("cm", transform($"cells", x => x.getField("pc")))
+        .select($"w", $"cm")
+      words.join(cm, "w")
+        .withColumn("best",
+          aggregate(sequence(lit(1), length($"w")), array(lit(0L)), (acc, i) => {
+            // piece ending at i with length j starts at i−j+1 → grid
+            // cell index (start−1)·4 + j = (i−j)·4 + j
+            def cand(j: Int): Column =
+              when(i >= j, element_at(acc, i - j + 1) +
+                element_at($"cm", (i - j) * 4 + j)).otherwise(lit(UlmInf))
+            concat(acc, array(least(cand(1), cand(2), cand(3), cand(4))))
+          }))
+        .withColumn("used", aggregate(
+          sequence(lit(1), length($"w")),
+          struct(length($"w").as("cur"), array().cast("array<string>").as("ps")),
+          (st, _) => {
+            val cur = st.getField("cur")
+            def cand(j: Int): Column =
+              element_at($"best", cur - j + 1) +
+                element_at($"cm", (cur - j) * 4 + j)
+            def eqj(j: Int): Column =
+              cur >= j && cand(j) === element_at($"best", cur + 1)
+            // ties to the LONGEST piece; j = 1 needs no equality check —
+            // if no longer piece achieves the minimum, the single char is
+            // the minimum by construction (chars are always in vocab)
+            val jst = when(eqj(4), 4).when(eqj(3), 3).when(eqj(2), 2)
+              .otherwise(1)
+            when(cur <= 0, st).otherwise(struct(
+              (cur - jst).as("cur"),
+              concat(st.getField("ps"),
+                array($"w".substr(cur - jst + 1, jst))).as("ps")))
+          }).getField("ps"))
+        .select($"freq", explode($"used").as("piece"))
+        .groupBy($"piece").agg(sum($"freq").as("u"))
+    }
+    // SEED: weighted substring census → chars ∪ top-K multi, bit costs
+    val subCounts = grid.filter($"piece".isNotNull)
+      .join(words.select($"w", $"freq"), "w")
+      .groupBy($"piece").agg(sum($"freq").as("c"))
+      .localCheckpoint(eager = false) // read by chars + the top-K cut
+    val seed = subCounts.filter(length($"piece") === 1)
+      .unionAll(subCounts.filter(length($"piece") > 1)
+        .orderBy($"c".desc, $"piece".asc).limit(UlmSeedMulti))
+    val ctDf = seed.agg(sum($"c").as("ct"))
+    var pieces = seed.crossJoin(broadcast(ctDf))
+      .select($"piece", (bits($"ct") - bits($"c")).as("cost"), lit(0L).as("u"))
+      .localCheckpoint()
+    val meds = Seq.newBuilder[Long]
+    for (_ <- 1 to UlmRounds) {
+      val usage = eStep(pieces)
+      val pu = pieces.select($"piece")
+        .join(usage, Seq("piece"), "left")
+        .withColumn("u", coalesce($"u", lit(0L)))
+        .localCheckpoint() // read by the gate, the prune, and the recost
+      // prune line = lower-median of the NONZERO multi-char usages: a
+      // zero-usage median would disarm the prune entirely (most seeds
+      // are never chosen by Viterbi — measured 24/48 at sf0.01), while
+      // this line kills every unused piece AND the weak half of the
+      // used ones — the SentencePiece shape
+      val med = pu.filter(length($"piece") > 1 && $"u" > 0L)
+        .agg(sort_array(collect_list($"u")).as("xs"))
+        .select(coalesce(when(size($"xs") > 0,
+          element_at($"xs", expr("(size(xs) + 1) div 2").cast("int"))),
+          lit(0L)).as("m"))
+        .head.getLong(0) // the round's ≤1-row driver gate
+      meds += med
+      val sur = pu.filter(length($"piece") === 1 ||
+        ($"u" > 0L && $"u" >= med))
+      val ut = sur.agg(sum($"u").as("ut"))
+      pieces = sur.crossJoin(broadcast(ut))
+        .select($"piece",
+          (bits($"ut") - when($"u" > 0, bits($"u")).otherwise(lit(0L)))
+            .as("cost"), $"u")
+        .localCheckpoint()
+    }
+    val medv = meds.result()
+    val np = pieces.agg(count(lit(1)).as("n_pieces"),
+      sum($"u").as("total_usage"))
+    pieces.crossJoin(broadcast(np))
+      .select($"piece", length($"piece").cast("long").as("piece_len"),
+        $"u".as("usage"), $"cost".as("cost_bits"),
+        $"n_pieces", $"total_usage", lit(UlmRounds.toLong).as("n_rounds"),
+        lit(medv(0)).as("med_r1"), lit(medv(1)).as("med_r2"))
+      .orderBy($"piece")
   }
 
   /** Hard-negative mining for contrastive training — for each probe
@@ -4879,6 +5189,7 @@ object LlmOps {
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
+    "q360_unigram_lm_tokenizer" -> unigramLmTokenizer,
     "q156_curation_funnel" -> curationFunnel,
     "q147_quality_gopher" -> qualityGopherRules,
     "q148_domain_blocklist" -> domainBlocklist,
@@ -6336,6 +6647,7 @@ object LlmOps {
          |GROUP BY sym
          |ORDER BY sym""".stripMargin,
     "q329_bpe_merge_loop" -> bpeLoopOracleSql,
+    "q360_unigram_lm_tokenizer" -> ulmOracleSql,
     "q157_bpe_merges" ->
       s"""WITH vocab AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS freq,

@@ -41,6 +41,7 @@ class EdgeCorpusSpec extends SparkSpec {
     "q128_dedup_lines", "q131_quality_unigram_lm", "q132_bm25_search",
     "q133_collocation_pmi", "q147_quality_gopher", "q148_domain_blocklist",
     "q156_curation_funnel", "q157_bpe_merges", "q329_bpe_merge_loop",
+    "q360_unigram_lm_tokenizer",
     "q332_ks_drift_stat", "q334_neyman_allocation",
     "q180_feature_hashing",
     "q181_dense_id_assignment",

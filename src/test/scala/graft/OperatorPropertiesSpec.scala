@@ -2547,6 +2547,51 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_scored") === 4L)
   }
 
+  test("q360 unigram LM: closed-form induction and the longest-piece Viterbi tie") {
+    def mkDocs(texts: Seq[String], dir: String): String = {
+      texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong + 1, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // PLANT 1 — exact tie: corpus {ab, a, b} gives seed counts a=2, b=2,
+    // ab=1 (T=5, bits 3) → cost(a)=cost(b)=1, cost(ab)=2, so Viterbi on
+    // "ab" sees [a,b] = 2 == [ab] = 2: the LONGEST-piece rule must pick
+    // "ab" (usage 1), never the char path — prune/tie determinism pinned.
+    val d1 = mkDocs(Seq("ab a b"),
+      java.nio.file.Files.createTempDirectory("ulm_tie").toString)
+    val out = SparkEntry.queries("q360_unigram_lm_tokenizer")(spark, d1)
+      .collect().map(r => r.getAs[String]("piece") -> r).toMap
+    assert(out.keySet === Set("a", "b", "ab"))
+    assert(out("ab").getAs[Long]("usage") === 1L, "tie must go to the longest piece")
+    assert(out("a").getAs[Long]("usage") === 1L)
+    assert(out("b").getAs[Long]("usage") === 1L)
+    assert(out("ab").getAs[Long]("med_r1") === 1L)
+    assert(out("ab").getAs[Long]("med_r2") === 1L)
+    // round-2 recost: ut = 3 (bits 2) → every used piece costs 2−1 = 1
+    assert(out.values.forall(_.getAs[Long]("cost_bits") === 1L))
+    assert(out("ab").getAs[Long]("total_usage") === 3L)
+    // PLANT 2 — the merge win: "xy" ×4 → cost(xy)=1 < cost(x)+cost(y)=2,
+    // Viterbi takes the multi-char piece everywhere; chars survive with
+    // zero usage (vocabulary closure) at max surprise bits(ut)=3
+    val d2 = mkDocs(Seq("xy xy", "xy xy"),
+      java.nio.file.Files.createTempDirectory("ulm_merge").toString)
+    val o2 = SparkEntry.queries("q360_unigram_lm_tokenizer")(spark, d2)
+      .collect().map(r => r.getAs[String]("piece") -> r).toMap
+    assert(o2.keySet === Set("x", "y", "xy"))
+    assert(o2("xy").getAs[Long]("usage") === 4L)
+    assert(o2("xy").getAs[Long]("cost_bits") === 0L, "bits(4)-bits(4)")
+    assert(o2("x").getAs[Long]("usage") === 0L)
+    assert(o2("x").getAs[Long]("cost_bits") === 3L, "unused char at bits(ut)")
+    // fixture: the prune gate actually narrows (48 multi seeds shrink)
+    val fx = SparkEntry.queries("q360_unigram_lm_tokenizer")(spark, sfDir).collect()
+    val nMulti = fx.count(_.getAs[Long]("piece_len") > 1L)
+    assert(nMulti > 0 && nMulti < graft.queries.LlmOps.UlmSeedMulti,
+      s"prune must fire: $nMulti multi-char survivors of ${graft.queries.LlmOps.UlmSeedMulti}")
+    assert(fx.forall(_.getAs[Long]("med_r1") > 0L))
+  }
+
   test("q352 retrieval eval: all-relevant and none-relevant extremes, mean law") {
     // all ten vectors share a label → every query's rank 1 is relevant:
     // rr = 1, p@5 = 1, mrr = 1
