@@ -4759,19 +4759,32 @@ object LlmOps {
         element_at($"p", 2).as("y1"))
       .withColumn("cx", floor($"y0" / lit(DbscanEps)).cast("long"))
       .withColumn("cy", floor($"y1" / lit(DbscanEps)).cast("long"))
+      .withColumn("eps2", lit(DbscanEps2))
+    dbscanCensus(pts).orderBy($"cluster_id")
+  }
+
+  /** The grid-DBSCAN chain from candidate join to census, shared by
+    * q345 (constant ε) and q361 (data-driven ε): expects
+    * (vec_id, y0, y1, cx, cy, eps2) where cx/cy are the ε-grid cell of
+    * the point and eps2 the squared radius each row compares against.
+    * Returns the UNORDERED cluster census (callers order). */
+  private def dbscanCensus(ptsIn: DataFrame): DataFrame = {
+    val s = ptsIn.sparkSession
+    import s.implicits._
+    val pts = ptsIn
       .localCheckpoint(eager = false) // read by probe/build sides + total
     val probe = pts
       .select($"vec_id".as("ia"), $"y0".as("xa"), $"y1".as("ya"),
-        $"cx", $"cy")
+        $"cx", $"cy", $"eps2")
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select($"ia", $"xa", $"ya",
+      .select($"ia", $"xa", $"ya", $"eps2",
         ($"cx" + $"dx").as("gx"), ($"cy" + $"dy").as("gy"))
     val build = pts.select($"vec_id".as("ib"), $"y0".as("xb"),
       $"y1".as("yb"), $"cx".as("gx"), $"cy".as("gy"))
     val nbr = probe.join(build, Seq("gx", "gy"))
       .filter(($"xa" - $"xb") * ($"xa" - $"xb") +
-        ($"ya" - $"yb") * ($"ya" - $"yb") <= lit(DbscanEps2))
+        ($"ya" - $"yb") * ($"ya" - $"yb") <= $"eps2")
       .select($"ia", $"ib") // symmetric; includes the self-pair
       .localCheckpoint(eager = false) // read by degrees + edges + borders
     val deg = nbr.groupBy($"ia").agg(count(lit(1)).as("nn"))
@@ -4826,6 +4839,61 @@ object LlmOps {
       .select($"cluster_id", $"n_core", $"n_border",
         ($"n_core" + $"n_border").as("n_points"))
       .unionAll(noiseRow)
+  }
+
+  /** q361 target mean ε-cell occupancy (≈ MinPts − 1: aim each ε-cell
+    * at roughly a core neighborhood's worth of points). */
+  val DbscanTargetOcc = 4.0
+
+  /** q361 ε lattice clamp: chosen ε lives on the 1/16 dyadic lattice in
+    * [1/16, 4]. Dyadic lattice values are EXACT doubles, so ε·ε is one
+    * identical IEEE multiply in both engines — the q345 eps²-literal
+    * trap does not reopen for the derived radius. */
+  val DbscanEpsMin = 0.0625
+  val DbscanEpsMax = 4.0
+
+  /** Grid DBSCAN with a DATA-DRIVEN ε — closes q345's documented
+    * density precondition the way q205 closed salting (advisor →
+    * actuator): the production contract is ε ∝ density⁻½, so derive it
+    * per corpus snapshot instead of freezing it. One bounded density
+    * census at the q345 probe scale (occupied 0.2-cells and their
+    * populations — census rows are density-bounded, never corpus-
+    * bounded) gives the mean occupancy m = n/occ; the radius is
+    * ε = 0.2·√([[DbscanTargetOcc]]/m), floored to the 1/16 lattice and
+    * clamped ([[DbscanEpsMin]], [[DbscanEpsMax]]) so the oracle replays
+    * the EXACT choice (√ is a correctly-rounded IEEE op — portable; the
+    * lattice value is an exact double, so cell keys and ε² agree
+    * bitwise). The chosen ε and the census evidence ride every output
+    * row as oracle-checked columns; the clustering itself is q345's
+    * chain unchanged. As the corpus densifies 10×, ε shrinks ~√10 and
+    * per-cell populations stay ~[[DbscanTargetOcc]] — the ε-pair count
+    * grows LINEARLY where q345's fixed ε measured 4.7× (soak table in
+    * docs/PLANS.md). */
+  def dbscanAutoEps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val proj = jlProjected(s, dir, 2)
+      .select($"vec_id", element_at($"p", 1).as("y0"),
+        element_at($"p", 2).as("y1"))
+      .localCheckpoint(eager = false) // read by the density census + pts
+    val pcen = proj
+      .select(floor($"y0" / lit(DbscanEps)).as("px"),
+        floor($"y1" / lit(DbscanEps)).as("py"))
+      .groupBy($"px", $"py").agg(count(lit(1)).as("pc"))
+    val epsDf = pcen
+      .agg(count(lit(1)).as("occ"), sum($"pc").as("n"))
+      .select($"occ", $"n",
+        greatest(lit(DbscanEpsMin), least(lit(DbscanEpsMax),
+          floor(lit(DbscanEps) * sqrt(lit(DbscanTargetOcc) *
+            ($"occ".cast("double") / $"n".cast("double"))) * lit(16.0))
+            / lit(16.0))).as("eps"))
+    val pts = proj.crossJoin(broadcast(epsDf.select($"eps")))
+      .withColumn("cx", floor($"y0" / $"eps").cast("long"))
+      .withColumn("cy", floor($"y1" / $"eps").cast("long"))
+      .withColumn("eps2", $"eps" * $"eps")
+      .select($"vec_id", $"y0", $"y1", $"cx", $"cy", $"eps2")
+    dbscanCensus(pts)
+      .crossJoin(broadcast(epsDf.select($"eps".as("eps_chosen"),
+        $"occ".as("probe_cells"), $"n".as("n_probe_points"))))
       .orderBy($"cluster_id")
   }
 
@@ -5148,6 +5216,7 @@ object LlmOps {
     "q352_retrieval_eval_census" -> retrievalEvalCensus,
     "q358_ndcg_at_10" -> ndcgAt10,
     "q345_dbscan_grid" -> dbscanGrid,
+    "q361_dbscan_auto_eps" -> dbscanAutoEps,
     "q349_textrank_keywords" -> textrankKeywords,
     "q348_bootstrap_ci" -> bootstrapCi,
     "q347_quantile_normalization" -> quantileNormalization,
@@ -5544,6 +5613,88 @@ object LlmOps {
          |  SELECT lab, CAST(count(*) AS BIGINT) AS n_border FROM border GROUP BY 1
          |)
          |SELECT * FROM (
+         |  SELECT cc.lab AS cluster_id, n_core,
+         |         CAST(coalesce(n_border, 0) AS BIGINT) AS n_border,
+         |         n_core + CAST(coalesce(n_border, 0) AS BIGINT) AS n_points
+         |  FROM cc LEFT JOIN bc ON cc.lab = bc.lab
+         |  UNION ALL
+         |  SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |         (SELECT CAST(count(*) AS BIGINT) FROM pts)
+         |         - (SELECT CAST(coalesce(sum(n_core), 0) AS BIGINT) FROM cc)
+         |         - (SELECT CAST(coalesce(sum(n_border), 0) AS BIGINT) FROM bc)
+         |)
+         |ORDER BY cluster_id""".stripMargin,
+    // q345's replay with the ε-derivation CTE ahead of it: the probe
+    // census, the clamped lattice ε (√ is correctly-rounded IEEE — the
+    // one float op before the exact dyadic ε), and the same recursive
+    // reachability; the chosen ε rides the output
+    "q361_dbscan_auto_eps" ->
+      s"""WITH RECURSIVE proj AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(range(0, 2), j ->
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(embedding, (x, i) ->
+         |          (CASE WHEN CAST(('0x' || substr(md5('jl:'
+         |                  || CAST(i - 1 AS VARCHAR) || ':'
+         |                  || CAST(j AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+         |                THEN 1.0 ELSE -1.0 END) * CAST(x AS DOUBLE))),
+         |        (a, v) -> a + v)) AS p
+         |  FROM embeddings
+         |), pcen AS MATERIALIZED (
+         |  SELECT floor(p[1] / $DbscanEps) AS px, floor(p[2] / $DbscanEps) AS py,
+         |         CAST(count(*) AS BIGINT) AS pc
+         |  FROM proj GROUP BY 1, 2
+         |), epsc AS MATERIALIZED (
+         |  SELECT occ, n,
+         |         greatest($DbscanEpsMin, least($DbscanEpsMax,
+         |           floor($DbscanEps * sqrt($DbscanTargetOcc *
+         |             (CAST(occ AS DOUBLE) / CAST(n AS DOUBLE))) * 16.0)
+         |             / 16.0)) AS eps
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS occ,
+         |               CAST(sum(pc) AS BIGINT) AS n
+         |        FROM pcen)
+         |), pts AS MATERIALIZED (
+         |  SELECT vec_id, p[1] AS y0, p[2] AS y1,
+         |         CAST(floor(p[1] / eps) AS BIGINT) AS cx,
+         |         CAST(floor(p[2] / eps) AS BIGINT) AS cy,
+         |         eps * eps AS eps2
+         |  FROM proj, epsc
+         |), nbr AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM (SELECT pts.*, dx, dy FROM pts,
+         |          (SELECT unnest([-1, 0, 1]) AS dx),
+         |          (SELECT unnest([-1, 0, 1]) AS dy)) a
+         |  JOIN pts b ON a.cx + a.dx = b.cx AND a.cy + a.dy = b.cy
+         |  WHERE (a.y0 - b.y0) * (a.y0 - b.y0)
+         |        + (a.y1 - b.y1) * (a.y1 - b.y1) <= a.eps2
+         |), deg AS MATERIALIZED (
+         |  SELECT ia, count(*) AS nn FROM nbr GROUP BY 1
+         |), cores AS MATERIALIZED (
+         |  SELECT ia AS v FROM deg WHERE nn >= $DbscanMinPts
+         |), ce AS MATERIALIZED (
+         |  SELECT ia, ib FROM nbr
+         |  WHERE ia IN (SELECT v FROM cores) AND ib IN (SELECT v FROM cores)
+         |), reach(v, r) AS (
+         |  SELECT v, v FROM cores
+         |  UNION
+         |  SELECT x.v, e.ib FROM reach x JOIN ce e ON x.r = e.ia
+         |), labels AS MATERIALIZED (
+         |  SELECT v AS doc, CAST(min(r) AS BIGINT) AS lab
+         |  FROM reach GROUP BY 1
+         |), border AS MATERIALIZED (
+         |  SELECT n.ia, CAST(min(l.lab) AS BIGINT) AS lab
+         |  FROM nbr n JOIN labels l ON n.ib = l.doc
+         |  WHERE n.ia IN (SELECT ia FROM deg WHERE nn < $DbscanMinPts)
+         |  GROUP BY 1
+         |), cc AS MATERIALIZED (
+         |  SELECT lab, CAST(count(*) AS BIGINT) AS n_core FROM labels GROUP BY 1
+         |), bc AS MATERIALIZED (
+         |  SELECT lab, CAST(count(*) AS BIGINT) AS n_border FROM border GROUP BY 1
+         |)
+         |SELECT *, (SELECT eps FROM epsc) AS eps_chosen,
+         |       (SELECT occ FROM epsc) AS probe_cells,
+         |       (SELECT n FROM epsc) AS n_probe_points
+         |FROM (
          |  SELECT cc.lab AS cluster_id, n_core,
          |         CAST(coalesce(n_border, 0) AS BIGINT) AS n_border,
          |         n_core + CAST(coalesce(n_border, 0) AS BIGINT) AS n_points

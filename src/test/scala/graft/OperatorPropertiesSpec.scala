@@ -2592,6 +2592,39 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fx.forall(_.getAs[Long]("med_r1") > 0L))
   }
 
+  test("q361 auto-ε DBSCAN: lattice law, JVM replay of the choice, density response") {
+    import graft.queries.LlmOps._
+    def run(dir: String) = SparkEntry.queries("q361_dbscan_auto_eps")(spark, dir).collect()
+    val base = run(sfDir)
+    val eps = base.head.getAs[Double]("eps_chosen")
+    // lattice law: ε is a 1/16-dyadic in the clamp band (exact double)
+    assert(eps * 16.0 == math.floor(eps * 16.0))
+    assert(eps >= DbscanEpsMin && eps <= DbscanEpsMax)
+    // JVM replay of the advisor from the riding census evidence
+    val occ = base.head.getAs[Long]("probe_cells").toDouble
+    val n = base.head.getAs[Long]("n_probe_points").toDouble
+    val expected = math.max(DbscanEpsMin, math.min(DbscanEpsMax,
+      math.floor(DbscanEps * math.sqrt(DbscanTargetOcc * (occ / n)) * 16.0) / 16.0))
+    assert(eps === expected, "the driver-visible ε must equal the census formula")
+    // partition law: every vector lands in exactly one census row
+    val nVec = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(base.map(_.getAs[Long]("n_points")).sum === nVec)
+    // density response: 4× the same points in the same volume must
+    // HALVE the radius (√4), here 0.25 → 0.125 — the ε ∝ density⁻½
+    // contract q345's fixed radius cannot honor
+    val dir = java.nio.file.Files.createTempDirectory("autoeps").toString
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val k = 1000000L
+    (0 until 4).map(i => e.withColumn("vec_id", $"vec_id" + lit(i * k)))
+      .reduce(_ unionAll _)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dense = run(dir)
+    val epsDense = dense.head.getAs[Double]("eps_chosen")
+    assert(epsDense === eps / 2.0,
+      s"4x density must halve the lattice radius ($eps -> $epsDense)")
+    assert(dense.map(_.getAs[Long]("n_points")).sum === nVec * 4)
+  }
+
   test("q352 retrieval eval: all-relevant and none-relevant extremes, mean law") {
     // all ten vectors share a label → every query's rank 1 is relevant:
     // rr = 1, p@5 = 1, mrr = 1
