@@ -5153,6 +5153,85 @@ object LlmOps {
       .orderBy($"qid")
   }
 
+  /** q362 RBO depth (the rankings compared are the q352-style top-10s)
+    * and the exact dyadic score scale: with persistence p = 1/2,
+    * RBO@10 = Σ_d X_d/(2^d·d), so scoring in units of
+    * 1/(2¹⁰·lcm(1..10)) = 1/2580480 makes every term an exact integer
+    * (the q318 lcm trick) — identical rankings score 1023/1024 (the
+    * documented prefix-truncation ceiling of extrapolation-free RBO). */
+  val RboDepth = 10
+  val RboScale = 2580480L // 2^10 · lcm(1..10) = 1024 · 2520
+
+  /** Per-depth integer RBO coefficients: coef(d) = (2520/d)·2^(10−d). */
+  val RboCoef: Seq[Long] =
+    (1 to RboDepth).map(d => (2520L / d) * (1L << (RboDepth - d)))
+
+  /** Rank-biased overlap (Webber–Moffat–Zobel 2010) between the EXACT
+    * cosine ranking and the JL-compressed (16-d, q344) cosine ranking —
+    * the index-FIDELITY audit beside q352's label-relevance eval: when
+    * an ANN index ranks on compressed vectors, RBO@10 with p = 1/2
+    * measures how much of the top-weighted ranking the compression
+    * kept, weighting depth d by p^(d−1) (disagreement at rank 1 costs
+    * 512× rank 10 — the user-facing weighting plain overlap misses).
+    * Both rankings and the prefix-overlap profile X_1..X_10 are exact
+    * (integer ids, the established bitwise cosine trees); the score is
+    * an exact integer in 1/[[RboScale]] units ([[RboCoef]]) with ONE
+    * final divide. Identical prefixes score exactly 1023/1024
+    * ([[RboScale]] ceiling — prefix-truncated RBO, no extrapolation;
+    * documented), disjoint prefixes exactly 0. Scale: two q45-shape
+    * broadcast panel scans (the corpus never shuffles); the JL ranker
+    * pays the q344 projection scan; everything downstream is
+    * panel-bounded. */
+  def rboIndexFidelity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dcos(a: Column, b: Column): Column = {
+      def dot(x: Column, y: Column) =
+        aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    }
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid".asc)
+    def topIds(ranked: DataFrame): DataFrame = ranked
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= RboDepth)
+      .groupBy($"qid")
+      .agg(transform(sort_array(collect_list(struct($"rn", $"vid"))),
+        x => x.getField("vid")).as("ids"))
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < IrEvalQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("vid"), $"embedding".as("ve"))
+    val exactTop = topIds(broadcast(q).join(c, $"qid" =!= $"vid")
+      .withColumn("cos", graft.operators.VectorOps.cosine(s)($"qe", $"ve")))
+      .select($"qid", $"ids".as("s_ids"))
+    val proj = jlProjected(s, dir, JlDims).select($"vec_id", $"p")
+      .localCheckpoint(eager = false) // read by the panel AND corpus sides
+    val qp = proj.filter($"vec_id" < IrEvalQueries)
+      .select($"vec_id".as("qid"), $"p".as("pq"))
+    val cp = proj.select($"vec_id".as("vid"), $"p".as("pv"))
+    val jlTop = topIds(broadcast(qp).join(cp, $"qid" =!= $"vid")
+      .withColumn("cos", dcos($"pq", $"pv")))
+      .select($"qid".as("qid2"), $"ids".as("t_ids"))
+    def xd(d: Int): Column =
+      size(array_intersect(slice($"s_ids", 1, d), slice($"t_ids", 1, d)))
+        .cast("long")
+    val per = exactTop.join(jlTop, $"qid" === $"qid2")
+      .withColumn("overlap_at_10", xd(RboDepth))
+      .withColumn("rbo_scaled",
+        RboCoef.zipWithIndex.map { case (cf, i) => xd(i + 1) * lit(cf) }
+          .reduce(_ + _))
+      .withColumn("rbo", ratio($"rbo_scaled", lit(RboScale)))
+      .select($"qid", $"overlap_at_10", $"rbo_scaled", $"rbo")
+    val glob = per
+      .agg(sort_array(collect_list(struct($"qid", $"rbo".as("r")))).as("gs"))
+      .select(size($"gs").cast("long").as("n_queries"), $"gs")
+      .select($"n_queries",
+        when($"n_queries" > 0L, aggregate($"gs", lit(0.0),
+          (a, x) => a + x.getField("r")) / $"n_queries".cast("double"))
+          .as("mean_rbo"))
+    per.crossJoin(broadcast(glob))
+      .orderBy($"qid")
+  }
+
   /** Skip-gram training-pair generation with frequency subsampling
     * (Mikolov et al. 2013's word2vec recipe, public description) — the
     * pipeline stage that turns a corpus into embedding training pairs:
@@ -5215,6 +5294,7 @@ object LlmOps {
     "q351_ece_calibration" -> eceCalibration,
     "q352_retrieval_eval_census" -> retrievalEvalCensus,
     "q358_ndcg_at_10" -> ndcgAt10,
+    "q362_rbo_index_fidelity" -> rboIndexFidelity,
     "q345_dbscan_grid" -> dbscanGrid,
     "q361_dbscan_auto_eps" -> dbscanAutoEps,
     "q349_textrank_keywords" -> textrankKeywords,
@@ -5624,6 +5704,71 @@ object LlmOps {
          |         - (SELECT CAST(coalesce(sum(n_border), 0) AS BIGINT) FROM bc)
          |)
          |ORDER BY cluster_id""".stripMargin,
+    // exact-cosine and JL-cosine top-10s (q352 scan + q344 projection),
+    // prefix intersections per depth, the integer coefficient fold, one
+    // divide; the panel mean folds qid-sorted (q352's pattern)
+    "q362_rbo_index_fidelity" -> {
+      def dd(a: String, b: String): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list_transform($a, (x, i) -> x * ($b)[i])), (s2, v) -> s2 + v)""".stripMargin
+      def dcosSql(a: String, b: String): String =
+        s"(${dd(a, b)}) / (sqrt(${dd(a, a)}) * sqrt(${dd(b, b)}))"
+      val xdTerms = RboCoef.zipWithIndex.map { case (cf, i) =>
+        val d = i + 1
+        s"$cf * CAST(len(list_intersect(s_ids[1:$d], t_ids[1:$d])) AS BIGINT)"
+      }.mkString("\n         |         + ")
+      s"""WITH proj AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(range(0, $JlDims), j ->
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(embedding, (x, i) ->
+         |          (CASE WHEN CAST(('0x' || substr(md5('jl:'
+         |                  || CAST(i - 1 AS VARCHAR) || ':'
+         |                  || CAST(j AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+         |                THEN 1.0 ELSE -1.0 END) * CAST(x AS DOUBLE))),
+         |        (a, v) -> a + v)) AS p
+         |  FROM embeddings
+         |), sarr AS MATERIALIZED (
+         |  SELECT qid, list(vid ORDER BY rn) AS s_ids FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+         |                      c.vec_id ASC) AS rn
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < $IrEvalQueries) q
+         |    JOIN (SELECT * FROM embeddings) c ON q.vec_id <> c.vec_id)
+         |  WHERE rn <= $RboDepth GROUP BY 1
+         |), tarr AS MATERIALIZED (
+         |  SELECT qid, list(vid ORDER BY rn) AS t_ids FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dcosSql("q.p", "c.p")} DESC,
+         |                      c.vec_id ASC) AS rn
+         |    FROM (SELECT * FROM proj WHERE vec_id < $IrEvalQueries) q
+         |    JOIN (SELECT * FROM proj) c ON q.vec_id <> c.vec_id)
+         |  WHERE rn <= $RboDepth GROUP BY 1
+         |), per AS MATERIALIZED (
+         |  SELECT s.qid,
+         |         CAST(len(list_intersect(s_ids[1:$RboDepth],
+         |                                 t_ids[1:$RboDepth])) AS BIGINT)
+         |           AS overlap_at_10,
+         |         $xdTerms AS rbo_scaled
+         |  FROM sarr s JOIN tarr t ON s.qid = t.qid
+         |), sc AS MATERIALIZED (
+         |  SELECT qid, overlap_at_10, rbo_scaled,
+         |         ${ratioSql("rbo_scaled", RboScale.toString)} AS rbo
+         |  FROM per
+         |), panelg AS (
+         |  SELECT CAST(len(gs) AS BIGINT) AS n_queries,
+         |         CASE WHEN len(gs) > 0 THEN
+         |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform(gs, x -> x.r)), (a, b) -> a + b)
+         |           / CAST(len(gs) AS DOUBLE) END AS mean_rbo
+         |  FROM (SELECT list(struct_pack(qid := qid, r := rbo)
+         |                 ORDER BY qid) AS gs FROM sc)
+         |)
+         |SELECT qid, overlap_at_10, rbo_scaled, rbo, n_queries, mean_rbo
+         |FROM sc, panelg ORDER BY qid""".stripMargin
+    },
     // q345's replay with the ε-derivation CTE ahead of it: the probe
     // census, the clamped lattice ε (√ is correctly-rounded IEEE — the
     // one float op before the exact dyadic ε), and the same recursive

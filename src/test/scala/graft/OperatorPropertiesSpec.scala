@@ -2592,6 +2592,40 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fx.forall(_.getAs[Long]("med_r1") > 0L))
   }
 
+  test("q362 RBO: coefficient identities, identical-ranking ceiling, fixture bounds") {
+    import graft.queries.LlmOps.{RboCoef, RboScale, RboDepth}
+    // authoring-time identities: coef(d) = (2520/d)·2^(10−d), and a
+    // perfect prefix profile X_d = d folds to the 1023/1024 ceiling
+    RboCoef.zipWithIndex.foreach { case (c, i) =>
+      assert(c === (2520L / (i + 1)) * (1L << (RboDepth - i - 1)))
+    }
+    assert(RboCoef.zipWithIndex.map { case (c, i) => c * (i + 1) }.sum ===
+      RboScale * 1023L / 1024L)
+    // identical vectors → every cosine bit-identical on BOTH rankers →
+    // both rankings are the vid tie-break order → rbo = 1023/1024 EXACTLY
+    val dir = java.nio.file.Files.createTempDirectory("rbo").toString
+    (0 until 12).map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val same = SparkEntry.queries("q362_rbo_index_fidelity")(spark, dir).collect()
+    assert(same.length === 8)
+    same.foreach { r =>
+      assert(r.getAs[Long]("overlap_at_10") === 10L)
+      assert(r.getAs[Long]("rbo_scaled") === RboScale * 1023L / 1024L)
+      assert(r.getAs[Double]("rbo") === 1023.0 / 1024.0)
+      assert(r.getAs[Double]("mean_rbo") === 1023.0 / 1024.0)
+    }
+    // fixture: scores live in [0, 1023/1024]; the mean is the column mean
+    val fx = SparkEntry.queries("q362_rbo_index_fidelity")(spark, sfDir).collect()
+    assert(fx.forall(r => r.getAs[Double]("rbo") >= 0.0 &&
+      r.getAs[Double]("rbo") <= 1023.0 / 1024.0))
+    assert(math.abs(fx.head.getAs[Double]("mean_rbo") -
+      fx.map(_.getAs[Double]("rbo")).sum / fx.length) < 1e-12)
+    // the compressed ranking must actually retain signal on the fixture
+    // (16-d JL of clustered embeddings): positive mean overlap
+    assert(fx.map(_.getAs[Long]("overlap_at_10")).sum > 0L)
+  }
+
   test("q361 auto-ε DBSCAN: lattice law, JVM replay of the choice, density response") {
     import graft.queries.LlmOps._
     def run(dir: String) = SparkEntry.queries("q361_dbscan_auto_eps")(spark, dir).collect()
