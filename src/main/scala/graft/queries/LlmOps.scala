@@ -4897,6 +4897,61 @@ object LlmOps {
       .orderBy($"cluster_id")
   }
 
+  /** Adjusted Rand index (Hubert–Arabie 1985, public description)
+    * between the embedding LABEL partition and the JL-grid-cell
+    * partition (each point's 0.2-cell of the 2-d projection — the
+    * quantization clustering underlying q345) — the external
+    * cluster-agreement EVAL next to q345/q361's clustering and q352's
+    * retrieval eval: RI is the share of point pairs the two partitions
+    * agree on; ARI rescales so independent partitions score ~0 and
+    * identical ones exactly 1. Everything is exact pair counting on
+    * DOUBLED sums (x·(x−1) — always even, so no half-pairs ever form):
+    * Sij₂/Sa₂/Sb₂ over the contingency census, combined in
+    * decimal(38,0) cross-multiplies (P₂·Sij₂ ~ n⁴ passes long at ~10⁵
+    * points), ONE divide each for RI and ARI. Single-cluster-vs-labels
+    * degenerate: ARI = 0 exactly (numerator vanishes — spec-planted);
+    * identical partitions: ARI = 1.0 exactly (numerator ≡ denominator).
+    *
+    * Scale shape: one keyed join attaches labels to projections; the
+    * contingency census is (label × occupied-cell)-bounded; margins
+    * and the final folds are census-sized aggs. */
+  def adjustedRandIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val cells = jlProjected(s, dir, 2)
+      .select($"vec_id",
+        concat_ws(":",
+          floor(element_at($"p", 1) / lit(DbscanEps)).cast("long"),
+          floor(element_at($"p", 2) / lit(DbscanEps)).cast("long")).as("cell"))
+      .join(Tables.embeddings(s, dir).select($"vec_id", $"label"), "vec_id")
+    val cont = cells.groupBy($"label", $"cell")
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // read by Sij, both margins, and the totals
+    val sij = cont.agg(sum($"nij" * ($"nij" - 1L)).as("s2ij"),
+      sum($"nij").as("n"), countDistinct($"label").as("n_labels"),
+      countDistinct($"cell").as("n_cells"))
+    val sa = cont.groupBy($"label").agg(sum($"nij").as("ai"))
+      .agg(sum($"ai" * ($"ai" - 1L)).as("s2a"))
+    val sb = cont.groupBy($"cell").agg(sum($"nij").as("bj"))
+      .agg(sum($"bj" * ($"bj" - 1L)).as("s2b"))
+    sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("p2", ($"n" * ($"n" - 1L)).cast(d38))
+      .withColumn("ri_num", $"p2" - $"s2a" - $"s2b" + lit(2L) * $"s2ij")
+      .withColumn("ari_num",
+        lit(2L) * ($"p2" * $"s2ij" - $"s2a".cast(d38) * $"s2b"))
+      .withColumn("ari_den",
+        $"p2" * ($"s2a" + $"s2b") - lit(2L) * $"s2a".cast(d38) * $"s2b")
+      .select($"n", $"n_labels", $"n_cells", $"s2ij", $"s2a", $"s2b",
+        when($"p2" > 0, $"ri_num".cast("double") / $"p2".cast("double"))
+          .as("rand_index"),
+        // ari_den = 0 ⟺ both partitions are the SAME trivial partition
+        // (both all-singletons or both one-cluster) — perfect agreement,
+        // the scikit-learn 0/0 → 1 convention
+        when($"ari_den" =!= 0,
+          $"ari_num".cast("double") / $"ari_den".cast("double"))
+          .otherwise(lit(1.0)).as("ari"))
+  }
+
   /** q350 panel/selection sizes: 6 queries × 10 candidates → 5 picks. */
   val MmrQueries = 6
   val MmrCandidates = 10
@@ -5295,6 +5350,7 @@ object LlmOps {
     "q352_retrieval_eval_census" -> retrievalEvalCensus,
     "q358_ndcg_at_10" -> ndcgAt10,
     "q362_rbo_index_fidelity" -> rboIndexFidelity,
+    "q363_adjusted_rand_index" -> adjustedRandIndex,
     "q345_dbscan_grid" -> dbscanGrid,
     "q361_dbscan_auto_eps" -> dbscanAutoEps,
     "q349_textrank_keywords" -> textrankKeywords,
@@ -5704,6 +5760,60 @@ object LlmOps {
          |         - (SELECT CAST(coalesce(sum(n_border), 0) AS BIGINT) FROM bc)
          |)
          |ORDER BY cluster_id""".stripMargin,
+    // the label × JL-grid-cell contingency census; all pair counting on
+    // doubled sums (x·(x−1)), HUGEINT cross-multiplies, one divide each
+    "q363_adjusted_rand_index" ->
+      s"""WITH proj AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(range(0, 2), j ->
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(embedding, (x, i) ->
+         |          (CASE WHEN CAST(('0x' || substr(md5('jl:'
+         |                  || CAST(i - 1 AS VARCHAR) || ':'
+         |                  || CAST(j AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+         |                THEN 1.0 ELSE -1.0 END) * CAST(x AS DOUBLE))),
+         |        (a, v) -> a + v)) AS p
+         |  FROM embeddings
+         |), cont AS MATERIALIZED (
+         |  SELECT e.label,
+         |         concat_ws(':',
+         |           CAST(CAST(floor(p[1] / $DbscanEps) AS BIGINT) AS VARCHAR),
+         |           CAST(CAST(floor(p[2] / $DbscanEps) AS BIGINT) AS VARCHAR))
+         |           AS cell,
+         |         CAST(count(*) AS BIGINT) AS nij
+         |  FROM proj
+         |  JOIN (SELECT vec_id, label FROM embeddings) e USING (vec_id)
+         |  GROUP BY 1, 2
+         |), sij AS (
+         |  SELECT CAST(sum(nij * (nij - 1)) AS BIGINT) AS s2ij,
+         |         CAST(sum(nij) AS BIGINT) AS n,
+         |         CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+         |         CAST(count(DISTINCT cell) AS BIGINT) AS n_cells
+         |  FROM cont
+         |), sa AS (
+         |  SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) AS s2a
+         |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS ai FROM cont GROUP BY label)
+         |), sb AS (
+         |  SELECT CAST(sum(bj * (bj - 1)) AS BIGINT) AS s2b
+         |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS bj FROM cont GROUP BY cell)
+         |), comb AS (
+         |  SELECT n, n_labels, n_cells, s2ij, s2a, s2b,
+         |         CAST(n AS HUGEINT) * (n - 1) AS p2,
+         |         CAST(n AS HUGEINT) * (n - 1) - s2a - s2b + 2 * s2ij AS ri_num,
+         |         2 * (CAST(n AS HUGEINT) * (n - 1) * s2ij
+         |              - CAST(s2a AS HUGEINT) * s2b) AS ari_num,
+         |         CAST(n AS HUGEINT) * (n - 1) * (s2a + s2b)
+         |           - 2 * (CAST(s2a AS HUGEINT) * s2b) AS ari_den
+         |  FROM sij, sa, sb
+         |)
+         |SELECT n, n_labels, n_cells, s2ij, s2a, s2b,
+         |       CASE WHEN p2 > 0
+         |            THEN CAST(ri_num AS DOUBLE) / CAST(p2 AS DOUBLE)
+         |       END AS rand_index,
+         |       CASE WHEN ari_den <> 0
+         |            THEN CAST(ari_num AS DOUBLE) / CAST(ari_den AS DOUBLE)
+         |            ELSE 1.0 END AS ari
+         |FROM comb""".stripMargin,
     // exact-cosine and JL-cosine top-10s (q352 scan + q344 projection),
     // prefix intersections per depth, the integer coefficient fold, one
     // divide; the panel mean folds qid-sorted (q352's pattern)

@@ -2626,6 +2626,40 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fx.map(_.getAs[Long]("overlap_at_10")).sum > 0L)
   }
 
+  test("q363 ARI: identical partitions hit 1.0, one-cluster hits 0.0, trivial 0/0 is 1.0") {
+    def run(rows: Seq[(Long, Array[Float], Int)]): org.apache.spark.sql.Row = {
+      val dir = java.nio.file.Files.createTempDirectory("ari").toString
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      SparkEntry.queries("q363_adjusted_rand_index")(spark, dir).collect()(0)
+    }
+    // three label cohorts with IDENTICAL in-cohort vectors, far apart:
+    // each cohort projects to one grid cell, cohorts to distinct cells
+    // (|proj| = 64·g on each axis vs cell width 0.2) → the partitions
+    // coincide → numerator ≡ denominator → ARI = 1.0 EXACTLY
+    val ident = run(for (g <- 1 to 3; i <- 0 until 4)
+      yield (((g - 1) * 4 + i).toLong, Array(g * 64.0f, 0f, 0f, 0f), g))
+    assert(ident.getAs[Long]("n_cells") === 3L)
+    assert(ident.getAs[Double]("ari") === 1.0)
+    assert(ident.getAs[Double]("rand_index") === 1.0)
+    // all vectors identical, labels split → the cell partition is ONE
+    // cluster: Sij₂ = Sa₂ makes the ARI numerator vanish → 0.0 EXACTLY
+    val onecell = run(for (g <- 1 to 3; i <- 0 until 4)
+      yield (((g - 1) * 4 + i).toLong, Array(1f, 2f, 3f, 4f), g))
+    assert(onecell.getAs[Long]("n_cells") === 1L)
+    assert(onecell.getAs[Double]("ari") === 0.0)
+    // both partitions the same trivial one-cluster → 0/0 → the 1.0
+    // perfect-agreement convention
+    val trivial = run((0 until 6).map(i => (i.toLong, Array(1f, 2f, 3f, 4f), 7)))
+    assert(trivial.getAs[Double]("ari") === 1.0)
+    assert(trivial.getAs[Double]("rand_index") === 1.0)
+    // fixture: RI high (agreement dominated by cross-pairs), ARI near 0
+    // (the 0.2-grid over-fragments 500 points into ~300 cells — honest)
+    val fx = SparkEntry.queries("q363_adjusted_rand_index")(spark, sfDir).collect()(0)
+    assert(fx.getAs[Double]("rand_index") > 0.5)
+    assert(math.abs(fx.getAs[Double]("ari")) < 0.5)
+  }
+
   test("q361 auto-ε DBSCAN: lattice law, JVM replay of the choice, density response") {
     import graft.queries.LlmOps._
     def run(dir: String) = SparkEntry.queries("q361_dbscan_auto_eps")(spark, dir).collect()
