@@ -5079,6 +5079,70 @@ object LlmOps {
       .orderBy($"bin")
   }
 
+  /** Cohen's kappa + confusion census for the q48/q351 language-ID
+    * scorer — the chance-corrected AGREEMENT eval beside q351's
+    * calibration: raw accuracy (p_o) flatters a classifier whenever one
+    * class dominates; kappa subtracts the agreement the margins alone
+    * would produce, κ = (N·D − Σ_k r_k·c_k)/(N² − Σ_k r_k·c_k) — both
+    * sides exact integers in decimal(38,0) (N² passes long past ~3·10⁹
+    * docs), ONE divide, alongside p_o and p_e as identically-shaped
+    * single divides. The census is the ≤16-cell confusion matrix over
+    * the 4-language domain with the kappa panel riding every row;
+    * marker-less docs and foreign-language docs are excluded and
+    * censused (n_unscored / n_foreign). Degenerate single-diagonal-cell
+    * corpus (p_e = 1): κ is 0/0 — defined to 1.0 (trivially perfect
+    * agreement, the q363 convention). Scale: one scan → bounded census;
+    * everything downstream is 4×4. */
+  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val es = Seq("el", "la", "de", "que", "los")
+    val de = Seq("der", "die", "und", "das", "ist")
+    val fr = Seq("le", "les", "des", "une", "est")
+    val en = Seq("the", "and", "of", "to", "is")
+    val domain = Seq("en", "es", "de", "fr")
+    val all = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("s_es", TextOps.markerHits($"toks", es).cast("long"))
+      .withColumn("s_de", TextOps.markerHits($"toks", de).cast("long"))
+      .withColumn("s_fr", TextOps.markerHits($"toks", fr).cast("long"))
+      .withColumn("s_en", TextOps.markerHits($"toks", en).cast("long"))
+      .withColumn("s_tot", $"s_es" + $"s_de" + $"s_fr" + $"s_en")
+      .withColumn("predicted",
+        when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" &&
+          $"s_en" >= $"s_fr" && $"s_en" > 0, "en")
+          .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr" && $"s_es" > 0, "es")
+          .when($"s_de" >= $"s_fr" && $"s_de" > 0, "de")
+          .otherwise("fr"))
+      .select($"lang", $"predicted", $"s_tot")
+      .localCheckpoint() // read by the census AND the exclusion counts
+    val excl = all.agg(
+      sum(when($"s_tot" === 0L, 1L).otherwise(0L)).as("n_unscored"),
+      sum(when($"s_tot" > 0L && !$"lang".isin(domain: _*), 1L)
+        .otherwise(0L)).as("n_foreign"))
+    val cells = all.filter($"s_tot" > 0L && $"lang".isin(domain: _*))
+      .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(eager = false) // read by margins + totals + rows
+    val margins = cells.groupBy($"lang").agg(sum($"n_docs").as("rk"))
+      .join(cells.groupBy($"predicted").agg(sum($"n_docs").as("ck")),
+        $"lang" === $"predicted", "full")
+      .agg(coalesce(sum(coalesce($"rk", lit(0L)).cast(d38) *
+        coalesce($"ck", lit(0L))), lit(BigDecimal(0)).cast(d38)).as("src"))
+    val tot = cells.agg(sum($"n_docs").as("nn"),
+      sum(when($"lang" === $"predicted", $"n_docs").otherwise(0L)).as("diag"))
+    val kden = $"nn".cast(d38) * $"nn" - $"src"
+    val stats = tot.crossJoin(broadcast(margins)).crossJoin(broadcast(excl))
+      .select($"nn".as("n_scored"), $"diag".as("n_agree"),
+        ratio($"diag", $"nn").as("po"),
+        ($"src".cast("double") /
+          ($"nn".cast("double") * $"nn".cast("double"))).as("pe"),
+        when(kden =!= 0, ($"nn".cast(d38) * $"diag" - $"src").cast("double")
+          / kden.cast("double")).otherwise(lit(1.0)).as("kappa"),
+        $"n_unscored", $"n_foreign")
+    cells.crossJoin(broadcast(stats))
+      .orderBy($"lang", $"predicted")
+  }
+
   /** q352 panel: the first 8 vectors query the rest of the corpus. */
   val IrEvalQueries = 8
 
@@ -5351,6 +5415,7 @@ object LlmOps {
     "q358_ndcg_at_10" -> ndcgAt10,
     "q362_rbo_index_fidelity" -> rboIndexFidelity,
     "q363_adjusted_rand_index" -> adjustedRandIndex,
+    "q364_cohens_kappa" -> cohensKappa,
     "q345_dbscan_grid" -> dbscanGrid,
     "q361_dbscan_auto_eps" -> dbscanAutoEps,
     "q349_textrank_keywords" -> textrankKeywords,
@@ -5760,6 +5825,65 @@ object LlmOps {
          |         - (SELECT CAST(coalesce(sum(n_border), 0) AS BIGINT) FROM bc)
          |)
          |ORDER BY cluster_id""".stripMargin,
+    // q351's marker-scorer twin → 4×4 confusion census → margins via a
+    // FULL class join → exact HUGEINT kappa pieces, three shared divides
+    "q364_cohens_kappa" ->
+      s"""WITH allsc AS MATERIALIZED (
+         |  SELECT lang,
+         |         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+         |                   AND s_en > 0 THEN 'en'
+         |              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         |              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |              ELSE 'fr' END AS predicted,
+         |         s_es + s_de + s_fr + s_en AS s_tot
+         |  FROM (
+         |    SELECT lang,
+         |      CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS BIGINT) AS s_es,
+         |      CAST(len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
+         |      CAST(len(list_filter(toks, t -> t IN ('le','les','des','une','est'))) AS BIGINT) AS s_fr,
+         |      CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en
+         |    FROM (SELECT lang, $toksSql AS toks FROM documents)
+         |  )
+         |), excl AS (
+         |  SELECT ${sumLongSql("CASE WHEN s_tot = 0 THEN 1 ELSE 0 END")}
+         |           AS n_unscored,
+         |         ${sumLongSql("CASE WHEN s_tot > 0 AND lang NOT IN ('en','es','de','fr') THEN 1 ELSE 0 END")}
+         |           AS n_foreign
+         |  FROM allsc
+         |), cells AS MATERIALIZED (
+         |  SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM allsc
+         |  WHERE s_tot > 0 AND lang IN ('en','es','de','fr')
+         |  GROUP BY 1, 2
+         |), margins AS (
+         |  SELECT CAST(coalesce(sum(CAST(coalesce(rk, 0) AS HUGEINT)
+         |           * coalesce(ck, 0)), 0) AS HUGEINT) AS src
+         |  FROM (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS rk
+         |        FROM cells GROUP BY 1) r
+         |  FULL JOIN (SELECT predicted, CAST(sum(n_docs) AS BIGINT) AS ck
+         |             FROM cells GROUP BY 1) c
+         |    ON r.lang = c.predicted
+         |), tot AS (
+         |  SELECT ${sumLongSql("n_docs")} AS nn,
+         |         ${sumLongSql("CASE WHEN lang = predicted THEN n_docs ELSE 0 END")}
+         |           AS diag
+         |  FROM cells
+         |), stats AS (
+         |  SELECT nn AS n_scored, diag AS n_agree,
+         |         ${ratioSql("diag", "nn")} AS po,
+         |         CAST(src AS DOUBLE)
+         |           / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS pe,
+         |         CASE WHEN CAST(nn AS HUGEINT) * nn - src <> 0
+         |              THEN CAST(CAST(nn AS HUGEINT) * diag - src AS DOUBLE)
+         |                / CAST(CAST(nn AS HUGEINT) * nn - src AS DOUBLE)
+         |              ELSE 1.0 END AS kappa,
+         |         n_unscored, n_foreign
+         |  FROM tot, margins, excl
+         |)
+         |SELECT lang, predicted, n_docs, n_scored, n_agree, po, pe, kappa,
+         |       n_unscored, n_foreign
+         |FROM cells, stats
+         |ORDER BY lang, predicted""".stripMargin,
     // the label × JL-grid-cell contingency census; all pair counting on
     // doubled sums (x·(x−1)), HUGEINT cross-multiplies, one divide each
     "q363_adjusted_rand_index" ->

@@ -2592,6 +2592,36 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fx.forall(_.getAs[Long]("med_r1") > 0L))
   }
 
+  test("q364 kappa: hand-computed census, exclusion counts, constant-classifier zero") {
+    val dir = java.nio.file.Files.createTempDirectory("kappa").toString
+    Seq((1L, "the and", "en"), (2L, "the and", "de"), (3L, "el la los", "es"),
+      (4L, "zzz qqq", "en"), (5L, "the and", "xx"))
+      .map { case (i, t, l) => (i, t, l, "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // cells (de,en,1),(en,en,1),(es,es,1): N=3, D=2, Σr·c = 1·2 + 1·1 = 3
+    // → po = 2/3, pe = 3/9, κ = (3·2 − 3)/(9 − 3) = 1/2 EXACTLY
+    val out = SparkEntry.queries("q364_cohens_kappa")(spark, dir).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_docs"))).toSet ===
+      Set(("de", "en", 1L), ("en", "en", 1L), ("es", "es", 1L)))
+    val h = out.head
+    assert(h.getAs[Long]("n_scored") === 3L && h.getAs[Long]("n_agree") === 2L)
+    assert(h.getAs[Double]("po") === 2.0 / 3.0)
+    assert(h.getAs[Double]("pe") === 3.0 / 9.0)
+    assert(h.getAs[Double]("kappa") === 0.5)
+    assert(h.getAs[Long]("n_unscored") === 1L, "marker-less doc censused")
+    assert(h.getAs[Long]("n_foreign") === 1L, "out-of-domain lang censused")
+    // the constant-classifier LAW: when every prediction is one class,
+    // po ≡ pe and κ = 0 EXACTLY — the fixture scorer predicts 'en'
+    // everywhere (en markers leak into all slices), so its κ must be 0
+    // while accuracy sits at ~50 %: the chance correction working
+    val fx = SparkEntry.queries("q364_cohens_kappa")(spark, sfDir).collect()
+    if (fx.map(_.getString(1)).distinct.length == 1) {
+      assert(fx.head.getAs[Double]("kappa") === 0.0)
+      assert(fx.head.getAs[Double]("po") === fx.head.getAs[Double]("pe"))
+    }
+  }
+
   test("q362 RBO: coefficient identities, identical-ranking ceiling, fixture bounds") {
     import graft.queries.LlmOps.{RboCoef, RboScale, RboDepth}
     // authoring-time identities: coef(d) = (2520/d)·2^(10−d), and a
