@@ -2656,6 +2656,65 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** Two-sided normal α = 0.05 line for the q365 rank-sum z. */
+  val MwCritAlpha05 = 1.96
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947, public
+    * description) between the q332 consistent-hash halves — the
+    * LOCATION-shift member of the drift family (KS sees any shape
+    * difference, CvM integrates it; U asks the sharper question "does
+    * one half stochastically dominate?", the most powered test when the
+    * drift is a median shift). Rank sums are computed EXACTLY from the
+    * value census with midrank tie handling on DOUBLED ranks (2·midrank
+    * of a tied run = 2·cum_before + w + 1, always an integer —
+    * no half-ranks ever form): 2U_A = Σ_v nav·(2·cum_before + w + 1)
+    * − n_a(n_a+1), an exact integer. The tie-corrected normal
+    * approximation 4σ² = (n_a·n_b/3)·[(N+1) − Σ(w³−w)/(N(N−1))] is one
+    * shared IEEE tree over exact integers (tie cube-sum folded in
+    * decimal(38,0), surfaced as a digit string — the q356 stance);
+    * z = (2U_A − n_a·n_b)/√(4σ²), flagged at [[MwCritAlpha05]].
+    * Degenerate slices (an empty half, or a single tied value making
+    * σ = 0) leave z NULL and the flag false. Envelope: rank-sum terms
+    * ≤ 2·n_a·N stay in long to ~2·10⁹ docs/slice (the q332 bound).
+    * Scale: q332's exact shape — census, one keyed prefix window over
+    * domain-bounded rows, one agg. */
+  def mannWhitneyU(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val space = 16777216L // 16^6
+    val half = conv(substring(md5(concat(lit("drift:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    val census = Tables.documents(s, dir)
+      .select($"lang", $"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .withColumn("in_a", half)
+      .groupBy($"lang", $"ntok")
+      .agg(sum(when($"in_a", 1L).otherwise(0L)).as("nav"),
+        sum(when($"in_a", 0L).otherwise(1L)).as("nbv"))
+    val w = Window.partitionBy($"lang").orderBy($"ntok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = census
+      .withColumn("wv", $"nav" + $"nbv")
+      .withColumn("cum_before", sum($"wv").over(w) - $"wv")
+      .groupBy($"lang")
+      .agg(sum($"nav").as("n_a"), sum($"nbv").as("n_b"),
+        sum($"nav" * (lit(2L) * $"cum_before" + $"wv" + 1L)).as("rs2"),
+        sum(($"wv".cast(d38) * $"wv" * $"wv" - $"wv")).as("tie"))
+      .withColumn("nn", $"n_a" + $"n_b")
+      .withColumn("u2_a", $"rs2" - $"n_a" * ($"n_a" + 1L))
+    val fourSig2 = ($"n_a".cast("double") * $"n_b" / lit(3.0)) *
+      (($"nn" + 1L).cast("double") -
+        $"tie".cast("double") / ($"nn".cast("double") * ($"nn" - 1L)))
+    val zCol = ($"u2_a" - $"n_a" * $"n_b").cast("double") / sqrt(fourSig2)
+    val ok = $"n_a" > 0L && $"n_b" > 0L && $"nn" > 1L && fourSig2 > 0.0
+    per.select($"lang", $"n_a", $"n_b", $"u2_a",
+        $"tie".cast("string").as("tie_term"),
+        when(ok, zCol).as("z"),
+        coalesce(when(ok, abs(zCol) > lit(MwCritAlpha05)), lit(false))
+          .as("shifted"))
+      .orderBy($"lang")
+  }
+
   def distributionDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
@@ -5416,6 +5475,7 @@ object LlmOps {
     "q362_rbo_index_fidelity" -> rboIndexFidelity,
     "q363_adjusted_rand_index" -> adjustedRandIndex,
     "q364_cohens_kappa" -> cohensKappa,
+    "q365_mann_whitney_u" -> mannWhitneyU,
     "q345_dbscan_grid" -> dbscanGrid,
     "q361_dbscan_auto_eps" -> dbscanAutoEps,
     "q349_textrank_keywords" -> textrankKeywords,
@@ -5825,6 +5885,66 @@ object LlmOps {
          |         - (SELECT CAST(coalesce(sum(n_border), 0) AS BIGINT) FROM bc)
          |)
          |ORDER BY cluster_id""".stripMargin,
+    // q332's census/prefix chain; doubled midranks keep every rank an
+    // integer, the tie cube-sum rides as HUGEINT → VARCHAR, z is one
+    // shared IEEE tree
+    "q365_mann_whitney_u" ->
+      s"""WITH base AS (
+         |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS ntok,
+         |         CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
+         |                              1, 6)) AS BIGINT) * 2 < 16777216 AS in_a
+         |  FROM documents
+         |), census AS MATERIALIZED (
+         |  SELECT lang, ntok,
+         |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS nav,
+         |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nbv
+         |  FROM base GROUP BY 1, 2
+         |), cums AS (
+         |  SELECT lang, ntok, nav, nbv, nav + nbv AS wv,
+         |         CAST(sum(nav + nbv) OVER w - (nav + nbv) AS BIGINT)
+         |           AS cum_before
+         |  FROM census
+         |  WINDOW w AS (PARTITION BY lang ORDER BY ntok
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), per AS MATERIALIZED (
+         |  SELECT lang,
+         |         CAST(sum(nav) AS BIGINT) AS n_a,
+         |         CAST(sum(nbv) AS BIGINT) AS n_b,
+         |         CAST(sum(nav * (2 * cum_before + wv + 1)) AS BIGINT) AS rs2,
+         |         CAST(sum(CAST(wv AS HUGEINT) * wv * wv - wv) AS HUGEINT)
+         |           AS tie
+         |  FROM cums GROUP BY 1
+         |), sc AS MATERIALIZED (
+         |  SELECT lang, n_a, n_b, n_a + n_b AS nn,
+         |         rs2 - n_a * (n_a + 1) AS u2_a, tie
+         |  FROM per
+         |)
+         |SELECT lang, n_a, n_b, u2_a, CAST(tie AS VARCHAR) AS tie_term,
+         |       CASE WHEN n_a > 0 AND n_b > 0 AND nn > 1
+         |                 AND (CAST(n_a AS DOUBLE) * n_b / 3.0)
+         |                     * (CAST(nn + 1 AS DOUBLE)
+         |                        - CAST(tie AS DOUBLE)
+         |                          / (CAST(nn AS DOUBLE) * (nn - 1))) > 0.0
+         |            THEN CAST(u2_a - n_a * n_b AS DOUBLE)
+         |                 / sqrt((CAST(n_a AS DOUBLE) * n_b / 3.0)
+         |                        * (CAST(nn + 1 AS DOUBLE)
+         |                           - CAST(tie AS DOUBLE)
+         |                             / (CAST(nn AS DOUBLE) * (nn - 1))))
+         |       END AS z,
+         |       coalesce(CASE WHEN n_a > 0 AND n_b > 0 AND nn > 1
+         |                 AND (CAST(n_a AS DOUBLE) * n_b / 3.0)
+         |                     * (CAST(nn + 1 AS DOUBLE)
+         |                        - CAST(tie AS DOUBLE)
+         |                          / (CAST(nn AS DOUBLE) * (nn - 1))) > 0.0
+         |            THEN abs(CAST(u2_a - n_a * n_b AS DOUBLE)
+         |                 / sqrt((CAST(n_a AS DOUBLE) * n_b / 3.0)
+         |                        * (CAST(nn + 1 AS DOUBLE)
+         |                           - CAST(tie AS DOUBLE)
+         |                             / (CAST(nn AS DOUBLE) * (nn - 1)))))
+         |                 > $MwCritAlpha05
+         |       END, FALSE) AS shifted
+         |FROM sc
+         |ORDER BY lang""".stripMargin,
     // q351's marker-scorer twin → 4×4 confusion census → margins via a
     // FULL class join → exact HUGEINT kappa pieces, three shared divides
     "q364_cohens_kappa" ->

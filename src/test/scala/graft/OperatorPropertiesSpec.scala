@@ -2592,6 +2592,42 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fx.forall(_.getAs[Long]("med_r1") > 0L))
   }
 
+  test("q365 Mann-Whitney: disjoint shift maxes U exactly, all-tied slice nulls z") {
+    val half = conv(substring(md5(concat(lit("drift:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < 16777216L
+    def mkDocs(text: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+      spark.range(1, 401).select($"id".as("doc_id"))
+        .withColumn("in_a", half)
+        .select($"doc_id", text.as("text"), lit("en").as("lang"),
+          lit("web").as("source"), lit(0L).as("n_chars"))
+    // disjoint shift (q332's plant): A all at 12 tokens > B all at 3 →
+    // A occupies the top rank block → 2U_A = 2·n_a·n_b EXACTLY (the
+    // maximum), and the shift must flag
+    val dir1 = java.nio.file.Files.createTempDirectory("mw_shift").toString
+    mkDocs(when($"in_a", lit(Seq.fill(12)("w").mkString(" "))).otherwise(lit("w w w")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+    val sh = SparkEntry.queries("q365_mann_whitney_u")(spark, dir1).collect()(0)
+    val (na, nb) = (sh.getAs[Long]("n_a"), sh.getAs[Long]("n_b"))
+    assert(sh.getAs[Long]("u2_a") === 2L * na * nb)
+    // tie term = Σ(w³−w) over the two tied runs, replayed exactly
+    assert(sh.getAs[String]("tie_term") ===
+      ((BigInt(na).pow(3) - na) + (BigInt(nb).pow(3) - nb)).toString)
+    assert(sh.getAs[Boolean]("shifted"))
+    // one constant value: every rank is tied → σ = 0 → z NULL, flag
+    // down, and U sits at its exact null mean n_a·n_b (2U = 2·n_a·n_b/2)
+    val dir2 = java.nio.file.Files.createTempDirectory("mw_null").toString
+    mkDocs(lit("w w w"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val nl = SparkEntry.queries("q365_mann_whitney_u")(spark, dir2).collect()(0)
+    assert(nl.getAs[Long]("u2_a") ===
+      nl.getAs[Long]("n_a") * nl.getAs[Long]("n_b"))
+    assert(nl.isNullAt(nl.fieldIndex("z")))
+    assert(!nl.getAs[Boolean]("shifted"))
+    // fixture: iid halves — at most one 5%-level false positive
+    val fx = SparkEntry.queries("q365_mann_whitney_u")(spark, sfDir).collect()
+    assert(fx.nonEmpty && fx.count(_.getAs[Boolean]("shifted")) <= 1)
+  }
+
   test("q364 kappa: hand-computed census, exclusion counts, constant-classifier zero") {
     val dir = java.nio.file.Files.createTempDirectory("kappa").toString
     Seq((1L, "the and", "en"), (2L, "the and", "de"), (3L, "el la los", "es"),
