@@ -2659,6 +2659,53 @@ object LlmOps {
   /** Two-sided normal α = 0.05 line for the q365 rank-sum z. */
   val MwCritAlpha05 = 1.96
 
+  /** Exact ROC-AUC of the q131 unigram-surprisal score as a
+    * non-English detector — the threshold-free ranking eval beside
+    * q364's single-threshold kappa: AUC = P(score(non-en) > score(en))
+    * with ties at ½, which is EXACTLY the Mann–Whitney U statistic
+    * normalized by n_pos·n_neg (the q365 machinery pointed at a
+    * classifier score instead of a drift split — the textbook identity,
+    * exploited so the whole computation is the same exact-integer
+    * doubled-midrank census fold: AUC = (2RS_pos − n_pos(n_pos+1)) /
+    * (2·n_pos·n_neg), ONE divide; the rank-Gini 2·AUC−1 shares the
+    * exact numerator). Scores are the per-doc integer surprisal-bit
+    * sums (q131's dyadic quantization — already exact), positives are
+    * non-English docs. Scale: token pass → per-doc integer score →
+    * score-value census (domain-bounded by doc length × bits) → one
+    * global prefix window over census rows. */
+  def rocAucSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bits(c: Column): Column = length(bin(c)).cast("long")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(TextOps.tokens($"text")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val nTot = vocab.agg(sum($"cnt").as("n_corpus"))
+    val scored = toks
+      .join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(nTot))
+      .withColumn("surprise", bits($"n_corpus") - bits($"cnt"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"surprise").as("score"))
+    val census = scored
+      .groupBy($"score")
+      .agg(sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("npv"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("nnv"))
+    val w = Window.orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("wv", $"npv" + $"nnv")
+      .withColumn("cum_before", sum($"wv").over(w) - $"wv")
+      .agg(sum($"npv").as("n_pos"), sum($"nnv").as("n_neg"),
+        sum($"npv" * (lit(2L) * $"cum_before" + $"wv" + 1L)).as("rs2"))
+      .withColumn("u2_pos", $"rs2" - $"n_pos" * ($"n_pos" + 1L))
+      .select($"n_pos", $"n_neg", $"u2_pos",
+        when($"n_pos" > 0L && $"n_neg" > 0L,
+          ratio($"u2_pos", lit(2L) * $"n_pos" * $"n_neg")).as("auc"),
+        when($"n_pos" > 0L && $"n_neg" > 0L,
+          ratio($"u2_pos" - $"n_pos" * $"n_neg", $"n_pos" * $"n_neg"))
+          .as("gini_rank"))
+  }
+
   /** Mann–Whitney U rank-sum test (Mann & Whitney 1947, public
     * description) between the q332 consistent-hash halves — the
     * LOCATION-shift member of the drift family (KS sees any shape
@@ -2713,6 +2760,77 @@ object LlmOps {
         coalesce(when(ok, abs(zCol) > lit(MwCritAlpha05)), lit(false))
           .as("shifted"))
       .orderBy($"lang")
+  }
+
+  /** q367 rerandomization count: 48 reassignments, one bit each from a
+    * 60-bit md5 slice — one digest per doc buys the whole panel (the
+    * q348 md5-budget stance); p-values land on the (B+1)-grid
+    * {1/49..49/49}. */
+  val PermB = 48
+
+  /** Rerandomization (permutation) test for the A/B split difference —
+    * the INFERENCE companion to q348's bootstrap CI: the q332 halves
+    * ARE a per-doc coin flip, so the null distribution of the
+    * mean-token-count difference is what OTHER coin flips produce.
+    * [[PermB]] deterministic reassignments (bit b of a per-doc md5 —
+    * the q260/q339 seeded stance) each yield an exact integer
+    * difference numerator |S₁·n₀ − S₀·n₁|; the observed numerator is
+    * compared per reassignment on the SHARED single-divide doubles
+    * (identical IEEE trees both engines — a cross-multiplied exact
+    * compare would need ~10⁴⁴ at corpus scale, past decimal(38,0); the
+    * double compare is engine-portable by construction, documented
+    * deviation). p = (1 + #{b : |Δ_b| ≥ |Δ_obs|})/(B+1), the add-one
+    * convention (never exactly zero — the honest finite-B p-value).
+    * Scale: one scan emits B (bit, side) partials per doc into a
+    * ≤B-group map-side-combined agg — q348's exact shuffle shape. */
+  def permutationTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val space = 16777216L // 16^6
+    val obsHalf = conv(substring(md5(concat(lit("drift:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    val base = Tables.documents(s, dir)
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .withColumn("in_a", obsHalf)
+      .withColumn("h", conv(substring(md5(concat(lit("perm:"),
+        $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long"))
+      .localCheckpoint(eager = false) // read by the observed agg + perms
+    val obs = base.agg(
+      sum(when($"in_a", 1L).otherwise(0L)).as("n_a"),
+      sum(when($"in_a", $"ntok").otherwise(0L)).as("s_a"),
+      sum(when($"in_a", 0L).otherwise(1L)).as("n_b"),
+      sum(when($"in_a", 0L).otherwise($"ntok")).as("s_b"))
+    val perms = base
+      .select($"ntok", $"h", explode(sequence(lit(0), lit(PermB - 1))).as("b"))
+      .withColumn("side", expr("shiftright(h, b) & 1"))
+      .groupBy($"b")
+      .agg(sum(when($"side" === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when($"side" === 1L, $"ntok").otherwise(0L)).as("s1"),
+        sum(when($"side" === 1L, 0L).otherwise(1L)).as("n0"),
+        sum(when($"side" === 1L, 0L).otherwise($"ntok")).as("s0"))
+    val d38 = DecimalType(38, 0)
+    val cmp = perms.crossJoin(broadcast(obs))
+      .withColumn("d_b",
+        when($"n1" > 0L && $"n0" > 0L,
+          abs($"s1".cast(d38) * $"n0" - $"s0".cast(d38) * $"n1")
+            .cast("double") / ($"n1".cast("double") * $"n0")))
+      .withColumn("d_obs",
+        when($"n_a" > 0L && $"n_b" > 0L,
+          abs($"s_a".cast(d38) * $"n_b" - $"s_b".cast(d38) * $"n_a")
+            .cast("double") / ($"n_a".cast("double") * $"n_b")))
+      // a degenerate reassignment (all docs one side) carries no
+      // difference — counted as NOT exceeding (both engines drop it)
+      .agg(count(lit(1)).as("b_total"),
+        sum(when($"d_b".isNotNull && $"d_obs".isNotNull &&
+          $"d_b" >= $"d_obs", 1L).otherwise(0L)).as("n_geq"))
+    cmp.crossJoin(broadcast(obs))
+      .select($"n_a", $"n_b",
+        when($"n_a" > 0L && $"n_b" > 0L,
+          abs($"s_a".cast(d38) * $"n_b" - $"s_b".cast(d38) * $"n_a")
+            .cast("double") / ($"n_a".cast("double") * $"n_b"))
+          .as("diff_obs"),
+        $"b_total", $"n_geq",
+        ratio(lit(1L) + $"n_geq", $"b_total" + 1L).as("p_value"))
   }
 
   def distributionDrift(s: SparkSession, dir: String): DataFrame = {
@@ -5152,15 +5270,16 @@ object LlmOps {
     * corpus (p_e = 1): κ is 0/0 — defined to 1.0 (trivially perfect
     * agreement, the q363 convention). Scale: one scan → bounded census;
     * everything downstream is 4×4. */
-  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+  /** The q48/q351 marker scorer over EVERY doc (no marker screen):
+    * (lang, predicted, s_best, s_tot) — shared by q364's kappa and
+    * q368's Brier decomposition; q351 keeps its inline twin. */
+  private def markerScoredAll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d38 = DecimalType(38, 0)
     val es = Seq("el", "la", "de", "que", "los")
     val de = Seq("der", "die", "und", "das", "ist")
     val fr = Seq("le", "les", "des", "une", "est")
     val en = Seq("the", "and", "of", "to", "is")
-    val domain = Seq("en", "es", "de", "fr")
-    val all = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens($"text"))
       .withColumn("s_es", TextOps.markerHits($"toks", es).cast("long"))
       .withColumn("s_de", TextOps.markerHits($"toks", de).cast("long"))
@@ -5173,6 +5292,15 @@ object LlmOps {
           .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr" && $"s_es" > 0, "es")
           .when($"s_de" >= $"s_fr" && $"s_de" > 0, "de")
           .otherwise("fr"))
+      .withColumn("s_best", greatest($"s_es", $"s_de", $"s_fr", $"s_en"))
+      .select($"lang", $"predicted", $"s_best", $"s_tot")
+  }
+
+  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val domain = Seq("en", "es", "de", "fr")
+    val all = markerScoredAll(s, dir)
       .select($"lang", $"predicted", $"s_tot")
       .localCheckpoint() // read by the census AND the exclusion counts
     val excl = all.agg(
@@ -5200,6 +5328,71 @@ object LlmOps {
         $"n_unscored", $"n_foreign")
     cells.crossJoin(broadcast(stats))
       .orderBy($"lang", $"predicted")
+  }
+
+  /** Brier score + Murphy decomposition of the q351 confidence — the
+    * PROPER-SCORING-RULE eval completing the calibration family (q351
+    * measures ECE, q335/q336 fix calibration; Brier is the strictly
+    * proper rule that also prices REFINEMENT): per scored doc, the
+    * Laplace-smoothed confidence c = (s_best+1)/(s_tot+4) of the
+    * predicted language against the binary outcome y = (predicted =
+    * true lang). Docs collapse to the CONFIDENCE-VALUE census (bins
+    * keyed by the shared-divide double c — identical in both engines,
+    * the q195 float-key contract; the (s_best, s_tot) domain bounds the
+    * bin count at any SF), so Brier = Σ[n_correct·(1−c)² +
+    * n_wrong·c²]/N and Murphy's reliability Σn(c−acc)²/N / resolution
+    * Σn(acc−ȳ)²/N / uncertainty ȳ(1−ȳ) all fold over the ONE c-sorted
+    * census array in fixed IEEE order. The decomposition identity
+    * brier = reliability − resolution + uncertainty holds exactly in
+    * real arithmetic on value-keyed bins (spec re-checks it to 1e-12
+    * against the folded doubles). */
+  def brierDecomposition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = markerScoredAll(s, dir)
+      .filter($"s_tot" > 0L)
+      .withColumn("conf", ratio($"s_best" + 1L, $"s_tot" + 4L))
+      .withColumn("correct", $"predicted" === $"lang")
+    val bins = scored.groupBy($"conf")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"correct", 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", ratio($"n_correct", $"n_docs"))
+    val folded = bins
+      .agg(sort_array(collect_list(struct($"conf", $"n_docs",
+        $"n_correct", $"accuracy"))).as("xs"))
+      .select($"xs",
+        aggregate($"xs", lit(0L), (a, x) => a + x.getField("n_docs"))
+          .as("n_scored"),
+        aggregate($"xs", lit(0L), (a, x) => a + x.getField("n_correct"))
+          .as("n_correct_tot"))
+      .withColumn("base_rate", ratio($"n_correct_tot", $"n_scored"))
+      .select($"xs", $"n_scored", $"base_rate",
+        aggregate($"xs", lit(0.0), (a, x) =>
+          a + (x.getField("n_correct").cast("double") *
+            (lit(1.0) - x.getField("conf")) * (lit(1.0) - x.getField("conf"))
+            + (x.getField("n_docs") - x.getField("n_correct")).cast("double")
+            * x.getField("conf") * x.getField("conf")))
+          .as("brier_num"),
+        aggregate($"xs", lit(0.0), (a, x) =>
+          a + x.getField("n_docs").cast("double") *
+            (x.getField("conf") - x.getField("accuracy")) *
+            (x.getField("conf") - x.getField("accuracy")))
+          .as("rel_num"))
+    val folded2 = folded
+      .withColumn("res_num",
+        aggregate($"xs", lit(0.0), (a, x) =>
+          a + x.getField("n_docs").cast("double") *
+            (x.getField("accuracy") - $"base_rate") *
+            (x.getField("accuracy") - $"base_rate")))
+      .select($"n_scored", $"base_rate",
+        ($"brier_num" / $"n_scored".cast("double")).as("brier"),
+        ($"rel_num" / $"n_scored".cast("double")).as("reliability"),
+        ($"res_num" / $"n_scored".cast("double")).as("resolution"),
+        ($"base_rate" * (lit(1.0) - $"base_rate")).as("uncertainty"))
+    bins.crossJoin(broadcast(folded2))
+      .select($"conf", $"n_docs", $"n_correct", $"accuracy",
+        $"n_scored", $"base_rate", $"brier", $"reliability",
+        $"resolution", $"uncertainty")
+      .orderBy($"conf")
   }
 
   /** q352 panel: the first 8 vectors query the rest of the corpus. */
@@ -5476,6 +5669,9 @@ object LlmOps {
     "q363_adjusted_rand_index" -> adjustedRandIndex,
     "q364_cohens_kappa" -> cohensKappa,
     "q365_mann_whitney_u" -> mannWhitneyU,
+    "q366_roc_auc_surprisal" -> rocAucSurprisal,
+    "q367_permutation_test" -> permutationTest,
+    "q368_brier_decomposition" -> brierDecomposition,
     "q345_dbscan_grid" -> dbscanGrid,
     "q361_dbscan_auto_eps" -> dbscanAutoEps,
     "q349_textrank_keywords" -> textrankKeywords,
@@ -5885,6 +6081,168 @@ object LlmOps {
          |         - (SELECT CAST(coalesce(sum(n_border), 0) AS BIGINT) FROM bc)
          |)
          |ORDER BY cluster_id""".stripMargin,
+    // the confidence-VALUE census (double key from the one shared
+    // divide) → three fixed-order folds over the conf-sorted array
+    "q368_brier_decomposition" ->
+      s"""WITH allsc AS MATERIALIZED (
+         |  SELECT lang,
+         |         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+         |                   AND s_en > 0 THEN 'en'
+         |              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         |              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |              ELSE 'fr' END AS predicted,
+         |         greatest(s_es, s_de, s_fr, s_en) AS s_best,
+         |         s_es + s_de + s_fr + s_en AS s_tot
+         |  FROM (
+         |    SELECT lang,
+         |      CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS BIGINT) AS s_es,
+         |      CAST(len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
+         |      CAST(len(list_filter(toks, t -> t IN ('le','les','des','une','est'))) AS BIGINT) AS s_fr,
+         |      CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en
+         |    FROM (SELECT lang, $toksSql AS toks FROM documents)
+         |  ) WHERE s_es + s_de + s_fr + s_en > 0
+         |), bins AS MATERIALIZED (
+         |  SELECT conf, CAST(count(*) AS BIGINT) AS n_docs,
+         |         ${sumLongSql("CASE WHEN correct THEN 1 ELSE 0 END")}
+         |           AS n_correct
+         |  FROM (SELECT ${ratioSql("s_best + 1", "s_tot + 4")} AS conf,
+         |               predicted = lang AS correct
+         |        FROM allsc)
+         |  GROUP BY 1
+         |), wb AS MATERIALIZED (
+         |  SELECT conf, n_docs, n_correct,
+         |         ${ratioSql("n_correct", "n_docs")} AS accuracy
+         |  FROM bins
+         |), folded AS (
+         |  SELECT list(struct_pack(conf := conf, n_docs := n_docs,
+         |           n_correct := n_correct, accuracy := accuracy)
+         |           ORDER BY conf) AS xs
+         |  FROM wb
+         |), t1 AS (
+         |  SELECT xs,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(xs, x -> x.n_docs)), (a, b) -> a + b)
+         |           AS n_scored,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(xs, x -> x.n_correct)), (a, b) -> a + b)
+         |           AS n_correct_tot
+         |  FROM folded
+         |), t2 AS (
+         |  SELECT xs, n_scored,
+         |         ${ratioSql("n_correct_tot", "n_scored")} AS base_rate,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(xs, x ->
+         |             CAST(x.n_correct AS DOUBLE) * (1.0 - x.conf)
+         |               * (1.0 - x.conf)
+         |             + CAST(x.n_docs - x.n_correct AS DOUBLE)
+         |               * x.conf * x.conf)), (a, b) -> a + b) AS brier_num,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(xs, x ->
+         |             CAST(x.n_docs AS DOUBLE) * (x.conf - x.accuracy)
+         |               * (x.conf - x.accuracy))), (a, b) -> a + b) AS rel_num
+         |  FROM t1
+         |), t3 AS (
+         |  SELECT n_scored, base_rate,
+         |         brier_num / CAST(n_scored AS DOUBLE) AS brier,
+         |         rel_num / CAST(n_scored AS DOUBLE) AS reliability,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(xs, x ->
+         |             CAST(x.n_docs AS DOUBLE) * (x.accuracy - base_rate)
+         |               * (x.accuracy - base_rate))), (a, b) -> a + b)
+         |           / CAST(n_scored AS DOUBLE) AS resolution,
+         |         base_rate * (1.0 - base_rate) AS uncertainty
+         |  FROM t2
+         |)
+         |SELECT conf, n_docs, n_correct, accuracy, n_scored, base_rate,
+         |       brier, reliability, resolution, uncertainty
+         |FROM wb, t3
+         |ORDER BY conf""".stripMargin,
+    // one md5 bit-slice per doc → 48 reassignment partials → per-b exact
+    // difference numerators → the shared single-divide double compare
+    "q367_permutation_test" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT CAST(len($toksSql) AS BIGINT) AS ntok,
+         |         CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
+         |                              1, 6)) AS BIGINT) * 2 < 16777216 AS in_a,
+         |         CAST(('0x' || substr(md5('perm:' || CAST(doc_id AS VARCHAR)),
+         |                              1, 15)) AS BIGINT) AS h
+         |  FROM documents
+         |), obs AS (
+         |  SELECT ${sumLongSql("CASE WHEN in_a THEN 1 ELSE 0 END")} AS n_a,
+         |         ${sumLongSql("CASE WHEN in_a THEN ntok ELSE 0 END")} AS s_a,
+         |         ${sumLongSql("CASE WHEN in_a THEN 0 ELSE 1 END")} AS n_b,
+         |         ${sumLongSql("CASE WHEN in_a THEN 0 ELSE ntok END")} AS s_b
+         |  FROM base
+         |), perms AS MATERIALIZED (
+         |  SELECT b,
+         |         ${sumLongSql("CASE WHEN side = 1 THEN 1 ELSE 0 END")} AS n1,
+         |         ${sumLongSql("CASE WHEN side = 1 THEN ntok ELSE 0 END")} AS s1,
+         |         ${sumLongSql("CASE WHEN side = 1 THEN 0 ELSE 1 END")} AS n0,
+         |         ${sumLongSql("CASE WHEN side = 1 THEN 0 ELSE ntok END")} AS s0
+         |  FROM (SELECT ntok, b, (h >> CAST(b AS INT)) & 1 AS side
+         |        FROM base, (SELECT unnest(range(0, $PermB)) AS b))
+         |  GROUP BY 1
+         |), cmp AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS b_total,
+         |         ${sumLongSql("CASE WHEN d_b IS NOT NULL AND d_obs IS NOT NULL AND d_b >= d_obs THEN 1 ELSE 0 END")}
+         |           AS n_geq
+         |  FROM (
+         |    SELECT CASE WHEN n1 > 0 AND n0 > 0 THEN
+         |             CAST(abs(CAST(s1 AS HUGEINT) * n0
+         |                      - CAST(s0 AS HUGEINT) * n1) AS DOUBLE)
+         |             / (CAST(n1 AS DOUBLE) * n0) END AS d_b,
+         |           CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |             CAST(abs(CAST(s_a AS HUGEINT) * n_b
+         |                      - CAST(s_b AS HUGEINT) * n_a) AS DOUBLE)
+         |             / (CAST(n_a AS DOUBLE) * n_b) END AS d_obs
+         |    FROM perms, obs)
+         |)
+         |SELECT n_a, n_b,
+         |       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |         CAST(abs(CAST(s_a AS HUGEINT) * n_b
+         |                  - CAST(s_b AS HUGEINT) * n_a) AS DOUBLE)
+         |         / (CAST(n_a AS DOUBLE) * n_b) END AS diff_obs,
+         |       b_total, n_geq,
+         |       ${ratioSql("1 + n_geq", "b_total + 1")} AS p_value
+         |FROM cmp, obs""".stripMargin,
+    // q131's surprisal chain → score census → the q365 doubled-midrank
+    // prefix fold; AUC and rank-Gini are single divides of exact ints
+    "q366_roc_auc_surprisal" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents
+         |), v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus FROM v),
+         |scored AS MATERIALIZED (
+         |  SELECT t.doc_id, t.lang,
+         |         ${sumLongSql("CAST(length(bin(n.n_corpus)) AS BIGINT) - CAST(length(bin(v.cnt)) AS BIGINT)")}
+         |           AS score
+         |  FROM toks t JOIN v ON t.tok = v.tok, n
+         |  GROUP BY 1, 2
+         |), census AS MATERIALIZED (
+         |  SELECT score,
+         |         ${sumLongSql("CASE WHEN lang <> 'en' THEN 1 ELSE 0 END")} AS npv,
+         |         ${sumLongSql("CASE WHEN lang = 'en' THEN 1 ELSE 0 END")} AS nnv
+         |  FROM scored GROUP BY 1
+         |), cums AS (
+         |  SELECT npv, nnv, npv + nnv AS wv,
+         |         CAST(sum(npv + nnv) OVER (ORDER BY score
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           - (npv + nnv) AS BIGINT) AS cum_before
+         |  FROM census
+         |), agg AS (
+         |  SELECT CAST(sum(npv) AS BIGINT) AS n_pos,
+         |         CAST(sum(nnv) AS BIGINT) AS n_neg,
+         |         CAST(sum(npv * (2 * cum_before + wv + 1)) AS BIGINT) AS rs2
+         |  FROM cums
+         |)
+         |SELECT n_pos, n_neg, rs2 - n_pos * (n_pos + 1) AS u2_pos,
+         |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |         ${ratioSql("rs2 - n_pos * (n_pos + 1)", "2 * n_pos * n_neg")}
+         |       END AS auc,
+         |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |         ${ratioSql("rs2 - n_pos * (n_pos + 1) - n_pos * n_neg", "n_pos * n_neg")}
+         |       END AS gini_rank
+         |FROM agg""".stripMargin,
     // q332's census/prefix chain; doubled midranks keep every rank an
     // integer, the tie cube-sum rides as HUGEINT → VARCHAR, z is one
     // shared IEEE tree

@@ -43,6 +43,7 @@ class EdgeCorpusSpec extends SparkSpec {
     "q156_curation_funnel", "q157_bpe_merges", "q329_bpe_merge_loop",
     "q360_unigram_lm_tokenizer",
     "q332_ks_drift_stat", "q334_neyman_allocation",
+    "q356_cvm_drift_stat", "q364_cohens_kappa", "q365_mann_whitney_u",
     "q180_feature_hashing",
     "q181_dense_id_assignment",
     "q293_importance_resampling",

@@ -209,7 +209,19 @@ class EnvelopeAuditSpec extends SparkSpec {
       "q342_apriori_rules" -> Seq("n_ante", "n_cons", "n_both"),
       "q345_dbscan_grid" -> Seq("n_core", "n_border", "n_points"),
       "q349_textrank_keywords" -> Seq("pr"),
-      "q353_motif_discord" -> Seq("dist2_dollars")
+      "q353_motif_discord" -> Seq("dist2_dollars"),
+      // round-17 additions: census counts, doubled pair sums, EMD
+      // numerators, rank sums — non-negative by construction
+      "q356_cvm_drift_stat" -> Seq("n_a", "n_b"),
+      "q357_t_closeness_census" -> Seq("n_rows", "emd_num", "n_cells_above"),
+      "q359_entity_canonicalization" -> Seq("n_entities",
+        "sum_golden_name_len", "n_merged_records"),
+      "q360_unigram_lm_tokenizer" -> Seq("usage", "cost_bits", "n_pieces"),
+      "q362_rbo_index_fidelity" -> Seq("overlap_at_10", "rbo_scaled"),
+      "q363_adjusted_rand_index" -> Seq("s2ij", "s2a", "s2b"),
+      "q364_cohens_kappa" -> Seq("n_docs", "n_scored", "n_agree",
+        "n_unscored", "n_foreign"),
+      "q365_mann_whitney_u" -> Seq("n_a", "n_b", "u2_a")
     ).foreach { case (name, cols) =>
       assertNoWrap(run(name).select(cols.map(col): _*), name)
     }

@@ -2592,6 +2592,105 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fx.forall(_.getAs[Long]("med_r1") > 0L))
   }
 
+  test("q366 AUC: perfect separation hits 1.0, all-tied scores hit 0.5 exactly") {
+    def mk(rows: Seq[(Long, String, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("auc").toString
+      rows.map { case (i, t, l) => (i, t, l, "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // en docs repeat ONE common token (low surprisal), de docs carry
+    // unique tokens (max surprisal): every positive outranks every
+    // negative → 2U = 2·n_pos·n_neg and AUC = 1.0 EXACTLY
+    val sep = mk((1L to 4L).map(i => (i, "w w w w", "en")) ++
+      (5L to 8L).map(i => (i, (1 to 4).map(j => s"u${i}_$j").mkString(" "), "de")))
+    val hi = SparkEntry.queries("q366_roc_auc_surprisal")(spark, sep).collect()(0)
+    assert(hi.getAs[Long]("n_pos") === 4L && hi.getAs[Long]("n_neg") === 4L)
+    assert(hi.getAs[Long]("u2_pos") === 32L)
+    assert(hi.getAs[Double]("auc") === 1.0)
+    assert(hi.getAs[Double]("gini_rank") === 1.0)
+    // identical docs → one tied score → U sits at its null mean, AUC 1/2
+    val tied = mk((1L to 4L).map(i => (i, "w w", "en")) ++
+      (5L to 8L).map(i => (i, "w w", "de")))
+    val mid = SparkEntry.queries("q366_roc_auc_surprisal")(spark, tied).collect()(0)
+    assert(mid.getAs[Long]("u2_pos") === mid.getAs[Long]("n_pos") * mid.getAs[Long]("n_neg"))
+    assert(mid.getAs[Double]("auc") === 0.5)
+    assert(mid.getAs[Double]("gini_rank") === 0.0)
+    // fixture: surprisal should rank non-English ABOVE English (foreign
+    // tokens are rarer in the pooled vocab) — a real signal, AUC > 0.5
+    val fx = SparkEntry.queries("q366_roc_auc_surprisal")(spark, sfDir).collect()(0)
+    assert(fx.getAs[Double]("auc") > 0.5)
+  }
+
+  test("q367 permutation: planted association pins p to 1/49, zero diff pins p to 1") {
+    val half = conv(substring(md5(concat(lit("drift:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < 16777216L
+    def mkDocs(text: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+      spark.range(1, 401).select($"id".as("doc_id"))
+        .withColumn("in_a", half)
+        .select($"doc_id", text.as("text"), lit("en").as("lang"),
+          lit("web").as("source"), lit(0L).as("n_chars"))
+    // token count IS the observed split (12 vs 3): no independent coin
+    // flip reproduces that alignment, so n_geq = 0 and p = 1/(B+1)
+    val dir1 = java.nio.file.Files.createTempDirectory("perm_shift").toString
+    mkDocs(when($"in_a", lit(Seq.fill(12)("w").mkString(" "))).otherwise(lit("w w w")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+    val sh = SparkEntry.queries("q367_permutation_test")(spark, dir1).collect()(0)
+    assert(sh.getAs[Long]("b_total") === graft.queries.LlmOps.PermB.toLong)
+    assert(sh.getAs[Long]("n_geq") === 0L)
+    assert(sh.getAs[Double]("p_value") === 1.0 / (graft.queries.LlmOps.PermB + 1))
+    assert(sh.getAs[Double]("diff_obs") === 9.0)
+    // constant text: diff_obs = 0, every reassignment ties or exceeds →
+    // p = 1.0 exactly (the null can never look MORE extreme than zero)
+    val dir2 = java.nio.file.Files.createTempDirectory("perm_null").toString
+    mkDocs(lit("w w w"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val nl = SparkEntry.queries("q367_permutation_test")(spark, dir2).collect()(0)
+    assert(nl.getAs[Double]("diff_obs") === 0.0)
+    assert(nl.getAs[Double]("p_value") === 1.0)
+    // fixture: the iid halves must NOT look significant at the 5% level
+    val fx = SparkEntry.queries("q367_permutation_test")(spark, sfDir).collect()(0)
+    assert(fx.getAs[Double]("p_value") > 0.05)
+  }
+
+  test("q368 Brier: hand-computed bins, exact fold replay, Murphy identity") {
+    val dir = java.nio.file.Files.createTempDirectory("brier").toString
+    Seq((1L, "the and", "en"), (2L, "the and", "de"), (3L, "el la los", "es"))
+      .map { case (i, t, l) => (i, t, l, "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // bins: conf 3/6 (n=2, 1 correct), conf 4/7 (n=1, 1 correct)
+    val out = SparkEntry.queries("q368_brier_decomposition")(spark, dir)
+      .collect().map(r => r.getAs[Double]("conf") -> r).toMap
+    assert(out.keySet === Set(3.0 / 6.0, 4.0 / 7.0))
+    assert(out(0.5).getAs[Long]("n_docs") === 2L)
+    assert(out(0.5).getAs[Double]("accuracy") === 0.5)
+    assert(out(4.0 / 7.0).getAs[Long]("n_correct") === 1L)
+    val h = out(0.5)
+    assert(h.getAs[Long]("n_scored") === 3L)
+    assert(h.getAs[Double]("base_rate") === 2.0 / 3.0)
+    // exact replay of the conf-ordered folds (bin 0.5 first, then 4/7)
+    def sq(x: Double) = x * x
+    val brierNum = (0.0 +
+      (1.0 * sq(1.0 - 0.5) + 1.0 * sq(0.5))) +
+      (1.0 * sq(1.0 - 4.0 / 7.0) + 0.0 * sq(4.0 / 7.0))
+    assert(h.getAs[Double]("brier") === brierNum / 3.0)
+    val relNum = (0.0 + 2.0 * sq(0.5 - 0.5)) + 1.0 * sq(4.0 / 7.0 - 1.0)
+    assert(h.getAs[Double]("reliability") === relNum / 3.0)
+    assert(h.getAs[Double]("uncertainty") === (2.0 / 3.0) * (1.0 - 2.0 / 3.0))
+    // Murphy's identity (exact on value-keyed bins, IEEE to rounding)
+    assert(math.abs(h.getAs[Double]("brier") -
+      (h.getAs[Double]("reliability") - h.getAs[Double]("resolution") +
+        h.getAs[Double]("uncertainty"))) < 1e-12)
+    val fx = SparkEntry.queries("q368_brier_decomposition")(spark, sfDir).collect()
+    assert(fx.nonEmpty)
+    val f = fx.head
+    assert(math.abs(f.getAs[Double]("brier") -
+      (f.getAs[Double]("reliability") - f.getAs[Double]("resolution") +
+        f.getAs[Double]("uncertainty"))) < 1e-12)
+  }
+
   test("q365 Mann-Whitney: disjoint shift maxes U exactly, all-tied slice nulls z") {
     val half = conv(substring(md5(concat(lit("drift:"),
       $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < 16777216L
