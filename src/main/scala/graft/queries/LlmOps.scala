@@ -2762,6 +2762,71 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** q370 checkpoint count: 16 equal-width doc-id bands. */
+  val VgBands = 16L
+
+  /** Vocabulary-growth (Heaps'-law) census — the corpus-composition
+    * diagnostic a data pipeline reads before sizing a tokenizer vocab
+    * (q360) or predicting dedup yield: how fast do NEW token types
+    * arrive as the corpus grows? Each type is charged to its FIRST
+    * document (one vocab-bounded min-aggregate — the whole curve costs
+    * one token pass, never a per-checkpoint rescan), documents are
+    * banded into [[VgBands]] equal-width doc-id VALUE bands (value
+    * bands, not rank bands — rank checkpoints would need a corpus-wide
+    * row_number; value bands are id-distribution-agnostic and
+    * documented as such), and the growth curve is the banded prefix
+    * census: per band, docs / token occurrences / new types /
+    * cumulative totals. Heaps' qualitative law — vocabulary grows
+    * SUBLINEARLY in tokens — is decided EXACTLY on the half-vs-full
+    * checkpoint by cross-multiplication in decimal(38,0)
+    * (V_full·N_half < N_full·V_half), riding every row with the two
+    * growth ratios as shared single divides. Scale: one token pass,
+    * one vocab-bounded min-agg, ≤16-row windows. */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val docs = Tables.documents(s, dir)
+    val bounds = docs.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    // integer `div` (truncating, non-negative here) — both engines agree
+    def bandOf(idCol: String): Column =
+      expr(s"(($idCol - lo) * $VgBands) div (hi - lo + 1)")
+    val toks = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+    val perBandDocs = docs.crossJoin(broadcast(bounds))
+      .groupBy(bandOf("doc_id").as("band"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perBandToks = toks.crossJoin(broadcast(bounds))
+      .groupBy(bandOf("doc_id").as("band"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val perBandNew = toks.groupBy($"tok").agg(min($"doc_id").as("fd"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bandOf("fd").as("band"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = perBandDocs
+      .join(perBandToks, Seq("band"), "left")
+      .join(perBandNew, Seq("band"), "left")
+      .select($"band", $"n_docs",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"n_new_types", lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("cum_types", sum($"n_new_types").over(w))
+      .localCheckpoint(eager = false) // read by the rows AND the ratios
+    val half = VgBands / 2 - 1
+    val tot = curve.agg(
+      sum(when($"band" <= half, $"n_tokens").otherwise(0L)).as("n_half"),
+      sum(when($"band" <= half, $"n_new_types").otherwise(0L)).as("v_half"),
+      sum($"n_tokens").as("n_full"),
+      sum($"n_new_types").as("v_full"))
+    val rid = tot.select(
+      ($"v_full".cast(d38) * $"n_half" < $"n_full".cast(d38) * $"v_half")
+        .as("sublinear"),
+      when($"v_half" > 0L, ratio($"v_full", $"v_half")).as("type_ratio"),
+      when($"n_half" > 0L, ratio($"n_full", $"n_half")).as("token_ratio"))
+    curve.crossJoin(broadcast(rid))
+      .orderBy($"band")
+  }
+
   /** q367 rerandomization count: 48 reassignments, one bit each from a
     * 60-bit md5 slice — one digest per doc buys the whole panel (the
     * q348 md5-budget stance); p-values land on the (B+1)-grid
@@ -5672,6 +5737,7 @@ object LlmOps {
     "q366_roc_auc_surprisal" -> rocAucSurprisal,
     "q367_permutation_test" -> permutationTest,
     "q368_brier_decomposition" -> brierDecomposition,
+    "q370_vocab_growth" -> vocabGrowth,
     "q345_dbscan_grid" -> dbscanGrid,
     "q361_dbscan_auto_eps" -> dbscanAutoEps,
     "q349_textrank_keywords" -> textrankKeywords,
@@ -6081,6 +6147,62 @@ object LlmOps {
          |         - (SELECT CAST(coalesce(sum(n_border), 0) AS BIGINT) FROM bc)
          |)
          |ORDER BY cluster_id""".stripMargin,
+    // first-appearance min-agg charges each type to one doc; value
+    // bands + a 16-row prefix window; the sublinearity flag is an exact
+    // HUGEINT cross-multiply on the half-vs-full checkpoint
+    "q370_vocab_growth" ->
+      s"""WITH bounds AS (
+         |  SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+         |         CAST(max(doc_id) AS BIGINT) AS hi
+         |  FROM documents
+         |), toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
+         |), pbd AS (
+         |  SELECT ((doc_id - lo) * $VgBands) // (hi - lo + 1) AS band,
+         |         CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents, bounds GROUP BY 1
+         |), pbt AS (
+         |  SELECT ((doc_id - lo) * $VgBands) // (hi - lo + 1) AS band,
+         |         CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM toks, bounds GROUP BY 1
+         |), pbn AS (
+         |  SELECT ((fd - lo) * $VgBands) // (hi - lo + 1) AS band,
+         |         CAST(count(*) AS BIGINT) AS n_new_types
+         |  FROM (SELECT tok, CAST(min(doc_id) AS BIGINT) AS fd
+         |        FROM toks GROUP BY 1), bounds
+         |  GROUP BY 1
+         |), curve AS MATERIALIZED (
+         |  SELECT CAST(d.band AS BIGINT) AS band, d.n_docs,
+         |         CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |         CAST(coalesce(nn.n_new_types, 0) AS BIGINT) AS n_new_types,
+         |         CAST(sum(coalesce(t.n_tokens, 0)) OVER w AS BIGINT)
+         |           AS cum_tokens,
+         |         CAST(sum(coalesce(nn.n_new_types, 0)) OVER w AS BIGINT)
+         |           AS cum_types
+         |  FROM pbd d
+         |  LEFT JOIN pbt t ON d.band = t.band
+         |  LEFT JOIN pbn nn ON d.band = nn.band
+         |  WINDOW w AS (ORDER BY d.band
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), tot AS (
+         |  SELECT ${sumLongSql(s"CASE WHEN band <= ${VgBands / 2 - 1} THEN n_tokens ELSE 0 END")} AS n_half,
+         |         ${sumLongSql(s"CASE WHEN band <= ${VgBands / 2 - 1} THEN n_new_types ELSE 0 END")} AS v_half,
+         |         ${sumLongSql("n_tokens")} AS n_full,
+         |         ${sumLongSql("n_new_types")} AS v_full
+         |  FROM curve
+         |), rid AS (
+         |  SELECT CAST(v_full AS HUGEINT) * n_half
+         |           < CAST(n_full AS HUGEINT) * v_half AS sublinear,
+         |         CASE WHEN v_half > 0 THEN ${ratioSql("v_full", "v_half")}
+         |         END AS type_ratio,
+         |         CASE WHEN n_half > 0 THEN ${ratioSql("n_full", "n_half")}
+         |         END AS token_ratio
+         |  FROM tot
+         |)
+         |SELECT band, n_docs, n_tokens, n_new_types, cum_tokens, cum_types,
+         |       sublinear, type_ratio, token_ratio
+         |FROM curve, rid
+         |ORDER BY band""".stripMargin,
     // the confidence-VALUE census (double key from the one shared
     // divide) → three fixed-order folds over the conf-sorted array
     "q368_brier_decomposition" ->

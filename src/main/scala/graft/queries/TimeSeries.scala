@@ -1282,6 +1282,66 @@ object TimeSeries {
       .filter($"n_months" > 0L)
   }
 
+  /** q369 maximum autocorrelation lag (a weekly-cycle window: lags 1–7
+    * see the day-of-week structure q354 decomposes). */
+  val AcfMaxLag = 7
+
+  /** Autocorrelation function at lags 1..[[AcfMaxLag]] of daily revenue
+    * — the serial-dependence census the forecasting family (q307 EWMA,
+    * q343 Holt, q354 seasonal) implicitly assumes and nothing yet
+    * measures. The mean-centered products are made EXACT by clearing
+    * denominators (the q332 cross-multiply applied to moments): with
+    * S = Σx over n days, Σ(x_t − S/n)(x_{t+k} − S/n) multiplied by n²
+    * is Σ(n·x_t − S)(n·x_{t+k} − S) — exact integers folded in
+    * decimal(38,0) (n·x ≤ n·total-cents needs the headroom), as is the
+    * n²-scaled variance; their ratio r_k is ONE IEEE divide because the
+    * n² factors cancel. Positions are OBSERVED-sequence indices over
+    * the sorted day array (gaps close up — q353's documented stance).
+    * Output: one row per lag with the exact numerator (digit string),
+    * r_k, and the |r_k| > 2/√n white-noise band flag. Scale: the
+    * corpus collapses to the day census; the ACF is a bounded
+    * array-row fold. */
+  def acfDailyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("rev"))
+    val folded = daily
+      .agg(sort_array(collect_list(struct($"day", $"rev"))).as("ds"))
+      .select(transform($"ds", x => x.getField("rev")).as("xs"))
+      .select($"xs", size($"xs").cast("long").as("n"),
+        aggregate($"xs", lit(0L), (a, v) => a + v).as("s"))
+      // centered terms scaled by n: c_t = n·x_t − S (exact longs to
+      // ~10¹⁴ total cents at 10⁵ days; the fold below runs in decimal)
+      .select($"n", transform($"xs", v => ($"n" * v - $"s")).as("cs"))
+      .localCheckpoint(eager = false) // read once per lag
+    val den = folded.select($"n",
+      aggregate($"cs", lit(BigDecimal(0)).cast(d38),
+        (a, c) => a + c.cast(d38) * c).as("var_n2"))
+    val lags = folded.crossJoin(broadcast(den.select($"var_n2")))
+      .select($"n", $"cs", $"var_n2",
+        explode(sequence(lit(1), lit(AcfMaxLag))).as("lag"))
+      .filter($"lag" < $"n")
+      .select($"lag", $"n", $"var_n2",
+        aggregate(
+          zip_with(slice($"cs", lit(1), (size($"cs") - $"lag").cast("int")),
+            slice($"cs", $"lag" + 1, size($"cs")),
+            (a, b) => struct(a.as("a"), b.as("b"))),
+          lit(BigDecimal(0)).cast(d38),
+          (acc, p) => acc + p.getField("a").cast(d38) * p.getField("b"))
+          .as("cov_n2"))
+    lags.select($"lag".cast("long").as("lag"), $"n".as("n_days"),
+        $"cov_n2".cast("string").as("cov_num"),
+        when($"var_n2" > 0, $"cov_n2".cast("double") / $"var_n2".cast("double"))
+          .as("acf"),
+        coalesce(when($"var_n2" > 0,
+          abs($"cov_n2".cast("double") / $"var_n2".cast("double")) >
+            lit(2.0) / sqrt($"n".cast("double"))), lit(false))
+          .as("significant"))
+      .orderBy($"lag")
+  }
+
   /** At-most-one-changepoint (AMOC) location — the WHERE to q317's
     * CUSUM WHETHER: the split k maximizing the scaled mean-contrast
     * statistic |S_k·n − k·S_n| over the daily-revenue series (the CUSUM
@@ -1445,6 +1505,7 @@ object TimeSeries {
     "q353_motif_discord" -> motifDiscord,
     "q354_seasonal_decompose" -> seasonalDecompose,
     "q346_amoc_changepoint" -> amocChangepoint,
+    "q369_acf_daily_revenue" -> acfDailyRevenue,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
     "q343_holt_linear" -> holtLinear,
@@ -1564,6 +1625,49 @@ object TimeSeries {
          |       d.detr - s.seasonal AS residual
          |FROM detrended d JOIN seas s ON d.dow = s.dow
          |ORDER BY d.day""".stripMargin,
+    // observed-sequence centered terms scaled by n (denominators
+    // cleared), HUGEINT folds per lag in ascending-t order, r_k as the
+    // one shared divide (the n² factors cancel)
+    "q369_acf_daily_revenue" ->
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS rev
+         |  FROM orders GROUP BY 1
+         |), arr AS (
+         |  SELECT list(rev ORDER BY day) AS xs FROM daily
+         |), base AS (
+         |  SELECT xs, CAST(len(xs) AS BIGINT) AS n,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+         |           (a, b) -> a + b) AS s
+         |  FROM arr
+         |), cs AS MATERIALIZED (
+         |  SELECT n, list_transform(xs, v -> n * v - s) AS cs FROM base
+         |), vr AS (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |           list_transform(cs, c -> CAST(c AS HUGEINT) * c)),
+         |           (a, b) -> a + b) AS var_n2
+         |  FROM cs
+         |), lagt AS MATERIALIZED (
+         |  SELECT lag, n, var_n2,
+         |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |           list_transform(range(1, CAST(n - lag + 1 AS BIGINT)), i ->
+         |             CAST(cs[CAST(i AS INT)] AS HUGEINT)
+         |               * cs[CAST(i + lag AS INT)])),
+         |           (a, b) -> a + b) AS cov_n2
+         |  FROM cs, vr, (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag)
+         |  WHERE lag < n
+         |)
+         |SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+         |       CAST(cov_n2 AS VARCHAR) AS cov_num,
+         |       CASE WHEN var_n2 > 0
+         |            THEN CAST(cov_n2 AS DOUBLE) / CAST(var_n2 AS DOUBLE)
+         |       END AS acf,
+         |       coalesce(CASE WHEN var_n2 > 0
+         |            THEN abs(CAST(cov_n2 AS DOUBLE) / CAST(var_n2 AS DOUBLE))
+         |                 > 2.0 / sqrt(CAST(n AS DOUBLE))
+         |       END, FALSE) AS significant
+         |FROM lagt
+         |ORDER BY lag""".stripMargin,
     "q346_amoc_changepoint" ->
       s"""WITH daily AS (
          |  SELECT CAST(o_orderdate AS DATE) AS day,

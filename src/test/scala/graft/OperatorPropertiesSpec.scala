@@ -2654,6 +2654,45 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fx.getAs[Double]("p_value") > 0.05)
   }
 
+  test("q370 vocab growth: closed-form banded curve; accelerating vocab drops the flag") {
+    def mk(texts: Seq[String]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("vg").toString
+      texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong + 1, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // 16 docs, ids 1..16 → one per band; doc i = "w u_i": band 0 opens
+    // the vocab with 2 types, every later band adds exactly 1
+    val sub = SparkEntry.queries("q370_vocab_growth")(spark,
+      mk((1 to 16).map(i => s"w u$i")))
+      .collect().map(r => r.getAs[Long]("band") -> r).toMap
+    assert(sub.size === 16)
+    assert(sub(0L).getAs[Long]("n_new_types") === 2L)
+    (1L to 15L).foreach(b => assert(sub(b).getAs[Long]("n_new_types") === 1L))
+    assert(sub(15L).getAs[Long]("cum_types") === 17L)
+    assert(sub(15L).getAs[Long]("cum_tokens") === 32L)
+    // half/full: V 9→17, N 16→32: 17·16 < 32·9 → sublinear (Heaps)
+    assert(sub(0L).getAs[Boolean]("sublinear"))
+    assert(sub(0L).getAs[Double]("type_ratio") === 17.0 / 9.0)
+    assert(sub(0L).getAs[Double]("token_ratio") === 2.0)
+    // accelerating vocabulary (constant first half, all-unique second):
+    // V 1→17 while N 16→32 — the flag must drop
+    val sup = SparkEntry.queries("q370_vocab_growth")(spark,
+      mk((1 to 8).map(_ => "w w") ++ (9 to 16).map(i => s"x$i y$i")))
+      .collect()
+    assert(!sup.head.getAs[Boolean]("sublinear"))
+    assert(sup.head.getAs[Double]("type_ratio") === 17.0)
+    // fixture: token mass ≫ type count — sublinear, and the cumulative
+    // curve is monotone
+    val fx = SparkEntry.queries("q370_vocab_growth")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("band"))
+    assert(fx.head.getAs[Boolean]("sublinear"))
+    assert(fx.sliding(2).forall(p =>
+      p.head.getAs[Long]("cum_types") <= p.last.getAs[Long]("cum_types")))
+  }
+
   test("q368 Brier: hand-computed bins, exact fold replay, Murphy identity") {
     val dir = java.nio.file.Files.createTempDirectory("brier").toString
     Seq((1L, "the and", "en"), (2L, "the and", "de"), (3L, "el la los", "es"))
@@ -2939,6 +2978,50 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(part(0L).getAs[Double]("idcg") ===
       graft.queries.LlmOps.NdcgDiscount.take(2).foldLeft(0.0)(_ + _))
     assert(part(0L).getAs[Double]("ndcg") <= 1.0)
+  }
+
+  test("q369 ACF: exact BigInt replay on a planted series; constant series nulls out") {
+    def mkOrders(dollars: Seq[Int], dir: String): String = {
+      dollars.zipWithIndex.map { case (d, i) =>
+        (i.toLong + 1, f"2000-01-${i + 1}%02d", d.toDouble)
+      }.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"), $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // two identical weeks + a third distinct week: real lag structure
+    val dollars = Seq(1, 5, 2, 8, 3, 9, 4) ++ Seq(1, 5, 2, 8, 3, 9, 4) ++
+      Seq(7, 7, 1, 2, 9, 9, 1)
+    val dir = mkOrders(dollars,
+      java.nio.file.Files.createTempDirectory("acf").toString)
+    val out = SparkEntry.queries("q369_acf_daily_revenue")(spark, dir)
+      .collect().map(r => r.getAs[Long]("lag") -> r).toMap
+    // first-principles replay: cs_t = n·x_t − S in cents, exact BigInt
+    val xs = dollars.map(d => BigInt(d) * 100)
+    val n = BigInt(xs.length)
+    val sTot = xs.sum
+    val cs = xs.map(x => n * x - sTot)
+    val varN2 = cs.map(c => c * c).sum
+    for (k <- 1 to graft.queries.TimeSeries.AcfMaxLag) {
+      val cov = (0 until (xs.length - k)).map(i => cs(i) * cs(i + k)).sum
+      assert(out(k.toLong).getAs[String]("cov_num") === cov.toString, s"lag $k")
+      assert(out(k.toLong).getAs[Double]("acf") ===
+        cov.doubleValue / varN2.doubleValue, s"lag $k acf")
+    }
+    // the repeated week makes lag 7 the strongest positive correlation
+    assert(out(7L).getAs[Double]("acf") ===
+      out.values.map(_.getAs[Double]("acf")).max)
+    // constant series: every centered term is 0 → var 0 → NULL acf,
+    // flag down at every lag
+    val dir2 = mkOrders(Seq.fill(10)(5),
+      java.nio.file.Files.createTempDirectory("acf_const").toString)
+    val const = SparkEntry.queries("q369_acf_daily_revenue")(spark, dir2).collect()
+    assert(const.length === 7)
+    const.foreach { r =>
+      assert(r.getAs[String]("cov_num") === "0")
+      assert(r.isNullAt(r.fieldIndex("acf")))
+      assert(!r.getAs[Boolean]("significant"))
+    }
   }
 
   test("q353 motif/discord match an exact integer JVM replay; planted twin weeks") {
