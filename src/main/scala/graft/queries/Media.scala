@@ -223,10 +223,88 @@ object Media {
       .orderBy($"s_nationkey")
   }
 
+  /** q371 dHash geometry: 18×16 source raster, 2×2 integer-mean
+    * downsample to the canonical 9×8 grid, adjacent-column comparisons
+    * → 63 hash bits (bit 63 dropped so the key stays a signed BIGINT —
+    * one comparison of 64, identical in both engines, documented). */
+  private val DhW = 18
+  private val DhH = 16
+
+  /** q371 pixel closed form: 25 base image CLASSES (p_partkey mod 25)
+    * carry the structure; a small uniform brightness delta
+    * (p_partkey mod 3) makes payloads within a class BYTE-DISTINCT.
+    * Values ≤ 239 + 2 never clip. */
+  private def dhGray(pk: Long, i: Int): Int =
+    (((pk % 25) * 37 + i * 11) % 240 + pk % 3).toInt
+
+  /** Perceptual near-dup detection over IMAGE payloads — the
+    * difference-hash (dHash, public description) member of the dedup
+    * family, on the multimodal path: one real 18×16 PNG per part
+    * (javax.imageio encode — deflate, chunks, CRCs), decoded by the
+    * real codec, integer-downsampled 2×2 to the canonical 9×8 grid,
+    * hashed by the 63 adjacent-column brightness comparisons, and
+    * grouped by hash. The PERCEPTUAL property is what the fixture
+    * proves: each of the 25 structural classes ships in 3 byte-distinct
+    * brightness variants (different PNG bytes, different exact-dedup
+    * digests), and because a uniform shift preserves every < compare,
+    * all variants collapse into ONE cluster — n_variants counts them
+    * per cluster, oracle-checked from the same closed form. Scale: the
+    * codec UDFs are per-row CPU, zero shuffle (the q283 contract); the
+    * census shuffles 8-byte hashes only. The oracle never touches a
+    * codec: it replays pixels → block means → comparisons → hash as
+    * pure integer SQL, so a hash match proves the ENTIRE encode →
+    * decode → downsample → compare pipeline bit-exact. */
+  def imageDhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = udf { (pk: Long) =>
+      import java.awt.image.BufferedImage
+      val img = new BufferedImage(DhW, DhH, BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < DhW * DhH) {
+        val g = dhGray(pk, i)
+        img.setRGB(i % DhW, i / DhW, (g << 16) | (g << 8) | g)
+        i += 1
+      }
+      Multimodal.ImageIoCodec.toPng(img)
+    }
+    val dhash = udf { (png: Array[Byte]) =>
+      Multimodal.ImageIoCodec.tryDecode(png) match {
+        case Some(img) if img.getWidth == DhW && img.getHeight == DhH =>
+          def px(x: Int, y: Int): Long = (img.getRGB(x, y) & 0xff).toLong
+          def mean(r: Int, c: Int): Long =
+            (px(2 * c, 2 * r) + px(2 * c + 1, 2 * r) +
+              px(2 * c, 2 * r + 1) + px(2 * c + 1, 2 * r + 1)) / 4
+          var h = 0L
+          var k = 0
+          while (k < 63) { // bit 63 dropped: signed-BIGINT key
+            val r = k / 8; val c = k % 8
+            if (mean(r, c) < mean(r, c + 1)) h |= 1L << k
+            k += 1
+          }
+          h
+        case _ => -1L // decode failure sentinel; the oracle states none
+      }
+    }
+    val hashed = Tables.part(s, dir)
+      .select($"p_partkey", enc($"p_partkey").as("png"))
+      .select($"p_partkey", dhash($"png").as("dhash"),
+        ($"p_partkey" % 3).as("variant"))
+    val clusters = hashed.groupBy($"dhash")
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct($"variant").as("n_variants"),
+        min($"p_partkey").as("first_part"))
+      .localCheckpoint(eager = false) // read by rows + riding totals
+    val tot = clusters.agg(count(lit(1)).as("n_clusters"),
+      sum($"n_parts").as("n_parts_total"))
+    clusters.crossJoin(broadcast(tot))
+      .orderBy($"dhash")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q283_image_feature_census" -> imageFeatureCensus,
     "q286_audio_feature_census" -> audioFeatureCensus,
-    "q287_video_structure_census" -> videoStructureCensus
+    "q287_video_structure_census" -> videoStructureCensus,
+    "q371_image_dhash_dedup" -> imageDhashDedup
   )
 
   def oracles: Map[String, String] = Map(
@@ -269,6 +347,45 @@ object Media {
          |FROM sm
          |GROUP BY 1
          |ORDER BY 1""".stripMargin,
+    // pixels → 2×2 integer block means → 63 adjacent-column compares →
+    // hash, all replayed as integer SQL from the closed form; a match
+    // proves the codec round-trip AND the downsample bit-exact
+    "q371_image_dhash_dedup" ->
+      s"""WITH cells AS (
+         |  SELECT p_partkey, r, c,
+         |    ( ((p_partkey % 25) * 37 + ((2*r) * $DhW + 2*c) * 11) % 240
+         |      + ((p_partkey % 25) * 37 + ((2*r) * $DhW + 2*c + 1) * 11) % 240
+         |      + ((p_partkey % 25) * 37 + ((2*r + 1) * $DhW + 2*c) * 11) % 240
+         |      + ((p_partkey % 25) * 37 + ((2*r + 1) * $DhW + 2*c + 1) * 11) % 240
+         |      + 4 * (p_partkey % 3) ) // 4 AS m
+         |  FROM part,
+         |       (SELECT unnest(range(0, 8)) AS r),
+         |       (SELECT unnest(range(0, 9)) AS c)
+         |), hashed AS MATERIALIZED (
+         |  SELECT a.p_partkey,
+         |         CAST(coalesce(sum(CASE WHEN a.m < b.m
+         |             THEN (CAST(1 AS BIGINT) << CAST(a.r * 8 + a.c AS INT))
+         |             ELSE 0 END), 0) AS BIGINT) AS dhash,
+         |         CAST(min(a.p_partkey % 3) AS BIGINT) AS variant
+         |  FROM cells a
+         |  JOIN cells b ON a.p_partkey = b.p_partkey AND a.r = b.r
+         |               AND b.c = a.c + 1
+         |  WHERE a.r * 8 + a.c < 63
+         |  GROUP BY 1
+         |), clusters AS MATERIALIZED (
+         |  SELECT dhash, CAST(count(*) AS BIGINT) AS n_parts,
+         |         CAST(count(DISTINCT p_partkey % 3) AS BIGINT) AS n_variants,
+         |         CAST(min(p_partkey) AS BIGINT) AS first_part
+         |  FROM hashed GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |         CAST(sum(n_parts) AS BIGINT) AS n_parts_total
+         |  FROM clusters
+         |)
+         |SELECT dhash, n_parts, n_variants, first_part,
+         |       n_clusters, n_parts_total
+         |FROM clusters, tot
+         |ORDER BY dhash""".stripMargin,
     "q287_video_structure_census" ->
       """SELECT s_nationkey,
         |       count(*) AS n_videos,

@@ -286,6 +286,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q371 dHash: byte-distinct brightness variants collapse; JVM closed-form replay") {
+    val rows = graft.queries.Media.imageDhashDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the perceptual property: every cluster holds ALL THREE brightness
+    // variants — byte-distinct PNGs (different deflate streams) whose
+    // adjacent-pixel comparisons are shift-invariant
+    assert(rows.forall(_.getAs[Long]("n_variants") === 3L))
+    // partition law + structural cluster count: ≤ 25 classes, ≥ 1
+    val nParts = graft.Tables.part(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum === nParts)
+    assert(rows.length <= 25)
+    assert(rows.forall(_.getAs[Long]("dhash") >= 0L), "no decode-failure sentinel")
+    // JVM replay of the full integer pipeline for one part: pixels →
+    // 2×2 means → 63 comparisons → hash; the part's cluster must exist
+    def gray(pk: Long, i: Int): Long = ((pk % 25) * 37 + i * 11) % 240 + pk % 3
+    def mean(pk: Long, r: Int, c: Int): Long =
+      (gray(pk, (2 * r) * 18 + 2 * c) + gray(pk, (2 * r) * 18 + 2 * c + 1) +
+        gray(pk, (2 * r + 1) * 18 + 2 * c) + gray(pk, (2 * r + 1) * 18 + 2 * c + 1)) / 4
+    def hash(pk: Long): Long =
+      (0 until 63).foldLeft(0L) { (h, k) =>
+        val (r, c) = (k / 8, k % 8)
+        if (mean(pk, r, c) < mean(pk, r, c + 1)) h | (1L << k) else h
+      }
+    val somePk = graft.Tables.part(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.min("p_partkey")).collect()(0).getLong(0)
+    assert(rows.exists(_.getAs[Long]("dhash") === hash(somePk)))
+    // shift invariance replayed in JVM: same class, different delta
+    // (pk+25 ≡ pk mod 25, delta shifts by 1) — identical hash from
+    // different pixels
+    assert(hash(somePk) === hash(somePk + 25))
+    assert((0 until 288).exists(i => gray(somePk, i) != gray(somePk + 25, i)),
+      "the variants really are pixel-distinct")
+  }
+
   test("q283 image census: real PNG round-trip, closed-form stats, all brands ok") {
     import org.apache.spark.sql.Row
     val rows = graft.queries.Media.imageFeatureCensus(spark, sfDir).collect()
