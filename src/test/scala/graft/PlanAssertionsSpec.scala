@@ -603,4 +603,44 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"rule expansion fell off the broadcast path:\n$p")
   }
+
+  // ---- round-17 guards ----
+
+  test("q358/q362 top-10 candidate filters plan as WindowGroupLimit") {
+    assert(planOf("q358_ndcg_at_10").contains("WindowGroupLimit"))
+    assert(planOf("q362_rbo_index_fidelity").contains("WindowGroupLimit"))
+  }
+
+  test("q366 token→vocab join is broadcast; doc scans prune to the used columns") {
+    val p = planOf("q366_roc_auc_surprisal")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab-bounded count table must broadcast, never shuffle the token stream")
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      "document scan must prune unused columns")
+  }
+
+  test("q367 rerandomization is scan+agg only: no sort-merge join, no window") {
+    val p = planOf("q367_permutation_test")
+    assert(!p.contains("SortMergeJoin"),
+      "only ≤48-group aggs and 1-row broadcasts may appear")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window "),
+      "no window operator belongs in this plan")
+  }
+
+  test("q356/q365 drift windows run over the bounded census, with pruned scans") {
+    for (name <- Seq("q356_cvm_drift_stat", "q365_mann_whitney_u")) {
+      val p = planOf(name)
+      assert(!p.contains("n_chars") && !p.contains("source"),
+        s"$name: document scan must prune unused columns")
+      // the lang-keyed prefix window must consume AGGREGATED census rows:
+      // at least two aggregates (census + final) sit in the plan
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$name census shape")
+    }
+  }
+
+  test("q357 fact⋈dim joins are hash joins; the QI grid never nests the fact side") {
+    val p = planOf("q357_t_closeness_census")
+    assert(!p.contains("CartesianProduct"),
+      "only the broadcast domain-grid cross may appear, never a cartesian")
+  }
 }
