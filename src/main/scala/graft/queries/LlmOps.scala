@@ -2762,6 +2762,62 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** Cramér's V association census between the corpus's two categorical
+    * axes (language × source) — the composition diagnostic a curation
+    * pipeline reads before stratifying (q84/q334): if language and
+    * source are associated, a per-source cut silently shifts the
+    * language mix. χ² is folded over the FULL contingency grid
+    * (margins × margins, broadcast — absent cells carry expected mass
+    * too, the q357 zero-fill stance) with each term one shared IEEE
+    * tree over exact integers, accumulated in cell-sorted order
+    * ((lang, source) array fold — fixed sequence both engines);
+    * V = √(χ²/(N·(min(r,c)−1))) and the per-cell standardized residual
+    * (n−e)/√e ride the rows. Degenerate single-level axis (min(r,c)=1):
+    * V defines to 0. Scale: one grouped count to the ≤|langs|·|sources|
+    * census; everything after is grid-bounded. */
+  def cramersV(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // read by both margins AND the grid
+    val rm = cells.groupBy($"lang").agg(sum($"n").as("r_i"))
+    val cm = cells.groupBy($"source").agg(sum($"n").as("c_j"))
+    val tot = cells.agg(sum($"n").as("nn"),
+      countDistinct($"lang").as("n_langs"),
+      countDistinct($"source").as("n_sources"))
+    val grid = rm.crossJoin(broadcast(cm))
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("n_obs", coalesce($"n", lit(0L)))
+      .crossJoin(broadcast(tot))
+      // expected mass e = r·c/N and the χ² term ((n·N − r·c)²/(N·r·c))/N
+      // — one tree per cell over exact integers (r·c ≤ N² passes long to
+      // ~3·10⁹ docs; beyond, promote to decimal — the q332 envelope)
+      .withColumn("e", $"r_i".cast("double") * $"c_j" / $"nn".cast("double"))
+      .withColumn("resid",
+        ($"n_obs".cast("double") - $"e") / sqrt($"e"))
+      .localCheckpoint(eager = false) // read by the fold AND the rows
+    val chi = grid
+      .agg(sort_array(collect_list(struct($"lang", $"source",
+        $"n_obs", $"r_i", $"c_j", $"nn"))).as("xs"))
+      // (n−e)²/e = (n·N − r·c)² / (N·r·c), every input exact
+      .select(aggregate($"xs", lit(0.0), (a, x) => {
+        val num = (x.getField("n_obs") * x.getField("nn") -
+          x.getField("r_i") * x.getField("c_j")).cast("double")
+        a + num * num / (x.getField("nn").cast("double") *
+          x.getField("r_i") * x.getField("c_j"))
+      }).as("chi2"))
+    val out = chi.crossJoin(broadcast(tot))
+      .select($"chi2", $"nn".as("n_docs"), $"n_langs", $"n_sources",
+        when(least($"n_langs", $"n_sources") > 1L,
+          sqrt($"chi2" / ($"nn".cast("double") *
+            (least($"n_langs", $"n_sources") - 1L).cast("double"))))
+          .otherwise(lit(0.0)).as("cramers_v"))
+    grid.select($"lang", $"source", $"n_obs", $"e".as("expected"),
+        $"resid".as("std_residual"))
+      .crossJoin(broadcast(out))
+      .orderBy($"lang", $"source")
+  }
+
   /** q370 checkpoint count: 16 equal-width doc-id bands. */
   val VgBands = 16L
 
@@ -5738,6 +5794,7 @@ object LlmOps {
     "q367_permutation_test" -> permutationTest,
     "q368_brier_decomposition" -> brierDecomposition,
     "q370_vocab_growth" -> vocabGrowth,
+    "q372_cramers_v" -> cramersV,
     "q345_dbscan_grid" -> dbscanGrid,
     "q361_dbscan_auto_eps" -> dbscanAutoEps,
     "q349_textrank_keywords" -> textrankKeywords,
@@ -6147,6 +6204,52 @@ object LlmOps {
          |         - (SELECT CAST(coalesce(sum(n_border), 0) AS BIGINT) FROM bc)
          |)
          |ORDER BY cluster_id""".stripMargin,
+    // full margins×margins grid (absent cells carry expected mass), χ²
+    // folded in cell-sorted order, V and residuals as shared trees
+    "q372_cramers_v" ->
+      s"""WITH cells AS MATERIALIZED (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2
+         |), rm AS (
+         |  SELECT lang, CAST(sum(n) AS BIGINT) AS r_i FROM cells GROUP BY 1
+         |), cm AS (
+         |  SELECT source, CAST(sum(n) AS BIGINT) AS c_j FROM cells GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |  FROM cells
+         |), grid AS MATERIALIZED (
+         |  SELECT rm.lang, cm.source,
+         |         CAST(coalesce(c.n, 0) AS BIGINT) AS n_obs, r_i, c_j, nn,
+         |         CAST(r_i AS DOUBLE) * c_j / CAST(nn AS DOUBLE) AS e
+         |  FROM rm CROSS JOIN cm
+         |  LEFT JOIN cells c ON c.lang = rm.lang AND c.source = cm.source,
+         |  tot
+         |), chi AS (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(xs, x ->
+         |             CAST(x.n_obs * x.nn - x.r_i * x.c_j AS DOUBLE)
+         |             * CAST(x.n_obs * x.nn - x.r_i * x.c_j AS DOUBLE)
+         |             / (CAST(x.nn AS DOUBLE) * x.r_i * x.c_j))),
+         |           (a, b) -> a + b) AS chi2
+         |  FROM (SELECT list(struct_pack(lang := lang, source := source,
+         |                 n_obs := n_obs, r_i := r_i, c_j := c_j, nn := nn)
+         |                 ORDER BY lang, source) AS xs
+         |        FROM grid)
+         |), outt AS (
+         |  SELECT chi2, nn AS n_docs, n_langs, n_sources,
+         |         CASE WHEN least(n_langs, n_sources) > 1
+         |              THEN sqrt(chi2 / (CAST(nn AS DOUBLE)
+         |                * CAST(least(n_langs, n_sources) - 1 AS DOUBLE)))
+         |              ELSE 0.0 END AS cramers_v
+         |  FROM chi, tot
+         |)
+         |SELECT lang, source, n_obs, e AS expected,
+         |       (CAST(n_obs AS DOUBLE) - e) / sqrt(e) AS std_residual,
+         |       chi2, n_docs, n_langs, n_sources, cramers_v
+         |FROM grid, outt
+         |ORDER BY lang, source""".stripMargin,
     // first-appearance min-agg charges each type to one doc; value
     // bands + a 16-row prefix window; the sublinearity flag is an exact
     // HUGEINT cross-multiply on the half-vs-full checkpoint

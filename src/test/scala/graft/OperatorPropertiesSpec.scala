@@ -2654,6 +2654,44 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fx.getAs[Double]("p_value") > 0.05)
   }
 
+  test("q372 Cramér's V: exact 0 under independence, exact 1 on the diagonal") {
+    def mk(rows: Seq[(String, String, Int)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("cramer").toString
+      rows.zipWithIndex.flatMap { case ((l, src, n), g) =>
+        (1 to n).map(i => ((g * 100 + i).toLong, "t", l, src, 1L)) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // proportional 2×2 grid: every cell exactly its expected mass →
+    // every χ² numerator n·N − r·c is 0 → χ² = 0.0 and V = 0.0 EXACTLY
+    val ind = SparkEntry.queries("q372_cramers_v")(spark,
+      mk(Seq(("en", "a", 2), ("en", "b", 2), ("de", "a", 2), ("de", "b", 2))))
+      .collect()
+    assert(ind.length === 4)
+    assert(ind.head.getAs[Double]("chi2") === 0.0)
+    assert(ind.head.getAs[Double]("cramers_v") === 0.0)
+    assert(ind.forall(_.getAs[Double]("std_residual") === 0.0))
+    // perfect diagonal: χ² = N·(k−1) = 6 exactly → V = √1 = 1.0 EXACTLY
+    val diag = SparkEntry.queries("q372_cramers_v")(spark,
+      mk(Seq(("en", "a", 3), ("de", "b", 3))))
+      .collect()
+    assert(diag.length === 4, "the full grid includes the empty cells")
+    assert(diag.head.getAs[Double]("chi2") === 6.0)
+    assert(diag.head.getAs[Double]("cramers_v") === 1.0)
+    // single-level axis: association undefined → V defines to 0
+    val one = SparkEntry.queries("q372_cramers_v")(spark,
+      mk(Seq(("en", "a", 3), ("de", "a", 3))))
+      .collect()
+    assert(one.head.getAs[Double]("cramers_v") === 0.0)
+    // fixture: V in (0, 1) and the grid covers langs × sources
+    val fx = SparkEntry.queries("q372_cramers_v")(spark, sfDir).collect()
+    val v = fx.head.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+    assert(fx.length.toLong ===
+      fx.head.getAs[Long]("n_langs") * fx.head.getAs[Long]("n_sources"))
+  }
+
   test("q370 vocab growth: closed-form banded curve; accelerating vocab drops the flag") {
     def mk(texts: Seq[String]): String = {
       val dir = java.nio.file.Files.createTempDirectory("vg").toString
