@@ -52,6 +52,72 @@ object LlmOps {
   private val docIdDigestSql =
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)"
 
+  /** ONE shared literal for the q48/q351/q364/q368 marker-scorer family
+    * (r17 ADVICE): the per-language marker lists in the decision chain's
+    * PRIORITY order (ties break to the earlier entry). Both the Spark
+    * expressions and the DuckDB oracle SQL are generated from this, so
+    * an edit here re-syncs the whole family — the
+    * [[graft.queries.Relational.dpNoiseCaseSql]] pattern. */
+  private[queries] val MarkerChain: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "des", "une", "est"))
+
+  /** toks → one long `s_<lang>` marker-hit column per MarkerChain row. */
+  private def withMarkerScores(df: DataFrame): DataFrame =
+    MarkerChain.foldLeft(df) { case (d, (l, ws)) =>
+      d.withColumn(s"s_$l", TextOps.markerHits(col("toks"), ws).cast("long"))
+    }
+
+  /** The predicted-language decision chain over the s_<lang> columns.
+    * `fallback` is the no-marker arm: "und" for q48's unscreened census;
+    * the LAST chain language under an upstream s_tot > 0 screen (which
+    * makes that arm reachable only when the last language wins). */
+  private def markerPredicted(fallback: String): Column = {
+    val langs = MarkerChain.map(_._1)
+    val last =
+      if (fallback == langs.last) lit(langs.last)
+      else when(col(s"s_${langs.last}") > 0L, langs.last).otherwise(fallback)
+    langs.init.zipWithIndex.foldRight(last) { case ((l, i), acc) =>
+      val cond = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _) && col(s"s_$l") > 0L
+      when(cond, l).otherwise(acc)
+    }
+  }
+
+  /** DuckDB twin of [[withMarkerScores]]: the s_<lang> select list. */
+  private def markerScoresSql: String =
+    MarkerChain.map { case (l, ws) =>
+      val in = ws.map(w => s"'$w'").mkString(",")
+      s"CAST(len(list_filter(toks, t -> t IN ($in))) AS BIGINT) AS s_$l"
+    }.mkString(", ")
+
+  /** DuckDB twin of [[markerPredicted]]. */
+  private def markerCaseSql(fallback: String): String = {
+    val langs = MarkerChain.map(_._1)
+    val whens = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o") :+ s"s_$l > 0"
+      s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+    }
+    val last =
+      if (fallback == langs.last) s"ELSE '${langs.last}' END"
+      else s"WHEN s_${langs.last} > 0 THEN '${langs.last}' ELSE '$fallback' END"
+    s"CASE ${whens.mkString(" ")} $last"
+  }
+
+  /** `s_en + s_es + ...` total-hits SQL over the MarkerChain columns. */
+  private def markerTotSql: String =
+    MarkerChain.map { case (l, _) => s"s_$l" }.mkString(" + ")
+
+  /** `'the','and',...` — one language's marker list as a SQL IN-list. */
+  private def markerInSql(lang: String): String =
+    MarkerChain.toMap.apply(lang).map(w => s"'$w'").mkString(",")
+
+  /** `greatest(s_en, s_es, ...)` over the MarkerChain columns. */
+  private def markerBestSql: String =
+    s"greatest(${MarkerChain.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+
   /** Fixture embeddings are fixed 64-dim; float products, double fold. */
   private def dotSql(x: String, y: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(range(1, 65), i -> $x[i] * $y[i]) AS DOUBLE[])), (acc, p) -> acc + p)"
@@ -444,7 +510,7 @@ object LlmOps {
     * (0.2, 0.8, 0.4) must pool to (0.2, 0.6, 0.6). */
   def isotonicCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val en = Seq("the", "and", "of", "to", "is")
+    val en = MarkerChain.toMap.apply("en")
     val bins = Tables.documents(s, dir)
       .select(
         TextOps.markerHits(TextOps.tokens($"text"), en).cast("long").as("x"),
@@ -1096,22 +1162,9 @@ object LlmOps {
     * tests; the declared query proves the operator end-to-end.) */
   def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val es = Seq("el", "la", "de", "que", "los")
-    val de = Seq("der", "die", "und", "das", "ist")
-    val fr = Seq("le", "les", "des", "une", "est")
-    val en = Seq("the", "and", "of", "to", "is")
-    Tables.documents(s, dir)
-      .withColumn("toks", TextOps.tokens($"text"))
-      .withColumn("s_es", TextOps.markerHits($"toks", es))
-      .withColumn("s_de", TextOps.markerHits($"toks", de))
-      .withColumn("s_fr", TextOps.markerHits($"toks", fr))
-      .withColumn("s_en", TextOps.markerHits($"toks", en))
-      .withColumn("predicted",
-        when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" && $"s_en" >= $"s_fr" && $"s_en" > 0, "en")
-          .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr" && $"s_es" > 0, "es")
-          .when($"s_de" >= $"s_fr" && $"s_de" > 0, "de")
-          .when($"s_fr" > 0, "fr")
-          .otherwise("und"))
+    withMarkerScores(Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text")))
+      .withColumn("predicted", markerPredicted("und"))
       .groupBy($"lang", $"predicted")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy($"lang", $"predicted")
@@ -2951,7 +3004,10 @@ object LlmOps {
             .cast("double") / ($"n_a".cast("double") * $"n_b"))
           .as("diff_obs"),
         $"b_total", $"n_geq",
-        ratio(lit(1L) + $"n_geq", $"b_total" + 1L).as("p_value"))
+        // a degenerate OBSERVED split (n_a or n_b = 0) has no defined
+        // difference — p is NULL there, mirroring the q356/q365 guards
+        when($"n_a" > 0L && $"n_b" > 0L,
+          ratio(lit(1L) + $"n_geq", $"b_total" + 1L)).as("p_value"))
   }
 
   def distributionDrift(s: SparkSession, dir: String): DataFrame = {
@@ -3942,9 +3998,14 @@ object LlmOps {
           struct(length($"w").as("cur"), array().cast("array<string>").as("ps")),
           (st, _) => {
             val cur = st.getField("cur")
+            // explicit cur >= j guard INSIDE cand: element_at(best, 0)
+            // throws and negative indexes read from the array END, so
+            // correctness must not ride on And short-circuit order
             def cand(j: Int): Column =
-              element_at($"best", cur - j + 1) +
-                element_at($"cm", (cur - j) * 4 + j)
+              when(cur >= j,
+                element_at($"best", cur - j + 1) +
+                  element_at($"cm", (cur - j) * 4 + j))
+                .otherwise(lit(UlmInf))
             def eqj(j: Int): Column =
               cur >= j && cand(j) === element_at($"best", cur + 1)
             // ties to the LONGEST piece; j = 1 needs no equality check —
@@ -5335,25 +5396,14 @@ object LlmOps {
     * (no markers) are excluded and censused. */
   def eceCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val es = Seq("el", "la", "de", "que", "los")
-    val de = Seq("der", "die", "und", "das", "ist")
-    val fr = Seq("le", "les", "des", "une", "est")
-    val en = Seq("the", "and", "of", "to", "is")
-    val scored = Tables.documents(s, dir)
-      .withColumn("toks", TextOps.tokens($"text"))
-      .withColumn("s_es", TextOps.markerHits($"toks", es).cast("long"))
-      .withColumn("s_de", TextOps.markerHits($"toks", de).cast("long"))
-      .withColumn("s_fr", TextOps.markerHits($"toks", fr).cast("long"))
-      .withColumn("s_en", TextOps.markerHits($"toks", en).cast("long"))
-      .withColumn("s_tot", $"s_es" + $"s_de" + $"s_fr" + $"s_en")
+    val scored = withMarkerScores(Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text")))
+      .withColumn("s_tot",
+        MarkerChain.map { case (l, _) => col(s"s_$l") }.reduce(_ + _))
       .filter($"s_tot" > 0L)
-      .withColumn("predicted",
-        when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" &&
-          $"s_en" >= $"s_fr" && $"s_en" > 0, "en")
-          .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr" && $"s_es" > 0, "es")
-          .when($"s_de" >= $"s_fr" && $"s_de" > 0, "de")
-          .otherwise("fr"))
-      .withColumn("s_best", greatest($"s_es", $"s_de", $"s_fr", $"s_en"))
+      .withColumn("predicted", markerPredicted("fr"))
+      .withColumn("s_best",
+        greatest(MarkerChain.map { case (l, _) => col(s"s_$l") }: _*))
       .withColumn("bin",
         least(lit(EceBins - 1L),
           expr(s"((s_best + 1) * $EceBins) div (s_tot + 4)")))
@@ -5396,24 +5446,13 @@ object LlmOps {
     * q368's Brier decomposition; q351 keeps its inline twin. */
   private def markerScoredAll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val es = Seq("el", "la", "de", "que", "los")
-    val de = Seq("der", "die", "und", "das", "ist")
-    val fr = Seq("le", "les", "des", "une", "est")
-    val en = Seq("the", "and", "of", "to", "is")
-    Tables.documents(s, dir)
-      .withColumn("toks", TextOps.tokens($"text"))
-      .withColumn("s_es", TextOps.markerHits($"toks", es).cast("long"))
-      .withColumn("s_de", TextOps.markerHits($"toks", de).cast("long"))
-      .withColumn("s_fr", TextOps.markerHits($"toks", fr).cast("long"))
-      .withColumn("s_en", TextOps.markerHits($"toks", en).cast("long"))
-      .withColumn("s_tot", $"s_es" + $"s_de" + $"s_fr" + $"s_en")
-      .withColumn("predicted",
-        when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" &&
-          $"s_en" >= $"s_fr" && $"s_en" > 0, "en")
-          .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr" && $"s_es" > 0, "es")
-          .when($"s_de" >= $"s_fr" && $"s_de" > 0, "de")
-          .otherwise("fr"))
-      .withColumn("s_best", greatest($"s_es", $"s_de", $"s_fr", $"s_en"))
+    withMarkerScores(Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text")))
+      .withColumn("s_tot",
+        MarkerChain.map { case (l, _) => col(s"s_$l") }.reduce(_ + _))
+      .withColumn("predicted", markerPredicted("fr"))
+      .withColumn("s_best",
+        greatest(MarkerChain.map { case (l, _) => col(s"s_$l") }: _*))
       .select($"lang", $"predicted", $"s_best", $"s_tot")
   }
 
@@ -6003,21 +6042,13 @@ object LlmOps {
     "q351_ece_calibration" ->
       s"""WITH scored AS MATERIALIZED (
          |  SELECT lang,
-         |         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
-         |                   AND s_en > 0 THEN 'en'
-         |              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
-         |              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-         |              ELSE 'fr' END AS predicted,
-         |         greatest(s_es, s_de, s_fr, s_en) AS s_best,
-         |         s_es + s_de + s_fr + s_en AS s_tot
+         |         ${markerCaseSql("fr")} AS predicted,
+         |         $markerBestSql AS s_best,
+         |         $markerTotSql AS s_tot
          |  FROM (
-         |    SELECT lang,
-         |      CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS BIGINT) AS s_es,
-         |      CAST(len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
-         |      CAST(len(list_filter(toks, t -> t IN ('le','les','des','une','est'))) AS BIGINT) AS s_fr,
-         |      CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en
+         |    SELECT lang, $markerScoresSql
          |    FROM (SELECT lang, $toksSql AS toks FROM documents)
-         |  ) WHERE s_es + s_de + s_fr + s_en > 0
+         |  ) WHERE $markerTotSql > 0
          |), bins AS MATERIALIZED (
          |  SELECT least(${EceBins - 1},
          |               ((s_best + 1) * $EceBins) // (s_tot + 4)) AS bin,
@@ -6311,21 +6342,13 @@ object LlmOps {
     "q368_brier_decomposition" ->
       s"""WITH allsc AS MATERIALIZED (
          |  SELECT lang,
-         |         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
-         |                   AND s_en > 0 THEN 'en'
-         |              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
-         |              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-         |              ELSE 'fr' END AS predicted,
-         |         greatest(s_es, s_de, s_fr, s_en) AS s_best,
-         |         s_es + s_de + s_fr + s_en AS s_tot
+         |         ${markerCaseSql("fr")} AS predicted,
+         |         $markerBestSql AS s_best,
+         |         $markerTotSql AS s_tot
          |  FROM (
-         |    SELECT lang,
-         |      CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS BIGINT) AS s_es,
-         |      CAST(len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
-         |      CAST(len(list_filter(toks, t -> t IN ('le','les','des','une','est'))) AS BIGINT) AS s_fr,
-         |      CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en
+         |    SELECT lang, $markerScoresSql
          |    FROM (SELECT lang, $toksSql AS toks FROM documents)
-         |  ) WHERE s_es + s_de + s_fr + s_en > 0
+         |  ) WHERE $markerTotSql > 0
          |), bins AS MATERIALIZED (
          |  SELECT conf, CAST(count(*) AS BIGINT) AS n_docs,
          |         ${sumLongSql("CASE WHEN correct THEN 1 ELSE 0 END")}
@@ -6428,7 +6451,8 @@ object LlmOps {
          |                  - CAST(s_b AS HUGEINT) * n_a) AS DOUBLE)
          |         / (CAST(n_a AS DOUBLE) * n_b) END AS diff_obs,
          |       b_total, n_geq,
-         |       ${ratioSql("1 + n_geq", "b_total + 1")} AS p_value
+         |       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |         ${ratioSql("1 + n_geq", "b_total + 1")} END AS p_value
          |FROM cmp, obs""".stripMargin,
     // q131's surprisal chain → score census → the q365 doubled-midrank
     // prefix fold; AUC and rank-Gini are single divides of exact ints
@@ -6533,18 +6557,10 @@ object LlmOps {
     "q364_cohens_kappa" ->
       s"""WITH allsc AS MATERIALIZED (
          |  SELECT lang,
-         |         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
-         |                   AND s_en > 0 THEN 'en'
-         |              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
-         |              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-         |              ELSE 'fr' END AS predicted,
-         |         s_es + s_de + s_fr + s_en AS s_tot
+         |         ${markerCaseSql("fr")} AS predicted,
+         |         $markerTotSql AS s_tot
          |  FROM (
-         |    SELECT lang,
-         |      CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS BIGINT) AS s_es,
-         |      CAST(len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
-         |      CAST(len(list_filter(toks, t -> t IN ('le','les','des','une','est'))) AS BIGINT) AS s_fr,
-         |      CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS s_en
+         |    SELECT lang, $markerScoresSql
          |    FROM (SELECT lang, $toksSql AS toks FROM documents)
          |  )
          |), excl AS (
@@ -7299,7 +7315,7 @@ object LlmOps {
          |  SELECT x, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS npos
          |  FROM (
          |    SELECT CAST(len(list_filter($toksSql,
-         |             t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS x,
+         |             t -> t IN (${markerInSql("en")}))) AS BIGINT) AS x,
          |           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
          |    FROM documents
          |  )
@@ -8831,20 +8847,12 @@ object LlmOps {
          |GROUP BY lang
          |ORDER BY lang""".stripMargin,
     "q48_lang_id" ->
-      """SELECT lang, predicted, count(*) AS n_docs FROM (
+      s"""SELECT lang, predicted, count(*) AS n_docs FROM (
         |  SELECT lang,
-        |         CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
-        |              WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
-        |              WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-        |              WHEN s_fr > 0 THEN 'fr'
-        |              ELSE 'und' END AS predicted
+        |         ${markerCaseSql("und")} AS predicted
         |  FROM (
-        |    SELECT lang,
-        |           len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS s_es,
-        |           len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS s_de,
-        |           len(list_filter(toks, t -> t IN ('le','les','des','une','est'))) AS s_fr,
-        |           len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS s_en
-        |    FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+        |    SELECT lang, $markerScoresSql
+        |    FROM (SELECT lang, $toksSql AS toks FROM documents)
         |  )
         |) GROUP BY lang, predicted
         |ORDER BY lang, predicted""".stripMargin,

@@ -186,6 +186,29 @@ class EnvelopeAuditSpec extends SparkSpec {
     assert(p.getInt(0) != p.getInt(1), "planted ragged corpus must differ")
   }
 
+  test("decimal(38,0) fold numerators are non-NULL (silent-overflow gate)") {
+    // Beyond the documented envelopes the two engines fail DIFFERENTLY
+    // (r17 ADVICE): a Spark decimal(38,0) fold that overflows under
+    // non-ANSI mode silently yields NULL, while the DuckDB HUGEINT oracle
+    // errors loudly — an out-of-envelope corpus would surface as a
+    // confusing hash/NULL mismatch. Gate the digit-string numerators (and
+    // q363's ari, whose ari_num/ari_den are d38 intermediates) by name so
+    // a silent Spark-side overflow trips HERE first.
+    Seq(
+      "q356_cvm_drift_stat" -> Seq("cvm_num"),
+      "q365_mann_whitney_u" -> Seq("tie_term"),
+      "q369_acf_daily_revenue" -> Seq("cov_num"),
+      "q363_adjusted_rand_index" -> Seq("ari")
+    ).foreach { case (name, cols) =>
+      val df = run(name).select(cols.map(col): _*)
+      cols.foreach { c =>
+        val nNull = df.filter(col(c).isNull).count()
+        assert(nNull == 0L, s"$name.$c: $nNull NULL(s) — the silent " +
+          "decimal(38,0) overflow signature (oracle would have errored)")
+      }
+    }
+  }
+
   test("wrap-symptom scan over the non-negative-by-construction census family") {
     // Counts, token totals, shard stats, blast radii: all non-negative by
     // construction; a negative long anywhere is an overflow signature.
