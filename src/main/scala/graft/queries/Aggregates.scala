@@ -2145,8 +2145,131 @@ object Aggregates {
       .orderBy($"fd")
   }
 
+  /** (flag, quantity, discount-bps) cell census shared by the rank-
+    * correlation pair q375/q376 — BOTH variables are domain-bounded
+    * (quantity 1..50, discount 0..1000 bps), so every downstream moment,
+    * marginal rank, and pair count is census-sized, corpus-size-free. */
+  private def rankCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).select(
+        $"l_returnflag",
+        $"l_quantity".cast("long").as("q"),
+        floor($"l_discount" * lit(10000.0) + lit(0.5)).cast("long").as("d"))
+      .groupBy($"l_returnflag", $"q", $"d")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Spearman rank correlation census (Spearman 1904, public
+    * description) with the Pearson contrast riding alongside — q195
+    * stops at Pearson, which only sees LINEAR association; Spearman is
+    * Pearson over midranks and sees any monotone relation (the spec pins
+    * the law: a monotone-nonlinear series has r < 1 but ρ = 1 exactly).
+    * Ranks are DOUBLED midranks from the marginal value censuses
+    * (2·midrank of a tied run = 2·cum_before + w + 1 — always integer,
+    * the q365 machinery), so every moment is an exact integer: cross
+    * moments fold as decimal(38,0) over the (q, d) CELL census — the
+    * cross moment needs no corpus join-back precisely because both
+    * domains are bounded. The correlation trees are q195's verbatim
+    * (num / (√varx·√vary), one shared IEEE shape), NULL-guarded on zero
+    * variance. Envelope: n·Σcnt·dr² ≤ 4n⁴ in decimal(38,0) holds to
+    * n ≈ 7·10⁸ rows per flag; doubled ranks ≤ 2n stay in long.
+    * Scale: one map-side-combined census pass; everything after is
+    * census-sized (≤ |q-domain|·|d-domain| rows per flag). */
+  def spearmanCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val cells = rankCells(s, dir)
+      .localCheckpoint() // read by two marginals + the moment agg
+    def marg(keyCol: String, rankCol: String): DataFrame = {
+      val w = Window.partitionBy($"l_returnflag").orderBy(col(keyCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.groupBy($"l_returnflag", col(keyCol))
+        .agg(sum($"cnt").as("wv"))
+        .withColumn("cum_before", sum($"wv").over(w) - $"wv")
+        .select($"l_returnflag", col(keyCol),
+          (lit(2L) * $"cum_before" + $"wv" + 1L).as(rankCol))
+    }
+    val joined = cells
+      .join(marg("q", "drq"), Seq("l_returnflag", "q"))
+      .join(marg("d", "drd"), Seq("l_returnflag", "d"))
+    val g = joined.groupBy($"l_returnflag").agg(
+      sum($"cnt").as("n"),
+      sum($"cnt".cast(d38) * $"drq").as("sx"),
+      sum($"cnt".cast(d38) * $"drd").as("sy"),
+      sum($"cnt".cast(d38) * $"drq" * $"drq").as("sxx"),
+      sum($"cnt".cast(d38) * $"drd" * $"drd").as("syy"),
+      sum($"cnt".cast(d38) * $"drq" * $"drd").as("sxy"),
+      sum($"cnt".cast(d38) * $"q").as("px"),
+      sum($"cnt".cast(d38) * $"d").as("py"),
+      sum($"cnt".cast(d38) * $"q" * $"q").as("pxx"),
+      sum($"cnt".cast(d38) * $"d" * $"d").as("pyy"),
+      sum($"cnt".cast(d38) * $"q" * $"d").as("pxy"))
+    val n38 = $"n".cast(d38)
+    def corrOf(sxy: Column, sx: Column, sy: Column,
+               sxx: Column, syy: Column): Column = {
+      val vx = n38 * sxx - sx * sx
+      val vy = n38 * syy - sy * sy
+      when(vx > 0 && vy > 0,
+        (n38 * sxy - sx * sy).cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+    }
+    g.select($"l_returnflag", $"n",
+        corrOf($"pxy", $"px", $"py", $"pxx", $"pyy").as("r_pearson"),
+        corrOf($"sxy", $"sx", $"sy", $"sxx", $"syy").as("rho_spearman"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Kendall τ-b census (Kendall 1938, public description) — the
+    * PAIR-ORDER member of the correlation family: the probability a
+    * random pair is concordant minus discordant, tie-corrected. Never
+    * the O(n²) row-pair join: both variables are domain-bounded, so
+    * concordant/discordant counts decompose over the CELL census —
+    * conc2 = Σ_{cells i,j} cnt_i·cnt_j·[sign(q_i−q_j)·sign(d_i−d_j) > 0]
+    * (each unordered row pair counted twice, hence the 2-suffix; joint
+    * cell self-pairs carry sign 0) — a census×census join per flag, the
+    * q315 decomposition stance. τ-b = (conc2 − disc2) /
+    * √((n(n−1) − Στq(τq−1))·(n(n−1) − Στd(τd−1))) with ONE sqrt over
+    * the decimal(38,0) product (≤ n⁴, exact to n ≈ 3·10⁹/flag; the
+    * single-sqrt tree keeps the no-tie perfect-concordance law exact:
+    * √(42·42) = 42 while √42·√42 ≠ 42 in IEEE), NULL-guarded on
+    * all-tied marginals. Scale: one census pass; the pair join is
+    * census² (≤ (50·1001)², flag-keyed, broadcast), corpus-size-free. */
+  def kendallTau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val cells = rankCells(s, dir)
+      .localCheckpoint() // read by the pair join (both sides) + margins
+    val o = cells.select($"l_returnflag",
+      $"q".as("oq"), $"d".as("od"), $"cnt".as("ocnt"))
+    val pairSums = cells.join(broadcast(o), Seq("l_returnflag"))
+      .withColumn("sgn",
+        when(($"q" > $"oq" && $"d" > $"od") ||
+          ($"q" < $"oq" && $"d" < $"od"), 1)
+          .when(($"q" > $"oq" && $"d" < $"od") ||
+            ($"q" < $"oq" && $"d" > $"od"), -1)
+          .otherwise(0))
+      .groupBy($"l_returnflag")
+      .agg(sum(when($"sgn" === 1, $"cnt" * $"ocnt").otherwise(0L)).as("conc2"),
+        sum(when($"sgn" === -1, $"cnt" * $"ocnt").otherwise(0L)).as("disc2"))
+    val tq = cells.groupBy($"l_returnflag", $"q").agg(sum($"cnt").as("t"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"t" * ($"t" - 1L)).as("tie_q2"), sum($"t").as("n"))
+    val td = cells.groupBy($"l_returnflag", $"d").agg(sum($"cnt").as("t"))
+      .groupBy($"l_returnflag").agg(sum($"t" * ($"t" - 1L)).as("tie_d2"))
+    pairSums.join(tq, "l_returnflag").join(td, "l_returnflag")
+      .withColumn("n0x2", $"n" * ($"n" - 1L))
+      .select($"l_returnflag", $"n", $"conc2", $"disc2",
+        when(($"n0x2" - $"tie_q2") > 0L && ($"n0x2" - $"tie_d2") > 0L,
+          ($"conc2" - $"disc2").cast("double") /
+            sqrt((($"n0x2" - $"tie_q2").cast(d38) * ($"n0x2" - $"tie_d2"))
+              .cast("double"))).as("tau_b"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q289_fd_discovery" -> fdDiscovery,
+    "q375_spearman_census" -> spearmanCensus,
+    "q376_kendall_tau" -> kendallTau,
     "q280_discount_elasticity" -> discountElasticity,
     "q281_shipping_delay_sla" -> shippingDelaySla,
     "q282_return_rate_trend" -> returnRateTrend,
@@ -2211,7 +2334,98 @@ object Aggregates {
     "q113_typed_mapgroups" -> typedMapGroups
   )
 
+  /** Shared q375/q376 oracle prefix: the (flag, q, d) cell census. */
+  private def rankCellsSql: String =
+    s"""li AS (SELECT l_returnflag,
+       |             CAST(l_quantity AS BIGINT) AS q,
+       |             CAST(floor((l_discount) * 10000.0 + 0.5) AS BIGINT) AS d
+       |      FROM lineitem),
+       |cells AS MATERIALIZED (
+       |  SELECT l_returnflag, q, d, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM li GROUP BY 1, 2, 3
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q375_spearman_census" ->
+      s"""WITH $rankCellsSql,
+         |qm AS (
+         |  SELECT l_returnflag, q,
+         |         2 * (CAST(sum(wv) OVER (PARTITION BY l_returnflag ORDER BY q
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS BIGINT) - wv) + wv + 1 AS drq
+         |  FROM (SELECT l_returnflag, q, CAST(sum(cnt) AS BIGINT) AS wv
+         |        FROM cells GROUP BY 1, 2)
+         |),
+         |dm AS (
+         |  SELECT l_returnflag, d,
+         |         2 * (CAST(sum(wv) OVER (PARTITION BY l_returnflag ORDER BY d
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS BIGINT) - wv) + wv + 1 AS drd
+         |  FROM (SELECT l_returnflag, d, CAST(sum(cnt) AS BIGINT) AS wv
+         |        FROM cells GROUP BY 1, 2)
+         |),
+         |g AS (
+         |  SELECT c.l_returnflag, CAST(sum(c.cnt) AS BIGINT) AS n,
+         |         sum(CAST(c.cnt AS HUGEINT) * qm.drq) AS sx,
+         |         sum(CAST(c.cnt AS HUGEINT) * dm.drd) AS sy,
+         |         sum(CAST(c.cnt AS HUGEINT) * qm.drq * qm.drq) AS sxx,
+         |         sum(CAST(c.cnt AS HUGEINT) * dm.drd * dm.drd) AS syy,
+         |         sum(CAST(c.cnt AS HUGEINT) * qm.drq * dm.drd) AS sxy,
+         |         sum(CAST(c.cnt AS HUGEINT) * c.q) AS px,
+         |         sum(CAST(c.cnt AS HUGEINT) * c.d) AS py,
+         |         sum(CAST(c.cnt AS HUGEINT) * c.q * c.q) AS pxx,
+         |         sum(CAST(c.cnt AS HUGEINT) * c.d * c.d) AS pyy,
+         |         sum(CAST(c.cnt AS HUGEINT) * c.q * c.d) AS pxy
+         |  FROM cells c
+         |  JOIN qm ON qm.l_returnflag = c.l_returnflag AND qm.q = c.q
+         |  JOIN dm ON dm.l_returnflag = c.l_returnflag AND dm.d = c.d
+         |  GROUP BY 1
+         |)
+         |SELECT l_returnflag, n,
+         |       CASE WHEN n * pxx - px * px > 0 AND n * pyy - py * py > 0 THEN
+         |         CAST(n * pxy - px * py AS DOUBLE) /
+         |           (sqrt(CAST(n * pxx - px * px AS DOUBLE)) *
+         |            sqrt(CAST(n * pyy - py * py AS DOUBLE))) END AS r_pearson,
+         |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         |         CAST(n * sxy - sx * sy AS DOUBLE) /
+         |           (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+         |            sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS rho_spearman
+         |FROM g
+         |ORDER BY l_returnflag""".stripMargin,
+    "q376_kendall_tau" ->
+      s"""WITH $rankCellsSql,
+         |ps AS (
+         |  SELECT a.l_returnflag,
+         |         ${sumLongSql("CASE WHEN (a.q > b.q AND a.d > b.d) OR (a.q < b.q AND a.d < b.d) THEN a.cnt * b.cnt ELSE 0 END")}
+         |           AS conc2,
+         |         ${sumLongSql("CASE WHEN (a.q > b.q AND a.d < b.d) OR (a.q < b.q AND a.d > b.d) THEN a.cnt * b.cnt ELSE 0 END")}
+         |           AS disc2
+         |  FROM cells a JOIN cells b ON a.l_returnflag = b.l_returnflag
+         |  GROUP BY 1
+         |),
+         |tq AS (
+         |  SELECT l_returnflag, ${sumLongSql("t * (t - 1)")} AS tie_q2,
+         |         ${sumLongSql("t")} AS n
+         |  FROM (SELECT l_returnflag, q, CAST(sum(cnt) AS BIGINT) AS t
+         |        FROM cells GROUP BY 1, 2)
+         |  GROUP BY 1
+         |),
+         |td AS (
+         |  SELECT l_returnflag, ${sumLongSql("t * (t - 1)")} AS tie_d2
+         |  FROM (SELECT l_returnflag, d, CAST(sum(cnt) AS BIGINT) AS t
+         |        FROM cells GROUP BY 1, 2)
+         |  GROUP BY 1
+         |)
+         |SELECT ps.l_returnflag, n, conc2, disc2,
+         |       CASE WHEN (n * (n - 1) - tie_q2) > 0
+         |             AND (n * (n - 1) - tie_d2) > 0 THEN
+         |         CAST(conc2 - disc2 AS DOUBLE) /
+         |           sqrt(CAST(CAST(n * (n - 1) - tie_q2 AS HUGEINT)
+         |                     * (n * (n - 1) - tie_d2) AS DOUBLE)) END AS tau_b
+         |FROM ps
+         |JOIN tq ON tq.l_returnflag = ps.l_returnflag
+         |JOIN td ON td.l_returnflag = ps.l_returnflag
+         |ORDER BY ps.l_returnflag""".stripMargin,
     "q289_fd_discovery" -> {
       def fdSql(lhs: String, rhs: String): String =
         s"""SELECT '$lhs->$rhs' AS fd,

@@ -118,6 +118,27 @@ object LlmOps {
   private def markerBestSql: String =
     s"greatest(${MarkerChain.map { case (l, _) => s"s_$l" }.mkString(", ")})"
 
+  /** Shared WITH-prefix for the q366/q373 eval pair: the q131 unigram-
+    * surprisal per-doc score → (score, npv, nnv) value census, positives
+    * = non-English docs. One literal so the two oracles cannot unsync. */
+  private def surprisalCensusSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents
+       |), v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+       |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus FROM v),
+       |scored AS MATERIALIZED (
+       |  SELECT t.doc_id, t.lang,
+       |         ${sumLongSql("CAST(length(bin(n.n_corpus)) AS BIGINT) - CAST(length(bin(v.cnt)) AS BIGINT)")}
+       |           AS score
+       |  FROM toks t JOIN v ON t.tok = v.tok, n
+       |  GROUP BY 1, 2
+       |), census AS MATERIALIZED (
+       |  SELECT score,
+       |         ${sumLongSql("CASE WHEN lang <> 'en' THEN 1 ELSE 0 END")} AS npv,
+       |         ${sumLongSql("CASE WHEN lang = 'en' THEN 1 ELSE 0 END")} AS nnv
+       |  FROM scored GROUP BY 1
+       |)""".stripMargin
+
   /** Fixture embeddings are fixed 64-dim; float products, double fold. */
   private def dotSql(x: String, y: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), CAST(list_transform(range(1, 65), i -> $x[i] * $y[i]) AS DOUBLE[])), (acc, p) -> acc + p)"
@@ -2759,6 +2780,69 @@ object LlmOps {
           .as("gini_rank"))
   }
 
+  /** Average precision / PR-AUC of the q131 unigram-surprisal score as a
+    * non-English detector — the IMBALANCE-honest companion of q366's
+    * ROC-AUC: on the skewed positive classes this engine's own filters
+    * produce (q325's keep decisions, q131's gates), ROC flatters because
+    * its FPR denominator is the huge negative class, while PR's precision
+    * denominator is the retrieved set itself. Uses the THRESHOLD
+    * (step-wise, interpolation-free) definition — public scikit-learn
+    * `average_precision_score` semantics: over distinct score values t in
+    * DESCENDING order, AP = Σ_t (R_t − R_{t−1})·P_t with precision P_t =
+    * cumpos_ge/cum_ge and recall step R_t − R_{t−1} = npv_t/n_pos, so each
+    * term is npv·cumpos_ge/(n_pos·cum_ge) — tie-robust by construction (a
+    * tied run is ONE threshold; no within-tie order exists for the two
+    * engines to disagree on). All counts are exact integers from the q366
+    * score census; the only floats are the per-threshold single divides,
+    * summed in ONE fixed order (ascending score) by a seeded array fold —
+    * both engines run the identical IEEE tree (the q351/q358 stance).
+    * Perfect separation ⇒ every prefix is pure ⇒ AP = 1.0 exactly (spec
+    * law); a random ranker's AP is the prevalence n_pos/N (ap_baseline),
+    * and ap_lift = ap/ap_baseline is the skew-free headline. Envelope:
+    * npv·cumpos_ge ≤ n² stays in long to ~3·10⁹ docs (the q364 N² bound).
+    * Scale: token pass → per-doc integer score → domain-bounded value
+    * census (|domain| ≤ max_doc_bits, corpus-size-free) → one global
+    * prefix window over census rows → one ≤|domain| array fold. */
+  def averagePrecision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bits(c: Column): Column = length(bin(c)).cast("long")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(TextOps.tokens($"text")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val nTot = vocab.agg(sum($"cnt").as("n_corpus"))
+    val scored = toks
+      .join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(nTot))
+      .withColumn("surprise", bits($"n_corpus") - bits($"cnt"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"surprise").as("score"))
+    val census = scored
+      .groupBy($"score")
+      .agg(sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("npv"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("nnv"))
+    val w = Window.orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("cum_ge", sum($"npv" + $"nnv").over(w))
+      .withColumn("cumpos_ge", sum($"npv").over(w))
+      .agg(sum($"npv").as("n_pos"), sum($"nnv").as("n_neg"),
+        count(lit(1)).as("n_thresholds"),
+        sort_array(collect_list(
+          struct($"score", $"npv", $"cumpos_ge", $"cum_ge"))).as("xs"))
+      .select($"n_pos", $"n_neg", $"n_thresholds",
+        aggregate($"xs", lit(0.0), (a, x) =>
+          a + (x.getField("npv") * x.getField("cumpos_ge")).cast("double")
+            / x.getField("cum_ge").cast("double")).as("sum_terms"))
+      .select($"n_pos", $"n_neg", $"n_thresholds",
+        when($"n_pos" > 0L,
+          $"sum_terms" / $"n_pos".cast("double")).as("ap"),
+        when($"n_pos" + $"n_neg" > 0L,
+          ratio($"n_pos", $"n_pos" + $"n_neg")).as("ap_baseline"),
+        when($"n_pos" > 0L,
+          ($"sum_terms" / $"n_pos".cast("double")) /
+            ratio($"n_pos", $"n_pos" + $"n_neg")).as("ap_lift"))
+  }
+
   /** Mann–Whitney U rank-sum test (Mann & Whitney 1947, public
     * description) between the q332 consistent-hash halves — the
     * LOCATION-shift member of the drift family (KS sees any shape
@@ -3890,6 +3974,154 @@ object LlmOps {
        |  GROUP BY w
        |)""".stripMargin + rounds +
       s"\nSELECT CAST(round AS INT) AS round, pair, merged, cnt, vocab_syms" +
+      s"\nFROM (\n$sel)\nORDER BY round"
+  }
+
+  /** Round count for [[wordpieceMergeLoop]] — the q329 protocol depth,
+    * kept at 6 because each round carries the extra bounded argmax join
+    * (the per-round SHAPE, not the count, is what the loop proves). */
+  val WpLoopRounds = 6
+
+  /** WordPiece tokenizer induction (Schuster & Nakajima 2012; the BERT
+    * tokenizer's training rule, public descriptions) — the third
+    * production tokenizer family beside BPE (q157/q329: count argmax)
+    * and unigram-LM (q360: EM over a seeded vocabulary): greedy merges
+    * like BPE, but the merged pair maximizes the LIKELIHOOD RATIO
+    * freq(ab)/(freq(a)·freq(b)) — the pair whose merge most increases a
+    * unigram LM's corpus likelihood — never the raw count (the case that
+    * distinguishes the families: a rare pair of rare symbols can beat
+    * the most frequent pair, spec-pinned). The argmax is EXACT: scores
+    * compare by integer cross-multiply (cnt_b·den_a vs cnt_a·den_b in
+    * decimal(38,0); den = fa·fb ≤ F², products ≤ F³ — exact to symbol
+    * frequencies F < 4·10¹², comfortably past 100 TB symbol counts,
+    * ANSI makes any breach loud), ties to the lexicographically
+    * smallest pair; implemented as a left-anti join of the
+    * VOCAB-BOUNDED scored-pair census against its broadcast twin (the
+    * q303 bounded-pairs stance — never corpus-scale). Per round: one
+    * O(|vocab|) pair + symbol census, the bounded argmax, a 1-row
+    * driver gate, one literal-replace merge over the checkpointed dict,
+    * one 1-row symbol-census gate — q329's exact protocol, so inducting
+    * over 100 TB costs the one word-count pass. The loop is TOTAL: a
+    * pair-exhausted vocabulary ends it early, emitting only completed
+    * rounds — exactly what the oracle's replay emits. Oracle: the
+    * K-round replay as generated CTEs; the argmax replays as a
+    * NOT-EXISTS cross-multiply in HUGEINT. */
+  def wordpieceMergeLoop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    var vocab = bpeVocab(s, dir)
+    val out = Seq.newBuilder[(Int, String, String, Long, Long, Long, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= WpLoopRounds && !exhausted) {
+      val syms = vocab
+        .select($"freq", explode(split(trim($"seg"), "  ")).as("sym"))
+        .groupBy($"sym").agg(sum($"freq").as("f"))
+      val scored = bpePairCounts(vocab)
+        .withColumn("pa", split($"pair", " ")(0))
+        .withColumn("pb", split($"pair", " ")(1))
+        .join(broadcast(syms.select($"sym".as("pa"), $"f".as("fa"))), Seq("pa"))
+        .join(broadcast(syms.select($"sym".as("pb"), $"f".as("fb"))), Seq("pb"))
+        .select($"pair", $"cnt", $"fa", $"fb",
+          ($"fa".cast(d38) * $"fb").as("den"))
+      // the cross-multiply total order has exactly ONE maximum: keep the
+      // row no competitor strictly beats (higher score, or equal score
+      // and lexicographically smaller pair)
+      val top = scored.join(broadcast(scored.select($"pair".as("opair"),
+          $"cnt".as("ocnt"), $"den".as("oden"))),
+          ($"ocnt".cast(d38) * $"den" > $"cnt".cast(d38) * $"oden") ||
+            ($"ocnt".cast(d38) * $"den" === $"cnt".cast(d38) * $"oden" &&
+              $"opair" < $"pair"),
+          "left_anti")
+        .collect() // 1-row driver gate (empty ⟺ pair-exhausted)
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top(0)
+        val pair = r.getAs[String]("pair")
+        val merged = pair.replace(" ", "")
+        vocab = vocab.select($"w", $"freq",
+          replace($"seg", lit(" " + pair.replace(" ", "  ") + " "),
+            lit(s" $merged ")).as("seg"))
+        val nSyms = vocab
+          .select(explode(split(trim($"seg"), "  ")).as("sym"))
+          .agg(countDistinct($"sym")).collect()(0).getLong(0) // 1-row gate
+        out += ((k, pair, merged, r.getAs[Long]("cnt"),
+          r.getAs[Long]("fa"), r.getAs[Long]("fb"), nSyms))
+        k += 1
+      }
+    }
+    out.result()
+      .toDF("round", "pair", "merged", "cnt", "fa", "fb", "vocab_syms")
+      .withColumn("score", $"cnt".cast("double") /
+        ($"fa".cast("double") * $"fb".cast("double")))
+      .orderBy($"round")
+  }
+
+  /** q374's oracle: the [[WpLoopRounds]]-round WordPiece replay —
+    * q329's CTE chain with the count argmax swapped for the NOT-EXISTS
+    * HUGEINT cross-multiply (b beats a ⟺ cnt_b·den_a > cnt_a·den_b, or
+    * equal and b.pair < a.pair). */
+  private def wpLoopOracleSql: String = {
+    val rounds = (1 to WpLoopRounds).map { k =>
+      s""",
+         |wpc$k AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |                        i -> syms[i] || ' ' || syms[i + 1])) AS pair
+         |    FROM (SELECT freq, string_split(trim(seg), '  ') AS syms FROM wv$k))
+         |  GROUP BY pair
+         |),
+         |wsym$k AS MATERIALIZED (
+         |  SELECT sym, CAST(sum(freq) AS BIGINT) AS f FROM (
+         |    SELECT freq, unnest(string_split(trim(seg), '  ')) AS sym FROM wv$k)
+         |  GROUP BY sym
+         |),
+         |wsc$k AS MATERIALIZED (
+         |  SELECT p.pair, p.cnt, sa.f AS fa, sb.f AS fb,
+         |         CAST(sa.f AS HUGEINT) * sb.f AS den
+         |  FROM (SELECT pair, cnt,
+         |               string_split(pair, ' ')[1] AS pa,
+         |               string_split(pair, ' ')[2] AS pb FROM wpc$k) p
+         |  JOIN wsym$k sa ON sa.sym = p.pa
+         |  JOIN wsym$k sb ON sb.sym = p.pb
+         |),
+         |wtop$k AS MATERIALIZED (
+         |  SELECT pair AS top_pair, cnt AS top_cnt,
+         |         fa AS top_fa, fb AS top_fb
+         |  FROM wsc$k a
+         |  WHERE NOT EXISTS (SELECT 1 FROM wsc$k b WHERE
+         |          CAST(b.cnt AS HUGEINT) * a.den > CAST(a.cnt AS HUGEINT) * b.den
+         |          OR (CAST(b.cnt AS HUGEINT) * a.den = CAST(a.cnt AS HUGEINT) * b.den
+         |              AND b.pair < a.pair))
+         |),
+         |wv${k + 1} AS MATERIALIZED (
+         |  SELECT w, freq,
+         |         replace(seg, ' ' || replace(top_pair, ' ', '  ') || ' ',
+         |                 ' ' || replace(top_pair, ' ', '') || ' ') AS seg
+         |  FROM wv$k, wtop$k
+         |),
+         |wvs$k AS (
+         |  SELECT CAST(count(DISTINCT sym) AS BIGINT) AS vocab_syms
+         |  FROM (SELECT unnest(string_split(trim(seg), '  ')) AS sym
+         |        FROM wv${k + 1})
+         |)""".stripMargin
+    }.mkString
+    val sel = (1 to WpLoopRounds).map { k =>
+      s"""  SELECT $k AS round, top_pair AS pair,
+         |         replace(top_pair, ' ', '') AS merged, top_cnt AS cnt,
+         |         top_fa AS fa, top_fb AS fb, vocab_syms,
+         |         (CAST(top_cnt AS DOUBLE)
+         |          / (CAST(top_fa AS DOUBLE) * CAST(top_fb AS DOUBLE))) AS score
+         |  FROM wtop$k, wvs$k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH wv1 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS seg
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |  GROUP BY w
+       |)""".stripMargin + rounds +
+      s"\nSELECT CAST(round AS INT) AS round, pair, merged, cnt, fa, fb," +
+      s" vocab_syms, score" +
       s"\nFROM (\n$sel)\nORDER BY round"
   }
 
@@ -5830,6 +6062,7 @@ object LlmOps {
     "q364_cohens_kappa" -> cohensKappa,
     "q365_mann_whitney_u" -> mannWhitneyU,
     "q366_roc_auc_surprisal" -> rocAucSurprisal,
+    "q373_average_precision" -> averagePrecision,
     "q367_permutation_test" -> permutationTest,
     "q368_brier_decomposition" -> brierDecomposition,
     "q370_vocab_growth" -> vocabGrowth,
@@ -5877,6 +6110,7 @@ object LlmOps {
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
+    "q374_wordpiece_merge_loop" -> wordpieceMergeLoop,
     "q360_unigram_lm_tokenizer" -> unigramLmTokenizer,
     "q156_curation_funnel" -> curationFunnel,
     "q147_quality_gopher" -> qualityGopherRules,
@@ -6457,22 +6691,7 @@ object LlmOps {
     // q131's surprisal chain → score census → the q365 doubled-midrank
     // prefix fold; AUC and rank-Gini are single divides of exact ints
     "q366_roc_auc_surprisal" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents
-         |), v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
-         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus FROM v),
-         |scored AS MATERIALIZED (
-         |  SELECT t.doc_id, t.lang,
-         |         ${sumLongSql("CAST(length(bin(n.n_corpus)) AS BIGINT) - CAST(length(bin(v.cnt)) AS BIGINT)")}
-         |           AS score
-         |  FROM toks t JOIN v ON t.tok = v.tok, n
-         |  GROUP BY 1, 2
-         |), census AS MATERIALIZED (
-         |  SELECT score,
-         |         ${sumLongSql("CASE WHEN lang <> 'en' THEN 1 ELSE 0 END")} AS npv,
-         |         ${sumLongSql("CASE WHEN lang = 'en' THEN 1 ELSE 0 END")} AS nnv
-         |  FROM scored GROUP BY 1
-         |), cums AS (
+      s"""WITH $surprisalCensusSql, cums AS (
          |  SELECT npv, nnv, npv + nnv AS wv,
          |         CAST(sum(npv + nnv) OVER (ORDER BY score
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -6492,6 +6711,38 @@ object LlmOps {
          |         ${ratioSql("rs2 - n_pos * (n_pos + 1) - n_pos * n_neg", "n_pos * n_neg")}
          |       END AS gini_rank
          |FROM agg""".stripMargin,
+    // q366's shared score census → descending-threshold cums → one
+    // fixed-order (ascending score) double fold over the term list
+    "q373_average_precision" ->
+      s"""WITH $surprisalCensusSql, cums AS (
+         |  SELECT score, npv, nnv,
+         |         CAST(sum(npv + nnv) OVER (ORDER BY score DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_ge,
+         |         CAST(sum(npv) OVER (ORDER BY score DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cumpos_ge
+         |  FROM census
+         |), agg AS (
+         |  SELECT CAST(sum(npv) AS BIGINT) AS n_pos,
+         |         CAST(sum(nnv) AS BIGINT) AS n_neg,
+         |         CAST(count(*) AS BIGINT) AS n_thresholds,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(CAST(npv * cumpos_ge AS DOUBLE)
+         |                / CAST(cum_ge AS DOUBLE) ORDER BY score)),
+         |           (a, t) -> a + t) AS sum_terms
+         |  FROM cums
+         |), fin AS (
+         |  SELECT n_pos, n_neg, n_thresholds,
+         |         CASE WHEN n_pos > 0
+         |              THEN sum_terms / CAST(n_pos AS DOUBLE) END AS ap,
+         |         CASE WHEN n_pos + n_neg > 0 THEN
+         |           ${ratioSql("n_pos", "n_pos + n_neg")} END AS ap_baseline
+         |  FROM agg
+         |)
+         |SELECT n_pos, n_neg, n_thresholds, ap, ap_baseline,
+         |       CASE WHEN n_pos > 0 THEN ap / ap_baseline END AS ap_lift
+         |FROM fin""".stripMargin,
     // q332's census/prefix chain; doubled midranks keep every rank an
     // integer, the tie cube-sum rides as HUGEINT → VARCHAR, z is one
     // shared IEEE tree
@@ -7896,6 +8147,7 @@ object LlmOps {
          |GROUP BY sym
          |ORDER BY sym""".stripMargin,
     "q329_bpe_merge_loop" -> bpeLoopOracleSql,
+    "q374_wordpiece_merge_loop" -> wpLoopOracleSql,
     "q360_unigram_lm_tokenizer" -> ulmOracleSql,
     "q157_bpe_merges" ->
       s"""WITH vocab AS (

@@ -2623,6 +2623,112 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fx.getAs[Double]("auc") > 0.5)
   }
 
+  test("q375/q376: monotone-nonlinear series pins rho = tau = 1 exactly, Pearson < 1") {
+    // q = 1..7, d = q³: perfectly monotone but nonlinear. The doubled
+    // ranks agree exactly (sx = sy, sxx = syy = sxy) and the shared
+    // variance 4·n²(n²−1)/12 = 784 = 28² has an EXACT IEEE sqrt, so the
+    // two-sqrt tree yields rho = 784/(28·28) = 1.0 bit-exactly; Kendall's
+    // single-sqrt tree gives tau = 42/√(42·42) = 1.0 bit-exactly.
+    def mk(ds: Int => Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("rankcorr").toString
+      (1 to 7).map(i => ("A", i.toDouble, ds(i) / 10000.0))
+        .toDF("l_returnflag", "l_quantity", "l_discount")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    val up = mk(i => i * i * i)
+    val sUp = SparkEntry.queries("q375_spearman_census")(spark, up).collect()(0)
+    assert(sUp.getAs[Long]("n") === 7L)
+    assert(sUp.getAs[Double]("rho_spearman") === 1.0)
+    assert(sUp.getAs[Double]("r_pearson") < 1.0, "nonlinear: Pearson strictly below 1")
+    assert(sUp.getAs[Double]("r_pearson") > 0.9, "but strongly positive")
+    val kUp = SparkEntry.queries("q376_kendall_tau")(spark, up).collect()(0)
+    assert(kUp.getAs[Long]("conc2") === 42L && kUp.getAs[Long]("disc2") === 0L)
+    assert(kUp.getAs[Double]("tau_b") === 1.0)
+    // anti-monotone mirror: both collapse to exactly −1
+    val dn = mk(i => (8 - i) * (8 - i) * (8 - i))
+    val sDn = SparkEntry.queries("q375_spearman_census")(spark, dn).collect()(0)
+    assert(sDn.getAs[Double]("rho_spearman") === -1.0)
+    val kDn = SparkEntry.queries("q376_kendall_tau")(spark, dn).collect()(0)
+    assert(kDn.getAs[Double]("tau_b") === -1.0)
+    // degenerate: a constant marginal NULLs both (zero variance / all-tied)
+    val flat = mk(_ => 100)
+    assert(SparkEntry.queries("q375_spearman_census")(spark, flat)
+      .collect()(0).isNullAt(3))
+    assert(SparkEntry.queries("q376_kendall_tau")(spark, flat)
+      .collect()(0).isNullAt(4))
+    // fixture: quantity and discount are independent by construction —
+    // all three coefficients hug zero but stay defined
+    val fx = SparkEntry.queries("q375_spearman_census")(spark, sfDir).collect()
+    assert(fx.nonEmpty && fx.forall(r =>
+      math.abs(r.getAs[Double]("rho_spearman")) < 0.2))
+  }
+
+  test("q374 WordPiece: likelihood ratio beats raw count, ties go lexicographic") {
+    // freq layout: "a b" is the MOST FREQUENT pair (cnt 10) but its
+    // symbols are common (fa = fb = 30); the rare-symbol pairs score
+    // higher by likelihood ratio — the exact case that distinguishes
+    // WordPiece from BPE's count argmax. Two pairs tie at 1/2 exactly;
+    // the tie must go to the lexicographically smaller pair.
+    val text = (Seq.fill(10)("ab") ++ Seq.fill(3)("xy") ++
+      Seq.fill(20)("a") ++ Seq.fill(20)("b") ++
+      Seq.fill(2)("pq") ++ Seq.fill(2)("rs")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("wp").toString
+    Seq((1L, text, "en", "web", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q374_wordpiece_merge_loop")(spark, dir)
+      .orderBy($"round").collect()
+    // scores: p q = r s = 2/4, x y = 3/9, a b = 10/900 — and the loop
+    // exhausts after 4 merges (early exit, < WpLoopRounds)
+    assert(rows.map(_.getAs[String]("pair")).toSeq ===
+      Seq("p q", "r s", "x y", "a b"))
+    assert(rows(0).getAs[Long]("cnt") === 2L) // the round-1 winner...
+    assert(rows.map(_.getAs[Long]("cnt")).max === 10L) // ...is not max-count
+    assert(rows(0).getAs[Double]("score") === 0.5) // 2/(2·2) exactly
+    assert(rows(2).getAs[Long]("fa") === 3L && rows(2).getAs[Long]("fb") === 3L)
+    assert(rows.map(_.getAs[Long]("vocab_syms")).toSeq === Seq(7L, 6L, 5L, 6L))
+    // fixture: all rounds complete with positive likelihood scores
+    val fx = SparkEntry.queries("q374_wordpiece_merge_loop")(spark, sfDir).collect()
+    assert(fx.length === graft.queries.LlmOps.WpLoopRounds)
+    assert(fx.forall(_.getAs[Double]("score") > 0.0))
+  }
+
+  test("q373 AP: perfect separation hits 1.0, positives-at-the-bottom hits prevalence") {
+    def mk(rows: Seq[(Long, String, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ap").toString
+      rows.map { case (i, t, l) => (i, t, l, "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // positives (de) carry unique tokens → one shared top score; the top
+    // threshold is a pure-positive prefix (P=1, ΔR=1) → AP = 1.0 EXACTLY,
+    // lift = 1/prevalence = 2
+    val sep = mk((1L to 4L).map(i => (i, "w w w w", "en")) ++
+      (5L to 8L).map(i => (i, (1 to 4).map(j => s"u${i}_$j").mkString(" "), "de")))
+    val hi = SparkEntry.queries("q373_average_precision")(spark, sep).collect()(0)
+    assert(hi.getAs[Long]("n_pos") === 4L && hi.getAs[Long]("n_neg") === 4L)
+    assert(hi.getAs[Long]("n_thresholds") === 2L)
+    assert(hi.getAs[Double]("ap") === 1.0)
+    assert(hi.getAs[Double]("ap_baseline") === 0.5)
+    assert(hi.getAs[Double]("ap_lift") === 2.0)
+    // the all-negative-prefix law: every negative outranks every positive
+    // (en docs get the unique tokens), positives share the bottom
+    // threshold → AP = n_pos/N exactly (the floor for this shape) and
+    // the lift collapses to 1
+    val inv = mk((1L to 4L).map(i =>
+      (i, (1 to 4).map(j => s"u${i}_$j").mkString(" "), "en")) ++
+      (5L to 8L).map(i => (i, "w w w w", "de")))
+    val lo = SparkEntry.queries("q373_average_precision")(spark, inv).collect()(0)
+    assert(lo.getAs[Double]("ap") === 0.5)
+    assert(lo.getAs[Double]("ap_lift") === 1.0)
+    // fixture: surprisal ranks non-English above English → AP beats the
+    // random-ranker baseline (the same real signal q366 pins)
+    val fx = SparkEntry.queries("q373_average_precision")(spark, sfDir).collect()(0)
+    assert(fx.getAs[Double]("ap") > fx.getAs[Double]("ap_baseline"))
+  }
+
   test("q367 permutation: planted association pins p to 1/49, zero diff pins p to 1") {
     val half = conv(substring(md5(concat(lit("drift:"),
       $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < 16777216L
