@@ -1301,7 +1301,9 @@ object TimeSeries {
     * r_k, and the |r_k| > 2/√n white-noise band flag. Scale: the
     * corpus collapses to the day census; the ACF is a bounded
     * array-row fold. */
-  def acfDailyRevenue(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q369/q378 chain: day census → n-scaled centered terms →
+    * per-lag exact (n²-scaled) covariance and variance numerators. */
+  private def acfLagTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
     val daily = Tables.orders(s, dir)
@@ -1319,7 +1321,7 @@ object TimeSeries {
     val den = folded.select($"n",
       aggregate($"cs", lit(BigDecimal(0)).cast(d38),
         (a, c) => a + c.cast(d38) * c).as("var_n2"))
-    val lags = folded.crossJoin(broadcast(den.select($"var_n2")))
+    folded.crossJoin(broadcast(den.select($"var_n2")))
       .select($"n", $"cs", $"var_n2",
         explode(sequence(lit(1), lit(AcfMaxLag))).as("lag"))
       .filter($"lag" < $"n")
@@ -1331,6 +1333,11 @@ object TimeSeries {
           lit(BigDecimal(0)).cast(d38),
           (acc, p) => acc + p.getField("a").cast(d38) * p.getField("b"))
           .as("cov_n2"))
+  }
+
+  def acfDailyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lags = acfLagTerms(s, dir)
     lags.select($"lag".cast("long").as("lag"), $"n".as("n_days"),
         $"cov_n2".cast("string").as("cov_num"),
         when($"var_n2" > 0, $"cov_n2".cast("double") / $"var_n2".cast("double"))
@@ -1339,6 +1346,126 @@ object TimeSeries {
           abs($"cov_n2".cast("double") / $"var_n2".cast("double")) >
             lit(2.0) / sqrt($"n".cast("double"))), lit(false))
           .as("significant"))
+      .orderBy($"lag")
+  }
+
+  /** Holt–Winters additive seasonal smoothing (Winters 1960, public
+    * description) over daily revenue with the weekly (m = 7) season —
+    * the forecaster that closes the gap between q343 (Holt: level +
+    * trend, no season) and q354 (seasonal decomposition: season, no
+    * forecast): l_t = α(y_t − s_{t−7}) + (1−α)(l_{t−1} + b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},
+    * s_t = γ(y_t − l_t) + (1−γ)s_{t−7}, DYADIC α = 1/2, β = γ = 1/4
+    * (the q307/q343 stance: dyadic weights are exact IEEE multiplies, so
+    * the only portability question is fold order). Initialization is the
+    * public textbook form: l₇ = mean of the first week (one exact-int
+    * sum, one divide), b₇ = 0, s_j = y_j − l₇ for j = 1..7; the fold
+    * runs t = 8..n over the sorted day array in ONE row, carrying the
+    * 7-slot seasonal vector as a rotating array — the q360 lesson
+    * (vectors of recursion state replay fine) applied to q343's fold.
+    * One-step-ahead SSE accumulates from t = 8. Fewer than 8 days ⇒
+    * zero rows (the q343 empty contract). Oracle: a recursive CTE
+    * carrying (level, trend, sse, s1..s7) — NEVER a list_reduce struct
+    * fold (DuckDB mutates struct accumulators in place, the q343
+    * lesson). Scale: the corpus pays one map-side grouped sum to the
+    * day census; the fold is one array row. */
+  def holtWintersSeasonal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("rev"))
+    val folded = daily
+      .agg(sort_array(collect_list(struct($"day", $"rev"))).as("ds"))
+      .select(transform($"ds", x => x.getField("rev")).as("xs"))
+      .select($"xs", size($"xs").cast("long").as("n"))
+      .filter($"n" >= 8L)
+      .select($"n", $"xs",
+        (aggregate(slice($"xs", lit(1), lit(7)), lit(0L), (a, v) => a + v)
+          .cast("double") / lit(7.0)).as("l0"))
+      .select($"n", $"xs", $"l0",
+        transform(slice($"xs", lit(1), lit(7)),
+          v => v.cast("double") - $"l0").as("ss0"))
+    val st = folded.select($"n",
+      aggregate(slice($"xs", lit(8), size($"xs") - 7),
+        struct($"l0".as("l"), lit(0.0).as("b"), lit(0.0).as("sse"),
+          $"ss0".as("ss")),
+        (acc, x) => {
+          val yd = x.cast("double")
+          val l = acc.getField("l")
+          val b = acc.getField("b")
+          val ss = acc.getField("ss")
+          val s1 = element_at(ss, 1)
+          val l2 = lit(0.5) * (yd - s1) + lit(0.5) * (l + b)
+          val b2 = lit(0.25) * (l2 - l) + lit(0.75) * b
+          val sn = lit(0.25) * (yd - l2) + lit(0.75) * s1
+          struct(l2.as("l"), b2.as("b"),
+            (acc.getField("sse") +
+              (yd - (l + b + s1)) * (yd - (l + b + s1))).as("sse"),
+            concat(slice(ss, lit(2), lit(6)), array(sn)).as("ss"))
+        }).as("st"))
+    st.select(Seq($"n".as("n_days"),
+        $"st.l".as("level"), $"st.b".as("trend"), $"st.sse".as("sse")) ++
+        (1 to 7).map(i => element_at($"st.ss", i).as(s"s$i")) ++ Seq(
+        ($"st.l" + lit(1.0) * $"st.b" + element_at($"st.ss", 1)).as("fc_1"),
+        ($"st.l" + lit(7.0) * $"st.b" + element_at($"st.ss", 7)).as("fc_7")): _*)
+  }
+
+  /** Partial autocorrelation via Durbin–Levinson (Durbin 1960, public
+    * description) over the q369 ACF lags — the AR-ORDER diagnostic the
+    * ACF census cannot give (an AR(1) series has geometric ACF at every
+    * lag, but PACF cuts off after lag 1; the cutoff, not the decay,
+    * picks the model order): φ₁₁ = r₁, then for k = 2..7
+    * φ_kk = (r_k − Σ_{j<k} φ_{k−1,j}·r_{k−j}) /
+    * (1 − Σ_{j<k} φ_{k−1,j}·r_j) with the row update
+    * φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j}. The r_k are q369's exact
+    * single divides; the recursion is a ≤7-step fold with a ≤7-slot
+    * vector state, each inner Σ folded in ascending-j order — both
+    * engines run the identical IEEE sequence (the q343/q360 stance).
+    * Defined only when all [[AcfMaxLag]] ACFs exist (n > 7 and positive
+    * variance); degenerate inputs emit ZERO rows. Oracle: the ACF chain
+    * shared with q369, then a linear recursive CTE carrying (φ, pacf)
+    * as LIST state (the q360 vector-state lesson; scalar/list recursion
+    * state is immutable per step, unlike list_reduce struct
+    * accumulators). Scale: the corpus collapses to the day census; the
+    * recursion is driver-free, bounded, one array row. */
+  def pacfDurbinLevinson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val racf = acfLagTerms(s, dir)
+      .filter($"var_n2" > 0)
+      .select($"lag", $"n",
+        ($"cov_n2".cast("double") / $"var_n2".cast("double")).as("acf"))
+      .agg(max($"n").as("n"), count(lit(1)).as("n_lags"),
+        sort_array(collect_list(struct($"lag", $"acf"))).as("ra"))
+      .select($"n", $"n_lags", transform($"ra", x => x.getField("acf")).as("r"))
+    // the fold is gated by a row-level when(), not only the filter below:
+    // CaseWhen branches evaluate lazily, so the degenerate empty-r row
+    // can never reach element_at (a plain filter + project can end up in
+    // one codegen stage where the ANSI element_at still trips)
+    val st = racf.select($"n", $"n_lags", $"r",
+      when($"n_lags" === AcfMaxLag.toLong,
+        aggregate(sequence(lit(2), lit(AcfMaxLag)),
+          struct(array(try_element_at($"r", lit(1))).as("phi"),
+            array(try_element_at($"r", lit(1))).as("pacf")),
+          (acc, k) => {
+            val phi = acc.getField("phi")
+            val num = element_at($"r", k) -
+              aggregate(sequence(lit(1), k - 1), lit(0.0),
+                (sm, j) => sm + element_at(phi, j) * element_at($"r", k - j))
+            val den = lit(1.0) -
+              aggregate(sequence(lit(1), k - 1), lit(0.0),
+                (sm, j) => sm + element_at(phi, j) * element_at($"r", j))
+            val a = num / den
+            struct(
+              concat(transform(sequence(lit(1), k - 1),
+                j => element_at(phi, j) - a * element_at(phi, k - j)),
+                array(a)).as("phi"),
+              concat(acc.getField("pacf"), array(a)).as("pacf"))
+          })).as("st"))
+      .filter($"n_lags" === AcfMaxLag.toLong)
+    st.select($"n", $"r", posexplode($"st.pacf"))
+      .select(($"pos" + 1).cast("long").as("lag"), $"n".as("n_days"),
+        element_at($"r", ($"pos" + 1).cast("int")).as("acf"),
+        $"col".as("pacf"))
       .orderBy($"lag")
   }
 
@@ -1506,6 +1633,8 @@ object TimeSeries {
     "q354_seasonal_decompose" -> seasonalDecompose,
     "q346_amoc_changepoint" -> amocChangepoint,
     "q369_acf_daily_revenue" -> acfDailyRevenue,
+    "q377_holt_winters_seasonal" -> holtWintersSeasonal,
+    "q378_pacf_durbin_levinson" -> pacfDurbinLevinson,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
     "q343_holt_linear" -> holtLinear,
@@ -1542,7 +1671,123 @@ object TimeSeries {
     "q307_dyadic_ewma_alerts" -> dyadicEwmaAlerts,
     "q105_funnel" -> funnel)
 
+  /** Shared q369/q378 oracle prefix: day census → n-scaled centered
+    * terms → per-lag exact covariance/variance numerators (HUGEINT
+    * folds in ascending-t order). */
+  private def acfChainSql: String =
+    s"""daily AS MATERIALIZED (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |         ${sumLongSql(centsSql("o_totalprice"))} AS rev
+       |  FROM orders GROUP BY 1
+       |), arr AS (
+       |  SELECT list(rev ORDER BY day) AS xs FROM daily
+       |), base AS (
+       |  SELECT xs, CAST(len(xs) AS BIGINT) AS n,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+       |           (a, b) -> a + b) AS s
+       |  FROM arr
+       |), cs AS MATERIALIZED (
+       |  SELECT n, list_transform(xs, v -> n * v - s) AS cs FROM base
+       |), vr AS (
+       |  SELECT list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |           list_transform(cs, c -> CAST(c AS HUGEINT) * c)),
+       |           (a, b) -> a + b) AS var_n2
+       |  FROM cs
+       |), lagt AS MATERIALIZED (
+       |  SELECT lag, n, var_n2,
+       |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |           list_transform(range(1, CAST(n - lag + 1 AS BIGINT)), i ->
+       |             CAST(cs[CAST(i AS INT)] AS HUGEINT)
+       |               * cs[CAST(i + lag AS INT)])),
+       |           (a, b) -> a + b) AS cov_n2
+       |  FROM cs, vr, (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag)
+       |  WHERE lag < n
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // q343's recursive-CTE stance with VECTOR state: (l, b, sse, s1..s7)
+    // ride as columns; every arithmetic tree replicates the Spark fold
+    "q377_holt_winters_seasonal" ->
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
+         |  SELECT rn, CAST(rev AS DOUBLE) AS y, rev FROM (
+         |    SELECT row_number() OVER (ORDER BY day) AS rn, rev FROM (
+         |      SELECT CAST(o_orderdate AS DATE) AS day,
+         |             ${sumLongSql(centsSql("o_totalprice"))} AS rev
+         |      FROM orders GROUP BY 1))
+         |), init AS (
+         |  SELECT CAST(7 AS BIGINT) AS k, l0 AS l,
+         |         CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS sse,
+         |         y1 - l0 AS s1, y2 - l0 AS s2, y3 - l0 AS s3,
+         |         y4 - l0 AS s4, y5 - l0 AS s5, y6 - l0 AS s6, y7 - l0 AS s7
+         |  FROM (SELECT
+         |          CAST(sum(CASE WHEN rn <= 7 THEN rev END) AS DOUBLE) / 7.0
+         |            AS l0,
+         |          max(CASE WHEN rn = 1 THEN y END) AS y1,
+         |          max(CASE WHEN rn = 2 THEN y END) AS y2,
+         |          max(CASE WHEN rn = 3 THEN y END) AS y3,
+         |          max(CASE WHEN rn = 4 THEN y END) AS y4,
+         |          max(CASE WHEN rn = 5 THEN y END) AS y5,
+         |          max(CASE WHEN rn = 6 THEN y END) AS y6,
+         |          max(CASE WHEN rn = 7 THEN y END) AS y7
+         |        FROM daily)
+         |  WHERE (SELECT count(*) FROM daily) >= 8
+         |), st AS (
+         |  SELECT * FROM init
+         |  UNION ALL
+         |  SELECT st.k + 1,
+         |         0.5 * (d.y - st.s1) + 0.5 * (st.l + st.b),
+         |         0.25 * ((0.5 * (d.y - st.s1) + 0.5 * (st.l + st.b)) - st.l)
+         |           + 0.75 * st.b,
+         |         st.sse + (d.y - (st.l + st.b + st.s1))
+         |                * (d.y - (st.l + st.b + st.s1)),
+         |         st.s2, st.s3, st.s4, st.s5, st.s6, st.s7,
+         |         0.25 * (d.y - (0.5 * (d.y - st.s1) + 0.5 * (st.l + st.b)))
+         |           + 0.75 * st.s1
+         |  FROM st JOIN daily d ON d.rn = st.k + 1
+         |), fin AS (SELECT * FROM st ORDER BY k DESC LIMIT 1)
+         |SELECT k AS n_days, l AS level, b AS trend, sse,
+         |       s1, s2, s3, s4, s5, s6, s7,
+         |       l + (1.0 * b) + s1 AS fc_1, l + (7.0 * b) + s7 AS fc_7
+         |FROM fin""".stripMargin,
+    // the q369 chain, then Durbin–Levinson as a linear recursion with
+    // LIST state (immutable per step — never a list_reduce struct fold)
+    "q378_pacf_durbin_levinson" ->
+      s"""WITH RECURSIVE $acfChainSql,
+         |racf AS MATERIALIZED (
+         |  SELECT max(n) AS n, count(*) AS n_lags,
+         |         list(CAST(cov_n2 AS DOUBLE) / CAST(var_n2 AS DOUBLE)
+         |              ORDER BY lag) AS r
+         |  FROM lagt WHERE var_n2 > 0
+         |), rok AS MATERIALIZED (
+         |  SELECT n, r FROM racf WHERE n_lags = $AcfMaxLag
+         |), dl AS (
+         |  SELECT CAST(1 AS BIGINT) AS k,
+         |         [r[1]] AS phi, [r[1]] AS pacf
+         |  FROM rok
+         |  UNION ALL
+         |  SELECT k + 1,
+         |         list_append(list_transform(range(1, k + 1), j ->
+         |           phi[CAST(j AS INT)] - a * phi[CAST(k + 1 - j AS INT)]), a),
+         |         list_append(pacf, a)
+         |  FROM (
+         |    SELECT d.k, d.phi, d.pacf,
+         |           (r[CAST(d.k + 1 AS INT)]
+         |            - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list_transform(range(1, d.k + 1), j ->
+         |                  d.phi[CAST(j AS INT)]
+         |                    * r[CAST(d.k + 1 - j AS INT)])),
+         |                (x, y) -> x + y))
+         |           / (1.0 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list_transform(range(1, d.k + 1), j ->
+         |                  d.phi[CAST(j AS INT)] * r[CAST(j AS INT)])),
+         |                (x, y) -> x + y)) AS a
+         |    FROM dl d, rok WHERE d.k < $AcfMaxLag
+         |  )
+         |), fin AS (SELECT pacf FROM dl ORDER BY k DESC LIMIT 1)
+         |SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+         |       r[CAST(lag AS INT)] AS acf, pacf[CAST(lag AS INT)] AS pacf
+         |FROM fin, rok, (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag)
+         |ORDER BY lag""".stripMargin,
     "q353_motif_discord" ->
       s"""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mday FROM orders),
          |daily AS (
@@ -1629,34 +1874,7 @@ object TimeSeries {
     // cleared), HUGEINT folds per lag in ascending-t order, r_k as the
     // one shared divide (the n² factors cancel)
     "q369_acf_daily_revenue" ->
-      s"""WITH daily AS MATERIALIZED (
-         |  SELECT CAST(o_orderdate AS DATE) AS day,
-         |         ${sumLongSql(centsSql("o_totalprice"))} AS rev
-         |  FROM orders GROUP BY 1
-         |), arr AS (
-         |  SELECT list(rev ORDER BY day) AS xs FROM daily
-         |), base AS (
-         |  SELECT xs, CAST(len(xs) AS BIGINT) AS n,
-         |         list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
-         |           (a, b) -> a + b) AS s
-         |  FROM arr
-         |), cs AS MATERIALIZED (
-         |  SELECT n, list_transform(xs, v -> n * v - s) AS cs FROM base
-         |), vr AS (
-         |  SELECT list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |           list_transform(cs, c -> CAST(c AS HUGEINT) * c)),
-         |           (a, b) -> a + b) AS var_n2
-         |  FROM cs
-         |), lagt AS MATERIALIZED (
-         |  SELECT lag, n, var_n2,
-         |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |           list_transform(range(1, CAST(n - lag + 1 AS BIGINT)), i ->
-         |             CAST(cs[CAST(i AS INT)] AS HUGEINT)
-         |               * cs[CAST(i + lag AS INT)])),
-         |           (a, b) -> a + b) AS cov_n2
-         |  FROM cs, vr, (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag)
-         |  WHERE lag < n
-         |)
+      s"""WITH $acfChainSql
          |SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
          |       CAST(cov_n2 AS VARCHAR) AS cov_num,
          |       CASE WHEN var_n2 > 0

@@ -2324,6 +2324,109 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept_cents") === -3450.0)
   }
 
+  test("q377 Holt-Winters: JVM hand-fold on 3 weeks; exact-periodic week zeroes SSE") {
+    def mkOrders(cents: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("hw").toString
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1, f"2000-01-${i + 1}%02d", c / 100.0)
+      }.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"),
+          $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // JVM replay: the identical IEEE op sequence over three weeks of
+    // arbitrary integer cents must match the fold bitwise
+    val cents = Seq(100, 500, 200, 800, 300, 900, 400,
+      150, 480, 260, 750, 340, 870, 410, 90, 530, 180, 820, 310, 950, 370)
+    val y = cents.map(_.toDouble)
+    val l0 = cents.take(7).map(_.toLong).sum.toDouble / 7.0
+    var l = l0; var b = 0.0; var sse = 0.0
+    var ss = y.take(7).map(_ - l0).toVector
+    for (t <- 7 until y.length) {
+      val yd = y(t); val s1 = ss.head
+      val pred = l + b + s1
+      val l2 = 0.5 * (yd - s1) + 0.5 * (l + b)
+      val b2 = 0.25 * (l2 - l) + 0.75 * b
+      val sn = 0.25 * (yd - l2) + 0.75 * s1
+      sse += (yd - pred) * (yd - pred)
+      ss = ss.tail :+ sn; l = l2; b = b2
+    }
+    val r = SparkEntry.queries("q377_holt_winters_seasonal")(
+      spark, mkOrders(cents)).collect()(0)
+    assert(r.getAs[Long]("n_days") === 21L)
+    assert(r.getAs[Double]("level") === l)
+    assert(r.getAs[Double]("trend") === b)
+    assert(r.getAs[Double]("sse") === sse)
+    (1 to 7).foreach(i => assert(r.getAs[Double](s"s$i") === ss(i - 1), s"s$i"))
+    assert(r.getAs[Double]("fc_1") === l + 1.0 * b + ss(0))
+    assert(r.getAs[Double]("fc_7") === l + 7.0 * b + ss(6))
+    // exact-periodic law: a weekly pattern whose cents are all integers
+    // with an integer mean keeps every quantity an exact small integer —
+    // level = mean, trend = 0, SSE = 0, and fc_h reproduces the pattern
+    val week = Seq(700, 1400, 2100, 700, 1400, 2100, 2800) // mean 1600
+    val p = SparkEntry.queries("q377_holt_winters_seasonal")(
+      spark, mkOrders(week ++ week ++ week)).collect()(0)
+    assert(p.getAs[Double]("level") === 1600.0)
+    assert(p.getAs[Double]("trend") === 0.0)
+    assert(p.getAs[Double]("sse") === 0.0)
+    assert(p.getAs[Double]("fc_1") === 700.0)
+    assert(p.getAs[Double]("fc_7") === 2800.0)
+    // degenerate: under 8 days emits zero rows (the q343 empty contract)
+    assert(SparkEntry.queries("q377_holt_winters_seasonal")(
+      spark, mkOrders(Seq(100, 200, 300))).collect().isEmpty)
+  }
+
+  test("q378 PACF: JVM Durbin-Levinson replay; phi_11 = r_1; constant series empty") {
+    def mkOrders(cents: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("pacf").toString
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1, f"2000-01-${i + 1}%02d", c / 100.0)
+      }.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"),
+          $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    val cents = Seq(100, 500, 200, 800, 300, 900, 400, 150, 480, 260,
+      750, 340, 870, 410)
+    val out = SparkEntry.queries("q378_pacf_durbin_levinson")(
+      spark, mkOrders(cents)).collect()
+    assert(out.length === graft.queries.TimeSeries.AcfMaxLag)
+    // replay: exact BigInt ACF (the q369 machinery), then the DL
+    // recursion with ascending-j inner sums — bitwise IEEE agreement
+    val xs = cents.map(BigInt(_))
+    val n = BigInt(xs.length); val sTot = xs.sum
+    val cs = xs.map(x => n * x - sTot)
+    val varN2 = cs.map(c => c * c).sum
+    val rr = (1 to 7).map { k =>
+      (0 until (xs.length - k)).map(i => cs(i) * cs(i + k)).sum
+        .doubleValue / varN2.doubleValue
+    }.toVector
+    var phi = Vector(rr(0)); var pacf = Vector(rr(0))
+    for (k <- 2 to 7) {
+      val num = rr(k - 1) -
+        (1 until k).foldLeft(0.0)((s, j) => s + phi(j - 1) * rr(k - j - 1))
+      val den = 1.0 -
+        (1 until k).foldLeft(0.0)((s, j) => s + phi(j - 1) * rr(j - 1))
+      val a = num / den
+      phi = (1 until k).map(j => phi(j - 1) - a * phi(k - j - 1)).toVector :+ a
+      pacf = pacf :+ a
+    }
+    out.foreach { r =>
+      val k = r.getAs[Long]("lag").toInt
+      assert(r.getAs[Double]("acf") === rr(k - 1), s"acf lag $k")
+      assert(r.getAs[Double]("pacf") === pacf(k - 1), s"pacf lag $k")
+    }
+    // the DL seed law, pinned on the fixture too: phi_11 = r_1 exactly
+    val fx = SparkEntry.queries("q378_pacf_durbin_levinson")(spark, sfDir)
+      .orderBy($"lag").collect()
+    assert(fx(0).getAs[Double]("pacf") === fx(0).getAs[Double]("acf"))
+    // constant series: no defined ACF → zero rows
+    assert(SparkEntry.queries("q378_pacf_durbin_levinson")(
+      spark, mkOrders(Seq.fill(10)(500))).collect().isEmpty)
+  }
+
   test("q343 Holt: hand-computed level/trend/SSE on a 3-month series") {
     // y = [100, 60, 80] cents: l2=80 b2=-5 sse=1600; then pred=75,
     // l3=77.5, b3=0.25*(77.5-80)+0.75*(-5)=-4.375, sse=1625.
