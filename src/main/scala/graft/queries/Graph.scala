@@ -618,30 +618,28 @@ object Graph {
     * aggs), not an anti-join over the union. Pins per run: seeds + rounds
     * 1–2 (round 3's layer has a single consumer). The census output is
     * ≤ kinds·labels rows. */
-  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+  /** q294's layered propagation, factored for reuse: the per-node
+    * labeled set (node, label) after the 3 clamped rounds — the census
+    * consumer is q294, the modularity scorer q380. DELTA voting: only
+    * the PREVIOUS round's newly-labeled nodes cast votes. Equivalent to
+    * voting from the full labeled set because round r labels EVERY
+    * unlabeled node with ≥1 labeled neighbor, so a node still unlabeled
+    * at round r+1 has no labeled neighbor from rounds < r — votes from
+    * older nodes could only land on already-labeled vnodes, which the
+    * anti-join discards anyway. This bounds each round's expansion join
+    * to frontier·deg instead of |labeled|·deg. checkpointAsIs
+    * throughout (round-15): the seed join inherits the adjacency's
+    * hash(node) placement, and each round's picks end in their own
+    * groupBy(node) exchange carried through the anti-chain. */
+  private def lpLayersUnion(s: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
     import s.implicits._
-    val edges = tradeAdjacency(s, dir)
-    // symmetric adjacency: src covers every node, already distinct
     val nodes = edges.select($"src".as("node"))
     val seeds = nodes.join(
       Tables.supplier(s, dir).filter($"s_nationkey" < 5)
         .select(($"s_suppkey" * 2 + 1).as("node"),
           $"s_nationkey".cast("long").as("label")),
       Seq("node"))
-    // DELTA voting: only the PREVIOUS round's newly-labeled nodes cast
-    // votes. Equivalent to voting from the full labeled set because
-    // round r labels EVERY unlabeled node with ≥1 labeled neighbor, so
-    // a node still unlabeled at round r+1 has no labeled neighbor from
-    // rounds < r — votes from older nodes could only land on
-    // already-labeled vnodes, which the anti-join discards anyway.
-    // This bounds each round's expansion join to frontier·deg instead
-    // of |labeled|·deg — by round 3 the labeled set is most of the
-    // graph and the difference is the bulk of the query's vote stream.
-    // checkpointAsIs throughout (round-15): the seed join inherits the
-    // adjacency's hash(node) placement, and each round's picks end in
-    // their own groupBy(node) exchange carried through the anti-chain —
-    // the keyed pin's explicit repartition was a redundant per-pin
-    // shuffle (the helper's assert guards the precondition).
     var layers = List(graft.operators.Pinned.checkpointAsIs(seeds, "node"))
     (1 to 3).foreach { round =>
       val frontier = layers.head
@@ -661,12 +659,21 @@ object Graph {
         graft.operators.Pinned.checkpointAsIs(newlyLazy, "node")
       else newlyLazy)
     }
+    layers.reduce(_ unionAll _)
+  }
+
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeAdjacency(s, dir)
+    // symmetric adjacency: src covers every node, already distinct
+    val nodes = edges.select($"src".as("node"))
+    val labeled = lpLayersUnion(s, dir, edges)
     // lab is ≤ kinds·labels rows but is consumed twice (output + the
     // kind totals) — checkpoint the TINY census, not the big union, so
     // round 3's lazy layer is evaluated exactly once
     def kind(c: Column): Column =
       when(c % 2 === 0, lit("c")).otherwise(lit("s"))
-    val lab = layers.reduce(_ unionAll _)
+    val lab = labeled
       .groupBy(kind($"node").as("kind"), $"label")
       .agg(count(lit(1)).as("n_nodes"))
       .localCheckpoint(eager = false)
@@ -679,6 +686,63 @@ object Graph {
         ($"n_all" - coalesce($"n_lab", lit(0L))).as("n_nodes"))
       .filter($"n_nodes" > 0L)
     lab.unionByName(unl).orderBy($"kind", $"label")
+  }
+
+  /** Modularity census (Newman & Girvan 2004, public definition) over
+    * the q294 label-propagation communities — the subgraph-QUALITY
+    * measure beside q319's conductance (conductance scores a given
+    * 2-way cut; modularity scores a whole partition against the
+    * configuration-model null): Q = Σ_c [ m_c/m − (tot_c/2m)² ] with
+    * m_c = intra-community edges and tot_c = degree sum. Everything is
+    * EXACT INTEGERS with denominators cleared (the q369 stance):
+    * Q·4m² = Σ_c [ 2m·in2_c − tot_c² ] where in2_c counts directed
+    * endpoint pairs inside c (= 2·m_c) — folded in decimal(38,0)
+    * (2m·in2 ≤ 4m², exact to m ≈ 10¹⁸ edges), surfaced as a digit
+    * string, Q itself as the one shared IEEE divide. Unlabeled nodes
+    * are SINGLETON communities (the standard convention for
+    * unassigned nodes — each contributes −deg², never a fused
+    * pseudo-community); labeled communities emit one row each with
+    * the global panel riding. Scale: per-node community assignment is
+    * one |V| left join; in2 pays the one keyed |E| dst-side join (the
+    * q301 assortativity shape — the src side is exchange-free on the
+    * adjacency pin); everything after is community-census-sized. */
+  def modularityCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val adj = tradeAdjacency(s, dir)
+    val asg = lpLayersUnion(s, dir, adj)
+    val comm = adj.select($"src".as("node"),
+        size($"dsts").cast("long").as("deg"))
+      .join(asg, Seq("node"), "left")
+      .select($"node", $"deg",
+        coalesce($"label", -$"node" - 2L).as("comm"))
+      .localCheckpoint(eager = false) // read by tot + both endpoint joins
+    val m2df = adj.agg(sum(size($"dsts")).cast("long").as("m2")) // = 2m
+    val in2 = adj.select($"src", explode($"dsts").as("dst"))
+      .join(comm.select($"node".as("src"), $"comm".as("comm_s")), Seq("src"))
+      .join(comm.select($"node".as("dst"), $"comm".as("comm_d")), Seq("dst"))
+      .filter($"comm_s" === $"comm_d")
+      .groupBy($"comm_s".as("comm")).agg(count(lit(1)).as("in2"))
+    val tot = comm.groupBy($"comm")
+      .agg(sum($"deg").as("tot"), count(lit(1)).as("n_nodes"))
+    val parts = tot.join(in2, Seq("comm"), "left")
+      .crossJoin(broadcast(m2df))
+      .select($"comm", $"n_nodes",
+        coalesce($"in2", lit(0L)).as("in2"), $"tot",
+        ($"m2".cast(d38) * coalesce($"in2", lit(0L)) -
+          $"tot".cast(d38) * $"tot").as("qpart"))
+      .localCheckpoint(eager = false) // read by the global fold + rows
+    val glob = parts.agg(sum($"qpart").as("q_num"),
+      sum(when($"comm" < 0L, 1L).otherwise(0L)).as("n_singletons"))
+    parts.filter($"comm" >= 0L)
+      .crossJoin(broadcast(glob))
+      .crossJoin(broadcast(m2df))
+      .select($"comm".as("label"), $"n_nodes", $"in2", $"tot",
+        expr("m2 div 2").as("m_edges"), $"n_singletons",
+        $"q_num".cast("string").as("q_num"),
+        ($"q_num".cast("double") /
+          ($"m2".cast(d38) * $"m2").cast("double")).as("modularity"))
+      .orderBy($"label")
   }
 
   /** Degree assortativity — Newman's degree-correlation coefficient
@@ -980,6 +1044,7 @@ object Graph {
     "q290_widest_path_census" -> widestPathCensus,
     "q291_reach_sketch_census" -> reachSketchCensus,
     "q294_label_propagation" -> labelPropagation,
+    "q380_modularity_census" -> modularityCensus,
     "q301_degree_assortativity" -> degreeAssortativity,
     "q197_pagerank_fixed_point" -> pageRank)
 
@@ -1150,6 +1215,65 @@ object Graph {
          |                        * CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE))
          |       END AS assortativity
          |FROM m""".stripMargin,
+    // q294's propagation replay, then modularity as pure integer SQL:
+    // singleton communities keyed by the node itself ('N' || node),
+    // labeled ones by 'L' || label — only labeled rows surface
+    "q380_modularity_census" ->
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |), und AS MATERIALIZED (
+         |  SELECT src, dst FROM pairs
+         |  UNION ALL
+         |  SELECT dst AS src, src AS dst FROM pairs
+         |), nodes AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node FROM und
+         |), l0 AS MATERIALIZED (
+         |  SELECT n.node, CAST(s_nationkey AS BIGINT) AS label
+         |  FROM nodes n JOIN supplier ON n.node = 's' || s_suppkey
+         |  WHERE s_nationkey < 5
+         |), ${lpRoundSql(1)}, ${lpRoundSql(2)}, ${lpRoundSql(3)},
+         |deg AS (
+         |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM und GROUP BY 1
+         |), comm AS MATERIALIZED (
+         |  SELECT d.node, d.deg, l.label,
+         |         CASE WHEN l.label IS NOT NULL THEN 'L' || l.label
+         |              ELSE 'N' || d.node END AS comm
+         |  FROM deg d LEFT JOIN l3 l ON l.node = d.node
+         |), m2t AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und),
+         |in2t AS (
+         |  SELECT a.comm, CAST(count(*) AS BIGINT) AS in2
+         |  FROM und e
+         |  JOIN comm a ON a.node = e.src
+         |  JOIN comm b ON b.node = e.dst
+         |  WHERE a.comm = b.comm
+         |  GROUP BY 1
+         |), tott AS (
+         |  SELECT comm, max(label) AS label,
+         |         CAST(sum(deg) AS BIGINT) AS tot,
+         |         CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM comm GROUP BY 1
+         |), parts AS MATERIALIZED (
+         |  SELECT t.comm, t.label, t.n_nodes,
+         |         CAST(coalesce(i.in2, 0) AS BIGINT) AS in2, t.tot,
+         |         CAST(m2 AS HUGEINT) * coalesce(i.in2, 0)
+         |           - CAST(t.tot AS HUGEINT) * t.tot AS qpart
+         |  FROM tott t LEFT JOIN in2t i ON i.comm = t.comm, m2t
+         |), gt AS (
+         |  SELECT CAST(sum(qpart) AS HUGEINT) AS q_num,
+         |         ${sumLongSql("CASE WHEN label IS NULL THEN 1 ELSE 0 END")}
+         |           AS n_singletons
+         |  FROM parts
+         |)
+         |SELECT label, n_nodes, in2, tot,
+         |       m2 // 2 AS m_edges, n_singletons,
+         |       CAST(q_num AS VARCHAR) AS q_num,
+         |       CAST(q_num AS DOUBLE)
+         |         / CAST(CAST(m2 AS HUGEINT) * m2 AS DOUBLE) AS modularity
+         |FROM parts, gt, m2t
+         |WHERE label IS NOT NULL
+         |ORDER BY label""".stripMargin,
     "q294_label_propagation" ->
       s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

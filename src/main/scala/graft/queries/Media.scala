@@ -300,11 +300,107 @@ object Media {
       .orderBy($"dhash")
   }
 
+  /** q379 clip geometry: 256 samples, 8 frames of 32, 8 Walsh bands. */
+  private val FpSamp = 256
+  private val FpFrames = 8
+  private val FpBands = 8
+
+  /** q379 sample closed form: 20 waveform CLASSES (c_custkey mod 20)
+    * carry the structure; the amplitude factor 1 + (c_custkey mod 3)
+    * makes clips within a class BYTE-DISTINCT while perceptually
+    * identical (a pure gain change). |base| ≤ 5461, ×3 ≤ 16383 — never
+    * clips 16-bit. */
+  private def fpBase(ck: Long, i: Int): Int =
+    (((ck % 20 + 2) * i * i + 5L * i + (ck % 20) * 977) % 10923).toInt - 5461
+  private def fpSample(ck: Long, i: Int): Short =
+    ((1 + ck % 3).toInt * fpBase(ck, i)).toShort
+
+  /** Perceptual near-dup detection over AUDIO payloads — q371's WAV
+    * sibling, completing the perceptual-dedup pair on the second
+    * modality: one real 256-sample WAV per customer (javax.sound RIFF
+    * encode), decoded by the real reader, fingerprinted by a
+    * SIGN-OF-ENERGY-DIFFERENCE signature (the public Haitsma–Kalker
+    * 2002 shape: bits are comparisons of adjacent energies, here 7
+    * frame-energy-contour bits over 8 windows of 32 samples plus 7
+    * band-contour bits over 8 Walsh square-wave correlators
+    * |Σ s_i·(−1)^((i>>b)&1)|), and grouped by the 14-bit hash. Walsh
+    * correlators stand in for the float Goertzel filters of
+    * `WavCodec.features` ON THE HASH PATH ONLY (documented deviation:
+    * Goertzel is a recursive float filter through libm cosines — not
+    * bit-portable across engines; square-wave correlators are exact
+    * integers with the same band-contrast sign structure, and the spec
+    * pins that the REAL Goertzel signs are amplitude-invariant too).
+    * The PERCEPTUAL property is what the fixture proves: every energy —
+    * frame or band — scales EXACTLY by the gain factor, so all three
+    * byte-distinct gain variants of a class collapse into one cluster
+    * (different WAV bytes, different exact-dedup digests), oracle-
+    * checked from the same closed form. Scale: codec UDFs are per-row
+    * CPU, zero shuffle; the census shuffles 8-byte hashes only. The
+    * oracle never touches a codec: it replays samples → energies →
+    * comparisons → hash as pure integer SQL, so a hash match proves the
+    * ENTIRE encode → decode → fingerprint pipeline bit-exact. */
+  def audioFingerprintDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = udf { (ck: Long) =>
+      val samples = new Array[Short](FpSamp)
+      var i = 0
+      while (i < FpSamp) { samples(i) = fpSample(ck, i); i += 1 }
+      Multimodal.WavCodec.toWav(samples)
+    }
+    val fp = udf { (wav: Array[Byte]) =>
+      Multimodal.WavCodec.tryDecode(wav) match {
+        case Some(fs) if fs.length == FpSamp =>
+          // f = short/32768f is exactly representable: recover the ints
+          val sv = fs.map(f => Math.round(f * 32768f))
+          val frameE = Array.tabulate(FpFrames) { w =>
+            var e = 0L; var i = 32 * w
+            while (i < 32 * (w + 1)) { e += math.abs(sv(i).toLong); i += 1 }
+            e
+          }
+          val bandE = Array.tabulate(FpBands) { b =>
+            var acc = 0L; var i = 0
+            while (i < FpSamp) {
+              acc += (if (((i >> b) & 1) == 0) sv(i).toLong else -sv(i).toLong)
+              i += 1
+            }
+            math.abs(acc)
+          }
+          var h = 0L
+          var k = 0
+          while (k < FpFrames - 1) {
+            if (frameE(k) < frameE(k + 1)) h |= 1L << k
+            k += 1
+          }
+          k = 0
+          while (k < FpBands - 1) {
+            if (bandE(k) < bandE(k + 1)) h |= 1L << (7 + k)
+            k += 1
+          }
+          h
+        case _ => -1L // decode failure sentinel; the oracle states none
+      }
+    }
+    val hashed = Tables.customer(s, dir)
+      .select($"c_custkey", enc($"c_custkey").as("wav"))
+      .select($"c_custkey", fp($"wav").as("fp"),
+        ($"c_custkey" % 3).as("variant"))
+    val clusters = hashed.groupBy($"fp")
+      .agg(count(lit(1)).as("n_clips"),
+        countDistinct($"variant").as("n_variants"),
+        min($"c_custkey").as("first_cust"))
+      .localCheckpoint(eager = false) // read by rows + riding totals
+    val tot = clusters.agg(count(lit(1)).as("n_clusters"),
+      sum($"n_clips").as("n_clips_total"))
+    clusters.crossJoin(broadcast(tot))
+      .orderBy($"fp")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q283_image_feature_census" -> imageFeatureCensus,
     "q286_audio_feature_census" -> audioFeatureCensus,
     "q287_video_structure_census" -> videoStructureCensus,
-    "q371_image_dhash_dedup" -> imageDhashDedup
+    "q371_image_dhash_dedup" -> imageDhashDedup,
+    "q379_audio_fingerprint_dedup" -> audioFingerprintDedup
   )
 
   def oracles: Map[String, String] = Map(
@@ -393,6 +489,66 @@ object Media {
         |       TRUE AS decode_ok
         |FROM supplier
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    // the q371 contract on the audio path: samples → frame/band
+    // energies → sign comparisons → hash, all pure integer SQL — a
+    // hash match proves the encode → decode → fingerprint path exact
+    "q379_audio_fingerprint_dedup" ->
+      s"""WITH sm AS MATERIALIZED (
+         |  SELECT c_custkey, i,
+         |         (1 + c_custkey % 3) *
+         |           (((c_custkey % 20 + 2) * i * i + 5 * i
+         |             + (c_custkey % 20) * 977) % 10923 - 5461) AS s
+         |  FROM customer, (SELECT unnest(range(0, $FpSamp)) AS i)
+         |), fr AS (
+         |  SELECT c_custkey, i // 32 AS w,
+         |         CAST(sum(abs(s)) AS BIGINT) AS e
+         |  FROM sm GROUP BY 1, 2
+         |), fbits AS (
+         |  SELECT c_custkey,
+         |         CAST(coalesce(sum(CASE WHEN e < e_next
+         |             THEN (CAST(1 AS BIGINT) << CAST(w AS INT))
+         |             ELSE 0 END), 0) AS BIGINT) AS fh
+         |  FROM (SELECT c_custkey, w, e,
+         |               lead(e) OVER (PARTITION BY c_custkey ORDER BY w)
+         |                 AS e_next
+         |        FROM fr)
+         |  WHERE w < ${FpFrames - 1}
+         |  GROUP BY 1
+         |), bd AS (
+         |  SELECT c_custkey, b,
+         |         CAST(abs(sum(CASE WHEN (i >> CAST(b AS INT)) & 1 = 0
+         |                      THEN s ELSE -s END)) AS BIGINT) AS e
+         |  FROM sm, (SELECT unnest(range(0, $FpBands)) AS b)
+         |  GROUP BY 1, 2
+         |), bbits AS (
+         |  SELECT c_custkey,
+         |         CAST(coalesce(sum(CASE WHEN e < e_next
+         |             THEN (CAST(1 AS BIGINT) << CAST(7 + b AS INT))
+         |             ELSE 0 END), 0) AS BIGINT) AS bh
+         |  FROM (SELECT c_custkey, b, e,
+         |               lead(e) OVER (PARTITION BY c_custkey ORDER BY b)
+         |                 AS e_next
+         |        FROM bd)
+         |  WHERE b < ${FpBands - 1}
+         |  GROUP BY 1
+         |), hashed AS MATERIALIZED (
+         |  SELECT f.c_custkey, f.fh + b.bh AS fp,
+         |         CAST(f.c_custkey % 3 AS BIGINT) AS variant
+         |  FROM fbits f JOIN bbits b ON b.c_custkey = f.c_custkey
+         |), clusters AS MATERIALIZED (
+         |  SELECT fp, CAST(count(*) AS BIGINT) AS n_clips,
+         |         CAST(count(DISTINCT variant) AS BIGINT) AS n_variants,
+         |         CAST(min(c_custkey) AS BIGINT) AS first_cust
+         |  FROM hashed GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |         CAST(sum(n_clips) AS BIGINT) AS n_clips_total
+         |  FROM clusters
+         |)
+         |SELECT fp, n_clips, n_variants, first_cust,
+         |       n_clusters, n_clips_total
+         |FROM clusters, tot
+         |ORDER BY fp""".stripMargin
   )
 }

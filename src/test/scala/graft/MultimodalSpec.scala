@@ -320,6 +320,34 @@ class MultimodalSpec extends SparkSpec {
       "the variants really are pixel-distinct")
   }
 
+  test("q379 audio fingerprint: gain variants collapse; Goertzel signs gain-invariant") {
+    import graft.operators.Multimodal.WavCodec
+    val rows = graft.queries.Media.audioFingerprintDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("fp") >= 0L), "no decode-failure sentinel")
+    // the perceptual property: every cluster holds ALL THREE gain
+    // variants — byte-distinct WAVs whose frame/band energies scale
+    // EXACTLY by the gain, leaving every sign comparison unchanged
+    assert(rows.forall(_.getAs[Long]("n_variants") === 3L))
+    assert(rows.length <= 20)
+    val nCust = graft.Tables.customer(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_clips")).sum === nCust)
+    // byte-distinctness of what collapsed: gains 1 vs 2 of one class
+    def clip(amp: Int): Array[Short] = Array.tabulate(256) { i =>
+      (amp * (((5L + 2) * i * i + 5L * i + 5L * 977) % 10923 - 5461)).toShort
+    }
+    val (w1, w2) = (WavCodec.toWav(clip(1)), WavCodec.toWav(clip(2)))
+    assert(!java.util.Arrays.equals(w1, w2))
+    // the REAL Goertzel path obeys the same law for a power-of-two gain
+    // (×2 scales every IEEE intermediate exactly): the band-contour sign
+    // pattern the fingerprint family reads is gain-invariant
+    val f1 = WavCodec.features(WavCodec.tryDecode(w1).get, 10)
+    val f2 = WavCodec.features(WavCodec.tryDecode(w2).get, 10)
+    val sg1 = (2 until 9).map(b => f1(b) < f1(b + 1))
+    val sg2 = (2 until 9).map(b => f2(b) < f2(b + 1))
+    assert(sg1 === sg2, "Goertzel band-contour signs must be gain-invariant")
+  }
+
   test("q283 image census: real PNG round-trip, closed-form stats, all brands ok") {
     import org.apache.spark.sql.Row
     val rows = graft.queries.Media.imageFeatureCensus(spark, sfDir).collect()

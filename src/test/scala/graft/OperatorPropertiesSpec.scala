@@ -2726,6 +2726,44 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fx.getAs[Double]("auc") > 0.5)
   }
 
+  test("q380 modularity: two-block-plus-bridge closed form; fixture Q defined") {
+    // two complete bipartite blocks {c1,c2}×{s1,s2} (nation 0) and
+    // {c3,c4}×{s3,s4} (nation 1) plus one bridge c1–s3: m = 9, 2m = 18,
+    // each community has in2 = 8 endpoint pairs and tot = 9, so
+    // Q·4m² = 2·(18·8 − 81) = 126 and Q = 126/324 exactly
+    val dir = java.nio.file.Files.createTempDirectory("mod").toString
+    Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("s_suppkey", "s_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 3L), (3L, 4L), (4L, 3L), (4L, 4L))
+      .toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q380_modularity_census")(spark, dir)
+      .orderBy($"label").collect()
+    assert(rows.length === 2)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("label") === i.toLong)
+      assert(r.getAs[Long]("n_nodes") === 4L)
+      assert(r.getAs[Long]("in2") === 8L)
+      assert(r.getAs[Long]("tot") === 9L)
+      assert(r.getAs[Long]("m_edges") === 9L)
+      assert(r.getAs[Long]("n_singletons") === 0L)
+      assert(r.getAs[String]("q_num") === "126")
+      assert(r.getAs[Double]("modularity") === 126.0 / 324.0)
+    }
+    // fixture: the seeded-nation communities emit (≤ 5; the sf0.001
+    // supplier table may carry fewer seed nations), Q is defined and
+    // the endpoint identity Σ in2 ≤ 2m holds
+    val fx = SparkEntry.queries("q380_modularity_census")(spark, sfDir).collect()
+    assert(fx.nonEmpty && fx.length <= 5)
+    assert(fx.map(_.getAs[Long]("in2")).sum <= 2 * fx(0).getAs[Long]("m_edges"))
+    assert(!fx(0).isNullAt(fx(0).fieldIndex("modularity")))
+  }
+
   test("q375/q376: monotone-nonlinear series pins rho = tau = 1 exactly, Pearson < 1") {
     // q = 1..7, d = q³: perfectly monotone but nonlinear. The doubled
     // ranks agree exactly (sx = sy, sxx = syy = sxy) and the shared
