@@ -226,7 +226,13 @@ object Media {
   /** q371 dHash geometry: 18×16 source raster, 2×2 integer-mean
     * downsample to the canonical 9×8 grid, adjacent-column comparisons
     * → 63 hash bits (bit 63 dropped so the key stays a signed BIGINT —
-    * one comparison of 64, identical in both engines, documented). */
+    * one comparison of 64, identical in both engines, documented).
+    * Collision cost of the dropped bit: two perceptually-distinct
+    * images collide only if they agree on all 63 kept comparisons and
+    * differ on the one dropped — marginal collision mass 2⁻⁶³ under
+    * the independent-bit model, ~2⁻⁶ of the already-negligible full
+    * 64-bit collision budget; a production variant that needs the full
+    * 64 bits renders the hash as an unsigned string key instead. */
   private val DhW = 18
   private val DhH = 16
 
