@@ -118,6 +118,10 @@ object LlmOps {
   private def markerBestSql: String =
     s"greatest(${MarkerChain.map { case (l, _) => s"s_$l" }.mkString(", ")})"
 
+  /** `'en','es',...` — the chain's language domain as a SQL IN-list. */
+  private def markerLangsSql: String =
+    MarkerChain.map { case (l, _) => s"'$l'" }.mkString(",")
+
   /** Shared WITH-prefix for the q366/q373 eval pair: the q131 unigram-
     * surprisal per-doc score → (score, npv, nnv) value census, positives
     * = non-English docs. One literal so the two oracles cannot unsync. */
@@ -2747,23 +2751,30 @@ object LlmOps {
     * non-English docs. Scale: token pass → per-doc integer score →
     * score-value census (domain-bounded by doc length × bits) → one
     * global prefix window over census rows. */
-  def rocAucSurprisal(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q366/q373/q381 chain: the q131 unigram-surprisal per-doc
+    * score collapsed to the (score, npv, nnv) value census — positives
+    * are non-English docs (the Spark twin of [[surprisalCensusSql]]). */
+  private def surprisalScoreCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def bits(c: Column): Column = length(bin(c)).cast("long")
     val toks = Tables.documents(s, dir)
       .select($"doc_id", $"lang", explode(TextOps.tokens($"text")).as("tok"))
     val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
     val nTot = vocab.agg(sum($"cnt").as("n_corpus"))
-    val scored = toks
+    toks
       .join(broadcast(vocab), "tok")
       .crossJoin(broadcast(nTot))
       .withColumn("surprise", bits($"n_corpus") - bits($"cnt"))
       .groupBy($"doc_id", $"lang")
       .agg(sum($"surprise").as("score"))
-    val census = scored
       .groupBy($"score")
       .agg(sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("npv"),
         sum(when($"lang" === "en", 1L).otherwise(0L)).as("nnv"))
+  }
+
+  def rocAucSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val census = surprisalScoreCensus(s, dir)
     val w = Window.orderBy($"score")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     census
@@ -2805,21 +2816,7 @@ object LlmOps {
     * prefix window over census rows → one ≤|domain| array fold. */
   def averagePrecision(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def bits(c: Column): Column = length(bin(c)).cast("long")
-    val toks = Tables.documents(s, dir)
-      .select($"doc_id", $"lang", explode(TextOps.tokens($"text")).as("tok"))
-    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
-    val nTot = vocab.agg(sum($"cnt").as("n_corpus"))
-    val scored = toks
-      .join(broadcast(vocab), "tok")
-      .crossJoin(broadcast(nTot))
-      .withColumn("surprise", bits($"n_corpus") - bits($"cnt"))
-      .groupBy($"doc_id", $"lang")
-      .agg(sum($"surprise").as("score"))
-    val census = scored
-      .groupBy($"score")
-      .agg(sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("npv"),
-        sum(when($"lang" === "en", 1L).otherwise(0L)).as("nnv"))
+    val census = surprisalScoreCensus(s, dir)
     val w = Window.orderBy($"score".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     census
@@ -2841,6 +2838,95 @@ object LlmOps {
         when($"n_pos" > 0L,
           ($"sum_terms" / $"n_pos".cast("double")) /
             ratio($"n_pos", $"n_pos" + $"n_neg")).as("ap_lift"))
+  }
+
+  /** F1-optimal operating point over the q373 threshold census — the
+    * DEPLOYMENT decision AP/AUC deliberately avoid: a shipped filter
+    * runs at ONE threshold, and this picks it. At each distinct score t
+    * (retrieve score ≥ t): TP = cumpos_ge, so F1 = 2·TP/(cum_ge +
+    * n_pos) — numerator and denominator exact integers, and the argmax
+    * over thresholds decided by INTEGER CROSS-MULTIPLY (f1n_b·f1d_a vs
+    * f1n_a·f1d_b in decimal(38,0), products ≤ 4n²; ties to the HIGHER
+    * threshold — the smaller retrieved set, the conservative
+    * deployment), realized as the q374 left-anti total-order argmax
+    * over the domain-bounded threshold census. Output: the chosen
+    * operating point with its confusion counts, precision/recall/F1 as
+    * shared single divides, and the panel totals riding. Scale: the
+    * q373 chain plus one census-bounded anti-join. */
+  def f1ThresholdPanel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val census = surprisalScoreCensus(s, dir)
+    val w = Window.orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = census
+      .withColumn("cum_ge", sum($"npv" + $"nnv").over(w))
+      .withColumn("cumpos_ge", sum($"npv").over(w))
+      .localCheckpoint(eager = false) // read by totals + both argmax sides
+    val tot = cums.agg(sum($"npv").as("n_pos"), sum($"nnv").as("n_neg"),
+      count(lit(1)).as("n_thresholds"))
+    val cand = cums.crossJoin(broadcast(tot))
+      .select($"score", $"cumpos_ge", $"cum_ge",
+        $"n_pos", $"n_neg", $"n_thresholds",
+        (lit(2L) * $"cumpos_ge").as("f1n"), ($"cum_ge" + $"n_pos").as("f1d"))
+    val o = cand.select($"score".as("oscore"),
+      $"f1n".as("of1n"), $"f1d".as("of1d"))
+    cand.join(broadcast(o),
+        ($"of1n".cast(d38) * $"f1d" > $"f1n".cast(d38) * $"of1d") ||
+          ($"of1n".cast(d38) * $"f1d" === $"f1n".cast(d38) * $"of1d" &&
+            $"oscore" > $"score"),
+        "left_anti")
+      .select($"score".as("score_threshold"),
+        $"n_pos", $"n_neg", $"n_thresholds",
+        $"cumpos_ge".as("tp"), ($"cum_ge" - $"cumpos_ge").as("fp"),
+        ($"n_pos" - $"cumpos_ge").as("fn"),
+        ratio($"cumpos_ge", $"cum_ge").as("precision"),
+        when($"n_pos" > 0L, ratio($"cumpos_ge", $"n_pos")).as("recall"),
+        ratio(lit(2L) * $"cumpos_ge", $"cum_ge" + $"n_pos").as("f1"))
+  }
+
+  /** Binary eval panel with Matthews correlation (Matthews 1975,
+    * public definition) for the marker scorer as an ENGLISH detector —
+    * the single-threshold companion of q364's multi-class kappa: over
+    * the q364 census base (scored, in-domain docs), predicted-en vs
+    * truly-en gives TP/FP/FN/TN, precision/recall/F1 as shared single
+    * divides, and MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+    * — numerator exact in decimal(38,0) (≤ N²), ONE sqrt over the
+    * exact 4-margin product (≤ N⁴, the q376 single-sqrt stance); a
+    * zero margin (constant classifier) defines MCC = 0 exactly, the
+    * public scikit-learn convention — which the fixture itself
+    * demonstrates: the scorer predicts 'en' everywhere (q364's
+    * lesson), so TN = FN = 0 and MCC pins to 0 while precision sits at
+    * prevalence. Scale: one token pass → one 4-cell agg. */
+  def mccEvalPanel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val domain = MarkerChain.map(_._1)
+    val g = markerScoredAll(s, dir)
+      .filter($"s_tot" > 0L && $"lang".isin(domain: _*))
+      .agg(
+        sum(when($"predicted" === "en" && $"lang" === "en", 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when($"predicted" === "en" && $"lang" =!= "en", 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when($"predicted" =!= "en" && $"lang" === "en", 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when($"predicted" =!= "en" && $"lang" =!= "en", 1L)
+          .otherwise(0L)).as("tn"))
+    val den = ($"tp" + $"fp").cast(d38) * ($"tp" + $"fn") *
+      ($"tn" + $"fp") * ($"tn" + $"fn")
+    g.select($"tp", $"fp", $"fn", $"tn",
+      ($"tp" + $"fp" + $"fn" + $"tn").as("n_scored"),
+      when($"tp" + $"fp" > 0L, ratio($"tp", $"tp" + $"fp"))
+        .as("precision_en"),
+      when($"tp" + $"fn" > 0L, ratio($"tp", $"tp" + $"fn"))
+        .as("recall_en"),
+      when(lit(2L) * $"tp" + $"fp" + $"fn" > 0L,
+        ratio(lit(2L) * $"tp", lit(2L) * $"tp" + $"fp" + $"fn"))
+        .as("f1_en"),
+      when(den > 0,
+        ($"tp".cast(d38) * $"tn" - $"fp".cast(d38) * $"fn").cast("double")
+          / sqrt(den.cast("double"))).otherwise(lit(0.0)).as("mcc"))
   }
 
   /** Mann–Whitney U rank-sum test (Mann & Whitney 1947, public
@@ -6063,6 +6149,8 @@ object LlmOps {
     "q365_mann_whitney_u" -> mannWhitneyU,
     "q366_roc_auc_surprisal" -> rocAucSurprisal,
     "q373_average_precision" -> averagePrecision,
+    "q381_f1_threshold" -> f1ThresholdPanel,
+    "q382_mcc_eval" -> mccEvalPanel,
     "q367_permutation_test" -> permutationTest,
     "q368_brier_decomposition" -> brierDecomposition,
     "q370_vocab_growth" -> vocabGrowth,
@@ -6743,6 +6831,75 @@ object LlmOps {
          |SELECT n_pos, n_neg, n_thresholds, ap, ap_baseline,
          |       CASE WHEN n_pos > 0 THEN ap / ap_baseline END AS ap_lift
          |FROM fin""".stripMargin,
+    // the q373 threshold census → cross-multiplied F1 argmax (ties to
+    // the higher threshold) via NOT EXISTS — the q374 oracle stance
+    "q381_f1_threshold" ->
+      s"""WITH $surprisalCensusSql, cums AS (
+         |  SELECT score,
+         |         CAST(sum(npv + nnv) OVER (ORDER BY score DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_ge,
+         |         CAST(sum(npv) OVER (ORDER BY score DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cumpos_ge
+         |  FROM census
+         |), tot AS (
+         |  SELECT CAST(sum(npv) AS BIGINT) AS n_pos,
+         |         CAST(sum(nnv) AS BIGINT) AS n_neg,
+         |         CAST(count(*) AS BIGINT) AS n_thresholds
+         |  FROM census
+         |), cand AS MATERIALIZED (
+         |  SELECT score, cumpos_ge, cum_ge, n_pos, n_neg, n_thresholds,
+         |         2 * cumpos_ge AS f1n, cum_ge + n_pos AS f1d
+         |  FROM cums, tot
+         |)
+         |SELECT score AS score_threshold, n_pos, n_neg, n_thresholds,
+         |       cumpos_ge AS tp, cum_ge - cumpos_ge AS fp,
+         |       n_pos - cumpos_ge AS fn,
+         |       ${ratioSql("cumpos_ge", "cum_ge")} AS precision,
+         |       CASE WHEN n_pos > 0 THEN
+         |         ${ratioSql("cumpos_ge", "n_pos")} END AS recall,
+         |       ${ratioSql("2 * cumpos_ge", "cum_ge + n_pos")} AS f1
+         |FROM cand a
+         |WHERE NOT EXISTS (SELECT 1 FROM cand b WHERE
+         |        CAST(b.f1n AS HUGEINT) * a.f1d > CAST(a.f1n AS HUGEINT) * b.f1d
+         |        OR (CAST(b.f1n AS HUGEINT) * a.f1d = CAST(a.f1n AS HUGEINT) * b.f1d
+         |            AND b.score > a.score))""".stripMargin,
+    // q364's census base collapsed to the binary en-vs-rest confusion;
+    // MCC's 4-margin product under ONE sqrt (the q376 stance)
+    "q382_mcc_eval" ->
+      s"""WITH allsc AS (
+         |  SELECT lang,
+         |         ${markerCaseSql("fr")} AS predicted,
+         |         $markerTotSql AS s_tot
+         |  FROM (
+         |    SELECT lang, $markerScoresSql
+         |    FROM (SELECT lang, $toksSql AS toks FROM documents)
+         |  )
+         |), cm AS (
+         |  SELECT
+         |    ${sumLongSql("CASE WHEN predicted = 'en' AND lang = 'en' THEN 1 ELSE 0 END")} AS tp,
+         |    ${sumLongSql("CASE WHEN predicted = 'en' AND lang <> 'en' THEN 1 ELSE 0 END")} AS fp,
+         |    ${sumLongSql("CASE WHEN predicted <> 'en' AND lang = 'en' THEN 1 ELSE 0 END")} AS fn,
+         |    ${sumLongSql("CASE WHEN predicted <> 'en' AND lang <> 'en' THEN 1 ELSE 0 END")} AS tn
+         |  FROM allsc
+         |  WHERE s_tot > 0 AND lang IN ($markerLangsSql)
+         |)
+         |SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n_scored,
+         |       CASE WHEN tp + fp > 0 THEN
+         |         ${ratioSql("tp", "tp + fp")} END AS precision_en,
+         |       CASE WHEN tp + fn > 0 THEN
+         |         ${ratioSql("tp", "tp + fn")} END AS recall_en,
+         |       CASE WHEN 2 * tp + fp + fn > 0 THEN
+         |         ${ratioSql("2 * tp", "2 * tp + fp + fn")} END AS f1_en,
+         |       CASE WHEN CAST(tp + fp AS HUGEINT) * (tp + fn)
+         |                   * (tn + fp) * (tn + fn) > 0 THEN
+         |         CAST(CAST(tp AS HUGEINT) * tn
+         |              - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+         |           / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+         |                       * (tn + fp) * (tn + fn) AS DOUBLE))
+         |       ELSE 0.0 END AS mcc
+         |FROM cm""".stripMargin,
     // q332's census/prefix chain; doubled midranks keep every rank an
     // integer, the tie cube-sum rides as HUGEINT → VARCHAR, z is one
     // shared IEEE tree

@@ -1469,6 +1469,43 @@ object TimeSeries {
       .orderBy($"lag")
   }
 
+  /** χ² upper-0.05 quantile at df = [[AcfMaxLag]] (public table value)
+    * — the Ljung–Box rejection line, an authoring-time literal both
+    * engines compare against (the q358 literal-table stance). */
+  val LbCrit = 14.067140449340169
+
+  /** Ljung–Box portmanteau test (Ljung & Box 1978, public description)
+    * over the q369 ACF lags — the INFERENCE the ACF census points at:
+    * q369 flags individual lags against the white-noise band; Q_LB =
+    * n(n+2)·Σ_{k≤7} r_k²/(n−k) asks the JOINT question "is the series
+    * white noise at all?", the standard residual-diagnostic after a
+    * forecaster (q343/q377) is fit. The r_k are q369's exact single
+    * divides; the Σ folds in ascending-k order over the lag-sorted
+    * array, so both engines run the identical IEEE sequence; the
+    * rejection line is the literal χ²₀.₉₅(7) quantile. Defined only
+    * when all [[AcfMaxLag]] ACFs exist (n > 7, positive variance) —
+    * degenerate inputs emit zero rows (the q378 contract; the fold is
+    * seed-safe on the empty array, no element_at anywhere). Scale: the
+    * shared acfLagTerms chain; the test is a ≤7-element fold. */
+  def ljungBox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = acfLagTerms(s, dir)
+      .filter($"var_n2" > 0)
+      .select($"lag", $"n",
+        ($"cov_n2".cast("double") / $"var_n2".cast("double")).as("r"))
+      .agg(max($"n").as("n"), count(lit(1)).as("n_lags"),
+        sort_array(collect_list(struct($"lag", $"r"))).as("ra"))
+      .select($"n", $"n_lags",
+        aggregate($"ra", lit(0.0), (a, x) =>
+          a + (x.getField("r") * x.getField("r")) /
+            ($"n" - x.getField("lag")).cast("double")).as("ssum"))
+      .filter($"n_lags" === AcfMaxLag.toLong)
+    st.select($"n".as("n_days"), lit(AcfMaxLag.toLong).as("df"),
+      ($"n".cast("double") * ($"n" + 2L).cast("double") * $"ssum").as("q_lb"),
+      ($"n".cast("double") * ($"n" + 2L).cast("double") * $"ssum" >
+        lit(LbCrit)).as("autocorrelated"))
+  }
+
   /** At-most-one-changepoint (AMOC) location — the WHERE to q317's
     * CUSUM WHETHER: the split k maximizing the scaled mean-contrast
     * statistic |S_k·n − k·S_n| over the daily-revenue series (the CUSUM
@@ -1635,6 +1672,7 @@ object TimeSeries {
     "q369_acf_daily_revenue" -> acfDailyRevenue,
     "q377_holt_winters_seasonal" -> holtWintersSeasonal,
     "q378_pacf_durbin_levinson" -> pacfDurbinLevinson,
+    "q383_ljung_box" -> ljungBox,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
     "q343_holt_linear" -> holtLinear,
@@ -1749,6 +1787,23 @@ object TimeSeries {
          |       s1, s2, s3, s4, s5, s6, s7,
          |       l + (1.0 * b) + s1 AS fc_1, l + (7.0 * b) + s7 AS fc_7
          |FROM fin""".stripMargin,
+    // the q369 chain, then the ascending-k fold and the literal χ² line
+    "q383_ljung_box" ->
+      s"""WITH $acfChainSql,
+         |rs AS (
+         |  SELECT max(n) AS n, count(*) AS n_lags,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list((CAST(cov_n2 AS DOUBLE) / CAST(var_n2 AS DOUBLE))
+         |                * (CAST(cov_n2 AS DOUBLE) / CAST(var_n2 AS DOUBLE))
+         |                / CAST(n - lag AS DOUBLE) ORDER BY lag)),
+         |           (a, b) -> a + b) AS ssum
+         |  FROM lagt WHERE var_n2 > 0
+         |)
+         |SELECT n AS n_days, CAST($AcfMaxLag AS BIGINT) AS df,
+         |       CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * ssum AS q_lb,
+         |       CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * ssum > $LbCrit
+         |         AS autocorrelated
+         |FROM rs WHERE n_lags = $AcfMaxLag""".stripMargin,
     // the q369 chain, then Durbin–Levinson as a linear recursion with
     // LIST state (immutable per step — never a list_reduce struct fold)
     "q378_pacf_durbin_levinson" ->

@@ -2427,6 +2427,43 @@ class OperatorPropertiesSpec extends SparkSpec {
       spark, mkOrders(Seq.fill(10)(500))).collect().isEmpty)
   }
 
+  test("q383 Ljung-Box: bitwise JVM replay; repeated-week series rejects white noise") {
+    def mkOrders(cents: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("lb").toString
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1, f"2000-01-${i + 1}%02d", c / 100.0)
+      }.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"),
+          $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // three IDENTICAL weeks: exact weekly periodicity pushes Q_LB to
+    // ~31.5 (replayed below), far past the 14.07 line ⇒ reject
+    val week = Seq(100, 500, 200, 800, 300, 900, 400)
+    val cents = week ++ week ++ week
+    val r = SparkEntry.queries("q383_ljung_box")(spark, mkOrders(cents))
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === 21L && r.getAs[Long]("df") === 7L)
+    assert(r.getAs[Boolean]("autocorrelated"))
+    // bitwise replay: exact BigInt ACF, ascending-k IEEE fold
+    val xs = cents.map(BigInt(_))
+    val n = BigInt(xs.length); val sTot = xs.sum
+    val cs = xs.map(x => n * x - sTot)
+    val varN2 = cs.map(c => c * c).sum
+    var ssum = 0.0
+    for (k <- 1 to 7) {
+      val rk = (0 until (xs.length - k)).map(i => cs(i) * cs(i + k)).sum
+        .doubleValue / varN2.doubleValue
+      ssum += (rk * rk) / (xs.length - k).toDouble
+    }
+    assert(r.getAs[Double]("q_lb") ===
+      xs.length.toDouble * (xs.length + 2).toDouble * ssum)
+    // constant series: no defined ACF → zero rows (the q378 contract)
+    assert(SparkEntry.queries("q383_ljung_box")(
+      spark, mkOrders(Seq.fill(12)(500))).collect().isEmpty)
+  }
+
   test("q343 Holt: hand-computed level/trend/SSE on a 3-month series") {
     // y = [100, 60, 80] cents: l2=80 b2=-5 sse=1600; then pred=75,
     // l3=77.5, b3=0.25*(77.5-80)+0.75*(-5)=-4.375, sse=1625.
@@ -2803,6 +2840,72 @@ class OperatorPropertiesSpec extends SparkSpec {
     val fx = SparkEntry.queries("q375_spearman_census")(spark, sfDir).collect()
     assert(fx.nonEmpty && fx.forall(r =>
       math.abs(r.getAs[Double]("rho_spearman")) < 0.2))
+  }
+
+  test("q381 F1 threshold: perfect separation picks the pure prefix at F1 = 1 exactly") {
+    def mk(rows: Seq[(Long, String, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("f1t").toString
+      rows.map { case (i, t, l) => (i, t, l, "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // positives share the top score: the optimal cut retrieves exactly
+    // them — F1 = precision = recall = 1.0, all exact single divides
+    val sep = mk((1L to 4L).map(i => (i, "w w w w", "en")) ++
+      (5L to 8L).map(i => (i, (1 to 4).map(j => s"u${i}_$j").mkString(" "), "de")))
+    val hi = SparkEntry.queries("q381_f1_threshold")(spark, sep).collect()(0)
+    assert(hi.getAs[Long]("tp") === 4L && hi.getAs[Long]("fp") === 0L &&
+      hi.getAs[Long]("fn") === 0L)
+    assert(hi.getAs[Double]("f1") === 1.0)
+    assert(hi.getAs[Double]("precision") === 1.0)
+    assert(hi.getAs[Double]("recall") === 1.0)
+    // positives at the bottom: the best cut retrieves EVERYTHING —
+    // tp = fp = 4 and F1 = 8/12 exactly (any smaller prefix is pure-
+    // negative with F1 below it)
+    val inv = mk((1L to 4L).map(i =>
+      (i, (1 to 4).map(j => s"u${i}_$j").mkString(" "), "en")) ++
+      (5L to 8L).map(i => (i, "w w w w", "de")))
+    val lo = SparkEntry.queries("q381_f1_threshold")(spark, inv).collect()(0)
+    assert(lo.getAs[Long]("tp") === 4L && lo.getAs[Long]("fp") === 4L)
+    assert(lo.getAs[Double]("f1") === 8.0 / 12.0)
+    // fixture: exactly one operating point survives the argmax, and its
+    // F1 is sane
+    val fx = SparkEntry.queries("q381_f1_threshold")(spark, sfDir).collect()
+    assert(fx.length === 1)
+    assert(fx(0).getAs[Double]("f1") > 0.0 && fx(0).getAs[Double]("f1") <= 1.0)
+  }
+
+  test("q382 MCC: hand-computed confusion; constant classifier pins MCC to 0") {
+    def mk(rows: Seq[(Long, String, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("mcc").toString
+      rows.map { case (i, t, l) => (i, t, l, "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // TP=2 (en→en), FN=1 (en doc scored as es), TN=1 (de→de), FP=0:
+    // precision 1, recall 2/3, F1 4/5, MCC = (2·1−0)/√(2·3·1·2) = 2/√12
+    val dir = mk(Seq(
+      (1L, "the and", "en"), (2L, "the of is", "en"),
+      (3L, "el la que los", "en"), (4L, "der die und", "de")))
+    val r = SparkEntry.queries("q382_mcc_eval")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("tp") === 2L && r.getAs[Long]("fp") === 0L &&
+      r.getAs[Long]("fn") === 1L && r.getAs[Long]("tn") === 1L)
+    assert(r.getAs[Double]("precision_en") === 1.0)
+    assert(r.getAs[Double]("recall_en") === 2.0 / 3.0)
+    assert(r.getAs[Double]("f1_en") === 4.0 / 5.0)
+    assert(r.getAs[Double]("mcc") === 2.0 / math.sqrt(12.0))
+    // constant classifier (every doc carries only en markers): TN=FN=0
+    // zeroes a margin — MCC defines to 0 exactly (the scikit convention)
+    val const = mk(Seq((1L, "the and", "en"), (2L, "the of", "de"),
+      (3L, "the is", "en"), (4L, "the to", "de")))
+    val c = SparkEntry.queries("q382_mcc_eval")(spark, const).collect()(0)
+    assert(c.getAs[Long]("tn") === 0L && c.getAs[Long]("fn") === 0L)
+    assert(c.getAs[Double]("mcc") === 0.0)
+    // the fixture IS the constant-classifier case (q364's lesson)
+    val fx = SparkEntry.queries("q382_mcc_eval")(spark, sfDir).collect()(0)
+    assert(fx.getAs[Double]("mcc") === 0.0)
   }
 
   test("q374 WordPiece: likelihood ratio beats raw count, ties go lexicographic") {
