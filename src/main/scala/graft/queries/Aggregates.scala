@@ -2266,10 +2266,66 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Gini / Lorenz concentration census over per-customer revenue —
+    * the INEQUALITY diagnostic beside q111's heavy hitters (hitters
+    * name the top keys; Gini prices the whole distribution, the number
+    * a mixture designer reads before rebalancing): with x sorted
+    * ascending, G = (2Σi·x_(i) − (n+1)Σx)/(n·Σx). Ranks never need a
+    * per-row window: over the revenue VALUE census a tied run of w
+    * copies of x at positions cum_before+1..+w contributes
+    * x·(2·w·cum_before + w(w+1)) to the DOUBLED rank sum — exact
+    * decimal(38,0) throughout, ONE divide for G. The Lorenz headline
+    * rides: the top-decile revenue share, selected EXACTLY on the
+    * census (k = n div 10 units taken from the top, a straddling run
+    * contributing min(w, k − cum_above) units). Closed-form laws
+    * (spec): equal incomes ⇒ G = 0 and top share = k/n exactly; one
+    * holder ⇒ G = (n−1)/n exactly. Scale: one grouped sum → value
+    * census → two census-bounded windows; nothing per-row after the
+    * first agg. */
+  def giniConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val census = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(cents($"o_totalprice")).as("x"))
+      .groupBy($"x").agg(count(lit(1)).as("w"))
+      .localCheckpoint(eager = false) // read by both rank windows
+    val wAsc = Window.orderBy($"x".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.orderBy($"x".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      .withColumn("cum_before", sum($"w").over(wAsc) - $"w")
+      .withColumn("cum_above", sum($"w").over(wDesc) - $"w")
+      .localCheckpoint(eager = false) // read by the moments + the top cut
+    val g = ranked.agg(
+      sum($"w").as("n"),
+      sum($"w".cast(d38) * $"x").as("s"),
+      sum($"x".cast(d38) *
+        (lit(2L) * $"w" * $"cum_before" + $"w" * ($"w" + 1L))).as("s1x2"))
+    val top = ranked.crossJoin(broadcast(g.select($"n".as("nn"))))
+      .select((greatest(lit(0L),
+        least($"w", expr("nn div 10") - $"cum_above")).cast(d38) * $"x")
+        .as("take_x"))
+      .agg(coalesce(sum($"take_x"), lit(BigDecimal(0)).cast(d38))
+        .as("top_cents"))
+    g.crossJoin(broadcast(top))
+      .select($"n".as("n_customers"),
+        $"s".cast("string").as("total_cents"),
+        ($"s1x2" - ($"n" + 1L) * $"s").cast("string").as("gini_num"),
+        when($"n" > 0L && $"s" > 0,
+          ($"s1x2" - ($"n" + 1L) * $"s").cast("double") /
+            ($"n".cast(d38) * $"s").cast("double")).as("gini"),
+        expr("n div 10").as("top_decile_k"),
+        when($"s" > 0, $"top_cents".cast("double") / $"s".cast("double"))
+          .as("top_decile_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q289_fd_discovery" -> fdDiscovery,
     "q375_spearman_census" -> spearmanCensus,
     "q376_kendall_tau" -> kendallTau,
+    "q384_gini_concentration" -> giniConcentration,
     "q280_discount_elasticity" -> discountElasticity,
     "q281_shipping_delay_sla" -> shippingDelaySla,
     "q282_return_rate_trend" -> returnRateTrend,
@@ -2346,6 +2402,48 @@ object Aggregates {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // value census + doubled rank sums; the top-decile cut takes
+    // min(w, k − cum_above) units from a straddling run
+    "q384_gini_concentration" ->
+      s"""WITH census AS MATERIALIZED (
+         |  SELECT x, CAST(count(*) AS BIGINT) AS w FROM (
+         |    SELECT CAST(sum(c) AS BIGINT) AS x
+         |    FROM (SELECT o_custkey, ${centsSql("o_totalprice")} AS c
+         |          FROM orders)
+         |    GROUP BY o_custkey)
+         |  GROUP BY 1
+         |), ranked AS MATERIALIZED (
+         |  SELECT x, w,
+         |         CAST(sum(w) OVER (ORDER BY x ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) - w AS cum_before,
+         |         CAST(sum(w) OVER (ORDER BY x DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) - w AS cum_above
+         |  FROM census
+         |), g AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS n,
+         |         CAST(sum(CAST(w AS HUGEINT) * x) AS HUGEINT) AS s,
+         |         CAST(sum(CAST(x AS HUGEINT)
+         |           * (2 * w * cum_before + w * (w + 1))) AS HUGEINT) AS s1x2
+         |  FROM ranked
+         |), topc AS (
+         |  SELECT CAST(coalesce(sum(
+         |           CAST(greatest(0, least(w, (SELECT n FROM g) // 10
+         |                                    - cum_above)) AS HUGEINT) * x),
+         |           0) AS HUGEINT) AS top_cents
+         |  FROM ranked
+         |)
+         |SELECT n AS n_customers, CAST(s AS VARCHAR) AS total_cents,
+         |       CAST(s1x2 - (n + 1) * s AS VARCHAR) AS gini_num,
+         |       CASE WHEN n > 0 AND s > 0 THEN
+         |         CAST(s1x2 - (n + 1) * s AS DOUBLE)
+         |           / CAST(CAST(n AS HUGEINT) * s AS DOUBLE) END AS gini,
+         |       n // 10 AS top_decile_k,
+         |       CASE WHEN s > 0 THEN
+         |         CAST(top_cents AS DOUBLE) / CAST(s AS DOUBLE)
+         |       END AS top_decile_share
+         |FROM g, topc""".stripMargin,
     "q375_spearman_census" ->
       s"""WITH $rankCellsSql,
          |qm AS (

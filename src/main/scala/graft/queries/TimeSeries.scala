@@ -1506,6 +1506,70 @@ object TimeSeries {
         lit(LbCrit)).as("autocorrelated"))
   }
 
+  /** Cross-correlation function between daily REVENUE and daily ORDER
+    * COUNT at lags −7..+7 — the two-series member of the q369/q378
+    * serial-dependence family (ACF asks "does a series predict
+    * itself?"; CCF asks "does volume lead or lag value?" — positive
+    * lags test count leading revenue). Same cleared-denominator
+    * construction as q369 applied to a PAIR: centered terms n·x−Sx and
+    * n·y−Sy are exact longs, each lag's cross product folds in
+    * decimal(38,0) (digit-string numerator), and the n² factors cancel
+    * against √varx·√vary — the TWO-sqrt tree deliberately (the q375
+    * stance: the single-sqrt product varx·vary ≈ n⁶·amplitudes⁴
+    * overflows d38 at the 10× soak where the pair of casts never
+    * does). |ccf| > 2/√n flags ride per lag; NULL ccf on a constant
+    * series. Scale: one grouped day census; per-lag folds over two
+    * array rows. */
+  def ccfRevenueOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("rev"), count(lit(1)).as("cnt"))
+    val folded = daily
+      .agg(sort_array(collect_list(struct($"day", $"rev", $"cnt"))).as("ds"))
+      .select(transform($"ds", x => x.getField("rev")).as("xs"),
+        transform($"ds", x => x.getField("cnt")).as("ys"))
+      .select($"xs", $"ys", size($"xs").cast("long").as("n"),
+        aggregate($"xs", lit(0L), (a, v) => a + v).as("sx"),
+        aggregate($"ys", lit(0L), (a, v) => a + v).as("sy"))
+      .select($"n",
+        transform($"xs", v => ($"n" * v - $"sx")).as("cx"),
+        transform($"ys", v => ($"n" * v - $"sy")).as("cy"))
+      .localCheckpoint(eager = false) // read by the variances + 15 lags
+    val den = folded.select(
+      aggregate($"cx", lit(BigDecimal(0)).cast(d38),
+        (a, c) => a + c.cast(d38) * c).as("varx_n2"),
+      aggregate($"cy", lit(BigDecimal(0)).cast(d38),
+        (a, c) => a + c.cast(d38) * c).as("vary_n2"))
+    val lags = folded.crossJoin(broadcast(den))
+      .select($"n", $"cx", $"cy", $"varx_n2", $"vary_n2",
+        explode(sequence(lit(-AcfMaxLag), lit(AcfMaxLag))).as("lag"))
+      .filter(abs($"lag") < $"n")
+      .select($"lag", $"n", $"varx_n2", $"vary_n2",
+        // lag k ≥ 0: Σ cx_i·cy_{i+k} (count leads revenue at +k);
+        // k < 0: Σ cx_{i+|k|}·cy_i — one slice pair covers both signs
+        aggregate(
+          zip_with(
+            slice($"cx", when($"lag" < 0, -$"lag" + 1).otherwise(lit(1))
+              .cast("int"), (size($"cx") - abs($"lag")).cast("int")),
+            slice($"cy", when($"lag" > 0, $"lag" + 1).otherwise(lit(1))
+              .cast("int"), (size($"cy") - abs($"lag")).cast("int")),
+            (a, b) => struct(a.as("a"), b.as("b"))),
+          lit(BigDecimal(0)).cast(d38),
+          (acc, p) => acc + p.getField("a").cast(d38) * p.getField("b"))
+          .as("cov_n2"))
+    val ok = $"varx_n2" > 0 && $"vary_n2" > 0
+    val ccf = $"cov_n2".cast("double") /
+      (sqrt($"varx_n2".cast("double")) * sqrt($"vary_n2".cast("double")))
+    lags.select($"lag".cast("long").as("lag"), $"n".as("n_days"),
+        $"cov_n2".cast("string").as("ccf_num"),
+        when(ok, ccf).as("ccf"),
+        coalesce(when(ok, abs(ccf) > lit(2.0) / sqrt($"n".cast("double"))),
+          lit(false)).as("significant"))
+      .orderBy($"lag")
+  }
+
   /** At-most-one-changepoint (AMOC) location — the WHERE to q317's
     * CUSUM WHETHER: the split k maximizing the scaled mean-contrast
     * statistic |S_k·n − k·S_n| over the daily-revenue series (the CUSUM
@@ -1673,6 +1737,7 @@ object TimeSeries {
     "q377_holt_winters_seasonal" -> holtWintersSeasonal,
     "q378_pacf_durbin_levinson" -> pacfDurbinLevinson,
     "q383_ljung_box" -> ljungBox,
+    "q386_ccf_revenue_orders" -> ccfRevenueOrders,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
     "q343_holt_linear" -> holtLinear,
@@ -1787,6 +1852,62 @@ object TimeSeries {
          |       s1, s2, s3, s4, s5, s6, s7,
          |       l + (1.0 * b) + s1 AS fc_1, l + (7.0 * b) + s7 AS fc_7
          |FROM fin""".stripMargin,
+    // the q369 construction on a series PAIR: shared centered arrays,
+    // per-lag HUGEINT folds, the two-sqrt denominator
+    "q386_ccf_revenue_orders" ->
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS rev,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM orders GROUP BY 1
+         |), arr AS (
+         |  SELECT list(rev ORDER BY day) AS xs,
+         |         list(cnt ORDER BY day) AS ys
+         |  FROM daily
+         |), base AS (
+         |  SELECT xs, ys, CAST(len(xs) AS BIGINT) AS n,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+         |           (a, b) -> a + b) AS sx,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), ys),
+         |           (a, b) -> a + b) AS sy
+         |  FROM arr
+         |), cs2 AS MATERIALIZED (
+         |  SELECT n, list_transform(xs, v -> n * v - sx) AS cx,
+         |         list_transform(ys, v -> n * v - sy) AS cy
+         |  FROM base
+         |), vr2 AS (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |           list_transform(cx, c -> CAST(c AS HUGEINT) * c)),
+         |           (a, b) -> a + b) AS varx_n2,
+         |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |           list_transform(cy, c -> CAST(c AS HUGEINT) * c)),
+         |           (a, b) -> a + b) AS vary_n2
+         |  FROM cs2
+         |), lagt AS MATERIALIZED (
+         |  SELECT lag, n, varx_n2, vary_n2,
+         |         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |           list_transform(range(1, CAST(n - abs(lag) + 1 AS BIGINT)), i ->
+         |             CAST(cx[CAST(i + greatest(-lag, 0) AS INT)] AS HUGEINT)
+         |               * cy[CAST(i + greatest(lag, 0) AS INT)])),
+         |           (a, b) -> a + b) AS cov_n2
+         |  FROM cs2, vr2,
+         |       (SELECT unnest(range(${-AcfMaxLag}, ${AcfMaxLag + 1})) AS lag)
+         |  WHERE abs(lag) < n
+         |)
+         |SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+         |       CAST(cov_n2 AS VARCHAR) AS ccf_num,
+         |       CASE WHEN varx_n2 > 0 AND vary_n2 > 0 THEN
+         |         CAST(CAST(cov_n2 AS VARCHAR) AS DOUBLE)
+         |           / (sqrt(CAST(CAST(varx_n2 AS VARCHAR) AS DOUBLE))
+         |              * sqrt(CAST(CAST(vary_n2 AS VARCHAR) AS DOUBLE))) END AS ccf,
+         |       coalesce(CASE WHEN varx_n2 > 0 AND vary_n2 > 0 THEN
+         |         abs(CAST(CAST(cov_n2 AS VARCHAR) AS DOUBLE)
+         |             / (sqrt(CAST(CAST(varx_n2 AS VARCHAR) AS DOUBLE))
+         |                * sqrt(CAST(CAST(vary_n2 AS VARCHAR) AS DOUBLE))))
+         |           > 2.0 / sqrt(CAST(n AS DOUBLE)) END, FALSE)
+         |         AS significant
+         |FROM lagt
+         |ORDER BY lag""".stripMargin,
     // the q369 chain, then the ascending-k fold and the literal χ² line
     "q383_ljung_box" ->
       s"""WITH $acfChainSql,

@@ -2427,6 +2427,83 @@ class OperatorPropertiesSpec extends SparkSpec {
       spark, mkOrders(Seq.fill(10)(500))).collect().isEmpty)
   }
 
+  test("q384 Gini: equal incomes pin 0, a single holder pins (n-1)/n, shares exact") {
+    def mk(cents: Seq[Long]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("gini").toString
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1, i.toLong + 1, c / 100.0)
+      }.toDF("o_orderkey", "o_custkey", "o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // 10 equal customers: G = 0 exactly, top decile (k=1) holds 1/10
+    val eq = SparkEntry.queries("q384_gini_concentration")(
+      spark, mk(Seq.fill(10)(100L))).collect()(0)
+    assert(eq.getAs[Long]("n_customers") === 10L)
+    assert(eq.getAs[String]("gini_num") === "0")
+    assert(eq.getAs[Double]("gini") === 0.0)
+    assert(eq.getAs[Long]("top_decile_k") === 1L)
+    assert(eq.getAs[Double]("top_decile_share") === 0.1)
+    // one holder: G = (n−1)/n = 0.9 exactly, the top decile holds ALL
+    val one = SparkEntry.queries("q384_gini_concentration")(
+      spark, mk(Seq.fill(9)(0L) :+ 1000L)).collect()(0)
+    assert(one.getAs[Double]("gini") === 0.9)
+    assert(one.getAs[Double]("top_decile_share") === 1.0)
+    // fixture: a defined G strictly inside (0, 1), top decile above 1/10
+    val fx = SparkEntry.queries("q384_gini_concentration")(spark, sfDir)
+      .collect()(0)
+    assert(fx.getAs[Double]("gini") > 0.0 && fx.getAs[Double]("gini") < 1.0)
+    assert(fx.getAs[Double]("top_decile_share") > 0.1)
+  }
+
+  test("q386 CCF: bitwise JVM replay; proportional series peaks at lag 0") {
+    def mk(days: Seq[(Int, Long)]): String = {
+      // day index → (n orders, day revenue cents); the first order
+      // carries the remainder, the rest are $1 each
+      val dir = java.nio.file.Files.createTempDirectory("ccf").toString
+      val rows = days.zipWithIndex.flatMap { case ((c, r), i) =>
+        val d = f"2000-01-${i + 1}%02d"
+        (1 to c).map { j =>
+          val cents = if (j == 1) r - (c - 1) * 100L else 100L
+          ((i * 10 + j).toLong, d, cents / 100.0)
+        }
+      }
+      rows.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"),
+          $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    val plan = (1 to 12).map(i => ((i % 3) + 1, 100L * (50 + (i * 37) % 23)))
+    val out = SparkEntry.queries("q386_ccf_revenue_orders")(spark, mk(plan))
+      .collect().map(r => r.getAs[Long]("lag") -> r).toMap
+    assert(out.size === 15)
+    // first-principles replay: centered BigInt series, per-lag exact
+    // covariances, the two-sqrt IEEE tree — bitwise
+    val xs = plan.map(_._2).map(BigInt(_))
+    val ys = plan.map(p => BigInt(p._1))
+    val n = xs.length
+    val (sx, sy) = (xs.sum, ys.sum)
+    val cx = xs.map(x => x * n - sx); val cy = ys.map(y => y * n - sy)
+    val varx = cx.map(c => c * c).sum; val vary = cy.map(c => c * c).sum
+    for (lag <- -7 to 7) {
+      val cov = if (lag >= 0)
+        (0 until n - lag).map(i => cx(i) * cy(i + lag)).sum
+      else (0 until n + lag).map(i => cx(i - lag) * cy(i)).sum
+      assert(out(lag.toLong).getAs[String]("ccf_num") === cov.toString, s"lag $lag")
+      assert(out(lag.toLong).getAs[Double]("ccf") ===
+        cov.doubleValue / (math.sqrt(varx.doubleValue) *
+          math.sqrt(vary.doubleValue)), s"ccf lag $lag")
+    }
+    // proportional plant (every order $1 ⇒ rev = 100·cnt): the series
+    // are collinear, so lag 0 carries the maximal, near-1 correlation
+    val prop = mk((1 to 12).map(i => ((i % 4) + 1, 100L * ((i % 4) + 1))))
+    val p0 = SparkEntry.queries("q386_ccf_revenue_orders")(spark, prop)
+      .collect().map(r => r.getAs[Long]("lag") -> r.getAs[Double]("ccf")).toMap
+    assert(p0(0L) > 0.9999999999)
+    assert(p0.values.max === p0(0L))
+  }
+
   test("q383 Ljung-Box: bitwise JVM replay; repeated-week series rejects white noise") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("lb").toString
