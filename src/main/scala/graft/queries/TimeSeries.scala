@@ -1506,6 +1506,75 @@ object TimeSeries {
         lit(LbCrit)).as("autocorrelated"))
   }
 
+  /** Forecast-skill panel (Theil 1966's U², public definition) — the
+    * model-selection verdict the forecaster family needs: q322 scores
+    * the naive baselines against each other; this scores the FITTED
+    * q377 Holt–Winters against both, on the identical evaluation
+    * window. One fold over the sorted day array runs all three
+    * one-step-ahead predictors simultaneously from t = 8 (naive
+    * ŷ = y_{t−1}, seasonal-naive ŷ = y_{t−7}, and the exact q377
+    * recursion — same dyadic trees, so the HW SSE here replays q377's
+    * bitwise), carrying the 7-slot seasonal vector AND the 7-slot raw
+    * lag window as rotating arrays. U²_hw = SSE_hw/SSE_naive (< 1 ⇒
+    * the model beats persistence); skill vs seasonal-naive rides,
+    * NULL-guarded on zero-SSE baselines (the exactly-periodic corpus,
+    * spec-planted, where seasonal-naive is perfect). < 8 days ⇒ zero
+    * rows. Oracle: the q377 recursive CTE widened to carry the raw lag
+    * window and the three SSE columns. Scale: one grouped day census →
+    * one array-row fold. */
+  def forecastSkill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("rev"))
+    val folded = daily
+      .agg(sort_array(collect_list(struct($"day", $"rev"))).as("ds"))
+      .select(transform($"ds", x => x.getField("rev")).as("xs"))
+      .select($"xs", size($"xs").cast("long").as("n"))
+      .filter($"n" >= 8L)
+      .select($"n", $"xs",
+        (aggregate(slice($"xs", lit(1), lit(7)), lit(0L), (a, v) => a + v)
+          .cast("double") / lit(7.0)).as("l0"))
+      .select($"n", $"xs", $"l0",
+        transform(slice($"xs", lit(1), lit(7)),
+          v => v.cast("double") - $"l0").as("ss0"),
+        transform(slice($"xs", lit(1), lit(7)),
+          v => v.cast("double")).as("y70"))
+    val st = folded.select($"n",
+      aggregate(slice($"xs", lit(8), size($"xs") - 7),
+        struct($"l0".as("l"), lit(0.0).as("b"), $"ss0".as("ss"),
+          $"y70".as("y7"), lit(0.0).as("sen"), lit(0.0).as("ses"),
+          lit(0.0).as("shw")),
+        (acc, x) => {
+          val yd = x.cast("double")
+          val l = acc.getField("l")
+          val b = acc.getField("b")
+          val ss = acc.getField("ss")
+          val y7 = acc.getField("y7")
+          val s1 = element_at(ss, 1)
+          val l2 = lit(0.5) * (yd - s1) + lit(0.5) * (l + b)
+          val b2 = lit(0.25) * (l2 - l) + lit(0.75) * b
+          val sn = lit(0.25) * (yd - l2) + lit(0.75) * s1
+          val eN = yd - element_at(y7, 7)
+          val eS = yd - element_at(y7, 1)
+          val eH = yd - (l + b + s1)
+          struct(l2.as("l"), b2.as("b"),
+            concat(slice(ss, lit(2), lit(6)), array(sn)).as("ss"),
+            concat(slice(y7, lit(2), lit(6)), array(yd)).as("y7"),
+            (acc.getField("sen") + eN * eN).as("sen"),
+            (acc.getField("ses") + eS * eS).as("ses"),
+            (acc.getField("shw") + eH * eH).as("shw"))
+        }).as("st"))
+    st.select($"n".as("n_days"), ($"n" - 7L).as("n_eval"),
+      $"st.sen".as("sse_naive"), $"st.ses".as("sse_snaive"),
+      $"st.shw".as("sse_hw"),
+      when($"st.sen" > 0.0, $"st.shw" / $"st.sen").as("theil_u2_hw"),
+      when($"st.ses" > 0.0, lit(1.0) - $"st.shw" / $"st.ses")
+        .as("skill_vs_snaive"),
+      ($"st.shw" < $"st.sen").as("hw_beats_naive"),
+      ($"st.shw" < $"st.ses").as("hw_beats_snaive"))
+  }
+
   /** Cross-correlation function between daily REVENUE and daily ORDER
     * COUNT at lags −7..+7 — the two-series member of the q369/q378
     * serial-dependence family (ACF asks "does a series predict
@@ -1737,6 +1806,7 @@ object TimeSeries {
     "q377_holt_winters_seasonal" -> holtWintersSeasonal,
     "q378_pacf_durbin_levinson" -> pacfDurbinLevinson,
     "q383_ljung_box" -> ljungBox,
+    "q385_forecast_skill" -> forecastSkill,
     "q386_ccf_revenue_orders" -> ccfRevenueOrders,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
@@ -1851,6 +1921,60 @@ object TimeSeries {
          |SELECT k AS n_days, l AS level, b AS trend, sse,
          |       s1, s2, s3, s4, s5, s6, s7,
          |       l + (1.0 * b) + s1 AS fc_1, l + (7.0 * b) + s7 AS fc_7
+         |FROM fin""".stripMargin,
+    // q377's recursive CTE widened with the raw 7-lag window and the
+    // three one-step SSE accumulators
+    "q385_forecast_skill" ->
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
+         |  SELECT rn, CAST(rev AS DOUBLE) AS y, rev FROM (
+         |    SELECT row_number() OVER (ORDER BY day) AS rn, rev FROM (
+         |      SELECT CAST(o_orderdate AS DATE) AS day,
+         |             ${sumLongSql(centsSql("o_totalprice"))} AS rev
+         |      FROM orders GROUP BY 1))
+         |), init AS (
+         |  SELECT CAST(7 AS BIGINT) AS k, l0 AS l,
+         |         CAST(0.0 AS DOUBLE) AS b,
+         |         y1 - l0 AS s1, y2 - l0 AS s2, y3 - l0 AS s3,
+         |         y4 - l0 AS s4, y5 - l0 AS s5, y6 - l0 AS s6, y7 - l0 AS s7,
+         |         y1, y2, y3, y4, y5, y6, y7,
+         |         CAST(0.0 AS DOUBLE) AS sen, CAST(0.0 AS DOUBLE) AS ses,
+         |         CAST(0.0 AS DOUBLE) AS shw
+         |  FROM (SELECT
+         |          CAST(sum(CASE WHEN rn <= 7 THEN rev END) AS DOUBLE) / 7.0
+         |            AS l0,
+         |          max(CASE WHEN rn = 1 THEN y END) AS y1,
+         |          max(CASE WHEN rn = 2 THEN y END) AS y2,
+         |          max(CASE WHEN rn = 3 THEN y END) AS y3,
+         |          max(CASE WHEN rn = 4 THEN y END) AS y4,
+         |          max(CASE WHEN rn = 5 THEN y END) AS y5,
+         |          max(CASE WHEN rn = 6 THEN y END) AS y6,
+         |          max(CASE WHEN rn = 7 THEN y END) AS y7
+         |        FROM daily)
+         |  WHERE (SELECT count(*) FROM daily) >= 8
+         |), st AS (
+         |  SELECT * FROM init
+         |  UNION ALL
+         |  SELECT st.k + 1,
+         |         0.5 * (d.y - st.s1) + 0.5 * (st.l + st.b),
+         |         0.25 * ((0.5 * (d.y - st.s1) + 0.5 * (st.l + st.b)) - st.l)
+         |           + 0.75 * st.b,
+         |         st.s2, st.s3, st.s4, st.s5, st.s6, st.s7,
+         |         0.25 * (d.y - (0.5 * (d.y - st.s1) + 0.5 * (st.l + st.b)))
+         |           + 0.75 * st.s1,
+         |         st.y2, st.y3, st.y4, st.y5, st.y6, st.y7, d.y,
+         |         st.sen + (d.y - st.y7) * (d.y - st.y7),
+         |         st.ses + (d.y - st.y1) * (d.y - st.y1),
+         |         st.shw + (d.y - (st.l + st.b + st.s1))
+         |                * (d.y - (st.l + st.b + st.s1))
+         |  FROM st JOIN daily d ON d.rn = st.k + 1
+         |), fin AS (SELECT * FROM st ORDER BY k DESC LIMIT 1)
+         |SELECT k AS n_days, k - 7 AS n_eval,
+         |       sen AS sse_naive, ses AS sse_snaive, shw AS sse_hw,
+         |       CASE WHEN sen > 0.0 THEN shw / sen END AS theil_u2_hw,
+         |       CASE WHEN ses > 0.0 THEN 1.0 - shw / ses END
+         |         AS skill_vs_snaive,
+         |       shw < sen AS hw_beats_naive,
+         |       shw < ses AS hw_beats_snaive
          |FROM fin""".stripMargin,
     // the q369 construction on a series PAIR: shared centered arrays,
     // per-lag HUGEINT folds, the two-sqrt denominator

@@ -2427,6 +2427,59 @@ class OperatorPropertiesSpec extends SparkSpec {
       spark, mkOrders(Seq.fill(10)(500))).collect().isEmpty)
   }
 
+  test("q385 forecast skill: JVM replay of all three SSEs; periodic week zeroes snaive and HW") {
+    def mkOrders(cents: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("skill").toString
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1, f"2000-01-${i + 1}%02d", c / 100.0)
+      }.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"),
+          $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    val cents = Seq(100, 500, 200, 800, 300, 900, 400,
+      150, 480, 260, 750, 340, 870, 410, 90, 530, 180, 820, 310, 950, 370)
+    val y = cents.map(_.toDouble)
+    val l0 = cents.take(7).map(_.toLong).sum.toDouble / 7.0
+    var l = l0; var b = 0.0
+    var ss = y.take(7).map(_ - l0).toVector
+    var y7 = y.take(7).toVector
+    var (sen, ses, shw) = (0.0, 0.0, 0.0)
+    for (t <- 7 until y.length) {
+      val yd = y(t); val s1 = ss.head
+      val (eN, eS, eH) = (yd - y7.last, yd - y7.head, yd - (l + b + s1))
+      sen += eN * eN; ses += eS * eS; shw += eH * eH
+      val l2 = 0.5 * (yd - s1) + 0.5 * (l + b)
+      val b2 = 0.25 * (l2 - l) + 0.75 * b
+      val sn = 0.25 * (yd - l2) + 0.75 * s1
+      ss = ss.tail :+ sn; y7 = y7.tail :+ yd; l = l2; b = b2
+    }
+    val r = SparkEntry.queries("q385_forecast_skill")(
+      spark, mkOrders(cents)).collect()(0)
+    assert(r.getAs[Long]("n_eval") === 14L)
+    assert(r.getAs[Double]("sse_naive") === sen)
+    assert(r.getAs[Double]("sse_snaive") === ses)
+    assert(r.getAs[Double]("sse_hw") === shw)
+    assert(r.getAs[Double]("theil_u2_hw") === shw / sen)
+    assert(r.getAs[Double]("skill_vs_snaive") === 1.0 - shw / ses)
+    // exactly-periodic corpus: seasonal-naive is PERFECT (SSE 0 → skill
+    // NULL-guarded) and so is the q377 recursion — U² pins to 0 exactly
+    val week = Seq(700, 1400, 2100, 700, 1400, 2100, 2800)
+    val p = SparkEntry.queries("q385_forecast_skill")(
+      spark, mkOrders(week ++ week ++ week)).collect()(0)
+    assert(p.getAs[Double]("sse_snaive") === 0.0)
+    assert(p.getAs[Double]("sse_hw") === 0.0)
+    assert(p.getAs[Double]("sse_naive") > 0.0)
+    assert(p.getAs[Double]("theil_u2_hw") === 0.0)
+    assert(p.isNullAt(p.fieldIndex("skill_vs_snaive")))
+    assert(p.getAs[Boolean]("hw_beats_naive"))
+    assert(!p.getAs[Boolean]("hw_beats_snaive")) // 0 < 0 is false — a tie
+    // degenerate: under 8 days emits zero rows
+    assert(SparkEntry.queries("q385_forecast_skill")(
+      spark, mkOrders(Seq(100, 200))).collect().isEmpty)
+  }
+
   test("q384 Gini: equal incomes pin 0, a single holder pins (n-1)/n, shares exact") {
     def mk(cents: Seq[Long]): String = {
       val dir = java.nio.file.Files.createTempDirectory("gini").toString
