@@ -4493,6 +4493,106 @@ object LlmOps {
       .orderBy($"qid")
   }
 
+  /** Gini–Simpson diversity census per source (Simpson 1949, public
+    * definition) — the LOG-FREE diversity measure beside q372's
+    * association census: Shannon entropy needs per-cell log terms whose
+    * libm rounding differs across engines, while Simpson's
+    * 1 − Σp² = (N² − Σn²)/N² and the inverse-Simpson "effective number
+    * of languages" N²/Σn² are EXACT RATIONALS over the (source, lang)
+    * census — one divide each, the whole panel hash-exact. The pooled
+    * global diversity rides every row (mixture designers read the gap
+    * between per-source and pooled diversity as the stratification
+    * signal). Envelope: N² in decimal(38,0); the big casts route
+    * through VARCHAR on the oracle side (the r18 HUGEINT-rounding
+    * lesson). Scale: one grouped count → (source × lang)-bounded
+    * census; everything after is census-sized. */
+  def simpsonDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val cells = Tables.documents(s, dir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // read per-source + pooled
+    val per = cells.groupBy($"source")
+      .agg(sum($"n").as("n_docs"), count(lit(1)).as("n_langs"),
+        sum($"n".cast(d38) * $"n").as("c"))
+      .select($"source", $"n_docs", $"n_langs",
+        (($"n_docs".cast(d38) * $"n_docs" - $"c").cast("double") /
+          ($"n_docs".cast(d38) * $"n_docs").cast("double")).as("simpson"),
+        when($"c" > 0,
+          ($"n_docs".cast(d38) * $"n_docs").cast("double") /
+            $"c".cast("double")).as("effective_langs"))
+    val glob = cells.groupBy($"lang").agg(sum($"n").as("gn"))
+      .agg(sum($"gn").as("gn_tot"), sum($"gn".cast(d38) * $"gn").as("gc"))
+      .select((($"gn_tot".cast(d38) * $"gn_tot" - $"gc").cast("double") /
+        ($"gn_tot".cast(d38) * $"gn_tot").cast("double"))
+        .as("simpson_global"))
+    per.crossJoin(broadcast(glob)).orderBy($"source")
+  }
+
+  /** k-occurrence hubness census (Radovanović et al. 2010, public
+    * description) over the q193 labeled panel — the ANN-DEGRADATION
+    * diagnostic the retrieval family (q45–q57, q352, q362) assumes
+    * away: in high dimensions a few "hub" points appear in
+    * disproportionately many k-NN lists, silently skewing label votes
+    * (q193), dedup pivots (q110), and retrieval panels. N₅(p) counts
+    * how often panel member p lands in a probe's top-5 (the exact q193
+    * scoring — same panel, same cosine tree, same tie rule); the
+    * census emits every member's k-occurrence plus the distribution's
+    * EXACT-moment skewness (the hubness score): with n-scaled centered
+    * terms c = n·N₅ − ΣN₅ (exact longs), g₁ = √n·Σc³/(Σc²)^1.5 — both
+    * Σ fold in decimal(38,0), surfaced as digit strings, the skew as
+    * one fixed IEEE tree (oracle routes the big casts through VARCHAR,
+    * the r18 HUGEINT-rounding lesson). NULL on a zero-variance
+    * distribution. Scale: the q193 scan-only shape (bounded broadcast
+    * panel, zero shuffle before the ≤K-key census); moments are
+    * K-row folds. */
+  def knnHubness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val e = Tables.embeddings(s, dir)
+    val panel = e.orderBy($"vec_id".asc).limit(LabelPanelK)
+      .select(struct($"vec_id".as("vid"), $"embedding".as("ve")).as("p"))
+      .agg(sort_array(collect_list($"p")).as("panel"))
+    val byCosDescVidAsc = (l: Column, r: Column) =>
+      when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1)
+        .when(l.getField("vid") < r.getField("vid"), -1)
+        .when(l.getField("vid") > r.getField("vid"), 1)
+        .otherwise(0)
+    val occs = e.select($"vec_id".as("qid"), $"embedding".as("qe"))
+      .crossJoin(broadcast(panel))
+      .filter(!exists($"panel", p => p.getField("vid") === $"qid"))
+      .select(explode(slice(array_sort(
+        transform($"panel", p => struct(
+          cosine(s)($"qe", p.getField("ve")).as("cos"),
+          p.getField("vid").as("vid"))),
+        byCosDescVidAsc), 1, 5)).as("t"))
+      .groupBy($"t.vid".as("vid")).agg(count(lit(1)).as("occ"))
+    val full = e.orderBy($"vec_id".asc).limit(LabelPanelK)
+      .select($"vec_id".as("vid"))
+      .join(occs, Seq("vid"), "left")
+      .select($"vid", coalesce($"occ", lit(0L)).as("n_occ"))
+      .localCheckpoint(eager = false) // read by moments + output rows
+    val mom = full.agg(count(lit(1)).as("n_panel"), sum($"n_occ").as("s"))
+    val g = full.crossJoin(broadcast(mom))
+      .select($"n_panel", $"s", ($"n_panel" * $"n_occ" - $"s").as("c"),
+        $"n_occ")
+      .agg(max($"n_panel").as("n_panel"), max($"s").as("s"),
+        sum($"c".cast(d38) * $"c").as("c2"),
+        sum($"c".cast(d38) * $"c" * $"c").as("c3"),
+        max($"n_occ").as("max_occ"),
+        sum(when($"n_occ" === 0L, 1L).otherwise(0L)).as("n_never"))
+      .select($"n_panel", expr("s div 5").as("n_probes"),
+        $"max_occ", $"n_never",
+        $"c2".cast("string").as("c2_num"),
+        $"c3".cast("string").as("c3_num"),
+        when($"c2" > 0,
+          (sqrt($"n_panel".cast("double")) * $"c3".cast("double")) /
+            (sqrt($"c2".cast("double")) * sqrt($"c2".cast("double")) *
+              sqrt($"c2".cast("double")))).as("hubness_skew"))
+    full.crossJoin(broadcast(g)).orderBy($"vid")
+  }
+
   /** Feature hashing (the hashing trick / HashingTF shape) — text to a
     * FIXED 64-dim integer vector with signed buckets: bucket = token
     * digest mod 64, sign = digest bit 6, cell = signed count. The
@@ -6195,6 +6295,8 @@ object LlmOps {
     "q174_cluster_survivorship" -> clusterSurvivorship,
     "q163_hard_negatives" -> hardNegatives,
     "q193_knn_label_vote" -> knnLabelVote,
+    "q387_knn_hubness" -> knnHubness,
+    "q388_simpson_diversity" -> simpsonDiversity,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -8224,6 +8326,97 @@ object LlmOps {
          |         i -> coalesce(m[CAST(i AS INT)][1], CAST(0 AS BIGINT))), ',') AS fvec
          |FROM maps
          |ORDER BY doc_id""".stripMargin,
+    // exact-rational diversity over the (source, lang) census; the big
+    // casts route through VARCHAR (HUGEINT→DOUBLE misrounds past 2⁵³)
+    "q388_simpson_diversity" ->
+      s"""WITH cells AS MATERIALIZED (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2
+         |), per AS (
+         |  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+         |         CAST(count(*) AS BIGINT) AS n_langs,
+         |         CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS c
+         |  FROM cells GROUP BY 1
+         |), gl AS (
+         |  SELECT CAST(sum(gn) AS BIGINT) AS gn_tot,
+         |         CAST(sum(CAST(gn AS HUGEINT) * gn) AS HUGEINT) AS gc
+         |  FROM (SELECT lang, CAST(sum(n) AS BIGINT) AS gn
+         |        FROM cells GROUP BY 1)
+         |), gg AS (
+         |  SELECT CAST(CAST(CAST(gn_tot AS HUGEINT) * gn_tot - gc AS VARCHAR)
+         |              AS DOUBLE)
+         |         / CAST(CAST(CAST(gn_tot AS HUGEINT) * gn_tot AS VARCHAR)
+         |                AS DOUBLE) AS simpson_global
+         |  FROM gl
+         |)
+         |SELECT source, n_docs, n_langs,
+         |       CAST(CAST(CAST(n_docs AS HUGEINT) * n_docs - c AS VARCHAR)
+         |            AS DOUBLE)
+         |         / CAST(CAST(CAST(n_docs AS HUGEINT) * n_docs AS VARCHAR)
+         |                AS DOUBLE) AS simpson,
+         |       CASE WHEN c > 0 THEN
+         |         CAST(CAST(CAST(n_docs AS HUGEINT) * n_docs AS VARCHAR)
+         |              AS DOUBLE)
+         |           / CAST(CAST(c AS VARCHAR) AS DOUBLE)
+         |       END AS effective_langs,
+         |       simpson_global
+         |FROM per, gg
+         |ORDER BY source""".stripMargin,
+    // the q193 scoring reused: per-probe top-5 → pool-member occurrence
+    // counts (zeros kept) → exact n-scaled moments → the one skew tree;
+    // big casts go through VARCHAR (DuckDB HUGEINT→DOUBLE misrounds)
+    "q387_knn_hubness" ->
+      s"""WITH pool AS MATERIALIZED (
+         |  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $LabelPanelK
+         |), poole AS MATERIALIZED (
+         |  SELECT * FROM embeddings ORDER BY vec_id LIMIT $LabelPanelK
+         |), top AS (
+         |  SELECT qid, vid,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, vid ASC) AS rn
+         |  FROM (
+         |    SELECT p.vec_id AS qid, c.vec_id AS vid,
+         |           ${cosSql("p.embedding", "c.embedding")} AS cos
+         |    FROM (SELECT * FROM embeddings
+         |          WHERE vec_id NOT IN (SELECT vec_id FROM pool)) p
+         |    JOIN poole c ON p.vec_id <> c.vec_id)
+         |), occ AS (
+         |  SELECT vid, CAST(count(*) AS BIGINT) AS n_occ
+         |  FROM top WHERE rn <= 5 GROUP BY 1
+         |), fullt AS MATERIALIZED (
+         |  SELECT pool.vec_id AS vid,
+         |         CAST(coalesce(occ.n_occ, 0) AS BIGINT) AS n_occ
+         |  FROM pool LEFT JOIN occ ON occ.vid = pool.vec_id
+         |), mom AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_panel,
+         |         CAST(sum(n_occ) AS BIGINT) AS s
+         |  FROM fullt
+         |), g AS (
+         |  SELECT max(n_panel) AS n_panel, max(s) AS s,
+         |         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS c2,
+         |         CAST(sum(CAST(c AS HUGEINT) * c * c) AS HUGEINT) AS c3,
+         |         CAST(max(n_occ) AS BIGINT) AS max_occ,
+         |         ${sumLongSql("CASE WHEN n_occ = 0 THEN 1 ELSE 0 END")}
+         |           AS n_never
+         |  FROM (SELECT n_panel, s, n_panel * n_occ - s AS c, n_occ
+         |        FROM fullt, mom)
+         |), gg AS (
+         |  SELECT n_panel, s // 5 AS n_probes, max_occ, n_never,
+         |         CAST(c2 AS VARCHAR) AS c2_num,
+         |         CAST(c3 AS VARCHAR) AS c3_num,
+         |         CASE WHEN c2 > 0 THEN
+         |           (sqrt(CAST(n_panel AS DOUBLE))
+         |            * CAST(CAST(c3 AS VARCHAR) AS DOUBLE))
+         |           / (sqrt(CAST(CAST(c2 AS VARCHAR) AS DOUBLE))
+         |              * sqrt(CAST(CAST(c2 AS VARCHAR) AS DOUBLE))
+         |              * sqrt(CAST(CAST(c2 AS VARCHAR) AS DOUBLE)))
+         |         END AS hubness_skew
+         |  FROM g
+         |)
+         |SELECT f.vid, f.n_occ, n_panel, n_probes, max_occ, n_never,
+         |       c2_num, c3_num, hubness_skew
+         |FROM fullt f, gg
+         |ORDER BY f.vid""".stripMargin,
     "q193_knn_label_vote" ->
       s"""WITH pool AS MATERIALIZED (
          |  SELECT * FROM embeddings ORDER BY vec_id LIMIT $LabelPanelK

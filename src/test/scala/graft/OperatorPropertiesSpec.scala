@@ -2972,6 +2972,69 @@ class OperatorPropertiesSpec extends SparkSpec {
       math.abs(r.getAs[Double]("rho_spearman")) < 0.2))
   }
 
+  test("q387 hubness: a planted hub pins the occurrence census and the exact skew tree") {
+    // 100-member panel (vids 1..100), 5 identical probes aligned with
+    // vid 1: every probe's top-5 is {1} ∪ the four lowest-vid zero-cos
+    // members (the tie rule), so N₅ = 5 on vids 1..5 and 0 elsewhere
+    val dim = 8
+    def unit(d: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == d) 1.0f else 0.0f)
+    val rows = (1L to 100L).map(v =>
+      (v, unit(if (v == 1L) 0 else 1 + (v % 7).toInt))) ++
+      (101L to 105L).map(v => (v, unit(0)))
+    val dir = java.nio.file.Files.createTempDirectory("hub").toString
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q387_knn_hubness")(spark, dir).collect()
+    assert(out.length === 100)
+    val byVid = out.map(r => r.getAs[Long]("vid") -> r.getAs[Long]("n_occ")).toMap
+    (1L to 5L).foreach(v => assert(byVid(v) === 5L, s"vid $v"))
+    assert(out.map(_.getAs[Long]("n_occ")).sum === 25L)
+    val g = out(0)
+    assert(g.getAs[Long]("n_probes") === 5L)
+    assert(g.getAs[Long]("max_occ") === 5L)
+    assert(g.getAs[Long]("n_never") === 95L)
+    // exact-moment replay: c = 100·occ − 25 → C2/C3 closed forms, then
+    // the one skew tree bitwise
+    val c2 = BigInt(5) * 475 * 475 + BigInt(95) * 625
+    val c3 = BigInt(5) * 475 * 475 * 475 + BigInt(95) * (-25) * (-25) * (-25)
+    assert(g.getAs[String]("c2_num") === c2.toString)
+    assert(g.getAs[String]("c3_num") === c3.toString)
+    val skew = (math.sqrt(100.0) * c3.doubleValue) /
+      (math.sqrt(c2.doubleValue) * math.sqrt(c2.doubleValue) *
+        math.sqrt(c2.doubleValue))
+    assert(g.getAs[Double]("hubness_skew") === skew)
+    assert(skew > 0.0, "a hub skews the k-occurrence distribution right")
+  }
+
+  test("q388 Simpson: balanced/degenerate sources pin exact rationals") {
+    val docs = Seq(
+      (1L, "a", "en", "A"), (2L, "b", "en", "A"),
+      (3L, "c", "de", "A"), (4L, "d", "de", "A"),
+      (5L, "e", "fr", "B"), (6L, "f", "fr", "B"),
+      (7L, "g", "fr", "B"), (8L, "h", "fr", "B"))
+    val dir = java.nio.file.Files.createTempDirectory("simpson").toString
+    docs.map { case (i, t, l, src) => (i, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q388_simpson_diversity")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // A: 2+2 over two langs → 1 − 8/16 = 0.5, effective langs 2.0
+    assert(out("A").getAs[Double]("simpson") === 0.5)
+    assert(out("A").getAs[Double]("effective_langs") === 2.0)
+    assert(out("A").getAs[Long]("n_langs") === 2L)
+    // B: monolingual → diversity 0, effective langs exactly 1
+    assert(out("B").getAs[Double]("simpson") === 0.0)
+    assert(out("B").getAs[Double]("effective_langs") === 1.0)
+    // pooled margins (2, 2, 4): 1 − 24/64 = 0.625 exactly, riding both
+    assert(out.values.forall(_.getAs[Double]("simpson_global") === 0.625))
+    // fixture: pooled diversity defined, per-source in [0, 1)
+    val fx = SparkEntry.queries("q388_simpson_diversity")(spark, sfDir).collect()
+    assert(fx.nonEmpty && fx.forall(r => {
+      val d = r.getAs[Double]("simpson"); d >= 0.0 && d < 1.0
+    }))
+  }
+
   test("q381 F1 threshold: perfect separation picks the pure prefix at F1 = 1 exactly") {
     def mk(rows: Seq[(Long, String, String)]): String = {
       val dir = java.nio.file.Files.createTempDirectory("f1t").toString
