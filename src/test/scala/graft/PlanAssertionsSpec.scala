@@ -643,4 +643,69 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "only the broadcast domain-grid cross may appear, never a cartesian")
   }
+
+  test("q373 shares q366's broadcast-vocab shape; q381's argmax is a broadcast anti") {
+    val p = planOf("q373_average_precision")
+    assert(p.contains("BroadcastHashJoin"),
+      "q373: the vocab-bounded count table must broadcast")
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      "q373: document scan must prune unused columns")
+    // q381 checkpoints the threshold census (its scan shape is q373's,
+    // proven above); the visible plan must keep the left-anti argmax a
+    // BROADCAST nested loop over the bounded census
+    val p81 = planOf("q381_f1_threshold")
+    assert(p81.contains("BroadcastNestedLoopJoin") &&
+      p81.contains("LeftAnti"), "q381: bounded broadcast argmax")
+  }
+
+  test("q374/q381 exact argmax joins stay broadcast (bounded census, no sort-merge)") {
+    // the left-anti cross-multiply argmax runs census-vs-broadcast-twin:
+    // a SortMergeJoin here means a census stopped being recognized as
+    // small — the structural regression these queries were designed against
+    for (name <- Seq("q374_wordpiece_merge_loop", "q381_f1_threshold")) {
+      val p = planOf(name)
+      assert(!p.contains("SortMergeJoin"), s"$name: bounded joins only")
+      assert(!p.contains("CartesianProduct"), s"$name")
+    }
+  }
+
+  test("q375/q376 rank-correlation plans stay census-sized after one corpus agg") {
+    for (name <- Seq("q375_spearman_census", "q376_kendall_tau")) {
+      val p = planOf(name)
+      // the (flag, q, d) census is the only corpus-width agg; everything
+      // after is census-bounded — no sort-merge join over corpus rows
+      assert(!p.contains("SortMergeJoin"), s"$name: bounded joins only")
+      assert(!p.contains("CartesianProduct"), s"$name")
+      assert(!p.contains("l_extendedprice"),
+        s"$name: lineitem scan must prune to flag/quantity/discount")
+    }
+  }
+
+  test("q377/q378/q383/q385/q386 fold time series in ONE array row (no per-row window)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- Seq("q377_holt_winters_seasonal", "q385_forecast_skill",
+        "q386_ccf_revenue_orders")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        s"$name: the fold must run inside the array row, never a window")
+    }
+  }
+
+  test("q387 hubness is the q193 scan-only shape: panel broadcast, no corpus window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("q387_knn_hubness")(spark, sfDir)
+      .queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "per-probe ranking must be the in-row array_sort, never a window")
+    assert(plan.toString.contains("BroadcastNestedLoopJoin") ||
+      plan.toString.contains("BroadcastHashJoin"),
+      "the 1-row panel must broadcast")
+  }
+
+  test("q380 modularity joins are keyed (no cartesian over the edge list)") {
+    val p = planOf("q380_modularity_census")
+    assert(!p.contains("CartesianProduct"),
+      "endpoint-community attachment must be keyed joins")
+  }
 }
