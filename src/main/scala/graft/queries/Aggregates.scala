@@ -2321,10 +2321,62 @@ object Aggregates {
           .as("top_decile_share"))
   }
 
+  /** Trimmed + winsorized mean census per order priority — the robust
+    * LOCATION pair completing q166 (MAD spread) and q167 (weighted
+    * median): a 10 %-per-tail trimmed mean DROPS the k = ⌊n/10⌋ most
+    * extreme cents on each side; the winsorized mean CLAMPS them to the
+    * surviving boundary values instead (keeping n constant — the
+    * estimator regulators actually specify). Everything is EXACT
+    * census selection, never a per-row sort: over the value census a
+    * run of w copies at positions cum_before+1..+w contributes
+    * max(0, min(cum_before+w, n−k) − max(cum_before, k)) units to the
+    * trimmed window (straddling runs contribute partially), and the
+    * boundary values x_lo/x_hi are the unique runs containing ranks
+    * k+1 and n−k (a one-non-null conditional min per group — the q309
+    * selection stance). Sums fold in decimal(38,0); the three means
+    * are shared single divides. k = 0 (n < 10) collapses all three to
+    * the plain mean — the documented small-group contract. Scale: one
+    * grouped census; one census-bounded window per group. */
+  def robustMeanCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val census = Tables.orders(s, dir)
+      .groupBy($"o_orderpriority", cents($"o_totalprice").as("x"))
+      .agg(count(lit(1)).as("w"))
+    val wAsc = Window.partitionBy($"o_orderpriority").orderBy($"x".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      .withColumn("cum_before", sum($"w").over(wAsc) - $"w")
+      .localCheckpoint(eager = false) // read by totals + the main agg
+    val tot = ranked.groupBy($"o_orderpriority").agg(sum($"w").as("n"))
+    val k = expr("n div 10")
+    ranked.join(tot, "o_orderpriority")
+      .groupBy($"o_orderpriority")
+      .agg(max($"n").as("n"), max(k).as("trim_k"),
+        sum($"w".cast(d38) * $"x").as("s_all"),
+        sum((greatest(lit(0L),
+          least($"cum_before" + $"w", $"n" - k) -
+            greatest($"cum_before", k))).cast(d38) * $"x").as("s_trim"),
+        min(when($"cum_before" < k + 1 &&
+          $"cum_before" + $"w" >= k + 1, $"x")).as("x_lo"),
+        min(when($"cum_before" < $"n" - k &&
+          $"cum_before" + $"w" >= $"n" - k, $"x")).as("x_hi"))
+      .select($"o_orderpriority", $"n", $"trim_k",
+        ratio($"s_all", $"n").as("mean_cents"),
+        ($"s_trim".cast("double") /
+          ($"n" - lit(2L) * $"trim_k").cast("double")).as("trimmed_mean"),
+        (($"s_trim" + $"trim_k".cast(d38) * $"x_lo" +
+          $"trim_k".cast(d38) * $"x_hi").cast("double") /
+          $"n".cast("double")).as("winsorized_mean"),
+        $"x_lo", $"x_hi")
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q289_fd_discovery" -> fdDiscovery,
     "q375_spearman_census" -> spearmanCensus,
     "q376_kendall_tau" -> kendallTau,
+    "q389_robust_mean_census" -> robustMeanCensus,
     "q384_gini_concentration" -> giniConcentration,
     "q280_discount_elasticity" -> discountElasticity,
     "q281_shipping_delay_sla" -> shippingDelaySla,
@@ -2402,6 +2454,52 @@ object Aggregates {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // census selection twins: partial-run trimming arithmetic, the two
+    // boundary-rank conditional mins, VARCHAR-routed big casts
+    "q389_robust_mean_census" ->
+      s"""WITH census AS MATERIALIZED (
+         |  SELECT o_orderpriority, x, CAST(count(*) AS BIGINT) AS w FROM (
+         |    SELECT o_orderpriority, ${centsSql("o_totalprice")} AS x
+         |    FROM orders)
+         |  GROUP BY 1, 2
+         |), ranked AS MATERIALIZED (
+         |  SELECT o_orderpriority, x, w,
+         |         CAST(sum(w) OVER (PARTITION BY o_orderpriority
+         |           ORDER BY x ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) - w AS cum_before
+         |  FROM census
+         |), tot AS (
+         |  SELECT o_orderpriority, CAST(sum(w) AS BIGINT) AS n
+         |  FROM ranked GROUP BY 1
+         |), g AS (
+         |  SELECT r.o_orderpriority, max(n) AS n,
+         |         CAST(max(n // 10) AS BIGINT) AS trim_k,
+         |         CAST(sum(CAST(w AS HUGEINT) * x) AS HUGEINT) AS s_all,
+         |         CAST(sum(CAST(greatest(0,
+         |               least(cum_before + w, n - n // 10)
+         |                 - greatest(cum_before, n // 10)) AS HUGEINT) * x)
+         |              AS HUGEINT) AS s_trim,
+         |         min(CASE WHEN cum_before < n // 10 + 1
+         |                   AND cum_before + w >= n // 10 + 1 THEN x END)
+         |           AS x_lo,
+         |         min(CASE WHEN cum_before < n - n // 10
+         |                   AND cum_before + w >= n - n // 10 THEN x END)
+         |           AS x_hi
+         |  FROM ranked r JOIN tot t ON t.o_orderpriority = r.o_orderpriority
+         |  GROUP BY 1
+         |)
+         |SELECT o_orderpriority, n, trim_k,
+         |       CAST(CAST(s_all AS VARCHAR) AS DOUBLE)
+         |         / CAST(n AS DOUBLE) AS mean_cents,
+         |       CAST(CAST(s_trim AS VARCHAR) AS DOUBLE)
+         |         / CAST(n - 2 * trim_k AS DOUBLE) AS trimmed_mean,
+         |       CAST(CAST(s_trim + CAST(trim_k AS HUGEINT) * x_lo
+         |                 + CAST(trim_k AS HUGEINT) * x_hi AS VARCHAR)
+         |            AS DOUBLE) / CAST(n AS DOUBLE) AS winsorized_mean,
+         |       CAST(x_lo AS BIGINT) AS x_lo, CAST(x_hi AS BIGINT) AS x_hi
+         |FROM g
+         |ORDER BY o_orderpriority""".stripMargin,
     // value census + doubled rank sums; the top-decile cut takes
     // min(w, k − cum_above) units from a straddling run
     "q384_gini_concentration" ->

@@ -3180,6 +3180,135 @@ object LlmOps {
           ratio(lit(1L) + $"n_geq", $"b_total" + 1L)).as("p_value"))
   }
 
+  /** χ²₀.₉₅ quantiles at df = 1..19 (public table values) — ONE shared
+    * literal for q391's rejection line, consumed by both engines (the
+    * q358/q383 literal stance); df ≥ 20 never rejects (documented —
+    * the census would need a 20-language corpus). */
+  private[queries] val Chi2Crit95: Seq[Double] = Seq(
+    3.841458820694126, 5.991464547107982, 7.81472790325118,
+    9.487729036781158, 11.070497693516355, 12.59158724374398,
+    14.067140449340169, 15.507313055865454, 16.91897760462045,
+    18.307038053275146, 19.675137572682495, 21.026069817483066,
+    22.36203249482694, 23.68479130484058, 24.99579013972863,
+    26.29622760486424, 27.587111638275324, 28.869299430392633,
+    30.14352720564616)
+
+  private def chi2CritCol(df: Column): Column =
+    Chi2Crit95.zipWithIndex.foldLeft(lit(Double.PositiveInfinity)) {
+      case (acc, (v, i)) => when(df === (i + 1).toLong, lit(v)).otherwise(acc)
+    }
+
+  private def chi2CritSql(df: String): String =
+    "CASE " + Chi2Crit95.zipWithIndex.map { case (v, i) =>
+      s"WHEN $df = ${i + 1} THEN CAST($v AS DOUBLE)"
+    }.mkString(" ") + " ELSE CAST('Infinity' AS DOUBLE) END"
+
+  /** QQ decile-drift census between the q332 consistent-hash halves —
+    * the WHERE to the drift family's WHETHER (KS q332 / CvM q356 / MWU
+    * q365 say "the halves differ"; the QQ table says at WHICH quantiles
+    * and by how much): for each decile q = 1..9, the lower quantile of
+    * each half selected EXACTLY on the token-count value census (rank
+    * ⌈q·n/10⌉ = (q·n + 9) div 10; the run containing the rank is the
+    * one-non-null conditional min — the q309/q389 selection stance),
+    * with the gap and ratio per decile. Degenerate empty halves leave
+    * NULL quantiles. Scale: one doc scan → value census → one prefix
+    * window → a 9-way bounded explode. */
+  def qqDecileDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val space = 16777216L // 16^6
+    val half = conv(substring(md5(concat(lit("drift:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    val census = Tables.documents(s, dir)
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .withColumn("in_a", half)
+      .groupBy($"ntok")
+      .agg(sum(when($"in_a", 1L).otherwise(0L)).as("nav"),
+        sum(when($"in_a", 0L).otherwise(1L)).as("nbv"))
+    val w = Window.orderBy($"ntok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = census
+      .withColumn("cum_a", sum($"nav").over(w))
+      .withColumn("cum_b", sum($"nbv").over(w))
+      .localCheckpoint(eager = false) // read by totals + the selections
+    val tot = cums.agg(coalesce(max($"cum_a"), lit(0L)).as("n_a"),
+      coalesce(max($"cum_b"), lit(0L)).as("n_b"))
+    cums.crossJoin(broadcast(tot))
+      .select($"ntok", $"nav", $"nbv", $"cum_a", $"cum_b", $"n_a", $"n_b",
+        explode(sequence(lit(1), lit(9))).as("decile"))
+      .withColumn("r_a", expr("(decile * n_a + 9) div 10"))
+      .withColumn("r_b", expr("(decile * n_b + 9) div 10"))
+      .groupBy($"decile")
+      .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+        max($"r_a").as("rank_a"), max($"r_b").as("rank_b"),
+        min(when($"cum_a" - $"nav" < $"r_a" && $"cum_a" >= $"r_a" &&
+          $"r_a" > 0, $"ntok")).as("q_a"),
+        min(when($"cum_b" - $"nbv" < $"r_b" && $"cum_b" >= $"r_b" &&
+          $"r_b" > 0, $"ntok")).as("q_b"))
+      .select($"decile".cast("long").as("decile"), $"n_a", $"n_b",
+        $"rank_a", $"rank_b", $"q_a", $"q_b",
+        ($"q_b" - $"q_a").as("gap"),
+        when($"q_a" > 0L, ratio($"q_b", $"q_a")).as("qq_ratio"))
+      .orderBy($"decile")
+  }
+
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952, public description)
+    * across LANGUAGE slices — the k-sample generalization of q365's
+    * two-sample MWU, closing the rank-test family: does ANY language's
+    * token-count distribution sit apart from the others? Global doubled
+    * midranks from the value census (2·cum_before + w + 1 — integers
+    * always), per-language exact rank sums S2_j = Σ nv·dr in
+    * decimal(38,0), H = 12·Σ_j (S2_j/2)²/n_j / (N(N+1)) − 3(N+1) with
+    * the Σ folded in lang-sorted order (each term one divide of exact
+    * ints — the big squares route through VARCHAR on the oracle side,
+    * the r18 HUGEINT-rounding lesson); tie correction
+    * C = 1 − Σ(w³−w)/(N³−N) exact in decimal(38,0) (digit string),
+    * H_c = H/C. Rejection at the literal χ²₀.₉₅(df) table
+    * ([[Chi2Crit95]]), df = #groups − 1. Envelope: S2_j² ≤ 4N⁴ holds
+    * to N ≈ 4·10⁹ docs. Scale: one scan → (lang × value) census →
+    * census-bounded windows and folds. */
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val cells = Tables.documents(s, dir)
+      .select($"lang", size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .groupBy($"lang", $"ntok").agg(count(lit(1)).as("nv"))
+      .localCheckpoint(eager = false) // read by the value census + groups
+    val vals = cells.groupBy($"ntok").agg(sum($"nv").as("w"))
+    val wWin = Window.orderBy($"ntok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dr = vals
+      .withColumn("cum_before", sum($"w").over(wWin) - $"w")
+      .select($"ntok", (lit(2L) * $"cum_before" + $"w" + 1L).as("dr"), $"w")
+      .localCheckpoint(eager = false) // read by the rank join + ties
+    val grp = cells.join(dr.select($"ntok", $"dr"), "ntok")
+      .groupBy($"lang")
+      .agg(sum($"nv").as("n_j"), sum($"nv".cast(d38) * $"dr").as("s2_j"))
+    val ties = dr.agg(
+      sum($"w".cast(d38) * $"w" * $"w" - $"w").as("t_cube"),
+      sum($"w").as("n"))
+    val st = grp
+      .agg(count(lit(1)).as("n_groups"),
+        sort_array(collect_list(struct($"lang", $"n_j", $"s2_j"))).as("gs"))
+      .crossJoin(broadcast(ties))
+      .select($"n_groups", $"n", $"t_cube",
+        aggregate($"gs", lit(0.0), (a, x) =>
+          a + (x.getField("s2_j") * x.getField("s2_j")).cast("double") /
+            (lit(4.0) * x.getField("n_j").cast("double"))).as("sum_terms"))
+    val nn1 = ($"n".cast(d38) * ($"n" + 1L)).cast("double")
+    val h = lit(12.0) * $"sum_terms" / nn1 -
+      lit(3.0) * ($"n" + 1L).cast("double")
+    val cden = ($"n".cast(d38) * $"n" * $"n" - $"n").cast("double")
+    val c = lit(1.0) - $"t_cube".cast("double") / cden
+    st.filter($"n" > 1L)
+      .select($"n".as("n_docs"), $"n_groups", ($"n_groups" - 1L).as("df"),
+        h.as("h_stat"),
+        $"t_cube".cast("string").as("tie_cube"),
+        when(c > 0.0, h / c).as("h_corrected"),
+        coalesce(when(c > 0.0,
+          (h / c) > chi2CritCol($"n_groups" - 1L)), lit(false))
+          .as("rejected"))
+  }
+
   def distributionDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
@@ -6297,6 +6426,8 @@ object LlmOps {
     "q193_knn_label_vote" -> knnLabelVote,
     "q387_knn_hubness" -> knnHubness,
     "q388_simpson_diversity" -> simpsonDiversity,
+    "q390_qq_decile_drift" -> qqDecileDrift,
+    "q391_kruskal_wallis" -> kruskalWallis,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -8326,6 +8457,120 @@ object LlmOps {
          |         i -> coalesce(m[CAST(i AS INT)][1], CAST(0 AS BIGINT))), ',') AS fvec
          |FROM maps
          |ORDER BY doc_id""".stripMargin,
+    // the q332 halves → value census → prefix window → 9 exact
+    // ceil-rank selections (the run containing the rank)
+    "q390_qq_decile_drift" ->
+      s"""WITH census AS MATERIALIZED (
+         |  SELECT ntok,
+         |         ${sumLongSql("CASE WHEN in_a THEN 1 ELSE 0 END")} AS nav,
+         |         ${sumLongSql("CASE WHEN in_a THEN 0 ELSE 1 END")} AS nbv
+         |  FROM (
+         |    SELECT CAST(len($toksSql) AS BIGINT) AS ntok,
+         |           CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
+         |                                1, 6)) AS BIGINT) * 2 < 16777216 AS in_a
+         |    FROM documents)
+         |  GROUP BY 1
+         |), cums AS MATERIALIZED (
+         |  SELECT ntok, nav, nbv,
+         |         CAST(sum(nav) OVER (ORDER BY ntok
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_a,
+         |         CAST(sum(nbv) OVER (ORDER BY ntok
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_b
+         |  FROM census
+         |), tot AS (
+         |  SELECT CAST(coalesce(max(cum_a), 0) AS BIGINT) AS n_a,
+         |         CAST(coalesce(max(cum_b), 0) AS BIGINT) AS n_b
+         |  FROM cums
+         |), sel AS (
+         |  SELECT decile, max(n_a) AS n_a, max(n_b) AS n_b,
+         |         CAST(max((decile * n_a + 9) // 10) AS BIGINT) AS rank_a,
+         |         CAST(max((decile * n_b + 9) // 10) AS BIGINT) AS rank_b,
+         |         min(CASE WHEN cum_a - nav < (decile * n_a + 9) // 10
+         |                   AND cum_a >= (decile * n_a + 9) // 10
+         |                   AND (decile * n_a + 9) // 10 > 0
+         |                  THEN ntok END) AS q_a,
+         |         min(CASE WHEN cum_b - nbv < (decile * n_b + 9) // 10
+         |                   AND cum_b >= (decile * n_b + 9) // 10
+         |                   AND (decile * n_b + 9) // 10 > 0
+         |                  THEN ntok END) AS q_b
+         |  FROM cums, tot, (SELECT unnest(range(1, 10)) AS decile)
+         |  GROUP BY 1
+         |)
+         |SELECT CAST(decile AS BIGINT) AS decile, n_a, n_b, rank_a, rank_b,
+         |       q_a, q_b, q_b - q_a AS gap,
+         |       CASE WHEN q_a > 0 THEN ${ratioSql("q_b", "q_a")} END
+         |         AS qq_ratio
+         |FROM sel
+         |ORDER BY decile""".stripMargin,
+    // global doubled midranks → per-language exact rank sums → the
+    // lang-ordered term fold; squares VARCHAR-routed, literal χ² table
+    "q391_kruskal_wallis" ->
+      s"""WITH cells AS MATERIALIZED (
+         |  SELECT lang, ntok, CAST(count(*) AS BIGINT) AS nv
+         |  FROM (SELECT lang, CAST(len($toksSql) AS BIGINT) AS ntok
+         |        FROM documents)
+         |  GROUP BY 1, 2
+         |), vals AS MATERIALIZED (
+         |  SELECT ntok, CAST(sum(nv) AS BIGINT) AS w FROM cells GROUP BY 1
+         |), dr AS MATERIALIZED (
+         |  SELECT ntok,
+         |         2 * (CAST(sum(w) OVER (ORDER BY ntok
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS BIGINT) - w) + w + 1 AS dr,
+         |         w
+         |  FROM vals
+         |), grp AS MATERIALIZED (
+         |  SELECT lang, CAST(sum(nv) AS BIGINT) AS n_j,
+         |         CAST(sum(CAST(nv AS HUGEINT) * dr) AS HUGEINT) AS s2_j
+         |  FROM cells JOIN dr USING (ntok)
+         |  GROUP BY 1
+         |), ties AS (
+         |  SELECT CAST(sum(CAST(w AS HUGEINT) * w * w - w) AS HUGEINT)
+         |           AS t_cube,
+         |         CAST(sum(w) AS BIGINT) AS n
+         |  FROM dr
+         |), st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_groups, n, t_cube,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(CAST(CAST(s2_j * s2_j AS VARCHAR) AS DOUBLE)
+         |                / (4.0 * CAST(n_j AS DOUBLE)) ORDER BY lang)),
+         |           (a, b) -> a + b) AS sum_terms
+         |  FROM grp, ties
+         |  GROUP BY 2, 3
+         |)
+         |SELECT n AS n_docs, n_groups, n_groups - 1 AS df,
+         |       12.0 * sum_terms
+         |         / CAST(CAST(CAST(n AS HUGEINT) * (n + 1) AS VARCHAR)
+         |                AS DOUBLE)
+         |         - 3.0 * CAST(n + 1 AS DOUBLE) AS h_stat,
+         |       CAST(t_cube AS VARCHAR) AS tie_cube,
+         |       CASE WHEN 1.0 - CAST(CAST(t_cube AS VARCHAR) AS DOUBLE)
+         |                  / CAST(CAST(CAST(n AS HUGEINT) * n * n - n
+         |                         AS VARCHAR) AS DOUBLE) > 0.0 THEN
+         |         (12.0 * sum_terms
+         |            / CAST(CAST(CAST(n AS HUGEINT) * (n + 1) AS VARCHAR)
+         |                   AS DOUBLE)
+         |          - 3.0 * CAST(n + 1 AS DOUBLE))
+         |         / (1.0 - CAST(CAST(t_cube AS VARCHAR) AS DOUBLE)
+         |            / CAST(CAST(CAST(n AS HUGEINT) * n * n - n
+         |                   AS VARCHAR) AS DOUBLE))
+         |       END AS h_corrected,
+         |       coalesce(CASE WHEN 1.0 - CAST(CAST(t_cube AS VARCHAR) AS DOUBLE)
+         |                  / CAST(CAST(CAST(n AS HUGEINT) * n * n - n
+         |                         AS VARCHAR) AS DOUBLE) > 0.0 THEN
+         |         ((12.0 * sum_terms
+         |             / CAST(CAST(CAST(n AS HUGEINT) * (n + 1) AS VARCHAR)
+         |                    AS DOUBLE)
+         |           - 3.0 * CAST(n + 1 AS DOUBLE))
+         |          / (1.0 - CAST(CAST(t_cube AS VARCHAR) AS DOUBLE)
+         |             / CAST(CAST(CAST(n AS HUGEINT) * n * n - n
+         |                    AS VARCHAR) AS DOUBLE)))
+         |         > ${chi2CritSql("n_groups - 1")}
+         |       END, FALSE) AS rejected
+         |FROM st
+         |WHERE n > 1""".stripMargin,
     // exact-rational diversity over the (source, lang) census; the big
     // casts route through VARCHAR (HUGEINT→DOUBLE misrounds past 2⁵³)
     "q388_simpson_diversity" ->

@@ -2972,6 +2972,94 @@ class OperatorPropertiesSpec extends SparkSpec {
       math.abs(r.getAs[Double]("rho_spearman")) < 0.2))
   }
 
+  test("q389 robust means: a planted outlier moves the mean, not the trimmed/winsorized") {
+    def mk(cents: Seq[Long], prio: String = "1-URGENT"): String = {
+      val dir = java.nio.file.Files.createTempDirectory("robust").toString
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1, prio, c / 100.0)
+      }.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // 9 honest values + one 10_000x outlier: k = 1 trims/clamps it away
+    val r = SparkEntry.queries("q389_robust_mean_census")(
+      spark, mk((1L to 9L).map(_ * 100L) :+ 1000000L)).collect()(0)
+    assert(r.getAs[Long]("n") === 10L && r.getAs[Long]("trim_k") === 1L)
+    assert(r.getAs[Double]("mean_cents") === 100450.0)
+    assert(r.getAs[Long]("x_lo") === 200L && r.getAs[Long]("x_hi") === 900L)
+    assert(r.getAs[Double]("trimmed_mean") === 550.0)
+    assert(r.getAs[Double]("winsorized_mean") === 550.0)
+    // small-group contract: n < 10 ⇒ k = 0 ⇒ all three collapse to the mean
+    val sm = SparkEntry.queries("q389_robust_mean_census")(
+      spark, mk(Seq(100L, 200L, 600L))).collect()(0)
+    assert(sm.getAs[Long]("trim_k") === 0L)
+    assert(sm.getAs[Double]("mean_cents") === 300.0)
+    assert(sm.getAs[Double]("trimmed_mean") === 300.0)
+    assert(sm.getAs[Double]("winsorized_mean") === 300.0)
+    // fixture: the trimmed mean sits inside [x_lo, x_hi] on every priority
+    val fx = SparkEntry.queries("q389_robust_mean_census")(spark, sfDir).collect()
+    assert(fx.nonEmpty && fx.forall(x =>
+      x.getAs[Double]("trimmed_mean") >= x.getAs[Long]("x_lo") &&
+        x.getAs[Double]("trimmed_mean") <= x.getAs[Long]("x_hi")))
+  }
+
+  test("q390 QQ drift: identical halves pin zero gaps; quantiles are monotone") {
+    // every doc identical → both halves share the one-point distribution:
+    // all nine deciles select it, gap 0, ratio exactly 1
+    val dir = java.nio.file.Files.createTempDirectory("qq").toString
+    (1L to 400L).map(i => (i, Seq.fill(12)("w").mkString(" "), "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q390_qq_decile_drift")(spark, dir).collect()
+    assert(out.length === 9)
+    out.foreach { r =>
+      assert(r.getAs[Long]("q_a") === 12L && r.getAs[Long]("q_b") === 12L)
+      assert(r.getAs[Long]("gap") === 0L)
+      assert(r.getAs[Double]("qq_ratio") === 1.0)
+    }
+    // fixture: ranks live in [1, n] and the quantile curves are monotone
+    val fx = SparkEntry.queries("q390_qq_decile_drift")(spark, sfDir)
+      .orderBy($"decile").collect()
+    assert(fx.length === 9)
+    fx.foreach { r =>
+      assert(r.getAs[Long]("rank_a") >= 1L &&
+        r.getAs[Long]("rank_a") <= r.getAs[Long]("n_a"))
+    }
+    val qas = fx.map(_.getAs[Long]("q_a"))
+    assert(qas.zip(qas.tail).forall { case (a, b) => a <= b }, "monotone q_a")
+  }
+
+  test("q391 Kruskal-Wallis: two separated tied groups replay exactly and reject") {
+    def mk(rows: Seq[(String, Int)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("kw").toString
+      rows.zipWithIndex.map { case ((l, ntok), i) =>
+        (i.toLong + 1, Seq.fill(ntok)("w").mkString(" "), l, "web", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // 20 short A-docs vs 20 long B-docs: doubled midranks 21 and 61,
+    // every quantity replayable by hand through the exact trees
+    val r = SparkEntry.queries("q391_kruskal_wallis")(
+      spark, mk(Seq.fill(20)(("aa", 2)) ++ Seq.fill(20)(("bb", 50))))
+      .collect()(0)
+    assert(r.getAs[Long]("n_docs") === 40L && r.getAs[Long]("df") === 1L)
+    val sumTerms = (420.0 * 420.0) / (4.0 * 20.0) +
+      (1220.0 * 1220.0) / (4.0 * 20.0)
+    val h = 12.0 * sumTerms / (40.0 * 41.0) - 3.0 * 41.0
+    assert(r.getAs[Double]("h_stat") === h)
+    val tCube = 2L * (20L * 20L * 20L - 20L)
+    assert(r.getAs[String]("tie_cube") === tCube.toString)
+    val c = 1.0 - tCube.toDouble / (40.0 * 40.0 * 40.0 - 40.0)
+    assert(r.getAs[Double]("h_corrected") === h / c)
+    assert(r.getAs[Boolean]("rejected"), "a disjoint shift must reject")
+    // single group: df = 0 has no rejection line — never rejects
+    val one = SparkEntry.queries("q391_kruskal_wallis")(
+      spark, mk((1 to 10).map(i => ("aa", i)))).collect()(0)
+    assert(one.getAs[Long]("df") === 0L)
+    assert(!one.getAs[Boolean]("rejected"))
+  }
+
   test("q387 hubness: a planted hub pins the occurrence census and the exact skew tree") {
     // 100-member panel (vids 1..100), 5 identical probes aligned with
     // vid 1: every probe's top-5 is {1} ∪ the four lowest-vid zero-cos
