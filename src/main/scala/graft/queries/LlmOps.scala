@@ -3309,6 +3309,142 @@ object LlmOps {
           .as("rejected"))
   }
 
+  /** Duplicate-saturation curve over the exact token-set fingerprint —
+    * the dedup family's GROWTH diagnostic (q40 measures the rate at one
+    * corpus size; curation planning needs the trajectory: exact-dup
+    * mass grows superlinearly as a crawl saturates): q370's
+    * first-attribution trick pointed at q50's fingerprint — each
+    * distinct fp is charged to the band of its FIRST doc, so the whole
+    * 16-point curve costs ONE fingerprint pass, never per-band
+    * rescans. Per equal-width doc-id value band: new fingerprints,
+    * cumulative docs/fps, and the cumulative duplicate rate
+    * (cum_docs − cum_fps)/cum_docs as exact single divides. Scale: one
+    * scan → fp-keyed min-agg → ≤16-row curve. */
+  def dupSaturation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val bounds = docs.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    def bandOf(idCol: String): Column =
+      expr(s"(($idCol - lo) * $VgBands) div (hi - lo + 1)")
+    val fps = docs.select($"doc_id",
+      TextOps.sortedTokenFingerprint(TextOps.tokens($"text")).as("fp"))
+    val perBandDocs = docs.crossJoin(broadcast(bounds))
+      .groupBy(bandOf("doc_id").as("band")).agg(count(lit(1)).as("n_docs"))
+    val perBandNew = fps.groupBy($"fp").agg(min($"doc_id").as("fd"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bandOf("fd").as("band")).agg(count(lit(1)).as("n_new_fps"))
+    val w = Window.orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBandDocs.join(perBandNew, Seq("band"), "left")
+      .select($"band", $"n_docs",
+        coalesce($"n_new_fps", lit(0L)).as("n_new_fps"))
+      .withColumn("cum_docs", sum($"n_docs").over(w))
+      .withColumn("cum_fps", sum($"n_new_fps").over(w))
+      .select($"band", $"n_docs", $"n_new_fps", $"cum_docs", $"cum_fps",
+        ratio($"n_docs" - $"n_new_fps", $"n_docs").as("band_dup_rate"),
+        ratio($"cum_docs" - $"cum_fps", $"cum_docs").as("cum_dup_rate"))
+      .orderBy($"band")
+  }
+
+  /** One-way ANOVA / effect-size census across language slices — the
+    * PARAMETRIC companion of q391's rank test (KW asks about
+    * distributions; ANOVA prices how much of the token-count VARIANCE
+    * language explains — η² is the mixture designer's number): from
+    * exact per-group moments (n_j, S_j, and the global Q = Σx²),
+    * ssb_part = Σ_j S_j²/n_j folds in lang-sorted order (each term one
+    * divide of exact ints, squares VARCHAR-routed in the oracle),
+    * SSB = ssb_part − S²/N, SSW = Q − ssb_part, F = (SSB/(k−1)) /
+    * (SSW/(N−k)), η² = SSB/SST — one fixed IEEE tree each,
+    * NULL-guarded on k ≤ 1, N ≤ k, or zero within-variance. (No
+    * rejection flag: the F quantile is a two-df surface, not a literal
+    * table — the η² effect size is the scale-free headline instead.)
+    * Envelope: S_j² ≤ N²·max_ntok² in decimal(38,0). Scale: one scan →
+    * per-lang moment agg → a ≤|langs| fold. */
+  def anovaEffect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val base = Tables.documents(s, dir)
+      .select($"lang", size(TextOps.tokens($"text")).cast("long").as("x"))
+    val grp = base.groupBy($"lang")
+      .agg(count(lit(1)).as("n_j"), sum($"x".cast(d38)).as("s_j"))
+    val tot = base.agg(count(lit(1)).as("n"), sum($"x".cast(d38)).as("s"),
+      sum($"x".cast(d38) * $"x").as("q"))
+    val st = grp
+      .agg(count(lit(1)).as("n_groups"),
+        sort_array(collect_list(struct($"lang", $"n_j", $"s_j"))).as("gs"))
+      .crossJoin(broadcast(tot))
+      .select($"n_groups", $"n", $"s", $"q",
+        aggregate($"gs", lit(0.0), (a, x) =>
+          a + (x.getField("s_j") * x.getField("s_j")).cast("double") /
+            x.getField("n_j").cast("double")).as("ssb_part"))
+    val sst = $"q".cast("double") -
+      ($"s" * $"s").cast("double") / $"n".cast("double")
+    val ssb = $"ssb_part" -
+      ($"s" * $"s").cast("double") / $"n".cast("double")
+    val ssw = $"q".cast("double") - $"ssb_part"
+    st.filter($"n" > 0L)
+      .select($"n".as("n_docs"), $"n_groups",
+        ssb.as("ss_between"), ssw.as("ss_within"),
+        when($"n_groups" > 1L && $"n" > $"n_groups" && ssw > 0.0,
+          (ssb / ($"n_groups" - 1L).cast("double")) /
+            (ssw / ($"n" - $"n_groups").cast("double"))).as("f_stat"),
+        when(sst > 0.0, ssb / sst).as("eta_sq"))
+  }
+
+  /** Cohen's d / Hedges' g effect size between the q332 halves — the
+    * drift family's MAGNITUDE: q332/q356/q365/q367 say whether the
+    * halves differ; d says by how many pooled standard deviations (the
+    * number a go/no-go decision reads, sample-size-free). From exact
+    * per-half moments: s² = (n·Q − S²)/(n(n−1)) (cleared-denominator
+    * numerators in decimal(38,0), VARCHAR-routed in the oracle),
+    * pooled s²_p = ((n_a−1)s²_a + (n_b−1)s²_b)/(n_a+n_b−2),
+    * d = (mean_a − mean_b)/s_p, and the small-sample Hedges correction
+    * g = d·(1 − 3/(4(n_a+n_b) − 9)) — fixed IEEE trees over exactly
+    * convertible integers. NULL on a degenerate half or zero pooled
+    * variance. Scale: one scan → one 6-cell agg. */
+  def cohensD(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val space = 16777216L // 16^6
+    val half = conv(substring(md5(concat(lit("drift:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    val g = Tables.documents(s, dir)
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("x"))
+      .withColumn("in_a", half)
+      .agg(
+        sum(when($"in_a", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"in_a", $"x".cast(d38)).otherwise(lit(BigDecimal(0))
+          .cast(d38))).as("s_a"),
+        sum(when($"in_a", $"x".cast(d38) * $"x")
+          .otherwise(lit(BigDecimal(0)).cast(d38))).as("q_a"),
+        sum(when($"in_a", 0L).otherwise(1L)).as("n_b"),
+        sum(when($"in_a", lit(BigDecimal(0)).cast(d38))
+          .otherwise($"x".cast(d38))).as("s_b"),
+        sum(when($"in_a", lit(BigDecimal(0)).cast(d38))
+          .otherwise($"x".cast(d38) * $"x")).as("q_b"))
+    val varA = ($"n_a".cast(d38) * $"q_a" - $"s_a" * $"s_a").cast("double") /
+      ($"n_a".cast(d38) * ($"n_a" - 1L)).cast("double")
+    val varB = ($"n_b".cast(d38) * $"q_b" - $"s_b" * $"s_b").cast("double") /
+      ($"n_b".cast(d38) * ($"n_b" - 1L)).cast("double")
+    val sp2 = (($"n_a" - 1L).cast("double") * varA +
+      ($"n_b" - 1L).cast("double") * varB) /
+      ($"n_a" + $"n_b" - 2L).cast("double")
+    val dEff = ($"s_a".cast("double") / $"n_a".cast("double") -
+      $"s_b".cast("double") / $"n_b".cast("double")) / sqrt(sp2)
+    val ok = $"n_a" > 1L && $"n_b" > 1L
+    g.select($"n_a", $"n_b",
+      when($"n_a" > 0L, $"s_a".cast("double") / $"n_a".cast("double"))
+        .as("mean_a"),
+      when($"n_b" > 0L, $"s_b".cast("double") / $"n_b".cast("double"))
+        .as("mean_b"),
+      when(ok, sp2).as("pooled_var"),
+      when(ok && sp2 > 0.0, dEff).as("cohen_d"),
+      when(ok && sp2 > 0.0,
+        dEff * (lit(1.0) - lit(3.0) /
+          (lit(4.0) * ($"n_a" + $"n_b").cast("double") - lit(9.0))))
+        .as("hedges_g"))
+  }
+
   def distributionDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
@@ -6428,6 +6564,9 @@ object LlmOps {
     "q388_simpson_diversity" -> simpsonDiversity,
     "q390_qq_decile_drift" -> qqDecileDrift,
     "q391_kruskal_wallis" -> kruskalWallis,
+    "q392_dup_saturation" -> dupSaturation,
+    "q393_anova_effect" -> anovaEffect,
+    "q394_cohens_d" -> cohensD,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -8457,6 +8596,143 @@ object LlmOps {
          |         i -> coalesce(m[CAST(i AS INT)][1], CAST(0 AS BIGINT))), ',') AS fvec
          |FROM maps
          |ORDER BY doc_id""".stripMargin,
+    // q370's band/first-attribution shape over the q50 fingerprint
+    "q392_dup_saturation" ->
+      s"""WITH bounds AS (
+         |  SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+         |         CAST(max(doc_id) AS BIGINT) AS hi
+         |  FROM documents
+         |), fps AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+         |           AS fp
+         |  FROM documents
+         |), pbd AS (
+         |  SELECT ((doc_id - lo) * $VgBands) // (hi - lo + 1) AS band,
+         |         CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents, bounds GROUP BY 1
+         |), pbn AS (
+         |  SELECT ((fd - lo) * $VgBands) // (hi - lo + 1) AS band,
+         |         CAST(count(*) AS BIGINT) AS n_new_fps
+         |  FROM (SELECT fp, CAST(min(doc_id) AS BIGINT) AS fd
+         |        FROM fps GROUP BY 1), bounds
+         |  GROUP BY 1
+         |), curve AS (
+         |  SELECT CAST(d.band AS BIGINT) AS band, d.n_docs,
+         |         CAST(coalesce(n.n_new_fps, 0) AS BIGINT) AS n_new_fps
+         |  FROM pbd d LEFT JOIN pbn n ON n.band = d.band
+         |), cums AS (
+         |  SELECT band, n_docs, n_new_fps,
+         |         CAST(sum(n_docs) OVER (ORDER BY band
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_docs,
+         |         CAST(sum(n_new_fps) OVER (ORDER BY band
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_fps
+         |  FROM curve
+         |)
+         |SELECT band, n_docs, n_new_fps, cum_docs, cum_fps,
+         |       ${ratioSql("n_docs - n_new_fps", "n_docs")} AS band_dup_rate,
+         |       ${ratioSql("cum_docs - cum_fps", "cum_docs")} AS cum_dup_rate
+         |FROM cums
+         |ORDER BY band""".stripMargin,
+    // exact per-group moments → lang-ordered term fold → the F/η² trees
+    "q393_anova_effect" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS x FROM documents
+         |), grp AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_j,
+         |         CAST(sum(x) AS HUGEINT) AS s_j
+         |  FROM base GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS HUGEINT) AS s,
+         |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+         |  FROM base
+         |), st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_groups, n, s, q,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(CAST(CAST(s_j * s_j AS VARCHAR) AS DOUBLE)
+         |                / CAST(n_j AS DOUBLE) ORDER BY lang)),
+         |           (a, b) -> a + b) AS ssb_part
+         |  FROM grp, tot
+         |  GROUP BY 2, 3, 4
+         |)
+         |SELECT n AS n_docs, n_groups,
+         |       ssb_part - CAST(CAST(s * s AS VARCHAR) AS DOUBLE)
+         |         / CAST(n AS DOUBLE) AS ss_between,
+         |       CAST(CAST(q AS VARCHAR) AS DOUBLE) - ssb_part AS ss_within,
+         |       CASE WHEN n_groups > 1 AND n > n_groups
+         |             AND CAST(CAST(q AS VARCHAR) AS DOUBLE) - ssb_part > 0.0
+         |            THEN ((ssb_part - CAST(CAST(s * s AS VARCHAR) AS DOUBLE)
+         |                   / CAST(n AS DOUBLE))
+         |                  / CAST(n_groups - 1 AS DOUBLE))
+         |                 / ((CAST(CAST(q AS VARCHAR) AS DOUBLE) - ssb_part)
+         |                    / CAST(n - n_groups AS DOUBLE)) END AS f_stat,
+         |       CASE WHEN CAST(CAST(q AS VARCHAR) AS DOUBLE)
+         |                  - CAST(CAST(s * s AS VARCHAR) AS DOUBLE)
+         |                    / CAST(n AS DOUBLE) > 0.0
+         |            THEN (ssb_part - CAST(CAST(s * s AS VARCHAR) AS DOUBLE)
+         |                  / CAST(n AS DOUBLE))
+         |                 / (CAST(CAST(q AS VARCHAR) AS DOUBLE)
+         |                    - CAST(CAST(s * s AS VARCHAR) AS DOUBLE)
+         |                      / CAST(n AS DOUBLE)) END AS eta_sq
+         |FROM st
+         |WHERE n > 0""".stripMargin,
+    // exact per-half moments → pooled variance → the d and g trees
+    "q394_cohens_d" ->
+      s"""WITH g AS (
+         |  SELECT ${sumLongSql("CASE WHEN in_a THEN 1 ELSE 0 END")} AS n_a,
+         |         CAST(sum(CASE WHEN in_a THEN x ELSE 0 END) AS HUGEINT)
+         |           AS s_a,
+         |         CAST(sum(CASE WHEN in_a THEN CAST(x AS HUGEINT) * x
+         |                       ELSE 0 END) AS HUGEINT) AS q_a,
+         |         ${sumLongSql("CASE WHEN in_a THEN 0 ELSE 1 END")} AS n_b,
+         |         CAST(sum(CASE WHEN in_a THEN 0 ELSE x END) AS HUGEINT)
+         |           AS s_b,
+         |         CAST(sum(CASE WHEN in_a THEN 0
+         |                       ELSE CAST(x AS HUGEINT) * x END) AS HUGEINT)
+         |           AS q_b
+         |  FROM (
+         |    SELECT CAST(len($toksSql) AS BIGINT) AS x,
+         |           CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
+         |                                1, 6)) AS BIGINT) * 2 < 16777216 AS in_a
+         |    FROM documents)
+         |), t AS (
+         |  SELECT n_a, n_b,
+         |         CAST(CAST(s_a AS VARCHAR) AS DOUBLE) AS sa_d,
+         |         CAST(CAST(s_b AS VARCHAR) AS DOUBLE) AS sb_d,
+         |         CAST(CAST(CAST(n_a AS HUGEINT) * q_a - s_a * s_a AS VARCHAR)
+         |              AS DOUBLE)
+         |           / CAST(CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS VARCHAR)
+         |                  AS DOUBLE) AS var_a,
+         |         CAST(CAST(CAST(n_b AS HUGEINT) * q_b - s_b * s_b AS VARCHAR)
+         |              AS DOUBLE)
+         |           / CAST(CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS VARCHAR)
+         |                  AS DOUBLE) AS var_b
+         |  FROM g
+         |), p AS (
+         |  SELECT n_a, n_b, sa_d, sb_d,
+         |         (CAST(n_a - 1 AS DOUBLE) * var_a
+         |          + CAST(n_b - 1 AS DOUBLE) * var_b)
+         |           / CAST(n_a + n_b - 2 AS DOUBLE) AS sp2
+         |  FROM t
+         |)
+         |SELECT n_a, n_b,
+         |       CASE WHEN n_a > 0 THEN sa_d / CAST(n_a AS DOUBLE) END
+         |         AS mean_a,
+         |       CASE WHEN n_b > 0 THEN sb_d / CAST(n_b AS DOUBLE) END
+         |         AS mean_b,
+         |       CASE WHEN n_a > 1 AND n_b > 1 THEN sp2 END AS pooled_var,
+         |       CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0.0 THEN
+         |         (sa_d / CAST(n_a AS DOUBLE) - sb_d / CAST(n_b AS DOUBLE))
+         |           / sqrt(sp2) END AS cohen_d,
+         |       CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0.0 THEN
+         |         ((sa_d / CAST(n_a AS DOUBLE) - sb_d / CAST(n_b AS DOUBLE))
+         |            / sqrt(sp2))
+         |         * (1.0 - 3.0 / (4.0 * CAST(n_a + n_b AS DOUBLE) - 9.0))
+         |       END AS hedges_g
+         |FROM p""".stripMargin,
     // the q332 halves → value census → prefix window → 9 exact
     // ceil-rank selections (the run containing the rank)
     "q390_qq_decile_drift" ->

@@ -2972,6 +2972,96 @@ class OperatorPropertiesSpec extends SparkSpec {
       math.abs(r.getAs[Double]("rho_spearman")) < 0.2))
   }
 
+  test("q392 dup saturation: a half-duplicated corpus pins the curve exactly") {
+    // 16 docs → one per band; the back half duplicates doc 1's text, so
+    // new-fp mass is 1 per band for bands 0..7 and 0 after — the
+    // cumulative dup rate climbs 0 → 1/2 exactly
+    val texts = (1 to 8).map(i => s"unique token set number $i") ++
+      Seq.fill(8)("unique token set number 1")
+    val dir = java.nio.file.Files.createTempDirectory("dupsat").toString
+    texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong + 1, t, "en", "web", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q392_dup_saturation")(spark, dir)
+      .orderBy($"band").collect()
+    assert(out.length === 16)
+    out.foreach { r =>
+      val b = r.getAs[Long]("band")
+      assert(r.getAs[Long]("n_docs") === 1L)
+      assert(r.getAs[Long]("n_new_fps") === (if (b <= 7) 1L else 0L), s"band $b")
+      assert(r.getAs[Double]("band_dup_rate") === (if (b <= 7) 0.0 else 1.0))
+    }
+    assert(out.last.getAs[Long]("cum_fps") === 8L)
+    assert(out.last.getAs[Double]("cum_dup_rate") === 0.5)
+    // fixture: the cumulative dup rate is monotone non-decreasing? No —
+    // it can dip when fresh bands arrive; pin only the identity
+    // cum_fps ≤ cum_docs and the final rate ∈ [0, 1)
+    val fx = SparkEntry.queries("q392_dup_saturation")(spark, sfDir)
+      .orderBy($"band").collect()
+    assert(fx.forall(r => r.getAs[Long]("cum_fps") <= r.getAs[Long]("cum_docs")))
+    val last = fx.last.getAs[Double]("cum_dup_rate")
+    assert(last >= 0.0 && last < 1.0)
+  }
+
+  test("q393 ANOVA: two separated pairs pin F = 18 and eta-squared = 0.9 exactly") {
+    def doc(i: Long, n: Int, l: String) =
+      (i, Seq.fill(n)("w").mkString(" "), l, "web", 0L)
+    val dir = java.nio.file.Files.createTempDirectory("anova").toString
+    Seq(doc(1, 2, "aa"), doc(2, 4, "aa"), doc(3, 8, "bb"), doc(4, 10, "bb"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // moments: A(2,4): S=6 Q=20; B(8,10): S=18 Q=164; ssb_part = 180,
+    // SSB = 36, SSW = 4, SST = 40 → F = (36/1)/(4/2) = 18, η² = 0.9
+    val r = SparkEntry.queries("q393_anova_effect")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 4L && r.getAs[Long]("n_groups") === 2L)
+    assert(r.getAs[Double]("ss_between") === 36.0)
+    assert(r.getAs[Double]("ss_within") === 4.0)
+    assert(r.getAs[Double]("f_stat") === 18.0)
+    assert(r.getAs[Double]("eta_sq") === 36.0 / 40.0)
+    // zero within-variance: F guard NULLs, η² pins to 1
+    val dir2 = java.nio.file.Files.createTempDirectory("anova2").toString
+    Seq(doc(1, 2, "aa"), doc(2, 2, "aa"), doc(3, 9, "bb"), doc(4, 9, "bb"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val z = SparkEntry.queries("q393_anova_effect")(spark, dir2).collect()(0)
+    assert(z.isNullAt(z.fieldIndex("f_stat")))
+    assert(z.getAs[Double]("eta_sq") === 1.0)
+  }
+
+  test("q394 Cohen's d: JVM replay over the real hash halves is bitwise") {
+    // replicate the drift: md5 half assignment in JVM, then the exact
+    // moment and pooled-variance trees
+    def inA(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"drift:$id".getBytes("UTF-8"))
+      val hex = d.take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) * 2 < 16777216L
+    }
+    val ntoks = (1L to 120L).map(i => i -> (5 + (i * 13 % 37)).toInt)
+    val dir = java.nio.file.Files.createTempDirectory("cohend").toString
+    ntoks.map { case (i, n) =>
+      (i, Seq.fill(n)("w").mkString(" "), "en", "web", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (a, b) = ntoks.partition { case (i, _) => inA(i) }
+    def mom(xs: Seq[Int]) =
+      (BigInt(xs.length), xs.map(BigInt(_)).sum, xs.map(x => BigInt(x) * x).sum)
+    val (na, sa, qa) = mom(a.map(_._2)); val (nb, sb, qb) = mom(b.map(_._2))
+    val varA = (na * qa - sa * sa).doubleValue / (na * (na - 1)).doubleValue
+    val varB = (nb * qb - sb * sb).doubleValue / (nb * (nb - 1)).doubleValue
+    val sp2 = ((na - 1).doubleValue * varA + (nb - 1).doubleValue * varB) /
+      (na + nb - 2).doubleValue
+    val d = (sa.doubleValue / na.doubleValue - sb.doubleValue / nb.doubleValue) /
+      math.sqrt(sp2)
+    val r = SparkEntry.queries("q394_cohens_d")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_a") === na.toLong && r.getAs[Long]("n_b") === nb.toLong)
+    assert(r.getAs[Double]("pooled_var") === sp2)
+    assert(r.getAs[Double]("cohen_d") === d)
+    assert(r.getAs[Double]("hedges_g") ===
+      d * (1.0 - 3.0 / (4.0 * (na + nb).doubleValue - 9.0)))
+  }
+
   test("q389 robust means: a planted outlier moves the mean, not the trimmed/winsorized") {
     def mk(cents: Seq[Long], prio: String = "1-URGENT"): String = {
       val dir = java.nio.file.Files.createTempDirectory("robust").toString
