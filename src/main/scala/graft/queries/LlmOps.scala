@@ -3445,6 +3445,52 @@ object LlmOps {
         .as("hedges_g"))
   }
 
+  /** Effective sample size / design effect per source (Kish 1965,
+    * public definition) — the weighting-cost diagnostic a curation
+    * pipeline reads after any length- or quality-weighted sampling:
+    * with per-doc weights w (token counts here — the weight a
+    * token-budget sampler implicitly applies), ESS = (Σw)²/Σw² is how
+    * many EQUAL documents the weighted sample is worth, and the design
+    * effect deff = n·Σw²/(Σw)² prices the variance inflation. Both are
+    * EXACT RATIONALS over two integer moments — one divide each (the
+    * q388 log-free stance), big casts VARCHAR-routed in the oracle.
+    * ess_ratio = ESS/n rides (1 ⇔ equal weights; → 1/n under one
+    * dominant doc). Pooled global row values ride every row. Scale:
+    * one scan → per-source 3-cell moments. */
+  def effectiveSampleSize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val base = Tables.documents(s, dir)
+      .select($"source", size(TextOps.tokens($"text")).cast("long").as("w"))
+      .localCheckpoint(eager = false) // read per-source + pooled
+    def panel(df: DataFrame): DataFrame = df
+      .agg(count(lit(1)).as("n"), sum($"w".cast(d38)).as("sw"),
+        sum($"w".cast(d38) * $"w").as("sw2"))
+      .select($"n", $"sw".cast("string").as("sum_w"),
+        when($"sw2" > 0,
+          ($"sw" * $"sw").cast("double") / $"sw2".cast("double")).as("ess"),
+        when($"sw" > 0,
+          ($"n".cast(d38) * $"sw2").cast("double") /
+            ($"sw" * $"sw").cast("double")).as("deff"),
+        when($"sw2" > 0 && $"n" > 0L,
+          ($"sw" * $"sw").cast("double") / $"sw2".cast("double") /
+            $"n".cast("double")).as("ess_ratio"))
+    val per = base.groupBy($"source").agg(count(lit(1)).as("n"),
+        sum($"w".cast(d38)).as("sw"), sum($"w".cast(d38) * $"w").as("sw2"))
+      .select($"source", $"n", $"sw".cast("string").as("sum_w"),
+        when($"sw2" > 0,
+          ($"sw" * $"sw").cast("double") / $"sw2".cast("double")).as("ess"),
+        when($"sw" > 0,
+          ($"n".cast(d38) * $"sw2").cast("double") /
+            ($"sw" * $"sw").cast("double")).as("deff"),
+        when($"sw2" > 0 && $"n" > 0L,
+          ($"sw" * $"sw").cast("double") / $"sw2".cast("double") /
+            $"n".cast("double")).as("ess_ratio"))
+    val glob = panel(base).select($"ess".as("ess_global"),
+      $"deff".as("deff_global"))
+    per.crossJoin(broadcast(glob)).orderBy($"source")
+  }
+
   def distributionDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
@@ -6567,6 +6613,7 @@ object LlmOps {
     "q392_dup_saturation" -> dupSaturation,
     "q393_anova_effect" -> anovaEffect,
     "q394_cohens_d" -> cohensD,
+    "q395_effective_sample_size" -> effectiveSampleSize,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -8596,6 +8643,44 @@ object LlmOps {
          |         i -> coalesce(m[CAST(i AS INT)][1], CAST(0 AS BIGINT))), ',') AS fvec
          |FROM maps
          |ORDER BY doc_id""".stripMargin,
+    // Kish ESS/deff as exact rationals; VARCHAR-routed big casts
+    "q395_effective_sample_size" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT source, CAST(len($toksSql) AS BIGINT) AS w FROM documents
+         |), per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(w) AS HUGEINT) AS sw,
+         |         CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sw2
+         |  FROM base GROUP BY 1
+         |), gl AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(w) AS HUGEINT) AS sw,
+         |         CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sw2
+         |  FROM base
+         |), gg AS (
+         |  SELECT CASE WHEN sw2 > 0 THEN
+         |           CAST(CAST(sw * sw AS VARCHAR) AS DOUBLE)
+         |             / CAST(CAST(sw2 AS VARCHAR) AS DOUBLE) END AS ess_global,
+         |         CASE WHEN sw > 0 THEN
+         |           CAST(CAST(CAST(n AS HUGEINT) * sw2 AS VARCHAR) AS DOUBLE)
+         |             / CAST(CAST(sw * sw AS VARCHAR) AS DOUBLE) END
+         |           AS deff_global
+         |  FROM gl
+         |)
+         |SELECT source, n, CAST(sw AS VARCHAR) AS sum_w,
+         |       CASE WHEN sw2 > 0 THEN
+         |         CAST(CAST(sw * sw AS VARCHAR) AS DOUBLE)
+         |           / CAST(CAST(sw2 AS VARCHAR) AS DOUBLE) END AS ess,
+         |       CASE WHEN sw > 0 THEN
+         |         CAST(CAST(CAST(n AS HUGEINT) * sw2 AS VARCHAR) AS DOUBLE)
+         |           / CAST(CAST(sw * sw AS VARCHAR) AS DOUBLE) END AS deff,
+         |       CASE WHEN sw2 > 0 AND n > 0 THEN
+         |         CAST(CAST(sw * sw AS VARCHAR) AS DOUBLE)
+         |           / CAST(CAST(sw2 AS VARCHAR) AS DOUBLE)
+         |           / CAST(n AS DOUBLE) END AS ess_ratio,
+         |       ess_global, deff_global
+         |FROM per, gg
+         |ORDER BY source""".stripMargin,
     // q370's band/first-attribution shape over the q50 fingerprint
     "q392_dup_saturation" ->
       s"""WITH bounds AS (

@@ -2972,6 +2972,35 @@ class OperatorPropertiesSpec extends SparkSpec {
       math.abs(r.getAs[Double]("rho_spearman")) < 0.2))
   }
 
+  test("q395 ESS: equal weights pin ESS = n / deff = 1; skewed weights pin 1.6/1.25") {
+    def mk(rows: Seq[(String, Int)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ess").toString
+      rows.zipWithIndex.map { case ((src, n), i) =>
+        (i.toLong + 1, Seq.fill(n)("w").mkString(" "), "en", src, 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // source A: equal weights (ESS = n exactly, deff = 1, ratio 1);
+    // source B: weights (3, 1) → ESS = 16/10, deff = 2·10/16
+    val out = SparkEntry.queries("q395_effective_sample_size")(
+      spark, mk(Seq(("A", 5), ("A", 5), ("A", 5), ("B", 3), ("B", 1))))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("A").getAs[Double]("ess") === 3.0)
+    assert(out("A").getAs[Double]("deff") === 1.0)
+    assert(out("A").getAs[Double]("ess_ratio") === 1.0)
+    assert(out("B").getAs[String]("sum_w") === "4")
+    assert(out("B").getAs[Double]("ess") === 1.6)
+    assert(out("B").getAs[Double]("deff") === 1.25)
+    // Kish's bound holds everywhere on the fixture: 1 ≤ ESS ≤ n
+    val fx = SparkEntry.queries("q395_effective_sample_size")(spark, sfDir)
+      .collect()
+    assert(fx.nonEmpty && fx.forall { r =>
+      val e = r.getAs[Double]("ess")
+      e >= 1.0 && e <= r.getAs[Long]("n").toDouble
+    })
+  }
+
   test("q392 dup saturation: a half-duplicated corpus pins the curve exactly") {
     // 16 docs → one per band; the back half duplicates doc 1's text, so
     // new-fp mass is 1 per band for bands 0..7 and 0 after — the
