@@ -2579,13 +2579,13 @@ object Aggregates {
          |)
          |SELECT l_returnflag, n,
          |       CASE WHEN n * pxx - px * px > 0 AND n * pyy - py * py > 0 THEN
-         |         CAST(n * pxy - px * py AS DOUBLE) /
-         |           (sqrt(CAST(n * pxx - px * px AS DOUBLE)) *
-         |            sqrt(CAST(n * pyy - py * py AS DOUBLE))) END AS r_pearson,
+         |         CAST(CAST(n * pxy - px * py AS VARCHAR) AS DOUBLE) /
+         |           (sqrt(CAST(CAST(n * pxx - px * px AS VARCHAR) AS DOUBLE)) *
+         |            sqrt(CAST(CAST(n * pyy - py * py AS VARCHAR) AS DOUBLE))) END AS r_pearson,
          |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
-         |         CAST(n * sxy - sx * sy AS DOUBLE) /
-         |           (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-         |            sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS rho_spearman
+         |         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+         |           (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)) *
+         |            sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))) END AS rho_spearman
          |FROM g
          |ORDER BY l_returnflag""".stripMargin,
     "q376_kendall_tau" ->
@@ -2616,8 +2616,9 @@ object Aggregates {
          |       CASE WHEN (n * (n - 1) - tie_q2) > 0
          |             AND (n * (n - 1) - tie_d2) > 0 THEN
          |         CAST(conc2 - disc2 AS DOUBLE) /
-         |           sqrt(CAST(CAST(n * (n - 1) - tie_q2 AS HUGEINT)
-         |                     * (n * (n - 1) - tie_d2) AS DOUBLE)) END AS tau_b
+         |           sqrt(CAST(CAST(CAST(n * (n - 1) - tie_q2 AS HUGEINT)
+         |                          * (n * (n - 1) - tie_d2) AS VARCHAR) AS DOUBLE))
+         |       END AS tau_b
          |FROM ps
          |JOIN tq ON tq.l_returnflag = ps.l_returnflag
          |JOIN td ON td.l_returnflag = ps.l_returnflag

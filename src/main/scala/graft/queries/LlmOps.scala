@@ -52,6 +52,22 @@ object LlmOps {
   private val docIdDigestSql =
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)"
 
+  /** The iid half-split predicate shared by the whole drift family
+    * (q304/q332/q335/q356/q365/q367/q390/q394): first 24 md5 bits of
+    * 'drift:'||doc_id, doubled-compare against 16⁶ so the midpoint
+    * threshold stays exact in long. ONE Column helper + ONE SQL literal
+    * (the [[MarkerChain]] pattern, r18 ADVICE) so an edit to the split
+    * re-syncs every site on both engines at once. */
+  private def driftHalfCol: Column =
+    conv(substring(md5(concat(lit("drift:"), col("doc_id").cast("string"))),
+      1, 6), 16, 10).cast("long") * 2L < 16777216L
+
+  /** DuckDB twin of [[driftHalfCol]] — substitute where `doc_id` is in
+    * scope; parses the same 24 bits via the '0x' hex trick. */
+  private val driftHalfSql: String =
+    "CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)), 1, 6)) " +
+      "AS BIGINT) * 2 < 16777216"
+
   /** ONE shared literal for the q48/q351/q364/q368 marker-scorer family
     * (r17 ADVICE): the per-language marker lists in the decision chain's
     * PRIORITY order (ties break to the earlier entry). Both the Spark
@@ -2562,9 +2578,7 @@ object LlmOps {
     * like q332. */
   def conformalThreshold(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val space = 16777216L // 16^6
-    val half = conv(substring(md5(concat(lit("drift:"),
-      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    val half = driftHalfCol
     val base = Tables.documents(s, dir)
       .select($"lang", $"doc_id",
         size(TextOps.tokens($"text")).cast("long").as("ntok"))
@@ -2628,9 +2642,7 @@ object LlmOps {
     * cross-multiply to decimal internally (q304's d38 pattern). */
   def ksDriftStat(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val space = 16777216L // 16^6
-    val half = conv(substring(md5(concat(lit("drift:"),
-      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    val half = driftHalfCol
     // value census, pinned: read by the prefix window AND the totals
     val census = Tables.documents(s, dir)
       .select($"lang", $"doc_id",
@@ -2699,9 +2711,7 @@ object LlmOps {
   def cvmDriftStat(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
-    val space = 16777216L // 16^6
-    val half = conv(substring(md5(concat(lit("drift:"),
-      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    val half = driftHalfCol
     // value census, pinned: read by the prefix window AND the totals
     val census = Tables.documents(s, dir)
       .select($"lang", $"doc_id",
@@ -2951,9 +2961,7 @@ object LlmOps {
   def mannWhitneyU(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
-    val space = 16777216L // 16^6
-    val half = conv(substring(md5(concat(lit("drift:"),
-      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    val half = driftHalfCol
     val census = Tables.documents(s, dir)
       .select($"lang", $"doc_id",
         size(TextOps.tokens($"text")).cast("long").as("ntok"))
@@ -3129,9 +3137,7 @@ object LlmOps {
     * ≤B-group map-side-combined agg — q348's exact shuffle shape. */
   def permutationTest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val space = 16777216L // 16^6
-    val obsHalf = conv(substring(md5(concat(lit("drift:"),
-      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    val obsHalf = driftHalfCol
     val base = Tables.documents(s, dir)
       .select($"doc_id",
         size(TextOps.tokens($"text")).cast("long").as("ntok"))
@@ -3215,9 +3221,7 @@ object LlmOps {
     * window → a 9-way bounded explode. */
   def qqDecileDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val space = 16777216L // 16^6
-    val half = conv(substring(md5(concat(lit("drift:"),
-      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    val half = driftHalfCol
     val census = Tables.documents(s, dir)
       .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("ntok"))
       .withColumn("in_a", half)
@@ -3405,9 +3409,7 @@ object LlmOps {
   def cohensD(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
-    val space = 16777216L // 16^6
-    val half = conv(substring(md5(concat(lit("drift:"),
-      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    val half = driftHalfCol
     val g = Tables.documents(s, dir)
       .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("x"))
       .withColumn("in_a", half)
@@ -3463,10 +3465,13 @@ object LlmOps {
     val base = Tables.documents(s, dir)
       .select($"source", size(TextOps.tokens($"text")).cast("long").as("w"))
       .localCheckpoint(eager = false) // read per-source + pooled
-    def panel(df: DataFrame): DataFrame = df
-      .agg(count(lit(1)).as("n"), sum($"w".cast(d38)).as("sw"),
-        sum($"w".cast(d38) * $"w").as("sw2"))
-      .select($"n", $"sw".cast("string").as("sum_w"),
+    val moments = Seq(count(lit(1)).as("n"), sum($"w".cast(d38)).as("sw"),
+      sum($"w".cast(d38) * $"w").as("sw2"))
+    // ONE projection tree over the (n, sw, sw2) moments for BOTH the
+    // per-source and the pooled branch (r18 ADVICE: the two inline
+    // copies could drift apart)
+    def panel(agged: DataFrame, keys: Column*): DataFrame = agged
+      .select(keys ++ Seq($"n", $"sw".cast("string").as("sum_w"),
         when($"sw2" > 0,
           ($"sw" * $"sw").cast("double") / $"sw2".cast("double")).as("ess"),
         when($"sw" > 0,
@@ -3474,29 +3479,18 @@ object LlmOps {
             ($"sw" * $"sw").cast("double")).as("deff"),
         when($"sw2" > 0 && $"n" > 0L,
           ($"sw" * $"sw").cast("double") / $"sw2".cast("double") /
-            $"n".cast("double")).as("ess_ratio"))
-    val per = base.groupBy($"source").agg(count(lit(1)).as("n"),
-        sum($"w".cast(d38)).as("sw"), sum($"w".cast(d38) * $"w").as("sw2"))
-      .select($"source", $"n", $"sw".cast("string").as("sum_w"),
-        when($"sw2" > 0,
-          ($"sw" * $"sw").cast("double") / $"sw2".cast("double")).as("ess"),
-        when($"sw" > 0,
-          ($"n".cast(d38) * $"sw2").cast("double") /
-            ($"sw" * $"sw").cast("double")).as("deff"),
-        when($"sw2" > 0 && $"n" > 0L,
-          ($"sw" * $"sw").cast("double") / $"sw2".cast("double") /
-            $"n".cast("double")).as("ess_ratio"))
-    val glob = panel(base).select($"ess".as("ess_global"),
-      $"deff".as("deff_global"))
+            $"n".cast("double")).as("ess_ratio")): _*)
+    val per = panel(
+      base.groupBy($"source").agg(moments.head, moments.tail: _*), $"source")
+    val glob = panel(base.agg(moments.head, moments.tail: _*))
+      .select($"ess".as("ess_global"), $"deff".as("deff_global"))
     per.crossJoin(broadcast(glob)).orderBy($"source")
   }
 
   def distributionDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
-    val space = 16777216L // 16^6
-    val half = conv(substring(md5(concat(lit("drift:"),
-      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("long") * 2L < space
+    val half = driftHalfCol
     val cells = Tables.documents(s, dir)
       .select($"lang", $"doc_id",
         size(TextOps.tokens($"text")).cast("long").as("ntok"))
@@ -7151,8 +7145,7 @@ object LlmOps {
     "q367_permutation_test" ->
       s"""WITH base AS MATERIALIZED (
          |  SELECT CAST(len($toksSql) AS BIGINT) AS ntok,
-         |         CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
-         |                              1, 6)) AS BIGINT) * 2 < 16777216 AS in_a,
+         |         $driftHalfSql AS in_a,
          |         CAST(('0x' || substr(md5('perm:' || CAST(doc_id AS VARCHAR)),
          |                              1, 15)) AS BIGINT) AS h
          |  FROM documents
@@ -7325,8 +7318,7 @@ object LlmOps {
     "q365_mann_whitney_u" ->
       s"""WITH base AS (
          |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS ntok,
-         |         CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
-         |                              1, 6)) AS BIGINT) * 2 < 16777216 AS in_a
+         |         $driftHalfSql AS in_a
          |  FROM documents
          |), census AS MATERIALIZED (
          |  SELECT lang, ntok,
@@ -8169,8 +8161,7 @@ object LlmOps {
     "q335_conformal_threshold" ->
       s"""WITH base AS MATERIALIZED (
          |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS ntok,
-         |         CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
-         |                              1, 6)) AS BIGINT) * 2 < 16777216 AS in_a
+         |         $driftHalfSql AS in_a
          |  FROM documents
          |), ca AS MATERIALIZED (
          |  SELECT lang, ntok, CAST(count(*) AS BIGINT) AS c
@@ -8287,8 +8278,7 @@ object LlmOps {
     "q332_ks_drift_stat" ->
       s"""WITH base AS (
          |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS ntok,
-         |         CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
-         |                              1, 6)) AS BIGINT) * 2 < 16777216 AS in_a
+         |         $driftHalfSql AS in_a
          |  FROM documents
          |), census AS MATERIALIZED (
          |  SELECT lang, ntok,
@@ -8329,8 +8319,7 @@ object LlmOps {
     "q356_cvm_drift_stat" ->
       s"""WITH base AS (
          |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS ntok,
-         |         CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
-         |                              1, 6)) AS BIGINT) * 2 < 16777216 AS in_a
+         |         $driftHalfSql AS in_a
          |  FROM documents
          |), census AS MATERIALIZED (
          |  SELECT lang, ntok,
@@ -8374,8 +8363,7 @@ object LlmOps {
          |  SELECT lang,
          |         CASE WHEN ntok >= 40 THEN 'long'
          |              WHEN ntok >= 20 THEN 'mid' ELSE 'short' END AS band,
-         |         CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
-         |                              1, 6)) AS BIGINT) * 2 < 16777216 AS in_a
+         |         $driftHalfSql AS in_a
          |  FROM (SELECT doc_id, lang, len($toksSql) AS ntok FROM documents)
          |), cells AS (
          |  SELECT lang, band,
@@ -8780,8 +8768,7 @@ object LlmOps {
          |           AS q_b
          |  FROM (
          |    SELECT CAST(len($toksSql) AS BIGINT) AS x,
-         |           CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
-         |                                1, 6)) AS BIGINT) * 2 < 16777216 AS in_a
+         |           $driftHalfSql AS in_a
          |    FROM documents)
          |), t AS (
          |  SELECT n_a, n_b,
@@ -8827,8 +8814,7 @@ object LlmOps {
          |         ${sumLongSql("CASE WHEN in_a THEN 0 ELSE 1 END")} AS nbv
          |  FROM (
          |    SELECT CAST(len($toksSql) AS BIGINT) AS ntok,
-         |           CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)),
-         |                                1, 6)) AS BIGINT) * 2 < 16777216 AS in_a
+         |           $driftHalfSql AS in_a
          |    FROM documents)
          |  GROUP BY 1
          |), cums AS MATERIALIZED (
