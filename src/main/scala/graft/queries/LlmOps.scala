@@ -2862,7 +2862,12 @@ object LlmOps {
     * over the domain-bounded threshold census. Output: the chosen
     * operating point with its confusion counts, precision/recall/F1 as
     * shared single divides, and the panel totals riding. Scale: the
-    * q373 chain plus one census-bounded anti-join. */
+    * q373 chain plus one census-bounded anti-join. Depth cap: the
+    * anti-join argmax is O(T²) in the threshold census T (here bounded
+    * by the score DOMAIN, not the corpus) — see
+    * [[wordpieceMergeLoop]]'s DEPTH CAP note for the ulp-band
+    * narrowing upgrade if the census ever grows past a few thousand
+    * distinct scores. */
   def f1ThresholdPanel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
@@ -4396,7 +4401,18 @@ object LlmOps {
     * pair-exhausted vocabulary ends it early, emitting only completed
     * rounds — exactly what the oracle's replay emits. Oracle: the
     * K-round replay as generated CTEs; the argmax replays as a
-    * NOT-EXISTS cross-multiply in HUGEINT. */
+    * NOT-EXISTS cross-multiply in HUGEINT.
+    *
+    * DEPTH CAP (r18 verdict): the exact argmax is a broadcast
+    * nested-loop anti-join — O(P²) comparisons in the pair census P per
+    * round. P is symbol-adjacency-bounded (hundreds at
+    * [[WpLoopRounds]] = 6), so the quadratic term is immaterial as
+    * shipped; do NOT raise the depth toward a production vocab (30k
+    * merges) without first narrowing candidates: one 1-row agg takes
+    * the double-score max, a filter keeps pairs within a few ulps of
+    * it, and the exact cross-multiply anti-join runs only on that
+    * handful. q381's threshold argmax shares the pattern over a
+    * doc-length-bounded census — same note, same upgrade path. */
   def wordpieceMergeLoop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
@@ -4855,7 +4871,12 @@ object LlmOps {
     import s.implicits._
     val d38 = DecimalType(38, 0)
     val e = Tables.embeddings(s, dir)
-    val panel = e.orderBy($"vec_id".asc).limit(LabelPanelK)
+    // ONE TakeOrdered pass derives the K-row panel; it feeds both the
+    // broadcast struct and the occurrence spine below (r18 verdict:
+    // the twin orderBy/limit cost a second full scan at 100 TB)
+    val panelRows = e.orderBy($"vec_id".asc).limit(LabelPanelK)
+      .localCheckpoint(eager = false)
+    val panel = panelRows
       .select(struct($"vec_id".as("vid"), $"embedding".as("ve")).as("p"))
       .agg(sort_array(collect_list($"p")).as("panel"))
     val byCosDescVidAsc = (l: Column, r: Column) =>
@@ -4873,7 +4894,7 @@ object LlmOps {
           p.getField("vid").as("vid"))),
         byCosDescVidAsc), 1, 5)).as("t"))
       .groupBy($"t.vid".as("vid")).agg(count(lit(1)).as("occ"))
-    val full = e.orderBy($"vec_id".asc).limit(LabelPanelK)
+    val full = panelRows
       .select($"vec_id".as("vid"))
       .join(occs, Seq("vid"), "left")
       .select($"vid", coalesce($"occ", lit(0L)).as("n_occ"))
