@@ -2038,8 +2038,10 @@ object TimeSeries {
          |rs AS (
          |  SELECT max(n) AS n, count(*) AS n_lags,
          |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |           list((CAST(cov_n2 AS DOUBLE) / CAST(var_n2 AS DOUBLE))
-         |                * (CAST(cov_n2 AS DOUBLE) / CAST(var_n2 AS DOUBLE))
+         |           list((CAST(CAST(cov_n2 AS VARCHAR) AS DOUBLE)
+         |                 / CAST(CAST(var_n2 AS VARCHAR) AS DOUBLE))
+         |                * (CAST(CAST(cov_n2 AS VARCHAR) AS DOUBLE)
+         |                   / CAST(CAST(var_n2 AS VARCHAR) AS DOUBLE))
          |                / CAST(n - lag AS DOUBLE) ORDER BY lag)),
          |           (a, b) -> a + b) AS ssum
          |  FROM lagt WHERE var_n2 > 0
@@ -2055,7 +2057,8 @@ object TimeSeries {
       s"""WITH RECURSIVE $acfChainSql,
          |racf AS MATERIALIZED (
          |  SELECT max(n) AS n, count(*) AS n_lags,
-         |         list(CAST(cov_n2 AS DOUBLE) / CAST(var_n2 AS DOUBLE)
+         |         list(CAST(CAST(cov_n2 AS VARCHAR) AS DOUBLE)
+         |              / CAST(CAST(var_n2 AS VARCHAR) AS DOUBLE)
          |              ORDER BY lag) AS r
          |  FROM lagt WHERE var_n2 > 0
          |), rok AS MATERIALIZED (
@@ -2178,10 +2181,12 @@ object TimeSeries {
          |SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
          |       CAST(cov_n2 AS VARCHAR) AS cov_num,
          |       CASE WHEN var_n2 > 0
-         |            THEN CAST(cov_n2 AS DOUBLE) / CAST(var_n2 AS DOUBLE)
+         |            THEN CAST(CAST(cov_n2 AS VARCHAR) AS DOUBLE)
+         |                 / CAST(CAST(var_n2 AS VARCHAR) AS DOUBLE)
          |       END AS acf,
          |       coalesce(CASE WHEN var_n2 > 0
-         |            THEN abs(CAST(cov_n2 AS DOUBLE) / CAST(var_n2 AS DOUBLE))
+         |            THEN abs(CAST(CAST(cov_n2 AS VARCHAR) AS DOUBLE)
+         |                     / CAST(CAST(var_n2 AS VARCHAR) AS DOUBLE))
          |                 > 2.0 / sqrt(CAST(n AS DOUBLE))
          |       END, FALSE) AS significant
          |FROM lagt
