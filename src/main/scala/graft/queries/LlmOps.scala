@@ -68,6 +68,92 @@ object LlmOps {
     "CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)), 1, 6)) " +
       "AS BIGINT) * 2 < 16777216"
 
+  /** DuckDB twin of [[qfPerDocScores]]: the q325 training + per-doc
+    * scoring chain as a WITH-fragment ending in `perdoc(doc_id, lang,
+    * nb, score_bits)` and `calib(ts, tnb)` — ONE literal shared by the
+    * q325 oracle and the q396/q397 paired-vote oracles. */
+  private def qfPerDocSql: String =
+    s"""bg AS MATERIALIZED (
+       |  SELECT doc_id, lang, CAST(h % $QfBuckets AS INT) AS bucket
+       |  FROM (
+       |    SELECT doc_id, lang, unnest($shingle2Sql) AS h
+       |    FROM (SELECT doc_id, lang, $tokenHashesSql AS th
+       |          FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents))
+       |  )
+       |), b AS (
+       |  SELECT bucket,
+       |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+       |         count(*) AS cnt_all
+       |  FROM bg GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(cnt_pos) AS BIGINT) AS tp,
+       |         CAST(sum(cnt_all) AS BIGINT) AS ta FROM b
+       |), w AS (
+       |  SELECT bucket,
+       |         (CAST(length(bin(cnt_pos + 1)) AS BIGINT)
+       |            - CAST(length(bin(tp + 1)) AS BIGINT))
+       |         - (CAST(length(bin(cnt_all + 1)) AS BIGINT)
+       |            - CAST(length(bin(ta + 1)) AS BIGINT)) AS w
+       |  FROM b, tot
+       |), sc AS (
+       |  SELECT bg.doc_id, count(*) AS nb, CAST(sum(w.w) AS BIGINT) AS score_bits
+       |  FROM bg JOIN w USING (bucket) GROUP BY 1
+       |), perdoc AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang,
+       |         CAST(coalesce(sc.nb, 0) AS BIGINT) AS nb,
+       |         coalesce(sc.score_bits, 0) AS score_bits
+       |  FROM (SELECT doc_id, lang FROM documents) d
+       |  LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |), calib AS (
+       |  SELECT CAST(sum(score_bits) AS BIGINT) AS ts,
+       |         CAST(sum(nb) AS BIGINT) AS tnb FROM perdoc
+       |)""".stripMargin
+
+  /** DuckDB twin of [[lmKeepVotes]]: the q131 chain reduced to the
+    * per-doc keep vote, as a fragment ending in `lmvotes(doc_id,
+    * keep)`. */
+  private def lmKeepVoteSql: String =
+    s"""lmtoks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |lmv AS (SELECT tok, count(*) AS cnt FROM lmtoks GROUP BY 1),
+       |lmn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus FROM lmv),
+       |lmvotes AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         (CAST(sb AS DOUBLE) / CAST(n_toks AS DOUBLE)) <= 6.0 AS keep
+       |  FROM (
+       |    SELECT t.doc_id, count(*) AS n_toks,
+       |           CAST(sum(CAST(length(bin(lmn.n_corpus)) AS BIGINT)
+       |                    - CAST(length(bin(v.cnt)) AS BIGINT)) AS BIGINT)
+       |             AS sb
+       |    FROM lmtoks t JOIN lmv v ON t.tok = v.tok, lmn GROUP BY 1)
+       |)""".stripMargin
+
+  /** DuckDB twin of [[rulesKeepVotes]]: the q147 rule list reduced to
+    * the per-doc keep vote, ending in `rulesvotes(doc_id, keep)`. */
+  private def rulesKeepVoteSql: String =
+    s"""rbase AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS BIGINT) AS ntok,
+       |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS nosp,
+       |         CAST(len(list_filter(['the','a'],
+       |                              t -> list_contains(toks, t))) AS BIGINT)
+       |           AS nsp
+       |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+       |), rtop AS (
+       |  SELECT doc_id, max(c) AS top_cnt FROM (
+       |    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+       |    FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+       |    GROUP BY doc_id, tok)
+       |  GROUP BY doc_id
+       |), rulesvotes AS MATERIALIZED (
+       |  SELECT b.doc_id,
+       |         ((b.ntok >= 25 AND b.ntok <= 90)
+       |          AND (${ratioSql("b.nosp", "b.ntok")} >= 4.0
+       |               AND ${ratioSql("b.nosp", "b.ntok")} < 7.0)
+       |          AND b.nsp >= 2
+       |          AND (t.top_cnt * 10 <= b.ntok)) AS keep
+       |  FROM rbase b JOIN rtop t USING (doc_id)
+       |)""".stripMargin
+
   /** ONE shared literal for the q48/q351/q364/q368 marker-scorer family
     * (r17 ADVICE): the per-language marker lists in the decision chain's
     * PRIORITY order (ties break to the earlier entry). Both the Spark
@@ -3696,7 +3782,13 @@ object LlmOps {
     * table is vocabulary-bounded → broadcast back to the token stream
     * (map-side join, the q96 contract); only token digests shuffle for the
     * counts and only (doc_id, int) pairs for the final census. */
-  def qualityUnigramLm(s: SparkSession, dir: String): DataFrame = {
+  def qualityUnigramLm(s: SparkSession, dir: String): DataFrame =
+    lmScoredDocs(s, dir).orderBy(col("doc_id"))
+
+  /** q131's unordered per-doc scoring core — shared by the declared
+    * query and [[lmKeepVotes]] (the paired-vote tests must replay the
+    * SAME gate, never a drift-prone copy). */
+  private def lmScoredDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def bits(c: Column): Column = length(bin(c)).cast("long")
     val toks = Tables.documents(s, dir)
@@ -3712,7 +3804,16 @@ object LlmOps {
       .withColumn("mean_bits", ratio($"surprise_bits", $"n_toks"))
       .withColumn("keep", $"mean_bits" <= lit(6.0))
       .select($"doc_id", $"n_toks", $"surprise_bits", $"mean_bits", $"keep")
-      .orderBy($"doc_id")
+  }
+
+  /** Per-doc keep vote of the q131 unigram gate over ALL documents —
+    * a doc the gate never scores votes drop (coalesce false). */
+  private def lmKeepVotes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id")
+      .join(lmScoredDocs(s, dir).select($"doc_id", $"keep"),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"keep", lit(false)).as("keep"))
   }
 
   /** BM25 ranked retrieval over the corpus for a fixed 3-term query — the
@@ -3879,7 +3980,12 @@ object LlmOps {
     * 16-byte digest) — document text never crosses the wire. `reasons`
     * concatenates failed rule names in fixed order (concat_ws skips NULLs
     * identically in both engines). */
-  def qualityGopherRules(s: SparkSession, dir: String): DataFrame = {
+  def qualityGopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherScoredDocs(s, dir).orderBy(col("doc_id"))
+
+  /** q147's unordered per-doc rule core — shared by the declared query
+    * and [[rulesKeepVotes]] (one rule list, never a copy). */
+  private def gopherScoredDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val stop = Seq("the", "a")
     val base = Tables.documents(s, dir)
@@ -3911,7 +4017,126 @@ object LlmOps {
           when(!$"r_wordlen", lit("wordlen")),
           when(!$"r_stop", lit("stop")),
           when(!$"r_rep", lit("rep"))).as("reasons"))
-      .orderBy($"doc_id")
+  }
+
+  /** Per-doc keep vote of the q147 rule set over ALL documents. */
+  private def rulesKeepVotes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id")
+      .join(gopherScoredDocs(s, dir).select($"doc_id", $"keep"),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"keep", lit(false)).as("keep"))
+  }
+
+  /** Per-doc keep vote of the q325 learned filter over ALL documents
+    * (scan-only — [[qfPerDocScores]] already covers every doc). */
+  private def qfKeepVotes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    qfPerDocScores(s, dir).select($"doc_id",
+      ($"score_bits" * $"tnb" > $"ts" * $"n_bigrams").as("keep"))
+  }
+
+  /** McNemar's paired-classifier test (McNemar 1947, public definition)
+    * between the q131 unigram gate (A) and the q325 learned filter (B)
+    * on the SAME documents — the A/B decision a filter swap requires,
+    * which nothing in the eval tier answers (q364/q382 score ONE
+    * classifier; q367 compares corpus halves): paired designs ignore
+    * the concordant docs and test only the DISCORDANT counts b = A-keep/
+    * B-drop, c = A-drop/B-keep, χ² = (b−c)²/(b+c) at df = 1, with the
+    * Edwards continuity-corrected (max(|b−c|−1,0))²/(b+c) arm riding.
+    * Everything before the two shared divides is exact integers (the
+    * 2×2 census; the squared numerators in decimal(38,0), VARCHAR-routed
+    * in the oracle — (b−c)² passes 2⁵³ near 10⁸ discordant docs); the
+    * rejection line is the literal χ²₀.₉₅(1) ([[Chi2Crit95]] head —
+    * the q383 literal stance). b + c = 0 (the filters never disagree)
+    * leaves both χ² NULL and the flag false — McNemar is undefined
+    * without discordance, spec-pinned. Scale: two corpus scans (one per
+    * filter chain) meeting in a doc_id-keyed join → ONE 5-cell agg;
+    * votes, not text, cross the wire. */
+  def mcnemarFilterAb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val votes = Tables.documents(s, dir).select($"doc_id")
+      .join(lmKeepVotes(s, dir).withColumnRenamed("keep", "ka"),
+        Seq("doc_id"), "left")
+      .join(qfKeepVotes(s, dir).withColumnRenamed("keep", "kb"),
+        Seq("doc_id"), "left")
+      .select(coalesce($"ka", lit(false)).as("ka"),
+        coalesce($"kb", lit(false)).as("kb"))
+    val g = votes.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when($"ka" && $"kb", 1L).otherwise(0L)).as("n_both_keep"),
+      sum(when(!$"ka" && !$"kb", 1L).otherwise(0L)).as("n_both_drop"),
+      sum(when($"ka" && !$"kb", 1L).otherwise(0L)).as("n_a_only"),
+      sum(when(!$"ka" && $"kb", 1L).otherwise(0L)).as("n_b_only"))
+    val disc = $"n_a_only" + $"n_b_only"
+    val chi2 = (($"n_a_only" - $"n_b_only").cast(d38) *
+      ($"n_a_only" - $"n_b_only")).cast("double") / disc.cast("double")
+    val ccm = greatest(abs($"n_a_only" - $"n_b_only") - 1L, lit(0L))
+    val chi2cc = (ccm.cast(d38) * ccm).cast("double") / disc.cast("double")
+    g.select($"n_docs", $"n_both_keep", $"n_both_drop",
+      $"n_a_only", $"n_b_only",
+      ratio($"n_both_keep" + $"n_a_only", $"n_docs").as("keep_rate_a"),
+      ratio($"n_both_keep" + $"n_b_only", $"n_docs").as("keep_rate_b"),
+      when(disc > 0L, chi2).as("chi2_mcnemar"),
+      when(disc > 0L, chi2cc).as("chi2_cc"),
+      coalesce(when(disc > 0L, chi2 > lit(Chi2Crit95.head)), lit(false))
+        .as("filters_differ"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971, public definition) over the filter
+    * ENSEMBLE — chance-corrected agreement of the three independent
+    * quality raters the engine ships (q131 unigram gate, q147 Gopher
+    * rules, q325 learned filter) on their per-doc keep/drop votes: the
+    * multi-rater diagnostic that says whether the raters measure the
+    * same notion of quality or mostly coincide by chance. Exact
+    * rationals end-to-end (the q364 kappa stance generalized): each doc
+    * collapses to its keep-vote count k ∈ {0..3}, the corpus to the
+    * ≤4-row k-census, and with N docs, K = Σk, Q = Σk²:
+    * P̄ = (2Q − 6K + 6N)/(6N), P̄ₑ = (K² + (3N−K)²)/(9N²), and clearing
+    * denominators κ = (3N(2Q−6K+6N) − 2(K²+(3N−K)²)) /
+    * (2(9N² − K² − (3N−K)²)) — numerator and denominator exact in
+    * decimal(38,0) (≲90N², good past 10¹⁷ docs; VARCHAR-routed in the
+    * oracle), one shared divide. All-unanimous-per-doc corpora give
+    * κ = 1 exactly (numerator = denominator, spec-pinned); a
+    * constant ENSEMBLE (P̄ₑ = 1, denominator 0) takes the q364
+    * perfect-agreement convention κ = 1. Output: the k-census rows with
+    * the global panel riding. Scale: three filter chains meet in one
+    * doc_id join → a ≤4-key census → 3-cell moments. */
+  def fleissKappaEnsemble(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val votes = Tables.documents(s, dir).select($"doc_id")
+      .join(lmKeepVotes(s, dir).withColumnRenamed("keep", "ka"),
+        Seq("doc_id"), "left")
+      .join(rulesKeepVotes(s, dir).withColumnRenamed("keep", "kr"),
+        Seq("doc_id"), "left")
+      .join(qfKeepVotes(s, dir).withColumnRenamed("keep", "kl"),
+        Seq("doc_id"), "left")
+      .select((coalesce($"ka", lit(false)).cast("long") +
+        coalesce($"kr", lit(false)).cast("long") +
+        coalesce($"kl", lit(false)).cast("long")).as("k_keep"))
+    val census = votes.groupBy($"k_keep")
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(eager = false) // read by the moments AND the rows
+    val tot = census.agg(sum($"n_docs").as("nn"),
+      sum($"k_keep" * $"n_docs").as("kk"),
+      sum($"k_keep" * $"k_keep" * $"n_docs").as("qq"))
+    val threeN = lit(3L) * $"nn"
+    val pbarNum = lit(2L) * $"qq" - lit(6L) * $"kk" + lit(6L) * $"nn"
+    val peNum = $"kk".cast(d38) * $"kk" +
+      (threeN - $"kk").cast(d38) * (threeN - $"kk")
+    val kNum = threeN.cast(d38) * pbarNum - lit(2L).cast(d38) * peNum
+    val kDen = lit(2L).cast(d38) * (threeN.cast(d38) * threeN - peNum)
+    val stats = tot.select($"nn".as("n_docs_total"),
+      $"kk".as("n_keep_votes"),
+      ratio($"kk", threeN).as("p_keep"),
+      ratio(pbarNum, lit(6L) * $"nn").as("pbar"),
+      (peNum.cast("double") /
+        (threeN.cast("double") * threeN.cast("double"))).as("pbar_e"),
+      when(kDen =!= 0, kNum.cast("double") / kDen.cast("double"))
+        .otherwise(lit(1.0)).as("fleiss_kappa"))
+    census.crossJoin(broadcast(stats)).orderBy($"k_keep")
   }
 
   /** Domain-blocklist filtering by SUFFIX match — the URL-level curation
@@ -5346,6 +5571,25 @@ object LlmOps {
     * post-scan shuffle is the |langs|-row census. */
   def qualityFilterInference(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    qfPerDocScores(s, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"score_bits" * $"tnb" > $"ts" * $"n_bigrams", 1L)
+          .otherwise(0L)).as("n_selected"),
+        sum($"score_bits").as("sum_score_bits"))
+      .withColumn("sel_rate", ratio($"n_selected", $"n_docs"))
+      .orderBy($"lang")
+  }
+
+  /** Per-doc q325 learned-filter scores — (doc_id, lang, n_bigrams,
+    * score_bits) with the riding calibration totals (ts, tnb); the keep
+    * vote is the exact cross-multiply score_bits·tnb > ts·n_bigrams.
+    * ONE chain shared by q325's census and the q396/q397 paired-vote
+    * tests (the [[MarkerChain]] single-literal stance applied to the
+    * filter itself). Scan-only per doc: zero-bigram docs ride with
+    * nb = 0, score = 0 (vote = drop). */
+  private def qfPerDocScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     def bits(c: Column): Column = length(bin(c)).cast("long")
     // th MUST be bound as a column, never composed inline into
     // shingleHashes2: the shingle lambda references its argument three
@@ -5384,7 +5628,7 @@ object LlmOps {
         i => coalesce(element_at($"m", i.cast("int")), lit(0L))).as("wa"))
     val scored = withBigrams(Tables.documents(s, dir))
       .crossJoin(broadcast(wvec))
-      .select($"lang",
+      .select($"doc_id", $"lang",
         size($"bgs").cast("long").as("n_bigrams"),
         aggregate($"bgs", lit(0L),
           (acc, h) => acc +
@@ -5393,13 +5637,6 @@ object LlmOps {
       .localCheckpoint(eager = false) // read by the calib totals + census
     val calib = scored.agg(sum($"score_bits").as("ts"), sum($"n_bigrams").as("tnb"))
     scored.crossJoin(broadcast(calib))
-      .groupBy($"lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when($"score_bits" * $"tnb" > $"ts" * $"n_bigrams", 1L)
-          .otherwise(0L)).as("n_selected"),
-        sum($"score_bits").as("sum_score_bits"))
-      .withColumn("sel_rate", ratio($"n_selected", $"n_docs"))
-      .orderBy($"lang")
   }
 
   /** Neighborhood size for [[bitextMarginMining]]'s margin normalizer
@@ -6629,6 +6866,8 @@ object LlmOps {
     "q393_anova_effect" -> anovaEffect,
     "q394_cohens_d" -> cohensD,
     "q395_effective_sample_size" -> effectiveSampleSize,
+    "q396_mcnemar_filter_ab" -> mcnemarFilterAb,
+    "q397_fleiss_kappa_ensemble" -> fleissKappaEnsemble,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -7906,46 +8145,109 @@ object LlmOps {
          |       min(concat(hhex, ':', lpad(CAST(doc_id AS VARCHAR), 12, '0'))) AS first_member
          |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "q325_quality_filter_inference" ->
-      s"""WITH bg AS MATERIALIZED (
-         |  SELECT doc_id, lang, CAST(h % $QfBuckets AS INT) AS bucket
-         |  FROM (
-         |    SELECT doc_id, lang, unnest($shingle2Sql) AS h
-         |    FROM (SELECT doc_id, lang, $tokenHashesSql AS th
-         |          FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents))
-         |  )
-         |), b AS (
-         |  SELECT bucket,
-         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
-         |         count(*) AS cnt_all
-         |  FROM bg GROUP BY 1
-         |), tot AS (
-         |  SELECT CAST(sum(cnt_pos) AS BIGINT) AS tp,
-         |         CAST(sum(cnt_all) AS BIGINT) AS ta FROM b
-         |), w AS (
-         |  SELECT bucket,
-         |         (CAST(length(bin(cnt_pos + 1)) AS BIGINT)
-         |            - CAST(length(bin(tp + 1)) AS BIGINT))
-         |         - (CAST(length(bin(cnt_all + 1)) AS BIGINT)
-         |            - CAST(length(bin(ta + 1)) AS BIGINT)) AS w
-         |  FROM b, tot
-         |), sc AS (
-         |  SELECT bg.doc_id, count(*) AS nb, CAST(sum(w.w) AS BIGINT) AS score_bits
-         |  FROM bg JOIN w USING (bucket) GROUP BY 1
-         |), perdoc AS MATERIALIZED (
-         |  SELECT d.lang,
-         |         CAST(coalesce(sc.nb, 0) AS BIGINT) AS nb,
-         |         coalesce(sc.score_bits, 0) AS score_bits
-         |  FROM (SELECT doc_id, lang FROM documents) d
-         |  LEFT JOIN sc ON d.doc_id = sc.doc_id
-         |), calib AS (
-         |  SELECT CAST(sum(score_bits) AS BIGINT) AS ts,
-         |         CAST(sum(nb) AS BIGINT) AS tnb FROM perdoc
-         |)
+      s"""WITH $qfPerDocSql
          |SELECT lang, count(*) AS n_docs,
          |       ${sumLongSql("CASE WHEN score_bits * tnb > ts * nb THEN 1 ELSE 0 END")} AS n_selected,
          |       ${sumLongSql("score_bits")} AS sum_score_bits,
          |       ${ratioSql("sum(CASE WHEN score_bits * tnb > ts * nb THEN 1 ELSE 0 END)", "count(*)")} AS sel_rate
          |FROM perdoc, calib GROUP BY lang ORDER BY lang""".stripMargin,
+    // the shared q325 per-doc chain + the shared q131 vote fragment →
+    // 2×2 discordance census → two shared divides; squared numerators
+    // HUGEINT → VARCHAR-routed
+    "q396_mcnemar_filter_ab" ->
+      s"""WITH $qfPerDocSql,
+         |qfvotes AS (
+         |  SELECT doc_id, score_bits * tnb > ts * nb AS keep
+         |  FROM perdoc, calib
+         |),
+         |$lmKeepVoteSql,
+         |v AS (
+         |  SELECT coalesce(a.keep, FALSE) AS ka, coalesce(b.keep, FALSE) AS kb
+         |  FROM (SELECT doc_id FROM documents) d
+         |  LEFT JOIN lmvotes a USING (doc_id)
+         |  LEFT JOIN qfvotes b USING (doc_id)
+         |), g AS (
+         |  SELECT count(*) AS n_docs,
+         |         ${sumLongSql("CASE WHEN ka AND kb THEN 1 ELSE 0 END")} AS n_both_keep,
+         |         ${sumLongSql("CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END")} AS n_both_drop,
+         |         ${sumLongSql("CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END")} AS n_a_only,
+         |         ${sumLongSql("CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END")} AS n_b_only
+         |  FROM v
+         |)
+         |SELECT n_docs, n_both_keep, n_both_drop, n_a_only, n_b_only,
+         |       ${ratioSql("n_both_keep + n_a_only", "n_docs")} AS keep_rate_a,
+         |       ${ratioSql("n_both_keep + n_b_only", "n_docs")} AS keep_rate_b,
+         |       CASE WHEN n_a_only + n_b_only > 0 THEN
+         |         CAST(CAST(CAST(n_a_only - n_b_only AS HUGEINT)
+         |                   * (n_a_only - n_b_only) AS VARCHAR) AS DOUBLE)
+         |           / CAST(n_a_only + n_b_only AS DOUBLE) END AS chi2_mcnemar,
+         |       CASE WHEN n_a_only + n_b_only > 0 THEN
+         |         CAST(CAST(CAST(greatest(abs(n_a_only - n_b_only) - 1, 0) AS HUGEINT)
+         |                   * greatest(abs(n_a_only - n_b_only) - 1, 0) AS VARCHAR) AS DOUBLE)
+         |           / CAST(n_a_only + n_b_only AS DOUBLE) END AS chi2_cc,
+         |       coalesce(CASE WHEN n_a_only + n_b_only > 0 THEN
+         |         CAST(CAST(CAST(n_a_only - n_b_only AS HUGEINT)
+         |                   * (n_a_only - n_b_only) AS VARCHAR) AS DOUBLE)
+         |           / CAST(n_a_only + n_b_only AS DOUBLE)
+         |           > ${Chi2Crit95.head} END, FALSE) AS filters_differ
+         |FROM g""".stripMargin,
+    // all three shared vote fragments → k-vote census → exact
+    // cleared-denominator kappa (HUGEINT → VARCHAR under the gate)
+    "q397_fleiss_kappa_ensemble" ->
+      s"""WITH $qfPerDocSql,
+         |qfvotes AS (
+         |  SELECT doc_id, score_bits * tnb > ts * nb AS keep
+         |  FROM perdoc, calib
+         |),
+         |$lmKeepVoteSql,
+         |$rulesKeepVoteSql,
+         |v AS (
+         |  SELECT (CASE WHEN coalesce(a.keep, FALSE) THEN 1 ELSE 0 END
+         |          + CASE WHEN coalesce(r.keep, FALSE) THEN 1 ELSE 0 END
+         |          + CASE WHEN coalesce(q.keep, FALSE) THEN 1 ELSE 0 END)
+         |           AS k_keep
+         |  FROM (SELECT doc_id FROM documents) d
+         |  LEFT JOIN lmvotes a USING (doc_id)
+         |  LEFT JOIN rulesvotes r USING (doc_id)
+         |  LEFT JOIN qfvotes q USING (doc_id)
+         |), census AS MATERIALIZED (
+         |  SELECT CAST(k_keep AS BIGINT) AS k_keep, count(*) AS n_docs
+         |  FROM v GROUP BY 1
+         |), mom AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+         |         CAST(sum(k_keep * n_docs) AS BIGINT) AS kk,
+         |         CAST(sum(k_keep * k_keep * n_docs) AS BIGINT) AS qq
+         |  FROM census
+         |), st AS (
+         |  SELECT nn AS n_docs_total, kk AS n_keep_votes,
+         |         ${ratioSql("kk", "3 * nn")} AS p_keep,
+         |         ${ratioSql("2 * qq - 6 * kk + 6 * nn", "6 * nn")} AS pbar,
+         |         CAST(CAST(CAST(kk AS HUGEINT) * kk
+         |                   + CAST(3 * nn - kk AS HUGEINT) * (3 * nn - kk)
+         |              AS VARCHAR) AS DOUBLE)
+         |           / (CAST(3 * nn AS DOUBLE) * CAST(3 * nn AS DOUBLE))
+         |           AS pbar_e,
+         |         CASE WHEN 2 * (CAST(3 * nn AS HUGEINT) * (3 * nn)
+         |                        - (CAST(kk AS HUGEINT) * kk
+         |                           + CAST(3 * nn - kk AS HUGEINT)
+         |                             * (3 * nn - kk))) <> 0 THEN
+         |           CAST(CAST(CAST(3 * nn AS HUGEINT)
+         |                       * (2 * qq - 6 * kk + 6 * nn)
+         |                     - 2 * (CAST(kk AS HUGEINT) * kk
+         |                            + CAST(3 * nn - kk AS HUGEINT)
+         |                              * (3 * nn - kk))
+         |                AS VARCHAR) AS DOUBLE)
+         |             / CAST(CAST(2 * (CAST(3 * nn AS HUGEINT) * (3 * nn)
+         |                              - (CAST(kk AS HUGEINT) * kk
+         |                                 + CAST(3 * nn - kk AS HUGEINT)
+         |                                   * (3 * nn - kk)))
+         |                    AS VARCHAR) AS DOUBLE)
+         |         ELSE 1.0 END AS fleiss_kappa
+         |  FROM mom
+         |)
+         |SELECT c.k_keep, c.n_docs, st.*
+         |FROM census c, st
+         |ORDER BY c.k_keep""".stripMargin,
     "q221_bigram_coverage" ->
       // MATERIALIZED: dt is read by both the model and the test side —
       // inlined, DuckDB would re-run the md5 digest pipeline per reference

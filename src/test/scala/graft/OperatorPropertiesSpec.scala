@@ -3945,4 +3945,104 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out(("hub", "c3")) === 714285714285L)
     assert(out.size === 5)
   }
+
+  /** Shared q396/q397 plant: 1 "good" doc every filter keeps + 2
+    * identical "bad" docs every filter drops — unanimous per doc, mixed
+    * across docs. Good: 82 tokens (10 words ×8 + 'the' + 'a'); with the
+    * bad docs the corpus is 338 tokens (9 bits), so q131's mean is
+    * (80·(9−4) + 2·(9−1))/82 = 416/82 ≤ 6 for the good doc and
+    * 9−2 = 7 > 6 for the bads; len/wordlen/stop/rep all pass q147 for
+    * the good (82 ≤ 90, top 8 ≤ 8.2) and ntok = 128 > 90 fails the
+    * bads; the en-slice bigrams carry the q325 weight (162·335 >
+    * 416·81) while the identical bads lose the strict self-calibrated
+    * compare. */
+  private def mixedVoteFixture(): String = {
+    val goodToks = (1 to 10).flatMap(i => Seq.fill(8)(f"alph$i%01d")) ++
+      Seq("the", "a")
+    val badToks = (1 to 128).map(i => f"zx$i%03dq")
+    val dir = java.nio.file.Files.createTempDirectory("votes3").toString
+    Seq((1L, goodToks.mkString(" "), "en", "web", 0L),
+      (2L, badToks.mkString(" "), "xx", "web", 0L),
+      (3L, badToks.mkString(" "), "xx", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q396 McNemar: planted discordance pins chi2; zero discordance NULLs it") {
+    // single doc: q131 keeps (low surprisal), q325 drops (a lone doc can
+    // never strictly beat its own average) → b = 1, c = 0, χ² = 1, the
+    // continuity-corrected arm hits its max(|b−c|−1, 0) = 0 floor
+    val one = java.nio.file.Files.createTempDirectory("mcn1").toString
+    Seq((1L, ((1 to 10).flatMap(i => Seq.fill(8)(f"alph$i%01d")) ++
+      Seq("the", "a")).mkString(" "), "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$one/documents.parquet")
+    val r1 = SparkEntry.queries("q396_mcnemar_filter_ab")(spark, one).collect()(0)
+    assert(r1.getAs[Long]("n_docs") === 1L)
+    assert(r1.getAs[Long]("n_a_only") === 1L && r1.getAs[Long]("n_b_only") === 0L)
+    assert(r1.getAs[Double]("chi2_mcnemar") === 1.0)
+    assert(r1.getAs[Double]("chi2_cc") === 0.0)
+    assert(!r1.getAs[Boolean]("filters_differ"))
+    // unanimous-per-doc corpus: both filters agree everywhere → b + c = 0
+    // leaves McNemar undefined (NULL χ², flag false)
+    val r0 = SparkEntry.queries("q396_mcnemar_filter_ab")(
+      spark, mixedVoteFixture()).collect()(0)
+    assert(r0.getAs[Long]("n_both_keep") === 1L)
+    assert(r0.getAs[Long]("n_both_drop") === 2L)
+    assert(r0.getAs[Long]("n_a_only") === 0L && r0.getAs[Long]("n_b_only") === 0L)
+    assert(r0.isNullAt(r0.fieldIndex("chi2_mcnemar")))
+    assert(!r0.getAs[Boolean]("filters_differ"))
+    // fixture: the 2×2 census partitions the corpus and the emitted χ²
+    // replays bitwise from the row's own exact integers
+    val fx = SparkEntry.queries("q396_mcnemar_filter_ab")(spark, sfDir).collect()(0)
+    val (bk, bd) = (fx.getAs[Long]("n_both_keep"), fx.getAs[Long]("n_both_drop"))
+    val (b, c) = (fx.getAs[Long]("n_a_only"), fx.getAs[Long]("n_b_only"))
+    assert(bk + bd + b + c === fx.getAs[Long]("n_docs"))
+    if (b + c > 0)
+      assert(fx.getAs[Double]("chi2_mcnemar") ===
+        (BigInt(b - c) * BigInt(b - c)).doubleValue / (b + c).toDouble)
+  }
+
+  test("q397 Fleiss: mixed unanimity pins kappa = 1 exactly; constant ensemble hits the convention") {
+    // 1 all-keep + 2 all-drop docs: P̄ = 1 and the cleared-denominator
+    // numerator EQUALS the denominator → κ = 1.0 bitwise, never ≈
+    val out = SparkEntry.queries("q397_fleiss_kappa_ensemble")(
+      spark, mixedVoteFixture())
+      .collect().map(r => r.getAs[Long]("k_keep") -> r).toMap
+    assert(out.keySet === Set(0L, 3L))
+    assert(out(0L).getAs[Long]("n_docs") === 2L)
+    assert(out(3L).getAs[Long]("n_docs") === 1L)
+    assert(out(3L).getAs[Long]("n_keep_votes") === 3L)
+    assert(out(3L).getAs[Double]("pbar") === 1.0)
+    assert(out(3L).getAs[Double]("pbar_e") === 45.0 / 81.0)
+    assert(out(3L).getAs[Double]("fleiss_kappa") === 1.0)
+    // constant ensemble (every vote drop): P̄ₑ = 1, denominator 0 → the
+    // q364 perfect-agreement convention κ = 1
+    val allDrop = java.nio.file.Files.createTempDirectory("fleiss0").toString
+    val badToks = (1 to 128).map(i => f"zx$i%03dq")
+    Seq((1L, badToks.mkString(" "), "xx", "web", 0L),
+      (2L, badToks.mkString(" "), "xx", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$allDrop/documents.parquet")
+    val cd = SparkEntry.queries("q397_fleiss_kappa_ensemble")(spark, allDrop)
+      .collect()
+    assert(cd.length === 1 && cd(0).getAs[Long]("k_keep") === 0L)
+    assert(cd(0).getAs[Double]("p_keep") === 0.0)
+    assert(cd(0).getAs[Double]("fleiss_kappa") === 1.0)
+    // fixture: κ replays bitwise from the emitted k-census (the exact
+    // cleared-denominator rationals recomputed in BigInt)
+    val fx = SparkEntry.queries("q397_fleiss_kappa_ensemble")(spark, sfDir)
+      .collect()
+    val cells = fx.map(r => (r.getAs[Long]("k_keep"), r.getAs[Long]("n_docs")))
+    val n = BigInt(cells.map(_._2).sum)
+    val k = BigInt(cells.map { case (kk, c) => kk * c }.sum)
+    val q = BigInt(cells.map { case (kk, c) => kk * kk * c }.sum)
+    val pe = k * k + (3 * n - k) * (3 * n - k)
+    val num = 3 * n * (2 * q - 6 * k + 6 * n) - 2 * pe
+    val den = 2 * (9 * n * n - pe)
+    val expect = if (den == 0) 1.0 else num.doubleValue / den.doubleValue
+    assert(fx.head.getAs[Double]("fleiss_kappa") === expect)
+    assert(fx.head.getAs[Long]("n_keep_votes") === k.toLong)
+  }
 }
