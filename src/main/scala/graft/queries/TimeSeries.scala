@@ -1575,6 +1575,108 @@ object TimeSeries {
       ($"st.shw" < $"st.ses").as("hw_beats_snaive"))
   }
 
+  /** AR(p) fit via Yule–Walker / Durbin–Levinson + one-step backtest —
+    * the MODEL the diagnostic stack selects but nothing yet fits (q369
+    * measures the ACF, q378 the PACF cutoff, q383 the joint whiteness;
+    * this solves the ≤7×7 Toeplitz system and scores the result):
+    * Durbin–Levinson's full recursion (Durbin 1960) over the q369 exact
+    * ACF divides keeps EVERY order's coefficient row; the model order
+    * p* is the PACF rule — the largest k with |φ_kk| > 2/√n (0 if none
+    * — the white-noise corpus honestly selects AR(0) = the mean); the
+    * selected row IS the Yule–Walker solution at p*. The one-step
+    * backtest then scores ŷ_t = μ + Σ_{j≤p*} φ_j(y_{t−j} − μ) against
+    * the naive ŷ = y_{t−1} on q385's exact window t = 8..n, so sse_ar
+    * is directly comparable to q385's panel. Everything integer until
+    * the ACF divides (the q369 cleared-denominator moments); the DL
+    * recursion, order argmax, and SSE folds are fixed ascending IEEE
+    * sequences over ONE array row (the inner ŷ sum runs all 7 j-slots
+    * with a j ≤ p* gate so both engines add the identical term list).
+    * Degenerate inputs (n ≤ 7 or zero variance) emit ZERO rows — the
+    * q378 contract. Oracle: the shared q369 chain, the q378 recursive
+    * CTE keeping all k rows, one scalar-subquery order pick, and a
+    * linear backtest recursion. Scale: one grouped day census; the fit
+    * and backtest are driver-free single-row folds. */
+  def arFitBacktest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("rev"))
+    val folded = daily
+      .agg(sort_array(collect_list(struct($"day", $"rev"))).as("ds"))
+      .select(transform($"ds", x => x.getField("rev")).as("xs"))
+      .select($"xs", size($"xs").cast("long").as("n"),
+        aggregate($"xs", lit(0L), (a, v) => a + v).as("s"))
+      .filter($"n" > AcfMaxLag.toLong)
+      .select($"xs", $"n", $"s",
+        transform($"xs", v => ($"n" * v - $"s")).as("cs"))
+      .select($"xs", $"n", $"s", $"cs",
+        aggregate($"cs", lit(BigDecimal(0)).cast(d38),
+          (a, c) => a + c.cast(d38) * c).as("var_n2"))
+      .filter($"var_n2" > 0)
+    // the q369 ACF divides, here as ONE in-row lag array (the fit needs
+    // the raw series alongside every r_k, so the exploded acfLagTerms
+    // rows would just be re-folded)
+    val withR = folded.select($"xs", $"n", $"s",
+      transform(sequence(lit(1), lit(AcfMaxLag)), k =>
+        aggregate(
+          zip_with(slice($"cs", lit(1), (size($"cs") - k).cast("int")),
+            slice($"cs", k + 1, size($"cs")),
+            (a, b) => struct(a.as("a"), b.as("b"))),
+          lit(BigDecimal(0)).cast(d38),
+          (acc, p) => acc + p.getField("a").cast(d38) * p.getField("b"))
+          .cast("double") / $"var_n2".cast("double")).as("r"))
+    // Durbin–Levinson keeping every order's φ row (q378 keeps only the
+    // diagonal); pacf_k = φ row k's last slot
+    val st = withR.select($"xs", $"n", $"s", $"r",
+      aggregate(sequence(lit(2), lit(AcfMaxLag)),
+        array(struct(lit(1).as("k"), array(try_element_at($"r", lit(1))).as("phi"))),
+        (acc, k) => {
+          val phi = element_at(acc, k - 1).getField("phi")
+          val num = element_at($"r", k) -
+            aggregate(sequence(lit(1), k - 1), lit(0.0),
+              (sm, j) => sm + element_at(phi, j) * element_at($"r", k - j))
+          val den = lit(1.0) -
+            aggregate(sequence(lit(1), k - 1), lit(0.0),
+              (sm, j) => sm + element_at(phi, j) * element_at($"r", j))
+          val a = num / den
+          concat(acc, array(struct(k.cast("int").as("k"),
+            concat(transform(sequence(lit(1), k - 1),
+              j => element_at(phi, j) - a * element_at(phi, k - j)),
+              array(a)).as("phi"))))
+        }).as("dl"))
+    val sel = st.select($"xs", $"n", $"s", $"r", $"dl",
+      aggregate(sequence(lit(1), lit(AcfMaxLag)), lit(0),
+        (b, k) => when(
+          abs(element_at(element_at($"dl", k).getField("phi"), k)) >
+            lit(2.0) / sqrt($"n".cast("double")), k).otherwise(b)).as("ord"))
+    val mu = ratio($"s", $"n")
+    val phiSel = element_at($"dl", $"ord").getField("phi")
+    val bt = sel.select($"n", $"ord", $"dl",
+      aggregate(sequence(lit(8), $"n".cast("int")),
+        struct(lit(0.0).as("sa"), lit(0.0).as("sn")),
+        (acc, t) => {
+          val yt = element_at($"xs", t).cast("double")
+          val yhat = mu + aggregate(sequence(lit(1), lit(AcfMaxLag)), lit(0.0),
+            (sm, j) => sm + when(j <= $"ord",
+              element_at(phiSel, j) *
+                (element_at($"xs", t - j).cast("double") - mu))
+              .otherwise(lit(0.0)))
+          val en = yt - element_at($"xs", t - 1).cast("double")
+          struct((acc.getField("sa") + (yt - yhat) * (yt - yhat)).as("sa"),
+            (acc.getField("sn") + en * en).as("sn"))
+        }).as("bt"),
+      mu.as("mean_cents"))
+    bt.select(Seq($"n".as("n_days"), $"ord".cast("long").as("ar_order"),
+      $"mean_cents") ++
+      (1 to AcfMaxLag).map(j => when(lit(j) <= $"ord",
+        element_at(element_at($"dl", $"ord").getField("phi"), j))
+        .as(s"phi$j")) ++ Seq(
+      $"bt.sa".as("sse_ar"), $"bt.sn".as("sse_naive"),
+      when($"bt.sn" > 0.0, $"bt.sa" / $"bt.sn").as("theil_u2_ar"),
+      ($"bt.sa" < $"bt.sn").as("ar_beats_naive")): _*)
+  }
+
   /** Cross-correlation function between daily REVENUE and daily ORDER
     * COUNT at lags −7..+7 — the two-series member of the q369/q378
     * serial-dependence family (ACF asks "does a series predict
@@ -1807,6 +1909,7 @@ object TimeSeries {
     "q378_pacf_durbin_levinson" -> pacfDurbinLevinson,
     "q383_ljung_box" -> ljungBox,
     "q385_forecast_skill" -> forecastSkill,
+    "q398_ar_fit_backtest" -> arFitBacktest,
     "q386_ccf_revenue_orders" -> ccfRevenueOrders,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
@@ -2051,6 +2154,87 @@ object TimeSeries {
          |       CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * ssum > $LbCrit
          |         AS autocorrelated
          |FROM rs WHERE n_lags = $AcfMaxLag""".stripMargin,
+    // the q369 chain, q378's DL recursion keeping every k row, a
+    // max(k) order pick, and a linear one-step backtest recursion; the
+    // inner yhat sum runs all 7 j-slots with the j ≤ ord gate and a
+    // 0.0 seed — the exact Spark fold tree
+    "q398_ar_fit_backtest" -> {
+      val yhatTerms = (1 to AcfMaxLag).map(j =>
+        s"""CASE WHEN $j <= ord THEN phi[$j]
+           |* (CAST(xs[CAST(b.t - ${j - 1} AS INT)] AS DOUBLE) - mu)
+           |ELSE 0.0 END""".stripMargin.replace("\n", " "))
+        .mkString("(CAST(0.0 AS DOUBLE) + ", " + ", ")")
+      val phiCols = (1 to AcfMaxLag).map(j =>
+        s"CASE WHEN $j <= sel.ord THEN (SELECT phi[$j] FROM pac WHERE k = sel.ord) END AS phi$j")
+        .mkString(",\n         |       ")
+      s"""WITH RECURSIVE $acfChainSql,
+         |racf AS MATERIALIZED (
+         |  SELECT max(n) AS n, count(*) AS n_lags,
+         |         list(CAST(CAST(cov_n2 AS VARCHAR) AS DOUBLE)
+         |              / CAST(CAST(var_n2 AS VARCHAR) AS DOUBLE)
+         |              ORDER BY lag) AS r
+         |  FROM lagt WHERE var_n2 > 0
+         |), rok AS MATERIALIZED (
+         |  SELECT n, r FROM racf WHERE n_lags = $AcfMaxLag
+         |), dl AS (
+         |  SELECT CAST(1 AS BIGINT) AS k, [r[1]] AS phi
+         |  FROM rok
+         |  UNION ALL
+         |  SELECT k + 1,
+         |         list_append(list_transform(range(1, k + 1), j ->
+         |           phi[CAST(j AS INT)] - a * phi[CAST(k + 1 - j AS INT)]), a)
+         |  FROM (
+         |    SELECT d.k, d.phi,
+         |           (r[CAST(d.k + 1 AS INT)]
+         |            - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list_transform(range(1, d.k + 1), j ->
+         |                  d.phi[CAST(j AS INT)]
+         |                    * r[CAST(d.k + 1 - j AS INT)])),
+         |                (x, y) -> x + y))
+         |           / (1.0 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list_transform(range(1, d.k + 1), j ->
+         |                  d.phi[CAST(j AS INT)] * r[CAST(j AS INT)])),
+         |                (x, y) -> x + y)) AS a
+         |    FROM dl d, rok WHERE d.k < $AcfMaxLag
+         |  )
+         |), pac AS MATERIALIZED (
+         |  SELECT k, phi, phi[CAST(k AS INT)] AS pacf FROM dl
+         |), sel AS MATERIALIZED (
+         |  SELECT coalesce((SELECT max(pac.k) FROM pac, rok
+         |                   WHERE abs(pac.pacf)
+         |                         > 2.0 / sqrt(CAST(rok.n AS DOUBLE))),
+         |                  0) AS ord
+         |  FROM rok
+         |), env AS MATERIALIZED (
+         |  SELECT base.xs, rok.n, ${ratioSql("base.s", "rok.n")} AS mu,
+         |         sel.ord,
+         |         CASE WHEN sel.ord >= 1
+         |              THEN (SELECT phi FROM pac WHERE k = sel.ord) END AS phi
+         |  FROM base, rok, sel
+         |), bt AS (
+         |  SELECT CAST(7 AS BIGINT) AS t,
+         |         CAST(0.0 AS DOUBLE) AS sa, CAST(0.0 AS DOUBLE) AS sn
+         |  FROM rok
+         |  UNION ALL
+         |  SELECT t + 1,
+         |         sa + (yt - yhat) * (yt - yhat),
+         |         sn + (yt - ylag) * (yt - ylag)
+         |  FROM (
+         |    SELECT b.t, b.sa, b.sn,
+         |           CAST(xs[CAST(b.t + 1 AS INT)] AS DOUBLE) AS yt,
+         |           CAST(xs[CAST(b.t AS INT)] AS DOUBLE) AS ylag,
+         |           mu + $yhatTerms AS yhat
+         |    FROM bt b, env WHERE b.t < env.n)
+         |), fin AS (SELECT sa, sn FROM bt ORDER BY t DESC LIMIT 1)
+         |SELECT rok.n AS n_days, CAST(sel.ord AS BIGINT) AS ar_order,
+         |       ${ratioSql("base.s", "rok.n")} AS mean_cents,
+         |       $phiCols,
+         |       fin.sa AS sse_ar, fin.sn AS sse_naive,
+         |       CASE WHEN fin.sn > 0.0 THEN fin.sa / fin.sn END
+         |         AS theil_u2_ar,
+         |       fin.sa < fin.sn AS ar_beats_naive
+         |FROM rok, sel, base, fin""".stripMargin
+    },
     // the q369 chain, then Durbin–Levinson as a linear recursion with
     // LIST state (immutable per step — never a list_reduce struct fold)
     "q378_pacf_durbin_levinson" ->

@@ -2427,6 +2427,85 @@ class OperatorPropertiesSpec extends SparkSpec {
       spark, mkOrders(Seq.fill(10)(500))).collect().isEmpty)
   }
 
+  test("q398 AR fit: JVM Yule-Walker replay is bitwise; persistent blocks select order >= 1") {
+    def mkOrders(cents: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("arfit").toString
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1,
+          java.time.LocalDate.of(2000, 1, 1).plusDays(i.toLong).toString,
+          c / 100.0)
+      }.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"),
+          $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // strongly lag-1-persistent plant: 5-day high/low blocks over 40 days
+    val cents = (0 until 40).map(i => if ((i / 5) % 2 == 0) 10000 else 20000)
+    // replay: exact ACF, full DL (keeping every order's phi row), PACF
+    // order rule, and the gated 7-slot backtest fold — all bitwise
+    val xs = cents.map(BigInt(_))
+    val n = xs.length; val sTot = xs.sum
+    val cs = xs.map(x => BigInt(n) * x - sTot)
+    val varN2 = cs.map(c => c * c).sum
+    val rr = (1 to 7).map { k =>
+      (0 until (n - k)).map(i => cs(i) * cs(i + k)).sum
+        .doubleValue / varN2.doubleValue
+    }.toVector
+    var phis = Vector(Vector(rr(0)))
+    for (k <- 2 to 7) {
+      val phi = phis.last
+      val num = rr(k - 1) -
+        (1 until k).foldLeft(0.0)((s, j) => s + phi(j - 1) * rr(k - j - 1))
+      val den = 1.0 -
+        (1 until k).foldLeft(0.0)((s, j) => s + phi(j - 1) * rr(j - 1))
+      val a = num / den
+      phis = phis :+
+        ((1 until k).map(j => phi(j - 1) - a * phi(k - j - 1)).toVector :+ a)
+    }
+    val ord = (1 to 7).foldLeft(0)((b, k) =>
+      if (math.abs(phis(k - 1)(k - 1)) > 2.0 / math.sqrt(n.toDouble)) k else b)
+    assert(ord >= 1, "the persistent plant must select a nontrivial order")
+    val mu = sTot.toLong.toDouble / n.toDouble
+    var sa = 0.0; var sn = 0.0
+    for (t <- 8 to n) {
+      val yt = xs(t - 1).toDouble
+      var sm = 0.0
+      for (j <- 1 to 7)
+        sm = sm + (if (j <= ord) phis(ord - 1)(j - 1) * (xs(t - j - 1).toDouble - mu)
+        else 0.0)
+      val yhat = mu + sm
+      sa += (yt - yhat) * (yt - yhat)
+      val en = yt - xs(t - 2).toDouble
+      sn += en * en
+    }
+    val r = SparkEntry.queries("q398_ar_fit_backtest")(spark, mkOrders(cents))
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === n.toLong)
+    assert(r.getAs[Long]("ar_order") === ord.toLong)
+    assert(r.getAs[Double]("mean_cents") === mu)
+    (1 to 7).foreach { j =>
+      if (j <= ord) assert(r.getAs[Double](s"phi$j") === phis(ord - 1)(j - 1), s"phi$j")
+      else assert(r.isNullAt(r.fieldIndex(s"phi$j")), s"phi$j")
+    }
+    assert(r.getAs[Double]("sse_ar") === sa)
+    assert(r.getAs[Double]("sse_naive") === sn)
+    assert(r.getAs[Double]("theil_u2_ar") === sa / sn)
+    // the DL seed law: at order 1 the lone coefficient IS r_1
+    if (ord == 1) assert(r.getAs[Double]("phi1") === rr(0))
+    // degenerates: constant series (no ACF) and short series emit zero rows
+    assert(SparkEntry.queries("q398_ar_fit_backtest")(
+      spark, mkOrders(Seq.fill(12)(500))).collect().isEmpty)
+    assert(SparkEntry.queries("q398_ar_fit_backtest")(
+      spark, mkOrders(Seq(100, 900, 200, 800, 300))).collect().isEmpty)
+    // fixture: the ratio column replays from the row's own SSEs
+    val fx = SparkEntry.queries("q398_ar_fit_backtest")(spark, sfDir).collect()
+    fx.foreach { row =>
+      assert(row.getAs[Double]("theil_u2_ar") ===
+        row.getAs[Double]("sse_ar") / row.getAs[Double]("sse_naive"))
+    }
+  }
+
   test("q385 forecast skill: JVM replay of all three SSEs; periodic week zeroes snaive and HW") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("skill").toString
