@@ -3967,6 +3967,91 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Interpolated Kneser–Ney bigram scorer with the DYADIC discount
+    * D = 1/2 (Kneser & Ney 1995; Chen & Goodman 1999 interpolated form,
+    * public descriptions) — the SMOOTHED n-gram filter shape of
+    * CCNet-class pipelines, completing the LM-scorer family: q131 is
+    * unigram, q221 unsmoothed coverage, q297 Katz-style backoff with an
+    * ad-hoc penalty; KN instead reserves exactly D·N₁₊(w₁)/c(w₁) of
+    * each prefix's mass for the CONTINUATION distribution
+    * P_cont(w₂) = N₁₊(·w₂)/T — "how many contexts does w₂ complete",
+    * the quantity that makes KN the production smoother. With D = 1/2
+    * every probability is an EXACT RATIONAL A/B: clearing denominators,
+    * A = T·max(2c₂−1, 0) + N₁₊(w₁·)·N₁₊(·w₂) and B = 2·c(w₁)·T (the
+    * per-prefix mass law Σ_w₂ A = B is an integer identity,
+    * spec-pinned), and the per-bigram surprise is the q131 dyadic
+    * quantization bits(B) − bits(A) — integer, order-independent,
+    * hash-portable. Arms: OOV prefix → uniform bits(V+1); zero-mass w₂
+    * (unseen bigram, zero continuation count) → bits(B) + 8 (the q297
+    * penalty stance). Trained on the q297 'lm:' half, scored on every
+    * doc. Envelope: A ≤ B = 2·c(w₁)·T stays in long while
+    * prefix-count·bigram-types < 2⁶², i.e. to ~10⁹ types against 10⁹-hot
+    * prefixes — past that, retype A/B to decimal and take digit-string
+    * lengths (documented, not built). Scale: q297's exact shape — uni/
+    * prefix/continuation tables vocab-bounded → broadcast; the bigram
+    * table joins by KEY (never broadcast); one doc_id census. */
+  def bigramKneserNey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bits(c: Column): Column = length(bin(c)).cast("long")
+    val space = 16777216L // 16^6
+    def isTrain(id: Column): Column =
+      conv(substring(md5(concat(lit("lm:"), id.cast("string"))), 1, 6),
+        16, 10).cast("long") * 2L < space
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .withColumn("is_train", isTrain($"doc_id"))
+    val vSize = docs.filter($"is_train")
+      .select(explode($"toks").as("tok"))
+      .agg(countDistinct($"tok").as("v"))
+    val bi = docs.filter($"is_train")
+      .select(explode(TextOps.wordShingles($"toks", 2)).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(eager = false) // read by prefix/cont/T AND scoring
+    val prefix = bi
+      .withColumn("w1", element_at(split($"bg", " "), 1))
+      .groupBy($"w1").agg(sum($"c2").as("cp"), count(lit(1)).as("n1p"))
+    val cont = bi
+      .withColumn("w2", element_at(split($"bg", " "), 2))
+      .groupBy($"w2").agg(count(lit(1)).as("nc"))
+    val tTypes = bi.agg(count(lit(1)).as("t_types"))
+    val scored = docs
+      .select($"doc_id", explode(TextOps.wordShingles($"toks", 2)).as("bg"))
+      .withColumn("w1", element_at(split($"bg", " "), 1))
+      .withColumn("w2", element_at(split($"bg", " "), 2))
+      .join(bi, Seq("bg"), "left")
+      .join(broadcast(prefix), Seq("w1"), "left")
+      .join(broadcast(cont), Seq("w2"), "left")
+      .crossJoin(broadcast(tTypes))
+      .crossJoin(broadcast(vSize))
+      .withColumn("a_num", when($"cp".isNotNull,
+        $"t_types" * when($"c2".isNotNull, lit(2L) * $"c2" - 1L)
+          .otherwise(0L) + $"n1p" * coalesce($"nc", lit(0L))))
+      .withColumn("surprise",
+        when($"cp".isNull, bits($"v" + 1L))
+          .when($"a_num" > 0L,
+            bits(lit(2L) * $"cp" * $"t_types") - bits($"a_num"))
+          .otherwise(bits(lit(2L) * $"cp" * $"t_types") + 8L))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"surprise").as("surprise_bits"),
+        sum(when($"c2".isNull && $"cp".isNotNull && $"a_num" > 0L, 1L)
+          .otherwise(0L)).as("n_continuation"),
+        sum(when($"cp".isNotNull && $"a_num" === 0L, 1L).otherwise(0L))
+          .as("n_zero_mass"),
+        sum(when($"cp".isNull, 1L).otherwise(0L)).as("n_oov_prefix"))
+    docs.select($"doc_id", $"is_train")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id", $"is_train",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"surprise_bits", lit(0L)).as("surprise_bits"),
+        coalesce($"n_continuation", lit(0L)).as("n_continuation"),
+        coalesce($"n_zero_mass", lit(0L)).as("n_zero_mass"),
+        coalesce($"n_oov_prefix", lit(0L)).as("n_oov_prefix"))
+      .withColumn("mean_bits",
+        when($"n_bigrams" > 0L, ratio($"surprise_bits", $"n_bigrams")))
+      .orderBy($"doc_id")
+  }
+
   /** Gopher-style rule-set quality gate — the named-rule form of document
     * filtering (q49 scores, q81 measures repetition; production curation
     * pipelines ship a RULE LIST with per-rule pass booleans and a reasons
@@ -6868,6 +6953,7 @@ object LlmOps {
     "q395_effective_sample_size" -> effectiveSampleSize,
     "q396_mcnemar_filter_ab" -> mcnemarFilterAb,
     "q397_fleiss_kappa_ensemble" -> fleissKappaEnsemble,
+    "q399_bigram_kneser_ney" -> bigramKneserNey,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -8796,6 +8882,81 @@ object LlmOps {
          |       ${ratioSql("n_docs", "(SELECT n_eligible FROM ne)")} AS share
          |FROM c WHERE n_docs >= 2
          |ORDER BY kind, n_docs DESC, shingle""".stripMargin,
+    // q297's chain with prefix-type / continuation-type tables and the
+    // exact cleared-denominator KN rational inside the dyadic bits
+    "q399_bigram_kneser_ney" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, $toksSql AS toks,
+         |         CAST(('0x' || substr(md5('lm:' || CAST(doc_id AS VARCHAR)),
+         |                              1, 6)) AS BIGINT) * 2 < 16777216
+         |           AS is_train
+         |  FROM documents
+         |), vs AS (
+         |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+         |  FROM (SELECT unnest(toks) AS tok FROM d WHERE is_train)
+         |), bgs AS MATERIALIZED (
+         |  SELECT doc_id, is_train,
+         |         toks[i] || ' ' || toks[i + 1] AS bg,
+         |         toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, is_train, toks,
+         |               unnest(range(1, len(toks))) AS i
+         |        FROM d WHERE len(toks) >= 2)
+         |), bi AS MATERIALIZED (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS c2
+         |  FROM bgs WHERE is_train GROUP BY 1
+         |), pre AS MATERIALIZED (
+         |  SELECT string_split(bg, ' ')[1] AS w1,
+         |         CAST(sum(c2) AS BIGINT) AS cp,
+         |         CAST(count(*) AS BIGINT) AS n1p
+         |  FROM bi GROUP BY 1
+         |), cont AS MATERIALIZED (
+         |  SELECT string_split(bg, ' ')[2] AS w2,
+         |         CAST(count(*) AS BIGINT) AS nc
+         |  FROM bi GROUP BY 1
+         |), tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM bi),
+         |sc AS (
+         |  SELECT g.doc_id, a_num,
+         |         CASE WHEN cp IS NULL
+         |                THEN CAST(length(bin(v + 1)) AS BIGINT)
+         |              WHEN a_num > 0
+         |                THEN CAST(length(bin(2 * cp * t_types)) AS BIGINT)
+         |                     - CAST(length(bin(a_num)) AS BIGINT)
+         |              ELSE CAST(length(bin(2 * cp * t_types)) AS BIGINT) + 8
+         |         END AS surprise,
+         |         CASE WHEN c2 IS NULL AND cp IS NOT NULL AND a_num > 0
+         |              THEN 1 ELSE 0 END AS ni,
+         |         CASE WHEN cp IS NOT NULL AND a_num = 0
+         |              THEN 1 ELSE 0 END AS nz,
+         |         CASE WHEN cp IS NULL THEN 1 ELSE 0 END AS np
+         |  FROM (
+         |    SELECT g.doc_id, b.c2, p.cp,
+         |           CASE WHEN p.cp IS NOT NULL THEN
+         |             tt.t_types * (CASE WHEN b.c2 IS NOT NULL
+         |                                THEN 2 * b.c2 - 1 ELSE 0 END)
+         |             + p.n1p * coalesce(c.nc, 0)
+         |           END AS a_num,
+         |           tt.t_types
+         |    FROM bgs g
+         |    LEFT JOIN bi b ON g.bg = b.bg
+         |    LEFT JOIN pre p ON g.w1 = p.w1
+         |    LEFT JOIN cont c ON g.w2 = c.w2, tt
+         |  ) g, vs
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, sum(surprise) AS sb,
+         |         sum(ni) AS sni, sum(nz) AS snz, sum(np) AS snp
+         |  FROM sc GROUP BY 1
+         |)
+         |SELECT dd.doc_id, dd.is_train,
+         |       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       CAST(coalesce(a.sb, 0) AS BIGINT) AS surprise_bits,
+         |       CAST(coalesce(a.sni, 0) AS BIGINT) AS n_continuation,
+         |       CAST(coalesce(a.snz, 0) AS BIGINT) AS n_zero_mass,
+         |       CAST(coalesce(a.snp, 0) AS BIGINT) AS n_oov_prefix,
+         |       CASE WHEN coalesce(a.n_bigrams, 0) > 0
+         |            THEN ${ratioSql("a.sb", "a.n_bigrams")} END AS mean_bits
+         |FROM (SELECT doc_id, is_train FROM d) dd
+         |LEFT JOIN agg a ON dd.doc_id = a.doc_id
+         |ORDER BY dd.doc_id""".stripMargin,
     "q297_bigram_lm_perplexity" ->
       s"""WITH d AS MATERIALIZED (
          |  SELECT doc_id, $toksSql AS toks,

@@ -2427,6 +2427,77 @@ class OperatorPropertiesSpec extends SparkSpec {
       spark, mkOrders(Seq.fill(10)(500))).collect().isEmpty)
   }
 
+  test("q399 Kneser-Ney: JVM replay of the exact rational arms; held-out probes hit all four") {
+    // replicate the 'lm:' split in JVM (the q394 stance)
+    def isTrain(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lm:$id".getBytes("UTF-8"))
+      val hex = d.take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) * 2 < 16777216L
+    }
+    val ids = (1L to 12L)
+    val (trainIds, testIds) = ids.partition(isTrain)
+    assert(trainIds.nonEmpty && testIds.size >= 2)
+    // train docs share one text; the two probes exercise: seen bigram,
+    // continuation-smoothed unseen, zero-mass unseen, OOV prefix
+    val texts = trainIds.map(_ -> "a b a c a b").toMap ++
+      Map(testIds(0) -> "a b c a q", testIds(1) -> "q q") ++
+      testIds.drop(2).map(_ -> "a b a c a b").toMap
+    val dir = java.nio.file.Files.createTempDirectory("kn").toString
+    texts.toSeq.map { case (i, t) => (i, t, "en", "web", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // JVM replay: train tables, then the exact rational per bigram
+    def bigrams(t: String) = t.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+    val trainBgs = trainIds.toSeq.flatMap(i => bigrams(texts(i)))
+    val bi = trainBgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pre = bi.toSeq.groupBy(_._1.split(" ")(0))
+      .map { case (w, xs) => w -> (xs.map(_._2).sum, xs.size.toLong) }
+    val cont = bi.keys.toSeq.groupBy(_.split(" ")(1))
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val tT = bi.size.toLong
+    val vocab = trainIds.toSeq.flatMap(i => texts(i).split(" ")).distinct.size.toLong
+    def bits(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    def surprise(bg: String): Long = {
+      val Array(w1, w2) = bg.split(" ")
+      pre.get(w1) match {
+        case None => bits(vocab + 1)
+        case Some((cp, n1p)) =>
+          val a = tT * bi.get(bg).map(c => 2 * c - 1).getOrElse(0L) +
+            n1p * cont.getOrElse(w2, 0L)
+          if (a > 0) bits(2 * cp * tT) - bits(a) else bits(2 * cp * tT) + 8
+      }
+    }
+    val out = SparkEntry.queries("q399_bigram_kneser_ney")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    texts.foreach { case (i, t) =>
+      val bgs = bigrams(t)
+      val r = out(i)
+      assert(r.getAs[Boolean]("is_train") === isTrain(i), s"doc $i")
+      assert(r.getAs[Long]("n_bigrams") === bgs.size.toLong, s"doc $i")
+      assert(r.getAs[Long]("surprise_bits") === bgs.map(surprise).sum, s"doc $i")
+      assert(r.getAs[Double]("mean_bits") ===
+        bgs.map(surprise).sum.toDouble / bgs.size.toDouble, s"doc $i")
+    }
+    // the probe docs exercise every arm
+    val p1 = out(testIds(0))
+    assert(p1.getAs[Long]("n_continuation") === 1L) // "b c"
+    assert(p1.getAs[Long]("n_zero_mass") === 1L)    // "a q"
+    val p2 = out(testIds(1))
+    assert(p2.getAs[Long]("n_oov_prefix") === 1L)   // "q q"
+    assert(p2.getAs[Long]("surprise_bits") === bits(vocab + 1))
+    // held-out scores above train on the fixture (the overfitting gap,
+    // averaged — the reason the split exists)
+    val fx = SparkEntry.queries("q399_bigram_kneser_ney")(spark, sfDir)
+      .collect()
+    def meanOf(train: Boolean) = {
+      val rs = fx.filter(r => r.getAs[Boolean]("is_train") == train &&
+        r.getAs[Long]("n_bigrams") > 0)
+      rs.map(_.getAs[Double]("mean_bits")).sum / rs.length
+    }
+    assert(meanOf(false) > meanOf(true))
+  }
+
   test("q398 AR fit: JVM Yule-Walker replay is bitwise; persistent blocks select order >= 1") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("arfit").toString
