@@ -127,6 +127,29 @@ object LlmOps {
        |    FROM lmtoks t JOIN lmv v ON t.tok = v.tok, lmn GROUP BY 1)
        |)""".stripMargin
 
+  /** DuckDB twin of the 2-d [[jlProjected]] grid points — the q344
+    * projection replay sliced to j = 0, 1 plus the [[DbscanEps]] cell
+    * keys, ending in `pts(vec_id, y0, y1, cx, cy)`. ONE literal shared
+    * by the q345 and q400 oracles. */
+  private def jl2PtsSql: String =
+    s"""proj AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(range(0, 2), j ->
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(embedding, (x, i) ->
+       |          (CASE WHEN CAST(('0x' || substr(md5('jl:' ||
+       |                  CAST(i - 1 AS VARCHAR) || ':' ||
+       |                  CAST(j AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+       |                THEN 1.0 ELSE -1.0 END) * CAST(x AS DOUBLE))),
+       |        (a, v) -> a + v)) AS p
+       |  FROM embeddings
+       |), pts AS MATERIALIZED (
+       |  SELECT vec_id, p[1] AS y0, p[2] AS y1,
+       |         CAST(floor(p[1] / $DbscanEps) AS BIGINT) AS cx,
+       |         CAST(floor(p[2] / $DbscanEps) AS BIGINT) AS cy
+       |  FROM proj
+       |)""".stripMargin
+
   /** DuckDB twin of [[rulesKeepVotes]]: the q147 rule list reduced to
     * the per-doc keep vote, ending in `rulesvotes(doc_id, keep)`. */
   private def rulesKeepVoteSql: String =
@@ -6188,6 +6211,86 @@ object LlmOps {
     dbscanCensus(pts).orderBy($"cluster_id")
   }
 
+  /** Neighborhood size k for [[lofGridOutliers]] — LOF's stock small-k
+    * regime; 3 keeps the per-point state a 3-row fold. */
+  val LofK = 3
+
+  /** Squared k-distance ratio above which [[lofGridOutliers]] flags a
+    * point — ratio 4 ⇔ the point's k-distance is twice its neighbors'
+    * (LOF's "locally sparser than the neighborhood" reading). */
+  val LofFlagRatio = 4.0
+
+  /** Local-density outlier census (LOF-lite: the k-distance-ratio core
+    * of Breunig et al. 2000's LOF, public definition) over the q345
+    * grid — the LOCAL member the embedding-hygiene family lacks: q194
+    * z-scores against the GLOBAL distribution and q387 counts hub
+    * occurrences, but a point on a sparse shelf beside a dense cluster
+    * is only visible to a density RATIO. Per point: candidates from the
+    * [[DbscanEps]] 3×3 cell join (never all-pairs — the q345 stance),
+    * k-distance² = the [[LofK]]-th smallest squared distance with
+    * (d², vec_id) total-order ties, and the score kdist²(p) / mean of
+    * its k neighbors' kdist² — > [[LofFlagRatio]] flags the point. The
+    * mean folds the k neighbor values in ascending-rank order (fixed
+    * IEEE sequence); points with fewer than k in-window candidates, or
+    * any neighbor without a defined k-distance, keep NULL score and
+    * NULL flag (the "isolated cell" guard — undefined is not flagged).
+    * Scale: one projection scan, one cell-keyed candidate join whose
+    * per-cell occupancy q361 already audits, one ia-keyed rank window,
+    * one ≤k-row fold per point. */
+  def lofGridOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = jlProjected(s, dir, 2)
+      .select($"vec_id", element_at($"p", 1).as("y0"),
+        element_at($"p", 2).as("y1"))
+      .withColumn("cx", floor($"y0" / lit(DbscanEps)).cast("long"))
+      .withColumn("cy", floor($"y1" / lit(DbscanEps)).cast("long"))
+      .localCheckpoint(eager = false) // probe + build + output spine
+    val probe = pts
+      .select($"vec_id".as("ia"), $"y0".as("xa"), $"y1".as("ya"),
+        $"cx", $"cy")
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select($"ia", $"xa", $"ya",
+        ($"cx" + $"dx").as("gx"), ($"cy" + $"dy").as("gy"))
+    val build = pts.select($"vec_id".as("ib"), $"y0".as("xb"),
+      $"y1".as("yb"), $"cx".as("gx"), $"cy".as("gy"))
+    val ranked = probe.join(build, Seq("gx", "gy"))
+      .filter($"ia" =!= $"ib")
+      .select($"ia", $"ib",
+        (($"xa" - $"xb") * ($"xa" - $"xb") +
+          ($"ya" - $"yb") * ($"ya" - $"yb")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"ia").orderBy($"d2".asc, $"ib".asc)))
+      .filter($"rk" <= LofK)
+      .localCheckpoint(eager = false) // read by kdist AND the nbr join
+    val kd = ranked.groupBy($"ia")
+      .agg(count(lit(1)).as("n_nbr"),
+        max(when($"rk" === LofK, $"d2")).as("kdist2"))
+      .localCheckpoint(eager = false) // read by the score AND as nbr side
+    val nbrMean = ranked
+      .join(kd.select($"ia".as("ib"), $"kdist2".as("nkd")), Seq("ib"), "left")
+      .groupBy($"ia")
+      .agg(sort_array(collect_list(struct($"rk", $"nkd"))).as("xs"))
+      .select($"ia",
+        (aggregate($"xs", lit(0.0), (a, x) => a + x.getField("nkd")) /
+          lit(LofK.toDouble)).as("mean_nbr_kdist2"))
+    pts.select($"vec_id")
+      .join(kd.select($"ia".as("vec_id"), $"n_nbr", $"kdist2"),
+        Seq("vec_id"), "left")
+      .join(nbrMean.select($"ia".as("vec_id"), $"mean_nbr_kdist2"),
+        Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"n_nbr", lit(0L)).as("n_nbr"),
+        $"kdist2",
+        when($"n_nbr" === LofK.toLong, $"mean_nbr_kdist2")
+          .as("mean_nbr_kdist2"),
+        when($"n_nbr" === LofK.toLong && $"mean_nbr_kdist2" > 0.0,
+          $"kdist2" / $"mean_nbr_kdist2").as("lof_ratio"),
+        when($"n_nbr" === LofK.toLong && $"mean_nbr_kdist2" > 0.0,
+          $"kdist2" / $"mean_nbr_kdist2" > lit(LofFlagRatio))
+          .as("is_outlier"))
+      .orderBy($"vec_id")
+  }
+
   /** The grid-DBSCAN chain from candidate join to census, shared by
     * q345 (constant ε) and q361 (data-driven ε): expects
     * (vec_id, y0, y1, cx, cy, eps2) where cx/cy are the ε-grid cell of
@@ -6954,6 +7057,7 @@ object LlmOps {
     "q396_mcnemar_filter_ab" -> mcnemarFilterAb,
     "q397_fleiss_kappa_ensemble" -> fleissKappaEnsemble,
     "q399_bigram_kneser_ney" -> bigramKneserNey,
+    "q400_lof_grid_outliers" -> lofGridOutliers,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -7251,28 +7355,55 @@ object LlmOps {
          |SELECT qid, qlab AS label, n_rel_corpus, dcg, idcg, ndcg,
          |       n_queries, mean_ndcg
          |FROM nd, panelg ORDER BY qid""".stripMargin,
+    // the shared 2-d grid points, the q345 cell-keyed candidate join
+    // minus self-pairs, a (d², ib)-ordered rank window, and the
+    // ascending-rank neighbor fold (NULL neighbor kdists propagate —
+    // undefined is never flagged)
+    "q400_lof_grid_outliers" ->
+      s"""WITH $jl2PtsSql, cand AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |         (a.y0 - b.y0) * (a.y0 - b.y0)
+         |         + (a.y1 - b.y1) * (a.y1 - b.y1) AS d2
+         |  FROM (SELECT pts.*, dx, dy FROM pts,
+         |          (SELECT unnest([-1, 0, 1]) AS dx),
+         |          (SELECT unnest([-1, 0, 1]) AS dy)) a
+         |  JOIN pts b ON a.cx + a.dx = b.cx AND a.cy + a.dy = b.cy
+         |  WHERE a.vec_id <> b.vec_id
+         |), ranked AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT ia, ib, d2, row_number() OVER (
+         |      PARTITION BY ia ORDER BY d2 ASC, ib ASC) AS rk
+         |    FROM cand)
+         |  WHERE rk <= $LofK
+         |), kd AS MATERIALIZED (
+         |  SELECT ia, CAST(count(*) AS BIGINT) AS n_nbr,
+         |         max(CASE WHEN rk = $LofK THEN d2 END) AS kdist2
+         |  FROM ranked GROUP BY 1
+         |), nm AS (
+         |  SELECT r.ia,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(k2.kdist2 ORDER BY r.rk)), (a, b) -> a + b)
+         |           / ${LofK.toDouble} AS mnk
+         |  FROM ranked r LEFT JOIN kd k2 ON r.ib = k2.ia
+         |  GROUP BY 1
+         |)
+         |SELECT p.vec_id, coalesce(kd.n_nbr, 0) AS n_nbr, kd.kdist2,
+         |       CASE WHEN kd.n_nbr = $LofK THEN nm.mnk END
+         |         AS mean_nbr_kdist2,
+         |       CASE WHEN kd.n_nbr = $LofK AND nm.mnk > 0.0
+         |            THEN kd.kdist2 / nm.mnk END AS lof_ratio,
+         |       CASE WHEN kd.n_nbr = $LofK AND nm.mnk > 0.0
+         |            THEN kd.kdist2 / nm.mnk > $LofFlagRatio END AS is_outlier
+         |FROM pts p
+         |LEFT JOIN kd ON p.vec_id = kd.ia
+         |LEFT JOIN nm ON p.vec_id = nm.ia
+         |ORDER BY p.vec_id""".stripMargin,
     "q345_dbscan_grid" ->
       // 2-d slice of the q344 projection replay; components by
       // recursive-CTE reachability + min (the q76 oracle pattern), so
       // the hash compare proves pointer-jumped propagation ≡ the
       // definitional transitive closure
-      s"""WITH RECURSIVE proj AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(range(0, 2), j ->
-         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |        list_transform(embedding, (x, i) ->
-         |          (CASE WHEN CAST(('0x' || substr(md5('jl:'
-         |                  || CAST(i - 1 AS VARCHAR) || ':'
-         |                  || CAST(j AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
-         |                THEN 1.0 ELSE -1.0 END) * CAST(x AS DOUBLE))),
-         |        (a, v) -> a + v)) AS p
-         |  FROM embeddings
-         |), pts AS MATERIALIZED (
-         |  SELECT vec_id, p[1] AS y0, p[2] AS y1,
-         |         CAST(floor(p[1] / $DbscanEps) AS BIGINT) AS cx,
-         |         CAST(floor(p[2] / $DbscanEps) AS BIGINT) AS cy
-         |  FROM proj
-         |), nbr AS MATERIALIZED (
+      s"""WITH RECURSIVE $jl2PtsSql, nbr AS MATERIALIZED (
          |  SELECT a.vec_id AS ia, b.vec_id AS ib
          |  FROM (SELECT pts.*, dx, dy FROM pts,
          |          (SELECT unnest([-1, 0, 1]) AS dx),

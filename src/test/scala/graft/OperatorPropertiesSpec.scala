@@ -2427,6 +2427,48 @@ class OperatorPropertiesSpec extends SparkSpec {
       spark, mkOrders(Seq.fill(10)(500))).collect().isEmpty)
   }
 
+  test("q400 LOF: planted shelf point flags; dense cluster and isolated point do not") {
+    // single-hot embeddings project to (±c, ±c) with ONE md5-fixed sign
+    // per axis, so every pairwise distance is 2(Δc)² regardless of the
+    // sign draw — the geometry below is projection-proof
+    val rows = Seq(
+      (1L, 0.00f), (2L, 0.01f), (3L, 0.02f), (4L, 0.03f), // dense cluster
+      (5L, 0.25f),                                        // sparse shelf
+      (6L, 5.00f))                                        // isolated cell
+      .map { case (i, c) => (i, Seq(c, 0f, 0f, 0f), 0) }
+    val dir = java.nio.file.Files.createTempDirectory("lof").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q400_lof_grid_outliers")(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // the shelf point sits in an adjacent cell but ~10× farther from the
+    // cluster than the cluster spacing → ratio far above the flag line
+    assert(out(5L).getAs[Long]("n_nbr") === 3L)
+    assert(out(5L).getAs[Double]("lof_ratio") > 4.0)
+    assert(out(5L).getAs[Boolean]("is_outlier"))
+    // cluster members see each other at comparable k-distances
+    Seq(1L, 2L, 3L, 4L).foreach { i =>
+      assert(out(i).getAs[Long]("n_nbr") === 3L, s"vec $i")
+      assert(!out(i).getAs[Boolean]("is_outlier"), s"vec $i")
+    }
+    // the isolated point has NO in-window candidate: NULL score, NULL
+    // flag — undefined is never flagged (the isolated-cell guard)
+    assert(out(6L).getAs[Long]("n_nbr") === 0L)
+    assert(out(6L).isNullAt(out(6L).fieldIndex("kdist2")))
+    assert(out(6L).isNullAt(out(6L).fieldIndex("lof_ratio")))
+    assert(out(6L).isNullAt(out(6L).fieldIndex("is_outlier")))
+    // fixture: every defined score replays from its own row's columns
+    val fx = SparkEntry.queries("q400_lof_grid_outliers")(spark, sfDir)
+      .collect()
+    assert(fx.nonEmpty)
+    fx.filter(r => !r.isNullAt(r.fieldIndex("lof_ratio"))).foreach { r =>
+      assert(r.getAs[Double]("lof_ratio") ===
+        r.getAs[Double]("kdist2") / r.getAs[Double]("mean_nbr_kdist2"))
+      assert(r.getAs[Boolean]("is_outlier") ===
+        r.getAs[Double]("lof_ratio") > graft.queries.LlmOps.LofFlagRatio)
+    }
+  }
+
   test("q399 Kneser-Ney: JVM replay of the exact rational arms; held-out probes hit all four") {
     // replicate the 'lm:' split in JVM (the q394 stance)
     def isTrain(id: Long): Boolean = {
