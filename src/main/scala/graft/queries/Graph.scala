@@ -373,6 +373,62 @@ object Graph {
       .orderBy($"seed")
   }
 
+  /** Harmonic centrality from the [[seedPanel]] (Marchiori & Latora
+    * 2000; Boldi & Vigna 2014's preferred closeness variant, public
+    * definitions) — the PATH-based centrality the family lacks (q197
+    * PageRank and q338 HITS propagate VALUES; nothing yet prices
+    * DISTANCE): H(s) = Σ_{v≠s} 1/d(s,v), truncated at the q288 horizon
+    * d ≤ 3 (unreachable terms contribute 0 — exactly why harmonic,
+    * not classic closeness, survives disconnected graphs). EXACT
+    * arithmetic via the lcm(1..3) = 6 trick: 6·H = 6n₁ + 3n₂ + 2n₃
+    * over the per-hop first-visit counts — integers end-to-end, one
+    * shared divide at the end. Distances come from q288's layered BFS
+    * (each anti-joined layer IS the exact d = k set); the oracle
+    * instead min-folds hop tags over unrolled DISTINCT expansions —
+    * set semantics make first-visit layers ≡ min(hop) provably. A seed
+    * reaching nothing keeps zero counts and H = 0 (the left-join
+    * spine). Scale: q288's exact shape — K·|V| bounded layers over the
+    * pinned adjacency, one conditional-sum census. */
+  def harmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeAdjacency(s, dir)
+    val seeds = seedPanel(s, dir)
+    val seedLayer = seeds.select($"seed", $"seed".as("node"))
+    var layers = List((0, seedLayer))
+    (1 to 3).foreach { hop =>
+      val frontier = layers.head._2
+      val nextLazy = layers.map(_._2).foldLeft(
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("seed"), explode(col("dsts")).as("node"))
+          .distinct()) { (acc, layer) =>
+        acc.join(layer, Seq("seed", "node"), "left_anti")
+      }
+      val next =
+        if (hop < 3)
+          graft.operators.Pinned.checkpointAsIs(nextLazy, "seed", "node")
+        else nextLazy
+      layers ::= (hop, next)
+    }
+    val tagged = layers.filter(_._1 > 0).map { case (h, l) =>
+      l.select($"seed", lit(h.toLong).as("hop"))
+    }.reduce(_ unionAll _)
+    val cnt = tagged.groupBy($"seed").agg(
+      sum(when($"hop" === 1L, 1L).otherwise(0L)).as("n_hop1"),
+      sum(when($"hop" === 2L, 1L).otherwise(0L)).as("n_hop2"),
+      sum(when($"hop" === 3L, 1L).otherwise(0L)).as("n_hop3"))
+    seeds.join(cnt, Seq("seed"), "left")
+      .select($"seed",
+        coalesce($"n_hop1", lit(0L)).as("n_hop1"),
+        coalesce($"n_hop2", lit(0L)).as("n_hop2"),
+        coalesce($"n_hop3", lit(0L)).as("n_hop3"))
+      .withColumn("n_reachable", $"n_hop1" + $"n_hop2" + $"n_hop3")
+      .withColumn("h6",
+        lit(6L) * $"n_hop1" + lit(3L) * $"n_hop2" + lit(2L) * $"n_hop3")
+      .select(seedStr($"seed").as("seed"), $"n_hop1", $"n_hop2", $"n_hop3",
+        $"n_reachable", $"h6", ratio($"h6", lit(6L)).as("harmonic"))
+      .orderBy($"seed")
+  }
+
   private val BnInf = Long.MaxValue / 4 // exact BIGINT on both engines
 
   /** Widest-path (bottleneck) census — the VALUE-relaxation traversal
@@ -1041,6 +1097,7 @@ object Graph {
     "q319_partition_conductance" -> partitionConductance,
     "q202_triangle_census" -> triangleCensus,
     "q288_bfs_reachability" -> bfsReachability,
+    "q401_harmonic_centrality" -> harmonicCentrality,
     "q290_widest_path_census" -> widestPathCensus,
     "q291_reach_sketch_census" -> reachSketchCensus,
     "q294_label_propagation" -> labelPropagation,
@@ -1373,6 +1430,57 @@ object Graph {
          |WHERE node <> seed
          |GROUP BY 1
          |ORDER BY 1""".stripMargin,
+    // q288's unrolled DISTINCT hops with hop tags min-folded into the
+    // BFS distance (a walk of length d exists for every node at
+    // distance d, so min(hop) ≡ the layered first-visit), then the
+    // exact 6·H census
+    "q401_harmonic_centrality" ->
+      s"""WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), und AS MATERIALIZED (
+        |  SELECT src, dst FROM pairs
+        |  UNION ALL
+        |  SELECT dst AS src, src AS dst FROM pairs
+        |), seeds AS (
+        |  $SeedPanelSql
+        |), hop0 AS (SELECT seed, seed AS node FROM seeds),
+        |hop1 AS MATERIALIZED (
+        |  SELECT DISTINCT h.seed, e.dst AS node
+        |  FROM hop0 h JOIN und e ON h.node = e.src),
+        |hop2 AS MATERIALIZED (
+        |  SELECT DISTINCT h.seed, e.dst AS node
+        |  FROM hop1 h JOIN und e ON h.node = e.src),
+        |hop3 AS (
+        |  SELECT DISTINCT h.seed, e.dst AS node
+        |  FROM hop2 h JOIN und e ON h.node = e.src),
+        |dists AS (
+        |  SELECT seed, node, min(hop) AS d FROM (
+        |    SELECT seed, node, 1 AS hop FROM hop1
+        |    UNION ALL SELECT seed, node, 2 AS hop FROM hop2
+        |    UNION ALL SELECT seed, node, 3 AS hop FROM hop3)
+        |  WHERE node <> seed
+        |  GROUP BY 1, 2
+        |), cnt AS (
+        |  SELECT seed,
+        |         ${sumLongSql("CASE WHEN d = 1 THEN 1 ELSE 0 END")} AS n_hop1,
+        |         ${sumLongSql("CASE WHEN d = 2 THEN 1 ELSE 0 END")} AS n_hop2,
+        |         ${sumLongSql("CASE WHEN d = 3 THEN 1 ELSE 0 END")} AS n_hop3
+        |  FROM dists GROUP BY 1
+        |)
+        |SELECT s.seed,
+        |       coalesce(n_hop1, 0) AS n_hop1,
+        |       coalesce(n_hop2, 0) AS n_hop2,
+        |       coalesce(n_hop3, 0) AS n_hop3,
+        |       coalesce(n_hop1, 0) + coalesce(n_hop2, 0) + coalesce(n_hop3, 0)
+        |         AS n_reachable,
+        |       6 * coalesce(n_hop1, 0) + 3 * coalesce(n_hop2, 0)
+        |         + 2 * coalesce(n_hop3, 0) AS h6,
+        |       ${ratioSql(
+             "6 * coalesce(n_hop1, 0) + 3 * coalesce(n_hop2, 0) + 2 * coalesce(n_hop3, 0)",
+             "6")} AS harmonic
+        |FROM seeds s LEFT JOIN cnt ON s.seed = cnt.seed
+        |ORDER BY s.seed""".stripMargin,
     "q288_bfs_reachability" ->
       // unrolled DISTINCT hops ∪-folded: set semantics make this
       // provably identical to the Spark side's frontier-minus-visited

@@ -2427,6 +2427,52 @@ class OperatorPropertiesSpec extends SparkSpec {
       spark, mkOrders(Seq.fill(10)(500))).collect().isEmpty)
   }
 
+  test("q401 harmonic centrality: star-plus-spur closed form, exact sixths") {
+    // s1 – {c1, c2, c3}, s2 – c1 (the q338 graph): H(s1) = 3/1 + 1/2,
+    // H(s2) = 1/1 + 1/2 + 2/3 — every sixth exact by the 6·H integers
+    val dir = java.nio.file.Files.createTempDirectory("harm").toString
+    Seq(1L, 2L).toDF("s_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val pairs = Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 2L))
+    pairs.map { case (o, c, _) => (o, c) }.toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    pairs.map { case (o, _, sup) => (o, sup) }.toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q401_harmonic_centrality")(spark, dir)
+      .collect().map(r => r.getAs[String]("seed") -> r).toMap
+    assert(out.keySet === Set("s1", "s2"))
+    assert(out("s1").getAs[Long]("n_hop1") === 3L)
+    assert(out("s1").getAs[Long]("n_hop2") === 1L)
+    assert(out("s1").getAs[Long]("n_hop3") === 0L)
+    assert(out("s1").getAs[Long]("h6") === 21L)
+    assert(out("s1").getAs[Double]("harmonic") === 3.5)
+    assert(out("s2").getAs[Long]("n_hop1") === 1L)
+    assert(out("s2").getAs[Long]("n_hop2") === 1L)
+    assert(out("s2").getAs[Long]("n_hop3") === 2L)
+    assert(out("s2").getAs[Long]("h6") === 13L)
+    assert(out("s2").getAs[Double]("harmonic") === 13.0 / 6.0)
+    // an isolated seed keeps zero counts and H = 0 (the left-join spine)
+    val dir2 = java.nio.file.Files.createTempDirectory("harm0").toString
+    Seq(1L, 9L).toDF("s_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/supplier.parquet")
+    Seq((1L, 1L)).toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    Seq((1L, 1L)).toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/lineitem.parquet")
+    val iso = SparkEntry.queries("q401_harmonic_centrality")(spark, dir2)
+      .collect().map(r => r.getAs[String]("seed") -> r).toMap
+    assert(iso("s9").getAs[Long]("n_reachable") === 0L)
+    assert(iso("s9").getAs[Double]("harmonic") === 0.0)
+    // fixture: H and the q288 reach census agree on what is reachable
+    val fx = SparkEntry.queries("q401_harmonic_centrality")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("seed") ->
+        r.getAs[Long]("n_reachable")).toMap
+    val reach = SparkEntry.queries("q288_bfs_reachability")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("seed") ->
+        r.getAs[Long]("n_reachable_3hop")).toMap
+    assert(fx === reach)
+  }
+
   test("q400 LOF: planted shelf point flags; dense cluster and isolated point do not") {
     // single-hot embeddings project to (±c, ±c) with ONE md5-fixed sign
     // per axis, so every pairwise distance is 2(Δc)² regardless of the
