@@ -3601,6 +3601,51 @@ object LlmOps {
     per.crossJoin(broadcast(glob)).orderBy($"source")
   }
 
+  /** Cliff's delta (Cliff 1993, public definition) between the drift
+    * halves — the ORDINAL effect size beside q394's Cohen's d (d assumes
+    * interval scale and near-normality; δ = P(X>Y) − P(X<Y) is the
+    * dominance probability, exactly what a rank test like q365 is
+    * powered against, and the number to report with it): over the
+    * token-count VALUE census, δ = (Σ_{u>v} nav_u·nbv_v −
+    * Σ_{u<v} nav_u·nbv_v) / (n_a·n_b) — numerators folded exactly in
+    * decimal(38,0) over the census×census pairs (bounded by the value
+    * DOMAIN squared, the q376 stance — never doc×doc), surfaced as
+    * digit strings, δ as ONE shared divide, and the standard
+    * |δ| < 0.147 / 0.33 / 0.474 magnitude labels (Romano et al. 2006
+    * literals) as an identical CASE tree. An empty half leaves δ NULL
+    * and the label 'undefined'. Scale: one scan → bounded census →
+    * census² broadcast join → one row. */
+  def cliffsDeltaDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val census = Tables.documents(s, dir)
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .withColumn("in_a", driftHalfCol)
+      .groupBy($"ntok")
+      .agg(sum(when($"in_a", 1L).otherwise(0L)).as("nav"),
+        sum(when($"in_a", 0L).otherwise(1L)).as("nbv"))
+      .localCheckpoint(eager = false) // both pair sides + the totals
+    val tot = census.agg(sum($"nav").as("n_a"), sum($"nbv").as("n_b"))
+    val pairs = census
+      .crossJoin(broadcast(census.select($"ntok".as("vb"), $"nbv".as("nbvb"))))
+      .agg(
+        coalesce(sum(when($"ntok" > $"vb", $"nav".cast(d38) * $"nbvb")),
+          lit(BigDecimal(0)).cast(d38)).as("gt"),
+        coalesce(sum(when($"ntok" < $"vb", $"nav".cast(d38) * $"nbvb")),
+          lit(BigDecimal(0)).cast(d38)).as("lt"))
+    val delta = ($"gt" - $"lt").cast("double") /
+      ($"n_a".cast(d38) * $"n_b").cast("double")
+    val mag = when(abs(delta) < 0.147, "negligible")
+      .when(abs(delta) < 0.33, "small")
+      .when(abs(delta) < 0.474, "medium").otherwise("large")
+    pairs.crossJoin(broadcast(tot))
+      .select($"n_a", $"n_b",
+        $"gt".cast("string").as("gt_num"), $"lt".cast("string").as("lt_num"),
+        when($"n_a" > 0L && $"n_b" > 0L, delta).as("cliffs_delta"),
+        when($"n_a" > 0L && $"n_b" > 0L, mag).otherwise("undefined")
+          .as("magnitude"))
+  }
+
   def distributionDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
@@ -4075,6 +4120,87 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Per-lang frequency-of-frequencies census (freq r → f_r types),
+    * shared by q405 (Chao1) and q406 (Good–Turing): tokens group on
+    * (lang, 16-byte digest) — the q147 stance, text never shuffles —
+    * then the counts collapse to the vocabulary-bounded (lang, r, f_r)
+    * table. */
+  private def langFreqOfFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang", explode(TextOps.tokens($"text")).as("tok"))
+      .groupBy($"lang", md5($"tok").as("td"))
+      .agg(count(lit(1)).as("r"))
+      .groupBy($"lang", $"r")
+      .agg(count(lit(1)).as("fr"))
+  }
+
+  /** Chao1 species-richness estimate (Chao 1984, public definition)
+    * per language — the "how much vocabulary have we NOT seen yet"
+    * diagnostic that prices a crawl extension for tokenizer sizing,
+    * completing the vocabulary family (q370 measures observed growth;
+    * q388 effective diversity; Chao1 estimates the asymptote): from the
+    * frequency-of-frequencies census, Chao1 = D + f₁²/(2f₂), or the
+    * bias-corrected D + f₁(f₁−1)/2 when no doubletons exist — exact
+    * integer numerators (f₁² in decimal(38,0), VARCHAR-routed — past
+    * 2⁵³ near 10⁸ singleton types) over one shared divide, added to the
+    * exact D. Also rides f₁ = 0 ⇒ Chao1 = D exactly (a closed
+    * vocabulary estimates itself, spec-pinned). Scale: one token pass →
+    * (lang, digest) agg → the ≤|vocab| fof census → 4-cell moments per
+    * lang. */
+  def chao1Richness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val g = langFreqOfFreq(s, dir).groupBy($"lang").agg(
+      sum($"fr").as("n_types"),
+      sum($"r" * $"fr").as("n_tokens"),
+      sum(when($"r" === 1L, $"fr").otherwise(0L)).as("f1"),
+      sum(when($"r" === 2L, $"fr").otherwise(0L)).as("f2"))
+    g.select($"lang", $"n_tokens", $"n_types", $"f1", $"f2",
+      when($"f2" > 0L,
+        $"n_types".cast("double") +
+          ($"f1".cast(d38) * $"f1").cast("double") /
+            (lit(2L) * $"f2").cast("double"))
+        .otherwise($"n_types".cast("double") +
+          ($"f1".cast(d38) * ($"f1" - 1L)).cast("double") / lit(2.0))
+        .as("chao1"))
+      .orderBy($"lang")
+  }
+
+  /** Good–Turing unseen-mass census (Good 1953, public definition) per
+    * language — the probability a FRESH token is a type never seen in
+    * the corpus, P₀ = f₁/N (the quantity q399's Kneser–Ney reserves
+    * structurally; here it is measured directly), plus the smoothed
+    * count ladder r* = (r+1)·f_{r+1}/f_r for r = 1..4 — the adjusted
+    * counts a GT-smoothed LM would use, each ONE exact divide of census
+    * integers (NULL where f_r = 0 — no types to adjust). Output: one
+    * row per (lang, r) with the per-lang totals and unseen mass riding.
+    * Scale: the shared fof census → a ≤5-row explode per lang. */
+  def goodTuringMass(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fof = langFreqOfFreq(s, dir)
+      .localCheckpoint(eager = false) // read by totals AND the ladder
+    val tot = fof.groupBy($"lang").agg(
+      sum($"r" * $"fr").as("n_tokens"),
+      sum($"fr").as("n_types"),
+      sum(when($"r" === 1L, $"fr").otherwise(0L)).as("f1"))
+    val ladder = tot.select($"lang", explode(sequence(lit(1L), lit(4L)))
+      .as("r"))
+      .join(fof.select($"lang", $"r", $"fr"), Seq("lang", "r"), "left")
+      .join(fof.select($"lang", ($"r" - 1L).as("r"), $"fr".as("fr_next")),
+        Seq("lang", "r"), "left")
+      .select($"lang", $"r", coalesce($"fr", lit(0L)).as("f_r"),
+        coalesce($"fr_next", lit(0L)).as("f_r_next"))
+    ladder.join(tot, Seq("lang"))
+      .select($"lang", $"r", $"f_r", $"f_r_next",
+        $"n_tokens", $"n_types", $"f1",
+        when($"n_tokens" > 0L, ratio($"f1", $"n_tokens")).as("p0_unseen"),
+        when($"f_r" > 0L,
+          (($"r" + 1L) * $"f_r_next").cast("double") / $"f_r".cast("double"))
+          .as("r_star"))
+      .orderBy($"lang", $"r")
+  }
+
   /** Gopher-style rule-set quality gate — the named-rule form of document
     * filtering (q49 scores, q81 measures repetition; production curation
     * pipelines ship a RULE LIST with per-rule pass booleans and a reasons
@@ -4190,6 +4316,52 @@ object LlmOps {
       when(disc > 0L, chi2cc).as("chi2_cc"),
       coalesce(when(disc > 0L, chi2 > lit(Chi2Crit95.head)), lit(false))
         .as("filters_differ"))
+  }
+
+  /** Cochran's Q test (Cochran 1950, public definition) over the
+    * filter ensemble — the k-rater generalization of q396's McNemar
+    * (k = 2 discordance) and the INFERENCE companion to q397's Fleiss
+    * EFFECT SIZE: do the three shipped filters (q131/q147/q325) have
+    * the same marginal keep rate on the same documents, or is at least
+    * one systematically stricter? Q = (k−1)·(k·ΣG_j² − T²) /
+    * (k·ΣL_i − ΣL_i²) with G_j the per-rater keep totals and L_i the
+    * per-doc vote count — every moment an exact integer off ONE 6-cell
+    * agg over the joined votes (squares in decimal(38,0),
+    * VARCHAR-routed in the oracle), one shared divide, χ²(k−1 = 2)
+    * rejection at the [[Chi2Crit95]] literal. A fully unanimous corpus
+    * (every L_i ∈ {0, k}) zeroes the denominator — Q undefined, NULL
+    * and unflagged (spec-pinned on the q397 plant). Scale: the three
+    * vote chains meet in one doc_id join → one row. */
+  def cochranQFilters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val votes = Tables.documents(s, dir).select($"doc_id")
+      .join(lmKeepVotes(s, dir).withColumnRenamed("keep", "ka"),
+        Seq("doc_id"), "left")
+      .join(rulesKeepVotes(s, dir).withColumnRenamed("keep", "kr"),
+        Seq("doc_id"), "left")
+      .join(qfKeepVotes(s, dir).withColumnRenamed("keep", "kl"),
+        Seq("doc_id"), "left")
+      .select(coalesce($"ka", lit(false)).cast("long").as("va"),
+        coalesce($"kr", lit(false)).cast("long").as("vr"),
+        coalesce($"kl", lit(false)).cast("long").as("vl"))
+    val g = votes
+      .select($"va", $"vr", $"vl", ($"va" + $"vr" + $"vl").as("li"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"va").as("ga"), sum($"vr").as("gr"), sum($"vl").as("gl"),
+        sum($"li").as("t"), sum($"li" * $"li").as("l2"))
+    val qNum = lit(2L).cast(d38) *
+      (lit(3L).cast(d38) *
+        ($"ga".cast(d38) * $"ga" + $"gr".cast(d38) * $"gr" +
+          $"gl".cast(d38) * $"gl") - $"t".cast(d38) * $"t")
+    val qDen = lit(3L) * $"t" - $"l2"
+    g.select($"n_docs", $"ga".as("keeps_lm"), $"gr".as("keeps_rules"),
+      $"gl".as("keeps_learned"), $"t".as("sum_votes"),
+      when(qDen > 0L, qNum.cast("double") / qDen.cast("double"))
+        .as("chi2_cochran"),
+      coalesce(when(qDen > 0L,
+        qNum.cast("double") / qDen.cast("double") > lit(Chi2Crit95(1))),
+        lit(false)).as("raters_differ"))
   }
 
   /** Fleiss' kappa (Fleiss 1971, public definition) over the filter
@@ -7058,6 +7230,10 @@ object LlmOps {
     "q397_fleiss_kappa_ensemble" -> fleissKappaEnsemble,
     "q399_bigram_kneser_ney" -> bigramKneserNey,
     "q400_lof_grid_outliers" -> lofGridOutliers,
+    "q402_cochran_q_filters" -> cochranQFilters,
+    "q403_cliffs_delta_drift" -> cliffsDeltaDrift,
+    "q405_chao1_richness" -> chao1Richness,
+    "q406_good_turing_mass" -> goodTuringMass,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -8408,6 +8584,146 @@ object LlmOps {
          |           / CAST(n_a_only + n_b_only AS DOUBLE)
          |           > ${Chi2Crit95.head} END, FALSE) AS filters_differ
          |FROM g""".stripMargin,
+    // per-lang token counts → frequency-of-frequencies → exact
+    // Chao1 rational (f1² HUGEINT → VARCHAR under the gate)
+    "q405_chao1_richness" ->
+      s"""WITH cnts AS MATERIALIZED (
+         |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS r
+         |  FROM (SELECT lang, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1, 2
+         |), fof AS (
+         |  SELECT lang, r, CAST(count(*) AS BIGINT) AS fr
+         |  FROM cnts GROUP BY 1, 2
+         |), g AS (
+         |  SELECT lang,
+         |         ${sumLongSql("fr")} AS n_types,
+         |         ${sumLongSql("r * fr")} AS n_tokens,
+         |         ${sumLongSql("CASE WHEN r = 1 THEN fr ELSE 0 END")} AS f1,
+         |         ${sumLongSql("CASE WHEN r = 2 THEN fr ELSE 0 END")} AS f2
+         |  FROM fof GROUP BY 1
+         |)
+         |SELECT lang, n_tokens, n_types, f1, f2,
+         |       CASE WHEN f2 > 0 THEN
+         |         CAST(n_types AS DOUBLE)
+         |           + CAST(CAST(CAST(f1 AS HUGEINT) * f1 AS VARCHAR) AS DOUBLE)
+         |             / CAST(2 * f2 AS DOUBLE)
+         |       ELSE
+         |         CAST(n_types AS DOUBLE)
+         |           + CAST(CAST(CAST(f1 AS HUGEINT) * (f1 - 1) AS VARCHAR)
+         |                  AS DOUBLE) / 2.0
+         |       END AS chao1
+         |FROM g ORDER BY lang""".stripMargin,
+    // the same fof census → the r = 1..4 smoothed-count ladder, each
+    // r* one shared divide; P0 = f1/N rides per lang
+    "q406_good_turing_mass" ->
+      s"""WITH cnts AS MATERIALIZED (
+         |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS r
+         |  FROM (SELECT lang, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1, 2
+         |), fof AS MATERIALIZED (
+         |  SELECT lang, r, CAST(count(*) AS BIGINT) AS fr
+         |  FROM cnts GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT lang,
+         |         ${sumLongSql("r * fr")} AS n_tokens,
+         |         ${sumLongSql("fr")} AS n_types,
+         |         ${sumLongSql("CASE WHEN r = 1 THEN fr ELSE 0 END")} AS f1
+         |  FROM fof GROUP BY 1
+         |), ladder AS (
+         |  SELECT g.lang, g.r,
+         |         CAST(coalesce(a.fr, 0) AS BIGINT) AS f_r,
+         |         CAST(coalesce(b.fr, 0) AS BIGINT) AS f_r_next
+         |  FROM (SELECT t.lang, rr.r FROM tot t,
+         |          (SELECT unnest(range(1, 5)) AS r) rr) g
+         |  LEFT JOIN fof a ON a.lang = g.lang AND a.r = g.r
+         |  LEFT JOIN fof b ON b.lang = g.lang AND b.r = g.r + 1
+         |)
+         |SELECT l.lang, l.r, l.f_r, l.f_r_next,
+         |       t.n_tokens, t.n_types, t.f1,
+         |       CASE WHEN t.n_tokens > 0
+         |            THEN ${ratioSql("t.f1", "t.n_tokens")} END AS p0_unseen,
+         |       CASE WHEN l.f_r > 0
+         |            THEN CAST((l.r + 1) * l.f_r_next AS DOUBLE)
+         |                 / CAST(l.f_r AS DOUBLE) END AS r_star
+         |FROM ladder l JOIN tot t ON t.lang = l.lang
+         |ORDER BY l.lang, l.r""".stripMargin,
+    // the shared drift split → value census → census×census dominance
+    // fold in HUGEINT (VARCHAR-routed), one shared divide, the literal
+    // magnitude CASE tree
+    "q403_cliffs_delta_drift" -> {
+      val deltaExpr = "CAST(CAST(gt - lt AS VARCHAR) AS DOUBLE) " +
+        "/ CAST(CAST(CAST(n_a AS HUGEINT) * n_b AS VARCHAR) AS DOUBLE)"
+      s"""WITH census AS MATERIALIZED (
+         |  SELECT ntok,
+         |         ${sumLongSql("CASE WHEN in_a THEN 1 ELSE 0 END")} AS nav,
+         |         ${sumLongSql("CASE WHEN in_a THEN 0 ELSE 1 END")} AS nbv
+         |  FROM (
+         |    SELECT CAST(len($toksSql) AS BIGINT) AS ntok,
+         |           $driftHalfSql AS in_a
+         |    FROM documents)
+         |  GROUP BY 1
+         |), tot AS (
+         |  SELECT ${sumLongSql("nav")} AS n_a, ${sumLongSql("nbv")} AS n_b
+         |  FROM census
+         |), pr AS (
+         |  SELECT coalesce(sum(CASE WHEN a.ntok > b.ntok
+         |                  THEN CAST(a.nav AS HUGEINT) * b.nbv END),
+         |                  CAST(0 AS HUGEINT)) AS gt,
+         |         coalesce(sum(CASE WHEN a.ntok < b.ntok
+         |                  THEN CAST(a.nav AS HUGEINT) * b.nbv END),
+         |                  CAST(0 AS HUGEINT)) AS lt
+         |  FROM census a, census b
+         |)
+         |SELECT n_a, n_b,
+         |       CAST(gt AS VARCHAR) AS gt_num, CAST(lt AS VARCHAR) AS lt_num,
+         |       CASE WHEN n_a > 0 AND n_b > 0 THEN $deltaExpr END
+         |         AS cliffs_delta,
+         |       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |         CASE WHEN abs($deltaExpr) < 0.147 THEN 'negligible'
+         |              WHEN abs($deltaExpr) < 0.33 THEN 'small'
+         |              WHEN abs($deltaExpr) < 0.474 THEN 'medium'
+         |              ELSE 'large' END
+         |       ELSE 'undefined' END AS magnitude
+         |FROM pr, tot""".stripMargin
+    },
+    // the three shared vote fragments → ONE 6-cell moment agg → the
+    // shared Q divide (squares HUGEINT → VARCHAR under the gate)
+    "q402_cochran_q_filters" -> {
+      val qexpr = "CAST(CAST(2 * (3 * (CAST(ga AS HUGEINT) * ga " +
+        "+ CAST(gr AS HUGEINT) * gr + CAST(gl AS HUGEINT) * gl) " +
+        "- CAST(t AS HUGEINT) * t) AS VARCHAR) AS DOUBLE) " +
+        "/ CAST(3 * t - l2 AS DOUBLE)"
+      s"""WITH $qfPerDocSql,
+         |qfvotes AS (
+         |  SELECT doc_id, score_bits * tnb > ts * nb AS keep
+         |  FROM perdoc, calib
+         |),
+         |$lmKeepVoteSql,
+         |$rulesKeepVoteSql,
+         |v AS (
+         |  SELECT CASE WHEN coalesce(a.keep, FALSE) THEN 1 ELSE 0 END AS va,
+         |         CASE WHEN coalesce(r.keep, FALSE) THEN 1 ELSE 0 END AS vr,
+         |         CASE WHEN coalesce(q.keep, FALSE) THEN 1 ELSE 0 END AS vl
+         |  FROM (SELECT doc_id FROM documents) d
+         |  LEFT JOIN lmvotes a USING (doc_id)
+         |  LEFT JOIN rulesvotes r USING (doc_id)
+         |  LEFT JOIN qfvotes q USING (doc_id)
+         |), g AS (
+         |  SELECT count(*) AS n_docs,
+         |         ${sumLongSql("va")} AS ga, ${sumLongSql("vr")} AS gr,
+         |         ${sumLongSql("vl")} AS gl,
+         |         ${sumLongSql("va + vr + vl")} AS t,
+         |         ${sumLongSql("(va + vr + vl) * (va + vr + vl)")} AS l2
+         |  FROM v
+         |)
+         |SELECT n_docs, ga AS keeps_lm, gr AS keeps_rules,
+         |       gl AS keeps_learned, t AS sum_votes,
+         |       CASE WHEN 3 * t - l2 > 0 THEN $qexpr END AS chi2_cochran,
+         |       coalesce(CASE WHEN 3 * t - l2 > 0
+         |                THEN $qexpr > ${Chi2Crit95(1)} END, FALSE)
+         |         AS raters_differ
+         |FROM g""".stripMargin
+    },
     // all three shared vote fragments → k-vote census → exact
     // cleared-denominator kappa (HUGEINT → VARCHAR under the gate)
     "q397_fleiss_kappa_ensemble" ->

@@ -1189,18 +1189,27 @@ object TimeSeries {
     * (pinned); pairs are a broadcast inequality self-join of that
     * census (SF-invariant row count); the sort lives in one
     * domain-bounded array row. */
-  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+  /** The last-[[TheilSenWindowDays]] daily revenue census (day, rev,
+    * anchor), pinned — shared by q341's slope estimate and q404's
+    * Mann–Kendall test so the estimator and its test read the SAME
+    * window. The window keeps the pair census C(365,2) SF-invariant. */
+  private def windowedDaily(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val mx = Tables.orders(s, dir)
       .agg(max(to_date($"o_orderdate")).as("mday"))
-    val daily = Tables.orders(s, dir)
+    Tables.orders(s, dir)
       .crossJoin(broadcast(mx))
       .filter(to_date($"o_orderdate") >=
         date_sub($"mday", TheilSenWindowDays - 1))
       .groupBy(to_date($"o_orderdate").as("day"))
       .agg(sum(cents($"o_totalprice")).as("rev"),
         max(date_sub($"mday", TheilSenWindowDays - 1)).as("anchor"))
-      .localCheckpoint(eager = false) // read by both pair sides + residuals
+      .localCheckpoint(eager = false) // read by pair sides + residuals
+  }
+
+  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = windowedDaily(s, dir)
     def lowerMedian(df: DataFrame, c: String, m: String, n: String): DataFrame =
       df.agg(sort_array(collect_list(col(c))).as("xs"))
         .select(
@@ -1227,6 +1236,51 @@ object TimeSeries {
       // — DuckDB's list() over zero rows is NULL where Spark's
       // collect_list is [], so the 0-vs-NULL row would hash-diverge
       .filter($"n_pairs" > 0L)
+  }
+
+  /** Mann–Kendall trend test (Mann 1945 / Kendall, public definition)
+    * over the q341 window — the SIGNIFICANCE companion to Theil–Sen
+    * (q341 estimates the robust slope; MK says whether a monotone trend
+    * exists at all, distribution-free): S = Σ_{i<j} sgn(x_j − x_i) over
+    * the time-ordered daily census — exact integers off the SAME
+    * bounded pair join as q341 — with the tie-corrected variance
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (exact longs; the
+    * 365-day window bounds the cubic at ~10⁸) and the
+    * continuity-corrected z = (S∓1)/√(Var) as one fixed IEEE tree,
+    * flagged at the [[graft.queries.LlmOps.MwCritAlpha05]] normal
+    * line. All-tied windows (Var = 0) keep z NULL and the flag false;
+    * windows under 2 days emit zero rows (the q341 contract). Scale:
+    * one windowed grouped sum → C(365,2)-bounded broadcast pair join →
+    * one row. */
+  def mannKendallTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = windowedDaily(s, dir)
+    val nd = daily.agg(count(lit(1)).as("n"))
+    val sp = daily.select($"day".as("da"), $"rev".as("ra"))
+      .join(broadcast(daily.select($"day".as("db"), $"rev".as("rb"))),
+        $"da" < $"db")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when($"rb" > $"ra", 1L).when($"rb" < $"ra", -1L)
+          .otherwise(0L)), lit(0L)).as("s_stat"))
+    val tie = daily.groupBy($"rev").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)),
+        lit(0L)).as("tie_term"))
+    val g = nd.crossJoin(broadcast(sp)).crossJoin(broadcast(tie))
+      .select($"n", $"n_pairs", $"s_stat",
+        ($"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L) - $"tie_term")
+          .as("var18"))
+    val sd = sqrt($"var18".cast("double") / lit(18.0))
+    val z = when($"s_stat" > 0L, ($"s_stat" - 1L).cast("double") / sd)
+      .when($"s_stat" < 0L, ($"s_stat" + 1L).cast("double") / sd)
+      .otherwise(lit(0.0))
+    g.filter($"n" >= 2L)
+      .select($"n".as("n_days"), $"n_pairs", $"s_stat", $"var18",
+        when($"var18" > 0L, z).as("z_mk"),
+        coalesce(when($"var18" > 0L,
+          abs(z) > lit(graft.queries.LlmOps.MwCritAlpha05)), lit(false))
+          .as("trending"),
+        when($"s_stat" > 0L, "increasing").when($"s_stat" < 0L, "decreasing")
+          .otherwise("none").as("direction"))
   }
 
   /** Holt's linear (double-exponential) smoothing — the trend-aware
@@ -1910,6 +1964,7 @@ object TimeSeries {
     "q383_ljung_box" -> ljungBox,
     "q385_forecast_skill" -> forecastSkill,
     "q398_ar_fit_backtest" -> arFitBacktest,
+    "q404_mann_kendall" -> mannKendallTrend,
     "q386_ccf_revenue_orders" -> ccfRevenueOrders,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
@@ -2154,6 +2209,46 @@ object TimeSeries {
          |       CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * ssum > $LbCrit
          |         AS autocorrelated
          |FROM rs WHERE n_lags = $AcfMaxLag""".stripMargin,
+    // the q341 window, the same bounded pair join with a sign fold,
+    // the exact tie-corrected variance, one continuity-corrected z
+    "q404_mann_kendall" -> {
+      val zExpr = "CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) " +
+        "/ sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+        "WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) " +
+        "/ sqrt(CAST(var18 AS DOUBLE) / 18.0) ELSE 0.0 END"
+      s"""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mday FROM orders),
+         |daily AS MATERIALIZED (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS rev
+         |  FROM orders, mx
+         |  WHERE CAST(o_orderdate AS DATE) >= mday - ${TheilSenWindowDays - 1}
+         |  GROUP BY 1
+         |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+         |sp AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(coalesce(${sumLongSql(
+               "CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1 ELSE 0 END")}, 0)
+         |           AS BIGINT) AS s_stat
+         |  FROM daily a JOIN daily b ON a.day < b.day
+         |), tie AS (
+         |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+         |           AS tie_term
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY rev)
+         |), g AS (
+         |  SELECT n, n_pairs, s_stat,
+         |         n * (n - 1) * (2 * n + 5) - tie_term AS var18
+         |  FROM nd, sp, tie
+         |)
+         |SELECT n AS n_days, n_pairs, s_stat, var18,
+         |       CASE WHEN var18 > 0 THEN $zExpr END AS z_mk,
+         |       coalesce(CASE WHEN var18 > 0
+         |                THEN abs($zExpr) > ${graft.queries.LlmOps.MwCritAlpha05} END,
+         |                FALSE) AS trending,
+         |       CASE WHEN s_stat > 0 THEN 'increasing'
+         |            WHEN s_stat < 0 THEN 'decreasing'
+         |            ELSE 'none' END AS direction
+         |FROM g WHERE n >= 2""".stripMargin
+    },
     // the q369 chain, q378's DL recursion keeping every k row, a
     // max(k) order pick, and a linear one-step backtest recursion; the
     // inner yhat sum runs all 7 j-slots with the j ≤ ord gate and a

@@ -2427,6 +2427,135 @@ class OperatorPropertiesSpec extends SparkSpec {
       spark, mkOrders(Seq.fill(10)(500))).collect().isEmpty)
   }
 
+  test("q402 Cochran Q: one discordant rater pins Q = 2; unanimity NULLs the test") {
+    // single good doc: q131 and q147 keep, q325 drops (a lone doc never
+    // strictly beats its own average) → G = (1,1,0), T = 2, ΣL² = 4,
+    // Q = 2·(3·2 − 4)/(3·2 − 4) = 2 exactly, under the χ²(2) line
+    val one = java.nio.file.Files.createTempDirectory("cq1").toString
+    Seq((1L, ((1 to 10).flatMap(i => Seq.fill(8)(f"alph$i%01d")) ++
+      Seq("the", "a")).mkString(" "), "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$one/documents.parquet")
+    val r = SparkEntry.queries("q402_cochran_q_filters")(spark, one).collect()(0)
+    assert(r.getAs[Long]("keeps_lm") === 1L)
+    assert(r.getAs[Long]("keeps_rules") === 1L)
+    assert(r.getAs[Long]("keeps_learned") === 0L)
+    assert(r.getAs[Double]("chi2_cochran") === 2.0)
+    assert(!r.getAs[Boolean]("raters_differ"))
+    // every doc unanimous (the q397 plant) → denominator 0 → undefined
+    val u = SparkEntry.queries("q402_cochran_q_filters")(
+      spark, mixedVoteFixture()).collect()(0)
+    assert(u.isNullAt(u.fieldIndex("chi2_cochran")))
+    assert(!u.getAs[Boolean]("raters_differ"))
+    // fixture: marginals bound the vote total
+    val fx = SparkEntry.queries("q402_cochran_q_filters")(spark, sfDir)
+      .collect()(0)
+    assert(fx.getAs[Long]("sum_votes") === fx.getAs[Long]("keeps_lm") +
+      fx.getAs[Long]("keeps_rules") + fx.getAs[Long]("keeps_learned"))
+  }
+
+  test("q403 Cliff's delta: JVM census replay is bitwise; one-sided corpus undefined") {
+    def inA(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"drift:$id".getBytes("UTF-8"))
+      val hex = d.take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) * 2 < 16777216L
+    }
+    val ntoks = (1L to 120L).map(i => i -> (5 + (i * 13 % 37)).toInt)
+    val dir = java.nio.file.Files.createTempDirectory("cliff").toString
+    ntoks.map { case (i, n) =>
+      (i, Seq.fill(n)("w").mkString(" "), "en", "web", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (a, b) = ntoks.partition { case (i, _) => inA(i) }
+    var gt = BigInt(0); var lt = BigInt(0)
+    for ((_, x) <- a; (_, y) <- b) {
+      if (x > y) gt += 1 else if (x < y) lt += 1
+    }
+    val expect = (gt - lt).doubleValue /
+      (BigInt(a.size) * BigInt(b.size)).doubleValue
+    val r = SparkEntry.queries("q403_cliffs_delta_drift")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") === a.size.toLong)
+    assert(r.getAs[String]("gt_num") === gt.toString)
+    assert(r.getAs[String]("lt_num") === lt.toString)
+    assert(r.getAs[Double]("cliffs_delta") === expect)
+    // one-sided corpus: mine ids landing in half A only → δ undefined
+    val aIds = (1L to 400L).filter(inA).take(5)
+    val dir2 = java.nio.file.Files.createTempDirectory("cliff0").toString
+    aIds.map(i => (i, "w w w", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val z = SparkEntry.queries("q403_cliffs_delta_drift")(spark, dir2)
+      .collect()(0)
+    assert(z.getAs[Long]("n_b") === 0L)
+    assert(z.isNullAt(z.fieldIndex("cliffs_delta")))
+    assert(z.getAs[String]("magnitude") === "undefined")
+  }
+
+  test("q404 Mann-Kendall: monotone series pins S = C(n,2); constant series undefined") {
+    def mkOrders(cents: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("mk").toString
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1, f"2000-01-${i + 1}%02d", c / 100.0)
+      }.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"),
+          $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // strictly increasing 10 days: S = 45, no ties → 18Var = n(n−1)(2n+5)
+    val up = SparkEntry.queries("q404_mann_kendall")(
+      spark, mkOrders((1 to 10).map(_ * 100))).collect()(0)
+    assert(up.getAs[Long]("n_days") === 10L)
+    assert(up.getAs[Long]("s_stat") === 45L)
+    assert(up.getAs[Long]("var18") === 10L * 9L * 25L)
+    assert(up.getAs[Double]("z_mk") ===
+      44.0 / math.sqrt(10.0 * 9.0 * 25.0 / 18.0))
+    assert(up.getAs[Boolean]("trending"))
+    assert(up.getAs[String]("direction") === "increasing")
+    // constant series: S = 0 and the tie term consumes the variance
+    val ct = SparkEntry.queries("q404_mann_kendall")(
+      spark, mkOrders(Seq.fill(8)(500))).collect()(0)
+    assert(ct.getAs[Long]("s_stat") === 0L)
+    assert(ct.getAs[Long]("var18") === 0L)
+    assert(ct.isNullAt(ct.fieldIndex("z_mk")))
+    assert(!ct.getAs[Boolean]("trending"))
+    assert(ct.getAs[String]("direction") === "none")
+    // the estimator/test pair reads the same window: n_pairs matches q341
+    val mk = SparkEntry.queries("q404_mann_kendall")(spark, sfDir).collect()(0)
+    val ts = SparkEntry.queries("q341_theil_sen_trend")(spark, sfDir).collect()(0)
+    assert(mk.getAs[Long]("n_pairs") === ts.getAs[Long]("n_pairs"))
+  }
+
+  test("q405/q406 vocabulary tail: closed-form Chao1 and Good-Turing ladder") {
+    val dir = java.nio.file.Files.createTempDirectory("chao").toString
+    Seq((1L, "a a b b c", "aa", "web", 0L),
+      (2L, "x y", "bb", "web", 0L),
+      (3L, "z z", "cc", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ch = SparkEntry.queries("q405_chao1_richness")(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    // aa: D=3, f1=1, f2=2 → 3 + 1/4; bb: f2=0 bias-corrected 2 + 1;
+    // cc: f1=0 → Chao1 = D exactly (closed vocabulary)
+    assert(ch("aa").getAs[Double]("chao1") === 3.25)
+    assert(ch("bb").getAs[Double]("chao1") === 3.0)
+    assert(ch("cc").getAs[Double]("chao1") === 1.0)
+    val gt = SparkEntry.queries("q406_good_turing_mass")(spark, dir)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("r")) -> r)
+      .toMap
+    assert(gt(("aa", 1L)).getAs[Double]("p0_unseen") === 0.2)
+    assert(gt(("aa", 1L)).getAs[Double]("r_star") === 4.0) // 2·f2/f1
+    assert(gt(("aa", 2L)).getAs[Double]("r_star") === 0.0) // f3 = 0
+    assert(gt(("aa", 3L)).isNullAt(gt(("aa", 3L)).fieldIndex("r_star")))
+    assert(gt(("cc", 1L)).getAs[Double]("p0_unseen") === 0.0)
+    // Chao1 lower bound: never below the observed type count (fixture)
+    val fx = SparkEntry.queries("q405_chao1_richness")(spark, sfDir).collect()
+    assert(fx.nonEmpty && fx.forall(r =>
+      r.getAs[Double]("chao1") >= r.getAs[Long]("n_types").toDouble))
+  }
+
   test("q401 harmonic centrality: star-plus-spur closed form, exact sixths") {
     // s1 – {c1, c2, c3}, s2 – c1 (the q338 graph): H(s1) = 3/1 + 1/2,
     // H(s2) = 1/1 + 1/2 + 2/3 — every sixth exact by the 6·H integers
