@@ -2159,6 +2159,65 @@ object Aggregates {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Partial correlation census (the classical first-order recursion,
+    * public definition) — the CONFOUNDER-controlled member the
+    * association family lacks: q195/q375 report pairwise r, but
+    * "quantity drives revenue" is only meaningful once the discount's
+    * shared influence is projected out — r_xy·z = (r_xy − r_xz·r_yz) /
+    * (√(1−r_xz²)·√(1−r_yz²)). Per return flag over (x = quantity,
+    * y = price cents, z = discount cents): ONE 10-cell exact moment agg
+    * (sums and cross-products in decimal(38,0) — Σxy ≤ n·x_max·y_max
+    * holds past 10¹⁵ rows), each pairwise r the q375 two-sqrt tree
+    * (VARCHAR-routed in the oracle), the partial one fixed tree on
+    * top. NULL on any zero variance or a |r·z| = 1 degenerate control.
+    * Scale: one scan → 10 cells per flag, corpus-size-free. */
+  def partialCorrelation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val b = Tables.lineitem(s, dir).select(
+      $"l_returnflag",
+      $"l_quantity".cast("long").as("x"),
+      cents($"l_extendedprice").as("y"),
+      cents($"l_discount").as("z"))
+    val m = b.groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast(d38)).as("sx"), sum($"y".cast(d38)).as("sy"),
+      sum($"z".cast(d38)).as("sz"),
+      sum($"x".cast(d38) * $"x").as("sxx"),
+      sum($"y".cast(d38) * $"y").as("syy"),
+      sum($"z".cast(d38) * $"z").as("szz"),
+      sum($"x".cast(d38) * $"y").as("sxy"),
+      sum($"x".cast(d38) * $"z").as("sxz"),
+      sum($"y".cast(d38) * $"z").as("syz"))
+    def dv(aa: Column, a: Column) = ($"n".cast(d38) * aa - a * a)
+    def rr(ab: Column, a: Column, b2: Column, daa: Column, dbb: Column) =
+      ($"n".cast(d38) * ab - a * b2).cast("double") /
+        (sqrt(daa.cast("double")) * sqrt(dbb.cast("double")))
+    val (dxx, dyy, dzz) =
+      (dv($"sxx", $"sx"), dv($"syy", $"sy"), dv($"szz", $"sz"))
+    val rxy = rr($"sxy", $"sx", $"sy", dxx, dyy)
+    val rxz = rr($"sxz", $"sx", $"sz", dxx, dzz)
+    val ryz = rr($"syz", $"sy", $"sz", dyy, dzz)
+    // the r divisions live ONLY inside when() BRANCHES: a when CONDITION
+    // evaluates on every row, and ANSI arithmetic inside it would throw
+    // on a zero-variance corpus before the guard could skip the branch —
+    // so the partial is built from the already-guarded r columns
+    val guard = dxx > 0 && dyy > 0 && dzz > 0
+    m.select($"l_returnflag", $"n",
+      when(guard, rxy).as("r_xy"),
+      when(guard, rxz).as("r_xz"),
+      when(guard, ryz).as("r_yz"))
+      .select($"l_returnflag", $"n", $"r_xy", $"r_xz", $"r_yz",
+        when($"r_xy".isNotNull &&
+          lit(1.0) - $"r_xz" * $"r_xz" > 0.0 &&
+          lit(1.0) - $"r_yz" * $"r_yz" > 0.0,
+          ($"r_xy" - $"r_xz" * $"r_yz") /
+            (sqrt(lit(1.0) - $"r_xz" * $"r_xz") *
+              sqrt(lit(1.0) - $"r_yz" * $"r_yz")))
+          .as("r_xy_given_z"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Spearman rank correlation census (Spearman 1904, public
     * description) with the Pearson contrast riding alongside — q195
     * stops at Pearson, which only sees LINEAR association; Spearman is
@@ -2376,6 +2435,7 @@ object Aggregates {
     "q289_fd_discovery" -> fdDiscovery,
     "q375_spearman_census" -> spearmanCensus,
     "q376_kendall_tau" -> kendallTau,
+    "q410_partial_correlation" -> partialCorrelation,
     "q389_robust_mean_census" -> robustMeanCensus,
     "q384_gini_concentration" -> giniConcentration,
     "q280_discount_elasticity" -> discountElasticity,
@@ -2542,6 +2602,49 @@ object Aggregates {
          |         CAST(top_cents AS DOUBLE) / CAST(s AS DOUBLE)
          |       END AS top_decile_share
          |FROM g, topc""".stripMargin,
+    // one 10-cell exact moment agg per flag; every r is the q375
+    // two-sqrt tree (VARCHAR-routed), the partial one fixed tree on top
+    "q410_partial_correlation" -> {
+      def dSql(a: String) = s"CAST(CAST(CAST(n AS HUGEINT) * s$a$a " +
+        s"- s$a * s$a AS VARCHAR) AS DOUBLE)"
+      def rSql(a: String, b: String) =
+        s"(CAST(CAST(CAST(n AS HUGEINT) * s$a$b - s$a * s$b AS VARCHAR) " +
+          s"AS DOUBLE) / (sqrt(${dSql(a)}) * sqrt(${dSql(b)})))"
+      val guard = "CAST(n AS HUGEINT) * sxx - sx * sx > 0 " +
+        "AND CAST(n AS HUGEINT) * syy - sy * sy > 0 " +
+        "AND CAST(n AS HUGEINT) * szz - sz * sz > 0"
+      val pGuard = s"$guard AND 1.0 - ${rSql("x", "z")} * ${rSql("x", "z")} > 0.0 " +
+        s"AND 1.0 - ${rSql("y", "z")} * ${rSql("y", "z")} > 0.0"
+      s"""WITH b AS (
+         |  SELECT l_returnflag,
+         |         CAST(l_quantity AS BIGINT) AS x,
+         |         ${centsSql("l_extendedprice")} AS y,
+         |         ${centsSql("l_discount")} AS z
+         |  FROM lineitem
+         |), m AS (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS HUGEINT) AS sx,
+         |         CAST(sum(y) AS HUGEINT) AS sy,
+         |         CAST(sum(z) AS HUGEINT) AS sz,
+         |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         |         CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+         |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         |         CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+         |         CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+         |  FROM b GROUP BY 1
+         |)
+         |SELECT l_returnflag, n,
+         |       CASE WHEN $guard THEN ${rSql("x", "y")} END AS r_xy,
+         |       CASE WHEN $guard THEN ${rSql("x", "z")} END AS r_xz,
+         |       CASE WHEN $guard THEN ${rSql("y", "z")} END AS r_yz,
+         |       CASE WHEN $pGuard THEN
+         |         (${rSql("x", "y")} - ${rSql("x", "z")} * ${rSql("y", "z")})
+         |           / (sqrt(1.0 - ${rSql("x", "z")} * ${rSql("x", "z")})
+         |              * sqrt(1.0 - ${rSql("y", "z")} * ${rSql("y", "z")}))
+         |       END AS r_xy_given_z
+         |FROM m ORDER BY l_returnflag""".stripMargin
+    },
     "q375_spearman_census" ->
       s"""WITH $rankCellsSql,
          |qm AS (

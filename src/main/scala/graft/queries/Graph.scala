@@ -429,6 +429,62 @@ object Graph {
       .orderBy($"seed")
   }
 
+  /** Link-prediction census over the [[seedPanel]] pairs (public
+    * common-neighbors / Jaccard / preferential-attachment / resource-
+    * allocation scores — Liben-Nowell & Kleinberg 2003, Zhou et al.
+    * 2009): "which two suppliers that DON'T trade through the same
+    * books yet look like they should" — the recommendation question
+    * beside the family's centralities. Per unordered panel pair (the
+    * K(K−1)/2 spine is FIXED-size): |Γa∩Γb| and degrees exact off the
+    * pinned adjacency; Jaccard = ∩/(da+db−∩) one shared divide;
+    * PA = da·db exact; RA = Σ_{w∈∩} 1/deg(w) with 1/deg QUANTIZED
+    * DYADICALLY as 2^(1−bits(deg)) — every term an exact power of two,
+    * so the float SUM is exact and order-independent (exponent span ≤
+    * bits(deg_max)+bits(K·deg) ≪ 53; the trick that makes a
+    * shuffle-summed float lawful). Pairs are ORDERED on the NUMERIC
+    * seed id (the string form 's10' < 's2' would disagree between
+    * engines); output keys are the display strings. Scale: K·deg
+    * neighbor rows, one keyed self-join bounded by Σ_w (panel-adj
+    * choose 2), a K²-row spine. */
+  def linkPredictionCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeAdjacency(s, dir)
+    val seeds = seedPanel(s, dir)
+    val custDeg = edges.select($"src".as("nbr"),
+      size($"dsts").cast("long").as("degw"))
+    val nbrs = seeds.join(edges, seeds("seed") === edges("src"))
+      .select($"seed", explode($"dsts").as("nbr"))
+      .join(custDeg, Seq("nbr")) // (seed, nbr, degw); K·deg rows
+      .localCheckpoint(eager = false) // both pair sides
+    val deg = seeds.join(edges, seeds("seed") === edges("src"))
+      .select($"seed", size($"dsts").cast("long").as("deg"))
+    val raTerm = ratio(lit(1L),
+      expr("shiftleft(cast(1 as bigint), cast(length(bin(degw)) as int) - 1)"))
+    val common = nbrs.select($"seed".as("sa"), $"nbr", $"degw")
+      .join(nbrs.select($"seed".as("sb"), $"nbr"), Seq("nbr"))
+      .filter($"sa" < $"sb")
+      .groupBy($"sa", $"sb")
+      .agg(count(lit(1)).as("n_common"), sum(raTerm).as("ra"))
+    val spine = seeds.select($"seed".as("sa"))
+      .crossJoin(broadcast(seeds.select($"seed".as("sb"))))
+      .filter($"sa" < $"sb")
+    spine
+      .join(common, Seq("sa", "sb"), "left")
+      .join(deg.select($"seed".as("sa"), $"deg".as("da")), Seq("sa"), "left")
+      .join(deg.select($"seed".as("sb"), $"deg".as("db")), Seq("sb"), "left")
+      .select(seedStr($"sa").as("seed_a"), seedStr($"sb").as("seed_b"),
+        coalesce($"da", lit(0L)).as("deg_a"),
+        coalesce($"db", lit(0L)).as("deg_b"),
+        coalesce($"n_common", lit(0L)).as("n_common"),
+        coalesce($"ra", lit(0.0)).as("ra_dyadic"))
+      .withColumn("n_union", $"deg_a" + $"deg_b" - $"n_common")
+      .select($"seed_a", $"seed_b", $"deg_a", $"deg_b", $"n_common",
+        $"n_union",
+        when($"n_union" > 0L, ratio($"n_common", $"n_union")).as("jaccard"),
+        ($"deg_a" * $"deg_b").as("pref_attach"), $"ra_dyadic")
+      .orderBy($"seed_a", $"seed_b")
+  }
+
   private val BnInf = Long.MaxValue / 4 // exact BIGINT on both engines
 
   /** Widest-path (bottleneck) census — the VALUE-relaxation traversal
@@ -1098,6 +1154,7 @@ object Graph {
     "q202_triangle_census" -> triangleCensus,
     "q288_bfs_reachability" -> bfsReachability,
     "q401_harmonic_centrality" -> harmonicCentrality,
+    "q411_link_prediction" -> linkPredictionCensus,
     "q290_widest_path_census" -> widestPathCensus,
     "q291_reach_sketch_census" -> reachSketchCensus,
     "q294_label_propagation" -> labelPropagation,
@@ -1430,6 +1487,51 @@ object Graph {
          |WHERE node <> seed
          |GROUP BY 1
          |ORDER BY 1""".stripMargin,
+    // the distinct trade pairs as neighbor sets; pairs keyed on the
+    // NUMERIC seed id; the dyadic 1/deg makes the RA float sum exact
+    "q411_link_prediction" ->
+      s"""WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), seeds AS (
+        |  SELECT s_suppkey AS k FROM supplier ORDER BY s_suppkey
+        |  LIMIT $SeedPanelK
+        |), cdeg AS MATERIALIZED (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS degw FROM pairs GROUP BY 1
+        |), nbrs AS MATERIALIZED (
+        |  SELECT s.k, p.c, d.degw
+        |  FROM seeds s JOIN pairs p ON p.sp = s.k
+        |  JOIN cdeg d ON d.c = p.c
+        |), deg AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS deg FROM nbrs GROUP BY 1
+        |), common AS (
+        |  SELECT a.k AS ka, b.k AS kb, CAST(count(*) AS BIGINT) AS n_common,
+        |         sum(CAST(1 AS DOUBLE)
+        |             / CAST((CAST(1 AS BIGINT)
+        |                     << (CAST(length(bin(a.degw)) AS INT) - 1))
+        |                    AS DOUBLE)) AS ra
+        |  FROM nbrs a JOIN nbrs b ON a.c = b.c AND a.k < b.k
+        |  GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT a.k AS ka, b.k AS kb FROM seeds a, seeds b WHERE a.k < b.k
+        |)
+        |SELECT 's' || sp.ka AS seed_a, 's' || sp.kb AS seed_b,
+        |       coalesce(da.deg, 0) AS deg_a, coalesce(db.deg, 0) AS deg_b,
+        |       coalesce(c.n_common, 0) AS n_common,
+        |       coalesce(da.deg, 0) + coalesce(db.deg, 0)
+        |         - coalesce(c.n_common, 0) AS n_union,
+        |       CASE WHEN coalesce(da.deg, 0) + coalesce(db.deg, 0)
+        |                 - coalesce(c.n_common, 0) > 0 THEN
+        |         ${ratioSql("coalesce(c.n_common, 0)",
+             "coalesce(da.deg, 0) + coalesce(db.deg, 0) - coalesce(c.n_common, 0)")}
+        |       END AS jaccard,
+        |       coalesce(da.deg, 0) * coalesce(db.deg, 0) AS pref_attach,
+        |       coalesce(c.ra, 0.0) AS ra_dyadic
+        |FROM spine sp
+        |LEFT JOIN common c ON c.ka = sp.ka AND c.kb = sp.kb
+        |LEFT JOIN deg da ON da.k = sp.ka
+        |LEFT JOIN deg db ON db.k = sp.kb
+        |ORDER BY seed_a, seed_b""".stripMargin,
     // q288's unrolled DISTINCT hops with hop tags min-folded into the
     // BFS distance (a walk of length d exists for every node at
     // distance d, so min(hop) ≡ the layered first-visit), then the

@@ -3601,6 +3601,74 @@ object LlmOps {
     per.crossJoin(broadcast(glob)).orderBy($"source")
   }
 
+  /** Brown–Forsythe equal-variance test (Brown & Forsythe 1974, public
+    * definition) between the drift halves — the SPREAD companion the
+    * location family lacks (q394 asks whether the half MEANS differ;
+    * variance drift is invisible to it and breaks samplers first):
+    * one-way ANOVA on the median-centered absolute deviations
+    * z = |x − med_h|, median-based (not mean-based Levene) for the
+    * robustness that makes BF the production default. Per half, the
+    * lower median is selected EXACTLY on the value census (rank
+    * (n+1) div 2; the run containing the rank is a one-non-null
+    * conditional min — the q389 stance); the deviation moments
+    * Σn·|v−med| and Σn·|v−med|² fold exactly (decimal(38,0),
+    * VARCHAR-routed), and with k = 2 groups the BF statistic is the
+    * pooled t² — the q394 trees pointed at deviations. NULL on a
+    * degenerate half (n ≤ 1) or zero pooled spread. Scale: one scan →
+    * bounded value census → two exact selections → one 6-cell moment
+    * fold. */
+  def brownForsytheDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val census = Tables.documents(s, dir)
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .withColumn("in_a", driftHalfCol)
+      .groupBy($"ntok")
+      .agg(sum(when($"in_a", 1L).otherwise(0L)).as("nav"),
+        sum(when($"in_a", 0L).otherwise(1L)).as("nbv"))
+      .localCheckpoint(eager = false) // read by cums AND the dev moments
+    val w = Window.orderBy($"ntok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = census
+      .withColumn("cum_a", sum($"nav").over(w))
+      .withColumn("cum_b", sum($"nbv").over(w))
+    val tot = census.agg(sum($"nav").as("n_a"), sum($"nbv").as("n_b"))
+    // lower-median ranks via integer div (long / in Spark is DOUBLE
+    // division — the q370 trap)
+    val med = cums.crossJoin(broadcast(tot))
+      .withColumn("ra", expr("(n_a + 1) div 2"))
+      .withColumn("rb", expr("(n_b + 1) div 2"))
+      .agg(min(when($"cum_a" >= $"ra" && $"ra" >= 1L, $"ntok")).as("med_a"),
+        min(when($"cum_b" >= $"rb" && $"rb" >= 1L, $"ntok")).as("med_b"))
+    val mom = census.crossJoin(broadcast(med))
+      .select($"nav", $"nbv",
+        abs($"ntok" - $"med_a").as("da"), abs($"ntok" - $"med_b").as("db"))
+      .agg(sum($"nav").as("n_a"), sum($"nbv").as("n_b"),
+        sum($"nav".cast(d38) * $"da").as("sa"),
+        sum($"nav".cast(d38) * $"da" * $"da").as("qa"),
+        sum($"nbv".cast(d38) * $"db").as("sb"),
+        sum($"nbv".cast(d38) * $"db" * $"db").as("qb"))
+    val varA = ($"n_a".cast(d38) * $"qa" - $"sa" * $"sa").cast("double") /
+      ($"n_a".cast(d38) * ($"n_a" - 1L)).cast("double")
+    val varB = ($"n_b".cast(d38) * $"qb" - $"sb" * $"sb").cast("double") /
+      ($"n_b".cast(d38) * ($"n_b" - 1L)).cast("double")
+    val sp2 = (($"n_a" - 1L).cast("double") * varA +
+      ($"n_b" - 1L).cast("double") * varB) /
+      ($"n_a" + $"n_b" - 2L).cast("double")
+    val ma = $"sa".cast("double") / $"n_a".cast("double")
+    val mb = $"sb".cast("double") / $"n_b".cast("double")
+    val f = (ma - mb) * (ma - mb) /
+      (sp2 * (lit(1.0) / $"n_a".cast("double") +
+        lit(1.0) / $"n_b".cast("double")))
+    val ok = $"n_a" > 1L && $"n_b" > 1L
+    mom.crossJoin(broadcast(med))
+      .select($"n_a", $"n_b", $"med_a", $"med_b",
+        when($"n_a" > 0L, ma).as("mean_absdev_a"),
+        when($"n_b" > 0L, mb).as("mean_absdev_b"),
+        when(ok, sp2).as("pooled_var"),
+        when(ok && sp2 > 0.0, f).as("bf_f"))
+  }
+
   /** Cliff's delta (Cliff 1993, public definition) between the drift
     * halves — the ORDINAL effect size beside q394's Cohen's d (d assumes
     * interval scale and near-normality; δ = P(X>Y) − P(X<Y) is the
@@ -3644,6 +3712,43 @@ object LlmOps {
         when($"n_a" > 0L && $"n_b" > 0L, delta).as("cliffs_delta"),
         when($"n_a" > 0L && $"n_b" > 0L, mag).otherwise("undefined")
           .as("magnitude"))
+  }
+
+  /** Hellinger distance between the drift halves' LANGUAGE mixtures
+    * (Hellinger 1909 / Bhattacharyya affinity, public definitions) —
+    * the bounded geometric drift measure beside q304's total variation
+    * (TV prices the worst single cell; Hellinger's √p·√q affinity
+    * weights small-mass cells by their RATIO, the sensitivity a
+    * mixture rebalance audit wants): BC = Σ_i √(na_i·nb_i)/√(N_A·N_B)
+    * over the per-lang census, H = √(max(0, 1 − BC)). The per-cell
+    * products are exact integers in decimal(38,0) (VARCHAR-routed);
+    * each √ is one fixed IEEE op and the Σ folds in lang-sorted order
+    * (the q368 fold stance); BC and H are shared trees. Identical
+    * mixtures give BC = 1 (every cell √(x²) = x exact) — H = 0
+    * spec-pinned; an empty half leaves both NULL. Scale: one scan →
+    * |langs| census → one array-row fold. */
+  def hellingerLangDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val cells = Tables.documents(s, dir)
+      .select($"lang", $"doc_id")
+      .withColumn("in_a", driftHalfCol)
+      .groupBy($"lang")
+      .agg(sum(when($"in_a", 1L).otherwise(0L)).as("na"),
+        sum(when($"in_a", 0L).otherwise(1L)).as("nb"))
+    val folded = cells
+      .agg(sort_array(collect_list(struct($"lang", $"na", $"nb"))).as("xs"),
+        sum($"na").as("n_a"), sum($"nb").as("n_b"),
+        count(lit(1)).as("n_langs"))
+      .select($"n_a", $"n_b", $"n_langs",
+        aggregate($"xs", lit(0.0), (a, x) =>
+          a + sqrt((x.getField("na").cast(d38) * x.getField("nb"))
+            .cast("double"))).as("bc_num"))
+    val bc = $"bc_num" / sqrt(($"n_a".cast(d38) * $"n_b").cast("double"))
+    val ok = $"n_a" > 0L && $"n_b" > 0L
+    folded.select($"n_a", $"n_b", $"n_langs",
+      when(ok, bc).as("bhattacharyya"),
+      when(ok, sqrt(greatest(lit(0.0), lit(1.0) - bc))).as("hellinger"))
   }
 
   def distributionDrift(s: SparkSession, dir: String): DataFrame = {
@@ -7234,6 +7339,8 @@ object LlmOps {
     "q403_cliffs_delta_drift" -> cliffsDeltaDrift,
     "q405_chao1_richness" -> chao1Richness,
     "q406_good_turing_mass" -> goodTuringMass,
+    "q407_brown_forsythe_drift" -> brownForsytheDrift,
+    "q408_hellinger_lang_drift" -> hellingerLangDrift,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -9684,6 +9791,107 @@ object LlmOps {
          |FROM st
          |WHERE n > 0""".stripMargin,
     // exact per-half moments → pooled variance → the d and g trees
+    // per-lang half census → lang-sorted √(na·nb) fold (products
+    // HUGEINT → VARCHAR), BC and H as shared trees
+    "q408_hellinger_lang_drift" -> {
+      val bcSql = "bc_num / sqrt(CAST(CAST(CAST(n_a AS HUGEINT) * n_b " +
+        "AS VARCHAR) AS DOUBLE))"
+      s"""WITH cells AS MATERIALIZED (
+         |  SELECT lang,
+         |         ${sumLongSql("CASE WHEN in_a THEN 1 ELSE 0 END")} AS na,
+         |         ${sumLongSql("CASE WHEN in_a THEN 0 ELSE 1 END")} AS nb
+         |  FROM (SELECT lang, $driftHalfSql AS in_a FROM documents)
+         |  GROUP BY 1
+         |), g AS (
+         |  SELECT ${sumLongSql("na")} AS n_a, ${sumLongSql("nb")} AS n_b,
+         |         CAST(count(*) AS BIGINT) AS n_langs,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(sqrt(CAST(CAST(CAST(na AS HUGEINT) * nb AS VARCHAR)
+         |                          AS DOUBLE)) ORDER BY lang)),
+         |           (a, b) -> a + b) AS bc_num
+         |  FROM cells
+         |)
+         |SELECT n_a, n_b, n_langs,
+         |       CASE WHEN n_a > 0 AND n_b > 0 THEN $bcSql END
+         |         AS bhattacharyya,
+         |       CASE WHEN n_a > 0 AND n_b > 0
+         |            THEN sqrt(greatest(0.0, 1.0 - $bcSql)) END AS hellinger
+         |FROM g""".stripMargin
+    },
+    // the q403 census → exact lower-median selections per half → q394's
+    // moment trees pointed at |v − med| deviations; BF(k=2) = pooled t²
+    "q407_brown_forsythe_drift" -> {
+      val maSql = "sa_d / CAST(n_a AS DOUBLE)"
+      val mbSql = "sb_d / CAST(n_b AS DOUBLE)"
+      s"""WITH census AS MATERIALIZED (
+         |  SELECT ntok,
+         |         ${sumLongSql("CASE WHEN in_a THEN 1 ELSE 0 END")} AS nav,
+         |         ${sumLongSql("CASE WHEN in_a THEN 0 ELSE 1 END")} AS nbv
+         |  FROM (
+         |    SELECT CAST(len($toksSql) AS BIGINT) AS ntok,
+         |           $driftHalfSql AS in_a
+         |    FROM documents)
+         |  GROUP BY 1
+         |), cums AS (
+         |  SELECT ntok, nav, nbv,
+         |         CAST(sum(nav) OVER (ORDER BY ntok
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_a,
+         |         CAST(sum(nbv) OVER (ORDER BY ntok
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_b
+         |  FROM census
+         |), tot AS (
+         |  SELECT ${sumLongSql("nav")} AS n_a, ${sumLongSql("nbv")} AS n_b
+         |  FROM census
+         |), med AS MATERIALIZED (
+         |  SELECT min(CASE WHEN cum_a >= (n_a + 1) // 2
+         |                   AND (n_a + 1) // 2 >= 1 THEN ntok END) AS med_a,
+         |         min(CASE WHEN cum_b >= (n_b + 1) // 2
+         |                   AND (n_b + 1) // 2 >= 1 THEN ntok END) AS med_b
+         |  FROM cums, tot
+         |), mom AS (
+         |  SELECT ${sumLongSql("nav")} AS n_a, ${sumLongSql("nbv")} AS n_b,
+         |         med_a, med_b,
+         |         CAST(sum(CAST(nav AS HUGEINT) * abs(ntok - med_a))
+         |              AS HUGEINT) AS sa,
+         |         CAST(sum(CAST(nav AS HUGEINT) * abs(ntok - med_a)
+         |                  * abs(ntok - med_a)) AS HUGEINT) AS qa,
+         |         CAST(sum(CAST(nbv AS HUGEINT) * abs(ntok - med_b))
+         |              AS HUGEINT) AS sb,
+         |         CAST(sum(CAST(nbv AS HUGEINT) * abs(ntok - med_b)
+         |                  * abs(ntok - med_b)) AS HUGEINT) AS qb
+         |  FROM census, med GROUP BY med_a, med_b
+         |), t AS (
+         |  SELECT n_a, n_b, med_a, med_b,
+         |         CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS sa_d,
+         |         CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS sb_d,
+         |         CAST(CAST(CAST(n_a AS HUGEINT) * qa - sa * sa AS VARCHAR)
+         |              AS DOUBLE)
+         |           / CAST(CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS VARCHAR)
+         |                  AS DOUBLE) AS var_a,
+         |         CAST(CAST(CAST(n_b AS HUGEINT) * qb - sb * sb AS VARCHAR)
+         |              AS DOUBLE)
+         |           / CAST(CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS VARCHAR)
+         |                  AS DOUBLE) AS var_b
+         |  FROM mom
+         |), p AS (
+         |  SELECT n_a, n_b, med_a, med_b, sa_d, sb_d,
+         |         (CAST(n_a - 1 AS DOUBLE) * var_a
+         |          + CAST(n_b - 1 AS DOUBLE) * var_b)
+         |           / CAST(n_a + n_b - 2 AS DOUBLE) AS sp2
+         |  FROM t
+         |)
+         |SELECT n_a, n_b, med_a, med_b,
+         |       CASE WHEN n_a > 0 THEN $maSql END AS mean_absdev_a,
+         |       CASE WHEN n_b > 0 THEN $mbSql END AS mean_absdev_b,
+         |       CASE WHEN n_a > 1 AND n_b > 1 THEN sp2 END AS pooled_var,
+         |       CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0.0 THEN
+         |         ($maSql - $mbSql) * ($maSql - $mbSql)
+         |           / (sp2 * (1.0 / CAST(n_a AS DOUBLE)
+         |                     + 1.0 / CAST(n_b AS DOUBLE))) END AS bf_f
+         |FROM p""".stripMargin
+    },
     "q394_cohens_d" ->
       s"""WITH g AS (
          |  SELECT ${sumLongSql("CASE WHEN in_a THEN 1 ELSE 0 END")} AS n_a,

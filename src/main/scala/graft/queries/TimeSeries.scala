@@ -1283,6 +1283,67 @@ object TimeSeries {
           .otherwise("none").as("direction"))
   }
 
+  /** Wald–Wolfowitz runs test (Wald & Wolfowitz 1940, public
+    * definition) on daily revenue around its median — the RANDOMNESS
+    * test completing the serial family (q404 asks "monotone trend?",
+    * q369/q383 "linear autocorrelation?"; runs catches ANY
+    * sign-pattern structure, including the regime clumps neither
+    * sees): days at the exact census-selected lower median are
+    * EXCLUDED (the standard convention), the rest become an
+    * above/below sequence whose run count R = 1 + #(sign changes)
+    * falls out of ONE day-ordered lag window — no recursion. With n₁
+    * above and n₂ below (m = n₁+n₂): μ = 2n₁n₂/m + 1,
+    * σ² = 2n₁n₂(2n₁n₂−m)/(m²(m−1)) — numerator and denominator exact
+    * in decimal(38,0) (VARCHAR-routed; 4n⁴ passes 2⁵³ near 10⁵ days),
+    * z = (R−μ)/σ one fixed tree, flagged at the q365 1.96 line. A
+    * one-sided or empty sequence (σ² = 0) keeps z NULL and the flag
+    * false; under 2 days emits zero rows. Scale: one grouped day
+    * census → one exact median selection → one lag window over the
+    * census rows. */
+  def runsTestDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("rev"))
+      .localCheckpoint(eager = false) // read by the census AND the signs
+    val cums = daily.groupBy($"rev").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"rev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    val med = cums.crossJoin(broadcast(nd))
+      .withColumn("rk", expr("(n_days + 1) div 2"))
+      .agg(min(when($"cum" >= $"rk" && $"rk" >= 1L, $"rev")).as("med"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter($"rev" =!= $"med")
+      .withColumn("above", $"rev" > $"med")
+      .withColumn("prev", lag($"above", 1).over(Window.orderBy($"day")))
+    val g = signed.agg(
+      coalesce(sum(when($"above", 1L).otherwise(0L)), lit(0L)).as("n_above"),
+      coalesce(sum(when(!$"above", 1L).otherwise(0L)), lit(0L)).as("n_below"),
+      (lit(1L) + coalesce(sum(when($"prev".isNotNull && $"prev" =!= $"above",
+        1L).otherwise(0L)), lit(0L))).as("n_runs"))
+    val m = $"n_above" + $"n_below"
+    val twoAb = lit(2L) * $"n_above" * $"n_below"
+    val mu = twoAb.cast("double") / m.cast("double") + lit(1.0)
+    val varNum = twoAb.cast(d38) * (twoAb - m)
+    val varDen = m.cast(d38) * m * (m - 1L)
+    val sigma = sqrt(varNum.cast("double") / varDen.cast("double"))
+    val z = ($"n_runs".cast("double") - mu) / sigma
+    val ok = $"n_above" > 0L && $"n_below" > 0L && m > 1L
+    g.crossJoin(broadcast(nd)).crossJoin(broadcast(med))
+      .filter($"n_days" >= 2L)
+      .select($"n_days", $"med".as("median_cents"),
+        ($"n_days" - $"n_above" - $"n_below").as("n_excluded"),
+        $"n_above", $"n_below",
+        when(m > 0L, $"n_runs").as("n_runs"),
+        when(ok, mu).as("mu_runs"),
+        when(ok && varNum > 0, z).as("z_runs"),
+        coalesce(when(ok && varNum > 0,
+          abs(z) > lit(graft.queries.LlmOps.MwCritAlpha05)), lit(false))
+          .as("nonrandom"))
+  }
+
   /** Holt's linear (double-exponential) smoothing — the trend-aware
     * forecaster between q307's level-only EWMA and q322's seasonal
     * naive: level l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}), trend
@@ -1965,6 +2026,7 @@ object TimeSeries {
     "q385_forecast_skill" -> forecastSkill,
     "q398_ar_fit_backtest" -> arFitBacktest,
     "q404_mann_kendall" -> mannKendallTrend,
+    "q409_runs_test_daily" -> runsTestDaily,
     "q386_ccf_revenue_orders" -> ccfRevenueOrders,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
@@ -2209,6 +2271,66 @@ object TimeSeries {
          |       CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * ssum > $LbCrit
          |         AS autocorrelated
          |FROM rs WHERE n_lags = $AcfMaxLag""".stripMargin,
+    // day census → exact lower-median selection → one lag window for
+    // the run count → fixed z tree (n⁴ moments HUGEINT → VARCHAR)
+    "q409_runs_test_daily" -> {
+      val muSql = "CAST(2 * n_above * n_below AS DOUBLE) " +
+        "/ CAST(n_above + n_below AS DOUBLE) + 1.0"
+      val sigSql = "sqrt(CAST(CAST(CAST(2 * n_above * n_below AS HUGEINT) " +
+        "* (2 * n_above * n_below - (n_above + n_below)) AS VARCHAR) " +
+        "AS DOUBLE) / CAST(CAST(CAST(n_above + n_below AS HUGEINT) " +
+        "* (n_above + n_below) * (n_above + n_below - 1) AS VARCHAR) " +
+        "AS DOUBLE))"
+      val zSql = s"(CAST(n_runs AS DOUBLE) - ($muSql)) / $sigSql"
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS rev
+         |  FROM orders GROUP BY 1
+         |), cums AS (
+         |  SELECT rev, CAST(sum(cnt) OVER (ORDER BY rev
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum
+         |  FROM (SELECT rev, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM daily GROUP BY 1)
+         |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+         |med AS MATERIALIZED (
+         |  SELECT min(CASE WHEN cum >= (n_days + 1) // 2
+         |                   AND (n_days + 1) // 2 >= 1 THEN rev END) AS med
+         |  FROM cums, nd
+         |), signed AS (
+         |  SELECT day, rev > med AS above
+         |  FROM daily, med WHERE rev <> med
+         |), g AS (
+         |  SELECT CAST(coalesce(sum(CASE WHEN above THEN 1 ELSE 0 END), 0)
+         |              AS BIGINT) AS n_above,
+         |         CAST(coalesce(sum(CASE WHEN above THEN 0 ELSE 1 END), 0)
+         |              AS BIGINT) AS n_below,
+         |         1 + CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+         |                    AND prev <> above THEN 1 ELSE 0 END), 0)
+         |              AS BIGINT) AS n_runs
+         |  FROM (SELECT above, lag(above) OVER (ORDER BY day) AS prev
+         |        FROM signed)
+         |)
+         |SELECT n_days, med AS median_cents,
+         |       n_days - n_above - n_below AS n_excluded,
+         |       n_above, n_below,
+         |       CASE WHEN n_above + n_below > 0 THEN n_runs END AS n_runs,
+         |       CASE WHEN n_above > 0 AND n_below > 0
+         |             AND n_above + n_below > 1 THEN $muSql END AS mu_runs,
+         |       CASE WHEN n_above > 0 AND n_below > 0
+         |             AND n_above + n_below > 1
+         |             AND CAST(2 * n_above * n_below AS HUGEINT)
+         |                 * (2 * n_above * n_below - (n_above + n_below)) > 0
+         |            THEN $zSql END AS z_runs,
+         |       coalesce(CASE WHEN n_above > 0 AND n_below > 0
+         |             AND n_above + n_below > 1
+         |             AND CAST(2 * n_above * n_below AS HUGEINT)
+         |                 * (2 * n_above * n_below - (n_above + n_below)) > 0
+         |            THEN abs($zSql)
+         |                 > ${graft.queries.LlmOps.MwCritAlpha05} END, FALSE)
+         |         AS nonrandom
+         |FROM g, nd, med WHERE n_days >= 2""".stripMargin
+    },
     // the q341 window, the same bounded pair join with a sign fold,
     // the exact tie-corrected variance, one continuity-corrected z
     "q404_mann_kendall" -> {

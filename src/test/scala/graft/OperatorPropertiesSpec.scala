@@ -2427,6 +2427,218 @@ class OperatorPropertiesSpec extends SparkSpec {
       spark, mkOrders(Seq.fill(10)(500))).collect().isEmpty)
   }
 
+  test("q407 Brown-Forsythe: JVM replay of the deviation trees; tiny halves undefined") {
+    def inA(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"drift:$id".getBytes("UTF-8"))
+      val hex = d.take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) * 2 < 16777216L
+    }
+    val ntoks = (1L to 120L).map(i => i -> (5 + (i * 17 % 41)).toInt)
+    val dir = java.nio.file.Files.createTempDirectory("bf").toString
+    ntoks.map { case (i, n) =>
+      (i, Seq.fill(n)("w").mkString(" "), "en", "web", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (a, b) = ntoks.partition { case (i, _) => inA(i) }
+    def medOf(xs: Seq[Int]): Long = {
+      val sorted = xs.sorted; sorted((xs.size + 1) / 2 - 1).toLong
+    }
+    val (medA, medB) = (medOf(a.map(_._2)), medOf(b.map(_._2)))
+    def mom(xs: Seq[Int], med: Long) = {
+      val devs = xs.map(x => (BigInt(x) - med).abs)
+      (BigInt(xs.size), devs.sum, devs.map(d => d * d).sum)
+    }
+    val (na, sa, qa) = mom(a.map(_._2), medA)
+    val (nb, sb, qb) = mom(b.map(_._2), medB)
+    val varA = (na * qa - sa * sa).doubleValue / (na * (na - 1)).doubleValue
+    val varB = (nb * qb - sb * sb).doubleValue / (nb * (nb - 1)).doubleValue
+    val sp2 = ((na - 1).doubleValue * varA + (nb - 1).doubleValue * varB) /
+      (na + nb - 2).doubleValue
+    val ma = sa.doubleValue / na.doubleValue
+    val mb = sb.doubleValue / nb.doubleValue
+    val f = (ma - mb) * (ma - mb) /
+      (sp2 * (1.0 / na.doubleValue + 1.0 / nb.doubleValue))
+    val r = SparkEntry.queries("q407_brown_forsythe_drift")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Long]("med_a") === medA && r.getAs[Long]("med_b") === medB)
+    assert(r.getAs[Double]("mean_absdev_a") === ma)
+    assert(r.getAs[Double]("pooled_var") === sp2)
+    assert(r.getAs[Double]("bf_f") === f)
+    // a single-doc half leaves the test undefined
+    val aId = (1L to 50L).find(inA).get
+    val bId = (1L to 50L).find(!inA(_)).get
+    val dir2 = java.nio.file.Files.createTempDirectory("bf1").toString
+    Seq(aId, bId).map(i => (i, "w w w w", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val z = SparkEntry.queries("q407_brown_forsythe_drift")(spark, dir2)
+      .collect()(0)
+    assert(z.isNullAt(z.fieldIndex("bf_f")))
+  }
+
+  test("q408 Hellinger: identical mixtures pin H = 0; disjoint mixtures pin H = 1") {
+    def inA(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"drift:$id".getBytes("UTF-8"))
+      val hex = d.take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) * 2 < 16777216L
+    }
+    val aIds = (1L to 500L).filter(inA).take(4)
+    val bIds = (1L to 500L).filter(!inA(_)).take(4)
+    def mk(rows: Seq[(Long, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("hell").toString
+      rows.map { case (i, l) => (i, "w w", l, "web", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // identical mixtures: every cell sqrt(n·n) = n exactly → BC = 1, H = 0
+    val same = mk(Seq(aIds(0) -> "aa", aIds(1) -> "aa", aIds(2) -> "bb",
+      aIds(3) -> "bb", bIds(0) -> "aa", bIds(1) -> "aa", bIds(2) -> "bb",
+      bIds(3) -> "bb"))
+    val rs = SparkEntry.queries("q408_hellinger_lang_drift")(spark, same)
+      .collect()(0)
+    assert(rs.getAs[Double]("bhattacharyya") === 1.0)
+    assert(rs.getAs[Double]("hellinger") === 0.0)
+    // disjoint mixtures: every cell has a zero side → BC = 0, H = 1
+    val disj = mk(Seq(aIds(0) -> "aa", aIds(1) -> "aa",
+      bIds(0) -> "bb", bIds(1) -> "bb"))
+    val rd = SparkEntry.queries("q408_hellinger_lang_drift")(spark, disj)
+      .collect()(0)
+    assert(rd.getAs[Double]("bhattacharyya") === 0.0)
+    assert(rd.getAs[Double]("hellinger") === 1.0)
+    // fixture: H bounded in [0, 1]
+    val fx = SparkEntry.queries("q408_hellinger_lang_drift")(spark, sfDir)
+      .collect()(0)
+    val h = fx.getAs[Double]("hellinger")
+    assert(h >= 0.0 && h <= 1.0)
+  }
+
+  test("q409 runs test: two blocks pin R = 2 (clumped); alternation pins R = m (jittery)") {
+    def mkOrders(cents: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("runs").toString
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1, f"2000-01-${i + 1}%02d", c / 100.0)
+      }.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"),
+          $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // 4 lows, 3 medians (excluded), 4 highs in day order: R = 2
+    val blocks = Seq(100, 100, 100, 100, 150, 150, 150, 200, 200, 200, 200)
+    val rb = SparkEntry.queries("q409_runs_test_daily")(
+      spark, mkOrders(blocks)).collect()(0)
+    assert(rb.getAs[Long]("median_cents") === 150L)
+    assert(rb.getAs[Long]("n_excluded") === 3L)
+    assert(rb.getAs[Long]("n_above") === 4L && rb.getAs[Long]("n_below") === 4L)
+    assert(rb.getAs[Long]("n_runs") === 2L)
+    assert(rb.getAs[Double]("mu_runs") === 5.0)
+    val zb = (2.0 - 5.0) / math.sqrt(768.0 / 448.0)
+    assert(rb.getAs[Double]("z_runs") === zb)
+    assert(rb.getAs[Boolean]("nonrandom"))
+    // 11 distinct values interleaved below/above the median: R = 10
+    val med = 6
+    val alt = (1 to 11).map { i =>
+      // day order: b a b a b a b a b a m — 5 belows, 5 aboves, median last
+      if (i == 11) 100 * med
+      else if (i % 2 == 1) 100 * ((i + 1) / 2) // 1,2,3,4,5 (below)
+      else 100 * (med + i / 2) // 7,8,9,10,11 (above)
+    }
+    val ra = SparkEntry.queries("q409_runs_test_daily")(
+      spark, mkOrders(alt)).collect()(0)
+    assert(ra.getAs[Long]("n_runs") === 10L)
+    assert(ra.getAs[Double]("mu_runs") === 6.0)
+    assert(ra.getAs[Boolean]("nonrandom"))
+    assert(ra.getAs[Double]("z_runs") > 0.0)
+    // constant series: everything is the median → test undefined
+    val rc = SparkEntry.queries("q409_runs_test_daily")(
+      spark, mkOrders(Seq.fill(6)(500))).collect()(0)
+    assert(rc.getAs[Long]("n_excluded") === 6L)
+    assert(rc.isNullAt(rc.fieldIndex("z_runs")))
+    assert(!rc.getAs[Boolean]("nonrandom"))
+    // fixture: the census partitions the days
+    val fx = SparkEntry.queries("q409_runs_test_daily")(spark, sfDir)
+      .collect()(0)
+    assert(fx.getAs[Long]("n_days") === fx.getAs[Long]("n_excluded") +
+      fx.getAs[Long]("n_above") + fx.getAs[Long]("n_below"))
+  }
+
+  test("q410 partial correlation: JVM moment replay is bitwise; constant control undefined") {
+    def mk(rows: Seq[(String, Long, Long, Long)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("pcorr").toString
+      rows.map { case (f, x, y, z) => (f, x.toDouble, y / 100.0, z / 100.0) }
+        .toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    val rows = (1 to 12).map(i =>
+      ("A", i.toLong, (i * 7 + (i * i % 5)).toLong, ((i * 3) % 7).toLong))
+    val r = SparkEntry.queries("q410_partial_correlation")(spark, mk(rows))
+      .collect()(0)
+    // replay: exact BigInt moments, then the identical IEEE trees
+    def m(sel: ((String, Long, Long, Long)) => Long) =
+      rows.map(t => BigInt(sel(t))).sum
+    def m2(a: ((String, Long, Long, Long)) => Long,
+           b: ((String, Long, Long, Long)) => Long) =
+      rows.map(t => BigInt(a(t)) * b(t)).sum
+    val n = BigInt(rows.size)
+    val (sx, sy, sz) = (m(_._2), m(_._3), m(_._4))
+    def dv(saa: BigInt, sa: BigInt) = n * saa - sa * sa
+    val (dxx, dyy, dzz) = (dv(m2(_._2, _._2), sx), dv(m2(_._3, _._3), sy),
+      dv(m2(_._4, _._4), sz))
+    def rr(sab: BigInt, sa: BigInt, sb: BigInt, daa: BigInt, dbb: BigInt) =
+      (n * sab - sa * sb).doubleValue /
+        (math.sqrt(daa.doubleValue) * math.sqrt(dbb.doubleValue))
+    val rxy = rr(m2(_._2, _._3), sx, sy, dxx, dyy)
+    val rxz = rr(m2(_._2, _._4), sx, sz, dxx, dzz)
+    val ryz = rr(m2(_._3, _._4), sy, sz, dyy, dzz)
+    val partial = (rxy - rxz * ryz) /
+      (math.sqrt(1.0 - rxz * rxz) * math.sqrt(1.0 - ryz * ryz))
+    assert(r.getAs[Double]("r_xy") === rxy)
+    assert(r.getAs[Double]("r_xz") === rxz)
+    assert(r.getAs[Double]("r_yz") === ryz)
+    assert(r.getAs[Double]("r_xy_given_z") === partial)
+    // constant control variable: every r undefined (the shared guard)
+    val cz = SparkEntry.queries("q410_partial_correlation")(
+      spark, mk((1 to 6).map(i => ("A", i.toLong, i.toLong * 2, 5L))))
+      .collect()(0)
+    assert(cz.isNullAt(cz.fieldIndex("r_xy")))
+    assert(cz.isNullAt(cz.fieldIndex("r_xy_given_z")))
+  }
+
+  test("q411 link prediction: star-plus-spur pins Jaccard 1/3 and dyadic RA 1/2") {
+    val dir = java.nio.file.Files.createTempDirectory("linkp").toString
+    Seq(1L, 2L).toDF("s_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val pairs = Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 2L))
+    pairs.map { case (o, c, _) => (o, c) }.toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    pairs.map { case (o, _, sup) => (o, sup) }.toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q411_link_prediction")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[String]("seed_a") === "s1" && r.getAs[String]("seed_b") === "s2")
+    assert(r.getAs[Long]("deg_a") === 3L && r.getAs[Long]("deg_b") === 1L)
+    assert(r.getAs[Long]("n_common") === 1L) // c1 trades with both
+    assert(r.getAs[Long]("n_union") === 3L)
+    assert(r.getAs[Double]("jaccard") === 1.0 / 3.0)
+    assert(r.getAs[Long]("pref_attach") === 3L)
+    // c1's degree is 2 → dyadic 1/deg = 2^(1-2) = 1/2 exactly
+    assert(r.getAs[Double]("ra_dyadic") === 0.5)
+    // fixture: Jaccard bounded and the union identity holds on every pair
+    val fx = SparkEntry.queries("q411_link_prediction")(spark, sfDir).collect()
+    assert(fx.length === 45) // C(10,2) at the sparse panel
+    fx.foreach { p =>
+      assert(p.getAs[Long]("n_union") === p.getAs[Long]("deg_a") +
+        p.getAs[Long]("deg_b") - p.getAs[Long]("n_common"))
+      val j = p.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
   test("q402 Cochran Q: one discordant rater pins Q = 2; unanimity NULLs the test") {
     // single good doc: q131 and q147 keep, q325 drops (a lone doc never
     // strictly beats its own average) → G = (1,1,0), T = 2, ΣL² = 4,
