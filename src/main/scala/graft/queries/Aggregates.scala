@@ -2159,6 +2159,66 @@ object Aggregates {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** OLS influence census — leverage and Cook's distance (Cook 1977,
+    * public definition) for the price~quantity regression per return
+    * flag: the regression family (q91 fits, q195 correlates) never says
+    * WHICH rows own the fit — the audit question behind every "the
+    * trend is three outliers" failure. Closed forms off ONE exact
+    * moment agg (no residual re-aggregation): with D = nΣx²−(Σx)²,
+    * slope = (nΣxy−ΣxΣy)/D, h_i = 1/n + (n·x−Σx)²/(n·D) (exact integer
+    * numerators in decimal(38,0), VARCHAR-routed), s² from the closed
+    * SSE = ((nΣy²−(Σy)²) − b(nΣxy−ΣxΣy))/(n(n−2)) — so no float SUM
+    * ever crosses a shuffle — and D_i = e²h/(2s²(1−h)²) per row as one
+    * fixed tree. Output: the global top-15 by (D_i, orderkey, line) —
+    * a total order because the doubles are bitwise identical across
+    * engines. NULL-free by the n > 2, D > 0 row gate. Scale: one scan
+    * for moments (broadcast back), one scoring scan, one top-k. */
+  def olsInfluence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val base = Tables.lineitem(s, dir).select(
+      $"l_orderkey", $"l_linenumber", $"l_returnflag",
+      $"l_quantity".cast("long").as("x"),
+      cents($"l_extendedprice").as("y"))
+    val m = base.groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast(d38)).as("sx"), sum($"y".cast(d38)).as("sy"),
+      sum($"x".cast(d38) * $"x").as("sxx"),
+      sum($"x".cast(d38) * $"y").as("sxy"),
+      sum($"y".cast(d38) * $"y").as("syy"))
+    val dD = $"n".cast(d38) * $"sxx" - $"sx" * $"sx"
+    val slope = ($"n".cast(d38) * $"sxy" - $"sx" * $"sy").cast("double") /
+      dD.cast("double")
+    val s2 = (($"n".cast(d38) * $"syy" - $"sy" * $"sy").cast("double") -
+      slope * ($"n".cast(d38) * $"sxy" - $"sx" * $"sy").cast("double")) /
+      ($"n".cast(d38) * ($"n" - 2L)).cast("double")
+    val stats = m.filter($"n" > 2L && dD > 0)
+      .select($"l_returnflag", $"n", $"sx", $"sy", dD.as("dd"),
+        slope.as("slope"),
+        (($"sy".cast("double") - slope * $"sx".cast("double")) /
+          $"n".cast("double")).as("icept"),
+        s2.as("s2"))
+    val scored = base.join(broadcast(stats), Seq("l_returnflag"))
+      .withColumn("resid",
+        $"y".cast("double") - ($"icept" + $"slope" * $"x".cast("double")))
+      .withColumn("leverage",
+        lit(1.0) / $"n".cast("double") +
+          (($"n" * $"x").cast(d38) - $"sx").cast("double") *
+            (($"n" * $"x").cast(d38) - $"sx").cast("double") /
+            ($"n".cast(d38) * $"dd").cast("double"))
+      .withColumn("cooks_d",
+        $"resid" * $"resid" * $"leverage" /
+          (lit(2.0) * $"s2" * (lit(1.0) - $"leverage") *
+            (lit(1.0) - $"leverage")))
+    scored
+      .orderBy($"cooks_d".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .limit(15)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        $"x".as("quantity"), $"y".as("price_cents"),
+        $"slope", $"icept".as("intercept"), $"leverage", $"resid",
+        $"cooks_d")
+  }
+
   /** Partial correlation census (the classical first-order recursion,
     * public definition) — the CONFOUNDER-controlled member the
     * association family lacks: q195/q375 report pairwise r, but
@@ -2215,6 +2275,59 @@ object Aggregates {
             (sqrt(lit(1.0) - $"r_xz" * $"r_xz") *
               sqrt(lit(1.0) - $"r_yz" * $"r_yz")))
           .as("r_xy_given_z"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Simpson's-paradox reversal census (Simpson 1951, public
+    * definition) — the aggregation-reversal audit q410 points at: a
+    * pooled correlation whose SIGN flips inside every stratum is the
+    * textbook way a dashboard lies, and nothing in the family checks
+    * it. Per return flag: pooled r(quantity, price) and the per-
+    * discount-stratum r (the discount domain is bounded, so the
+    * stratum table is census-sized) — both the q410 exact-moment
+    * two-sqrt trees — then the census counts strata whose r·r_pooled
+    * is strictly negative; `all_reversed` (every defined stratum
+    * disagrees with the pooled sign) is the paradox flag. Degenerate
+    * strata (zero variance) are counted but never reversed. Scale: one
+    * scan → two moment aggs (flag / flag×stratum) → a census-sized
+    * join and fold. */
+  def simpsonReversal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val base = Tables.lineitem(s, dir).select(
+      $"l_returnflag",
+      $"l_quantity".cast("long").as("x"),
+      cents($"l_extendedprice").as("y"),
+      cents($"l_discount").as("z"))
+    def mom(df: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+        sum($"x".cast(d38)).as("sx"), sum($"y".cast(d38)).as("sy"),
+        sum($"x".cast(d38) * $"x").as("sxx"),
+        sum($"y".cast(d38) * $"y").as("syy"),
+        sum($"x".cast(d38) * $"y").as("sxy"))
+    def rCol: Column = {
+      val dxx = $"n".cast(d38) * $"sxx" - $"sx" * $"sx"
+      val dyy = $"n".cast(d38) * $"syy" - $"sy" * $"sy"
+      when(dxx > 0 && dyy > 0,
+        ($"n".cast(d38) * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(dxx.cast("double")) * sqrt(dyy.cast("double"))))
+    }
+    val pooled = mom(base.groupBy($"l_returnflag"))
+      .select($"l_returnflag", rCol.as("r_pooled"))
+    val strata = mom(base.groupBy($"l_returnflag", $"z"))
+      .select($"l_returnflag", $"z", rCol.as("r_stratum"))
+    strata.join(broadcast(pooled), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(max($"r_pooled").as("r_pooled"),
+        count(lit(1)).as("n_strata"),
+        sum(when($"r_stratum".isNotNull, 1L).otherwise(0L))
+          .as("n_strata_defined"),
+        sum(when($"r_stratum" * $"r_pooled" < 0.0, 1L).otherwise(0L))
+          .as("n_reversed"),
+        min($"r_stratum").as("min_stratum_r"),
+        max($"r_stratum").as("max_stratum_r"))
+      .withColumn("all_reversed",
+        $"n_strata_defined" > 0L && $"n_reversed" === $"n_strata_defined")
       .orderBy($"l_returnflag")
   }
 
@@ -2436,6 +2549,8 @@ object Aggregates {
     "q375_spearman_census" -> spearmanCensus,
     "q376_kendall_tau" -> kendallTau,
     "q410_partial_correlation" -> partialCorrelation,
+    "q412_ols_influence" -> olsInfluence,
+    "q414_simpson_reversal" -> simpsonReversal,
     "q389_robust_mean_census" -> robustMeanCensus,
     "q384_gini_concentration" -> giniConcentration,
     "q280_discount_elasticity" -> discountElasticity,
@@ -2602,6 +2717,116 @@ object Aggregates {
          |         CAST(top_cents AS DOUBLE) / CAST(s AS DOUBLE)
          |       END AS top_decile_share
          |FROM g, topc""".stripMargin,
+    // the q410 r tree at two grains (flag / flag×stratum) → a
+    // census-sized sign fold; NULL strata counted, never reversed
+    "q414_simpson_reversal" -> {
+      def rSql(pre: String) =
+        s"CASE WHEN CAST(${pre}n AS HUGEINT) * ${pre}sxx " +
+          s"- ${pre}sx * ${pre}sx > 0 " +
+          s"AND CAST(${pre}n AS HUGEINT) * ${pre}syy " +
+          s"- ${pre}sy * ${pre}sy > 0 THEN " +
+          s"CAST(CAST(CAST(${pre}n AS HUGEINT) * ${pre}sxy " +
+          s"- ${pre}sx * ${pre}sy AS VARCHAR) AS DOUBLE) " +
+          s"/ (sqrt(CAST(CAST(CAST(${pre}n AS HUGEINT) * ${pre}sxx " +
+          s"- ${pre}sx * ${pre}sx AS VARCHAR) AS DOUBLE)) " +
+          s"* sqrt(CAST(CAST(CAST(${pre}n AS HUGEINT) * ${pre}syy " +
+          s"- ${pre}sy * ${pre}sy AS VARCHAR) AS DOUBLE))) END"
+      val momSql = "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy, " +
+        "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, " +
+        "CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy, " +
+        "CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy"
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT l_returnflag,
+         |         CAST(l_quantity AS BIGINT) AS x,
+         |         ${centsSql("l_extendedprice")} AS y,
+         |         ${centsSql("l_discount")} AS z
+         |  FROM lineitem
+         |), pooled AS (
+         |  SELECT l_returnflag, ${rSql("")} AS r_pooled
+         |  FROM (SELECT l_returnflag, $momSql FROM b GROUP BY 1)
+         |), strata AS (
+         |  SELECT l_returnflag, z, ${rSql("")} AS r_stratum
+         |  FROM (SELECT l_returnflag, z, $momSql FROM b GROUP BY 1, 2)
+         |)
+         |SELECT s.l_returnflag, max(r_pooled) AS r_pooled,
+         |       count(*) AS n_strata,
+         |       ${sumLongSql("CASE WHEN r_stratum IS NOT NULL THEN 1 ELSE 0 END")}
+         |         AS n_strata_defined,
+         |       ${sumLongSql("CASE WHEN r_stratum * r_pooled < 0.0 THEN 1 ELSE 0 END")}
+         |         AS n_reversed,
+         |       min(r_stratum) AS min_stratum_r,
+         |       max(r_stratum) AS max_stratum_r,
+         |       (sum(CASE WHEN r_stratum IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |        AND sum(CASE WHEN r_stratum * r_pooled < 0.0
+         |                THEN 1 ELSE 0 END)
+         |            = sum(CASE WHEN r_stratum IS NOT NULL THEN 1 ELSE 0 END))
+         |         AS all_reversed
+         |FROM strata s JOIN pooled p ON p.l_returnflag = s.l_returnflag
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // one exact moment agg per flag (VARCHAR-routed), closed-form SSE
+    // (no float sum crosses a shuffle), per-row influence trees, a
+    // total-ordered top-15
+    "q412_ols_influence" ->
+      s"""WITH b AS (
+         |  SELECT l_orderkey, l_linenumber, l_returnflag,
+         |         CAST(l_quantity AS BIGINT) AS x,
+         |         ${centsSql("l_extendedprice")} AS y
+         |  FROM lineitem
+         |), m AS (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS HUGEINT) AS sx,
+         |         CAST(sum(y) AS HUGEINT) AS sy,
+         |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+         |  FROM b GROUP BY 1
+         |), st AS MATERIALIZED (
+         |  SELECT l_returnflag, n, sx, sy,
+         |         CAST(n AS HUGEINT) * sxx - sx * sx AS dd,
+         |         CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+         |              AS DOUBLE)
+         |           / CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+         |                  AS VARCHAR) AS DOUBLE) AS slope,
+         |         sxy, syy
+         |  FROM m WHERE n > 2 AND CAST(n AS HUGEINT) * sxx - sx * sx > 0
+         |), st2 AS MATERIALIZED (
+         |  SELECT l_returnflag, n, sx, sy, dd, slope,
+         |         (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+         |          - slope * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+         |           / CAST(n AS DOUBLE) AS icept,
+         |         (CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS VARCHAR)
+         |               AS DOUBLE)
+         |          - slope * CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy
+         |                     AS VARCHAR) AS DOUBLE))
+         |           / CAST(CAST(CAST(n AS HUGEINT) * (n - 2) AS VARCHAR)
+         |                  AS DOUBLE) AS s2
+         |  FROM st
+         |), sc AS (
+         |  SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag, b.x, b.y,
+         |         slope, icept,
+         |         CAST(b.y AS DOUBLE)
+         |           - (icept + slope * CAST(b.x AS DOUBLE)) AS resid,
+         |         1.0 / CAST(n AS DOUBLE)
+         |           + CAST(CAST(CAST(n * b.x AS HUGEINT) - sx AS VARCHAR)
+         |                  AS DOUBLE)
+         |             * CAST(CAST(CAST(n * b.x AS HUGEINT) - sx AS VARCHAR)
+         |                    AS DOUBLE)
+         |             / CAST(CAST(CAST(n AS HUGEINT) * dd AS VARCHAR)
+         |                    AS DOUBLE) AS leverage,
+         |         s2
+         |  FROM b JOIN st2 USING (l_returnflag)
+         |)
+         |SELECT l_orderkey, l_linenumber, l_returnflag,
+         |       x AS quantity, y AS price_cents,
+         |       slope, icept AS intercept, leverage, resid,
+         |       resid * resid * leverage
+         |         / (2.0 * s2 * (1.0 - leverage) * (1.0 - leverage))
+         |         AS cooks_d
+         |FROM sc
+         |ORDER BY cooks_d DESC, l_orderkey ASC, l_linenumber ASC
+         |LIMIT 15""".stripMargin,
     // one 10-cell exact moment agg per flag; every r is the q375
     // two-sqrt tree (VARCHAR-routed), the partial one fixed tree on top
     "q410_partial_correlation" -> {

@@ -3669,6 +3669,56 @@ object LlmOps {
         when(ok && sp2 > 0.0, f).as("bf_f"))
   }
 
+  /** Jarque–Bera normality census (Jarque & Bera 1980, public
+    * definition) of the per-lang token-count distributions — the
+    * distributional-assumption audit for everything downstream that
+    * implicitly assumes near-normal lengths (q394's d, q393's F,
+    * truncation policies): JB = n(S²/6 + (K−3)²/24) over exact central
+    * moments with denominators CLEARED — d_v = n·v − Σ gives
+    * Σc·d² = n²M₂, Σc·d³ = n³M₃, Σc·d⁴ = n⁴M₄ folded exactly in
+    * decimal(38,0) over the value census (digit strings; the scale
+    * powers cancel: S = √n·Σd³/(Σd²)^1.5 — the q387 three-sqrt tree —
+    * and K = n·Σd⁴/(Σd²)², the two-cast product), rejection at the
+    * literal χ²₀.₉₅(2). Zero-variance or n < 2 slices keep NULLs.
+    * Envelope: Σc·d⁴ ≤ n⁵·v_max⁴ holds in d38 to ~10⁶ docs/slice at
+    * v_max 10³ — past that, pre-center on the integer mean-floor and
+    * carry the remainder (documented, not built). Scale: one scan →
+    * bounded value census → a 4-cell fold per lang. */
+  def jarqueBeraCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val census = Tables.documents(s, dir)
+      .select($"lang", size(TextOps.tokens($"text")).cast("long").as("v"))
+      .groupBy($"lang", $"v").agg(count(lit(1)).as("c"))
+    val tot = census.groupBy($"lang")
+      .agg(sum($"c").as("n"), sum($"c".cast(d38) * $"v").as("sv"))
+    val mom = census.join(tot, Seq("lang"))
+      .select($"lang", $"n", $"c",
+        ($"n".cast(d38) * $"v" - $"sv").as("d"))
+      .groupBy($"lang")
+      .agg(max($"n").as("n"),
+        sum($"c".cast(d38) * $"d" * $"d").as("d2"),
+        sum($"c".cast(d38) * $"d" * $"d" * $"d").as("d3"),
+        sum($"c".cast(d38) * $"d" * $"d" * $"d" * $"d").as("d4"))
+    val skew = (sqrt($"n".cast("double")) * $"d3".cast("double")) /
+      (sqrt($"d2".cast("double")) * sqrt($"d2".cast("double")) *
+        sqrt($"d2".cast("double")))
+    val kurt = ($"n".cast(d38) * $"d4").cast("double") /
+      ($"d2".cast("double") * $"d2".cast("double"))
+    val jb = $"n".cast("double") *
+      (skew * skew / lit(6.0) +
+        (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(24.0))
+    val ok = $"n" > 1L && $"d2" > 0
+    mom.select($"lang", $"n".as("n_docs"),
+      $"d2".cast("string").as("m2_num"),
+      when(ok, skew).as("skewness"),
+      when(ok, kurt).as("kurtosis"),
+      when(ok, jb).as("jb_stat"),
+      coalesce(when(ok, jb > lit(Chi2Crit95(1))), lit(false))
+        .as("nonnormal"))
+      .orderBy($"lang")
+  }
+
   /** Cliff's delta (Cliff 1993, public definition) between the drift
     * halves — the ORDINAL effect size beside q394's Cohen's d (d assumes
     * interval scale and near-normality; δ = P(X>Y) − P(X<Y) is the
@@ -7341,6 +7391,7 @@ object LlmOps {
     "q406_good_turing_mass" -> goodTuringMass,
     "q407_brown_forsythe_drift" -> brownForsytheDrift,
     "q408_hellinger_lang_drift" -> hellingerLangDrift,
+    "q413_jarque_bera" -> jarqueBeraCensus,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -8691,6 +8742,45 @@ object LlmOps {
          |           / CAST(n_a_only + n_b_only AS DOUBLE)
          |           > ${Chi2Crit95.head} END, FALSE) AS filters_differ
          |FROM g""".stripMargin,
+    // value census → cleared-denominator central moments (HUGEINT →
+    // VARCHAR) → the q387 three-sqrt skew tree + two-cast kurtosis
+    "q413_jarque_bera" -> {
+      val d2d = "CAST(CAST(d2 AS VARCHAR) AS DOUBLE)"
+      val skewSql = s"(sqrt(CAST(n AS DOUBLE)) " +
+        s"* CAST(CAST(d3 AS VARCHAR) AS DOUBLE)) " +
+        s"/ (sqrt($d2d) * sqrt($d2d) * sqrt($d2d))"
+      val kurtSql = "CAST(CAST(CAST(n AS HUGEINT) * d4 AS VARCHAR) " +
+        s"AS DOUBLE) / ($d2d * $d2d)"
+      val jbSql = s"CAST(n AS DOUBLE) * (($skewSql) * ($skewSql) / 6.0 " +
+        s"+ (($kurtSql) - 3.0) * (($kurtSql) - 3.0) / 24.0)"
+      s"""WITH census AS MATERIALIZED (
+         |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS v,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT lang, ${sumLongSql("c")} AS n,
+         |         CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT) AS sv
+         |  FROM census GROUP BY 1
+         |), mom AS (
+         |  SELECT census.lang, max(n) AS n,
+         |         CAST(sum(CAST(c AS HUGEINT) * d * d) AS HUGEINT) AS d2,
+         |         CAST(sum(CAST(c AS HUGEINT) * d * d * d) AS HUGEINT) AS d3,
+         |         CAST(sum(CAST(c AS HUGEINT) * d * d * d * d) AS HUGEINT)
+         |           AS d4
+         |  FROM (SELECT census.lang, n, c,
+         |               CAST(n AS HUGEINT) * v - sv AS d
+         |        FROM census JOIN tot ON tot.lang = census.lang) census
+         |  GROUP BY 1
+         |)
+         |SELECT lang, n AS n_docs, CAST(d2 AS VARCHAR) AS m2_num,
+         |       CASE WHEN n > 1 AND d2 > 0 THEN $skewSql END AS skewness,
+         |       CASE WHEN n > 1 AND d2 > 0 THEN $kurtSql END AS kurtosis,
+         |       CASE WHEN n > 1 AND d2 > 0 THEN $jbSql END AS jb_stat,
+         |       coalesce(CASE WHEN n > 1 AND d2 > 0
+         |                THEN $jbSql > ${Chi2Crit95(1)} END, FALSE)
+         |         AS nonnormal
+         |FROM mom ORDER BY lang""".stripMargin
+    },
     // per-lang token counts → frequency-of-frequencies → exact
     // Chao1 rational (f1² HUGEINT → VARCHAR under the gate)
     "q405_chao1_richness" ->

@@ -2427,6 +2427,106 @@ class OperatorPropertiesSpec extends SparkSpec {
       spark, mkOrders(Seq.fill(10)(500))).collect().isEmpty)
   }
 
+  test("q412 OLS influence: the planted outlier owns Cook's D; JVM tree replay is bitwise") {
+    // 9 points exactly on y = 10x plus one gross outlier
+    val pts = (1 to 9).map(i => (i.toLong, i.toLong, 1000L * i)) :+
+      (10L, 10L, 40000L)
+    val dir = java.nio.file.Files.createTempDirectory("cooks").toString
+    pts.map { case (k, x, y) => (k, 1L, "A", x.toDouble, y / 100.0) }
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q412_ols_influence")(spark, dir).collect()
+    assert(out.length === 10)
+    assert(out.head.getAs[Long]("l_orderkey") === 10L,
+      "the outlier must top the influence ranking")
+    // JVM replay of the closed-form trees on the top row
+    val n = BigInt(10)
+    val sx = pts.map(p => BigInt(p._2)).sum
+    val sy = pts.map(p => BigInt(p._3)).sum
+    val sxx = pts.map(p => BigInt(p._2) * p._2).sum
+    val sxy = pts.map(p => BigInt(p._2) * p._3).sum
+    val syy = pts.map(p => BigInt(p._3) * p._3).sum
+    val dd = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy).doubleValue / dd.doubleValue
+    val icept = (sy.doubleValue - slope * sx.doubleValue) / n.doubleValue
+    val s2 = ((n * syy - sy * sy).doubleValue -
+      slope * (n * sxy - sx * sy).doubleValue) /
+      (n * (n - 2)).doubleValue
+    val x10 = BigInt(10); val y10 = 40000.0
+    val resid = y10 - (icept + slope * 10.0)
+    val lev = 1.0 / 10.0 +
+      (n * x10 - sx).doubleValue * (n * x10 - sx).doubleValue /
+        (n * dd).doubleValue
+    val cd = resid * resid * lev / (2.0 * s2 * (1.0 - lev) * (1.0 - lev))
+    val top = out.head
+    assert(top.getAs[Double]("slope") === slope)
+    assert(top.getAs[Double]("intercept") === icept)
+    assert(top.getAs[Double]("leverage") === lev)
+    assert(top.getAs[Double]("resid") === resid)
+    assert(top.getAs[Double]("cooks_d") === cd)
+    // fixture: leverage stays in its (1/n, 1] band on every emitted row
+    val fx = SparkEntry.queries("q412_ols_influence")(spark, sfDir).collect()
+    assert(fx.nonEmpty && fx.forall { r =>
+      val h = r.getAs[Double]("leverage"); h > 0.0 && h <= 1.0
+    })
+  }
+
+  test("q413 Jarque-Bera: symmetric 3-point law pins skew 0 / kurtosis 1.5 / JB exactly") {
+    def doc(i: Long, ntok: Int, l: String) =
+      (i, Seq.fill(ntok)("w").mkString(" "), l, "web", 0L)
+    val dir = java.nio.file.Files.createTempDirectory("jb").toString
+    (Seq(doc(1, 1, "aa"), doc(2, 2, "aa"), doc(3, 3, "aa")) ++
+      Seq(doc(4, 5, "bb"), doc(5, 5, "bb")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q413_jarque_bera")(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    // aa: d = {-3, 0, 3} → skew 0 exactly, K = 3·162/18² = 1.5 exactly,
+    // JB = 3·(0 + 2.25/24) = 0.28125 exactly
+    assert(out("aa").getAs[Double]("skewness") === 0.0)
+    assert(out("aa").getAs[Double]("kurtosis") === 1.5)
+    assert(out("aa").getAs[Double]("jb_stat") === 3.0 * (1.5 - 3.0) * (1.5 - 3.0) / 24.0)
+    assert(!out("aa").getAs[Boolean]("nonnormal"))
+    // constant slice: zero variance leaves the test undefined
+    assert(out("bb").isNullAt(out("bb").fieldIndex("jb_stat")))
+    assert(!out("bb").getAs[Boolean]("nonnormal"))
+    // fixture: kurtosis is bounded below by squared skewness + 1
+    val fx = SparkEntry.queries("q413_jarque_bera")(spark, sfDir).collect()
+    fx.filter(r => !r.isNullAt(r.fieldIndex("kurtosis"))).foreach { r =>
+      val sk = r.getAs[Double]("skewness")
+      assert(r.getAs[Double]("kurtosis") >= sk * sk + 1.0 - 1e-9)
+    }
+  }
+
+  test("q414 Simpson reversal: the textbook two-strata plant flips every stratum") {
+    // within each discount stratum y falls with x; pooled, y rises
+    val rows = Seq(
+      ("A", 1L, 10000L, 0L), ("A", 2L, 9000L, 0L),
+      ("A", 8L, 30000L, 5L), ("A", 9L, 29000L, 5L))
+    val dir = java.nio.file.Files.createTempDirectory("simpson").toString
+    rows.map { case (f, x, y, z) => (f, x.toDouble, y / 100.0, z / 100.0) }
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q414_simpson_reversal")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Double]("r_pooled") > 0.0)
+    assert(r.getAs[Long]("n_strata") === 2L)
+    assert(r.getAs[Long]("n_strata_defined") === 2L)
+    assert(r.getAs[Long]("n_reversed") === 2L)
+    assert(r.getAs[Double]("max_stratum_r") < 0.0)
+    assert(r.getAs[Boolean]("all_reversed"))
+    // fixture: defined-strata and reversal counts are consistent
+    val fx = SparkEntry.queries("q414_simpson_reversal")(spark, sfDir)
+      .collect()
+    fx.foreach { row =>
+      assert(row.getAs[Long]("n_reversed") <=
+        row.getAs[Long]("n_strata_defined"))
+      assert(row.getAs[Long]("n_strata_defined") <=
+        row.getAs[Long]("n_strata"))
+    }
+  }
+
   test("q407 Brown-Forsythe: JVM replay of the deviation trees; tiny halves undefined") {
     def inA(id: Long): Boolean = {
       val d = java.security.MessageDigest.getInstance("MD5")
