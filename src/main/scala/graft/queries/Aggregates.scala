@@ -2278,6 +2278,67 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Peak-over-threshold / mean-excess census (the EVT diagnostic —
+    * Davison & Smith 1990, public description) over order values: the
+    * TAIL-SHAPE audit the concentration family lacks (q251 says who
+    * holds the mass, q384 how unequal; mean-excess says whether the
+    * tail is heavy — a RISING mean excess in u is the Pareto
+    * signature, the fact that decides outlier policy and sampling
+    * caps): at each of the P90/P95/P99 thresholds — selected EXACTLY
+    * on the value census (ceil rank (p·n+99) div 100; the run
+    * containing the rank is the conditional min, the q390 stance) —
+    * the exceedance count, mean excess Σc·(v−u)/n_exc (decimal(38,0)
+    * numerator, one shared divide), the me/u ratio, and a DYADIC
+    * Hill-style tail index Σc·(bits(v)−bits(u))/n_exc (the q131 log
+    * quantization pointed at EVT — integer, hash-portable, ≈ 1/α·ln2
+    * bits). Zero-exceedance thresholds keep NULLs. Scale: one scan →
+    * value census (near-distinct prices — |distinct| sized, NOT
+    * domain-bounded: the global cumulative window holds to ~10⁸
+    * distinct values, past which the selection moves to q251's
+    * TwoPass rank form) → three selections + one broadcast-theta fold
+    * with the 3-row threshold table on the small side. */
+  def meanExcessCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    def bits(c: Column): Column = length(bin(c)).cast("long")
+    val census = Tables.orders(s, dir)
+      .groupBy(cents($"o_totalprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // read by cums AND the excess fold
+    val cums = census
+      .withColumn("cum", sum($"c").over(Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nTot = census.agg(sum($"c").as("n"))
+    val thr = cums.crossJoin(broadcast(nTot))
+      .select($"v", $"cum", $"n",
+        explode(array(lit(90L), lit(95L), lit(99L))).as("pct"))
+      .withColumn("rk", expr("(pct * n + 99) div 100"))
+      .groupBy($"pct")
+      .agg(max($"n").as("n"),
+        min(when($"cum" >= $"rk" && $"rk" >= 1L, $"v")).as("u"))
+    // the CENSUS is the big side (order values are near-distinct — NOT
+    // domain-bounded); only the 3-row threshold table broadcasts
+    val g = census.crossJoin(broadcast(thr.select($"pct", $"u")))
+      .filter($"v" > $"u")
+      .groupBy($"pct", $"u")
+      .agg(sum($"c").as("n_exceed"),
+        sum($"c".cast(d38) * ($"v" - $"u")).as("sum_excess"),
+        sum($"c" * (bits($"v") - bits($"u"))).as("sum_bits"))
+    thr.join(g.select($"pct", $"n_exceed", $"sum_excess", $"sum_bits"),
+        Seq("pct"), "left")
+      .select($"pct", $"n".as("n_orders"), $"u".as("threshold_cents"),
+        coalesce($"n_exceed", lit(0L)).as("n_exceed"),
+        when($"n_exceed" > 0L,
+          $"sum_excess".cast("double") / $"n_exceed".cast("double"))
+          .as("mean_excess_cents"),
+        when($"n_exceed" > 0L && $"u" > 0L,
+          $"sum_excess".cast("double") /
+            ($"n_exceed".cast(d38) * $"u").cast("double")).as("me_over_u"),
+        when($"n_exceed" > 0L, ratio($"sum_bits", $"n_exceed"))
+          .as("dyadic_tail_bits"))
+      .orderBy($"pct")
+  }
+
   /** Simpson's-paradox reversal census (Simpson 1951, public
     * definition) — the aggregation-reversal audit q410 points at: a
     * pooled correlation whose SIGN flips inside every stratum is the
@@ -2551,6 +2612,7 @@ object Aggregates {
     "q410_partial_correlation" -> partialCorrelation,
     "q412_ols_influence" -> olsInfluence,
     "q414_simpson_reversal" -> simpsonReversal,
+    "q415_mean_excess_census" -> meanExcessCensus,
     "q389_robust_mean_census" -> robustMeanCensus,
     "q384_gini_concentration" -> giniConcentration,
     "q280_discount_elasticity" -> discountElasticity,
@@ -2717,6 +2779,50 @@ object Aggregates {
          |         CAST(top_cents AS DOUBLE) / CAST(s AS DOUBLE)
          |       END AS top_decile_share
          |FROM g, topc""".stripMargin,
+    // value census → three exact ceil-rank selections → broadcast-theta
+    // excess fold (numerator HUGEINT, shared divides)
+    "q415_mean_excess_census" ->
+      s"""WITH census AS MATERIALIZED (
+         |  SELECT ${centsSql("o_totalprice")} AS v,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM orders GROUP BY 1
+         |), cums AS (
+         |  SELECT v, CAST(sum(c) OVER (ORDER BY v
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum
+         |  FROM census
+         |), nt AS (SELECT ${sumLongSql("c")} AS n FROM census),
+         |thr AS MATERIALIZED (
+         |  SELECT pct, max(n) AS n,
+         |         min(CASE WHEN cum >= (pct * n + 99) // 100
+         |                   AND (pct * n + 99) // 100 >= 1 THEN v END) AS u
+         |  FROM cums, nt, (SELECT unnest([90, 95, 99]) AS pct)
+         |  GROUP BY pct
+         |), g AS (
+         |  SELECT pct, u, ${sumLongSql("c")} AS n_exceed,
+         |         CAST(sum(CAST(c AS HUGEINT) * (v - u)) AS HUGEINT)
+         |           AS sum_excess,
+         |         ${sumLongSql(
+             "c * (CAST(length(bin(v)) AS BIGINT) - CAST(length(bin(u)) AS BIGINT))")}
+         |           AS sum_bits
+         |  FROM census, thr WHERE v > u
+         |  GROUP BY 1, 2
+         |)
+         |SELECT CAST(t.pct AS BIGINT) AS pct, t.n AS n_orders,
+         |       t.u AS threshold_cents,
+         |       coalesce(g.n_exceed, 0) AS n_exceed,
+         |       CASE WHEN g.n_exceed > 0 THEN
+         |         CAST(CAST(g.sum_excess AS VARCHAR) AS DOUBLE)
+         |           / CAST(g.n_exceed AS DOUBLE) END AS mean_excess_cents,
+         |       CASE WHEN g.n_exceed > 0 AND t.u > 0 THEN
+         |         CAST(CAST(g.sum_excess AS VARCHAR) AS DOUBLE)
+         |           / CAST(CAST(CAST(g.n_exceed AS HUGEINT) * t.u AS VARCHAR)
+         |                  AS DOUBLE) END AS me_over_u,
+         |       CASE WHEN g.n_exceed > 0
+         |            THEN ${ratioSql("g.sum_bits", "g.n_exceed")} END
+         |         AS dyadic_tail_bits
+         |FROM thr t LEFT JOIN g ON g.pct = t.pct
+         |ORDER BY t.pct""".stripMargin,
     // the q410 r tree at two grains (flag / flag×stratum) → a
     // census-sized sign fold; NULL strata counted, never reversed
     "q414_simpson_reversal" -> {

@@ -4290,6 +4290,56 @@ object LlmOps {
       .agg(count(lit(1)).as("fr"))
   }
 
+  /** Zipf rank-frequency slope census (Zipf 1949; the standard log-log
+    * regression, public description) per language — the STATIC
+    * companion to q370's Heaps growth and the q405/q406 tail pair: a
+    * natural-language vocabulary has log f ≈ C − s·log rank with
+    * s ≈ 1; boilerplate-heavy or templated corpora bend it, so the
+    * slope is a corpus-quality fingerprint. Fully LOG-FREE (the q131
+    * dyadic stance): both axes are bit-lengths, x = bits(rank),
+    * y = bits(freq), and because ranks inside a tied-frequency run are
+    * CONSECUTIVE integers, the number of ranks in dyadic band b is the
+    * exact interval overlap max(0, min(cb+f_r, 2ᵇ−1) − max(cb+1,
+    * 2ᵇ⁻¹) + 1) off the frequency-of-frequencies census — no per-type
+    * rows, no window over the vocabulary. The weighted OLS slope over
+    * the ≤40·|freq-census| band points is exact integer moments +
+    * one divide (decimal(38,0), VARCHAR-routed). Slopes ≈ −1·(bits per
+    * bits) read as Zipf exponent ≈ 1. Degenerate (< 2 distinct bands)
+    * slices keep NULLs. Scale: the shared q405 fof census → a bounded
+    * band explode → 5-cell moments per lang. */
+  def zipfSlopeCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    def bits(c: Column): Column = length(bin(c)).cast("long")
+    val fof = langFreqOfFreq(s, dir)
+    val cb = coalesce(sum($"fr").over(Window.partitionBy($"lang")
+      .orderBy($"r".desc).rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val pts = fof.withColumn("cb", cb)
+      .select($"lang", $"r", $"fr", $"cb",
+        explode(sequence(lit(1), lit(40))).as("b"))
+      .withColumn("lo", expr("shiftleft(cast(1 as bigint), b - 1)"))
+      .withColumn("hi", expr("shiftleft(cast(1 as bigint), b) - 1"))
+      .withColumn("cnt", greatest(lit(0L),
+        least($"cb" + $"fr", $"hi") - greatest($"cb" + 1L, $"lo") + 1L))
+      .filter($"cnt" > 0L)
+      .select($"lang", $"b".cast("long").as("x"), bits($"r").as("y"), $"cnt")
+    val m = pts.groupBy($"lang").agg(
+      sum($"cnt").as("w"), count(lit(1)).as("n_points"),
+      sum($"cnt" * $"x").as("sx"), sum($"cnt" * $"y").as("sy"),
+      sum($"cnt" * $"x" * $"x").as("sxx"),
+      sum($"cnt" * $"x" * $"y").as("sxy"))
+    val dd = $"w".cast(d38) * $"sxx" - $"sx".cast(d38) * $"sx"
+    val slope = ($"w".cast(d38) * $"sxy" - $"sx".cast(d38) * $"sy")
+      .cast("double") / dd.cast("double")
+    m.select($"lang", $"w".as("n_types"), $"n_points",
+      when(dd > 0, slope).as("zipf_slope_bits"),
+      when(dd > 0,
+        ($"sy".cast("double") - slope * $"sx".cast("double")) /
+          $"w".cast("double")).as("intercept_bits"))
+      .orderBy($"lang")
+  }
+
   /** Chao1 species-richness estimate (Chao 1984, public definition)
     * per language — the "how much vocabulary have we NOT seen yet"
     * diagnostic that prices a crawl extension for tokenizer sizing,
@@ -7392,6 +7442,7 @@ object LlmOps {
     "q407_brown_forsythe_drift" -> brownForsytheDrift,
     "q408_hellinger_lang_drift" -> hellingerLangDrift,
     "q413_jarque_bera" -> jarqueBeraCensus,
+    "q416_zipf_slope" -> zipfSlopeCensus,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -8742,6 +8793,55 @@ object LlmOps {
          |           / CAST(n_a_only + n_b_only AS DOUBLE)
          |           > ${Chi2Crit95.head} END, FALSE) AS filters_differ
          |FROM g""".stripMargin,
+    // the q405 fof census → exact dyadic-band interval overlaps →
+    // weighted integer OLS (HUGEINT → VARCHAR under the gate)
+    "q416_zipf_slope" -> {
+      val ddSql = "CAST(CAST(CAST(w AS HUGEINT) * sxx " +
+        "- CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)"
+      val slopeSql = "CAST(CAST(CAST(w AS HUGEINT) * sxy " +
+        s"- CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE) / $ddSql"
+      s"""WITH cnts AS MATERIALIZED (
+         |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS r
+         |  FROM (SELECT lang, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1, 2
+         |), fof AS MATERIALIZED (
+         |  SELECT lang, r, CAST(count(*) AS BIGINT) AS fr
+         |  FROM cnts GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT lang, r, fr,
+         |         CAST(coalesce(sum(fr) OVER (PARTITION BY lang
+         |           ORDER BY r DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cb
+         |  FROM fof
+         |), pts AS (
+         |  SELECT lang, CAST(b AS BIGINT) AS x,
+         |         CAST(length(bin(r)) AS BIGINT) AS y,
+         |         greatest(0, least(cb + fr, (CAST(1 AS BIGINT) << b) - 1)
+         |                      - greatest(cb + 1,
+         |                                 CAST(1 AS BIGINT) << (b - 1)) + 1)
+         |           AS cnt
+         |  FROM ranked, (SELECT unnest(range(1, 41)) AS b)
+         |), m AS (
+         |  SELECT lang, ${sumLongSql("cnt")} AS w,
+         |         CAST(count(*) AS BIGINT) AS n_points,
+         |         ${sumLongSql("cnt * x")} AS sx,
+         |         ${sumLongSql("cnt * y")} AS sy,
+         |         ${sumLongSql("cnt * x * x")} AS sxx,
+         |         ${sumLongSql("cnt * x * y")} AS sxy
+         |  FROM pts WHERE cnt > 0 GROUP BY 1
+         |)
+         |SELECT lang, w AS n_types, n_points,
+         |       CASE WHEN CAST(w AS HUGEINT) * sxx
+         |                 - CAST(sx AS HUGEINT) * sx > 0
+         |            THEN $slopeSql END AS zipf_slope_bits,
+         |       CASE WHEN CAST(w AS HUGEINT) * sxx
+         |                 - CAST(sx AS HUGEINT) * sx > 0
+         |            THEN (CAST(sy AS DOUBLE) - ($slopeSql)
+         |                    * CAST(sx AS DOUBLE)) / CAST(w AS DOUBLE)
+         |       END AS intercept_bits
+         |FROM m ORDER BY lang""".stripMargin
+    },
     // value census → cleared-denominator central moments (HUGEINT →
     // VARCHAR) → the q387 three-sqrt skew tree + two-cast kurtosis
     "q413_jarque_bera" -> {

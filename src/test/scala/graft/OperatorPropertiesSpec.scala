@@ -2427,6 +2427,61 @@ class OperatorPropertiesSpec extends SparkSpec {
       spark, mkOrders(Seq.fill(10)(500))).collect().isEmpty)
   }
 
+  test("q415 mean excess: uniform plant pins ME = 550 at P90 and a falling ME curve") {
+    val dir = java.nio.file.Files.createTempDirectory("pot").toString
+    (1 to 100).map(k => (k.toLong, k.toDouble)) // k dollars = 100k cents
+      .toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q415_mean_excess_census")(spark, dir)
+      .collect().map(r => r.getAs[Long]("pct") -> r).toMap
+    // P90 rank 90 → u = 9000 cents; excess sum over 9100..10000 = 5500
+    assert(out(90L).getAs[Long]("threshold_cents") === 9000L)
+    assert(out(90L).getAs[Long]("n_exceed") === 10L)
+    assert(out(90L).getAs[Double]("mean_excess_cents") === 550.0)
+    assert(out(90L).getAs[Double]("me_over_u") === 5500.0 / 90000.0)
+    // 9100..10000 share bits(9000) = 14 → dyadic tail exactly 0
+    assert(out(90L).getAs[Double]("dyadic_tail_bits") === 0.0)
+    // a LIGHT (uniform) tail has FALLING mean excess in u
+    assert(out(90L).getAs[Double]("mean_excess_cents") >
+      out(95L).getAs[Double]("mean_excess_cents"))
+    assert(out(95L).getAs[Double]("mean_excess_cents") >
+      out(99L).getAs[Double]("mean_excess_cents"))
+    // fixture: exceedance counts shrink with the threshold
+    val fx = SparkEntry.queries("q415_mean_excess_census")(spark, sfDir)
+      .orderBy($"pct").collect()
+    assert(fx.map(_.getAs[Long]("n_exceed")).sliding(2).forall(p =>
+      p(0) >= p(1)))
+  }
+
+  test("q416 Zipf slope: the exact dyadic-Zipf plant pins slope -1 and intercept 8 bitwise") {
+    // rank band b holds 2^(b-1) types of frequency 2^(7-b): y = 8 - x
+    // exactly, so the weighted OLS collapses to slope = -dd/dd = -1
+    val toks = (1 to 127).flatMap { i =>
+      val f = 1 << (7 - java.lang.Integer.toBinaryString(i).length)
+      Seq.fill(f)(f"t$i%03d")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("zipf").toString
+    Seq((1L, toks.mkString(" "), "aa", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q416_zipf_slope")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_types") === 127L)
+    assert(r.getAs[Long]("n_points") === 7L)
+    assert(r.getAs[Double]("zipf_slope_bits") === -1.0)
+    assert(r.getAs[Double]("intercept_bits") === 8.0)
+    // a single-band vocabulary has no regression
+    val flat = java.nio.file.Files.createTempDirectory("zipf1").toString
+    Seq((1L, "a b c", "aa", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$flat/documents.parquet")
+    val z = SparkEntry.queries("q416_zipf_slope")(spark, flat).collect()(0)
+    assert(z.getAs[Long]("n_points") === 2L) // ranks 1..3 span bands 1-2
+    // fixture: every language slope is negative (frequency falls in rank)
+    val fx = SparkEntry.queries("q416_zipf_slope")(spark, sfDir).collect()
+    assert(fx.nonEmpty && fx.forall(row =>
+      row.getAs[Double]("zipf_slope_bits") < 0.0))
+  }
+
   test("q412 OLS influence: the planted outlier owns Cook's D; JVM tree replay is bitwise") {
     // 9 points exactly on y = 10x plus one gross outlier
     val pts = (1 to 9).map(i => (i.toLong, i.toLong, 1000L * i)) :+
