@@ -708,4 +708,60 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "endpoint-community attachment must be keyed joins")
   }
+
+  test("q396/q397/q402 paired-vote joins are keyed on doc_id (no cartesian)") {
+    Seq("q396_mcnemar_filter_ab", "q397_fleiss_kappa_ensemble",
+      "q402_cochran_q_filters").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    // q397's visible stage sits behind the census checkpoint; the two
+    // uncheckpointed siblings must show the keyed join operators
+    Seq("q396_mcnemar_filter_ab", "q402_cochran_q_filters").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), q)
+    }
+  }
+
+  test("q399 KN scoring joins the bigram table by KEY, never broadcast") {
+    val p = planOf("q399_bigram_kneser_ney")
+    // prefix/continuation tables broadcast; the corpus-shaped bigram
+    // table must not (the q297 contract)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q400 LOF candidates come from the cell-keyed grid join (no all-pairs)") {
+    val p = planOf("q400_lof_grid_outliers")
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation must stay cell-keyed")
+  }
+
+  test("q411/q401 graph ops read the pinned adjacency without a corpus cartesian") {
+    Seq("q411_link_prediction", "q401_harmonic_centrality").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") || q == "q411_link_prediction",
+        q)
+    }
+    // q411's K×K spine is the only sanctioned cross (both sides the
+    // fixed panel)
+    val p411 = planOf("q411_link_prediction")
+    assert(p411.contains("BroadcastNestedLoopJoin") ||
+      !p411.contains("CartesianProduct"), "the spine must broadcast")
+  }
+
+  test("q415 threshold table broadcasts; the value census is the probe side") {
+    val p = planOf("q415_mean_excess_census")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 3-row threshold table is the broadcast side of the theta join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q412/q414 moment stats broadcast back to the scoring scan") {
+    Seq("q412_ols_influence", "q414_simpson_reversal").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
 }
