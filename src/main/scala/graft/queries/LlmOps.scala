@@ -4569,6 +4569,43 @@ object LlmOps {
         lit(false)).as("raters_differ"))
   }
 
+  /** Wilson score intervals (Wilson 1927, public definition) for the
+    * three filters' keep rates — the UNCERTAINTY the ensemble panel
+    * reports without: q396/q402 say whether filters differ; the Wilson
+    * band says what each rate IS, with the coverage behavior near 0/1
+    * that makes it the production default over the Wald interval
+    * (never escapes [0,1], never collapses at p̂ ∈ {0,1}). Per filter:
+    * n and k exact off the shared vote chains, then
+    * (p̂ + z²/2n ± z√(p̂(1−p̂)/n + z²/4n²))/(1 + z²/n) as one fixed
+    * IEEE tree per bound at the literal z = [[MwCritAlpha05]]. Empty
+    * corpora keep NULLs. Scale: the three chains → one 3-key census. */
+  def wilsonKeepRates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tagged = lmKeepVotes(s, dir)
+      .select(lit("lm_unigram").as("filter"), $"keep")
+      .unionAll(rulesKeepVotes(s, dir)
+        .select(lit("gopher_rules").as("filter"), $"keep"))
+      .unionAll(qfKeepVotes(s, dir)
+        .select(lit("learned_qf").as("filter"), $"keep"))
+    val g = tagged.groupBy($"filter")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"keep", 1L).otherwise(0L)).as("k"))
+    val z = lit(MwCritAlpha05)
+    val nD = $"n".cast("double")
+    val p = ratio($"k", $"n")
+    val center = p + z * z / (lit(2.0) * nD)
+    val half = z * sqrt(p * (lit(1.0) - p) / nD +
+      z * z / (lit(4.0) * nD * nD))
+    val denom = lit(1.0) + z * z / nD
+    g.select($"filter", $"n".as("n_docs"), $"k".as("n_keep"),
+      when($"n" > 0L, p).as("keep_rate"),
+      when($"n" > 0L, (center - half) / denom).as("wilson_lo"),
+      when($"n" > 0L, (center + half) / denom).as("wilson_hi"),
+      when($"n" > 0L,
+        (center + half) / denom - (center - half) / denom).as("ci_width"))
+      .orderBy($"filter")
+  }
+
   /** Fleiss' kappa (Fleiss 1971, public definition) over the filter
     * ENSEMBLE — chance-corrected agreement of the three independent
     * quality raters the engine ships (q131 unigram gate, q147 Gopher
@@ -7443,6 +7480,7 @@ object LlmOps {
     "q408_hellinger_lang_drift" -> hellingerLangDrift,
     "q413_jarque_bera" -> jarqueBeraCensus,
     "q416_zipf_slope" -> zipfSlopeCensus,
+    "q417_wilson_keep_rates" -> wilsonKeepRates,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -8982,6 +9020,50 @@ object LlmOps {
          |              ELSE 'large' END
          |       ELSE 'undefined' END AS magnitude
          |FROM pr, tot""".stripMargin
+    },
+    // the three shared vote fragments union-tagged → 3-key census →
+    // the literal-z Wilson trees
+    "q417_wilson_keep_rates" -> {
+      val pSql = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+      val z = s"$MwCritAlpha05"
+      val centerSql = s"($pSql + $z * $z / (2.0 * CAST(n AS DOUBLE)))"
+      val halfSql = s"($z * sqrt($pSql * (1.0 - $pSql) / CAST(n AS DOUBLE)" +
+        s" + $z * $z / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+      val denomSql = s"(1.0 + $z * $z / CAST(n AS DOUBLE))"
+      s"""WITH $qfPerDocSql,
+         |qfvotes AS (
+         |  SELECT doc_id, score_bits * tnb > ts * nb AS keep
+         |  FROM perdoc, calib
+         |),
+         |$lmKeepVoteSql,
+         |$rulesKeepVoteSql,
+         |tagged AS (
+         |  SELECT 'lm_unigram' AS filter, coalesce(a.keep, FALSE) AS keep
+         |  FROM (SELECT doc_id FROM documents) d
+         |  LEFT JOIN lmvotes a USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'gopher_rules', coalesce(r.keep, FALSE)
+         |  FROM (SELECT doc_id FROM documents) d
+         |  LEFT JOIN rulesvotes r USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'learned_qf', coalesce(q.keep, FALSE)
+         |  FROM (SELECT doc_id FROM documents) d
+         |  LEFT JOIN qfvotes q USING (doc_id)
+         |), g AS (
+         |  SELECT filter, CAST(count(*) AS BIGINT) AS n,
+         |         ${sumLongSql("CASE WHEN keep THEN 1 ELSE 0 END")} AS k
+         |  FROM tagged GROUP BY 1
+         |)
+         |SELECT filter, n AS n_docs, k AS n_keep,
+         |       CASE WHEN n > 0 THEN $pSql END AS keep_rate,
+         |       CASE WHEN n > 0 THEN ($centerSql - $halfSql) / $denomSql END
+         |         AS wilson_lo,
+         |       CASE WHEN n > 0 THEN ($centerSql + $halfSql) / $denomSql END
+         |         AS wilson_hi,
+         |       CASE WHEN n > 0 THEN
+         |         ($centerSql + $halfSql) / $denomSql
+         |           - ($centerSql - $halfSql) / $denomSql END AS ci_width
+         |FROM g ORDER BY filter""".stripMargin
     },
     // the three shared vote fragments → ONE 6-cell moment agg → the
     // shared Q divide (squares HUGEINT → VARCHAR under the gate)

@@ -2427,6 +2427,35 @@ class OperatorPropertiesSpec extends SparkSpec {
       spark, mkOrders(Seq.fill(10)(500))).collect().isEmpty)
   }
 
+  test("q417 Wilson intervals: JVM tree replay on the mixed plant; bounds stay in [0,1]") {
+    val out = SparkEntry.queries("q417_wilson_keep_rates")(
+      spark, mixedVoteFixture())
+      .collect().map(r => r.getAs[String]("filter") -> r).toMap
+    // every filter keeps exactly the good doc: k = 1, n = 3
+    val z = 1.96; val n = 3.0; val p = 1.0 / 3.0
+    val center = p + z * z / (2.0 * n)
+    val half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+    val denom = 1.0 + z * z / n
+    Seq("lm_unigram", "gopher_rules", "learned_qf").foreach { f =>
+      val r = out(f)
+      assert(r.getAs[Long]("n_docs") === 3L && r.getAs[Long]("n_keep") === 1L, f)
+      assert(r.getAs[Double]("keep_rate") === 1.0 / 3.0, f)
+      assert(r.getAs[Double]("wilson_lo") === (center - half) / denom, f)
+      assert(r.getAs[Double]("wilson_hi") === (center + half) / denom, f)
+    }
+    // Wilson never escapes [0,1] and brackets the point estimate (to a
+    // ulp — at p̂ = 1 the upper tree rounds a hair under 1.0)
+    val fx = SparkEntry.queries("q417_wilson_keep_rates")(spark, sfDir)
+      .collect()
+    assert(fx.length === 3)
+    fx.foreach { r =>
+      val (lo, hi, p0) = (r.getAs[Double]("wilson_lo"),
+        r.getAs[Double]("wilson_hi"), r.getAs[Double]("keep_rate"))
+      assert(lo >= 0.0 && hi <= 1.0)
+      assert(lo <= p0 + 1e-12 && p0 <= hi + 1e-12)
+    }
+  }
+
   test("q415 mean excess: uniform plant pins ME = 550 at P90 and a falling ME curve") {
     val dir = java.nio.file.Files.createTempDirectory("pot").toString
     (1 to 100).map(k => (k.toLong, k.toDouble)) // k dollars = 100k cents
