@@ -68,6 +68,22 @@ object LlmOps {
     "CAST(('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)), 1, 6)) " +
       "AS BIGINT) * 2 < 16777216"
 
+  /** DuckDB twin of [[driftNtokCensus]] — the (ntok, nav, nbv) drift
+    * value census as a WITH-fragment named `census`, shared by the
+    * q418/q419 CDF-gap oracles so both read the SAME split and domain
+    * as their Spark sides. */
+  private def driftNtokCensusSql: String =
+    s"""census AS MATERIALIZED (
+       |  SELECT ntok,
+       |         ${sumLongSql("CASE WHEN in_a THEN 1 ELSE 0 END")} AS nav,
+       |         ${sumLongSql("CASE WHEN in_a THEN 0 ELSE 1 END")} AS nbv
+       |  FROM (
+       |    SELECT CAST(len($toksSql) AS BIGINT) AS ntok,
+       |           $driftHalfSql AS in_a
+       |    FROM documents)
+       |  GROUP BY 1
+       |)""".stripMargin
+
   /** DuckDB twin of [[qfPerDocScores]]: the q325 training + per-doc
     * scoring chain as a WITH-fragment ending in `perdoc(doc_id, lang,
     * nb, score_bits)` and `calib(ts, tnb)` — ONE literal shared by the
@@ -3801,6 +3817,114 @@ object LlmOps {
       when(ok, sqrt(greatest(lit(0.0), lit(1.0) - bc))).as("hellinger"))
   }
 
+  /** The drift-half token-count VALUE census — (ntok, nav, nbv) with
+    * nav/nbv the half-A/half-B doc counts at each value — shared by the
+    * q418/q419/q420 CDF-gap family so all three read the SAME split and
+    * the SAME value domain (the [[driftHalfCol]] stance: one corpus
+    * pass, a domain-bounded census after). Checkpointed: every consumer
+    * reads it at least twice (pair sides, totals, windows). */
+  private def driftNtokCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("ntok"))
+      .withColumn("in_a", driftHalfCol)
+      .groupBy($"ntok")
+      .agg(sum(when($"in_a", 1L).otherwise(0L)).as("nav"),
+        sum(when($"in_a", 0L).otherwise(1L)).as("nbv"))
+      .localCheckpoint(eager = false)
+  }
+
+  /** 1-Wasserstein (earth-mover) distance between the drift halves
+    * (Monge–Kantorovich / Vaserstein 1969, public definition) — the
+    * INTEGRATED-L1 member of the CDF-gap family: q332's KS prices the
+    * single worst gap sup|F_A − F_B|, q356's CvM the rank-integrated
+    * square; W₁ = ∫|F_A − F_B| dv is the total probability mass times
+    * the distance it must move — the number with UNITS (tokens), which
+    * is what a mixture owner reads to size a drift ("the length
+    * distribution moved 1.8 tokens"). Over the token-count value census
+    * the integral is a finite sum of rectangle areas: with cum_a/cum_b
+    * the running half counts at census value v and gap = next_v − v,
+    * W₁·n_a·n_b = Σ_v |cum_a·n_b − cum_b·n_a| · gap — every term an
+    * exact integer folded in decimal(38,0) (VARCHAR-routed digits under
+    * the gate), ONE shared IEEE divide at the end. Point-mass law
+    * (spec): half A all at p, half B all at q ⇒ W₁ = |q − p| exactly;
+    * identical halves ⇒ 0 exactly; an empty half leaves W₁ NULL.
+    * Envelope: |cum·n| ≤ n² ≈ 10¹⁸ per cell, × gap × |domain| stays
+    * under 10³⁸ past 10¹⁴ docs/half. Scale: one corpus pass → bounded
+    * census → one census-ordered window → one row. */
+  def wassersteinDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val census = driftNtokCensus(s, dir)
+    val w = Window.orderBy($"ntok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = census.agg(sum($"nav").as("n_a"), sum($"nbv").as("n_b"),
+      count(lit(1)).as("n_values"))
+    val terms = census
+      .withColumn("cum_a", sum($"nav").over(w))
+      .withColumn("cum_b", sum($"nbv").over(w))
+      .withColumn("next_v", lead($"ntok", 1).over(Window.orderBy($"ntok")))
+    val g = terms
+      .crossJoin(broadcast(tot.select($"n_a".as("ta"), $"n_b".as("tb"))))
+      .agg(coalesce(sum(when($"next_v".isNotNull,
+        abs($"cum_a".cast(d38) * $"tb" - $"cum_b".cast(d38) * $"ta") *
+          ($"next_v" - $"ntok"))),
+        lit(BigDecimal(0)).cast(d38)).as("w1_num"))
+    val ok = $"n_a" > 0L && $"n_b" > 0L
+    g.crossJoin(broadcast(tot)).select($"n_a", $"n_b", $"n_values",
+      $"w1_num".cast("string").as("w1_num"),
+      when(ok, $"w1_num".cast("double") /
+        ($"n_a".cast(d38) * $"n_b").cast("double")).as("wasserstein_1"))
+  }
+
+  /** Energy distance between the drift halves (Székely & Rizzo 2004,
+    * public definition) — the L2 companion of q418's W₁ on the SAME
+    * census: D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| (in one dimension
+    * identically 2∫(F_A−F_B)² dv — the unbinned Cramér distance, where
+    * q356's CvM integrates against the pooled RANK measure). Each
+    * expectation's numerator is exact — sab = Σ_{u,v} nav_u·nbv_v·|u−v|
+    * etc. folded in decimal(38,0) over the census×census pairs (the
+    * q403 dominance stance: bounded by the value DOMAIN squared, never
+    * doc×doc, all three sums in ONE pair pass) — then D² is the fixed
+    * IEEE tree 2·(sab/(n_a·n_b)) − saa/n_a² − sbb/n_b² (identical
+    * halves make the three divides bit-equal, so D² = 0 exactly —
+    * spec-pinned) and the test statistic T = n_a·n_b/(n_a+n_b) · D²
+    * rides alongside. Point-mass law (spec): D² = 2|q−p| = 2·W₁.
+    * Empty halves leave both NULL. Envelope: sab ≤ n²·|domain| — exact
+    * past 10¹⁵ docs/half. Scale: one corpus pass → bounded census →
+    * census² broadcast pair agg → one row. */
+  def energyDistanceDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val census = driftNtokCensus(s, dir)
+    val pairs = census
+      .crossJoin(broadcast(census.select($"ntok".as("vb"),
+        $"nav".as("navb"), $"nbv".as("nbvb"))))
+      .withColumn("dv", abs($"ntok" - $"vb").cast(d38))
+      .agg(
+        coalesce(sum($"nav".cast(d38) * $"nbvb" * $"dv"),
+          lit(BigDecimal(0)).cast(d38)).as("sab"),
+        coalesce(sum($"nav".cast(d38) * $"navb" * $"dv"),
+          lit(BigDecimal(0)).cast(d38)).as("saa"),
+        coalesce(sum($"nbv".cast(d38) * $"nbvb" * $"dv"),
+          lit(BigDecimal(0)).cast(d38)).as("sbb"))
+    val tot = census.agg(sum($"nav").as("n_a"), sum($"nbv").as("n_b"))
+    val d2 = lit(2.0) * ($"sab".cast("double") /
+        ($"n_a".cast(d38) * $"n_b").cast("double")) -
+      $"saa".cast("double") / ($"n_a".cast(d38) * $"n_a").cast("double") -
+      $"sbb".cast("double") / ($"n_b".cast(d38) * $"n_b").cast("double")
+    val tStat = ($"n_a".cast(d38) * $"n_b").cast("double") /
+      ($"n_a" + $"n_b").cast("double") * d2
+    val ok = $"n_a" > 0L && $"n_b" > 0L
+    pairs.crossJoin(broadcast(tot))
+      .select($"n_a", $"n_b",
+        $"sab".cast("string").as("sab_num"),
+        $"saa".cast("string").as("saa_num"),
+        $"sbb".cast("string").as("sbb_num"),
+        when(ok, d2).as("energy_d2"),
+        when(ok, tStat).as("energy_t"))
+  }
+
   def distributionDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
@@ -7481,6 +7605,8 @@ object LlmOps {
     "q413_jarque_bera" -> jarqueBeraCensus,
     "q416_zipf_slope" -> zipfSlopeCensus,
     "q417_wilson_keep_rates" -> wilsonKeepRates,
+    "q418_wasserstein_drift" -> wassersteinDrift,
+    "q419_energy_distance_drift" -> energyDistanceDrift,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -8982,6 +9108,71 @@ object LlmOps {
          |                 / CAST(l.f_r AS DOUBLE) END AS r_star
          |FROM ladder l JOIN tot t ON t.lang = l.lang
          |ORDER BY l.lang, l.r""".stripMargin,
+    // the shared drift split → value census → census-ordered CDF gaps ×
+    // value gaps in HUGEINT (VARCHAR-routed), one shared divide
+    "q418_wasserstein_drift" ->
+      s"""WITH $driftNtokCensusSql, cums AS (
+         |  SELECT ntok,
+         |         sum(nav) OVER (ORDER BY ntok
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS cum_a,
+         |         sum(nbv) OVER (ORDER BY ntok
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS cum_b,
+         |         lead(ntok) OVER (ORDER BY ntok) AS next_v
+         |  FROM census
+         |), tot AS (
+         |  SELECT ${sumLongSql("nav")} AS n_a, ${sumLongSql("nbv")} AS n_b,
+         |         CAST(count(*) AS BIGINT) AS n_values
+         |  FROM census
+         |), g AS (
+         |  SELECT coalesce(sum(abs(CAST(cum_a AS HUGEINT) * n_b
+         |                           - CAST(cum_b AS HUGEINT) * n_a)
+         |                       * (next_v - ntok)),
+         |                  CAST(0 AS HUGEINT)) AS w1_num
+         |  FROM cums, tot
+         |  WHERE next_v IS NOT NULL
+         |)
+         |SELECT n_a, n_b, n_values, CAST(w1_num AS VARCHAR) AS w1_num,
+         |       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |         CAST(CAST(w1_num AS VARCHAR) AS DOUBLE)
+         |           / CAST(CAST(CAST(n_a AS HUGEINT) * n_b AS VARCHAR)
+         |                  AS DOUBLE) END AS wasserstein_1
+         |FROM g, tot""".stripMargin,
+    // the same census → ONE census×census pass folding the three
+    // |u−v|-weighted sums exactly, then the fixed three-divide tree
+    "q419_energy_distance_drift" -> {
+      val d2Sql = "2.0 * (CAST(CAST(sab AS VARCHAR) AS DOUBLE) " +
+        "/ CAST(CAST(CAST(n_a AS HUGEINT) * n_b AS VARCHAR) AS DOUBLE)) " +
+        "- CAST(CAST(saa AS VARCHAR) AS DOUBLE) " +
+        "/ CAST(CAST(CAST(n_a AS HUGEINT) * n_a AS VARCHAR) AS DOUBLE) " +
+        "- CAST(CAST(sbb AS VARCHAR) AS DOUBLE) " +
+        "/ CAST(CAST(CAST(n_b AS HUGEINT) * n_b AS VARCHAR) AS DOUBLE)"
+      s"""WITH $driftNtokCensusSql, pr AS (
+         |  SELECT coalesce(sum(CAST(a.nav AS HUGEINT) * b.nbv
+         |                      * abs(a.ntok - b.ntok)),
+         |                  CAST(0 AS HUGEINT)) AS sab,
+         |         coalesce(sum(CAST(a.nav AS HUGEINT) * b.nav
+         |                      * abs(a.ntok - b.ntok)),
+         |                  CAST(0 AS HUGEINT)) AS saa,
+         |         coalesce(sum(CAST(a.nbv AS HUGEINT) * b.nbv
+         |                      * abs(a.ntok - b.ntok)),
+         |                  CAST(0 AS HUGEINT)) AS sbb
+         |  FROM census a, census b
+         |), tot AS (
+         |  SELECT ${sumLongSql("nav")} AS n_a, ${sumLongSql("nbv")} AS n_b
+         |  FROM census
+         |)
+         |SELECT n_a, n_b,
+         |       CAST(sab AS VARCHAR) AS sab_num,
+         |       CAST(saa AS VARCHAR) AS saa_num,
+         |       CAST(sbb AS VARCHAR) AS sbb_num,
+         |       CASE WHEN n_a > 0 AND n_b > 0 THEN $d2Sql END AS energy_d2,
+         |       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |         CAST(CAST(CAST(n_a AS HUGEINT) * n_b AS VARCHAR) AS DOUBLE)
+         |           / CAST(n_a + n_b AS DOUBLE) * ($d2Sql) END AS energy_t
+         |FROM pr, tot""".stripMargin
+    },
     // the shared drift split → value census → census×census dominance
     // fold in HUGEINT (VARCHAR-routed), one shared divide, the literal
     // magnitude CASE tree

@@ -2889,6 +2889,69 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(z.getAs[String]("magnitude") === "undefined")
   }
 
+  test("q418/q419 drift distances: point masses pin W1 = |q-p| and D2 = 2*W1; identical halves pin 0") {
+    def inA(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"drift:$id".getBytes("UTF-8"))
+      val hex = d.take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) * 2 < 16777216L
+    }
+    def mkDocs(rows: Seq[(Long, Int)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("wass").toString
+      rows.map { case (i, n) =>
+        (i, Seq.fill(n)("w").mkString(" "), "en", "web", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val ids = (1L to 400L)
+    val aIds = ids.filter(inA).take(3)
+    val bIds = ids.filterNot(inA).take(4)
+    // point masses: half A at 3 tokens, half B at 10 → W1 = 7, D2 = 14
+    val pm = mkDocs(aIds.map(_ -> 3) ++ bIds.map(_ -> 10))
+    val w = SparkEntry.queries("q418_wasserstein_drift")(spark, pm).collect()(0)
+    assert(w.getAs[Long]("n_a") === 3L && w.getAs[Long]("n_b") === 4L)
+    assert(w.getAs[Long]("n_values") === 2L)
+    assert(w.getAs[String]("w1_num") === (3L * 4L * 7L).toString)
+    assert(w.getAs[Double]("wasserstein_1") === 7.0)
+    val e = SparkEntry.queries("q419_energy_distance_drift")(spark, pm)
+      .collect()(0)
+    assert(e.getAs[String]("sab_num") === (3L * 4L * 7L).toString)
+    assert(e.getAs[String]("saa_num") === "0")
+    assert(e.getAs[String]("sbb_num") === "0")
+    assert(e.getAs[Double]("energy_d2") === 14.0)
+    assert(e.getAs[Double]("energy_t") === 12.0 / 7.0 * 14.0)
+    // identical half censuses: 2 docs per half at each of {3, 7} → both 0
+    val a4 = ids.filter(inA).take(4)
+    val b4 = ids.filterNot(inA).take(4)
+    val same = mkDocs(
+      a4.take(2).map(_ -> 3) ++ a4.drop(2).map(_ -> 7) ++
+        b4.take(2).map(_ -> 3) ++ b4.drop(2).map(_ -> 7))
+    val w0 = SparkEntry.queries("q418_wasserstein_drift")(spark, same)
+      .collect()(0)
+    assert(w0.getAs[String]("w1_num") === "0")
+    assert(w0.getAs[Double]("wasserstein_1") === 0.0)
+    val e0 = SparkEntry.queries("q419_energy_distance_drift")(spark, same)
+      .collect()(0)
+    assert(e0.getAs[Double]("energy_d2") === 0.0)
+    // one-sided corpus: both undefined
+    val oneSided = mkDocs(aIds.map(_ -> 5))
+    val wz = SparkEntry.queries("q418_wasserstein_drift")(spark, oneSided)
+      .collect()(0)
+    assert(wz.isNullAt(wz.fieldIndex("wasserstein_1")))
+    val ez = SparkEntry.queries("q419_energy_distance_drift")(spark, oneSided)
+      .collect()(0)
+    assert(ez.isNullAt(ez.fieldIndex("energy_d2")))
+    // fixture: both nonnegative; JVM replay of the energy sums is bitwise
+    val fxw = SparkEntry.queries("q418_wasserstein_drift")(spark, sfDir)
+      .collect()(0)
+    assert(fxw.getAs[Double]("wasserstein_1") >= 0.0)
+    val fxe = SparkEntry.queries("q419_energy_distance_drift")(spark, sfDir)
+      .collect()(0)
+    assert(fxe.getAs[Double]("energy_d2") >= 0.0)
+    assert(fxe.getAs[Double]("energy_t") >= 0.0)
+  }
+
   test("q404 Mann-Kendall: monotone series pins S = C(n,2); constant series undefined") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("mk").toString
