@@ -3925,6 +3925,63 @@ object LlmOps {
         when(ok, tStat).as("energy_t"))
   }
 
+  /** Welch's unequal-variance t-test (Welch 1947 / Satterthwaite 1946,
+    * public definitions) between the drift halves — the PARAMETRIC
+    * location test beside q365's rank-based U (U is the robust default;
+    * Welch's t is the test with the mean-difference EFFECT in token
+    * units, and the one q394's Cohen's d implicitly standardizes): over
+    * the shared [[driftNtokCensus]], the per-half moment sums n, Σv·c,
+    * Σv²·c are exact decimal(38,0) (VARCHAR-routed digits under the
+    * gate), the variance numerators vnum = n·Σv²c − (Σvc)² exact
+    * integers, and the t/df trees are fixed IEEE over three exact
+    * divides: r_h = vnum_h/(n_h²(n_h−1)) (= s_h²/n_h),
+    * t = Δmean/√(r_a+r_b), ν = (r_a+r_b)²/(r_a²/(n_a−1)+r_b²/(n_b−1)).
+    * `shifted` flags |t| > [[MwCritAlpha05]] — the large-sample normal
+    * line (ν ≥ min(n)−1 is in the thousands at any gated SF; the exact
+    * t quantile differs in the 4th decimal there). Degenerate inputs —
+    * a half with < 2 docs, or both halves constant (vnum_a = vnum_b =
+    * 0) — leave t and ν NULL and the flag false. Envelope: Σv²c ≤
+    * n·maxv² ≈ 10²⁹ at 10⁹ docs; vnum ≤ n·Σv²c ≈ 10³⁸ holds to ~10⁹
+    * docs/half with 10⁵-token docs. Scale: one corpus pass → bounded
+    * census → one moment agg → one row. */
+  def welchTTestDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val census = driftNtokCensus(s, dir)
+    val g = census.agg(
+      sum($"nav").as("n_a"), sum($"nbv").as("n_b"),
+      coalesce(sum($"nav".cast(d38) * $"ntok"), lit(BigDecimal(0)).cast(d38))
+        .as("s1a"),
+      coalesce(sum($"nav".cast(d38) * $"ntok" * $"ntok"),
+        lit(BigDecimal(0)).cast(d38)).as("s2a"),
+      coalesce(sum($"nbv".cast(d38) * $"ntok"), lit(BigDecimal(0)).cast(d38))
+        .as("s1b"),
+      coalesce(sum($"nbv".cast(d38) * $"ntok" * $"ntok"),
+        lit(BigDecimal(0)).cast(d38)).as("s2b"))
+    val v = g.select($"n_a", $"n_b", $"s1a", $"s1b",
+      ($"n_a".cast(d38) * $"s2a" - $"s1a" * $"s1a").as("va_num"),
+      ($"n_b".cast(d38) * $"s2b" - $"s1b" * $"s1b").as("vb_num"))
+    val ra = $"va_num".cast("double") /
+      ($"n_a".cast(d38) * $"n_a" * ($"n_a" - 1L)).cast("double")
+    val rb = $"vb_num".cast("double") /
+      ($"n_b".cast(d38) * $"n_b" * ($"n_b" - 1L)).cast("double")
+    val md = ($"s1a" * $"n_b" - $"s1b" * $"n_a").cast("double") /
+      ($"n_a".cast(d38) * $"n_b").cast("double")
+    val t = md / sqrt(ra + rb)
+    val df = (ra + rb) * (ra + rb) /
+      (ra * ra / ($"n_a" - 1L).cast("double") +
+        rb * rb / ($"n_b" - 1L).cast("double"))
+    val ok = $"n_a" > 1L && $"n_b" > 1L && ($"va_num" > 0 || $"vb_num" > 0)
+    v.select($"n_a", $"n_b",
+      $"va_num".cast("string").as("va_num"),
+      $"vb_num".cast("string").as("vb_num"),
+      when($"n_a" > 0L && $"n_b" > 0L, md).as("mean_diff"),
+      when(ok, t).as("t_welch"),
+      when(ok, df).as("df_welch"),
+      coalesce(when(ok, abs(t) > lit(MwCritAlpha05)), lit(false))
+        .as("shifted"))
+  }
+
   def distributionDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
@@ -7607,6 +7664,7 @@ object LlmOps {
     "q417_wilson_keep_rates" -> wilsonKeepRates,
     "q418_wasserstein_drift" -> wassersteinDrift,
     "q419_energy_distance_drift" -> energyDistanceDrift,
+    "q420_welch_ttest_drift" -> welchTTestDrift,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -9172,6 +9230,50 @@ object LlmOps {
          |         CAST(CAST(CAST(n_a AS HUGEINT) * n_b AS VARCHAR) AS DOUBLE)
          |           / CAST(n_a + n_b AS DOUBLE) * ($d2Sql) END AS energy_t
          |FROM pr, tot""".stripMargin
+    },
+    // the same census → one moment agg → exact variance numerators →
+    // the fixed three-divide Welch t / Satterthwaite df trees
+    "q420_welch_ttest_drift" -> {
+      val raSql = "(CAST(CAST(va_num AS VARCHAR) AS DOUBLE) " +
+        "/ CAST(CAST(CAST(n_a AS HUGEINT) * n_a * (n_a - 1) AS VARCHAR) " +
+        "AS DOUBLE))"
+      val rbSql = "(CAST(CAST(vb_num AS VARCHAR) AS DOUBLE) " +
+        "/ CAST(CAST(CAST(n_b AS HUGEINT) * n_b * (n_b - 1) AS VARCHAR) " +
+        "AS DOUBLE))"
+      val mdSql = "(CAST(CAST(s1a * n_b - s1b * n_a AS VARCHAR) AS DOUBLE) " +
+        "/ CAST(CAST(CAST(n_a AS HUGEINT) * n_b AS VARCHAR) AS DOUBLE))"
+      val tSql = s"($mdSql / sqrt($raSql + $rbSql))"
+      val dfSql = s"(($raSql + $rbSql) * ($raSql + $rbSql) " +
+        s"/ ($raSql * $raSql / CAST(n_a - 1 AS DOUBLE) " +
+        s"+ $rbSql * $rbSql / CAST(n_b - 1 AS DOUBLE)))"
+      val okSql = "n_a > 1 AND n_b > 1 AND (va_num > 0 OR vb_num > 0)"
+      s"""WITH $driftNtokCensusSql, g AS (
+         |  SELECT ${sumLongSql("nav")} AS n_a, ${sumLongSql("nbv")} AS n_b,
+         |         coalesce(sum(CAST(nav AS HUGEINT) * ntok),
+         |                  CAST(0 AS HUGEINT)) AS s1a,
+         |         coalesce(sum(CAST(nav AS HUGEINT) * ntok * ntok),
+         |                  CAST(0 AS HUGEINT)) AS s2a,
+         |         coalesce(sum(CAST(nbv AS HUGEINT) * ntok),
+         |                  CAST(0 AS HUGEINT)) AS s1b,
+         |         coalesce(sum(CAST(nbv AS HUGEINT) * ntok * ntok),
+         |                  CAST(0 AS HUGEINT)) AS s2b
+         |  FROM census
+         |), v AS (
+         |  SELECT n_a, n_b, s1a, s1b,
+         |         CAST(n_a AS HUGEINT) * s2a - s1a * s1a AS va_num,
+         |         CAST(n_b AS HUGEINT) * s2b - s1b * s1b AS vb_num
+         |  FROM g
+         |)
+         |SELECT n_a, n_b,
+         |       CAST(va_num AS VARCHAR) AS va_num,
+         |       CAST(vb_num AS VARCHAR) AS vb_num,
+         |       CASE WHEN n_a > 0 AND n_b > 0 THEN $mdSql END AS mean_diff,
+         |       CASE WHEN $okSql THEN $tSql END AS t_welch,
+         |       CASE WHEN $okSql THEN $dfSql END AS df_welch,
+         |       coalesce(CASE WHEN $okSql
+         |                THEN abs($tSql) > $MwCritAlpha05 END, FALSE)
+         |         AS shifted
+         |FROM v""".stripMargin
     },
     // the shared drift split → value census → census×census dominance
     // fold in HUGEINT (VARCHAR-routed), one shared divide, the literal

@@ -2952,6 +2952,73 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fxe.getAs[Double]("energy_t") >= 0.0)
   }
 
+  test("q420 Welch t: JVM moment replay is bitwise; constant/singleton halves undefined") {
+    def inA(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"drift:$id".getBytes("UTF-8"))
+      val hex = d.take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) * 2 < 16777216L
+    }
+    def mkDocs(rows: Seq[(Long, Int)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("welch").toString
+      rows.map { case (i, n) =>
+        (i, Seq.fill(n)("w").mkString(" "), "en", "web", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val ids = (1L to 400L)
+    val aIds = ids.filter(inA)
+    val bIds = ids.filterNot(inA)
+    // planted: A = {1,2,3} tokens, B = {2,4} → exact replay
+    val aVals = Seq(1, 2, 3); val bVals = Seq(2, 4)
+    val dir = mkDocs(aIds.take(3).zip(aVals) ++ bIds.take(2).zip(bVals))
+    val r = SparkEntry.queries("q420_welch_ttest_drift")(spark, dir)
+      .collect()(0)
+    val (na, nb) = (BigInt(3), BigInt(2))
+    val (s1a, s2a) = (BigInt(aVals.sum), BigInt(aVals.map(v => v * v).sum))
+    val (s1b, s2b) = (BigInt(bVals.sum), BigInt(bVals.map(v => v * v).sum))
+    val vaNum = na * s2a - s1a * s1a
+    val vbNum = nb * s2b - s1b * s1b
+    assert(r.getAs[String]("va_num") === vaNum.toString)
+    assert(r.getAs[String]("vb_num") === vbNum.toString)
+    val ra = vaNum.doubleValue / (na * na * (na - 1)).doubleValue
+    val rb = vbNum.doubleValue / (nb * nb * (nb - 1)).doubleValue
+    val md = (s1a * nb - s1b * na).doubleValue / (na * nb).doubleValue
+    val t = md / math.sqrt(ra + rb)
+    val df = (ra + rb) * (ra + rb) /
+      (ra * ra / (na - 1).doubleValue + rb * rb / (nb - 1).doubleValue)
+    assert(r.getAs[Double]("mean_diff") === md)
+    assert(r.getAs[Double]("t_welch") === t)
+    assert(r.getAs[Double]("df_welch") === df)
+    assert(!r.getAs[Boolean]("shifted"))
+    // both halves constant: variance numerators 0 → t undefined
+    val cz = SparkEntry.queries("q420_welch_ttest_drift")(
+      spark, mkDocs(aIds.take(3).map(_ -> 5) ++ bIds.take(3).map(_ -> 9)))
+      .collect()(0)
+    assert(cz.getAs[String]("va_num") === "0")
+    assert(cz.isNullAt(cz.fieldIndex("t_welch")))
+    assert(cz.getAs[Double]("mean_diff") === -4.0)
+    // singleton half: undefined even with variance on the other side
+    val sg = SparkEntry.queries("q420_welch_ttest_drift")(
+      spark, mkDocs(aIds.take(1).map(_ -> 5) ++ bIds.take(3).zip(Seq(1, 5, 9))))
+      .collect()(0)
+    assert(sg.isNullAt(sg.fieldIndex("t_welch")))
+    // a strongly shifted plant trips the flag
+    val sh = SparkEntry.queries("q420_welch_ttest_drift")(
+      spark, mkDocs(aIds.take(20).map(i => i -> (3 + (i % 2).toInt)) ++
+        bIds.take(20).map(i => i -> (40 + (i % 2).toInt))))
+      .collect()(0)
+    assert(sh.getAs[Boolean]("shifted"))
+    assert(sh.getAs[Double]("t_welch") < 0.0)
+    // fixture: Satterthwaite df bounded by the pooled df
+    val fx = SparkEntry.queries("q420_welch_ttest_drift")(spark, sfDir)
+      .collect()(0)
+    val dfW = fx.getAs[Double]("df_welch")
+    assert(dfW >= 1.0 &&
+      dfW <= (fx.getAs[Long]("n_a") + fx.getAs[Long]("n_b") - 2).toDouble)
+  }
+
   test("q404 Mann-Kendall: monotone series pins S = C(n,2); constant series undefined") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("mk").toString
