@@ -1344,6 +1344,109 @@ object TimeSeries {
           .as("nonrandom"))
   }
 
+  /** Wilcoxon signed-rank test (Wilcoxon 1945, public definition) on
+    * the week-over-week daily-revenue pairing — the PAIRED
+    * nonparametric member completing the test family (q365's U is
+    * unpaired, q396's McNemar is paired-binary; pairing day t with
+    * day t−7 removes the day-of-week effect q354 decomposes, exactly
+    * what a weekly-cadence revenue check wants). Zero diffs are
+    * EXCLUDED (the standard convention); ranks of |d| are DOUBLED
+    * midranks off the |d| value census (2·midrank of a tied run =
+    * 2·cum_before + w + 1, always integer — the q365 machinery), so
+    * 2W⁺ = Σ pos·(2·cum_before + w + 1) is an exact long. The
+    * tie-corrected normal approximation runs on the exact integer
+    * 12σ²(2W⁺) = 2n(n+1)(2n+1) − Σ(w³−w) (cube sum in decimal(38,0),
+    * digit string under the gate); z = (2W⁺ − n(n+1)/2)/√(12σ²/12),
+    * flagged at [[graft.queries.LlmOps.MwCritAlpha05]]. A no-pair or
+    * all-zero-diff corpus leaves z NULL and the flag false. Scale: one
+    * grouped day census → one keyed self-join on day−7 (census-sized)
+    * → |d|-census window → one row. */
+  def wilcoxonSignedRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(cents($"o_totalprice")).as("rev"))
+      .localCheckpoint(eager = false) // both pairing sides
+    val pairs = daily
+      .join(daily.select(date_add($"day", 7).as("day"),
+        $"rev".as("prev_rev")), Seq("day"))
+      .select(($"rev" - $"prev_rev").as("dcents"))
+      .localCheckpoint(eager = false) // read by counts AND the census
+    val pc = pairs.agg(count(lit(1)).as("n_pairs"),
+      coalesce(sum(when($"dcents" === 0L, 1L).otherwise(0L)), lit(0L))
+        .as("n_zero"))
+    val census = pairs.filter($"dcents" =!= 0L)
+      .groupBy(abs($"dcents").as("ad"))
+      .agg(count(lit(1)).as("w"),
+        sum(when($"dcents" > 0L, 1L).otherwise(0L)).as("pos"))
+    val wWin = Window.orderBy($"ad")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = census
+      .withColumn("cum_before", sum($"w").over(wWin) - $"w")
+      .agg(sum($"w").as("n"),
+        sum($"pos" * (lit(2L) * $"cum_before" + $"w" + 1L)).as("wp2"),
+        sum($"w".cast(d38) * $"w" * $"w" - $"w").as("tie"))
+    val var12 = lit(2L) * $"n".cast(d38) * ($"n" + 1L) *
+      (lit(2L) * $"n" + 1L) - $"tie"
+    val z = ($"wp2" - expr("(n * (n + 1)) div 2")).cast("double") /
+      sqrt(var12.cast("double") / lit(12.0))
+    val ok = $"n" > 0L && var12 > 0
+    g.crossJoin(broadcast(pc))
+      .select($"n_pairs", $"n_zero", $"n".as("n_nonzero"),
+        $"wp2".as("w_plus2"),
+        $"tie".cast("string").as("tie_term"),
+        when(ok, z).as("z_wilcoxon"),
+        coalesce(when(ok,
+          abs(z) > lit(graft.queries.LlmOps.MwCritAlpha05)), lit(false))
+          .as("shifted"))
+  }
+
+  /** Durbin–Watson statistic (Durbin & Watson 1950, public definition)
+    * of mean-detrended daily revenue over the q341 window — the
+    * FIRST-DIFFERENCE serial-correlation screen beside q369's ACF and
+    * q383's Ljung–Box (DW reads lag-1 structure straight off the
+    * residual steps; its DW ≈ 2(1−r₁) relation is surfaced as
+    * `r1_implied`): with ê_t = n·rev_t − S (mean-deviation cleared of
+    * the /n — exact longs in decimal(38,0)), DW = Σ(ê_t−ê_{t−1})² /
+    * Σê_t² = n²·Σ(Δrev)² / Σ(n·rev−S)² — numerator and denominator
+    * exact integers, ONE IEEE divide. `autocorrelated` applies the
+    * textbook 1.5/2.5 screening band (the exact dL/dU bounds are
+    * n-dependent tables; the band is the standard field heuristic,
+    * documented as such — q369/q383 carry the calibrated tests).
+    * Closed-form law (spec): a two-value alternating series pins
+    * DW = 4(n−1)/n exactly; a constant window (Σê² = 0) leaves DW
+    * NULL; windows under 2 days emit zero rows (the q341 contract).
+    * Envelope: Σ(n·rev−S)² ≤ 365·(365·rev_max)² — exact in
+    * decimal(38,0) to ~10¹⁶ daily cents. Scale: one windowed grouped
+    * sum → one census-ordered lag window → one row. */
+  def durbinWatson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val daily = windowedDaily(s, dir)
+    val nd = daily.agg(count(lit(1)).as("n"), sum($"rev").as("srev"))
+    val diffs = daily.crossJoin(broadcast(nd))
+      .withColumn("prev", lag($"rev", 1).over(Window.orderBy($"day")))
+    val g = diffs.agg(
+      max($"n").as("n"),
+      coalesce(sum(when($"prev".isNotNull,
+        ($"rev" - $"prev").cast(d38) * ($"rev" - $"prev"))),
+        lit(BigDecimal(0)).cast(d38)).as("sd2"),
+      sum(($"n".cast(d38) * $"rev" - $"srev") *
+        ($"n".cast(d38) * $"rev" - $"srev")).as("den"))
+    val dw = ($"n".cast(d38) * $"n" * $"sd2").cast("double") /
+      $"den".cast("double")
+    val ok = $"den" > 0
+    g.filter($"n" >= 2L)
+      .select($"n".as("n_days"),
+        $"sd2".cast("string").as("sd2_num"),
+        $"den".cast("string").as("den_num"),
+        when(ok, dw).as("dw_stat"),
+        when(ok, lit(1.0) - dw / lit(2.0)).as("r1_implied"),
+        coalesce(when(ok, dw < lit(1.5) || dw > lit(2.5)), lit(false))
+          .as("autocorrelated"))
+  }
+
   /** Holt's linear (double-exponential) smoothing — the trend-aware
     * forecaster between q307's level-only EWMA and q322's seasonal
     * naive: level l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}), trend
@@ -2027,6 +2130,8 @@ object TimeSeries {
     "q398_ar_fit_backtest" -> arFitBacktest,
     "q404_mann_kendall" -> mannKendallTrend,
     "q409_runs_test_daily" -> runsTestDaily,
+    "q421_wilcoxon_signed_rank" -> wilcoxonSignedRank,
+    "q422_durbin_watson" -> durbinWatson,
     "q386_ccf_revenue_orders" -> ccfRevenueOrders,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
@@ -2330,6 +2435,84 @@ object TimeSeries {
          |                 > ${graft.queries.LlmOps.MwCritAlpha05} END, FALSE)
          |         AS nonrandom
          |FROM g, nd, med WHERE n_days >= 2""".stripMargin
+    },
+    // the day census self-joined on day−7 → signed diffs → |d| census
+    // with doubled midranks → the exact tie-corrected z
+    "q421_wilcoxon_signed_rank" -> {
+      val var12Sql = "2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie"
+      val zSql = "CAST(wp2 - (n * (n + 1)) // 2 AS DOUBLE) " +
+        s"/ sqrt(CAST(CAST($var12Sql AS VARCHAR) AS DOUBLE) / 12.0)"
+      val okSql = s"n > 0 AND $var12Sql > 0"
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS rev
+         |  FROM orders GROUP BY 1
+         |), pairs AS MATERIALIZED (
+         |  SELECT t.rev - p.rev AS dcents
+         |  FROM daily t JOIN daily p ON t.day = p.day + 7
+         |), pc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(coalesce(sum(CASE WHEN dcents = 0 THEN 1 ELSE 0 END),
+         |                       0) AS BIGINT) AS n_zero
+         |  FROM pairs
+         |), census AS (
+         |  SELECT abs(dcents) AS ad, CAST(count(*) AS BIGINT) AS w,
+         |         ${sumLongSql("CASE WHEN dcents > 0 THEN 1 ELSE 0 END")}
+         |           AS pos
+         |  FROM pairs WHERE dcents <> 0 GROUP BY 1
+         |), g AS (
+         |  SELECT ${sumLongSql("w")} AS n,
+         |         ${sumLongSql("pos * (2 * cum_before + w + 1)")} AS wp2,
+         |         sum(CAST(w AS HUGEINT) * w * w - w) AS tie
+         |  FROM (SELECT w, pos,
+         |               CAST(sum(w) OVER (ORDER BY ad
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                 AS BIGINT) - w AS cum_before
+         |        FROM census)
+         |)
+         |SELECT n_pairs, n_zero, n AS n_nonzero, wp2 AS w_plus2,
+         |       CAST(tie AS VARCHAR) AS tie_term,
+         |       CASE WHEN $okSql THEN $zSql END AS z_wilcoxon,
+         |       coalesce(CASE WHEN $okSql THEN abs($zSql)
+         |                > ${graft.queries.LlmOps.MwCritAlpha05} END, FALSE)
+         |         AS shifted
+         |FROM g, pc""".stripMargin
+    },
+    // the q341 window → exact mean-deviation residuals cleared of /n →
+    // one lag window → the single-divide DW tree
+    "q422_durbin_watson" -> {
+      val dwSql = "(CAST(CAST(CAST(n AS HUGEINT) * n * sd2 AS VARCHAR) " +
+        "AS DOUBLE) / CAST(CAST(den AS VARCHAR) AS DOUBLE))"
+      s"""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mday FROM orders),
+         |daily AS MATERIALIZED (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS rev
+         |  FROM orders, mx
+         |  WHERE CAST(o_orderdate AS DATE) >= mday - ${TheilSenWindowDays - 1}
+         |  GROUP BY 1
+         |), nd AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(rev) AS BIGINT) AS srev
+         |  FROM daily
+         |), g AS (
+         |  SELECT max(n) AS n,
+         |         coalesce(sum(CASE WHEN prev IS NOT NULL
+         |                  THEN CAST(rev - prev AS HUGEINT) * (rev - prev)
+         |                  END), CAST(0 AS HUGEINT)) AS sd2,
+         |         sum((CAST(n AS HUGEINT) * rev - srev)
+         |             * (CAST(n AS HUGEINT) * rev - srev)) AS den
+         |  FROM (SELECT rev, lag(rev) OVER (ORDER BY day) AS prev, n, srev
+         |        FROM daily, nd)
+         |)
+         |SELECT n AS n_days,
+         |       CAST(sd2 AS VARCHAR) AS sd2_num,
+         |       CAST(den AS VARCHAR) AS den_num,
+         |       CASE WHEN den > 0 THEN $dwSql END AS dw_stat,
+         |       CASE WHEN den > 0 THEN 1.0 - $dwSql / 2.0 END AS r1_implied,
+         |       coalesce(CASE WHEN den > 0
+         |                THEN $dwSql < 1.5 OR $dwSql > 2.5 END, FALSE)
+         |         AS autocorrelated
+         |FROM g WHERE n >= 2""".stripMargin
     },
     // the q341 window, the same bounded pair join with a sign fold,
     // the exact tie-corrected variance, one continuity-corrected z

@@ -3019,6 +3019,91 @@ class OperatorPropertiesSpec extends SparkSpec {
       dfW <= (fx.getAs[Long]("n_a") + fx.getAs[Long]("n_b") - 2).toDouble)
   }
 
+  test("q421 Wilcoxon signed rank: all-positive diffs pin 2W+ = n(n+1); symmetric pair pins z = 0") {
+    def mkOrders(cents: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("wsr").toString
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1, f"2000-01-${i + 1}%02d", c / 100.0)
+      }.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"),
+          $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // week 2 beats week 1 by a distinct margin every day: 7 positive
+    // diffs, no ties → 2W+ = 7·8 = 56, 12σ² = 2·7·8·15 = 1680
+    val w1 = Seq(100, 200, 300, 400, 500, 600, 700)
+    val up = mkOrders(w1 ++ w1.zipWithIndex.map { case (c, i) => c + 10 + i })
+    val r = SparkEntry.queries("q421_wilcoxon_signed_rank")(spark, up)
+      .collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 7L)
+    assert(r.getAs[Long]("n_zero") === 0L)
+    assert(r.getAs[Long]("n_nonzero") === 7L)
+    assert(r.getAs[Long]("w_plus2") === 56L)
+    assert(r.getAs[String]("tie_term") === "0")
+    assert(r.getAs[Double]("z_wilcoxon") ===
+      (56.0 - 28.0) / math.sqrt(1680.0 / 12.0))
+    assert(r.getAs[Boolean]("shifted"))
+    // one +c and one -c diff, rest zero: tied |d| run, 2W+ = 3 =
+    // n(n+1)/2 → z = 0 exactly and no flag
+    val sym = mkOrders(w1 ++ Seq(150, 150, 300, 400, 500, 600, 700))
+    val rs = SparkEntry.queries("q421_wilcoxon_signed_rank")(spark, sym)
+      .collect()(0)
+    assert(rs.getAs[Long]("n_zero") === 5L)
+    assert(rs.getAs[Long]("n_nonzero") === 2L)
+    assert(rs.getAs[Long]("w_plus2") === 3L)
+    assert(rs.getAs[String]("tie_term") === "6")
+    assert(rs.getAs[Double]("z_wilcoxon") === 0.0)
+    assert(!rs.getAs[Boolean]("shifted"))
+    // identical weeks: every diff zero → test undefined
+    val id = SparkEntry.queries("q421_wilcoxon_signed_rank")(
+      spark, mkOrders(w1 ++ w1)).collect()(0)
+    assert(id.getAs[Long]("n_zero") === 7L)
+    assert(id.isNullAt(id.fieldIndex("z_wilcoxon")))
+    assert(!id.getAs[Boolean]("shifted"))
+    // fixture: the pairing partitions into zero and nonzero diffs
+    val fx = SparkEntry.queries("q421_wilcoxon_signed_rank")(spark, sfDir)
+      .collect()(0)
+    assert(fx.getAs[Long]("n_pairs") ===
+      fx.getAs[Long]("n_zero") + fx.getAs[Long]("n_nonzero"))
+  }
+
+  test("q422 Durbin-Watson: alternating series pins DW = 4(n-1)/n; constant series undefined") {
+    def mkOrders(cents: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("dw").toString
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1, f"2000-01-${i + 1}%02d", c / 100.0)
+      }.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"),
+          $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // a,b,a,b,... over 10 days: DW = 4(n-1)/n = 3.6, r1 = -0.8
+    val alt = mkOrders(Seq.tabulate(10)(i => if (i % 2 == 0) 100 else 300))
+    val r = SparkEntry.queries("q422_durbin_watson")(spark, alt).collect()(0)
+    assert(r.getAs[Long]("n_days") === 10L)
+    assert(r.getAs[String]("sd2_num") === (9L * 200L * 200L).toString)
+    assert(r.getAs[String]("den_num") === (10L * 1000L * 1000L).toString)
+    assert(r.getAs[Double]("dw_stat") === 3.6)
+    assert(r.getAs[Double]("r1_implied") === 1.0 - 3.6 / 2.0)
+    assert(r.getAs[Boolean]("autocorrelated"))
+    // constant series: zero residual variance → DW undefined
+    val c = SparkEntry.queries("q422_durbin_watson")(
+      spark, mkOrders(Seq.fill(6)(500))).collect()(0)
+    assert(c.getAs[String]("den_num") === "0")
+    assert(c.isNullAt(c.fieldIndex("dw_stat")))
+    assert(!c.getAs[Boolean]("autocorrelated"))
+    // single day: zero rows (the q341 degenerate-window contract)
+    assert(SparkEntry.queries("q422_durbin_watson")(
+      spark, mkOrders(Seq(100))).collect().isEmpty)
+    // fixture: DW lives in [0, 4]
+    val fx = SparkEntry.queries("q422_durbin_watson")(spark, sfDir)
+      .collect()(0)
+    val dw = fx.getAs[Double]("dw_stat")
+    assert(dw >= 0.0 && dw <= 4.0)
+  }
+
   test("q404 Mann-Kendall: monotone series pins S = C(n,2); constant series undefined") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("mk").toString
