@@ -2499,6 +2499,60 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Ordinal association panel — Goodman–Kruskal γ (1954), Somers' D
+    * in both directions (Somers 1962), and Kendall's τ-a, all public
+    * definitions, off q376's EXACT concordance decomposition: the four
+    * statistics share one numerator (conc2 − disc2) and differ only in
+    * which pairs the denominator admits — γ drops ALL ties (the
+    * rank-order association among untied pairs), D_{d|q} drops only
+    * q-ties (the asymmetric "how well does quantity predict discount
+    * order", the regression-flavored member), D_{q|d} the converse,
+    * τ-a keeps everything (so |τ-a| ≤ |τ-b| ≤ |γ| — spec-pinned).
+    * Same census×census pair fold as q376 (bounded by the two value
+    * DOMAINS, never row pairs), each statistic ONE exact-integer
+    * divide, NULL-guarded when its denominator vanishes (an all-tied
+    * axis). Envelope: conc2 ≤ n² holds in long to n ≈ 3·10⁹ rows/flag
+    * (the q376 bound). Scale: one census pass; everything after is
+    * census²-bounded and flag-keyed. */
+  def ordinalAssocPanel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = rankCells(s, dir)
+      .localCheckpoint() // read by the pair join (both sides) + margins
+    val o = cells.select($"l_returnflag",
+      $"q".as("oq"), $"d".as("od"), $"cnt".as("ocnt"))
+    val pairSums = cells.join(broadcast(o), Seq("l_returnflag"))
+      .withColumn("sgn",
+        when(($"q" > $"oq" && $"d" > $"od") ||
+          ($"q" < $"oq" && $"d" < $"od"), 1)
+          .when(($"q" > $"oq" && $"d" < $"od") ||
+            ($"q" < $"oq" && $"d" > $"od"), -1)
+          .otherwise(0))
+      .groupBy($"l_returnflag")
+      .agg(sum(when($"sgn" === 1, $"cnt" * $"ocnt").otherwise(0L)).as("conc2"),
+        sum(when($"sgn" === -1, $"cnt" * $"ocnt").otherwise(0L)).as("disc2"))
+    val tq = cells.groupBy($"l_returnflag", $"q").agg(sum($"cnt").as("t"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"t" * ($"t" - 1L)).as("tie_q2"), sum($"t").as("n"))
+    val td = cells.groupBy($"l_returnflag", $"d").agg(sum($"cnt").as("t"))
+      .groupBy($"l_returnflag").agg(sum($"t" * ($"t" - 1L)).as("tie_d2"))
+    val cd = $"conc2" - $"disc2"
+    pairSums.join(tq, "l_returnflag").join(td, "l_returnflag")
+      .withColumn("n0x2", $"n" * ($"n" - 1L))
+      .select($"l_returnflag", $"n", $"conc2", $"disc2",
+        when($"conc2" + $"disc2" > 0L,
+          cd.cast("double") / ($"conc2" + $"disc2").cast("double"))
+          .as("gk_gamma"),
+        when($"n0x2" - $"tie_q2" > 0L,
+          cd.cast("double") / ($"n0x2" - $"tie_q2").cast("double"))
+          .as("somers_d_given_q"),
+        when($"n0x2" - $"tie_d2" > 0L,
+          cd.cast("double") / ($"n0x2" - $"tie_d2").cast("double"))
+          .as("somers_q_given_d"),
+        when($"n0x2" > 0L, cd.cast("double") / $"n0x2".cast("double"))
+          .as("tau_a"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Gini / Lorenz concentration census over per-customer revenue —
     * the INEQUALITY diagnostic beside q111's heavy hitters (hitters
     * name the top keys; Gini prices the whole distribution, the number
@@ -2609,6 +2663,7 @@ object Aggregates {
     "q289_fd_discovery" -> fdDiscovery,
     "q375_spearman_census" -> spearmanCensus,
     "q376_kendall_tau" -> kendallTau,
+    "q423_ordinal_assoc_panel" -> ordinalAssocPanel,
     "q410_partial_correlation" -> partialCorrelation,
     "q412_ols_influence" -> olsInfluence,
     "q414_simpson_reversal" -> simpsonReversal,
@@ -3053,6 +3108,50 @@ object Aggregates {
          |           sqrt(CAST(CAST(CAST(n * (n - 1) - tie_q2 AS HUGEINT)
          |                          * (n * (n - 1) - tie_d2) AS VARCHAR) AS DOUBLE))
          |       END AS tau_b
+         |FROM ps
+         |JOIN tq ON tq.l_returnflag = ps.l_returnflag
+         |JOIN td ON td.l_returnflag = ps.l_returnflag
+         |ORDER BY ps.l_returnflag""".stripMargin,
+    // q376's pair fold + tie margins feeding four single-divide trees
+    "q423_ordinal_assoc_panel" ->
+      s"""WITH $rankCellsSql,
+         |ps AS (
+         |  SELECT a.l_returnflag,
+         |         ${sumLongSql("CASE WHEN (a.q > b.q AND a.d > b.d) OR (a.q < b.q AND a.d < b.d) THEN a.cnt * b.cnt ELSE 0 END")}
+         |           AS conc2,
+         |         ${sumLongSql("CASE WHEN (a.q > b.q AND a.d < b.d) OR (a.q < b.q AND a.d > b.d) THEN a.cnt * b.cnt ELSE 0 END")}
+         |           AS disc2
+         |  FROM cells a JOIN cells b ON a.l_returnflag = b.l_returnflag
+         |  GROUP BY 1
+         |),
+         |tq AS (
+         |  SELECT l_returnflag, ${sumLongSql("t * (t - 1)")} AS tie_q2,
+         |         ${sumLongSql("t")} AS n
+         |  FROM (SELECT l_returnflag, q, CAST(sum(cnt) AS BIGINT) AS t
+         |        FROM cells GROUP BY 1, 2)
+         |  GROUP BY 1
+         |),
+         |td AS (
+         |  SELECT l_returnflag, ${sumLongSql("t * (t - 1)")} AS tie_d2
+         |  FROM (SELECT l_returnflag, d, CAST(sum(cnt) AS BIGINT) AS t
+         |        FROM cells GROUP BY 1, 2)
+         |  GROUP BY 1
+         |)
+         |SELECT ps.l_returnflag, n, conc2, disc2,
+         |       CASE WHEN conc2 + disc2 > 0 THEN
+         |         CAST(conc2 - disc2 AS DOUBLE)
+         |           / CAST(conc2 + disc2 AS DOUBLE) END AS gk_gamma,
+         |       CASE WHEN n * (n - 1) - tie_q2 > 0 THEN
+         |         CAST(conc2 - disc2 AS DOUBLE)
+         |           / CAST(n * (n - 1) - tie_q2 AS DOUBLE) END
+         |         AS somers_d_given_q,
+         |       CASE WHEN n * (n - 1) - tie_d2 > 0 THEN
+         |         CAST(conc2 - disc2 AS DOUBLE)
+         |           / CAST(n * (n - 1) - tie_d2 AS DOUBLE) END
+         |         AS somers_q_given_d,
+         |       CASE WHEN n * (n - 1) > 0 THEN
+         |         CAST(conc2 - disc2 AS DOUBLE)
+         |           / CAST(n * (n - 1) AS DOUBLE) END AS tau_a
          |FROM ps
          |JOIN tq ON tq.l_returnflag = ps.l_returnflag
          |JOIN td ON td.l_returnflag = ps.l_returnflag

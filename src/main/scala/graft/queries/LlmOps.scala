@@ -4842,6 +4842,61 @@ object LlmOps {
     census.crossJoin(broadcast(stats)).orderBy($"k_keep")
   }
 
+  /** Krippendorff's alpha (Krippendorff 1970/2004, public definition)
+    * over the filter ensemble — the third leg of the rater-agreement
+    * tier (q397's Fleiss corrects chance from per-rater margins; q402's
+    * Cochran tests marginal homogeneity; Krippendorff corrects against
+    * the POOLED value distribution, the estimator that stays defined
+    * under missing ratings and is the content-analysis standard): with
+    * m = 3 raters, binary keep votes, per-doc keep count k, the
+    * disagreement sums collapse to exact integers — observed
+    * D_o = Σk(3−k)/(3N) (pairable disagreeing pairs per doc over
+    * m(m−1) = 6, doubled), expected D_e = 2·P·(3N−P)/(3N(3N−1)) with
+    * P = Σk the pooled keep votes — and clearing denominators
+    * α = (2P(3N−P) − (3N−1)·Σk(3−k)) / (2P(3N−P)): numerator and
+    * denominator exact in decimal(38,0) (VARCHAR-routed), ONE shared
+    * divide. Laws (spec): every doc unanimous ⇒ α = 1 exactly; a
+    * single discordant doc ⇒ α = 0 exactly (D_o = D_e, the classic
+    * one-unit degeneracy); a constant ensemble (P = 0 or P = 3N —
+    * D_e = 0) leaves α NULL — unlike q397's κ = 1 convention,
+    * Krippendorff is UNDEFINED without value variance (the published
+    * stance). `reliable` applies the customary α ≥ 0.8 line
+    * (Krippendorff's reporting convention, a literal). Envelope:
+    * 2P(3N−P) ≤ 4.5N² — exact past 10¹⁸ docs. Scale: the three vote
+    * chains meet in one doc_id join → one 3-cell moment agg → one
+    * row. */
+  def krippendorffAlpha(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val votes = Tables.documents(s, dir).select($"doc_id")
+      .join(lmKeepVotes(s, dir).withColumnRenamed("keep", "ka"),
+        Seq("doc_id"), "left")
+      .join(rulesKeepVotes(s, dir).withColumnRenamed("keep", "kr"),
+        Seq("doc_id"), "left")
+      .join(qfKeepVotes(s, dir).withColumnRenamed("keep", "kl"),
+        Seq("doc_id"), "left")
+      .select((coalesce($"ka", lit(false)).cast("long") +
+        coalesce($"kr", lit(false)).cast("long") +
+        coalesce($"kl", lit(false)).cast("long")).as("k"))
+    val g = votes.agg(count(lit(1)).as("nn"),
+      coalesce(sum($"k"), lit(0L)).as("kk"),
+      coalesce(sum($"k" * (lit(3L) - $"k")), lit(0L)).as("sdis"))
+    val threeN = lit(3L) * $"nn"
+    val twoPD = lit(2L) * $"kk".cast(d38) * (threeN - $"kk")
+    val aNum = twoPD - (threeN - 1L).cast(d38) * $"sdis"
+    val alpha = aNum.cast("double") / twoPD.cast("double")
+    g.select($"nn".as("n_docs"), $"kk".as("n_keep_votes"),
+      $"sdis".as("s_disagree"),
+      when($"nn" > 0L, ratio($"sdis", threeN)).as("d_observed"),
+      when($"nn" > 0L && threeN > 1L,
+        twoPD.cast("double") /
+          (threeN.cast(d38) * (threeN - 1L)).cast("double"))
+        .as("d_expected"),
+      when(twoPD > 0, alpha).as("kripp_alpha"),
+      coalesce(when(twoPD > 0, alpha >= lit(0.8)), lit(false))
+        .as("reliable"))
+  }
+
   /** Domain-blocklist filtering by SUFFIX match — the URL-level curation
     * gate next to q115's canonicalization: a blocklist entry blocks a
     * domain and every subdomain under it. The scalable form (this
@@ -7665,6 +7720,7 @@ object LlmOps {
     "q418_wasserstein_drift" -> wassersteinDrift,
     "q419_energy_distance_drift" -> energyDistanceDrift,
     "q420_welch_ttest_drift" -> welchTTestDrift,
+    "q424_krippendorff_alpha" -> krippendorffAlpha,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -9453,6 +9509,47 @@ object LlmOps {
          |SELECT c.k_keep, c.n_docs, st.*
          |FROM census c, st
          |ORDER BY c.k_keep""".stripMargin,
+    // the q397 vote join → one 3-cell moment agg → the cleared-
+    // denominator alpha tree (HUGEINT squares VARCHAR-routed)
+    "q424_krippendorff_alpha" -> {
+      val twoPdSql = "2 * CAST(kk AS HUGEINT) * (3 * nn - kk)"
+      val aNumSql = s"$twoPdSql - CAST(3 * nn - 1 AS HUGEINT) * sdis"
+      val alphaSql = s"(CAST(CAST($aNumSql AS VARCHAR) AS DOUBLE) " +
+        s"/ CAST(CAST($twoPdSql AS VARCHAR) AS DOUBLE))"
+      s"""WITH $qfPerDocSql,
+         |qfvotes AS (
+         |  SELECT doc_id, score_bits * tnb > ts * nb AS keep
+         |  FROM perdoc, calib
+         |),
+         |$lmKeepVoteSql,
+         |$rulesKeepVoteSql,
+         |v AS (
+         |  SELECT (CASE WHEN coalesce(a.keep, FALSE) THEN 1 ELSE 0 END
+         |          + CASE WHEN coalesce(r.keep, FALSE) THEN 1 ELSE 0 END
+         |          + CASE WHEN coalesce(q.keep, FALSE) THEN 1 ELSE 0 END)
+         |           AS k
+         |  FROM (SELECT doc_id FROM documents) d
+         |  LEFT JOIN lmvotes a USING (doc_id)
+         |  LEFT JOIN rulesvotes r USING (doc_id)
+         |  LEFT JOIN qfvotes q USING (doc_id)
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nn,
+         |         CAST(coalesce(sum(k), 0) AS BIGINT) AS kk,
+         |         CAST(coalesce(sum(k * (3 - k)), 0) AS BIGINT) AS sdis
+         |  FROM v
+         |)
+         |SELECT nn AS n_docs, kk AS n_keep_votes, sdis AS s_disagree,
+         |       CASE WHEN nn > 0 THEN ${ratioSql("sdis", "3 * nn")} END
+         |         AS d_observed,
+         |       CASE WHEN nn > 0 AND 3 * nn > 1 THEN
+         |         CAST(CAST($twoPdSql AS VARCHAR) AS DOUBLE)
+         |           / CAST(CAST(CAST(3 * nn AS HUGEINT) * (3 * nn - 1)
+         |                  AS VARCHAR) AS DOUBLE) END AS d_expected,
+         |       CASE WHEN $twoPdSql > 0 THEN $alphaSql END AS kripp_alpha,
+         |       coalesce(CASE WHEN $twoPdSql > 0 THEN $alphaSql >= 0.8 END,
+         |                FALSE) AS reliable
+         |FROM g""".stripMargin
+    },
     "q221_bigram_coverage" ->
       // MATERIALIZED: dt is read by both the model and the test side —
       // inlined, DuckDB would re-run the md5 digest pipeline per reference

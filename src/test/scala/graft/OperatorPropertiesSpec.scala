@@ -3104,6 +3104,43 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(dw >= 0.0 && dw <= 4.0)
   }
 
+  test("q423 ordinal association: q-tied plant pins gamma = 1, split Somers' D; constant axis NULLs") {
+    def mk(rows: Seq[(String, Long, Long)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ordassoc").toString
+      rows.map { case (f, q, dbps) => (f, q.toDouble, dbps / 10000.0) }
+        .toDF("l_returnflag", "l_quantity", "l_discount")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    // q = {1,1,2}, d = {10,20,30}: conc2 = 4, q-ties 2 → gamma = 1,
+    // D(d|q) = 1, D(q|d) = 2/3, tau_a = 2/3 (|tau_a| <= |gamma| law)
+    val r = SparkEntry.queries("q423_ordinal_assoc_panel")(
+      spark, mk(Seq(("A", 1L, 10L), ("A", 1L, 20L), ("A", 2L, 30L))))
+      .collect()(0)
+    assert(r.getAs[Long]("conc2") === 4L && r.getAs[Long]("disc2") === 0L)
+    assert(r.getAs[Double]("gk_gamma") === 1.0)
+    assert(r.getAs[Double]("somers_d_given_q") === 1.0)
+    assert(r.getAs[Double]("somers_q_given_d") === 4.0 / 6.0)
+    assert(r.getAs[Double]("tau_a") === 4.0 / 6.0)
+    // constant q axis: every pair q-tied → gamma and D(d|q) undefined,
+    // D(q|d) and tau_a exactly 0
+    val c = SparkEntry.queries("q423_ordinal_assoc_panel")(
+      spark, mk(Seq(("A", 5L, 10L), ("A", 5L, 20L), ("A", 5L, 30L))))
+      .collect()(0)
+    assert(c.isNullAt(c.fieldIndex("gk_gamma")))
+    assert(c.isNullAt(c.fieldIndex("somers_d_given_q")))
+    assert(c.getAs[Double]("somers_q_given_d") === 0.0)
+    assert(c.getAs[Double]("tau_a") === 0.0)
+    // fixture: the denominator ladder |tau_a| <= |gamma| holds per flag
+    val fx = SparkEntry.queries("q423_ordinal_assoc_panel")(spark, sfDir)
+      .collect()
+    assert(fx.nonEmpty)
+    fx.foreach { p =>
+      assert(math.abs(p.getAs[Double]("tau_a")) <=
+        math.abs(p.getAs[Double]("gk_gamma")) + 1e-15)
+    }
+  }
+
   test("q404 Mann-Kendall: monotone series pins S = C(n,2); constant series undefined") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("mk").toString
@@ -4945,6 +4982,46 @@ class OperatorPropertiesSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
+  }
+
+  test("q424 Krippendorff alpha: unanimity pins 1, one discordant doc pins 0, constant ensemble NULLs") {
+    // all-unanimous fixture with both classes present → alpha = 1 exactly
+    val u = SparkEntry.queries("q424_krippendorff_alpha")(
+      spark, mixedVoteFixture()).collect()(0)
+    assert(u.getAs[Long]("s_disagree") === 0L)
+    assert(u.getAs[Double]("kripp_alpha") === 1.0)
+    assert(u.getAs[Boolean]("reliable"))
+    // single discordant doc (votes 1,1,0): D_o = D_e → alpha = 0 exactly
+    val one = java.nio.file.Files.createTempDirectory("kripp1").toString
+    Seq((1L, ((1 to 10).flatMap(i => Seq.fill(8)(f"alph$i%01d")) ++
+      Seq("the", "a")).mkString(" "), "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$one/documents.parquet")
+    val r = SparkEntry.queries("q424_krippendorff_alpha")(spark, one)
+      .collect()(0)
+    assert(r.getAs[Long]("n_docs") === 1L)
+    assert(r.getAs[Long]("n_keep_votes") === 2L)
+    assert(r.getAs[Long]("s_disagree") === 2L)
+    assert(r.getAs[Double]("kripp_alpha") === 0.0)
+    assert(!r.getAs[Boolean]("reliable"))
+    // constant ensemble (every filter drops every doc): D_e = 0 → NULL
+    val junk = java.nio.file.Files.createTempDirectory("kripp0").toString
+    Seq(1L, 2L).map(i =>
+      (i, (1 to 128).map(j => f"zx$j%03dq").mkString(" "), "xx", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$junk/documents.parquet")
+    val z = SparkEntry.queries("q424_krippendorff_alpha")(spark, junk)
+      .collect()(0)
+    assert(z.getAs[Long]("n_keep_votes") === 0L)
+    assert(z.isNullAt(z.fieldIndex("kripp_alpha")))
+    assert(!z.getAs[Boolean]("reliable"))
+    // fixture: alpha reconstructs from the emitted disagreements
+    val fx = SparkEntry.queries("q424_krippendorff_alpha")(spark, sfDir)
+      .collect()(0)
+    val a = fx.getAs[Double]("kripp_alpha")
+    assert(a <= 1.0)
+    assert(math.abs(a - (1.0 - fx.getAs[Double]("d_observed") /
+      fx.getAs[Double]("d_expected"))) < 1e-12)
   }
 
   test("q396 McNemar: planted discordance pins chi2; zero discordance NULLs it") {
