@@ -4553,6 +4553,54 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** q425 panel width: the top-this-many terms by total occurrence
+    * count enter the burstiness census — a fixed bound so the output
+    * and every downstream moment are SF-invariant. */
+  val BurstTopK = 20
+
+  /** Term burstiness census — the index of dispersion (variance-to-mean
+    * ratio; Church & Gale 1995's burstiness observation, public) of
+    * per-document counts for the [[BurstTopK]] highest-volume terms:
+    * content words CLUMP (one doc mentioning a topic mentions it many
+    * times — VMR ≫ 1) while function words arrive near-Poisson
+    * (VMR ≈ 1), so the census separates topical from structural
+    * vocabulary, the signal a stopword-list builder or tf-idf sanity
+    * check reads. Zero-count docs are in the moments by construction
+    * (zeros add nothing to Σc or Σc², only N): with S = Σc, VMR =
+    * (N·Σc² − S²)/((N−1)·S) — exact integer numerator and denominator
+    * in decimal(38,0) (VARCHAR-routed), ONE divide; `bursty` is the
+    * cross-multiplied exact comparison var_num > 2·(N−1)·S (the VMR > 2
+    * screening literal). The panel selection is a total order
+    * (count desc, term asc — no hash ties). Laws (spec): a
+    * once-per-doc-everywhere term pins VMR = 0 exactly; a term
+    * concentrated in one doc pins the closed form; N = 1 leaves VMR
+    * NULL. Scale: one (term, doc) tf pass (the q149/q52 shape) → one
+    * term-keyed moment agg → top-K selection → K rows. */
+  def termBurstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("c"))
+    val top = tf.groupBy($"tok")
+      .agg(sum($"c").as("tot"),
+        sum($"c".cast(d38) * $"c").as("s2"),
+        count(lit(1)).as("df"))
+      .orderBy($"tot".desc, $"tok".asc).limit(BurstTopK)
+    val nd = Tables.documents(s, dir).agg(count(lit(1)).as("nn"))
+    val varNum = $"nn".cast(d38) * $"s2" - $"tot".cast(d38) * $"tot"
+    val vmrDen = ($"nn" - 1L).cast(d38) * $"tot"
+    top.crossJoin(broadcast(nd))
+      .select($"tok".as("term"), $"df".as("n_docs_with"),
+        $"tot".as("n_occurrences"),
+        varNum.cast("string").as("var_num"),
+        when($"nn" > 1L && $"tot" > 0,
+          varNum.cast("double") / vmrDen.cast("double")).as("vmr"),
+        coalesce(when($"nn" > 1L && $"tot" > 0,
+          varNum > lit(2L).cast(d38) * vmrDen), lit(false)).as("bursty"))
+      .orderBy($"n_occurrences".desc, $"term".asc)
+  }
+
   /** Good–Turing unseen-mass census (Good 1953, public definition) per
     * language — the probability a FRESH token is a type never seen in
     * the corpus, P₀ = f₁/N (the quantity q399's Kneser–Ney reserves
@@ -7721,6 +7769,7 @@ object LlmOps {
     "q419_energy_distance_drift" -> energyDistanceDrift,
     "q420_welch_ttest_drift" -> welchTTestDrift,
     "q424_krippendorff_alpha" -> krippendorffAlpha,
+    "q425_term_burstiness" -> termBurstiness,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -9549,6 +9598,32 @@ object LlmOps {
          |       coalesce(CASE WHEN $twoPdSql > 0 THEN $alphaSql >= 0.8 END,
          |                FALSE) AS reliable
          |FROM g""".stripMargin
+    },
+    // (term, doc) tf pass → term moments with zero-docs implicit →
+    // total-order top-K → exact VMR divide + cross-multiplied flag
+    "q425_term_burstiness" -> {
+      val varNumSql = "CAST(nn AS HUGEINT) * s2 - CAST(tot AS HUGEINT) * tot"
+      val vmrDenSql = "CAST(nn - 1 AS HUGEINT) * tot"
+      s"""WITH tf AS (
+         |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1, 2
+         |), top AS (
+         |  SELECT tok, ${sumLongSql("c")} AS tot,
+         |         sum(CAST(c AS HUGEINT) * c) AS s2,
+         |         CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1
+         |  ORDER BY tot DESC, tok ASC LIMIT $BurstTopK
+         |), nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)
+         |SELECT tok AS term, df AS n_docs_with, tot AS n_occurrences,
+         |       CAST($varNumSql AS VARCHAR) AS var_num,
+         |       CASE WHEN nn > 1 AND tot > 0 THEN
+         |         CAST(CAST($varNumSql AS VARCHAR) AS DOUBLE)
+         |           / CAST(CAST($vmrDenSql AS VARCHAR) AS DOUBLE) END AS vmr,
+         |       coalesce(CASE WHEN nn > 1 AND tot > 0 THEN
+         |                $varNumSql > 2 * ($vmrDenSql) END, FALSE) AS bursty
+         |FROM top, nd
+         |ORDER BY n_occurrences DESC, term ASC""".stripMargin
     },
     "q221_bigram_coverage" ->
       // MATERIALIZED: dt is read by both the model and the test side —

@@ -1895,6 +1895,80 @@ object TimeSeries {
       ($"bt.sa" < $"bt.sn").as("ar_beats_naive")): _*)
   }
 
+  /** Akaike FPE order selection (Akaike 1969's final prediction error,
+    * public definition) over the Durbin–Levinson ladder — the
+    * MODEL-SELECTION rule beside q398's PACF threshold: FPE(k) =
+    * σ̂²_k·(n+k+1)/(n−k−1) prices fit against parameter count like AIC
+    * but WITHOUT a logarithm, so the whole criterion stays a fixed
+    * IEEE tree over exact inputs (the engine's log-free stance — AIC's
+    * n·ln σ² would pit two libms against each other under the bitwise
+    * gate). The innovation-variance ratios ride the recursion for
+    * free: σ̂²_k/σ̂²_0 = Π_{j≤k}(1−φ_jj²) over q378's exact PACF
+    * diagonal, so FPE is emitted RELATIVE to σ̂²_0 (the argmin is
+    * invariant to the shared factor). Output: one row per order
+    * k = 0..[[AcfMaxLag]] with pacf, the variance ratio, relative FPE,
+    * and `selected` marking the argmin (ties break to the SMALLEST k —
+    * parsimony). Degenerate inputs (n ≤ [[AcfMaxLag]] + 1 — the
+    * FPE(7) denominator needs n > 8 — or zero variance) emit zero
+    * rows, the q378 contract. Scale: the shared q369 chain → ≤8-row
+    * ladder → one argmin. */
+  def fpeOrderSelection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val racf = acfLagTerms(s, dir)
+      .filter($"var_n2" > 0)
+      .select($"lag", $"n",
+        ($"cov_n2".cast("double") / $"var_n2".cast("double")).as("r"))
+      .agg(max($"n").as("n"), count(lit(1)).as("n_lags"),
+        sort_array(collect_list(struct($"lag", $"r"))).as("ra"))
+      .select($"n", $"n_lags", transform($"ra", x => x.getField("r")).as("r"))
+      .filter($"n_lags" === AcfMaxLag.toLong &&
+        $"n" > (AcfMaxLag + 1).toLong)
+    // q378's DL recursion keeping the diagonal (pacf) only
+    val st = racf.select($"n",
+      aggregate(sequence(lit(2), lit(AcfMaxLag)),
+        struct(array(try_element_at($"r", lit(1))).as("phi"),
+          array(try_element_at($"r", lit(1))).as("pacf")),
+        (acc, k) => {
+          val phi = acc.getField("phi")
+          val num = element_at($"r", k) -
+            aggregate(sequence(lit(1), k - 1), lit(0.0),
+              (sm, j) => sm + element_at(phi, j) * element_at($"r", k - j))
+          val den = lit(1.0) -
+            aggregate(sequence(lit(1), k - 1), lit(0.0),
+              (sm, j) => sm + element_at(phi, j) * element_at($"r", j))
+          val a = num / den
+          struct(
+            concat(transform(sequence(lit(1), k - 1),
+              j => element_at(phi, j) - a * element_at(phi, k - j)),
+              array(a)).as("phi"),
+            concat(acc.getField("pacf"), array(a)).as("pacf"))
+        }).as("st"))
+    // the variance-ratio ladder v_k = Π(1−φ_jj²), seeded at order 0
+    val ladder = st.select($"n",
+      aggregate(sequence(lit(1), lit(AcfMaxLag)),
+        array(struct(lit(0L).as("k"),
+          lit(null).cast("double").as("pacf"), lit(1.0).as("v"))),
+        (acc, k) => {
+          val a = element_at($"st.pacf", k)
+          concat(acc, array(struct(k.cast("long").as("k"), a.as("pacf"),
+            (element_at(acc, k).getField("v") * (lit(1.0) - a * a))
+              .as("v"))))
+        }).as("ladder"))
+    val ex = ladder.select($"n", explode($"ladder").as("e"))
+      .select($"e.k".as("order_k"), $"n", $"e.pacf".as("pacf"),
+        $"e.v".as("sigma2_ratio"),
+        ($"e.v" * (($"n" + $"e.k" + 1L).cast("double") /
+          ($"n" - $"e.k" - 1L).cast("double"))).as("fpe_rel"))
+      .localCheckpoint(eager = false) // read by the argmin AND the rows
+    val mn = ex.agg(min($"fpe_rel").as("mn"))
+    val selK = ex.crossJoin(broadcast(mn)).filter($"fpe_rel" === $"mn")
+      .agg(min($"order_k").as("sel_k"))
+    ex.crossJoin(broadcast(selK))
+      .select($"order_k", $"n".as("n_days"), $"pacf", $"sigma2_ratio",
+        $"fpe_rel", ($"order_k" === $"sel_k").as("selected"))
+      .orderBy($"order_k")
+  }
+
   /** Cross-correlation function between daily REVENUE and daily ORDER
     * COUNT at lags −7..+7 — the two-series member of the q369/q378
     * serial-dependence family (ACF asks "does a series predict
@@ -2132,6 +2206,7 @@ object TimeSeries {
     "q409_runs_test_daily" -> runsTestDaily,
     "q421_wilcoxon_signed_rank" -> wilcoxonSignedRank,
     "q422_durbin_watson" -> durbinWatson,
+    "q426_fpe_order_selection" -> fpeOrderSelection,
     "q386_ccf_revenue_orders" -> ccfRevenueOrders,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
@@ -2675,6 +2750,64 @@ object TimeSeries {
          |       r[CAST(lag AS INT)] AS acf, pacf[CAST(lag AS INT)] AS pacf
          |FROM fin, rok, (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag)
          |ORDER BY lag""".stripMargin,
+    // q378's DL recursion → the variance-ratio ladder recursion seeded
+    // at order 0 → the single-divide FPE tree and a min-k argmin
+    "q426_fpe_order_selection" ->
+      s"""WITH RECURSIVE $acfChainSql,
+         |racf AS MATERIALIZED (
+         |  SELECT max(n) AS n, count(*) AS n_lags,
+         |         list(CAST(CAST(cov_n2 AS VARCHAR) AS DOUBLE)
+         |              / CAST(CAST(var_n2 AS VARCHAR) AS DOUBLE)
+         |              ORDER BY lag) AS r
+         |  FROM lagt WHERE var_n2 > 0
+         |), rok AS MATERIALIZED (
+         |  SELECT n, r FROM racf
+         |  WHERE n_lags = $AcfMaxLag AND n > ${AcfMaxLag + 1}
+         |), dl AS (
+         |  SELECT CAST(1 AS BIGINT) AS k,
+         |         [r[1]] AS phi, [r[1]] AS pacf
+         |  FROM rok
+         |  UNION ALL
+         |  SELECT k + 1,
+         |         list_append(list_transform(range(1, k + 1), j ->
+         |           phi[CAST(j AS INT)] - a * phi[CAST(k + 1 - j AS INT)]), a),
+         |         list_append(pacf, a)
+         |  FROM (
+         |    SELECT d.k, d.phi, d.pacf,
+         |           (r[CAST(d.k + 1 AS INT)]
+         |            - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list_transform(range(1, d.k + 1), j ->
+         |                  d.phi[CAST(j AS INT)]
+         |                    * r[CAST(d.k + 1 - j AS INT)])),
+         |                (x, y) -> x + y))
+         |           / (1.0 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                list_transform(range(1, d.k + 1), j ->
+         |                  d.phi[CAST(j AS INT)] * r[CAST(j AS INT)])),
+         |                (x, y) -> x + y)) AS a
+         |    FROM dl d, rok WHERE d.k < $AcfMaxLag
+         |  )
+         |), fin AS (SELECT pacf FROM dl ORDER BY k DESC LIMIT 1),
+         |ladder AS (
+         |  SELECT CAST(0 AS BIGINT) AS k, CAST(NULL AS DOUBLE) AS pacf,
+         |         CAST(1.0 AS DOUBLE) AS v
+         |  FROM fin
+         |  UNION ALL
+         |  SELECT l.k + 1, f.pacf[CAST(l.k + 1 AS INT)],
+         |         l.v * (1.0 - f.pacf[CAST(l.k + 1 AS INT)]
+         |                      * f.pacf[CAST(l.k + 1 AS INT)])
+         |  FROM ladder l, fin f WHERE l.k < $AcfMaxLag
+         |), ex AS MATERIALIZED (
+         |  SELECT k, n, pacf, v,
+         |         v * (CAST(n + k + 1 AS DOUBLE)
+         |              / CAST(n - k - 1 AS DOUBLE)) AS fpe
+         |  FROM ladder, rok
+         |), sel AS (
+         |  SELECT min(k) AS sel_k FROM ex
+         |  WHERE fpe = (SELECT min(fpe) FROM ex)
+         |)
+         |SELECT k AS order_k, n AS n_days, pacf, v AS sigma2_ratio,
+         |       fpe AS fpe_rel, k = sel_k AS selected
+         |FROM ex, sel ORDER BY k""".stripMargin,
     "q353_motif_discord" ->
       s"""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mday FROM orders),
          |daily AS (

@@ -3141,6 +3141,84 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q425 term burstiness: uniform term pins VMR = 0; concentrated term pins the closed form") {
+    def mkDocs(texts: Seq[String]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("burst").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, t, "en", "web", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val dir = mkDocs(Seq("the zzz zzz zzz zzz zzz", "the", "the", "the"))
+    val rows = SparkEntry.queries("q425_term_burstiness")(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("term")).toSeq === Seq("zzz", "the"))
+    val zzz = rows(0); val the = rows(1)
+    // zzz: S = 5, sum(c^2) = 25, N = 4 → var_num = 75, VMR = 75/15 = 5
+    assert(zzz.getAs[Long]("n_docs_with") === 1L)
+    assert(zzz.getAs[Long]("n_occurrences") === 5L)
+    assert(zzz.getAs[String]("var_num") === "75")
+    assert(zzz.getAs[Double]("vmr") === 5.0)
+    assert(zzz.getAs[Boolean]("bursty"))
+    // the: once per doc everywhere → zero variance, VMR = 0, Poisson-flat
+    assert(the.getAs[String]("var_num") === "0")
+    assert(the.getAs[Double]("vmr") === 0.0)
+    assert(!the.getAs[Boolean]("bursty"))
+    // single-doc corpus: N = 1 → VMR undefined
+    val one = SparkEntry.queries("q425_term_burstiness")(
+      spark, mkDocs(Seq("aa aa bb"))).collect()
+    assert(one.forall(_.isNullAt(one(0).fieldIndex("vmr"))))
+    // fixture: panel bounded at K, VMR nonnegative
+    val fx = SparkEntry.queries("q425_term_burstiness")(spark, sfDir).collect()
+    assert(fx.length <= 20 && fx.nonEmpty)
+    fx.foreach(r => assert(r.getAs[Double]("vmr") >= 0.0))
+  }
+
+  test("q426 FPE order selection: ladder replays bitwise off the PACF; degenerate inputs emit zero rows") {
+    def mkOrders(cents: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("fpe").toString
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1, f"2000-${(i / 28) + 1}%02d-${(i % 28) + 1}%02d", c / 100.0)
+      }.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"),
+          $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // constant series: zero variance → zero rows
+    assert(SparkEntry.queries("q426_fpe_order_selection")(
+      spark, mkOrders(Seq.fill(12)(500))).collect().isEmpty)
+    // n = 8: FPE(7) denominator would be 0 → zero rows
+    assert(SparkEntry.queries("q426_fpe_order_selection")(
+      spark, mkOrders(Seq(100, 900, 200, 800, 300, 700, 400, 600)))
+      .collect().isEmpty)
+    // fixture: 8 ladder rows; order 0 pins (1, (n+1)/(n-1)); the v and
+    // fpe columns replay bitwise off the emitted pacf; ONE selected row
+    // marking the minimal fpe at the smallest such k
+    val fx = SparkEntry.queries("q426_fpe_order_selection")(spark, sfDir)
+      .collect()
+    assert(fx.length === 8)
+    val n = fx(0).getAs[Long]("n_days")
+    assert(fx(0).getAs[Long]("order_k") === 0L)
+    assert(fx(0).isNullAt(fx(0).fieldIndex("pacf")))
+    assert(fx(0).getAs[Double]("sigma2_ratio") === 1.0)
+    assert(fx(0).getAs[Double]("fpe_rel") === (n + 1).toDouble / (n - 1).toDouble)
+    var v = 1.0
+    for (k <- 1 to 7) {
+      val r = fx(k)
+      val a = r.getAs[Double]("pacf")
+      v = v * (1.0 - a * a)
+      assert(r.getAs[Double]("sigma2_ratio") === v, s"v at k=$k")
+      assert(r.getAs[Double]("fpe_rel") ===
+        v * ((n + k + 1).toDouble / (n - k - 1).toDouble), s"fpe at k=$k")
+    }
+    val sel = fx.filter(_.getAs[Boolean]("selected"))
+    assert(sel.length === 1)
+    val mn = fx.map(_.getAs[Double]("fpe_rel")).min
+    assert(sel(0).getAs[Double]("fpe_rel") === mn)
+    assert(fx.filter(_.getAs[Double]("fpe_rel") == mn)
+      .map(_.getAs[Long]("order_k")).min === sel(0).getAs[Long]("order_k"))
+  }
+
   test("q404 Mann-Kendall: monotone series pins S = C(n,2); constant series undefined") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("mk").toString
