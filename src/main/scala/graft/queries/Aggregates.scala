@@ -2553,6 +2553,83 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Jonckheere–Terpstra ordered-alternative test (Jonckheere 1954 /
+    * Terpstra 1952, public definitions; tie-corrected variance per
+    * Hollander & Wolfe's published form) — does line-item QUANTITY
+    * trend monotonically across the five ORDERED priority classes?
+    * q391's Kruskal–Wallis asks the unordered "any difference?"; JT
+    * pools the pairwise MWU statistics along the priority order and is
+    * the more powered test when the alternative IS the ordering. Both
+    * axes are domain-bounded (5 priorities × 50 quantities), so
+    * 2J = Σ_{g<g'} c·c'·(2·[v<v'] + [v=v']) folds exactly over the
+    * census×census pairs (the q376 stance), and the three
+    * tie-corrected variance terms are exact integer ratios —
+    * Var = A/72 + B·C/(36·N(N−1)(N−2)) + D·E/(8·N(N−1)) with A..E the
+    * published group/tie cubic sums in decimal(38,0) (VARCHAR-routed)
+    * — summed in fixed order; z = (2·2J − (N²−Σn_g²))/(4√Var) at the
+    * [[graft.queries.LlmOps.MwCritAlpha05]] line. The all-tied corpus
+    * makes Var vanish EXACTLY (A/72 and the D·E term cancel in exact
+    * rationals whose divides are power-of-two exact — spec-pinned) —
+    * z NULL, unflagged; N ≤ 2 likewise NULL. Envelope: A ≤ 2N³ —
+    * exact past 10¹¹ rows. Scale: one join pass to the ≤250-cell
+    * census; everything after census²-bounded. */
+  def jonckheereTerpstra(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val cells = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity".cast("long").as("v"))
+      .join(Tables.orders(s, dir)
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority".as("g")),
+        Seq("l_orderkey"))
+      .groupBy($"g", $"v").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // pair sides + both margins
+    val pairs = cells
+      .join(broadcast(cells.select($"g".as("gb"), $"v".as("vb"),
+        $"c".as("cb"))), $"g" < $"gb")
+      .agg(coalesce(sum($"c".cast(d38) * $"cb" *
+        (when($"v" < $"vb", 2L).when($"v" === $"vb", 1L).otherwise(0L))),
+        lit(BigDecimal(0)).cast(d38)).as("two_j"))
+    val gm = cells.groupBy($"g").agg(sum($"c").as("ng"))
+      .agg(sum($"ng").as("nn"),
+        sum($"ng".cast(d38) * $"ng").as("sn2"),
+        sum($"ng".cast(d38) * ($"ng" - 1L)).as("dd"),
+        sum($"ng".cast(d38) * ($"ng" - 1L) * ($"ng" - 2L)).as("bb"),
+        sum($"ng".cast(d38) * ($"ng" - 1L) * (lit(2L) * $"ng" + 5L))
+          .as("ag"))
+    val tm = cells.groupBy($"v").agg(sum($"c").as("t"))
+      .agg(coalesce(sum($"t".cast(d38) * ($"t" - 1L)), lit(BigDecimal(0))
+        .cast(d38)).as("ee"),
+        coalesce(sum($"t".cast(d38) * ($"t" - 1L) * ($"t" - 2L)),
+          lit(BigDecimal(0)).cast(d38)).as("cc"),
+        coalesce(sum($"t".cast(d38) * ($"t" - 1L) * (lit(2L) * $"t" + 5L)),
+          lit(BigDecimal(0)).cast(d38)).as("at"))
+    val base = pairs.crossJoin(broadcast(gm)).crossJoin(broadcast(tm))
+      .withColumn("four_e", $"nn".cast(d38) * $"nn" - $"sn2")
+      .withColumn("z_num", lit(2L).cast(d38) * $"two_j" - $"four_e")
+      .withColumn("a_term",
+        $"nn".cast(d38) * ($"nn" - 1L) * (lit(2L) * $"nn" + 5L) -
+          $"ag" - $"at")
+      .withColumn("var_jt", when($"nn" > 2L,
+        $"a_term".cast("double") / lit(72.0) +
+          ($"bb" * $"cc").cast("double") /
+            (lit(36L).cast(d38) * $"nn" * ($"nn" - 1L) * ($"nn" - 2L))
+              .cast("double") +
+          ($"dd" * $"ee").cast("double") /
+            (lit(8L).cast(d38) * $"nn" * ($"nn" - 1L)).cast("double")))
+    val z = $"z_num".cast("double") / (lit(4.0) * sqrt($"var_jt"))
+    val ok = $"var_jt".isNotNull && $"var_jt" > 0.0
+    base.select($"nn".as("n_rows"),
+      $"two_j".cast("string").as("two_j"),
+      $"four_e".cast("string").as("four_e"),
+      $"var_jt",
+      when(ok, z).as("z_jt"),
+      coalesce(when(ok,
+        abs(z) > lit(graft.queries.LlmOps.MwCritAlpha05)), lit(false))
+        .as("ordered_trend"),
+      when($"z_num" > 0, "increasing").when($"z_num" < 0, "decreasing")
+        .otherwise("none").as("direction"))
+  }
+
   /** Gini / Lorenz concentration census over per-customer revenue —
     * the INEQUALITY diagnostic beside q111's heavy hitters (hitters
     * name the top keys; Gini prices the whole distribution, the number
@@ -2664,6 +2741,7 @@ object Aggregates {
     "q375_spearman_census" -> spearmanCensus,
     "q376_kendall_tau" -> kendallTau,
     "q423_ordinal_assoc_panel" -> ordinalAssocPanel,
+    "q427_jonckheere_terpstra" -> jonckheereTerpstra,
     "q410_partial_correlation" -> partialCorrelation,
     "q412_ols_influence" -> olsInfluence,
     "q414_simpson_reversal" -> simpsonReversal,
@@ -3156,6 +3234,76 @@ object Aggregates {
          |JOIN tq ON tq.l_returnflag = ps.l_returnflag
          |JOIN td ON td.l_returnflag = ps.l_returnflag
          |ORDER BY ps.l_returnflag""".stripMargin,
+    // the (priority, quantity) census → ordered census² pair fold →
+    // the three exact tie-corrected variance ratios, one z tree
+    "q427_jonckheere_terpstra" -> {
+      val zSql = "(CAST(CAST(z_num AS VARCHAR) AS DOUBLE) " +
+        "/ (4.0 * sqrt(var_jt)))"
+      val okSql = "var_jt IS NOT NULL AND var_jt > 0.0"
+      s"""WITH cells AS MATERIALIZED (
+         |  SELECT g, v, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT o.o_orderpriority AS g,
+         |               CAST(l.l_quantity AS BIGINT) AS v
+         |        FROM (SELECT l_orderkey, l_quantity FROM lineitem) l
+         |        JOIN (SELECT o_orderkey, o_orderpriority FROM orders) o
+         |          ON o.o_orderkey = l.l_orderkey)
+         |  GROUP BY 1, 2
+         |), pr AS (
+         |  SELECT coalesce(sum(CAST(a.c AS HUGEINT) * b.c
+         |           * (CASE WHEN a.v < b.v THEN 2
+         |                   WHEN a.v = b.v THEN 1 ELSE 0 END)),
+         |         CAST(0 AS HUGEINT)) AS two_j
+         |  FROM cells a JOIN cells b ON a.g < b.g
+         |), gm AS (
+         |  SELECT CAST(sum(ng) AS BIGINT) AS nn,
+         |         sum(CAST(ng AS HUGEINT) * ng) AS sn2,
+         |         sum(CAST(ng AS HUGEINT) * (ng - 1)) AS dd,
+         |         sum(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2)) AS bb,
+         |         sum(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5)) AS ag
+         |  FROM (SELECT g, CAST(sum(c) AS BIGINT) AS ng
+         |        FROM cells GROUP BY 1)
+         |), tm AS (
+         |  SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1)),
+         |           CAST(0 AS HUGEINT)) AS ee,
+         |         coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)),
+         |           CAST(0 AS HUGEINT)) AS cc,
+         |         coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)),
+         |           CAST(0 AS HUGEINT)) AS at
+         |  FROM (SELECT v, CAST(sum(c) AS BIGINT) AS t
+         |        FROM cells GROUP BY 1)
+         |), base AS (
+         |  SELECT nn, two_j,
+         |         CAST(nn AS HUGEINT) * nn - sn2 AS four_e,
+         |         2 * two_j - (CAST(nn AS HUGEINT) * nn - sn2) AS z_num,
+         |         CAST(nn AS HUGEINT) * (nn - 1) * (2 * nn + 5) - ag - at
+         |           AS a_term,
+         |         bb, cc, dd, ee
+         |  FROM pr, gm, tm
+         |), vj AS (
+         |  SELECT *, CASE WHEN nn > 2 THEN
+         |    CAST(CAST(a_term AS VARCHAR) AS DOUBLE) / 72.0
+         |    + CAST(CAST(bb * cc AS VARCHAR) AS DOUBLE)
+         |      / CAST(CAST(36 * CAST(nn AS HUGEINT) * (nn - 1) * (nn - 2)
+         |             AS VARCHAR) AS DOUBLE)
+         |    + CAST(CAST(dd * ee AS VARCHAR) AS DOUBLE)
+         |      / CAST(CAST(8 * CAST(nn AS HUGEINT) * (nn - 1)
+         |             AS VARCHAR) AS DOUBLE)
+         |    END AS var_jt
+         |  FROM base
+         |)
+         |SELECT nn AS n_rows,
+         |       CAST(two_j AS VARCHAR) AS two_j,
+         |       CAST(four_e AS VARCHAR) AS four_e,
+         |       var_jt,
+         |       CASE WHEN $okSql THEN $zSql END AS z_jt,
+         |       coalesce(CASE WHEN $okSql THEN abs($zSql)
+         |                > ${graft.queries.LlmOps.MwCritAlpha05} END, FALSE)
+         |         AS ordered_trend,
+         |       CASE WHEN z_num > 0 THEN 'increasing'
+         |            WHEN z_num < 0 THEN 'decreasing'
+         |            ELSE 'none' END AS direction
+         |FROM vj""".stripMargin
+    },
     "q289_fd_discovery" -> {
       def fdSql(lhs: String, rhs: String): String =
         s"""SELECT '$lhs->$rhs' AS fd,

@@ -70,7 +70,7 @@ object LlmOps {
 
   /** DuckDB twin of [[driftNtokCensus]] — the (ntok, nav, nbv) drift
     * value census as a WITH-fragment named `census`, shared by the
-    * q418/q419 CDF-gap oracles so both read the SAME split and domain
+    * q418/q419/q420/q428 oracles so all read the SAME split and domain
     * as their Spark sides. */
   private def driftNtokCensusSql: String =
     s"""census AS MATERIALIZED (
@@ -3819,7 +3819,7 @@ object LlmOps {
 
   /** The drift-half token-count VALUE census — (ntok, nav, nbv) with
     * nav/nbv the half-A/half-B doc counts at each value — shared by the
-    * q418/q419/q420 CDF-gap family so all three read the SAME split and
+    * q418/q419/q420/q428 family so all four read the SAME split and
     * the SAME value domain (the [[driftHalfCol]] stance: one corpus
     * pass, a domain-bounded census after). Checkpointed: every consumer
     * reads it at least twice (pair sides, totals, windows). */
@@ -3923,6 +3923,44 @@ object LlmOps {
         $"sbb".cast("string").as("sbb_num"),
         when(ok, d2).as("energy_d2"),
         when(ok, tStat).as("energy_t"))
+  }
+
+  /** Hodges–Lehmann shift estimator (Hodges & Lehmann 1963, public
+    * definition) between the drift halves — the location ESTIMATE the
+    * rank tests leave implicit (q365's U says whether a shift exists,
+    * q420's t gives the mean difference that outliers own; HL = the
+    * median of all pairwise differences X_a − Y_b is the robust shift
+    * in TOKEN units, the number to act on when the drift family
+    * trips). Never the doc×doc pair set: over the shared
+    * [[driftNtokCensus]] the difference multiset collapses to a
+    * weighted census — diff d with weight Σ nav_u·nbv_v over u−v = d,
+    * domain-bounded by 2·|value domain| — and the median is an EXACT
+    * rank selection (the q309/q341 lower-median stance: element
+    * ⌈N/2⌉ of the N = n_a·n_b pairs, a cum ≥ rank scan, no float
+    * averaging). An empty half leaves the estimate NULL. Envelope:
+    * pair weights sum to n_a·n_b — long holds to ~3·10⁹ docs/half
+    * (the q376 bound). Scale: one corpus pass → census² broadcast
+    * pair fold → diff census window → one row. */
+  def hodgesLehmannShift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val census = driftNtokCensus(s, dir)
+    val diffs = census
+      .crossJoin(broadcast(census.select($"ntok".as("vb"),
+        $"nbv".as("nbvb"))))
+      .filter($"nav" > 0L && $"nbvb" > 0L)
+      .groupBy(($"ntok" - $"vb").as("diff"))
+      .agg(sum($"nav" * $"nbvb").as("w"))
+    val tot = census.agg(sum($"nav").as("n_a"), sum($"nbv").as("n_b"))
+    val np = diffs.agg(coalesce(sum($"w"), lit(0L)).as("n_pairs"))
+    val w = Window.orderBy($"diff")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hl = diffs.crossJoin(broadcast(np))
+      .withColumn("cum", sum($"w").over(w))
+      .withColumn("rk", expr("(n_pairs + 1) div 2"))
+      .agg(min(when($"cum" >= $"rk" && $"rk" >= 1L, $"diff"))
+        .as("hl_shift_tokens"))
+    hl.crossJoin(broadcast(np)).crossJoin(broadcast(tot))
+      .select($"n_a", $"n_b", $"n_pairs", $"hl_shift_tokens")
   }
 
   /** Welch's unequal-variance t-test (Welch 1947 / Satterthwaite 1946,
@@ -7770,6 +7808,7 @@ object LlmOps {
     "q420_welch_ttest_drift" -> welchTTestDrift,
     "q424_krippendorff_alpha" -> krippendorffAlpha,
     "q425_term_burstiness" -> termBurstiness,
+    "q428_hodges_lehmann_shift" -> hodgesLehmannShift,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -9380,6 +9419,32 @@ object LlmOps {
          |         AS shifted
          |FROM v""".stripMargin
     },
+    // the same census → weighted pairwise-difference census → exact
+    // lower-median rank selection
+    "q428_hodges_lehmann_shift" ->
+      s"""WITH $driftNtokCensusSql, diffs AS MATERIALIZED (
+         |  SELECT a.ntok - b.ntok AS diff,
+         |         ${sumLongSql("a.nav * b.nbv")} AS w
+         |  FROM census a, census b
+         |  WHERE a.nav > 0 AND b.nbv > 0
+         |  GROUP BY 1
+         |), np AS (
+         |  SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS n_pairs FROM diffs
+         |), tot AS (
+         |  SELECT ${sumLongSql("nav")} AS n_a, ${sumLongSql("nbv")} AS n_b
+         |  FROM census
+         |), hl AS (
+         |  SELECT min(CASE WHEN cum >= (n_pairs + 1) // 2
+         |                   AND (n_pairs + 1) // 2 >= 1 THEN diff END)
+         |           AS hl_shift_tokens
+         |  FROM (SELECT diff,
+         |               CAST(sum(w) OVER (ORDER BY diff
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                 AS BIGINT) AS cum
+         |        FROM diffs), np
+         |)
+         |SELECT n_a, n_b, n_pairs, hl_shift_tokens
+         |FROM hl, np, tot""".stripMargin,
     // the shared drift split → value census → census×census dominance
     // fold in HUGEINT (VARCHAR-routed), one shared divide, the literal
     // magnitude CASE tree

@@ -3219,6 +3219,91 @@ class OperatorPropertiesSpec extends SparkSpec {
       .map(_.getAs[Long]("order_k")).min === sel(0).getAs[Long]("order_k"))
   }
 
+  test("q427 Jonckheere-Terpstra: separated ordered groups replay bitwise; all-tied variance vanishes exactly") {
+    def mk(rows: Seq[(String, Long)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("jt").toString
+      rows.zipWithIndex.map { case ((g, _), i) => (i.toLong + 1, g) }
+        .toDF("o_orderkey", "o_orderpriority")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      rows.zipWithIndex.map { case ((_, q), i) => (i.toLong + 1, q.toDouble) }
+        .toDF("l_orderkey", "l_quantity")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    // three ordered groups with strictly separated values, no ties:
+    // two_j = 2*(4+4+4) = 24, four_e = 36-12 = 24, A = 456, B = C = 0
+    val up = mk(Seq(("1-URGENT", 1L), ("1-URGENT", 2L),
+      ("2-HIGH", 3L), ("2-HIGH", 4L), ("3-MEDIUM", 5L), ("3-MEDIUM", 6L)))
+    val r = SparkEntry.queries("q427_jonckheere_terpstra")(spark, up)
+      .collect()(0)
+    assert(r.getAs[Long]("n_rows") === 6L)
+    assert(r.getAs[String]("two_j") === "24")
+    assert(r.getAs[String]("four_e") === "24")
+    val v = 456.0 / 72.0 + 0.0 / (36.0 * 6 * 5 * 4) + 0.0 / (8.0 * 6 * 5)
+    assert(r.getAs[Double]("var_jt") === v)
+    assert(r.getAs[Double]("z_jt") === 24.0 / (4.0 * math.sqrt(v)))
+    assert(r.getAs[Boolean]("ordered_trend"))
+    assert(r.getAs[String]("direction") === "increasing")
+    // all values tied: the three variance terms cancel EXACTLY in
+    // power-of-two-exact doubles → z undefined, direction none
+    val tied = mk(Seq(("1-URGENT", 5L), ("1-URGENT", 5L),
+      ("2-HIGH", 5L), ("2-HIGH", 5L), ("3-MEDIUM", 5L), ("3-MEDIUM", 5L)))
+    val t = SparkEntry.queries("q427_jonckheere_terpstra")(spark, tied)
+      .collect()(0)
+    assert(t.getAs[Double]("var_jt") === 0.0)
+    assert(t.isNullAt(t.fieldIndex("z_jt")))
+    assert(!t.getAs[Boolean]("ordered_trend"))
+    assert(t.getAs[String]("direction") === "none")
+    // fixture: defined and internally consistent
+    val fx = SparkEntry.queries("q427_jonckheere_terpstra")(spark, sfDir)
+      .collect()(0)
+    assert(fx.getAs[Double]("var_jt") > 0.0)
+    assert(!fx.isNullAt(fx.fieldIndex("z_jt")))
+  }
+
+  test("q428 Hodges-Lehmann: point masses pin the shift; lower-median tie rule; one-sided NULL") {
+    def inA(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"drift:$id".getBytes("UTF-8"))
+      val hex = d.take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) * 2 < 16777216L
+    }
+    def mkDocs(rows: Seq[(Long, Int)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("hl").toString
+      rows.map { case (i, n) =>
+        (i, Seq.fill(n)("w").mkString(" "), "en", "web", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val ids = (1L to 400L)
+    val aIds = ids.filter(inA)
+    val bIds = ids.filterNot(inA)
+    // point masses: every pair differs by 3 - 10 = -7
+    val pm = mkDocs(aIds.take(3).map(_ -> 3) ++ bIds.take(4).map(_ -> 10))
+    val r = SparkEntry.queries("q428_hodges_lehmann_shift")(spark, pm)
+      .collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 12L)
+    assert(r.getAs[Long]("hl_shift_tokens") === -7L)
+    // diffs {-1, +1}: the lower median takes -1
+    val sym = mkDocs(Seq(aIds(0) -> 1, aIds(1) -> 3, bIds(0) -> 2))
+    val rs = SparkEntry.queries("q428_hodges_lehmann_shift")(spark, sym)
+      .collect()(0)
+    assert(rs.getAs[Long]("n_pairs") === 2L)
+    assert(rs.getAs[Long]("hl_shift_tokens") === -1L)
+    // one-sided corpus: estimate undefined
+    val z = SparkEntry.queries("q428_hodges_lehmann_shift")(
+      spark, mkDocs(aIds.take(3).map(_ -> 5))).collect()(0)
+    assert(z.getAs[Long]("n_pairs") === 0L)
+    assert(z.isNullAt(z.fieldIndex("hl_shift_tokens")))
+    // fixture: the pair count factorizes and the shift is a real diff
+    val fx = SparkEntry.queries("q428_hodges_lehmann_shift")(spark, sfDir)
+      .collect()(0)
+    assert(fx.getAs[Long]("n_pairs") ===
+      fx.getAs[Long]("n_a") * fx.getAs[Long]("n_b"))
+    assert(math.abs(fx.getAs[Long]("hl_shift_tokens")) < 1000L)
+  }
+
   test("q404 Mann-Kendall: monotone series pins S = C(n,2); constant series undefined") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("mk").toString
