@@ -764,4 +764,50 @@ class PlanAssertionsSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), q)
     }
   }
+
+  test("q418-q420/q428 drift-census family: census-sized crosses broadcast, no cartesian") {
+    Seq("q418_wasserstein_drift", "q419_energy_distance_drift",
+      "q420_welch_ttest_drift", "q428_hodges_lehmann_shift").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    // the census² pair sides of q419/q428 must be the broadcast side
+    Seq("q419_energy_distance_drift", "q428_hodges_lehmann_shift")
+      .foreach { q =>
+        assert(planOf(q).contains("BroadcastNestedLoopJoin"), q)
+      }
+  }
+
+  test("q421 week-over-week pairing is a keyed day join (no cartesian)") {
+    // the day-7 equi join itself sits behind the pairs localCheckpoint
+    // (the q397 situation) — the visible stage must stay cross-free
+    val p = planOf("q421_wilcoxon_signed_rank")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q422/q426 ride the bounded day census (no cartesian)") {
+    Seq("q422_durbin_watson", "q426_fpe_order_selection").foreach { q =>
+      assert(!planOf(q).contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q423/q427 concordance pair folds stay census-bounded broadcasts") {
+    Seq("q423_ordinal_assoc_panel", "q427_jonckheere_terpstra").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    // q427's ordered pair join is an inequality over the ≤250-cell
+    // census — sanctioned only as a broadcast BNLJ
+    assert(planOf("q427_jonckheere_terpstra")
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q424/q425 vote and tf chains are keyed joins with bounded outputs") {
+    val p424 = planOf("q424_krippendorff_alpha")
+    assert(!p424.contains("CartesianProduct"))
+    val p425 = planOf("q425_term_burstiness")
+    assert(!p425.contains("CartesianProduct"))
+    assert(p425.contains("TakeOrderedAndProject"),
+      "the top-K panel selection must be rank-pruned, never a full sort")
+  }
 }
