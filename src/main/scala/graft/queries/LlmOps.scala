@@ -3950,6 +3950,7 @@ object LlmOps {
       .filter($"nav" > 0L && $"nbvb" > 0L)
       .groupBy(($"ntok" - $"vb").as("diff"))
       .agg(sum($"nav" * $"nbvb").as("w"))
+      .localCheckpoint(eager = false) // read by the pair count AND the scan
     val tot = census.agg(sum($"nav").as("n_a"), sum($"nbv").as("n_b"))
     val np = diffs.agg(coalesce(sum($"w"), lit(0L)).as("n_pairs"))
     val w = Window.orderBy($"diff")
