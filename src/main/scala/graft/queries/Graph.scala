@@ -1147,7 +1147,46 @@ object Graph {
     auth.unionAll(hubs).orderBy($"role", $"score".desc, $"node")
   }
 
+  /** Truncated Katz centrality (Katz 1953, public definition) over the
+    * trade graph — the WALK-COUNT member beside q197's eigenvector-like
+    * PageRank and q401's path-length harmonic: x = Σ_k β^k·(Aᵏ1), here
+    * truncated at 3 hops with the DYADIC β = 1/4 so the whole score is
+    * exact — katz64 = 16·w₁ + 4·w₂ + w₃ with w_k the k-walk counts
+    * (w₁ = degree; w₂ = Σ_nb deg(nb); w₃ = Σ_nb w₂(nb) — walk
+    * MULTISETS, backtracking included, the Katz definition), and
+    * katz = katz64/64 one power-of-two-exact divide. Each level is one
+    * keyed |E| join against the pinned adjacency (the q301/q380
+    * shape); the top-10 is a total order (katz64 desc, numeric node id
+    * asc). Truncation makes convergence (β < 1/λ_max) a non-issue and
+    * keeps every count integer. Envelope: degrees are SF-CONSTANT on
+    * the trade graph (see [[tradeAdjacency]]), so w₃ ≤ deg_c·deg_s·deg_c
+    * ≈ 10⁷ stays in long at every SF. Star plant (spec): center
+    * katz64 = 16·3 + 4·3 + 9 = 69, leaves 31, exactly. Scale: adjacency
+    * build + two |E|-keyed joins → |V| rows → top-10. */
+  def katzCentrality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val adj = tradeAdjacency(s, dir)
+    val deg = adj.select($"src", size($"dsts").cast("long").as("w1"))
+    val edges = adj.select($"src", explode($"dsts").as("dst"))
+    val w2 = edges
+      .join(deg.select($"src".as("dst"), $"w1".as("dw")), Seq("dst"))
+      .groupBy($"src").agg(sum($"dw").as("w2"))
+      .localCheckpoint(eager = false) // read by the w3 join AND the panel
+    val w3 = edges
+      .join(w2.select($"src".as("dst"), $"w2".as("dw2")), Seq("dst"))
+      .groupBy($"src").agg(sum($"dw2").as("w3"))
+    val katz64 = lit(16L) * $"w1" + lit(4L) * $"w2" + $"w3"
+    deg.join(w2, Seq("src")).join(w3, Seq("src"))
+      .withColumn("katz64", katz64)
+      .orderBy($"katz64".desc, $"src".asc).limit(10)
+      .select(nodeStr($"src").as("node"), $"src".as("node_id"),
+        $"w1".as("degree"), $"w2".as("n_walks_2"), $"w3".as("n_walks_3"),
+        $"katz64", ($"katz64".cast("double") / lit(64.0)).as("katz"))
+      .orderBy($"katz64".desc, $"node_id".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q429_katz_centrality" -> katzCentrality,
     "q337_kcore_peel_census" -> kcorePeelCensus,
     "q338_hits_scores" -> hitsScores,
     "q319_partition_conductance" -> partitionConductance,
@@ -1195,6 +1234,32 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // distinct symmetric edges → degree → two neighbor-sum joins →
+    // the exact 16/4/1 dyadic combination, total-ordered top-10
+    "q429_katz_centrality" ->
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |), und AS MATERIALIZED (
+         |  SELECT src, dst FROM e0
+         |  UNION ALL SELECT dst, src FROM e0
+         |), deg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS w1 FROM und GROUP BY 1
+         |), w2 AS MATERIALIZED (
+         |  SELECT u.src, CAST(sum(d.w1) AS BIGINT) AS w2
+         |  FROM und u JOIN deg d ON d.src = u.dst GROUP BY 1
+         |), w3 AS (
+         |  SELECT u.src, CAST(sum(x.w2) AS BIGINT) AS w3
+         |  FROM und u JOIN w2 x ON x.src = u.dst GROUP BY 1
+         |)
+         |SELECT (CASE WHEN d.src % 2 = 0 THEN 'c' ELSE 's' END)
+         |         || CAST(d.src // 2 AS VARCHAR) AS node,
+         |       d.src AS node_id, d.w1 AS degree,
+         |       w2.w2 AS n_walks_2, w3.w3 AS n_walks_3,
+         |       16 * d.w1 + 4 * w2.w2 + w3.w3 AS katz64,
+         |       CAST(16 * d.w1 + 4 * w2.w2 + w3.w3 AS DOUBLE) / 64.0 AS katz
+         |FROM deg d JOIN w2 ON w2.src = d.src JOIN w3 ON w3.src = d.src
+         |ORDER BY katz64 DESC, node_id ASC LIMIT 10""".stripMargin,
     "q337_kcore_peel_census" ->
       s"""WITH e0 AS MATERIALIZED (
          |  SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst

@@ -3304,6 +3304,40 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(math.abs(fx.getAs[Long]("hl_shift_tokens")) < 1000L)
   }
 
+  test("q429 Katz centrality: star graph pins the 16/4/1 walk combination exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("katz").toString
+    Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q429_katz_centrality")(spark, dir)
+      .collect()
+    assert(rows.length === 4)
+    val ctr = rows(0)
+    assert(ctr.getAs[String]("node") === "s1")
+    assert(ctr.getAs[Long]("degree") === 3L)
+    assert(ctr.getAs[Long]("n_walks_2") === 3L)
+    assert(ctr.getAs[Long]("n_walks_3") === 9L)
+    assert(ctr.getAs[Long]("katz64") === 69L)
+    assert(ctr.getAs[Double]("katz") === 69.0 / 64.0)
+    rows.drop(1).foreach { leaf =>
+      assert(leaf.getAs[Long]("katz64") === 31L)
+      assert(leaf.getAs[Double]("katz") === 31.0 / 64.0)
+    }
+    // leaves tie → numeric node-id order c1 < c2 < c3
+    assert(rows.drop(1).map(_.getAs[String]("node")).toSeq ===
+      Seq("c1", "c2", "c3"))
+    // fixture: panel bounded, walk counts consistent with the degree
+    val fx = SparkEntry.queries("q429_katz_centrality")(spark, sfDir)
+      .collect()
+    assert(fx.length === 10)
+    fx.foreach { r =>
+      assert(r.getAs[Long]("katz64") === 16L * r.getAs[Long]("degree") +
+        4L * r.getAs[Long]("n_walks_2") + r.getAs[Long]("n_walks_3"))
+      assert(r.getAs[Long]("n_walks_2") >= r.getAs[Long]("degree"))
+    }
+  }
+
   test("q404 Mann-Kendall: monotone series pins S = C(n,2); constant series undefined") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("mk").toString
