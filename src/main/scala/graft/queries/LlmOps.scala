@@ -4640,6 +4640,75 @@ object LlmOps {
       .orderBy($"n_occurrences".desc, $"term".asc)
   }
 
+  /** Kendall's W coefficient of concordance (Kendall & Babington Smith
+    * 1939, public definition) across the three integer length proxies
+    * — token count, character count, distinct-token count — the
+    * "which cheap quality proxy?" diagnostic: a curation gate picks ONE
+    * of these; W says whether the choice matters (W → 1: any of them
+    * induces the same corpus ranking; low W: the proxies genuinely
+    * disagree and the gate choice is a real decision). All three
+    * scores are exact integers, ranks are DOUBLED midranks off each
+    * score's value census (the q365 machinery — 3 census joins back,
+    * never a corpus-wide window), the per-doc rank sum R₂ = Σ is an
+    * exact long, and with ΣR₂ = 3N(N+1) identically the spread
+    * collapses to S₂ = ΣR₂² − 9N(N+1)² — one decimal(38,0) moment.
+    * Tie-corrected W = S₂/(3(N³−N) − ΣT) with T = Σ(t³−t) per rater
+    * (exact, VARCHAR-routed), ONE divide; the Friedman statistic
+    * 3(N−1)·W rides (its χ² df is N−1 — corpus-sized, so no literal
+    * line; the W magnitude is the deliverable). Laws (spec): three
+    * agreeing rankings ⇒ W = 1 exactly; the 2-doc one-dissenter
+    * corpus ⇒ W = 1/9 exactly; an all-tied corpus (denominator 0)
+    * leaves W NULL. Envelope: ΣR₂² ≤ 36N³ — exact past 10¹¹ docs.
+    * Scale: one corpus pass → 3 value censuses + keyed joins back →
+    * one moment agg → one row. */
+  def kendallWProxies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val base = Tables.documents(s, dir)
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("sa"),
+        length($"text").cast("long").as("sb"),
+        size(array_distinct(TextOps.tokens($"text"))).cast("long").as("sc"))
+      .localCheckpoint(eager = false) // read by 3 rank chains + the join
+    def ranked(scoreCol: String, out: String): DataFrame = {
+      val census = base.groupBy(col(scoreCol).as("v"))
+        .agg(count(lit(1)).as("w"))
+      val cums = census.withColumn("cum_before",
+        sum($"w").over(Window.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"w")
+      base.select($"doc_id", col(scoreCol).as("v"))
+        .join(cums, Seq("v"))
+        .select($"doc_id", (lit(2L) * $"cum_before" + $"w" + 1L).as(out))
+    }
+    val tieTerm: Column =
+      coalesce(sum($"w".cast(d38) * $"w" * $"w" - $"w"),
+        lit(BigDecimal(0)).cast(d38))
+    val r = ranked("sa", "ra")
+      .join(ranked("sb", "rb"), Seq("doc_id"))
+      .join(ranked("sc", "rc"), Seq("doc_id"))
+      .select(($"ra" + $"rb" + $"rc").as("r2"))
+    val ties = Seq("sa", "sb", "sc").map { c =>
+      base.groupBy(col(c).as("v")).agg(count(lit(1)).as("w")).agg(tieTerm)
+    }.reduce(_ crossJoin _).toDF("ta", "tb", "tc")
+    val g = r.agg(count(lit(1)).as("n"),
+      coalesce(sum($"r2"), lit(0L)).as("sum_r2"),
+      coalesce(sum($"r2".cast(d38) * $"r2"), lit(BigDecimal(0)).cast(d38))
+        .as("sr22"))
+    val joined = g.crossJoin(broadcast(ties))
+      .withColumn("s2_num",
+        $"sr22" - lit(9L).cast(d38) * $"n" * ($"n" + 1L) * ($"n" + 1L))
+      .withColumn("den",
+        lit(3L).cast(d38) * ($"n".cast(d38) * $"n" * $"n" - $"n") -
+          ($"ta" + $"tb" + $"tc"))
+    val wStat = $"s2_num".cast("double") / $"den".cast("double")
+    joined.select($"n".as("n_docs"), $"sum_r2",
+      $"s2_num".cast("string").as("s2_num"),
+      ($"ta" + $"tb" + $"tc").cast("string").as("tie_term"),
+      when($"den" > 0, wStat).as("kendall_w"),
+      when($"den" > 0, lit(3.0) * ($"n" - 1L).cast("double") * wStat)
+        .as("chi2_friedman"))
+  }
+
   /** Good–Turing unseen-mass census (Good 1953, public definition) per
     * language — the probability a FRESH token is a type never seen in
     * the corpus, P₀ = f₁/N (the quantity q399's Kneser–Ney reserves
@@ -7810,6 +7879,7 @@ object LlmOps {
     "q424_krippendorff_alpha" -> krippendorffAlpha,
     "q425_term_burstiness" -> termBurstiness,
     "q428_hodges_lehmann_shift" -> hodgesLehmannShift,
+    "q430_kendall_w_proxies" -> kendallWProxies,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -9690,6 +9760,55 @@ object LlmOps {
          |                $varNumSql > 2 * ($vmrDenSql) END, FALSE) AS bursty
          |FROM top, nd
          |ORDER BY n_occurrences DESC, term ASC""".stripMargin
+    },
+    // three integer score censuses → doubled-midrank joins back →
+    // one R2 moment agg → the tie-corrected single-divide W tree
+    "q430_kendall_w_proxies" -> {
+      def censusSql(c: String) =
+        s"(SELECT $c AS v, CAST(count(*) AS BIGINT) AS w " +
+          s"FROM base GROUP BY 1)"
+      def rankSql(c: String) =
+        s"""SELECT b.doc_id, 2 * (x.cum - x.w) + x.w + 1 AS r
+           |   FROM base b JOIN (
+           |     SELECT v, w, CAST(sum(w) OVER (ORDER BY v
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |       AS BIGINT) AS cum
+           |     FROM ${censusSql(c)}) x ON b.$c = x.v""".stripMargin
+      def tieSql(c: String) =
+        s"(SELECT coalesce(sum(CAST(w AS HUGEINT) * w * w - w), " +
+          s"CAST(0 AS HUGEINT)) FROM ${censusSql(c)})"
+      val denSql = "(3 * (CAST(n AS HUGEINT) * n * n - n) - t)"
+      val wSql = "(CAST(CAST(sr22 - 9 * CAST(n AS HUGEINT) * (n + 1) " +
+        "* (n + 1) AS VARCHAR) AS DOUBLE) " +
+        s"/ CAST(CAST($denSql AS VARCHAR) AS DOUBLE))"
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS sa,
+         |         CAST(length(text) AS BIGINT) AS sb,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS sc
+         |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |), ra AS (${rankSql("sa")}
+         |), rb AS (${rankSql("sb")}
+         |), rc AS (${rankSql("sc")}
+         |), ties AS (
+         |  SELECT ${tieSql("sa")} + ${tieSql("sb")} + ${tieSql("sc")} AS t
+         |), r AS (
+         |  SELECT ra.r + rb.r + rc.r AS r2
+         |  FROM ra JOIN rb USING (doc_id) JOIN rc USING (doc_id)
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(coalesce(sum(r2), 0) AS BIGINT) AS sum_r2,
+         |         coalesce(sum(CAST(r2 AS HUGEINT) * r2),
+         |                  CAST(0 AS HUGEINT)) AS sr22
+         |  FROM r
+         |)
+         |SELECT n AS n_docs, sum_r2,
+         |       CAST(sr22 - 9 * CAST(n AS HUGEINT) * (n + 1) * (n + 1)
+         |            AS VARCHAR) AS s2_num,
+         |       CAST(t AS VARCHAR) AS tie_term,
+         |       CASE WHEN $denSql > 0 THEN $wSql END AS kendall_w,
+         |       CASE WHEN $denSql > 0 THEN
+         |         3.0 * CAST(n - 1 AS DOUBLE) * $wSql END AS chi2_friedman
+         |FROM g, ties""".stripMargin
     },
     "q221_bigram_coverage" ->
       // MATERIALIZED: dt is read by both the model and the test side —

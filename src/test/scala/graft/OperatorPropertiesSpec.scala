@@ -3338,6 +3338,41 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q430 Kendall's W: agreement pins 1, one dissenter pins 1/9, all-tied undefined") {
+    def mkDocs(texts: Seq[String]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("kw").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, t, "en", "web", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // all three proxies rank the docs identically → W = 1 exactly
+    val agree = SparkEntry.queries("q430_kendall_w_proxies")(
+      spark, mkDocs(Seq("a", "bb cc", "ddd eee fff"))).collect()(0)
+    assert(agree.getAs[Long]("sum_r2") === 36L) // 3N(N+1)
+    assert(agree.getAs[String]("s2_num") === "72")
+    assert(agree.getAs[String]("tie_term") === "0")
+    assert(agree.getAs[Double]("kendall_w") === 1.0)
+    // char count reverses the other two on a 2-doc corpus → W = 1/9
+    val dis = SparkEntry.queries("q430_kendall_w_proxies")(
+      spark, mkDocs(Seq("aaaaaaa", "a b"))).collect()(0)
+    assert(dis.getAs[String]("s2_num") === "2")
+    assert(dis.getAs[Double]("kendall_w") === 2.0 / 18.0)
+    // identical docs: every rater fully tied → denominator 0 → NULL
+    val tied = SparkEntry.queries("q430_kendall_w_proxies")(
+      spark, mkDocs(Seq("x y", "x y"))).collect()(0)
+    assert(tied.getAs[String]("s2_num") === "0")
+    assert(tied.getAs[String]("tie_term") === "18")
+    assert(tied.isNullAt(tied.fieldIndex("kendall_w")))
+    // fixture: W bounded and the rank-sum identity holds
+    val fx = SparkEntry.queries("q430_kendall_w_proxies")(spark, sfDir)
+      .collect()(0)
+    val n = fx.getAs[Long]("n_docs")
+    assert(fx.getAs[Long]("sum_r2") === 3L * n * (n + 1))
+    val w = fx.getAs[Double]("kendall_w")
+    assert(w >= 0.0 && w <= 1.0)
+  }
+
   test("q404 Mann-Kendall: monotone series pins S = C(n,2); constant series undefined") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("mk").toString
