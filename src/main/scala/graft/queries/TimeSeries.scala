@@ -1283,6 +1283,61 @@ object TimeSeries {
           .otherwise("none").as("direction"))
   }
 
+  /** Seasonal Mann–Kendall trend test (Hirsch & Slack 1984, public
+    * definition) over the q341 window — the DESEASONALIZED member
+    * beside q404: the daily series carries the day-of-week structure
+    * q354 decomposes, and q404's all-pairs S reads that cycle as
+    * spurious (anti-)trend; the seasonal form compares only SAME-SEASON
+    * pairs (season = day-of-week, the portable epoch-mod-7 — the q354
+    * Sunday=0-vs-1 pin avoided entirely) and sums the seven per-season
+    * statistics: S' = ΣS_d, 18·Var' = Σ[n_d(n_d−1)(2n_d+5) −
+    * Σt(t−1)(2t+5)] — every term exact longs off the q404 machinery
+    * applied per season, the pair join keyed by season (C(53,2)·7
+    * pairs, SF-invariant), continuity-corrected z at the
+    * [[graft.queries.LlmOps.MwCritAlpha05]] line. Output: one row per
+    * season (dow, n_days, s_d, var18_d) with the pooled panel riding.
+    * All-tied windows (Var' = 0) keep z NULL; < 2 days in every season
+    * emits zero rows. Scale: one windowed grouped sum → season-keyed
+    * bounded pair join → 7 rows. */
+  def seasonalMannKendall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = windowedDaily(s, dir)
+      .withColumn("dow",
+        pmod(datediff($"day", lit("1970-01-01")), lit(7)).cast("long"))
+      .localCheckpoint(eager = false) // pair sides + ties + counts
+    val sp = daily.select($"dow", $"day".as("da"), $"rev".as("ra"))
+      .join(broadcast(daily.select($"dow", $"day".as("db"),
+        $"rev".as("rb"))), Seq("dow"))
+      .filter($"da" < $"db")
+      .groupBy($"dow")
+      .agg(coalesce(sum(when($"rb" > $"ra", 1L).when($"rb" < $"ra", -1L)
+        .otherwise(0L)), lit(0L)).as("s_d"))
+    val tie = daily.groupBy($"dow", $"rev").agg(count(lit(1)).as("t"))
+      .groupBy($"dow")
+      .agg(coalesce(sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)),
+        lit(0L)).as("tie_d"), sum($"t").as("n_d"))
+    val per = tie.join(sp, Seq("dow"), "left")
+      .select($"dow", $"n_d", coalesce($"s_d", lit(0L)).as("s_d"),
+        ($"n_d" * ($"n_d" - 1L) * (lit(2L) * $"n_d" + 5L) - $"tie_d")
+          .as("var18_d"))
+      .localCheckpoint(eager = false) // read by the pool AND the rows
+    val pool = per.agg(sum($"n_d").as("n_days"), sum($"s_d").as("s_tot"),
+      sum($"var18_d").as("var18_tot"))
+    val sd = sqrt($"var18_tot".cast("double") / lit(18.0))
+    val z = when($"s_tot" > 0L, ($"s_tot" - 1L).cast("double") / sd)
+      .when($"s_tot" < 0L, ($"s_tot" + 1L).cast("double") / sd)
+      .otherwise(lit(0.0))
+    val g = pool.filter($"n_days" >= 2L)
+      .select($"n_days", $"s_tot", $"var18_tot",
+        when($"var18_tot" > 0L, z).as("z_smk"),
+        coalesce(when($"var18_tot" > 0L,
+          abs(z) > lit(graft.queries.LlmOps.MwCritAlpha05)), lit(false))
+          .as("trending"),
+        when($"s_tot" > 0L, "increasing").when($"s_tot" < 0L, "decreasing")
+          .otherwise("none").as("direction"))
+    per.crossJoin(broadcast(g)).orderBy($"dow")
+  }
+
   /** Wald–Wolfowitz runs test (Wald & Wolfowitz 1940, public
     * definition) on daily revenue around its median — the RANDOMNESS
     * test completing the serial family (q404 asks "monotone trend?",
@@ -2207,6 +2262,7 @@ object TimeSeries {
     "q421_wilcoxon_signed_rank" -> wilcoxonSignedRank,
     "q422_durbin_watson" -> durbinWatson,
     "q426_fpe_order_selection" -> fpeOrderSelection,
+    "q431_seasonal_mann_kendall" -> seasonalMannKendall,
     "q386_ccf_revenue_orders" -> ccfRevenueOrders,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
@@ -2588,6 +2644,59 @@ object TimeSeries {
          |                THEN $dwSql < 1.5 OR $dwSql > 2.5 END, FALSE)
          |         AS autocorrelated
          |FROM g WHERE n >= 2""".stripMargin
+    },
+    // q404's machinery per epoch-mod-7 season: season-keyed pair join,
+    // per-season tie-corrected variances, pooled continuity-corrected z
+    "q431_seasonal_mann_kendall" -> {
+      val zExpr = "CASE WHEN s_tot > 0 THEN CAST(s_tot - 1 AS DOUBLE) " +
+        "/ sqrt(CAST(var18_tot AS DOUBLE) / 18.0) " +
+        "WHEN s_tot < 0 THEN CAST(s_tot + 1 AS DOUBLE) " +
+        "/ sqrt(CAST(var18_tot AS DOUBLE) / 18.0) ELSE 0.0 END"
+      s"""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mday FROM orders),
+         |daily AS MATERIALIZED (
+         |  SELECT day, rev,
+         |         CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow
+         |  FROM (
+         |    SELECT CAST(o_orderdate AS DATE) AS day,
+         |           ${sumLongSql(centsSql("o_totalprice"))} AS rev
+         |    FROM orders, mx
+         |    WHERE CAST(o_orderdate AS DATE) >= mday - ${TheilSenWindowDays - 1}
+         |    GROUP BY 1)
+         |), sp AS (
+         |  SELECT a.dow,
+         |         CAST(coalesce(${sumLongSql(
+               "CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1 ELSE 0 END")}, 0)
+         |           AS BIGINT) AS s_d
+         |  FROM daily a JOIN daily b ON a.dow = b.dow AND a.day < b.day
+         |  GROUP BY 1
+         |), tie AS (
+         |  SELECT dow,
+         |         CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+         |           AS tie_d,
+         |         ${sumLongSql("t")} AS n_d
+         |  FROM (SELECT dow, rev, CAST(count(*) AS BIGINT) AS t
+         |        FROM daily GROUP BY 1, 2)
+         |  GROUP BY 1
+         |), per AS MATERIALIZED (
+         |  SELECT t.dow, t.n_d, CAST(coalesce(s.s_d, 0) AS BIGINT) AS s_d,
+         |         t.n_d * (t.n_d - 1) * (2 * t.n_d + 5) - t.tie_d AS var18_d
+         |  FROM tie t LEFT JOIN sp s USING (dow)
+         |), pool AS (
+         |  SELECT ${sumLongSql("n_d")} AS n_days, ${sumLongSql("s_d")} AS s_tot,
+         |         ${sumLongSql("var18_d")} AS var18_tot
+         |  FROM per
+         |)
+         |SELECT per.dow, per.n_d, per.s_d, per.var18_d,
+         |       n_days, s_tot, var18_tot,
+         |       CASE WHEN var18_tot > 0 THEN $zExpr END AS z_smk,
+         |       coalesce(CASE WHEN var18_tot > 0
+         |                THEN abs($zExpr) > ${graft.queries.LlmOps.MwCritAlpha05} END,
+         |                FALSE) AS trending,
+         |       CASE WHEN s_tot > 0 THEN 'increasing'
+         |            WHEN s_tot < 0 THEN 'decreasing'
+         |            ELSE 'none' END AS direction
+         |FROM per, pool WHERE n_days >= 2
+         |ORDER BY per.dow""".stripMargin
     },
     // the q341 window, the same bounded pair join with a sign fold,
     // the exact tie-corrected variance, one continuity-corrected z

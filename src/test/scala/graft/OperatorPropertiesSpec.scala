@@ -3373,6 +3373,53 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(w >= 0.0 && w <= 1.0)
   }
 
+  test("q431 seasonal MK: monotone pins per-season S = 1; an exactly-periodic week is NO trend") {
+    def mkOrders(cents: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("smk").toString
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1, f"2000-01-${i + 1}%02d", c / 100.0)
+      }.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"),
+          $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // strictly increasing 14 days: every season has 2 days, S_d = 1 →
+    // S' = 7, Var'·18 = 7·18 = 126, z = 6/sqrt(7)
+    val up = SparkEntry.queries("q431_seasonal_mann_kendall")(
+      spark, mkOrders((1 to 14).map(_ * 100))).collect()
+    assert(up.length === 7)
+    up.foreach { r =>
+      assert(r.getAs[Long]("n_d") === 2L)
+      assert(r.getAs[Long]("s_d") === 1L)
+      assert(r.getAs[Long]("var18_d") === 18L)
+      assert(r.getAs[Long]("s_tot") === 7L)
+      assert(r.getAs[Double]("z_smk") === 6.0 / math.sqrt(126.0 / 18.0))
+      assert(r.getAs[Boolean]("trending"))
+      assert(r.getAs[String]("direction") === "increasing")
+    }
+    // an exactly weekly-periodic series: every same-season pair is TIED
+    // → S' = 0 AND Var' = 0 → the seasonal test reports nothing (where
+    // the plain q404 would read the cycle as pair noise)
+    val week = Seq(100, 900, 200, 800, 300, 700, 400)
+    val per = SparkEntry.queries("q431_seasonal_mann_kendall")(
+      spark, mkOrders(week ++ week)).collect()
+    assert(per.length === 7)
+    per.foreach { r =>
+      assert(r.getAs[Long]("s_d") === 0L)
+      assert(r.getAs[Long]("var18_d") === 0L)
+      assert(r.isNullAt(r.fieldIndex("z_smk")))
+      assert(!r.getAs[Boolean]("trending"))
+      assert(r.getAs[String]("direction") === "none")
+    }
+    // fixture: 7 season rows; the pooled S is the per-season sum
+    val fx = SparkEntry.queries("q431_seasonal_mann_kendall")(spark, sfDir)
+      .collect()
+    assert(fx.length === 7)
+    assert(fx.map(_.getAs[Long]("s_d")).sum === fx(0).getAs[Long]("s_tot"))
+    assert(fx.map(_.getAs[Long]("n_d")).sum === fx(0).getAs[Long]("n_days"))
+  }
+
   test("q404 Mann-Kendall: monotone series pins S = C(n,2); constant series undefined") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("mk").toString
