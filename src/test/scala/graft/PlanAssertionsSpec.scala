@@ -802,6 +802,19 @@ class PlanAssertionsSpec extends SparkSpec {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q429 Katz walk sums are keyed |E| joins ending in a rank-pruned top-10") {
+    val p = planOf("q429_katz_centrality")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-10 must be rank-pruned, never a full sort")
+  }
+
+  test("q430/q431 rank machinery stays census-keyed (no cartesian)") {
+    Seq("q430_kendall_w_proxies", "q431_seasonal_mann_kendall").foreach { q =>
+      assert(!planOf(q).contains("CartesianProduct"), q)
+    }
+  }
+
   test("q424/q425 vote and tf chains are keyed joins with bounded outputs") {
     val p424 = planOf("q424_krippendorff_alpha")
     assert(!p424.contains("CartesianProduct"))
