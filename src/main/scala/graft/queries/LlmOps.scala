@@ -4709,6 +4709,174 @@ object LlmOps {
         .as("chi2_friedman"))
   }
 
+  /** Cronbach's alpha (Cronbach 1951, public definition) over the three
+    * integer length proxies q430 ranks — the internal-consistency
+    * coefficient that answers the question BEFORE the "which proxy?"
+    * decision: do the proxies even measure one underlying "document
+    * size" construct (α → 1), or is a composite score averaging them
+    * incoherent? Raw-score α is an EXACT RATIONAL here: every item
+    * variance and covariance numerator (n·Σx² − (Σx)², n·Σxy − Σx·Σy)
+    * shares the same n(n−1) denominator, so α = (k/(k−1))·(V_T −
+    * ΣVᵢ)/V_T collapses to 3·(c_ab + c_ac + c_bc)/V_T — exact
+    * decimal(38,0) integers, ONE divide (VARCHAR-routed in the
+    * oracle per the 2⁵³ cast rule). The three pairwise Pearson r and
+    * standardized α = k·r̄/(1 + (k−1)·r̄) ride (q414's two-sqrt tree,
+    * NULL-guarded on zero variance; r̄ is a FIXED-ORDER three-term
+    * sum — no data-dependent float ordering anywhere). Laws (spec):
+    * single-char-distinct-word docs make the items perfect linear
+    * functions with sd ratio 1:2:1 ⇒ raw α = 15/16 exactly (the
+    * tau-equivalence violation made visible) while standardized α = 1
+    * exactly; a constant corpus ⇒ every statistic NULL. Envelope:
+    * n·Σ(sa·sb) ≤ n²·10⁶ — exact past 10¹⁵ docs. Scale: one corpus
+    * pass → ONE 10-moment agg → one row. */
+  def cronbachAlphaProxies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val g = Tables.documents(s, dir)
+      .select(
+        size(TextOps.tokens($"text")).cast("long").as("sa"),
+        length($"text").cast("long").as("sb"),
+        size(array_distinct(TextOps.tokens($"text"))).cast("long").as("sc"))
+      .agg(count(lit(1)).as("n"),
+        sum($"sa").as("xa"), sum($"sb").as("xb"), sum($"sc").as("xc"),
+        sum($"sa".cast(d38) * $"sa").as("aa"),
+        sum($"sb".cast(d38) * $"sb").as("bb"),
+        sum($"sc".cast(d38) * $"sc").as("cc"),
+        sum($"sa".cast(d38) * $"sb").as("ab"),
+        sum($"sa".cast(d38) * $"sc").as("ac"),
+        sum($"sb".cast(d38) * $"sc").as("bc"))
+    val n38 = $"n".cast(d38)
+    def vnum(sq: Column, sm: Column): Column =
+      n38 * sq - sm.cast(d38) * sm.cast(d38)
+    def cnum(sxy: Column, sx: Column, sy: Column): Column =
+      n38 * sxy - sx.cast(d38) * sy.cast(d38)
+    val va = vnum($"aa", $"xa"); val vb = vnum($"bb", $"xb")
+    val vc = vnum($"cc", $"xc")
+    val cab = cnum($"ab", $"xa", $"xb"); val cac = cnum($"ac", $"xa", $"xc")
+    val cbc = cnum($"bc", $"xb", $"xc")
+    val vt = va + vb + vc + lit(2L).cast(d38) * (cab + cac + cbc)
+    def r(c: Column, v1: Column, v2: Column): Column =
+      when(v1 > 0 && v2 > 0,
+        c.cast("double") / (sqrt(v1.cast("double")) * sqrt(v2.cast("double"))))
+    val derived = g.select($"n",
+      vt.as("vtn"), (va + vb + vc).as("vin"),
+      (lit(3L).cast(d38) * (cab + cac + cbc)).as("crn"),
+      r(cab, va, vb).as("r_ab"), r(cac, va, vc).as("r_ac"),
+      r(cbc, vb, vc).as("r_bc"))
+    val rbar = ($"r_ab" + $"r_ac" + $"r_bc") / lit(3.0)
+    derived.select($"n".as("n_docs"),
+      $"vtn".cast("string").as("vt_num"),
+      $"vin".cast("string").as("items_var_num"),
+      when($"vtn" > 0, $"crn".cast("double") / $"vtn".cast("double"))
+        .as("cronbach_alpha"),
+      $"r_ab", $"r_ac", $"r_bc",
+      when($"r_ab".isNotNull && $"r_ac".isNotNull && $"r_bc".isNotNull &&
+        lit(1.0) + lit(2.0) * rbar =!= 0.0,
+        lit(3.0) * rbar / (lit(1.0) + lit(2.0) * rbar)).as("alpha_std"))
+  }
+
+  /** Chars-per-token rule-of-thumb factor shared by q433/q434 — the
+    * public "≈4 characters per English token" estimation rule every
+    * token-budget planner uses when only byte/char counts are cheap.
+    * The agreement pair is (n_chars, [[CharsPerTok]]·ntok): the stored
+    * truth vs the estimator, both in character units. */
+  val CharsPerTok = 4
+
+  /** Lin's concordance correlation coefficient (Lin 1989, public
+    * definition) between the stored character count and the
+    * [[CharsPerTok]]·token-count estimate — the AGREEMENT statistic
+    * for "can I budget tokens from char counts alone?": Pearson r only
+    * measures linear association (a 2× systematic bias still scores
+    * r = 1); CCC penalizes scale and location shifts, CCC = r·C_b with
+    * C_b ∈ (0,1] the bias-correction factor. Population-moment form
+    * over common denominator n²: CCC = 2(nΣxy − ΣxΣy) / (nΣx² − (Σx)²
+    * + nΣy² − (Σy)² + (Σx − Σy)²) — exact decimal(38,0) integers, ONE
+    * divide (VARCHAR-routed); r is q414's two-sqrt tree and C_b one
+    * further divide of the two already-rounded doubles (fixed IEEE
+    * shape both engines). Laws (spec): y = x exactly ⇒ CCC = 1 bitwise;
+    * a constant additive bias c pins CCC = 2v/(2v + nc²·n) < 1 via the
+    * exact integer tree while r stays 1; zero variance on either side
+    * leaves r and C_b NULL (CCC survives on location difference alone).
+    * Envelope: nΣxy ≤ n²·(4·10³)² — exact past 10¹⁵ docs. Scale: one
+    * corpus pass → ONE 5-moment agg → one row. */
+  def linCccCharsBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val g = Tables.documents(s, dir)
+      .select($"n_chars".cast("long").as("x"),
+        (size(TextOps.tokens($"text")).cast("long") * CharsPerTok).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x".cast(d38) * $"x").as("sxx"),
+        sum($"y".cast(d38) * $"y").as("syy"),
+        sum($"x".cast(d38) * $"y").as("sxy"))
+    val n38 = $"n".cast(d38)
+    val vx = n38 * $"sxx" - $"sx".cast(d38) * $"sx".cast(d38)
+    val vy = n38 * $"syy" - $"sy".cast(d38) * $"sy".cast(d38)
+    val cxy = n38 * $"sxy" - $"sx".cast(d38) * $"sy".cast(d38)
+    val shift = ($"sx".cast(d38) - $"sy".cast(d38)) *
+      ($"sx".cast(d38) - $"sy".cast(d38))
+    val den = vx + vy + shift
+    val rCol = when(vx > 0 && vy > 0,
+      cxy.cast("double") / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+    g.select($"n".as("n_docs"),
+        $"sx".as("sum_chars"), $"sy".as("sum_est"),
+        vx.cast("string").as("vx_num"), vy.cast("string").as("vy_num"),
+        cxy.cast("string").as("cxy_num"),
+        when(den > 0, (lit(2L).cast(d38) * cxy).cast("double") /
+          den.cast("double")).as("lin_ccc"),
+        rCol.as("pearson_r"))
+      .withColumn("c_b",
+        when($"pearson_r".isNotNull && $"pearson_r" =!= 0.0,
+          $"lin_ccc" / $"pearson_r"))
+  }
+
+  /** Bland–Altman limits of agreement (Bland & Altman 1986, public
+    * method) for the q433 pair — the companion plot statistics: mean
+    * difference (the systematic bias of the 4-chars/token rule, ONE
+    * exact divide), the 1.96·sd limits, and the count of documents
+    * OUTSIDE the limits (the docs where the estimator is not just
+    * biased but unpredictably wrong — the actionable list). The
+    * outside test is |n·dᵢ − Σd| > 1.96·√(n·(nΣd² − (Σd)²)/(n−1)) —
+    * LHS an exact long cast once to double, RHS one fixed IEEE tree
+    * broadcast to every row, so the flag is bit-deterministic at any
+    * parallelism; 1.96 is the public normal-quantile literal (the
+    * q348 stance). Laws (spec): y = x + c exactly ⇒ bias = c, sd = 0,
+    * zero outside; one planted blowup doc against a constant-diff
+    * background is the ONLY doc outside. Scale: one corpus pass →
+    * one 3-moment agg + one broadcast re-scan for the outside count →
+    * one row. */
+  def blandAltmanCharsBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val diffs = Tables.documents(s, dir)
+      .select(($"n_chars".cast("long") -
+        size(TextOps.tokens($"text")).cast("long") * CharsPerTok).as("d"))
+      .localCheckpoint(eager = false) // read by the moment agg + the scan
+    val g = diffs.agg(count(lit(1)).as("n"),
+      sum($"d").as("sd1"), sum($"d".cast(d38) * $"d").as("sd2"))
+    val varNum = $"n".cast(d38) * $"sd2" -
+      $"sd1".cast(d38) * $"sd1".cast(d38)
+    val stats = g.select($"n", $"sd1", varNum.as("vnum"),
+      when($"n" > 0, ratio($"sd1", $"n")).as("mean_diff"),
+      when($"n" > 1, sqrt(varNum.cast("double") /
+        ($"n".cast(d38) * ($"n" - 1L)).cast("double"))).as("sd_diff"))
+    val halfWidth = lit(1.96) * $"sd_diff" * $"n".cast("double")
+    val outside = diffs.crossJoin(broadcast(stats))
+      .agg(sum(when($"sd_diff".isNotNull &&
+        abs(($"n" * $"d" - $"sd1").cast("double")) > halfWidth, 1L)
+        .otherwise(0L)).as("n_outside"))
+    stats.crossJoin(broadcast(outside))
+      .select($"n".as("n_docs"), $"sd1".as("sum_diff"),
+        $"vnum".cast("string").as("var_num"), $"mean_diff", $"sd_diff",
+        when($"sd_diff".isNotNull, $"mean_diff" - lit(1.96) * $"sd_diff")
+          .as("lo_limit"),
+        when($"sd_diff".isNotNull, $"mean_diff" + lit(1.96) * $"sd_diff")
+          .as("hi_limit"),
+        $"n_outside",
+        when($"n" > 0, ratio($"n_outside", $"n")).as("frac_outside"))
+  }
+
   /** Good–Turing unseen-mass census (Good 1953, public definition) per
     * language — the probability a FRESH token is a type never seen in
     * the corpus, P₀ = f₁/N (the quantity q399's Kneser–Ney reserves
@@ -7880,6 +8048,9 @@ object LlmOps {
     "q425_term_burstiness" -> termBurstiness,
     "q428_hodges_lehmann_shift" -> hodgesLehmannShift,
     "q430_kendall_w_proxies" -> kendallWProxies,
+    "q432_cronbach_alpha" -> cronbachAlphaProxies,
+    "q433_lin_ccc" -> linCccCharsBudget,
+    "q434_bland_altman" -> blandAltmanCharsBudget,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -9809,6 +9980,135 @@ object LlmOps {
          |       CASE WHEN $denSql > 0 THEN
          |         3.0 * CAST(n - 1 AS DOUBLE) * $wSql END AS chi2_friedman
          |FROM g, ties""".stripMargin
+    },
+    // one 10-moment agg → exact variance/covariance numerators →
+    // the single-divide raw alpha + the q414 two-sqrt r trees
+    "q432_cronbach_alpha" -> {
+      def vn(sq: String, sm: String) =
+        s"(CAST(n AS HUGEINT) * $sq - CAST($sm AS HUGEINT) * $sm)"
+      def cn(sxy: String, sx: String, sy: String) =
+        s"(CAST(n AS HUGEINT) * $sxy - CAST($sx AS HUGEINT) * $sy)"
+      val (va, vb, vc) = (vn("aa", "xa"), vn("bb", "xb"), vn("cc", "xc"))
+      val (cab, cac, cbc) =
+        (cn("ab", "xa", "xb"), cn("ac", "xa", "xc"), cn("bc", "xb", "xc"))
+      val vt = s"($va + $vb + $vc + 2 * ($cab + $cac + $cbc))"
+      def r(c: String, v1: String, v2: String) =
+        s"""CASE WHEN $v1 > 0 AND $v2 > 0 THEN
+           |  CAST(CAST($c AS VARCHAR) AS DOUBLE) /
+           |    (sqrt(CAST(CAST($v1 AS VARCHAR) AS DOUBLE)) *
+           |     sqrt(CAST(CAST($v2 AS VARCHAR) AS DOUBLE))) END""".stripMargin
+      val rbar = "((r_ab + r_ac + r_bc) / 3.0)"
+      s"""WITH base AS (
+         |  SELECT CAST(len(toks) AS BIGINT) AS sa,
+         |         CAST(length(text) AS BIGINT) AS sb,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS sc
+         |  FROM (SELECT text, $toksSql AS toks FROM documents)
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         ${sumLongSql("sa")} AS xa, ${sumLongSql("sb")} AS xb,
+         |         ${sumLongSql("sc")} AS xc,
+         |         sum(CAST(sa AS HUGEINT) * sa) AS aa,
+         |         sum(CAST(sb AS HUGEINT) * sb) AS bb,
+         |         sum(CAST(sc AS HUGEINT) * sc) AS cc,
+         |         sum(CAST(sa AS HUGEINT) * sb) AS ab,
+         |         sum(CAST(sa AS HUGEINT) * sc) AS ac,
+         |         sum(CAST(sb AS HUGEINT) * sc) AS bc
+         |  FROM base
+         |), derived AS (
+         |  SELECT n, CAST($vt AS VARCHAR) AS vt_num,
+         |         CAST($va + $vb + $vc AS VARCHAR) AS items_var_num,
+         |         CASE WHEN $vt > 0 THEN
+         |           CAST(CAST(3 * ($cab + $cac + $cbc) AS VARCHAR) AS DOUBLE)
+         |             / CAST(CAST($vt AS VARCHAR) AS DOUBLE) END
+         |           AS cronbach_alpha,
+         |         ${r(cab, va, vb)} AS r_ab,
+         |         ${r(cac, va, vc)} AS r_ac,
+         |         ${r(cbc, vb, vc)} AS r_bc
+         |  FROM g
+         |)
+         |SELECT n AS n_docs, vt_num, items_var_num, cronbach_alpha,
+         |       r_ab, r_ac, r_bc,
+         |       CASE WHEN r_ab IS NOT NULL AND r_ac IS NOT NULL
+         |                 AND r_bc IS NOT NULL
+         |                 AND 1.0 + 2.0 * $rbar <> 0.0 THEN
+         |         3.0 * $rbar / (1.0 + 2.0 * $rbar) END AS alpha_std
+         |FROM derived""".stripMargin
+    },
+    // one 5-moment agg → the single-divide population-form CCC +
+    // the q414 two-sqrt Pearson tree and one C_b divide
+    "q433_lin_ccc" -> {
+      val vx = "(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)"
+      val vy = "(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)"
+      val cxy = "(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)"
+      val den = s"($vx + $vy + (CAST(sx AS HUGEINT) - sy) * " +
+        "(CAST(sx AS HUGEINT) - sy))"
+      s"""WITH g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         ${sumLongSql("x")} AS sx, ${sumLongSql("y")} AS sy,
+         |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |         sum(CAST(y AS HUGEINT) * y) AS syy,
+         |         sum(CAST(x AS HUGEINT) * y) AS sxy
+         |  FROM (SELECT CAST(n_chars AS BIGINT) AS x,
+         |               CAST(len($toksSql) AS BIGINT) * $CharsPerTok AS y
+         |        FROM documents)
+         |), derived AS (
+         |  SELECT n AS n_docs, sx AS sum_chars, sy AS sum_est,
+         |         CAST($vx AS VARCHAR) AS vx_num,
+         |         CAST($vy AS VARCHAR) AS vy_num,
+         |         CAST($cxy AS VARCHAR) AS cxy_num,
+         |         CASE WHEN $den > 0 THEN
+         |           CAST(CAST(2 * $cxy AS VARCHAR) AS DOUBLE)
+         |             / CAST(CAST($den AS VARCHAR) AS DOUBLE) END AS lin_ccc,
+         |         CASE WHEN $vx > 0 AND $vy > 0 THEN
+         |           CAST(CAST($cxy AS VARCHAR) AS DOUBLE) /
+         |             (sqrt(CAST(CAST($vx AS VARCHAR) AS DOUBLE)) *
+         |              sqrt(CAST(CAST($vy AS VARCHAR) AS DOUBLE))) END
+         |           AS pearson_r
+         |  FROM g
+         |)
+         |SELECT *, CASE WHEN pearson_r IS NOT NULL AND pearson_r <> 0.0
+         |               THEN lin_ccc / pearson_r END AS c_b
+         |FROM derived""".stripMargin
+    },
+    // one 3-moment agg over the diff column → the fixed-IEEE limit
+    // tree broadcast to the outside-count re-scan
+    "q434_bland_altman" -> {
+      val vnum = "(CAST(n AS HUGEINT) * sd2 - CAST(sd1 AS HUGEINT) * sd1)"
+      s"""WITH diffs AS MATERIALIZED (
+         |  SELECT CAST(n_chars AS BIGINT)
+         |           - CAST(len($toksSql) AS BIGINT) * $CharsPerTok AS d
+         |  FROM documents
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         ${sumLongSql("d")} AS sd1,
+         |         sum(CAST(d AS HUGEINT) * d) AS sd2
+         |  FROM diffs
+         |), stats AS (
+         |  SELECT n, sd1, CAST($vnum AS VARCHAR) AS vnum,
+         |         CASE WHEN n > 0 THEN ${ratioSql("sd1", "n")} END
+         |           AS mean_diff,
+         |         CASE WHEN n > 1 THEN
+         |           sqrt(CAST(CAST($vnum AS VARCHAR) AS DOUBLE) /
+         |             CAST(CAST(CAST(n AS HUGEINT) * (n - 1) AS VARCHAR)
+         |                  AS DOUBLE)) END AS sd_diff
+         |  FROM g
+         |), outside AS (
+         |  SELECT ${sumLongSql(
+        "CASE WHEN sd_diff IS NOT NULL AND " +
+          "abs(CAST(n * d - sd1 AS DOUBLE)) > 1.96 * sd_diff * " +
+          "CAST(n AS DOUBLE) THEN 1 ELSE 0 END")} AS n_outside
+         |  FROM diffs, stats
+         |)
+         |SELECT n AS n_docs, sd1 AS sum_diff, vnum AS var_num,
+         |       mean_diff, sd_diff,
+         |       CASE WHEN sd_diff IS NOT NULL THEN
+         |         mean_diff - 1.96 * sd_diff END AS lo_limit,
+         |       CASE WHEN sd_diff IS NOT NULL THEN
+         |         mean_diff + 1.96 * sd_diff END AS hi_limit,
+         |       n_outside,
+         |       CASE WHEN n > 0 THEN ${ratioSql("n_outside", "n")} END
+         |         AS frac_outside
+         |FROM stats, outside""".stripMargin
     },
     "q221_bigram_coverage" ->
       // MATERIALIZED: dt is read by both the model and the test side —

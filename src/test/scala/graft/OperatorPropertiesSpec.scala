@@ -3373,6 +3373,108 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(w >= 0.0 && w <= 1.0)
   }
 
+  test("q432 Cronbach alpha: perfect 1:2:1-sd items pin raw 15/16 and std 1; constant corpus NULL") {
+    def mkDocs(texts: Seq[String]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ca").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, t, "en", "web", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // single-char distinct words: sa = w, sb = 2w-1, sc = w — perfect
+    // linear items with sd ratio 1:2:1, so raw alpha = 15/16 EXACTLY
+    // (the tau-equivalence violation) while standardized alpha = 1; the
+    // 2-doc corpus makes every variance a perfect square (1, 4, 1) so
+    // the two-sqrt r trees are bit-exact 1.0, not 1-ulp neighbors
+    val perf = SparkEntry.queries("q432_cronbach_alpha")(
+      spark, mkDocs(Seq("a", "a b"))).collect()(0)
+    assert(perf.getAs[String]("vt_num") === "16")
+    assert(perf.getAs[String]("items_var_num") === "6")
+    assert(perf.getAs[Double]("cronbach_alpha") === 15.0 / 16.0)
+    assert(perf.getAs[Double]("r_ab") === 1.0)
+    assert(perf.getAs[Double]("r_ac") === 1.0)
+    assert(perf.getAs[Double]("r_bc") === 1.0)
+    assert(perf.getAs[Double]("alpha_std") === 1.0)
+    // constant corpus: zero total variance -> every statistic NULL
+    val const = SparkEntry.queries("q432_cronbach_alpha")(
+      spark, mkDocs(Seq("x y", "x y"))).collect()(0)
+    assert(const.getAs[String]("vt_num") === "0")
+    assert(const.isNullAt(const.fieldIndex("cronbach_alpha")))
+    assert(const.isNullAt(const.fieldIndex("alpha_std")))
+    // fixture: alpha bounded above by 1 and the variance identity holds
+    val fx = SparkEntry.queries("q432_cronbach_alpha")(spark, sfDir)
+      .collect()(0)
+    val a = fx.getAs[Double]("cronbach_alpha")
+    assert(a <= 1.0)
+    assert(BigInt(fx.getAs[String]("vt_num")) >=
+      BigInt(fx.getAs[String]("items_var_num"))) // positively covarying items
+  }
+
+  test("q433 Lin CCC: exact agreement pins 1; a pure additive bias pins 8/17 while r stays 1") {
+    def mk(rows: Seq[(String, Long)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ccc").toString
+      rows.zipWithIndex.map { case ((t, nc), i) => (i.toLong + 1, t, "en", "web", nc) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // n_chars = 4*ntok exactly: x = y, CCC = 1 bitwise (vx = 16, a
+    // perfect square, so the r tree is exact too)
+    val eq = SparkEntry.queries("q433_lin_ccc")(
+      spark, mk(Seq(("a b", 8L), ("a b c", 12L)))).collect()(0)
+    assert(eq.getAs[Double]("lin_ccc") === 1.0)
+    assert(eq.getAs[Double]("pearson_r") === 1.0)
+    assert(eq.getAs[Double]("c_b") === 1.0)
+    // additive bias x = y + 3: r = 1 (perfect line) but CCC = 2*16 /
+    // (16 + 16 + 36) = 8/17 — the penalty Pearson cannot see
+    val bias = SparkEntry.queries("q433_lin_ccc")(
+      spark, mk(Seq(("a", 7L), ("a b", 11L)))).collect()(0)
+    assert(bias.getAs[Double]("pearson_r") === 1.0)
+    assert(bias.getAs[Double]("lin_ccc") === 8.0 / 17.0)
+    // constant disagreement: zero variance both sides, nonzero shift
+    // -> CCC = 0 exactly, r undefined
+    val const = SparkEntry.queries("q433_lin_ccc")(
+      spark, mk(Seq(("a", 9L), ("b", 9L)))).collect()(0)
+    assert(const.getAs[Double]("lin_ccc") === 0.0)
+    assert(const.isNullAt(const.fieldIndex("pearson_r")))
+    // fixture: CCC <= |r| (the bias factor only shrinks) and both bounded
+    val fx = SparkEntry.queries("q433_lin_ccc")(spark, sfDir).collect()(0)
+    val (ccc, r) = (fx.getAs[Double]("lin_ccc"), fx.getAs[Double]("pearson_r"))
+    assert(math.abs(ccc) <= math.abs(r) + 1e-15)
+    assert(math.abs(ccc) <= 1.0 && math.abs(r) <= 1.0)
+  }
+
+  test("q434 Bland-Altman: constant bias pins sd 0 and none outside; one blowup doc is flagged") {
+    def mk(rows: Seq[(String, Long)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ba").toString
+      rows.zipWithIndex.map { case ((t, nc), i) => (i.toLong + 1, t, "en", "web", nc) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // d = 3 for every doc: bias 3, sd 0, limits collapse, zero outside
+    val const = SparkEntry.queries("q434_bland_altman")(
+      spark, mk(Seq(("a", 7L), ("a b", 11L), ("a b c", 15L)))).collect()(0)
+    assert(const.getAs[Double]("mean_diff") === 3.0)
+    assert(const.getAs[Double]("sd_diff") === 0.0)
+    assert(const.getAs[Double]("lo_limit") === 3.0)
+    assert(const.getAs[Double]("hi_limit") === 3.0)
+    assert(const.getAs[Long]("n_outside") === 0L)
+    // five d = 3 docs + one d = 300: only the blowup exceeds the limits
+    val blow = SparkEntry.queries("q434_bland_altman")(
+      spark, mk(Seq(("a", 7L), ("a", 7L), ("a", 7L), ("a", 7L), ("a", 7L),
+        ("a", 304L)))).collect()(0)
+    assert(blow.getAs[Long]("n_docs") === 6L)
+    assert(blow.getAs[Long]("sum_diff") === 315L)
+    assert(blow.getAs[String]("var_num") === "441045")
+    assert(blow.getAs[Long]("n_outside") === 1L)
+    // fixture: limits bracket the mean and the outside fraction is small
+    val fx = SparkEntry.queries("q434_bland_altman")(spark, sfDir).collect()(0)
+    assert(fx.getAs[Double]("lo_limit") <= fx.getAs[Double]("mean_diff"))
+    assert(fx.getAs[Double]("hi_limit") >= fx.getAs[Double]("mean_diff"))
+    assert(fx.getAs[Double]("frac_outside") <= 0.5)
+  }
+
   test("q431 seasonal MK: monotone pins per-season S = 1; an exactly-periodic week is NO trend") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("smk").toString
