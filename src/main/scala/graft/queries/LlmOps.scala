@@ -127,13 +127,14 @@ object LlmOps {
 
   /** DuckDB twin of [[lmKeepVotes]]: the q131 chain reduced to the
     * per-doc keep vote, as a fragment ending in `lmvotes(doc_id,
-    * keep)`. */
+    * n_toks, keep)` (n_toks rides for the q436 dose bands; vote
+    * consumers select only (doc_id, keep)). */
   private def lmKeepVoteSql: String =
     s"""lmtoks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
        |lmv AS (SELECT tok, count(*) AS cnt FROM lmtoks GROUP BY 1),
        |lmn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus FROM lmv),
        |lmvotes AS MATERIALIZED (
-       |  SELECT doc_id,
+       |  SELECT doc_id, n_toks,
        |         (CAST(sb AS DOUBLE) / CAST(n_toks AS DOUBLE)) <= 6.0 AS keep
        |  FROM (
        |    SELECT t.doc_id, count(*) AS n_toks,
@@ -4775,6 +4776,87 @@ object LlmOps {
         lit(3.0) * rbar / (lit(1.0) + lit(2.0) * rbar)).as("alpha_std"))
   }
 
+  /** Yule's characteristic K (Yule 1944, public definition) per
+    * language — the classic lexical-diversity constant the richness
+    * pair (q405 Chao1, q406 Good–Turing) lacks: K = 10⁴·(M₂ − M₁)/M₁²
+    * with M₁ = Σr·f_r tokens and M₂ = Σr²·f_r off the shared
+    * frequency-of-frequencies census, is (up to the 10⁴ convention)
+    * the repeat rate of two tokens drawn WITH replacement — unlike
+    * type counts or TTR it is corpus-SIZE-INVARIANT in expectation,
+    * which is what makes it a fingerprint (template spam inflates it
+    * ~10×; diverse prose sits ≈ 100–200). The unbiased Simpson repeat
+    * rate D = (M₂ − M₁)/(M₁² − M₁) (draws WITHOUT replacement — the
+    * q388 form pointed at the vocabulary) rides. Both are exact
+    * decimal(38,0) integer trees with ONE divide each
+    * (VARCHAR-routed). Laws (spec): an all-distinct corpus pins
+    * K = 0 = D exactly; a one-type corpus pins D = 1 exactly and
+    * K = 10⁴·(n−1)/n; a single-token slice leaves D NULL. Envelope:
+    * M₂ ≤ M₁² ≤ 10²⁸ at 10¹⁴ tokens/lang. Scale: the shared fof
+    * census → one 3-moment agg per lang. */
+  def yuleKCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val g = langFreqOfFreq(s, dir).groupBy($"lang")
+      .agg(sum($"r" * $"fr").as("m1"), sum($"fr").as("n_types"),
+        sum($"r".cast(d38) * $"r" * $"fr").as("m2"))
+    val m1 = $"m1".cast(d38)
+    g.select($"lang", $"m1".as("n_tokens"), $"n_types",
+        $"m2".cast("string").as("m2"),
+        when($"m1" > 0L, (lit(10000L).cast(d38) * ($"m2" - m1))
+          .cast("double") / (m1 * m1).cast("double")).as("yule_k"),
+        when($"m1" > 1L, ($"m2" - m1).cast("double") /
+          (m1 * m1 - m1).cast("double")).as("simpson_repeat"))
+      .orderBy($"lang")
+  }
+
+  /** Cochran–Armitage trend test (Cochran 1954 / Armitage 1955, public
+    * definition) of the q131 unigram gate's keep rate across dyadic
+    * document-length bands — the ORDERED-dose companion to q417's
+    * per-filter intervals and q402's any-difference test: "does the
+    * gate systematically prefer longer documents?" is a TREND
+    * question, and treating the bands as unordered (χ² on the k×2
+    * table) throws the ordering away. Scores are the band indices
+    * s = bits(n_toks) (the log-free dyadic dose; consecutive integers,
+    * the standard equally-spaced choice). With per-band (nᵢ, kᵢ) and
+    * N, A, T = Σsᵢkᵢ, S₁ = Σsᵢnᵢ, S₂ = Σsᵢ²nᵢ: Z = (N·T − A·S₁) /
+    * √(A·(N−A)·((N·S₂ − S₁²)/N)) — every moment an exact integer
+    * (band census is ≤40 rows), the numerator one exact decimal(38,0)
+    * value cast once, the denominator three exact factors in a FIXED
+    * IEEE tree (the inner divide keeps each factor ≤ 1600·N² — exact
+    * past 10¹⁷ docs where squaring the whole variance would overflow
+    * at 10⁸), flagged two-sided at the [[MwCritAlpha05]] literal.
+    * Laws (spec): a perfectly monotone 2-band plant pins Z = 2
+    * exactly; a band-constant keep rate pins Z = 0; a single band
+    * leaves Z NULL. Scale: the q131 chain → a ≤40-row band census →
+    * one 5-moment fold → one row. */
+  def cochranArmitageTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val bands = lmScoredDocs(s, dir)
+      .select(length(bin($"n_toks")).cast("long").as("s1"),
+        when($"keep", 1L).otherwise(0L).as("k"))
+      .groupBy($"s1").agg(count(lit(1)).as("n"), sum($"k").as("kk"))
+    val g = bands.agg(count(lit(1)).as("n_bands"),
+      sum($"n").as("nn"), sum($"kk").as("a"),
+      sum($"s1" * $"kk").as("t"), sum($"s1" * $"n").as("sc1"),
+      sum($"s1" * $"s1" * $"n").as("sc2"))
+    val num = $"nn".cast(d38) * $"t" - $"a".cast(d38) * $"sc1"
+    val cvar = $"nn".cast(d38) * $"sc2" - $"sc1".cast(d38) * $"sc1"
+    val zCol = num.cast("double") /
+      sqrt(($"a".cast(d38) * ($"nn" - $"a")).cast("double") *
+        (cvar.cast("double") / $"nn".cast("double")))
+    g.select($"n_bands", $"nn".as("n_docs"), $"a".as("n_keep"),
+      $"t".as("t_stat"), num.cast("string").as("trend_num"),
+      cvar.cast("string").as("cvar_num"),
+      when($"a" > 0L && $"a" < $"nn" && cvar > 0, zCol).as("z_trend"),
+      coalesce(when($"a" > 0L && $"a" < $"nn" && cvar > 0,
+        abs(zCol) > lit(MwCritAlpha05)), lit(false)).as("trending"),
+      when($"a" > 0L && $"a" < $"nn" && cvar > 0,
+        when(num > 0, lit("longer_kept_more"))
+          .when(num < 0, lit("shorter_kept_more"))
+          .otherwise(lit("none"))).otherwise(lit("none")).as("direction"))
+  }
+
   /** Chars-per-token rule-of-thumb factor shared by q433/q434 — the
     * public "≈4 characters per English token" estimation rule every
     * token-budget planner uses when only byte/char counts are cheap.
@@ -8051,6 +8133,8 @@ object LlmOps {
     "q432_cronbach_alpha" -> cronbachAlphaProxies,
     "q433_lin_ccc" -> linCccCharsBudget,
     "q434_bland_altman" -> blandAltmanCharsBudget,
+    "q435_yule_k" -> yuleKCensus,
+    "q436_cochran_armitage" -> cochranArmitageTrend,
     "q196_bpe_encode" -> bpeEncode,
     "q157_bpe_merges" -> bpeMerges,
     "q329_bpe_merge_loop" -> bpeMergeLoop,
@@ -10109,6 +10193,71 @@ object LlmOps {
          |       CASE WHEN n > 0 THEN ${ratioSql("n_outside", "n")} END
          |         AS frac_outside
          |FROM stats, outside""".stripMargin
+    },
+    // the shared fof census → one 3-moment agg per lang → the
+    // single-divide K and unbiased-D trees
+    "q435_yule_k" ->
+      s"""WITH cnts AS (
+         |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS r
+         |  FROM (SELECT lang, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1, 2
+         |), fof AS (
+         |  SELECT lang, r, CAST(count(*) AS BIGINT) AS fr
+         |  FROM cnts GROUP BY 1, 2
+         |), g AS (
+         |  SELECT lang, ${sumLongSql("r * fr")} AS m1,
+         |         ${sumLongSql("fr")} AS n_types,
+         |         sum(CAST(r AS HUGEINT) * r * fr) AS m2
+         |  FROM fof GROUP BY 1
+         |)
+         |SELECT lang, m1 AS n_tokens, n_types, CAST(m2 AS VARCHAR) AS m2,
+         |       CASE WHEN m1 > 0 THEN
+         |         CAST(CAST(10000 * (m2 - CAST(m1 AS HUGEINT)) AS VARCHAR)
+         |              AS DOUBLE)
+         |           / CAST(CAST(CAST(m1 AS HUGEINT) * m1 AS VARCHAR)
+         |                  AS DOUBLE) END AS yule_k,
+         |       CASE WHEN m1 > 1 THEN
+         |         CAST(CAST(m2 - CAST(m1 AS HUGEINT) AS VARCHAR) AS DOUBLE)
+         |           / CAST(CAST(CAST(m1 AS HUGEINT) * m1 - m1 AS VARCHAR)
+         |                  AS DOUBLE) END AS simpson_repeat
+         |FROM g
+         |ORDER BY lang""".stripMargin,
+    // the shared q131 vote chain → a <=40-row dyadic band census →
+    // one 5-moment fold → the three-factor fixed-IEEE Z tree
+    "q436_cochran_armitage" -> {
+      val num = "(CAST(nn AS HUGEINT) * t - CAST(a AS HUGEINT) * sc1)"
+      val cvar = "(CAST(nn AS HUGEINT) * sc2 - CAST(sc1 AS HUGEINT) * sc1)"
+      val z = s"(CAST(CAST($num AS VARCHAR) AS DOUBLE) / " +
+        s"sqrt(CAST(CAST(CAST(a AS HUGEINT) * (nn - a) AS VARCHAR) " +
+        s"AS DOUBLE) * (CAST(CAST($cvar AS VARCHAR) AS DOUBLE) " +
+        "/ CAST(nn AS DOUBLE))))"
+      val ok = s"a > 0 AND a < nn AND $cvar > 0"
+      s"""WITH $lmKeepVoteSql,
+         |bands AS (
+         |  SELECT CAST(length(bin(n_toks)) AS BIGINT) AS s1,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         ${sumLongSql("CASE WHEN keep THEN 1 ELSE 0 END")} AS kk
+         |  FROM lmvotes GROUP BY 1
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_bands,
+         |         ${sumLongSql("n")} AS nn, ${sumLongSql("kk")} AS a,
+         |         ${sumLongSql("s1 * kk")} AS t,
+         |         ${sumLongSql("s1 * n")} AS sc1,
+         |         ${sumLongSql("s1 * s1 * n")} AS sc2
+         |  FROM bands
+         |)
+         |SELECT n_bands, nn AS n_docs, a AS n_keep, t AS t_stat,
+         |       CAST($num AS VARCHAR) AS trend_num,
+         |       CAST($cvar AS VARCHAR) AS cvar_num,
+         |       CASE WHEN $ok THEN $z END AS z_trend,
+         |       coalesce(CASE WHEN $ok THEN abs($z) > $MwCritAlpha05 END,
+         |                FALSE) AS trending,
+         |       CASE WHEN $ok THEN
+         |         CASE WHEN $num > 0 THEN 'longer_kept_more'
+         |              WHEN $num < 0 THEN 'shorter_kept_more'
+         |              ELSE 'none' END
+         |       ELSE 'none' END AS direction
+         |FROM g""".stripMargin
     },
     "q221_bigram_coverage" ->
       // MATERIALIZED: dt is read by both the model and the test side —

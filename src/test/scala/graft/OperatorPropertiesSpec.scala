@@ -3475,6 +3475,77 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fx.getAs[Double]("frac_outside") <= 0.5)
   }
 
+  test("q435 Yule K: all-distinct pins 0, one-type pins D = 1, single token leaves D NULL") {
+    def mkDocs(texts: Seq[String]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("yk").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, t, "en", "web", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // every token distinct: M2 = M1 -> K = 0 and D = 0 exactly
+    val dist = SparkEntry.queries("q435_yule_k")(
+      spark, mkDocs(Seq("a b c"))).collect()(0)
+    assert(dist.getAs[Double]("yule_k") === 0.0)
+    assert(dist.getAs[Double]("simpson_repeat") === 0.0)
+    // one type, three tokens: K = 10^4 * 6/9, D = 1 exactly
+    val one = SparkEntry.queries("q435_yule_k")(
+      spark, mkDocs(Seq("c c c"))).collect()(0)
+    assert(one.getAs[Double]("yule_k") === 60000.0 / 9.0)
+    assert(one.getAs[Double]("simpson_repeat") === 1.0)
+    // a single-token slice: repeat rate over pairs undefined
+    val single = SparkEntry.queries("q435_yule_k")(
+      spark, mkDocs(Seq("c"))).collect()(0)
+    assert(single.getAs[Double]("yule_k") === 0.0)
+    assert(single.isNullAt(single.fieldIndex("simpson_repeat")))
+    // fixture: D in [0,1] and the K/D consistency identity
+    SparkEntry.queries("q435_yule_k")(spark, sfDir).collect().foreach { r =>
+      val d = r.getAs[Double]("simpson_repeat")
+      assert(d >= 0.0 && d <= 1.0)
+      assert(r.getAs[Double]("yule_k") >= 0.0)
+    }
+  }
+
+  test("q436 Cochran-Armitage: monotone 2-band plant pins Z = 2; flat bands pin Z = 0") {
+    def mkDocs(texts: Seq[String]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("cat").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, t, "en", "web", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val c64 = Seq.fill(64)("c").mkString(" ")
+    // bands {1, 7}: singleton docs drop (surprise 7 > 6), the 64-token
+    // 'c' docs keep (surprise 0) -> s={1,7}, n={2,2}, k={0,2} -> Z = 2
+    val mono = SparkEntry.queries("q436_cochran_armitage")(
+      spark, mkDocs(Seq("q1", "q2", c64, c64))).collect()(0)
+    assert(mono.getAs[Long]("n_bands") === 2L)
+    assert(mono.getAs[String]("trend_num") === "24")
+    assert(mono.getAs[String]("cvar_num") === "144")
+    assert(mono.getAs[Double]("z_trend") === 2.0)
+    assert(mono.getAs[Boolean]("trending"))
+    assert(mono.getAs[String]("direction") === "longer_kept_more")
+    // both bands 50% keep: trend numerator 0 -> Z = 0, no direction
+    val sing64 = (1 to 64).map(i => s"u$i").mkString(" ")
+    val flat = SparkEntry.queries("q436_cochran_armitage")(
+      spark, mkDocs(Seq("c", "q1", c64, sing64))).collect()(0)
+    assert(flat.getAs[String]("trend_num") === "0")
+    assert(flat.getAs[Double]("z_trend") === 0.0)
+    assert(!flat.getAs[Boolean]("trending"))
+    assert(flat.getAs[String]("direction") === "none")
+    // single band: zero score variance -> Z undefined, unflagged
+    val one = SparkEntry.queries("q436_cochran_armitage")(
+      spark, mkDocs(Seq("a b", "c d"))).collect()(0)
+    assert(one.getAs[String]("cvar_num") === "0")
+    assert(one.isNullAt(one.fieldIndex("z_trend")))
+    assert(!one.getAs[Boolean]("trending"))
+    // fixture: the vote totals tie out against the q131 gate itself
+    val fx = SparkEntry.queries("q436_cochran_armitage")(spark, sfDir)
+      .collect()(0)
+    assert(fx.getAs[Long]("n_docs") > 0L)
+    assert(fx.getAs[Long]("n_keep") <= fx.getAs[Long]("n_docs"))
+  }
+
   test("q431 seasonal MK: monotone pins per-season S = 1; an exactly-periodic week is NO trend") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("smk").toString
