@@ -2392,6 +2392,98 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Mantel–Haenszel pooled odds ratio + Cochran–Mantel–Haenszel test
+    * (Mantel & Haenszel 1959 / Cochran 1954, public definitions) —
+    * the FIX for the aggregation lie q414 detects: q414 flags the
+    * Simpson reversal; MH produces the stratum-adjusted association a
+    * dashboard should report instead of the crude one. Strata are the
+    * return-flag eras (the FIXED {A, N, R} literal domain — pivoted to
+    * columns, so the three per-stratum rational terms combine in ONE
+    * fixed-order IEEE expression tree, the q132 stance: never a float
+    * groupBy sum whose order the shuffle owns); exposure = deep
+    * discount (cents ≥ 5), outcome = bulk line (quantity > 25) — the
+    * promo-targeting audit: is discounting associated with bulk buys
+    * once the era mix is held fixed? Per stratum the
+    * 2×2 margins are exact longs; OR_MH = Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ) with
+    * each product exact in decimal(38,0) before its ONE divide; the
+    * CMH χ² (no continuity correction — documented) uses E = r₁c₁/n
+    * and V = (r₁r₀/n)·(c₁c₀/n)/(n−1) — the SPLIT tree keeps every
+    * factor ≤ n²/4 (exact past 10¹⁷ rows/stratum, where the naive
+    * r₁r₀c₁c₀ product overflows at 10⁹); flagged at the
+    * [[graft.queries.LlmOps.Chi2Crit95]] df = 1 line. The crude
+    * (stratum-ignoring) OR rides, and `reversal` = the crude and
+    * adjusted estimates on opposite sides of 1 — the Simpson flag in
+    * effect-size form. Zero-margin strata contribute nothing
+    * (when-guarded); Σbc = 0 leaves OR NULL, ΣV = 0 leaves χ² NULL.
+    * Laws (spec): uniform 1/1/1/1 strata pin OR_MH = crude = 1 and
+    * χ² = 0 exactly; the classic two-stratum reversal plant pins
+    * OR_MH < 1 < crude with both sides exact IEEE trees. Scale: one
+    * scan → ONE 12-cell conditional agg → one row. */
+  def mantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val rows = Tables.lineitem(s, dir).select(
+      $"l_returnflag".as("g"),
+      (cents($"l_discount") >= 5L).as("e"),
+      ($"l_quantity" > 25.0).as("y"))
+    def cell(f: String, e: Boolean, y: Boolean): Column =
+      sum(when($"g" === f && $"e" === e && $"y" === y, 1L).otherwise(0L))
+    val flags = Seq("A", "N", "R")
+    val g = rows.agg(
+      cell(flags.head, e = true, y = true).as("a0"),
+      cell(flags.head, e = true, y = false).as("b0"),
+      cell(flags.head, e = false, y = true).as("c0"),
+      cell(flags.head, e = false, y = false).as("d0"),
+      cell(flags(1), e = true, y = true).as("a1"),
+      cell(flags(1), e = true, y = false).as("b1"),
+      cell(flags(1), e = false, y = true).as("c1"),
+      cell(flags(1), e = false, y = false).as("d1"),
+      cell(flags(2), e = true, y = true).as("a2"),
+      cell(flags(2), e = true, y = false).as("b2"),
+      cell(flags(2), e = false, y = true).as("c2"),
+      cell(flags(2), e = false, y = false).as("d2"))
+    def n(i: Int): Column =
+      col(s"a$i") + col(s"b$i") + col(s"c$i") + col(s"d$i")
+    def term(x: String, yc: String, i: Int): Column =
+      when(n(i) > 0L, (col(s"$x$i").cast(d38) * col(s"$yc$i"))
+        .cast("double") / n(i).cast("double")).otherwise(lit(0.0))
+    def eTerm(i: Int): Column =
+      when(n(i) > 0L, ((col(s"a$i") + col(s"b$i")).cast(d38) *
+        (col(s"a$i") + col(s"c$i"))).cast("double") / n(i).cast("double"))
+        .otherwise(lit(0.0))
+    def vTerm(i: Int): Column =
+      when(n(i) > 1L,
+        ((col(s"a$i") + col(s"b$i")).cast(d38) *
+          (col(s"c$i") + col(s"d$i"))).cast("double") / n(i).cast("double") *
+          (((col(s"a$i") + col(s"c$i")).cast(d38) *
+            (col(s"b$i") + col(s"d$i"))).cast("double") /
+            n(i).cast("double")) / (n(i) - 1L).cast("double"))
+        .otherwise(lit(0.0))
+    val orNum = term("a", "d", 0) + term("a", "d", 1) + term("a", "d", 2)
+    val orDen = term("b", "c", 0) + term("b", "c", 1) + term("b", "c", 2)
+    val sumA = ($"a0" + $"a1" + $"a2").cast("double")
+    val sumE = eTerm(0) + eTerm(1) + eTerm(2)
+    val sumV = vTerm(0) + vTerm(1) + vTerm(2)
+    val chi2 = (sumA - sumE) * (sumA - sumE) / sumV
+    val ca = $"a0" + $"a1" + $"a2"; val cb = $"b0" + $"b1" + $"b2"
+    val cc = $"c0" + $"c1" + $"c2"; val cd = $"d0" + $"d1" + $"d2"
+    val crude = when(cb > 0L && cc > 0L,
+      (ca.cast(d38) * cd).cast("double") / (cb.cast(d38) * cc).cast("double"))
+    g.select(
+      (when(n(0) > 0L, 1L).otherwise(0L) + when(n(1) > 0L, 1L).otherwise(0L) +
+        when(n(2) > 0L, 1L).otherwise(0L)).as("n_strata"),
+      ca.as("n_exposed_bulk"), cb.as("n_exposed_small"),
+      cc.as("n_unexposed_bulk"), cd.as("n_unexposed_small"),
+      crude.as("crude_or"),
+      when(orDen > 0.0, orNum / orDen).as("mh_or"),
+      when(sumV > 0.0, chi2).as("chi2_cmh"),
+      coalesce(when(sumV > 0.0, chi2 > lit(graft.queries.LlmOps.Chi2Crit95.head)),
+        lit(false)).as("cmh_sig"),
+      coalesce(when(orDen > 0.0 && crude.isNotNull,
+        (crude - lit(1.0)) * (orNum / orDen - lit(1.0)) < 0.0), lit(false))
+        .as("reversal"))
+  }
+
   /** Spearman rank correlation census (Spearman 1904, public
     * description) with the Pearson contrast riding alongside — q195
     * stops at Pearson, which only sees LINEAR association; Spearman is
@@ -2745,6 +2837,7 @@ object Aggregates {
     "q410_partial_correlation" -> partialCorrelation,
     "q412_ols_influence" -> olsInfluence,
     "q414_simpson_reversal" -> simpsonReversal,
+    "q437_mantel_haenszel" -> mantelHaenszel,
     "q415_mean_excess_census" -> meanExcessCensus,
     "q389_robust_mean_census" -> robustMeanCensus,
     "q384_gini_concentration" -> giniConcentration,
@@ -2912,6 +3005,71 @@ object Aggregates {
          |         CAST(top_cents AS DOUBLE) / CAST(s AS DOUBLE)
          |       END AS top_decile_share
          |FROM g, topc""".stripMargin,
+    // ONE 12-cell conditional agg over the fixed {A,N,R} strata →
+    // fixed-order three-term rational sums → single-divide OR_MH +
+    // the split-factor CMH variance tree
+    "q437_mantel_haenszel" -> {
+      def dbl(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+      def n(i: Int) = s"(a$i + b$i + c$i + d$i)"
+      def term(x: String, y: String, i: Int) =
+        s"CASE WHEN ${n(i)} > 0 THEN ${dbl(s"CAST($x$i AS HUGEINT) * $y$i")}" +
+          s" / CAST(${n(i)} AS DOUBLE) ELSE 0.0 END"
+      def eTerm(i: Int) =
+        s"CASE WHEN ${n(i)} > 0 THEN " +
+          dbl(s"CAST(a$i + b$i AS HUGEINT) * (a$i + c$i)") +
+          s" / CAST(${n(i)} AS DOUBLE) ELSE 0.0 END"
+      def vTerm(i: Int) =
+        s"CASE WHEN ${n(i)} > 1 THEN " +
+          dbl(s"CAST(a$i + b$i AS HUGEINT) * (c$i + d$i)") +
+          s" / CAST(${n(i)} AS DOUBLE) * (" +
+          dbl(s"CAST(a$i + c$i AS HUGEINT) * (b$i + d$i)") +
+          s" / CAST(${n(i)} AS DOUBLE)) / CAST(${n(i)} - 1 AS DOUBLE) " +
+          "ELSE 0.0 END"
+      def cell(f: String, pfx: String, e: String, y: String) =
+        s"CAST(sum(CASE WHEN g = '$f' AND e = $e AND y = $y THEN 1 ELSE 0 " +
+          s"END) AS BIGINT) AS $pfx"
+      val cells = Seq(("A", 0), ("N", 1), ("R", 2)).flatMap { case (f, i) =>
+        Seq(cell(f, s"a$i", "TRUE", "TRUE"), cell(f, s"b$i", "TRUE", "FALSE"),
+          cell(f, s"c$i", "FALSE", "TRUE"), cell(f, s"d$i", "FALSE", "FALSE"))
+      }.mkString(",\n         |         ")
+      val orNum = s"(${term("a", "d", 0)} + ${term("a", "d", 1)} + " +
+        s"${term("a", "d", 2)})"
+      val orDen = s"(${term("b", "c", 0)} + ${term("b", "c", 1)} + " +
+        s"${term("b", "c", 2)})"
+      val sumA = "CAST(a0 + a1 + a2 AS DOUBLE)"
+      val sumE = s"(${eTerm(0)} + ${eTerm(1)} + ${eTerm(2)})"
+      val sumV = s"(${vTerm(0)} + ${vTerm(1)} + ${vTerm(2)})"
+      val chi2 = s"(($sumA - $sumE) * ($sumA - $sumE) / $sumV)"
+      val crude = "CASE WHEN (b0 + b1 + b2) > 0 AND (c0 + c1 + c2) > 0 " +
+        s"THEN ${dbl("CAST(a0 + a1 + a2 AS HUGEINT) * (d0 + d1 + d2)")} / " +
+        s"${dbl("CAST(b0 + b1 + b2 AS HUGEINT) * (c0 + c1 + c2)")} END"
+      s"""WITH g AS (
+         |  SELECT $cells
+         |  FROM (SELECT l_returnflag AS g,
+         |               ${centsSql("l_discount")} >= 5 AS e,
+         |               l_quantity > 25.0 AS y
+         |        FROM lineitem)
+         |)
+         |SELECT CAST(CASE WHEN ${n(0)} > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN ${n(1)} > 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN ${n(2)} > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS n_strata,
+         |       a0 + a1 + a2 AS n_exposed_bulk,
+         |       b0 + b1 + b2 AS n_exposed_small,
+         |       c0 + c1 + c2 AS n_unexposed_bulk,
+         |       d0 + d1 + d2 AS n_unexposed_small,
+         |       $crude AS crude_or,
+         |       CASE WHEN $orDen > 0.0 THEN $orNum / $orDen END AS mh_or,
+         |       CASE WHEN $sumV > 0.0 THEN $chi2 END AS chi2_cmh,
+         |       coalesce(CASE WHEN $sumV > 0.0 THEN
+         |                $chi2 > ${graft.queries.LlmOps.Chi2Crit95.head} END,
+         |                FALSE) AS cmh_sig,
+         |       coalesce(CASE WHEN $orDen > 0.0
+         |                     AND ($crude) IS NOT NULL THEN
+         |                (($crude) - 1.0) * ($orNum / $orDen - 1.0) < 0.0
+         |                END, FALSE) AS reversal
+         |FROM g""".stripMargin
+    },
     // value census → three exact ceil-rank selections → broadcast-theta
     // excess fold (numerator HUGEINT, shared divides)
     "q415_mean_excess_census" ->

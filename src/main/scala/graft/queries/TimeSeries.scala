@@ -1283,6 +1283,66 @@ object TimeSeries {
           .otherwise("none").as("direction"))
   }
 
+  /** −ln(α/2) at α = 0.05 — the public rejection line for Pettitt's
+    * approximate significance p ≈ 2·exp(−6K²/(n³+n²)): reject when the
+    * exponent argument exceeds ln(40). The comparison is done on the
+    * EXPONENT (exact integers, one divide) — never on exp() itself,
+    * whose libm rounding is not bit-portable across engines (the q379
+    * Walsh lesson). */
+  val PettittCritLn = 3.6888794541139363
+
+  /** Pettitt changepoint test (Pettitt 1979, public definition) over
+    * the q341 window — the NONPARAMETRIC single-changepoint locator
+    * beside q346's parametric AMOC: q404 says WHETHER the window
+    * trends; Pettitt says WHERE the level shifts, rank-based so one
+    * corrupted day cannot move it. U_t = Σ_{i≤t}Σ_{j>t} sgn(x_j − x_i)
+    * is computed for every boundary via the endpoint decomposition
+    * U_t = U_{t−1} + B_t − A_t (B_t / A_t = signed pair sums starting /
+    * ending at t, two grouped aggs off the SAME bounded pair join q404
+    * rides) — one cumulative window over the ≤365-row day census, never
+    * a per-boundary rescan. K = max|U_t| with the EARLIEST argmax day
+    * (total order: |U| desc, day asc — deterministic under ties); the
+    * significance flag compares the exact exponent 6K²/(n³+n²) to the
+    * [[PettittCritLn]] literal (all longs: K ≤ C(365,2), 6K² ≤ 2.7·10¹⁰
+    * — exact forever under the pinned window). Laws (spec): a step
+    * series with m low days then n−m high pins K = m·(n−m) at the step
+    * day exactly; a constant series pins K = 0 and never flags. Windows
+    * under 2 days emit zero rows (the q341 contract). Scale: one
+    * windowed grouped sum → the bounded pair join → two census aggs →
+    * one 365-row window → one selection row. */
+  def pettittChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = windowedDaily(s, dir)
+    val pairs = daily.select($"day".as("da"), $"rev".as("ra"))
+      .join(broadcast(daily.select($"day".as("db"), $"rev".as("rb"))),
+        $"da" < $"db")
+      .select($"da", $"db",
+        when($"rb" > $"ra", 1L).when($"rb" < $"ra", -1L).otherwise(0L)
+          .as("sg"))
+      .localCheckpoint(eager = false) // read by BOTH endpoint censuses
+    val bPer = pairs.groupBy($"da".as("day")).agg(sum($"sg").as("b_t"))
+    val aPer = pairs.groupBy($"db".as("day")).agg(sum($"sg").as("a_t"))
+    val nd = daily.agg(count(lit(1)).as("n"),
+      max($"day").as("last_day"))
+    val u = daily.select($"day")
+      .join(bPer, Seq("day"), "left").join(aPer, Seq("day"), "left")
+      .select($"day", (coalesce($"b_t", lit(0L)) -
+        coalesce($"a_t", lit(0L))).as("d"))
+      .withColumn("u_t", sum($"d").over(Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val best = u.crossJoin(broadcast(nd))
+      .filter($"n" >= 2L && $"day" < $"last_day") // boundaries 1..n-1
+      .orderBy(abs($"u_t").desc, $"day".asc).limit(1)
+    val expArg = (lit(6L) * $"u_t" * $"u_t").cast("double") /
+      ($"n" * $"n" * $"n" + $"n" * $"n").cast("double")
+    best.select($"n".as("n_days"), $"day".as("split_day"),
+      abs($"u_t").as("k_stat"), $"u_t".as("u_at_split"),
+      expArg.as("pettitt_exponent"),
+      (expArg > lit(PettittCritLn)).as("changepoint"),
+      when($"u_t" > 0L, "level_up").when($"u_t" < 0L, "level_down")
+        .otherwise("none").as("direction"))
+  }
+
   /** Seasonal Mann–Kendall trend test (Hirsch & Slack 1984, public
     * definition) over the q341 window — the DESEASONALIZED member
     * beside q404: the daily series carries the day-of-week structure
@@ -2263,6 +2323,7 @@ object TimeSeries {
     "q422_durbin_watson" -> durbinWatson,
     "q426_fpe_order_selection" -> fpeOrderSelection,
     "q431_seasonal_mann_kendall" -> seasonalMannKendall,
+    "q438_pettitt_changepoint" -> pettittChangepoint,
     "q386_ccf_revenue_orders" -> ccfRevenueOrders,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
@@ -2738,6 +2799,53 @@ object TimeSeries {
          |            ELSE 'none' END AS direction
          |FROM g WHERE n >= 2""".stripMargin
     },
+    // the q404 pair join decomposed to endpoint censuses → one
+    // cumulative window over the day census → earliest-argmax pick →
+    // the exact-integer exponent against the ln(40) literal
+    "q438_pettitt_changepoint" ->
+      s"""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mday FROM orders),
+         |daily AS MATERIALIZED (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS rev
+         |  FROM orders, mx
+         |  WHERE CAST(o_orderdate AS DATE) >= mday - ${TheilSenWindowDays - 1}
+         |  GROUP BY 1
+         |), pairs AS MATERIALIZED (
+         |  SELECT a.day AS da, b.day AS db,
+         |         CASE WHEN b.rev > a.rev THEN 1
+         |              WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sg
+         |  FROM daily a JOIN daily b ON a.day < b.day
+         |), bper AS (SELECT da AS day, ${sumLongSql("sg")} AS b_t
+         |            FROM pairs GROUP BY 1),
+         |aper AS (SELECT db AS day, ${sumLongSql("sg")} AS a_t
+         |         FROM pairs GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n, max(day) AS last_day
+         |       FROM daily),
+         |u AS (
+         |  SELECT day, CAST(sum(d) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS u_t
+         |  FROM (
+         |    SELECT dd.day,
+         |           coalesce(b.b_t, 0) - coalesce(a.a_t, 0) AS d
+         |    FROM (SELECT day FROM daily) dd
+         |    LEFT JOIN bper b USING (day) LEFT JOIN aper a USING (day))
+         |), best AS (
+         |  SELECT * FROM u, nd
+         |  WHERE n >= 2 AND day < last_day
+         |  ORDER BY abs(u_t) DESC, day ASC LIMIT 1
+         |)
+         |SELECT n AS n_days, day AS split_day, abs(u_t) AS k_stat,
+         |       u_t AS u_at_split,
+         |       CAST(6 * u_t * u_t AS DOUBLE)
+         |         / CAST(n * n * n + n * n AS DOUBLE) AS pettitt_exponent,
+         |       CAST(6 * u_t * u_t AS DOUBLE)
+         |         / CAST(n * n * n + n * n AS DOUBLE) > $PettittCritLn
+         |         AS changepoint,
+         |       CASE WHEN u_t > 0 THEN 'level_up'
+         |            WHEN u_t < 0 THEN 'level_down'
+         |            ELSE 'none' END AS direction
+         |FROM best""".stripMargin,
     // the q369 chain, q378's DL recursion keeping every k row, a
     // max(k) order pick, and a linear one-step backtest recursion; the
     // inner yhat sum runs all 7 j-slots with the j ≤ ord gate and a

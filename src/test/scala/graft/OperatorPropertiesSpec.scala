@@ -3546,6 +3546,88 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fx.getAs[Long]("n_keep") <= fx.getAs[Long]("n_docs"))
   }
 
+  test("q437 Mantel-Haenszel: uniform strata pin OR = 1 and chi2 = 0; the reversal plant flags") {
+    def mk(cells: Seq[(String, Boolean, Boolean, Int)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("mh").toString
+      cells.flatMap { case (f, e, y, cnt) =>
+        Seq.fill(cnt)((f, if (e) 0.06 else 0.0, if (y) 30.0 else 10.0))
+      }.toDF("l_returnflag", "l_discount", "l_quantity")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    // two uniform 1/1/1/1 strata: no association anywhere -> both the
+    // crude and adjusted OR are exactly 1 and the CMH numerator is 0
+    val unif = SparkEntry.queries("q437_mantel_haenszel")(
+      spark, mk(for {
+        f <- Seq("A", "N"); e <- Seq(true, false); y <- Seq(true, false)
+      } yield (f, e, y, 1))).collect()(0)
+    assert(unif.getAs[Long]("n_strata") === 2L)
+    assert(unif.getAs[Double]("crude_or") === 1.0)
+    assert(unif.getAs[Double]("mh_or") === 1.0)
+    assert(unif.getAs[Double]("chi2_cmh") === 0.0)
+    assert(!unif.getAs[Boolean]("reversal"))
+    // the classic two-stratum Simpson plant: each stratum OR < 1
+    // (9/14 and 7/12) but the crude OR = 1.5 — MH adjusts below 1
+    val rev = SparkEntry.queries("q437_mantel_haenszel")(
+      spark, mk(Seq(
+        ("A", true, true, 18), ("A", true, false, 12),
+        ("A", false, true, 7), ("A", false, false, 3),
+        ("N", true, true, 2), ("N", true, false, 8),
+        ("N", false, true, 9), ("N", false, false, 21)))).collect()(0)
+    assert(rev.getAs[Double]("crude_or") === 1.5)
+    val expMh = (54.0 / 40.0 + 42.0 / 40.0 + 0.0) /
+      (84.0 / 40.0 + 72.0 / 40.0 + 0.0)
+    assert(rev.getAs[Double]("mh_or") === expMh)
+    assert(rev.getAs[Double]("mh_or") < 1.0)
+    assert(rev.getAs[Boolean]("reversal"))
+    // fixture: margins tie out and the adjusted estimate is defined
+    val fx = SparkEntry.queries("q437_mantel_haenszel")(spark, sfDir)
+      .collect()(0)
+    assert(fx.getAs[Long]("n_strata") === 3L)
+    assert(fx.getAs[Double]("mh_or") > 0.0)
+  }
+
+  test("q438 Pettitt: a 7|7 step pins K = 49 at the step day; constant series never flags") {
+    def mkOrders(cents: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("pet").toString
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1, f"2000-01-${i + 1}%02d", c / 100.0)
+      }.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"),
+          $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // 7 low days then 7 high days: U_t = t*(n-m) rises to the boundary
+    // -> K = 7*7 = 49 at day 7, upward shift, exponent 4.9 > ln(40)
+    val step = SparkEntry.queries("q438_pettitt_changepoint")(
+      spark, mkOrders(Seq.fill(7)(100) ++ Seq.fill(7)(900))).collect()
+    assert(step.length === 1)
+    assert(step(0).getAs[Long]("k_stat") === 49L)
+    assert(step(0).getAs[java.sql.Date]("split_day").toString === "2000-01-07")
+    assert(step(0).getAs[Double]("pettitt_exponent") === 14406.0 / 2940.0)
+    assert(step(0).getAs[Boolean]("changepoint"))
+    assert(step(0).getAs[String]("direction") === "level_up")
+    // constant series: every boundary statistic is 0 -> earliest day
+    // reported, no changepoint
+    val const = SparkEntry.queries("q438_pettitt_changepoint")(
+      spark, mkOrders(Seq.fill(5)(100))).collect()
+    assert(const.length === 1)
+    assert(const(0).getAs[Long]("k_stat") === 0L)
+    assert(const(0).getAs[java.sql.Date]("split_day").toString === "2000-01-01")
+    assert(!const(0).getAs[Boolean]("changepoint"))
+    assert(const(0).getAs[String]("direction") === "none")
+    // single-day window: no interior boundary -> zero rows
+    assert(SparkEntry.queries("q438_pettitt_changepoint")(
+      spark, mkOrders(Seq(100))).collect().isEmpty)
+    // fixture: K bounded by the pair count and the exponent nonnegative
+    val fx = SparkEntry.queries("q438_pettitt_changepoint")(spark, sfDir)
+      .collect()(0)
+    val n = fx.getAs[Long]("n_days")
+    assert(fx.getAs[Long]("k_stat") <= n * (n - 1) / 2)
+    assert(fx.getAs[Double]("pettitt_exponent") >= 0.0)
+  }
+
   test("q431 seasonal MK: monotone pins per-season S = 1; an exactly-periodic week is NO trend") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("smk").toString
