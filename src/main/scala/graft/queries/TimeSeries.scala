@@ -1166,6 +1166,85 @@ object TimeSeries {
       .orderBy($"t_days")
   }
 
+  /** Log-rank test (Mantel 1966 / Peto & Peto 1972, public definition)
+    * between the BUILDING-segment customers and the rest, over the
+    * SAME censored lifetimes q340 estimates — the two-sample INFERENCE
+    * companion to the KM curve: q340 draws each group's survival;
+    * log-rank says whether the curves differ beyond chance, correctly
+    * crediting right-censored customers to the risk sets they occupy.
+    * At each event time (exact longs off the grouped duration census):
+    * d_a, d, and the at-risk counts n_a, n via reverse cumulative sums
+    * over the day-domain-bounded census; E_a = d·n_a/n and the
+    * hypergeometric V = (d·n_a/n)·((n−n_a)/n)·((n−d)/(n−1)) — each
+    * factor ONE divide of exact integers (products ≤ n² in
+    * decimal(38,0)), v = 0 where n ≤ 1. The pooled O−E and ΣV fold in
+    * EVENT-TIME ORDER inside one sorted struct array (the q340 fold
+    * stance — never a float groupBy sum), z = (O−E)/√ΣV at the
+    * [[graft.queries.LlmOps.MwCritAlpha05]] line. Laws (spec): a
+    * mirror-symmetric two-group corpus pins every per-time O−E = 0 and
+    * z = 0 bitwise; a single-segment corpus zeroes every V (no
+    * between-group information) and leaves z NULL. Output: one row per
+    * event time with the pooled panel riding. Scale: per-customer
+    * grouped agg → duration census → two census windows → bounded
+    * array fold → event rows. */
+  def logRankSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val mx = Tables.orders(s, dir)
+      .agg(max(to_date($"o_orderdate")).as("mday"))
+    val seg = Tables.customer(s, dir)
+      .select($"c_custkey", ($"c_mktsegment" === "BUILDING").as("ga"))
+    val census = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(min(to_date($"o_orderdate")).as("f"),
+        max(to_date($"o_orderdate")).as("l"))
+      .crossJoin(broadcast(mx))
+      .join(broadcast(seg), $"o_custkey" === $"c_custkey", "left")
+      .select(
+        (datediff($"mday", $"l") > KmChurnDays).as("ev"),
+        when(datediff($"mday", $"l") > KmChurnDays, datediff($"l", $"f"))
+          .otherwise(datediff($"mday", $"f")).cast("long").as("t"),
+        coalesce($"ga", lit(false)).as("ga"))
+      .groupBy($"t")
+      .agg(sum(when($"ev" && $"ga", 1L).otherwise(0L)).as("d_a"),
+        sum(when($"ev", 1L).otherwise(0L)).as("d"),
+        sum(when($"ga", 1L).otherwise(0L)).as("tot_a"),
+        count(lit(1)).as("tot"))
+    val w = Window.orderBy($"t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = census
+      .withColumn("n_a", sum($"tot_a").over(w))
+      .withColumn("n", sum($"tot").over(w))
+      .filter($"d" > 0L) // the test reads only event times
+      .localCheckpoint(eager = false) // read by the fold + the output
+    val eA = ($"d".cast(d38) * $"n_a").cast("double") / $"n".cast("double")
+    val vT = when($"n" > 1L,
+      ($"d".cast(d38) * $"n_a").cast("double") / $"n".cast("double") *
+        (($"n" - $"n_a").cast("double") / $"n".cast("double")) *
+        (($"n" - $"d").cast("double") / ($"n" - 1L).cast("double")))
+      .otherwise(lit(0.0))
+    val rows = risk.select($"t", $"n_a", $"n", $"d_a", $"d",
+      eA.as("e_a"), vT.as("v_t"), ($"d_a".cast("double") - eA).as("oe"))
+      .localCheckpoint(eager = false) // read by the fold + the output
+    val pooled = rows
+      .agg(sort_array(collect_list(struct($"t", $"oe", $"v_t"))).as("xs"))
+      .select(
+        aggregate($"xs", lit(0.0), (a, x) => a + x.getField("oe"))
+          .as("oe_sum"),
+        aggregate($"xs", lit(0.0), (a, x) => a + x.getField("v_t"))
+          .as("v_sum"))
+    val z = $"oe_sum" / sqrt($"v_sum")
+    rows.crossJoin(broadcast(pooled))
+      .select($"t".as("t_days"), $"n_a".as("n_risk_a"), $"n".as("n_risk"),
+        $"d_a".as("d_events_a"), $"d".as("d_events"), $"e_a", $"v_t",
+        $"oe_sum", $"v_sum",
+        when($"v_sum" > 0.0, z).as("z_logrank"),
+        coalesce(when($"v_sum" > 0.0,
+          abs(z) > lit(graft.queries.LlmOps.MwCritAlpha05)), lit(false))
+          .as("groups_differ"))
+      .orderBy($"t_days")
+  }
+
   /** q341 trend window: Theil–Sen over the LAST this-many days of daily
     * revenue. A bounded window is the scale contract: the pair set is
     * C(window, 2) ≤ 66 430 FOREVER — SF grows daily row counts, not the
@@ -1341,6 +1420,79 @@ object TimeSeries {
       (expArg > lit(PettittCritLn)).as("changepoint"),
       when($"u_t" > 0L, "level_up").when($"u_t" < 0L, "level_down")
         .otherwise("none").as("direction"))
+  }
+
+  /** q439 window: the most recent 2⁸ days — a dyadic span is what makes
+    * the Haar transform EXACT (every block boundary is a power-of-two
+    * split; no padding heuristics), and like [[TheilSenWindowDays]] it
+    * pins the census size forever: SF grows daily order counts, never
+    * the day domain. */
+  val HaarWindowDays = 256
+
+  /** Haar wavelet energy decomposition (Haar 1910; the standard DWT
+    * energy census, public) of daily revenue over the last
+    * [[HaarWindowDays]] days — the MULTI-RESOLUTION member of the
+    * seasonality family: q227 reads one fixed period, q354 one
+    * trend/seasonal split, q369/q378 fixed lags; the Haar energy ladder
+    * asks at WHICH dyadic timescale (1–2 day jitter? 8–16 day cycles?
+    * 64-day regime shifts?) the variance actually lives. Everything is
+    * EXACT INTEGER arithmetic: level-l blocks fold as sums/differences
+    * of cents (missing days contribute zero by construction — absent
+    * rows simply don't join the block sums), the unnormalized detail
+    * energy E_l = Σd² accumulates in decimal(38,0), and the Parseval
+    * identity Σ_l E_l·2⁸⁻ˡ + S² = 256·Σx² holds as an exact integer
+    * law (spec-pinned via BigInt). `var_frac` = E_l·2⁸⁻ˡ/(256·Σx² − S²)
+    * is the fraction of total variance at level l, ONE divide
+    * (VARCHAR-routed). Laws (spec): a constant full window zeroes every
+    * detail level (var_frac NULL — no variance to place); an exactly
+    * alternating series puts var_frac = 1.0 at level 1 bitwise.
+    * Envelope: block sums ≤ 256·10¹² cents/day, squared ≈ 10²⁹ — exact
+    * at any SF. Scale: one windowed grouped sum → 8 chained
+    * census-sized aggs (each ≤ 256 rows, checkpointed — the q428
+    * two-reader rule) → 8 rows. */
+  def haarEnergyCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    val mx = Tables.orders(s, dir)
+      .agg(max(to_date($"o_orderdate")).as("mday"))
+    val base = Tables.orders(s, dir)
+      .crossJoin(broadcast(mx))
+      .filter(to_date($"o_orderdate") >= date_sub($"mday", HaarWindowDays - 1))
+      .groupBy(datediff(to_date($"o_orderdate"),
+        date_sub($"mday", HaarWindowDays - 1)).cast("long").as("i"))
+      .agg(sum(cents($"o_totalprice")).as("v"))
+      .localCheckpoint(eager = false) // read by the ladder AND totals
+    val tot = base.agg(count(lit(1)).as("n_days"),
+      coalesce(sum($"v"), lit(0L)).as("s_tot"),
+      coalesce(sum($"v".cast(d38) * $"v"), lit(BigDecimal(0)).cast(d38))
+        .as("e0"))
+    var cur = base
+    val levels = (1 to 8).map { l =>
+      val nxt = cur.groupBy(expr("i div 2").as("i2"))
+        .agg(sum(when($"i" % 2 === 0L, $"v").otherwise(-$"v")).as("d"),
+          sum($"v").as("sv"))
+        .select($"i2".as("i"), $"d", $"sv".as("v"))
+        .localCheckpoint(eager = false) // read by the energy agg + level l+1
+      val e = nxt
+        .agg(coalesce(sum($"d".cast(d38) * $"d"),
+          lit(BigDecimal(0)).cast(d38)).as("energy"))
+        .select(lit(l.toLong).as("level"),
+          lit(1L << (8 - l)).as("n_coeffs"), $"energy")
+      cur = nxt.select($"i", $"v")
+      e
+    }
+    val varDen = lit(HaarWindowDays.toLong).cast(d38) * $"e0" -
+      $"s_tot".cast(d38) * $"s_tot"
+    levels.reduce(_ unionAll _)
+      .crossJoin(broadcast(tot))
+      .select($"level", $"n_coeffs",
+        $"energy".cast("string").as("energy"),
+        ($"energy" * $"n_coeffs").cast("string").as("energy_scaled"),
+        when(varDen > 0, ($"energy" * $"n_coeffs").cast("double") /
+          varDen.cast("double")).as("var_frac"),
+        $"n_days", $"s_tot".as("total_cents"),
+        $"e0".cast("string").as("sum_sq_cents"))
+      .orderBy($"level")
   }
 
   /** Seasonal Mann–Kendall trend test (Hirsch & Slack 1984, public
@@ -2324,6 +2476,8 @@ object TimeSeries {
     "q426_fpe_order_selection" -> fpeOrderSelection,
     "q431_seasonal_mann_kendall" -> seasonalMannKendall,
     "q438_pettitt_changepoint" -> pettittChangepoint,
+    "q439_haar_energy" -> haarEnergyCensus,
+    "q440_log_rank" -> logRankSegments,
     "q386_ccf_revenue_orders" -> ccfRevenueOrders,
     "q340_kaplan_meier" -> kaplanMeier,
     "q341_theil_sen_trend" -> theilSenTrend,
@@ -2846,6 +3000,119 @@ object TimeSeries {
          |            WHEN u_t < 0 THEN 'level_down'
          |            ELSE 'none' END AS direction
          |FROM best""".stripMargin,
+    // the q340 censored-duration census split by segment → reverse
+    // cumulative risk sets → per-time hypergeometric terms → one
+    // event-time-ordered list_reduce fold for the pooled O-E and V
+    "q440_log_rank" -> {
+      val eA = "(CAST(CAST(CAST(d AS HUGEINT) * n_a AS VARCHAR) AS DOUBLE)" +
+        " / CAST(n AS DOUBLE))"
+      val vT = "CASE WHEN n > 1 THEN " +
+        "CAST(CAST(CAST(d AS HUGEINT) * n_a AS VARCHAR) AS DOUBLE) " +
+        "/ CAST(n AS DOUBLE) * (CAST(n - n_a AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "* (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)) ELSE 0.0 END"
+      val z = "(oe_sum / sqrt(v_sum))"
+      s"""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mday FROM orders),
+         |seg AS (SELECT c_custkey, c_mktsegment = 'BUILDING' AS ga
+         |        FROM customer),
+         |percust AS (
+         |  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f,
+         |         max(CAST(o_orderdate AS DATE)) AS l
+         |  FROM orders GROUP BY 1
+         |), base AS (
+         |  SELECT (mday - l > $KmChurnDays) AS ev,
+         |         CAST(CASE WHEN mday - l > $KmChurnDays THEN l - f
+         |              ELSE mday - f END AS BIGINT) AS t,
+         |         coalesce(ga, FALSE) AS ga
+         |  FROM percust CROSS JOIN mx LEFT JOIN seg ON o_custkey = c_custkey
+         |), census AS (
+         |  SELECT t,
+         |         ${sumLongSql("CASE WHEN ev AND ga THEN 1 ELSE 0 END")}
+         |           AS d_a,
+         |         ${sumLongSql("CASE WHEN ev THEN 1 ELSE 0 END")} AS d,
+         |         ${sumLongSql("CASE WHEN ga THEN 1 ELSE 0 END")} AS tot_a,
+         |         CAST(count(*) AS BIGINT) AS tot
+         |  FROM base GROUP BY 1
+         |), risk AS MATERIALIZED (
+         |  SELECT t, d_a, d,
+         |         CAST(sum(tot_a) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+         |           AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_a,
+         |         CAST(sum(tot) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+         |           AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+         |  FROM census
+         |), rows_ AS MATERIALIZED (
+         |  SELECT t, n_a, n, d_a, d, $eA AS e_a, $vT AS v_t,
+         |         CAST(d_a AS DOUBLE) - $eA AS oe
+         |  FROM risk WHERE d > 0
+         |), pooled AS (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(oe ORDER BY t)), (x, y) -> x + y) AS oe_sum,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(v_t ORDER BY t)), (x, y) -> x + y) AS v_sum
+         |  FROM rows_
+         |)
+         |SELECT t AS t_days, n_a AS n_risk_a, n AS n_risk,
+         |       d_a AS d_events_a, d AS d_events, e_a, v_t,
+         |       oe_sum, v_sum,
+         |       CASE WHEN v_sum > 0.0 THEN $z END AS z_logrank,
+         |       coalesce(CASE WHEN v_sum > 0.0 THEN
+         |                abs($z) > ${graft.queries.LlmOps.MwCritAlpha05} END,
+         |                FALSE) AS groups_differ
+         |FROM rows_, pooled
+         |ORDER BY t_days""".stripMargin
+    },
+    // the 256-day grouped census → 8 chained block-sum/difference CTEs
+    // (missing days are zero by absence) → per-level HUGEINT energies
+    // → the exact Parseval columns + one var_frac divide
+    "q439_haar_energy" -> {
+      val ladder = (1 to 8).map { l =>
+        s"""lvl$l AS MATERIALIZED (
+           |  SELECT i // 2 AS i,
+           |         ${sumLongSql("CASE WHEN i % 2 = 0 THEN v ELSE -v END")}
+           |           AS d,
+           |         ${sumLongSql("v")} AS v
+           |  FROM lvl${l - 1} GROUP BY 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      val eng = (1 to 8).map { l =>
+        s"""SELECT CAST($l AS BIGINT) AS level,
+           |       CAST(${1L << (8 - l)} AS BIGINT) AS n_coeffs,
+           |       coalesce(sum(CAST(d AS HUGEINT) * d),
+           |                CAST(0 AS HUGEINT)) AS energy
+           |FROM lvl$l""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val varDen = s"(CAST($HaarWindowDays AS HUGEINT) * e0 " +
+        "- CAST(s_tot AS HUGEINT) * s_tot)"
+      s"""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mday FROM orders),
+         |lvl0 AS MATERIALIZED (
+         |  SELECT CAST(CAST(o_orderdate AS DATE)
+         |              - (mday - ${HaarWindowDays - 1}) AS BIGINT) AS i,
+         |         ${sumLongSql(centsSql("o_totalprice"))} AS v
+         |  FROM orders, mx
+         |  WHERE CAST(o_orderdate AS DATE) >= mday - ${HaarWindowDays - 1}
+         |  GROUP BY 1
+         |),
+         |$ladder,
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         |         CAST(coalesce(sum(v), 0) AS BIGINT) AS s_tot,
+         |         coalesce(sum(CAST(v AS HUGEINT) * v),
+         |                  CAST(0 AS HUGEINT)) AS e0
+         |  FROM lvl0
+         |),
+         |eng AS (
+         |$eng
+         |)
+         |SELECT level, n_coeffs, CAST(energy AS VARCHAR) AS energy,
+         |       CAST(energy * n_coeffs AS VARCHAR) AS energy_scaled,
+         |       CASE WHEN $varDen > 0 THEN
+         |         CAST(CAST(energy * n_coeffs AS VARCHAR) AS DOUBLE)
+         |           / CAST(CAST($varDen AS VARCHAR) AS DOUBLE) END
+         |         AS var_frac,
+         |       n_days, s_tot AS total_cents,
+         |       CAST(e0 AS VARCHAR) AS sum_sq_cents
+         |FROM eng, tot
+         |ORDER BY level""".stripMargin
+    },
     // the q369 chain, q378's DL recursion keeping every k row, a
     // max(k) order pick, and a linear one-step backtest recursion; the
     // inner yhat sum runs all 7 j-slots with the j ≤ ord gate and a

@@ -3628,6 +3628,100 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fx.getAs[Double]("pettitt_exponent") >= 0.0)
   }
 
+  test("q439 Haar energy: constant window zeroes all detail; alternation pins level 1 = 100%") {
+    def mkOrders(cents: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("haar").toString
+      val d0 = java.time.LocalDate.of(2000, 1, 1)
+      cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong + 1, d0.plusDays(i.toLong).toString, c / 100.0)
+      }.toDF("o_orderkey", "d", "o_totalprice")
+        .select($"o_orderkey", $"d".cast("timestamp").as("o_orderdate"),
+          $"o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // a constant 256-day window: every block difference is 0 at every
+    // level, and with zero total variance var_frac is NULL everywhere
+    val const = SparkEntry.queries("q439_haar_energy")(
+      spark, mkOrders(Seq.fill(256)(100))).collect()
+    assert(const.length === 8)
+    const.foreach { r =>
+      assert(r.getAs[String]("energy") === "0")
+      assert(r.isNullAt(r.fieldIndex("var_frac")))
+    }
+    // exact alternation 100/300: ALL variance lives at level 1 —
+    // E1 = 128 * 200^2, var_frac(1) = 1.0 bitwise, levels 2-8 zero
+    val alt = SparkEntry.queries("q439_haar_energy")(
+      spark, mkOrders((0 until 256).map(i => if (i % 2 == 0) 100 else 300)))
+      .collect()
+    assert(alt(0).getAs[String]("energy") === "5120000")
+    assert(alt(0).getAs[Double]("var_frac") === 1.0)
+    alt.drop(1).foreach { r =>
+      assert(r.getAs[String]("energy") === "0")
+      assert(r.getAs[Double]("var_frac") === 0.0)
+    }
+    // fixture: 8 rows and the EXACT integer Parseval identity
+    // sum_l E_l * 2^(8-l) + S^2 = 256 * sum(x^2)
+    val fx = SparkEntry.queries("q439_haar_energy")(spark, sfDir).collect()
+    assert(fx.length === 8)
+    val scaled = fx.map(r => BigInt(r.getAs[String]("energy_scaled"))).sum
+    val sTot = BigInt(fx(0).getAs[Long]("total_cents"))
+    val e0 = BigInt(fx(0).getAs[String]("sum_sq_cents"))
+    assert(scaled + sTot * sTot === BigInt(256) * e0)
+  }
+
+  test("q440 log-rank: mirror groups pin z = 0; a single segment leaves z NULL") {
+    def mk(custs: Seq[(Long, String, String, String)]): String = {
+      // (custkey, segment, firstOrderDay, lastOrderDay)
+      val dir = java.nio.file.Files.createTempDirectory("lr").toString
+      custs.map { case (k, seg, _, _) => (k, seg) }
+        .toDF("c_custkey", "c_mktsegment")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      custs.flatMap { case (k, _, f, l) =>
+        Seq((k * 2, k, f), (k * 2 + 1, k, l))
+      }.toDF("o_orderkey", "o_custkey", "d")
+        .select($"o_orderkey", $"o_custkey",
+          $"d".cast("timestamp").as("o_orderdate"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    // mirror corpus: every lifetime pattern appears once per segment ->
+    // at every event time d_a = d/2 and n_a = n/2, so O-E = 0 and z = 0
+    val sym = SparkEntry.queries("q440_log_rank")(spark, mk(Seq(
+      (1L, "BUILDING", "2000-01-01", "2000-01-10"),
+      (2L, "MACHINERY", "2000-01-01", "2000-01-10"),
+      (3L, "BUILDING", "2000-01-01", "2000-02-20"),
+      (4L, "MACHINERY", "2000-01-01", "2000-02-20"),
+      (5L, "BUILDING", "2000-01-01", "2000-06-01"),
+      (6L, "MACHINERY", "2000-01-01", "2000-06-01")))).collect()
+    assert(sym.length === 2) // the two churn times (t = 9, t = 50)
+    sym.foreach { r =>
+      assert(r.getAs[Double]("e_a") === r.getAs[Long]("d_events_a").toDouble)
+      assert(r.getAs[Double]("z_logrank") === 0.0)
+      assert(!r.getAs[Boolean]("groups_differ"))
+    }
+    assert(sym(0).getAs[Long]("t_days") === 9L)
+    assert(sym(0).getAs[Long]("n_risk") === 6L)
+    assert(sym(0).getAs[Long]("n_risk_a") === 3L)
+    // one segment only: n_a = n everywhere -> every V = 0, z undefined
+    val one = SparkEntry.queries("q440_log_rank")(spark, mk(Seq(
+      (1L, "BUILDING", "2000-01-01", "2000-01-10"),
+      (2L, "BUILDING", "2000-01-01", "2000-02-20"),
+      (3L, "BUILDING", "2000-01-01", "2000-06-01")))).collect()
+    assert(one.nonEmpty)
+    one.foreach { r =>
+      assert(r.getAs[Double]("v_t") === 0.0)
+      assert(r.isNullAt(r.fieldIndex("z_logrank")))
+      assert(!r.getAs[Boolean]("groups_differ"))
+    }
+    // fixture: risk sets shrink over event times and the panel is defined
+    val fx = SparkEntry.queries("q440_log_rank")(spark, sfDir).collect()
+    assert(fx.nonEmpty)
+    assert(fx.sliding(2).forall(p =>
+      p.length < 2 || p(0).getAs[Long]("n_risk") > p(1).getAs[Long]("n_risk")))
+    assert(fx(0).getAs[Double]("v_sum") > 0.0)
+  }
+
   test("q431 seasonal MK: monotone pins per-season S = 1; an exactly-periodic week is NO trend") {
     def mkOrders(cents: Seq[Int]): String = {
       val dir = java.nio.file.Files.createTempDirectory("smk").toString
