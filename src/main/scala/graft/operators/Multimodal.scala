@@ -92,6 +92,15 @@ object Multimodal {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.ImageIO
 
+    // r19 optimization: ImageIO defaults to DISK-backed stream caches
+    // (getUseCache=true) — every encode/decode creates and deletes a temp
+    // file. Harmless single-threaded; under 32 concurrent codec tasks the
+    // tmp-dir churn serializes the whole stage (measured on q371: per-image
+    // decode 0.3 ms → 7 ms at 32 threads). Memory-cached streams are the
+    // documented alternative for byte-array-sized payloads; output bytes
+    // are identical.
+    ImageIO.setUseCache(false)
+
     /** Deterministic seeded RGB pattern → real PNG bytes. */
     def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -158,9 +167,62 @@ object Multimodal {
     */
   object WavCodec {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
 
     val SampleRate = 8000f
+
+    // r19 optimization: AudioSystem.write / getAudioInputStream resolve
+    // their SPI providers through JDK13Services.getProviders — a
+    // SYNCHRONIZED static that re-runs ServiceLoader discovery on every
+    // call. Under 32 concurrent codec tasks that global lock serialized
+    // the stage (measured on q286: 0.19 ms/clip single-threaded → 4.5 ms
+    // at 32 threads). Load the SAME provider objects once via the public
+    // ServiceLoader SPI and call them directly — identical codec classes
+    // (com.sun.media.sound.WaveFileWriter/Reader), identical bytes, no
+    // per-call global lock. Lists are materialized eagerly inside the
+    // lazy-val init so iteration is thread-safe afterwards.
+    private lazy val fileWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala.toList
+    }
+    private lazy val fileReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      val all = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toList
+      // WAVE reader first: ServiceLoader order puts SoftMidiAudioFileReader
+      // ahead of WaveFileReader, and its sniff calls MidiSystem.getSequence
+      // → the same synchronized JDK13Services lock per probe (thread-dump
+      // verified). Every payload here is RIFF/WAVE, so probing Wave first
+      // keeps the hot path lock-free; the rest stay as fallbacks.
+      val (wave, rest) = all.partition(_.getClass.getSimpleName.startsWith("Wave"))
+      wave ++ rest
+    }
+
+    /** AudioSystem.write(…, WAVE, out) minus the per-call synchronized
+      * provider re-scan: first provider supporting WAVE for this stream. */
+    private def writeWave(ais: AudioInputStream, out: ByteArrayOutputStream): Unit =
+      fileWriters.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais)) match {
+        case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, out)
+        case None => throw new IllegalStateException("no WAVE AudioFileWriter provider")
+      }
+
+    /** AudioSystem.getAudioInputStream(stream) minus the per-call
+      * synchronized provider re-scan: first provider that accepts. */
+    private def readAudio(in: ByteArrayInputStream): AudioInputStream = {
+      val it = fileReaders.iterator
+      while (it.hasNext) {
+        try return it.next().getAudioInputStream(in)
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            in.reset() // the provider may have consumed; restart for the next
+        }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "Stream of unsupported format")
+    }
 
     /** Deterministic seeded tone-plus-noise signal → real WAV bytes. The
       * two mixed tones land in different Goertzel bands so band energies
@@ -185,7 +247,7 @@ object Multimodal {
       val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
       val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
       val bos = new ByteArrayOutputStream()
-      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos) finally ais.close()
+      try writeWave(ais, bos) finally ais.close()
       bos.toByteArray
     }
 
@@ -204,7 +266,7 @@ object Multimodal {
       val ais = new AudioInputStream(
         new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
       val bos = new ByteArrayOutputStream()
-      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos) finally ais.close()
+      try writeWave(ais, bos) finally ais.close()
       bos.toByteArray
     }
 
@@ -213,7 +275,7 @@ object Multimodal {
       * normalized to [-1, 1] (first channel if multi-channel). */
     def tryDecode(bytes: Array[Byte]): Option[Array[Float]] =
       try {
-        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val ais = readAudio(new ByteArrayInputStream(bytes))
         try {
           val fmt = ais.getFormat
           if (fmt.getSampleSizeInBits != 16 ||

@@ -37,6 +37,22 @@ case class VideoStats(n_frames: Long, ok: Boolean)
 
 object Media {
 
+  /** Fan the codec input across the cluster BEFORE the per-row encode UDF
+    * (r19 optimization, guide §2.6/§1.2): every media query synthesizes its
+    * payload from a dim-table KEY, and the fixture dims are one small
+    * parquet file each — one scan split, so the whole encode+decode CPU
+    * (the dominant cost: q371 measured 6.9 s wall ≈ 6.3 s on ONE task at
+    * 32 cores) ran serially. Round-robin the narrow pre-encode columns
+    * (8–24 B/row — keys only, never payloads: the guide §8 rule) over
+    * `defaultParallelism` tasks so the codec work uses every core. At
+    * cluster scale the same repartition re-balances uneven scan splits for
+    * CPU-bound decode at a cost of shuffling keys, and the partition count
+    * derives from the cluster, not a constant. Aggregations downstream are
+    * order-insensitive (sum/count/min/bool_and/countDistinct), so results
+    * are unchanged under any placement. */
+  private def fanOut(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   private val W = 16
   private val H = 16
 
@@ -89,7 +105,7 @@ object Media {
         case _ => PxStats(0L, 0L, exact = false)
       }
     }
-    Tables.part(s, dir)
+    fanOut(s, Tables.part(s, dir).select($"p_brand", $"p_partkey"))
       .select($"p_brand", $"p_partkey", enc($"p_partkey").as("png"))
       .withColumn("sig_ok",
         hex(substring($"png", 1, 8)) === lit("89504E470D0A1A0A"))
@@ -145,7 +161,7 @@ object Media {
         case _ => AudioStats(0L, 0L, exact = false)
       }
     }
-    Tables.customer(s, dir)
+    fanOut(s, Tables.customer(s, dir).select($"c_mktsegment", $"c_custkey"))
       .select($"c_mktsegment", $"c_custkey", enc($"c_custkey").as("wav"))
       .withColumn("sig_ok",
         substring($"wav", 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
@@ -210,7 +226,7 @@ object Media {
         case None => VideoStats(0L, ok = false)
       }
     }
-    Tables.supplier(s, dir)
+    fanOut(s, Tables.supplier(s, dir).select($"s_nationkey", $"s_suppkey"))
       .select($"s_nationkey", $"s_suppkey", enc($"s_suppkey").as("avi"))
       .withColumn("sig_ok",
         substring($"avi", 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
@@ -291,7 +307,7 @@ object Media {
         case _ => -1L // decode failure sentinel; the oracle states none
       }
     }
-    val hashed = Tables.part(s, dir)
+    val hashed = fanOut(s, Tables.part(s, dir).select($"p_partkey"))
       .select($"p_partkey", enc($"p_partkey").as("png"))
       .select($"p_partkey", dhash($"png").as("dhash"),
         ($"p_partkey" % 3).as("variant"))
@@ -386,7 +402,7 @@ object Media {
         case _ => -1L // decode failure sentinel; the oracle states none
       }
     }
-    val hashed = Tables.customer(s, dir)
+    val hashed = fanOut(s, Tables.customer(s, dir).select($"c_custkey"))
       .select($"c_custkey", enc($"c_custkey").as("wav"))
       .select($"c_custkey", fp($"wav").as("fp"),
         ($"c_custkey" % 3).as("variant"))
