@@ -125,7 +125,7 @@ object LlmOps {
        |         CAST(sum(nb) AS BIGINT) AS tnb FROM perdoc
        |)""".stripMargin
 
-  /** DuckDB twin of [[lmKeepVotes]]: the q131 chain reduced to the
+  /** DuckDB twin of [[lmKeepVotesFrom]]: the q131 chain reduced to the
     * per-doc keep vote, as a fragment ending in `lmvotes(doc_id,
     * n_toks, keep)` (n_toks rides for the q436 dose bands; vote
     * consumers select only (doc_id, keep)). */
@@ -167,7 +167,7 @@ object LlmOps {
        |  FROM proj
        |)""".stripMargin
 
-  /** DuckDB twin of [[rulesKeepVotes]]: the q147 rule list reduced to
+  /** DuckDB twin of [[rulesKeepVotesFrom]]: the q147 rule list reduced to
     * the per-doc keep vote, ending in `rulesvotes(doc_id, keep)`. */
   private def rulesKeepVoteSql: String =
     s"""rbase AS (
@@ -4229,36 +4229,70 @@ object LlmOps {
   def qualityUnigramLm(s: SparkSession, dir: String): DataFrame =
     lmScoredDocs(s, dir).orderBy(col("doc_id"))
 
+  /** Shared tokenized-corpus base for the filter-ensemble queries
+    * (q396/q397/q402/q417/q424) — ONE pass computes everything the three
+    * vote chains consume per doc: the token array (lm + rules), the
+    * space-stripped length (rules), and the bigram digests (learned
+    * filter), pinned with a lazy localCheckpoint so the chains share it.
+    * Optimization-round rework (guide §1.2 step 1 / §2.3): each chain
+    * previously re-read the parquet and re-tokenized independently — a
+    * 3-chain query paid ~6 tokenize passes and 2 md5 token-hash passes
+    * over the corpus; the pin trades one corpus-sized local write+read
+    * for all of them (tokenize once, hash once, scan once). `th` is
+    * bound as its OWN column before [[TextOps.shingleHashes2]] — the
+    * multi-reference projection barrier that keeps the digest pipeline
+    * from re-evaluating per array element (the q43/q325 O(tokens²)
+    * lesson). Results are unchanged: every chain applies the same
+    * expressions it previously applied directly to the scan. */
+  private def ensembleDocBase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("th", TextOps.tokenHashes($"toks"))
+      .select($"doc_id", $"lang", $"toks",
+        length(regexp_replace($"text", " ", "")).cast("long").as("nosp"),
+        TextOps.shingleHashes2($"th").as("bgs"))
+      .localCheckpoint(eager = false)
+  }
+
   /** q131's unordered per-doc scoring core — shared by the declared
-    * query and [[lmKeepVotes]] (the paired-vote tests must replay the
-    * SAME gate, never a drift-prone copy). */
+    * query and [[lmKeepVotesFrom]] (the paired-vote tests must replay
+    * the SAME gate, never a drift-prone copy). */
   private def lmScoredDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    lmScoredDocsFrom(Tables.documents(s, dir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks")))
+  }
+
+  /** [[lmScoredDocs]] over a pre-tokenized base carrying (doc_id, toks)
+    * — the expressions are identical; only the token source differs
+    * (direct scan for the standalone gate, the pinned
+    * [[ensembleDocBase]] for the multi-chain ensemble queries). */
+  private def lmScoredDocsFrom(base: DataFrame): DataFrame = {
     def bits(c: Column): Column = length(bin(c)).cast("long")
-    val toks = Tables.documents(s, dir)
-      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
-    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
-    val nTot = vocab.agg(sum($"cnt").as("n_corpus"))
+    val toks = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val nTot = vocab.agg(sum(col("cnt")).as("n_corpus"))
     toks
       .join(broadcast(vocab), "tok")
       .crossJoin(broadcast(nTot))
-      .withColumn("surprise", bits($"n_corpus") - bits($"cnt"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_toks"), sum($"surprise").as("surprise_bits"))
-      .withColumn("mean_bits", ratio($"surprise_bits", $"n_toks"))
-      .withColumn("keep", $"mean_bits" <= lit(6.0))
-      .select($"doc_id", $"n_toks", $"surprise_bits", $"mean_bits", $"keep")
+      .withColumn("surprise", bits(col("n_corpus")) - bits(col("cnt")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("surprise")).as("surprise_bits"))
+      .withColumn("mean_bits", ratio(col("surprise_bits"), col("n_toks")))
+      .withColumn("keep", col("mean_bits") <= lit(6.0))
+      .select(col("doc_id"), col("n_toks"), col("surprise_bits"),
+        col("mean_bits"), col("keep"))
   }
 
   /** Per-doc keep vote of the q131 unigram gate over ALL documents —
     * a doc the gate never scores votes drop (coalesce false). */
-  private def lmKeepVotes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir).select($"doc_id")
-      .join(lmScoredDocs(s, dir).select($"doc_id", $"keep"),
+  private def lmKeepVotesFrom(base: DataFrame): DataFrame =
+    base.select(col("doc_id"))
+      .join(lmScoredDocsFrom(base).select(col("doc_id"), col("keep")),
         Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"keep", lit(false)).as("keep"))
-  }
+      .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("keep"))
 
   /** BM25 ranked retrieval over the corpus for a fixed 3-term query — the
     * search-scoring operator of a data pipeline (e.g. "find the training
@@ -5010,57 +5044,66 @@ object LlmOps {
     gopherScoredDocs(s, dir).orderBy(col("doc_id"))
 
   /** q147's unordered per-doc rule core — shared by the declared query
-    * and [[rulesKeepVotes]] (one rule list, never a copy). */
+    * and [[rulesKeepVotesFrom]] (one rule list, never a copy). */
   private def gopherScoredDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stop = Seq("the", "a")
-    val base = Tables.documents(s, dir)
+    gopherScoredDocsFrom(Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens($"text"))
-      .withColumn("ntok", size($"toks").cast("long"))
-      .withColumn("nosp", length(regexp_replace($"text", " ", "")).cast("long"))
+      .select($"doc_id", $"toks",
+        length(regexp_replace($"text", " ", "")).cast("long").as("nosp")))
+  }
+
+  /** [[gopherScoredDocs]] over a pre-tokenized base carrying (doc_id,
+    * toks, nosp) — identical rule expressions; the ensemble queries pass
+    * the pinned [[ensembleDocBase]] so the rule stats and the top-token
+    * pass share one tokenization. */
+  private def gopherScoredDocsFrom(docBase: DataFrame): DataFrame = {
+    val stop = Seq("the", "a")
+    val base = docBase
+      .withColumn("ntok", size(col("toks")).cast("long"))
       .withColumn("n_stop_present",
         size(filter(array(stop.map(lit): _*),
-          t => array_contains($"toks", t))).cast("long"))
-      .select($"doc_id", $"ntok", $"nosp", $"n_stop_present")
-    val top = Tables.documents(s, dir)
-      .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
-      .groupBy($"doc_id", md5($"tok").as("td"))
+          t => array_contains(col("toks"), t))).cast("long"))
+      .select(col("doc_id"), col("ntok"), col("nosp"),
+        col("n_stop_present"))
+    val top = docBase
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), md5(col("tok")).as("td"))
       .agg(count(lit(1)).as("cnt"))
-      .groupBy($"doc_id")
-      .agg(max($"cnt").as("top_cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_cnt"))
     base.join(top, "doc_id")
-      .withColumn("mean_tok_len", ratio($"nosp", $"ntok"))
-      .withColumn("r_len", $"ntok" >= 25L && $"ntok" <= 90L)
+      .withColumn("mean_tok_len", ratio(col("nosp"), col("ntok")))
+      .withColumn("r_len", col("ntok") >= 25L && col("ntok") <= 90L)
       .withColumn("r_wordlen",
-        $"mean_tok_len" >= lit(4.0) && $"mean_tok_len" < lit(7.0))
-      .withColumn("r_stop", $"n_stop_present" >= 2L)
-      .withColumn("r_rep", $"top_cnt" * 10L <= $"ntok")
-      .select($"doc_id", $"ntok", $"top_cnt", $"mean_tok_len",
-        $"r_len", $"r_wordlen", $"r_stop", $"r_rep",
-        ($"r_len" && $"r_wordlen" && $"r_stop" && $"r_rep").as("keep"),
+        col("mean_tok_len") >= lit(4.0) && col("mean_tok_len") < lit(7.0))
+      .withColumn("r_stop", col("n_stop_present") >= 2L)
+      .withColumn("r_rep", col("top_cnt") * 10L <= col("ntok"))
+      .select(col("doc_id"), col("ntok"), col("top_cnt"),
+        col("mean_tok_len"),
+        col("r_len"), col("r_wordlen"), col("r_stop"), col("r_rep"),
+        (col("r_len") && col("r_wordlen") && col("r_stop") &&
+          col("r_rep")).as("keep"),
         concat_ws(",",
-          when(!$"r_len", lit("len")),
-          when(!$"r_wordlen", lit("wordlen")),
-          when(!$"r_stop", lit("stop")),
-          when(!$"r_rep", lit("rep"))).as("reasons"))
+          when(!col("r_len"), lit("len")),
+          when(!col("r_wordlen"), lit("wordlen")),
+          when(!col("r_stop"), lit("stop")),
+          when(!col("r_rep"), lit("rep"))).as("reasons"))
   }
 
   /** Per-doc keep vote of the q147 rule set over ALL documents. */
-  private def rulesKeepVotes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir).select($"doc_id")
-      .join(gopherScoredDocs(s, dir).select($"doc_id", $"keep"),
+  private def rulesKeepVotesFrom(base: DataFrame): DataFrame =
+    base.select(col("doc_id"))
+      .join(gopherScoredDocsFrom(base).select(col("doc_id"), col("keep")),
         Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"keep", lit(false)).as("keep"))
-  }
+      .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("keep"))
 
   /** Per-doc keep vote of the q325 learned filter over ALL documents
-    * (scan-only — [[qfPerDocScores]] already covers every doc). */
-  private def qfKeepVotes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    qfPerDocScores(s, dir).select($"doc_id",
-      ($"score_bits" * $"tnb" > $"ts" * $"n_bigrams").as("keep"))
-  }
+    * (scan-only — [[qfPerDocScoresFrom]] already covers every doc). */
+  private def qfKeepVotesFrom(base: DataFrame): DataFrame =
+    qfPerDocScoresFrom(base).select(col("doc_id"),
+      (col("score_bits") * col("tnb") >
+        col("ts") * col("n_bigrams")).as("keep"))
 
   /** McNemar's paired-classifier test (McNemar 1947, public definition)
     * between the q131 unigram gate (A) and the q325 learned filter (B)
@@ -5082,10 +5125,11 @@ object LlmOps {
   def mcnemarFilterAb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
-    val votes = Tables.documents(s, dir).select($"doc_id")
-      .join(lmKeepVotes(s, dir).withColumnRenamed("keep", "ka"),
+    val base = ensembleDocBase(s, dir)
+    val votes = base.select($"doc_id")
+      .join(lmKeepVotesFrom(base).withColumnRenamed("keep", "ka"),
         Seq("doc_id"), "left")
-      .join(qfKeepVotes(s, dir).withColumnRenamed("keep", "kb"),
+      .join(qfKeepVotesFrom(base).withColumnRenamed("keep", "kb"),
         Seq("doc_id"), "left")
       .select(coalesce($"ka", lit(false)).as("ka"),
         coalesce($"kb", lit(false)).as("kb"))
@@ -5127,12 +5171,13 @@ object LlmOps {
   def cochranQFilters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
-    val votes = Tables.documents(s, dir).select($"doc_id")
-      .join(lmKeepVotes(s, dir).withColumnRenamed("keep", "ka"),
+    val base = ensembleDocBase(s, dir)
+    val votes = base.select($"doc_id")
+      .join(lmKeepVotesFrom(base).withColumnRenamed("keep", "ka"),
         Seq("doc_id"), "left")
-      .join(rulesKeepVotes(s, dir).withColumnRenamed("keep", "kr"),
+      .join(rulesKeepVotesFrom(base).withColumnRenamed("keep", "kr"),
         Seq("doc_id"), "left")
-      .join(qfKeepVotes(s, dir).withColumnRenamed("keep", "kl"),
+      .join(qfKeepVotesFrom(base).withColumnRenamed("keep", "kl"),
         Seq("doc_id"), "left")
       .select(coalesce($"ka", lit(false)).cast("long").as("va"),
         coalesce($"kr", lit(false)).cast("long").as("vr"),
@@ -5168,11 +5213,12 @@ object LlmOps {
     * corpora keep NULLs. Scale: the three chains → one 3-key census. */
   def wilsonKeepRates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tagged = lmKeepVotes(s, dir)
+    val base = ensembleDocBase(s, dir)
+    val tagged = lmKeepVotesFrom(base)
       .select(lit("lm_unigram").as("filter"), $"keep")
-      .unionAll(rulesKeepVotes(s, dir)
+      .unionAll(rulesKeepVotesFrom(base)
         .select(lit("gopher_rules").as("filter"), $"keep"))
-      .unionAll(qfKeepVotes(s, dir)
+      .unionAll(qfKeepVotesFrom(base)
         .select(lit("learned_qf").as("filter"), $"keep"))
     val g = tagged.groupBy($"filter")
       .agg(count(lit(1)).as("n"),
@@ -5215,12 +5261,13 @@ object LlmOps {
   def fleissKappaEnsemble(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
-    val votes = Tables.documents(s, dir).select($"doc_id")
-      .join(lmKeepVotes(s, dir).withColumnRenamed("keep", "ka"),
+    val base = ensembleDocBase(s, dir)
+    val votes = base.select($"doc_id")
+      .join(lmKeepVotesFrom(base).withColumnRenamed("keep", "ka"),
         Seq("doc_id"), "left")
-      .join(rulesKeepVotes(s, dir).withColumnRenamed("keep", "kr"),
+      .join(rulesKeepVotesFrom(base).withColumnRenamed("keep", "kr"),
         Seq("doc_id"), "left")
-      .join(qfKeepVotes(s, dir).withColumnRenamed("keep", "kl"),
+      .join(qfKeepVotesFrom(base).withColumnRenamed("keep", "kl"),
         Seq("doc_id"), "left")
       .select((coalesce($"ka", lit(false)).cast("long") +
         coalesce($"kr", lit(false)).cast("long") +
@@ -5274,12 +5321,13 @@ object LlmOps {
   def krippendorffAlpha(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d38 = DecimalType(38, 0)
-    val votes = Tables.documents(s, dir).select($"doc_id")
-      .join(lmKeepVotes(s, dir).withColumnRenamed("keep", "ka"),
+    val base = ensembleDocBase(s, dir)
+    val votes = base.select($"doc_id")
+      .join(lmKeepVotesFrom(base).withColumnRenamed("keep", "ka"),
         Seq("doc_id"), "left")
-      .join(rulesKeepVotes(s, dir).withColumnRenamed("keep", "kr"),
+      .join(rulesKeepVotesFrom(base).withColumnRenamed("keep", "kr"),
         Seq("doc_id"), "left")
-      .join(qfKeepVotes(s, dir).withColumnRenamed("keep", "kl"),
+      .join(qfKeepVotesFrom(base).withColumnRenamed("keep", "kl"),
         Seq("doc_id"), "left")
       .select((coalesce($"ka", lit(false)).cast("long") +
         coalesce($"kr", lit(false)).cast("long") +
@@ -6754,7 +6802,6 @@ object LlmOps {
     * nb = 0, score = 0 (vote = drop). */
   private def qfPerDocScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def bits(c: Column): Column = length(bin(c)).cast("long")
     // th MUST be bound as a column, never composed inline into
     // shingleHashes2: the shingle lambda references its argument three
     // times, and an inline tokenHashes tree would be duplicated into the
@@ -6763,43 +6810,54 @@ object LlmOps {
     // multi-reference rule keeps the projection barrier (CollapseProject
     // only inlines single-use/cheap exprs) and the digest array
     // materializes once per row — the q43 lesson, scoring-pass edition.
-    def withBigrams(df: DataFrame): DataFrame = df
+    qfPerDocScoresFrom(Tables.documents(s, dir)
       .withColumn("th", TextOps.tokenHashes(TextOps.tokens($"text")))
       .withColumn("bgs", TextOps.shingleHashes2($"th"))
+      .select($"doc_id", $"lang", $"bgs"))
+  }
+
+  /** [[qfPerDocScores]] over a pre-digested base carrying (doc_id, lang,
+    * bgs) — identical training and scoring expressions; the ensemble
+    * queries pass the pinned [[ensembleDocBase]] so the bucket-training
+    * pass and the scoring pass share one digest computation. */
+  private def qfPerDocScoresFrom(base: DataFrame): DataFrame = {
+    def bits(c: Column): Column = length(bin(c)).cast("long")
     // explode_outer + post-generate null filter, NEVER a plain explode:
     // a non-outer generator lets InferFiltersFromGenerate push
     // `size(bgs) > 0` into a scan-side Filter whose inlined digest
     // pipeline re-evaluates the token-hash array per lambda element —
     // the q43 O(tokens²) trap (measured: 58 s vs 2 s on this pass)
-    val buckets = withBigrams(Tables.documents(s, dir))
-      .select($"lang", explode_outer($"bgs").as("h"))
-      .filter($"h".isNotNull)
-      .groupBy(($"h" % QfBuckets).cast("int").as("bucket"))
-      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("cnt_pos"),
+    val buckets = base
+      .select(col("lang"), explode_outer(col("bgs")).as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy((col("h") % QfBuckets).cast("int").as("bucket"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_pos"),
         count(lit(1)).as("cnt_all"))
-    val tot = buckets.agg(sum($"cnt_pos").as("tp"), sum($"cnt_all").as("ta"))
+    val tot = buckets.agg(sum(col("cnt_pos")).as("tp"),
+      sum(col("cnt_all")).as("ta"))
     // weight table pivoted into a DENSE [[QfBuckets]]-cell array (q180's
     // trick): MapType element_at is a LINEAR scan per probe — measured
     // 94 s at sf1 with the map vs O(1) array indexing — and the dense
     // form is also exactly what a shipped fastText table is
     val wvec = buckets.crossJoin(broadcast(tot))
-      .select($"bucket",
-        ((bits($"cnt_pos" + 1L) - bits($"tp" + 1L))
-          - (bits($"cnt_all" + 1L) - bits($"ta" + 1L))).as("w"))
-      .agg(map_from_entries(sort_array(collect_list(struct($"bucket", $"w"))))
-        .as("m"))
+      .select(col("bucket"),
+        ((bits(col("cnt_pos") + 1L) - bits(col("tp") + 1L))
+          - (bits(col("cnt_all") + 1L) - bits(col("ta") + 1L))).as("w"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("bucket"), col("w"))))).as("m"))
       .select(transform(sequence(lit(0), lit(QfBuckets.toInt - 1)),
-        i => coalesce(element_at($"m", i.cast("int")), lit(0L))).as("wa"))
-    val scored = withBigrams(Tables.documents(s, dir))
+        i => coalesce(element_at(col("m"), i.cast("int")), lit(0L))).as("wa"))
+    val scored = base
       .crossJoin(broadcast(wvec))
-      .select($"doc_id", $"lang",
-        size($"bgs").cast("long").as("n_bigrams"),
-        aggregate($"bgs", lit(0L),
+      .select(col("doc_id"), col("lang"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        aggregate(col("bgs"), lit(0L),
           (acc, h) => acc +
-            element_at($"wa", (h % QfBuckets).cast("int") + 1))
+            element_at(col("wa"), (h % QfBuckets).cast("int") + 1))
           .as("score_bits"))
       .localCheckpoint(eager = false) // read by the calib totals + census
-    val calib = scored.agg(sum($"score_bits").as("ts"), sum($"n_bigrams").as("tnb"))
+    val calib = scored.agg(sum(col("score_bits")).as("ts"),
+      sum(col("n_bigrams")).as("tnb"))
     scored.crossJoin(broadcast(calib))
   }
 
