@@ -872,7 +872,15 @@ object LlmOps {
       .localCheckpoint()
     val nodes = pairs.select($"src").distinct()
     val ed = pairs.unionByName(nodes.select($"src", $"src".as("dst")))
-    var labels = nodes.select($"src".as("doc"), $"src".as("lab")).localCheckpoint()
+    // LAZY pins (optimization-round rework): the eager checkpoint paid
+    // two actions per round — materialization plus the label-sum gate.
+    // With a lazy pin the labelSum job itself materializes the round's
+    // labels (the q345 loop's one-job-per-round shape); every later
+    // reader hits the pinned blocks. (An Observation-metric fusion of
+    // the sum into the checkpoint job was measured SLOWER — the
+    // listener-bus delivery lags each round by ~100 ms.)
+    var labels = nodes.select($"src".as("doc"), $"src".as("lab"))
+      .localCheckpoint(eager = false)
     // coalesce: sum over an EMPTY label set (a corpus with zero LSH
     // collisions) is null, and a bare getDecimal would NPE before the loop
     // even decides it has nothing to do. decimal(38,0) holds up to ~10^19
@@ -888,7 +896,7 @@ object LlmOps {
       labels = ed.join(labels, $"dst" === $"doc")
         .groupBy($"src").agg(min($"lab").as("lab"))
         .select($"src".as("doc"), $"lab")
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // one job per round: the labelSum
       prevSum = sum
       sum = labelSum()
     }
@@ -7451,7 +7459,9 @@ object LlmOps {
         .select($"ia".as("doc"), $"lab")
       // pointer jump: labels are core ids, always present as docs
       // (a second jump per round was measured SLOWER — the extra
-      // intermediate pin costs more than the ~3 saved rounds)
+      // intermediate pin costs more than the ~3 saved rounds; so was an
+      // Observation-metric fusion of the sum into the checkpoint job —
+      // listener-bus delivery lags each round by ~100 ms)
       labels = propagated.as("l")
         .join(propagated.select($"doc".as("ld"), $"lab".as("ll")).as("r"),
           col("l.lab") === col("r.ld"))

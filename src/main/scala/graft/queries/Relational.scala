@@ -1523,23 +1523,46 @@ object Relational {
   def joinDiscovery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.TextOps.{MinhashA, MinhashB, MinhashPrime}
-    def sig(name: String, df: DataFrame, c: String): DataFrame = {
-      val h = conv(substring(md5(col(c).cast("string")), 1, 10), 16, 10)
-        .cast("long")
-      val mins = (0 until 12).map(j =>
-        min((lit(MinhashA(j)) * $"h" + lit(MinhashB(j))) % lit(MinhashPrime))
-          .as(s"m$j"))
-      df.select(h.as("h")).agg(mins.head, mins.tail: _*)
-        .select(lit(name).as("col_name") +:
-          (0 until 12).map(j => col(s"m$j")): _*)
+    // ONE scan per TABLE, however many of its columns are audited
+    // (optimization-round rework, guide §1.2 step 1: the per-column form
+    // scanned lineitem and orders twice each — the two fact scans were
+    // the dominant cost of the screen; all 12·|cols| min-folds of a
+    // table now ride a single map-side-combining agg over one scan).
+    // Per-column digests are BOUND columns (h$k) so md5 runs once per
+    // row per column, exactly as the per-column form did.
+    def tableSigs(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+      val digests = cols.zipWithIndex.map { case ((_, c), k) =>
+        conv(substring(md5(col(c).cast("string")), 1, 10), 16, 10)
+          .cast("long").as(s"h$k")
+      }
+      val mins = cols.indices.flatMap { k =>
+        (0 until 12).map(j =>
+          min((lit(MinhashA(j)) * col(s"h$k") + lit(MinhashB(j)))
+            % lit(MinhashPrime)).as(s"m${k}_$j"))
+      }
+      val oneLazy = df.select(digests: _*).agg(mins.head, mins.tail: _*)
+      // multi-column tables: pin the 1-ROW signature block — without it,
+      // column pruning specializes each per-column select into its own
+      // agg-over-scan subtree and the table is scanned per column again
+      val one =
+        if (cols.size > 1) oneLazy.localCheckpoint(eager = false)
+        else oneLazy
+      cols.zipWithIndex.map { case ((name, _), k) =>
+        one.select(lit(name).as("col_name") +:
+          (0 until 12).map(j => col(s"m${k}_$j").as(s"m$j")): _*)
+      }.reduce(_ unionAll _)
     }
     val sigs = Seq(
-      sig("customer.c_custkey", Tables.customer(s, dir), "c_custkey"),
-      sig("lineitem.l_orderkey", Tables.lineitem(s, dir), "l_orderkey"),
-      sig("lineitem.l_suppkey", Tables.lineitem(s, dir), "l_suppkey"),
-      sig("orders.o_custkey", Tables.orders(s, dir), "o_custkey"),
-      sig("orders.o_orderkey", Tables.orders(s, dir), "o_orderkey"),
-      sig("supplier.s_suppkey", Tables.supplier(s, dir), "s_suppkey"))
+      tableSigs(Tables.customer(s, dir),
+        Seq("customer.c_custkey" -> "c_custkey")),
+      tableSigs(Tables.lineitem(s, dir),
+        Seq("lineitem.l_orderkey" -> "l_orderkey",
+          "lineitem.l_suppkey" -> "l_suppkey")),
+      tableSigs(Tables.orders(s, dir),
+        Seq("orders.o_custkey" -> "o_custkey",
+          "orders.o_orderkey" -> "o_orderkey")),
+      tableSigs(Tables.supplier(s, dir),
+        Seq("supplier.s_suppkey" -> "s_suppkey")))
       .reduce(_ unionAll _)
     val a = sigs.select($"col_name".as("col_a") +:
       (0 until 12).map(j => col(s"m$j").as(s"a$j")): _*)
@@ -1600,14 +1623,18 @@ object Relational {
     val perPair = screened.toSeq.sorted.map { case (an, bn) =>
       val av = distincts(an)
       val bv = distincts(bn)
-      // the whole per-pair verdict is ONE plan: four 1-row aggregates
-      // crossJoined, evaluated when the final union materializes
-      av.agg(count(lit(1)).as("n_a"))
-        .crossJoin(bv.agg(count(lit(1)).as("n_b")))
-        .crossJoin(av.join(bv, Seq("v"), "left_anti")
-          .agg(count(lit(1)).as("a_not_in_b")))
-        .crossJoin(bv.join(av, Seq("v"), "left_anti")
-          .agg(count(lit(1)).as("b_not_in_a")))
+      // the whole per-pair verdict is ONE full-outer join + ONE 1-row
+      // aggregate (optimization-round rework, guide §1.2 step 1: the
+      // four-aggregate crossJoin form read each pinned side three times
+      // and ran ~5 adaptive stages per pair; both cardinalities and both
+      // orphan counts fall out of the single exchange-free v-keyed merge
+      // of the two pins — n_a = rows with an a-side value, a_not_in_b =
+      // rows whose b side is NULL, and symmetrically)
+      av.select($"v".as("va"))
+        .join(bv.select($"v".as("vb")), $"va" === $"vb", "full_outer")
+        .agg(count($"va").as("n_a"), count($"vb").as("n_b"),
+          sum(when($"vb".isNull, 1L).otherwise(0L)).as("a_not_in_b"),
+          sum(when($"va".isNull, 1L).otherwise(0L)).as("b_not_in_a"))
         .select(lit(an).as("col_a"), lit(bn).as("col_b"),
           $"n_a", $"n_b", $"a_not_in_b", $"b_not_in_a")
         .withColumn("relation",
@@ -1956,8 +1983,13 @@ object Relational {
       .localCheckpoint()
     val nodes = pairs.select($"src").distinct()
     val ed = pairs.unionByName(nodes.select($"src", $"src".as("dst")))
+    // LAZY pins (optimization-round rework): the eager checkpoint paid
+    // two actions per round — materialization plus the label-sum gate;
+    // with a lazy pin the labelSum job itself materializes the round's
+    // labels (the q345 loop's one-job-per-round shape). An Observation-
+    // metric fusion was measured SLOWER (listener-bus lag per round).
     var labels = nodes.select($"src".as("rec"), $"src".as("lab"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def labelSum(): java.math.BigDecimal = labels
       .agg(coalesce(sum($"lab".cast(DecimalType(38, 0))),
         lit(BigDecimal(0)).cast(DecimalType(38, 0))))
@@ -1968,7 +2000,7 @@ object Relational {
       labels = ed.join(labels, $"dst" === $"rec")
         .groupBy($"src").agg(min($"lab").as("lab"))
         .select($"src".as("rec"), $"lab")
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // one job per round: the labelSum
       prevSum = curSum
       curSum = labelSum()
     }

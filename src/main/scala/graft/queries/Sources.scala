@@ -524,12 +524,28 @@ object Sources {
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
     val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     val prevChecksum = s.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    val prevShuffle = s.conf.getOption("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // local-FS test checkpoints don't need corruption detection, and the
     // checksum manager's async close can deadlock under load (see
     // StreamsSpec's transformWithState cases)
     s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // State-partition count for THIS query's fresh checkpoint
+    // (optimization-round rework, guide §1.2 step 2): every state
+    // partition opens its own RocksDB instance per micro-batch — at the
+    // session default (= core count) the three runs paid ~100 store
+    // open/snapshot/close cycles for a dim-bounded keyspace (|users|),
+    // and the per-store fixed cost dominated the query (~80 s of task
+    // time, almost all RocksDB lifecycle). The count is a property of
+    // STATE SIZE, not of the host's cores, so it is env-parameterized
+    // (SPARK_GRAFT_TWS_STATE_PARTS; a 100 TB deployment sizes it to
+    // state-bytes / target-partition-bytes). Results are partition-count
+    // invariant: update-mode emission is per-user, and the sink is
+    // re-read as one frame. Streaming partition count is fixed at
+    // checkpoint creation, so all three runs see the same value.
+    val twsParts = sys.env.getOrElse("SPARK_GRAFT_TWS_STATE_PARTS", "4")
+    s.conf.set("spark.sql.shuffle.partitions", twsParts)
     try {
       (0 until 3).foreach { k =>
         ev.filter($"event_id" % 3 === k).coalesce(1)
@@ -553,6 +569,10 @@ object Sources {
       prevChecksum match {
         case Some(p) => s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", p)
         case None => s.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+      prevShuffle match {
+        case Some(p) => s.conf.set("spark.sql.shuffle.partitions", p)
+        case None => s.conf.unset("spark.sql.shuffle.partitions")
       }
     }
     s.read.parquet(outDir)
@@ -593,10 +613,19 @@ object Sources {
     val li = Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_partkey", $"l_suppkey",
         cents($"l_extendedprice").as("pc"))
+    // Pinned ONCE (optimization-round rework, guide §1.2/§2.6): the 1-row
+    // extents agg was re-scanned by the three layout builds AND both
+    // read-back joins (5 lineitem passes), and each layout write repeated
+    // the scan + Morton arithmetic. Eager pins materialize extents and
+    // the 3-fid cell table one time; the three layout writes are
+    // INDEPENDENT jobs over the pinned cells, so they run concurrently
+    // from a small thread pool (guide §2.6 — the later writes back-fill
+    // the earlier writes' task tails; job descriptions are thread-local).
     val ext = li.agg(
       min($"l_orderkey").as("loO"), max($"l_orderkey").as("hiO"),
       min($"l_partkey").as("loP"), max($"l_partkey").as("hiP"),
       min($"l_suppkey").as("loS"), max($"l_suppkey").as("hiS"))
+      .localCheckpoint()
     val cells = li.join(broadcast(ext))
       .withColumn("fO",
         expr("((l_orderkey - loO) * 16) div (hiO - loO + 1)").cast("int"))
@@ -607,12 +636,22 @@ object Sources {
       .withColumn("fZ",
         shiftright(graft.operators.Bucketing.mortonInterleave($"cp", $"cs"), 28)
           .cast("int"))
-    Seq("linear" -> "fO", "range" -> "fP", "zorder" -> "fZ").foreach {
-      case (name, fidCol) =>
-        cells.select($"l_partkey", $"l_suppkey", $"pc", col(fidCol).as("fid"))
-          .repartition(col("fid")) // one task per fid → one file per fid dir
-          .write.mode("overwrite").partitionBy("fid").parquet(s"$out/$name")
-    }
+      .select($"l_partkey", $"l_suppkey", $"pc", $"fO", $"fP", $"fZ")
+      .localCheckpoint()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      Seq("linear" -> "fO", "range" -> "fP", "zorder" -> "fZ").map {
+        case (name, fidCol) =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              cells.select($"l_partkey", $"l_suppkey", $"pc",
+                  col(fidCol).as("fid"))
+                .repartition(col("fid")) // one task per fid → one file per dir
+                .write.mode("overwrite").partitionBy("fid")
+                .parquet(s"$out/$name")
+          })
+      }.foreach(_.get())
+    } finally pool.shutdown()
     val readBack = Seq("linear", "range", "zorder")
       .map(n => s.read.parquet(s"$out/$n").withColumn("layout", lit(n)))
       .reduce(_.unionByName(_))
