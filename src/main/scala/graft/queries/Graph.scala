@@ -297,48 +297,80 @@ object Graph {
         .groupBy($"src").agg(collect_set($"dst").as("dsts")), "src")
   }
 
-  /** 3 unrolled BFS hops from `seeds` (a `seed` column) over pinned
-    * `edges`: returns the visited (seed, node) set, seed rows included.
-    * Each hop: keyed join → distinct → anti vs the prior LAYERS, so the
-    * frontier stays the BFS frontier, not the walk multiset.
+  /** 3 unrolled BFS hops from `seeds` (a bounded `seed` panel, ≤ 63
+    * seeds) over pinned `edges`, with the panel PACKED into ONE 64-bit
+    * mask per node — returns the per-seed per-hop first-visit counts
+    * (seed, n_hop1, n_hop2, n_hop3), zero-filled for seeds that reach
+    * nothing.
     *
-    * Round-14 rework (the q290 lesson applied to the SET traversal): the
-    * old shape maintained a `visited` union that it re-pinned every hop —
-    * a full K·|reach| checkpoint write+read per hop (5 pins/run) whose
-    * only purpose was the next hop's anti-join. The visited set is the
-    * disjoint union of the BFS LAYERS, and each layer is already pinned
-    * hash-on-(seed,node) for the next expansion — so the anti-join can
-    * CHAIN over the layers instead: expansion.distinct() leaves the rows
-    * hash-placed on (seed,node), and every left_anti against a pinned
-    * layer is exchange-free and partitioning-preserving, so the whole
-    * chain runs in the distinct's own tasks. Pins per run: 2 (layers 1–2;
-    * layer 3 and the final union have single consumers — the census —
-    * and stay lazy). Nothing is ever re-shuffled after its one distinct. */
-  private def bfsVisited(seeds: DataFrame, adj: DataFrame): DataFrame = {
-    val seedLayer = seeds.select(col("seed"), col("seed").as("node"))
-    var layers = List(seedLayer) // newest first; disjoint by construction
+    * Optimization-round rework (guide §2.3 "shuffle fewer bytes", taken
+    * to its limit) of the (seed, node) PAIR state: the pair form's hop-k
+    * expansion exploded Σ_{(seed,node)∈frontier} deg(node) rows — 24 M
+    * pair rows at hop 3, sf0.1 — then deduped and anti-joined them
+    * against every prior layer. With seed s ↦ bit(s) (rank by numeric
+    * seed id over the ≤K-row panel — the no-partition window is bounded
+    * by construction), the whole BFS state is |V| rows × one 8-byte
+    * mask: a hop explodes Σ_{node∈frontier} deg(node) ≤ 2|E| rows
+    * (panel-size-independent), bit_or-folds them per node, and the
+    * visited/layer algebra is bitwise — layer_k = expanded & ~visited,
+    * visited' = visited | expanded — so the distinct AND the whole
+    * anti-join chain disappear. Layer masks are DISJOINT by construction
+    * (exactly the BFS first-visit layers, seed-self rows excluded), so
+    * n_reachable = Σ_k n_hopk without double counting. The merge is a
+    * union + groupBy(node) bit_or (never a full-outer join, whose output
+    * partitioning AQE cannot certify for the pin); hops 1–2 pin
+    * checkpointAsIs on node, hop 3 stays lazy (single consumer — the
+    * census). Requires |panel| ≤ 63 bits ([[SeedPanelK]] = 40; q291's
+    * certification panel is 10) — a wider panel would shard into
+    * ⌈K/63⌉ mask columns, same algebra. */
+  private def bfsHopCounts(seeds: DataFrame, adj: DataFrame): DataFrame = {
+    require(SeedPanelK <= 63, "seed panel must fit one 64-bit mask")
+    val seedIdx = seeds
+      .withColumn("bit",
+        (row_number().over(Window.orderBy(col("seed"))) - 1).cast("int"))
+      .withColumn("m", expr("shiftleft(cast(1 as bigint), bit)"))
+    var visited = seedIdx.select(col("seed").as("node"), col("m").as("vm"))
+    var frontier = visited.select(col("node"), col("vm").as("fm"))
+    var layers = List.empty[(Int, DataFrame)]
     (1 to 3).foreach { hop =>
-      val frontier = layers.head
-      // expansion joins the |frontier|-row state to the |V|-row
-      // adjacency (exchange-free on the pin key) and explodes AFTER
-      val nextLazy = layers.foldLeft(
-        frontier.join(adj, frontier("node") === adj("src"))
-          .select(col("seed"), explode(col("dsts")).as("node"))
-          .distinct()) { (acc, layer) =>
-        acc.join(layer, Seq("seed", "node"), "left_anti")
-      }
-      // checkpointAsIs, not partitionedCheckpoint: the chain's tail is
-      // the distinct's own hash(seed, node) exchange carried through the
-      // partitioning-preserving anti-joins, so the explicit repartition
-      // the keyed pin would append is a REDUNDANT per-pin shuffle of the
-      // whole layer (the helper's assert guards the precondition).
-      val next =
-        if (hop < 3)
-          graft.operators.Pinned.checkpointAsIs(nextLazy, "seed", "node")
-        else nextLazy
-      layers ::= next
+      // expansion joins the |V|-bounded frontier to the pinned adjacency
+      // (exchange-free on the pin key), explodes AFTER the join, and
+      // folds the masks by destination — the one irreducible shuffle
+      val expanded = frontier.join(adj, frontier("node") === adj("src"))
+        .select(explode(col("dsts")).as("node"), col("fm"))
+        .groupBy(col("node")).agg(expr("bit_or(fm)").as("em"))
+      val mergedLazy = visited
+        .select(col("node"), col("vm"), lit(0L).as("em"))
+        .unionAll(expanded.select(col("node"), lit(0L).as("vm"), col("em")))
+        .groupBy(col("node"))
+        .agg(expr("bit_or(vm)").as("vm0"), expr("bit_or(em)").as("em"))
+        .select(col("node"),
+          col("vm0").bitwiseOR(col("em")).as("vm"),
+          col("em").bitwiseAND(bitwise_not(col("vm0"))).as("lm"))
+      val merged =
+        if (hop < 3) graft.operators.Pinned.checkpointAsIs(mergedLazy, "node")
+        else mergedLazy
+      visited = merged.select(col("node"), col("vm"))
+      frontier = merged.filter(col("lm") =!= 0L)
+        .select(col("node"), col("lm").as("fm"))
+      layers ::= (hop, merged)
     }
-    layers.reduce(_ unionAll _)
+    val tagged = layers.map { case (h, l) =>
+      l.filter(col("lm") =!= 0L)
+        .select(col("node"), col("lm"), lit(h.toLong).as("hop"))
+    }.reduce(_ unionAll _)
+    val counts = tagged
+      .crossJoin(broadcast(seedIdx.select(col("seed"), col("m"))))
+      .filter(col("lm").bitwiseAND(col("m")) =!= 0L)
+      .groupBy(col("seed")).agg(
+        sum(when(col("hop") === 1L, 1L).otherwise(0L)).as("n_hop1"),
+        sum(when(col("hop") === 2L, 1L).otherwise(0L)).as("n_hop2"),
+        sum(when(col("hop") === 3L, 1L).otherwise(0L)).as("n_hop3"))
+    seeds.join(counts, Seq("seed"), "left")
+      .select(col("seed"),
+        coalesce(col("n_hop1"), lit(0L)).as("n_hop1"),
+        coalesce(col("n_hop2"), lit(0L)).as("n_hop2"),
+        coalesce(col("n_hop3"), lit(0L)).as("n_hop3"))
   }
 
   /** Multi-source 3-hop BFS reachability census — the TRAVERSAL member
@@ -366,10 +398,12 @@ object Graph {
   def bfsReachability(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = tradeAdjacency(s, dir)
-    bfsVisited(seedPanel(s, dir), edges)
-      .groupBy($"seed")
-      .agg((count(lit(1)) - 1).as("n_reachable_3hop"))
-      .select(seedStr($"seed").as("seed"), $"n_reachable_3hop")
+    // layers are disjoint first-visit sets excluding the seed itself, so
+    // the reach count is the plain hop-count sum (the pair form counted
+    // visited rows − 1 for the seed row; identical by construction)
+    bfsHopCounts(seedPanel(s, dir), edges)
+      .select(seedStr($"seed").as("seed"),
+        ($"n_hop1" + $"n_hop2" + $"n_hop3").as("n_reachable_3hop"))
       .orderBy($"seed")
   }
 
@@ -392,35 +426,10 @@ object Graph {
   def harmonicCentrality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = tradeAdjacency(s, dir)
-    val seeds = seedPanel(s, dir)
-    val seedLayer = seeds.select($"seed", $"seed".as("node"))
-    var layers = List((0, seedLayer))
-    (1 to 3).foreach { hop =>
-      val frontier = layers.head._2
-      val nextLazy = layers.map(_._2).foldLeft(
-        frontier.join(edges, frontier("node") === edges("src"))
-          .select(col("seed"), explode(col("dsts")).as("node"))
-          .distinct()) { (acc, layer) =>
-        acc.join(layer, Seq("seed", "node"), "left_anti")
-      }
-      val next =
-        if (hop < 3)
-          graft.operators.Pinned.checkpointAsIs(nextLazy, "seed", "node")
-        else nextLazy
-      layers ::= (hop, next)
-    }
-    val tagged = layers.filter(_._1 > 0).map { case (h, l) =>
-      l.select($"seed", lit(h.toLong).as("hop"))
-    }.reduce(_ unionAll _)
-    val cnt = tagged.groupBy($"seed").agg(
-      sum(when($"hop" === 1L, 1L).otherwise(0L)).as("n_hop1"),
-      sum(when($"hop" === 2L, 1L).otherwise(0L)).as("n_hop2"),
-      sum(when($"hop" === 3L, 1L).otherwise(0L)).as("n_hop3"))
-    seeds.join(cnt, Seq("seed"), "left")
-      .select($"seed",
-        coalesce($"n_hop1", lit(0L)).as("n_hop1"),
-        coalesce($"n_hop2", lit(0L)).as("n_hop2"),
-        coalesce($"n_hop3", lit(0L)).as("n_hop3"))
+    // the per-hop first-visit counts ARE the d = k sets (the mask layers
+    // of bfsHopCounts — disjoint by the bitwise visited algebra, exactly
+    // the anti-joined layers of the pair form)
+    bfsHopCounts(seedPanel(s, dir), edges)
       .withColumn("n_reachable", $"n_hop1" + $"n_hop2" + $"n_hop3")
       .withColumn("h6",
         lit(6L) * $"n_hop1" + lit(3L) * $"n_hop2" + lit(2L) * $"n_hop3")
@@ -687,8 +696,9 @@ object Graph {
     val seeds = Tables.supplier(s, dir)
       .orderBy($"s_suppkey".asc).limit(ReachPanelK)
       .select(($"s_suppkey" * 2 + 1).as("seed"))
-    val exact = bfsVisited(seeds, edges)
-      .groupBy($"seed").agg((count(lit(1)) - 1).as("n_reachable_3hop"))
+    val exact = bfsHopCounts(seeds, edges)
+      .select($"seed",
+        ($"n_hop1" + $"n_hop2" + $"n_hop3").as("n_reachable_3hop"))
     // LEFT join: a panel supplier with zero trades has no edges, so the
     // edge-derived sketch table has no row for it — an inner join would
     // silently drop the seed while the oracle still emits it with reach
