@@ -823,4 +823,36 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p425.contains("TakeOrderedAndProject"),
       "the top-K panel selection must be rank-pruned, never a full sort")
   }
+
+  test("ensemble queries read ONE pinned tokenized base, never per-chain scans") {
+    // r19 optimization guard: the three vote chains previously re-read
+    // and re-tokenized documents.parquet independently (7 scans per
+    // 3-chain query). The shared ensembleDocBase pin must keep every
+    // chain on the checkpointed base — a parquet scan reappearing in the
+    // plan means a chain silently detached from the pin.
+    Seq("q396_mcnemar_filter_ab", "q397_fleiss_kappa_ensemble",
+      "q402_cochran_q_filters", "q417_wilson_keep_rates",
+      "q424_krippendorff_alpha").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Scan parquet"),
+        s"$q: a vote chain re-scans the corpus instead of the pinned base:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q: expected the pinned tokenized base in the plan")
+    }
+  }
+
+  test("q288/q401 masked BFS: bit_or folds, no per-layer anti-join chain") {
+    // r19 optimization guard: the seed panel is packed into one 64-bit
+    // mask per node — the hop merge is a union + groupBy bit_or and the
+    // layer algebra is bitwise, so the old distinct + LeftAnti chain
+    // (whose hop-3 expansion exploded ~24M pair rows at sf0.1) must not
+    // reappear.
+    Seq("q288_bfs_reachability", "q401_harmonic_centrality").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("bit_or"),
+        s"$q: expected mask bit_or folds in the plan")
+      assert(!p.contains("LeftAnti"),
+        s"$q: per-layer anti-join chain reappeared (pair-state regression):\n$p")
+    }
+  }
 }
