@@ -2504,7 +2504,8 @@ object Aggregates {
     import s.implicits._
     val d38 = DecimalType(38, 0)
     val cells = rankCells(s, dir)
-      .localCheckpoint() // read by two marginals + the moment agg
+      .localCheckpoint(eager = false) // read by two marginals + the
+        // moment agg (lazy, r20: first reader materializes)
     def marg(keyCol: String, rankCol: String): DataFrame = {
       val w = Window.partitionBy($"l_returnflag").orderBy(col(keyCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2563,7 +2564,8 @@ object Aggregates {
     import s.implicits._
     val d38 = DecimalType(38, 0)
     val cells = rankCells(s, dir)
-      .localCheckpoint() // read by the pair join (both sides) + margins
+      .localCheckpoint(eager = false) // read by the pair join (both
+        // sides) + margins (lazy, r20)
     val o = cells.select($"l_returnflag",
       $"q".as("oq"), $"d".as("od"), $"cnt".as("ocnt"))
     val pairSums = cells.join(broadcast(o), Seq("l_returnflag"))
@@ -2609,7 +2611,8 @@ object Aggregates {
   def ordinalAssocPanel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cells = rankCells(s, dir)
-      .localCheckpoint() // read by the pair join (both sides) + margins
+      .localCheckpoint(eager = false) // read by the pair join (both
+        // sides) + margins (lazy, r20)
     val o = cells.select($"l_returnflag",
       $"q".as("oq"), $"d".as("od"), $"cnt".as("ocnt"))
     val pairSums = cells.join(broadcast(o), Seq("l_returnflag"))
@@ -2674,7 +2677,7 @@ object Aggregates {
         .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority".as("g")),
         Seq("l_orderkey"))
       .groupBy($"g", $"v").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // pair sides + both margins
+      .localCheckpoint(eager = false) // pair sides + both margins (lazy, r20)
     val pairs = cells
       .join(broadcast(cells.select($"g".as("gb"), $"v".as("vb"),
         $"c".as("cb"))), $"g" < $"gb")

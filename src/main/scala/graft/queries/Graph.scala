@@ -323,8 +323,13 @@ object Graph {
     * census). Requires |panel| ≤ 63 bits ([[SeedPanelK]] = 40; q291's
     * certification panel is 10) — a wider panel would shard into
     * ⌈K/63⌉ mask columns, same algebra. */
-  private def bfsHopCounts(seeds: DataFrame, adj: DataFrame): DataFrame = {
-    require(SeedPanelK <= 63, "seed panel must fit one 64-bit mask")
+  private def bfsHopCounts(seeds: DataFrame, adj: DataFrame,
+      panelK: Int): DataFrame = {
+    // validate the CALLER's panel width, not just SeedPanelK: q291 passes
+    // a ReachPanelK-sized panel, and shiftleft wraps shift amounts mod 64,
+    // so a >63-seed panel would silently alias bit masks (advice r19)
+    require(panelK <= 63,
+      s"seed panel ($panelK) must fit one 64-bit mask")
     val seedIdx = seeds
       .withColumn("bit",
         (row_number().over(Window.orderBy(col("seed"))) - 1).cast("int"))
@@ -401,7 +406,7 @@ object Graph {
     // layers are disjoint first-visit sets excluding the seed itself, so
     // the reach count is the plain hop-count sum (the pair form counted
     // visited rows − 1 for the seed row; identical by construction)
-    bfsHopCounts(seedPanel(s, dir), edges)
+    bfsHopCounts(seedPanel(s, dir), edges, SeedPanelK)
       .select(seedStr($"seed").as("seed"),
         ($"n_hop1" + $"n_hop2" + $"n_hop3").as("n_reachable_3hop"))
       .orderBy($"seed")
@@ -429,7 +434,7 @@ object Graph {
     // the per-hop first-visit counts ARE the d = k sets (the mask layers
     // of bfsHopCounts — disjoint by the bitwise visited algebra, exactly
     // the anti-joined layers of the pair form)
-    bfsHopCounts(seedPanel(s, dir), edges)
+    bfsHopCounts(seedPanel(s, dir), edges, SeedPanelK)
       .withColumn("n_reachable", $"n_hop1" + $"n_hop2" + $"n_hop3")
       .withColumn("h6",
         lit(6L) * $"n_hop1" + lit(3L) * $"n_hop2" + lit(2L) * $"n_hop3")
@@ -526,48 +531,69 @@ object Graph {
     val edges = graft.operators.Pinned.partitionedCheckpoint(
       pairs.unionAll(pairs.select($"dst".as("src"), $"src".as("dst"), $"w")),
       $"src")
-    val seeds = seedPanel(s, dir)
-    var best = seeds.select($"seed", $"seed".as("node"), lit(BnInf).as("bn"))
-    // DELTA relaxation (Bellman–Ford's standard work-skipping): a row
-    // that did not change in hop k−1 already propagated its value the
-    // hop after it last changed, and max-folding the same proposals
-    // again is a no-op — so only CHANGED rows re-expand. The inductive
-    // contract (any ≤k-hop path's value present after hop k) is
-    // unaffected: a dominated proposal's dominator is itself in the
-    // delta the hop it appears. This bounds each hop's proposal shuffle
-    // by Σ_{changed} deg(node) instead of Σ_{all best} deg(node).
-    //
-    // Merge shape (round-14 rework of the union+groupBy fold, which
-    // re-shuffled the full K·|V| best table every hop and pinned five
-    // times per run): fold ONLY the proposals (Σ deg over delta rows —
-    // the unavoidable Bellman-Ford shuffle), then FULL-OUTER merge them
-    // into the pinned best on the pin keys — the big side reads
-    // exchange-free, the proposal side is already (seed,node)-placed by
-    // its own fold. `changed` falls out of the same pass (pbn beats bn,
-    // or node is new), so the separate newBest⟕best delta join — and its
-    // pin — is gone. ONE pin per hop carries (seed,node,bn,changed);
-    // hop 3 pins nothing at all, because its merged state and its delta
-    // have exactly one consumer (the census) / none — two checkpoint
-    // materializations per run instead of five.
+    // Round-20 value-packing rework (guide §2.3 "shuffle fewer bytes" —
+    // the q288 mask move generalized from SETS to VALUES): the (seed,
+    // node) PAIR state made each hop explode Σ_{(seed,node)∈delta}
+    // deg(node) proposal ROWS (~24 M at sf0.1 hop 2–3) and fold them in
+    // a K·|V|-group aggregate. Seeds are a FIXED panel, so the per-seed
+    // bottleneck values pack into ONE fixed K-slot long array per node
+    // (slot = rank of seed id, exactly q288's bit assignment; 0 = "no
+    // ≤k-hop path yet" — lawful as −∞ because every real value is ≥ 1
+    // and the DP is pure least/max: least(0, w) = 0, max(0, x) = x, so
+    // slot-wise the array DP computes literally the pair DP's values).
+    // State: |V| rows × (8·K+overhead) bytes. A hop explodes
+    // Σ_{node∈delta} deg(node) ≤ 2|E| rows REGARDLESS of K (the pair
+    // form multiplied by the seed count), proposes zip-least(bns, w),
+    // and folds per node with K plain long-max aggregates (fixed-width
+    // codegen buffer — no collect_list); the K·|V|-group fold and its
+    // row explosion disappear. Seed self-rows keep BnInf in their own
+    // slot (greatest(BnInf, ·) = BnInf) and are excluded at the census
+    // exactly like the pair form's node ≠ seed filter.
+    val K = SeedPanelK
+    val seedIdx = seedPanel(s, dir).withColumn("slot",
+      (row_number().over(Window.orderBy($"seed")) - 1).cast("int"))
+    val initBns = array((0 until K).map(i =>
+      when($"slot" === i, lit(BnInf)).otherwise(lit(0L))): _*)
+    var best = seedIdx.select($"seed".as("node"), initBns.as("bns"))
+    // DELTA relaxation (Bellman–Ford's standard work-skipping), per NODE
+    // now: a node re-expands iff ANY slot improved in the previous hop —
+    // a superset of the pair form's per-(seed,node) delta, and re-folding
+    // an unchanged slot's proposals is a max no-op, so values are
+    // unaffected. Each hop: fold ONLY the proposals (the unavoidable
+    // Bellman-Ford shuffle, now |V|-grouped), then FULL-OUTER merge into
+    // the pinned best on node — the big side reads exchange-free, the
+    // proposal side is already node-placed by its own fold. ONE pin per
+    // hop carries (node, bns, changed); hop 3 pins nothing (single
+    // consumer — the census).
     var delta = best
     (1 to 3).foreach { hop =>
       val prop = delta.join(edges, delta("node") === edges("src"))
-        .select($"seed", $"dst".as("node"), least($"bn", $"w").as("bn"))
-        .groupBy($"seed", $"node").agg(max($"bn").as("pbn"))
-      val mergedLazy = best.join(prop, Seq("seed", "node"), "full_outer")
+        .select($"dst".as("node"),
+          transform($"bns", x => least(x, $"w")).as("p"))
+        .groupBy($"node")
+        .agg(array((0 until K).map(i =>
+          max(element_at($"p", i + 1))): _*).as("pbns"))
+      val mergedLazy = best.join(prop, Seq("node"), "full_outer")
+      val foldBns = when($"bns".isNull, $"pbns")
+        .when($"pbns".isNull, $"bns")
+        .otherwise(zip_with($"bns", $"pbns", (a, b) => greatest(a, b)))
       if (hop < 3) {
         val merged = graft.operators.Pinned.partitionedCheckpoint(
-          mergedLazy.select($"seed", $"node",
-            greatest($"bn", $"pbn").as("bn"), // greatest skips NULLs
-            coalesce($"bn".isNull || $"pbn" > $"bn", lit(false)).as("changed")),
-          $"seed", $"node")
-        best = merged.select($"seed", $"node", $"bn")
-        delta = merged.filter($"changed").select($"seed", $"node", $"bn")
+          mergedLazy.select($"node", foldBns.as("bns"),
+            coalesce($"bns".isNull ||
+              exists(zip_with($"bns", $"pbns", (a, b) => b > a),
+                (c: Column) => c), lit(false)).as("changed")),
+          $"node")
+        best = merged.select($"node", $"bns")
+        delta = merged.filter($"changed").select($"node", $"bns")
       } else
-        best = mergedLazy.select($"seed", $"node",
-          greatest($"bn", $"pbn").as("bn"))
+        best = mergedLazy.select($"node", foldBns.as("bns"))
     }
-    best.filter($"node" =!= $"seed")
+    best
+      .select($"node", posexplode($"bns").as(Seq("slot", "bn")))
+      .filter($"bn" > 0L)
+      .join(broadcast(seedIdx), Seq("slot"))
+      .filter($"node" =!= $"seed")
       .groupBy($"seed")
       .agg(count(lit(1)).as("n_reachable"),
         max($"bn").as("max_bottleneck"),
@@ -696,7 +722,7 @@ object Graph {
     val seeds = Tables.supplier(s, dir)
       .orderBy($"s_suppkey".asc).limit(ReachPanelK)
       .select(($"s_suppkey" * 2 + 1).as("seed"))
-    val exact = bfsHopCounts(seeds, edges)
+    val exact = bfsHopCounts(seeds, edges, ReachPanelK)
       .select($"seed",
         ($"n_hop1" + $"n_hop2" + $"n_hop3").as("n_reachable_3hop"))
     // LEFT join: a panel supplier with zero trades has no edges, so the

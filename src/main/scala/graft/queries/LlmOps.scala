@@ -684,7 +684,7 @@ object LlmOps {
         when($"lang" === "en", 1L).otherwise(0L).as("y"))
       .groupBy($"x")
       .agg(count(lit(1)).as("n"), sum($"y").as("npos"))
-      .localCheckpoint() // bounded census, read by three joins
+      .localCheckpoint(eager = false) // bounded census, read by three joins
     val pairs = broadcast(bins.select($"x".as("j")))
       .join(broadcast(bins.select($"x".as("k"))), $"j" <= $"k")
     val intervals = broadcast(pairs)
@@ -869,7 +869,7 @@ object LlmOps {
     // all read the materialized pair list, never the digest pipeline.
     val pairs = a.join(b, $"band" === $"band2" && $"bkey" === $"bkey2" && $"sa" =!= $"ta")
       .select($"sa".as("src"), $"ta".as("dst")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // the first labelSum materializes it
     val nodes = pairs.select($"src").distinct()
     val ed = pairs.unionByName(nodes.select($"src", $"src".as("dst")))
     // LAZY pins (optimization-round rework): the eager checkpoint paid
@@ -878,7 +878,10 @@ object LlmOps {
     // labels (the q345 loop's one-job-per-round shape); every later
     // reader hits the pinned blocks. (An Observation-metric fusion of
     // the sum into the checkpoint job was measured SLOWER — the
-    // listener-bus delivery lags each round by ~100 ms.)
+    // listener-bus delivery lags each round by ~100 ms. So was the r20
+    // keyed-pin alignment of ed/labels via the Pinned helpers — their
+    // AQE-off subplan compile ran every per-round stage at the static
+    // 32-partition width, 10×+ the task time; see dbscanCensus.)
     var labels = nodes.select($"src".as("doc"), $"src".as("lab"))
       .localCheckpoint(eager = false)
     // coalesce: sum over an EMPTY label set (a corpus with zero LSH
@@ -2135,7 +2138,7 @@ object LlmOps {
       .withColumn("rn", row_number().over(w3))
       .filter($"rn" <= 3)
       .select($"qid", $"rn", $"vid", $"adc".as("adc_dist"), $"cos")
-      .localCheckpoint() // ≤30 rows, read by the output AND the recall agg
+      .localCheckpoint(eager = false) // ≤30 rows, read by the output AND the recall agg
     val exact = annBruteForce(s, dir).filter($"rn" <= 3)
       .select($"qid".as("eqid"), $"vid".as("evid"))
     val recallRow = exact
@@ -2717,10 +2720,10 @@ object LlmOps {
       .select($"lang", $"doc_id",
         size(TextOps.tokens($"text")).cast("long").as("ntok"))
       .withColumn("in_a", half)
-      .localCheckpoint() // one corpus pass feeds both half-censuses
+      .localCheckpoint(eager = false) // one corpus pass feeds both half-censuses
     val ca = base.filter($"in_a").groupBy($"lang", $"ntok")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // bounded census, read by totals AND the rank
+      .localCheckpoint(eager = false) // bounded census, read by totals AND the rank
     val tot = ca.groupBy($"lang")
       .agg(sum($"c").as("n_cal"))
       .withColumn("k_rank",
@@ -2785,7 +2788,7 @@ object LlmOps {
       .groupBy($"lang", $"ntok")
       .agg(sum(when($"in_a", 1L).otherwise(0L)).as("nav"),
         sum(when($"in_a", 0L).otherwise(1L)).as("nbv"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val totals = census.groupBy($"lang")
       .agg(sum($"nav").as("n_a"), sum($"nbv").as("n_b"))
     val w = Window.partitionBy($"lang").orderBy($"ntok")
@@ -2854,7 +2857,7 @@ object LlmOps {
       .groupBy($"lang", $"ntok")
       .agg(sum(when($"in_a", 1L).otherwise(0L)).as("nav"),
         sum(when($"in_a", 0L).otherwise(1L)).as("nbv"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val totals = census.groupBy($"lang")
       .agg(sum($"nav").as("n_a"), sum($"nbv").as("n_b"))
     val w = Window.partitionBy($"lang").orderBy($"ntok")
@@ -3149,7 +3152,7 @@ object LlmOps {
     import s.implicits._
     val cells = Tables.documents(s, dir)
       .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // read by both margins AND the grid
+      .localCheckpoint(eager = false) // read by both margins AND the grid
     val rm = cells.groupBy($"lang").agg(sum($"n").as("r_i"))
     val cm = cells.groupBy($"source").agg(sum($"n").as("c_j"))
     val tot = cells.agg(sum($"n").as("nn"),
@@ -4251,16 +4254,22 @@ object LlmOps {
     * multi-reference projection barrier that keeps the digest pipeline
     * from re-evaluating per array element (the q43/q325 O(tokens²)
     * lesson). Results are unchanged: every chain applies the same
-    * expressions it previously applied directly to the scan. */
+    * expressions it previously applied directly to the scan.
+    *
+    * This is the repo's one CORPUS-SIZED pin (toks + digests per doc) —
+    * the local-checkpoint executor-loss caveat and the
+    * `SPARK_GRAFT_PIN_MODE=reliable` upgrade path are documented at
+    * [[graft.operators.Pinned]]; routing through [[Pinned.pin]] keeps
+    * this site on that escape hatch. */
   private def ensembleDocBase(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .withColumn("toks", TextOps.tokens($"text"))
-      .withColumn("th", TextOps.tokenHashes($"toks"))
-      .select($"doc_id", $"lang", $"toks",
-        length(regexp_replace($"text", " ", "")).cast("long").as("nosp"),
-        TextOps.shingleHashes2($"th").as("bgs"))
-      .localCheckpoint(eager = false)
+    graft.operators.Pinned.pin(
+      Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokens($"text"))
+        .withColumn("th", TextOps.tokenHashes($"toks"))
+        .select($"doc_id", $"lang", $"toks",
+          length(regexp_replace($"text", " ", "")).cast("long").as("nosp"),
+          TextOps.shingleHashes2($"th").as("bgs")))
   }
 
   /** q131's unordered per-doc scoring core — shared by the declared
@@ -5507,13 +5516,15 @@ object LlmOps {
   private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // localCheckpoint: the dict is referenced by both merge rounds — cut
-    // lineage so the corpus word-count really runs ONCE (q76's pattern)
+    // lineage so the corpus word-count really runs ONCE (q76's pattern).
+    // LAZY (r20, the r19 min-label lesson): the first consumer's action
+    // materializes the pin, so the dict build is not its own extra job.
     Tables.documents(s, dir)
       .select(explode(TextOps.tokens($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .withColumn("seg", concat(lit("  "),
         regexp_replace($"w", "(.)", "$1  ")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
   }
   private def bpePairCounts(v: DataFrame): DataFrame = {
     import v.sparkSession.implicits._
@@ -5615,24 +5626,34 @@ object LlmOps {
     import s.implicits._
     var vocab = bpeVocab(s, dir)
     val out = Seq.newBuilder[(Int, String, String, Long, Long)]
+    // Round-20 gate fusion (guide §1.2 step 2 — the loop is job-latency
+    // bound, ~1-row gates over a ~50-row vocab): round k's symbol census
+    // and round k+1's top pair BOTH read the merged vocab, so they ride
+    // ONE crossJoin'd 1-row action instead of two — halving the driver
+    // gates per round (the values collected are unchanged: the fused row
+    // is exactly (nSyms_k, top_{k+1}), and an empty pair census surfaces
+    // as NULL top columns = the old empty-collect exhaustion). The merged
+    // vocab is lazily pinned so the gate's two subtrees and the next
+    // round's merge read one computed copy.
+    var top = bpeTopPair(bpePairCounts(vocab)).collect()
+      .headOption.map(r => (r.getString(0), r.getLong(1)))
     var k = 1
-    var exhausted = false
-    while (k <= BpeLoopRounds && !exhausted) {
-      val top = bpeTopPair(bpePairCounts(vocab)).collect() // ≤1-row gate
-      if (top.isEmpty) exhausted = true
-      else {
-        val pair = top(0).getString(0)
-        val cnt = top(0).getLong(1)
-        val merged = pair.replace(" ", "")
-        vocab = vocab.select($"w", $"freq",
-          replace($"seg", lit(" " + pair.replace(" ", "  ") + " "),
-            lit(s" $merged ")).as("seg"))
-        val nSyms = vocab
-          .select(explode(split(trim($"seg"), "  ")).as("sym"))
-          .agg(countDistinct($"sym")).collect()(0).getLong(0) // 1-row gate
-        out += ((k, pair, merged, cnt, nSyms))
-        k += 1
-      }
+    while (k <= BpeLoopRounds && top.isDefined) {
+      val (pair, cnt) = top.get
+      val merged = pair.replace(" ", "")
+      vocab = vocab.select($"w", $"freq",
+        replace($"seg", lit(" " + pair.replace(" ", "  ") + " "),
+          lit(s" $merged ")).as("seg"))
+        .localCheckpoint(eager = false)
+      val g = vocab
+        .select(explode(split(trim($"seg"), "  ")).as("sym"))
+        .agg(countDistinct($"sym").as("n_syms"))
+        .join(bpeTopPair(bpePairCounts(vocab)), lit(true), "left")
+        .collect()(0) // the round's ONE driver gate
+      out += ((k, pair, merged, cnt, g.getLong(0)))
+      top = if (g.isNullAt(1)) None
+            else Some((g.getString(1), g.getLong(2)))
+      k += 1
     }
     out.result().toDF("round", "pair", "merged", "cnt", "vocab_syms")
       .orderBy($"round")
@@ -5863,13 +5884,14 @@ object LlmOps {
     val d38 = DecimalType(38, 0)
     var vocab = bpeVocab(s, dir)
     val out = Seq.newBuilder[(Int, String, String, Long, Long, Long, Long)]
-    var k = 1
-    var exhausted = false
-    while (k <= WpLoopRounds && !exhausted) {
-      val syms = vocab
+    // the round's likelihood-ratio argmax over a vocab `v` — the ≤1-row
+    // frame of (pair, cnt, fa, fb); see the DEPTH CAP note above for the
+    // O(P²) anti-join bound
+    def wpTop(v: DataFrame): DataFrame = {
+      val syms = v
         .select($"freq", explode(split(trim($"seg"), "  ")).as("sym"))
         .groupBy($"sym").agg(sum($"freq").as("f"))
-      val scored = bpePairCounts(vocab)
+      val scored = bpePairCounts(v)
         .withColumn("pa", split($"pair", " ")(0))
         .withColumn("pb", split($"pair", " ")(1))
         .join(broadcast(syms.select($"sym".as("pa"), $"f".as("fa"))), Seq("pa"))
@@ -5879,28 +5901,40 @@ object LlmOps {
       // the cross-multiply total order has exactly ONE maximum: keep the
       // row no competitor strictly beats (higher score, or equal score
       // and lexicographically smaller pair)
-      val top = scored.join(broadcast(scored.select($"pair".as("opair"),
+      scored.join(broadcast(scored.select($"pair".as("opair"),
           $"cnt".as("ocnt"), $"den".as("oden"))),
           ($"ocnt".cast(d38) * $"den" > $"cnt".cast(d38) * $"oden") ||
             ($"ocnt".cast(d38) * $"den" === $"cnt".cast(d38) * $"oden" &&
               $"opair" < $"pair"),
           "left_anti")
-        .collect() // 1-row driver gate (empty ⟺ pair-exhausted)
-      if (top.isEmpty) exhausted = true
-      else {
-        val r = top(0)
-        val pair = r.getAs[String]("pair")
-        val merged = pair.replace(" ", "")
-        vocab = vocab.select($"w", $"freq",
-          replace($"seg", lit(" " + pair.replace(" ", "  ") + " "),
-            lit(s" $merged ")).as("seg"))
-        val nSyms = vocab
-          .select(explode(split(trim($"seg"), "  ")).as("sym"))
-          .agg(countDistinct($"sym")).collect()(0).getLong(0) // 1-row gate
-        out += ((k, pair, merged, r.getAs[Long]("cnt"),
-          r.getAs[Long]("fa"), r.getAs[Long]("fb"), nSyms))
-        k += 1
-      }
+        .select($"pair", $"cnt", $"fa", $"fb")
+    }
+    // Round-20 gate fusion (the q329 move): round k's symbol census and
+    // round k+1's argmax ride ONE 1-row action — same collected values,
+    // half the driver gates; NULL top columns = the old empty-collect
+    // exhaustion. The merged vocab is lazily pinned for the gate's two
+    // subtrees and the next round's merge.
+    var top = wpTop(vocab).collect()
+      .headOption.map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("fa"), r.getAs[Long]("fb")))
+    var k = 1
+    while (k <= WpLoopRounds && top.isDefined) {
+      val (pair, cnt, fa, fb) = top.get
+      val merged = pair.replace(" ", "")
+      vocab = vocab.select($"w", $"freq",
+        replace($"seg", lit(" " + pair.replace(" ", "  ") + " "),
+          lit(s" $merged ")).as("seg"))
+        .localCheckpoint(eager = false)
+      val g = vocab
+        .select(explode(split(trim($"seg"), "  ")).as("sym"))
+        .agg(countDistinct($"sym").as("n_syms"))
+        .join(wpTop(vocab), lit(true), "left")
+        .collect()(0) // the round's ONE driver gate
+      out += ((k, pair, merged, cnt, fa, fb, g.getLong(0)))
+      top = if (g.isNullAt(1)) None
+            else Some((g.getAs[String]("pair"), g.getAs[Long]("cnt"),
+              g.getAs[Long]("fa"), g.getAs[Long]("fb")))
+      k += 1
     }
     out.result()
       .toDF("round", "pair", "merged", "cnt", "fa", "fb", "vocab_syms")
@@ -6049,7 +6083,9 @@ object LlmOps {
       .select(explode(TextOps.tokens($"text")).as("w"))
       .filter(length($"w") >= 1)
       .groupBy($"w").agg(count(lit(1)).as("freq"))
-      .localCheckpoint() // the ONE corpus pass; reused by grid + every round
+      .localCheckpoint(eager = false) // the ONE corpus pass; reused by
+        // grid + every round (lazy, r20: the round-1 median gate
+        // materializes the whole chain in one action)
     // (start, len) grid per word; invalid cells (running past the word
     // end) carry a NULL piece so no lookup can alias a shorter piece
     val grid = words.select($"w", explode(sequence(lit(1), length($"w"))).as("st"))
@@ -6057,7 +6093,7 @@ object LlmOps {
         explode(sequence(lit(1), lit(UlmMaxPieceLen))).as("j"))
       .withColumn("piece",
         when($"st" + $"j" - 1 <= length($"w"), $"w".substr($"st", $"j")))
-      .localCheckpoint() // reused by the seed census and both rounds
+      .localCheckpoint(eager = false) // reused by the seed census and both rounds
     // E-step: cost grid via one broadcast join, then within-row folds
     def eStep(pieces: DataFrame): DataFrame = {
       val cm = grid
@@ -6116,14 +6152,15 @@ object LlmOps {
     val ctDf = seed.agg(sum($"c").as("ct"))
     var pieces = seed.crossJoin(broadcast(ctDf))
       .select($"piece", (bits($"ct") - bits($"c")).as("cost"), lit(0L).as("u"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val meds = Seq.newBuilder[Long]
     for (_ <- 1 to UlmRounds) {
       val usage = eStep(pieces)
       val pu = pieces.select($"piece")
         .join(usage, Seq("piece"), "left")
         .withColumn("u", coalesce($"u", lit(0L)))
-        .localCheckpoint() // read by the gate, the prune, and the recost
+        .localCheckpoint(eager = false) // read by the gate, the prune,
+          // and the recost — the med gate below materializes it
       // prune line = lower-median of the NONZERO multi-char usages: a
       // zero-usage median would disarm the prune entirely (most seeds
       // are never chosen by Viterbi — measured 24/48 at sf0.01), while
@@ -6143,7 +6180,7 @@ object LlmOps {
         .select($"piece",
           (bits($"ut") - when($"u" > 0, bits($"u")).otherwise(lit(0L)))
             .as("cost"), $"u")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     val medv = meds.result()
     val np = pieces.agg(count(lit(1)).as("n_pieces"),
@@ -7441,6 +7478,16 @@ object LlmOps {
       .localCheckpoint(eager = false) // read by cores + non-cores
     val cores = deg.filter($"nn" >= DbscanMinPts).select($"ia".as("v"))
       .localCheckpoint(eager = false)
+    // NEGATIVE RESULT (r20, kept as documentation): pinning coreEdges and
+    // the per-round labels HASH-PLACED on the join keys (Pinned helpers)
+    // to make each round's join exchange-free was measured 2.5–3.5×
+    // SLOWER end to end (q345 5.4→13.2 s, q361 5.9→18.3 s; task time
+    // 2→277 s / 5→354 s): the Pinned helpers compile their subplan with
+    // AQE OFF, so every per-round stage ran at the static 32-partition
+    // width instead of AQE-coalescing to ~1 task — per-task overhead
+    // swamped the saved exchanges. Keyed pins pay off for ONE-TIME
+    // corpus-scale relations (adjacency builds), not for tiny per-round
+    // iterates; these stay plain lazy localCheckpoints.
     val coreEdges = nbr
       .join(broadcast(cores.select($"v".as("ia"))), Seq("ia"), "semi")
       .join(broadcast(cores.select($"v".as("ib"))), Seq("ib"), "semi")
@@ -7578,7 +7625,7 @@ object LlmOps {
       .join(Tables.embeddings(s, dir).select($"vec_id", $"label"), "vec_id")
     val cont = cells.groupBy($"label", $"cell")
       .agg(count(lit(1)).as("nij"))
-      .localCheckpoint() // read by Sij, both margins, and the totals
+      .localCheckpoint(eager = false) // read by Sij, both margins, and the totals
     val sij = cont.agg(sum($"nij" * ($"nij" - 1L)).as("s2ij"),
       sum($"nij").as("n"), countDistinct($"label").as("n_labels"),
       countDistinct($"cell").as("n_cells"))
@@ -7755,7 +7802,7 @@ object LlmOps {
     val domain = Seq("en", "es", "de", "fr")
     val all = markerScoredAll(s, dir)
       .select($"lang", $"predicted", $"s_tot")
-      .localCheckpoint() // read by the census AND the exclusion counts
+      .localCheckpoint(eager = false) // read by the census AND the exclusion counts
     val excl = all.agg(
       sum(when($"s_tot" === 0L, 1L).otherwise(0L)).as("n_unscored"),
       sum(when($"s_tot" > 0L && !$"lang".isin(domain: _*), 1L)

@@ -1581,7 +1581,16 @@ object Relational {
 
   /** The audited-column registry shared by [[joinDiscovery]] (sketch
     * screen) and [[inclusionDirection]] (exact verify): name → column
-    * projection. */
+    * projection.
+    *
+    * NON-NULL PRECONDITION (advice r19): [[inclusionDirection]]'s
+    * full-outer per-pair verdict counts `count(va)`/`count(vb)` and
+    * null-side orphans, so a NULL value in a distinct set would be
+    * dropped from its own cardinality and counted in BOTH orphan sums.
+    * Every column registered here must therefore be non-nullable (all
+    * current entries are TPC-H keys, NOT NULL by the spec); a nullable
+    * candidate must be pre-filtered with `.filter($"v".isNotNull)` at
+    * registration. */
   private def auditedColumns(s: SparkSession, dir: String): Seq[(String, DataFrame)] = Seq(
     "customer.c_custkey" -> Tables.customer(s, dir).select(col("c_custkey").cast("string").as("v")),
     "lineitem.l_orderkey" -> Tables.lineitem(s, dir).select(col("l_orderkey").cast("string").as("v")),
@@ -1620,7 +1629,7 @@ object Relational {
       .map(n => n -> graft.operators.Pinned.partitionedCheckpoint(
         cols(n).distinct(), $"v"))
       .toMap
-    val perPair = screened.toSeq.sorted.map { case (an, bn) =>
+    val perPairLazy = screened.toSeq.sorted.map { case (an, bn) =>
       val av = distincts(an)
       val bv = distincts(bn)
       // the whole per-pair verdict is ONE full-outer join + ONE 1-row
@@ -1630,19 +1639,51 @@ object Relational {
       // orphan counts fall out of the single exchange-free v-keyed merge
       // of the two pins — n_a = rows with an a-side value, a_not_in_b =
       // rows whose b side is NULL, and symmetrically)
-      av.select($"v".as("va"))
-        .join(bv.select($"v".as("vb")), $"va" === $"vb", "full_outer")
-        .agg(count($"va").as("n_a"), count($"vb").as("n_b"),
-          sum(when($"vb".isNull, 1L).otherwise(0L)).as("a_not_in_b"),
-          sum(when($"va".isNull, 1L).otherwise(0L)).as("b_not_in_a"))
-        .select(lit(an).as("col_a"), lit(bn).as("col_b"),
-          $"n_a", $"n_b", $"a_not_in_b", $"b_not_in_a")
-        .withColumn("relation",
-          when($"a_not_in_b" === 0L && $"b_not_in_a" === 0L, "equal")
-            .when($"a_not_in_b" === 0L, "a_subset_of_b")
-            .when($"b_not_in_a" === 0L, "b_subset_of_a")
-            .otherwise("overlap"))
+      (an, bn,
+        av.select($"v".as("va"))
+          .join(bv.select($"v".as("vb")), $"va" === $"vb", "full_outer")
+          .agg(count($"va").as("n_a"), count($"vb").as("n_b"),
+            sum(when($"vb".isNull, 1L).otherwise(0L)).as("a_not_in_b"),
+            sum(when($"va".isNull, 1L).otherwise(0L)).as("b_not_in_a"))
+          .select(lit(an).as("col_a"), lit(bn).as("col_b"),
+            $"n_a", $"n_b", $"a_not_in_b", $"b_not_in_a")
+          .withColumn("relation",
+            when($"a_not_in_b" === 0L && $"b_not_in_a" === 0L, "equal")
+              .when($"a_not_in_b" === 0L, "a_subset_of_b")
+              .when($"b_not_in_a" === 0L, "b_subset_of_a")
+              .otherwise("overlap")))
     }
+    // Round-20 (guide §2.6 — overlap independent jobs; verdict r19 item):
+    // behind the bounded collect gate everything is INDEPENDENT — each
+    // column pin is a distinct over its own table scan, each pair verdict
+    // reads two pins — but the lazy union materialized them one after
+    // another, leaving the cluster idle through every subtree's tail.
+    // Materialize the pins concurrently (noop actions), then the ≤C(6,2)
+    // 1-row verdicts concurrently (eager 1-row pins); the returned frame
+    // unions the pinned rows. All work stays inside this invocation —
+    // nothing is reused across runs.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val perPair =
+      try {
+        def runAll[T](tasks: Seq[() => T]): Seq[T] = {
+          val futs = tasks.map(t => pool.submit(
+            new java.util.concurrent.Callable[T] { def call(): T = t() }))
+          // every future is awaited (Try) before the first failure is
+          // rethrown, so no job is left running when this method exits
+          futs.map(f => scala.util.Try(f.get())).map(_.get)
+        }
+        runAll(distincts.values.toSeq.map(df => () => {
+          s.sparkContext.setJobDescription("q303: column distinct pin")
+          df.write.mode("overwrite").format("noop").save()
+        }))
+        runAll(perPairLazy.map { case (an, bn, v) => () => {
+          s.sparkContext.setJobDescription(s"q303: verdict $an vs $bn")
+          v.localCheckpoint() // eager 1-row pin
+        }})
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES): Unit
+      }
     perPair.reduce(_ unionAll _).orderBy($"col_a", $"col_b")
   }
 
@@ -1773,7 +1814,8 @@ object Relational {
         year($"o_orderdate").as("order_year"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct($"o_orderpriority").as("l_div"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy (r20): the broadcast-tot
+        // build materializes it; eager paid an extra action
     val tot = g.agg(min($"n_rows").as("k_anonymity"),
       min($"l_div").as("l_diversity"),
       sum(when($"n_rows" < KAnonK, 1L).otherwise(0L)).as("n_groups_below_k"))
@@ -1821,7 +1863,8 @@ object Relational {
       .groupBy($"c_nationkey".as("nation"), $"c_mktsegment".as("mktsegment"),
         year($"o_orderdate").as("order_year"), $"o_orderpriority".as("prio"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // read by the global census AND the cell grid
+      .localCheckpoint(eager = false) // read by the global census AND
+        // the cell grid (lazy, r20: first reader materializes)
     val glob = counts.groupBy($"prio").agg(sum($"c").as("g"))
       .withColumn("cum_g", sum($"g").over(Window.orderBy($"prio")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -1851,7 +1894,8 @@ object Relational {
           (($"m" - 1L).cast("double") * $"n_rows" * $"n_total"))
           .otherwise(lit(0.0)))
       .withColumn("above_t", $"t_closeness" > lit(TCloseT))
-      .localCheckpoint() // read by the rows AND the riding globals
+      .localCheckpoint(eager = false) // read by the rows AND the riding
+        // globals (lazy, r20)
     val tot = cells.agg(max($"t_closeness").as("t_max"),
       sum(when($"above_t", 1L).otherwise(0L)).as("n_cells_above"))
     cells.crossJoin(broadcast(tot))
@@ -1980,14 +2024,18 @@ object Relational {
     val pairs = matched
       .unionAll(matched.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // the first labelSum materializes it
     val nodes = pairs.select($"src").distinct()
     val ed = pairs.unionByName(nodes.select($"src", $"src".as("dst")))
     // LAZY pins (optimization-round rework): the eager checkpoint paid
     // two actions per round — materialization plus the label-sum gate;
     // with a lazy pin the labelSum job itself materializes the round's
     // labels (the q345 loop's one-job-per-round shape). An Observation-
-    // metric fusion was measured SLOWER (listener-bus lag per round).
+    // metric fusion was measured SLOWER (listener-bus lag per round), and
+    // so was the r20 keyed-pin alignment of ed/labels (Pinned helpers):
+    // their AQE-off subplan compile ran every per-round stage at the
+    // static 32-partition width — measured 3.9→5.8 s / task 3.4→29.9 s
+    // on this query; see dbscanCensus for the full negative result.
     var labels = nodes.select($"src".as("rec"), $"src".as("lab"))
       .localCheckpoint(eager = false)
     def labelSum(): java.math.BigDecimal = labels

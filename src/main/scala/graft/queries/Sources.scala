@@ -520,17 +520,23 @@ object Sources {
     Option(twsRoot.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     val base = twsRoot.getPath + "/" + java.util.UUID.randomUUID().toString
     val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
-    val ev = Tables.events(s, dir)
+    // The three streaming runs execute on an ISOLATED session clone
+    // (round-20 rework of the set/restore pattern, advice r19): the
+    // streaming-only confs below were set/unset on the GLOBAL session
+    // around the runs — safe under the serial bench/Verify, racy the
+    // moment anything compiles concurrently on the same session (q206
+    // already submits jobs from a thread pool). `newSession()` shares
+    // the SparkContext (same executors, same pinned RDDs) but scopes
+    // spark.sql.* conf to the clone, so nothing here can bleed.
+    val s2 = s.newSession()
+    val ev = Tables.events(s2, dir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
-    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val prevChecksum = s.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
-    val prevShuffle = s.conf.getOption("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // local-FS test checkpoints don't need corruption detection, and the
     // checksum manager's async close can deadlock under load (see
     // StreamsSpec's transformWithState cases)
-    s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    s2.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     // State-partition count for THIS query's fresh checkpoint
     // (optimization-round rework, guide §1.2 step 2): every state
     // partition opens its own RocksDB instance per micro-batch — at the
@@ -544,36 +550,30 @@ object Sources {
     // invariant: update-mode emission is per-user, and the sink is
     // re-read as one frame. Streaming partition count is fixed at
     // checkpoint creation, so all three runs see the same value.
-    val twsParts = sys.env.getOrElse("SPARK_GRAFT_TWS_STATE_PARTS", "4")
-    s.conf.set("spark.sql.shuffle.partitions", twsParts)
-    try {
-      (0 until 3).foreach { k =>
-        ev.filter($"event_id" % 3 === k).coalesce(1)
-          .write.mode("append").parquet(inDir)
-        val q = Streams.userTotalsTws(
-            s.readStream.schema(ev.schema).parquet(inDir).as[Streams.Event])
-          .writeStream
-          .outputMode(OutputMode.Update)
-          .foreachBatch((df: Dataset[Streams.UserTotal], id: Long) =>
-            df.write.mode("overwrite").parquet(s"$outDir/round=$k/batch=$id"))
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-    } finally {
-      prevProvider match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-      prevChecksum match {
-        case Some(p) => s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", p)
-        case None => s.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
-      }
-      prevShuffle match {
-        case Some(p) => s.conf.set("spark.sql.shuffle.partitions", p)
-        case None => s.conf.unset("spark.sql.shuffle.partitions")
-      }
+    val twsParts = sys.env.get("SPARK_GRAFT_TWS_STATE_PARTS") match {
+      case None => 4
+      case Some(v) =>
+        val n = scala.util.Try(v.trim.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_TWS_STATE_PARTS must be a positive integer, got '$v'"))
+        require(n > 0,
+          s"SPARK_GRAFT_TWS_STATE_PARTS must be a positive integer, got '$v'")
+        n
+    }
+    s2.conf.set("spark.sql.shuffle.partitions", twsParts.toString)
+    (0 until 3).foreach { k =>
+      ev.filter($"event_id" % 3 === k).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val q = Streams.userTotalsTws(
+          s2.readStream.schema(ev.schema).parquet(inDir).as[Streams.Event])
+        .writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch((df: Dataset[Streams.UserTotal], id: Long) =>
+          df.write.mode("overwrite").parquet(s"$outDir/round=$k/batch=$id"))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
     }
     s.read.parquet(outDir)
       .select($"round".cast("int").as("round"), $"user_id", $"n_events",
@@ -625,7 +625,8 @@ object Sources {
       min($"l_orderkey").as("loO"), max($"l_orderkey").as("hiO"),
       min($"l_partkey").as("loP"), max($"l_partkey").as("hiP"),
       min($"l_suppkey").as("loS"), max($"l_suppkey").as("hiS"))
-      .localCheckpoint()
+      .localCheckpoint() // EAGER on purpose: the 3 pool threads below
+        // read it concurrently — materialize before they race
     val cells = li.join(broadcast(ext))
       .withColumn("fO",
         expr("((l_orderkey - loO) * 16) div (hiO - loO + 1)").cast("int"))
@@ -637,10 +638,10 @@ object Sources {
         shiftright(graft.operators.Bucketing.mortonInterleave($"cp", $"cs"), 28)
           .cast("int"))
       .select($"l_partkey", $"l_suppkey", $"pc", $"fO", $"fP", $"fZ")
-      .localCheckpoint()
+      .localCheckpoint() // EAGER on purpose: see extents pin above
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     try {
-      Seq("linear" -> "fO", "range" -> "fP", "zorder" -> "fZ").map {
+      val futs = Seq("linear" -> "fO", "range" -> "fP", "zorder" -> "fZ").map {
         case (name, fidCol) =>
           pool.submit(new Runnable {
             def run(): Unit =
@@ -650,8 +651,17 @@ object Sources {
                 .write.mode("overwrite").partitionBy("fid")
                 .parquet(s"$out/$name")
           })
-      }.foreach(_.get())
-    } finally pool.shutdown()
+      }
+      // collect EVERY future's outcome before rethrowing (advice r19):
+      // failing fast on the first bad future would leave sibling writes
+      // running when this method exits, racing whatever runs next
+      // (including a retry's overwrite of the same paths)
+      val errs = futs.flatMap(f => scala.util.Try(f.get()).failed.toOption)
+      errs.headOption.foreach(e => throw e)
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES): Unit
+    }
     val readBack = Seq("linear", "range", "zorder")
       .map(n => s.read.parquet(s"$out/$n").withColumn("layout", lit(n)))
       .reduce(_.unionByName(_))
