@@ -789,17 +789,28 @@ object Graph {
           $"s_nationkey".cast("long").as("label")),
       Seq("node"))
     var layers = List(graft.operators.Pinned.checkpointAsIs(seeds, "node"))
+    // The seed label domain is nations 0–4 (the `s_nationkey < 5` seed
+    // filter above) — FIXED, so per-node votes pack into 5 counters.
+    val LpLabelK = 5
     (1 to 3).foreach { round =>
       val frontier = layers.head
+      // Round-20 vote packing (guide §2.3/§2.4 — the q290 value-array
+      // move applied to votes): the (vnode, label) count + second
+      // per-node struct-max fold paid TWO keyed aggregates (and two
+      // exchanges) per round; with the bounded label domain, ONE
+      // vnode-keyed agg folds all 5 label counters map-side and the
+      // majority pick becomes a per-row array_max over
+      // struct(count, −label) — the IDENTICAL lexicographic tie rule
+      // (counts per (vnode, label) are unchanged; a zero counter can
+      // never win because every voted node holds ≥1 vote).
       val votes = frontier.join(edges, frontier("node") === edges("src"))
         .select(explode($"dsts").as("vnode"), frontier("label"))
-        .groupBy($"vnode", $"label")
-        .agg(count(lit(1)).as("c"))
-      // majority with smallest-label ties: lexicographic struct max on
-      // (count, -label) — a keyed agg, never a per-node window
-      val picks = votes.groupBy($"vnode".as("node"))
-        .agg(max(struct($"c".as("c"), (-$"label").as("nl"))).as("m"))
-        .select($"node", (-$"m.nl").as("label"))
+        .groupBy($"vnode")
+        .agg(array((0 until LpLabelK).map(i =>
+          struct(sum(when($"label" === i, 1L).otherwise(0L)).as("c"),
+            lit(-i.toLong).as("nl"))): _*).as("cs"))
+      val picks = votes
+        .select($"vnode".as("node"), (-array_max($"cs").getField("nl")).as("label"))
       val newlyLazy = layers.foldLeft(picks) { (acc, layer) =>
         acc.join(layer, Seq("node"), "left_anti")
       }
